@@ -21,9 +21,26 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
-  def events(s: SparkSession, d: String): DataFrame   = t(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** events.parquet carries an INT64 TIMESTAMP(NANOS) column, which Spark's
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it with
+    * `spark.sql.legacy.parquet.nanosAsLong` so `ts` arrives as a BIGINT of
+    * epoch nanoseconds — queries derive µs timestamps (`tsUs`) or epoch
+    * seconds (`tsSec`) from it with exact integer arithmetic, which also
+    * keeps every derived value bit-deterministic across engines.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
+
+  /** events.ts (epoch ns, BIGINT) -> TimestampType at µs precision. */
+  def tsUs(c: Column): Column = timestamp_micros(c.divide(lit(1000)).cast(LongType))
+
+  /** events.ts (epoch ns, BIGINT) -> epoch seconds (floor), BIGINT. */
+  def tsSec(c: Column): Column = floor(c.divide(lit(1000000000L))).cast(LongType)
 }
 
 /** Cross-engine-deterministic output helpers (SURVEY.md §7.5).
@@ -32,13 +49,23 @@ object Tables {
   * and the DuckDB oracle hash identically:
   *  - money/quantity doubles are 2-dp-clean in the fixtures -> exact
   *    DECIMAL casts;
-  *  - timestamps are µs precision -> fixed-width formatted strings;
+  *  - timestamps are rendered as fixed-width strings or epoch-second
+  *    BIGINTs (never raw TimestampType in an oracled output);
   *  - derived integers are always BIGINT (DuckDB int functions return
-  *    BIGINT, Spark's often return INT).
+  *    BIGINT, Spark's often return INT);
+  *  - computed ratios/doubles are reduced to BIGINT micro-units via exact
+  *    integer arithmetic (never `round(double)`, whose half-up tie behavior
+  *    differs between engines).
   */
 object Fns {
   /** 2-dp decimal cast for money columns (fixture doubles are 2-dp-clean). */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Exact integer cents of a 2-dp-clean double (money/quantity). */
+  def cents(c: Column): Column = dec2(c).multiply(lit(100)).cast(LongType)
+
+  /** BIGINT cast — DuckDB scalar int functions return BIGINT, Spark INT. */
+  def bi(c: Column): Column = c.cast(LongType)
 
   /** Date-only render of a timestamp column. DuckDB mirror: strftime(c,'%Y-%m-%d'). */
   def d(c: Column): Column = date_format(c, "yyyy-MM-dd")
@@ -51,9 +78,17 @@ object Fns {
     * DuckDB mirror: strftime(c,'%Y%m%d'). */
   def ymd(c: Column): Column = date_format(c, "yyyyMMdd")
 
-  /** Arbitrary-double -> stable decimal: round to scale then cast. Safe as
-    * long as both engines agree to better than 0.5 * 10^-s. */
-  def rdec(c: Column, s: Int): Column = round(c, s).cast(DecimalType(28, s))
+  /** sum of a 2-dp money column as DECIMAL(28,2) — decimal end-to-end, so
+    * the sum is exact and engine-order-independent. DuckDB mirror:
+    * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(28,2)). */
+  def sum2(c: Column): Column = sum(dec2(c)).cast(DecimalType(28, 2))
+
+  /** Average in exact integer micro-units: (sum_cents * 10000) div n, by
+    * column NAME (Spark SQL `div` = integer division on BIGINTs; DuckDB
+    * mirror `//`). Floor division of non-negative BIGINTs — no float or
+    * decimal division anywhere, so the value is exact in both engines. */
+  def avgMicro(sumCentsCol: String, nCol: String): Column =
+    expr(s"CAST(($sumCentsCol * 10000L) DIV $nCol AS BIGINT)")
 }
 
 /** One block of the engine's query surface: the declared queries (the t2
@@ -61,5 +96,5 @@ object Fns {
   * oracle-able subset. */
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
-  def oracle: Map[String, String]
+  def oracleSql: Map[String, String]
 }
