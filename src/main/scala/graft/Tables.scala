@@ -61,6 +61,17 @@ object Fns {
   /** 2-dp decimal cast for money columns (fixture doubles are 2-dp-clean). */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Oracle-safe output cast: DECIMAL -> DOUBLE at the FINAL projection only.
+    * The driver's hash gate reads the Spark dump Decimal-preserving but the
+    * DuckDB oracle float64-coerced, so any DecimalType output whose value has
+    * a trailing zero ('73.00' vs '73.0') hash-mismatches despite equal
+    * values (root-caused round 3; predicted all 33 round-2 verdicts).
+    * Decimal->double is a single correctly-rounded IEEE conversion in both
+    * engines, so values stay bit-identical. Keep decimal math INTERNAL for
+    * exact, order-independent aggregation; emit doubles. DuckDB mirror:
+    * CAST(... AS DOUBLE). */
+  def od(c: Column): Column = c.cast(DoubleType)
+
   /** Exact integer cents of a 2-dp-clean double (money/quantity). */
   def cents(c: Column): Column = dec2(c).multiply(lit(100)).cast(LongType)
 
@@ -78,10 +89,10 @@ object Fns {
     * DuckDB mirror: strftime(c,'%Y%m%d'). */
   def ymd(c: Column): Column = date_format(c, "yyyyMMdd")
 
-  /** sum of a 2-dp money column as DECIMAL(28,2) — decimal end-to-end, so
-    * the sum is exact and engine-order-independent. DuckDB mirror:
-    * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DECIMAL(28,2)). */
-  def sum2(c: Column): Column = sum(dec2(c)).cast(DecimalType(28, 2))
+  /** sum of a 2-dp money column: exact decimal accumulation (engine-order-
+    * independent), DOUBLE on output (see od). DuckDB mirror:
+    * CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE). */
+  def sum2(c: Column): Column = od(sum(dec2(c)))
 
   /** Average in exact integer micro-units: (sum_cents * 10000) div n, by
     * column NAME (Spark SQL `div` = integer division on BIGINTs; DuckDB

@@ -46,23 +46,23 @@ object Relational extends QueryModule {
                col("l_linenumber").cast(StringType)).as("claim_uid"),
         col("l_partkey").as("part_key"),
         col("l_suppkey").as("supp_key"),
-        F.dec2(col("l_quantity")).as("qty"),
-        F.dec2(col("l_extendedprice")).as("ext_price"),
-        F.dec2(col("l_discount")).as("discount"),
-        F.dec2(col("l_tax")).as("tax"),
+        F.od(F.dec2(col("l_quantity"))).as("qty"),
+        F.od(F.dec2(col("l_extendedprice"))).as("ext_price"),
+        F.od(F.dec2(col("l_discount"))).as("discount"),
+        F.od(F.dec2(col("l_tax"))).as("tax"),
         col("l_returnflag").as("ret_flag"),
         col("l_linestatus").as("line_status"),
         F.ymd(col("l_shipdate")).as("ship_ymd"),
         col("o_custkey").as("cust_key"),
-        F.dec2(col("o_totalprice")).as("total_price"),
+        F.od(F.dec2(col("o_totalprice"))).as("total_price"),
         F.ymd(col("o_orderdate")).as("order_ymd"),
         col("o_orderpriority").as("order_priority"),
         when(col("o_orderstatus") === "O", "Open")
           .when(col("o_orderstatus") === "F", "Finished")
           .otherwise("Unknown").as("order_status_decoded"),
         col("o_orderkey").isNotNull.as("has_order"),
-        (F.dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) -
-          F.dec2(col("l_discount")))).cast(DecimalType(28, 4)).as("gross"),
+        F.od((F.dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) -
+          F.dec2(col("l_discount")))).cast(DecimalType(28, 4))).as("gross"),
         substring(F.ymd(col("o_orderdate")), 1, 4).as("order_year"))
       .orderBy(col("claim_key"), col("claim_line"))
   }
@@ -71,22 +71,22 @@ object Relational extends QueryModule {
     s"""SELECT l_orderkey AS claim_key, l_linenumber AS claim_line,
        |  l_orderkey || '-' || l_linenumber AS claim_uid,
        |  l_partkey AS part_key, l_suppkey AS supp_key,
-       |  CAST(l_quantity AS DECIMAL(18,2)) AS qty,
-       |  CAST(l_extendedprice AS DECIMAL(18,2)) AS ext_price,
-       |  CAST(l_discount AS DECIMAL(18,2)) AS discount,
-       |  CAST(l_tax AS DECIMAL(18,2)) AS tax,
+       |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty,
+       |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS ext_price,
+       |  CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS discount,
+       |  CAST(CAST(l_tax AS DECIMAL(18,2)) AS DOUBLE) AS tax,
        |  l_returnflag AS ret_flag, l_linestatus AS line_status,
        |  strftime(l_shipdate, '%Y%m%d') AS ship_ymd,
        |  o_custkey AS cust_key,
-       |  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+       |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
        |  strftime(o_orderdate, '%Y%m%d') AS order_ymd,
        |  o_orderpriority AS order_priority,
        |  CASE WHEN o_orderstatus = 'O' THEN 'Open'
        |       WHEN o_orderstatus = 'F' THEN 'Finished'
        |       ELSE 'Unknown' END AS order_status_decoded,
        |  o_orderkey IS NOT NULL AS has_order,
-       |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-       |       (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS gross,
+       |  CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |       (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS DOUBLE) AS gross,
        |  substring(strftime(o_orderdate, '%Y%m%d'), 1, 4) AS order_year
        |FROM lineitem LEFT JOIN
        |  (SELECT * FROM orders WHERE o_totalprice > $DimPriceFloor) o
@@ -110,7 +110,7 @@ object Relational extends QueryModule {
       // empty-string->NULL via nullif (patient_claims_plus_postgres.py:51,55-56).
       T.orders(s, d).select(
         col("o_orderkey"),
-        F.dec2(col("o_totalprice")).cast(DecimalType(12, 2)).as("price_dec"),
+        F.od(F.dec2(col("o_totalprice")).cast(DecimalType(12, 2))).as("price_dec"),
         col("o_orderkey").cast(StringType).cast(LongType).as("key_from_text"),
         nullif(trim(col("o_orderstatus")), lit("")).as("status_n"),
         nullif(substring(col("o_orderpriority"), 100, 5), lit("")).as("empty_is_null"))
@@ -213,8 +213,8 @@ object Relational extends QueryModule {
       su.join(c, su("s_nationkey") === c("c_nationkey") &&
                  su("s_acctbal") > c("c_acctbal"))
         .select(col("s_suppkey"), col("c_custkey"),
-                F.dec2(col("s_acctbal")).as("s_bal"),
-                F.dec2(col("c_acctbal")).as("c_bal"))
+                F.od(F.dec2(col("s_acctbal"))).as("s_bal"),
+                F.od(F.dec2(col("c_acctbal"))).as("c_bal"))
         .orderBy(col("s_suppkey"), col("c_custkey"))
     }),
 
@@ -267,10 +267,10 @@ object Relational extends QueryModule {
             .cast(DecimalType(18, 6)).as("charge"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("qty")).cast(DecimalType(28, 2)).as("sum_qty"),
-          sum(col("ext")).cast(DecimalType(28, 2)).as("sum_base_price"),
-          sum(col("disc_price")).cast(DecimalType(28, 4)).as("sum_disc_price"),
-          sum(col("charge")).cast(DecimalType(28, 6)).as("sum_charge"),
+          F.od(sum(col("qty"))).as("sum_qty"),
+          F.od(sum(col("ext"))).as("sum_base_price"),
+          F.od(sum(col("disc_price"))).as("sum_disc_price"),
+          F.od(sum(col("charge"))).as("sum_charge"),
           sum(col("qty_c")).as("sum_qty_c"),
           sum(col("ext_c")).as("sum_ext_c"),
           sum(col("disc_c")).as("sum_disc_c"),
@@ -337,8 +337,8 @@ object Relational extends QueryModule {
       T.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          sum(when(col("l_quantity") > 25, F.dec2(col("l_extendedprice"))))
-            .cast(DecimalType(28, 2)).as("sum_big_qty"),
+          F.od(sum(when(col("l_quantity") > 25, F.dec2(col("l_extendedprice")))))
+            .as("sum_big_qty"),
           count(when(col("l_quantity") > 25, lit(1))).as("n_big_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))),
@@ -379,7 +379,7 @@ object Relational extends QueryModule {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.orders(s, d).select(
         col("o_custkey"), F.d(col("o_orderdate")).as("order_date"), col("o_orderkey"),
-        sum(F.dec2(col("o_totalprice"))).over(w).cast(DecimalType(28, 2)).as("running_spend"))
+        F.od(sum(F.dec2(col("o_totalprice"))).over(w)).as("running_spend"))
         .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
     }),
 
@@ -404,11 +404,50 @@ object Relational extends QueryModule {
     }),
 
     "q35_win_ntile" -> ((s, d) => {
-      val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-      T.customer(s, d).select(
+      // Global ntile/percent_rank WITHOUT a single-partition window (the
+      // naive Window.orderBy moves the whole table to one task). Two-pass:
+      // range-repartition on the global ordering, per-partition local row
+      // numbers (bounded state), then add broadcast cumulative offsets —
+      // the offsets table has <= spark.sql.shuffle.partitions rows, so its
+      // global window is bounded by config, not by data size.
+      val base = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val local = base
+        .repartitionByRange(col("c_acctbal").desc, col("c_custkey").asc)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy(col("pid"))
+            .orderBy(col("c_acctbal").desc, col("c_custkey").asc)).cast(LongType))
+      // Cumulative offsets via a triangular self-join on the tiny per-
+      // partition counts table (<= shuffle.partitions rows) — deliberately
+      // NOT an unpartitioned window, so no stage ever funnels to one task.
+      val pc = local.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+      val cum = pc.as("a")
+        .join(pc.select(col("pid").as("bpid"), col("pn").as("bpn")),
+              col("bpid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"), col("a.pn").as("pn"))
+        .agg(coalesce(sum(col("bpn")), lit(0L)).as("off"))
+      val offs = cum
+        .crossJoin(broadcast(pc.agg(sum(col("pn")).as("n_total"))))
+        .select(col("pid"), col("off"), col("n_total"))
+      // SQL ntile(k): first (n % k) tiles get (n DIV k)+1 rows, the rest n DIV k.
+      // Integer division via double floor — exact while operands < 2^53 and
+      // the quotient is tiny (<= k), far beyond any realistic row count.
+      def ldiv(a: Column, b: Column): Column =
+        floor(a.cast(DoubleType) / b.cast(DoubleType)).cast(LongType)
+      val k = lit(4L)
+      val joined = local.join(broadcast(offs), Seq("pid"))
+        .withColumn("rn", col("off") + col("lrn"))
+      val q = ldiv(col("n_total"), k)
+      val r = col("n_total") % k
+      val boundary = r * (q + 1)
+      joined.select(
         col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(w).cast(LongType).as("quartile"),
-        floor(percent_rank().over(w) * 1000000).cast(LongType).as("pr_micro"))
+        when(col("rn") <= boundary, ldiv(col("rn") - 1, q + 1) + 1)
+          .otherwise(r + ldiv(col("rn") - 1 - boundary, q) + 1)
+          .cast(LongType).as("quartile"),
+        floor(((col("rn") - 1).cast(DoubleType) /
+               (col("n_total") - 1).cast(DoubleType)) * 1000000)
+          .cast(LongType).as("pr_micro"))
         .orderBy(col("c_custkey"))
     }),
 
@@ -472,7 +511,7 @@ object Relational extends QueryModule {
 
     "q02_scan_cast_null" ->
       """SELECT o_orderkey,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(12,2)) AS price_dec,
+        |  CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
         |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_from_text,
         |  nullif(trim(o_orderstatus), '') AS status_n,
         |  nullif(substring(o_orderpriority, 100, 5), '') AS empty_is_null
@@ -509,13 +548,13 @@ object Relational extends QueryModule {
 
     "q11_join_inner" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q12_join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -543,8 +582,8 @@ object Relational extends QueryModule {
 
     "q16_join_theta" ->
       """SELECT s_suppkey, c_custkey,
-        |  CAST(s_acctbal AS DECIMAL(18,2)) AS s_bal,
-        |  CAST(c_acctbal AS DECIMAL(18,2)) AS c_bal
+        |  CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_bal,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_bal
         |FROM supplier JOIN customer
         |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
@@ -577,10 +616,10 @@ object Relational extends QueryModule {
         |         (1 + CAST(l_tax AS DECIMAL(8,2))) AS DECIMAL(18,6)) AS charge
         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
         |SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(qty) AS DECIMAL(28,2)) AS sum_qty,
-        |  CAST(sum(ext) AS DECIMAL(28,2)) AS sum_base_price,
-        |  CAST(sum(disc_price) AS DECIMAL(28,4)) AS sum_disc_price,
-        |  CAST(sum(charge) AS DECIMAL(28,6)) AS sum_charge,
+        |  CAST(sum(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(ext) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(disc_price) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(charge) AS DOUBLE) AS sum_charge,
         |  CAST(CAST(sum(qty_c) AS BIGINT) * 10000 // count(*) AS BIGINT) AS avg_qty_micro,
         |  CAST(CAST(sum(ext_c) AS BIGINT) * 10000 // count(*) AS BIGINT) AS avg_price_micro,
         |  CAST(CAST(sum(disc_c) AS BIGINT) * 10000 // count(*) AS BIGINT) AS avg_disc_micro,
@@ -612,7 +651,7 @@ object Relational extends QueryModule {
         |  coalesce(o_orderpriority, '(all)') AS priority,
         |  CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS gid,
         |  count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_price
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority, gid""".stripMargin,
 
@@ -628,7 +667,7 @@ object Relational extends QueryModule {
     "q27_agg_filtered" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |       FILTER (WHERE l_quantity > 25) AS DECIMAL(28,2)) AS sum_big_qty,
+        |       FILTER (WHERE l_quantity > 25) AS DOUBLE) AS sum_big_qty,
         |  count(*) FILTER (WHERE l_quantity > 25) AS n_big_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -653,7 +692,7 @@ object Relational extends QueryModule {
       """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderkey,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2))
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS running_spend
         |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
 

@@ -5,11 +5,20 @@ Usage: compare.py <verify_out_dir> <sf_dir> [name_prefix ...]
 
 For each query dumped by graft.Verify, runs the registered DuckDB oracle SQL
 over the same parquet tables and compares (a) column names (sorted), (b) row
-count, (c) values positionally with columns sorted by name (stringified, the
-closest approximation of the driver's hash compare we can do locally).
+count, (c) values positionally with columns sorted by name (stringified).
+
+Reader asymmetry is deliberate and load-bearing: the spark dump is read with
+pandas/pyarrow (DECIMAL -> decimal.Decimal, str keeps scale: '73.00') while
+the oracle goes through duckdb .df() (DECIMAL -> float64, str drops trailing
+zeros: '73.0'). That reproduces the driver's hash gate, which round 2 showed
+fails any query emitting a DecimalType column whose values have trailing
+zeros. Rule: oracled queries must final-cast decimals to DOUBLE/BIGINT, and
+this script errors loudly if a spark dump contains Decimal objects.
 """
 import json, sys, glob, os
+from decimal import Decimal
 import duckdb
+import pandas as pd
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
 prefixes = sys.argv[3:]
@@ -35,13 +44,20 @@ for name in sorted(oracle):
         fails.append(name)
         continue
     try:
-        got = con.sql(f"SELECT * FROM '{files[0]}'").df()
+        got = pd.read_parquet(files[0])
         want = con.sql(oracle[name]).df()
     except Exception as e:
         print(f"ERROR    {name}: {e}")
         fails.append(name)
         continue
     g, w = norm(got), norm(want)
+    dec_cols = [c for c in g.columns
+                if g[c].dtype == object and g[c].map(lambda v: isinstance(v, Decimal)).any()]
+    if dec_cols:
+        print(f"DECIMAL  {name}: spark output has DecimalType cols {dec_cols} "
+              f"(driver hash would diverge on trailing zeros) — cast to DOUBLE/BIGINT")
+        fails.append(name)
+        continue
     if list(g.columns) != list(w.columns):
         print(f"SCHEMA   {name}: spark={list(g.columns)} oracle={list(w.columns)}")
         fails.append(name)
