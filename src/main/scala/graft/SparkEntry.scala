@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   /** The registered query surface, one QueryModule per SURVEY §2-C block. */
   private def modules: Seq[QueryModule] = Seq(
-    ops.Relational
+    ops.Relational,
+    ops.Scalars,
+    ops.TextOps,
+    ops.Dedup,
+    ops.Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables => T}
+
+/** Similarity search (q64 cosine top-k, q65 MinHash-LSH near-dup join) —
+  * SURVEY.md §2-B mandated extension surface.
+  *
+  * Scale notes:
+  *  - q64: brute-force cosine of every vector against ONE broadcast query
+  *    vector is O(n) with no shuffle — `orderBy().limit(k)` compiles to
+  *    TakeOrderedAndProject (per-partition top-k, k-row driver merge), so
+  *    this exact path scales linearly to any corpus size. The quadratic
+  *    all-pairs case is what q65's LSH covers.
+  *  - q65: hand-rolled MinHash banding, all DataFrame-native and seedless-
+  *    deterministic (xxhash64 with fixed salts): per doc compute H minhash
+  *    signatures, group them into B bands, hash each band, and self-join on
+  *    (band, band_hash) — candidates only; then run the exact Jaccard
+  *    verification (Dedup.jaccardPairs logic) on candidates alone. Shuffle
+  *    volume is O(docs × B) small fixed-width rows; no all-pairs product.
+  *    Probability a pair with Jaccard j collides: 1-(1-j^R)^B (R rows/band)
+  *    — with H=16, B=4, R=4: j=0.5 → 0.23 per band → 0.66 overall; the
+  *    recall floor is unit-tested against q61's exact pairs.
+  */
+object Similarity extends QueryModule {
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Cosine via sequential double fold — mirrors the oracle's list_sum
+    * exactly (left-to-right IEEE adds), so values are bit-identical. */
+  private val cosExpr =
+    """aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+      |/ (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                  CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+      | * sqrt(aggregate(transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                  CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+
+  /** LSH candidate pairs: (i, j) docs sharing at least one minhash band. */
+  private[ops] def lshCandidates(sh: DataFrame): DataFrame = {
+    // minhash_h = min over shingles of xxhash64(h, shingle), h = 0..H-1
+    val hashes = (0 until NumHashes).map(h =>
+      min(xxhash64(lit(h), col("sh"))).as(s"mh$h"))
+    val sig = sh.groupBy(col("doc_id")).agg(hashes.head, hashes.tail: _*)
+    // band_b = one 64-bit hash of that band's R signature values
+    val bands = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val bucketed = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    bucketed.select(col("doc_id").as("i"), col("band"), col("bh"))
+      .join(bucketed.select(col("doc_id").as("j"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+  }
+
+  /** Exact Jaccard >= tau, computed only for the given candidate (i, j)
+    * pairs: each candidate is expanded by doc i's shingles and intersected
+    * with doc j's via the (j, sh) equi-join — cost O(candidates × shingles
+    * per doc), independent of corpus pair count. */
+  private[ops] def verifyCandidates(sh: DataFrame, cand: DataFrame,
+                                    tau: Double): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("i"), col("nsh").as("ni")), Seq("i"))
+      .join(sz.select(col("doc_id").as("j"), col("nsh").as("nj")), Seq("j"))
+      .withColumn("uni", col("ni") + col("nj") - col("inter"))
+      .withColumn("jac", col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
+      .filter(col("jac") >= tau)
+      .select(col("i"), col("j"), col("inter"), col("uni"), col("jac"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_sim_topk" -> ((s, d) => {
+      val e = T.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), expr(cosExpr).as("cos"))
+        .select(col("vec_id"),
+                floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    "q65_sim_lsh_join" -> ((s, d) => {
+      // Approximate near-dup join: LSH candidates first, exact Jaccard
+      // verification on candidates ONLY (never the all-pairs product).
+      // Engine-specific banding -> no SQL oracle; recall vs q61's exact
+      // pairs is unit-tested (SimilaritySpec).
+      val sh = Dedup.shingles(s, d)
+      val cand = lshCandidates(sh)
+      verifyCandidates(sh, cand, 0.5).orderBy(col("i"), col("j"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q64_sim_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |  list_sum(list_transform(range(len(embedding)),
+        |    k -> CAST(embedding[k+1] AS DOUBLE) * CAST(qv[k+1] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings, q)
+        |SELECT vec_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+        |FROM c ORDER BY cos_micro DESC, vec_id ASC LIMIT 10""".stripMargin
+  )
+}
