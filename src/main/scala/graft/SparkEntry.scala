@@ -15,14 +15,20 @@ object SparkEntry {
     ops.Scalars,
     ops.TextOps,
     ops.Dedup,
-    ops.Similarity
+    ops.Similarity,
+    ops.StreamOps,
+    ops.Udfs
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Replays the reference's patient_claims_plus CTAS + DQ chain
-    * (/root/reference/dags/patient_claims_plus_postgres.py:161-199). */
+    * (/root/reference/dags/patient_claims_plus_postgres.py:161-199), with
+    * the DQ gate actually asserting (the reference's never could — SURVEY
+    * A20). */
   def entry(spark: SparkSession): DataFrame =
-    queries("q10_join_left_flagship")(spark, "/root/testdata/sf0.001")
+    ops.Ingest.dqGateNonEmpty(
+      queries("q10_join_left_flagship")(spark, "/root/testdata/sf0.001"),
+      "patient_claims_plus_smoke")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

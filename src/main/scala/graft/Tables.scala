@@ -36,8 +36,13 @@ object Tables {
     t(s, d, "events")
   }
 
-  /** events.ts (epoch ns, BIGINT) -> TimestampType at µs precision. */
-  def tsUs(c: Column): Column = timestamp_micros(c.divide(lit(1000)).cast(LongType))
+  /** events.ts (epoch ns, BIGINT) -> TimestampType at µs precision.
+    * Exact decimal division, NOT double: epoch-ns values (~1.7e18) exceed
+    * double's 2^53 integer range, so a double path can be off by ±1 µs
+    * after truncation. DuckDB mirror: CAST(ts AS TIMESTAMP) (ns -> µs
+    * truncation). */
+  def tsUs(c: Column): Column =
+    timestamp_micros(c.cast(DecimalType(38, 0)).divide(lit(1000)).cast(LongType))
 
   /** events.ts (epoch ns, BIGINT) -> epoch seconds (floor), BIGINT. */
   def tsSec(c: Column): Column = floor(c.divide(lit(1000000000L))).cast(LongType)

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Reusable ingest operators — the reference's actual ETL surface (SURVEY.md
+  * §2-A A5-A13, A20) as engine code rather than one-off query replays.
+  *
+  * Reference semantics reproduced:
+  *  - A6/A13 `readCsv`: header CSV + declared schema; FAILFAST mirrors
+  *    Postgres COPY's error-on-malformed; empty unquoted fields -> NULL
+  *    (/root/reference/dags/patient_claims_plus_postgres.py:40-41,55-56).
+  *  - A7 `requireColumns`: required-columns-present contract that raises
+  *    listing the missing ones (:42-44).
+  *  - A8 `projectKeep`: manual projection to keep_cols, in order (:48-51) —
+  *    under Catalyst this prunes the scan itself.
+  *  - A9 `emptyToNull`: absent/empty field -> NULL (:51).
+  *  - A5/A12 `stageOverwrite`: idempotent re-stage, drop-before-write
+  *    (cms_inpatient_download_unzip.py:58-65; :66,75-76).
+  *  - A20 `dqGateNonEmpty`: the reference computes a row-count "ok" flag but
+  *    never inspects it, so its DQ gate cannot fail the DAG (:125-130,
+  *    150-155, 194-199). This one actually throws.
+  *
+  * Scale notes: all operators stay declarative (schema'd reads, selects,
+  * parquet writes) — the reference's buffer-whole-file-in-StringIO loader
+  * (:46-53) is exactly what NOT to do at 100 TB; here the scan is
+  * partitioned and splittable and nothing materializes on the driver.
+  */
+object Ingest {
+
+  /** A6 + A13: header CSV scan with a declared schema. FAILFAST = the
+    * reference's COPY error-on-malformed behavior; empty fields -> NULL. */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              failFast: Boolean = true): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .schema(schema)
+      .csv(path)
+
+  /** A7: contract check — every required column present, else raise
+    * listing the missing ones (mirrors the reference's ValueError). */
+  def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    val missing = required.filterNot(c => have.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"missing required columns: ${missing.mkString(", ")}")
+    df
+  }
+
+  /** A8: keep only `keep`, in order (column pruning pushes into the scan). */
+  def projectKeep(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col): _*)
+
+  /** A9: '' (and whitespace-only) string values -> NULL on the given cols. */
+  def emptyToNull(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, nullif(trim(col(c)), lit(""))))
+
+  /** A5/A12: idempotent staging — overwrite semantics replace any prior
+    * copy, making reruns the de-facto regression test as in the reference. */
+  def stageOverwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** A20, fixed: a DQ gate that actually fails the pipeline. Returns the
+    * input for chaining so it drops into a job between any two stages. */
+  def dqGateNonEmpty(df: DataFrame, name: String): DataFrame = {
+    val n = df.limit(1).count()
+    require(n > 0, s"DQ gate '$name' failed: empty result")
+    df
+  }
+}

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import graft.{Fns => F, QueryModule, Tables => T}
+
+/** Streaming shapes (q70-q74): tumbling / sliding / session windows as
+  * batch-oracled queries, plus two genuine Structured Streaming pipelines
+  * (watermarked tumbling agg, stateful dedup) run through the file source +
+  * memory sink with Trigger.AvailableNow.
+  *
+  * The reference has no streaming (both DAGs are manually-triggered batch —
+  * /root/reference/dags/patient_claims_plus_postgres.py:25,
+  * cms_inpatient_download_unzip.py:71); this is SURVEY.md §2-C capability-
+  * grid surface. The batch `window()`/`session_window()` expressions are the
+  * SAME operators Structured Streaming plans incrementally, so q70-q72
+  * semantics carry over to the streaming runtime unchanged.
+  *
+  * Scale notes: windowed aggregation shuffles on (window, key) with partial
+  * aggregation map-side; session windows shuffle on the session key
+  * (user_id) and merge per key — bounded state per key, no global stage.
+  * The streaming variants keep state bounded by the watermark (10 min), the
+  * production requirement for an unbounded 100 TB/day event feed.
+  */
+object StreamOps extends QueryModule {
+
+  /** events with exact µs event-time, shared by all window shapes. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      T.tsUs(col("ts")).as("ts"))
+
+  private val Fmt = "yyyy-MM-dd HH:mm:ss"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_stream_tumbling" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), F.od(sum(F.dec2(col("value")))).as("sum_value"))
+        .select(
+          date_format(col("w.start"), Fmt).as("win_start"),
+          date_format(col("w.end"), Fmt).as("win_end"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    "q71_stream_sliding" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("w.start"), Fmt).as("win_start"),
+          date_format(col("w.end"), Fmt).as("win_end"),
+          col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    "q72_stream_session" -> ((s, d) =>
+      // Session = [first event, last event + gap); a new session starts when
+      // the inter-event gap is >= 30 min (event at exactly start+gap falls
+      // outside the half-open window).
+      ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), F.od(sum(F.dec2(col("value")))).as("sum_value"))
+        .select(
+          col("user_id"),
+          F.ts6(col("w.start")).as("sess_start"),
+          F.ts6(col("w.end")).as("sess_end"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
+    "q73_stream_watermark" -> ((s, d) => {
+      // Genuine Structured Streaming: parquet file source -> watermark ->
+      // tumbling agg -> memory sink, drained with AvailableNow. In append
+      // mode only windows whose end <= final watermark (max ts - 10 min)
+      // are emitted — the late-data-drop contract; cross-batch late drops
+      // are exercised in StreamSpec via MemoryStream. No SQL oracle
+      // (streaming runtime) — the driver records a rows-only check.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$d/events.parquet").schema
+      // file stream source lists a DIRECTORY; select just the events table
+      val src = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val agg = src
+        .select(T.tsUs(col("ts")).as("ts"), col("event_type"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), Fmt).as("win_start"),
+                col("event_type"), col("n"))
+      val name = "graft_q73_sink"
+      s.catalog.dropTempView(name)
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("win_start"), col("event_type"))
+    }),
+
+    "q74_stream_dedup_state" -> ((s, d) => {
+      // Stateful streaming dedup on event_id within the watermark — state
+      // is dropped once the watermark passes, keeping memory bounded on an
+      // unbounded stream. Fixture event_ids are unique, so the output is
+      // the full stream; duplicate-drop behavior is pinned in StreamSpec.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val dedup = src
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                T.tsUs(col("ts")).as("ts"))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val name = "graft_q74_sink"
+      s.catalog.dropTempView(name)
+      val q = dedup.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy(col("event_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q70_stream_tumbling" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, value FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q71_stream_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |w AS (SELECT event_type, unnest(generate_series(
+        |        time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+        |        time_bucket(INTERVAL '15 minutes', ts),
+        |        INTERVAL '15 minutes')) AS ws
+        |      FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  strftime(ws + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS win_end,
+        |  event_type, count(*) AS n
+        |FROM w GROUP BY ws, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q72_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, ts, value,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin
+  )
+}

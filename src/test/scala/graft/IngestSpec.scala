@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ops.Ingest
+
+/** The reference's ingest contracts (SURVEY §2-A A6-A13, A20) as behavior:
+  * contract check raises listing the missing columns, FAILFAST errors on
+  * malformed input like Postgres COPY, empty string -> NULL, and the DQ
+  * gate genuinely throws (the reference's never could). */
+class IngestSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType), StructField("v", IntegerType),
+    StructField("s", StringType)))
+
+  private def csv(content: String): String = {
+    val dir = Files.createTempDirectory("graft_ingest").toFile
+    val f = new java.io.File(dir, "in.csv")
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  test("readCsv: header scan, empty field -> NULL (A6/A9/A13)") {
+    val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n3,,b\n"), schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(1).isNullAt(1), "empty CSV field must load as NULL")
+  }
+
+  test("readCsv FAILFAST errors on malformed input like COPY (A13)") {
+    val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n3,notanint,b\n"), schema)
+    intercept[Exception] { df.collect() }
+  }
+
+  test("requireColumns raises listing the missing columns (A7)") {
+    val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n"), schema)
+    val e = intercept[IllegalArgumentException] {
+      Ingest.requireColumns(df, Seq("id", "claim_id", "prvdr_num"))
+    }
+    assert(e.getMessage.contains("claim_id") && e.getMessage.contains("prvdr_num"))
+    // present columns pass, case-insensitively (reference folds case, :70)
+    Ingest.requireColumns(df, Seq("ID", "V"))
+  }
+
+  test("projectKeep prunes to keep_cols in order (A8)") {
+    val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n"), schema)
+    assert(Ingest.projectKeep(df, Seq("s", "id")).columns.toSeq == Seq("s", "id"))
+  }
+
+  test("emptyToNull: whitespace-only strings -> NULL (A9)") {
+    val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,\"  \"\n2,3,x\n"), schema)
+    val out = Ingest.emptyToNull(df, Seq("s")).orderBy("id").collect()
+    assert(out(0).isNullAt(2) && out(1).getString(2) == "x")
+  }
+
+  test("stageOverwrite is idempotent (A5/A12)") {
+    val out = Files.createTempDirectory("graft_stage").toString + "/t"
+    val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n"), schema)
+    Ingest.stageOverwrite(df, out)
+    Ingest.stageOverwrite(df, out) // re-stage replaces, never duplicates
+    assert(spark.read.parquet(out).count() == 1)
+  }
+
+  test("dqGateNonEmpty throws on empty input (A20, fixed)") {
+    val df = Tables.orders(spark, sf)
+    assert(Ingest.dqGateNonEmpty(df, "ok").count() > 0)
+    val e = intercept[IllegalArgumentException] {
+      Ingest.dqGateNonEmpty(df.filter(lit(false)), "empty_gate")
+    }
+    assert(e.getMessage.contains("empty_gate"))
+  }
+}

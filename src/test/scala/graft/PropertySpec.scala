@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks (SURVEY §5.2): operator algebra that must hold for
+  * ALL inputs, not just the fixtures. Kept small (few cases, tiny data) —
+  * each case runs real Spark jobs. */
+class PropertySpec extends SparkSpec {
+
+  private val params = SCTest.Parameters.default.withMinSuccessfulTests(5)
+  private def check(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val texts: Gen[List[String]] =
+    Gen.listOfN(20, Gen.oneOf("a", "b", "c", "a b", "b c", "a b c"))
+
+  test("dedup is idempotent: f(f(x)) == f(x)") {
+    import spark.implicits._
+    check(Prop.forAll(texts) { xs =>
+      val df = xs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def f(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy("text").agg(min("doc_id").as("doc_id"))
+          .select("doc_id", "text")
+      val once = f(df).collect().toSet
+      val twice = f(f(df)).collect().toSet
+      once == twice
+    })
+  }
+
+  test("left join preserves left cardinality for unique right keys") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(15, Gen.chooseNum(0L, 5L)),
+                      Gen.someOf(0L to 5L)) { (lks, rks) =>
+      val l = lks.toDF("k")
+      val r = rks.toList.distinct.map(k => (k, s"v$k")).toDF("k", "v")
+      l.join(r, Seq("k"), "left").count() == lks.length
+    })
+  }
+
+  test("set algebra: (A except B) disjoint from B, subset of A") {
+    import spark.implicits._
+    check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
+                      Gen.listOfN(12, Gen.chooseNum(0L, 8L))) { (as, bs) =>
+      val a = as.toDF("k")
+      val b = bs.toDF("k")
+      val ex = a.except(b).collect().map(_.getLong(0)).toSet
+      ex.intersect(bs.toSet).isEmpty && ex.subsetOf(as.toSet)
+    })
+  }
+}

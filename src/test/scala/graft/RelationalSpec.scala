@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins the semantics the oracle can't see: the approx-distinct tolerance,
+  * the flagship's null-extension path, cast/null rules, and that the
+  * scale-safe q35 rewrite is value-identical to Spark's own ntile. */
+class RelationalSpec extends SparkSpec {
+
+  test("q28 approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
+      .collect()(0).getLong(0)
+    val exact = Tables.events(spark, sf).select(countDistinct(col("user_id")))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("q10 join-miss rows are null-extended and decode to 'Unknown'") {
+    val miss = SparkEntry.queries("q10_join_left_flagship")(spark, sf)
+      .filter(col("has_order") === false)
+    assert(miss.count() > 0, "fixture must exercise the null-extension path")
+    assert(miss.filter(col("order_status_decoded") =!= "Unknown").count() == 0)
+    assert(miss.filter(col("cust_key").isNotNull).count() == 0)
+    assert(miss.filter(col("order_ymd").isNotNull).count() == 0)
+  }
+
+  test("q02 out-of-range substring is empty -> NULL via nullif (A9/A13)") {
+    val r = SparkEntry.queries("q02_scan_cast_null")(spark, sf)
+    assert(r.filter(col("empty_is_null").isNotNull).count() == 0)
+    // text->BIGINT round-trip is lossless
+    assert(r.filter(col("key_from_text") =!= col("o_orderkey")).count() == 0)
+  }
+
+  test("q35 two-pass ntile/percent_rank matches Spark's built-in window") {
+    val mine = SparkEntry.queries("q35_win_ntile")(spark, sf)
+      .select("c_custkey", "quartile", "pr_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val builtin = Tables.customer(spark, sf).select(
+      col("c_custkey"),
+      ntile(4).over(w).cast(LongType),
+      floor(percent_rank().over(w) * 1000000).cast(LongType)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(mine.sameElements(builtin))
+  }
+
+  test("q20 DQ gate reports ok=1 and n matching the flagship rowcount") {
+    val r = SparkEntry.queries("q20_agg_dq_rowcount")(spark, sf).collect()(0)
+    assert(r.getInt(0) == 1)
+    assert(r.getLong(1) ==
+      SparkEntry.queries("q10_join_left_flagship")(spark, sf).count())
+  }
+}

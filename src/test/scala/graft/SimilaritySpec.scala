@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup + similarity behavior the oracle can't check: idempotence, LSH
+  * recall vs the exact pair set, and cosine self-similarity. */
+class SimilaritySpec extends SparkSpec {
+
+  test("q60 exact dedup is idempotent and collapses true duplicates") {
+    import spark.implicits._
+    val dup = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val once = dup.groupBy($"text")
+      .agg(min($"doc_id").as("survivor"), count(lit(1)).as("n_copies"))
+    val rows = once.orderBy($"survivor").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a b c", 1L, 3L), ("x y z", 3L, 1L)))
+    // dedup of the dedup result changes nothing
+    val twice = once.groupBy($"text")
+      .agg(min($"survivor").as("survivor"), count(lit(1)).as("n"))
+    assert(twice.filter($"n" =!= 1).count() == 0)
+  }
+
+  test("q61 exact pairs all meet the threshold and are canonical (i < j)") {
+    val pairs = SparkEntry.queries("q61_dedup_near")(spark, sf)
+    assert(pairs.count() > 0, "fixture must contain near-duplicates")
+    assert(pairs.filter(col("jac") < 0.5).count() == 0)
+    assert(pairs.filter(col("i") >= col("j")).count() == 0)
+  }
+
+  test("q65 LSH join recall >= 0.8 vs q61 exact pairs, zero false positives") {
+    val exact = SparkEntry.queries("q61_dedup_near")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("q65_sim_lsh_join")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH output is exact-verified: no false positives")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall (${lsh.size}/${exact.size})")
+  }
+
+  test("q64 cosine: self-similarity is ~1 and tops the ranking") {
+    val top = SparkEntry.queries("q64_sim_topk")(spark, sf).collect()
+    assert(top.head.getLong(0) == 0L, "query vector must match itself first")
+    assert(top.head.getLong(1) >= 999999L, "cos(v,v) ~ 1.0")
+    val micros = top.map(_.getLong(1)).toSeq
+    assert(micros == micros.sorted.reverse, "descending similarity order")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming state semantics only observable across micro-batches (q73/q74):
+  * watermark-driven late-data drop and stateful dedup. MemoryStream lets us
+  * control batch boundaries; the memory-sink table is the observed output. */
+class StreamSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("q73 semantics: watermark drops late events and finalizes windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    val agg = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"w.start", "HH:mm").as("ws"), $"k", $"n")
+    val q = agg.writeStream.format("memory").queryName("wm_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events in the 10:00 window
+      ms.addData((ts("2024-01-01 10:00:00"), "a"), (ts("2024-01-01 10:30:00"), "a"))
+      q.processAllAvailable()
+      // batch 2: advance event time -> watermark 12:20 closes the 10:00 window
+      ms.addData((ts("2024-01-01 12:30:00"), "a"))
+      q.processAllAvailable()
+      val closed = spark.table("wm_spec").collect()
+      assert(closed.exists(r => r.getString(0) == "10:00" && r.getLong(2) == 2),
+        s"10:00 window must finalize with n=2, got ${closed.mkString(",")}")
+      // batch 3: a LATE event for the already-closed 10:00 window -> dropped
+      ms.addData((ts("2024-01-01 10:45:00"), "a"))
+      q.processAllAvailable()
+      // batch 4: advance further; the 12:00 window closes WITHOUT the late row
+      ms.addData((ts("2024-01-01 14:30:00"), "a"))
+      q.processAllAvailable()
+      val out = spark.table("wm_spec").collect()
+      assert(out.count(r => r.getString(0) == "10:00") == 1,
+        "late event must not re-emit or amend the closed 10:00 window")
+      assert(out.exists(r => r.getString(0) == "12:00" && r.getLong(2) == 1),
+        "12:00 window must close with only its on-time event")
+    } finally q.stop()
+  }
+
+  test("q74 semantics: dropDuplicatesWithinWatermark keeps one row per id") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp)]
+    val dedup = ms.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("dd_spec")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      // duplicates inside the watermark horizon -> dropped
+      ms.addData((1L, ts("2024-01-01 10:02:00")), (2L, ts("2024-01-01 10:03:00")),
+                 (3L, ts("2024-01-01 10:04:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dd_spec").select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.mkString(",")}")
+    } finally q.stop()
+  }
+}
