@@ -60,7 +60,42 @@ object Dedup extends QueryModule {
         .orderBy(col("survivor"))),
 
     "q61_dedup_near" -> ((s, d) =>
-      jaccardPairs(shingles(s, d), 0.5).orderBy(col("i"), col("j")))
+      jaccardPairs(shingles(s, d), 0.5).orderBy(col("i"), col("j"))),
+
+    "q66_dedup_simhash" -> ((s, d) => {
+      // 60-bit tf-weighted SimHash (bits from md5 nibbles, so the oracle can
+      // recompute it bit-for-bit), banded into 4x15-bit chunks. For hamming
+      // distance <= 3 the pigeonhole principle guarantees two near-dup docs
+      // agree on at least one band, so the band-bucket join is EXACT, not
+      // approximate — and shuffle volume is O(docs x 4), never all-pairs.
+      val tf = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val sh = tf
+        .select(col("doc_id"), col("token"), col("tf"),
+                explode(expr("sequence(0, 59)")).as("b"))
+        .withColumn("bit", expr(
+          "(instr('0123456789abcdef', substr(md5(token), CAST(b DIV 4 AS INT) + 1, 1)) - 1) >> (b % 4) & 1"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(when(col("bit") === 1, col("tf")).otherwise(-col("tf"))).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+          .otherwise(0L)).as("sh"))
+      val bands = sh.select(col("doc_id"), col("sh"),
+        explode(expr("sequence(0, 3)")).as("bi"))
+        .withColumn("bv", expr("shiftright(sh, bi * 15) & 32767"))
+      val cand = bands.select(col("doc_id").as("i"), col("sh").as("shi"),
+                              col("bi"), col("bv"))
+        .join(bands.select(col("doc_id").as("j"), col("sh").as("shj"),
+                           col("bi"), col("bv")), Seq("bi", "bv"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"), col("shi"), col("shj")).distinct()
+      cand
+        .withColumn("hamming", expr("CAST(bit_count(shi ^ shj) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("i"), col("j"), col("hamming"))
+        .orderBy(col("i"), col("j"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -82,6 +117,28 @@ object Dedup extends QueryModule {
         |  CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) AS jac
         |FROM p JOIN sz sa ON p.i = sa.doc_id JOIN sz sb ON p.j = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) >= 0.5
+        |ORDER BY i, j""".stripMargin,
+
+    "q66_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(md5(token), CAST(b // 4 AS INT) + 1, 1)) - 1)
+        |          >> (b % 4)) & 1 = 1 THEN tf ELSE -tf END) AS w
+        |  FROM tok, unnest(range(60)) AS t(b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN w > 0
+        |    THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY i, j""".stripMargin
   )
 }

@@ -92,6 +92,41 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    "q67_sim_ivf" -> ((s, d) => {
+      // IVF-style ANN: the scale path for top-k when the corpus is too big
+      // to brute-force (q64). Coarse quantizer = 16 fixed centroids (the
+      // vectors with vec_id < 16 — deterministic, no training step); every
+      // vector is assigned to its nearest centroid (one broadcast join over
+      // the corpus, O(n x 16) work); the query probes only its 4 nearest
+      // cells and scans ~n/4 of the corpus. All cosines use the sequential-
+      // double fold so the oracle reproduces them bitwise.
+      val e = T.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("qv"))
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("cid").asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"), expr(cosExpr).as("cos"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cid"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // probe cells: centroid-vs-query cosine (centroid plays `embedding`),
+      // top 4 with deterministic tie-break
+      val probe = cents.select(col("cid"), col("qv").as("embedding"))
+        .crossJoin(broadcast(q))
+        .select(col("cid"), expr(cosExpr).as("ccos"))
+        .orderBy(col("ccos").desc, col("cid").asc).limit(4)
+        .select(col("cid"))
+      assigned.join(broadcast(probe), Seq("cid"), "left_semi")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr(cosExpr).as("cos"))
+        .select(col("vec_id"), floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     "q65_sim_lsh_join" -> ((s, d) => {
       // Approximate near-dup join: LSH candidates first, exact Jaccard
       // verification on candidates ONLY (never the all-pairs product).
@@ -104,6 +139,38 @@ object Similarity extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q67_sim_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |asg AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |  FROM (SELECT e.vec_id, c.cid,
+        |      list_sum(list_transform(range(len(e.embedding)),
+        |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(c.cv[k+1] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |    FROM embeddings e, c)),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |      list_sum(list_transform(range(len(c.cv)),
+        |        k -> CAST(c.cv[k+1] AS DOUBLE) * CAST(q.qv[k+1] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+        |    FROM c, q)
+        |  ORDER BY ccos DESC, cid ASC LIMIT 4)
+        |SELECT vec_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+        |FROM (SELECT e.vec_id,
+        |    list_sum(list_transform(range(len(e.embedding)),
+        |      k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(q.qv[k+1] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id IN (SELECT a.vec_id FROM asg a
+        |                     WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)))
+        |ORDER BY cos_micro DESC, vec_id ASC LIMIT 10""".stripMargin,
+
     "q64_sim_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |c AS (SELECT vec_id,

@@ -55,6 +55,63 @@ object TextOps extends QueryModule {
         .filter(col("rn") <= 10)
         .select(col("lang"), col("rn"), col("bigram"), col("n"))
         .orderBy(col("lang"), col("rn"))
+    }),
+
+    "q68_text_lang_id" -> ((s, d) => {
+      // n-gram-profile language ID: per-language profiles = top-5 tokens by
+      // frequency (built from the corpus itself, deterministically);
+      // prediction = language whose profile overlaps the document's token
+      // set most (ties: lang asc), 'und' when nothing overlaps. Profiles
+      // are tiny (langs x 5) -> broadcast; the per-doc work is one
+      // generator + one broadcast join, linear in corpus size.
+      val docs = T.documents(s, d)
+      val docToks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      val profile = docs
+        .select(col("lang").as("plang"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("plang"), col("token")).agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("plang")).orderBy(col("n").desc, col("token").asc)))
+        .filter(col("rn") <= 5).select(col("plang"), col("token"))
+      val wBest = Window.partitionBy(col("doc_id"))
+        .orderBy(col("overlap").desc, col("plang").asc)
+      val scored = docToks.join(broadcast(profile), Seq("token"))
+        .groupBy(col("doc_id"), col("plang"))
+        .agg(count(lit(1)).as("overlap"))
+        .withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("plang").as("pred_lang"), col("overlap"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          col("lang"),
+          (coalesce(col("pred_lang"), lit("und")) === col("lang")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q69_text_quality" -> ((s, d) => {
+      // Quality scoring + fingerprinting: the per-document signals a
+      // training-data pipeline filters on. Pure per-row projection — no
+      // shuffle, scales linearly. Ratios are exact integer micro-units;
+      // fingerprint = md5 (engine-identical).
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), "[^a-z0-9]+"))
+        .withColumn("n_tok", size(col("toks")).cast(LongType))
+        .withColumn("n_stop", size(expr(
+          "filter(toks, t -> array_contains(array('the','a','of','to','and'), t))"))
+          .cast(LongType))
+        .select(
+          col("doc_id"), col("lang"), col("n_chars"), col("n_tok"),
+          size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
+          col("n_stop"),
+          expr("CAST(n_stop * 1000000 DIV n_tok AS BIGINT)").as("stop_ratio_micro"),
+          expr("CAST((n_chars - n_tok + 1) * 1000000 DIV n_tok AS BIGINT)")
+            .as("avg_tok_len_micro"),
+          (col("n_chars") < 100).as("too_short"),
+          md5(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -80,6 +137,47 @@ object TextOps extends QueryModule {
         |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rn
         |      FROM g)
         |SELECT lang, rn, bigram, n FROM r WHERE rn <= 10
-        |ORDER BY lang, rn""".stripMargin
+        |ORDER BY lang, rn""".stripMargin,
+
+    "q68_text_lang_id" ->
+      """WITH dt AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |            FROM documents),
+        |g AS (SELECT lang AS plang, token, count(*) AS n
+        |      FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY lang, token),
+        |pr AS (SELECT plang, token FROM (
+        |         SELECT plang, token, row_number() OVER (
+        |           PARTITION BY plang ORDER BY n DESC, token ASC) AS rn FROM g)
+        |       WHERE rn <= 5),
+        |sc AS (SELECT doc_id, plang, count(*) AS overlap
+        |       FROM dt JOIN pr USING (token) GROUP BY doc_id, plang),
+        |best AS (SELECT doc_id, plang, overlap FROM (
+        |           SELECT doc_id, plang, overlap, row_number() OVER (
+        |             PARTITION BY doc_id ORDER BY overlap DESC, plang ASC) AS rn
+        |           FROM sc)
+        |         WHERE rn = 1)
+        |SELECT d.doc_id, coalesce(b.plang, 'und') AS pred_lang,
+        |  coalesce(b.overlap, 0) AS overlap, d.lang,
+        |  coalesce(b.plang, 'und') = d.lang AS correct
+        |FROM documents d LEFT JOIN best b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q69_text_quality" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, text,
+        |             regexp_split_to_array(text, '[^a-z0-9]+') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, lang, n_chars, text, toks,
+        |        CAST(len(toks) AS BIGINT) AS n_tok,
+        |        CAST(len(list_filter(toks,
+        |          x -> list_contains(['the','a','of','to','and'], x))) AS BIGINT) AS n_stop
+        |      FROM t)
+        |SELECT doc_id, lang, n_chars, n_tok,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  n_stop,
+        |  n_stop * 1000000 // n_tok AS stop_ratio_micro,
+        |  (n_chars - n_tok + 1) * 1000000 // n_tok AS avg_tok_len_micro,
+        |  n_chars < 100 AS too_short,
+        |  md5(text) AS fingerprint
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }
