@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan of each (or a selected)
+  * registered query so the scale-critical properties are observable —
+  * PushedFilters/ReadSchema on the parquet scans (pushdown + pruning),
+  * BroadcastHashJoin on small dims, TakeOrderedAndProject for top-k, and
+  * the absence of unpartitioned Window/Exchange-to-one-partition stages.
+  *
+  * Usage: runMain graft.Plans <sfDir> [queryPrefix ...]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val prefixes = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
+      .foreach { case (name, fn) =>
+        // skip the streaming sinks — their micro-batch plans aren't built
+        // until execution and the batch shapes (q70-q72) cover the operators
+        if (name != "q73_stream_watermark" && name != "q74_stream_dedup_state") {
+          println(s"\n===== $name =====")
+          try fn(spark, sfDir).explain("formatted")
+          catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+        }
+      }
+    spark.stop()
+  }
+}
