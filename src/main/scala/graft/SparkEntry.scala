@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Dedup,
     ops.Similarity,
     ops.StreamOps,
-    ops.Udfs
+    ops.Udfs,
+    ops.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

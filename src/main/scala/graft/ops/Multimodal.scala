@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables => T}
+
+/** Multimodal binary-column surface (q58): image/audio/video payloads are
+  * opaque `binary` columns with typed metadata; the engine's job is the
+  * plumbing — schema, per-row feature extraction, fingerprinting, frame
+  * sampling — not the codec. The fixture set has no media files, so the
+  * payload here is the document's UTF-8 bytes standing in for an opaque
+  * blob; every operation below (byte length, header sniff, content
+  * fingerprint, stride sampling, decode round-trip) is byte-level and
+  * codec-agnostic, which is exactly the part Spark executes at scale.
+  *
+  * The codec boundary is `decodeImageStub`: a clearly-marked deterministic
+  * fake where a real pipeline would put its vectorized decode UDF (the
+  * image/audio libraries are not in this environment). Swapping the stub
+  * for a real decoder changes none of the Spark-side plumbing.
+  *
+  * Scale notes: stateless per-row projection over one scan — no shuffle,
+  * columnar-pruned, linear in corpus size. Binary payloads stay inside the
+  * executors; nothing is collected.
+  */
+object Multimodal extends QueryModule {
+
+  /** STUB — stands in for a real image decoder (not available in this
+    * container). Deterministic fake: derives a (width, height, channels)
+    * triple from the payload's first bytes. A production build replaces
+    * this body with the actual codec call; the signature, null handling,
+    * and the plumbing in q58 stay the same. */
+  private[graft] val decodeImageStub: Array[Byte] => (Int, Int, Int) =
+    bytes =>
+      if (bytes == null || bytes.isEmpty) (0, 0, 0)
+      else ((bytes(0) & 0xff) + 1, (bytes(bytes.length - 1) & 0xff) + 1, 3)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_multimodal_binary" -> ((s, d) =>
+      T.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("hexs", hex(col("payload")))
+        .withColumn("nb", length(col("payload")).cast(LongType))
+        .select(
+          col("doc_id"),
+          lit("text/plain").as("mime"),
+          col("nb").as("n_bytes"),
+          substring(col("hexs"), 1, 16).as("header_hex"),
+          md5(col("payload")).as("fingerprint"),
+          // 4-point stride sample (frame-sampling analog): byte at
+          // 1 + k*(n DIV 4) for k = 0..3, read from the hex rendering
+          expr("concat_ws('', transform(sequence(0, 3), " +
+            "k -> substr(hexs, 2 * k * CAST(nb DIV 4 AS INT) + 1, 2)))")
+            .as("frame_hex"),
+          (decode(col("payload"), "UTF-8") === col("text")).as("decoded_ok"),
+          expr("CAST((instr('0123456789ABCDEF', substr(hexs, 1, 1)) - 1) * 16 " +
+            "+ instr('0123456789ABCDEF', substr(hexs, 2, 1)) - 1 AS BIGINT)")
+            .as("first_byte"))
+        .orderBy(col("doc_id")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q58_multimodal_binary" ->
+      """WITH b AS (SELECT doc_id, text, encode(text) AS payload,
+        |             hex(encode(text)) AS hexs,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |           FROM documents)
+        |SELECT doc_id, 'text/plain' AS mime, nb AS n_bytes,
+        |  substr(hexs, 1, 16) AS header_hex,
+        |  md5(text) AS fingerprint,
+        |  list_aggregate(list_transform(range(4),
+        |    k -> substr(hexs, 2 * k * CAST(nb // 4 AS INT) + 1, 2)),
+        |    'string_agg', '') AS frame_hex,
+        |  decode(payload) = text AS decoded_ok,
+        |  CAST((strpos('0123456789ABCDEF', substr(hexs, 1, 1)) - 1) * 16
+        |    + strpos('0123456789ABCDEF', substr(hexs, 2, 1)) - 1 AS BIGINT) AS first_byte
+        |FROM b ORDER BY doc_id""".stripMargin
+  )
+}
