@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions.CosineSimilarity
+
+/** Engine extension point, installed with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all of the
+  * engine's session builders do). Currently injects one native function:
+  *
+  *  - `graft_cosine(a, b)` — codegen'd cosine similarity over float arrays
+  *    ([[graft.expressions.CosineSimilarity]]), value-identical to the HOF
+  *    formulation mirrored by the DuckDB oracles.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+  }
+}

@@ -31,8 +31,12 @@ object Similarity extends QueryModule {
   private val RowsPerBand = NumHashes / Bands
 
   /** Cosine via sequential double fold — mirrors the oracle's list_sum
-    * exactly (left-to-right IEEE adds), so values are bit-identical. */
-  private val cosExpr =
+    * exactly (left-to-right IEEE adds), so values are bit-identical.
+    * `graft_cosine` ([[graft.expressions.CosineSimilarity]], injected by
+    * GraftExtensions) computes the SAME fold as one codegen'd loop; this
+    * HOF spelling is kept as the executable specification the oracle SQL
+    * mirrors, and SimilaritySpec pins native == HOF bitwise. */
+  private[graft] val cosExpr =
     """aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)
       |/ (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
@@ -85,7 +89,7 @@ object Similarity extends QueryModule {
       val e = T.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       e.crossJoin(broadcast(q))
-        .select(col("vec_id"), expr(cosExpr).as("cos"))
+        .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
         .select(col("vec_id"),
                 floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
         .orderBy(col("cos_micro").desc, col("vec_id").asc)
@@ -107,7 +111,8 @@ object Similarity extends QueryModule {
         .partitionBy(col("vec_id"))
         .orderBy(col("cos").desc, col("cid").asc)
       val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"), expr(cosExpr).as("cos"))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+                expr("graft_cosine(embedding, qv)").as("cos"))
         .withColumn("rn", row_number().over(wAsg))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("embedding"), col("cid"))
@@ -116,12 +121,12 @@ object Similarity extends QueryModule {
       // top 4 with deterministic tie-break
       val probe = cents.select(col("cid"), col("qv").as("embedding"))
         .crossJoin(broadcast(q))
-        .select(col("cid"), expr(cosExpr).as("ccos"))
+        .select(col("cid"), expr("graft_cosine(embedding, qv)").as("ccos"))
         .orderBy(col("ccos").desc, col("cid").asc).limit(4)
         .select(col("cid"))
       assigned.join(broadcast(probe), Seq("cid"), "left_semi")
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), expr(cosExpr).as("cos"))
+        .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
         .select(col("vec_id"), floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
         .orderBy(col("cos_micro").desc, col("vec_id").asc)
         .limit(10)

@@ -38,6 +38,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall (${lsh.size}/${exact.size})")
   }
 
+  test("graft_cosine native expression is bitwise-identical to the HOF fold") {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = e.crossJoin(broadcast(q)).select(
+      col("vec_id"),
+      expr("graft_cosine(embedding, qv)").as("native"),
+      expr(graft.ops.Similarity.cosExpr).as("hof"))
+    // exact double equality, not a tolerance: the codegen'd loop must run
+    // the same IEEE fold the oracle mirrors
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("q64 cosine: self-similarity is ~1 and tops the ranking") {
     val top = SparkEntry.queries("q64_sim_topk")(spark, sf).collect()
     assert(top.head.getLong(0) == 0L, "query vector must match itself first")
