@@ -46,6 +46,34 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom state: flatMapGroupsWithState carries per-user counts across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long)] // (user, value)
+    val counted = ms.toDS()
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          Iterator((user, total))
+      }
+    val q = counted.toDF("user", "cnt").writeStream.format("memory")
+      .queryName("fm_spec").outputMode("append").start()
+    try {
+      ms.addData((1L, 1L), (1L, 2L), (2L, 5L))
+      q.processAllAvailable()
+      ms.addData((1L, 3L))
+      q.processAllAvailable()
+      val out = spark.table("fm_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch 1 emits (1,2),(2,1); batch 2 emits (1,3) — state survived
+      assert(out == Set((1L, 2L), (2L, 1L), (1L, 3L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("q74 semantics: dropDuplicatesWithinWatermark keeps one row per id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
