@@ -21,13 +21,14 @@ import graft.{QueryModule, Tables => T}
   *    verification (Dedup.jaccardPairs logic) on candidates alone. Shuffle
   *    volume is O(docs × B) small fixed-width rows; no all-pairs product.
   *    Probability a pair with Jaccard j collides: 1-(1-j^R)^B (R rows/band)
-  *    — with H=16, B=4, R=4: j=0.5 → 0.23 per band → 0.66 overall; the
+  *    — with H=16, B=8, R=2: j=0.5 → 0.25 per band → 0.90 overall (and
+  *    ~1.0 for the j≥0.9 pairs that dominate real near-dup corpora); the
   *    recall floor is unit-tested against q61's exact pairs.
   */
 object Similarity extends QueryModule {
 
   private val NumHashes = 16
-  private val Bands = 4
+  private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
   /** Cosine via sequential double fold — mirrors the oracle's list_sum
