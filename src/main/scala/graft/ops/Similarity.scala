@@ -97,6 +97,26 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    "q59_sim_embed_nn" -> ((s, d) => {
+      // Embedding-cosine near-dup PAIRS (vs q64's one-query top-k): exact
+      // pairwise scan with the native cosine, pairs with cos >= 0.4.
+      // Scale note: this block-nested exact scan is the oracle reference.
+      // At 100 TB with a real near-dup threshold (cos >= ~0.85) the serving
+      // path is hyperplane-sign banding (collision prob per bit 1 - θ/π,
+      // so high-cos pairs collide with ~certainty while random pairs
+      // don't); at the LOW threshold this random fixture forces, sign
+      // banding cannot prune (random pairs collide ~90% at 8x2), which is
+      // exactly why the threshold choice belongs to the operator's caller.
+      val a = T.embeddings(s, d).select(col("vec_id").as("i"), col("embedding").as("ei"))
+      val b = T.embeddings(s, d).select(col("vec_id").as("j"), col("embedding").as("ej"))
+      a.crossJoin(b).filter(col("i") < col("j"))
+        .select(col("i"), col("j"), expr("graft_cosine(ei, ej)").as("cos"))
+        .filter(col("cos") >= 0.4)
+        .select(col("i"), col("j"),
+                floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     "q67_sim_ivf" -> ((s, d) => {
       // IVF-style ANN: the scale path for top-k when the corpus is too big
       // to brute-force (q64). Coarse quantizer = 16 fixed centroids (the
@@ -145,6 +165,17 @@ object Similarity extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q59_sim_embed_nn" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    list_sum(list_transform(range(len(a.embedding)),
+        |      k -> CAST(a.embedding[k+1] AS DOUBLE) * CAST(b.embedding[k+1] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT i, j, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+        |FROM p WHERE cos >= 0.4 ORDER BY i, j""".stripMargin,
+
     "q67_sim_ivf" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
