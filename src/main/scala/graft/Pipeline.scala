@@ -51,6 +51,21 @@ object Pipeline {
       col("o_totalprice"),
       date_format(col("o_orderdate"), "yyyyMMdd").as("o_orderdate_ymd"))
       .write.option("header", "true").mode("overwrite").csv(s"$work/dim_csv")
+    // the dim side arrives as a ZIP archive, like the reference's download
+    // (cms_inpatient_download_unzip.py:22-24) — pack the staged CSVs into
+    // one and load through the distributed zip source (A1-A5 chain)
+    val zipDir = Files.createDirectories(java.nio.file.Paths.get(s"$work/dim_zips"))
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(zipDir.resolve("dim.zip")))
+    java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/dim_csv")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.getFileName.toString.endsWith(".csv"))
+      .foreach { p =>
+        zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
+        zos.write(java.nio.file.Files.readAllBytes(p))
+        zos.closeEntry()
+      }
+    zos.close()
 
     // -- 2. load: contract-checked typed CSV scans (raw tables) --
     val claimsSchema = StructType(Seq(
@@ -68,8 +83,9 @@ object Pipeline {
           Seq("l_orderkey", "l_linenumber", "l_shipdate_ymd")),
         claimsSchema.fieldNames.toSeq),
       "raw_claims")
+    Ingest.assertNonEmptyPath(spark, s"$work/dim_zips/dim.zip")
     val dim = Ingest.dqGateNonEmpty(
-      Ingest.readCsv(spark, s"$work/dim_csv", dimSchema)
+      Ingest.readZippedCsv(spark, s"$work/dim_zips", dimSchema)
         .filter(col("o_totalprice") > 150000.0),
       "raw_dim")
 

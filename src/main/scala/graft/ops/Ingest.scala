@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.ZipInputStream
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -68,5 +72,55 @@ object Ingest {
     val n = df.limit(1).count()
     require(n > 0, s"DQ gate '$name' failed: empty result")
     df
+  }
+
+  /** A2/A4: download/extract integrity — fail if the path is missing or
+    * holds zero bytes (the reference's post-download and post-unzip checks,
+    * cms_inpatient_download_unzip.py:38-39, 54-56). */
+  def assertNonEmptyPath(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"integrity check failed: $path does not exist")
+    require(fs.getContentSummary(p).getLength > 0,
+      s"integrity check failed: $path is empty (0 bytes)")
+  }
+
+  /** A3: distributed ZIP source. ZIP is not splittable, so parallelism is
+    * one task per ARCHIVE (the CMS corpus ships as many small zips —
+    * cms_inpatient_download_unzip.py:51-52 unzips one at a time on a
+    * worker; here every archive decompresses concurrently). Each archive is
+    * read whole via the binaryFile source (bounded by archive size, the
+    * same memory contract the reference's extractall has), and every
+    * non-directory entry's text becomes (archive, entry, line) rows. */
+  def readZippedLines(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (archive, bytes) =>
+        val zis = new ZipInputStream(new ByteArrayInputStream(bytes))
+        Iterator.continually(zis.getNextEntry)
+          .takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .flatMap { entry =>
+            // materialize this entry's lines BEFORE the next getNextEntry
+            // advances the shared stream
+            val text = new String(zis.readAllBytes(), StandardCharsets.UTF_8)
+            text.linesIterator.map((archive, entry.getName, _)).toList
+          }.toList
+      }
+      .toDF("archive", "entry", "line")
+  }
+
+  /** A3+A6: header CSVs inside many small zips -> one typed DataFrame.
+    * Non-header lines are parsed with from_csv against the declared schema
+    * (empty field -> NULL, matching COPY/readCsv semantics). */
+  def readZippedCsv(spark: SparkSession, path: String,
+                    schema: StructType): DataFrame = {
+    val header = schema.fieldNames.mkString(",")
+    readZippedLines(spark, path)
+      .filter(col("line") =!= header && length(trim(col("line"))) > 0)
+      .select(from_csv(col("line"), schema, Map.empty[String, String]).as("r"))
+      .select(col("r.*"))
   }
 }

@@ -63,6 +63,45 @@ class IngestSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 1)
   }
 
+  test("assertNonEmptyPath: passes on data, fails on missing/empty (A2/A4)") {
+    Ingest.assertNonEmptyPath(spark, s"$sf/orders.parquet")
+    val missing = intercept[IllegalArgumentException] {
+      Ingest.assertNonEmptyPath(spark, "/tmp/graft_no_such_file_xyz")
+    }
+    assert(missing.getMessage.contains("does not exist"))
+    val empty = Files.createTempFile("graft_empty", ".zip").toString
+    val e = intercept[IllegalArgumentException] {
+      Ingest.assertNonEmptyPath(spark, empty)
+    }
+    assert(e.getMessage.contains("0 bytes"))
+  }
+
+  test("readZippedCsv: many small zips -> one typed DataFrame (A3/A6)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_zips").toFile
+    def zip(name: String, entries: (String, String)*): Unit = {
+      val zos = new ZipOutputStream(
+        new java.io.FileOutputStream(new java.io.File(dir, name)))
+      entries.foreach { case (entry, content) =>
+        zos.putNextEntry(new ZipEntry(entry))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      zos.close()
+    }
+    // the CMS shape: several archives, one header CSV per entry
+    zip("a.zip", "claims_1.csv" -> "id,v,s\n1,10,x\n2,,y\n",
+                 "claims_2.csv" -> "id,v,s\n3,30,z\n")
+    zip("b.zip", "claims_3.csv" -> "id,v,s\n4,40,w\n")
+    val lines = Ingest.readZippedLines(spark, dir.getAbsolutePath)
+    assert(lines.count() == 7, "3 headers + 4 data lines")
+    assert(lines.select("entry").distinct().count() == 3)
+    val df = Ingest.readZippedCsv(spark, dir.getAbsolutePath, schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(rows(1).isNullAt(1), "empty CSV field inside the zip -> NULL")
+  }
+
   test("dqGateNonEmpty throws on empty input (A20, fixed)") {
     val df = Tables.orders(spark, sf)
     assert(Ingest.dqGateNonEmpty(df, "ok").count() > 0)
