@@ -35,12 +35,43 @@ object Multimodal extends QueryModule {
       if (bytes == null || bytes.isEmpty) (0, 0, 0)
       else ((bytes(0) & 0xff) + 1, (bytes(bytes.length - 1) & 0xff) + 1, 3)
 
+  /** Batch-decode plumbing — the Scala analog of a vectorized decode UDF:
+    * mapPartitions hands the (stubbed) codec whole partitions, so a real
+    * decoder amortizes model/codec init once per partition instead of per
+    * row (the per-row UDF trap). Input: (id, payload); output: typed
+    * (id, width, height, channels) metadata. The partitioning, schema, and
+    * batch shape are real; only the codec call is the stub. */
+  def decodeBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init of the (stubbed) codec happens HERE, once
+        val decode = decodeImageStub
+        rows.map { case (id, payload) =>
+          val (w, h, c) = decode(payload)
+          (id, w, h, c)
+        }
+      }
+      .toDF("doc_id", "width", "height", "channels")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q58_multimodal_binary" -> ((s, d) =>
-      T.documents(s, d)
+    "q58_multimodal_binary" -> ((s, d) => {
+      val payloads = T.documents(s, d)
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .withColumn("hexs", hex(col("payload")))
         .withColumn("nb", length(col("payload")).cast(LongType))
+      // the mapPartitions decode path feeds typed metadata back into the
+      // relational flow — and because the stub's fake features are
+      // deterministic byte arithmetic, the oracle recomputes them, so this
+      // whole batched-UDF plumbing is hash-checked, not just unit-tested
+      val meta = decodeBatch(s, payloads)
+        .select(col("doc_id"),
+          col("width").cast(LongType).as("width"),
+          col("height").cast(LongType).as("height"),
+          col("channels").cast(LongType).as("channels"))
+      payloads.join(meta, Seq("doc_id"))
         .select(
           col("doc_id"),
           lit("text/plain").as("mime"),
@@ -55,8 +86,10 @@ object Multimodal extends QueryModule {
           (decode(col("payload"), "UTF-8") === col("text")).as("decoded_ok"),
           expr("CAST((instr('0123456789ABCDEF', substr(hexs, 1, 1)) - 1) * 16 " +
             "+ instr('0123456789ABCDEF', substr(hexs, 2, 1)) - 1 AS BIGINT)")
-            .as("first_byte"))
-        .orderBy(col("doc_id")))
+            .as("first_byte"),
+          col("width"), col("height"), col("channels"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -73,7 +106,12 @@ object Multimodal extends QueryModule {
         |    'string_agg', '') AS frame_hex,
         |  decode(payload) = text AS decoded_ok,
         |  CAST((strpos('0123456789ABCDEF', substr(hexs, 1, 1)) - 1) * 16
-        |    + strpos('0123456789ABCDEF', substr(hexs, 2, 1)) - 1 AS BIGINT) AS first_byte
+        |    + strpos('0123456789ABCDEF', substr(hexs, 2, 1)) - 1 AS BIGINT) AS first_byte,
+        |  CAST((strpos('0123456789ABCDEF', substr(hexs, 1, 1)) - 1) * 16
+        |    + strpos('0123456789ABCDEF', substr(hexs, 2, 1)) - 1 + 1 AS BIGINT) AS width,
+        |  CAST((strpos('0123456789ABCDEF', substr(hexs, 2*nb-1, 1)) - 1) * 16
+        |    + strpos('0123456789ABCDEF', substr(hexs, 2*nb, 1)) - 1 + 1 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels
         |FROM b ORDER BY doc_id""".stripMargin
   )
 }

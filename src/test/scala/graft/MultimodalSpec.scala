@@ -15,6 +15,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImageStub(b) == (0x11, 0x100, 3))
   }
 
+  test("decodeBatch: partition-batched decode emits typed metadata for every row") {
+    val payloads = Tables.documents(spark, sf)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val meta = ops.Multimodal.decodeBatch(spark, payloads)
+    assert(meta.count() == payloads.count())
+    assert(meta.columns.toSeq == Seq("doc_id", "width", "height", "channels"))
+    // stub contract: channels always 3, dims derived from payload bytes
+    assert(meta.filter(col("channels") =!= 3).count() == 0)
+    assert(meta.filter(col("width") < 1 || col("width") > 256).count() == 0)
+  }
+
   test("q58: decode round-trip holds and header is a prefix of the payload") {
     val r = SparkEntry.queries("q58_multimodal_binary")(spark, sf)
     assert(r.filter(col("decoded_ok") === false).count() == 0)
