@@ -22,6 +22,7 @@ object LayoutDemo {
       // bucketing pays off in the sort-merge path; at demo scale broadcast
       // would bypass it
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

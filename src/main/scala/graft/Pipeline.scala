@@ -35,6 +35,7 @@ object Pipeline {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -110,7 +111,10 @@ object Pipeline {
     Ingest.stageOverwrite(derived, s"$work/patient_claims_plus")
     val out = Ingest.dqGateNonEmpty(
       spark.read.parquet(s"$work/patient_claims_plus"), "patient_claims_plus")
-    val misses = out.filter(col("order_status_decoded") === "Unknown").count()
+    // true join misses: the dim side is all-NULL on a left-join miss, and
+    // o_custkey is never NULL in a real dim row — unlike the 'Unknown'
+    // decode, which also fires for joined orders with an unmapped status
+    val misses = out.filter(col("cust_key").isNull).count()
     println(s"PIPELINE_ROWS=${out.count()} NULL_EXTENDED=$misses WORK_DIR=$work")
     spark.stop()
   }

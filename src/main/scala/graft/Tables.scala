@@ -25,16 +25,16 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** events.parquet carries an INT64 TIMESTAMP(NANOS) column, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it with
-    * `spark.sql.legacy.parquet.nanosAsLong` so `ts` arrives as a BIGINT of
-    * epoch nanoseconds — queries derive µs timestamps (`tsUs`) or epoch
-    * seconds (`tsSec`) from it with exact integer arithmetic, which also
-    * keeps every derived value bit-deterministic across engines.
+    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) unless the session sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` — every graft session
+    * builder does (Bench/Verify/Pipeline/Smoke/Plans/LayoutDemo/SparkSpec),
+    * so `ts` arrives as a BIGINT of epoch nanoseconds. Queries derive µs
+    * timestamps (`tsUs`) or epoch seconds (`tsSec`) from it with exact
+    * integer arithmetic, which keeps every derived value bit-deterministic
+    * across engines. (Set in the builder, not here: mutating session conf
+    * inside a query closure is hidden global state.)
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-  }
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
 
   /** events.ts (epoch ns, BIGINT) -> TimestampType at µs precision.
     * Exact decimal division, NOT double: epoch-ns values (~1.7e18) exceed

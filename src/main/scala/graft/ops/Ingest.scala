@@ -91,7 +91,9 @@ object Ingest {
     * worker; here every archive decompresses concurrently). Each archive is
     * read whole via the binaryFile source (bounded by archive size, the
     * same memory contract the reference's extractall has), and every
-    * non-directory entry's text becomes (archive, entry, line) rows. */
+    * non-directory entry's text becomes (archive, entry, line_no, line)
+    * rows — line_no is 0-based within its entry, so header-skip downstream
+    * is positional, never value-matching. */
   def readZippedLines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
@@ -106,21 +108,24 @@ object Ingest {
             // materialize this entry's lines BEFORE the next getNextEntry
             // advances the shared stream
             val text = new String(zis.readAllBytes(), StandardCharsets.UTF_8)
-            text.linesIterator.map((archive, entry.getName, _)).toList
+            text.linesIterator.zipWithIndex
+              .map { case (l, i) => (archive, entry.getName, i.toLong, l) }
+              .toList
           }.toList
       }
-      .toDF("archive", "entry", "line")
+      .toDF("archive", "entry", "line_no", "line")
   }
 
   /** A3+A6: header CSVs inside many small zips -> one typed DataFrame.
-    * Non-header lines are parsed with from_csv against the declared schema
-    * (empty field -> NULL, matching COPY/readCsv semantics). */
+    * Exactly the FIRST line of each entry is dropped as the header (a data
+    * row that happens to equal the header string survives); remaining lines
+    * are parsed with from_csv against the declared schema (empty field ->
+    * NULL, matching COPY/readCsv semantics). Limitation: line-based split,
+    * so quoted fields must not embed newlines — the CMS CSVs don't. */
   def readZippedCsv(spark: SparkSession, path: String,
-                    schema: StructType): DataFrame = {
-    val header = schema.fieldNames.mkString(",")
+                    schema: StructType): DataFrame =
     readZippedLines(spark, path)
-      .filter(col("line") =!= header && length(trim(col("line"))) > 0)
+      .filter(col("line_no") > 0 && length(trim(col("line"))) > 0)
       .select(from_csv(col("line"), schema, Map.empty[String, String]).as("r"))
       .select(col("r.*"))
-  }
 }

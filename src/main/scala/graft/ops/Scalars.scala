@@ -76,7 +76,11 @@ object Scalars extends QueryModule {
         // round-half-up to whole currency units, in exact integer space
         expr("CAST((abs(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) + 50) DIV 100 AS BIGINT)")
           .as("abs_round_units"),
-        floor(log(abs(cents) + 1) * 1000000).cast(LongType).as("ln_micro"),
+        // integer log2 via binary-string length: pure integer/string ops,
+        // identical in both engines by construction — unlike ln(), where
+        // Java Math.log vs libm may differ by 1 ulp and flip a floor()
+        // boundary (neither is guaranteed correctly rounded)
+        (length(bin(abs(cents) + 1)) - 1).cast(LongType).as("ilog2"),
         pow(cents % 10, 3).cast(LongType).as("digit_cubed"))
         .orderBy(col("c_custkey"))
     }),
@@ -182,7 +186,7 @@ object Scalars extends QueryModule {
         |  CAST(c_acctbal * c_acctbal AS DOUBLE) AS bal_sq,
         |  cents % 97 AS mod97,
         |  (abs(cents) + 50) // 100 AS abs_round_units,
-        |  CAST(floor(ln(abs(cents) + 1) * 1000000) AS BIGINT) AS ln_micro,
+        |  CAST(length(bin(abs(cents) + 1)) - 1 AS BIGINT) AS ilog2,
         |  CAST(power(cents % 10, 3) AS BIGINT) AS digit_cubed
         |FROM c ORDER BY c_custkey""".stripMargin,
 

@@ -76,7 +76,7 @@ object StreamOps extends QueryModule {
       // are emitted — the late-data-drop contract; cross-batch late drops
       // are exercised in StreamSpec via MemoryStream. No SQL oracle
       // (streaming runtime) — the driver records a rows-only check.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // (nanosAsLong comes from the session builder — see Tables.events.)
       val sch = s.read.parquet(s"$d/events.parquet").schema
       // file stream source lists a DIRECTORY; select just the events table
       val src = s.readStream.schema(sch)
@@ -101,7 +101,6 @@ object StreamOps extends QueryModule {
       // is dropped once the watermark passes, keeping memory bounded on an
       // unbounded stream. Fixture event_ids are unique, so the output is
       // the full stream; duplicate-drop behavior is pinned in StreamSpec.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = s.read.parquet(s"$d/events.parquet").schema
       val src = s.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)

@@ -102,6 +102,23 @@ class IngestSpec extends SparkSpec {
     assert(rows(1).isNullAt(1), "empty CSV field inside the zip -> NULL")
   }
 
+  test("readZippedCsv skips only the first line per entry, not header-lookalikes") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val dir = Files.createTempDirectory("graft_zips_hdr").toFile
+    val zos = new ZipOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "h.zip")))
+    // data row "s" coincides with the header string — it must SURVIVE
+    zos.putNextEntry(new ZipEntry("t.csv"))
+    zos.write("s\ns\nx\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val one = StructType(Seq(StructField("s", StringType)))
+    val vals = Ingest.readZippedCsv(spark, dir.getAbsolutePath, one)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(vals == Seq("s", "x"),
+      "a data row equal to the header must not be dropped")
+  }
+
   test("dqGateNonEmpty throws on empty input (A20, fixed)") {
     val df = Tables.orders(spark, sf)
     assert(Ingest.dqGateNonEmpty(df, "ok").count() > 0)
