@@ -6,30 +6,40 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native codegen'd cosine similarity over two ArrayType(FloatType) columns.
+/** Native codegen'd cosine similarity over two ARRAY<FLOAT> or two
+  * ARRAY<DOUBLE> columns (both arguments the same element type).
   *
   * Value-identical to the higher-order-function formulation used by the
   * DuckDB oracles (Similarity.cosExpr): a single sequential left-to-right
   * double fold for the dot product and both norms, then
   * dot / (sqrt(nx) * sqrt(ny)) — every operation IEEE-deterministic, so
-  * swapping this in changes no oracled value. The win over the HOF chain is
-  * execution cost: one fused whole-stage-codegen loop over the unsafe array
-  * data instead of three interpreted ArrayAggregate/ZipWith lambda towers
-  * per row (the briefing's preference order: builtin > native Expression >
-  * UDF). Registered as SQL function `graft_cosine` via
-  * [[graft.GraftExtensions]].
+  * swapping this in changes no oracled value (floats are widened to double
+  * before any arithmetic, exactly like CAST(x AS DOUBLE) in the HOF/oracle
+  * spelling). The win over the HOF chain is execution cost: one fused
+  * whole-stage-codegen loop over the unsafe array data instead of three
+  * interpreted ArrayAggregate/ZipWith lambda towers per row (the briefing's
+  * preference order: builtin > native Expression > UDF). Registered as SQL
+  * function `graft_cosine` via [[graft.GraftExtensions]].
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  /** True when both inputs are ARRAY<FLOAT>; false for ARRAY<DOUBLE>. */
+  private lazy val floatInput: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
+    val ok = Seq(FloatType, DoubleType).exists(et =>
+      Seq(left, right).forall(_.dataType match {
+        case ArrayType(`et`, _) => true
+        case _ => false
+      }))
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_cosine expects two ARRAY<FLOAT> arguments, got " +
+      s"graft_cosine expects two ARRAY<FLOAT> or two ARRAY<DOUBLE> " +
+        s"arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -52,8 +62,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xv = x.getFloat(i).toDouble
-      val yv = y.getFloat(i).toDouble
+      val xv = if (floatInput) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (floatInput) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
       i += 1
     }
@@ -70,6 +80,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val get = if (floatInput) "getFloat" else "getDouble"
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -77,8 +88,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double $xv = (double) $a.getFloat($i);
-         |    final double $yv = (double) $b.getFloat($i);
+         |    final double $xv = (double) $a.$get($i);
+         |    final double $yv = (double) $b.$get($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
          |  if ($nx == 0.0 || $ny == 0.0) {

