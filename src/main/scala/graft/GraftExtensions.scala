@@ -3,30 +3,43 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, SrpSign}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all of the
-  * engine's session builders do). Currently injects one native function:
+  * engine's session builders do). Injects the native functions:
   *
   *  - `graft_cosine(a, b)` — codegen'd cosine similarity over float arrays
   *    ([[graft.expressions.CosineSimilarity]]), value-identical to the HOF
   *    formulation mirrored by the DuckDB oracles.
+  *  - `graft_srp_sign(a)` — 64-bit sign-random-projection LSH signature
+  *    ([[graft.expressions.SrpSign]]), the banded embedding near-dup path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def wrongArgs(name: String, expected: Int, actual: Int): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected.toString,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => CosineSimilarity(a, b)
-        case other => throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> "`graft_cosine`",
-            "expectedNum" -> "2",
-            "actualNum" -> other.size.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
+        case other => wrongArgs("graft_cosine", 2, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_srp_sign"),
+      new ExpressionInfo(classOf[SrpSign].getName, "graft_srp_sign"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => SrpSign(a)
+        case other => wrongArgs("graft_srp_sign", 1, other.size)
       }))
   }
 }

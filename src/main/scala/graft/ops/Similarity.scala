@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables => T}
 
-/** Similarity search (q64 cosine top-k, q65 MinHash-LSH near-dup join) —
-  * SURVEY.md §2-B mandated extension surface.
+/** Similarity search (q64 cosine top-k, q65 MinHash-LSH near-dup join,
+  * q59 exact embedding pairs, q67 IVF ANN, q75 SRP-banded embedding
+  * near-dup) — SURVEY.md §2-B mandated extension surface.
   *
   * Scale notes:
   *  - q64: brute-force cosine of every vector against ONE broadcast query
@@ -31,38 +32,53 @@ object Similarity extends QueryModule {
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
-  /** SRP (sign-random-projection) LSH over embeddings: 64 fixed hyperplanes
-    * → 64 sign bits → 8 bands × 8 bits. Charikar's bound: P[bit agrees] =
-    * 1 − θ/π, so a cos≈0.99 pair agrees per-bit w.p. ~0.95, collides in a
-    * given 8-bit band w.p. 0.95^8≈0.67 and in ≥1 of 8 bands w.p.
-    * 1−0.33^8≈0.9999; a random pair (cos≈0) collides in ~8/256≈3% of
-    * cases — measured ~4% candidate rate on the fixtures, a 26× pruning of
-    * the pair space that grows with corpus size (hash buckets, never an
-    * all-pairs product). */
-  private val SrpPlanes = 64
+  /** SRP (q75) banding geometry: the 64 `graft_srp_sign` bits
+    * ([[graft.expressions.SrpSign]], which owns the fixed hyperplane
+    * matrix) split into 8 bands x 8 bits. Candidate-rate on the fixtures is
+    * MEASURED by SimilaritySpec ("q75 SRP banding prunes ..."), which
+    * asserts < 10% of the all-pairs space (Charikar theory for random
+    * pairs: ~8/256 ~ 3%). */
   private val SrpBands = 8
-  private val SrpBits = SrpPlanes / SrpBands
+  private val SrpBits = 8
 
-  /** splitmix64 — tiny, public-domain PRNG step; gives the hyperplane
-    * components a fixed, seed-derived, replay-stable value (same rule as
-    * the MinHash xxhash64 salts: determinism over true randomness). */
-  private def splitmix64(x: Long): Long = {
-    var z = x + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
+  /** The q75 corpus: fixture embeddings (cast FLOAT->DOUBLE, exact) plus a
+    * deterministically perturbed copy of each vector at vec_id + 10^7.
+    * Every perturbation component is a small integer multiple of 2^-9 —
+    * exactly representable, so Spark and DuckDB compute bit-identical
+    * doubles — giving each planted pair cos ~ 0.998: a true engineered
+    * near-duplicate (random fixture pairs top out at cos ~ 0.51). The same
+    * union is spelled in the q75 oracle SQL. */
+  private[graft] def srpCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val base = e.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+    val pert = e.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+      expr("""transform(embedding, (x, k) ->
+             |  CAST(x AS DOUBLE) + ((vec_id * 64 + k) % 13 - 6) * 0.001953125)"""
+        .stripMargin).as("emb"))
+    base.unionAll(pert)
   }
 
-  /** 64×64 fixed hyperplane matrix, components uniform in [-1, 1). Only the
-    * SIGN of the projection is used, so the component distribution just
-    * needs symmetry around 0. Materialized once as a plan literal — the
-    * signature build is a per-row fold with NO shuffle and no side table. */
-  private[ops] lazy val srpPlanes: Seq[Seq[Double]] =
-    (0 until SrpPlanes).map { r =>
-      (0 until 64).map { k =>
-        ((splitmix64(r.toLong * 64 + k) >>> 11) * math.pow(2, -53)) * 2.0 - 1.0
-      }
+  /** SRP candidate pairs: docs sharing at least one (band, bits) bucket of
+    * their 64-bit sign signature. Same shape as [[lshCandidates]]: shuffle
+    * volume is O(docs x 8) fixed-width rows, candidates grow with bucket
+    * occupancy — never an all-pairs product. (`>>` then `& 255` masks the
+    * arithmetic-shift sign extension of bit 63.) */
+  private[graft] def srpCandidates(corpus: DataFrame): DataFrame = {
+    val sig = corpus.select(col("vec_id"),
+      expr("graft_srp_sign(emb)").as("sig"))
+    val bands = (0 until SrpBands).map { b =>
+      struct(lit(b).as("band"),
+             expr(s"(sig >> ${b * SrpBits}) & 255").as("bits"))
     }
+    val bucketed = sig.select(col("vec_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    bucketed.select(col("vec_id").as("i"), col("band"), col("bits"))
+      .join(bucketed.select(col("vec_id").as("j"), col("band"), col("bits")),
+            Seq("band", "bits"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+  }
 
   /** Cosine via sequential double fold — mirrors the oracle's list_sum
     * exactly (left-to-right IEEE adds), so values are bit-identical.
@@ -133,13 +149,12 @@ object Similarity extends QueryModule {
     "q59_sim_embed_nn" -> ((s, d) => {
       // Embedding-cosine near-dup PAIRS (vs q64's one-query top-k): exact
       // pairwise scan with the native cosine, pairs with cos >= 0.4.
-      // Scale note: this block-nested exact scan is the oracle reference.
-      // At 100 TB with a real near-dup threshold (cos >= ~0.85) the serving
-      // path is hyperplane-sign banding (collision prob per bit 1 - θ/π,
-      // so high-cos pairs collide with ~certainty while random pairs
-      // don't); at the LOW threshold this random fixture forces, sign
-      // banding cannot prune (random pairs collide ~90% at 8x2), which is
-      // exactly why the threshold choice belongs to the operator's caller.
+      // Scale note: this block-nested exact scan is the oracle reference —
+      // q75_sim_srp_join is the shipped 100 TB path (sign-banded
+      // candidates + exact verify at a real near-dup threshold). At the
+      // LOW threshold this random fixture forces, sign banding cannot
+      // prune (a cos ~ 0.4 pair agrees per-bit w.p. only 1 - θ/π ~ 0.63),
+      // which is exactly why the threshold choice belongs to the caller.
       val a = T.embeddings(s, d).select(col("vec_id").as("i"), col("embedding").as("ei"))
       val b = T.embeddings(s, d).select(col("vec_id").as("j"), col("embedding").as("ej"))
       a.crossJoin(b).filter(col("i") < col("j"))
@@ -186,6 +201,27 @@ object Similarity extends QueryModule {
         .limit(10)
     }),
 
+    "q75_sim_srp_join" -> ((s, d) => {
+      // SRP-banded embedding near-dup join — the 100 TB serving path for
+      // what q59 computes exactly. Candidates from 8x8 sign-bit banding,
+      // exact graft_cosine verify at tau=0.85 on candidates ONLY. On the
+      // fixture corpus (planted cos~0.998 pairs, random pairs <= ~0.51)
+      // banding recall is 1.0 — deterministic, since planes and data are
+      // fixed — so the output EQUALS the exact all-pairs result and the
+      // DuckDB oracle hash-checks it end-to-end; the recall + candidate-
+      // rate properties are additionally pinned in SimilaritySpec.
+      val u = srpCorpus(s, d)
+      val cand = srpCandidates(u)
+      cand
+        .join(u.select(col("vec_id").as("i"), col("emb").as("ei")), Seq("i"))
+        .join(u.select(col("vec_id").as("j"), col("emb").as("ej")), Seq("j"))
+        .select(col("i"), col("j"), expr("graft_cosine(ei, ej)").as("cos"))
+        .filter(col("cos") >= 0.85)
+        .select(col("i"), col("j"),
+                floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     "q65_sim_lsh_join" -> ((s, d) => {
       // Approximate near-dup join: LSH candidates first, exact Jaccard
       // verification on candidates ONLY (never the all-pairs product).
@@ -198,6 +234,25 @@ object Similarity extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q75_sim_srp_join" ->
+      """WITH u AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |         list_transform(range(len(embedding)),
+        |           k -> CAST(embedding[k+1] AS DOUBLE)
+        |                + ((vec_id * 64 + k) % 13 - 6) * 0.001953125)
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    list_sum(list_transform(range(len(a.emb)), k -> a.emb[k+1] * b.emb[k+1]))
+        |    / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b.emb, x -> x * x)))) AS cos
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT i, j, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+        |FROM p WHERE cos >= 0.85 ORDER BY i, j""".stripMargin,
+
     "q59_sim_embed_nn" ->
       """WITH p AS (
         |  SELECT a.vec_id AS i, b.vec_id AS j,

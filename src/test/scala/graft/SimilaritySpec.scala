@@ -38,6 +38,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall=$recall (${lsh.size}/${exact.size})")
   }
 
+  test("q75 SRP banding: recall 1.0 vs exact pairs, zero false positives") {
+    import graft.ops.Similarity
+    // exact all-pairs >= 0.85 over the SAME corpus q75 runs on (base +
+    // planted cos~0.998 perturbed copies) — the q59-style reference,
+    // restricted to q75's threshold
+    val u = Similarity.srpCorpus(spark, sf)
+    val exact = u.select(col("vec_id").as("i"), col("emb").as("ei"))
+      .crossJoin(u.select(col("vec_id").as("j"), col("emb").as("ej")))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), expr("graft_cosine(ei, ej)").as("cos"))
+      .filter(col("cos") >= 0.85)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val srp = SparkEntry.queries("q75_sim_srp_join")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus must contain engineered near-dup pairs")
+    assert(srp.subsetOf(exact), "SRP output is exact-verified: no false positives")
+    assert(srp == exact,
+      s"banding recall must be 1.0 here (fixed planes + fixed data => " +
+        s"deterministic), got ${srp.size}/${exact.size}")
+  }
+
+  test("q75 SRP banding prunes: candidate rate well below the pair space") {
+    import graft.ops.Similarity
+    val u = Similarity.srpCorpus(spark, sf)
+    val n = u.count().toDouble
+    val cand = Similarity.srpCandidates(u).count().toDouble
+    val rate = cand / (n * (n - 1) / 2.0)
+    // Charikar theory for random pairs at 8 bands x 8 bits: ~8/256 ~ 3%;
+    // the Similarity.scala banding comment cites this measured bound
+    assert(rate < 0.10, s"candidate rate $rate (${cand.toLong} pairs, n=${n.toLong})")
+  }
+
   test("graft_cosine native expression is bitwise-identical to the HOF fold") {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     val e = Tables.embeddings(spark, sf)
