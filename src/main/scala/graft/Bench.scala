@@ -24,23 +24,40 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // A failed query must never masquerade as a fast one: its wall time is
-    // recorded NEGATIVE and the error message lands in "errors".
+    // Median-of-3 per query: the sandbox shows one-off 5-20 s JIT/GC/
+    // contention stalls that land on whichever query is running — a single
+    // shot moves the round total by +-50% and makes cross-round comparison
+    // unreadable. The median discards one arbitrary stall per query; "min"
+    // is kept as the contention-free floor. A failed query must never
+    // masquerade as a fast one: its wall time is recorded NEGATIVE and the
+    // error message lands in "errors" (failure short-circuits the retries —
+    // a deterministic error would just fail 3x slower).
+    val Runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) sec else -sec, err)
+      val timings = scala.collection.mutable.ArrayBuffer.empty[(Double, Option[String])]
+      while (timings.size < Runs && timings.forall(_._2.isEmpty)) {
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}") }
+        timings += (((System.nanoTime() - t0) / 1e9, err))
+      }
+      timings.collectFirst { case (_, Some(m)) => m } match {
+        case Some(m) => (name, -timings.last._1, timings.last._1, Some(m))
+        case None =>
+          val secs = timings.map(_._1).sorted
+          (name, secs(secs.size / 2), secs.head, None)
+      }
     }
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    val qs = results.map { case (k, med, _, _) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+    val mins = results.map { case (k, _, mn, _) => jstr(k) + ":" + mn }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"min":$mins,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
