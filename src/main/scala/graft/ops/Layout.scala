@@ -4,6 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
 /** Physical-layout operators for the two shuffle problems that dominate at
   * 100 TB: repeated joins on the same key (solved by bucketing) and skewed
   * join keys (solved by salting; AQE's skew-join handles the in-flight
@@ -28,6 +32,37 @@ object Layout {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Stage a table hive-partitioned by DAY, derived from a date column in
+    * the CMS `yyyyMMdd` convention (the reference keeps claim/discharge
+    * dates as exactly this TEXT shape,
+    * /root/reference/dags/patient_claims_plus_postgres.py:80-81). Any
+    * subsequent equality/range predicate on `dt` becomes partition pruning:
+    * the scan lists and reads ONLY the matching day directories
+    * (`PartitionFilters` in the plan; observed via `numPartitions` in
+    * LayoutSpec) — at 100 TB, the difference between reading one day and
+    * reading three years. */
+  def stagePartitioned(df: DataFrame, table: String, dateCol: String): Unit =
+    stagePartitionedBy(
+      df.withColumn("dt", date_format(col(dateCol), "yyyyMMdd")), table, "dt")
+
+  /** Stage a table hive-partitioned by an existing column (e.g. IVF cell id
+    * `cid` for the q67 serving layout): reads filtered on `partCol` prune
+    * to the matching directories. */
+  def stagePartitionedBy(df: DataFrame, table: String, partCol: String): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .partitionBy(partCol)
+      .saveAsTable(table)
+
+  /** The parquet scans actually executed by `plan` (descending into the
+    * adaptively re-planned tree when AQE wrapped it) — LayoutSpec reads
+    * their `PartitionFilters` metadata and post-execution `numPartitions`
+    * metric to PROVE pruning rather than assert it in prose. */
+  def fileScans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+    case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+    case p => p.collect { case f: FileSourceScanExec => f }
+  }
 
   /** Deterministic salted equi-join for skewed keys. The left (large,
     * skewed) side gets a salt derived from a row-level column — never

@@ -134,6 +134,38 @@ object Similarity extends QueryModule {
       .select(col("i"), col("j"), col("inter"), col("uni"), col("jac"))
   }
 
+  /** q67's 16 fixed centroids (the vectors with vec_id < 16 —
+    * deterministic, no training step), as (cid, qv). */
+  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("qv"))
+
+  /** q67's coarse-quantizer assignment: every vector labeled with its
+    * nearest centroid — one broadcast join over the corpus, O(n x 16)
+    * work, ties broken by centroid id. This is the table the serving
+    * layout persists partitioned by `cid`. */
+  private[graft] def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    T.embeddings(s, d).crossJoin(broadcast(ivfCentroids(s, d)))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+              expr("graft_cosine(embedding, qv)").as("cos"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** The query's 4 nearest cells by centroid-vs-query cosine (centroid
+    * plays `embedding`), deterministic tie-break on cid. */
+  private[graft] def ivfProbeCells(s: SparkSession, d: String,
+                                   q: DataFrame): DataFrame =
+    ivfCentroids(s, d).select(col("cid"), col("qv").as("embedding"))
+      .crossJoin(broadcast(q))
+      .select(col("cid"), expr("graft_cosine(embedding, qv)").as("ccos"))
+      .orderBy(col("ccos").desc, col("cid").asc).limit(4)
+      .select(col("cid"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_sim_topk" -> ((s, d) => {
       val e = T.embeddings(s, d)
@@ -172,28 +204,13 @@ object Similarity extends QueryModule {
       // vector is assigned to its nearest centroid (one broadcast join over
       // the corpus, O(n x 16) work); the query probes only its 4 nearest
       // cells and scans ~n/4 of the corpus. All cosines use the sequential-
-      // double fold so the oracle reproduces them bitwise.
+      // double fold so the oracle reproduces them bitwise. At serving
+      // scale the assignment is persisted cid-partitioned
+      // (Layout.stagePartitionedBy) so the probe PRUNES to the probed
+      // cells' directories — proven in LayoutSpec on the executed plan.
       val e = T.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("qv"))
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("cid").asc)
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-                expr("graft_cosine(embedding, qv)").as("cos"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cid"))
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      // probe cells: centroid-vs-query cosine (centroid plays `embedding`),
-      // top 4 with deterministic tie-break
-      val probe = cents.select(col("cid"), col("qv").as("embedding"))
-        .crossJoin(broadcast(q))
-        .select(col("cid"), expr("graft_cosine(embedding, qv)").as("ccos"))
-        .orderBy(col("ccos").desc, col("cid").asc).limit(4)
-        .select(col("cid"))
-      assigned.join(broadcast(probe), Seq("cid"), "left_semi")
+      ivfAssign(s, d).join(broadcast(ivfProbeCells(s, d, q)), Seq("cid"), "left_semi")
         .crossJoin(broadcast(q))
         .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
         .select(col("vec_id"), floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))

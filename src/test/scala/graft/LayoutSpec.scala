@@ -31,6 +31,79 @@ class LayoutSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("stagePartitioned: a date predicate prunes the scan to one day") {
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= "1995-02-01" && col("l_shipdate") < "1995-05-01")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    Layout.stagePartitioned(li, "graft_lineitem_day", "l_shipdate")
+    val t = spark.table("graft_lineitem_day")
+    val days = t.select("dt").distinct().count()
+    assert(days > 10, s"need many day partitions to make pruning meaningful, got $days")
+    val day = t.select("dt").orderBy("dt").first().get(0)
+    val oneDay = t.filter(col("dt") === lit(day))
+    assert(oneDay.collect().nonEmpty)
+    val scan = Layout.fileScans(oneDay.queryExecution.executedPlan).head
+    assert(scan.metadata("PartitionFilters").contains("dt"),
+      s"predicate must reach the partition layer; metadata: ${scan.metadata}")
+    assert(scan.metrics("numPartitions").value == 1,
+      s"must read exactly 1 of $days day directories, " +
+        s"read ${scan.metrics("numPartitions").value}")
+  }
+
+  test("IVF serving layout: probe reads only the probed cells' partitions") {
+    import graft.ops.Similarity
+    Layout.stagePartitionedBy(
+      Similarity.ivfAssign(spark, sf), "graft_ivf_cells", "cid")
+    val cells = spark.table("graft_ivf_cells")
+    val totalCells = cells.select("cid").distinct().count()
+    val q = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val probed = Similarity.ivfProbeCells(spark, sf, q)
+      .collect().map(_.getLong(0))
+    assert(probed.length == 4 && totalCells > 4,
+      s"${probed.length} probes over $totalCells cells")
+    val served = cells.filter(col("cid").isin(probed: _*))
+    assert(served.collect().nonEmpty)
+    val scan = Layout.fileScans(served.queryExecution.executedPlan).head
+    assert(scan.metadata("PartitionFilters").contains("cid"),
+      s"probe must reach the partition layer; metadata: ${scan.metadata}")
+    assert(scan.metrics("numPartitions").value == 4,
+      s"must read exactly the 4 probed of $totalCells cell directories, " +
+        s"read ${scan.metrics("numPartitions").value}")
+  }
+
+  test("saltedJoin spreads q16's skewed nationkey theta join, result intact") {
+    // SCALE.md names q16 (supplier x customer on nationkey, acctbal
+    // inequality residual) a real skew risk: the equi-part carries the
+    // join, so one hot nation funnels its whole cohort product through one
+    // reducer. Salting must split that cohort without changing the result.
+    val su = Tables.supplier(spark, sf)
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+    val c = Tables.customer(spark, sf)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .withColumnRenamed("c_nationkey", "s_nationkey")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("s_acctbal") > col("c_acctbal"))
+      .select("s_suppkey", "c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // customer is the larger, skew-carrying side: salt it, replicate supplier
+    val plain = canon(c.join(su, Seq("s_nationkey")))
+    val salted = canon(Layout.saltedJoin(c, su, "s_nationkey", "c_custkey", 8))
+    assert(plain.nonEmpty && salted == plain,
+      s"salted theta join must be result-identical (${salted.size}/${plain.size})")
+    // the largest nation cohort really is split across salt buckets (all 8
+    // once the cohort is big enough for every bucket to be hit)
+    val hotRow = c.groupBy("s_nationkey").count()
+      .orderBy(col("count").desc, col("s_nationkey")).first()
+    val (hot, cohort) = (hotRow.get(0), hotRow.getLong(1))
+    val spread = c.filter(col("s_nationkey") === lit(hot))
+      .withColumn("__salt", pmod(xxhash64(col("c_custkey")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(spread > 1, s"hot nation $hot (cohort $cohort) not split: $spread salt")
+    if (cohort >= 64)
+      assert(spread == 8, s"cohort $cohort must hit all 8 salts, got $spread")
+  }
+
   test("saltedJoin: result identical to the plain join, salt really spreads") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
     val c = Tables.customer(spark, sf).select("c_custkey", "c_name")
