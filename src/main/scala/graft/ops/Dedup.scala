@@ -48,6 +48,67 @@ object Dedup extends QueryModule {
       .select(col("i"), col("j"), col("inter"), col("uni"), col("jac"))
   }
 
+  /** 60-bit tf-weighted SimHash signatures, one row per doc, in either of
+    * two plan shapes (value-identical; pinned by SimilaritySpec, shape
+    * timings recorded in SCALE.md via [[graft.BenchShapes]]):
+    *
+    *  - explode (`wide = false`, the shipped q66 path): explode x60 bit
+    *    rows, two narrow hash aggregates. More shuffle rows, but every
+    *    operator stays inside whole-stage codegen.
+    *  - wide (`wide = true`): md5 computed once per (doc, token), then ONE
+    *    aggregate with 60 sum columns. Fewer shuffle rows; risks codegen
+    *    collapse from the 60-expression aggregate (the round-3 measurement
+    *    that picked explode).
+    */
+  private[graft] def simhashSignatures(s: SparkSession, d: String,
+                                       wide: Boolean): DataFrame = {
+    val tf = T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    if (!wide) {
+      tf.select(col("doc_id"), col("token"), col("tf"),
+                explode(expr("sequence(0, 59)")).as("b"))
+        .withColumn("bit", expr(
+          "(instr('0123456789abcdef', substr(md5(token), CAST(b DIV 4 AS INT) + 1, 1)) - 1) >> (b % 4) & 1"))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(when(col("bit") === 1, col("tf")).otherwise(-col("tf"))).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
+          .otherwise(0L)).as("sh"))
+    } else {
+      val ws = (0 until 60).map { b =>
+        sum(when(expr(
+          s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${b % 4} & 1") === 1,
+          col("tf")).otherwise(-col("tf"))).as(s"w$b")
+      }
+      val sig = (0 until 60)
+        .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _)
+      tf.withColumn("h", md5(col("token")))
+        .groupBy(col("doc_id")).agg(ws.head, ws.tail: _*)
+        .select(col("doc_id"), sig.as("sh"))
+    }
+  }
+
+  /** Near-dup pairs (hamming <= 3) from (doc_id, sh) signatures via the
+    * 4x15-bit band join — pigeonhole-exact at that radius. */
+  private[graft] def simhashPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"), col("sh"),
+      explode(expr("sequence(0, 3)")).as("bi"))
+      .withColumn("bv", expr("shiftright(sh, bi * 15) & 32767"))
+    val cand = bands.select(col("doc_id").as("i"), col("sh").as("shi"),
+                            col("bi"), col("bv"))
+      .join(bands.select(col("doc_id").as("j"), col("sh").as("shj"),
+                         col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("shi"), col("shj")).distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(shi ^ shj) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_dedup_exact" -> ((s, d) =>
       // Deterministic-survivor exact dedup (SURVEY §2-B): survivor =
@@ -62,40 +123,18 @@ object Dedup extends QueryModule {
     "q61_dedup_near" -> ((s, d) =>
       jaccardPairs(shingles(s, d), 0.5).orderBy(col("i"), col("j"))),
 
-    "q66_dedup_simhash" -> ((s, d) => {
+    "q66_dedup_simhash" -> ((s, d) =>
       // 60-bit tf-weighted SimHash (bits from md5 nibbles, so the oracle can
       // recompute it bit-for-bit), banded into 4x15-bit chunks. For hamming
       // distance <= 3 the pigeonhole principle guarantees two near-dup docs
       // agree on at least one band, so the band-bucket join is EXACT, not
       // approximate — and shuffle volume is O(docs x 4), never all-pairs.
-      val tf = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val sh = tf
-        .select(col("doc_id"), col("token"), col("tf"),
-                explode(expr("sequence(0, 59)")).as("b"))
-        .withColumn("bit", expr(
-          "(instr('0123456789abcdef', substr(md5(token), CAST(b DIV 4 AS INT) + 1, 1)) - 1) >> (b % 4) & 1"))
-        .groupBy(col("doc_id"), col("b"))
-        .agg(sum(when(col("bit") === 1, col("tf")).otherwise(-col("tf"))).as("w"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
-          .otherwise(0L)).as("sh"))
-      val bands = sh.select(col("doc_id"), col("sh"),
-        explode(expr("sequence(0, 3)")).as("bi"))
-        .withColumn("bv", expr("shiftright(sh, bi * 15) & 32767"))
-      val cand = bands.select(col("doc_id").as("i"), col("sh").as("shi"),
-                              col("bi"), col("bv"))
-        .join(bands.select(col("doc_id").as("j"), col("sh").as("shj"),
-                           col("bi"), col("bv")), Seq("bi", "bv"))
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j"), col("shi"), col("shj")).distinct()
-      cand
-        .withColumn("hamming", expr("CAST(bit_count(shi ^ shj) AS BIGINT)"))
-        .filter(col("hamming") <= 3)
-        .select(col("i"), col("j"), col("hamming"))
-        .orderBy(col("i"), col("j"))
-    })
+      // Shape choice is measured (BenchShapes, SCALE.md): the wide
+      // aggregate beats explode at every fixture SF and the gap GROWS with
+      // data (3.4x at sf0.1) — the x60 row blow-up dominates, codegen
+      // handles the 60-column aggregate fine. SimilaritySpec pins the two
+      // shapes value-identical.
+      simhashPairs(simhashSignatures(s, d, wide = true)))
   )
 
   def oracleSql: Map[String, String] = Map(

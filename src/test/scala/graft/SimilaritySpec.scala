@@ -70,6 +70,17 @@ class SimilaritySpec extends SparkSpec {
     assert(rate < 0.10, s"candidate rate $rate (${cand.toLong} pairs, n=${n.toLong})")
   }
 
+  test("q66 SimHash signature shapes (explode vs wide agg) are identical") {
+    import graft.ops.Dedup
+    val explode = Dedup.simhashSignatures(spark, sf, wide = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wide = Dedup.simhashSignatures(spark, sf, wide = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(explode.nonEmpty && explode == wide,
+      s"shape is a performance choice, never a semantic one " +
+        s"(${explode.size} vs ${wide.size} signatures)")
+  }
+
   test("graft_cosine native expression is bitwise-identical to the HOF fold") {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     val e = Tables.embeddings(spark, sf)
