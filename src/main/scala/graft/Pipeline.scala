@@ -36,6 +36,8 @@ object Pipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_pipeline_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -90,9 +92,19 @@ object Pipeline {
         .filter(col("o_totalprice") > 150000.0),
       "raw_dim")
 
-    // -- 3. derive: the patient_claims_plus analog --
-    val derived = claims
-      .join(dim, claims("l_orderkey") === dim("o_orderkey"), "left")
+    // -- 3. derive: the patient_claims_plus analog, from BUCKETED staging
+    //       (A5/A10 as layout decisions): both sides land pre-hashed+sorted
+    //       on the join key, so the fact-dim join runs with NO Exchange on
+    //       either side even in the sort-merge path a 100 TB fact table
+    //       forces (broadcast disabled to prove exactly that path; the
+    //       plan check below prints it like LayoutDemo) --
+    ops.Layout.stageBucketed(claims, "pipeline_claims_b", "l_orderkey", 8)
+    ops.Layout.stageBucketed(dim, "pipeline_dim_b", "o_orderkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val claimsB = spark.table("pipeline_claims_b")
+    val dimB = spark.table("pipeline_dim_b")
+    val derived = claimsB
+      .join(dimB, claimsB("l_orderkey") === dimB("o_orderkey"), "left")
       .select(
         col("l_orderkey").as("claim_key"),
         col("l_linenumber").as("claim_line"),
@@ -106,6 +118,9 @@ object Pipeline {
         when(col("o_orderstatus") === "O", "Open")
           .when(col("o_orderstatus") === "F", "Finished")
           .otherwise("Unknown").as("order_status_decoded"))
+
+    println("DERIVE_JOIN_HAS_EXCHANGE=" +
+      derived.queryExecution.executedPlan.toString.contains("Exchange"))
 
     // -- 4. publish + final DQ gate --
     Ingest.stageOverwrite(derived, s"$work/patient_claims_plus")
