@@ -57,6 +57,38 @@ object TextOps extends QueryModule {
         .orderBy(col("lang"), col("rn"))
     }),
 
+    "q76_text_rollhash" -> ((s, d) => {
+      // Document fingerprinting by token-level rolling (polynomial) hash —
+      // the winnowing building block (Schleimer/Wilkerson/Aiken, SIGMOD'03
+      // "local algorithms for document fingerprinting"). Per doc:
+      //   fp         = fold(h*31 + v) % P over all token values — the
+      //                whole-content fingerprint (Rabin-Karp style);
+      //   winnow_min = min over the rolling 3-gram window hashes — the
+      //                representative fingerprint winnowing would select.
+      // Token value v = first 16 bits of md5(token) via the q66 nibble
+      // trick, so both engines derive identical ints; every step is exact
+      // int64 arithmetic mod P=1048573 (no overflow: P*31+65535 << 2^63).
+      // Stateless per-row projection — no shuffle, linear at any scale.
+      val tokenVal = (1 to 4)
+        .map(i => s"(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1) " +
+          s"* ${1 << (4 * (4 - i))}")
+        .mkString(" + ")
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("vals", expr(
+          s"transform(toks, t -> CAST($tokenVal AS BIGINT))"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          expr("aggregate(vals, CAST(0 AS BIGINT), (h, v) -> (h * 31 + v) % 1048573)")
+            .as("fp"),
+          expr("""array_min(transform(sequence(0, size(vals) - 3),
+                 |  i -> (vals[i] * 961 + vals[i+1] * 31 + vals[i+2]) % 1048573))"""
+            .stripMargin).as("winnow_min"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q68_text_lang_id" -> ((s, d) => {
       // n-gram-profile language ID: per-language profiles = top-5 tokens by
       // frequency (built from the corpus itself, deterministically);
@@ -116,6 +148,25 @@ object TextOps extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q76_text_rollhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |v AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    list_transform(toks, t -> CAST(
+        |      (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096 +
+        |      (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256 +
+        |      (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16 +
+        |      (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) AS BIGINT)) AS vals
+        |  FROM d)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), vals),
+        |              (h, x) -> (h * 31 + x) % 1048573) AS fp,
+        |  list_min(list_transform(range(len(vals) - 2),
+        |    k -> (vals[k+1] * 961 + vals[k+2] * 31 + vals[k+3]) % 1048573)) AS winnow_min
+        |FROM v ORDER BY doc_id""".stripMargin,
+
     "q57_explode_udtf" ->
       """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
         |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
