@@ -41,6 +41,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("graft_srp_sign: interpreted eval == codegen == Scala reference") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.expressions.SrpSign
+    val vecs: Gen[List[Double]] =
+      Gen.listOfN(8, Gen.chooseNum(-4.0, 4.0).map(x => math.rint(x * 64) / 64))
+    check(Prop.forAll(vecs) { v =>
+      // Scala reference: bit r = sign of the plane-row dot product
+      var ref = 0L
+      for (r <- 0 until 64) {
+        var dot = 0.0
+        for (k <- v.indices) dot += SrpSign.planes(r * SrpSign.MaxDim + k) * v(k)
+        if (dot >= 0.0) ref |= (1L << r)
+      }
+      // interpreted path (nullSafeEval — the codegen-fallback mode)
+      val interp = SrpSign(Literal(ArrayData.toArrayData(v.toArray),
+        ArrayType(DoubleType))).eval().asInstanceOf[Long]
+      // codegen path through a real plan
+      import spark.implicits._
+      val viaPlan = Seq(v.toArray).toDF("emb")
+        .selectExpr("graft_srp_sign(emb)").head().getLong(0)
+      interp == ref && viaPlan == ref
+    })
+  }
+
   test("set algebra: (A except B) disjoint from B, subset of A") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
