@@ -70,6 +70,14 @@ class SimilaritySpec extends SparkSpec {
     assert(rate < 0.10, s"candidate rate $rate (${cand.toLong} pairs, n=${n.toLong})")
   }
 
+  test("q75 plan never materializes a cross product") {
+    val plan = SparkEntry.queries("q75_sim_srp_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"the banded path must stay equi-join only; plan was:\n$plan")
+  }
+
   test("q66 SimHash signature shapes (explode vs wide agg) are identical") {
     import graft.ops.Dedup
     val explode = Dedup.simhashSignatures(spark, sf, wide = false)
