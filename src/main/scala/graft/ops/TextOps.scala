@@ -89,6 +89,21 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    "q77_text_bpe_tokens" -> ((s, d) =>
+      // Token counting two ways (the LLM-pipeline pair): whitespace split
+      // vs a BPE-ish regex (letter runs | digit runs | punctuation runs —
+      // the GPT-2 pre-tokenizer shape reduced to ASCII classes so the Java
+      // and RE2 regex engines agree; no lookahead). Run over the events
+      // JSON props stream, where the two tokenizations genuinely differ
+      // ('{"k": 87}' = 2 whitespace tokens but 6 BPE pieces). Stateless
+      // per-row projection — no shuffle at any scale.
+      T.events(s, d).select(
+        col("event_id"),
+        size(split(col("props"), " ")).cast(LongType).as("n_ws"),
+        size(expr("regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
+          .cast(LongType).as("n_bpe"))
+        .orderBy(col("event_id"))),
+
     "q68_text_lang_id" -> ((s, d) => {
       // n-gram-profile language ID: per-language profiles = top-5 tokens by
       // frequency (built from the corpus itself, deterministically);
@@ -148,6 +163,12 @@ object TextOps extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q77_text_bpe_tokens" ->
+      """SELECT event_id,
+        |  CAST(len(string_split(props, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS n_bpe
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q76_text_rollhash" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
