@@ -78,6 +78,29 @@ class SimilaritySpec extends SparkSpec {
       s"the banded path must stay equi-join only; plan was:\n$plan")
   }
 
+  test("graft_srp_sign: FLOAT input signs identically to its DOUBLE widening") {
+    // fixture embeddings are ARRAY<FLOAT>; q75 runs on the DOUBLE-cast
+    // corpus, so pin that the float fast path (getFloat + widen) produces
+    // the same signature the double path does
+    val e = Tables.embeddings(spark, sf)
+    val both = e.select(
+      expr("graft_srp_sign(embedding)").as("f"),
+      expr("graft_srp_sign(transform(embedding, x -> CAST(x AS DOUBLE)))").as("d"))
+    assert(both.count() > 0)
+    assert(both.filter(col("f") =!= col("d")).count() == 0)
+  }
+
+  test("graft native functions reject bad arity and bad types cleanly") {
+    import org.apache.spark.sql.AnalysisException
+    intercept[AnalysisException] { spark.sql("SELECT graft_cosine(array(1.0))").collect() }
+    intercept[AnalysisException] { spark.sql("SELECT graft_srp_sign(array(1.0), array(2.0))").collect() }
+    intercept[AnalysisException] { spark.sql("SELECT graft_srp_sign('not an array')").collect() }
+    val big = intercept[Exception] {
+      spark.sql(s"SELECT graft_srp_sign(array_repeat(CAST(1.0 AS DOUBLE), 300))").collect()
+    }
+    assert(big.getMessage != null)
+  }
+
   test("q66 SimHash signature shapes (explode vs wide agg) are identical") {
     import graft.ops.Dedup
     val explode = Dedup.simhashSignatures(spark, sf, wide = false)
