@@ -96,6 +96,51 @@ object StreamOps extends QueryModule {
       s.table(name).orderBy(col("win_start"), col("event_type"))
     }),
 
+    "q78_stream_custom_state" -> ((s, d) => {
+      // Custom state via the typed flatMapGroupsWithState API — the
+      // operator for semantics the built-in windows can't express. Here:
+      // per-user running profile (event count + min/max event id), state
+      // updated per micro-batch, one emission per (user, batch). Every
+      // output field is an order-independent Long (count/min/max), so the
+      // AvailableNow drain of the file source — one batch — yields exactly
+      // the batch GROUP BY, which is what the DuckDB oracle runs; the
+      // cross-batch running-state behavior (emissions superseding each
+      // other) is pinned in StreamSpec with MemoryStream.
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val sch = s.read.parquet(s"$d/events.parquet").schema
+      val src = s.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("user_id"), col("event_id")).as[(Long, Long)]
+      val profiled = src.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long)],
+           state: GroupState[(Long, Long, Long)]) =>
+            var (n, mn, mx) =
+              state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+            rows.foreach { case (_, eid) =>
+              n += 1; mn = math.min(mn, eid); mx = math.max(mx, eid)
+            }
+            state.update((n, mn, mx))
+            Iterator((user, n, mn, mx))
+        }
+      val name = "graft_q78_sink"
+      s.catalog.dropTempView(name)
+      val q = profiled.toDF("user_id", "n_events", "min_eid", "max_eid")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // running emissions are monotone per user (count grows, min shrinks,
+      // max grows), so this aggregate selects each user's LATEST state even
+      // if the source ever drains in more than one micro-batch
+      s.table(name).groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+             min(col("min_eid")).as("min_eid"),
+             max(col("max_eid")).as("max_eid"))
+        .orderBy(col("user_id"))
+    }),
+
     "q74_stream_dedup_state" -> ((s, d) => {
       // Stateful streaming dedup on event_id within the watermark — state
       // is dropped once the watermark passes, keeping memory bounded on an
@@ -120,6 +165,11 @@ object StreamOps extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q78_stream_custom_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q70_stream_tumbling" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |w AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, value FROM e)
