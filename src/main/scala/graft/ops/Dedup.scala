@@ -32,7 +32,15 @@ object Dedup extends QueryModule {
         "array_distinct(transform(sequence(0, size(toks)-3), " +
           "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))")).as("sh"))
 
-  /** Exact Jaccard >= tau pairs from a (doc_id, sh) shingle table. */
+  /** Exact Jaccard >= tau pairs from a (doc_id, sh) shingle table.
+    *
+    * Measured and rejected (same discipline as the q66 shape choice): a
+    * df>1 semi-join pruning the self-join input to shared shingles benched
+    * SLOWER at every fixture SF (q61 3.4 -> 4.2 s median at sf0.1) — the
+    * extra O(shingles) aggregation shuffle outweighs the join savings on
+    * this corpus. At true corpus scale the pruning (or q65's banding,
+    * which subsumes it) becomes mandatory; q61 stays the deliberately
+    * simple oracle-exact reference. */
   private[ops] def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val inter = sh.select(col("doc_id").as("i"), col("sh"))
