@@ -44,7 +44,9 @@ object Bench {
         timings += (((System.nanoTime() - t0) / 1e9, err))
       }
       timings.collectFirst { case (_, Some(m)) => m } match {
-        case Some(m) => (name, -timings.last._1, timings.last._1, Some(m))
+        // negative in BOTH the median and min maps — a failed query must
+        // not masquerade as fast in either metric
+        case Some(m) => (name, -timings.last._1, -timings.last._1, Some(m))
         case None =>
           val secs = timings.map(_._1).sorted
           (name, secs(secs.size / 2), secs.head, None)

@@ -30,6 +30,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
     case _ => false
   }
 
+  /** Static may-contain-null-elements bit: when both array types declare
+    * containsNull=false (e.g. a transform over non-null inputs) the per-
+    * element null branch is omitted from the generated loop entirely. */
+  private lazy val elementsNullable: Boolean = Seq(left, right).exists(
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(FloatType, DoubleType).exists(et =>
       Seq(left, right).forall(_.dataType match {
@@ -46,10 +55,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
 
   /** Nullable beyond input nulls: degenerate inputs (length mismatch,
-    * zero-norm vector) yield NULL rather than a truncated fold or 0/0=NaN —
-    * Spark and DuckDB disagree on NaN handling downstream (e.g. Cast
-    * NaN->BIGINT is 0 in Spark, an error in DuckDB), so NULL is the only
-    * cross-engine-safe answer and matches the HOF/zip_with semantics. */
+    * zero-norm vector, a NULL array element) yield NULL rather than a
+    * truncated fold, 0/0=NaN, or an unsafe-array garbage read — Spark and
+    * DuckDB disagree on NaN handling downstream (e.g. Cast NaN->BIGINT is
+    * 0 in Spark, an error in DuckDB), so NULL is the only cross-engine-safe
+    * answer and matches the HOF/zip_with semantics (whose lambda arithmetic
+    * also null-propagates a NULL element to the whole fold). */
   override def nullable: Boolean = true
 
   override def prettyName: String = "graft_cosine"
@@ -62,6 +73,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (elementsNullable && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (floatInput) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (floatInput) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xv * yv; nx += xv * xv; ny += yv * yv
@@ -80,19 +92,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val bad = ctx.freshName("bad")
       val get = if (floatInput) "getFloat" else "getDouble"
+      val nullElemCheck =
+        if (elementsNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+        else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
          |    final double $xv = (double) $a.$get($i);
          |    final double $yv = (double) $b.$get($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
+         |  if ($bad || $nx == 0.0 || $ny == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

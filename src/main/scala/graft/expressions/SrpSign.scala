@@ -38,6 +38,17 @@ case class SrpSign(child: Expression) extends UnaryExpression {
     case _ => false
   }
 
+  /** Static may-contain-null-elements bit (same convention as
+    * [[CosineSimilarity]]): a NULL element yields a NULL signature instead
+    * of an unsafe-array garbage read; when the array type declares
+    * containsNull=false the per-element branch is omitted entirely. */
+  private lazy val elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def nullable: Boolean = child.nullable || elementsNullable
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
       TypeCheckResult.TypeCheckSuccess
@@ -55,6 +66,13 @@ case class SrpSign(child: Expression) extends UnaryExpression {
     val n = x.numElements()
     require(n <= SrpSign.MaxDim,
       s"graft_srp_sign supports dim <= ${SrpSign.MaxDim}, got $n")
+    if (elementsNullable) {
+      var k = 0
+      while (k < n) {
+        if (x.isNullAt(k)) return null
+        k += 1
+      }
+    }
     val planes = SrpSign.planes
     var sig = 0L
     var r = 0
@@ -82,23 +100,33 @@ case class SrpSign(child: Expression) extends UnaryExpression {
       val k = ctx.freshName("k")
       val dot = ctx.freshName("dot")
       val base = ctx.freshName("base")
+      val kn = ctx.freshName("kn")
       val get = if (floatInput) "getFloat" else "getDouble"
+      val nullElemCheck =
+        if (elementsNullable)
+          s"""for (int $kn = 0; $kn < $n; $kn++) {
+             |  if ($a.isNullAt($kn)) { ${ev.isNull} = true; break; }
+             |}""".stripMargin
+        else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n > ${SrpSign.MaxDim}) {
          |  throw new IllegalArgumentException(
          |    "graft_srp_sign supports dim <= ${SrpSign.MaxDim}, got " + $n);
          |}
-         |long $sig = 0L;
-         |for (int $r = 0; $r < 64; $r++) {
-         |  double $dot = 0.0;
-         |  final int $base = $r * ${SrpSign.MaxDim};
-         |  for (int $k = 0; $k < $n; $k++) {
-         |    $dot += $planes[$base + $k] * (double) $a.$get($k);
+         |$nullElemCheck
+         |if (!${ev.isNull}) {
+         |  long $sig = 0L;
+         |  for (int $r = 0; $r < 64; $r++) {
+         |    double $dot = 0.0;
+         |    final int $base = $r * ${SrpSign.MaxDim};
+         |    for (int $k = 0; $k < $n; $k++) {
+         |      $dot += $planes[$base + $k] * (double) $a.$get($k);
+         |    }
+         |    if ($dot >= 0.0) $sig |= (1L << $r);
          |  }
-         |  if ($dot >= 0.0) $sig |= (1L << $r);
+         |  ${ev.value} = $sig;
          |}
-         |${ev.value} = $sig;
        """.stripMargin
     })
 

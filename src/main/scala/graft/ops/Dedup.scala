@@ -36,7 +36,9 @@ object Dedup extends QueryModule {
     *
     * Measured and rejected (same discipline as the q66 shape choice): a
     * df>1 semi-join pruning the self-join input to shared shingles benched
-    * SLOWER at every fixture SF (q61 3.4 -> 4.2 s median at sf0.1) — the
+    * consistently SLOWER at every fixture SF (q61 sf0.1 medians in SCALE.md
+    * §"Measured scaling curve" — the table there is the single source of
+    * truth for these timings; the pruning variant added ~25% on top) — the
     * extra O(shingles) aggregation shuffle outweighs the join savings on
     * this corpus. At true corpus scale the pruning (or q65's banding,
     * which subsumes it) becomes mandatory; q61 stays the deliberately
@@ -60,13 +62,15 @@ object Dedup extends QueryModule {
     * two plan shapes (value-identical; pinned by SimilaritySpec, shape
     * timings recorded in SCALE.md via [[graft.BenchShapes]]):
     *
-    *  - explode (`wide = false`, the shipped q66 path): explode x60 bit
-    *    rows, two narrow hash aggregates. More shuffle rows, but every
-    *    operator stays inside whole-stage codegen.
-    *  - wide (`wide = true`): md5 computed once per (doc, token), then ONE
-    *    aggregate with 60 sum columns. Fewer shuffle rows; risks codegen
-    *    collapse from the 60-expression aggregate (the round-3 measurement
-    *    that picked explode).
+    *  - wide (`wide = true`, the SHIPPED q66 path since round 5): md5
+    *    computed once per (doc, token), then ONE aggregate with 60 sum
+    *    columns. Fewer shuffle rows; wins at every fixture SF and the gap
+    *    grows with data (SCALE.md q66 row).
+    *  - explode (`wide = false`, the kept-alive alternate shape): explode
+    *    x60 bit rows, two narrow hash aggregates. Every operator stays
+    *    inside whole-stage codegen, but the x60 row blow-up dominates as
+    *    the corpus grows (round 3 picked this; round 5's re-measurement
+    *    at sf0.1 inverted the choice).
     */
   private[graft] def simhashSignatures(s: SparkSession, d: String,
                                        wide: Boolean): DataFrame = {

@@ -101,6 +101,24 @@ class SimilaritySpec extends SparkSpec {
     assert(big.getMessage != null)
   }
 
+  test("graft native functions yield NULL on NULL array elements") {
+    // containsNull=true inputs (every parquet-read array is) must never
+    // reach the unsafe getFloat/getDouble element accessors with a null
+    // element — both natives return NULL for the whole row instead
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(1.0 AS DOUBLE), NULL),
+        |                    array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS c1,
+        |       graft_cosine(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |                    array(NULL, CAST(1.0 AS DOUBLE))) AS c2,
+        |       graft_srp_sign(array(CAST(1.0 AS DOUBLE), NULL)) AS s1,
+        |       graft_srp_sign(array(CAST(1.0 AS FLOAT), NULL)) AS s2,
+        |       graft_cosine(array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)),
+        |                    array(CAST(3.0 AS DOUBLE), CAST(4.0 AS DOUBLE))) AS ok
+        |""".stripMargin).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(!r.isNullAt(4), "non-degenerate input stays non-null")
+  }
+
   test("q66 SimHash signature shapes (explode vs wide agg) are identical") {
     import graft.ops.Dedup
     val explode = Dedup.simhashSignatures(spark, sf, wide = false)
