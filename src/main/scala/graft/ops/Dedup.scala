@@ -11,9 +11,11 @@ import graft.{QueryModule, Tables => T}
   * Scale notes:
   *  - q60 is `groupBy(text).agg(min)` — a deterministic-survivor
   *    `dropDuplicates` that shuffles once on the dedup key with map-side
-  *    combine; at 100 TB one would pre-hash the text to a 128-bit
-  *    fingerprint so the shuffle carries 16-byte keys, not document bodies
-  *    (same plan shape).
+  *    combine. Its shuffle carries document bodies, which is fine at
+  *    fixture scale and wrong at 100 TB — q81 is the same plan shape
+  *    keyed on a 128-bit md5 fingerprint instead, so the shuffle carries
+  *    16-byte digests; survivor identity vs q60 is pinned in
+  *    SimilaritySpec.
   *  - q61 is the EXACT pair path: shingle-explode + self-join on shingle +
   *    Jaccard filter. Its cost is bounded by the hottest shingle's document
   *    frequency squared, which is why it is reserved for oracle/fixture
@@ -132,6 +134,24 @@ object Dedup extends QueryModule {
                 length(col("text")).cast(LongType).as("text_len"))
         .orderBy(col("survivor"))),
 
+    "q81_dedup_fingerprint" -> ((s, d) =>
+      // q60's 100 TB twin (SCALE.md exact-dedup row): identical survivor
+      // discipline, but the shuffle key is the md5 fingerprint of the text
+      // — 16 bytes on the wire per row instead of the document body. The
+      // body never reaches an Exchange: length() is folded before the
+      // partial aggregate and only (fp, partial min/count) rows shuffle.
+      // An md5 collision would merge two distinct documents; the birthday
+      // bound at n docs is ~n^2/2^129, i.e. ~1.5e-15 even for a
+      // trillion-document corpus — negligible at any real scale.
+      T.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"),
+                length(col("text")).cast(LongType).as("text_len"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"),
+             min(col("text_len")).as("text_len"))
+        .select(col("survivor"), col("n_copies"), col("text_len"), col("fp"))
+        .orderBy(col("survivor"))),
+
     "q61_dedup_near" -> ((s, d) =>
       jaccardPairs(shingles(s, d), 0.5).orderBy(col("i"), col("j"))),
 
@@ -154,6 +174,11 @@ object Dedup extends QueryModule {
       """SELECT min(doc_id) AS survivor, count(*) AS n_copies,
         |  CAST(length(text) AS BIGINT) AS text_len
         |FROM documents GROUP BY text ORDER BY survivor""".stripMargin,
+
+    "q81_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS survivor, count(*) AS n_copies,
+        |  min(CAST(length(text) AS BIGINT)) AS text_len, md5(text) AS fp
+        |FROM documents GROUP BY md5(text) ORDER BY survivor""".stripMargin,
 
     "q61_dedup_near" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -21,6 +21,26 @@ class SimilaritySpec extends SparkSpec {
     assert(twice.filter($"n" =!= 1).count() == 0)
   }
 
+  test("q81 fingerprint dedup picks exactly q60's survivors, never shuffling bodies") {
+    // same survivor discipline, different shuffle key: (survivor, n_copies,
+    // text_len) sets must be identical — md5 grouping collapses exactly
+    // the same equivalence classes as grouping by the text itself
+    def canon(name: String) = SparkEntry.queries(name)(spark, sf)
+      .select("survivor", "n_copies", "text_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q60 = canon("q60_dedup_exact")
+    val q81 = canon("q81_dedup_fingerprint")
+    assert(q60.nonEmpty && q81 == q60,
+      s"fingerprint dedup must be survivor-identical to q60 (${q81.size}/${q60.size})")
+    // and the plan's exchange carries the 32-hex fingerprint, not text:
+    // no Exchange output references the text column
+    val plan = SparkEntry.queries("q81_dedup_fingerprint")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")),
+      s"document bodies must never shuffle; exchanges:\n${exchanges.mkString("\n")}")
+  }
+
   test("q61 exact pairs all meet the threshold and are canonical (i < j)") {
     val pairs = SparkEntry.queries("q61_dedup_near")(spark, sf)
     assert(pairs.count() > 0, "fixture must contain near-duplicates")
