@@ -123,6 +123,55 @@ object Dedup extends QueryModule {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Connected components over an undirected pair graph ((i, j) rows,
+    * i < j canonical) by iterative min-label propagation: every node starts
+    * labeled with itself; each round every node takes the min of its own
+    * label and its neighbors' labels; at fixpoint a node's label is the
+    * smallest node id in its component. This is the Pregel formulation of
+    * connected components — O(component diameter) rounds, each round one
+    * equi-join plus one map-side-combining aggregate on fixed-width Long
+    * rows, all distributed (the ONLY driver-side value per round is the
+    * one-Long convergence count). Near-dup components are overwhelmingly
+    * star/clique shaped (copies of one source document), so the diameter —
+    * and the round count — is small in practice; for adversarially deep
+    * graphs the same loop admits the large-star/small-star rewrite
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) without changing this contract.
+    *
+    * Each round materializes into an eager `localCheckpoint` — `labels`
+    * appears TWICE in the next round's plan (once as the union branch,
+    * once under the neighbor join), so without plan truncation the logical
+    * tree doubles per round and a diameter-d graph builds a 2^d-node plan
+    * before a single task runs. Checkpointing keeps the plan O(1) per
+    * round and retries replay at most one round. (On a real cluster the
+    * same loop would use reliable `checkpoint` instead — executor-local
+    * blocks don't survive executor loss.) Returns (node, lbl) for every
+    * node that appears in some pair. */
+  private[graft] def resolveComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i"), col("j"))
+      .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+      .persist()
+    var labels = edges.select(col("i").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val fromNeighbors = edges
+        .join(labels.select(col("node").as("i"), col("lbl")), Seq("i"))
+        .select(col("j").as("node"), col("lbl"))
+      val next = labels.unionAll(fromNeighbors)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      // one Long to the driver per round: how many labels still shrank
+      changed = next
+        .join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_dedup_exact" -> ((s, d) =>
       // Deterministic-survivor exact dedup (SURVEY §2-B): survivor =
@@ -154,6 +203,26 @@ object Dedup extends QueryModule {
 
     "q61_dedup_near" -> ((s, d) =>
       jaccardPairs(shingles(s, d), 0.5).orderBy(col("i"), col("j"))),
+
+    "q79_dedup_resolve" -> ((s, d) => {
+      // Pairs -> clusters: the step every near-dup operator (q61/q65/q66/
+      // q75) stops short of. Input is q66's SimHash pair graph; transitive
+      // closure via min-label propagation resolves it into components
+      // (A~B, B~C => {A,B,C} one cluster even if A,C were never paired);
+      // survivor = min doc_id per component. Output covers EVERY document:
+      // singletons survive as their own cluster of 1.
+      val pairs = simhashPairs(simhashSignatures(s, d, wide = true))
+        .select(col("i"), col("j"))
+      val comp = resolveComponents(pairs)
+      val resolved = T.documents(s, d).select(col("doc_id"))
+        .join(comp.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("survivor"))
+      val sizes = resolved.groupBy(col("survivor")).agg(count(lit(1)).as("csize"))
+      resolved.join(sizes, Seq("survivor"))
+        .select(col("doc_id"), col("survivor"), col("csize"),
+                (col("doc_id") === col("survivor")).cast(LongType).as("is_survivor"))
+        .orderBy(col("doc_id"))
+    }),
 
     "q66_dedup_simhash" -> ((s, d) =>
       // 60-bit tf-weighted SimHash (bits from md5 nibbles, so the oracle can
@@ -194,6 +263,46 @@ object Dedup extends QueryModule {
         |FROM p JOIN sz sa ON p.i = sa.doc_id JOIN sz sb ON p.j = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) >= 0.5
         |ORDER BY i, j""".stripMargin,
+
+    // q66's signature CTEs verbatim, then: recursive label-reachability
+    // (DuckDB's UNION-recursion dedups against all produced rows, so the
+    // CTE terminates once every (node, reachable-label) pair exists);
+    // min(lbl) per node is then exactly the component minimum — the same
+    // fixpoint the Spark loop converges to.
+    "q79_dedup_resolve" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY doc_id, token),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(md5(token), CAST(b // 4 AS INT) + 1, 1)) - 1)
+        |          >> (b % 4)) & 1 = 1 THEN tf ELSE -tf END) AS w
+        |  FROM tok, unnest(range(60)) AS t(b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN w > 0
+        |    THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT i, i FROM edges
+        |  UNION
+        |  SELECT e.j, r.lbl FROM reach r JOIN edges e ON e.i = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        |resolved AS (
+        |  SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS survivor
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        |sizes AS (SELECT survivor, count(*) AS csize FROM resolved GROUP BY survivor)
+        |SELECT r.doc_id, r.survivor, s.csize,
+        |  CAST(r.doc_id = r.survivor AS BIGINT) AS is_survivor
+        |FROM resolved r JOIN sizes s ON r.survivor = s.survivor
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q66_dedup_simhash" ->
       """WITH tok AS (

@@ -67,6 +67,49 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q79 components match a union-find reference on random graphs") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // random edge lists over a small node universe: every component shape
+    // (chains that need multiple propagation rounds, cliques, singleton
+    // joins) shows up across cases
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(12, for {
+        a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
+      } yield (math.min(a, b), math.max(a, b)))
+    check(Prop.forAll(edgeGen) { raw =>
+      val es = raw.filter(p => p._1 != p._2).distinct
+      es.isEmpty || {
+        val got = Dedup.resolveComponents(es.toDF("i", "j"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // driver-side union-find reference; union-by-min makes every root
+        // the component minimum, which is exactly q79's survivor contract
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        got == got.keys.map(n => n -> find(n)).toMap
+      }
+    })
+  }
+
+  test("q79 min-label propagation converges past diameter-1: a 10-node chain") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // 1-2-3-...-10 needs ~log/diameter rounds, not one — the fixpoint loop
+    // itself is under test, not just a star graph's single hop
+    val chain = (1L until 10L).map(k => (k, k + 1)).toDF("i", "j")
+    val labels = Dedup.resolveComponents(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == (1L to 10L).map(_ -> 1L).toMap,
+      s"every chain node must resolve to 1, got $labels")
+  }
+
   test("set algebra: (A except B) disjoint from B, subset of A") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),

@@ -48,6 +48,31 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.filter(col("i") >= col("j")).count() == 0)
   }
 
+  test("q79 resolution is transitive, idempotent, and covers every document") {
+    import graft.ops.Dedup
+    val pairs = Dedup.queries("q66_dedup_simhash")(spark, sf)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val res = SparkEntry.queries("q79_dedup_resolve")(spark, sf).collect()
+    val surv = res.map(r => (r.getLong(0), r.getLong(1))).toMap
+    // total: one row per document, survivor <= doc_id
+    assert(res.length == Tables.documents(spark, sf).count())
+    assert(surv.forall { case (d, sv) => sv <= d })
+    // transitive closure: every near-dup pair landed in one cluster
+    assert(pairs.nonEmpty && pairs.forall { case (i, j) => surv(i) == surv(j) },
+      "paired documents must share a survivor")
+    // idempotent: survivors are fixpoints (resolving again changes nothing)
+    assert(surv.values.toSet.forall(sv => surv(sv) == sv),
+      "every survivor must be its own survivor")
+    // cluster sizes partition the corpus: csize is consistent per cluster,
+    // equals the member count, and distinct clusters sum to the doc count
+    val bySurv = res.map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(res.forall(r => bySurv(r.getLong(1)) == r.getLong(2)))
+    assert(bySurv.values.sum == res.length, "clusters must partition the corpus")
+    assert(res.map(_.getLong(0)).groupBy(surv).forall {
+      case (sv, members) => bySurv(sv) == members.length
+    }, "csize must equal the member count of its cluster")
+  }
+
   test("q65 LSH join recall >= 0.8 vs q61 exact pairs, zero false positives") {
     val exact = SparkEntry.queries("q61_dedup_near")(spark, sf)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
