@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Physical-layout operators for the two shuffle problems that dominate at
   * 100 TB: repeated joins on the same key (solved by bucketing) and skewed
@@ -56,12 +56,16 @@ object Layout {
       .saveAsTable(table)
 
   /** The parquet scans actually executed by `plan` (descending into the
-    * adaptively re-planned tree when AQE wrapped it) — LayoutSpec reads
+    * adaptively re-planned tree when AQE wrapped it — including through
+    * materialized `QueryStageExec` stages, whose wrapped plans are NOT in
+    * `children` and so invisible to a plain `collect`) — LayoutSpec reads
     * their `PartitionFilters` metadata and post-execution `numPartitions`
     * metric to PROVE pruning rather than assert it in prose. */
   def fileScans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
     case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
-    case p => p.collect { case f: FileSourceScanExec => f }
+    case q: QueryStageExec => fileScans(q.plan)
+    case f: FileSourceScanExec => Seq(f)
+    case p => p.children.flatMap(fileScans)
   }
 
   /** Deterministic salted equi-join for skewed keys. The left (large,

@@ -156,6 +156,20 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
+  /** The cid-partitioned IVF serving table for a fixture dir, staged once
+    * per (session, sf) via [[Layout.stagePartitionedBy]] — the offline
+    * "build the index" step a real deployment runs once, not per query.
+    * Every q67 probe reads THIS table, so the partition-pruned scan proven
+    * in LayoutSpec is the registered query's own plan, not a sidecar demo.
+    * Synchronized: concurrently-running test suites share the session. */
+  private[graft] def ivfServing(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      val tbl = "graft_ivf_serve_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(tbl))
+        Layout.stagePartitionedBy(ivfAssign(s, d), tbl, "cid")
+      s.table(tbl)
+    }
+
   /** The query's 4 nearest cells by centroid-vs-query cosine (centroid
     * plays `embedding`), deterministic tie-break on cid. */
   private[graft] def ivfProbeCells(s: SparkSession, d: String,
@@ -202,15 +216,17 @@ object Similarity extends QueryModule {
       // to brute-force (q64). Coarse quantizer = 16 fixed centroids (the
       // vectors with vec_id < 16 — deterministic, no training step); every
       // vector is assigned to its nearest centroid (one broadcast join over
-      // the corpus, O(n x 16) work); the query probes only its 4 nearest
-      // cells and scans ~n/4 of the corpus. All cosines use the sequential-
-      // double fold so the oracle reproduces them bitwise. At serving
-      // scale the assignment is persisted cid-partitioned
-      // (Layout.stagePartitionedBy) so the probe PRUNES to the probed
-      // cells' directories — proven in LayoutSpec on the executed plan.
+      // the corpus, O(n x 16) work) and persisted cid-partitioned ONCE per
+      // (session, sf) — the offline index build (ivfServing). The query
+      // resolves its 4 nearest cells (a 4-row driver merge, same class as
+      // a top-k) into LITERAL partition predicates, so the serving scan
+      // statically prunes to 4 of the cell directories — asserted on this
+      // query's own executed plan in LayoutSpec. All cosines use the
+      // sequential-double fold so the oracle reproduces them bitwise.
       val e = T.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      ivfAssign(s, d).join(broadcast(ivfProbeCells(s, d, q)), Seq("cid"), "left_semi")
+      val probed = ivfProbeCells(s, d, q).collect().map(_.getLong(0))
+      ivfServing(s, d).filter(col("cid").isin(probed: _*))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
         .select(col("vec_id"), floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))

@@ -50,26 +50,26 @@ class LayoutSpec extends SparkSpec {
         s"read ${scan.metrics("numPartitions").value}")
   }
 
-  test("IVF serving layout: probe reads only the probed cells' partitions") {
+  test("q67's own executed plan reads only the probed cells' partitions") {
     import graft.ops.Similarity
-    Layout.stagePartitionedBy(
-      Similarity.ivfAssign(spark, sf), "graft_ivf_cells", "cid")
-    val cells = spark.table("graft_ivf_cells")
-    val totalCells = cells.select("cid").distinct().count()
-    val q = Tables.embeddings(spark, sf)
-      .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val probed = Similarity.ivfProbeCells(spark, sf, q)
-      .collect().map(_.getLong(0))
-    assert(probed.length == 4 && totalCells > 4,
-      s"${probed.length} probes over $totalCells cells")
-    val served = cells.filter(col("cid").isin(probed: _*))
-    assert(served.collect().nonEmpty)
-    val scan = Layout.fileScans(served.queryExecution.executedPlan).head
-    assert(scan.metadata("PartitionFilters").contains("cid"),
-      s"probe must reach the partition layer; metadata: ${scan.metadata}")
-    assert(scan.metrics("numPartitions").value == 4,
+    // the REGISTERED query (not a sidecar demo) must serve from the
+    // cid-partitioned layout: its plan contains exactly one scan with a
+    // cid partition filter, and that scan reads exactly the 4 probed of
+    // the staged cell directories
+    val df = SparkEntry.queries("q67_sim_ivf")(spark, sf)
+    val top = df.collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 0L,
+      "query vector must match itself first")
+    val totalCells = Similarity.ivfServing(spark, sf)
+      .select("cid").distinct().count()
+    assert(totalCells > 4, s"need >4 cells for pruning to mean anything, got $totalCells")
+    val scans = Layout.fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata("PartitionFilters").contains("cid"))
+    assert(scans.length == 1,
+      s"exactly one serving scan must carry the cid partition filter, got ${scans.length}")
+    assert(scans.head.metrics("numPartitions").value == 4,
       s"must read exactly the 4 probed of $totalCells cell directories, " +
-        s"read ${scan.metrics("numPartitions").value}")
+        s"read ${scans.head.metrics("numPartitions").value}")
   }
 
   test("saltedJoin spreads q16's skewed nationkey theta join, result intact") {
