@@ -20,27 +20,23 @@ import graft.ops.Ingest
   *               actually asserting).
   *  3. derive  — fact ⟕ dim left join, 20-col aliased projection, CASE
   *               decode with the NULL->'Unknown' path (A16-A19), exactly
-  *               the patient_claims_plus CTAS (:161-189).
+  *               the patient_claims_plus CTAS (:161-189). The join is
+  *               REQUIRED Exchange-free off bucketed staging — the engine
+  *               applies the reference's own A20 lesson (checks that can't
+  *               fail aren't checks) to its own plan claims.
   *  4. publish — overwrite-mode parquet materialization (A10/A19) + final
   *               DQ gate (:194-199).
   *
   * Each stage is idempotent (overwrite staging), so reruns are safe — the
-  * reference's own recovery model. Usage: runMain graft.Pipeline [sfDir].
+  * reference's own recovery model. `run` drives all four stages on any
+  * session (PipelineSpec replays it under `sbt test`); `main` wraps it in
+  * its own session. Usage: runMain graft.Pipeline [sfDir].
   */
 object Pipeline {
-  def main(args: Array[String]): Unit = {
-    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft_pipeline_wh").toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Runs the full replay; returns (published rows, true join-miss rows,
+    * work dir). Restores the session's broadcast threshold on exit. */
+  def run(spark: SparkSession, sf: String): (Long, Long, String) = {
     val work = Files.createTempDirectory("graft_pipeline").toString
 
     // -- 1. stage: land the raw tables as header CSVs, dates as yyyyMMdd --
@@ -94,43 +90,65 @@ object Pipeline {
 
     // -- 3. derive: the patient_claims_plus analog, from BUCKETED staging
     //       (A5/A10 as layout decisions): both sides land pre-hashed+sorted
-    //       on the join key, so the fact-dim join runs with NO Exchange on
-    //       either side even in the sort-merge path a 100 TB fact table
-    //       forces (broadcast disabled to prove exactly that path; the
-    //       plan check below prints it like LayoutDemo) --
+    //       on the join key, so the fact-dim join MUST run with NO Exchange
+    //       on either side even in the sort-merge path a 100 TB fact table
+    //       forces (broadcast disabled to prove exactly that path) --
     ops.Layout.stageBucketed(claims, "pipeline_claims_b", "l_orderkey", 8)
     ops.Layout.stageBucketed(dim, "pipeline_dim_b", "o_orderkey", 8)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val claimsB = spark.table("pipeline_claims_b")
-    val dimB = spark.table("pipeline_dim_b")
-    val derived = claimsB
-      .join(dimB, claimsB("l_orderkey") === dimB("o_orderkey"), "left")
-      .select(
-        col("l_orderkey").as("claim_key"),
-        col("l_linenumber").as("claim_line"),
-        col("l_quantity").as("qty"),
-        col("l_extendedprice").as("ext_price"),
-        col("l_returnflag").as("ret_flag"),
-        col("l_shipdate_ymd").as("ship_ymd"),
-        to_date(col("l_shipdate_ymd"), "yyyyMMdd").as("ship_date"),
-        col("o_custkey").as("cust_key"),
-        col("o_orderdate_ymd").as("order_ymd"),
-        when(col("o_orderstatus") === "O", "Open")
-          .when(col("o_orderstatus") === "F", "Finished")
-          .otherwise("Unknown").as("order_status_decoded"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val claimsB = spark.table("pipeline_claims_b")
+      val dimB = spark.table("pipeline_dim_b")
+      val derived = claimsB
+        .join(dimB, claimsB("l_orderkey") === dimB("o_orderkey"), "left")
+        .select(
+          col("l_orderkey").as("claim_key"),
+          col("l_linenumber").as("claim_line"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("ext_price"),
+          col("l_returnflag").as("ret_flag"),
+          col("l_shipdate_ymd").as("ship_ymd"),
+          to_date(col("l_shipdate_ymd"), "yyyyMMdd").as("ship_date"),
+          col("o_custkey").as("cust_key"),
+          col("o_orderdate_ymd").as("order_ymd"),
+          when(col("o_orderstatus") === "O", "Open")
+            .when(col("o_orderstatus") === "F", "Finished")
+            .otherwise("Unknown").as("order_status_decoded"))
 
-    println("DERIVE_JOIN_HAS_EXCHANGE=" +
-      derived.queryExecution.executedPlan.toString.contains("Exchange"))
+      // the bucketing claim, enforced like a DQ gate: a plan that shuffles
+      // the derive join is a pipeline bug, not a log line
+      val derivePlan = derived.queryExecution.executedPlan.toString
+      require(!derivePlan.contains("Exchange"),
+        s"derive join must be Exchange-free off bucketed staging; plan:\n$derivePlan")
 
-    // -- 4. publish + final DQ gate --
-    Ingest.stageOverwrite(derived, s"$work/patient_claims_plus")
-    val out = Ingest.dqGateNonEmpty(
-      spark.read.parquet(s"$work/patient_claims_plus"), "patient_claims_plus")
-    // true join misses: the dim side is all-NULL on a left-join miss, and
-    // o_custkey is never NULL in a real dim row — unlike the 'Unknown'
-    // decode, which also fires for joined orders with an unmapped status
-    val misses = out.filter(col("cust_key").isNull).count()
-    println(s"PIPELINE_ROWS=${out.count()} NULL_EXTENDED=$misses WORK_DIR=$work")
+      // -- 4. publish + final DQ gate --
+      Ingest.stageOverwrite(derived, s"$work/patient_claims_plus")
+      val out = Ingest.dqGateNonEmpty(
+        spark.read.parquet(s"$work/patient_claims_plus"), "patient_claims_plus")
+      // true join misses: the dim side is all-NULL on a left-join miss, and
+      // o_custkey is never NULL in a real dim row — unlike the 'Unknown'
+      // decode, which also fires for joined orders with an unmapped status
+      val misses = out.filter(col("cust_key").isNull).count()
+      (out.count(), misses, work)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_pipeline_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (rows, misses, work) = run(spark, sf)
+    println(s"PIPELINE_ROWS=$rows NULL_EXTENDED=$misses WORK_DIR=$work")
     spark.stop()
   }
 }

@@ -1,0 +1,20 @@
+package graft
+
+/** The full reference-DAG replay under `sbt test`: every stage (CSV+zip
+  * staging, contract-checked loads, bucketed Exchange-free derive join,
+  * publish + DQ gate) runs for real on the smallest fixture — and the
+  * derive-join plan assertion inside Pipeline.run means a plan that
+  * reintroduces a shuffle FAILS this suite, not just a demo run. */
+class PipelineSpec extends SparkSpec {
+
+  test("pipeline replay publishes, preserves claim cardinality, gates its own plan") {
+    val (rows, misses, _) = Pipeline.run(spark, sf)
+    val claims = Tables.lineitem(spark, sf).count()
+    assert(rows == claims,
+      s"left derive join must preserve claim cardinality ($rows vs $claims)")
+    // the dim side is filtered (o_totalprice > 150k), so some claims must
+    // miss — and a miss shows as NULL cust_key, never a dropped row
+    assert(misses > 0 && misses < rows,
+      s"expected some-but-not-all join misses, got $misses of $rows")
+  }
+}
