@@ -104,6 +104,38 @@ class LayoutSpec extends SparkSpec {
       assert(spread == 8, s"cohort $cohort must hit all 8 salts, got $spread")
   }
 
+  test("AQE skew-join splits an engineered hot key on the executed plan") {
+    // SCALE.md's in-flight complement to saltedJoin: when a key turns out
+    // hot at runtime, AQE must split that reducer WITHOUT a plan rewrite.
+    // Engineer the skew (90% of rows on key 0), drop the skew thresholds
+    // to fixture scale, force the sort-merge path, and observe the
+    // OptimizeSkewedJoin marker on the ADAPTIVE executed plan — the
+    // same mitigation a 100 TB hot key gets, scaled down.
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 100000L).select(
+        when(pmod(col("id"), lit(10)) < 9, lit(0L))
+          .otherwise(pmod(col("id"), lit(50))).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("payload"))
+      val right = spark.range(0, 50L)
+        .select(col("id").as("k"), (col("id") * 2).as("rv"))
+      val joined = left.join(right, Seq("k"))
+      // collect() (not count()) so THIS QueryExecution runs adaptively —
+      // count() would execute a separate aggregate plan and leave
+      // joined.queryExecution un-finalized
+      assert(joined.collect().length == 100000,
+        "every left row matches exactly one right key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed sort-merge join; plan:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("saltedJoin: result identical to the plain join, salt really spreads") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
     val c = Tables.customer(spark, sf).select("c_custkey", "c_name")
