@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve probe beyond the largest driver fixture: builds a
+  * deterministic ×N synthetic corpus from the sf0.1 documents/embeddings
+  * tables (engine-side, seedless — every value is a pure function of the
+  * source row and the copy index) and re-runs the similarity/dedup family
+  * plus the q66 shape duel on it, median-of-3 per query.
+  *
+  * Corpus construction (N copies, copy k):
+  *  - documents: doc_id + k·10⁷; copies k∈{0,1,2} keep the text VERBATIM
+  *    (planting exact-dup cliques of 3 — real corpora are dominated by
+  *    verbatim re-crawls), k≥3 prepend two copy-specific tokens (distinct
+  *    near-miss docs that scale the non-dup bulk).
+  *  - embeddings: vec_id + k·10⁷; k=0 verbatim, k≥1 perturbed by exact
+  *    2⁻⁹-multiple offsets (same arithmetic as Similarity.srpCorpus, varied
+  *    by k) — planting cos≈0.998 near-dup cliques of N for the banded path.
+  *
+  * The declared-exact oracle references (q59 all-pairs cosine, q61 shingle
+  * self-join) are deliberately NOT probed: SCALE.md already records them as
+  * super-linear by design, and each has a shipped banded twin measured
+  * here. This is recorded as a skip, not silence.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=16
+  *        runMain graft.ScaleProbe [multiplier]
+  * Results recorded in SCALE.md's scaling-curve table (×10 column).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val out = Files.createTempDirectory(s"graft_scale_x$mult").toString
+    val docs = Tables.documents(spark, src)
+    val docCopies = (0 until mult).map { k =>
+      val text =
+        if (k <= 2) col("text")
+        else concat_ws(" ", lit(s"cpx$k"), lit(s"cpy${k}z"), col("text"))
+      docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionAll _)
+    docCopies.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    val embCopies = (0 until mult).map { k =>
+      if (k == 0) emb.select(col("vec_id"), col("embedding"), col("label"))
+      else emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        expr(s"""transform(embedding, (x, i) ->
+                |  CAST(x + ((vec_id * 64 + i + $k * 7) % 13 - 6) * 0.001953125f AS FLOAT))"""
+          .stripMargin).as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+    embCopies.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
+
+    def med3(thunk: => Long): (Double, Long) = {
+      val runs = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = thunk
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      (runs.map(_._1).sorted.apply(1), runs.head._2)
+    }
+
+    // warmup: JIT + parquet footers, untimed
+    SparkEntry.queries("q60_dedup_exact")(spark, out).count()
+
+    val family = Seq("q60_dedup_exact", "q81_dedup_fingerprint",
+      "q64_sim_topk", "q65_sim_lsh_join", "q66_dedup_simhash",
+      "q67_sim_ivf", "q75_sim_srp_join", "q79_dedup_resolve")
+    val results = family.map { name =>
+      val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
+      println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")
+      (name, t, n)
+    }
+    val (tExplode, _) = med3(ops.Dedup.simhashPairs(
+      ops.Dedup.simhashSignatures(spark, out, wide = false)).count())
+    val (tWide, _) = med3(ops.Dedup.simhashPairs(
+      ops.Dedup.simhashSignatures(spark, out, wide = true)).count())
+    val qs = results.map { case (k, t, _) => f""""$k":$t%.3f""" }.mkString(",")
+    println(f"""{"scale_probe":$mult,"src":"$src","docs":$nDocs,"vecs":$nVecs,"queries":{$qs},"q66_explode_sec":$tExplode%.3f,"q66_wide_sec":$tWide%.3f,"skipped":"q59,q61 (declared-exact oracle references, super-linear by design; banded twins probed instead)"}""")
+    spark.stop()
+  }
+}

@@ -24,6 +24,15 @@ import graft.{QueryModule, Tables => T}
   */
 object TextOps extends QueryModule {
 
+  /** q82's fixed merge table, highest priority first — the shape of the
+    * first ranks a byte-level BPE learner converges to on English text.
+    * Later ranks build on earlier merges ('t h'→'th', then 'th e'→'the'),
+    * exactly like a learned merges.txt. */
+  private[ops] val BpeMerges: Seq[(String, String)] = Seq(
+    "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
+    "an d" -> "and", "e r" -> "er", "o n" -> "on", "r e" -> "re",
+    "o r" -> "or", "e n" -> "en", "a t" -> "at", "e s" -> "es")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_explode_udtf" -> ((s, d) =>
       // Generator/UDTF surface: one output row per token with its position.
@@ -104,6 +113,34 @@ object TextOps extends QueryModule {
           .cast(LongType).as("n_bpe"))
         .orderBy(col("event_id"))),
 
+    "q82_text_bpe_merge" -> ((s, d) => {
+      // TRUE byte-pair encoding apply (vs q77's pre-tokenization count):
+      // each whitespace token is exploded to space-separated characters,
+      // then a small FIXED merge table is applied in priority order —
+      // exactly the BPE apply step (Sennrich et al., ACL 2016), with each
+      // merge realized as replace(' a b ' -> ' ab '): replace() scans
+      // left-to-right non-overlapping in BOTH engines, which is precisely
+      // BPE's greedy merge semantics, and each merge is exhausted before
+      // the next rank starts. Piece count = spaces + 1 per token, summed.
+      // Stateless per-row projection — no shuffle at any scale; a real
+      // 50k-merge GPT-style table would move the fold into a native
+      // Expression with the same contract.
+      val charSpaced = "trim(regexp_replace(t, '(.)', '$1 '))"
+      val merged = TextOps.BpeMerges.foldLeft(charSpaced) {
+        case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
+      }
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_ws"),
+          expr("aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, p) -> a + p)").as("n_pieces_char"),
+          expr(s"aggregate(transform(toks, t -> CAST(size(split($merged, ' ')) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, p) -> a + p)").as("n_pieces_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q68_text_lang_id" -> ((s, d) => {
       // n-gram-profile language ID: per-language profiles = top-5 tokens by
       // frequency (built from the corpus itself, deterministically);
@@ -162,7 +199,27 @@ object TextOps extends QueryModule {
     })
   )
 
+  /** DuckDB mirror of q82's merge fold: same fixed table, same order, same
+    * replace() left-to-right semantics; only the char-spacing regex syntax
+    * differs (DuckDB needs the 'g' flag and \1 backrefs, Spark replaces
+    * globally by default with $1). */
+  private def bpeMergedDuck: String = {
+    val charSpaced = """trim(regexp_replace(t, '(.)', '\1 ', 'g'))"""
+    BpeMerges.foldLeft(charSpaced) {
+      case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q82_text_bpe_merge" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
+         |  CAST(list_sum(list_transform(toks,
+         |    t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS n_pieces_char,
+         |  CAST(list_sum(list_transform(toks,
+         |    t -> CAST(len(string_split($bpeMergedDuck, ' ')) AS BIGINT))) AS BIGINT) AS n_pieces_bpe
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "q77_text_bpe_tokens" ->
       """SELECT event_id,
         |  CAST(len(string_split(props, ' ')) AS BIGINT) AS n_ws,
