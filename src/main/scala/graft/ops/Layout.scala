@@ -20,18 +20,36 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   */
 object Layout {
 
+  /** Managed-table overwrite staging has a cross-session gap: files from a
+    * previous session outlive the in-memory catalog, and `saveAsTable`
+    * then refuses with LOCATION_ALREADY_EXISTS even in overwrite mode
+    * (the catalog doesn't know the table, so "overwrite" never engages).
+    * Restaging IS the overwrite contract here, so drop the stale location
+    * first when the catalog has no table for it. */
+  private def dropStaleLocation(df: DataFrame, table: String): Unit = {
+    val s = df.sparkSession
+    if (!s.catalog.tableExists(table)) {
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
   /** Stage a table bucketed+sorted on its join key. Two tables staged with
     * the same bucket count join with NO Exchange on either side (verified
     * in LayoutSpec against the executed plan) — at scale this converts
     * every subsequent join/aggregation on `key` from a full shuffle into a
     * per-bucket local merge. */
   def stageBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    dropStaleLocation(df, table)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Stage a table hive-partitioned by DAY, derived from a date column in
     * the CMS `yyyyMMdd` convention (the reference keeps claim/discharge
@@ -49,11 +67,13 @@ object Layout {
   /** Stage a table hive-partitioned by an existing column (e.g. IVF cell id
     * `cid` for the q67 serving layout): reads filtered on `partCol` prune
     * to the matching directories. */
-  def stagePartitionedBy(df: DataFrame, table: String, partCol: String): Unit =
+  def stagePartitionedBy(df: DataFrame, table: String, partCol: String): Unit = {
+    dropStaleLocation(df, table)
     df.write.mode("overwrite")
       .format("parquet")
       .partitionBy(partCol)
       .saveAsTable(table)
+  }
 
   /** The parquet scans actually executed by `plan` (descending into the
     * adaptively re-planned tree when AQE wrapped it — including through
