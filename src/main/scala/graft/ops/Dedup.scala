@@ -75,8 +75,15 @@ object Dedup extends QueryModule {
     *    at sf0.1 inverted the choice).
     */
   private[graft] def simhashSignatures(s: SparkSession, d: String,
-                                       wide: Boolean): DataFrame = {
-    val tf = T.documents(s, d)
+                                       wide: Boolean): DataFrame =
+    simhashSignaturesOf(T.documents(s, d), wide)
+
+  /** Same signature build over any (doc_id, text) frame — q83 runs it on
+    * the quality-filtered, exact-deduped survivor set rather than the raw
+    * corpus. */
+  private[graft] def simhashSignaturesOf(docs: DataFrame,
+                                         wide: Boolean): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     if (!wide) {
@@ -236,6 +243,48 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    "q83_curate_corpus" -> ((s, d) => {
+      // The END-TO-END curation chain a training-data pipeline runs, as one
+      // query: quality gate -> exact dedup (fingerprint survivor) ->
+      // near-dup cluster resolution -> per-document verdict with a reason.
+      // Corpus = documents ∪ verbatim copies of every 25th doc at
+      // doc_id + 10^7 (the fixture has no natural exact dups, so the exact
+      // stage is exercised by planted ones — same engineered-corpus
+      // discipline as q75, spelled identically in the oracle SQL).
+      // Stage order matters and is the cheap-to-expensive order a real
+      // pipeline uses: the quality gate is a stateless projection, exact
+      // dedup one 16-byte-key shuffle, and only the surviving subset pays
+      // the SimHash banding + component resolution.
+      val base = T.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
+      val planted = base.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+                col("text"), col("n_chars"))
+      val corpus = base.unionAll(planted)
+      val flags = corpus.withColumn("q_ok",
+        col("n_chars") >= 100 &&
+          size(split(col("text"), "[^a-z0-9]+")) >= 20)
+      val qual = flags.filter(col("q_ok"))
+        .withColumn("fp", md5(col("text")))
+      val esurv = qual.groupBy(col("fp")).agg(min(col("doc_id")).as("esurv"))
+      val withE = qual.join(esurv, Seq("fp"))
+        .select(col("doc_id"), col("text"), col("esurv"))
+      val exactSurvivors = withE.filter(col("doc_id") === col("esurv"))
+        .select(col("doc_id"), col("text"))
+      val pairs = simhashPairs(simhashSignaturesOf(exactSurvivors, wide = true))
+        .select(col("i"), col("j"))
+      val comp = resolveComponents(pairs)
+      flags.select(col("doc_id"), col("q_ok"))
+        .join(withE.select(col("doc_id"), col("esurv")), Seq("doc_id"), "left")
+        .join(comp.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("q_ok"), "quality")
+            .when(col("doc_id") =!= col("esurv"), "exact_dup")
+            .when(col("lbl").isNotNull && col("lbl") =!= col("doc_id"), "near_dup")
+            .otherwise("kept").as("reason"))
+        .withColumn("kept", (col("reason") === "kept").cast(LongType))
+        .orderBy(col("doc_id"))
+    }),
+
     "q66_dedup_simhash" -> ((s, d) =>
       // 60-bit tf-weighted SimHash (bits from md5 nibbles, so the oracle can
       // recompute it bit-for-bit), banded into 4x15-bit chunks. For hamming
@@ -275,6 +324,60 @@ object Dedup extends QueryModule {
         |FROM p JOIN sz sa ON p.i = sa.doc_id JOIN sz sb ON p.j = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) >= 0.5
         |ORDER BY i, j""".stripMargin,
+
+    // the q79 recursion over the SURVIVOR subset: corpus-with-planted-dups
+    // -> quality flags -> md5-window exact survivors -> q66 signature CTEs
+    // restricted to survivors -> component resolution -> per-doc verdict
+    "q83_curate_corpus" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, n_chars FROM documents WHERE doc_id % 25 = 0),
+        |flags AS (
+        |  SELECT doc_id, text,
+        |    (n_chars >= 100 AND
+        |     len(regexp_split_to_array(text, '[^a-z0-9]+')) >= 20) AS q_ok
+        |  FROM corpus),
+        |es AS (
+        |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS esurv
+        |  FROM flags WHERE q_ok),
+        |surv AS (SELECT doc_id, text FROM es WHERE doc_id = esurv),
+        |tok AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM surv)
+        |  GROUP BY doc_id, token),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN ((strpos('0123456789abcdef',
+        |          substr(md5(token), CAST(b // 4 AS INT) + 1, 1)) - 1)
+        |          >> (b % 4)) & 1 = 1 THEN tf ELSE -tf END) AS w
+        |  FROM tok, unnest(range(60)) AS t(b)
+        |  GROUP BY doc_id, b),
+        |sh AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN w > 0
+        |    THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT i, i FROM edges
+        |  UNION
+        |  SELECT e.j, r.lbl FROM reach r JOIN edges e ON e.i = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        |verdict AS (
+        |  SELECT f.doc_id,
+        |    CASE WHEN NOT f.q_ok THEN 'quality'
+        |         WHEN f.doc_id != e.esurv THEN 'exact_dup'
+        |         WHEN c.lbl IS NOT NULL AND c.lbl != f.doc_id THEN 'near_dup'
+        |         ELSE 'kept' END AS reason
+        |  FROM flags f
+        |  LEFT JOIN es e ON f.doc_id = e.doc_id
+        |  LEFT JOIN comp c ON f.doc_id = c.node)
+        |SELECT doc_id, reason, CAST(reason = 'kept' AS BIGINT) AS kept
+        |FROM verdict ORDER BY doc_id""".stripMargin,
 
     // q66's signature CTEs verbatim, then: recursive label-reachability
     // (DuckDB's UNION-recursion dedups against all produced rows, so the

@@ -73,6 +73,22 @@ class SimilaritySpec extends SparkSpec {
     }, "csize must equal the member count of its cluster")
   }
 
+  test("q83 curation: every stage fires, planted copies never survive") {
+    val res = SparkEntry.queries("q83_curate_corpus")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byReason = res.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(Seq("kept", "quality", "exact_dup", "near_dup")
+      .forall(byReason.getOrElse(_, 0) > 0),
+      s"all four verdicts must occur, got $byReason")
+    // a planted verbatim copy can never be kept: same text means same
+    // quality verdict as its original, and on a quality pass the original's
+    // smaller doc_id wins the fingerprint group
+    assert(res.filter(_._1 >= 10000000L).forall(_._3 == 0L),
+      "planted copies must always be dropped")
+    // kept is exactly the 'kept' reason
+    assert(res.forall(r => (r._3 == 1L) == (r._2 == "kept")))
+  }
+
   test("q65 LSH join recall >= 0.8 vs q61 exact pairs, zero false positives") {
     val exact = SparkEntry.queries("q61_dedup_near")(spark, sf)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
