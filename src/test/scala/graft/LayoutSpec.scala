@@ -104,6 +104,42 @@ class LayoutSpec extends SparkSpec {
       assert(spread == 8, s"cohort $cohort must hit all 8 salts, got $spread")
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes the fact scan at runtime") {
+    // the join-shaped complement to q67's static literal pruning: no
+    // partition literal exists at plan time — the probe side is a FILTERED
+    // DIM joined on the partition column, and Spark must inject a runtime
+    // DynamicPruning subquery so the fact scan still reads only the
+    // matching day directories. This is the 100 TB fact⋈dim shape when the
+    // date predicate lives on the dim (calendar) table.
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= "1995-02-01" && col("l_shipdate") < "1995-05-01")
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    Layout.stagePartitioned(li, "graft_lineitem_dpp", "l_shipdate")
+    val fact = spark.table("graft_lineitem_dpp")
+    val allDays = fact.select("dt").distinct().collect().map(_.getString(0)).sorted
+    assert(allDays.length > 10, s"need many day partitions, got ${allDays.length}")
+    // dim: a calendar table mapping dt -> week tag, materialized as PARQUET
+    // — a local relation would have its filter constant-folded away by
+    // ConvertToLocalRelation before the PartitionPruning rule looks for a
+    // selective dim predicate, and no DynamicPruning would be injected.
+    // The filter selects the first 3 days only; at plan time the fact side
+    // has NO literal filter.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    spark.createDataFrame(
+      allDays.toSeq.zipWithIndex.map { case (d, i) => (d, i / 3) }).toDF("dt", "bucket")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("bucket") === 0)
+    val joined = fact.join(dim.hint("broadcast"), fact("dt") === dim("dt"))
+    assert(joined.collect().nonEmpty)
+    val scan = Layout.fileScans(joined.queryExecution.executedPlan)
+      .find(_.metadata("Location").contains("graft_lineitem_dpp")).get
+    assert(scan.metadata("PartitionFilters").toLowerCase.contains("dynamicpruning"),
+      s"runtime pruning subquery must reach the fact scan; metadata: ${scan.metadata}")
+    assert(scan.metrics("numPartitions").value == 3,
+      s"must read exactly the 3 dim-selected of ${allDays.length} day directories, " +
+        s"read ${scan.metrics("numPartitions").value}")
+  }
+
   test("AQE skew-join splits an engineered hot key on the executed plan") {
     // SCALE.md's in-flight complement to saltedJoin: when a key turns out
     // hot at runtime, AQE must split that reducer WITHOUT a plan rewrite.
