@@ -140,6 +140,36 @@ class LayoutSpec extends SparkSpec {
         s"read ${scan.metrics("numPartitions").value}")
   }
 
+  test("runtime Bloom filter: a selective dim filter reaches the fact scan side") {
+    // the non-partition-column analog of dynamic partition pruning: when
+    // the fact is NOT partitioned on the join key, Spark can still build a
+    // Bloom filter from the filtered dim at runtime and apply it as a
+    // semi-join reduction on the fact side BEFORE the shuffle — at 100 TB
+    // this is what keeps a selective dim join from shuffling the whole
+    // fact table. Observed, not claimed: the executed plan must contain
+    // the bloom_filter_agg creation aggregate and a might_contain filter
+    // on the fact's join key.
+    val tuned = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // fixture tables are far below the 10GB default application-side
+      // threshold — drop it so the rule engages at test scale
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = tuned.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val dim = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"),
+        s"dim side must build the runtime Bloom filter; plan:\n${plan.take(3000)}")
+      assert(plan.contains("might_contain") && plan.contains("l_orderkey"),
+        s"fact side must apply the might_contain reduction; plan:\n${plan.take(3000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("AQE skew-join splits an engineered hot key on the executed plan") {
     // SCALE.md's in-flight complement to saltedJoin: when a key turns out
     // hot at runtime, AQE must split that reducer WITHOUT a plan rewrite.
