@@ -89,10 +89,53 @@ object Multimodal extends QueryModule {
             .as("first_byte"),
           col("width"), col("height"), col("channels"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    "q84_multimodal_resize" -> ((s, d) =>
+      // Resize analog (the mandate's fourth media op, next to q58's
+      // decode/feature-extract/frame-sample): downsample every payload to
+      // a fixed 16-point stride "thumbnail" — the byte-level plumbing of a
+      // media resize (pick every (n/16)-th sample), codec-agnostic like
+      // the rest of the binary surface, plus the thumbnail's own
+      // fingerprint and an exact integer compression ratio. Stateless
+      // per-row projection, columnar-pruned, no shuffle — the shape a real
+      // thumbnailing pass has at 100 TB (the codec call would slot into
+      // decodeBatch's per-partition init, changing none of this plan).
+      T.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("hexs", hex(col("payload")))
+        .withColumn("nb", length(col("payload")).cast(LongType))
+        .withColumn("stride", greatest(expr("nb DIV 16"), lit(1L)))
+        .withColumn("thumb_hex", expr(
+          "concat_ws('', transform(sequence(0, 15), " +
+            "k -> substr(hexs, 2 * CAST(k * stride AS INT) + 1, 2)))"))
+        .select(
+          col("doc_id"),
+          col("nb").as("n_bytes"),
+          col("thumb_hex"),
+          (length(col("thumb_hex")) / 2).cast(LongType).as("thumb_bytes"),
+          md5(col("thumb_hex")).as("thumb_md5"),
+          expr("CAST(CAST(length(thumb_hex) DIV 2 AS BIGINT) * 1000000 DIV nb AS BIGINT)")
+            .as("ratio_micro"))
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q84_multimodal_resize" ->
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS hexs,
+        |             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |           FROM documents),
+        |t AS (SELECT doc_id, nb,
+        |        list_aggregate(list_transform(range(16),
+        |          k -> substr(hexs, 2 * CAST(k * greatest(nb // 16, 1) AS INT) + 1, 2)),
+        |          'string_agg', '') AS thumb_hex
+        |      FROM b)
+        |SELECT doc_id, nb AS n_bytes, thumb_hex,
+        |  CAST(length(thumb_hex) // 2 AS BIGINT) AS thumb_bytes,
+        |  md5(thumb_hex) AS thumb_md5,
+        |  CAST(CAST(length(thumb_hex) // 2 AS BIGINT) * 1000000 // nb AS BIGINT) AS ratio_micro
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q58_multimodal_binary" ->
       """WITH b AS (SELECT doc_id, text, encode(text) AS payload,
         |             hex(encode(text)) AS hexs,
