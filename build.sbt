@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Forked suites run sequentially (testForkedParallel's default) — pinned
+// explicitly because Pipeline.run and the LayoutSpec skew/Bloom tests
+// save/mutate/restore session-global conf (broadcast threshold) around
+// their bodies, which would race under concurrent suites on the one
+// shared SparkSession.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -60,7 +60,10 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(m)) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline total covers SUCCESSFUL queries only — summing a failed
+    // query's negated time would make the round total look FASTER than a
+    // clean run; the errors map is the failure signal
+    val total = results.collect { case (_, med, _, None) => med }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"min":$mins,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scaling-curve probe beyond the largest driver fixture: builds a
@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * source row and the copy index) and re-runs the similarity/dedup family
   * plus the q66 shape duel on it, median-of-3 per query.
   *
-  * Corpus construction (N copies, copy k):
-  *  - documents: doc_id + k·10⁷; copies k∈{0,1,2} keep the text VERBATIM
+  * Corpus construction (N copies, copy k — ids offset by k·10⁸, NOT 10⁷:
+  * q75's srpCorpus internally unions a perturbed copy of every row at
+  * vec_id + 10⁷, so a 10⁷ copy stride would alias perturbed ids onto real
+  * base ids and contaminate the q75 measurement with ambiguous pairs):
+  *  - documents: copies k∈{0,1,2} keep the text VERBATIM
   *    (planting exact-dup cliques of 3 — real corpora are dominated by
   *    verbatim re-crawls), k≥3 prepend two copy-specific tokens (distinct
   *    near-miss docs that scale the non-dup bulk).
-  *  - embeddings: vec_id + k·10⁷; k=0 verbatim, k≥1 perturbed by exact
+  *  - embeddings: k=0 verbatim, k≥1 perturbed by exact
   *    2⁻⁹-multiple offsets (same arithmetic as Similarity.srpCorpus, varied
   *    by k) — planting cos≈0.998 near-dup cliques of N for the banded path.
   *
@@ -51,7 +54,7 @@ object ScaleProbe {
       val text =
         if (k <= 2) col("text")
         else concat_ws(" ", lit(s"cpx$k"), lit(s"cpy${k}z"), col("text"))
-      docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+      docs.select((col("doc_id") + lit(k * 100000000L)).as("doc_id"),
         text.as("text"), col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionAll _)
     docCopies.write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -59,7 +62,7 @@ object ScaleProbe {
     val emb = Tables.embeddings(spark, src)
     val embCopies = (0 until mult).map { k =>
       if (k == 0) emb.select(col("vec_id"), col("embedding"), col("label"))
-      else emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+      else emb.select((col("vec_id") + lit(k * 100000000L)).as("vec_id"),
         expr(s"""transform(embedding, (x, i) ->
                 |  CAST(x + ((vec_id * 64 + i + $k * 7) % 13 - 6) * 0.001953125f AS FLOAT))"""
           .stripMargin).as("embedding"),

@@ -115,7 +115,9 @@ object Multimodal extends QueryModule {
           col("thumb_hex"),
           (length(col("thumb_hex")) / 2).cast(LongType).as("thumb_bytes"),
           md5(col("thumb_hex")).as("thumb_md5"),
-          expr("CAST(CAST(length(thumb_hex) DIV 2 AS BIGINT) * 1000000 DIV nb AS BIGINT)")
+          // nullif guard: Spark's DIV 0 is NULL but DuckDB's // 0 raises —
+          // NULL ratio for a zero-byte payload is the cross-engine answer
+          expr("CAST(CAST(length(thumb_hex) DIV 2 AS BIGINT) * 1000000 DIV nullif(nb, 0) AS BIGINT)")
             .as("ratio_micro"))
         .orderBy(col("doc_id")))
   )
@@ -133,7 +135,7 @@ object Multimodal extends QueryModule {
         |SELECT doc_id, nb AS n_bytes, thumb_hex,
         |  CAST(length(thumb_hex) // 2 AS BIGINT) AS thumb_bytes,
         |  md5(thumb_hex) AS thumb_md5,
-        |  CAST(CAST(length(thumb_hex) // 2 AS BIGINT) * 1000000 // nb AS BIGINT) AS ratio_micro
+        |  CAST(CAST(length(thumb_hex) // 2 AS BIGINT) * 1000000 // nullif(nb, 0) AS BIGINT) AS ratio_micro
         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q58_multimodal_binary" ->

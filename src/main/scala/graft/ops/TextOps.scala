@@ -28,10 +28,31 @@ object TextOps extends QueryModule {
     * first ranks a byte-level BPE learner converges to on English text.
     * Later ranks build on earlier merges ('t h'→'th', then 'th e'→'the'),
     * exactly like a learned merges.txt. */
-  private[ops] val BpeMerges: Seq[(String, String)] = Seq(
+  private[graft] val BpeMerges: Seq[(String, String)] = Seq(
     "t h" -> "th", "th e" -> "the", "i n" -> "in", "a n" -> "an",
     "an d" -> "and", "e r" -> "er", "o n" -> "on", "r e" -> "re",
     "o r" -> "or", "e n" -> "en", "a t" -> "at", "e s" -> "es")
+
+  /** The Spark-side merge fold over a token column named `t`: every char
+    * becomes a '~'-DELIMITED piece ('the' → '~t~~h~~e~'), then each rank
+    * applies as replace('~a~~b~' → '~ab~'). Both delimiters are load-
+    * bearing: the leading '~a~' rejects a-as-piece-suffix AND ('~a~~'
+    * specifically) a-as-piece-prefix, the trailing 'b~' rejects
+    * b-as-piece-prefix — e.g. rank (r,e) must not fire on '…r~~er~'
+    * where the next piece merely STARTS with e. A piece never contains
+    * '~', so a match is exactly an adjacent (a, b) piece pair, and
+    * adjacent match sites share no characters, so the single
+    * left-to-right replace() pass both engines implement IS the
+    * exhaustive application of that rank. Piece count = '~' count / 2.
+    * Shared by the q82 query and the PropertySpec reference check. */
+  private[graft] val bpeMergedSpark: String =
+    BpeMerges.foldLeft("regexp_replace(t, '(.)', '~$1~')") {
+      case (acc, (a, b)) => s"replace($acc, '~${a.replace(" ", "~~")}~', '~$b~')"
+    }
+
+  /** BIGINT piece count of a merged ('~'-delimited) rendering. */
+  private[graft] def bpePieceCount(mergedExpr: String): String =
+    s"CAST((length($mergedExpr) - length(replace($mergedExpr, '~', ''))) DIV 2 AS BIGINT)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_explode_udtf" -> ((s, d) =>
@@ -115,20 +136,18 @@ object TextOps extends QueryModule {
 
     "q82_text_bpe_merge" -> ((s, d) => {
       // TRUE byte-pair encoding apply (vs q77's pre-tokenization count):
-      // each whitespace token is exploded to space-separated characters,
-      // then a small FIXED merge table is applied in priority order —
-      // exactly the BPE apply step (Sennrich et al., ACL 2016), with each
-      // merge realized as replace(' a b ' -> ' ab '): replace() scans
-      // left-to-right non-overlapping in BOTH engines, which is precisely
-      // BPE's greedy merge semantics, and each merge is exhausted before
-      // the next rank starts. Piece count = spaces + 1 per token, summed.
+      // each whitespace token is rewritten so every piece is '~'-DELIMITED
+      // ('the' -> '~t~~h~~e~'; '~' cannot occur in the fixture text), then
+      // a small FIXED merge table is applied in priority order — exactly
+      // the BPE apply step (Sennrich et al., ACL 2016), with merge (a,b)
+      // realized as the piece-exact replace('~a~~b~' -> '~ab~'); see
+      // bpeMergedSpark for why the delimiters make each rank's single
+      // replace() pass exact. Verified against a piece-list reference BPE
+      // in PropertySpec (boundary counterexamples 'here'/'rere' included).
       // Stateless per-row projection — no shuffle at any scale; a real
       // 50k-merge GPT-style table would move the fold into a native
       // Expression with the same contract.
-      val charSpaced = "trim(regexp_replace(t, '(.)', '$1 '))"
-      val merged = TextOps.BpeMerges.foldLeft(charSpaced) {
-        case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
-      }
+      val pieces = TextOps.bpePieceCount(TextOps.bpeMergedSpark)
       T.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .select(
@@ -136,7 +155,7 @@ object TextOps extends QueryModule {
           size(col("toks")).cast(LongType).as("n_ws"),
           expr("aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)), " +
             "CAST(0 AS BIGINT), (a, p) -> a + p)").as("n_pieces_char"),
-          expr(s"aggregate(transform(toks, t -> CAST(size(split($merged, ' ')) AS BIGINT)), " +
+          expr(s"aggregate(transform(toks, t -> $pieces), " +
             "CAST(0 AS BIGINT), (a, p) -> a + p)").as("n_pieces_bpe"))
         .orderBy(col("doc_id"))
     }),
@@ -200,13 +219,13 @@ object TextOps extends QueryModule {
   )
 
   /** DuckDB mirror of q82's merge fold: same fixed table, same order, same
-    * replace() left-to-right semantics; only the char-spacing regex syntax
-    * differs (DuckDB needs the 'g' flag and \1 backrefs, Spark replaces
-    * globally by default with $1). */
+    * piece-delimiter spelling, same replace() left-to-right semantics;
+    * only the char-marking regex syntax differs (DuckDB needs the 'g'
+    * flag and \1 backrefs, Spark replaces globally by default with $1). */
   private def bpeMergedDuck: String = {
-    val charSpaced = """trim(regexp_replace(t, '(.)', '\1 ', 'g'))"""
-    BpeMerges.foldLeft(charSpaced) {
-      case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
+    val charMarked = """regexp_replace(t, '(.)', '~\1~', 'g')"""
+    BpeMerges.foldLeft(charMarked) {
+      case (acc, (a, b)) => s"replace($acc, '~${a.replace(" ", "~~")}~', '~$b~')"
     }
   }
 
@@ -216,8 +235,10 @@ object TextOps extends QueryModule {
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
          |  CAST(list_sum(list_transform(toks,
          |    t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS n_pieces_char,
-         |  CAST(list_sum(list_transform(toks,
-         |    t -> CAST(len(string_split($bpeMergedDuck, ' ')) AS BIGINT))) AS BIGINT) AS n_pieces_bpe
+         |  CAST(list_sum(list_transform(toks, t ->
+         |    CAST((length($bpeMergedDuck)
+         |          - length(replace($bpeMergedDuck, '~', ''))) // 2 AS BIGINT)
+         |  )) AS BIGINT) AS n_pieces_bpe
          |FROM d ORDER BY doc_id""".stripMargin,
 
     "q77_text_bpe_tokens" ->

@@ -110,6 +110,42 @@ class PropertySpec extends SparkSpec {
       s"every chain node must resolve to 1, got $labels")
   }
 
+  test("q82 merge fold is exact BPE against a piece-list reference") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // Scala reference: the textbook apply step — per rank, one greedy
+    // left-to-right scan over the PIECE LIST (not the raw string)
+    def bpeRef(word: String): Seq[String] = {
+      var pieces: Seq[String] = word.map(_.toString)
+      for ((k, v) <- TextOps.BpeMerges) {
+        val Array(a, b) = k.split(' ')
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < pieces.length) {
+          if (i + 1 < pieces.length && pieces(i) == a && pieces(i + 1) == b) {
+            out += v; i += 2
+          } else { out += pieces(i); i += 1 }
+        }
+        pieces = out.toSeq
+      }
+      pieces
+    }
+    // 'here'/'there' are the boundary counterexamples: a space-delimited
+    // replace fold merges 'r e' ACROSS the er|e piece boundary and
+    // undercounts; the '~' piece-marker spelling must not
+    val words = Seq("here", "there", "the", "ther", "thth", "and",
+      "rere", "onion", "rather", "interest", "a", "es")
+    val got = words.map(w => (0L, w)).toDF("doc_id", "t")
+      .selectExpr("t",
+        s"${TextOps.bpePieceCount(TextOps.bpeMergedSpark)} AS n")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(got(w) == bpeRef(w).length,
+        s"'$w': fold gave ${got(w)} pieces, reference ${bpeRef(w).mkString("|")}")
+    }
+    assert(bpeRef("here") == Seq("h", "er", "e"), "sanity: the counterexample splits h|er|e")
+  }
+
   test("set algebra: (A except B) disjoint from B, subset of A") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
