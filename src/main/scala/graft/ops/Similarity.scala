@@ -161,7 +161,13 @@ object Similarity extends QueryModule {
     * "build the index" step a real deployment runs once, not per query.
     * Every q67 probe reads THIS table, so the partition-pruned scan proven
     * in LayoutSpec is the registered query's own plan, not a sidecar demo.
-    * Synchronized: concurrently-running test suites share the session. */
+    * Deliberate consequence: CONSTRUCTING the q67 frame runs jobs (the
+    * first call stages the index; every call resolves the 4 probe cells)
+    * — an ANN query without its index is not a plan, and the probe-cell
+    * resolution is the literal-predicate step that makes static pruning
+    * possible. Plan-only consumers (Plans) pay one index build per
+    * session, like any serving system. Synchronized: concurrently-running
+    * test suites share the session. */
   private[graft] def ivfServing(s: SparkSession, d: String): DataFrame =
     synchronized {
       val tbl = "graft_ivf_serve_" + d.replaceAll("[^A-Za-z0-9]", "_")
