@@ -156,6 +156,53 @@ object Similarity extends QueryModule {
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
 
+  /** Offline IVF training: `iters` rounds of Lloyd's algorithm over the
+    * embedding corpus, seeded with [[ivfCentroids]]. Each round is one
+    * broadcast-centroid assignment (O(n·k) map-side work, no shuffle of
+    * the corpus) plus one element-wise mean per cell (posexplode →
+    * (cid, pos) partial-avg — shuffle carries k·dim aggregate rows, never
+    * vectors). Because `graft_cosine` is scale-invariant, the plain mean
+    * update IS spherical k-means, so the mean assigned cosine is
+    * non-decreasing round over round (spec-verified). A cell that loses
+    * every member keeps its previous centroid. q67's ORACLED query stays
+    * on the fixed seed centroids (training's float-sum reduction order is
+    * not cross-engine reproducible); a deployment trains here, then
+    * stages the assignment via [[ivfServing]] — same serving plan. */
+  private[graft] def ivfTrainedCentroids(s: SparkSession, d: String,
+                                         iters: Int): DataFrame = {
+    val e = T.embeddings(s, d)
+    var centroids = ivfCentroids(s, d)
+    val wAsg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid").asc)
+    for (_ <- 0 until iters) {
+      val asg = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+                expr("graft_cosine(embedding, qv)").as("cos"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+      val means = asg
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+          "x -> CAST(x.m AS FLOAT))").as("mqv"))
+      centroids = centroids.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("mqv"), col("qv")).as("qv"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** Mean assigned cosine of the corpus under a (cid, qv) centroid set —
+    * spherical k-means' objective, used by the training spec. */
+  private[graft] def ivfObjective(s: SparkSession, d: String,
+                                  centroids: DataFrame): Double =
+    T.embeddings(s, d).crossJoin(broadcast(centroids))
+      .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("best"))
+      .agg(avg(col("best"))).head.getDouble(0)
+
   /** The cid-partitioned IVF serving table for a fixture dir, staged once
     * per (session, sf) via [[Layout.stagePartitionedBy]] — the offline
     * "build the index" step a real deployment runs once, not per query.

@@ -205,6 +205,24 @@ class SimilaritySpec extends SparkSpec {
     assert(both.count() > 0)
   }
 
+  test("IVF training: spherical k-means objective improves monotonically") {
+    import graft.ops.Similarity
+    val seed = Similarity.ivfCentroids(spark, sf)
+    val t1 = Similarity.ivfTrainedCentroids(spark, sf, 1)
+    val t2 = Similarity.ivfTrainedCentroids(spark, sf, 2)
+    assert(t2.count() == seed.count(), "k centroids preserved (empty cells keep previous)")
+    assert(t2.selectExpr("size(qv)").head.getInt(0) == 64, "dimension preserved")
+    val (o0, o1, o2) = (Similarity.ivfObjective(spark, sf, seed),
+      Similarity.ivfObjective(spark, sf, t1),
+      Similarity.ivfObjective(spark, sf, t2))
+    // cosine is scale-invariant, so the mean update IS the spherical
+    // k-means step: mean best-assignment cosine must not decrease
+    // (small FP tolerance — float sums reduce in partition order)
+    assert(o1 >= o0 - 1e-9 && o2 >= o1 - 1e-9,
+      s"objective must be non-decreasing: $o0 -> $o1 -> $o2")
+    assert(o2 > o0, s"two rounds must actually improve the seed objective ($o0 -> $o2)")
+  }
+
   test("q64 cosine: self-similarity is ~1 and tops the ranking") {
     val top = SparkEntry.queries("q64_sim_topk")(spark, sf).collect()
     assert(top.head.getLong(0) == 0L, "query vector must match itself first")
