@@ -45,14 +45,52 @@ object TextOps extends QueryModule {
     * left-to-right replace() pass both engines implement IS the
     * exhaustive application of that rank. Piece count = '~' count / 2.
     * Shared by the q82 query and the PropertySpec reference check. */
-  private[graft] val bpeMergedSpark: String =
-    BpeMerges.foldLeft("regexp_replace(t, '(.)', '~$1~')") {
-      case (acc, (a, b)) => s"replace($acc, '~${a.replace(" ", "~~")}~', '~$b~')"
-    }
+  private[graft] val bpeMergedSpark: String = bpeMergedExpr(BpeMerges)
 
   /** BIGINT piece count of a merged ('~'-delimited) rendering. */
   private[graft] def bpePieceCount(mergedExpr: String): String =
     s"CAST((length($mergedExpr) - length(replace($mergedExpr, '~', ''))) DIV 2 AS BIGINT)"
+
+  /** The merge fold for an ARBITRARY merge table (bpeMergedSpark is this
+    * fold over the fixed [[BpeMerges]]). */
+  private[graft] def bpeMergedExpr(merges: Seq[(String, String)]): String =
+    merges.foldLeft("regexp_replace(t, '(.)', '~$1~')") {
+      case (acc, (a, b)) => s"replace($acc, '~${a.replace(" ", "~~")}~', '~$b~')"
+    }
+
+  /** BPE TRAINING — learn `ranks` merges from a (text) corpus, the
+    * tokenizer-fitting counterpart of q82's apply step (Sennrich et al.,
+    * ACL 2016, algorithm 1): each rank re-encodes the corpus under the
+    * merges learned so far (the same piece-delimited replace fold the
+    * apply step uses, so train and apply can never disagree), counts
+    * ADJACENT PIECE PAIRS with one distributed aggregation (shuffle
+    * carries (pair, partial count) rows — bounded by the piece-pair
+    * vocabulary, never the corpus), and merges the most frequent pair.
+    * Like [[graft.ops.Similarity.ivfTrainedCentroids]], this is an
+    * offline training job: the only driver-side value per rank is the
+    * single winning pair (ties broken (count desc, pair asc) so the
+    * learned table is deterministic and replay-stable). */
+  private[graft] def learnBpeMerges(docs: DataFrame,
+                                    ranks: Int): Seq[(String, String)] = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    var merges = Vector.empty[(String, String)]
+    for (_ <- 0 until ranks) {
+      val top = toks
+        .selectExpr(s"${bpeMergedExpr(merges)} AS m")
+        .selectExpr("filter(split(m, '~'), p -> p != '') AS ps")
+        .filter(expr("size(ps) >= 2"))
+        .selectExpr(
+          "explode(transform(sequence(0, size(ps) - 2), i -> struct(ps[i] AS a, ps[i+1] AS b))) AS pr")
+        .groupBy(col("pr.a"), col("pr.b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b) = (top.head.getString(0), top.head.getString(1))
+        merges :+= ((s"$a $b", a + b))
+      }
+    }
+    merges
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_explode_udtf" -> ((s, d) =>

@@ -146,6 +146,27 @@ class PropertySpec extends SparkSpec {
     assert(bpeRef("here") == Seq("h", "er", "e"), "sanity: the counterexample splits h|er|e")
   }
 
+  test("BPE learning: deterministic ranks that compress, consistent with apply") {
+    import graft.ops.TextOps
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val docs = Tables.documents(spark, sf).select("text")
+    val m1 = TextOps.learnBpeMerges(docs, 4)
+    val m2 = TextOps.learnBpeMerges(docs, 4)
+    assert(m1.length == 4 && m1 == m2,
+      s"training must be deterministic and fill every rank: $m1 vs $m2")
+    assert(m1.forall { case (k, v) =>
+      val ab = k.split(' '); ab.length == 2 && ab.mkString == v
+    }, s"each rank merges exactly its two pieces: $m1")
+    // applying the learned table through the SAME fold compresses the corpus
+    val sums = docs.select(explode(split(col("text"), " ")).as("t"))
+      .selectExpr(
+        s"${TextOps.bpePieceCount(TextOps.bpeMergedExpr(m1))} AS n",
+        "CAST(length(t) AS BIGINT) AS c")
+      .selectExpr("sum(n) AS n", "sum(c) AS c").head()
+    assert(sums.getLong(0) < sums.getLong(1),
+      s"learned merges must reduce pieces: ${sums.getLong(0)} vs ${sums.getLong(1)} chars")
+  }
+
   test("set algebra: (A except B) disjoint from B, subset of A") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
