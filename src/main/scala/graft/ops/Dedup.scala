@@ -154,19 +154,29 @@ object Dedup extends QueryModule {
     * same loop would use reliable `checkpoint` instead — executor-local
     * blocks don't survive executor loss.)
     *
-    * Two round-count/round-cost cuts (each measured on the sf0.1 bench,
-    * where fixed per-round cost dominates the tiny fixture graph):
-    *  - round 0 is fused into initialization: label = min(self, direct
-    *    neighbors), so the clique/star components that dominate near-dup
-    *    graphs converge before the loop body runs once;
+    * Three round-count/round-cost cuts (each measured on the sf0.1 bench,
+    * where fixed per-round cost — not data — dominates the fixture graph):
+    *  - the input pair frame is materialized ONCE before the
+    *    both-directions union (its two branches would otherwise each
+    *    recompute the whole upstream near-dup pipeline inside the union's
+    *    first job);
+    *  - round 0 is fused into initialization (label = min(self, direct
+    *    neighbors)), and every round ALSO propagates label-of-label —
+    *    POINTER JUMPING, the standard PRAM/Pregel doubling trick (and the
+    *    essence of Kiveris et al.'s star operations) — so a diameter-d
+    *    chain converges in O(log d) rounds, not O(d). Measured on the
+    *    sf0.1 graph (512 chain-shaped pairs): the label sum was still
+    *    falling at round 3 under plain propagation;
     *  - convergence is detected by the label-sum invariant instead of a
     *    self-join: labels are per-node non-increasing, so sum(lbl)
     *    unchanged ⟺ every label unchanged — ONE aggregate action per
     *    round (which also materializes the lazy checkpoint), no join.
     * Returns (node, lbl) for every node that appears in some pair. */
   private[graft] def resolveComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("i"), col("j"))
-      .unionAll(pairs.select(col("j").as("i"), col("i").as("j")))
+    val p = pairs.persist()
+    p.count()
+    val edges = p.select(col("i"), col("j"))
+      .unionAll(p.select(col("j").as("i"), col("i").as("j")))
       .persist()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
@@ -179,7 +189,12 @@ object Dedup extends QueryModule {
       val fromNeighbors = edges
         .join(labels.select(col("node").as("i"), col("lbl")), Seq("i"))
         .select(col("j").as("node"), col("lbl"))
-      val next = labels.unionAll(fromNeighbors)
+      // pointer jump: node -> label-of-its-label (label ids ARE node ids)
+      val fromPointer = labels
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("plbl")),
+              Seq("lbl"))
+        .select(col("node"), col("plbl").as("lbl"))
+      val next = labels.unionAll(fromNeighbors).unionAll(fromPointer)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
@@ -188,6 +203,7 @@ object Dedup extends QueryModule {
       labels = next
     }
     edges.unpersist()
+    p.unpersist()
     labels
   }
 
