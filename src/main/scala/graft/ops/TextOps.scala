@@ -247,8 +247,11 @@ object TextOps extends QueryModule {
           col("doc_id"), col("lang"), col("n_chars"), col("n_tok"),
           size(array_distinct(col("toks"))).cast(LongType).as("n_distinct"),
           col("n_stop"),
-          expr("CAST(n_stop * 1000000 DIV n_tok AS BIGINT)").as("stop_ratio_micro"),
-          expr("CAST((n_chars - n_tok + 1) * 1000000 DIV n_tok AS BIGINT)")
+          // nullif guard (same cross-engine rule as q84): Spark's DIV 0 is
+          // NULL but DuckDB's // 0 raises, so a token-free document must
+          // yield NULL ratios in both engines, not crash the oracle
+          expr("CAST(n_stop * 1000000 DIV nullif(n_tok, 0) AS BIGINT)").as("stop_ratio_micro"),
+          expr("CAST((n_chars - n_tok + 1) * 1000000 DIV nullif(n_tok, 0) AS BIGINT)")
             .as("avg_tok_len_micro"),
           (col("n_chars") < 100).as("too_short"),
           md5(col("text")).as("fingerprint"))
@@ -362,8 +365,8 @@ object TextOps extends QueryModule {
         |SELECT doc_id, lang, n_chars, n_tok,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         |  n_stop,
-        |  n_stop * 1000000 // n_tok AS stop_ratio_micro,
-        |  (n_chars - n_tok + 1) * 1000000 // n_tok AS avg_tok_len_micro,
+        |  n_stop * 1000000 // nullif(n_tok, 0) AS stop_ratio_micro,
+        |  (n_chars - n_tok + 1) * 1000000 // nullif(n_tok, 0) AS avg_tok_len_micro,
         |  n_chars < 100 AS too_short,
         |  md5(text) AS fingerprint
         |FROM m ORDER BY doc_id""".stripMargin
