@@ -48,23 +48,28 @@ object Bench {
       timings.collectFirst { case (_, Some(m)) => m } match {
         // negative in BOTH the median and min maps — a failed query must
         // not masquerade as fast in either metric
-        case Some(m) => (name, -timings.last._1, -timings.last._1, Some(m))
+        case Some(m) => (name, -timings.last._1, -timings.last._1, Some(m), timings.size)
         case None =>
           val secs = timings.map(_._1).sorted
-          (name, secs(secs.size / 2), secs.head, None)
+          (name, secs(secs.size / 2), secs.head, None, timings.size)
       }
     }
-    val qs = results.map { case (k, med, _, _) => jstr(k) + ":" + med }
+    // per-query run counts: failure short-circuits the retries, so a
+    // failed query ran fewer than Runs times — record the truth instead
+    // of letting the top-level runs_per_query overstate it
+    val runCounts = results.map { case (k, _, _, _, n) => jstr(k) + ":" + n }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _) => jstr(k) + ":" + mn }
+    val qs = results.map { case (k, med, _, _, _) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(m)) => jstr(k) + ":" + jstr(m) }
+    val mins = results.map { case (k, _, mn, _, _) => jstr(k) + ":" + mn }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(m), _) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
     // headline total covers SUCCESSFUL queries only — summing a failed
     // query's negated time would make the round total look FASTER than a
     // clean run; the errors map is the failure signal
-    val total = results.collect { case (_, med, _, None) => med }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"min":$mins,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, med, _, None, _) => med }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"runs":$runCounts,"queries":$qs,"min":$mins,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

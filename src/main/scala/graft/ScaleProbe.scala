@@ -54,8 +54,12 @@ object ScaleProbe {
       val text =
         if (k <= 2) col("text")
         else concat_ws(" ", lit(s"cpx$k"), lit(s"cpy${k}z"), col("text"))
+      // n_chars recomputed from the (possibly prefixed) text so the
+      // synthetic corpus stays self-consistent for any query that branches
+      // on it (q69/q83 quality gates)
       docs.select((col("doc_id") + lit(k * 100000000L)).as("doc_id"),
-        text.as("text"), col("lang"), col("source"), col("n_chars"))
+        text.as("text"), col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
     }.reduce(_ unionAll _)
     docCopies.write.mode("overwrite").parquet(s"$out/documents.parquet")
 

@@ -112,8 +112,12 @@ object Dedup extends QueryModule {
   }
 
   /** Near-dup pairs (hamming <= 3) from (doc_id, sh) signatures via the
-    * 4x15-bit band join — pigeonhole-exact at that radius. */
-  private[graft] def simhashPairs(sigs: DataFrame): DataFrame = {
+    * 4x15-bit band join — pigeonhole-exact at that radius. UNSORTED:
+    * q66's output contract adds the global orderBy on top; consumers that
+    * immediately re-shuffle the pairs (q79/q83's component resolution)
+    * take this form and skip a pointless range-partition sort of the
+    * largest near-dup intermediate. */
+  private[graft] def simhashPairsUnsorted(sigs: DataFrame): DataFrame = {
     val bands = sigs.select(col("doc_id"), col("sh"),
       explode(expr("sequence(0, 3)")).as("bi"))
       .withColumn("bv", expr("shiftright(sh, bi * 15) & 32767"))
@@ -127,8 +131,10 @@ object Dedup extends QueryModule {
       .withColumn("hamming", expr("CAST(bit_count(shi ^ shj) AS BIGINT)"))
       .filter(col("hamming") <= 3)
       .select(col("i"), col("j"), col("hamming"))
-      .orderBy(col("i"), col("j"))
   }
+
+  private[graft] def simhashPairs(sigs: DataFrame): DataFrame =
+    simhashPairsUnsorted(sigs).orderBy(col("i"), col("j"))
 
   /** Connected components over an undirected pair graph ((i, j) rows,
     * i < j canonical) by iterative min-label propagation: every node starts
@@ -246,7 +252,7 @@ object Dedup extends QueryModule {
       // (A~B, B~C => {A,B,C} one cluster even if A,C were never paired);
       // survivor = min doc_id per component. Output covers EVERY document:
       // singletons survive as their own cluster of 1.
-      val pairs = simhashPairs(simhashSignatures(s, d, wide = true))
+      val pairs = simhashPairsUnsorted(simhashSignatures(s, d, wide = true))
         .select(col("i"), col("j"))
       val comp = resolveComponents(pairs)
       val resolved = T.documents(s, d).select(col("doc_id"))
@@ -286,7 +292,7 @@ object Dedup extends QueryModule {
         .select(col("doc_id"), col("text"), col("esurv"))
       val exactSurvivors = withE.filter(col("doc_id") === col("esurv"))
         .select(col("doc_id"), col("text"))
-      val pairs = simhashPairs(simhashSignaturesOf(exactSurvivors, wide = true))
+      val pairs = simhashPairsUnsorted(simhashSignaturesOf(exactSurvivors, wide = true))
         .select(col("i"), col("j"))
       val comp = resolveComponents(pairs)
       flags.select(col("doc_id"), col("q_ok"))

@@ -51,11 +51,19 @@ object TextOps extends QueryModule {
   private[graft] def bpePieceCount(mergedExpr: String): String =
     s"CAST((length($mergedExpr) - length(replace($mergedExpr, '~', ''))) DIV 2 AS BIGINT)"
 
+  /** Spark-SQL string-literal escape for merge pieces spliced into the
+    * fold — learned pieces come from arbitrary corpora, and an unescaped
+    * quote or backslash would otherwise break (or corrupt) the generated
+    * expression. */
+  private def sqlLit(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+
   /** The merge fold for an ARBITRARY merge table (bpeMergedSpark is this
     * fold over the fixed [[BpeMerges]]). */
   private[graft] def bpeMergedExpr(merges: Seq[(String, String)]): String =
     merges.foldLeft("regexp_replace(t, '(.)', '~$1~')") {
-      case (acc, (a, b)) => s"replace($acc, '~${a.replace(" ", "~~")}~', '~$b~')"
+      case (acc, (a, b)) =>
+        s"replace($acc, '~${sqlLit(a.replace(" ", "~~"))}~', '~${sqlLit(b)}~')"
     }
 
   /** BPE TRAINING — learn `ranks` merges from a (text) corpus, the
@@ -86,6 +94,10 @@ object TextOps extends QueryModule {
         .limit(1).collect()
       if (top.nonEmpty) {
         val (a, b) = (top.head.getString(0), top.head.getString(1))
+        // '~' is the piece delimiter; a corpus containing it would corrupt
+        // the char-marking rewrite — fail loudly, never learn garbage
+        require(!a.contains("~") && !b.contains("~"),
+          s"corpus contains the reserved piece delimiter '~': ($a, $b)")
         merges :+= ((s"$a $b", a + b))
       }
     }

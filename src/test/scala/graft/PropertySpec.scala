@@ -93,7 +93,10 @@ class PropertySpec extends SparkSpec {
           val (ra, rb) = (find(a), find(b))
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
-        got == got.keys.map(n => n -> find(n)).toMap
+        // totality first: a node-dropping regression must not pass just
+        // because the surviving keys still agree with the reference
+        got.keySet == es.flatMap(p => Seq(p._1, p._2)).toSet &&
+          got == got.keys.map(n => n -> find(n)).toMap
       }
     })
   }
