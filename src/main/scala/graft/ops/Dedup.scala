@@ -160,58 +160,130 @@ object Dedup extends QueryModule {
     * same loop would use reliable `checkpoint` instead — executor-local
     * blocks don't survive executor loss.)
     *
-    * Three round-count/round-cost cuts (each measured on the sf0.1 bench,
-    * where fixed per-round cost — not data — dominates the fixture graph):
+    * Per-round cost cuts (each measured on the sf0.1 bench, where fixed
+    * per-round cost — not data — dominates the ~1000-edge fixture graph at
+    * ~0.5 s/round of pure scheduling overhead):
     *  - the input pair frame is materialized ONCE before the
     *    both-directions union (its two branches would otherwise each
     *    recompute the whole upstream near-dup pipeline inside the union's
     *    first job);
     *  - round 0 is fused into initialization (label = min(self, direct
-    *    neighbors)), and every round ALSO propagates label-of-label —
-    *    POINTER JUMPING, the standard PRAM/Pregel doubling trick (and the
-    *    essence of Kiveris et al.'s star operations) — so a diameter-d
-    *    chain converges in O(log d) rounds, not O(d). Measured on the
-    *    sf0.1 graph (512 chain-shaped pairs): the label sum was still
-    *    falling at round 3 under plain propagation;
+    *    neighbors));
+    *  - ONE join per propagation step, not two: the pointer jump
+    *    (node → label-of-its-label, the PRAM/Pregel doubling trick and the
+    *    essence of Kiveris et al.'s star operations) is expressed as
+    *    synthetic edges (lbl(n) → n) unioned with the real edges, so
+    *    neighbor propagation and the jump share a single equi-join + one
+    *    map-side-combining min-aggregate. The explicit keep-own-label
+    *    union branch is gone too: the jump term lbl(lbl(n)) ≤ lbl(n)
+    *    (labels are node ids and lbl(m) ≤ m is an invariant), so the old
+    *    self branch never won the min anyway;
+    *  - the loop's width follows the GRAPH, not the corpus: edges are
+    *    coalesced to ~2M rows/partition (clamped by the session's
+    *    parallelism), so a small pair graph doesn't run 32-task waves per
+    *    stage. At 100 TB the pair graph is still orders of magnitude
+    *    smaller than the corpus — sizing the fixpoint loop to the corpus'
+    *    shuffle width is pure overhead;
     *  - convergence is detected by the label-sum invariant instead of a
     *    self-join: labels are per-node non-increasing, so sum(lbl)
-    *    unchanged ⟺ every label unchanged — ONE aggregate action per
-    *    round (which also materializes the lazy checkpoint), no join.
+    *    unchanged ⟺ every label unchanged — ONE aggregate action per round
+    *    (which also materializes the lazy checkpoint), no join;
+    *  - the rounds run with AQE disabled and the shuffle width pinned to
+    *    the graph-sized nparts (session conf saved/restored): each round
+    *    is a short fixed pipeline whose shapes are fully known here, and
+    *    AQE's per-stage materialize-and-replan was measured at ~40% of the
+    *    round latency on the fixture graph;
+    *  - each round's localCheckpoint blocks are RELEASED as soon as the
+    *    next round has materialized (the superseded round is never read
+    *    again), so a long-lived session resolving many graphs doesn't
+    *    accumulate executor storage until ContextCleaner GC.
     * Returns (node, lbl) for every node that appears in some pair. */
   private[graft] def resolveComponents(pairs: DataFrame): DataFrame = {
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (debug) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[cc] $tag ${(t1 - t0) / 1e9}%.3f s")
+      t0 = t1
+    }
     val p = pairs.persist()
-    p.count()
+    val nPairs = p.count()
+    lap("pairs materialize")
+    val sc = p.sparkSession.sparkContext
+    val nparts = math.max(1L, math.min(sc.defaultParallelism * 4L,
+      nPairs * 2 / 2000000L + 1)).toInt
     val edges = p.select(col("i"), col("j"))
       .unionAll(p.select(col("j").as("i"), col("i").as("j")))
+      .coalesce(nparts)
       .persist()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
-    var labels = edges.groupBy(col("i")).agg(min(col("j")).as("mn"))
-      .select(col("i").as("node"), least(col("i"), col("mn")).as("lbl"))
-      .localCheckpoint(false)
-    var curSum = labelSum(labels)
-    var done = false
-    while (!done) {
-      val fromNeighbors = edges
-        .join(labels.select(col("node").as("i"), col("lbl")), Seq("i"))
+    // one min-label propagation step: across every real edge (i, j) AND
+    // every pointer edge (lbl(n), n), the target takes the source's label
+    def step(l: DataFrame): DataFrame =
+      edges.unionAll(l.select(col("lbl").as("i"), col("node").as("j")))
+        .join(l.select(col("node").as("i"), col("lbl")), Seq("i"))
+        .groupBy(col("j")).agg(min(col("lbl")).as("lbl"))
         .select(col("j").as("node"), col("lbl"))
-      // pointer jump: node -> label-of-its-label (label ids ARE node ids)
-      val fromPointer = labels
-        .join(labels.select(col("node").as("lbl"), col("lbl").as("plbl")),
-              Seq("lbl"))
-        .select(col("node"), col("plbl").as("lbl"))
-      val next = labels.unionAll(fromNeighbors).unionAll(fromPointer)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    val conf = p.sparkSession.conf
+    val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val savedParts = conf.get("spark.sql.shuffle.partitions", "200")
+    var labels: DataFrame = null
+    try {
+      // The loop's per-round latency is pure scheduling overhead once the
+      // graph is partition-sized: AQE turns each tiny round into several
+      // sequentially-materialized query stages with replanning between
+      // them. The loop already right-sizes its own width (nparts follows
+      // the graph), so run the rounds with AQE off and the shuffle width
+      // pinned to nparts, and restore the session conf after. Every frame
+      // that escapes this block is a materialized localCheckpoint, so no
+      // downstream plan re-executes under the loop's conf.
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", nparts.toString)
+      labels = edges.groupBy(col("i")).agg(min(col("j")).as("mn"))
+        .select(col("i").as("node"), least(col("i"), col("mn")).as("lbl"))
         .localCheckpoint(false)
-      val nextSum = labelSum(next)
-      done = nextSum == curSum
-      curSum = nextSum
-      labels = next
+      var curSum = labelSum(labels)
+      lap("init labels")
+      var done = false
+      var round = 0
+      while (!done) {
+        // One step per materialized round. Measured and rejected twice on
+        // the sf0.1 bench: (a) fusing step∘step into one plan re-executes
+        // the inner step everywhere it's referenced (~3× the round cost);
+        // (b) two lazily-checkpointed steps per convergence action ran 12
+        // steps at the same per-step cost as 10 — the action barrier is
+        // NOT the dominant per-step cost once AQE is off, the stages are.
+        val next = step(labels).localCheckpoint(false)
+        val nextSum = labelSum(next)
+        releaseCheckpoint(labels)
+        done = nextSum == curSum
+        curSum = nextSum
+        labels = next
+        round += 1
+        lap(s"round $round")
+      }
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", savedAqe)
+      conf.set("spark.sql.shuffle.partitions", savedParts)
     }
     edges.unpersist()
     p.unpersist()
     labels
   }
+
+  /** Drop a superseded localCheckpoint's storage blocks. The checkpointed
+    * frame's plan is a [[org.apache.spark.sql.execution.LogicalRDD]] leaf
+    * over the persisted RDD; unpersisting it is safe once every consumer
+    * has materialized (the loop never re-reads a superseded round — a task
+    * retry replays at most the current round from the CURRENT checkpoint).
+    * Best-effort by construction: if a Spark version wraps the plan
+    * differently, collect finds nothing and the blocks age out via
+    * ContextCleaner GC exactly as before. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_dedup_exact" -> ((s, d) =>

@@ -20,20 +20,47 @@ import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStag
   */
 object Layout {
 
+  /** Marker dropped into every location this module stages; the stale-
+    * location cleanup below refuses to delete a directory that lacks it.
+    * Underscore-prefixed, so Spark/Hadoop file listings treat it as hidden
+    * and it never pollutes reads of the staged table. */
+  private val StagedMarker = "_graft_staged"
+
   /** Managed-table overwrite staging has a cross-session gap: files from a
     * previous session outlive the in-memory catalog, and `saveAsTable`
     * then refuses with LOCATION_ALREADY_EXISTS even in overwrite mode
     * (the catalog doesn't know the table, so "overwrite" never engages).
     * Restaging IS the overwrite contract here, so drop the stale location
-    * first when the catalog has no table for it. */
+    * first when the catalog has no table for it — but ONLY a location this
+    * module itself staged (it carries [[StagedMarker]]): a foreign
+    * directory that happens to collide is left alone for `saveAsTable` to
+    * refuse loudly, never silently destroyed.
+    *
+    * Supported sharing model: a warehouse dir belongs to ONE JVM at a time
+    * (every main and test session here uses a session-unique temp
+    * warehouse). Two live processes pointed at the SAME warehouse are
+    * unsupported — the marker guard narrows but cannot close that
+    * cross-process race (`synchronized` is per-JVM), same as any
+    * filesystem-catalog engine without a lock service. */
   private def dropStaleLocation(df: DataFrame, table: String): Unit = {
     val s = df.sparkSession
     if (!s.catalog.tableExists(table)) {
       val p = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(new org.apache.hadoop.fs.Path(p, StagedMarker)))
+        fs.delete(p, true)
     }
+  }
+
+  /** Stamp a just-staged table location as ours (see [[StagedMarker]]) —
+    * same warehouse-relative path convention `dropStaleLocation` reads. */
+  private def markStaged(df: DataFrame, table: String): Unit = {
+    val s = df.sparkSession
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(loc, StagedMarker), true).close()
   }
 
   /** Stage a table bucketed+sorted on its join key. Two tables staged with
@@ -49,6 +76,7 @@ object Layout {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+    markStaged(df, table)
   }
 
   /** Stage a table hive-partitioned by DAY, derived from a date column in
@@ -73,6 +101,7 @@ object Layout {
       .format("parquet")
       .partitionBy(partCol)
       .saveAsTable(table)
+    markStaged(df, table)
   }
 
   /** The parquet scans actually executed by `plan` (descending into the

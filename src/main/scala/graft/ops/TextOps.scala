@@ -278,9 +278,16 @@ object TextOps extends QueryModule {
   private def bpeMergedDuck: String = {
     val charMarked = """regexp_replace(t, '(.)', '~\1~', 'g')"""
     BpeMerges.foldLeft(charMarked) {
-      case (acc, (a, b)) => s"replace($acc, '~${a.replace(" ", "~~")}~', '~$b~')"
+      case (acc, (a, b)) =>
+        s"replace($acc, '~${duckLit(a.replace(" ", "~~"))}~', '~${duckLit(b)}~')"
     }
   }
+
+  /** DuckDB string-literal escape for merge pieces spliced into the oracle
+    * fold — the DuckDB twin of [[sqlLit]], so train/apply/oracle share one
+    * escaping rule per engine. DuckDB standard (non-E) literals treat
+    * backslash literally; only the quote needs doubling. */
+  private def duckLit(s: String): String = s.replace("'", "''")
 
   def oracleSql: Map[String, String] = Map(
     "q82_text_bpe_merge" ->

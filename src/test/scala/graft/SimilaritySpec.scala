@@ -33,11 +33,16 @@ class SimilaritySpec extends SparkSpec {
     assert(q60.nonEmpty && q81 == q60,
       s"fingerprint dedup must be survivor-identical to q60 (${q81.size}/${q60.size})")
     // and the plan's exchange carries the 32-hex fingerprint, not text:
-    // no Exchange output references the text column
+    // no Exchange output references the text ATTRIBUTE. Attributes render
+    // as `name#id`, so match `text#<digits>` specifically — a bare
+    // substring test would false-fail on the distinct attribute text_len
+    // (e.g. a plan rendering min(text_len#n))
     val plan = SparkEntry.queries("q81_dedup_fingerprint")(spark, sf)
       .queryExecution.executedPlan.toString
     val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.nonEmpty && !exchanges.exists(_.contains("text")),
+    val textAttr = """(?<![A-Za-z0-9_])text#\d+""".r
+    assert(exchanges.nonEmpty &&
+      !exchanges.exists(l => textAttr.findFirstIn(l).isDefined),
       s"document bodies must never shuffle; exchanges:\n${exchanges.mkString("\n")}")
   }
 
