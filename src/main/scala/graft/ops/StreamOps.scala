@@ -32,6 +32,22 @@ object StreamOps extends QueryModule {
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       T.tsUs(col("ts")).as("ts"))
 
+  /** Drain a streaming pipeline with the shuffle width — which for a
+    * stateful streaming operator is ALSO the state-store instance count —
+    * pinned to `n` (session conf saved/restored; the micro-batch planner
+    * reads the conf while `body` runs). A stateful operator pays per-store
+    * per-batch fixed cost (delta file + commit per partition per batch),
+    * so its width should follow the STATE'S key cardinality, not the
+    * corpus scan width: a windowed agg over (window × type) or a per-user
+    * profile holds hundreds of keys, and 32 mostly-empty stores per batch
+    * is pure overhead. High-cardinality state (q74's per-event dedup) keeps
+    * a wider setting. */
+  private def withStreamWidth[A](s: SparkSession, n: Int)(body: => A): A = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions", "200")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -90,9 +106,11 @@ object StreamOps extends QueryModule {
                 col("event_type"), col("n"))
       val name = "graft_q73_sink"
       s.catalog.dropTempView(name)
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamWidth(s, 4) {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy(col("win_start"), col("event_type"))
     }),
 
@@ -127,10 +145,12 @@ object StreamOps extends QueryModule {
         }
       val name = "graft_q78_sink"
       s.catalog.dropTempView(name)
-      val q = profiled.toDF("user_id", "n_events", "min_eid", "max_eid")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamWidth(s, 4) {
+        val q = profiled.toDF("user_id", "n_events", "min_eid", "max_eid")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // running emissions are monotone per user (count grows, min shrinks,
       // max grows), so this aggregate selects each user's LATEST state even
       // if the source ever drains in more than one micro-batch
@@ -157,9 +177,11 @@ object StreamOps extends QueryModule {
         .select(col("event_id"), col("user_id"), col("event_type"))
       val name = "graft_q74_sink"
       s.catalog.dropTempView(name)
-      val q = dedup.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withStreamWidth(s, 8) {
+        val q = dedup.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.table(name).orderBy(col("event_id"))
     })
   )
