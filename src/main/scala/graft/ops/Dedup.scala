@@ -83,14 +83,23 @@ object Dedup extends QueryModule {
     * corpus. */
   private[graft] def simhashSignaturesOf(docs: DataFrame,
                                          wide: Boolean): DataFrame = {
+    // The 60 hash bits come from md5's first 15 hex nibbles. The ORACLE
+    // spells each bit as instr('0123456789abcdef', substr(h, b/4+1, 1))
+    // per bit; evaluating that 60× per (doc, token) row is ~120M substr
+    // allocations at sf0.1. Instead fold the 15 nibbles into ONE BIGINT
+    // with conv(substr(md5, 1, 15), 16, 10) — hex digit p (1-based) is
+    // then (hv >> 4*(15-p)) & 15, so bit b = (digit >> (b%4)) & 1 becomes
+    // the pure long shift (hv >> (4*(14 - b/4) + b%4)) & 1, value-equal to
+    // the oracle's per-nibble spelling (hash-checked by q66/q79/q83).
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val hv = expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
     if (!wide) {
-      tf.select(col("doc_id"), col("token"), col("tf"),
+      tf.select(col("doc_id"), hv.as("hv"), col("tf"),
                 explode(expr("sequence(0, 59)")).as("b"))
         .withColumn("bit", expr(
-          "(instr('0123456789abcdef', substr(md5(token), CAST(b DIV 4 AS INT) + 1, 1)) - 1) >> (b % 4) & 1"))
+          "shiftright(hv, 4 * (14 - CAST(b DIV 4 AS INT)) + CAST(b % 4 AS INT)) & 1"))
         .groupBy(col("doc_id"), col("b"))
         .agg(sum(when(col("bit") === 1, col("tf")).otherwise(-col("tf"))).as("w"))
         .groupBy(col("doc_id"))
@@ -98,14 +107,13 @@ object Dedup extends QueryModule {
           .otherwise(0L)).as("sh"))
     } else {
       val ws = (0 until 60).map { b =>
-        sum(when(expr(
-          s"(instr('0123456789abcdef', substr(h, ${b / 4 + 1}, 1)) - 1) >> ${b % 4} & 1") === 1,
+        sum(when(expr(s"shiftright(hv, ${4 * (14 - b / 4) + b % 4}) & 1") === 1,
           col("tf")).otherwise(-col("tf"))).as(s"w$b")
       }
       val sig = (0 until 60)
         .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
         .reduce(_ + _)
-      tf.withColumn("h", md5(col("token")))
+      tf.withColumn("hv", hv)
         .groupBy(col("doc_id")).agg(ws.head, ws.tail: _*)
         .select(col("doc_id"), sig.as("sh"))
     }

@@ -149,10 +149,10 @@ object TextOps extends QueryModule {
       // trick, so both engines derive identical ints; every step is exact
       // int64 arithmetic mod P=1048573 (no overflow: P*31+65535 << 2^63).
       // Stateless per-row projection — no shuffle, linear at any scale.
-      val tokenVal = (1 to 4)
-        .map(i => s"(instr('0123456789abcdef', substr(md5(t), $i, 1)) - 1) " +
-          s"* ${1 << (4 * (4 - i))}")
-        .mkString(" + ")
+      // value of the first 4 hex digits in one conversion (the oracle
+      // spells it per-nibble via instr/substr; Σ digit_i · 16^(4-i) over
+      // i=1..4 IS conv(first-4-hex-chars, 16, 10) — hash-checked)
+      val tokenVal = "CAST(conv(substr(md5(t), 1, 4), 16, 10) AS BIGINT)"
       T.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
