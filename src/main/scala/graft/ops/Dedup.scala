@@ -227,7 +227,10 @@ object Dedup extends QueryModule {
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     // one min-label propagation step: across every real edge (i, j) AND
-    // every pointer edge (lbl(n), n), the target takes the source's label
+    // every pointer edge (lbl(n), n), the target takes the source's label.
+    // (A broadcast-labels variant was measured at the fixture scale: no
+    // round-cost win over the width-pinned shuffle join, plus a per-round
+    // driver collect — rejected.)
     def step(l: DataFrame): DataFrame =
       edges.unionAll(l.select(col("lbl").as("i"), col("node").as("j")))
         .join(l.select(col("node").as("i"), col("lbl")), Seq("i"))
