@@ -80,7 +80,12 @@ class PropertySpec extends SparkSpec {
     check(Prop.forAll(edgeGen) { raw =>
       val es = raw.filter(p => p._1 != p._2).distinct
       es.isEmpty || {
-        val got = Dedup.resolveComponents(es.toDF("i", "j"))
+        // BOTH resolution paths must match the reference: smallLimit=0
+        // forces the iterative pointer-jumping loop, the default takes the
+        // single-task union-find base case on these small graphs
+        val viaLoop = Dedup.resolveComponents(es.toDF("i", "j"), smallLimit = 0L)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val viaUf = Dedup.resolveComponents(es.toDF("i", "j"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
         // driver-side union-find reference; union-by-min makes every root
         // the component minimum, which is exactly q79's survivor contract
@@ -95,8 +100,10 @@ class PropertySpec extends SparkSpec {
         }
         // totality first: a node-dropping regression must not pass just
         // because the surviving keys still agree with the reference
-        got.keySet == es.flatMap(p => Seq(p._1, p._2)).toSet &&
-          got == got.keys.map(n => n -> find(n)).toMap
+        val nodes = es.flatMap(p => Seq(p._1, p._2)).toSet
+        val ref = nodes.map(n => n -> find(n)).toMap
+        viaLoop.keySet == nodes && viaLoop == ref &&
+          viaUf.keySet == nodes && viaUf == ref
       }
     })
   }
@@ -107,7 +114,9 @@ class PropertySpec extends SparkSpec {
     // 1-2-3-...-10 needs ~log/diameter rounds, not one — the fixpoint loop
     // itself is under test, not just a star graph's single hop
     val chain = (1L until 10L).map(k => (k, k + 1)).toDF("i", "j")
-    val labels = Dedup.resolveComponents(chain)
+    // smallLimit = 0 forces the ITERATIVE path — this test pins the loop's
+    // convergence, which the union-find base case would otherwise bypass
+    val labels = Dedup.resolveComponents(chain, smallLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(labels == (1L to 10L).map(_ -> 1L).toMap,
       s"every chain node must resolve to 1, got $labels")
