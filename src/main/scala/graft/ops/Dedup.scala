@@ -347,7 +347,7 @@ object Dedup extends QueryModule {
     * Best-effort by construction: if a Spark version wraps the plan
     * differently, collect finds nothing and the blocks age out via
     * ContextCleaner GC exactly as before. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
     }
@@ -413,9 +413,13 @@ object Dedup extends QueryModule {
       // stage is exercised by planted ones — same engineered-corpus
       // discipline as q75, spelled identically in the oracle SQL).
       // Stage order matters and is the cheap-to-expensive order a real
-      // pipeline uses: the quality gate is a stateless projection, exact
-      // dedup one 16-byte-key shuffle, and only the surviving subset pays
-      // the SimHash banding + component resolution.
+      // pipeline uses: the quality gate is a stateless projection; exact
+      // dedup is one 16-byte-key aggregate plus one fingerprint join that
+      // moves each quality-surviving body exactly once (the survivor
+      // subset needs its text downstream, so one body movement is the
+      // floor — the token-level alternative shuffles the same bytes
+      // twice); and only the surviving subset pays the SimHash banding +
+      // component resolution.
       val base = T.documents(s, d).select(col("doc_id"), col("text"), col("n_chars"))
       val planted = base.filter(pmod(col("doc_id"), lit(25)) === 0)
         .select((col("doc_id") + lit(10000000L)).as("doc_id"),

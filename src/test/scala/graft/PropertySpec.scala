@@ -122,6 +122,32 @@ class PropertySpec extends SparkSpec {
       s"every chain node must resolve to 1, got $labels")
   }
 
+  test("q79 loop releases superseded checkpoints and restores session conf") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // releaseCheckpoint must actually free a localCheckpoint's blocks —
+    // were the LogicalRDD match to silently stop applying on a Spark
+    // upgrade, the loop would regress to GC-paced storage growth
+    val cp = Seq((1L, 2L), (3L, 4L)).toDF("node", "lbl").localCheckpoint(true)
+    val rdds = cp.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }
+    assert(rdds.nonEmpty && rdds.forall(_.getStorageLevel.useMemory),
+      "a materialized localCheckpoint must be backed by a persisted LogicalRDD")
+    Dedup.releaseCheckpoint(cp)
+    assert(rdds.forall(_.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
+      "releaseCheckpoint must unpersist the checkpoint's RDD")
+    // and the iterative path must put the session conf back exactly as it
+    // found it (it pins AQE + shuffle width for the duration of the loop)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    Dedup.resolveComponents(
+      (1L until 6L).map(k => (k, k + 1)).toDF("i", "j"), smallLimit = 0L)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == aqe &&
+      spark.conf.get("spark.sql.shuffle.partitions") == parts,
+      "resolveComponents must restore the session conf it pinned")
+  }
+
   test("q82 merge fold is exact BPE against a piece-list reference") {
     import spark.implicits._
     import graft.ops.TextOps
