@@ -98,12 +98,21 @@ object Dedup extends QueryModule {
     // then (hv >> 4*(15-p)) & 15, so bit b = (digit >> (b%4)) & 1 becomes
     // the pure long shift (hv >> (4*(14 - b/4) + b%4)) & 1, value-equal to
     // the oracle's per-nibble spelling (hash-checked by q66/q79/q83).
+    //
+    // The tf aggregate groups by (doc, hv) rather than (doc, token): a
+    // token's ONLY downstream effect is its hash's bit pattern, and two
+    // tokens sharing hv contribute identical ±tf terms to every w_b, so
+    // regrouping the exact-integer sums by hv is value-identical to the
+    // oracle's per-token grouping while the shuffle carries an 8-byte
+    // long instead of the token string (hash computed map-side, before
+    // the exchange).
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val hv = expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)")
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+      .groupBy(col("doc_id"), col("hv")).agg(count(lit(1)).as("tf"))
     if (!wide) {
-      tf.select(col("doc_id"), hv.as("hv"), col("tf"),
+      tf.select(col("doc_id"), col("hv"), col("tf"),
                 explode(expr("sequence(0, 59)")).as("b"))
         .withColumn("bit", expr(
           "shiftright(hv, 4 * (14 - CAST(b DIV 4 AS INT)) + CAST(b % 4 AS INT)) & 1"))
@@ -120,8 +129,7 @@ object Dedup extends QueryModule {
       val sig = (0 until 60)
         .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
         .reduce(_ + _)
-      tf.withColumn("hv", hv)
-        .groupBy(col("doc_id")).agg(ws.head, ws.tail: _*)
+      tf.groupBy(col("doc_id")).agg(ws.head, ws.tail: _*)
         .select(col("doc_id"), sig.as("sh"))
     }
   }
