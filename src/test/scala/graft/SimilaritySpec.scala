@@ -196,6 +196,19 @@ class SimilaritySpec extends SparkSpec {
         s"(${explode.size} vs ${wide.size} signatures)")
   }
 
+  test("q66 signature build never shuffles token strings") {
+    // the tf aggregate groups by (doc, 60-bit hash); if a regression
+    // reintroduced per-token grouping, the exchange would carry the token
+    // attribute — same discipline as q81's no-body-shuffle check
+    val plan = SparkEntry.queries("q66_dedup_simhash")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    val tokenAttr = """(?<![A-Za-z0-9_])token#\d+""".r
+    assert(exchanges.nonEmpty &&
+      !exchanges.exists(l => tokenAttr.findFirstIn(l).isDefined),
+      s"token strings must never shuffle; exchanges:\n${exchanges.mkString("\n")}")
+  }
+
   test("graft_cosine native expression is bitwise-identical to the HOF fold") {
     import org.apache.spark.sql.functions.{broadcast, col, expr}
     val e = Tables.embeddings(spark, sf)
