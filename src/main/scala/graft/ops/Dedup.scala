@@ -202,7 +202,7 @@ object Dedup extends QueryModule {
     *    (labels are node ids and lbl(m) ≤ m is an invariant), so the old
     *    self branch never won the min anyway;
     *  - the loop's width follows the GRAPH, not the corpus: edges are
-    *    coalesced to ~2M rows/partition (clamped by the session's
+    *    coalesced to ~250k rows/partition (clamped by the session's
     *    parallelism), so a small pair graph doesn't run 32-task waves per
     *    stage. At 100 TB the pair graph is still orders of magnitude
     *    smaller than the corpus — sizing the fixpoint loop to the corpus'
@@ -283,7 +283,7 @@ object Dedup extends QueryModule {
     }
     val sc = p.sparkSession.sparkContext
     val nparts = math.max(1L, math.min(sc.defaultParallelism * 4L,
-      nPairs * 2 / 2000000L + 1)).toInt
+      nPairs * 2 / 250000L + 1)).toInt
     val edges = p.select(col("i"), col("j"))
       .unionAll(p.select(col("j").as("i"), col("i").as("j")))
       .coalesce(nparts)

@@ -48,6 +48,21 @@ object StreamOps extends QueryModule {
     try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  /** The file-stream source needs an explicit schema; the fixture tables
+    * are immutable, so the footer read that derives it is memoized per
+    * (session, table path) instead of running a listing + footer job on
+    * every query construction. Weak session keys: a stopped session must
+    * not be pinned by its cache entry. */
+  private val schemaCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, StructType]]
+  private def eventsSchema(s: SparkSession, d: String): StructType =
+    synchronized {
+      schemaCache
+        .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, s.read.parquet(s"$d/events.parquet").schema)
+    }
+
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,7 +108,7 @@ object StreamOps extends QueryModule {
       // are exercised in StreamSpec via MemoryStream. No SQL oracle
       // (streaming runtime) — the driver records a rows-only check.
       // (nanosAsLong comes from the session builder — see Tables.events.)
-      val sch = s.read.parquet(s"$d/events.parquet").schema
+      val sch = eventsSchema(s, d)
       // file stream source lists a DIRECTORY; select just the events table
       val src = s.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)
@@ -126,7 +141,7 @@ object StreamOps extends QueryModule {
       // other) is pinned in StreamSpec with MemoryStream.
       import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val sch = s.read.parquet(s"$d/events.parquet").schema
+      val sch = eventsSchema(s, d)
       val src = s.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .select(col("user_id"), col("event_id")).as[(Long, Long)]
@@ -166,7 +181,7 @@ object StreamOps extends QueryModule {
       // is dropped once the watermark passes, keeping memory bounded on an
       // unbounded stream. Fixture event_ids are unique, so the output is
       // the full stream; duplicate-drop behavior is pinned in StreamSpec.
-      val sch = s.read.parquet(s"$d/events.parquet").schema
+      val sch = eventsSchema(s, d)
       val src = s.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)
       val dedup = src
