@@ -226,7 +226,7 @@ object Dedup extends QueryModule {
     * union-find pass walks in milliseconds. Such graphs are the COMMON
     * case at every scale: the pair graph of a deduplicated batch is
     * orders of magnitude smaller than the corpus (sf0.1: 512 pairs from
-    * 20k docs; the ×10 probe: 187k pairs from 50k docs). The base case
+    * 5k docs; the ×10 probe: 187k pairs from 50k docs). The base case
     * runs the union-find INSIDE one executor task over the coalesced pair
     * partition — not a driver collect; the driver never sees a row — and
     * the loop remains the path for graphs past the threshold. Both paths
