@@ -11,6 +11,17 @@ class StreamSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("stream drains restore the session conf they pin") {
+    // q73/q74/q78 pin the shuffle width (= state-store count) for their
+    // drain; a restoration regression would silently re-plan every later
+    // batch query in the session at the drain's width
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    SparkEntry.queries("q73_stream_watermark")(spark, sf).count()
+    SparkEntry.queries("q74_stream_dedup_state")(spark, sf).count()
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == parts,
+      "the streaming drain must restore spark.sql.shuffle.partitions")
+  }
+
   test("q73 semantics: watermark drops late events and finalizes windows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
