@@ -78,7 +78,10 @@ class PropertySpec extends SparkSpec {
         a <- Gen.chooseNum(0L, 9L); b <- Gen.chooseNum(0L, 9L)
       } yield (math.min(a, b), math.max(a, b)))
     check(Prop.forAll(edgeGen) { raw =>
-      val es = raw.filter(p => p._1 != p._2).distinct
+      // duplicates and self-loops stay IN: q66's band join emits distinct
+      // canonical pairs today, but resolution must not silently depend on
+      // that — a dup edge or (n, n) loop is semantically a no-op
+      val es = raw
       es.isEmpty || {
         // BOTH resolution paths must match the reference: smallLimit=0
         // forces the iterative pointer-jumping loop, the default takes the
