@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
   * ~2 rounds; chains need the pointer jumping). Expected rounds ≈
   * log₂(100) + detection ≈ 8–9.
   *
-  * Usage: SPARK_GRAFT_CPUS=16 runMain graft.CCProbe [nPairs]
+  * Usage: SPARK_GRAFT_CPUS=16 runMain graft.CCProbe [nPairs] [uf|loop]
+  * — the optional 2nd arg FORCES a resolution path (overriding the 1M
+  * threshold) so the crossover itself can be measured, not assumed.
   * (GRAFT_CC_DEBUG=1 for per-round timings.) Results recorded in SCALE.md.
   */
 object CCProbe {
   def main(args: Array[String]): Unit = {
     val nPairs = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val forced: Option[String] = args.drop(1).headOption
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,8 +44,13 @@ object CCProbe {
     val edges = spark.range(chains * 100)
       .filter(col("id") % 100 =!= 99)
       .select(col("id").as("i"), (col("id") + 1).as("j"))
+    val limit = forced match {
+      case Some("uf")   => Long.MaxValue
+      case Some("loop") => 0L
+      case _            => graft.ops.Dedup.SmallGraphPairLimit
+    }
     val t0 = System.nanoTime()
-    val labels = graft.ops.Dedup.resolveComponents(edges.toDF())
+    val labels = graft.ops.Dedup.resolveComponents(edges.toDF(), limit)
     val agg = labels.agg(count(lit(1)).as("n"), sum(col("lbl")).as("s")).head
     val sec = (System.nanoTime() - t0) / 1e9
     val (nNodes, lblSum) = (agg.getLong(0), agg.getLong(1))
@@ -51,7 +59,7 @@ object CCProbe {
     val expectSum = 10000L * chains * (chains - 1) / 2
     val ok = nNodes == chains * 100 && lblSum == expectSum
     println(s"""{"cc_probe":{"pairs":$actualPairs,"nodes":$nNodes,""" +
-      s""""path":"${if (actualPairs <= graft.ops.Dedup.SmallGraphPairLimit) "union-find" else "iterative"}",""" +
+      s""""path":"${if (actualPairs <= limit) "union-find" else "iterative"}",""" +
       s""""sec":${math.round(sec * 1000) / 1000.0},"labels_ok":$ok}}""")
     spark.stop()
   }

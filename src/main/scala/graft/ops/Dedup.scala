@@ -25,12 +25,20 @@ import graft.{QueryModule, Tables => T}
   */
 object Dedup extends QueryModule {
 
-  /** Pair-count ceiling for [[resolveComponents]]' single-task union-find
-    * base case: 1M (i, j) pairs ≈ 16 MB of edge data and ≤ 2M hash-map
-    * entries (~200 MB transient) in the one resolving task — comfortable
-    * for any executor sized to shuffle real data. Past it, the iterative
-    * pointer-jumping loop takes over. */
+  /** Default pair-count ceiling for [[resolveComponents]]' single-task
+    * union-find base case: 1M (i, j) pairs ≈ 16 MB of edge data and ≤ 2M
+    * hash-map entries (~200 MB transient) in the one resolving task —
+    * comfortable for any executor sized to shuffle real data. The measured
+    * crossover is MUCH higher (CCProbe, local[16]: union-find still beats
+    * the iterative loop 6× at 8M pairs — 11.2 s vs 70.2 s — and scales
+    * linearly), so the bound is executor MEMORY, not speed: ~100 MB of
+    * transient hash map per 1M pairs. Deployments with roomy executors
+    * raise it via `spark.graft.cc.ufMaxPairs`; the iterative
+    * pointer-jumping loop takes over past the limit. */
   private[graft] val SmallGraphPairLimit = 1000000L
+
+  /** Session-conf override for the union-find ceiling (pairs). */
+  private[graft] val UfMaxPairsKey = "spark.graft.cc.ufMaxPairs"
 
   /** doc_id + distinct 3-token shingles, one row per (doc, shingle). */
   private[ops] def shingles(s: SparkSession, d: String): DataFrame =
@@ -236,7 +244,7 @@ object Dedup extends QueryModule {
     * Returns (node, lbl) for every node that appears in some pair. */
   private[graft] def resolveComponents(
       pairs: DataFrame,
-      smallLimit: Long = SmallGraphPairLimit): DataFrame = {
+      smallLimit: Long = -1L): DataFrame = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (debug) {
@@ -247,7 +255,13 @@ object Dedup extends QueryModule {
     val p = pairs.persist()
     val nPairs = p.count()
     lap("pairs materialize")
-    if (nPairs <= smallLimit) {
+    // negative smallLimit (the default) = resolve from the session conf;
+    // callers pass an explicit value only to force a path (tests, probes)
+    val limit =
+      if (smallLimit >= 0) smallLimit
+      else p.sparkSession.conf
+        .get(UfMaxPairsKey, SmallGraphPairLimit.toString).toLong
+    if (nPairs <= limit) {
       val sp = p.sparkSession
       import sp.implicits._
       // Eager checkpoint: downstream consumers reference the labels frame
