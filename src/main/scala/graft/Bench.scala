@@ -20,9 +20,13 @@ object Bench {
     // across rounds. q67's construction also stages its IVF serving table
     // and memoizes the probe cells — the per-session index build belongs
     // here, not inside a timed iteration.
-    SparkEntry.queries("q01_scan_project")(spark, sfDir).count()
-    SparkEntry.queries("q21_agg_groupby")(spark, sfDir).count()
-    SparkEntry.queries("q67_sim_ivf")(spark, sfDir).count()
+    // best-effort: a warmup failure must not kill the whole bench — the
+    // failing query will be timed (and its error recorded) below anyway
+    Seq("q01_scan_project", "q21_agg_groupby", "q67_sim_ivf").foreach { w =>
+      try SparkEntry.queries(w)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
+    }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
