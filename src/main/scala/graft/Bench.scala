@@ -21,10 +21,12 @@ object Bench {
     // and memoizes the probe cells — the per-session index build belongs
     // here, not inside a timed iteration.
     // best-effort: a warmup failure must not kill the whole bench — the
-    // failing query will be timed (and its error recorded) below anyway
+    // failing query will be timed (and its error recorded) below anyway.
+    // NonFatal only: an OOM/LinkageError here means a corrupted JVM whose
+    // numbers would be garbage — let it crash the run instead.
     Seq("q01_scan_project", "q21_agg_groupby", "q67_sim_ivf").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
     }
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -66,9 +68,18 @@ object Bench {
     // of letting the top-level runs_per_query overstate it
     val runCounts = results.map { case (k, _, _, _, n) => jstr(k) + ":" + n }
       .mkString("{", ",", "}")
-    val qs = results.map { case (k, med, _, _, _) => jstr(k) + ":" + med }
+    // stdout timings are rounded to 0.1 ms: the driver captures a bounded
+    // TAIL of stdout, and full-precision doubles pushed the 69-query line
+    // past the window twice (BENCH_r06/r07 lost their head mid-line and
+    // failed to parse); 4 decimals keeps the whole line ~2 KB. The
+    // full-precision medians + per-query mins land in target/bench_full
+    // .json for local cross-round comparison.
+    def r4(d: Double): Double = math.rint(d * 10000) / 10000
+    val qs = results.map { case (k, med, _, _, _) => jstr(k) + ":" + r4(med) }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn, _, _) => jstr(k) + ":" + mn }
+      .mkString("{", ",", "}")
+    val qsFull = results.map { case (k, med, _, _, _) => jstr(k) + ":" + med }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(m), _) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
@@ -76,7 +87,19 @@ object Bench {
     // query's negated time would make the round total look FASTER than a
     // clean run; the errors map is the failure signal
     val total = results.collect { case (_, med, _, None, _) => med }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"runs":$runCounts,"queries":$qs,"min":$mins,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // file copies survive any stdout capture truncation
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"runs":$runCounts,"queries":$qsFull,"min":$mins,"errors":$errs,"sf":"$sfDir"}"""
+    try {
+      val dir = java.nio.file.Paths.get("target")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("bench.json"),
+        (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("bench_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

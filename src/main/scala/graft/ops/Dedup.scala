@@ -220,10 +220,12 @@ object Dedup extends QueryModule {
     *    unchanged ⟺ every label unchanged — ONE aggregate action per round
     *    (which also materializes the lazy checkpoint), no join;
     *  - the rounds run with AQE disabled and the shuffle width pinned to
-    *    the graph-sized nparts (session conf saved/restored): each round
-    *    is a short fixed pipeline whose shapes are fully known here, and
-    *    AQE's per-stage materialize-and-replan was measured at ~40% of the
-    *    round latency on the fixture graph;
+    *    the graph-sized nparts — in a CHILD session (own SQLConf, shared
+    *    context/cache), so concurrent work in the caller's session is
+    *    never planned under the loop's conf: each round is a short fixed
+    *    pipeline whose shapes are fully known here, and AQE's per-stage
+    *    materialize-and-replan was measured at ~40% of the round latency
+    *    on the fixture graph;
     *  - each round's localCheckpoint blocks are RELEASED as soon as the
     *    next round has materialized (the superseded round is never read
     *    again), so a long-lived session resolving many graphs doesn't
@@ -287,7 +289,12 @@ object Dedup extends QueryModule {
             // so find(n) at the end IS the q79 survivor label
             if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
           }
-          parent.keysIterator.map(n => (n, find(n))).toList.iterator
+          // snapshot the keys before the final find() sweep: find() path-
+          // compresses (value writes) while we iterate, and mutation under
+          // keysIterator — even non-structural — is fragile across map
+          // implementations
+          val ks = parent.keys.toArray
+          ks.iterator.map(n => (n, find(n)))
         }
         .toDF("node", "lbl")
         .localCheckpoint(true)
@@ -295,13 +302,29 @@ object Dedup extends QueryModule {
       p.unpersist()
       return labels
     }
-    val sc = p.sparkSession.sparkContext
+    val sp = p.sparkSession
+    val sc = sp.sparkContext
     val nparts = math.max(1L, math.min(sc.defaultParallelism * 4L,
       nPairs * 2 / 250000L + 1)).toInt
-    val edges = p.select(col("i"), col("j"))
+    // CONF ISOLATION (round-7 advice): the loop wants AQE off and the
+    // shuffle width pinned to the graph-sized nparts. Mutating the caller's
+    // session conf races any concurrently-planned query (suites share one
+    // session), so the loop runs in a CHILD session instead —
+    // `newSession()` shares the SparkContext, cache and catalog but owns
+    // its SQLConf, so nothing outside this method can ever be planned
+    // under the loop's conf and there is nothing to restore. The edge
+    // pipeline is carried over as an RDD handle (session-agnostic; it
+    // still reads the persisted `p` blocks), and every frame that escapes
+    // is a materialized localCheckpoint (a LogicalRDD leaf), so downstream
+    // consumers compose with parent-session frames with no conf or catalog
+    // dependency on the child.
+    val child = sp.newSession()
+    child.conf.set("spark.sql.adaptive.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions", nparts.toString)
+    val edgePipe = p.select(col("i"), col("j"))
       .unionAll(p.select(col("j").as("i"), col("i").as("j")))
       .coalesce(nparts)
-      .persist()
+    val edges = child.createDataFrame(edgePipe.rdd, edgePipe.schema).persist()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("lbl")), lit(0L))).head.getLong(0)
     // one min-label propagation step: across every real edge (i, j) AND
@@ -314,21 +337,12 @@ object Dedup extends QueryModule {
         .join(l.select(col("node").as("i"), col("lbl")), Seq("i"))
         .groupBy(col("j")).agg(min(col("lbl")).as("lbl"))
         .select(col("j").as("node"), col("lbl"))
-    val conf = p.sparkSession.conf
-    val savedAqe = conf.get("spark.sql.adaptive.enabled", "true")
-    val savedParts = conf.get("spark.sql.shuffle.partitions", "200")
     var labels: DataFrame = null
     try {
-      // The loop's per-round latency is pure scheduling overhead once the
-      // graph is partition-sized: AQE turns each tiny round into several
-      // sequentially-materialized query stages with replanning between
-      // them. The loop already right-sizes its own width (nparts follows
-      // the graph), so run the rounds with AQE off and the shuffle width
-      // pinned to nparts, and restore the session conf after. Every frame
-      // that escapes this block is a materialized localCheckpoint, so no
-      // downstream plan re-executes under the loop's conf.
-      conf.set("spark.sql.adaptive.enabled", "false")
-      conf.set("spark.sql.shuffle.partitions", nparts.toString)
+      // AQE off + pinned width (on the CHILD conf): each round is a short
+      // fixed pipeline whose shapes are fully known here, and AQE's
+      // per-stage materialize-and-replan was measured at ~40% of the round
+      // latency on the fixture graph.
       labels = edges.groupBy(col("i")).agg(min(col("j")).as("mn"))
         .select(col("i").as("node"), least(col("i"), col("mn")).as("lbl"))
         .localCheckpoint(false)
@@ -352,13 +366,20 @@ object Dedup extends QueryModule {
         round += 1
         lap(s"round $round")
       }
+      labels
+    } catch {
+      // on failure the in-flight round's checkpoint blocks are released
+      // eagerly (nobody will ever read them); on success `labels` escapes
+      // to the caller and must stay materialized
+      case t: Throwable =>
+        if (labels != null) releaseCheckpoint(labels)
+        throw t
     } finally {
-      conf.set("spark.sql.adaptive.enabled", savedAqe)
-      conf.set("spark.sql.shuffle.partitions", savedParts)
+      // cached blocks are freed on BOTH exits — before this lived after the
+      // try and leaked edges/p on any loop failure until ContextCleaner GC
+      edges.unpersist()
+      p.unpersist()
     }
-    edges.unpersist()
-    p.unpersist()
-    labels
   }
 
   /** Drop a superseded localCheckpoint's storage blocks. The checkpointed

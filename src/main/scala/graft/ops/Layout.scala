@@ -41,7 +41,18 @@ object Layout {
     * warehouse). Two live processes pointed at the SAME warehouse are
     * unsupported — the marker guard narrows but cannot close that
     * cross-process race (`synchronized` is per-JVM), same as any
-    * filesystem-catalog engine without a lock service. */
+    * filesystem-catalog engine without a lock service.
+    *
+    * RECOVERY: a crash BETWEEN `saveAsTable` and `markStaged` leaves a
+    * written-but-unmarked location that this guard will (correctly, by its
+    * own rule) never reclaim, so a later cross-session restage fails with
+    * LOCATION_ALREADY_EXISTS. The operator fix is to delete that location
+    * by hand (`rm -r <warehouse>/<table>`) — safe because an unmarked
+    * directory under a graft warehouse is by construction a torn staging
+    * write, never live data (live stagings are marked in the same JVM
+    * instant they finish). With the session-unique temp warehouses every
+    * main/test uses, the window only matters to a deployment that points
+    * repeated JVMs at one persistent warehouse. */
   private def dropStaleLocation(df: DataFrame, table: String): Unit = {
     val s = df.sparkSession
     if (!s.catalog.tableExists(table)) {

@@ -32,35 +32,41 @@ object StreamOps extends QueryModule {
       col("event_id"), col("user_id"), col("event_type"), col("value"),
       T.tsUs(col("ts")).as("ts"))
 
-  /** Drain a streaming pipeline with the shuffle width — which for a
-    * stateful streaming operator is ALSO the state-store instance count —
-    * pinned to `n` (session conf saved/restored; the micro-batch planner
-    * reads the conf while `body` runs). A stateful operator pays per-store
-    * per-batch fixed cost (delta file + commit per partition per batch),
-    * so its width should follow the STATE'S key cardinality, not the
-    * corpus scan width: a windowed agg over (window × type) or a per-user
-    * profile holds hundreds of keys, and 32 mostly-empty stores per batch
-    * is pure overhead. High-cardinality state (q74's per-event dedup) keeps
-    * a wider setting. */
-  private def withStreamWidth[A](s: SparkSession, n: Int)(body: => A): A = {
-    val saved = s.conf.get("spark.sql.shuffle.partitions", "200")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  /** A CHILD session with the shuffle width — which for a stateful
+    * streaming operator is ALSO the state-store instance count — pinned to
+    * `n`. A stateful operator pays per-store per-batch fixed cost (delta
+    * file + commit per partition per batch), so its width should follow
+    * the STATE'S key cardinality, not the corpus scan width: a windowed
+    * agg over (window × type) or a per-user profile holds hundreds of
+    * keys, and 32 mostly-empty stores per batch is pure overhead.
+    * High-cardinality state (q74's per-event dedup) keeps a wider setting.
+    *
+    * Round-7 advice: pinning used to mutate the CALLER'S session conf
+    * (saved/restored), which races any concurrently-planned query in the
+    * sharing suites. `newSession()` shares the SparkContext and cache but
+    * owns its SQLConf, so the width pin is invisible outside the drain;
+    * the memory-sink temp view lands in the child's catalog and the
+    * returned frame reads it from there (frames compose across sessions of
+    * one context — execution binds to the frame's own session). A fresh
+    * child per drain also retires the dropTempView preamble: no stale
+    * sink view can exist. */
+  private def streamSession(s: SparkSession, n: Int): SparkSession = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", n.toString)
+    child
   }
 
   /** The file-stream source needs an explicit schema; the fixture tables
     * are immutable, so the footer read that derives it is memoized per
-    * (session, table path) instead of running a listing + footer job on
-    * every query construction. Weak session keys: a stopped session must
-    * not be pinned by its cache entry. */
-  private val schemaCache =
-    new scala.collection.mutable.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, StructType]]
+    * table PATH (paths are content-stable here) instead of running a
+    * listing + footer job on every query construction. Keyed by path, not
+    * session: the per-drain child sessions would miss a session-keyed
+    * cache every time, and a StructType holds no session reference so
+    * nothing is pinned. */
+  private val schemaCache = scala.collection.mutable.Map.empty[String, StructType]
   private def eventsSchema(s: SparkSession, d: String): StructType =
     synchronized {
-      schemaCache
-        .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-        .getOrElseUpdate(d, s.read.parquet(s"$d/events.parquet").schema)
+      schemaCache.getOrElseUpdate(d, s.read.parquet(s"$d/events.parquet").schema)
     }
 
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
@@ -108,9 +114,10 @@ object StreamOps extends QueryModule {
       // are exercised in StreamSpec via MemoryStream. No SQL oracle
       // (streaming runtime) — the driver records a rows-only check.
       // (nanosAsLong comes from the session builder — see Tables.events.)
-      val sch = eventsSchema(s, d)
+      val c = streamSession(s, 4)
+      val sch = eventsSchema(c, d)
       // file stream source lists a DIRECTORY; select just the events table
-      val src = s.readStream.schema(sch)
+      val src = c.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)
       val agg = src
         .select(T.tsUs(col("ts")).as("ts"), col("event_type"))
@@ -120,13 +127,10 @@ object StreamOps extends QueryModule {
         .select(date_format(col("w.start"), Fmt).as("win_start"),
                 col("event_type"), col("n"))
       val name = "graft_q73_sink"
-      s.catalog.dropTempView(name)
-      withStreamWidth(s, 4) {
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(name).orderBy(col("win_start"), col("event_type"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      c.table(name).orderBy(col("win_start"), col("event_type"))
     }),
 
     "q78_stream_custom_state" -> ((s, d) => {
@@ -139,10 +143,11 @@ object StreamOps extends QueryModule {
       // the batch GROUP BY, which is what the DuckDB oracle runs; the
       // cross-batch running-state behavior (emissions superseding each
       // other) is pinned in StreamSpec with MemoryStream.
-      import s.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-      val sch = eventsSchema(s, d)
-      val src = s.readStream.schema(sch)
+      val c = streamSession(s, 4)
+      import c.implicits._
+      val sch = eventsSchema(c, d)
+      val src = c.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .select(col("user_id"), col("event_id")).as[(Long, Long)]
       val profiled = src.groupByKey(_._1)
@@ -159,17 +164,14 @@ object StreamOps extends QueryModule {
             Iterator((user, n, mn, mx))
         }
       val name = "graft_q78_sink"
-      s.catalog.dropTempView(name)
-      withStreamWidth(s, 4) {
-        val q = profiled.toDF("user_id", "n_events", "min_eid", "max_eid")
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
+      val q = profiled.toDF("user_id", "n_events", "min_eid", "max_eid")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
       // running emissions are monotone per user (count grows, min shrinks,
       // max grows), so this aggregate selects each user's LATEST state even
       // if the source ever drains in more than one micro-batch
-      s.table(name).groupBy(col("user_id"))
+      c.table(name).groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
              min(col("min_eid")).as("min_eid"),
              max(col("max_eid")).as("max_eid"))
@@ -181,8 +183,9 @@ object StreamOps extends QueryModule {
       // is dropped once the watermark passes, keeping memory bounded on an
       // unbounded stream. Fixture event_ids are unique, so the output is
       // the full stream; duplicate-drop behavior is pinned in StreamSpec.
-      val sch = eventsSchema(s, d)
-      val src = s.readStream.schema(sch)
+      val c = streamSession(s, 8)
+      val sch = eventsSchema(c, d)
+      val src = c.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)
       val dedup = src
         .select(col("event_id"), col("user_id"), col("event_type"),
@@ -191,13 +194,10 @@ object StreamOps extends QueryModule {
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("user_id"), col("event_type"))
       val name = "graft_q74_sink"
-      s.catalog.dropTempView(name)
-      withStreamWidth(s, 8) {
-        val q = dedup.writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(name).orderBy(col("event_id"))
+      val q = dedup.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      c.table(name).orderBy(col("event_id"))
     })
   )
 
