@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, SrpSign}
+import graft.expressions.{BpeEncode, CosineSimilarity, SrpSign}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all of the
@@ -14,6 +14,9 @@ import graft.expressions.{CosineSimilarity, SrpSign}
   *    formulation mirrored by the DuckDB oracles.
   *  - `graft_srp_sign(a)` — 64-bit sign-random-projection LSH signature
   *    ([[graft.expressions.SrpSign]]), the banded embedding near-dup path.
+  *  - `graft_bpe_encode(token, merges)` — BPE pieces of a token under a
+  *    constant merge table ([[graft.expressions.BpeEncode]]), the
+  *    tokenizer-scale apply path (cost independent of table size).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -40,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a) => SrpSign(a)
         case other => wrongArgs("graft_srp_sign", 1, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => children match {
+        case Seq(t, m) => BpeEncode(t, m)
+        case other => wrongArgs("graft_bpe_encode", 2, other.size)
       }))
   }
 }

@@ -74,6 +74,43 @@ object Ingest {
     df
   }
 
+  /** A10: the reference's ACTUAL sink — a relational database. The
+    * reference loads its final table into Postgres with COPY
+    * (/root/reference/dags/patient_claims_plus_postgres.py:55-56, 187-189);
+    * on Spark that sink is `df.write.format("jdbc")`, which opens one
+    * connection PER PARTITION and streams batched INSERTs — the
+    * distributed analog of COPY (the reference funnels everything through
+    * one driver-side connection; here each executor loads its own
+    * partitions concurrently).
+    *
+    * Scale notes for a 100 TB pipeline: the write parallelism IS the
+    * DataFrame's partition count — `coalesce` down if the target DB can't
+    * take hundreds of concurrent loaders; `batchsize` (default 1000)
+    * trades round-trips for target-side memory; `truncate=true` keeps the
+    * target's DDL/indexes on overwrite instead of drop+recreate.
+    * `overwrite` matches the reference's drop-and-reload
+    * (patient_claims_plus_postgres.py:182-186). The zero-egress test env
+    * has no Postgres; IngestSpec exercises this against embedded Derby —
+    * same code path (JdbcRelationProvider), different dialect. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "overwrite",
+                options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(mode).format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options)
+      .save()
+
+  /** A10's read half: a JDBC table as a DataFrame. For a big table pass
+    * `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions` in
+    * `options` so the scan issues one range query per partition instead
+    * of a single-connection full read. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options)
+      .load()
+
   /** A2/A4: download/extract integrity — fail if the path is missing or
     * holds zero bytes (the reference's post-download and post-unzip checks,
     * cms_inpatient_download_unzip.py:38-39, 54-56). */

@@ -66,26 +66,48 @@ object TextOps extends QueryModule {
         s"replace($acc, '~${sqlLit(a.replace(" ", "~~"))}~', '~${sqlLit(b)}~')"
     }
 
+  /** A merge table as the constant ARRAY<STRING> literal
+    * [[graft.expressions.BpeEncode]] takes ('a b' rows, rank = position).
+    * Empty tables still need a typed empty array. */
+  private[graft] def bpeMergesArrayExpr(merges: Seq[(String, String)]): String =
+    if (merges.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+    else merges.map(m => s"'${sqlLit(m._1)}'").mkString("array(", ", ", ")")
+
+  /** The native-Expression piece render of token column `t` under a merge
+    * table: `graft_bpe_encode` pieces — value-identical to
+    * `filter(split(bpeMergedExpr(merges), '~'), p -> p != '')` for every
+    * valid table (PropertySpec pins it), at O(len²)-per-token cost
+    * INDEPENDENT of table size (the fold is O(ranks × len) and splices
+    * one replace() per rank into the plan). */
+  private[graft] def bpeNativePieces(merges: Seq[(String, String)]): String =
+    s"graft_bpe_encode(t, ${bpeMergesArrayExpr(merges)})"
+
   /** BPE TRAINING — learn `ranks` merges from a (text) corpus, the
     * tokenizer-fitting counterpart of q82's apply step (Sennrich et al.,
     * ACL 2016, algorithm 1): each rank re-encodes the corpus under the
-    * merges learned so far (the same piece-delimited replace fold the
-    * apply step uses, so train and apply can never disagree), counts
-    * ADJACENT PIECE PAIRS with one distributed aggregation (shuffle
-    * carries (pair, partial count) rows — bounded by the piece-pair
-    * vocabulary, never the corpus), and merges the most frequent pair.
-    * Like [[graft.ops.Similarity.ivfTrainedCentroids]], this is an
-    * offline training job: the only driver-side value per rank is the
-    * single winning pair (ties broken (count desc, pair asc) so the
-    * learned table is deterministic and replay-stable). */
+    * merges learned so far, counts ADJACENT PIECE PAIRS with one
+    * distributed aggregation (shuffle carries (pair, partial count) rows —
+    * bounded by the piece-pair vocabulary, never the corpus), and merges
+    * the most frequent pair. Like
+    * [[graft.ops.Similarity.ivfTrainedCentroids]], this is an offline
+    * training job: the only driver-side value per rank is the single
+    * winning pair (ties broken (count desc, pair asc) so the learned
+    * table is deterministic and replay-stable).
+    *
+    * The per-rank re-encode runs through the native
+    * [[graft.expressions.BpeEncode]] (value-identical to the replace fold
+    * for every learnable table — PropertySpec pins fold == native on the
+    * learned output), which removes the fold's O(ranks² × len) total
+    * re-encode cost: rank r's pass no longer pays r nested replace()s per
+    * token, so training to tokenizer-scale rank counts stays linear in
+    * ranks. */
   private[graft] def learnBpeMerges(docs: DataFrame,
                                     ranks: Int): Seq[(String, String)] = {
     val toks = docs.select(explode(split(col("text"), " ")).as("t"))
     var merges = Vector.empty[(String, String)]
     for (_ <- 0 until ranks) {
       val top = toks
-        .selectExpr(s"${bpeMergedExpr(merges)} AS m")
-        .selectExpr("filter(split(m, '~'), p -> p != '') AS ps")
+        .selectExpr(s"${bpeNativePieces(merges)} AS ps")
         .filter(expr("size(ps) >= 2"))
         .selectExpr(
           "explode(transform(sequence(0, size(ps) - 2), i -> struct(ps[i] AS a, ps[i+1] AS b))) AS pr")
@@ -210,6 +232,27 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    "q85_text_bpe_native" -> ((s, d) =>
+      // q82's contract served by the NATIVE apply path: identical output
+      // columns (and the identical DuckDB oracle), but n_pieces_bpe comes
+      // from graft_bpe_encode — the greedy lowest-rank-first algorithm
+      // whose per-token cost is independent of merge-table size — instead
+      // of the spliced replace() fold. Oracle-green here proves the
+      // production-shape tokenizer path end-to-end, not just in a spec;
+      // fold == native equivalence on valid tables is additionally pinned
+      // in PropertySpec, and the scale gap (fold depth vs native at a
+      // learned 256-rank table) is measured by graft.BpeProbe (SCALE.md).
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_ws"),
+          expr("aggregate(transform(toks, t -> CAST(length(t) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, p) -> a + p)").as("n_pieces_char"),
+          expr(s"aggregate(transform(toks, t -> CAST(size(${bpeNativePieces(BpeMerges)}) AS BIGINT)), " +
+            "CAST(0 AS BIGINT), (a, p) -> a + p)").as("n_pieces_bpe"))
+        .orderBy(col("doc_id"))),
+
     "q68_text_lang_id" -> ((s, d) => {
       // n-gram-profile language ID: per-language profiles = top-5 tokens by
       // frequency (built from the corpus itself, deterministically);
@@ -289,17 +332,23 @@ object TextOps extends QueryModule {
     * backslash literally; only the quote needs doubling. */
   private def duckLit(s: String): String = s.replace("'", "''")
 
+  /** q82/q85 share one oracle text: the contract is the same (the two
+    * queries differ only in which engine path computes the pieces). */
+  private def bpeOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
+       |  CAST(list_sum(list_transform(toks,
+       |    t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS n_pieces_char,
+       |  CAST(list_sum(list_transform(toks, t ->
+       |    CAST((length($bpeMergedDuck)
+       |          - length(replace($bpeMergedDuck, '~', ''))) // 2 AS BIGINT)
+       |  )) AS BIGINT) AS n_pieces_bpe
+       |FROM d ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
-    "q82_text_bpe_merge" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws,
-         |  CAST(list_sum(list_transform(toks,
-         |    t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS n_pieces_char,
-         |  CAST(list_sum(list_transform(toks, t ->
-         |    CAST((length($bpeMergedDuck)
-         |          - length(replace($bpeMergedDuck, '~', ''))) // 2 AS BIGINT)
-         |  )) AS BIGINT) AS n_pieces_bpe
-         |FROM d ORDER BY doc_id""".stripMargin,
+    "q85_text_bpe_native" -> bpeOracle,
+
+    "q82_text_bpe_merge" -> bpeOracle,
 
     "q77_text_bpe_tokens" ->
       """SELECT event_id,

@@ -187,6 +187,36 @@ class PropertySpec extends SparkSpec {
     assert(bpeRef("here") == Seq("h", "er", "e"), "sanity: the counterexample splits h|er|e")
   }
 
+  test("graft_bpe_encode == replace fold on fixed, learned and empty tables") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    // The equivalence contract the native apply ships under: for every
+    // VALID merge table (fixed q82 table, trainer output, empty), the
+    // greedy lowest-rank-first algorithm produces exactly the fold's
+    // piece list. Direct projection — not a HOF lambda — so the
+    // comparison runs graft_bpe_encode's whole-stage-codegen path.
+    // Inputs: every distinct corpus token plus the fold's boundary
+    // counterexamples ('here' must split h|er|e, never h|e|re).
+    val words = Seq("here", "there", "the", "ther", "thth", "and", "rere",
+      "onion", "rather", "interest", "a", "es", "")
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).distinct()
+      .unionAll(words.toDF("t"))
+    val learned = TextOps.learnBpeMerges(
+      Tables.documents(spark, sf).select("text"), 6)
+    assert(learned.size == 6, s"trainer must fill 6 ranks: $learned")
+    for (merges <- Seq(TextOps.BpeMerges, learned, Seq.empty)) {
+      val fold =
+        s"filter(split(${TextOps.bpeMergedExpr(merges)}, '~'), p -> p != '')"
+      val diff = toks
+        .selectExpr("t", s"$fold AS f", s"${TextOps.bpeNativePieces(merges)} AS n")
+        .filter("NOT (f <=> n)")
+      val bad = diff.take(3)
+      assert(bad.isEmpty,
+        s"fold and native disagree under table $merges: ${bad.mkString("; ")}")
+    }
+  }
+
   test("BPE learning: deterministic ranks that compress, consistent with apply") {
     import graft.ops.TextOps
     import org.apache.spark.sql.functions.{col, explode, split}
