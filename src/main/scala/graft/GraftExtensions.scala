@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BpeEncode, CosineSimilarity, SrpSign}
+import graft.expressions.{BpeEncode, CosineSimilarity, HllEstimate, HllMergeAgg, HllSketchAgg, SrpSign}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all of the
@@ -17,6 +17,9 @@ import graft.expressions.{BpeEncode, CosineSimilarity, SrpSign}
   *  - `graft_bpe_encode(token, merges)` — BPE pieces of a token under a
   *    constant merge table ([[graft.expressions.BpeEncode]]), the
   *    tokenizer-scale apply path (cost independent of table size).
+  *  - `graft_hll_sketch(x)` / `graft_hll_merge(s)` / `graft_hll_est(s)` —
+  *    mergeable HyperLogLog export ([[graft.expressions.Hll]]): persist
+  *    per-group sketches, union them later without re-reading the data.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -50,6 +53,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(t, m) => BpeEncode(t, m)
         case other => wrongArgs("graft_bpe_encode", 2, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => HllSketchAgg(c)
+        case other => wrongArgs("graft_hll_sketch", 1, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "graft_hll_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => HllMergeAgg(c)
+        case other => wrongArgs("graft_hll_merge", 1, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hll_est"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "graft_hll_est"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => HllEstimate(c)
+        case other => wrongArgs("graft_hll_est", 1, other.size)
       }))
   }
 }

@@ -246,7 +246,15 @@ object Dedup extends QueryModule {
     * Returns (node, lbl) for every node that appears in some pair. */
   private[graft] def resolveComponents(
       pairs: DataFrame,
-      smallLimit: Long = -1L): DataFrame = {
+      smallLimit: Long = -1L): DataFrame =
+    resolveComponentsWithRounds(pairs, smallLimit)._1
+
+  /** [[resolveComponents]] plus the propagation-round count the iterative
+    * loop took (0 for the union-find base case) — the observable the
+    * O(log diameter) convergence property test pins. */
+  private[graft] def resolveComponentsWithRounds(
+      pairs: DataFrame,
+      smallLimit: Long = -1L): (DataFrame, Int) = {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (debug) {
@@ -300,7 +308,7 @@ object Dedup extends QueryModule {
         .localCheckpoint(true)
       lap(s"union-find resolve ($nPairs pairs)")
       p.unpersist()
-      return labels
+      return (labels, 0)
     }
     val sp = p.sparkSession
     val sc = sp.sparkContext
@@ -366,7 +374,7 @@ object Dedup extends QueryModule {
         round += 1
         lap(s"round $round")
       }
-      labels
+      (labels, round)
     } catch {
       // on failure the in-flight round's checkpoint blocks are released
       // eagerly (nobody will ever read them); on success `labels` escapes

@@ -140,21 +140,42 @@ object Similarity extends QueryModule {
     T.embeddings(s, d).filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("qv"))
 
-  /** q67's coarse-quantizer assignment: every vector labeled with its
-    * nearest centroid — one broadcast join over the corpus, O(n x 16)
-    * work, ties broken by centroid id. This is the table the serving
-    * layout persists partitioned by `cid`. */
-  private[graft] def ivfAssign(s: SparkSession, d: String): DataFrame = {
+  /** Coarse-quantizer assignment of a corpus to an ARBITRARY (cid, qv)
+    * centroid set: every vector labeled with its nearest centroid — one
+    * broadcast join over the corpus, O(n × k) work, ties broken by
+    * centroid id. This is the table a serving layout persists partitioned
+    * by `cid`, for fixed (q67) and trained centroids alike. */
+  private[graft] def ivfAssignTo(corpus: DataFrame,
+                                 centroids: DataFrame): DataFrame = {
     val wAsg = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("cid").asc)
-    T.embeddings(s, d).crossJoin(broadcast(ivfCentroids(s, d)))
+    corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
               expr("graft_cosine(embedding, qv)").as("cos"))
       .withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
   }
+
+  /** q67's assignment: the embedding corpus under the fixed seed
+    * centroids. */
+  private[graft] def ivfAssign(s: SparkSession, d: String): DataFrame =
+    ivfAssignTo(T.embeddings(s, d), ivfCentroids(s, d))
+
+  /** Snap a (cid, qv) centroid set to the exact 2^-20 float grid: each
+    * component becomes round(x · 2^20) / 2^20 — an integer multiple of a
+    * power of two that FLOAT represents exactly for |x| ≤ ~8. Trained
+    * centroids are float-sum means whose low bits depend on reduction
+    * order; serving QUANTIZED centroids makes the deployed index
+    * replay-stable (a re-run trains to the same grid point unless a mean
+    * sits within reduction-noise of a grid boundary) while moving any
+    * assignment by at most 2^-20 per component — far below the
+    * between-centroid cosine gaps k-means converges to. */
+  private[graft] def quantizeCentroidsMicro(centroids: DataFrame): DataFrame =
+    centroids.select(col("cid"), expr(
+      "transform(qv, x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) / 1048576.0 AS FLOAT))")
+      .as("qv"))
 
   /** Offline IVF training: `iters` rounds of Lloyd's algorithm over the
     * embedding corpus, seeded with [[ivfCentroids]]. Each round is one
@@ -225,15 +246,47 @@ object Similarity extends QueryModule {
       s.table(tbl)
     }
 
-  /** The query's 4 nearest cells by centroid-vs-query cosine (centroid
-    * plays `embedding`), deterministic tie-break on cid. */
-  private[graft] def ivfProbeCells(s: SparkSession, d: String,
-                                   q: DataFrame): DataFrame =
-    ivfCentroids(s, d).select(col("cid"), col("qv").as("embedding"))
+  /** A query's `n` nearest cells of an arbitrary centroid set by
+    * centroid-vs-query cosine (centroid plays `embedding`), deterministic
+    * tie-break on cid. */
+  private[graft] def ivfProbeCellsOf(centroids: DataFrame, q: DataFrame,
+                                     n: Int): DataFrame =
+    centroids.select(col("cid"), col("qv").as("embedding"))
       .crossJoin(broadcast(q))
       .select(col("cid"), expr("graft_cosine(embedding, qv)").as("ccos"))
-      .orderBy(col("ccos").desc, col("cid").asc).limit(4)
+      .orderBy(col("ccos").desc, col("cid").asc).limit(n)
       .select(col("cid"))
+
+  /** q67's probe: 4 nearest of the fixed seed centroids. */
+  private[graft] def ivfProbeCells(s: SparkSession, d: String,
+                                   q: DataFrame): DataFrame =
+    ivfProbeCellsOf(ivfCentroids(s, d), q, 4)
+
+  /** TRAINED-centroid serving: run `iters` Lloyd's rounds
+    * ([[ivfTrainedCentroids]]), snap the result to the exact micro grid
+    * ([[quantizeCentroidsMicro]]), and stage the corpus assignment
+    * cid-partitioned — the same offline index build as [[ivfServing]],
+    * with the trained coarse quantizer instead of the seeds. Returns
+    * (serving table frame, quantized centroids). The serving PLAN is
+    * identical to q67's by construction (same stage + probe + pruned-scan
+    * shape — SimilaritySpec asserts the pruning on the executed plan);
+    * q67's ORACLED query stays on the fixed seeds because no cross-engine
+    * oracle can reproduce training's float-sum reduction order, which is
+    * also why this path's correctness gate is the spec's IVF-semantics
+    * reference equality, not DuckDB. */
+  private[graft] def ivfTrainedServing(s: SparkSession, d: String,
+                                       iters: Int): (DataFrame, DataFrame) =
+    synchronized {
+      val tbl = ("graft_ivf_trained_" + iters + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+      val centroids =
+        quantizeCentroidsMicro(ivfTrainedCentroids(s, d, iters))
+          .localCheckpoint(true)
+      if (!s.catalog.tableExists(tbl))
+        Layout.stagePartitionedBy(
+          ivfAssignTo(T.embeddings(s, d), centroids), tbl, "cid")
+      (s.table(tbl), centroids)
+    }
 
   /** q67's probe cells for the FIXED registered query vector (vec_id 0),
     * resolved once per (session, fixture dir) and memoized: the fixture

@@ -187,6 +187,30 @@ class PropertySpec extends SparkSpec {
     assert(bpeRef("here") == Seq("h", "er", "e"), "sanity: the counterexample splits h|er|e")
   }
 
+  test("q79 iterative loop converges a diameter-1024 chain in O(log d) rounds") {
+    import spark.implicits._
+    // The adversarial shape for label propagation — one long path, the
+    // graph Kiveris et al.'s star operations exist for. The pointer jump
+    // (label-of-label edges folded into the propagation join) must give
+    // logarithmic convergence WITHOUT the star rewrite: plain
+    // neighbor-min propagation needs ~d rounds on a d-chain; doubling
+    // needs ~log2(d). Bound 2·log2(d) + 2 leaves room for the final
+    // no-change detection round while failing hard if propagation ever
+    // degrades to linear. smallLimit = 0 forces the iterative path (the
+    // 1023-pair graph would otherwise take the union-find base case).
+    val d = 1024
+    val edges = (0L until (d - 1).toLong).map(i => (i, i + 1)).toDF("i", "j")
+    val (labels, rounds) =
+      graft.ops.Dedup.resolveComponentsWithRounds(edges, smallLimit = 0L)
+    val rows = labels.collect()
+    assert(rows.length == d, s"every chain node labeled, got ${rows.length}")
+    assert(rows.forall(_.getLong(1) == 0L),
+      "every node's label must be the chain minimum (0)")
+    val bound = 2 * (math.log(d.toDouble) / math.log(2.0)).ceil.toInt + 2
+    assert(rounds <= bound,
+      s"diameter-$d chain took $rounds rounds; O(log d) bound is $bound")
+  }
+
   test("graft_bpe_encode == replace fold on fixed, learned and empty tables") {
     import spark.implicits._
     import graft.ops.TextOps

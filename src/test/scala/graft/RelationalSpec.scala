@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.expressions.Hll
 
 /** Pins the semantics the oracle can't see: the approx-distinct tolerance,
   * the flagship's null-extension path, cast/null rules, and that the
@@ -16,6 +17,39 @@ class RelationalSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(math.abs(approx - exact).toDouble / exact <= 0.05,
       s"approx=$approx exact=$exact")
+  }
+
+  test("graft_hll sketch export: bit-exact mergeable, estimate within 5%") {
+    // The mergeable export q28's built-in can't give: per-group sketches
+    // persisted by one job must roll up to the global sketch EXACTLY —
+    // register merge is element-wise max, so sketch(A ∪ B) ==
+    // merge(sketch(A), sketch(B)) bit for bit, in any grouping or order.
+    val e = Tables.events(spark, sf)
+    val whole = e.selectExpr("graft_hll_sketch(user_id) AS s")
+      .collect()(0).getAs[Array[Byte]](0)
+    // rolled up from 16 hash-arbitrary shards (re-aggregation path)
+    val sharded = e.selectExpr("user_id", "pmod(xxhash64(event_id), 16) AS g")
+      .groupBy("g").agg(expr("graft_hll_sketch(user_id) AS s"))
+      .selectExpr("graft_hll_merge(s) AS s")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, sharded),
+      "sharded roll-up must equal the whole-corpus sketch bit-exactly")
+    // merge is idempotent: unioning a sketch with itself changes nothing
+    val doubled = e.selectExpr("graft_hll_sketch(user_id) AS s")
+      .unionAll(e.selectExpr("graft_hll_sketch(user_id) AS s"))
+      .selectExpr("graft_hll_merge(s) AS s")
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(whole, doubled),
+      "merge must be idempotent")
+    // the estimate is usable: within 5% of exact (p=12 → ~1.6% RSE)
+    val est = Hll.estimate(whole)
+    val exact = e.select(countDistinct(col("user_id"))).collect()(0).getLong(0)
+    assert(math.abs(est - exact).toDouble / exact <= 0.05,
+      s"hll est=$est exact=$exact")
+    // scalar estimator agrees with the library call (codegen path)
+    val estSql = e.selectExpr("graft_hll_est(graft_hll_sketch(user_id)) AS n")
+      .collect()(0).getLong(0)
+    assert(estSql == est, s"SQL estimator $estSql != library $est")
   }
 
   test("q10 join-miss rows are null-extended and decode to 'Unknown'") {

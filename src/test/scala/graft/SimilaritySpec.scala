@@ -241,6 +241,54 @@ class SimilaritySpec extends SparkSpec {
     assert(o2 > o0, s"two rounds must actually improve the seed objective ($o0 -> $o2)")
   }
 
+  test("trained-centroid IVF serving: pruned scan, equals the IVF-semantics reference") {
+    import graft.ops.{Layout, Similarity}
+    import org.apache.spark.sql.functions.broadcast
+    // The trained path FEEDS a registered-shape serving query: Lloyd's
+    // rounds -> exact 2^-20 quantization -> cid-partitioned staging ->
+    // literal probe predicates -> statically pruned scan. No DuckDB
+    // oracle can recompute training's float reduction order, so the
+    // correctness gate is (a) equality with the IVF-semantics reference
+    // computed directly from the same assignment frame, and (b) the
+    // executed plan reading exactly the probed cell directories — the
+    // same two properties LayoutSpec pins for q67's fixed-seed serving.
+    val (serve, centroids) = Similarity.ivfTrainedServing(spark, sf, 2)
+    val k = centroids.count()
+    assert(k > 4, s"need >4 cells for pruning to mean anything, got $k")
+    // quantization really is on the exact micro grid (x * 2^20 integral)
+    val offGrid = centroids.selectExpr(
+      "size(filter(qv, x -> CAST(x AS DOUBLE) * 1048576.0 != round(CAST(x AS DOUBLE) * 1048576.0))) AS n")
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(offGrid == 0, s"$offGrid centroid components off the 2^-20 grid")
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val probed = Similarity.ivfProbeCellsOf(centroids, q, 4)
+      .collect().toSeq.map(_.getLong(0))
+    val top = serve.filter(col("cid").isin(probed: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+    val got = top.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.head._1 == 0L, "query vector must match itself first")
+    // (a) value gate: the staged+pruned serving result must equal the
+    // reference computed straight off the assignment frame (no table)
+    val ref = Similarity.ivfAssignTo(Tables.embeddings(spark, sf), centroids)
+      .filter(col("cid").isin(probed: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == ref, s"served top-10 diverges from the reference:\n$got\n$ref")
+    // (b) plan gate: the executed serving scan reads exactly 4 cell dirs
+    val scans = Layout.fileScans(top.queryExecution.executedPlan)
+      .filter(_.metadata("PartitionFilters").contains("cid"))
+    assert(scans.length == 1,
+      s"exactly one serving scan must carry the cid partition filter, got ${scans.length}")
+    assert(scans.head.metrics("numPartitions").value == 4,
+      s"must read exactly the 4 probed of $k trained cell directories, " +
+        s"read ${scans.head.metrics("numPartitions").value}")
+  }
+
   test("q64 cosine: self-similarity is ~1 and tops the ranking") {
     val top = SparkEntry.queries("q64_sim_topk")(spark, sf).collect()
     assert(top.head.getLong(0) == 0L, "query vector must match itself first")
