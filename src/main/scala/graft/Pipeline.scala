@@ -35,8 +35,18 @@ import graft.ops.Ingest
 object Pipeline {
 
   /** Runs the full replay; returns (published rows, true join-miss rows,
-    * work dir). Restores the session's broadcast threshold on exit. */
-  def run(spark: SparkSession, sf: String): (Long, Long, String) = {
+    * work dir). Restores the session's broadcast threshold on exit.
+    *
+    * `jdbcUrl`: the reference's publish step is a DATABASE load (Postgres
+    * COPY, patient_claims_plus_postgres.py:55-56, 187-189) — pass a JDBC
+    * URL and the publish stage also lands the derived table there through
+    * [[Ingest.writeJdbc]] (one connection per partition, the distributed
+    * COPY). Parquet publication always happens; the DB landing is the
+    * reference-faithful extra hop (PipelineSpec replays it against
+    * embedded Derby). */
+  def run(spark: SparkSession, sf: String,
+          jdbcUrl: Option[String] = None,
+          jdbcOptions: Map[String, String] = Map.empty): (Long, Long, String) = {
     val work = Files.createTempDirectory("graft_pipeline").toString
 
     // -- 1. stage: land the raw tables as header CSVs, dates as yyyyMMdd --
@@ -126,6 +136,10 @@ object Pipeline {
       Ingest.stageOverwrite(derived, s"$work/patient_claims_plus")
       val out = Ingest.dqGateNonEmpty(
         spark.read.parquet(s"$work/patient_claims_plus"), "patient_claims_plus")
+      // the reference's actual sink: overwrite-load the published table
+      // into a relational DB (its drop-and-reload, :182-186)
+      jdbcUrl.foreach(url =>
+        Ingest.writeJdbc(out, url, "patient_claims_plus", options = jdbcOptions))
       // true join misses: the dim side is all-NULL on a left-join miss, and
       // o_custkey is never NULL in a real dim row — unlike the 'Unknown'
       // decode, which also fires for joined orders with an unmapped status

@@ -8,7 +8,15 @@ package graft
 class PipelineSpec extends SparkSpec {
 
   test("pipeline replay publishes, preserves claim cardinality, gates its own plan") {
-    val (rows, misses, _) = Pipeline.run(spark, sf)
+    // publish includes the reference-faithful DB landing (its Postgres
+    // drop-and-reload) when the Derby embedded driver is around; the
+    // replay itself must pass either way
+    val jdbc =
+      try { Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+            Some("jdbc:derby:memory:graft_pipeline;create=true") }
+      catch { case _: ClassNotFoundException => None }
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val (rows, misses, _) = Pipeline.run(spark, sf, jdbc, opts)
     val claims = Tables.lineitem(spark, sf).count()
     assert(rows == claims,
       s"left derive join must preserve claim cardinality ($rows vs $claims)")
@@ -16,5 +24,11 @@ class PipelineSpec extends SparkSpec {
     // miss — and a miss shows as NULL cust_key, never a dropped row
     assert(misses > 0 && misses < rows,
       s"expected some-but-not-all join misses, got $misses of $rows")
+    // the DB landing holds the full published table
+    jdbc.foreach { url =>
+      val landed = ops.Ingest.readJdbc(spark, url, "patient_claims_plus", opts)
+      assert(landed.count() == rows,
+        "the JDBC landing must hold every published row")
+    }
   }
 }
