@@ -18,7 +18,8 @@ object SparkEntry {
     ops.Similarity,
     ops.StreamOps,
     ops.Udfs,
-    ops.Multimodal
+    ops.Multimodal,
+    ops.Corpus
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

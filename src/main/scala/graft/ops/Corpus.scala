@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables => T}
+
+/** Corpus-level curation statistics and selection (q86-q89): benchmark
+  * decontamination, deterministic stratified sampling, length-distribution
+  * profiling, and TF-IDF term scoring — the corpus-wide counterparts of the
+  * per-document ops in [[TextOps]] and the dedup chain in [[Dedup]].
+  *
+  * Mandated extension surface (SURVEY.md §2-B "text analysis" /
+  * "training-data pipeline"); the reference has no corpus ops — its TEXT
+  * columns (/root/reference/dags/patient_claims_plus_postgres.py:85-93) are
+  * the kind of data these operators curate.
+  *
+  * Scale notes per query are inline; the common discipline: the corpus side
+  * is only ever scanned (stateless projections + generators), small derived
+  * sides (eval-set n-grams, document-frequency table, language count) are
+  * broadcast, and every shuffle carries fixed-width keys/counts with
+  * map-side combine — never document bodies. All oracled outputs follow
+  * §7.5: exact integer micro-units, no transcendentals, no round(double).
+  */
+object Corpus extends QueryModule {
+
+  /** Tokens column `toks` -> distinct 5-gram strings; empty (typed) array
+    * when the document is shorter than one gram. The `when` guard matters:
+    * `sequence(0, size-5)` with size<5 would produce a DESCENDING sequence
+    * (sequence picks step -1 when start>stop), not an empty one. */
+  private def grams5(toksCol: String) =
+    when(size(col(toksCol)) >= 5, expr(
+      s"array_distinct(transform(sequence(0, size($toksCol) - 5), " +
+        s"i -> concat_ws(' ', slice($toksCol, i + 1, 5))))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_text_decontaminate" -> ((s, d) => {
+      // Benchmark decontamination: flag training documents whose 5-gram
+      // (token-level) overlap with a held-out eval set exceeds τ=0.5 — the
+      // standard n-gram decontamination pass an LLM training pipeline runs
+      // before training (eval set here: every 20th doc, deterministically).
+      //
+      // 100 TB shape: the eval side is tiny (benchmarks are MBs, corpora
+      // are TBs) -> broadcast its distinct grams; the corpus side explodes
+      // grams and probes the broadcast map-side (left join carries a hit
+      // flag so zero-hit docs survive; explode_outer so gram-free docs
+      // survive). The ONLY shuffle is the per-doc count agg, whose rows are
+      // (doc_id, n_grams, partial count) — fixed width, map-side combined,
+      // never gram text. No corpus-sized join-back.
+      val docs = T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("grams", grams5("toks"))
+      val evalGrams = docs.filter(col("doc_id") % 20 === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+        .withColumn("hit", lit(1))
+      docs.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"),
+          explode_outer(col("grams")).as("gram"))
+        .join(broadcast(evalGrams), Seq("gram"), "left")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(col("hit")).as("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"),
+          expr("CAST(n_hit * 1000000 DIV nullif(n_grams, 0) AS BIGINT)")
+            .as("contam_micro"),
+          (col("n_hit") * 2 >= col("n_grams") && col("n_grams") > 0)
+            .as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q87_sample_stratified" -> ((s, d) => {
+      // Deterministic stratified sampling: exactly N=20 docs per language,
+      // chosen by md5(doc_id) hash order — replayable on any engine, no
+      // RNG state, insertion-order-free. The companion `in_p10` flag is the
+      // Bernoulli variant (first 16 hash bits < 0.1 * 2^16): a stateless
+      // per-row filter, which is the 100 TB path — exact-N-per-stratum
+      // needs a per-stratum rank (bounded strata only: languages, sources,
+      // shards), while hash-threshold sampling costs one scan at any scale
+      // and composes with pushdown.
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("hk").asc, col("doc_id").asc)
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast(StringType)).as("hk"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("rk"), col("hk"),
+          (expr("CAST(conv(substr(hk, 1, 4), 16, 10) AS BIGINT)") < 6554)
+            .as("in_p10"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+
+    "q88_stats_profile" -> ((s, d) => {
+      // Per-language length-distribution profile: nearest-rank percentiles
+      // (p = value at row ceil(p·n) of the per-stratum sort — integer-exact
+      // in both engines, unlike interpolated quantiles whose float formula
+      // is engine-private), plus exact micro-unit mean. The per-stratum
+      // window is bounded (languages), never a global sort. At 100 TB the
+      // same profile runs on `approx_percentile` (KLL/GK sketch, one pass,
+      // mergeable across partitions) — CorpusSpec pins the sketch within
+      // 5% of these exact ranks, q28-style.
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      def atRank(pct: Int) = max(when(
+        col("rk") === expr(s"(n * $pct + 99) DIV 100"), col("n_chars")))
+      T.documents(s, d)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang")))
+          .cast(LongType))
+        .groupBy(col("lang"))
+        .agg(
+          max(col("n")).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          expr("CAST(sum(n_chars) * 1000000 DIV count(1) AS BIGINT)")
+            .as("mean_micro"),
+          atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"))
+        .orderBy(col("lang"))
+    }),
+
+    "q89_text_tfidf" -> ((s, d) => {
+      // TF-IDF term scoring per language stratum: tf = term count within
+      // the stratum, df = number of strata containing the term, idf as the
+      // EXACT micro-scaled inverse ratio n_strata·10⁶ DIV df (linear
+      // damping — §7.5 bans transcendentals in oracled outputs; ln-idf is
+      // a one-line swap where cross-engine bit-equality isn't contracted).
+      // Top-10 terms per stratum by (score desc, term asc).
+      //
+      // 100 TB shape: tf shuffles (lang, term, partial) — bounded by
+      // strata × vocabulary with map-side combine, never the corpus; df
+      // aggregates tf (vocabulary-bounded) and joins BACK to tf broadcast;
+      // the stratum count is a 1-row broadcast cross join; final rank is a
+      // per-stratum window (bounded strata).
+      val tf = T.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nl = T.documents(s, d)
+        .agg(countDistinct(col("lang")).as("n_strata"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(nl))
+        .withColumn("idf_micro",
+          expr("CAST(n_strata * 1000000 DIV df AS BIGINT)"))
+        .withColumn("score", col("tf") * col("idf_micro"))
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"),
+          col("idf_micro"), col("score"))
+        .orderBy(col("lang"), col("rk"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q86_text_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(
+        |               range(len(toks) - 4),
+        |               i -> array_to_string(toks[i+1:i+5], ' ')))
+        |             ELSE CAST([] AS VARCHAR[]) END AS grams
+        |      FROM d),
+        |e AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+        |c AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+        |      FROM g WHERE doc_id % 20 <> 0),
+        |h AS (SELECT c.doc_id, count(e.gram) AS n_hit
+        |      FROM c LEFT JOIN e USING (gram) GROUP BY c.doc_id)
+        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(coalesce(h.n_hit, 0) * 1000000 // nullif(len(g.grams), 0) AS BIGINT)
+        |    AS contam_micro,
+        |  (coalesce(h.n_hit, 0) * 2 >= len(g.grams) AND len(g.grams) > 0)
+        |    AS contaminated
+        |FROM g LEFT JOIN h USING (doc_id) WHERE g.doc_id % 20 <> 0
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q87_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk, hk,
+        |  ((strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) * 4096 +
+        |   (strpos('0123456789abcdef', substr(hk, 2, 1)) - 1) * 256 +
+        |   (strpos('0123456789abcdef', substr(hk, 3, 1)) - 1) * 16 +
+        |   (strpos('0123456789abcdef', substr(hk, 4, 1)) - 1)) < 6554 AS in_p10
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    "q88_stats_profile" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars ASC, doc_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS mean_micro,
+        |  max(CASE WHEN rk = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+        |  max(CASE WHEN rk = (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+        |  max(CASE WHEN rk = (n * 99 + 99) // 100 THEN n_chars END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q89_text_tfidf" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY lang, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nl AS (SELECT count(DISTINCT lang) AS n_strata FROM documents),
+        |sc AS (SELECT tf.lang, tf.term, tf.tf, df.df,
+        |         CAST(nl.n_strata * 1000000 // df.df AS BIGINT) AS idf_micro,
+        |         tf.tf * CAST(nl.n_strata * 1000000 // df.df AS BIGINT) AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN nl),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY score DESC, term ASC) AS rk FROM sc)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, term, tf, df, idf_micro, score
+        |FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+  )
+}

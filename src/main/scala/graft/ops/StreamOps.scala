@@ -6,10 +6,11 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import graft.{Fns => F, QueryModule, Tables => T}
 
-/** Streaming shapes (q70-q74): tumbling / sliding / session windows as
-  * batch-oracled queries, plus two genuine Structured Streaming pipelines
-  * (watermarked tumbling agg, stateful dedup) run through the file source +
-  * memory sink with Trigger.AvailableNow.
+/** Streaming shapes (q70-q74, q78, q90): tumbling / sliding / session
+  * windows as batch-oracled queries, plus genuine Structured Streaming
+  * pipelines (watermarked tumbling agg, stateful dedup, typed custom state,
+  * stream-static enrichment) run through the file source + memory sink with
+  * Trigger.AvailableNow.
   *
   * The reference has no streaming (both DAGs are manually-triggered batch —
   * /root/reference/dags/patient_claims_plus_postgres.py:25,
@@ -178,6 +179,36 @@ object StreamOps extends QueryModule {
         .orderBy(col("user_id"))
     }),
 
+    "q90_stream_static_join" -> ((s, d) => {
+      // Stream-static enrichment: the unbounded event stream joins a
+      // bounded dimension (customer) — THE canonical streaming enrichment
+      // shape (clickstream × user profile). The static side re-plans per
+      // micro-batch and broadcasts (stateless — no state store, no
+      // watermark needed for an inner join), so an unbounded 100 TB/day
+      // feed enriches with zero streaming state; only the final rollup
+      // (here batch, over the drained sink) carries agg state. Dimension
+      // updates between batches are picked up automatically — that re-plan
+      // is the point of stream-static vs a captured broadcast var.
+      val c = streamSession(s, 4)
+      val sch = eventsSchema(c, d)
+      val dim = T.customer(c, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val src = c.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                col("value"))
+      val enriched = src.join(broadcast(dim),
+        src("user_id") === dim("c_custkey"), "inner")
+      val name = "graft_q90_sink"
+      val q = enriched.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      c.table(name)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), F.od(sum(F.dec2(col("value")))).as("sum_value"))
+        .orderBy(col("c_mktsegment"), col("event_type"))
+    }),
+
     "q74_stream_dedup_state" -> ((s, d) => {
       // Stateful streaming dedup on event_id within the watermark — state
       // is dropped once the watermark passes, keeping memory bounded on an
@@ -202,6 +233,13 @@ object StreamOps extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q90_stream_static_join" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type
+        |ORDER BY c.c_mktsegment, e.event_type""".stripMargin,
+
     "q78_stream_custom_state" ->
       """SELECT user_id, count(*) AS n_events,
         |  min(event_id) AS min_eid, max(event_id) AS max_eid

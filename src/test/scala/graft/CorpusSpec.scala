@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus curation ops (q86-q90): the sketch-vs-exact percentile pin
+  * promised at ops/Corpus.scala (q88), plan-shape proof that
+  * decontamination never shuffles gram text, sampling determinism +
+  * Bernoulli rate, and TF-IDF ranking invariants. */
+class CorpusSpec extends SparkSpec {
+
+  test("q88 exact nearest-rank percentiles within 5% of approx_percentile") {
+    // The 100 TB path is the one-pass mergeable sketch; pin it against the
+    // exact ranks the oracled query computes (same contract as q28's ±5%).
+    val exact = SparkEntry.queries("q88_stats_profile")(spark, sf)
+      .select("lang", "p50", "p90", "p99").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val approx = graft.Tables.documents(spark, sf)
+      .groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(10000)).as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((lang, (p50, p90, p99)) <- exact) {
+      val Seq(a50, a90, a99) = approx(lang)
+      def close(e: Long, a: Long) = math.abs(e - a) <= math.max(1L, e / 20)
+      assert(close(p50, a50) && close(p90, a90) && close(p99, a99),
+        s"$lang: exact ($p50,$p90,$p99) vs sketch ($a50,$a90,$a99)")
+    }
+  }
+
+  test("q86 decontamination probes a broadcast; no Exchange carries gram text") {
+    val plan = SparkEntry.queries("q86_text_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval-set grams must broadcast, not shuffle-join")
+    // The eval-set SUBTREE (under BroadcastExchange) may shuffle grams —
+    // it is bounded by the benchmark, not the corpus. Outside that
+    // subtree, no Exchange may reference gram or document text: the
+    // corpus side must reach its per-doc count agg on fixed-width rows.
+    val lines = plan.linesIterator.toVector
+    def depth(l: String) = l.segmentLength(c => " :+-".contains(c))
+    val bIdx = lines.indexWhere(_.contains("BroadcastExchange"))
+    assert(bIdx >= 0)
+    val bSubtree = lines.drop(bIdx + 1).takeWhile(depth(_) > depth(lines(bIdx)))
+    val corpusSide = (lines.take(bIdx + 1) ++ lines.drop(bIdx + 1 + bSubtree.length))
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    val gramAttr = """(?<![A-Za-z0-9_])gram#\d+""".r
+    val textAttr = """(?<![A-Za-z0-9_])text#\d+""".r
+    assert(corpusSide.nonEmpty && !corpusSide.exists(l =>
+      gramAttr.findFirstIn(l).isDefined || textAttr.findFirstIn(l).isDefined),
+      s"only (doc_id, n_grams, partial-count) rows may shuffle; got:\n${corpusSide.mkString("\n")}")
+  }
+
+  test("q86 flags exactly the docs with >=50% eval-gram overlap") {
+    val out = SparkEntry.queries("q86_text_decontaminate")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // fixture texts draw from a ~30-word vocabulary: overlap must exist
+    assert(out.exists(_.getAs[Long]("n_hit") > 0), "eval overlap expected in fixture")
+    out.foreach { r =>
+      val (ng, nh) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"))
+      assert(nh <= ng, s"hits cannot exceed grams: $r")
+      assert(r.getAs[Boolean]("contaminated") == (nh * 2 >= ng && ng > 0), s"$r")
+      assert(r.getAs[Long]("doc_id") % 20 != 0, "eval docs must be excluded")
+    }
+  }
+
+  test("q87 sampling is deterministic and the Bernoulli flag hits ~10%") {
+    val a = SparkEntry.queries("q87_sample_stratified")(spark, sf).collect()
+    val b = SparkEntry.queries("q87_sample_stratified")(spark, sf).collect()
+    assert(a.nonEmpty && a.sameElements(b), "hash-order sampling must be replayable")
+    val perLang = a.groupBy(_.getAs[String]("lang"))
+    perLang.foreach { case (lang, rows) =>
+      val rks = rows.map(_.getAs[Long]("rk")).sorted
+      assert(rks.length <= 20 && rks.toSeq == (1L to rks.length).toSeq,
+        s"$lang ranks must be contiguous 1..n<=20")
+    }
+    // rate of the stateless Bernoulli variant over the WHOLE table (q87's
+    // output is only the top-20 ranks, too small to measure a rate)
+    val docs = graft.Tables.documents(spark, sf)
+      .select((expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)") < 6554)
+        .as("in_p10"))
+    val n = docs.count().toDouble
+    val hit = docs.filter(col("in_p10")).count().toDouble
+    assert(hit / n > 0.05 && hit / n < 0.15,
+      s"p10 hash-threshold rate ${hit / n} out of band")
+  }
+
+  test("q89 emits top-10 per stratum, ordered, with df bounded by strata") {
+    val out = SparkEntry.queries("q89_text_tfidf")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nStrata = graft.Tables.documents(spark, sf)
+      .select(countDistinct(col("lang"))).head().getLong(0)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 10)
+      // rank order is (score desc, term asc)
+      val pairs = sorted.map(r => (r.getAs[Long]("score"), r.getAs[String]("term")))
+      pairs.sliding(2).foreach {
+        case Array((s1, t1), (s2, t2)) =>
+          assert(s1 > s2 || (s1 == s2 && t1 < t2), s"$lang rank order broken")
+        case _ =>
+      }
+      rows.foreach { r =>
+        val df = r.getAs[Long]("df")
+        assert(df >= 1 && df <= nStrata, s"df out of range: $r")
+      }
+    }
+  }
+}

@@ -125,6 +125,32 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q90 semantics: stream-static join enriches per batch with ZERO streaming state") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("k", "seg")
+    val ms = MemoryStream[Long]
+    val joined = ms.toDF().toDF("k").join(broadcast(dim), Seq("k"), "inner")
+    val q = joined.writeStream.format("memory").queryName("ss_spec")
+      .outputMode("append").start()
+    try {
+      ms.addData(1L, 2L, 3L) // 3 has no dim row -> dropped by inner join
+      q.processAllAvailable()
+      ms.addData(2L)
+      q.processAllAvailable()
+      val out = spark.table("ss_spec").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(out.sorted.toSeq ==
+        Seq((1L, "BUILDING"), (2L, "MACHINERY"), (2L, "MACHINERY")),
+        s"got ${out.toSeq}")
+      // the 100 TB property: enrichment keeps NO state between batches —
+      // an unbounded feed joins a dimension without watermarks or stores
+      val st = q.lastProgress.stateOperators
+      assert(st == null || st.isEmpty,
+        s"stream-static inner join must be stateless, got ${st.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("q74 semantics: dropDuplicatesWithinWatermark keeps one row per id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
