@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables => T}
 
-/** Corpus-level curation statistics and selection (q86-q89): benchmark
-  * decontamination, deterministic stratified sampling, length-distribution
-  * profiling, and TF-IDF term scoring — the corpus-wide counterparts of the
+/** Corpus-level curation statistics and selection (q86-q89, q91-q92):
+  * benchmark decontamination, deterministic stratified sampling,
+  * length-distribution profiling, TF-IDF term scoring, sequence packing,
+  * and the data-mixture report — the corpus-wide counterparts of the
   * per-document ops in [[TextOps]] and the dedup chain in [[Dedup]].
   *
   * Mandated extension surface (SURVEY.md §2-B "text analysis" /
@@ -120,6 +121,58 @@ object Corpus extends QueryModule {
         .orderBy(col("lang"))
     }),
 
+    "q91_pack_sequences" -> ((s, d) => {
+      // Sequence packing: stream documents in doc_id order into fixed
+      // 512-token training bins (a doc belongs to the bin where it STARTS
+      // — the contiguous-fill discipline a sequence-packing loader uses).
+      //
+      // 100 TB shape: packing does NOT need a global order — training
+      // wants locality, not total order — so docs pack within hash shards
+      // of BOUNDED size (here doc_id DIV 100, i.e. ≤100 docs per (lang,
+      // shard) window partition by construction). The window never sees a
+      // corpus-sized partition no matter how big one language is; a global
+      // per-lang cumsum would funnel 90% of a real corpus (lang=en)
+      // through one task. Output key (lang, shard, pack_no) is unique and
+      // replayable on any engine.
+      val w = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (col("doc_id") / 100).cast(LongType).as("shard"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+        .withColumn("tok_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .withColumn("pack_no", expr("tok_before DIV 512"))
+        .groupBy(col("lang"), col("shard"), col("pack_no"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_count"),
+          min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"))
+        .orderBy(col("lang"), col("shard"), col("pack_no"))
+    }),
+
+    "q92_mix_report" -> ((s, d) => {
+      // Data-mixture report: per (source, lang) document/token/char counts
+      // plus each cell's exact micro-unit share of the corpus token budget
+      // — the mixture table every pretraining run is configured from.
+      //
+      // 100 TB shape: one agg whose shuffle is bounded by sources × langs
+      // (map-side combined); the corpus-total denominator is a 1-row
+      // broadcast cross join, not a global window over the corpus.
+      val cell = T.documents(s, d)
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+          col("n_chars"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"),
+          sum(col("n_chars")).as("char_sum"))
+      val total = cell.agg(sum(col("tok_sum")).as("tok_total"))
+      cell.crossJoin(broadcast(total))
+        .select(col("source"), col("lang"), col("n_docs"), col("tok_sum"),
+          col("char_sum"),
+          expr("CAST(tok_sum * 1000000 DIV tok_total AS BIGINT)")
+            .as("share_micro"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     "q89_text_tfidf" -> ((s, d) => {
       // TF-IDF term scoring per language stratum: tf = term count within
       // the stratum, df = number of strata containing the term, idf as the
@@ -204,6 +257,35 @@ object Corpus extends QueryModule {
         |  max(CASE WHEN rk = (n * 90 + 99) // 100 THEN n_chars END) AS p90,
         |  max(CASE WHEN rk = (n * 99 + 99) // 100 THEN n_chars END) AS p99
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q91_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id // 100 AS shard,
+        |    len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, shard, n_toks,
+        |    coalesce(sum(n_toks) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM d)
+        |SELECT lang, shard, CAST(tok_before // 512 AS BIGINT) AS pack_no,
+        |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS tok_count,
+        |  min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
+        |FROM r GROUP BY lang, shard, tok_before // 512
+        |ORDER BY lang, shard, pack_no""".stripMargin,
+
+    "q92_mix_report" ->
+      """WITH cell AS (
+        |  SELECT source, lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+        |    CAST(sum(n_chars) AS BIGINT) AS char_sum
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT sum(tok_sum) AS tok_total FROM cell)
+        |SELECT source, lang, n_docs, tok_sum, char_sum,
+        |  CAST(tok_sum * 1000000 // tok_total AS BIGINT) AS share_micro
+        |FROM cell CROSS JOIN tot
+        |ORDER BY source, lang""".stripMargin,
 
     "q89_text_tfidf" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term

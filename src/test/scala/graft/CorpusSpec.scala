@@ -87,6 +87,38 @@ class CorpusSpec extends SparkSpec {
       s"p10 hash-threshold rate ${hit / n} out of band")
   }
 
+  test("q91 packing covers every document once, packs never overlap") {
+    val packs = SparkEntry.queries("q91_pack_sequences")(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(packs.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "every document lands in exactly one pack")
+    packs.foreach { r =>
+      assert(r.getAs[Long]("tok_count") > 0 &&
+        r.getAs[Long]("doc_lo") <= r.getAs[Long]("doc_hi"))
+    }
+    // within a (lang, shard) stream, packs partition the doc_id order:
+    // consecutive packs carry disjoint, increasing doc ranges
+    packs.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        rows.sortBy(_.getAs[Long]("pack_no")).sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[Long]("doc_hi") < b.getAs[Long]("doc_lo"),
+              s"packs overlap: $a / $b")
+          case _ =>
+        }
+      }
+  }
+
+  test("q92 mixture shares are exact micro-units that sum to the corpus") {
+    val mix = SparkEntry.queries("q92_mix_report")(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(mix.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val shareSum = mix.map(_.getAs[Long]("share_micro")).sum
+    // floor-division shares: within #cells micro-units of exactly 1.0
+    assert(shareSum <= 1000000L && shareSum > 1000000L - mix.length,
+      s"share sum $shareSum out of band for ${mix.length} cells")
+  }
+
   test("q89 emits top-10 per stratum, ordered, with df bounded by strata") {
     val out = SparkEntry.queries("q89_text_tfidf")(spark, sf).collect()
     assert(out.nonEmpty)
