@@ -91,7 +91,11 @@ object ScaleProbe {
 
     val family = Seq("q60_dedup_exact", "q81_dedup_fingerprint",
       "q64_sim_topk", "q65_sim_lsh_join", "q66_dedup_simhash",
-      "q67_sim_ivf", "q75_sim_srp_join", "q79_dedup_resolve")
+      "q67_sim_ivf", "q75_sim_srp_join", "q79_dedup_resolve",
+      // corpus curation family (round 8): all driven off the same synthetic
+      // documents table; decontamination/TF-IDF are the token-heavy ones
+      "q86_text_decontaminate", "q87_sample_stratified", "q88_stats_profile",
+      "q89_text_tfidf", "q91_pack_sequences", "q92_mix_report")
     val results = family.map { name =>
       val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
       println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")

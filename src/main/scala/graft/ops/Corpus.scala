@@ -26,185 +26,211 @@ import graft.{QueryModule, Tables => T}
   */
 object Corpus extends QueryModule {
 
-  /** Tokens column `toks` -> distinct 5-gram strings; empty (typed) array
+  /** Tokens column `toks` -> distinct n-gram strings; empty (typed) array
     * when the document is shorter than one gram. The `when` guard matters:
-    * `sequence(0, size-5)` with size<5 would produce a DESCENDING sequence
+    * `sequence(0, size-n)` with size<n would produce a DESCENDING sequence
     * (sequence picks step -1 when start>stop), not an empty one. */
-  private def grams5(toksCol: String) =
-    when(size(col(toksCol)) >= 5, expr(
-      s"array_distinct(transform(sequence(0, size($toksCol) - 5), " +
-        s"i -> concat_ws(' ', slice($toksCol, i + 1, 5))))"))
+  private def distinctGrams(toksCol: String, n: Int) =
+    when(size(col(toksCol)) >= n, expr(
+      s"array_distinct(transform(sequence(0, size($toksCol) - $n), " +
+        s"i -> concat_ws(' ', slice($toksCol, i + 1, $n))))"))
       .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
 
+  /** Benchmark decontamination: flag training documents whose token-level
+    * n-gram overlap with a held-out eval set reaches τ = `tauNum/tauDen` —
+    * the standard eval-leak pass an LLM training pipeline runs before
+    * training. `docs` needs (doc_id, text); `evalDocs` needs (text) and is
+    * expected to be benchmark-sized.
+    *
+    * 100 TB shape: the eval side is tiny (benchmarks are MBs, corpora are
+    * TBs) -> broadcast its distinct grams; the corpus side explodes grams
+    * and probes the broadcast map-side (left join carries a hit flag so
+    * zero-hit docs survive; explode_outer so gram-free docs survive). The
+    * ONLY shuffle is the per-doc count agg, whose rows are (doc_id,
+    * n_grams, partial count) — fixed width, map-side combined, never gram
+    * text (CorpusSpec pins that on the executed plan). No corpus-sized
+    * join-back. τ as an exact integer ratio keeps the verdict engine-exact
+    * (§7.5: no float compare). */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, gramN: Int = 5,
+                    tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams", distinctGrams("toks", gramN))
+    val evalGrams = evalDocs
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(distinctGrams("toks", gramN)).as("gram")).distinct()
+      .withColumn("hit", lit(1))
+    grams
+      .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"),
+        explode_outer(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(col("hit")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        expr("CAST(n_hit * 1000000 DIV nullif(n_grams, 0) AS BIGINT)")
+          .as("contam_micro"),
+        (col("n_hit") * tauDen >= col("n_grams") * tauNum && col("n_grams") > 0)
+          .as("contaminated"))
+  }
+
+  /** Deterministic stratified sampling: exactly `n` rows per stratum,
+    * chosen by md5(doc_id) hash order — replayable on any engine, no RNG
+    * state, insertion-order-free. The companion `in_p10` flag is the
+    * Bernoulli variant (first 16 hash bits < 0.1 · 2^16): a stateless
+    * per-row filter, which is the 100 TB path — exact-N-per-stratum needs
+    * a per-stratum rank (bounded strata only: languages, sources, shards),
+    * while hash-threshold sampling costs one scan at any scale and
+    * composes with pushdown. */
+  def stratifiedSample(docs: DataFrame, strataCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("hk").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col(strataCol),
+        md5(col("doc_id").cast(StringType)).as("hk"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col(strataCol), col("rk"), col("hk"),
+        (expr("CAST(conv(substr(hk, 1, 4), 16, 10) AS BIGINT)") < 6554)
+          .as("in_p10"))
+  }
+
+  /** Per-stratum length-distribution profile: nearest-rank percentiles
+    * (p = value at row ceil(p·n) of the per-stratum sort — integer-exact
+    * in both engines, unlike interpolated quantiles whose float formula is
+    * engine-private), plus exact micro-unit mean. The per-stratum window
+    * is bounded (languages), never a global sort. At 100 TB the same
+    * profile runs on `approx_percentile` (KLL/GK sketch, one pass,
+    * mergeable across partitions) — CorpusSpec pins the sketch within 5%
+    * of these exact ranks, q28-style. */
+  def lengthProfile(docs: DataFrame, strataCol: String = "lang"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    def atRank(pct: Int) = max(when(
+      col("rk") === expr(s"(n * $pct + 99) DIV 100"), col("n_chars")))
+    docs
+      .select(col(strataCol), col("n_chars"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(strataCol)))
+        .cast(LongType))
+      .groupBy(col(strataCol))
+      .agg(
+        max(col("n")).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        expr("CAST(sum(n_chars) * 1000000 DIV count(1) AS BIGINT)")
+          .as("mean_micro"),
+        atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"))
+  }
+
+  /** Sequence packing: stream documents in doc_id order into fixed
+    * `binTokens`-token training bins (a doc belongs to the bin where it
+    * STARTS — the contiguous-fill discipline a sequence-packing loader
+    * uses).
+    *
+    * 100 TB shape: packing does NOT need a global order — training wants
+    * locality, not total order — so docs pack within hash shards of
+    * BOUNDED size (doc_id DIV `shardDocs`, i.e. ≤shardDocs docs per (lang,
+    * shard) window partition by construction). The window never sees a
+    * corpus-sized partition no matter how big one language is; a global
+    * per-lang cumsum would funnel 90% of a real corpus (lang=en) through
+    * one task. Output key (lang, shard, pack_no) is unique and replayable
+    * on any engine. */
+  def packSequences(docs: DataFrame, binTokens: Int = 512,
+                    shardDocs: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") / shardDocs).cast(LongType).as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      .withColumn("tok_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("pack_no", expr(s"tok_before DIV $binTokens"))
+      .groupBy(col("lang"), col("shard"), col("pack_no"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_count"),
+        min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"))
+  }
+
+  /** Data-mixture report: per (source, lang) document/token/char counts
+    * plus each cell's exact micro-unit share of the corpus token budget —
+    * the mixture table every pretraining run is configured from.
+    *
+    * 100 TB shape: one agg whose shuffle is bounded by sources × langs
+    * (map-side combined); the corpus-total denominator is a 1-row
+    * broadcast cross join, not a global window over the corpus. */
+  def mixReport(docs: DataFrame): DataFrame = {
+    val cell = docs
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+        col("n_chars"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"),
+        sum(col("n_chars")).as("char_sum"))
+    val total = cell.agg(sum(col("tok_sum")).as("tok_total"))
+    cell.crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("tok_sum"),
+        col("char_sum"),
+        expr("CAST(tok_sum * 1000000 DIV tok_total AS BIGINT)")
+          .as("share_micro"))
+  }
+
+  /** TF-IDF term scoring per stratum: tf = term count within the stratum,
+    * df = number of strata containing the term, idf as the EXACT
+    * micro-scaled inverse ratio n_strata·10⁶ DIV df (linear damping —
+    * §7.5 bans transcendentals in oracled outputs; ln-idf is a one-line
+    * swap where cross-engine bit-equality isn't contracted). Top-`k` terms
+    * per stratum by (score desc, term asc).
+    *
+    * 100 TB shape: tf shuffles (lang, term, partial) — bounded by strata ×
+    * vocabulary with map-side combine, never the corpus; df aggregates tf
+    * (vocabulary-bounded) and joins BACK to tf broadcast; the stratum
+    * count is a 1-row broadcast cross join; final rank is a per-stratum
+    * window (bounded strata). */
+  def tfidfTopK(docs: DataFrame, k: Int = 10): DataFrame = {
+    val tf = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nl = docs.agg(countDistinct(col("lang")).as("n_strata"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nl))
+      .withColumn("idf_micro",
+        expr("CAST(n_strata * 1000000 DIV df AS BIGINT)"))
+      .withColumn("score", col("tf") * col("idf_micro"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"),
+        col("idf_micro"), col("score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // eval set: every 20th doc, deterministically — benchmark stand-in
     "q86_text_decontaminate" -> ((s, d) => {
-      // Benchmark decontamination: flag training documents whose 5-gram
-      // (token-level) overlap with a held-out eval set exceeds τ=0.5 — the
-      // standard n-gram decontamination pass an LLM training pipeline runs
-      // before training (eval set here: every 20th doc, deterministically).
-      //
-      // 100 TB shape: the eval side is tiny (benchmarks are MBs, corpora
-      // are TBs) -> broadcast its distinct grams; the corpus side explodes
-      // grams and probes the broadcast map-side (left join carries a hit
-      // flag so zero-hit docs survive; explode_outer so gram-free docs
-      // survive). The ONLY shuffle is the per-doc count agg, whose rows are
-      // (doc_id, n_grams, partial count) — fixed width, map-side combined,
-      // never gram text. No corpus-sized join-back.
       val docs = T.documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("grams", grams5("toks"))
-      val evalGrams = docs.filter(col("doc_id") % 20 === 0)
-        .select(explode(col("grams")).as("gram")).distinct()
-        .withColumn("hit", lit(1))
-      docs.filter(col("doc_id") % 20 =!= 0)
-        .select(col("doc_id"), size(col("grams")).cast(LongType).as("n_grams"),
-          explode_outer(col("grams")).as("gram"))
-        .join(broadcast(evalGrams), Seq("gram"), "left")
-        .groupBy(col("doc_id"), col("n_grams"))
-        .agg(count(col("hit")).as("n_hit"))
-        .select(col("doc_id"), col("n_grams"), col("n_hit"),
-          expr("CAST(n_hit * 1000000 DIV nullif(n_grams, 0) AS BIGINT)")
-            .as("contam_micro"),
-          (col("n_hit") * 2 >= col("n_grams") && col("n_grams") > 0)
-            .as("contaminated"))
+      decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
         .orderBy(col("doc_id"))
     }),
 
-    "q87_sample_stratified" -> ((s, d) => {
-      // Deterministic stratified sampling: exactly N=20 docs per language,
-      // chosen by md5(doc_id) hash order — replayable on any engine, no
-      // RNG state, insertion-order-free. The companion `in_p10` flag is the
-      // Bernoulli variant (first 16 hash bits < 0.1 * 2^16): a stateless
-      // per-row filter, which is the 100 TB path — exact-N-per-stratum
-      // needs a per-stratum rank (bounded strata only: languages, sources,
-      // shards), while hash-threshold sampling costs one scan at any scale
-      // and composes with pushdown.
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("hk").asc, col("doc_id").asc)
-      T.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          md5(col("doc_id").cast(StringType)).as("hk"))
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .filter(col("rk") <= 20)
-        .select(col("doc_id"), col("lang"), col("rk"), col("hk"),
-          (expr("CAST(conv(substr(hk, 1, 4), 16, 10) AS BIGINT)") < 6554)
-            .as("in_p10"))
-        .orderBy(col("lang"), col("rk"))
-    }),
+    "q87_sample_stratified" -> ((s, d) =>
+      stratifiedSample(T.documents(s, d), "lang", 20)
+        .orderBy(col("lang"), col("rk"))),
 
-    "q88_stats_profile" -> ((s, d) => {
-      // Per-language length-distribution profile: nearest-rank percentiles
-      // (p = value at row ceil(p·n) of the per-stratum sort — integer-exact
-      // in both engines, unlike interpolated quantiles whose float formula
-      // is engine-private), plus exact micro-unit mean. The per-stratum
-      // window is bounded (languages), never a global sort. At 100 TB the
-      // same profile runs on `approx_percentile` (KLL/GK sketch, one pass,
-      // mergeable across partitions) — CorpusSpec pins the sketch within
-      // 5% of these exact ranks, q28-style.
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("n_chars").asc, col("doc_id").asc)
-      def atRank(pct: Int) = max(when(
-        col("rk") === expr(s"(n * $pct + 99) DIV 100"), col("n_chars")))
-      T.documents(s, d)
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang")))
-          .cast(LongType))
-        .groupBy(col("lang"))
-        .agg(
-          max(col("n")).as("n_docs"),
-          min(col("n_chars")).as("min_chars"),
-          max(col("n_chars")).as("max_chars"),
-          expr("CAST(sum(n_chars) * 1000000 DIV count(1) AS BIGINT)")
-            .as("mean_micro"),
-          atRank(50).as("p50"), atRank(90).as("p90"), atRank(99).as("p99"))
-        .orderBy(col("lang"))
-    }),
+    "q88_stats_profile" -> ((s, d) =>
+      lengthProfile(T.documents(s, d)).orderBy(col("lang"))),
 
-    "q91_pack_sequences" -> ((s, d) => {
-      // Sequence packing: stream documents in doc_id order into fixed
-      // 512-token training bins (a doc belongs to the bin where it STARTS
-      // — the contiguous-fill discipline a sequence-packing loader uses).
-      //
-      // 100 TB shape: packing does NOT need a global order — training
-      // wants locality, not total order — so docs pack within hash shards
-      // of BOUNDED size (here doc_id DIV 100, i.e. ≤100 docs per (lang,
-      // shard) window partition by construction). The window never sees a
-      // corpus-sized partition no matter how big one language is; a global
-      // per-lang cumsum would funnel 90% of a real corpus (lang=en)
-      // through one task. Output key (lang, shard, pack_no) is unique and
-      // replayable on any engine.
-      val w = Window.partitionBy(col("lang"), col("shard"))
-        .orderBy(col("doc_id").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      T.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          (col("doc_id") / 100).cast(LongType).as("shard"),
-          size(split(col("text"), " ")).cast(LongType).as("n_toks"))
-        .withColumn("tok_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
-        .withColumn("pack_no", expr("tok_before DIV 512"))
-        .groupBy(col("lang"), col("shard"), col("pack_no"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_count"),
-          min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"))
-        .orderBy(col("lang"), col("shard"), col("pack_no"))
-    }),
+    "q91_pack_sequences" -> ((s, d) =>
+      packSequences(T.documents(s, d))
+        .orderBy(col("lang"), col("shard"), col("pack_no"))),
 
-    "q92_mix_report" -> ((s, d) => {
-      // Data-mixture report: per (source, lang) document/token/char counts
-      // plus each cell's exact micro-unit share of the corpus token budget
-      // — the mixture table every pretraining run is configured from.
-      //
-      // 100 TB shape: one agg whose shuffle is bounded by sources × langs
-      // (map-side combined); the corpus-total denominator is a 1-row
-      // broadcast cross join, not a global window over the corpus.
-      val cell = T.documents(s, d)
-        .select(col("source"), col("lang"),
-          size(split(col("text"), " ")).cast(LongType).as("n_toks"),
-          col("n_chars"))
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"),
-          sum(col("n_chars")).as("char_sum"))
-      val total = cell.agg(sum(col("tok_sum")).as("tok_total"))
-      cell.crossJoin(broadcast(total))
-        .select(col("source"), col("lang"), col("n_docs"), col("tok_sum"),
-          col("char_sum"),
-          expr("CAST(tok_sum * 1000000 DIV tok_total AS BIGINT)")
-            .as("share_micro"))
-        .orderBy(col("source"), col("lang"))
-    }),
+    "q92_mix_report" -> ((s, d) =>
+      mixReport(T.documents(s, d)).orderBy(col("source"), col("lang"))),
 
-    "q89_text_tfidf" -> ((s, d) => {
-      // TF-IDF term scoring per language stratum: tf = term count within
-      // the stratum, df = number of strata containing the term, idf as the
-      // EXACT micro-scaled inverse ratio n_strata·10⁶ DIV df (linear
-      // damping — §7.5 bans transcendentals in oracled outputs; ln-idf is
-      // a one-line swap where cross-engine bit-equality isn't contracted).
-      // Top-10 terms per stratum by (score desc, term asc).
-      //
-      // 100 TB shape: tf shuffles (lang, term, partial) — bounded by
-      // strata × vocabulary with map-side combine, never the corpus; df
-      // aggregates tf (vocabulary-bounded) and joins BACK to tf broadcast;
-      // the stratum count is a 1-row broadcast cross join; final rank is a
-      // per-stratum window (bounded strata).
-      val tf = T.documents(s, d)
-        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
-        .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val nl = T.documents(s, d)
-        .agg(countDistinct(col("lang")).as("n_strata"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("score").desc, col("term").asc)
-      tf.join(broadcast(df), Seq("term"))
-        .crossJoin(broadcast(nl))
-        .withColumn("idf_micro",
-          expr("CAST(n_strata * 1000000 DIV df AS BIGINT)"))
-        .withColumn("score", col("tf") * col("idf_micro"))
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .filter(col("rk") <= 10)
-        .select(col("lang"), col("rk"), col("term"), col("tf"), col("df"),
-          col("idf_micro"), col("score"))
-        .orderBy(col("lang"), col("rk"))
-    })
+    "q89_text_tfidf" -> ((s, d) =>
+      tfidfTopK(T.documents(s, d)).orderBy(col("lang"), col("rk")))
   )
 
   def oracleSql: Map[String, String] = Map(
