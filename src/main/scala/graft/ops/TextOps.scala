@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables => T}
 
-/** Text analysis over `documents` (q57, q62, q63): tokenize/generator
-  * surface, token frequencies, per-language n-grams.
+/** Text analysis over `documents` (q57, q62-q63, q68-q69, q76-q77, q82,
+  * q85, q93): tokenize/generator surface, token frequencies, per-language
+  * n-grams, language ID, quality scoring, winnowing fingerprints, BPE
+  * counting/apply, and PII redaction.
   *
   * Mandated extension surface (SURVEY.md §2-B "text analysis") — the
   * reference has no text ops, but its ICD-code TEXT columns
@@ -311,8 +313,41 @@ object TextOps extends QueryModule {
           (col("n_chars") < 100).as("too_short"),
           md5(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    "q93_text_redact" -> ((s, d) => {
+      // PII redaction: the C4/CCNet-style scrub stage (emails + long digit
+      // runs -> placeholder tokens) with per-doc match counts for audit.
+      // The fixture vocabulary is PII-free, so the query PLANTS
+      // deterministic emails/numbers first (same discipline as q83's
+      // planted exact dups — both engines build the identical input); a
+      // real corpus drops the planting select. Stateless per-row
+      // projection — no shuffle, linear at any scale; both patterns stay
+      // in the regex subset Java and RE2 match identically (char classes,
+      // bounded/unbounded counted repeats — no backrefs, no lookaround).
+      val base = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 5551234"), col("doc_id"))).otherwise(lit("")))
+      val redacted = regexp_replace(
+        regexp_replace(col("base"), EmailPat, "<EMAIL>"), LongNumPat, "<NUM>")
+      T.documents(s, d)
+        .select(col("doc_id"), base.as("base"))
+        .select(col("doc_id"),
+          regexp_count(col("base"), lit(EmailPat)).cast(LongType).as("n_emails"),
+          regexp_count(col("base"), lit(LongNumPat)).cast(LongType).as("n_longnums"),
+          md5(redacted).as("redacted_md5"),
+          (length(col("base")) - length(redacted)).cast(LongType).as("len_delta"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Redaction patterns (q93), shared with the spec. Deliberately inside
+    * the Java∩RE2 common subset so Spark and DuckDB match identically. */
+  private[graft] val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val LongNumPat = "\\d{7,}"
 
   /** DuckDB mirror of q82's merge fold: same fixed table, same order, same
     * piece-delimiter spelling, same replace() left-to-right semantics;
@@ -346,6 +381,27 @@ object TextOps extends QueryModule {
        |FROM d ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q93_text_redact" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN ' call 5551234' || doc_id ELSE '' END AS base
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, base,
+         |    regexp_replace(regexp_replace(base,
+         |      '$EmailPat', '<EMAIL>', 'g'),
+         |      '$LongNumPat', '<NUM>', 'g') AS red
+         |  FROM b)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(base, '$EmailPat')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(base, '$LongNumPat')) AS BIGINT) AS n_longnums,
+         |  md5(red) AS redacted_md5,
+         |  CAST(len(base) - len(red) AS BIGINT) AS len_delta
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "q85_text_bpe_native" -> bpeOracle,
 
     "q82_text_bpe_merge" -> bpeOracle,

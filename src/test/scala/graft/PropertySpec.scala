@@ -262,6 +262,33 @@ class PropertySpec extends SparkSpec {
       s"learned merges must reduce pieces: ${sums.getLong(0)} vs ${sums.getLong(1)} chars")
   }
 
+  test("q93 redaction removes every match and counts exactly the plants") {
+    import graft.ops.TextOps
+    val out = SparkEntry.queries("q93_text_redact")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // fixture text is PII-free, so counts are exactly the planted ones
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L), s"$r")
+      assert(r.getAs[Long]("n_longnums") == (if (id % 5 == 0) 1L else 0L), s"$r")
+      // every redaction replaces a longer span with a fixed tag, so the
+      // length delta is positive iff something was redacted
+      assert((r.getAs[Long]("len_delta") > 0) == (id % 3 == 0 || id % 5 == 0), s"$r")
+    }
+    // end-state check on the actual redacted strings (the query ships only
+    // their md5): re-run the same replace chain and scan for residuals
+    import org.apache.spark.sql.functions._
+    val residual = graft.Tables.documents(spark, sf)
+      .select(concat(col("text"),
+        lit(" contact a_b%c@mail.example.org or 99887766554433 now")).as("base"))
+      .select(regexp_replace(regexp_replace(col("base"),
+        TextOps.EmailPat, "<EMAIL>"), TextOps.LongNumPat, "<NUM>").as("red"))
+      .filter(regexp_count(col("red"), lit(TextOps.EmailPat)) > 0 ||
+              regexp_count(col("red"), lit(TextOps.LongNumPat)) > 0)
+      .count()
+    assert(residual == 0, "redacted text must contain no residual matches")
+  }
+
   test("set algebra: (A except B) disjoint from B, subset of A") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
