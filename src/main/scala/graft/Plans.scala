@@ -32,7 +32,8 @@ object Plans {
         // skip the streaming sinks — their micro-batch plans aren't built
         // until execution and the batch shapes (q70-q72) cover the operators
         if (name != "q73_stream_watermark" && name != "q74_stream_dedup_state" &&
-            name != "q78_stream_custom_state" && name != "q90_stream_static_join") {
+            name != "q78_stream_custom_state" && name != "q90_stream_static_join" &&
+            name != "q95_stream_stream_join") {
           println(s"\n===== $name =====")
           try fn(spark, sfDir).explain("formatted")
           catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }

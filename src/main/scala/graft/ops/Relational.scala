@@ -497,12 +497,41 @@ object Relational extends QueryModule {
       val b = T.orders(s, d).filter(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("ck"))
       a.except(b).orderBy(col("ck"))
-    })
+    }),
+
+    "q49_pivot" -> ((s, d) =>
+      // Pivot with EXPLICIT values — the scale-correct form: without the
+      // value list, pivot first runs a distinct+collect on the pivot
+      // column (a full extra job over the fact table); with it, the plan
+      // is ONE pass — a plain partial+final hash agg whose shuffle rows
+      // are (priority, 6 pivoted partials). Count cells are null-filled
+      // to 0 (a pivot cell with no rows is an empty group = count 0);
+      // sum cells stay NULL like any empty-group sum.
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)).as("n"), F.od(sum(F.dec2(col("o_totalprice")))).as("total"))
+        .na.fill(0L, Seq("O_n", "F_n", "P_n"))
+        .orderBy(col("o_orderpriority")))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q49_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O_n",
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O_total",
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F_n",
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F_total",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P_n",
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P_total"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q01_scan_project" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty,
         |  l_extendedprice AS ext_price, l_returnflag AS flag,

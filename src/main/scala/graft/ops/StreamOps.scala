@@ -6,11 +6,11 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 import graft.{Fns => F, QueryModule, Tables => T}
 
-/** Streaming shapes (q70-q74, q78, q90): tumbling / sliding / session
+/** Streaming shapes (q70-q74, q78, q90, q95): tumbling / sliding / session
   * windows as batch-oracled queries, plus genuine Structured Streaming
   * pipelines (watermarked tumbling agg, stateful dedup, typed custom state,
-  * stream-static enrichment) run through the file source + memory sink with
-  * Trigger.AvailableNow.
+  * stream-static enrichment, stream-stream interval join) run through the
+  * file source + memory sink with Trigger.AvailableNow.
   *
   * The reference has no streaming (both DAGs are manually-triggered batch —
   * /root/reference/dags/patient_claims_plus_postgres.py:25,
@@ -209,6 +209,43 @@ object StreamOps extends QueryModule {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
+    "q95_stream_stream_join" -> ((s, d) => {
+      // Stream-stream interval join — the attribution shape: purchases
+      // join the same user's views from the preceding 6 hours. BOTH sides
+      // are unbounded, so this is the one join where Spark must keep
+      // streaming state for each side; the watermarks + the event-time
+      // range condition let it derive an eviction bound (views expire
+      // 6 h + watermark after their event time, purchases at the
+      // watermark) — state stays bounded by the join horizon, never the
+      // stream length. That bound is exactly what makes the shape viable
+      // on an unbounded 100 TB/day feed; cross-batch matching is pinned
+      // in StreamSpec with MemoryStream.
+      val c = streamSession(s, 4)
+      val sch = eventsSchema(c, d)
+      def src = c.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                T.tsUs(col("ts")).as("ts"))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+                col("ts").as("view_ts"))
+        .withWatermark("view_ts", "10 minutes")
+      val buys = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("buyer_id"),
+                col("ts").as("buy_ts"))
+        .withWatermark("buy_ts", "10 minutes")
+      val joined = views.join(buys,
+        col("user_id") === col("buyer_id") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"))
+        .select(col("user_id"), col("view_id"), col("buy_id"))
+      val name = "graft_q95_sink"
+      val q = joined.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      c.table(name).orderBy(col("user_id"), col("view_id"), col("buy_id"))
+    }),
+
     "q74_stream_dedup_state" -> ((s, d) => {
       // Stateful streaming dedup on event_id within the watermark — state
       // is dropped once the watermark passes, keeping memory bounded on an
@@ -233,6 +270,14 @@ object StreamOps extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q95_stream_stream_join" ->
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 6 HOUR
+        |ORDER BY a.user_id, view_id, buy_id""".stripMargin,
+
     "q90_stream_static_join" ->
       """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

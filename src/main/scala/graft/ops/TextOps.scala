@@ -315,6 +315,34 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    "q94_text_repetition" -> ((s, d) => {
+      // Within-document repetition signals (the Gopher-rule family): the
+      // duplicate-token and duplicate-2-gram fractions a quality filter
+      // thresholds on (high repetition = boilerplate/spam/generated text).
+      // Exact integer micro-units; all array work happens inside one
+      // per-row projection — no shuffle, no explode job, linear at any
+      // scale. The size>=2 guard matters: sequence(1, size-1) with size<2
+      // would emit a DESCENDING sequence, not an empty one.
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("grams2", when(size(col("toks")) >= 2, expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_toks"),
+          size(array_distinct(col("toks"))).cast(LongType).as("n_toks_distinct"),
+          size(col("grams2")).cast(LongType).as("n_2g"),
+          size(array_distinct(col("grams2"))).cast(LongType).as("n_2g_distinct"))
+        .select(col("doc_id"), col("n_toks"), col("n_toks_distinct"),
+          expr("CAST((n_toks - n_toks_distinct) * 1000000 DIV nullif(n_toks, 0) AS BIGINT)")
+            .as("dup_tok_micro"),
+          col("n_2g"), col("n_2g_distinct"),
+          expr("CAST((n_2g - n_2g_distinct) * 1000000 DIV nullif(n_2g, 0) AS BIGINT)")
+            .as("dup_2g_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q93_text_redact" -> ((s, d) => {
       // PII redaction: the C4/CCNet-style scrub stage (emails + long digit
       // runs -> placeholder tokens) with per-doc match counts for audit.
@@ -381,6 +409,28 @@ object TextOps extends QueryModule {
        |FROM d ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q94_text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |        CASE WHEN len(toks) >= 2 THEN list_transform(
+        |               range(len(toks) - 1),
+        |               i -> toks[i + 1] || ' ' || toks[i + 2])
+        |             ELSE CAST([] AS VARCHAR[]) END AS grams2
+        |      FROM d),
+        |n AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_toks,
+        |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_toks_distinct,
+        |        CAST(len(grams2) AS BIGINT) AS n_2g,
+        |        CAST(len(list_distinct(grams2)) AS BIGINT) AS n_2g_distinct
+        |      FROM g)
+        |SELECT doc_id, n_toks, n_toks_distinct,
+        |  CAST((n_toks - n_toks_distinct) * 1000000 // nullif(n_toks, 0) AS BIGINT)
+        |    AS dup_tok_micro,
+        |  n_2g, n_2g_distinct,
+        |  CAST((n_2g - n_2g_distinct) * 1000000 // nullif(n_2g, 0) AS BIGINT)
+        |    AS dup_2g_micro
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "q93_text_redact" ->
       s"""WITH b AS (
          |  SELECT doc_id, text ||

@@ -151,6 +151,39 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q95 semantics: stream-stream interval join matches across batches within the horizon") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val vs = MemoryStream[(Long, Long, Timestamp)] // (view_id, user, ts)
+    val bs = MemoryStream[(Long, Long, Timestamp)] // (buy_id, user, ts)
+    val views = vs.toDF().toDF("view_id", "user_id", "view_ts")
+      .withWatermark("view_ts", "10 minutes")
+    val buys = bs.toDF().toDF("buy_id", "buyer_id", "buy_ts")
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = views.join(buys,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("view_id"), col("buy_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: a view, no purchase yet — view state must be RETAINED
+      vs.addData((100L, 1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      assert(spark.table("ssj_spec").count() == 0)
+      // batch 2: one purchase inside the 6 h horizon (joins the batch-1
+      // view — cross-batch state), one outside it (must not join)
+      bs.addData((200L, 1L, ts("2024-01-01 12:00:00")),
+                 (201L, 1L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("ssj_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 100L, 200L)),
+        s"exactly the in-horizon cross-batch pair must join, got $out")
+    } finally q.stop()
+  }
+
   test("q74 semantics: dropDuplicatesWithinWatermark keeps one row per id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
