@@ -248,6 +248,41 @@ object Relational extends QueryModule {
         .orderBy(col("event_id"))
     }),
 
+    "q18_resample_gapfill" -> ((s, d) => {
+      // Time-series resample + forward fill: per entity, snap events to an
+      // hourly grid (hourly max), generate the full hour range between the
+      // entity's first and last hour, and carry the last observation
+      // forward across gaps — the standard densification step before any
+      // time-series model. Fixture slice: entities 0-10 (keeps the grid
+      // output bounded for the oracle dump).
+      //
+      // 100 TB shape: the hourly pre-agg shuffles (entity, hour, partial)
+      // with map-side combine; the grid generator is one row per (entity,
+      // hour) — linear in the OUTPUT, never a cross join; the fill window
+      // partitions per entity (series-length bounded). For years-long
+      // series, chunk the window by (entity, month) and carry each chunk's
+      // closing value in a tiny boundary table — same plan, bounded
+      // partitions.
+      val h = T.events(s, d).filter(col("user_id") <= 10)
+        .select(col("user_id"),
+          date_trunc("hour", T.tsUs(col("ts"))).as("hr"),
+          F.dec2(col("value")).as("v"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(max(col("v")).as("hmax"), count(lit(1)).as("n"))
+      val grid = h.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(col("user_id"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(h, Seq("user_id", "hr"), "left")
+        .withColumn("val_ff", F.od(last(col("hmax"), ignoreNulls = true).over(w)))
+        .select(col("user_id"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          coalesce(col("n"), lit(0L)).as("n"), col("val_ff"))
+        .orderBy(col("user_id"), col("hr"))
+    }),
+
     "q21_agg_groupby" -> ((s, d) =>
       // TPC-H Q1 shape; decimal end-to-end per SURVEY §7.5, averages as
       // exact integer micro-units (no float/decimal division).
@@ -518,6 +553,25 @@ object Relational extends QueryModule {
   // ---- oracle SQL ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q18_resample_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id <= 10),
+        |h AS (SELECT user_id, hr, max(v) AS hmax, count(*) AS n FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS hr
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.hr, h.hmax, coalesce(h.n, 0) AS n
+        |      FROM grid g LEFT JOIN h USING (user_id, hr))
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(last_value(hmax IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS val_ff
+        |FROM j ORDER BY user_id, hr""".stripMargin,
+
     "q49_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_orderstatus = 'O') AS "O_n",
