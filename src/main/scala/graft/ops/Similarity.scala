@@ -380,6 +380,37 @@ object Similarity extends QueryModule {
         .orderBy(col("i"), col("j"))
     }),
 
+    "q97_embed_resolve" -> ((s, d) => {
+      // Embedding near-dup CLUSTERS: q75's banded pair list resolved into
+      // connected components — the embedding twin of q79 (SimHash ->
+      // clusters), closing the same gap on the vector side: every banded
+      // join stops at pairs, but dedup needs one survivor per transitive
+      // group. Reuses Dedup.resolveComponents verbatim (one-task
+      // union-find under the threshold, pointer-jumped label propagation
+      // past it); survivor = min vec_id per component; output covers
+      // EVERY vector in the union corpus, singletons as clusters of 1.
+      // Banding recall is 1.0 on the fixture (q75's oracle proves it), so
+      // the exact-pair recursive-CTE oracle hash-matches end-to-end.
+      val u = srpCorpus(s, d)
+      val cand = srpCandidates(u)
+      val pairs = cand
+        .join(u.select(col("vec_id").as("i"), col("emb").as("ei")), Seq("i"))
+        .join(u.select(col("vec_id").as("j"), col("emb").as("ej")), Seq("j"))
+        .select(col("i"), col("j"), expr("graft_cosine(ei, ej)").as("cos"))
+        .filter(col("cos") >= 0.85)
+        .select(col("i"), col("j"))
+      val comp = Dedup.resolveComponents(pairs)
+      val resolved = u.select(col("vec_id"))
+        .join(comp.select(col("node").as("vec_id"), col("lbl")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("lbl"), col("vec_id")).as("survivor"))
+      val sizes = resolved.groupBy(col("survivor")).agg(count(lit(1)).as("csize"))
+      resolved.join(sizes, Seq("survivor"))
+        .select(col("vec_id"), col("survivor"), col("csize"),
+                (col("vec_id") === col("survivor")).cast(LongType).as("is_survivor"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q65_sim_lsh_join" -> ((s, d) => {
       // Approximate near-dup join: LSH candidates first, exact Jaccard
       // verification on candidates ONLY (never the all-pairs product).
@@ -392,6 +423,38 @@ object Similarity extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q97_embed_resolve" ->
+      """WITH RECURSIVE u AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |         list_transform(range(len(embedding)),
+        |           k -> CAST(embedding[k+1] AS DOUBLE)
+        |                + ((vec_id * 64 + k) % 13 - 6) * 0.001953125)
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    list_sum(list_transform(range(len(a.emb)), k -> a.emb[k+1] * b.emb[k+1]))
+        |    / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b.emb, x -> x * x)))) AS cos
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id),
+        |pr AS (SELECT i, j FROM p WHERE cos >= 0.85),
+        |edges AS (SELECT i, j FROM pr UNION ALL SELECT j AS i, i AS j FROM pr),
+        |reach(node, lbl) AS (
+        |  SELECT i, i FROM edges
+        |  UNION
+        |  SELECT e.j, r.lbl FROM reach r JOIN edges e ON e.i = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+        |resolved AS (
+        |  SELECT u.vec_id, coalesce(c.lbl, u.vec_id) AS survivor
+        |  FROM u LEFT JOIN comp c ON u.vec_id = c.node),
+        |sizes AS (SELECT survivor, count(*) AS csize FROM resolved GROUP BY survivor)
+        |SELECT r.vec_id, r.survivor, s.csize,
+        |  CAST(r.vec_id = r.survivor AS BIGINT) AS is_survivor
+        |FROM resolved r JOIN sizes s ON r.survivor = s.survivor
+        |ORDER BY r.vec_id""".stripMargin,
+
     "q75_sim_srp_join" ->
       """WITH u AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

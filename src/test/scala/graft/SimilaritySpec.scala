@@ -125,6 +125,23 @@ class SimilaritySpec extends SparkSpec {
         s"deterministic), got ${srp.size}/${exact.size}")
   }
 
+  test("q97 resolves the planted (base, perturbed) twins into size-2 clusters") {
+    // srpCorpus plants exactly one cos~0.998 twin per base vector at
+    // vec_id + 10^7, and no natural pair reaches 0.85 — so the component
+    // structure is fully known: every cluster is {v, v + 10^7}, survivor
+    // is the base id. A wrong resolver (merged clusters, lost singletons)
+    // cannot produce this shape.
+    val out = SparkEntry.queries("q97_embed_resolve")(spark, sf).collect()
+    assert(out.nonEmpty && out.length % 2 == 0)
+    out.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val expectSurvivor = if (v >= 10000000L) v - 10000000L else v
+      assert(r.getAs[Long]("csize") == 2L, s"cluster not a twin pair: $r")
+      assert(r.getAs[Long]("survivor") == expectSurvivor, s"$r")
+      assert(r.getAs[Long]("is_survivor") == (if (v < 10000000L) 1L else 0L), s"$r")
+    }
+  }
+
   test("q75 SRP banding prunes: candidate rate well below the pair space") {
     import graft.ops.Similarity
     val u = Similarity.srpCorpus(spark, sf)
