@@ -534,6 +534,19 @@ object Relational extends QueryModule {
       a.except(b).orderBy(col("ck"))
     }),
 
+    "q44_unpivot" -> ((s, d) =>
+      // Unpivot/melt — q49's inverse: wide columns -> (key, attr, value)
+      // long form. A stateless per-row generator (each input row emits one
+      // row per value column, no shuffle); the value columns unify to
+      // DOUBLE before melting, as unpivot requires one common type.
+      T.customer(s, d)
+        .select(col("c_custkey"),
+          F.od(F.dec2(col("c_acctbal"))).as("acctbal"),
+          col("c_nationkey").cast(DoubleType).as("nationkey"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("acctbal"), col("nationkey")), "attr", "val")
+        .orderBy(col("c_custkey"), col("attr"))),
+
     "q49_pivot" -> ((s, d) =>
       // Pivot with EXPLICIT values — the scale-correct form: without the
       // value list, pivot first runs a distinct+collect on the pivot
@@ -553,6 +566,15 @@ object Relational extends QueryModule {
   // ---- oracle SQL ---------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "q44_unpivot" ->
+      """SELECT c_custkey, 'acctbal' AS attr,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS val
+        |FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey' AS attr, CAST(c_nationkey AS DOUBLE) AS val
+        |FROM customer
+        |ORDER BY c_custkey, attr""".stripMargin,
+
     "q18_resample_gapfill" ->
       """WITH e AS (
         |  SELECT user_id, time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hr,
