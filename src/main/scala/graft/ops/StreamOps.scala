@@ -222,7 +222,10 @@ object StreamOps extends QueryModule {
       // in StreamSpec with MemoryStream.
       val c = streamSession(s, 4)
       val sch = eventsSchema(c, d)
-      def src = c.readStream.schema(sch)
+      // ONE source self-joined: both sides reference the same streaming
+      // relation (a supported streaming self-join), so each micro-batch
+      // lists and reads the parquet once instead of twice
+      val src = c.readStream.schema(sch)
         .option("pathGlobFilter", "events.parquet").parquet(d)
         .select(col("event_id"), col("user_id"), col("event_type"),
                 T.tsUs(col("ts")).as("ts"))
