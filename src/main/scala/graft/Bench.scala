@@ -69,7 +69,7 @@ object Bench {
     val runCounts = results.map { case (k, _, _, _, n) => jstr(k) + ":" + n }
       .mkString("{", ",", "}")
     // stdout timings are rounded to 0.1 ms: the driver captures a bounded
-    // TAIL of stdout, and full-precision doubles pushed the 69-query line
+    // TAIL of stdout, and full-precision doubles pushed the full-surface line
     // past the window twice (BENCH_r06/r07 lost their head mid-line and
     // failed to parse); 4 decimals keeps the whole line ~2 KB. The
     // full-precision medians + per-query mins land in target/bench_full

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Single-query timing probe for iteration: runs the named queries (by
   * exact id or prefix) N times each against one SF dir and prints per-run
   * wall seconds. Unlike [[Bench]] it times only what you name, so an
-  * optimization loop on one query doesn't pay the full 69-query sweep.
+  * optimization loop on one query doesn't pay the full-surface sweep.
   *
   * Usage: SPARK_GRAFT_CPUS=32 runMain graft.QTime <sfDir> <runs> <prefix ...>
   */
