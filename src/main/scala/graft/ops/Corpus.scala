@@ -174,6 +174,52 @@ object Corpus extends QueryModule {
           .as("share_micro"))
   }
 
+  /** Mixture rebalancing: deterministically downsample each source toward
+    * an equal share of the corpus token budget — the knob a pretraining
+    * run turns after reading [[mixReport]]. Over-represented sources get
+    * an acceptance ratio = target/actual (exact micro-unit integers,
+    * floor-divided); each document then keeps or drops by the same
+    * md5-threshold rule as [[stratifiedSample]]'s Bernoulli flag, so the
+    * sample is replayable on any engine and composes with pushdown.
+    *
+    * 100 TB shape: cell stats are a strata-bounded agg broadcast back onto
+    * the corpus; the keep decision is a stateless per-row filter; the
+    * final report is a second strata-bounded agg. The corpus is scanned,
+    * never shuffled. */
+  def rebalanceMix(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+    val cell = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
+    val tot = cell.agg(sum(col("tok_sum")).as("tok_total"),
+      count(lit(1)).as("n_sources"))
+    val thresh = cell.crossJoin(broadcast(tot))
+      .withColumn("share_micro",
+        expr("CAST(tok_sum * 1000000 DIV tok_total AS BIGINT)"))
+      .withColumn("accept_micro", least(lit(1000000L),
+        expr("CAST(1000000000000 DIV nullif(n_sources * share_micro, 0) AS BIGINT)")))
+      .withColumn("thresh16",
+        expr("CAST(accept_micro * 65536 DIV 1000000 AS BIGINT)"))
+      .select(col("source"), col("n_docs"), col("tok_sum"),
+        col("share_micro"), col("accept_micro"), col("thresh16"))
+    val kept = toks.join(broadcast(thresh), Seq("source"))
+      .withColumn("hk16", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
+      .withColumn("keep", col("hk16") < col("thresh16"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_toks")).otherwise(0L)).as("kept_toks"))
+    val keptTot = kept.agg(sum(col("kept_toks")).as("kept_total"))
+    thresh.join(kept, Seq("source"), "left")
+      .crossJoin(broadcast(keptTot))
+      .select(col("source"), col("n_docs"), col("tok_sum"), col("share_micro"),
+        col("accept_micro"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_toks"), lit(0L)).as("kept_toks"),
+        expr("CAST(coalesce(kept_toks, 0) * 1000000 DIV nullif(kept_total, 0) AS BIGINT)")
+          .as("kept_share_micro"))
+  }
+
   /** TF-IDF term scoring per stratum: tf = term count within the stratum,
     * df = number of strata containing the term, idf as the EXACT
     * micro-scaled inverse ratio n_strata·10⁶ DIV df (linear damping —
@@ -228,6 +274,9 @@ object Corpus extends QueryModule {
 
     "q92_mix_report" -> ((s, d) =>
       mixReport(T.documents(s, d)).orderBy(col("source"), col("lang"))),
+
+    "q98_mix_rebalance" -> ((s, d) =>
+      rebalanceMix(T.documents(s, d)).orderBy(col("source"))),
 
     "q89_text_tfidf" -> ((s, d) =>
       tfidfTopK(T.documents(s, d)).orderBy(col("lang"), col("rk")))
@@ -312,6 +361,45 @@ object Corpus extends QueryModule {
         |  CAST(tok_sum * 1000000 // tok_total AS BIGINT) AS share_micro
         |FROM cell CROSS JOIN tot
         |ORDER BY source, lang""".stripMargin,
+
+    "q98_mix_rebalance" ->
+      """WITH t AS (SELECT doc_id, source,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |          FROM documents),
+        |cell AS (SELECT source, count(*) AS n_docs,
+        |           CAST(sum(n_toks) AS BIGINT) AS tok_sum
+        |         FROM t GROUP BY source),
+        |tot AS (SELECT CAST(sum(tok_sum) AS BIGINT) AS tok_total,
+        |          count(*) AS n_sources FROM cell),
+        |th AS (
+        |  SELECT source, n_docs, tok_sum,
+        |    CAST(tok_sum * 1000000 // tok_total AS BIGINT) AS share_micro,
+        |    least(1000000, CAST(CAST(1000000000000 AS BIGINT) //
+        |      nullif(n_sources * CAST(tok_sum * 1000000 // tok_total AS BIGINT), 0)
+        |      AS BIGINT)) AS accept_micro
+        |  FROM cell CROSS JOIN tot),
+        |th2 AS (SELECT *, CAST(accept_micro * 65536 // 1000000 AS BIGINT) AS thresh16
+        |        FROM th),
+        |h AS (SELECT source, n_toks,
+        |        ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS hk16
+        |      FROM t),
+        |k AS (
+        |  SELECT h.source,
+        |    CAST(sum(CASE WHEN h.hk16 < th2.thresh16 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(sum(CASE WHEN h.hk16 < th2.thresh16 THEN h.n_toks ELSE 0 END) AS BIGINT) AS kept_toks
+        |  FROM h JOIN th2 USING (source) GROUP BY h.source),
+        |kt AS (SELECT CAST(sum(kept_toks) AS BIGINT) AS kept_total FROM k)
+        |SELECT th2.source, th2.n_docs, th2.tok_sum, th2.share_micro,
+        |  th2.accept_micro,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(k.kept_toks, 0) AS BIGINT) AS kept_toks,
+        |  CAST(coalesce(k.kept_toks, 0) * 1000000 // nullif(kt.kept_total, 0) AS BIGINT)
+        |    AS kept_share_micro
+        |FROM th2 LEFT JOIN k USING (source) CROSS JOIN kt
+        |ORDER BY source""".stripMargin,
 
     "q89_text_tfidf" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term

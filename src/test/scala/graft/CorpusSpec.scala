@@ -119,6 +119,26 @@ class CorpusSpec extends SparkSpec {
       s"share sum $shareSum out of band for ${mix.length} cells")
   }
 
+  test("q98 rebalance keeps under-represented sources whole, never upsamples") {
+    val out = SparkEntry.queries("q98_mix_rebalance")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val target = 1000000L / out.length
+    out.foreach { r =>
+      val (acc, nd, nk) = (r.getAs[Long]("accept_micro"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"))
+      assert(acc <= 1000000L, s"$r")
+      assert(nk <= nd && r.getAs[Long]("kept_toks") <= r.getAs[Long]("tok_sum"), s"$r")
+      // a source at or under its target share is never downsampled:
+      // accept hits the 1.0 cap and the 16-bit threshold keeps every doc
+      if (r.getAs[Long]("share_micro") <= target)
+        assert(acc == 1000000L && nk == nd, s"under-target source was cut: $r")
+    }
+    assert(out.map(_.getAs[Long]("kept_share_micro")).sum <= 1000000L)
+    // hash-order determinism: a rerun is bit-identical
+    val again = SparkEntry.queries("q98_mix_rebalance")(spark, sf).collect()
+    assert(out.sameElements(again))
+  }
+
   test("q89 emits top-10 per stratum, ordered, with df bounded by strata") {
     val out = SparkEntry.queries("q89_text_tfidf")(spark, sf).collect()
     assert(out.nonEmpty)

@@ -50,6 +50,7 @@ class EmptyInputSpec extends SparkSpec {
     "q93_text_redact", "q94_text_repetition",
     "q86_text_decontaminate", "q87_sample_stratified", "q88_stats_profile",
     "q89_text_tfidf", "q91_pack_sequences", "q92_mix_report",
+    "q98_mix_rebalance",
     "q70_stream_tumbling", "q71_stream_sliding", "q72_stream_session",
     "q18_resample_gapfill")
 
