@@ -95,7 +95,8 @@ object ScaleProbe {
       // corpus curation family (round 8): all driven off the same synthetic
       // documents table; decontamination/TF-IDF are the token-heavy ones
       "q86_text_decontaminate", "q87_sample_stratified", "q88_stats_profile",
-      "q89_text_tfidf", "q91_pack_sequences", "q92_mix_report")
+      "q89_text_tfidf", "q91_pack_sequences", "q92_mix_report",
+      "q93_text_redact", "q94_text_repetition", "q98_mix_rebalance")
     val results = family.map { name =>
       val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
       println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")
