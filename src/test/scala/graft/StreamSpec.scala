@@ -184,6 +184,51 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER emits unmatched rows after the watermark closes") {
+    // The outer-join contract on two unbounded streams: an unmatched left
+    // row CANNOT emit when seen (its match may still arrive); it emits
+    // null-extended only once the watermark proves the join horizon is
+    // closed. The global watermark is the min across both sources, so
+    // both streams must advance.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val vs = MemoryStream[(Long, Long, Timestamp)]
+    val bs = MemoryStream[(Long, Long, Timestamp)]
+    val views = vs.toDF().toDF("view_id", "user_id", "view_ts")
+      .withWatermark("view_ts", "10 minutes")
+    val buys = bs.toDF().toDF("buy_id", "buyer_id", "buy_ts")
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = views.join(buys,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"),
+      "left_outer")
+      .select(col("view_id"), col("buy_id"))
+    val q = joined.writeStream.format("memory").queryName("ssoj_spec")
+      .outputMode("append").start()
+    try {
+      // batch 1: a view with no matching purchase — nothing may emit yet
+      vs.addData((100L, 1L, ts("2024-01-01 10:00:00")))
+      bs.addData((200L, 2L, ts("2024-01-01 10:00:00"))) // other user
+      q.processAllAvailable()
+      assert(spark.table("ssoj_spec").count() == 0,
+        "an unmatched row must not emit while its horizon is open")
+      // batch 2: both streams advance a day -> watermark passes
+      // 10:00 + 6 h + 10 min, closing view 100's horizon
+      vs.addData((101L, 9L, ts("2024-01-02 10:00:00")))
+      bs.addData((201L, 9L, ts("2024-01-02 10:00:00")))
+      q.processAllAvailable()
+      // one more batch so the advanced watermark is applied to state
+      vs.addData((102L, 8L, ts("2024-01-02 10:00:01")))
+      bs.addData((202L, 8L, ts("2024-01-02 10:00:01")))
+      q.processAllAvailable()
+      val out = spark.table("ssoj_spec").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(out.contains((100L, -1L)),
+        s"view 100 must emit null-extended after its horizon closed, got $out")
+    } finally q.stop()
+  }
+
   test("q74 semantics: dropDuplicatesWithinWatermark keeps one row per id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
