@@ -43,6 +43,21 @@ object Ingest {
       .schema(schema)
       .csv(path)
 
+  /** JSON-lines scan with a DECLARED schema — the second text source
+    * format next to [[readCsv]]. The explicit schema matters at 100 TB:
+    * without it Spark runs a full inference pre-pass over every file
+    * (an extra corpus scan before the first real job); with it the read
+    * is one splittable partitioned scan, and FAILFAST keeps the COPY-like
+    * error-on-malformed contract per task. Fields present in the data but
+    * absent from the schema are pruned for free; absent fields are NULL —
+    * the same empty→NULL discipline as the CSV path. */
+  def readJsonLines(spark: SparkSession, path: String, schema: StructType,
+                    failFast: Boolean = true): DataFrame =
+    spark.read
+      .option("mode", if (failFast) "FAILFAST" else "PERMISSIVE")
+      .schema(schema)
+      .json(path)
+
   /** A7: contract check — every required column present, else raise
     * listing the missing ones (mirrors the reference's ValueError). */
   def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {

@@ -34,6 +34,25 @@ class IngestSpec extends SparkSpec {
     intercept[Exception] { df.collect() }
   }
 
+  test("readJsonLines: declared schema, missing field -> NULL, FAILFAST on malformed") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "in.jsonl")
+    Files.writeString(f.toPath,
+      """{"id": 1, "v": 2, "s": "a"}
+        |{"id": 3, "s": "b"}
+        |""".stripMargin)
+    val df = Ingest.readJsonLines(spark, f.getAbsolutePath, schema)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(1).isNullAt(1), "absent JSON field must load as NULL")
+    // malformed line -> FAILFAST errors like COPY
+    val bad = new java.io.File(dir, "bad.jsonl")
+    Files.writeString(bad.toPath, "{\"id\": 1, \"v\": \"notanint\"}\n")
+    intercept[Exception] {
+      Ingest.readJsonLines(spark, bad.getAbsolutePath, schema).collect()
+    }
+  }
+
   test("requireColumns raises listing the missing columns (A7)") {
     val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n"), schema)
     val e = intercept[IllegalArgumentException] {
