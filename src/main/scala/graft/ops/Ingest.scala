@@ -89,6 +89,36 @@ object Ingest {
     df
   }
 
+  /** Single-pass DQ: attach row-count + per-column null-count metrics to
+    * the frame via `Observation`, run ONE action (the write `body`), then
+    * assert from the collected metrics. [[dqGateNonEmpty]] and the
+    * reference's row-count check (:125-130) each cost an extra scan of the
+    * input; at 100 TB that doubles the job. Observed metrics ride the main
+    * job's tasks for free — the same accumulator mechanism as Spark's own
+    * SQL metrics — so data lands AND its quality is asserted in one pass.
+    * Throws IllegalStateException after the write if the gate fails, so a
+    * caller can quarantine the written output.
+    * Returns (rowCount, nullCounts in `notNullCols` order). */
+  def observedDqGate(df: DataFrame, name: String, notNullCols: Seq[String])
+                    (body: DataFrame => Unit): (Long, Seq[Long]) = {
+    val obs = new org.apache.spark.sql.Observation(s"dq_$name")
+    val metrics = count(lit(1)).as("n_rows") +:
+      notNullCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L))
+        .as(s"nulls_$c"))
+    val observed = df.observe(obs, metrics.head, metrics.tail: _*)
+    body(observed)
+    val row = obs.get
+    val n = row("n_rows").asInstanceOf[Long]
+    val nulls = notNullCols.map(c => row(s"nulls_$c").asInstanceOf[Long])
+    if (n == 0)
+      throw new IllegalStateException(s"DQ gate '$name' failed: empty result")
+    val bad = notNullCols.zip(nulls).filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(s"DQ gate '$name' failed: nulls in " +
+        bad.map { case (c, k) => s"$c($k)" }.mkString(", "))
+    (n, nulls)
+  }
+
   /** A10: the reference's ACTUAL sink — a relational database. The
     * reference loads its final table into Postgres with COPY
     * (/root/reference/dags/patient_claims_plus_postgres.py:55-56, 187-189);

@@ -53,6 +53,32 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("observedDqGate: metrics ride the write's single pass; gate asserts") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_obs").toString
+    val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n3,4,b\n"), schema)
+    // clean data: one pass writes AND yields the metrics
+    val (n, nulls) = Ingest.observedDqGate(df, "clean", Seq("v")) { d =>
+      d.write.mode("overwrite").parquet(s"$out/t1")
+    }
+    assert(n == 2 && nulls == Seq(0L))
+    assert(spark.read.parquet(s"$out/t1").count() == 2)
+    // a null in a not-null column fails the gate AFTER the single pass
+    val dirty = Ingest.readCsv(spark, csv("id,v,s\n1,,a\n3,4,b\n"), schema)
+    val e = intercept[IllegalStateException] {
+      Ingest.observedDqGate(dirty, "dirty", Seq("v")) { d =>
+        d.write.mode("overwrite").parquet(s"$out/t2")
+      }
+    }
+    assert(e.getMessage.contains("v(1)"), e.getMessage)
+    // an empty frame fails the non-empty clause
+    intercept[IllegalStateException] {
+      Ingest.observedDqGate(df.filter(lit(false)), "empty", Seq("v")) { d =>
+        d.write.mode("overwrite").parquet(s"$out/t3")
+      }
+    }
+  }
+
   test("requireColumns raises listing the missing columns (A7)") {
     val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n"), schema)
     val e = intercept[IllegalArgumentException] {
