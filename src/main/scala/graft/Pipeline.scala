@@ -132,10 +132,15 @@ object Pipeline {
       require(!derivePlan.contains("Exchange"),
         s"derive join must be Exchange-free off bucketed staging; plan:\n$derivePlan")
 
-      // -- 4. publish + final DQ gate --
-      Ingest.stageOverwrite(derived, s"$work/patient_claims_plus")
-      val out = Ingest.dqGateNonEmpty(
-        spark.read.parquet(s"$work/patient_claims_plus"), "patient_claims_plus")
+      // -- 4. publish + final DQ gate, SINGLE-PASS: row-count and
+      //       not-null(claim_key) metrics ride the publish write itself
+      //       (Observation accumulators), so the gate costs no second scan
+      //       and is stronger than the reference's post-hoc row count
+      //       (A20 — which also could never fail) --
+      Ingest.observedDqGate(derived, "patient_claims_plus", Seq("claim_key")) {
+        d => Ingest.stageOverwrite(d, s"$work/patient_claims_plus")
+      }
+      val out = spark.read.parquet(s"$work/patient_claims_plus")
       // the reference's actual sink: overwrite-load the published table
       // into a relational DB (its drop-and-reload, :182-186)
       jdbcUrl.foreach(url =>
