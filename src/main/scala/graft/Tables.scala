@@ -77,6 +77,16 @@ object Fns {
     * CAST(... AS DOUBLE). */
   def od(c: Column): Column = c.cast(DoubleType)
 
+  /** Whitespace token count WITHOUT the array: value-identical to
+    * `size(split(c, " "))` for any string (segments = separators + 1, and
+    * split("", " ") is [""] = 1), but pure length arithmetic — no
+    * per-row substring-array allocation. At 100 TB the split form's
+    * garbage pressure is real; use this wherever only the COUNT is needed
+    * (when the tokens themselves flow on — explode, grams — split is the
+    * right call). Oracles keep `len(string_split(...))`: same value. */
+  def nTokens(c: Column): Column =
+    (length(c) - length(translate(c, " ", "")) + 1).cast(LongType)
+
   /** Exact integer cents of a 2-dp-clean double (money/quantity). */
   def cents(c: Column): Column = dec2(c).multiply(lit(100)).cast(LongType)
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.{QueryModule, Tables => T}
+import graft.{Fns => F, QueryModule, Tables => T}
 
 /** Corpus-level curation statistics and selection (q86-q89, q91-q92):
   * benchmark decontamination, deterministic stratified sampling,
@@ -143,7 +143,7 @@ object Corpus extends QueryModule {
     docs
       .select(col("doc_id"), col("lang"),
         (col("doc_id") / shardDocs).cast(LongType).as("shard"),
-        size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+        F.nTokens(col("text")).as("n_toks"))
       .withColumn("tok_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .withColumn("pack_no", expr(s"tok_before DIV $binTokens"))
       .groupBy(col("lang"), col("shard"), col("pack_no"))
@@ -161,7 +161,7 @@ object Corpus extends QueryModule {
   def mixReport(docs: DataFrame): DataFrame = {
     val cell = docs
       .select(col("source"), col("lang"),
-        size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+        F.nTokens(col("text")).as("n_toks"),
         col("n_chars"))
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"),
@@ -188,7 +188,7 @@ object Corpus extends QueryModule {
     * never shuffled. */
   def rebalanceMix(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+      F.nTokens(col("text")).as("n_toks"))
     val cell = toks.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
     val tot = cell.agg(sum(col("tok_sum")).as("tok_total"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.{QueryModule, Tables => T}
+import graft.{Fns => F, QueryModule, Tables => T}
 
 /** Text analysis over `documents` (q57, q62-q63, q68-q69, q76-q77, q82,
   * q85, q93): tokenize/generator surface, token frequencies, per-language
@@ -203,7 +203,7 @@ object TextOps extends QueryModule {
       // per-row projection — no shuffle at any scale.
       T.events(s, d).select(
         col("event_id"),
-        size(split(col("props"), " ")).cast(LongType).as("n_ws"),
+        F.nTokens(col("props")).as("n_ws"),
         size(expr("regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]+', 0)"))
           .cast(LongType).as("n_bpe"))
         .orderBy(col("event_id"))),
