@@ -98,6 +98,11 @@ object Ingest {
     * SQL metrics — so data lands AND its quality is asserted in one pass.
     * Throws IllegalStateException after the write if the gate fails, so a
     * caller can quarantine the written output.
+    *
+    * Contract: `body` MUST run exactly one action on the frame it is
+    * GIVEN (not on `df`) — `Observation.get` blocks until its query
+    * completes, so a body that triggers no action hangs the caller, and
+    * an action on a different frame never feeds the metrics.
     * Returns (rowCount, nullCounts in `notNullCols` order). */
   def observedDqGate(df: DataFrame, name: String, notNullCols: Seq[String])
                     (body: DataFrame => Unit): (Long, Seq[Long]) = {
