@@ -58,6 +58,27 @@ object Ingest {
       .schema(schema)
       .json(path)
 
+  /** Columnar source #2: ORC with a declared schema. Same scan contract
+    * as the parquet path — splittable, column-pruned, predicate pushdown
+    * into the stripe/row-group indexes (IngestSpec asserts PushedFilters
+    * on the executed scan). The format choice is a storage decision, not
+    * a semantic one: every operator in this engine runs unchanged on
+    * either. (Avro is NOT offered: the spark-avro connector jar is not on
+    * this classpath, and a source the build can't exercise would be dead
+    * code.) */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Raw-text corpus source: one row per line (`wholeFile=false`) or one
+    * row per FILE (`wholeFile=true` — the corpus-ingest shape where each
+    * .txt is a document). Line mode is splittable; whole-file mode is
+    * one task per file, the right trade when documents are files and
+    * downstream ops are per-document anyway. The single `value` column
+    * feeds the text operators directly. */
+  def readText(spark: SparkSession, path: String,
+               wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(path)
+
   /** A7: contract check — every required column present, else raise
     * listing the missing ones (mirrors the reference's ValueError). */
   def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {

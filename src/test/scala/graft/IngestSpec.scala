@@ -79,6 +79,30 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("readOrc: schema'd scan with predicate pushdown reaching the ORC reader") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n3,4,b\n5,6,c\n"), schema)
+      .write.mode("overwrite").orc(s"$dir/t")
+    val back = Ingest.readOrc(spark, s"$dir/t", schema).filter(col("id") > 2)
+    assert(back.count() == 2)
+    // the filter must reach the ORC scan, not sit in a post-scan Filter only
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,2)]"),
+      s"predicate must push into the ORC scan; plan:\n$plan")
+  }
+
+  test("readText: line mode rows, whole-file mode one row per document") {
+    val dir = Files.createTempDirectory("graft_txt").toFile
+    Files.writeString(new java.io.File(dir, "a.txt").toPath, "line one\nline two\n")
+    Files.writeString(new java.io.File(dir, "b.txt").toPath, "solo\n")
+    assert(Ingest.readText(spark, dir.getAbsolutePath).count() == 3)
+    val whole = Ingest.readText(spark, dir.getAbsolutePath, wholeFile = true)
+      .collect().map(_.getString(0)).sorted
+    assert(whole.length == 2 && whole.head.startsWith("line one\nline two"),
+      s"whole-file mode must yield one row per file, got ${whole.toSeq}")
+  }
+
   test("requireColumns raises listing the missing columns (A7)") {
     val df = Ingest.readCsv(spark, csv("id,v,s\n1,2,a\n"), schema)
     val e = intercept[IllegalArgumentException] {
