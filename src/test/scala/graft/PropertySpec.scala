@@ -289,6 +289,47 @@ class PropertySpec extends SparkSpec {
     assert(residual == 0, "redacted text must contain no residual matches")
   }
 
+  test("q91 packing matches a sequential reference for random corpora/params") {
+    import spark.implicits._
+    // reference: per (lang, shard) stream docs in id order, assign each to
+    // the bin where its cumulative offset starts
+    def refPack(rows: Seq[(Long, String, Int)], bin: Int, shardDocs: Int)
+        : Map[(String, Long, Long), (Long, Long, Long, Long)] =
+      rows.groupBy { case (id, lang, _) => (lang, id / shardDocs) }.toSeq
+        .flatMap { case ((lang, shard), grp) =>
+          var cum = 0L
+          grp.sortBy(_._1).map { case (id, _, n) =>
+            val packNo = cum / bin; cum += n
+            (lang, shard, packNo, id, n.toLong)
+          }
+        }
+        .groupBy(t => (t._1, t._2, t._3))
+        .map { case (k, g) =>
+          k -> (g.size.toLong, g.map(_._5).sum, g.map(_._4).min, g.map(_._4).max)
+        }
+    val corpus: Gen[List[(Long, String, Int)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      ids <- Gen.pick(n, 0L until 100L)
+      rows <- Gen.sequence[List[(Long, String, Int)], (Long, String, Int)](
+        ids.toList.map(id => for {
+          lang <- Gen.oneOf("en", "de")
+          toks <- Gen.chooseNum(1, 20)
+        } yield (id, lang, toks)))
+    } yield rows
+    check(Prop.forAll(corpus, Gen.chooseNum(3, 17), Gen.chooseNum(2, 9)) {
+      (rows, bin, shardDocs) =>
+        val df = rows.map { case (id, lang, n) =>
+          (id, ("w " * n).trim, lang, "src", n.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        val got = graft.ops.Corpus.packSequences(df, bin, shardDocs).collect()
+          .map(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"),
+            r.getAs[Long]("pack_no")) ->
+            (r.getAs[Long]("n_docs"), r.getAs[Long]("tok_count"),
+             r.getAs[Long]("doc_lo"), r.getAs[Long]("doc_hi"))).toMap
+        got == refPack(rows, bin, shardDocs)
+    })
+  }
+
   test("set algebra: (A except B) disjoint from B, subset of A") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
