@@ -330,6 +330,91 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q98 rebalance matches an exact md5-arithmetic reference") {
+    import spark.implicits._
+    def hk16(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(4), 16)
+    }
+    val corpus: Gen[List[(Long, String, Int)]] = for {
+      n <- Gen.chooseNum(2, 40)
+      ids <- Gen.pick(n, 0L until 100L)
+      rows <- Gen.sequence[List[(Long, String, Int)], (Long, String, Int)](
+        ids.toList.map(id => for {
+          src <- Gen.oneOf("s0", "s1", "s2")
+          toks <- Gen.chooseNum(1, 30)
+        } yield (id, src, toks)))
+    } yield rows
+    check(Prop.forAll(corpus) { rows =>
+      val df = rows.map { case (id, src, n) =>
+        (id, ("w " * n).trim, "en", src, n.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = graft.ops.Corpus.rebalanceMix(df).collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("accept_micro"), r.getAs[Long]("n_kept"),
+           r.getAs[Long]("kept_toks"))).toMap
+      // reference: same floor-division micro arithmetic, sequentially
+      val cells = rows.groupBy(_._2)
+      val tokTotal = rows.map(_._3.toLong).sum
+      val nSources = cells.size.toLong
+      cells.forall { case (src, grp) =>
+        val tokSum = grp.map(_._3.toLong).sum
+        val share = tokSum * 1000000L / tokTotal
+        val accept =
+          if (share == 0) 1000000L
+          else math.min(1000000L, 1000000000000L / (nSources * share))
+        val t16 = accept * 65536L / 1000000L
+        val kept = grp.filter(g => hk16(g._1) < t16)
+        got(src) == ((accept, kept.size.toLong, kept.map(_._3.toLong).sum))
+      }
+    })
+  }
+
+  test("q86 decontamination matches a reference incl. sub-5-token documents") {
+    import spark.implicits._
+    // fixture docs all have >= 5 tokens, so the gram-free branch (short
+    // docs -> empty typed array -> survive with n_grams = 0) only gets
+    // exercised here
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val corpus: Gen[List[(Long, String)]] = for {
+      n <- Gen.chooseNum(2, 25)
+      ids <- Gen.pick(n, 0L until 60L)
+      rows <- Gen.sequence[List[(Long, String)], (Long, String)](
+        ids.toList.map(id => for {
+          len <- Gen.chooseNum(1, 9) // 1-4 = below the gram width
+          ws <- Gen.listOfN(len, word)
+        } yield (id, ws.mkString(" "))))
+    } yield rows
+    def grams(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 5) Set.empty
+      else t.sliding(5).map(_.mkString(" ")).toSet
+    }
+    check(Prop.forAll(corpus) { rows =>
+      val (evalRows, trainRows) = rows.partition(_._1 % 3 == 0)
+      if (trainRows.isEmpty) true
+      else {
+        val toDf = (rs: List[(Long, String)]) => rs.map { case (id, t) =>
+          (id, t, "en", "src", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        val got = graft.ops.Corpus
+          .decontaminate(toDf(trainRows), toDf(evalRows), gramN = 5)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("n_grams"), r.getAs[Long]("n_hit"),
+             r.getAs[Boolean]("contaminated"))).toMap
+        val evalGrams = evalRows.flatMap(r => grams(r._2)).toSet
+        trainRows.forall { case (id, text) =>
+          val g = grams(text)
+          val hit = g.count(evalGrams.contains).toLong
+          got(id) == ((g.size.toLong, hit, hit * 2 >= g.size && g.nonEmpty))
+        }
+      }
+    })
+  }
+
   test("set algebra: (A except B) disjoint from B, subset of A") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
