@@ -19,7 +19,8 @@ object SparkEntry {
     ops.StreamOps,
     ops.Udfs,
     ops.Multimodal,
-    ops.Corpus
+    ops.Corpus,
+    ops.Warehouse
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -283,6 +283,41 @@ object Relational extends QueryModule {
         .orderBy(col("user_id"), col("hr"))
     }),
 
+    "q19_join_interval" -> ((s, d) => {
+      // Interval/overlap join — the range-join shape Spark has no native
+      // operator for. Windows = [ts, ts+1h) around every high-value
+      // purchase; probe = every other event whose timestamp falls inside
+      // a window. The scale-safe plan is a BUCKETED equi-join: both sides
+      // key on the 1-hour epoch bucket — a window of length == bucket
+      // width overlaps at most 2 buckets, so the window side expands into
+      // ≤2 (bucket, window) rows while the probe side stays one row per
+      // event; exact containment runs as a post-join residual. Per-bucket
+      // cost is events/bucket × windows/bucket, never |events|×|windows|
+      // (the BroadcastNestedLoopJoin a bare range predicate plans); the
+      // bucket width is the knob that trades window-side duplication
+      // against bucket occupancy at 100 TB. All time arithmetic is exact
+      // epoch-second integers (tsSec), so bucket assignment and
+      // containment are bit-identical cross-engine.
+      val ev = T.events(s, d).select(
+        col("event_id"), col("user_id"), T.tsSec(col("ts")).as("sec"),
+        col("event_type"), F.dec2(col("value")).as("v"))
+      val win = ev.filter(col("event_type") === "purchase" && col("v") >= 150)
+        .select(col("event_id").as("win_id"), col("sec").as("ws"),
+                (col("sec") + 3600L).as("we"))
+      val binned = win.select(col("win_id"), col("ws"), col("we"),
+        explode(array_distinct(array(
+          expr("ws DIV 3600"), expr("(we - 1) DIV 3600")))).as("bucket"))
+      val probe = ev.withColumn("bucket", expr("sec DIV 3600"))
+      probe.join(binned, Seq("bucket"))
+        .filter(col("sec") >= col("ws") && col("sec") < col("we") &&
+                col("event_id") =!= col("win_id"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"),
+             F.od(sum(col("v"))).as("sum_value"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("win_id"))
+    }),
+
     "q21_agg_groupby" -> ((s, d) =>
       // TPC-H Q1 shape; decimal end-to-end per SURVEY §7.5, averages as
       // exact integer micro-units (no float/decimal division).
@@ -593,6 +628,20 @@ object Relational extends QueryModule {
         |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS val_ff
         |FROM j ORDER BY user_id, hr""".stripMargin,
+
+    "q19_join_interval" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+        |         event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (
+        |  SELECT event_id AS win_id, sec AS ws, sec + 3600 AS we FROM e
+        |  WHERE event_type = 'purchase' AND v >= 150)
+        |SELECT w.win_id, count(*) AS n_events,
+        |  CAST(sum(e.v) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM w JOIN e ON e.sec >= w.ws AND e.sec < w.we
+        |               AND e.event_id <> w.win_id
+        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin,
 
     "q49_pivot" ->
       """SELECT o_orderpriority,

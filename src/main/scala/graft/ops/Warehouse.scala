@@ -1,0 +1,153 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{Fns => F, QueryModule, Tables => T}
+
+/** Warehouse-maintenance operators: CDC MERGE/upsert (q42) and SCD2
+  * dimension history build (q43).
+  *
+  * The reference pipeline maintains its warehouse by DROP + CTAS replace
+  * (/root/reference/dags/patient_claims_plus_postgres.py:109-117,161-189)
+  * — the full-rewrite idiom that cannot scale past a single Postgres node.
+  * These two operators are the incremental alternatives every warehouse
+  * user of the reference would reach for next: apply a change batch in
+  * place (MERGE) and keep attribute history instead of overwriting it
+  * (SCD type 2).
+  *
+  * Scale notes (100 TB):
+  *  - q42's merge is ONE join on the natural key. A CDC batch is orders of
+  *    magnitude smaller than the base table, so the changes side
+  *    broadcasts (AQE threshold); a fact-sized batch degrades to a
+  *    sort-merge join on the co-partitioned key, and on a bucketed base
+  *    layout ([[Layout.stageBucketed]]) that join plans with ZERO
+  *    Exchange. Rewrite cost at the sink is per-partition (dynamic
+  *    partition overwrite), never the full table.
+  *  - q43's history build is two per-key window passes plus one run-keyed
+  *    aggregate — every window partitions by the dimension key (state
+  *    bounded by one entity's change count), no global window anywhere.
+  */
+object Warehouse extends QueryModule {
+
+  /** Exact +10% price bump for merge updates: DECIMAL(18,2) × DECIMAL(2,1)
+    * → DECIMAL(21,3), exact in both engines (no float rounding). */
+  private def bump(c: org.apache.spark.sql.Column) =
+    c.multiply(lit("1.1").cast(DecimalType(2, 1)))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_merge_upsert" -> ((s, d) => {
+      // CDC MERGE INTO: one deterministic change batch — update (op=U:
+      // price +10%), delete (D) or insert (I: fresh key, status 'N') by
+      // o_orderkey % 20 residue 0/1/2 — applied to the orders base in a
+      // single pass. Full-outer join on the key, then per-row verdict:
+      // base-only rows carry through (K), U rows take the new price,
+      // D rows drop, I rows (change-only by construction) append.
+      val base = T.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
+        F.dec2(col("o_totalprice")).as("p"))
+      val m = col("o_orderkey") % 20
+      val changes = T.orders(s, d).filter(m.isin(0, 1, 2)).select(
+        when(m === 2, col("o_orderkey") + 1000000000L)
+          .otherwise(col("o_orderkey")).as("k"),
+        when(m === 0, "U").when(m === 1, "D").otherwise("I").as("op"),
+        when(m === 0, bump(F.dec2(col("o_totalprice"))))
+          .when(m === 2, F.dec2(col("o_totalprice")).cast(DecimalType(21, 3)))
+          .as("c_price"),
+        when(m === 2, col("o_custkey")).as("c_cust"),
+        when(m === 2, lit("N")).as("c_status"))
+      base.join(changes, Seq("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("K")) =!= "D")
+        .select(
+          col("k").as("order_key"),
+          coalesce(col("c_cust"), col("o_custkey")).as("cust_key"),
+          coalesce(col("c_status"), col("o_orderstatus")).as("status"),
+          F.od(coalesce(col("c_price"), col("p").cast(DecimalType(21, 3))))
+            .as("price"),
+          coalesce(col("op"), lit("K")).as("verdict"))
+        .orderBy(col("order_key"))
+    }),
+
+    "q43_scd2_history" -> ((s, d) => {
+      // SCD2 dimension build: per-customer order-status history compressed
+      // to change runs (gaps-and-islands), each run one versioned row with
+      // [valid_from, valid_to) and is_current. Ordering ties on a same-day
+      // status flip break by o_orderkey, so run boundaries are
+      // deterministic cross-engine.
+      val byTime = Window.partitionBy(col("cust"))
+        .orderBy(col("dt").asc, col("ok").asc)
+      val cum = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runs = T.orders(s, d).select(
+          col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+          col("o_orderdate").as("dt"), col("o_orderstatus").as("st"))
+        .withColumn("chg",
+          when(lag(col("st"), 1).over(byTime).isNull ||
+               lag(col("st"), 1).over(byTime) =!= col("st"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(cum))
+      val dim = runs.groupBy(col("cust"), col("version"), col("st"))
+        .agg(min(col("dt")).as("vf"), count(lit(1)).as("n_orders"))
+      val byVersion = Window.partitionBy(col("cust")).orderBy(col("version").asc)
+      dim.withColumn("vt", lead(col("vf"), 1).over(byVersion))
+        .select(
+          col("cust").as("cust_key"), col("version"),
+          col("st").as("status"),
+          F.d(col("vf")).as("valid_from"),
+          F.d(col("vt")).as("valid_to"),
+          col("vt").isNull.cast(LongType).as("is_current"),
+          col("n_orders"))
+        .orderBy(col("cust_key"), col("version"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q42_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
+        |              ELSE o_orderkey END AS k,
+        |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+        |              ELSE 'I' END AS op,
+        |         CASE WHEN o_orderkey % 20 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              WHEN o_orderkey % 20 = 2
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+        |         END AS c_price,
+        |         CASE WHEN o_orderkey % 20 = 2 THEN o_custkey END AS c_cust,
+        |         CASE WHEN o_orderkey % 20 = 2 THEN 'N' END AS c_status
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2))
+        |SELECT coalesce(base.k, ch.k) AS order_key,
+        |  coalesce(c_cust, o_custkey) AS cust_key,
+        |  coalesce(c_status, o_orderstatus) AS status,
+        |  CAST(coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS DOUBLE) AS price,
+        |  coalesce(op, 'K') AS verdict
+        |FROM base FULL JOIN ch ON base.k = ch.k
+        |WHERE coalesce(op, 'K') <> 'D'
+        |ORDER BY order_key""".stripMargin,
+
+    "q43_scd2_history" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust, o_orderkey AS ok, o_orderdate AS dt,
+        |         o_orderstatus AS st FROM orders),
+        |r AS (
+        |  SELECT *, CASE WHEN lag(st) OVER w IS NULL OR lag(st) OVER w <> st
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM o WINDOW w AS (PARTITION BY cust ORDER BY dt, ok)),
+        |v AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY cust ORDER BY dt, ok
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        |  FROM r),
+        |dim AS (
+        |  SELECT cust, version, st, min(dt) AS vf, count(*) AS n_orders
+        |  FROM v GROUP BY cust, version, st)
+        |SELECT cust AS cust_key, version, st AS status,
+        |  strftime(vf, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(vf) OVER w2, '%Y-%m-%d') AS valid_to,
+        |  CAST(lead(vf) OVER w2 IS NULL AS BIGINT) AS is_current,
+        |  n_orders
+        |FROM dim WINDOW w2 AS (PARTITION BY cust ORDER BY version)
+        |ORDER BY cust_key, version""".stripMargin
+  )
+}

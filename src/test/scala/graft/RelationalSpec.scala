@@ -87,4 +87,37 @@ class RelationalSpec extends SparkSpec {
     assert(r.getLong(1) ==
       SparkEntry.queries("q10_join_left_flagship")(spark, sf).count())
   }
+
+  test("q19 bucketed interval join equals the naive range join, equi-planned") {
+    // Value equivalence: the ≤2-bucket expansion + residual filter must
+    // reproduce exactly what the bare range predicate computes (the naive
+    // plan is fine at fixture scale; it's the 100 TB plan that isn't).
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), Tables.tsSec(col("ts")).as("sec"),
+      col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val win = ev.filter(col("event_type") === "purchase" && col("v") >= 150)
+      .select(col("event_id").as("win_id"), col("sec").as("ws"),
+              (col("sec") + 3600L).as("we"))
+    val naive = ev.join(win,
+        col("sec") >= col("ws") && col("sec") < col("we") &&
+          col("event_id") =!= col("win_id"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("v")).cast("double").as("sum_value"),
+           countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getLong(3))).sortBy(_._1)
+    val mine = SparkEntry.queries("q19_join_interval")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getLong(3))).sortBy(_._1)
+    assert(mine.nonEmpty, "fixture must produce interval-join matches")
+    assert(mine.sameElements(naive))
+    // Plan shape: the registered query joins on the bucket EQUI key —
+    // never the nested-loop product the naive range predicate plans.
+    val plan = SparkEntry.queries("q19_join_interval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"interval join must stay an equi join on the time bucket:\n$plan")
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the semantics the oracle states but doesn't explain: q42's MERGE
+  * verdict discipline (delete/update/insert/carry) and q43's SCD2 shape
+  * invariants (contiguous versions, one current row, adjacent runs differ,
+  * [valid_from, valid_to) chaining). */
+class WarehouseSpec extends SparkSpec {
+
+  private lazy val merged =
+    SparkEntry.queries("q42_merge_upsert")(spark, sf).cache()
+  private lazy val base = Tables.orders(spark, sf).cache()
+
+  test("q42 deletes drop, inserts append, carried rows keep their price") {
+    val nD = base.filter(col("o_orderkey") % 20 === 1).count()
+    val nI = base.filter(col("o_orderkey") % 20 === 2).count()
+    // no deleted key survives (deletes never collide with inserted keys:
+    // inserted keys are shifted by 1e9)
+    assert(merged.filter(col("order_key") % 20 === 1 &&
+      col("order_key") < 1000000000L).count() == 0)
+    // every insert arrived with its marker status and verdict
+    val ins = merged.filter(col("order_key") >= 1000000000L)
+    assert(ins.count() == nI)
+    assert(ins.filter(col("verdict") =!= "I" || col("status") =!= "N").count() == 0)
+    // cardinality: base - deletes + inserts
+    assert(merged.count() == base.count() - nD + nI)
+    // carried rows (verdict K) are bit-identical to the base price
+    val carried = merged.filter(col("verdict") === "K")
+      .join(base, col("order_key") === col("o_orderkey"))
+    assert(carried.filter(
+      col("price") =!= col("o_totalprice").cast("decimal(18,2)").cast("double"))
+      .count() == 0)
+  }
+
+  test("q42 updates apply the exact +10% decimal bump") {
+    val upd = merged.filter(col("verdict") === "U")
+      .join(base, col("order_key") === col("o_orderkey"))
+    assert(upd.count() == base.filter(col("o_orderkey") % 20 === 0).count())
+    val wrong = upd.filter(col("price") =!=
+      (col("o_totalprice").cast("decimal(18,2)") *
+        lit("1.1").cast("decimal(2,1)")).cast("double"))
+    assert(wrong.count() == 0, "U rows must carry exactly price × 1.1")
+  }
+
+  private lazy val scd2 =
+    SparkEntry.queries("q43_scd2_history")(spark, sf).cache()
+
+  test("q43 versions are contiguous with exactly one current row per key") {
+    val perKey = scd2.groupBy(col("cust_key")).agg(
+      min(col("version")).as("vmin"), max(col("version")).as("vmax"),
+      count(lit(1)).as("n"), sum(col("is_current")).as("ncur"))
+    assert(perKey.filter(col("vmin") =!= 1L || col("vmax") =!= col("n") ||
+      col("ncur") =!= 1L).count() == 0)
+    // history accounts for every order exactly once
+    val total = scd2.agg(sum(col("n_orders"))).collect()(0).getLong(0)
+    assert(total == base.count())
+  }
+
+  test("q43 adjacent runs differ in status and chain [valid_from, valid_to)") {
+    val cur = scd2.select(col("cust_key"), col("version"), col("status"),
+      col("valid_from"), col("valid_to"))
+    val nxt = scd2.select(col("cust_key"), (col("version") - 1).as("version"),
+      col("status").as("next_status"), col("valid_from").as("next_from"))
+    val j = cur.join(nxt, Seq("cust_key", "version"))
+    assert(j.count() > 0, "fixture must produce multi-version histories")
+    // a run closes exactly where its successor opens...
+    assert(j.filter(col("valid_to") =!= col("next_from")).count() == 0)
+    // ...and only a genuine attribute change opens a new run (adjacent
+    // runs can never share a status — that's the compression contract)
+    assert(j.filter(col("status") === col("next_status")).count() == 0)
+    // non-final runs are never current
+    assert(j.filter(col("valid_to").isNull).count() == 0)
+  }
+}
