@@ -68,14 +68,22 @@ object Bench {
     // of letting the top-level runs_per_query overstate it
     val runCounts = results.map { case (k, _, _, _, n) => jstr(k) + ":" + n }
       .mkString("{", ",", "}")
-    // stdout timings are rounded to 0.1 ms: the driver captures a bounded
-    // TAIL of stdout, and full-precision doubles pushed the full-surface line
-    // past the window twice (BENCH_r06/r07 lost their head mid-line and
-    // failed to parse); 4 decimals keeps the whole line ~2 KB. The
-    // full-precision medians + per-query mins land in target/bench_full
-    // .json for local cross-round comparison.
+    // stdout timings are rounded to 0.1 ms AND keyed by the short query id
+    // (the unique qNN prefix — the driver contract's own example spells
+    // keys that way): the driver captures a bounded 2000-char TAIL of
+    // stdout, and the full-surface line overflowed it twice at full
+    // precision (BENCH_r06/r07 lost their head mid-line and failed to
+    // parse); at 88 queries even 4-decimal timings with full names are
+    // ~2.5 KB, but short ids keep the line ~1.3 KB with headroom. The
+    // full-name, full-precision medians + per-query mins land in
+    // target/bench_full.json for local cross-round comparison.
     def r4(d: Double): Double = math.rint(d * 10000) / 10000
-    val qs = results.map { case (k, med, _, _, _) => jstr(k) + ":" + r4(med) }
+    def sid(k: String): String = k.takeWhile(_ != '_')
+    // one query per qNN number is the SparkEntry naming contract; a clash
+    // would silently drop a key from the JSON map — fail loudly instead
+    require(results.map(r => sid(r._1)).distinct.size == results.size,
+      "duplicate short query ids in SparkEntry.queries")
+    val qs = results.map { case (k, med, _, _, _) => jstr(sid(k)) + ":" + r4(med) }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn, _, _) => jstr(k) + ":" + mn }
       .mkString("{", ",", "}")
@@ -87,7 +95,7 @@ object Bench {
     // query's negated time would make the round total look FASTER than a
     // clean run; the errors map is the failure signal
     val total = results.collect { case (_, med, _, None, _) => med }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","runs_per_query":$Runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // file copies survive any stdout capture truncation
     val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"runs":$runCounts,"queries":$qsFull,"min":$mins,"errors":$errs,"sf":"$sfDir"}"""
