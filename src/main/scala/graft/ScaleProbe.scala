@@ -74,6 +74,36 @@ object ScaleProbe {
     }.reduce(_ unionAll _)
     embCopies.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events ×N: each copy time-shifts by k·31 days, so the probe grows the
+    // TIME AXIS at constant per-hour density — how event data actually
+    // grows. (Stacking copies into the same month would grow both sides of
+    // every per-bucket product ×N and measure an output-quadratic corpus
+    // no real pipeline has.) user_id offsets keep per-user series length
+    // constant (window state stays bounded as the corpus grows).
+    val ev = Tables.events(spark, src)
+    val evCopies = (0 until mult).map { k =>
+      ev.select((col("event_id") + lit(k * 100000000L)).as("event_id"),
+        (col("ts") + lit(k * 2678400L * 1000000000L)).as("ts"),
+        (col("user_id") + lit(k * 1000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+    evCopies.write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // orders ×N: key offsets keep q42's %-20 change residues (10⁸ ≡ 0 mod
+    // 20, so the CDC batch stays a constant fraction) and custkey offsets
+    // hold per-customer history length constant — more entities, not
+    // longer histories, is how a dimension grows. mult ≤ 10 keeps every
+    // copied key under q42's +10⁹ insert-key space.
+    require(mult <= 10, s"mult=$mult would collide copied orderkeys with q42's +1e9 insert keys")
+    val ord = Tables.orders(spark, src)
+    val ordCopies = (0 until mult).map { k =>
+      ord.select((col("o_orderkey") + lit(k * 100000000L)).as("o_orderkey"),
+        (col("o_custkey") + lit(k * 1000000L)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionAll _)
+    ordCopies.write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     val nDocs = spark.read.parquet(s"$out/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$out/embeddings.parquet").count()
 
@@ -96,7 +126,10 @@ object ScaleProbe {
       // documents table; decontamination/TF-IDF are the token-heavy ones
       "q86_text_decontaminate", "q87_sample_stratified", "q88_stats_profile",
       "q89_text_tfidf", "q91_pack_sequences", "q92_mix_report",
-      "q93_text_redact", "q94_text_repetition", "q98_mix_rebalance")
+      "q93_text_redact", "q94_text_repetition", "q98_mix_rebalance",
+      // relational/warehouse additions (round 8): interval join over the
+      // ×N events axis, CDC merge + SCD2 over the ×N orders/customers
+      "q19_join_interval", "q42_merge_upsert", "q43_scd2_history")
     val results = family.map { name =>
       val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
       println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")
