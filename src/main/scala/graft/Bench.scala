@@ -24,7 +24,8 @@ object Bench {
     // failing query will be timed (and its error recorded) below anyway.
     // NonFatal only: an OOM/LinkageError here means a corrupted JVM whose
     // numbers would be garbage — let it crash the run instead.
-    Seq("q01_scan_project", "q21_agg_groupby", "q67_sim_ivf").foreach { w =>
+    Seq("q01_scan_project", "q21_agg_groupby", "q67_sim_ivf",
+        "q79_dedup_resolve").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

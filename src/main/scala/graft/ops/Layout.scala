@@ -74,6 +74,16 @@ object Layout {
     fs.create(new org.apache.hadoop.fs.Path(loc, StagedMarker), true).close()
   }
 
+  /** Stage a plain (unbucketed, unpartitioned) parquet table — for
+    * derived artifacts whose consumers don't key on any one column (e.g.
+    * the SimHash signature index, read via a band explode+join). Same
+    * staleness/marker discipline as the layout-bearing stagings. */
+  def stageTable(df: DataFrame, table: String): Unit = {
+    dropStaleLocation(df, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    markStaged(df, table)
+  }
+
   /** Stage a table bucketed+sorted on its join key. Two tables staged with
     * the same bucket count join with NO Exchange on either side (verified
     * in LayoutSpec against the executed plan) — at scale this converts

@@ -213,6 +213,18 @@ class SimilaritySpec extends SparkSpec {
         s"(${explode.size} vs ${wide.size} signatures)")
   }
 
+  test("staged signature index is value-identical to the inline build") {
+    // q79 serves from simhashServing (the once-per-session index build);
+    // the staged table must be exactly the inline signature set — a stale
+    // or partial staging would silently corrupt every resolution query
+    import graft.ops.Dedup
+    val staged = Dedup.simhashServing(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.simhashSignatures(spark, sf, wide = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(staged.nonEmpty && staged == inline)
+  }
+
   test("q66 signature build never shuffles token strings") {
     // the tf aggregate groups by (doc, 60-bit hash); if a regression
     // reintroduced per-token grouping, the exchange would carry the token
