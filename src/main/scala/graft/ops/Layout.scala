@@ -144,6 +144,43 @@ object Layout {
     * side is replicated `salt` ways, splitting each hot key's rows across
     * `salt` reducers. Result set is identical to `left.join(right, key)`
     * (pinned in LayoutSpec). */
+  /** Small-file compaction — the OPTIMIZE step every long-lived table
+    * needs: streaming sinks, per-partition CDC writes and over-wide
+    * shuffles all shed files far below the parquet sweet spot, and at
+    * 100 TB the resulting listing + footer + task-scheduling overhead
+    * dominates scan cost long before I/O does. Rewrites a parquet
+    * directory into ceil(bytes / targetBytes) files; with `sortCols` the
+    * rewrite range-clusters rows so each output file covers a narrow key
+    * range (min/max footer stats then let later scans skip whole row
+    * groups — the poor man's Z-order for one clustering axis).
+    *
+    * Content-preserving by construction (a repartition + write of the
+    * same rows; LayoutSpec pins file count AND value-set equality) and
+    * idempotent. Scale note: the rewrite is one range shuffle of the
+    * partition being compacted — compaction at 100 TB runs per partition
+    * (per day/per cell), never over the whole table at once. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long, sortCols: Seq[String] = Nil): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val out =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    // rewrite via a temp sibling then swap: compacting in place would
+    // read and overwrite the same files in one job
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    fs.delete(tmp, true)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compaction swap failed for $dir")
+    nFiles
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  leftSaltSource: String, salt: Int): DataFrame = {
     val l = left.withColumn("__salt",

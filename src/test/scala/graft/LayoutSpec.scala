@@ -218,4 +218,34 @@ class LayoutSpec extends SparkSpec {
       .select("__salt").distinct().count()
     assert(nSalts == 8, "every salt bucket is used")
   }
+
+  test("compact: many small files rewrite to few, content-identical, range-clustered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    // the pathological shape a streaming sink leaves behind: 64 tiny files
+    Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    def dataFiles = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSeq
+    assert(dataFiles.size == 64)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+    val n = Layout.compact(spark, dir, 1L << 20, Seq("o_orderkey"))
+    val after = spark.read.parquet(dir)
+    assert(dataFiles.size == n && n < 8,
+      s"64 small files must compact to ceil(bytes/target)=$n, found ${dataFiles.size}")
+    assert(after.collect().map(_.toString).sorted.sameElements(before),
+      "compaction must be content-preserving")
+    // range clustering: each output file covers a disjoint key range, so
+    // footer min/max stats let later scans skip whole files/row groups
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val ranges = after
+      .groupBy(input_file_name().as("f"))
+      .agg(fmin("o_orderkey").as("lo"), fmax("o_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 <= lo2
+      case _ => true
+    }, s"files must cover disjoint key ranges: ${ranges.mkString(", ")}")
+    // idempotent: compacting a compacted dir is a no-op shape-wise
+    assert(Layout.compact(spark, dir, 1L << 20, Seq("o_orderkey")) == n)
+  }
 }
