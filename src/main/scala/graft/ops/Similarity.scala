@@ -419,10 +419,61 @@ object Similarity extends QueryModule {
       val sh = Dedup.shingles(s, d)
       val cand = lshCandidates(sh)
       verifyCandidates(sh, cand, 0.5).orderBy(col("i"), col("j"))
-    })
+    }),
+
+    "q96_embed_quantize" -> ((s, d) =>
+      // Int8 scalar quantization — the MEMORY lever of the ANN serving
+      // path: a 100 TB embedding store is RAM/IO-bound, and max-abs int8
+      // cuts the vector bytes 4x while keeping cosine ranking (recall
+      // pinned in SimilaritySpec). Per vector: scale = max|x|, q_i =
+      // round-half-up(x_i / scale * 127) — every step a per-element IEEE
+      // DOUBLE expression spelled identically in the oracle (floor(x+0.5)
+      // is round-half-up in both engines; float16/bfloat16 casts are NOT
+      // cross-engine-stable, int8 is). Outputs are per-vector summaries
+      // (sum / sum-of-squares of the int8 codes, max reconstruction error
+      // in exact nanos) rather than the code array itself, so the oracle
+      // hash pins the full quantization without a list-typed column.
+      // Stateless per-row projection: no shuffle, embarrassingly parallel.
+      T.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .select(col("vec_id"), col("v"),
+          expr("array_max(transform(v, x -> abs(x)))").as("scale"))
+        .select(col("vec_id"), col("v"), col("scale"),
+          expr("transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT))")
+            .as("qv"))
+        .select(
+          col("vec_id"),
+          size(col("v")).cast(LongType).as("n_dims"),
+          col("scale"),
+          expr("aggregate(qv, CAST(0 AS BIGINT), (a, q) -> a + q)").as("q_sum"),
+          expr("aggregate(qv, CAST(0 AS BIGINT), (a, q) -> a + q * q)").as("q_sq_sum"),
+          expr("""CAST(floor(array_max(transform(v, x ->
+                 |  abs(CAST(floor(x / scale * 127 + 0.5) AS DOUBLE) / 127 * scale - x)))
+                 |  * 1000000000) AS BIGINT)""".stripMargin).as("err_max_nano"))
+        .orderBy(col("vec_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q96_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |         list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS BIGINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sq_sum,
+        |  CAST(floor(list_max(list_transform(v, x ->
+        |    abs(CAST(floor(x / scale * 127 + 0.5) AS DOUBLE) / 127 * scale - x)))
+        |    * 1000000000) AS BIGINT) AS err_max_nano
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     "q97_embed_resolve" ->
       """WITH RECURSIVE u AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -225,6 +225,40 @@ class SimilaritySpec extends SparkSpec {
     assert(staged.nonEmpty && staged == inline)
   }
 
+  test("q96 int8 codes meet the error bound and preserve cosine ranking") {
+    // max-abs int8: |x - q·scale/127| ≤ scale/254 per element (half-up
+    // rounding radius) — the bound the declared err_max_nano must satisfy
+    val out = SparkEntry.queries("q96_embed_quantize")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val scale = r.getDouble(2); val err = r.getLong(5)
+      assert(err <= (scale / 254 * 1e9).toLong + 1,
+        s"vec ${r.getLong(0)}: reconstruction err $err nano exceeds scale/254")
+    }
+    // ranking survives quantization: per-vector scales cancel in cosine,
+    // so int8 cosine is the cosine of the raw code vectors — its top-10
+    // must essentially reproduce the exact top-10 (q64)
+    val codes = Tables.embeddings(spark, sf).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .select(col("vec_id"), col("v"),
+        expr("array_max(transform(v, x -> abs(x)))").as("sc"))
+      .select(col("vec_id"),
+        expr("transform(v, x -> floor(x / sc * 127 + 0.5))").as("q"))
+    val qv = codes.filter(col("vec_id") === 0).select(col("q").as("qq"))
+    val int8Top = codes.crossJoin(broadcast(qv))
+      .select(col("vec_id"), expr(
+        """aggregate(zip_with(q, qq, (a, b) -> a * b), CAST(0 AS DOUBLE), (s, x) -> s + x)
+          | / (sqrt(aggregate(q, CAST(0 AS DOUBLE), (s, x) -> s + x * x))
+          |  * sqrt(aggregate(qq, CAST(0 AS DOUBLE), (s, x) -> s + x * x)))""".stripMargin)
+        .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val exactTop = SparkEntry.queries("q64_sim_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    assert((int8Top & exactTop).size >= 8,
+      s"int8 top-10 must overlap exact top-10 in >= 8: $int8Top vs $exactTop")
+  }
+
   test("q66 signature build never shuffles token strings") {
     // the tf aggregate groups by (doc, 60-bit hash); if a regression
     // reintroduced per-token grouping, the exchange would carry the token
