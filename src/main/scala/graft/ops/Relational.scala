@@ -92,6 +92,34 @@ object Relational extends QueryModule {
        |  (SELECT * FROM orders WHERE o_totalprice > $DimPriceFloor) o
        |  ON l_orderkey = o_orderkey""".stripMargin
 
+  /** Generalized interval/overlap join — the reusable form of q19's plan,
+    * for ANY window length. Joins each probe row (instant = integral
+    * column `ts`) to every window row whose half-open [`lo`, `hi`)
+    * contains it, via a bucketed equi-join: each window explodes into the
+    * `sequence` of bucketWidth-sized buckets it overlaps (a window
+    * spanning B buckets contributes B rows — window-side duplication is
+    * ceil(len/width)+1, which is the tuning knob), each probe carries its
+    * single bucket, and exact containment runs as a post-join residual.
+    * Per-bucket cost is probes/bucket × windows/bucket — never
+    * |probe|×|windows|, the nested-loop product a bare range predicate
+    * plans. Degenerate windows (hi <= lo) are dropped up front (they can
+    * match nothing, and `sequence` would walk backwards through their
+    * inverted bucket range). Equivalence to the naive range join for
+    * arbitrary window/bucket geometry is property-tested (PropertySpec).
+    * Column names must be distinct across the two frames; all three are
+    * integral (epoch seconds, millis — any unit, as long as it's shared). */
+  def intervalJoin(probe: DataFrame, ts: String,
+                   windows: DataFrame, lo: String, hi: String,
+                   bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val binned = windows.filter(col(hi) > col(lo)).withColumn("__bucket",
+      explode(expr(s"sequence($lo DIV $bucketWidth, ($hi - 1) DIV $bucketWidth)")))
+    probe.withColumn("__bucket", expr(s"$ts DIV $bucketWidth"))
+      .join(binned, Seq("__bucket"))
+      .filter(col(ts) >= col(lo) && col(ts) < col(hi))
+      .drop("__bucket")
+  }
+
   // ---- queries -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -304,13 +332,8 @@ object Relational extends QueryModule {
       val win = ev.filter(col("event_type") === "purchase" && col("v") >= 150)
         .select(col("event_id").as("win_id"), col("sec").as("ws"),
                 (col("sec") + 3600L).as("we"))
-      val binned = win.select(col("win_id"), col("ws"), col("we"),
-        explode(array_distinct(array(
-          expr("ws DIV 3600"), expr("(we - 1) DIV 3600")))).as("bucket"))
-      val probe = ev.withColumn("bucket", expr("sec DIV 3600"))
-      probe.join(binned, Seq("bucket"))
-        .filter(col("sec") >= col("ws") && col("sec") < col("we") &&
-                col("event_id") =!= col("win_id"))
+      intervalJoin(ev, "sec", win, "ws", "we", 3600L)
+        .filter(col("event_id") =!= col("win_id"))
         .groupBy(col("win_id"))
         .agg(count(lit(1)).as("n_events"),
              F.od(sum(col("v"))).as("sum_value"),

@@ -425,4 +425,31 @@ class PropertySpec extends SparkSpec {
       ex.intersect(bs.toSet).isEmpty && ex.subsetOf(as.toSet)
     })
   }
+
+  test("intervalJoin == naive range join for arbitrary window geometry") {
+    // q19's registered query only exercises windows of exactly one bucket
+    // width; the reusable operator must hold for windows spanning ZERO to
+    // MANY buckets (and drop degenerate hi <= lo windows) — the bucketed
+    // rewrite is only an optimization if it's invisible semantically
+    import spark.implicits._
+    val windows: Gen[List[(Long, Long)]] =
+      Gen.listOfN(8, for {
+        lo <- Gen.chooseNum(0L, 200L)
+        len <- Gen.chooseNum(-5L, 120L) // includes degenerate and 12-bucket spans
+      } yield (lo, lo + len))
+    val instants: Gen[List[Long]] = Gen.listOfN(30, Gen.chooseNum(0L, 330L))
+    check(Prop.forAll(windows, instants) { (ws, ts) =>
+      val w = ws.zipWithIndex.map { case ((l, h), i) => (i.toLong, l, h) }
+        .toDF("wid", "lo", "hi")
+      val p = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("pid", "t")
+      val bucketed = graft.ops.Relational.intervalJoin(p, "t", w, "lo", "hi", 10L)
+        .select("pid", "wid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val naive = p.join(w, col("t") >= col("lo") && col("t") < col("hi"))
+        .select("pid", "wid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      bucketed == naive
+    })
+  }
 }
