@@ -32,6 +32,12 @@ class EmptyInputSpec extends SparkSpec {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType))))
+    write("orders", StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))))
     dir
   }
 
@@ -52,7 +58,11 @@ class EmptyInputSpec extends SparkSpec {
     "q89_text_tfidf", "q91_pack_sequences", "q92_mix_report",
     "q98_mix_rebalance",
     "q70_stream_tumbling", "q71_stream_sliding", "q72_stream_session",
-    "q18_resample_gapfill")
+    "q18_resample_gapfill",
+    // round-8 additions: interval join (empty events), CDC merge + SCD2
+    // (empty orders => empty base AND empty change batch), quantization
+    "q19_join_interval", "q42_merge_upsert", "q43_scd2_history",
+    "q96_embed_quantize")
 
   for (name <- families)
     test(s"$name returns an empty result on a zero-row shard") {
