@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BpeEncode, CosineSimilarity, HllEstimate, HllMergeAgg, HllSketchAgg, SrpSign}
+import graft.expressions.{BpeEncode, CosineSimilarity, HllEstimate, HllMergeAgg, HllSketchAgg, SrpSign, TopKItems, TopKMergeAgg, TopKSketchAgg}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all of the
@@ -20,6 +20,10 @@ import graft.expressions.{BpeEncode, CosineSimilarity, HllEstimate, HllMergeAgg,
   *  - `graft_hll_sketch(x)` / `graft_hll_merge(s)` / `graft_hll_est(s)` —
   *    mergeable HyperLogLog export ([[graft.expressions.Hll]]): persist
   *    per-group sketches, union them later without re-reading the data.
+  *  - `graft_topk_sketch(x)` / `graft_topk_merge(s)` / `graft_topk(s, n)`
+  *    — mergeable Misra-Gries heavy hitters ([[graft.expressions.TopK]]):
+  *    bounded-memory frequent items for vocabularies that don't fit a
+  *    hash aggregate.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -74,6 +78,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(c) => HllEstimate(c)
         case other => wrongArgs("graft_hll_est", 1, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_sketch"),
+      new ExpressionInfo(classOf[TopKSketchAgg].getName, "graft_topk_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => TopKSketchAgg(c)
+        case other => wrongArgs("graft_topk_sketch", 1, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_merge"),
+      new ExpressionInfo(classOf[TopKMergeAgg].getName, "graft_topk_merge"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => TopKMergeAgg(c)
+        case other => wrongArgs("graft_topk_merge", 1, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKItems].getName, "graft_topk"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, n) => TopKItems(s, n)
+        case other => wrongArgs("graft_topk", 2, other.size)
       }))
   }
 }

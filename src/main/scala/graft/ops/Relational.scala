@@ -443,6 +443,24 @@ object Relational extends QueryModule {
         approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))),
 
+    "q29_agg_heavy_hitters" -> ((s, d) =>
+      // Heavy hitters via the mergeable Misra-Gries sketch (graft_topk_*,
+      // a TypedImperativeAggregate like graft_hll): top-20 tokens with
+      // bounded memory — the regime q62's exact hash aggregate can't
+      // reach when the vocabulary is web-scale (URLs, ids, n-grams).
+      // Partial sketches build map-side and MERGE through the exchange,
+      // so the oracle hash exercises the full mergeable path. On the
+      // fixture's 31-token vocabulary no eviction fires, err is 0 and the
+      // sketch is EXACT == the plain GROUP BY oracle; the eviction regime
+      // (>Cap vocabulary) is property-tested in PropertySpec.
+      T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(expr("graft_topk_sketch(tok)").as("sk"))
+        .select(explode(expr("graft_topk(sk, 20)")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("n"),
+                col("e.err").as("err"))
+        .orderBy(col("n").desc, col("token").asc)),
+
     "q30_win_rank" -> ((s, d) => {
       val byPrice = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc)
@@ -848,6 +866,11 @@ object Relational extends QueryModule {
         |  count(*) FILTER (WHERE l_quantity > 25) AS n_big_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q29_agg_heavy_hitters" ->
+      """SELECT tok AS token, count(*) AS n, CAST(0 AS BIGINT) AS err
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
 
     "q30_win_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

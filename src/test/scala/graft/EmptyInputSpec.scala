@@ -62,7 +62,7 @@ class EmptyInputSpec extends SparkSpec {
     // round-8 additions: interval join (empty events), CDC merge + SCD2
     // (empty orders => empty base AND empty change batch), quantization
     "q19_join_interval", "q42_merge_upsert", "q43_scd2_history",
-    "q96_embed_quantize")
+    "q96_embed_quantize", "q29_agg_heavy_hitters")
 
   for (name <- families)
     test(s"$name returns an empty result on a zero-row shard") {

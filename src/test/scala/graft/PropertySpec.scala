@@ -426,6 +426,37 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Misra-Gries sketch: bounds, heavy-hitter recall, merge invariants") {
+    // q29's oracle only sees the exact regime (31-token vocabulary never
+    // evicts); this pins the EVICTION regime the sketch exists for:
+    // est <= true <= est + dec for every survivor, any item with
+    // true > dec is guaranteed present, and a split-stream merge obeys
+    // the same bounds (mergeable-summaries contract).
+    import graft.expressions.TopK
+    val cap = 16
+    check(Prop.forAll(Gen.listOfN(3000, Gen.chooseNum(0, 999))) { xs0 =>
+      // plant one genuine heavy hitter (~1/3 of the stream) among noise
+      val xs = xs0.zipWithIndex
+        .map { case (x, i) => if (i % 3 == 0) 7 else x }.map(_.toString)
+      val truth = xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      def holds(s: TopK.Summary): Boolean =
+        s.counts.forall { case (k, est) =>
+          est <= truth(k) && truth(k) <= est + s.dec } &&
+        truth.forall { case (k, t) => t <= s.dec || s.counts.contains(k) } &&
+        s.counts.size <= cap
+      val one = TopK.create(cap)
+      xs.foreach(TopK.add(one, _))
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val sl = TopK.create(cap); l.foreach(TopK.add(sl, _))
+      val sr = TopK.create(cap); r.foreach(TopK.add(sr, _))
+      val merged = TopK.mergeInto(sl, sr)
+      // serialization round-trips the summary exactly
+      val rt = TopK.deserialize(TopK.serialize(one))
+      holds(one) && holds(merged) &&
+        rt.dec == one.dec && rt.counts == one.counts
+    })
+  }
+
   test("intervalJoin == naive range join for arbitrary window geometry") {
     // q19's registered query only exercises windows of exactly one bucket
     // width; the reusable operator must hold for windows spanning ZERO to
