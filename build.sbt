@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: local[32] on the 128 GiB harness box. 8g was measured
+  // GC-thrashing the tail of the full-surface bench (round 8: queries
+  // late in the 90-query run degraded 3-8x — q83 16.9 s at 8g vs 3.5 s
+  // at 24g, total 71 s -> 52 s) — the local-mode analog of sizing
+  // executor memory to the workload instead of accepting spill/GC churn.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
