@@ -74,7 +74,7 @@ object Bench {
     // keys that way): the driver captures a bounded 2000-char TAIL of
     // stdout, and the full-surface line overflowed it twice at full
     // precision (BENCH_r06/r07 lost their head mid-line and failed to
-    // parse); at 88 queries even 4-decimal timings with full names are
+    // parse); at 90 queries even 4-decimal timings with full names are
     // ~2.5 KB, but short ids keep the line ~1.3 KB with headroom. The
     // full-name, full-precision medians + per-query mins land in
     // target/bench_full.json for local cross-round comparison.
