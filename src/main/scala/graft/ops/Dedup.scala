@@ -505,6 +505,13 @@ object Dedup extends QueryModule {
       val qual = flags.filter(col("q_ok"))
         .withColumn("fp", md5(col("text")))
       val esurv = qual.groupBy(col("fp")).agg(min(col("doc_id")).as("esurv"))
+      // withE is a diamond (pair build + final verdict join both reference
+      // the qual/md5 chain) and the chain IS recomputed per reference —
+      // measured and kept: an eager localCheckpoint of withE was tried in
+      // round 8 and benched 6-20x WORSE at sf0.1 (24-92 s vs ~4 s): the
+      // checkpoint serializes full document bodies into block storage and
+      // retains them until ContextCleaner GC, while the recomputation is
+      // two codegen'd md5 passes over a columnar scan. Recompute wins.
       val withE = qual.join(esurv, Seq("fp"))
         .select(col("doc_id"), col("text"), col("esurv"))
       val exactSurvivors = withE.filter(col("doc_id") === col("esurv"))
