@@ -79,6 +79,20 @@ object Ingest {
                wholeFile: Boolean = false): DataFrame =
     spark.read.option("wholetext", wholeFile.toString).text(path)
 
+  /** Schema-evolution read: union parquet batches written under DIFFERENT
+    * schema versions into one frame (`mergeSchema`) — columns added after
+    * a batch was written come back NULL for that batch's rows. At 100 TB
+    * a table accretes schema versions for years and rewriting old
+    * partitions on every added column is off the table; merged reads are
+    * how the lakehouse pattern absorbs drift. Spark pays one footer read
+    * per distinct file schema at planning; column pruning still reaches
+    * every batch (each file is read under its own physical schema).
+    * Incompatible TYPE changes for a same-named column still fail loudly
+    * — evolution here means ADDITIVE drift, the only kind that is safe
+    * without a cast contract (IngestSpec pins both behaviors). */
+  def readEvolved(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** A7: contract check — every required column present, else raise
     * listing the missing ones (mirrors the reference's ValueError). */
   def requireColumns(df: DataFrame, required: Seq[String]): DataFrame = {

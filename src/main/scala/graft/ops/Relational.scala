@@ -562,6 +562,30 @@ object Relational extends QueryModule {
         .orderBy(col("c_custkey"))
     }),
 
+    "q36_win_distribution" -> ((s, d) => {
+      // Distribution window functions — the family q30-q35 didn't cover:
+      // cume_dist (exact micro-units; the (c_acctbal, c_custkey) order is
+      // total, so every row is its own peer group and the value is
+      // position/n in identical IEEE division both engines), plus
+      // first_value/nth_value over an explicit running frame. One shuffle
+      // on the partition key, per-key sorted state — same scale shape as
+      // every other window here.
+      // window orders by the DECIMAL-cast bal (order-equivalent to the
+      // raw double; the oracle's ORDER BY c_acctbal matches)
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("bal").asc, col("c_custkey").asc)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+                F.dec2(col("c_acctbal")).as("bal"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          F.od(col("bal")).as("bal"),
+          floor(cume_dist().over(w) * 1000000).cast(LongType).as("cd_micro"),
+          F.od(first(col("bal")).over(run)).as("first_bal"),
+          F.od(nth_value(col("bal"), 3).over(run)).as("nth3"))
+        .orderBy(col("c_custkey"))
+    }),
+
     "q40_sort_multi" -> ((s, d) =>
       T.customer(s, d)
         .select(col("c_custkey"), col("c_name"),
@@ -920,6 +944,20 @@ object Relational extends QueryModule {
         |  ntile(4) OVER w AS quartile,
         |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_micro
         |FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q36_win_distribution" ->
+      """SELECT c_custkey, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_micro,
+        |  CAST(first_value(CAST(c_acctbal AS DECIMAL(18,2))) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS first_bal,
+        |  CAST(nth_value(CAST(c_acctbal AS DECIMAL(18,2)), 3) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS nth3
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 
     "q40_sort_multi" ->

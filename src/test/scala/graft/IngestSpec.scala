@@ -219,6 +219,29 @@ class IngestSpec extends SparkSpec {
       == src.count() + 5)
   }
 
+  test("readEvolved merges additive schema drift, rejects type conflicts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // batch 1: original schema; batch 2: a column added later
+    spark.range(5).selectExpr("id AS k", "CAST(id AS STRING) AS a")
+      .write.parquet(s"$dir/b1")
+    spark.range(5).selectExpr("id + 10 AS k", "CAST(id AS STRING) AS a",
+        "id * 2 AS b")
+      .write.parquet(s"$dir/b2")
+    val merged = Ingest.readEvolved(spark, Seq(s"$dir/b1", s"$dir/b2"))
+    assert(merged.columns.toSet == Set("k", "a", "b"))
+    assert(merged.count() == 10)
+    // the pre-evolution batch null-fills the added column, exactly
+    assert(merged.filter(col("b").isNull).count() == 5)
+    assert(merged.filter(col("k") >= 10 && col("b").isNull).count() == 0)
+    // an INCOMPATIBLE type change on a same-named column fails loudly —
+    // additive drift merges, silent type coercion does not
+    spark.range(3).selectExpr("id AS k", "id AS a") // a: BIGINT vs STRING
+      .write.parquet(s"$dir/b3")
+    intercept[Exception] {
+      Ingest.readEvolved(spark, Seq(s"$dir/b1", s"$dir/b3")).collect()
+    }
+  }
+
   test("dqGateNonEmpty throws on empty input (A20, fixed)") {
     val df = Tables.orders(spark, sf)
     assert(Ingest.dqGateNonEmpty(df, "ok").count() > 0)
