@@ -174,6 +174,69 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q06_subquery_exists" -> ((s, d) => {
+      // Correlated EXISTS / NOT EXISTS — declared as subqueries so
+      // Catalyst's RewritePredicateSubquery turns them into the
+      // left-semi + left-anti joins q13/q14 spell by hand; at 100 TB both
+      // rewrites shuffle on the correlation key exactly like those joins
+      // (or broadcast when the filtered orders side is small).
+      T.customer(s, d).createOrReplaceTempView("graft_customer_q06")
+      T.orders(s, d).createOrReplaceTempView("graft_orders_q06")
+      s.sql(
+        """SELECT c_custkey, c_name
+          |FROM graft_customer_q06 c
+          |WHERE EXISTS (SELECT 1 FROM graft_orders_q06 o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_orderpriority = '1-URGENT')
+          |  AND NOT EXISTS (SELECT 1 FROM graft_orders_q06 o
+          |                  WHERE o.o_custkey = c.c_custkey
+          |                    AND o.o_totalprice > 400000)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    "q07_subquery_scalar" -> ((s, d) => {
+      // Correlated scalar subqueries (orders above their customer's mean),
+      // decorrelated by Catalyst into one aggregate-then-join per distinct
+      // subquery — shuffle bounded by the key cardinality, never a per-row
+      // probe. The mean predicate is spelled price*count > sum so every
+      // compared value is exact DECIMAL/BIGINT arithmetic (§7.5: a
+      // double AVG's summation order is not cross-engine reproducible).
+      T.orders(s, d).createOrReplaceTempView("graft_orders_q07")
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+          |  (SELECT count(*) FROM graft_orders_q07 o2
+          |   WHERE o2.o_custkey = o.o_custkey) AS cust_n
+          |FROM graft_orders_q07 o
+          |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+          |      (SELECT count(*) FROM graft_orders_q07 o2
+          |       WHERE o2.o_custkey = o.o_custkey)
+          |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |       FROM graft_orders_q07 o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "q08_join_lateral" -> ((s, d) => {
+      // LATERAL correlated subquery with ORDER BY + LIMIT (top-2 orders
+      // per customer) — the per-row-subquery surface; Catalyst
+      // decorrelates it into the same partitioned window top-k shape as
+      // q31 (RelationalSpec pins no nested-loop/cartesian node), so the
+      // scale behavior is one shuffle on the key with bounded per-key
+      // state, never |customer| subquery executions.
+      T.customer(s, d).createOrReplaceTempView("graft_customer_q08")
+      T.orders(s, d).createOrReplaceTempView("graft_orders_q08")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.price
+          |FROM graft_customer_q08 c, LATERAL (
+          |  SELECT o_orderkey,
+          |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+          |  FROM graft_orders_q08 o
+          |  WHERE o.o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+          |) t
+          |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    }),
+
     "q10_join_left_flagship" -> (q10 _),
 
     "q20_agg_dq_rowcount" -> ((s, d) =>
@@ -721,6 +784,41 @@ object Relational extends QueryModule {
         |    FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P_total"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q06_subquery_exists" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |  (SELECT count(*) FROM orders o2
+        |   WHERE o2.o_custkey = o.o_custkey) AS cust_n
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q08_join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) t
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     "q01_scan_project" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty,

@@ -120,4 +120,33 @@ class RelationalSpec extends SparkSpec {
            !plan.contains("CartesianProduct"),
       s"interval join must stay an equi join on the time bucket:\n$plan")
   }
+
+  test("q06-q08 subqueries decorrelate: semi/anti joins, no per-row probe") {
+    // The whole point of declaring these as subqueries is that Catalyst
+    // plans them as the same distributed joins the hand-written forms
+    // use. EXISTS/NOT EXISTS must become semi/anti hash joins…
+    val p06 = SparkEntry.queries("q06_subquery_exists")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p06.contains("LeftSemi") && p06.contains("LeftAnti"),
+      s"EXISTS pair must rewrite to semi+anti joins:\n$p06")
+    // …and the correlated scalar + lateral subqueries must decorrelate
+    // into aggregate/window joins — never a nested-loop re-execution of
+    // the subquery per outer row (the plan that dies at 100 TB).
+    for (q <- Seq("q06_subquery_exists", "q07_subquery_scalar",
+                  "q08_join_lateral")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"),
+        s"$q must decorrelate to equi joins:\n$p")
+    }
+    // The lateral LIMIT 2 must decorrelate into ONE per-key row_number
+    // window (q31's shape) — not a per-customer subquery execution.
+    // (Spark's rewrite does not add WindowGroupLimit pruning here the way
+    // a hand-written q31 gets it; the window itself is the contract.)
+    val p08 = SparkEntry.queries("q08_join_lateral")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p08.contains("row_number()"),
+      s"lateral top-k must decorrelate to a row_number window:\n$p08")
+  }
 }
