@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.{QueryModule, Tables => T}
@@ -531,6 +532,55 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    "q99_dedup_spans" -> ((s, d) => {
+      // Repeated-SPAN removal — the C4/ExactSubstr-family pass that
+      // operates BELOW document granularity (q60/q81 drop whole docs;
+      // boilerplate lives inside otherwise-unique docs). Deterministic
+      // segmentation: each doc's token stream splits into consecutive
+      // 8-token spans; a span's survivor is its global first occurrence
+      // (min (doc_id, span_idx)); every later occurrence — cross-doc or
+      // within-doc — is cut, and the doc is reconstructed from its kept
+      // spans. Corpus plants verbatim copies of every 10th doc (q83's
+      // planting discipline — the random-token fixture has almost no
+      // natural 8-token repeats), so planted copies lose all spans to
+      // their originals.
+      // Scale shape: ONE shuffle partitioned on md5(span) computes the
+      // winner (partition size = a span's duplication count; web-scale
+      // boilerplate spans are the skew case — salt the span key or cap
+      // with a pre-aggregated winner join), then one shuffle on doc_id
+      // rebuilds documents (bounded per doc). Span text crosses each
+      // exchange exactly once; the winner flag itself is 16-byte-keyed.
+      val base = T.documents(s, d).select(col("doc_id"), col("text"))
+      val planted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+      val spans = base.unionAll(planted)
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(
+            |  sequence(0, greatest(cast(ceil(size(tk)/8.0) as int), 1) - 1),
+            |  i -> array_join(slice(tk, i*8+1, 8), ' '))""".stripMargin))
+          .as(Seq("span_idx", "span")))
+        .withColumn("k", md5(col("span")))
+        .withColumn("pos",
+          col("doc_id") * lit(1048576L) + col("span_idx"))
+      val w = Window.partitionBy(col("k"))
+      spans
+        .withColumn("kept", col("pos") === min(col("pos")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
+          sum(when(col("kept"), size(split(col("span"), " ")).cast(LongType))
+            .otherwise(0L)).as("clean_tokens"),
+          sort_array(collect_list(when(col("kept"),
+            struct(col("span_idx"), col("span"))))).as("ks"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          col("clean_tokens"),
+          md5(array_join(expr("transform(ks, x -> x.span)"), " "))
+            .as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q66_dedup_simhash" -> ((s, d) =>
       // 60-bit tf-weighted SimHash (bits from md5 nibbles, so the oracle can
       // recompute it bit-for-bit), banded into 4x15-bit chunks. For hamming
@@ -546,6 +596,32 @@ object Dedup extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q99_dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0
+        |), tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM base
+        |), sp AS (
+        |  SELECT doc_id, CAST(u.i AS BIGINT) AS span_idx,
+        |         array_to_string(t[(u.i*8+1):(u.i*8+8)], ' ') AS span
+        |  FROM tk, UNNEST(range(GREATEST(CAST(ceil(len(t)/8.0) AS BIGINT), 1))) AS u(i)
+        |), kd AS (
+        |  SELECT doc_id, span_idx, span,
+        |         (doc_id*1048576 + span_idx) = min(doc_id*1048576 + span_idx)
+        |            OVER (PARTITION BY md5(span)) AS kept
+        |  FROM sp
+        |)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN kept THEN len(string_split(span, ' '))
+        |           ELSE 0 END) AS BIGINT) AS clean_tokens,
+        |  md5(coalesce(string_agg(CASE WHEN kept THEN span END, ' '
+        |                          ORDER BY span_idx), '')) AS clean_md5
+        |FROM kd GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q60_dedup_exact" ->
       """SELECT min(doc_id) AS survivor, count(*) AS n_copies,
         |  CAST(length(text) AS BIGINT) AS text_len

@@ -46,6 +46,41 @@ class SimilaritySpec extends SparkSpec {
       s"document bodies must never shuffle; exchanges:\n${exchanges.mkString("\n")}")
   }
 
+  test("q99 span dedup: planted copies fully cut, clean docs round-trip") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q99_dedup_spans")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getLong(3), r.getString(4)))
+    val (planted, natural) = out.partition(_._1 >= 10000000L)
+    // every planted copy's spans all lose to the original's spans
+    assert(planted.nonEmpty &&
+      planted.forall { case (_, nSpans, nDup, cleanToks, _) =>
+        nDup == nSpans && cleanToks == 0L })
+    // a natural doc with zero duplicate spans reconstructs VERBATIM:
+    // its clean_md5 is the md5 of its original text
+    val origMd5 = Tables.documents(spark, sf)
+      .select($"doc_id", md5($"text")).as[(Long, String)].collect().toMap
+    val untouched = natural.filter(_._3 == 0L)
+    assert(untouched.nonEmpty &&
+      untouched.forall { case (id, _, _, _, cleanMd5) =>
+        origMd5(id) == cleanMd5 },
+      "dup-free docs must reconstruct to their original text")
+    // global exactly-once: total kept spans == count of DISTINCT span
+    // values in the corpus (each value survives exactly once)
+    val base = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val corpus = base.unionAll(
+      base.filter(pmod($"doc_id", lit(10)) === 0)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text"))
+    val distinctSpans = corpus.withColumn("tk", split($"text", " "))
+      .select(explode(expr(
+        """transform(sequence(0, greatest(cast(ceil(size(tk)/8.0) as int), 1) - 1),
+          |  i -> array_join(slice(tk, i*8+1, 8), ' '))""".stripMargin)).as("span"))
+      .distinct().count()
+    val keptTotal = out.map { case (_, n, d, _, _) => n - d }.sum
+    assert(keptTotal == distinctSpans,
+      s"kept=$keptTotal distinct=$distinctSpans")
+  }
+
   test("q61 exact pairs all meet the threshold and are canonical (i < j)") {
     val pairs = SparkEntry.queries("q61_dedup_near")(spark, sf)
     assert(pairs.count() > 0, "fixture must contain near-duplicates")
