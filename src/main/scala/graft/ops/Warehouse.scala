@@ -69,6 +69,42 @@ object Warehouse extends QueryModule {
         .orderBy(col("order_key"))
     }),
 
+    "q38_agg_incremental" -> ((s, d) => {
+      // Incremental aggregate maintenance (materialized-view delta
+      // update): a per-priority (count, decimal-sum) view is brought up to
+      // date for q42's CDC batch by applying per-group DELTAS — update
+      // rows contribute (0, new−old), deletes (−1, −old), inserts
+      // (+1, +new) — and the oracle proves incremental == full recompute
+      // over the merged state. At 100 TB this is the point: the update
+      // join touches group-cardinality rows only (view ⟗ delta on the
+      // group key, both agg-sized), never a rescan of the fact table; the
+      // delta aggregate reads just the CDC batch. Every measure here is
+      // additive — the discipline that makes a measure maintainable
+      // (count/sum/decimal are; max/distinct are not without auxiliary
+      // state).
+      val p213 = DecimalType(21, 3)
+      val mv = T.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n0"),
+             sum(F.dec2(col("o_totalprice")).cast(p213)).as("s0"))
+      val m = col("o_orderkey") % 20
+      val p = F.dec2(col("o_totalprice")).cast(p213)
+      val delta = T.orders(s, d).filter(m.isin(0, 1, 2))
+        .select(col("o_orderpriority").as("prio"),
+          when(m === 0, 0L).when(m === 1, -1L).otherwise(1L).as("dn"),
+          when(m === 0, bump(F.dec2(col("o_totalprice"))).cast(p213) - p)
+            .when(m === 1, -p).otherwise(p).as("ds"))
+        .groupBy(col("prio"))
+        .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+      mv.join(delta, Seq("prio"), "full_outer")
+        .select(col("prio"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          F.od(coalesce(col("s0"), lit(0).cast(p213)) +
+               coalesce(col("ds"), lit(0).cast(p213))).as("total"))
+        .filter(col("n") > 0)
+        .orderBy(col("prio"))
+    }),
+
     "q43_scd2_history" -> ((s, d) => {
       // SCD2 dimension build: per-customer order-status history compressed
       // to change runs (gaps-and-islands), each run one versioned row with
@@ -126,6 +162,33 @@ object Warehouse extends QueryModule {
         |FROM base FULL JOIN ch ON base.k = ch.k
         |WHERE coalesce(op, 'K') <> 'D'
         |ORDER BY order_key""".stripMargin,
+
+    "q38_agg_incremental" ->
+      // Full recompute over the post-MERGE state — the equivalence that
+      // certifies the incremental path.
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
+        |              ELSE o_orderkey END AS k,
+        |         o_orderpriority AS prio,
+        |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+        |              ELSE 'I' END AS op,
+        |         CASE WHEN o_orderkey % 20 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              WHEN o_orderkey % 20 = 2
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+        |         END AS c_price
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)),
+        |merged AS (
+        |  SELECT coalesce(ch.prio, base.prio) AS prio,
+        |         coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS price
+        |  FROM base FULL JOIN ch ON base.k = ch.k
+        |  WHERE coalesce(op, 'K') <> 'D')
+        |SELECT prio, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM merged GROUP BY prio HAVING count(*) > 0
+        |ORDER BY prio""".stripMargin,
 
     "q43_scd2_history" ->
       """WITH o AS (

@@ -46,6 +46,37 @@ class WarehouseSpec extends SparkSpec {
   private lazy val scd2 =
     SparkEntry.queries("q43_scd2_history")(spark, sf).cache()
 
+  test("q38 incremental view update equals recompute over the merged state") {
+    // The incremental path never sees the merged table; recompute it here
+    // from the base + the same change batch and require value identity.
+    // (The oracle proves this against DuckDB too — this pin keeps the
+    // equivalence observable at unit scale with the engine alone.)
+    val m = col("o_orderkey") % 20
+    val p213 = org.apache.spark.sql.types.DecimalType(21, 3)
+    val basePr = base.select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("prio"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val ch = base.filter(m.isin(0, 1, 2)).select(
+      when(m === 2, col("o_orderkey") + 1000000000L)
+        .otherwise(col("o_orderkey")).as("k"),
+      col("o_orderpriority").as("c_prio"),
+      when(m === 0, "U").when(m === 1, "D").otherwise("I").as("op"),
+      when(m === 0, col("o_totalprice").cast("decimal(18,2)")
+          .multiply(lit("1.1").cast("decimal(2,1)")))
+        .when(m === 2, col("o_totalprice").cast("decimal(18,2)").cast(p213))
+        .as("c_price"))
+    val recompute = basePr.join(ch, Seq("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("K")) =!= "D")
+      .select(coalesce(col("c_prio"), col("prio")).as("prio"),
+        coalesce(col("c_price"), col("p").cast(p213)).as("price"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val incremental = SparkEntry.queries("q38_agg_incremental")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incremental.nonEmpty && incremental == recompute)
+  }
+
   test("q43 versions are contiguous with exactly one current row per key") {
     val perKey = scd2.groupBy(col("cust_key")).agg(
       min(col("version")).as("vmin"), max(col("version")).as("vmax"),
