@@ -506,6 +506,38 @@ object Relational extends QueryModule {
         approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"))),
 
+    "q39_agg_stats" -> ((s, d) => {
+      // Statistical aggregates (variance/stddev/covariance/correlation)
+      // made cross-engine-reproducible the §7.5 way: the per-group MOMENTS
+      // (n, Σx, Σy, Σx², Σy², Σxy) accumulate as exact DECIMALs — order-
+      // independent, so any partial-aggregate merge order gives the same
+      // bits — and only the final derived arithmetic runs in DOUBLE, as
+      // one identically-spelled IEEE expression per measure in both
+      // engines. The built-in one-pass corr/stddev_samp (mergeable
+      // central-moment state, the same scale shape) is pinned ≈ equal in
+      // RelationalSpec; it isn't oracled directly because its running
+      // float state is summation-order-dependent.
+      val x = F.dec2(col("l_quantity"))
+      val y = F.dec2(col("l_extendedprice"))
+      val m = T.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n"),
+             F.od(sum(x)).as("sx"), F.od(sum(y)).as("sy"),
+             F.od(sum(x * x)).as("sxx"), F.od(sum(y * y)).as("syy"),
+             F.od(sum(x * y)).as("sxy"))
+      val n = col("n"); val sx = col("sx"); val sy = col("sy")
+      val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+      m.select(col("flag"), n,
+          (sx / n).as("mean_qty"),
+          ((sxx - sx * sx / n) / (n - 1)).as("var_qty"),
+          sqrt((sxx - sx * sx / n) / (n - 1)).as("std_qty"),
+          ((sxy - sx * sy / n) / (n - 1)).as("cov_qty_price"),
+          ((sxy - sx * sy / n) /
+            sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+            .as("corr_qty_price"))
+        .orderBy(col("flag"))
+    }),
+
     "q29_agg_heavy_hitters" -> ((s, d) =>
       // Heavy hitters via the mergeable Misra-Gries sketch (graft_topk_*,
       // a TypedImperativeAggregate like graft_hll): top-20 tokens with
@@ -784,6 +816,27 @@ object Relational extends QueryModule {
         |    FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P_total"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q39_agg_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS flag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |             CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT flag, n,
+        |  sx / n AS mean_qty,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+        |  (sxy - sx * sy / n) / (n - 1) AS cov_qty_price,
+        |  (sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        |    AS corr_qty_price
+        |FROM m ORDER BY flag""".stripMargin,
 
     "q06_subquery_exists" ->
       """SELECT c_custkey, c_name

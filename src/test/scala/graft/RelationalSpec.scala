@@ -121,6 +121,32 @@ class RelationalSpec extends SparkSpec {
       s"interval join must stay an equi join on the time bucket:\n$plan")
   }
 
+  test("q39 exact-moment stats match Spark's one-pass builtins") {
+    // The oracled query derives var/std/cov/corr from exact decimal
+    // moments; the 100 TB twin is the built-in mergeable one-pass
+    // aggregate state. They must agree to float tolerance (the builtins'
+    // summation order is partition-dependent, hence not oracle-able).
+    val mine = SparkEntry.queries("q39_agg_stats")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(var_samp(col("l_quantity")).as("v"),
+           stddev_samp(col("l_quantity")).as("s"),
+           covar_samp(col("l_quantity"), col("l_extendedprice")).as("c"),
+           corr(col("l_quantity"), col("l_extendedprice")).as("r"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(mine.keySet == builtin.keySet && mine.nonEmpty)
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+    for ((k, (v, s, c, r)) <- mine) {
+      val (bv, bs, bc, br) = builtin(k)
+      assert(close(v, bv) && close(s, bs) && close(c, bc) && close(r, br),
+        s"$k: exact-moment vs builtin diverged: ($v,$s,$c,$r) vs ($bv,$bs,$bc,$br)")
+    }
+  }
+
   test("q06-q08 subqueries decorrelate: semi/anti joins, no per-row probe") {
     // The whole point of declaring these as subqueries is that Catalyst
     // plans them as the same distributed joins the hand-written forms
