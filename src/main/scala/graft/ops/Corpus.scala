@@ -265,6 +265,34 @@ object Corpus extends QueryModule {
       stratifiedSample(T.documents(s, d), "lang", 20)
         .orderBy(col("lang"), col("rk"))),
 
+    "q100_shuffle_shard" -> ((s, d) => {
+      // Deterministic corpus shuffle + shard assignment — the LAST step of
+      // a training-data pipeline: training order must decorrelate from
+      // ingest order, yet be replayable. Shuffle key = md5('shuf:'||id)
+      // (engine-identical, seedable via the prefix); shard = first key
+      // nibble mod 8; within-shard position = rank in key order. A doc's
+      // (shard, pos) is a pure function of its id — resumable, and
+      // verifiable by either engine.
+      // 100 TB shape: shard count is the knob — shards ≈ output files,
+      // sized to ~file-size rows, so the per-shard rank window is bounded
+      // BY CONSTRUCTION (corpus/N_shards), never a corpus-sized
+      // partition; the plan is one hash exchange on shard + per-shard
+      // sort — exactly the write path of a sharded dataset
+      // (repartition(shard).sortWithinPartitions(key)). CorpusSpec pins
+      // shard balance and that training order decorrelates from doc_id
+      // (|corr| ≈ 0 via q39's exact-moment formula).
+      val hk = md5(concat(lit("shuf:"), col("doc_id").cast(StringType)))
+      T.documents(s, d)
+        .select(col("doc_id"), hk.as("hk"))
+        .withColumn("shard",
+          expr("CAST(conv(substr(hk, 1, 1), 16, 10) AS BIGINT) % 8"))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy(col("shard"))
+            .orderBy(col("hk").asc, col("doc_id").asc))
+          .cast(LongType))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
     "q88_stats_profile" -> ((s, d) =>
       lengthProfile(T.documents(s, d)).orderBy(col("lang"))),
 
@@ -304,6 +332,20 @@ object Corpus extends QueryModule {
         |    AS contaminated
         |FROM g LEFT JOIN h USING (doc_id) WHERE g.doc_id % 20 <> 0
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q100_shuffle_shard" ->
+      """WITH r AS (
+        |  SELECT doc_id, md5('shuf:' || CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, hk,
+        |    CAST((strpos('0123456789abcdef', substr(hk, 1, 1)) - 1) % 8
+        |         AS BIGINT) AS shard
+        |  FROM r)
+        |SELECT doc_id, hk, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard
+        |       ORDER BY hk ASC, doc_id ASC) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
 
     "q87_sample_stratified" ->
       """WITH r AS (

@@ -87,6 +87,37 @@ class CorpusSpec extends SparkSpec {
       s"p10 hash-threshold rate ${hit / n} out of band")
   }
 
+  test("q100 shuffle: exactly-once cover, balanced shards, order decorrelates") {
+    val out = SparkEntry.queries("q100_shuffle_shard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sf).count()
+    // every doc appears exactly once, positions are 1..size per shard
+    assert(out.length == nDocs && out.map(_._1).distinct.length == nDocs)
+    val byShard = out.groupBy(_._2)
+    for ((_, rows) <- byShard)
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length))
+    // md5 nibbles are uniform: no shard dominates (≤ 3× the smallest is
+    // generous at fixture size; the bound exists to catch a broken key)
+    val sizes = byShard.values.map(_.length).toSeq
+    assert(sizes.max <= 3 * sizes.min, s"shard sizes: $sizes")
+    // training order decorrelates from ingest order: within each shard,
+    // |corr(pos, doc_id)| stays near zero (exact-moment formula, q39's
+    // discipline — all sums over Longs are exact in double up to 2^53)
+    for ((shardId, rows) <- byShard) {
+      val n = rows.length.toDouble
+      val xs = rows.map(_._3.toDouble); val ys = rows.map(_._1.toDouble)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxx = xs.map(x => x * x).sum; val syy = ys.map(y => y * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+      val corr = (sxy - sx * sy / n) /
+        math.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+      // a true random permutation has corr ~ N(0, 1/√(n-1)); allow 3σ so
+      // the bound adapts to shard size (fixture shards are tiny)
+      assert(math.abs(corr) < 3.0 / math.sqrt(n - 1),
+        s"shard $shardId (n=$n): shuffled order correlates with ingest order: $corr")
+    }
+  }
+
   test("q91 packing covers every document once, packs never overlap") {
     val packs = SparkEntry.queries("q91_pack_sequences")(spark, sf).collect()
     val nDocs = graft.Tables.documents(spark, sf).count()
