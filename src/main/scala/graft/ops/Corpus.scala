@@ -251,6 +251,63 @@ object Corpus extends QueryModule {
         col("idf_micro"), col("score"))
   }
 
+  /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2, b = 0.75):
+    * score every document against a deterministic query — the `nTerms`
+    * globally-most-frequent tokens (count desc, token asc) — and emit the
+    * top `k` docs per language stratum. §7.5 reproducibility:
+    *  - idf is the RATIONAL form (N − df + 0.5)/(df + 0.5), not the usual
+    *    log of it — ln's last-ulp behavior is libm-specific, division is
+    *    IEEE-defined; ranking is preserved (x ↦ ln(1+x) is monotone);
+    *  - every float expression is spelled identically in both engines
+    *    over exact integer inputs (tf, dl, df, N), so the doubles match
+    *    bit for bit;
+    *  - the per-doc sum over matched query terms folds in TOKEN order
+    *    (sort_array + aggregate HOF ≍ DuckDB list(… ORDER BY tok) +
+    *    list_reduce) — never an unordered float SUM, whose grouping order
+    *    is engine- and partition-dependent.
+    * 100 TB shape: the doc×term tf aggregate is the only corpus-sized
+    * shuffle (fixed-width rows, map-side combined); term stats are
+    * vocabulary-bounded and the 5-term query + 1-row corpus stats
+    * BROADCAST; the per-lang top-k is a rank-≤-k window that plans
+    * map-side WindowGroupLimit pruning (q31's shape — CorpusSpec pins
+    * it), so no task ever holds more than k rows per lang. */
+  def bm25TopK(docs: DataFrame, nTerms: Int = 5, k: Int = 20): DataFrame = {
+    val dt = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("dl", size(col("toks")).cast(LongType))
+      .select(col("doc_id"), col("lang"), col("dl"),
+              explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val qterms = dt.groupBy(col("tok"))
+      .agg(sum(col("tf")).as("total"), count(lit(1)).as("df"))
+      .orderBy(col("total").desc, col("tok").asc).limit(nTerms)
+      .select(col("tok"), col("df"))
+    val g = docs
+      .select(size(split(col("text"), " ")).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n"),
+           (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    val c = dt.join(broadcast(qterms), Seq("tok"))
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), col("lang"), col("tok"),
+        (((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+         ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
+          .as("contrib"))
+    val sc = c.groupBy(col("doc_id"), col("lang"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("contrib"))))
+        .as("cs"))
+      .select(col("doc_id"), col("lang"),
+        expr("aggregate(cs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.contrib)")
+          .as("score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    sc.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // eval set: every 20th doc, deterministically — benchmark stand-in
     "q86_text_decontaminate" -> ((s, d) => {
@@ -307,7 +364,10 @@ object Corpus extends QueryModule {
       rebalanceMix(T.documents(s, d)).orderBy(col("source"))),
 
     "q89_text_tfidf" -> ((s, d) =>
-      tfidfTopK(T.documents(s, d)).orderBy(col("lang"), col("rk")))
+      tfidfTopK(T.documents(s, d)).orderBy(col("lang"), col("rk"))),
+
+    "q101_text_bm25" -> ((s, d) =>
+      bm25TopK(T.documents(s, d)).orderBy(col("lang"), col("rk")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -332,6 +392,44 @@ object Corpus extends QueryModule {
         |    AS contaminated
         |FROM g LEFT JOIN h USING (doc_id) WHERE g.doc_id % 20 <> 0
         |ORDER BY g.doc_id""".stripMargin,
+
+    "q101_text_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |dt AS (
+        |  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS dl, tok,
+        |         count(*) AS tf
+        |  FROM tk, UNNEST(t) AS u(tok) GROUP BY doc_id, lang, dl, tok),
+        |q AS (
+        |  SELECT tok, df FROM (
+        |    SELECT tok, sum(tf) AS total, count(*) AS df FROM dt GROUP BY tok)
+        |  ORDER BY total DESC, tok ASC LIMIT 5),
+        |g AS (
+        |  SELECT count(*) AS n,
+        |         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+        |c AS (
+        |  -- every constant CAST to DOUBLE: DuckDB parses bare 2.2/0.5 as
+        |  -- DECIMAL and would run exact decimal arithmetic where Spark
+        |  -- runs IEEE double — a last-ulp divergence the hash catches
+        |  SELECT dt.doc_id, dt.lang, dt.tok,
+        |    ((g.n - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
+        |    ((dt.tf * CAST(2.2 AS DOUBLE)) /
+        |     (dt.tf + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dt.dl / g.avgdl))))
+        |    AS contrib
+        |  FROM dt JOIN q USING (tok), g),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                list(contrib ORDER BY tok ASC)),
+        |                (a, b) -> a + b) AS score
+        |  FROM c GROUP BY doc_id, lang)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, score FROM (
+        |  SELECT lang, doc_id, score,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY score DESC, doc_id ASC) AS rk
+        |  FROM s) WHERE rk <= 20
+        |ORDER BY lang, rk""".stripMargin,
 
     "q100_shuffle_shard" ->
       """WITH r AS (

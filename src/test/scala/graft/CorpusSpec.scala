@@ -118,6 +118,26 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q101 BM25 top-k prunes map-side; scores rank sanely") {
+    val df = SparkEntry.queries("q101_text_bm25")(spark, sf)
+    // the per-lang rank-≤-k window must plan map-side WindowGroupLimit
+    // pruning (q31's shape) — no task holds more than k rows per lang
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-lang top-k must plan WindowGroupLimit pruning:\n$plan")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // within a lang: rk contiguous from 1, scores non-increasing, all > 0
+    for ((_, g) <- rows.groupBy(_._1)) {
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true })
+      assert(sorted.forall(_._4 > 0.0))
+    }
+  }
+
   test("q91 packing covers every document once, packs never overlap") {
     val packs = SparkEntry.queries("q91_pack_sequences")(spark, sf).collect()
     val nDocs = graft.Tables.documents(spark, sf).count()
