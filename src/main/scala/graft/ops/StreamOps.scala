@@ -72,7 +72,64 @@ object StreamOps extends QueryModule {
 
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
 
+  /** One CDC-merge step for [[queries q102]]'s foreachBatch sink: fold a
+    * micro-batch of upserts (any number of events per user) into the keyed
+    * state, keeping the row with the highest event_id per user. Both the
+    * batch reduction and the state merge are `max(struct(event_id, …))`
+    * aggregates — event_id is unique, so the struct max is a deterministic
+    * argmax and the merge is ASSOCIATIVE + IDEMPOTENT: re-applying a batch
+    * (a restarted query re-delivers the last uncommitted one) cannot
+    * change the state. StreamSpec pins both properties. */
+  private[graft] def mergeLatest(state: DataFrame, batch: DataFrame): DataFrame = {
+    val delta = batch.groupBy(col("user_id"))
+      .agg(max(struct(col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event"),
+              col("m.event_type").as("last_type"),
+              col("m.value").as("last_value"))
+    state.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("last_event"), col("last_type"),
+                      col("last_value"))).as("m"))
+      .select(col("user_id"), col("m.last_event").as("last_event"),
+              col("m.last_type").as("last_type"),
+              col("m.last_value").as("last_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_stream_merge_sink" -> ((s, d) => {
+      // Streaming CDC upsert — the MERGE sink (q42 is its batch half):
+      // every event is an upsert of its user's profile, foreachBatch folds
+      // each micro-batch into the keyed state with [[mergeLatest]], and
+      // the final state is BATCH-EQUIVALENT by construction (argmax per
+      // user over everything delivered) — which is what makes a streaming
+      // drain oracle-able, q78's discipline. Each round's state is
+      // localCheckpointed (the state appears twice in the next merge's
+      // plan — q79's loop discipline, O(1) plan per batch) and the
+      // superseded checkpoint is released. At 100 TB the state table
+      // lives in the warehouse and each fold is q42's one co-partitioned
+      // merge join per batch; foreachBatch is where exactly-once lands:
+      // the sink must be idempotent per batch, and mergeLatest IS
+      // (re-applying a redelivered batch is a no-op — spec-pinned).
+      val c = streamSession(s, 8)
+      import c.implicits._
+      val sch = eventsSchema(c, d)
+      val src = c.readStream.schema(sch)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                F.od(F.dec2(col("value"))).as("value"))
+      var state = Seq.empty[(Long, Long, String, Double)]
+        .toDF("user_id", "last_event", "last_type", "last_value")
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val prev = state
+          state = mergeLatest(prev, b).localCheckpoint(true)
+          Dedup.releaseCheckpoint(prev)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      state.orderBy(col("user_id"))
+    }),
     "q70_stream_tumbling" -> ((s, d) =>
       ev(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -273,6 +330,15 @@ object StreamOps extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q102_stream_merge_sink" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS last_event
+        |  FROM events GROUP BY user_id)
+        |SELECT l.user_id, l.last_event, e.event_type AS last_type,
+        |  CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+        |FROM latest l JOIN events e ON e.event_id = l.last_event
+        |ORDER BY l.user_id""".stripMargin,
+
     "q95_stream_stream_join" ->
       """SELECT a.user_id, a.event_id AS view_id, b.event_id AS buy_id
         |FROM events a JOIN events b

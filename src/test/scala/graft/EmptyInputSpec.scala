@@ -62,7 +62,11 @@ class EmptyInputSpec extends SparkSpec {
     // round-8 additions: interval join (empty events), CDC merge + SCD2
     // (empty orders => empty base AND empty change batch), quantization
     "q19_join_interval", "q42_merge_upsert", "q43_scd2_history",
-    "q96_embed_quantize", "q29_agg_heavy_hitters")
+    "q96_embed_quantize", "q29_agg_heavy_hitters",
+    // round-8 additions: span dedup, shuffle-shard, BM25 (empty corpus),
+    // incremental view maintenance (empty base and batch)
+    "q99_dedup_spans", "q100_shuffle_shard", "q101_text_bm25",
+    "q38_agg_incremental")
 
   for (name <- families)
     test(s"$name returns an empty result on a zero-row shard") {

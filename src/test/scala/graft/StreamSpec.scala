@@ -97,6 +97,37 @@ class StreamSpec extends SparkSpec {
       "every id exactly once — no duplicates, no gaps, across the restart")
   }
 
+  test("q102 merge sink: upserts fold across batches; batch replay is a no-op") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def state(rows: Seq[(Long, Long, String, Double)]) =
+      rows.toDF("user_id", "last_event", "last_type", "last_value")
+    def batch(rows: Seq[(Long, Long, String, Double)]) =
+      rows.map { case (e, u, t, v) => (e, u, t, v) }
+        .toDF("event_id", "user_id", "event_type", "value")
+    def collectState(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+                             r.getDouble(3))).toSet
+    // cross-batch: batch 2's higher event_id wins for user 1; user 2
+    // keeps batch 1's row; user 3 arrives new
+    val s0 = state(Nil)
+    val s1 = ops.StreamOps.mergeLatest(s0,
+      batch(Seq((10L, 1L, "view", 1.0), (11L, 2L, "view", 2.0))))
+    val b2 = batch(Seq((20L, 1L, "purchase", 5.0), (21L, 3L, "view", 3.0)))
+    val s2 = ops.StreamOps.mergeLatest(s1, b2)
+    val want = Set((1L, 20L, "purchase", 5.0), (2L, 11L, "view", 2.0),
+                   (3L, 21L, "view", 3.0))
+    assert(collectState(s2) == want)
+    // idempotence under redelivery: a restarted query re-applies its last
+    // uncommitted batch — the state must not change
+    assert(collectState(ops.StreamOps.mergeLatest(s2, b2)) == want)
+    // within-batch reduction: many events for one user in ONE batch
+    // collapse to the argmax before touching state
+    val s3 = ops.StreamOps.mergeLatest(s0,
+      batch(Seq((1L, 7L, "a", 1.0), (3L, 7L, "c", 3.0), (2L, 7L, "b", 2.0))))
+    assert(collectState(s3) == Set((7L, 3L, "c", 3.0)))
+  }
+
   test("custom state: flatMapGroupsWithState carries per-user counts across batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
