@@ -581,6 +581,53 @@ object Dedup extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    "q103_dedup_fuzzy" -> ((s, d) => {
+      // Fuzzy ENTITY resolution — the dedup family member q60-q99 lack:
+      // near-identical KEYS (names/titles/codes, the reference's ICD-code
+      // cleanup domain) rather than near-identical documents. Three-stage
+      // scale shape: (1) distinct-key extraction bounds everything
+      // downstream to the key VOCABULARY (64 names here vs 2000 parts;
+      // ≪ corpus at any scale) with min-partkey as a stable numeric id;
+      // (2) candidates from a blocked self-join (first-letter block,
+      // mirrored exactly in the oracle) verified by the codegen'd
+      // levenshtein builtin at distance ≤ 2 — per-block products, never
+      // all-pairs; (3) pairs resolve to canonical entities through the
+      // SAME component resolver as q79/q97 (transitive: 'red widget' ~
+      // 'red widgets' ~ 'red widgett' is ONE entity even if the ends
+      // never paired).
+      // Key corpus = distinct part names ∪ planted typo variants (every
+      // 3rd name + 'x', every 6th + 'xy' — q83's planting discipline: the
+      // generator's clean vocabulary has no natural lev≤2 neighbors, so
+      // the dirty-key regime is engineered identically in both engines).
+      // The %6 names yield a base/x/xy TRIANGLE whose base–xy edge is
+      // distance 2 — and a {base, x, xy} cluster proves transitivity even
+      // where blocking or the threshold would miss an edge.
+      val clean = T.part(s, d)
+        .groupBy(col("p_name").as("name"))
+        .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("n_parts"))
+      val names = clean
+        .unionAll(clean.filter(col("nid") % 3 === 0)
+          .select(concat(col("name"), lit("x")).as("name"),
+                  (col("nid") + 1000000L).as("nid"), lit(1L).as("n_parts")))
+        .unionAll(clean.filter(col("nid") % 6 === 0)
+          .select(concat(col("name"), lit("xy")).as("name"),
+                  (col("nid") + 2000000L).as("nid"), lit(1L).as("n_parts")))
+      val a = names.select(col("name").as("na"), col("nid").as("i"),
+                           substring(col("name"), 1, 1).as("blk"))
+      val b = names.select(col("name").as("nb"), col("nid").as("j"),
+                           substring(col("name"), 1, 1).as("blk"))
+      val pairs = a.join(b, Seq("blk"))
+        .filter(col("i") < col("j") &&
+                levenshtein(col("na"), col("nb")) <= 2)
+        .select(col("i"), col("j"))
+      val comp = resolveComponents(pairs)
+      names.join(comp.select(col("node").as("nid"), col("lbl")),
+                 Seq("nid"), "left")
+        .select(col("name"), col("nid"), col("n_parts"),
+                coalesce(col("lbl"), col("nid")).as("canon"))
+        .orderBy(col("nid"))
+    }),
+
     "q66_dedup_simhash" -> ((s, d) =>
       // 60-bit tf-weighted SimHash (bits from md5 nibbles, so the oracle can
       // recompute it bit-for-bit), banded into 4x15-bit chunks. For hamming
@@ -596,6 +643,31 @@ object Dedup extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q103_dedup_fuzzy" ->
+      """WITH RECURSIVE clean AS (
+        |  SELECT p_name AS name, min(p_partkey) AS nid, count(*) AS n_parts
+        |  FROM part GROUP BY p_name),
+        |names AS (
+        |  SELECT name, nid, n_parts FROM clean
+        |  UNION ALL
+        |  SELECT name || 'x', nid + 1000000, 1 FROM clean WHERE nid % 3 = 0
+        |  UNION ALL
+        |  SELECT name || 'xy', nid + 2000000, 1 FROM clean WHERE nid % 6 = 0),
+        |pairs AS (
+        |  SELECT a.nid AS i, b.nid AS j
+        |  FROM names a JOIN names b
+        |    ON substr(a.name, 1, 1) = substr(b.name, 1, 1) AND a.nid < b.nid
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT i, j FROM pairs UNION ALL SELECT j AS i, i AS j FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT i, i FROM edges
+        |  UNION
+        |  SELECT e.j, r.lbl FROM reach r JOIN edges e ON e.i = r.node),
+        |comp AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node)
+        |SELECT n.name, n.nid, n.n_parts, coalesce(c.lbl, n.nid) AS canon
+        |FROM names n LEFT JOIN comp c ON n.nid = c.node
+        |ORDER BY nid""".stripMargin,
+
     "q99_dedup_spans" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents

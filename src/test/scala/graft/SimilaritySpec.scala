@@ -81,6 +81,27 @@ class SimilaritySpec extends SparkSpec {
       s"kept=$keptTotal distinct=$distinctSpans")
   }
 
+  test("q103 fuzzy resolution: planted typo variants join their base entity") {
+    val out = SparkEntry.queries("q103_dedup_fuzzy")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val byCanon = out.groupBy(_._3)
+    val baseIds = out.filter(_._2 < 1000000L).map(_._2)
+    // every planted variant resolves to its base's cluster, and the canon
+    // is always the BASE nid (min id discipline — variants never canonize)
+    for ((name, nid, canon) <- out if nid >= 1000000L) {
+      val baseNid = nid % 1000000L
+      assert(canon == baseNid, s"variant $name ($nid) canonized to $canon")
+    }
+    // %6 bases form base/x/xy triangles (transitive closure across the
+    // distance-2 base–xy edge); %3-but-not-%6 bases form pairs
+    for (b <- baseIds) {
+      val size = byCanon.get(b).map(_.length).getOrElse(0)
+      if (b % 6 == 0) assert(size == 3, s"base $b: want 3, got $size")
+      else if (b % 3 == 0) assert(size == 2, s"base $b: want 2, got $size")
+      else assert(size == 1, s"base $b: want singleton, got $size")
+    }
+  }
+
   test("q61 exact pairs all meet the threshold and are canonical (i < j)") {
     val pairs = SparkEntry.queries("q61_dedup_near")(spark, sf)
     assert(pairs.count() > 0, "fixture must contain near-duplicates")
