@@ -91,6 +91,30 @@ object Multimodal extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    "q104_multimodal_chunks" -> ((s, d) =>
+      // Chunk GENERATOR — the media op q58/q84 don't cover: split every
+      // payload into fixed 64-byte segments and emit one ROW per chunk
+      // (video→frames, audio→segments, the shape that lets a downstream
+      // decode stage parallelize WITHIN a large object instead of being
+      // bound by the largest file). Pipelined posexplode (no
+      // materialization of the chunk array), stateless, no shuffle; each
+      // chunk carries its index, byte count and fingerprint so a decode
+      // stage can retry/route per chunk. MultimodalSpec pins lossless
+      // reassembly (concat of chunk hex == payload hex, in index order).
+      T.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("hexs", hex(col("payload")))
+        .withColumn("nb", length(col("payload")).cast(LongType))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, greatest(CAST(ceil(nb / 64.0) AS INT), 1) - 1), " +
+            "k -> substr(hexs, k * 128 + 1, 128))"))
+          .as(Seq("chunk_idx", "chunk_hex")))
+        .select(col("doc_id"),
+          col("chunk_idx").cast(LongType).as("chunk_idx"),
+          expr("CAST(length(chunk_hex) DIV 2 AS BIGINT)").as("chunk_bytes"),
+          md5(col("chunk_hex")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     "q84_multimodal_resize" -> ((s, d) =>
       // Resize analog (the mandate's fourth media op, next to q58's
       // decode/feature-extract/frame-sample): downsample every payload to
@@ -123,6 +147,21 @@ object Multimodal extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q104_multimodal_chunks" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hexs,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS nb
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_idx,
+        |         substr(hexs, CAST(u.k * 128 AS INT) + 1, 128) AS chunk_hex
+        |  FROM b, UNNEST(range(GREATEST(CAST(ceil(nb / 64.0) AS BIGINT), 1)))
+        |       AS u(k))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(length(chunk_hex) // 2 AS BIGINT) AS chunk_bytes,
+        |  md5(chunk_hex) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q84_multimodal_resize" ->
       """WITH b AS (SELECT doc_id, hex(encode(text)) AS hexs,
         |             CAST(octet_length(encode(text)) AS BIGINT) AS nb

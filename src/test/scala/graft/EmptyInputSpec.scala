@@ -32,6 +32,11 @@ class EmptyInputSpec extends SparkSpec {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType))))
+    write("part", StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))))
     write("orders", StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
       StructField("o_orderstatus", StringType),
@@ -66,7 +71,7 @@ class EmptyInputSpec extends SparkSpec {
     // round-8 additions: span dedup, shuffle-shard, BM25 (empty corpus),
     // incremental view maintenance (empty base and batch)
     "q99_dedup_spans", "q100_shuffle_shard", "q101_text_bm25",
-    "q38_agg_incremental")
+    "q38_agg_incremental", "q104_multimodal_chunks", "q103_dedup_fuzzy")
 
   for (name <- families)
     test(s"$name returns an empty result on a zero-row shard") {
