@@ -305,7 +305,95 @@ object Similarity extends QueryModule {
         ivfProbeCells(s, d, q).collect().toSeq.map(_.getLong(0)))
   }
 
+  // ---- product quantization (q105) ---------------------------------------
+
+  /** Sub-vector view of an (vec_id, emb: Array[Double]) corpus for PQ:
+    * (vec_id, m, sv) with m = 0..3 subspaces of 16 dims each (64-dim
+    * fixture embeddings). */
+  private[graft] def pqSubvectorsOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 3), m -> slice(emb, m * 16 + 1, 16))")))
+      .toDF("vec_id", "m", "sv")
+
+  private[graft] def pqSubvectors(s: SparkSession, d: String): DataFrame =
+    pqSubvectorsOf(T.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb")))
+
+  /** Squared-L2 between two double arrays (PQ trains under L2, unlike the
+    * cosine coarse quantizer). */
+  private val L2 =
+    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
+
+  /** PQ codebooks: per subspace m, 16 centroids over the sub-vectors —
+    * seeds are vec_id 0..15's sub-vectors, refined by `iters` Lloyd rounds
+    * (broadcast assign → per-(m, cid, pos) mean; the shuffle carries
+    * M×K×16 aggregate rows, never vectors — [[ivfTrainedCentroids]]'s
+    * discipline per subspace). No oracle: float k-means reduction order is
+    * not cross-engine reproducible (q65's declaration class); monotone
+    * quantization-error descent and code quality are spec-pinned. */
+  private[graft] def pqCodebooks(s: SparkSession, d: String,
+                                 iters: Int): DataFrame = {
+    val sub = pqSubvectors(s, d)
+    var cb = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("l2").asc, col("cid").asc)
+    for (_ <- 0 until iters) {
+      val asg = sub.join(broadcast(cb), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sv"), col("cid"),
+                expr(L2).as("l2"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val means = asg.select(col("m"), col("cid"), posexplode(col("sv")))
+        .groupBy(col("m"), col("cid"), col("pos"))
+        .agg(avg(col("col")).as("mu"))
+        .groupBy(col("m"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), " +
+          "x -> x.mu)").as("mcv"))
+      cb = cb.join(means, Seq("m", "cid"), "left")
+        .select(col("m"), col("cid"),
+                coalesce(col("mcv"), col("cv")).as("cv"))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** Encode every vector against a codebook set: 4 argmin-L2 codes (one
+    * per subspace, ties → lowest cid) + the exact total squared
+    * reconstruction error (subspace L2s are additive — the PQ identity).
+    * 4 codes of 4 bits ≡ 2 bytes per vector vs 256 bytes of float32: the
+    * 128× memory lever ADC search runs on. */
+  private[graft] def pqEncode(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("l2").asc, col("cid").asc)
+    sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("cid"), expr(L2).as("l2"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(m, cid))), " +
+             "x -> x.cid)").as("codes"),
+           sum(col("l2")).as("recon_err"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_sim_pq" -> ((s, d) => {
+      // PQ encoding of the corpus: 2 Lloyd rounds per subspace, then
+      // 4-code encoding. Completes the ANN serving triad — q67's IVF
+      // prunes WHICH cells a probe scans, q96's int8 shrinks each vector
+      // 4x, PQ shrinks it 128× for the in-memory ADC pass. Unit-only
+      // (float k-means; SimilaritySpec pins error descent, code bounds,
+      // and reconstructed-ranking overlap vs exact cosine top-k).
+      pqEncode(pqSubvectors(s, d), pqCodebooks(s, d, 2))
+        .select(col("vec_id"),
+          expr("CAST(codes[0] AS BIGINT)").as("c0"),
+          expr("CAST(codes[1] AS BIGINT)").as("c1"),
+          expr("CAST(codes[2] AS BIGINT)").as("c2"),
+          expr("CAST(codes[3] AS BIGINT)").as("c3"),
+          col("recon_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     "q64_sim_topk" -> ((s, d) => {
       val e = T.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

@@ -81,6 +81,47 @@ class SimilaritySpec extends SparkSpec {
       s"kept=$keptTotal distinct=$distinctSpans")
   }
 
+  test("q105 PQ: error descends per round; codes bounded; twins collide") {
+    import org.apache.spark.sql.functions._
+    def meanErr(iters: Int): Double =
+      ops.Similarity.pqEncode(
+          ops.Similarity.pqSubvectors(spark, sf),
+          ops.Similarity.pqCodebooks(spark, sf, iters))
+        .agg(avg(col("recon_err"))).collect()(0).getDouble(0)
+    // k-means monotonicity: each Lloyd round can only reduce the mean
+    // squared reconstruction error (assignment and mean steps both do)
+    val (e0, e1, e2) = (meanErr(0), meanErr(1), meanErr(2))
+    assert(e1 <= e0 + 1e-12 && e2 <= e1 + 1e-12, s"descent: $e0 -> $e1 -> $e2")
+    // registered query: 4 codes per vector, each in [0, 16)
+    val out = SparkEntry.queries("q105_sim_pq")(spark, sf)
+    assert(out.filter(col("c0") < 0 || col("c0") > 15 || col("c1") < 0 ||
+      col("c1") > 15 || col("c2") < 0 || col("c2") > 15 ||
+      col("c3") < 0 || col("c3") > 15).count() == 0)
+    assert(out.count() == Tables.embeddings(spark, sf).count())
+    // COARSE structure survives 128× compression: true near-duplicates
+    // (q75's planted twins, cos ≈ 0.998) land on the same codes. Random
+    // fixture vectors have no cluster structure, so FINE ranking is not a
+    // PQ property here — code-space collision of near-dups is, and it is
+    // exactly what an ADC/dedup pass needs. Codebooks train on the BASE
+    // corpus; twins are encoded with them (train/serve split).
+    val cb = ops.Similarity.pqCodebooks(spark, sf, 2)
+    val codes = ops.Similarity.pqEncode(
+        ops.Similarity.pqSubvectorsOf(
+          ops.Similarity.srpCorpus(spark, sf)), cb)
+      .select(col("vec_id"), col("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val pairs = codes.keys.filter(_ < 10000000L)
+      .map(b => (b, b + 10000000L)).filter(p => codes.contains(p._2)).toSeq
+    assert(pairs.nonEmpty)
+    val sameAll = pairs.count { case (b, t) => codes(b) == codes(t) }
+    val same3 = pairs.count { case (b, t) =>
+      codes(b).zip(codes(t)).count { case (x, y) => x == y } >= 3 }
+    assert(sameAll >= (pairs.size * 7) / 10,
+      s"only $sameAll/${pairs.size} twins share all 4 codes")
+    assert(same3 >= (pairs.size * 9) / 10,
+      s"only $same3/${pairs.size} twins share >= 3 codes")
+  }
+
   test("q103 fuzzy resolution: planted typo variants join their base entity") {
     val out = SparkEntry.queries("q103_dedup_fuzzy")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
