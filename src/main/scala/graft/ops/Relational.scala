@@ -237,6 +237,34 @@ object Relational extends QueryModule {
           |ORDER BY c_custkey, o_orderkey""".stripMargin)
     }),
 
+    "q09_scan_csv_roundtrip" -> ((s, d) => {
+      // The reference's ENTIRE ingest is CSV → warehouse
+      // (load_csv_subset_to_table, patient_claims_plus_postgres.py:34-58)
+      // — this puts the CSV reader path INSIDE the correctness gate: a
+      // deterministic orders slice is staged as a header CSV (overwrite,
+      // under the session's temp warehouse) and read back through
+      // Ingest.readCsv's declared-schema FAILFAST scan; the oracle derives
+      // the same rows from parquet, so a hash match proves the CSV
+      // round-trip lossless end-to-end. Columns are keys/strings/a
+      // rendered date — the ingest subset shape (the reference keeps CMS
+      // dates TEXT too, SURVEY A13). At 100 TB the same reader is a
+      // splittable partitioned scan with no driver materialization and no
+      // schema-inference pre-pass (declared schema).
+      val dir = s.conf.get("spark.sql.warehouse.dir") +
+        "/graft_csv_stage_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      T.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                col("o_orderpriority"), F.d(col("o_orderdate")).as("o_date"))
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      Ingest.readCsv(s, dir, StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_orderpriority", StringType),
+          StructField("o_date", StringType))))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "q10_join_left_flagship" -> (q10 _),
 
     "q20_agg_dq_rowcount" -> ((s, d) =>
@@ -872,6 +900,12 @@ object Relational extends QueryModule {
         |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
         |) t
         |ORDER BY c_custkey, o_orderkey""".stripMargin,
+
+    "q09_scan_csv_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q01_scan_project" ->
       """SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty,
