@@ -344,9 +344,16 @@ object Similarity extends QueryModule {
         .select(col("vec_id"), col("m"), col("sv"), col("cid"),
                 expr(L2).as("l2"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // mean via DECIMAL sum, not float avg: decimal accumulation is
+      // order-independent, so training is bit-stable across retries /
+      // partition orders (the SCALE.md determinism contract; float
+      // summation order is not). DECIMAL(38,18) swallows any |x| ≤ ~1e19
+      // sub-vector sum; the one rounding (double→decimal at 18 dp) is
+      // value-deterministic.
       val means = asg.select(col("m"), col("cid"), posexplode(col("sv")))
         .groupBy(col("m"), col("cid"), col("pos"))
-        .agg(avg(col("col")).as("mu"))
+        .agg((sum(col("col").cast(DecimalType(38, 18))) /
+              count(lit(1))).cast(DoubleType).as("mu"))
         .groupBy(col("m"), col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(pos, mu))), " +
           "x -> x.mu)").as("mcv"))
@@ -373,7 +380,10 @@ object Similarity extends QueryModule {
       .groupBy(col("vec_id"))
       .agg(expr("transform(array_sort(collect_list(struct(m, cid))), " +
              "x -> x.cid)").as("codes"),
-           sum(col("l2")).as("recon_err"))
+           // decimal accumulation: the 4 subspace errors sum identically
+           // in any arrival order (run-to-run bit stability)
+           sum(col("l2").cast(DecimalType(38, 18)))
+             .cast(DoubleType).as("recon_err"))
   }
 
   /** Trained PQ codebooks memoized per (session, fixture, iters) — the
