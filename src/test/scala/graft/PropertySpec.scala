@@ -67,6 +67,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q106 prefix-filtered Jaccard pairs == naive exact pairs, any corpus/tau") {
+    import spark.implicits._
+    // random shingle sets over a SMALL universe (forces overlaps) and a
+    // random threshold — the prefix-filter theorem must hold for all of
+    // them, not just the fixture's 0.5
+    val corpus: Gen[List[(Long, List[String])]] =
+      Gen.listOfN(10, Gen.nonEmptyListOf(
+        Gen.oneOf("u", "v", "w", "x", "y", "z", "p", "q")).map(_.distinct))
+        .map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    val taus = Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+    check(Prop.forAll(corpus, taus) { (docs, tau) =>
+      val sh = docs.flatMap { case (id, ss) => ss.map(s => (id, s)) }
+        .toDF("doc_id", "sh")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      canon(ops.Dedup.jaccardPairsPrefix(sh, tau)) ==
+        canon(ops.Dedup.jaccardPairs(sh, tau))
+    })
+  }
+
   test("q79 components match a union-find reference on random graphs") {
     import spark.implicits._
     import graft.ops.Dedup
