@@ -94,17 +94,21 @@ object Dedup extends QueryModule {
     * random corpora AND hash-proven by q106 running against q61's oracle
     * SQL verbatim.
     *
-    * MEASURED at sf0.1 ([[graft.PfxProbe]]): the filter cuts candidate
-    * pairs 2.8× (1 130 536 → 409 103) and join input rows 1.9×
+    * MEASURED at sf0.1 ([[graft.PfxProbe]], QTime): the filter cuts
+    * candidate pairs 2.8× (1 130 536 → 409 103) and join input rows 1.9×
     * (260 388 → 133 971) even on this WORST-CASE corpus (31-token
     * vocabulary ⇒ no rare shingles; real corpora are Zipfian and prune
-    * far harder). Wall-clock at fixture scale still favors q61 (2.9 s vs
-    * 6.4 s): the df join + prefix window + verify re-join cost more than
-    * the naive join saves when the whole pair space fits in seconds —
-    * same regime finding as the rejected df>1 prune above. The crossover
-    * is where candidate VERIFICATION dominates (true corpus scale);
-    * until then q61 serves the fixture and q106 proves the scale path
-    * exact. */
+    * far harder). Wall-clock at fixture scale still favors q61 (~2.2 s
+    * vs ~4.0 s steady): the df join + prefix window + set-verify cost
+    * more than the naive join saves when the whole pair space fits in
+    * seconds — the same regime finding as the rejected df>1 prune above.
+    * Two shipped verify/candidate cost cuts (each measured): per-
+    * candidate array_intersect over per-doc shingle SETS instead of a
+    * candidates×shingles re-join (the exploded verify alone cost 2× q61),
+    * and the lossless size filter (J ≤ min/max sizes) folded into the
+    * candidate join. The crossover is where candidate VERIFICATION
+    * dominates (true corpus scale); until then q61 serves the fixture and
+    * q106 proves the scale path exact. */
   private[graft] def jaccardPairsPrefix(sh: DataFrame, tau: Double): DataFrame = {
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
@@ -115,18 +119,35 @@ object Dedup extends QueryModule {
       .join(sz, Seq("doc_id"))
       .filter(col("pos") <=
         col("nsh") - ceil(col("nsh") * lit(tau)).cast(LongType) + 1)
-      .select(col("doc_id"), col("sh"))
-    val cand = prefix.select(col("doc_id").as("i"), col("sh"))
-      .join(prefix.select(col("doc_id").as("j"), col("sh")), Seq("sh"))
-      .filter(col("i") < col("j"))
+      .select(col("doc_id"), col("sh"), col("nsh"))
+    // size filter folded into the candidate join (lossless: J(A,B) ≤
+    // min(|A|,|B|)/max(|A|,|B|), so J ≥ τ needs min ≥ τ·max) — prunes
+    // before the distinct, cheap because nsh rides the prefix rows
+    val cand = prefix.select(col("doc_id").as("i"), col("sh"),
+                             col("nsh").as("ni"))
+      .join(prefix.select(col("doc_id").as("j"), col("sh"),
+                          col("nsh").as("nj")), Seq("sh"))
+      .filter(col("i") < col("j") &&
+        least(col("ni"), col("nj")).cast(DoubleType) >=
+          greatest(col("ni"), col("nj")).cast(DoubleType) * lit(tau))
       .select(col("i"), col("j")).distinct()
+    // verification via per-candidate array_intersect over per-doc shingle
+    // SETS, not a candidates×shingles re-join: the exploded verify was
+    // measured at 2× q61's whole naive cost on the fixture (the 409k
+    // candidates × ~52 shingles intermediate), while the set join moves
+    // one array row per candidate side and intersects hash-wise per row.
+    // At scale the sets table shuffles on doc_id (it is corpus-sized;
+    // AQE broadcasts it at fixture scale) and verify stays ∝ candidates.
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("i"), col("sh")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("doc_id").as("i"), col("shs").as("shi")), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("shs").as("shj")), Seq("j"))
+      .select(col("i"), col("j"),
+        size(array_intersect(col("shi"), col("shj"))).cast(LongType).as("inter"),
+        size(col("shi")).cast(LongType).as("ni"),
+        size(col("shj")).cast(LongType).as("nj"))
     inter
-      .join(sz.select(col("doc_id").as("i"), col("nsh").as("ni")), Seq("i"))
-      .join(sz.select(col("doc_id").as("j"), col("nsh").as("nj")), Seq("j"))
       .withColumn("uni", col("ni") + col("nj") - col("inter"))
       .withColumn("jac",
         col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
