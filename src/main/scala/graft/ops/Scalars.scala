@@ -147,6 +147,28 @@ object Scalars extends QueryModule {
           from_json(col("props"), StructType(Seq(StructField("k", LongType))))
             .getField("k").as("k_struct"),
           element_at(map(lit("k"), col("k_int")), "k").as("k_map"))
+        .orderBy(col("event_id"))),
+
+    "q107_json_variant" -> ((s, d) =>
+      // The VARIANT path (Spark 4's open semi-structured type, the
+      // engine-native alternative to q56's per-path string extraction):
+      // parse each props JSON ONCE into a variant, then typed
+      // variant_get extractions, schema_of_variant introspection, and an
+      // is_variant_null/try_variant_get miss probe. At 100 TB this is the
+      // shredding-friendly layout — one parse per row reused by every
+      // extraction (q56's get_json_object re-parses per path), and the
+      // binary variant encoding columnar-compresses. All stateless
+      // projection, no shuffle; outputs are plain BIGINT/STRING so the
+      // DuckDB oracle mirrors with its JSON extraction.
+      T.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          expr("variant_get(v, '$.k', 'bigint')").as("k_long"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"),
+          expr("schema_of_variant(v)").as("v_schema"),
+          expr("try_variant_get(v, '$.missing', 'bigint')").as("miss"),
+          expr("variant_get(v, '$.k', 'bigint')").isNotNull.as("has_k"))
         .orderBy(col("event_id")))
   )
 
@@ -223,6 +245,18 @@ object Scalars extends QueryModule {
         |  CAST(list_sort(embedding)[2] AS DOUBLE) AS second_smallest,
         |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q107_json_variant" ->
+      // DuckDB mirror of the typed variant extractions; v_schema is the
+      // literal shape every props row has ({"k": <int>}), which Spark's
+      // schema_of_variant reports as OBJECT<k: BIGINT>
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  'OBJECT<k: BIGINT>' AS v_schema,
+        |  CAST(NULL AS BIGINT) AS miss,
+        |  json_extract(props, '$.k') IS NOT NULL AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q56_json_map" ->
       """SELECT event_id,
