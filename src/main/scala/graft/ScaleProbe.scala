@@ -129,7 +129,13 @@ object ScaleProbe {
       "q93_text_redact", "q94_text_repetition", "q98_mix_rebalance",
       // relational/warehouse additions (round 8): interval join over the
       // ×N events axis, CDC merge + SCD2 over the ×N orders/customers
-      "q19_join_interval", "q42_merge_upsert", "q43_scd2_history")
+      "q19_join_interval", "q42_merge_upsert", "q43_scd2_history",
+      // round-8-end additions: span dedup + shuffle/shard + BM25 over the
+      // ×N documents, incremental view maintenance over the ×N orders,
+      // and the prefix-filtered exact near-dup path (its candidate
+      // pruning is the thing to observe as the corpus grows)
+      "q99_dedup_spans", "q100_shuffle_shard", "q101_text_bm25",
+      "q38_agg_incremental", "q106_dedup_prefix")
     val results = family.map { name =>
       val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
       println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")
