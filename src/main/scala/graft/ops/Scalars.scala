@@ -169,7 +169,30 @@ object Scalars extends QueryModule {
           expr("schema_of_variant(v)").as("v_schema"),
           expr("try_variant_get(v, '$.missing', 'bigint')").as("miss"),
           expr("variant_get(v, '$.k', 'bigint')").isNotNull.as("has_k"))
-        .orderBy(col("event_id")))
+        .orderBy(col("event_id"))),
+
+    "q108_xml_roundtrip" -> ((s, d) =>
+      // from_xml (Spark 4's native XML parser, the third semi-structured
+      // format next to q56's JSON and q107's VARIANT): each order renders
+      // to a deterministic XML doc and parses back through a declared
+      // schema; the oracle derives the same fields directly, so the hash
+      // match proves the render→parse round-trip lossless. Stateless
+      // per-row projection, no shuffle; the declared schema keeps it one
+      // pass (no inference pre-scan), same discipline as q09's CSV read.
+      T.orders(s, d)
+        .withColumn("xml", concat(
+          lit("<o><k>"), col("o_orderkey").cast(StringType),
+          lit("</k><s>"), col("o_orderstatus"),
+          lit("</s><p>"), col("o_orderpriority"), lit("</p></o>")))
+        .withColumn("parsed", from_xml(col("xml"), StructType(Seq(
+          StructField("k", LongType), StructField("s", StringType),
+          StructField("p", StringType)))))
+        .select(col("o_orderkey"),
+          col("parsed").getField("k").as("k"),
+          col("parsed").getField("s").as("st"),
+          col("parsed").getField("p").as("pr"),
+          length(col("xml")).cast(LongType).as("xml_len"))
+        .orderBy(col("o_orderkey")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,6 +268,14 @@ object Scalars extends QueryModule {
         |  CAST(list_sort(embedding)[2] AS DOUBLE) AS second_smallest,
         |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q108_xml_roundtrip" ->
+      """SELECT o_orderkey, o_orderkey AS k, o_orderstatus AS st,
+        |  o_orderpriority AS pr,
+        |  CAST(length('<o><k>' || CAST(o_orderkey AS VARCHAR) || '</k><s>' ||
+        |    o_orderstatus || '</s><p>' || o_orderpriority || '</p></o>')
+        |    AS BIGINT) AS xml_len
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q107_json_variant" ->
       // DuckDB mirror of the typed variant extractions; v_schema is the

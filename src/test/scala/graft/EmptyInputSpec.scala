@@ -72,7 +72,7 @@ class EmptyInputSpec extends SparkSpec {
     // incremental view maintenance (empty base and batch)
     "q99_dedup_spans", "q100_shuffle_shard", "q101_text_bm25",
     "q38_agg_incremental", "q104_multimodal_chunks", "q103_dedup_fuzzy",
-    "q106_dedup_prefix", "q107_json_variant")
+    "q106_dedup_prefix", "q107_json_variant", "q108_xml_roundtrip")
 
   for (name <- families)
     test(s"$name returns an empty result on a zero-row shard") {
