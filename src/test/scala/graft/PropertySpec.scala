@@ -67,6 +67,111 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q99 span dedup matches a sequential reference on random corpora") {
+    import spark.implicits._
+    // tiny token alphabet forces natural cross- and within-doc span
+    // repeats; the reference walks docs in (doc_id, span_idx) order
+    // keeping the first occurrence of each span value — exactly the
+    // distributed query's min-(doc_id, span_idx) survivor rule
+    val corpus: Gen[List[String]] =
+      Gen.listOfN(8, Gen.chooseNum(1, 20).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString(" "))))
+    check(Prop.forAll(corpus) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // sequential reference
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val want = docs.map { case (id, t) =>
+        val toks = t.split(" ")
+        val spans = toks.grouped(8).map(_.mkString(" ")).toSeq
+        val kept = spans.filter(sp => seen.add(sp))
+        (id, spans.length.toLong, (spans.length - kept.length).toLong,
+         kept.map(_.split(" ").length.toLong).sum)
+      }.toSet
+      // distributed query over the same rows (no planted copies: the
+      // planting is a fixture-corpus concern, the operator under test is
+      // the survivor rule itself)
+      val sh = docs.toDF("doc_id", "text")
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"), org.apache.spark.sql.functions.posexplode(expr(
+          """transform(
+            |  sequence(0, greatest(cast(ceil(size(tk)/8.0) as int), 1) - 1),
+            |  i -> array_join(slice(tk, i*8+1, 8), ' '))""".stripMargin)))
+        .toDF("doc_id", "span_idx", "span")
+        .withColumn("pos", col("doc_id") * 1048576L + col("span_idx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(org.apache.spark.sql.functions.md5(col("span")))
+      val got = sh
+        .withColumn("kept",
+          col("pos") === org.apache.spark.sql.functions.min(col("pos")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 0L).otherwise(1L)).as("d"),
+          sum(when(col("kept"), size(split(col("span"), " ")).cast("long"))
+            .otherwise(0L)).as("ct"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      got == want
+    })
+  }
+
+  test("q38 incremental view fold == recompute for random bases and batches") {
+    import spark.implicits._
+    // exact Long-cent prices, random (key → op) change batches; the
+    // invariant is the general one behind q38's fixture derivation:
+    // view + delta == recompute over the merged state, for ANY batch
+    val baseGen: Gen[List[(Long, String, Long)]] =
+      Gen.listOfN(20, for {
+        k <- Gen.chooseNum(0L, 30L)
+        p <- Gen.oneOf("hi", "lo")
+        c <- Gen.chooseNum(100L, 99999L)
+      } yield (k, p, c)).map(_.distinctBy(_._1))
+    val opsGen: Gen[List[(Long, String, Long)]] =
+      Gen.listOfN(12, for {
+        k <- Gen.chooseNum(0L, 40L)
+        op <- Gen.oneOf("U", "D", "I")
+        c <- Gen.chooseNum(100L, 99999L)
+      } yield (k, op, c)).map(_.distinctBy(_._1))
+    check(Prop.forAll(baseGen, opsGen, Gen.oneOf("hi", "lo")) {
+      (base, rawOps, insPrio) =>
+        val baseMap = base.map(r => r._1 -> r).toMap
+        // U/D need an existing key; I needs a fresh one — filter to the
+        // applicable ops (a real CDC batch is constructed this way too)
+        val batch = rawOps.flatMap {
+          case (k, "U", c) => baseMap.get(k).map(b => (k, "U", b._2, c))
+          case (k, "D", _) => baseMap.get(k).map(b => (k, "D", b._2, 0L))
+          case (k, "I", c) if !baseMap.contains(k) =>
+            Some(k + 1000L, "I", insPrio, c)
+          case _ => None
+        }
+        // recompute over merged state
+        val deleted = batch.collect { case (k, "D", _, _) => k }.toSet
+        val updated = batch.collect { case (k, "U", _, c) => k -> c }.toMap
+        val merged =
+          base.filterNot(r => deleted(r._1))
+            .map(r => (r._2, updated.getOrElse(r._1, r._3))) ++
+          batch.collect { case (_, "I", p, c) => (p, c) }
+        val want = merged.groupBy(_._1)
+          .map { case (p, rs) => (p, rs.size.toLong, rs.map(_._2).sum) }
+          .filter(_._2 > 0).toSet
+        // incremental fold: view(base) + per-group deltas
+        val view = base.groupBy(_._2)
+          .map { case (p, rs) => p -> (rs.size.toLong, rs.map(_._3).sum) }
+        val deltas = batch.map {
+          case (k, "U", p, c) => (p, 0L, c - baseMap(k)._3)
+          case (k, "D", p, _) => (p, -1L, -baseMap(k)._3)
+          case (_, "I", p, c) => (p, 1L, c)
+        }.groupBy(_._1)
+          .map { case (p, ds) => p -> (ds.map(_._2).sum, ds.map(_._3).sum) }
+        val got = (view.keySet ++ deltas.keySet).map { p =>
+          val (n0, s0) = view.getOrElse(p, (0L, 0L))
+          val (dn, ds) = deltas.getOrElse(p, (0L, 0L))
+          (p, n0 + dn, s0 + ds)
+        }.filter(_._2 > 0)
+        got == want
+    })
+  }
+
   test("q106 prefix-filtered Jaccard pairs == naive exact pairs, any corpus/tau") {
     import spark.implicits._
     // random shingle sets over a SMALL universe (forces overlaps) and a
