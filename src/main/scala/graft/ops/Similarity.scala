@@ -95,7 +95,7 @@ object Similarity extends QueryModule {
       |                  CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
 
   /** LSH candidate pairs: (i, j) docs sharing at least one minhash band. */
-  private[ops] def lshCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def lshCandidates(sh: DataFrame): DataFrame = {
     // minhash_h = min over shingles of xxhash64(h, shingle), h = 0..H-1
     val hashes = (0 until NumHashes).map(h =>
       min(xxhash64(lit(h), col("sh"))).as(s"mh$h"))
@@ -103,6 +103,44 @@ object Similarity extends QueryModule {
     // band_b = one 64-bit hash of that band's R signature values
     val bands = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val bucketed = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+    bucketed.select(col("doc_id").as("i"), col("band"), col("bh"))
+      .join(bucketed.select(col("doc_id").as("j"), col("band"), col("bh")),
+            Seq("band", "bh"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j")).distinct()
+  }
+
+  /** [[lshCandidates]] with the signature build as a STATELESS projection
+    * (`array_min ∘ transform` over the distinct-shingle array — zero
+    * signature shuffle). Kept-alive ALTERNATE shape, NOT the shipped path:
+    * measured at sf0.1 (QTime, local[16]) the HOF variant runs ~5.8 s
+    * steady vs ~1.1 s for the exploded groupBy-min agg — the 16 nested
+    * lambda transforms allocate an 80-element array per (doc, hash) and
+    * evaluate interpreted, while the exploded agg computes every hash in
+    * one codegen'd pass and its "extra" exchange carries just 16 longs per
+    * doc with map-side combine. Same regime lesson as q66's shape duel,
+    * inverted: there the explode lost to a wide agg; here the explode-agg
+    * WINS because the alternative multiplies per-row array allocations,
+    * not shuffle rows. Signatures are bit-identical either way
+    * (SimilaritySpec pins candidate-set equality), so the shape choice is
+    * free to re-flip if a future corpus inverts the measurement. */
+  private[graft] def lshCandidatesStateless(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shs", expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, ${NumHashes - 1}), " +
+          "h -> array_min(transform(shs, s -> xxhash64(h, s))))").as("mh"))
+    val bands = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r =>
+        expr(s"mh[${b * RowsPerBand + r}]"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
     val bucketed = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))

@@ -81,6 +81,17 @@ class SimilaritySpec extends SparkSpec {
       s"kept=$keptTotal distinct=$distinctSpans")
   }
 
+  test("q65 stateless minhash signatures produce the exploded path's candidates") {
+    // same xxhash64(h, shingle) mins, different plan: the zero-shuffle
+    // array_min projection must yield the identical candidate set
+    val docs = Tables.documents(spark, sf)
+    val viaAgg = ops.Similarity.lshCandidates(ops.Dedup.shingles(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHof = ops.Similarity.lshCandidatesStateless(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHof.nonEmpty && viaHof == viaAgg)
+  }
+
   test("q105 PQ: error descends per round; codes bounded; twins collide") {
     import org.apache.spark.sql.functions._
     def meanErr(iters: Int): Double =
