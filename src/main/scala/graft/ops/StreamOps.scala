@@ -164,6 +164,31 @@ object StreamOps extends QueryModule {
           col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("sess_start"))),
 
+    "q109_stream_session_dynamic" -> ((s, d) =>
+      // DYNAMIC-gap session windows (the session_window form q72's fixed
+      // gap doesn't cover): the gap is a per-ROW expression — purchases
+      // close their session after 10 minutes, other events after 30 —
+      // the per-event-class engagement-timeout shape real sessionization
+      // uses. Merge semantics are interval-chaining: event i spans
+      // [tᵢ, tᵢ+gapᵢ) and a new session starts only when tᵢ clears the
+      // RUNNING MAX of previous ends (a long-gap event can bridge past a
+      // short-gap one — which is why the oracle needs a cumulative max,
+      // not q72's lag). Same scale shape as every session window: one
+      // shuffle on the user key, per-key ordered merge state.
+      ev(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"),
+            when(col("event_type") === "purchase", lit("10 minutes"))
+              .otherwise(lit("30 minutes"))).as("w"))
+        .agg(count(lit(1)).as("n"),
+             F.od(sum(F.dec2(col("value")))).as("sum_value"))
+        .select(
+          col("user_id"),
+          F.ts6(col("w.start")).as("sess_start"),
+          F.ts6(col("w.end")).as("sess_end"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
     "q73_stream_watermark" -> ((s, d) => {
       // Genuine Structured Streaming: parquet file source -> watermark ->
       // tumbling agg -> memory sink, drained with AvailableNow. In append
@@ -381,6 +406,29 @@ object StreamOps extends QueryModule {
         |  event_type, count(*) AS n
         |FROM w GROUP BY ws, event_type
         |ORDER BY win_start, event_type""".stripMargin,
+
+    "q109_stream_session_dynamic" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN event_type = 'purchase' THEN INTERVAL 10 MINUTE
+        |         ELSE INTERVAL 30 MINUTE END AS gap
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value, gap,
+        |    max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM e),
+        |f AS (SELECT *, CASE WHEN prev_end IS NULL OR ts >= prev_end
+        |                     THEN 1 ELSE 0 END AS new_s FROM m),
+        |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  strftime(max(ts + gap), '%Y-%m-%d %H:%M:%S.%f') AS sess_end,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin,
 
     "q72_stream_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

@@ -63,6 +63,7 @@ class EmptyInputSpec extends SparkSpec {
     "q89_text_tfidf", "q91_pack_sequences", "q92_mix_report",
     "q98_mix_rebalance",
     "q70_stream_tumbling", "q71_stream_sliding", "q72_stream_session",
+    "q109_stream_session_dynamic",
     "q18_resample_gapfill",
     // round-8 additions: interval join (empty events), CDC merge + SCD2
     // (empty orders => empty base AND empty change batch), quantization
