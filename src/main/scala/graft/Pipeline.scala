@@ -105,11 +105,16 @@ object Pipeline {
     //       forces (broadcast disabled to prove exactly that path) --
     ops.Layout.stageBucketed(claims, "pipeline_claims_b", "l_orderkey", 8)
     ops.Layout.stageBucketed(dim, "pipeline_dim_b", "o_orderkey", 8)
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val claimsB = spark.table("pipeline_claims_b")
-      val dimB = spark.table("pipeline_dim_b")
+    // Conf isolation (the round-7 advice, applied here too): the
+    // no-broadcast proof plans in a CHILD session — newSession() shares
+    // the catalog (the bucketed staging tables resolve) but owns its
+    // SQLConf, so a concurrently-planned query in the caller's session
+    // can never see broadcast disabled, and there is nothing to restore.
+    val noBcast = spark.newSession()
+    noBcast.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    locally {
+      val claimsB = noBcast.table("pipeline_claims_b")
+      val dimB = noBcast.table("pipeline_dim_b")
       val derived = claimsB
         .join(dimB, claimsB("l_orderkey") === dimB("o_orderkey"), "left")
         .select(
@@ -150,7 +155,7 @@ object Pipeline {
       // decode, which also fires for joined orders with an unmapped status
       val misses = out.filter(col("cust_key").isNull).count()
       (out.count(), misses, work)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 
   def main(args: Array[String]): Unit = {
