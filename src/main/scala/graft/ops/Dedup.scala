@@ -187,19 +187,21 @@ object Dedup extends QueryModule {
     // the pure long shift (hv >> (4*(14 - b/4) + b%4)) & 1, value-equal to
     // the oracle's per-nibble spelling (hash-checked by q66/q79/q83).
     //
-    // The tf aggregate groups by (doc, hv) rather than (doc, token): a
-    // token's ONLY downstream effect is its hash's bit pattern, and two
-    // tokens sharing hv contribute identical ±tf terms to every w_b, so
-    // regrouping the exact-integer sums by hv is value-identical to the
-    // oracle's per-token grouping while the shuffle carries an 8-byte
-    // long instead of the token string (hash computed map-side, before
-    // the exchange).
-    val tf = docs
+    // Tokens never reach an Exchange in either shape: hv is computed
+    // map-side, and what shuffles is either (doc, hv, tf) longs (explode
+    // shape) or the 60 partially-aggregated per-bit sums (wide shape).
+    val hvRows = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .select(col("doc_id"),
         expr("CAST(conv(substr(md5(token), 1, 15), 16, 10) AS BIGINT)").as("hv"))
-      .groupBy(col("doc_id"), col("hv")).agg(count(lit(1)).as("tf"))
     if (!wide) {
+      // The tf aggregate groups by (doc, hv) rather than (doc, token): a
+      // token's ONLY downstream effect is its hash's bit pattern, and two
+      // tokens sharing hv contribute identical ±tf terms to every w_b, so
+      // regrouping the exact-integer sums by hv is value-identical to the
+      // oracle's per-token grouping while the shuffle carries an 8-byte
+      // long instead of the token string.
+      val tf = hvRows.groupBy(col("doc_id"), col("hv")).agg(count(lit(1)).as("tf"))
       tf.select(col("doc_id"), col("hv"), col("tf"),
                 explode(expr("sequence(0, 59)")).as("b"))
         .withColumn("bit", expr(
@@ -210,14 +212,20 @@ object Dedup extends QueryModule {
         .agg(sum(when(col("w") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)"))
           .otherwise(0L)).as("sh"))
     } else {
+      // Wide shape skips the (doc, hv) tf pre-aggregate entirely: per-bit
+      // ±1 terms sum directly under groupBy(doc_id), whose partial
+      // aggregation runs map-side — so the whole signature is ONE shuffle
+      // carrying a (doc_id, 60 longs) row per doc per map task. Summing
+      // ±1 per token occurrence is the same exact-integer total as ±tf
+      // per hv group (the explode-vs-wide identity spec pins this).
       val ws = (0 until 60).map { b =>
         sum(when(expr(s"shiftright(hv, ${4 * (14 - b / 4) + b % 4}) & 1") === 1,
-          col("tf")).otherwise(-col("tf"))).as(s"w$b")
+          lit(1L)).otherwise(lit(-1L))).as(s"w$b")
       }
       val sig = (0 until 60)
         .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
         .reduce(_ + _)
-      tf.groupBy(col("doc_id")).agg(ws.head, ws.tail: _*)
+      hvRows.groupBy(col("doc_id")).agg(ws.head, ws.tail: _*)
         .select(col("doc_id"), sig.as("sh"))
     }
   }
@@ -586,28 +594,50 @@ object Dedup extends QueryModule {
         .select((col("doc_id") + lit(10000000L)).as("doc_id"),
                 col("text"), col("n_chars"))
       val corpus = base.unionAll(planted)
-      val flags = corpus.withColumn("q_ok",
-        col("n_chars") >= 100 &&
-          size(split(col("text"), "[^a-z0-9]+")) >= 20)
-      val qual = flags.filter(col("q_ok"))
-        .withColumn("fp", md5(col("text")))
-      val esurv = qual.groupBy(col("fp")).agg(min(col("doc_id")).as("esurv"))
-      // withE is a diamond (pair build + final verdict join both reference
-      // the qual/md5 chain) and the chain IS recomputed per reference —
-      // measured and kept: an eager localCheckpoint of withE was tried in
-      // round 8 and benched 6-20x WORSE at sf0.1 (24-92 s vs ~4 s): the
-      // checkpoint serializes full document bodies into block storage and
-      // retains them until ContextCleaner GC, while the recomputation is
-      // two codegen'd md5 passes over a columnar scan. Recompute wins.
-      val withE = qual.join(esurv, Seq("fp"))
-        .select(col("doc_id"), col("text"), col("esurv"))
-      val exactSurvivors = withE.filter(col("doc_id") === col("esurv"))
+      // The quality/fingerprint chain is a diamond (exact-survivor build +
+      // final verdict both reference it) and IS recomputed per reference —
+      // measured and kept: an eager localCheckpoint was tried in round 8
+      // and benched 6-20x WORSE at sf0.1 (24-92 s vs ~4 s). What changed
+      // in round 9 is the SHAPE of the recomputed arm: `narrow` projects
+      // the body away in the same codegen stage that hashes it, so each
+      // recompute is one columnar scan + two scalar passes and NO text
+      // ever reaches an Exchange on this side of the diamond (round-8's
+      // spelling shuffled bodies through the fp join TWICE — once per
+      // arm). Planted copies are verbatim, so their (fp, q_ok) rows derive
+      // from the base rows by an id shift instead of re-hashing.
+      val baseNarrow = base.select(col("doc_id"), md5(col("text")).as("fp"),
+        (col("n_chars") >= 100 &&
+          size(split(col("text"), "[^a-z0-9]+")) >= 20).as("q_ok"))
+      val narrow = baseNarrow.unionAll(
+        baseNarrow.filter(pmod(col("doc_id"), lit(25)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+                  col("fp"), col("q_ok")))
+      // Exact survivor = min(doc_id) over the fp window — the oracle's own
+      // spelling, and ONE exchange per arm where the round-8 groupBy+join
+      // paid two. Skew profile is unchanged vs the join (either way every
+      // row of one fingerprint lands in one reducer; an adversarially hot
+      // fp would salt the key the same way under both spellings).
+      val wFp = Window.partitionBy(col("fp"))
+      // Near-dup arm: the only arm that needs bodies — they move exactly
+      // ONCE, through this fp shuffle, and only the quality-passing subset.
+      val exactSurvivors = corpus
+        .select(col("doc_id"), col("text"), md5(col("text")).as("fp"),
+          (col("n_chars") >= 100 &&
+            size(split(col("text"), "[^a-z0-9]+")) >= 20).as("q_ok"))
+        .filter(col("q_ok"))
+        .withColumn("esurv", min(col("doc_id")).over(wFp))
+        .filter(col("doc_id") === col("esurv"))
         .select(col("doc_id"), col("text"))
       val pairs = simhashPairsUnsorted(simhashSignaturesOf(exactSurvivors, wide = true))
         .select(col("i"), col("j"))
       val comp = resolveComponents(pairs)
-      flags.select(col("doc_id"), col("q_ok"))
-        .join(withE.select(col("doc_id"), col("esurv")), Seq("doc_id"), "left")
+      // Verdict arm: narrow rows only. esurv for a quality-FAILED doc is
+      // irrelevant (the CASE tests q_ok first), so the window can run over
+      // all narrow rows with the min restricted to passing docs.
+      narrow
+        .withColumn("esurv",
+          when(col("q_ok"),
+            min(when(col("q_ok"), col("doc_id"))).over(wFp)))
         .join(comp.select(col("node").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           when(!col("q_ok"), "quality")
