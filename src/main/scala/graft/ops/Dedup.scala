@@ -285,10 +285,14 @@ object Dedup extends QueryModule {
     * rows, all distributed (the ONLY driver-side value per round is the
     * one-Long convergence count). Near-dup components are overwhelmingly
     * star/clique shaped (copies of one source document), so the diameter —
-    * and the round count — is small in practice; for adversarially deep
-    * graphs the same loop admits the large-star/small-star rewrite
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC 2014) without changing this contract.
+    * and the round count — is small in practice; for adversarially DEEP
+    * graphs the loop is still O(log diameter), not O(diameter): the
+    * pointer jump folded into the propagation join (below) is the essence
+    * of the star operations of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC 2014) — each round a node reaches its
+    * label's label, so the reach doubles per round. PropertySpec pins the
+    * bound on the adversarial shape: a diameter-1024 chain, forced onto
+    * this iterative path, must converge in <= 2*log2(d) + 2 rounds.
     *
     * Each round materializes into a `localCheckpoint` — `labels` appears
     * TWICE in the next round's plan (once as the union branch, once under
