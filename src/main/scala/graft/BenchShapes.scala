@@ -42,6 +42,26 @@ object BenchShapes {
         ops.Dedup.simhashSignatures(spark, sfDir, wide = true)).count())
     require(nE == nW, s"shapes must agree: explode=$nE wide=$nW")
     println(f"""{"shape_bench":"q66_simhash","sf":"$sfDir","pairs":$nE,"explode_sec":$tExplode%.3f,"wide_sec":$tWide%.3f}""")
+
+    // span-dedup winner shapes (q99): md5(span)-partitioned window anchor
+    // vs the salted aggregate path — on a skewed corpus (one boilerplate
+    // span planted in 30% of documents, the shape the salt exists for)
+    import org.apache.spark.sql.functions._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val skewed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 3,
+          concat(lit(boiler + " "), col("text"))).otherwise(col("text"))
+          .as("text"))
+    val wSpan = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"))
+    val (tWin, nWin) = med3(ops.Dedup.spanVerdict(
+      ops.Dedup.spanFrame(skewed).withColumn("kept",
+        struct(col("doc_id"), col("span_idx")) ===
+          min(struct(col("doc_id"), col("span_idx"))).over(wSpan))).count())
+    val (tSalt, nSalt) = med3(ops.Dedup.spanDedupSalted(skewed, 8).count())
+    require(nWin == nSalt, s"span shapes must agree: window=$nWin salted=$nSalt")
+    println(f"""{"shape_bench":"q99_span_winner","sf":"$sfDir","docs":$nWin,"window_sec":$tWin%.3f,"salted_sec":$tSalt%.3f}""")
     spark.stop()
   }
 }

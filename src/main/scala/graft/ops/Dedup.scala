@@ -515,6 +515,70 @@ object Dedup extends QueryModule {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
     }
 
+  /** 8-token span rows (doc_id, span_idx, span, k = md5(span)) over a
+    * (doc_id, text) frame — the shared head of the span-dedup family:
+    * q99's window anchor and [[spanDedupSalted]] both consume this. */
+  private[graft] def spanFrame(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(
+          |  sequence(0, greatest(cast(ceil(size(tk)/8.0) as int), 1) - 1),
+          |  i -> array_join(slice(tk, i*8+1, 8), ' '))""".stripMargin))
+        .as(Seq("span_idx", "span")))
+      .withColumn("k", md5(col("span")))
+
+  /** Per-document verdict over (doc_id, span_idx, span, kept) span rows —
+    * the shared tail of both span-dedup paths (one doc_id-keyed shuffle,
+    * bounded per document). */
+  private[graft] def spanVerdict(kept: DataFrame): DataFrame =
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
+        sum(when(col("kept"), size(split(col("span"), " ")).cast(LongType))
+          .otherwise(0L)).as("clean_tokens"),
+        sort_array(collect_list(when(col("kept"),
+          struct(col("span_idx"), col("span"))))).as("ks"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        col("clean_tokens"),
+        md5(array_join(expr("transform(ks, x -> x.span)"), " "))
+          .as("clean_md5"))
+      .orderBy(col("doc_id"))
+
+  /** The skew-safe span-dedup path q99's scale comment promises — same
+    * verdict as the window anchor (PropertySpec value-pins the equality on
+    * a corpus with one boilerplate span planted in 30% of documents), but
+    * no partition ever holds a whole span's duplication count:
+    *  - the winner per span is a groupBy(k) min of the (doc_id, span_idx)
+    *    struct, which PARTIAL-aggregates map-side — a span duplicated
+    *    across a billion documents contributes one 40-byte row per map
+    *    task to the exchange, where the window spelling funnels every
+    *    occurrence into one reducer and sorts them;
+    *  - the join-back that tags each occurrence with its winner is SALTED:
+    *    occurrences spread over `salt` sub-keys by hash(doc_id, span_idx),
+    *    winners replicate `salt` ways, so a hot span's occurrences land in
+    *    `salt` reducers instead of one. Winner rows are (k 16 B + struct
+    *    16 B) — replication is cheap; span text still crosses exactly one
+    *    exchange, same as the anchor.
+    * At 100 TB this is the path to run; the window spelling stays
+    * registered because it is the oracle's spelling. */
+  private[graft] def spanDedupSalted(docs: DataFrame, salt: Int): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1, got $salt")
+    val spans = spanFrame(docs)
+    val winners = spans
+      .groupBy(col("k"))
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("wpos"))
+      .withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
+    spanVerdict(spans
+      .withColumn("salt",
+        pmod(hash(col("doc_id"), col("span_idx")), lit(salt)))
+      .join(winners, Seq("k", "salt"))
+      .withColumn("kept",
+        struct(col("doc_id"), col("span_idx")) === col("wpos")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_dedup_exact" -> ((s, d) =>
       // Deterministic-survivor exact dedup (SURVEY §2-B): survivor =
@@ -665,40 +729,24 @@ object Dedup extends QueryModule {
       // natural 8-token repeats), so planted copies lose all spans to
       // their originals.
       // Scale shape: ONE shuffle partitioned on md5(span) computes the
-      // winner (partition size = a span's duplication count; web-scale
-      // boilerplate spans are the skew case — salt the span key or cap
-      // with a pre-aggregated winner join), then one shuffle on doc_id
-      // rebuilds documents (bounded per doc). Span text crosses each
-      // exchange exactly once; the winner flag itself is 16-byte-keyed.
+      // winner (partition size = a span's duplication count — fine for
+      // the fixture, and the ORACLE-ALIGNED spelling; web-scale
+      // boilerplate spans are the skew case, served by the value-pinned
+      // [[spanDedupSalted]] aggregate path below), then one shuffle on
+      // doc_id rebuilds documents (bounded per doc). Span text crosses
+      // each exchange exactly once; the winner flag is 16-byte-keyed.
+      // First occurrence = lexicographic min of (doc_id, span_idx) — a
+      // struct comparison valid for ANY span count (a packed long
+      // doc_id*2^20+span_idx would silently mis-order documents past
+      // 2^20 spans, ~8.4M tokens).
       val base = T.documents(s, d).select(col("doc_id"), col("text"))
       val planted = base.filter(pmod(col("doc_id"), lit(10)) === 0)
         .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
-      val spans = base.unionAll(planted)
-        .withColumn("tk", split(col("text"), " "))
-        .select(col("doc_id"), posexplode(expr(
-          """transform(
-            |  sequence(0, greatest(cast(ceil(size(tk)/8.0) as int), 1) - 1),
-            |  i -> array_join(slice(tk, i*8+1, 8), ' '))""".stripMargin))
-          .as(Seq("span_idx", "span")))
-        .withColumn("k", md5(col("span")))
-        .withColumn("pos",
-          col("doc_id") * lit(1048576L) + col("span_idx"))
+      val spans = spanFrame(base.unionAll(planted))
       val w = Window.partitionBy(col("k"))
-      spans
-        .withColumn("kept", col("pos") === min(col("pos")).over(w))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_spans"),
-          sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup"),
-          sum(when(col("kept"), size(split(col("span"), " ")).cast(LongType))
-            .otherwise(0L)).as("clean_tokens"),
-          sort_array(collect_list(when(col("kept"),
-            struct(col("span_idx"), col("span"))))).as("ks"))
-        .select(col("doc_id"), col("n_spans"), col("n_dup"),
-          col("clean_tokens"),
-          md5(array_join(expr("transform(ks, x -> x.span)"), " "))
-            .as("clean_md5"))
-        .orderBy(col("doc_id"))
+      spanVerdict(spans.withColumn("kept",
+        struct(col("doc_id"), col("span_idx")) ===
+          min(struct(col("doc_id"), col("span_idx"))).over(w)))
     }),
 
     "q103_dedup_fuzzy" -> ((s, d) => {
@@ -802,7 +850,7 @@ object Dedup extends QueryModule {
         |  FROM tk, UNNEST(range(GREATEST(CAST(ceil(len(t)/8.0) AS BIGINT), 1))) AS u(i)
         |), kd AS (
         |  SELECT doc_id, span_idx, span,
-        |         (doc_id*1048576 + span_idx) = min(doc_id*1048576 + span_idx)
+        |         row(doc_id, span_idx) = min(row(doc_id, span_idx))
         |            OVER (PARTITION BY md5(span)) AS kept
         |  FROM sp
         |)

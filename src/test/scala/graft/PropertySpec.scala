@@ -115,6 +115,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q99 salted span-winner path equals the window anchor under 30% skew") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // One boilerplate span planted in 30% of documents — the hot-key shape
+    // spanDedupSalted exists for (every occurrence of that span lands in
+    // ONE window partition under the anchor spelling). Remaining tokens
+    // are unique per document so the rest of the span space is cold.
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = (0L until 200L).map { id =>
+      val own = (0 until 16).map(t => s"t${id}_$t").mkString(" ")
+      (id, if (id % 10 < 3) s"$boiler $own" else own)
+    }.toDF("doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+    val anchor = Dedup.spanVerdict(Dedup.spanFrame(docs).withColumn("kept",
+        struct(col("doc_id"), col("span_idx")) ===
+          min(struct(col("doc_id"), col("span_idx"))).over(w)))
+      .collect().map(_.toSeq).toSet
+    val salted = Dedup.spanDedupSalted(docs, salt = 8)
+      .collect().map(_.toSeq).toSet
+    assert(anchor.nonEmpty && salted == anchor,
+      "salted aggregate path must reproduce the window anchor verdict")
+    // sanity: the planted span is cut from every carrier but the first
+    val cuts = Dedup.spanDedupSalted(docs, salt = 8)
+      .filter(col("n_dup") > 0).count()
+    assert(cuts == 59, s"60 planted carriers -> 59 docs with a cut, got $cuts")
+  }
+
   test("q38 incremental view fold == recompute for random bases and batches") {
     import spark.implicits._
     // exact Long-cent prices, random (key → op) change batches; the
