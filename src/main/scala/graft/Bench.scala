@@ -25,7 +25,7 @@ object Bench {
     // NonFatal only: an OOM/LinkageError here means a corrupted JVM whose
     // numbers would be garbage — let it crash the run instead.
     Seq("q01_scan_project", "q21_agg_groupby", "q67_sim_ivf",
-        "q79_dedup_resolve").foreach { w =>
+        "q110_sim_ivf_trained", "q79_dedup_resolve").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

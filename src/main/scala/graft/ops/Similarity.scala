@@ -343,6 +343,38 @@ object Similarity extends QueryModule {
         ivfProbeCells(s, d, q).collect().toSeq.map(_.getLong(0)))
   }
 
+  /** The staged trained-IVF serving table WITHOUT re-running training
+    * when the table already exists — q110's per-construction read path
+    * (the first call delegates to [[ivfTrainedServing]], which trains,
+    * quantizes and stages). */
+  private[graft] def ivfTrainedTable(s: SparkSession, d: String,
+                                     iters: Int): DataFrame = synchronized {
+    val tbl = ("graft_ivf_trained_" + iters + "_" +
+      d.replaceAll("[^A-Za-z0-9]", "_"))
+    if (!s.catalog.tableExists(tbl)) ivfTrainedServing(s, d, iters)._1
+    else s.table(tbl)
+  }
+
+  /** q110's probe cells for the FIXED registered query vector, resolved
+    * against the TRAINED (quantized) centroids once per (session, dir,
+    * iters) and memoized — the trained twin of [[ivfProbeCellIds]]. The
+    * first resolution trains and stages the index as a side effect, so
+    * every later q110 construction touches neither training nor the
+    * centroid frame. */
+  private val trainedProbeCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Seq[Long]]]
+  private[graft] def ivfTrainedProbeIds(s: SparkSession, d: String,
+                                        iters: Int,
+                                        q: DataFrame): Seq[Long] = synchronized {
+    trainedProbeCache
+      .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(s"$d#$iters", {
+        val (_, centroids) = ivfTrainedServing(s, d, iters)
+        ivfProbeCellsOf(centroids, q, 4).collect().toSeq.map(_.getLong(0))
+      })
+  }
+
   // ---- product quantization (q105) ---------------------------------------
 
   /** Sub-vector view of an (vec_id, emb: Array[Double]) corpus for PQ:
@@ -504,6 +536,29 @@ object Similarity extends QueryModule {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       val probed = ivfProbeCellIds(s, d, q)
       ivfServing(s, d).filter(col("cid").isin(probed: _*))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
+        .select(col("vec_id"), floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    "q110_sim_ivf_trained" -> ((s, d) => {
+      // q67's serving plan with a TRAINED coarse quantizer: one Lloyd
+      // round over the corpus seeded with the 16 fixed centroids, means
+      // snapped to the exact 2^-20 float grid (quantizeCentroidsMicro) —
+      // which is what makes the trained index CROSS-ENGINE oracle-able:
+      // the grid absorbs float-sum reduction-order noise in the means, so
+      // DuckDB recomputes bit-identical centroids and every downstream
+      // cosine/assignment/probe matches hash-exactly. Train + stage run
+      // once per (session, sf) (ivfTrainedServing via ivfTrainedProbeIds);
+      // the registered query reads the cid-partitioned table pruned to the
+      // 4 probed cells, exactly like q67 (SimilaritySpec asserts the
+      // pruned scan on the iters=2 twin of this plan).
+      val e = T.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val probed = ivfTrainedProbeIds(s, d, 1, q)
+      ivfTrainedTable(s, d, 1).filter(col("cid").isin(probed: _*))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
         .select(col("vec_id"), floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
@@ -717,6 +772,64 @@ object Similarity extends QueryModule {
         |     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
         |  FROM embeddings e, q
         |  WHERE e.vec_id IN (SELECT a.vec_id FROM asg a
+        |                     WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)))
+        |ORDER BY cos_micro DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // q67's oracle with a TRAINED coarse quantizer: one Lloyd round under
+    // the fixed seeds, means cast to FLOAT then snapped to the exact
+    // 2^-20 grid — the quantization is what makes the trained centroids
+    // reproducible across engines despite avg()'s engine-specific float
+    // reduction order (any mean within reduction noise of a half-grid
+    // boundary would break this; the hash gate would catch it).
+    "q110_sim_ivf_trained" ->
+      """WITH c0 AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |asg0 AS (
+        |  SELECT vec_id, cid, embedding, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+        |      list_sum(list_transform(range(len(e.embedding)),
+        |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(c.cv[k+1] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |    FROM embeddings e, c0 c)),
+        |mean AS (
+        |  SELECT cid, pos, avg(x) AS m
+        |  FROM (SELECT cid, u.i AS pos, CAST(embedding[u.i+1] AS DOUBLE) AS x
+        |        FROM asg0, UNNEST(range(len(embedding))) AS u(i) WHERE rn = 1)
+        |  GROUP BY cid, pos),
+        |mq AS (SELECT cid, list(CAST(m AS FLOAT) ORDER BY pos) AS mqv FROM mean GROUP BY cid),
+        |trained AS (
+        |  SELECT s.cid,
+        |    list_transform(coalesce(mq.mqv, s.cv),
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) / 1048576.0 AS FLOAT)) AS cv
+        |  FROM c0 s LEFT JOIN mq ON s.cid = mq.cid),
+        |asg1 AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |  FROM (SELECT e.vec_id, t.cid,
+        |      list_sum(list_transform(range(len(e.embedding)),
+        |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(t.cv[k+1] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(t.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |    FROM embeddings e, trained t)),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT t.cid,
+        |      list_sum(list_transform(range(len(t.cv)),
+        |        k -> CAST(t.cv[k+1] AS DOUBLE) * CAST(q.qv[k+1] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(t.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+        |    FROM trained t, q)
+        |  ORDER BY ccos DESC, cid ASC LIMIT 4)
+        |SELECT vec_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+        |FROM (SELECT e.vec_id,
+        |    list_sum(list_transform(range(len(e.embedding)),
+        |      k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(q.qv[k+1] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id IN (SELECT a.vec_id FROM asg1 a
         |                     WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)))
         |ORDER BY cos_micro DESC, vec_id ASC LIMIT 10""".stripMargin,
 

@@ -72,6 +72,27 @@ class LayoutSpec extends SparkSpec {
         s"read ${scans.head.metrics("numPartitions").value}")
   }
 
+  test("q110's own executed plan reads only the probed trained cells") {
+    import graft.ops.Similarity
+    // the TRAINED-quantizer twin of the q67 pin above: the registered
+    // oracled query must serve from the trained cid-partitioned layout
+    // with the same statically-pruned scan shape
+    val df = SparkEntry.queries("q110_sim_ivf_trained")(spark, sf)
+    val top = df.collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 0L,
+      "query vector must match itself first")
+    val totalCells = Similarity.ivfTrainedTable(spark, sf, 1)
+      .select("cid").distinct().count()
+    assert(totalCells > 4, s"need >4 cells for pruning to mean anything, got $totalCells")
+    val scans = Layout.fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata("PartitionFilters").contains("cid"))
+    assert(scans.length == 1,
+      s"exactly one serving scan must carry the cid partition filter, got ${scans.length}")
+    assert(scans.head.metrics("numPartitions").value == 4,
+      s"must read exactly the 4 probed of $totalCells cell directories, " +
+        s"read ${scans.head.metrics("numPartitions").value}")
+  }
+
   test("saltedJoin spreads q16's skewed nationkey theta join, result intact") {
     // SCALE.md names q16 (supplier x customer on nationkey, acctbal
     // inequality residual) a real skew risk: the equi-part carries the
