@@ -185,6 +185,44 @@ object Ingest {
       .options(options)
       .save()
 
+  /** COPY-grade bulk landing — the throughput twin of [[writeJdbc]] for
+    * the reference's actual sink (Postgres `COPY FROM STDIN`,
+    * patient_claims_plus_postgres.py:55-56). Spark's JDBC sink already
+    * streams `addBatch`/`executeBatch` rounds; what separates it from
+    * COPY is round-trip count and per-statement parse cost, so this
+    * variant provisions the documented bulk path:
+    *  - `batchsize` 10000 (vs the 1000 default) — 10x fewer executeBatch
+    *    round-trips per partition;
+    *  - for PostgreSQL URLs, `reWriteBatchedInserts=true` on the
+    *    connection: the PG driver collapses each batch into multi-row
+    *    `INSERT ... VALUES (...), (...)` statements — its documented
+    *    near-COPY fast path (2-3x on top of plain batching; a literal
+    *    CopyManager COPY is PG-API-specific and unreachable from the
+    *    dialect-neutral DataSource, so multi-row rewrite is the
+    *    COPY-grade option Spark can express);
+    *  - `truncate=true` on overwrite keeps the target's DDL/indexes
+    *    instead of drop+recreate (the reference's reload keeps its table).
+    * Caller options win on conflict. IngestSpec measures rows/s vs the
+    * default path against embedded Derby (where only the batch-size lever
+    * applies — the PG rewrite needs the PG driver). */
+  def writeJdbcBulk(df: DataFrame, url: String, table: String,
+                    mode: String = "overwrite",
+                    options: Map[String, String] = Map.empty): Unit = {
+    val defaults = Map("batchsize" -> "10000") ++
+      (if (mode == "overwrite") Map("truncate" -> "true") else Map.empty)
+    writeJdbc(df, bulkJdbcUrl(url), table, mode, defaults ++ options)
+  }
+
+  /** [[writeJdbcBulk]]'s URL step, separated so the PG-specific rewrite is
+    * testable without a Postgres server: appends
+    * `reWriteBatchedInserts=true` to PostgreSQL URLs (respecting an
+    * existing query string, never duplicating the flag), leaves every
+    * other dialect's URL untouched. */
+  private[graft] def bulkJdbcUrl(url: String): String =
+    if (url.startsWith("jdbc:postgresql:") && !url.contains("reWriteBatchedInserts"))
+      url + (if (url.contains("?")) "&" else "?") + "reWriteBatchedInserts=true"
+    else url
+
   /** A10's read half: a JDBC table as a DataFrame. For a big table pass
     * `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions` in
     * `options` so the scan issues one range query per partition instead
