@@ -257,7 +257,16 @@ object Corpus extends QueryModule {
     * top `k` docs per language stratum. §7.5 reproducibility:
     *  - idf is the RATIONAL form (N − df + 0.5)/(df + 0.5), not the usual
     *    log of it — ln's last-ulp behavior is libm-specific, division is
-    *    IEEE-defined; ranking is preserved (x ↦ ln(1+x) is monotone);
+    *    IEEE-defined. This makes the operator a NON-LOG-IDF BM25 VARIANT,
+    *    not bit-standard BM25: monotonicity of ln(1+x) preserves ranking
+    *    only per term, and the score is a sum over `nTerms` terms, so a
+    *    doc heavy in one rare term can outrank under the rational idf a
+    *    doc standard BM25 would place higher (rare terms are amplified
+    *    linearly instead of logarithmically). The trade is deliberate:
+    *    identical IEEE arithmetic in both engines buys a per-bit oracle
+    *    on the scores; a deployment wanting textbook ranking swaps
+    *    `ln(...)` into `contrib` and drops the score hash to a
+    *    (lang, rk, doc_id) check;
     *  - every float expression is spelled identically in both engines
     *    over exact integer inputs (tf, dl, df, N), so the doubles match
     *    bit for bit;

@@ -121,15 +121,20 @@ object Dedup extends QueryModule {
         col("nsh") - ceil(col("nsh") * lit(tau)).cast(LongType) + 1)
       .select(col("doc_id"), col("sh"), col("nsh"))
     // size filter folded into the candidate join (lossless: J(A,B) ≤
-    // min(|A|,|B|)/max(|A|,|B|), so J ≥ τ needs min ≥ τ·max) — prunes
-    // before the distinct, cheap because nsh rides the prefix rows
+    // min(|A|,|B|)/max(|A|,|B|), so J ≥ τ needs min/max ≥ τ) — prunes
+    // before the distinct, cheap because nsh rides the prefix rows.
+    // Spelled as the SAME double division the final jac filter uses:
+    // inter/uni ≤ min/max as exact rationals and IEEE rounding is
+    // monotone, so fl(inter/uni) ≥ τ ⟹ fl(min/max) ≥ τ for ANY τ. The
+    // earlier min ≥ fl(max·τ) spelling could round fl(max·τ) above the
+    // exact threshold and drop a boundary pair the jac filter keeps.
     val cand = prefix.select(col("doc_id").as("i"), col("sh"),
                              col("nsh").as("ni"))
       .join(prefix.select(col("doc_id").as("j"), col("sh"),
                           col("nsh").as("nj")), Seq("sh"))
       .filter(col("i") < col("j") &&
-        least(col("ni"), col("nj")).cast(DoubleType) >=
-          greatest(col("ni"), col("nj")).cast(DoubleType) * lit(tau))
+        least(col("ni"), col("nj")).cast(DoubleType) /
+          greatest(col("ni"), col("nj")).cast(DoubleType) >= lit(tau))
       .select(col("i"), col("j")).distinct()
     // verification via per-candidate array_intersect over per-doc shingle
     // SETS, not a candidates×shingles re-join: the exploded verify was

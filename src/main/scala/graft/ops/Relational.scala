@@ -120,6 +120,33 @@ object Relational extends QueryModule {
       .drop("__bucket")
   }
 
+  /** q09's CSV stage, written once per (session, fixture dir) — the
+    * ivfServing discipline. Construction used to overwrite the shared
+    * staging dir on EVERY call (including Plans explain audits), so two
+    * concurrent constructions could race the overwrite and a reader could
+    * catch a partial stage. The fixture slice is deterministic, so one
+    * write per session is the correct cost; synchronized covers
+    * concurrently-constructing suites sharing the session. Weak session
+    * keys: a stopped session must not be pinned by its memo entry. */
+  private val csvStageCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Set[String]]
+  private def csvStageOnce(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s.conf.get("spark.sql.warehouse.dir") +
+        "/graft_csv_stage_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val staged =
+        csvStageCache.getOrElseUpdate(s, scala.collection.mutable.Set.empty)
+      if (!staged.contains(dir)) {
+        T.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+                  col("o_orderpriority"), F.d(col("o_orderdate")).as("o_date"))
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+        staged += dir
+      }
+      dir
+    }
+
   // ---- queries -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -250,12 +277,7 @@ object Relational extends QueryModule {
       // dates TEXT too, SURVEY A13). At 100 TB the same reader is a
       // splittable partitioned scan with no driver materialization and no
       // schema-inference pre-pass (declared schema).
-      val dir = s.conf.get("spark.sql.warehouse.dir") +
-        "/graft_csv_stage_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      T.orders(s, d).filter(col("o_orderkey") % 7 === 0)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-                col("o_orderpriority"), F.d(col("o_orderdate")).as("o_date"))
-        .coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+      val dir = csvStageOnce(s, d)
       Ingest.readCsv(s, dir, StructType(Seq(
           StructField("o_orderkey", LongType),
           StructField("o_custkey", LongType),
