@@ -31,4 +31,34 @@ class PipelineSpec extends SparkSpec {
         "the JDBC landing must hold every published row")
     }
   }
+
+  test("stages are individually restartable against one work dir (A22)") {
+    // the Airflow `retries: 1` contract, engine-side: each stage is its
+    // own job against a shared work dir; a re-driven stage replaces its
+    // own output and the pipeline result is unchanged
+    val work = java.nio.file.Files.createTempDirectory("graft_stages").toString
+    // driven before its predecessor ran: fails loudly (unmet dependency),
+    // never publishes an empty table
+    intercept[Exception] { Stages.load(spark, work) }
+    intercept[Exception] { Stages.publish(spark, work) }
+    Stages.stage(spark, work, sf)
+    Stages.load(spark, work)
+    Stages.derive(spark, work)
+    val (rows, misses) = Stages.publish(spark, work)
+    assert(rows == Tables.lineitem(spark, sf).count())
+    assert(misses > 0 && misses < rows)
+    // crash debris at a handoff path (a torn writer's leftovers) must be
+    // REPLACED by the retry, not merged into the stage output
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$work/derived/part-junk.parquet"), "torn")
+    // re-drive the middle stages (the Airflow retry), then publish again:
+    // byte-identical inputs => identical published result
+    Stages.load(spark, work)
+    Stages.derive(spark, work)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$work/derived/part-junk.parquet")),
+      "a re-driven stage must replace its output dir, debris included")
+    assert(Stages.publish(spark, work) == ((rows, misses)),
+      "a re-driven pipeline must publish the identical result")
+  }
 }
