@@ -62,6 +62,23 @@ object BenchShapes {
     val (tSalt, nSalt) = med3(ops.Dedup.spanDedupSalted(skewed, 8).count())
     require(nWin == nSalt, s"span shapes must agree: window=$nWin salted=$nSalt")
     println(f"""{"shape_bench":"q99_span_winner","sf":"$sfDir","docs":$nWin,"window_sec":$tWin%.3f,"salted_sec":$tSalt%.3f}""")
+
+    // q95 drain width (the state-store-count knob): a stream-stream join
+    // keeps 4 state stores per shuffle partition, each paying delta-file +
+    // commit fixed cost per batch, so the drain's width should follow the
+    // JOIN KEY cardinality (user_id: thousands), not the corpus scan
+    // width. Sweep the widths; the registered q95 pins the winner.
+    val widths = Seq(2, 4, 8, 16)
+    val sweep = widths.map { w =>
+      // warm once per width so first-use codegen/store init is untimed
+      ops.StreamOps.streamStreamJoinDrain(spark, sfDir, w).count()
+      val (t, n) = med3(ops.StreamOps.streamStreamJoinDrain(spark, sfDir, w).count())
+      (w, t, n)
+    }
+    require(sweep.map(_._3).distinct.size == 1,
+      s"q95 output must be width-invariant: $sweep")
+    val body = sweep.map { case (w, t, _) => f""""w$w":$t%.3f""" }.mkString(",")
+    println(s"""{"shape_bench":"q95_drain_width","sf":"$sfDir","rows":${sweep.head._3},$body}""")
     spark.stop()
   }
 }

@@ -291,47 +291,61 @@ object StreamOps extends QueryModule {
         .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
-    "q95_stream_stream_join" -> ((s, d) => {
-      // Stream-stream interval join — the attribution shape: purchases
-      // join the same user's views from the preceding 6 hours. BOTH sides
-      // are unbounded, so this is the one join where Spark must keep
-      // streaming state for each side; the watermarks + the event-time
-      // range condition let it derive an eviction bound (views expire
-      // 6 h + watermark after their event time, purchases at the
-      // watermark) — state stays bounded by the join horizon, never the
-      // stream length. That bound is exactly what makes the shape viable
-      // on an unbounded 100 TB/day feed; cross-batch matching is pinned
-      // in StreamSpec with MemoryStream.
-      val c = streamSession(s, 4)
-      val sch = eventsSchema(c, d)
-      // ONE source self-joined: both sides reference the same streaming
-      // relation (a supported streaming self-join), so each micro-batch
-      // lists and reads the parquet once instead of twice
-      val src = c.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-                T.tsUs(col("ts")).as("ts"))
-      val views = src.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id"),
-                col("ts").as("view_ts"))
-        .withWatermark("view_ts", "10 minutes")
-      val buys = src.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("buy_id"), col("user_id").as("buyer_id"),
-                col("ts").as("buy_ts"))
-        .withWatermark("buy_ts", "10 minutes")
-      val joined = views.join(buys,
-        col("user_id") === col("buyer_id") &&
-          col("buy_ts") >= col("view_ts") &&
-          col("buy_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"))
-        .select(col("user_id"), col("view_id"), col("buy_id"))
-      val name = "graft_q95_sink"
-      val q = joined.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      c.table(name).orderBy(col("user_id"), col("view_id"), col("buy_id"))
-    }),
+    // Width 4 is MEASURED, not guessed (BenchShapes q95_drain_width sweep,
+    // sf0.1, recorded in SCALE.md): a stream-stream join keeps FOUR state
+    // stores per shuffle partition (keyToNumValues + keyWithIndexToValue
+    // per side), each paying delta-file + commit per batch, so width is
+    // the dominant fixed cost of the drain — the q73/q74 state-width
+    // discipline with a 4x multiplier on the store count.
+    "q95_stream_stream_join" -> ((s, d) =>
+      streamStreamJoinDrain(s, d, width = 4)),
 
-    "q74_stream_dedup_state" -> ((s, d) => {
+    "q74_stream_dedup_state" -> ((s2, d2) => q74drain(s2, d2)))
+
+  /** q95's drain body at an explicit state width, separated so BenchShapes
+    * can sweep widths and the registered query pins the measured winner.
+    *
+    * Stream-stream interval join — the attribution shape: purchases join
+    * the same user's views from the preceding 6 hours. BOTH sides are
+    * unbounded, so this is the one join where Spark must keep streaming
+    * state for each side; the watermarks + the event-time range condition
+    * let it derive an eviction bound (views expire 6 h + watermark after
+    * their event time, purchases at the watermark) — state stays bounded
+    * by the join horizon, never the stream length. That bound is exactly
+    * what makes the shape viable on an unbounded 100 TB/day feed;
+    * cross-batch matching is pinned in StreamSpec with MemoryStream. */
+  private[graft] def streamStreamJoinDrain(s: SparkSession, d: String,
+                                           width: Int): DataFrame = {
+    val c = streamSession(s, width)
+    val sch = eventsSchema(c, d)
+    // ONE source self-joined: both sides reference the same streaming
+    // relation (a supported streaming self-join), so each micro-batch
+    // lists and reads the parquet once instead of twice
+    val src = c.readStream.schema(sch)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              T.tsUs(col("ts")).as("ts"))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+              col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val buys = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buyer_id"),
+              col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", "10 minutes")
+    val joined = views.join(buys,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("view_ts") &&
+        col("buy_ts") < col("view_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("user_id"), col("view_id"), col("buy_id"))
+    val name = "graft_q95_sink"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    c.table(name).orderBy(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
+  private def q74drain(s: SparkSession, d: String): DataFrame = {
       // Stateful streaming dedup on event_id within the watermark — state
       // is dropped once the watermark passes, keeping memory bounded on an
       // unbounded stream. Fixture event_ids are unique, so the output is
@@ -350,9 +364,8 @@ object StreamOps extends QueryModule {
       val q = dedup.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      c.table(name).orderBy(col("event_id"))
-    })
-  )
+    c.table(name).orderBy(col("event_id"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q102_stream_merge_sink" ->
