@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{BpeEncode, CosineSimilarity, HllEstimate, HllMergeAgg, HllSketchAgg, SrpSign, TopKItems, TopKMergeAgg, TopKSketchAgg}
+import graft.expressions.{BpeEncode, CosineSimilarity, HllEstimate, HllMergeAgg, HllSketchAgg, SortedIntersectCount, SrpSign, TopKItems, TopKMergeAgg, TopKSketchAgg}
 
 /** Engine extension point, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all of the
@@ -12,6 +12,10 @@ import graft.expressions.{BpeEncode, CosineSimilarity, HllEstimate, HllMergeAgg,
   *  - `graft_cosine(a, b)` — codegen'd cosine similarity over float arrays
   *    ([[graft.expressions.CosineSimilarity]]), value-identical to the HOF
   *    formulation mirrored by the DuckDB oracles.
+  *  - `graft_sorted_inter_count(a, b)` — set-intersection count of two
+  *    sorted arrays as one allocation-free merge walk
+  *    ([[graft.expressions.SortedIntersectCount]]), the q106 prefix-filter
+  *    verify kernel.
   *  - `graft_srp_sign(a)` — 64-bit sign-random-projection LSH signature
   *    ([[graft.expressions.SrpSign]]), the banded embedding near-dup path.
   *  - `graft_bpe_encode(token, merges)` — BPE pieces of a token under a
@@ -43,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(a, b) => CosineSimilarity(a, b)
         case other => wrongArgs("graft_cosine", 2, other.size)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_inter_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "graft_sorted_inter_count"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case other => wrongArgs("graft_sorted_inter_count", 2, other.size)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_srp_sign"),

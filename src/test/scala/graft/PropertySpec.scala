@@ -220,6 +220,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("graft_sorted_inter_count == size(array_intersect) on sorted arrays") {
+    import spark.implicits._
+    // random MULTISETS (duplicates deliberate — equal runs must count
+    // once), sorted as sort_array would, over strings and longs; empty
+    // arrays included. array_intersect is the semantics oracle.
+    val arr: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("a", "b", "bb", "c", "d", "", "é")).map(_.sorted)
+    check(Prop.forAll(arr, arr) { (x, y) =>
+      val row = Seq((x, y)).toDF("x", "y")
+        .select(
+          expr("graft_sorted_inter_count(x, y)").as("walk"),
+          size(array_intersect(col("x"), col("y"))).cast("long").as("ref"))
+        .head()
+      row.getLong(0) == row.getLong(1)
+    })
+    val larr: Gen[List[Long]] =
+      Gen.listOf(Gen.chooseNum(-5L, 5L)).map(_.sorted)
+    check(Prop.forAll(larr, larr) { (x, y) =>
+      val row = Seq((x, y)).toDF("x", "y")
+        .select(
+          expr("graft_sorted_inter_count(x, y)").as("walk"),
+          size(array_intersect(col("x"), col("y"))).cast("long").as("ref"))
+        .head()
+      row.getLong(0) == row.getLong(1)
+    })
+  }
+
   test("q79 components match a union-find reference on random graphs") {
     import spark.implicits._
     import graft.ops.Dedup
