@@ -173,6 +173,78 @@ object Dedup extends QueryModule {
       .select(col("i"), col("j"), col("inter"), col("uni"), col("jac"))
   }
 
+  /** DIRECTED containment pairs: (i, j) with |Sᵢ∩Sⱼ| / |Sᵢ| ≥ τ — "doc i's
+    * shingles are τ-contained in doc j". The asymmetric sibling of
+    * [[jaccardPairsPrefix]], and a different curation signal: Jaccard
+    * misses a short document quoted inside a much longer one (the union
+    * dilutes it — a 50-shingle doc fully embedded in a 5000-shingle doc
+    * has jac ≈ 0.01 but containment 1.0), which is exactly the
+    * quote/boilerplate-subset duplication a training corpus needs to
+    * catch. Prefix filtering adapts asymmetrically (Xiao et al.'s
+    * containment variant): only the CONTAINED side prunes — inter ≥ τ·nᵢ
+    * forces an element of Sᵢ∩Sⱼ into Sᵢ's first nᵢ − ⌊τ·nᵢ⌋ + 1 shingles
+    * under the global rare-first order, so the candidate join is
+    * i-prefix × j-ALL; the j side prunes only by the size bound (inter ≤
+    * nⱼ ⇒ nⱼ/nᵢ ≥ τ, spelled as the SAME double division as the final
+    * containment filter — the q106 rounding discipline, lossless for any
+    * τ). The prefix bound uses ⌊τ·nᵢ⌋ rather than PPJoin's ⌈·⌉: one extra
+    * prefix element per doc buys immunity from fl(τ·nᵢ) rounding above
+    * an exact integer threshold, the same last-ulp hole the ADVICE found
+    * in q106's size filter. Verify is the [[graft.expressions.SortedIntersectCount]]
+    * merge walk over sorted sets. Candidate cost: Σ_sh df_prefix(sh)·df(sh)
+    * — the j side not pruning is inherent to containment (a hot shingle's
+    * containers must all be examined), and rare-first ordering still drops
+    * the df head out of the i prefixes. Lossless-ness vs a naive
+    * all-pairs reference is property-tested ∀ corpus/τ (PropertySpec);
+    * q111 runs against a DuckDB oracle computing the same directed pairs. */
+  private[graft] def containmentPairs(sh: DataFrame, tau: Double): DataFrame = {
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("sh").asc)
+    val prefix = sh.join(df, Seq("sh"))
+      .withColumn("pos", row_number().over(w))
+      .join(sz, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("nsh") - floor(col("nsh") * lit(tau)).cast(LongType) + 1)
+      .select(col("doc_id"), col("sh"), col("nsh"))
+    val cand = prefix.select(col("doc_id").as("i"), col("sh"),
+                             col("nsh").as("ni"))
+      .join(sh.join(sz, Seq("doc_id"))
+              .select(col("doc_id").as("j"), col("sh"),
+                      col("nsh").as("nj")), Seq("sh"))
+      .filter(col("i") =!= col("j") &&
+        col("nj").cast(DoubleType) / col("ni").cast(DoubleType) >= lit(tau))
+      .select(col("i"), col("j")).distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("i"), col("shs").as("shi")), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("shs").as("shj")), Seq("j"))
+      .select(col("i"), col("j"),
+        expr("graft_sorted_inter_count(shi, shj)").as("inter"),
+        size(col("shi")).cast(LongType).as("ni"))
+      .withColumn("cont",
+        col("inter").cast(DoubleType) / col("ni").cast(DoubleType))
+      .filter(col("cont") >= tau)
+      .select(col("i"), col("j"), col("inter"), col("ni"), col("cont"))
+  }
+
+  /** The naive all-pairs containment reference for the property test —
+    * deliberately the dumbest correct spelling (the q61-vs-q106 pattern). */
+  private[graft] def containmentPairsNaive(sh: DataFrame, tau: Double): DataFrame = {
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    sh.select(col("doc_id").as("i"), col("sh"))
+      .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("sh"))
+      .filter(col("i") =!= col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("i"), col("nsh").as("ni")), Seq("i"))
+      .withColumn("cont",
+        col("inter").cast(DoubleType) / col("ni").cast(DoubleType))
+      .filter(col("cont") >= tau)
+      .select(col("i"), col("j"), col("inter"), col("ni"), col("cont"))
+  }
+
   /** 60-bit tf-weighted SimHash signatures, one row per doc, in either of
     * two plan shapes (value-identical; pinned by SimilaritySpec, shape
     * timings recorded in SCALE.md via [[graft.BenchShapes]]):
@@ -636,6 +708,12 @@ object Dedup extends QueryModule {
       // way q85 proves the native BPE against q82's oracle.
       jaccardPairsPrefix(shingles(s, d), 0.5).orderBy(col("i"), col("j"))),
 
+    "q111_dedup_containment" -> ((s, d) =>
+      // Directed τ-containment pairs — the quote/subset-duplication signal
+      // Jaccard dilutes away (see containmentPairs). τ=0.8: "at least 80%
+      // of i's shingles appear in j".
+      containmentPairs(shingles(s, d), 0.8).orderBy(col("i"), col("j"))),
+
     "q79_dedup_resolve" -> ((s, d) => {
       // Pairs -> clusters: the step every near-dup operator (q61/q65/q66/
       // q75) stops short of. Input is q66's SimHash pair graph, SERVED
@@ -903,6 +981,22 @@ object Dedup extends QueryModule {
         |  CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) AS jac
         |FROM p JOIN sz sa ON p.i = sa.doc_id JOIN sz sb ON p.j = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) >= 0.5
+        |ORDER BY i, j""".stripMargin,
+
+    "q111_dedup_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |         k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |       FROM d WHERE len(toks) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+        |      GROUP BY a.doc_id, b.doc_id)
+        |SELECT i, j, inter, sa.nsh AS ni,
+        |  CAST(inter AS DOUBLE) / CAST(sa.nsh AS DOUBLE) AS cont
+        |FROM p JOIN sz sa ON p.i = sa.doc_id
+        |WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh AS DOUBLE)
+        |      >= CAST(0.8 AS DOUBLE)
         |ORDER BY i, j""".stripMargin,
 
     // q61's oracle verbatim: a green hash proves the prefix-filtered

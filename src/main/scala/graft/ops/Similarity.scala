@@ -618,6 +618,43 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    "q112_sim_knn_rank" -> ((s, d) => {
+      // Per-vector NEAREST-DUPLICATE RANKING: each vector's top-3 verified
+      // near-dup neighbors (cos >= 0.85) by descending similarity — the
+      // kNN-graph slice a dedup audit reads, and the step between q75
+      // (the pair list) and q97 (the components): pairs say "these are
+      // dups", the ranking says which dup is CLOSEST and how close, per
+      // document. Candidates + verification are exactly q75's banded path
+      // (never all-pairs; banding recall 1.0 on the fixture makes the
+      // exact-pairs oracle hash-match end-to-end); the undirected pair
+      // list is symmetrized so each pair serves both endpoints, and the
+      // per-vector top-k is a rank<=k window ordered on the FLOORED
+      // cos_micro (ties broken by neighbor id — ranking on raw cos would
+      // let two engines order two values that floor equal differently).
+      // The window plans map-side WindowGroupLimit pruning (q31's shape):
+      // no task holds more than k rows per vector.
+      val u = srpCorpus(s, d)
+      val cand = srpCandidates(u)
+      val pairs = cand
+        .join(u.select(col("vec_id").as("i"), col("emb").as("ei")), Seq("i"))
+        .join(u.select(col("vec_id").as("j"), col("emb").as("ej")), Seq("j"))
+        .select(col("i"), col("j"), expr("graft_cosine(ei, ej)").as("cos"))
+        .filter(col("cos") >= 0.85)
+        .select(col("i"), col("j"),
+                floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+      val sym = pairs
+        .select(col("i").as("vec_id"), col("j").as("nb"), col("cos_micro"))
+        .unionByName(pairs
+          .select(col("j").as("vec_id"), col("i").as("nb"), col("cos_micro")))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cos_micro").desc, col("nb").asc)
+      sym.withColumn("rk", row_number().over(wk).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nb"), col("cos_micro"))
+        .orderBy(col("vec_id"), col("rk"))
+    }),
+
     "q65_sim_lsh_join" -> ((s, d) => {
       // Approximate near-dup join: LSH candidates first, exact Jaccard
       // verification on candidates ONLY (never the all-pairs product).
@@ -731,6 +768,36 @@ object Similarity extends QueryModule {
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT i, j, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
         |FROM p WHERE cos >= 0.85 ORDER BY i, j""".stripMargin,
+
+    // q75's corpus + cosine spelling verbatim; ranking on the floored
+    // micro value so tie order is engine-independent
+    "q112_sim_knn_rank" ->
+      """WITH u AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000,
+        |         list_transform(range(len(embedding)),
+        |           k -> CAST(embedding[k+1] AS DOUBLE)
+        |                + ((vec_id * 64 + k) % 13 - 6) * 0.001953125)
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    list_sum(list_transform(range(len(a.emb)), k -> a.emb[k+1] * b.emb[k+1]))
+        |    / (sqrt(list_sum(list_transform(a.emb, x -> x * x)))
+        |     * sqrt(list_sum(list_transform(b.emb, x -> x * x)))) AS cos
+        |  FROM u a JOIN u b ON a.vec_id < b.vec_id),
+        |e AS (SELECT i, j, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+        |      FROM p WHERE cos >= 0.85),
+        |sym AS (SELECT i AS vec_id, j AS nb, cos_micro FROM e
+        |        UNION ALL
+        |        SELECT j AS vec_id, i AS nb, cos_micro FROM e),
+        |r AS (SELECT vec_id, nb, cos_micro,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos_micro DESC, nb ASC) AS rk
+        |      FROM sym)
+        |SELECT vec_id, CAST(rk AS BIGINT) AS rk, nb, cos_micro
+        |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin,
 
     "q59_sim_embed_nn" ->
       """WITH p AS (

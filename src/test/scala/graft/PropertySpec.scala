@@ -220,6 +220,27 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q111 prefix-filtered containment pairs == naive directed pairs, any corpus/tau") {
+    import spark.implicits._
+    // the asymmetric prefix-filter variant must be lossless for all
+    // corpora and thresholds, like q106's symmetric one — including the
+    // short-doc-inside-long-doc case Jaccard dilutes away
+    val corpus: Gen[List[(Long, List[String])]] =
+      Gen.listOfN(8, Gen.nonEmptyListOf(
+        Gen.oneOf("u", "v", "w", "x", "y", "z", "p", "q")).map(_.distinct))
+        .map(_.zipWithIndex.map { case (s, i) => (i.toLong, s) })
+    val taus = Gen.oneOf(0.3, 0.5, 0.8, 1.0)
+    check(Prop.forAll(corpus, taus) { (docs, tau) =>
+      val sh = docs.flatMap { case (id, ss) => ss.map(s => (id, s)) }
+        .toDF("doc_id", "sh")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      canon(ops.Dedup.containmentPairs(sh, tau)) ==
+        canon(ops.Dedup.containmentPairsNaive(sh, tau))
+    })
+  }
+
   test("graft_sorted_inter_count == size(array_intersect) on sorted arrays") {
     import spark.implicits._
     // random MULTISETS (duplicates deliberate — equal runs must count
