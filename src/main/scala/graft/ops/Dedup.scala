@@ -43,7 +43,12 @@ object Dedup extends QueryModule {
 
   /** doc_id + distinct 3-token shingles, one row per (doc, shingle). */
   private[graft] def shingles(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+    shinglesOf(T.documents(s, d))
+
+  /** Same shingle build over any (doc_id, text) frame — q113 runs it
+    * separately on the standing corpus and the incoming batch. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -228,6 +233,70 @@ object Dedup extends QueryModule {
         col("inter").cast(DoubleType) / col("ni").cast(DoubleType))
       .filter(col("cont") >= tau)
       .select(col("i"), col("j"), col("inter"), col("ni"), col("cont"))
+  }
+
+  /** INCREMENTAL dedup — q113: a new batch of documents deduped against
+    * the STANDING corpus, the operational mode a 100 TB pipeline actually
+    * runs (you never re-dedup the whole corpus; you gate each day's
+    * increment against it). Fixture split: base = doc_id % 10 ≠ 0 (the
+    * corpus), batch = % 10 = 0 (the increment), with exact duplicates
+    * PLANTED into the batch (every 30th doc, see below) so all three
+    * verdict arms fire on the fixture. Verdict per batch doc, strongest
+    * first:
+    *  - `exact_dup` — md5(text) already present in the base; witness =
+    *    the smallest base doc with that fingerprint (q81's 16-byte-key
+    *    discipline: text never crosses an Exchange);
+    *  - `near_dup` — Jaccard(3-shingles) ≥ 0.5 against some base doc;
+    *    witness = the smallest such base doc;
+    *  - `new` — neither; witness NULL.
+    * Cost shape: every join is batch-vs-base with the BATCH side small —
+    * the fingerprint probe is batch-rows × (broadcast or shuffle on 16-B
+    * keys), the shingle join touches only base shingles that ALSO occur
+    * in the batch. At real scale the base fingerprint and shingle tables
+    * are MAINTAINED, not recomputed — each accepted batch appends its
+    * rows (the staged-index discipline of simhashServing/ivfServing); the
+    * fixture query computes them inline because a driver run has no
+    * standing warehouse to inherit. The near stage here is the exact
+    * shingle join (oracle-able); a Zipfian corpus swaps in the q106
+    * prefix or q65/q66 banded machinery for the same batch-vs-base
+    * contract. */
+  private[graft] def incrementalDedup(docs: DataFrame): DataFrame = {
+    val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    // every 30th batch doc takes its SUCCESSOR's text (always a base doc:
+    // ids ending in 0 have successors ending in 1) — planted exact
+    // duplicates, because the synthetic corpus has none of its own and an
+    // incremental gate whose exact arm never fires proves nothing
+    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .join(docs.select((col("doc_id") - 1).as("doc_id"),
+                        col("text").as("donor_text")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(30)) === 0 && col("donor_text").isNotNull,
+          col("donor_text")).otherwise(col("text")).as("text"))
+    val baseFp = base
+      .select(md5(col("text")).as("fp"), col("doc_id").as("bid"))
+      .groupBy(col("fp")).agg(min(col("bid")).as("exact_witness"))
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(baseFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_witness"))
+    val shB = shinglesOf(batch)
+    val shC = shinglesOf(base)
+    val szB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("ni"))
+    val szC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("nj"))
+    val near = shB.select(col("doc_id").as("i"), col("sh"))
+      .join(shC.select(col("doc_id").as("j"), col("sh")), Seq("sh"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      .join(szB.select(col("doc_id").as("i"), col("ni")), Seq("i"))
+      .join(szC.select(col("doc_id").as("j"), col("nj")), Seq("j"))
+      .filter(col("inter").cast(DoubleType) /
+        (col("ni") + col("nj") - col("inter")).cast(DoubleType) >= lit(0.5))
+      .groupBy(col("i")).agg(min(col("j")).as("near_witness"))
+    exact
+      .join(near.withColumnRenamed("i", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_witness").isNotNull, lit("exact_dup"))
+          .when(col("near_witness").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_witness"), col("near_witness")).as("witness"))
   }
 
   /** The naive all-pairs containment reference for the property test —
@@ -708,6 +777,11 @@ object Dedup extends QueryModule {
       // way q85 proves the native BPE against q82's oracle.
       jaccardPairsPrefix(shingles(s, d), 0.5).orderBy(col("i"), col("j"))),
 
+    "q113_dedup_incremental" -> ((s, d) =>
+      // Batch-vs-corpus dedup gate — the incremental operational mode
+      // (see incrementalDedup).
+      incrementalDedup(T.documents(s, d)).orderBy(col("doc_id"))),
+
     "q111_dedup_containment" -> ((s, d) =>
       // Directed τ-containment pairs — the quote/subset-duplication signal
       // Jaccard dilutes away (see containmentPairs). τ=0.8: "at least 80%
@@ -982,6 +1056,46 @@ object Dedup extends QueryModule {
         |FROM p JOIN sz sa ON p.i = sa.doc_id JOIN sz sb ON p.j = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) >= 0.5
         |ORDER BY i, j""".stripMargin,
+
+    "q113_dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |batch AS (SELECT b.doc_id,
+        |            CASE WHEN b.doc_id % 30 = 0 AND nx.text IS NOT NULL
+        |                 THEN nx.text ELSE b.text END AS text
+        |          FROM documents b
+        |          LEFT JOIN documents nx ON nx.doc_id = b.doc_id + 1
+        |          WHERE b.doc_id % 10 = 0),
+        |bfp AS (SELECT md5(text) AS fp, min(doc_id) AS ew
+        |        FROM base GROUP BY md5(text)),
+        |db AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+        |dc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |shb AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |          k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |        FROM db WHERE len(toks) >= 3),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |          k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |        FROM dc WHERE len(toks) >= 3),
+        |szb AS (SELECT doc_id, count(*) AS ni FROM shb GROUP BY doc_id),
+        |szc AS (SELECT doc_id, count(*) AS nj FROM shc GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS inter
+        |      FROM shb a JOIN shc c ON a.sh = c.sh
+        |      GROUP BY a.doc_id, c.doc_id),
+        |near AS (SELECT i, min(j) AS nw
+        |         FROM p JOIN szb ON p.i = szb.doc_id
+        |                JOIN szc ON p.j = szc.doc_id
+        |         WHERE CAST(inter AS DOUBLE)
+        |               / CAST(szb.ni + szc.nj - inter AS DOUBLE)
+        |               >= CAST(0.5 AS DOUBLE)
+        |         GROUP BY i)
+        |SELECT b.doc_id,
+        |  CASE WHEN bfp.ew IS NOT NULL THEN 'exact_dup'
+        |       WHEN near.nw IS NOT NULL THEN 'near_dup'
+        |       ELSE 'new' END AS verdict,
+        |  coalesce(bfp.ew, near.nw) AS witness
+        |FROM batch b
+        |LEFT JOIN bfp ON md5(b.text) = bfp.fp
+        |LEFT JOIN near ON b.doc_id = near.i
+        |ORDER BY b.doc_id""".stripMargin,
 
     "q111_dedup_containment" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
