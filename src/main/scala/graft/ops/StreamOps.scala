@@ -69,6 +69,11 @@ object StreamOps extends QueryModule {
     synchronized {
       schemaCache.getOrElseUpdate(d, s.read.parquet(s"$d/events.parquet").schema)
     }
+  private def docsSchema(s: SparkSession, d: String): StructType =
+    synchronized {
+      schemaCache.getOrElseUpdate(s"$d#documents",
+        s.read.parquet(s"$d/documents.parquet").schema)
+    }
 
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
 
@@ -95,7 +100,54 @@ object StreamOps extends QueryModule {
               col("m.last_value").as("last_value"))
   }
 
+  /** One fold of [[queries q114]]'s fingerprint-index sink: merge a
+    * micro-batch of (fp, doc_id) rows into the maintained index. Union +
+    * distinct is ASSOCIATIVE and IDEMPOTENT — re-applying a redelivered
+    * batch (a restarted query re-delivers the last uncommitted one) cannot
+    * change the index, which is what exactly-once rests on (q102's
+    * discipline; StreamSpec pins it). */
+  private[graft] def mergeFpIndex(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch.select(col("fp"), col("doc_id")))
+      .dropDuplicates("fp", "doc_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_stream_dedup_index" -> ((s, d) => {
+      // Streaming EXACT-dedup INDEX maintenance — q113's standing corpus
+      // kept current by the stream itself. q74 is the bounded twin (state
+      // dropped at the watermark: per-key dedup over a horizon); this op
+      // MAINTAINS the full fingerprint index the way a dedup service
+      // does. State = the (16-byte md5, doc_id) pairs themselves — q81's
+      // no-text-in-state discipline, so index bytes ∝ docs, never corpus
+      // bytes — folded per micro-batch by [[mergeFpIndex]] (associative +
+      // idempotent ⇒ redelivered batches are no-ops), localCheckpointed
+      // per round with the superseded checkpoint released (q79's loop
+      // discipline, O(1) plan per batch). The drain's final answer —
+      // per-fingerprint survivor + copy count — is BATCH-EQUIVALENT by
+      // construction, so it runs against q81's oracle shape. At 100 TB
+      // the index lives in the warehouse co-partitioned on fp, each fold
+      // is one co-partitioned merge per batch, and q113's batch gate
+      // probes THIS index.
+      val c = streamSession(s, 8)
+      import c.implicits._
+      val src = c.readStream.schema(docsSchema(c, d))
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(md5(col("text")).as("fp"), col("doc_id"))
+      var state = Seq.empty[(String, Long)].toDF("fp", "doc_id")
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val prev = state
+          state = mergeFpIndex(prev, b).localCheckpoint(true)
+          Dedup.releaseCheckpoint(prev)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      state.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
+        .select(col("survivor"), col("n_copies"), col("fp"))
+        .orderBy(col("survivor"))
+    }),
+
     "q102_stream_merge_sink" -> ((s, d) => {
       // Streaming CDC upsert — the MERGE sink (q42 is its batch half):
       // every event is an upsert of its user's profile, foreachBatch folds
@@ -368,6 +420,12 @@ object StreamOps extends QueryModule {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q81's oracle shape: the streaming-maintained index must answer
+    // exactly what the batch groupBy answers
+    "q114_stream_dedup_index" ->
+      """SELECT min(doc_id) AS survivor, count(*) AS n_copies, md5(text) AS fp
+        |FROM documents GROUP BY md5(text) ORDER BY survivor""".stripMargin,
+
     "q102_stream_merge_sink" ->
       """WITH latest AS (
         |  SELECT user_id, max(event_id) AS last_event

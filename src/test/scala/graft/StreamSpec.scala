@@ -128,6 +128,27 @@ class StreamSpec extends SparkSpec {
     assert(collectState(s3) == Set((7L, 3L, "c", 3.0)))
   }
 
+  test("q114 fingerprint index: folds across batches; batch replay is a no-op") {
+    import spark.implicits._
+    def fps(rows: Seq[(String, Long)]) = rows.toDF("fp", "doc_id")
+    def collectIdx(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val s0 = fps(Nil)
+    val s1 = ops.StreamOps.mergeFpIndex(s0, fps(Seq(("a", 1L), ("b", 2L))))
+    // a duplicate fingerprint from a LATER batch extends the index (both
+    // holders kept — the survivor/min is derived at query time), and an
+    // already-indexed pair arriving again changes nothing
+    val b2 = fps(Seq(("a", 5L), ("c", 3L), ("b", 2L)))
+    val s2 = ops.StreamOps.mergeFpIndex(s1, b2)
+    val want = Set(("a", 1L), ("a", 5L), ("b", 2L), ("c", 3L))
+    assert(collectIdx(s2) == want)
+    // idempotence under redelivery — exactly-once rests on this
+    assert(collectIdx(ops.StreamOps.mergeFpIndex(s2, b2)) == want)
+    // within-batch duplicates collapse too
+    assert(collectIdx(ops.StreamOps.mergeFpIndex(
+      s0, fps(Seq(("x", 9L), ("x", 9L))))) == Set(("x", 9L)))
+  }
+
   test("custom state: flatMapGroupsWithState carries per-user counts across batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
