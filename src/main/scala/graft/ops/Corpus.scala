@@ -220,6 +220,64 @@ object Corpus extends QueryModule {
           .as("kept_share_micro"))
   }
 
+  /** Temperature-tempered mixture sampling (q115) — the multilingual
+    * rebalancing every LLM data recipe runs: sample stratum s with
+    * probability ∝ (mass_s)^α / mass_s, α = 0.5, so low-resource strata
+    * keep everything and high-resource strata downsample toward the
+    * tempered target (w_s = √tok_s normalized). [[rebalanceMix]] is the
+    * α = 0 limit of the same idea (equal shares); tempering is what
+    * production mixtures actually use — α = 0 starves big strata, α = 1
+    * changes nothing.
+    *
+    * §7.5 reproducibility: √ is NOT a transcendental — IEEE 754 requires
+    * sqrt correctly rounded, so both engines produce the identical
+    * double. Every other float step is a per-stratum scalar expression
+    * spelled identically in both engines over exact integer inputs; the
+    * two cross-stratum reductions are an ORDERED fold for Σ√ (sort_array
+    * + aggregate ≍ list(… ORDER BY lang) + list_reduce — never an
+    * unordered float SUM, q101's discipline) and a max (order-free).
+    * Rates quantize to micro, thresholds to 16 bits, acceptance =
+    * md5-hash-key < threshold (q87/q98/q100's deterministic sampler).
+    * The most under-represented stratum gets ratio_max ⇒ rate 1.0 ⇒
+    * keeps everything: downsample-only tempering, no upsampling.
+    *
+    * 100 TB shape: stratum stats are vocabulary-bounded aggregates with
+    * map-side combine; the Σ√/max/total frames are tiny broadcasts; the
+    * accept filter is one stateless scan (each doc hashes its own id) —
+    * no corpus-sized shuffle anywhere. */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+    val cell = t.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("tok_sum"))
+    val tokTotal = cell.agg(sum(col("tok_sum")).as("tok_total"))
+    val w = cell.withColumn("w", sqrt(col("tok_sum").cast(DoubleType)))
+    val wTotal = w.agg(
+      expr("aggregate(sort_array(collect_list(struct(lang, w))), " +
+        "CAST(0.0 AS DOUBLE), (a, x) -> a + x.w)").as("w_total"))
+    val sh = w.crossJoin(broadcast(wTotal)).crossJoin(broadcast(tokTotal))
+      .withColumn("ratio",
+        (col("w") / col("w_total")) /
+          (col("tok_sum").cast(DoubleType) / col("tok_total").cast(DoubleType)))
+    val rmax = sh.agg(max(col("ratio")).as("ratio_max"))
+    val rated = sh.crossJoin(broadcast(rmax))
+      .withColumn("rate_micro",
+        floor(col("ratio") / col("ratio_max") * lit(1000000.0)).cast(LongType))
+      .withColumn("thresh16",
+        expr("CAST(rate_micro * 65536 DIV 1000000 AS BIGINT)"))
+    val kept = t
+      .join(broadcast(rated.select(col("lang"), col("thresh16"))), Seq("lang"))
+      .withColumn("hk16", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"))
+      .filter(col("hk16") < col("thresh16"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_toks"))
+    rated.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("tok_sum"), col("rate_micro"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_toks"), lit(0L)).as("kept_toks"))
+  }
+
   /** TF-IDF term scoring per stratum: tf = term count within the stratum,
     * df = number of strata containing the term, idf as the EXACT
     * micro-scaled inverse ratio n_strata·10⁶ DIV df (linear damping —
@@ -371,6 +429,9 @@ object Corpus extends QueryModule {
 
     "q98_mix_rebalance" -> ((s, d) =>
       rebalanceMix(T.documents(s, d)).orderBy(col("source"))),
+
+    "q115_mix_temperature" -> ((s, d) =>
+      mixTemperature(T.documents(s, d)).orderBy(col("lang"))),
 
     "q89_text_tfidf" -> ((s, d) =>
       tfidfTopK(T.documents(s, d)).orderBy(col("lang"), col("rk"))),
@@ -549,6 +610,52 @@ object Corpus extends QueryModule {
         |    AS kept_share_micro
         |FROM th2 LEFT JOIN k USING (source) CROSS JOIN kt
         |ORDER BY source""".stripMargin,
+
+    // every float step spelled identically to the Spark side: IEEE sqrt
+    // (correctly rounded by the standard), ordered fold for the sqrt
+    // total, order-free max, micro quantization before any comparison
+    "q115_mix_temperature" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |          FROM documents),
+        |cell AS (SELECT lang, count(*) AS n_docs,
+        |           CAST(sum(n_toks) AS BIGINT) AS tok_sum
+        |         FROM t GROUP BY lang),
+        |tot AS (SELECT CAST(sum(tok_sum) AS BIGINT) AS tok_total FROM cell),
+        |w AS (SELECT lang, n_docs, tok_sum,
+        |        sqrt(CAST(tok_sum AS DOUBLE)) AS w FROM cell),
+        |wt AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |                list(w ORDER BY lang ASC)), (a, x) -> a + x) AS w_total
+        |       FROM w),
+        |sh AS (SELECT w.lang, w.n_docs, w.tok_sum,
+        |         (w.w / wt.w_total)
+        |         / (CAST(w.tok_sum AS DOUBLE) / CAST(tot.tok_total AS DOUBLE))
+        |           AS ratio
+        |       FROM w CROSS JOIN wt CROSS JOIN tot),
+        |rm AS (SELECT max(ratio) AS ratio_max FROM sh),
+        |rated AS (SELECT lang, n_docs, tok_sum,
+        |            CAST(floor(ratio / rm.ratio_max
+        |                       * CAST(1000000.0 AS DOUBLE)) AS BIGINT)
+        |              AS rate_micro
+        |          FROM sh CROSS JOIN rm),
+        |r2 AS (SELECT *, CAST(rate_micro * 65536 // 1000000 AS BIGINT)
+        |         AS thresh16 FROM rated),
+        |h AS (SELECT lang, n_toks,
+        |        ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+        |         (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) AS hk16
+        |      FROM t),
+        |k AS (SELECT h.lang,
+        |        CAST(count(*) AS BIGINT) AS n_kept,
+        |        CAST(sum(h.n_toks) AS BIGINT) AS kept_toks
+        |      FROM h JOIN r2 USING (lang)
+        |      WHERE h.hk16 < r2.thresh16 GROUP BY h.lang)
+        |SELECT r2.lang, r2.n_docs, r2.tok_sum, r2.rate_micro,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(k.kept_toks, 0) AS BIGINT) AS kept_toks
+        |FROM r2 LEFT JOIN k USING (lang)
+        |ORDER BY lang""".stripMargin,
 
     "q89_text_tfidf" ->
       """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS term

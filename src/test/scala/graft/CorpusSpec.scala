@@ -190,6 +190,29 @@ class CorpusSpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("q115 tempering: rates fall with stratum mass, lightest keeps all") {
+    val out = SparkEntry.queries("q115_mix_temperature")(spark, sf).collect()
+    assert(out.length >= 2, "tempering needs at least two strata to mean anything")
+    // ratio ∝ (√m/Σ√)/(m/M) ∝ 1/√m — rate is strictly non-increasing in
+    // stratum mass, the α=0.5 signature (α=0 would equalize, α=1 keep all)
+    val byMass = out.sortBy(_.getAs[Long]("tok_sum"))
+    val rates = byMass.map(_.getAs[Long]("rate_micro"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a >= b },
+      s"rates must fall as mass grows: ${byMass.mkString(", ")}")
+    // the lightest stratum holds ratio_max ⇒ rate exactly 1.0 ⇒ keeps all
+    assert(rates.head == 1000000L, s"lightest stratum must keep everything")
+    assert(byMass.head.getAs[Long]("n_kept") == byMass.head.getAs[Long]("n_docs"))
+    // downsample-only: nothing upsamples, kept ≤ present everywhere
+    out.foreach { r =>
+      assert(r.getAs[Long]("rate_micro") <= 1000000L)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_toks") <= r.getAs[Long]("tok_sum"))
+    }
+    // deterministic: a rerun is bit-identical (md5-keyed sampler)
+    assert(out.sameElements(
+      SparkEntry.queries("q115_mix_temperature")(spark, sf).collect()))
+  }
+
   test("q89 emits top-10 per stratum, ordered, with df bounded by strata") {
     val out = SparkEntry.queries("q89_text_tfidf")(spark, sf).collect()
     assert(out.nonEmpty)
