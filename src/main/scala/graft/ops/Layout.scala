@@ -43,35 +43,53 @@ object Layout {
     * cross-process race (`synchronized` is per-JVM), same as any
     * filesystem-catalog engine without a lock service.
     *
-    * RECOVERY: a crash BETWEEN `saveAsTable` and `markStaged` leaves a
-    * written-but-unmarked location that this guard will (correctly, by its
-    * own rule) never reclaim, so a later cross-session restage fails with
-    * LOCATION_ALREADY_EXISTS. The operator fix is to delete that location
-    * by hand (`rm -r <warehouse>/<table>`) — safe because an unmarked
-    * directory under a graft warehouse is by construction a torn staging
-    * write, never live data (live stagings are marked in the same JVM
-    * instant they finish). With the session-unique temp warehouses every
-    * main/test uses, the window only matters to a deployment that points
-    * repeated JVMs at one persistent warehouse. */
+    * RECOVERY (round 9 — the crash window is CLOSED): a pre-marker
+    * sentinel `_graft_staging_<table>` is written NEXT TO the location
+    * (not inside it — `saveAsTable` refuses a pre-existing dir) before
+    * the write starts, and removed the instant the in-dir marker lands.
+    * A crash anywhere between the two leaves pre-marker-without-catalog,
+    * which this guard reads as a torn write and reclaims on the next
+    * restage — no hand cleanup. A foreign directory that merely collides
+    * carries NEITHER marker and is still left for `saveAsTable` to
+    * refuse loudly, never silently destroyed. LayoutSpec replays all
+    * three cases (stale complete staging, torn write, foreign dir). */
+  private def tableLoc(s: org.apache.spark.sql.SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+
+  private def preMarkPath(s: org.apache.spark.sql.SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"_graft_staging_${table.toLowerCase}")
+
   private def dropStaleLocation(df: DataFrame, table: String): Unit = {
     val s = df.sparkSession
     if (!s.catalog.tableExists(table)) {
-      val p = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val p = tableLoc(s, table)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(p, StagedMarker)))
-        fs.delete(p, true)
+      val ours = fs.exists(new org.apache.hadoop.fs.Path(p, StagedMarker)) ||
+        fs.exists(preMarkPath(s, table))
+      if (ours && fs.exists(p)) fs.delete(p, true)
     }
   }
 
-  /** Stamp a just-staged table location as ours (see [[StagedMarker]]) —
-    * same warehouse-relative path convention `dropStaleLocation` reads. */
+  /** Announce a staging write is about to start (see RECOVERY above). */
+  private def preMark(df: DataFrame, table: String): Unit = {
+    val s = df.sparkSession
+    val fs = preMarkPath(s, table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.create(preMarkPath(s, table), true).close()
+  }
+
+  /** Stamp a just-staged table location as ours (see [[StagedMarker]]) and
+    * retire the pre-marker — same warehouse-relative path convention
+    * `dropStaleLocation` reads. */
   private def markStaged(df: DataFrame, table: String): Unit = {
     val s = df.sparkSession
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val loc = tableLoc(s, table)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.create(new org.apache.hadoop.fs.Path(loc, StagedMarker), true).close()
+    fs.delete(preMarkPath(s, table), false)
   }
 
   /** Stage a plain (unbucketed, unpartitioned) parquet table — for
@@ -80,6 +98,7 @@ object Layout {
     * staleness/marker discipline as the layout-bearing stagings. */
   def stageTable(df: DataFrame, table: String): Unit = {
     dropStaleLocation(df, table)
+    preMark(df, table)
     df.write.mode("overwrite").format("parquet").saveAsTable(table)
     markStaged(df, table)
   }
@@ -92,6 +111,7 @@ object Layout {
   def stageBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     dropStaleLocation(df, table)
+    preMark(df, table)
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
@@ -118,6 +138,7 @@ object Layout {
     * to the matching directories. */
   def stagePartitionedBy(df: DataFrame, table: String, partCol: String): Unit = {
     dropStaleLocation(df, table)
+    preMark(df, table)
     df.write.mode("overwrite")
       .format("parquet")
       .partitionBy(partCol)

@@ -269,4 +269,41 @@ class LayoutSpec extends SparkSpec {
     // idempotent: compacting a compacted dir is a no-op shape-wise
     assert(Layout.compact(spark, dir, 1L << 20, Seq("o_orderkey")) == n)
   }
+
+  test("staging recovery: stale + torn locations reclaim, foreign dirs refuse") {
+    import java.nio.file.{Files => JF, Paths => JP}
+    // the session normalizes the warehouse conf to a file: URI — strip the
+    // scheme so java.nio and hadoop address the SAME directory
+    val whRaw = spark.conf.get("spark.sql.warehouse.dir")
+    val wh = if (whRaw.contains(":")) new java.net.URI(whRaw).getPath else whRaw
+    val df = Tables.nation(spark, sf).select("n_nationkey", "n_name")
+    val rows = df.count()
+    // 1) STALE COMPLETE staging: a previous session's files outlive the
+    // in-memory catalog (dir + in-dir marker, no catalog entry) — restage
+    // must reclaim and succeed
+    JF.createDirectories(JP.get(s"$wh/stale_tbl"))
+    JF.writeString(JP.get(s"$wh/stale_tbl/junk.parquet"), "old session bytes")
+    JF.writeString(JP.get(s"$wh/stale_tbl/_graft_staged"), "")
+    Layout.stageTable(df, "stale_tbl")
+    assert(spark.table("stale_tbl").count() == rows)
+    // 2) TORN write: a crash between saveAsTable and markStaged leaves
+    // dir + PRE-marker (no in-dir marker, no catalog entry) — the round-9
+    // window; restage must reclaim, not die with LOCATION_ALREADY_EXISTS
+    JF.createDirectories(JP.get(s"$wh/torn_tbl"))
+    JF.writeString(JP.get(s"$wh/torn_tbl/part-half-written"), "torn")
+    JF.writeString(JP.get(s"$wh/_graft_staging_torn_tbl"), "")
+    Layout.stageTable(df, "torn_tbl")
+    assert(spark.table("torn_tbl").count() == rows)
+    assert(!JF.exists(JP.get(s"$wh/_graft_staging_torn_tbl")),
+      "a completed staging must retire the pre-marker")
+    assert(!JF.exists(JP.get(s"$wh/torn_tbl/part-half-written")),
+      "reclaim must replace the torn files, not merge with them")
+    // 3) FOREIGN collision: a directory carrying NEITHER marker is not
+    // ours — staging must refuse loudly, never silently destroy it
+    JF.createDirectories(JP.get(s"$wh/foreign_tbl"))
+    JF.writeString(JP.get(s"$wh/foreign_tbl/precious.txt"), "not ours")
+    intercept[Exception] { Layout.stageTable(df, "foreign_tbl") }
+    assert(JF.readString(JP.get(s"$wh/foreign_tbl/precious.txt")) == "not ours",
+      "a refused staging must leave the foreign directory untouched")
+  }
 }
