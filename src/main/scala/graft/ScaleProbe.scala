@@ -135,7 +135,14 @@ object ScaleProbe {
       // and the prefix-filtered exact near-dup path (its candidate
       // pruning is the thing to observe as the corpus grows)
       "q99_dedup_spans", "q100_shuffle_shard", "q101_text_bm25",
-      "q38_agg_incremental", "q106_dedup_prefix")
+      "q38_agg_incremental", "q106_dedup_prefix",
+      // round-9 additions: trained-IVF serving, containment (its j side
+      // deliberately doesn't prefix-prune — the thing to observe), kNN
+      // ranking, the incremental gate, the streaming fingerprint index,
+      // and tempered mixture sampling
+      "q110_sim_ivf_trained", "q111_dedup_containment", "q112_sim_knn_rank",
+      "q113_dedup_incremental", "q114_stream_dedup_index",
+      "q115_mix_temperature")
     val results = family.map { name =>
       val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
       println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")

@@ -75,6 +75,24 @@ object StreamOps extends QueryModule {
         s.read.parquet(s"$d/documents.parquet").schema)
     }
 
+  /** Stream source for one fixture table, LAYOUT-AGNOSTIC: the driver
+    * fixture ships each table as a single FILE (`$d/events.parquet`),
+    * while synthetic corpora (ScaleProbe, any engine-written staging) are
+    * DIRECTORIES of part files under the same name. The file-stream
+    * source requires a directory `basePath`, so a directory streams
+    * directly and a single file streams its parent filtered to that name.
+    * The old glob-only spelling silently read ZERO rows from the
+    * directory layout (pathGlobFilter matches leaf names, and a dir's
+    * leaves are part-*.parquet) — caught by the ×10 probe's q114 row. */
+  private def streamTable(c: SparkSession, d: String, table: String,
+                          sch: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val fs = p.getFileSystem(c.sparkContext.hadoopConfiguration)
+    val rd = c.readStream.schema(sch)
+    if (fs.getFileStatus(p).isDirectory) rd.parquet(p.toString)
+    else rd.option("pathGlobFilter", s"$table.parquet").parquet(d)
+  }
+
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
 
   /** One CDC-merge step for [[queries q102]]'s foreachBatch sink: fold a
@@ -129,8 +147,7 @@ object StreamOps extends QueryModule {
       // probes THIS index.
       val c = streamSession(s, 8)
       import c.implicits._
-      val src = c.readStream.schema(docsSchema(c, d))
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val src = streamTable(c, d, "documents", docsSchema(c, d))
         .select(md5(col("text")).as("fp"), col("doc_id"))
       var state = Seq.empty[(String, Long)].toDF("fp", "doc_id")
       val q = src.writeStream
@@ -165,8 +182,7 @@ object StreamOps extends QueryModule {
       val c = streamSession(s, 8)
       import c.implicits._
       val sch = eventsSchema(c, d)
-      val src = c.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = streamTable(c, d, "events", sch)
         .select(col("event_id"), col("user_id"), col("event_type"),
                 F.od(F.dec2(col("value"))).as("value"))
       var state = Seq.empty[(Long, Long, String, Double)]
@@ -252,8 +268,7 @@ object StreamOps extends QueryModule {
       val c = streamSession(s, 4)
       val sch = eventsSchema(c, d)
       // file stream source lists a DIRECTORY; select just the events table
-      val src = c.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = streamTable(c, d, "events", sch)
       val agg = src
         .select(T.tsUs(col("ts")).as("ts"), col("event_type"))
         .withWatermark("ts", "10 minutes")
@@ -282,8 +297,7 @@ object StreamOps extends QueryModule {
       val c = streamSession(s, 4)
       import c.implicits._
       val sch = eventsSchema(c, d)
-      val src = c.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = streamTable(c, d, "events", sch)
         .select(col("user_id"), col("event_id")).as[(Long, Long)]
       val profiled = src.groupByKey(_._1)
         .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
@@ -327,8 +341,7 @@ object StreamOps extends QueryModule {
       val sch = eventsSchema(c, d)
       val dim = T.customer(c, d)
         .select(col("c_custkey"), col("c_mktsegment"))
-      val src = c.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = streamTable(c, d, "events", sch)
         .select(col("event_id"), col("user_id"), col("event_type"),
                 col("value"))
       val enriched = src.join(broadcast(dim),
@@ -373,8 +386,7 @@ object StreamOps extends QueryModule {
     // ONE source self-joined: both sides reference the same streaming
     // relation (a supported streaming self-join), so each micro-batch
     // lists and reads the parquet once instead of twice
-    val src = c.readStream.schema(sch)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val src = streamTable(c, d, "events", sch)
       .select(col("event_id"), col("user_id"), col("event_type"),
               T.tsUs(col("ts")).as("ts"))
     val views = src.filter(col("event_type") === "view")
@@ -404,8 +416,7 @@ object StreamOps extends QueryModule {
       // the full stream; duplicate-drop behavior is pinned in StreamSpec.
       val c = streamSession(s, 8)
       val sch = eventsSchema(c, d)
-      val src = c.readStream.schema(sch)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = streamTable(c, d, "events", sch)
       val dedup = src
         .select(col("event_id"), col("user_id"), col("event_type"),
                 T.tsUs(col("ts")).as("ts"))
