@@ -74,8 +74,10 @@ class EmptyInputSpec extends SparkSpec {
     "q99_dedup_spans", "q100_shuffle_shard", "q101_text_bm25",
     "q38_agg_incremental", "q104_multimodal_chunks", "q103_dedup_fuzzy",
     "q106_dedup_prefix", "q107_json_variant", "q108_xml_roundtrip",
-    // round-9 additions: containment, kNN ranking, incremental gate
-    "q111_dedup_containment", "q112_sim_knn_rank", "q113_dedup_incremental")
+    // round-9 additions: containment, kNN ranking, incremental gate,
+    // streaming fingerprint index, tempered mixture
+    "q111_dedup_containment", "q112_sim_knn_rank", "q113_dedup_incremental",
+    "q114_stream_dedup_index", "q115_mix_temperature")
 
   for (name <- families)
     test(s"$name returns an empty result on a zero-row shard") {
