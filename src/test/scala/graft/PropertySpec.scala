@@ -241,6 +241,53 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q113 incremental gate matches a sequential reference, any corpus") {
+    import spark.implicits._
+    // random corpora over a tiny token universe (forces shingle overlap
+    // AND occasional verbatim-equal texts, so all three verdict arms and
+    // both witness rules get exercised beyond the fixture's planted split)
+    val corpus: Gen[List[(Long, String)]] =
+      Gen.listOfN(14, Gen.chooseNum(3, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("u", "v", "w", "x")).map(_.mkString(" "))))
+        .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    def sh3(t: String): Set[String] = {
+      val tk = t.split(" ")
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    check(Prop.forAll(corpus) { docs =>
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val got = ops.Dedup.incrementalDedup(df).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // sequential reference: same split + donor substitution, exact =
+      // text equality against the base, near = 3-shingle Jaccard >= 0.5
+      val byId = docs.toMap
+      val base = docs.filter(_._1 % 10 != 0)
+      val want = docs.filter(_._1 % 10 == 0).map { case (id, own) =>
+        val text =
+          if (id % 30 == 0) byId.getOrElse(id + 1, own) else own
+        val exact = base.filter(_._2 == text).map(_._1).sorted.headOption
+        lazy val near = {
+          val a = sh3(text)
+          base.filter { case (_, bt) =>
+            val b = sh3(bt); val in = (a & b).size
+            val un = (a | b).size
+            un > 0 && in.toDouble / un.toDouble >= 0.5
+          }.map(_._1).sorted.headOption
+        }
+        (exact, near) match {
+          case (Some(w), _) => (id, "exact_dup", w)
+          case (None, Some(w)) => (id, "near_dup", w)
+          case _ => (id, "new", -1L)
+        }
+      }.toSet
+      got == want
+    })
+  }
+
   test("graft_sorted_inter_count == size(array_intersect) on sorted arrays") {
     import spark.implicits._
     // random MULTISETS (duplicates deliberate — equal runs must count
