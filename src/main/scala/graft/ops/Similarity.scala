@@ -618,6 +618,48 @@ object Similarity extends QueryModule {
         .orderBy(col("vec_id"))
     }),
 
+    "q116_sim_ivf_batch" -> ((s, d) => {
+      // BATCH IVF serving — the kNN-JOIN shape: q67/q110 serve ONE query
+      // vector; a production recall/eval job serves a query SET in one
+      // job. Each query ranks the broadcast centroids for its own 4
+      // probe cells (no driver-side probe resolution — the per-query
+      // probe list is data, not literals), the (query, cell) pairs join
+      // the cid-partitioned serving table ON cid — so a task scans only
+      // the cells its queries probe, the index-side analog of q67's
+      // pruned scan — and a rank<=10 window per query keeps the top-k
+      // (WindowGroupLimit, q31's shape: no task holds more than k rows
+      // per query). Same IVF semantics as q67 per query, so the oracle
+      // replays assignment + per-query probes + ranking in SQL and the
+      // whole batch path is hash-checked. At 100 TB: queries ~ batch-
+      // sized (broadcast), serving table cell-partitioned; cost =
+      // sum over queries of probed-cell sizes, never |queries| x corpus.
+      val e = T.embeddings(s, d)
+      val queries = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val cent = ivfCentroids(s, d)
+        .select(col("cid"), col("qv").as("cv"))
+      val wProbe = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+      val probes = queries.crossJoin(broadcast(cent))
+        .select(col("qid"), col("qv"), col("cid"),
+                expr("graft_cosine(cv, qv)").as("ccos"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 4)
+        .select(col("qid"), col("qv"), col("cid"))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+      probes.join(ivfServing(s, d), Seq("cid"))
+        .select(col("qid"), col("vec_id"),
+                expr("graft_cosine(embedding, qv)").as("cos"))
+        .select(col("qid"), col("vec_id"),
+                floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .withColumn("rk", row_number().over(wk).cast(LongType))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("rk"), col("vec_id"), col("cos_micro"))
+        .orderBy(col("qid"), col("rk"))
+    }),
+
     "q112_sim_knn_rank" -> ((s, d) => {
       // Per-vector NEAREST-DUPLICATE RANKING: each vector's top-3 verified
       // near-dup neighbors (cos >= 0.85) by descending similarity — the
@@ -768,6 +810,50 @@ object Similarity extends QueryModule {
         |  FROM u a JOIN u b ON a.vec_id < b.vec_id)
         |SELECT i, j, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
         |FROM p WHERE cos >= 0.85 ORDER BY i, j""".stripMargin,
+
+    // q67's oracle machinery over a query SET: same fixed centroids and
+    // assignment, per-query probe ranking, per-query top-10 on the
+    // floored micro value
+    "q116_sim_ivf_batch" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+        |qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |asg AS (
+        |  SELECT vec_id, cid, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+        |  FROM (SELECT e.vec_id, c.cid,
+        |      list_sum(list_transform(range(len(e.embedding)),
+        |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(c.cv[k+1] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |    FROM embeddings e, c)),
+        |probe AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid, row_number() OVER (
+        |      PARTITION BY qid ORDER BY ccos DESC, cid ASC) AS rn
+        |    FROM (SELECT qs.qid, c.cid,
+        |        list_sum(list_transform(range(len(c.cv)),
+        |          k -> CAST(c.cv[k+1] AS DOUBLE) * CAST(qs.qv[k+1] AS DOUBLE)))
+        |        / (sqrt(list_sum(list_transform(c.cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |         * sqrt(list_sum(list_transform(qs.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS ccos
+        |      FROM c, qs))
+        |  WHERE rn <= 4),
+        |scored AS (
+        |  SELECT p.qid, a.vec_id,
+        |    CAST(floor((
+        |      list_sum(list_transform(range(len(e.embedding)),
+        |        k -> CAST(e.embedding[k+1] AS DOUBLE) * CAST(qs.qv[k+1] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(qs.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+        |      ) * 1000000) AS BIGINT) AS cos_micro
+        |  FROM probe p
+        |  JOIN asg a ON a.cid = p.cid AND a.rn = 1
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  JOIN qs ON qs.qid = p.qid),
+        |r AS (SELECT qid, vec_id, cos_micro, row_number() OVER (
+        |        PARTITION BY qid ORDER BY cos_micro DESC, vec_id ASC) AS rk
+        |      FROM scored)
+        |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id, cos_micro
+        |FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin,
 
     // q75's corpus + cosine spelling verbatim; ranking on the floored
     // micro value so tie order is engine-independent
