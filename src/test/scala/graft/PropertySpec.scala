@@ -293,6 +293,8 @@ class PropertySpec extends SparkSpec {
     // random MULTISETS (duplicates deliberate — equal runs must count
     // once), sorted as sort_array would, over strings and longs; empty
     // arrays included. array_intersect is the semantics oracle.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
     val arr: Gen[List[String]] =
       Gen.listOf(Gen.oneOf("a", "b", "bb", "c", "d", "", "é")).map(_.sorted)
     check(Prop.forAll(arr, arr) { (x, y) =>
@@ -301,7 +303,13 @@ class PropertySpec extends SparkSpec {
           expr("graft_sorted_inter_count(x, y)").as("walk"),
           size(array_intersect(col("x"), col("y"))).cast("long").as("ref"))
         .head()
-      row.getLong(0) == row.getLong(1)
+      // the INTERPRETED path too (direct eval on literals): the DataFrame
+      // route compiles the codegen body, and a fallback to nullSafeEval
+      // must agree with it — a divergence here is a silent wrong answer
+      val interp = graft.expressions.SortedIntersectCount(
+        Literal.create(x, ArrayType(StringType)),
+        Literal.create(y, ArrayType(StringType))).eval(null)
+      row.getLong(0) == row.getLong(1) && interp == row.getLong(0)
     })
     val larr: Gen[List[Long]] =
       Gen.listOf(Gen.chooseNum(-5L, 5L)).map(_.sorted)
@@ -311,7 +319,10 @@ class PropertySpec extends SparkSpec {
           expr("graft_sorted_inter_count(x, y)").as("walk"),
           size(array_intersect(col("x"), col("y"))).cast("long").as("ref"))
         .head()
-      row.getLong(0) == row.getLong(1)
+      val interp = graft.expressions.SortedIntersectCount(
+        Literal.create(x, ArrayType(LongType)),
+        Literal.create(y, ArrayType(LongType))).eval(null)
+      row.getLong(0) == row.getLong(1) && interp == row.getLong(0)
     })
   }
 
