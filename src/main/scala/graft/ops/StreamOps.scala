@@ -218,6 +218,34 @@ object StreamOps extends QueryModule {
           col("event_type"), col("n"))
         .orderBy(col("win_start"), col("event_type"))),
 
+    "q117_assemble_sessions" -> ((s, d) =>
+      // Session TRANSCRIPT assembly — the sample-assembly step of a
+      // chat/agent training pipeline: each user session becomes ONE
+      // ordered document ("type:cents" turns joined by '|'), the op that
+      // turns an event log into training text (q72 aggregates the same
+      // sessions; this one EMITS them). Within-session order is the
+      // (ts, event_id) struct sort — never collect order, which is
+      // partition-arrival-dependent; values render as exact integer
+      // cents (DECIMAL×100 → BIGINT) so both engines print identical
+      // turns. One shuffle on the session key, per-key ordered merge;
+      // transcript size is bounded by a session's own events — state
+      // identical to q72's at 100 TB, and the same operator runs under
+      // Structured Streaming with a watermark.
+      ev(s, d)
+        .withColumn("part",
+          concat(col("event_type"), lit(":"),
+            (F.dec2(col("value")) * 100).cast(LongType).cast(StringType)))
+        .groupBy(col("user_id"),
+                 session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          expr("concat_ws('|', transform(array_sort(" +
+            "collect_list(struct(ts, event_id, part))), x -> x.part))")
+            .as("transcript"))
+        .select(col("user_id"), F.ts6(col("w.start")).as("sess_start"),
+          col("n"), col("transcript"),
+          length(col("transcript")).cast(LongType).as("n_chars"))
+        .orderBy(col("user_id"), col("sess_start"))),
+
     "q72_stream_session" -> ((s, d) =>
       // Session = [first event, last event + gap); a new session starts when
       // the inter-event gap is >= 30 min (event at exactly start+gap falls
@@ -529,6 +557,33 @@ object StreamOps extends QueryModule {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, sess_start""".stripMargin
+        |ORDER BY user_id, sess_start""".stripMargin,
+
+    // q72's session reconstruction + an ORDERED string_agg: the transcript
+    // concatenates in (ts, event_id) order in both engines, and the turn
+    // values are exact integer cents — no float rendering anywhere
+    "q117_assemble_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             event_type,
+        |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM events),
+        |m AS (SELECT user_id, event_id, ts, event_type, cents,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |             OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |g AS (SELECT user_id, event_id, ts, event_type, cents,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |t AS (SELECT user_id,
+        |        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |        count(*) AS n,
+        |        string_agg(event_type || ':' || CAST(cents AS VARCHAR), '|'
+        |                   ORDER BY ts, event_id) AS transcript
+        |      FROM g GROUP BY user_id, sid)
+        |SELECT user_id, sess_start, n, transcript,
+        |  CAST(length(transcript) AS BIGINT) AS n_chars
+        |FROM t ORDER BY user_id, sess_start""".stripMargin
   )
 }
