@@ -151,6 +151,35 @@ object Corpus extends QueryModule {
         min(col("doc_id")).as("doc_lo"), max(col("doc_id")).as("doc_hi"))
   }
 
+  /** Per-DOCUMENT packing manifest (q118) — the artifact a dataloader
+    * actually consumes: [[packSequences]] summarizes each pack; training
+    * needs the inverse map, doc → (pack, in-pack offset), so sample
+    * boundaries and attention masks can be rebuilt at read time without
+    * re-tokenizing. Same greedy boundary rule and window machinery as
+    * q91 (cumulative tokens over (lang, shard) in doc order), one extra
+    * stateless projection: offset = tok_before − pack_no·binTokens.
+    * All-integer arithmetic, so the oracle reproduces every row exactly;
+    * CorpusSpec pins manifest↔summary consistency (per-pack doc counts
+    * and token sums agree with q91, offsets tile each pack gaplessly).
+    * 100 TB shape: identical to q91 — the window partitions are bounded
+    * at `shardDocs` documents BY CONSTRUCTION, never corpus-sized. */
+  def packManifest(docs: DataFrame, binTokens: Int = 512,
+                   shardDocs: Int = 100): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") / shardDocs).cast(LongType).as("shard"),
+        F.nTokens(col("text")).as("n_toks"))
+      .withColumn("tok_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("pack_no", expr(s"tok_before DIV $binTokens"))
+      .withColumn("offset",
+        col("tok_before") - col("pack_no") * lit(binTokens.toLong))
+      .select(col("lang"), col("shard"), col("pack_no"), col("doc_id"),
+        col("n_toks"), col("offset"))
+  }
+
   /** Data-mixture report: per (source, lang) document/token/char counts
     * plus each cell's exact micro-unit share of the corpus token budget —
     * the mixture table every pretraining run is configured from.
@@ -433,6 +462,10 @@ object Corpus extends QueryModule {
     "q115_mix_temperature" -> ((s, d) =>
       mixTemperature(T.documents(s, d)).orderBy(col("lang"))),
 
+    "q118_pack_manifest" -> ((s, d) =>
+      packManifest(T.documents(s, d))
+        .orderBy(col("lang"), col("shard"), col("pack_no"), col("doc_id"))),
+
     "q89_text_tfidf" -> ((s, d) =>
       tfidfTopK(T.documents(s, d)).orderBy(col("lang"), col("rk"))),
 
@@ -559,6 +592,24 @@ object Corpus extends QueryModule {
         |  min(doc_id) AS doc_lo, max(doc_id) AS doc_hi
         |FROM r GROUP BY lang, shard, tok_before // 512
         |ORDER BY lang, shard, pack_no""".stripMargin,
+
+    // q91's window machinery, inverted to the per-doc manifest — all
+    // integer arithmetic, reproduced exactly
+    "q118_pack_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, doc_id // 100 AS shard,
+        |    len(string_split(text, ' ')) AS n_toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, shard, n_toks,
+        |    coalesce(sum(n_toks) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_before
+        |  FROM d)
+        |SELECT lang, shard, CAST(tok_before // 512 AS BIGINT) AS pack_no,
+        |  doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        |  CAST(tok_before - (tok_before // 512) * 512 AS BIGINT) AS offset
+        |FROM r ORDER BY lang, shard, pack_no, doc_id""".stripMargin,
 
     "q92_mix_report" ->
       """WITH cell AS (

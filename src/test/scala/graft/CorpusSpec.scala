@@ -190,6 +190,36 @@ class CorpusSpec extends SparkSpec {
     assert(out.sameElements(again))
   }
 
+  test("q118 manifest tiles packs gaplessly and agrees with q91 summaries") {
+    val man = SparkEntry.queries("q118_pack_manifest")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(man.nonEmpty)
+    // offsets live inside the bin
+    assert(man.forall { case (_, _, _, _, _, off) => off >= 0 && off < 512 })
+    // global tiling identity per (lang, shard): pack_no*512 + offset is
+    // EXACTLY the running token sum over preceding docs — no gaps, no
+    // overlaps, under the same greedy boundary rule as q91
+    man.groupBy(m => (m._1, m._2)).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._4).foreach { case (_, _, pack, _, nt, off) =>
+        assert(pack * 512 + off == cum, s"manifest must tile: $rows")
+        cum += nt
+      }
+    }
+    // per-pack doc counts and token sums agree with the q91 summaries
+    val sums = SparkEntry.queries("q91_pack_sequences")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    val byPack = man.groupBy(m => (m._1, m._2, m._3))
+    assert(byPack.keySet == sums.keySet)
+    byPack.foreach { case (k, rows) =>
+      val (nd, tk) = sums(k)
+      assert(rows.length == nd && rows.map(_._5).sum == tk,
+        s"manifest and summary disagree for pack $k")
+    }
+  }
+
   test("q115 tempering: rates fall with stratum mass, lightest keeps all") {
     val out = SparkEntry.queries("q115_mix_temperature")(spark, sf).collect()
     assert(out.length >= 2, "tempering needs at least two strata to mean anything")
