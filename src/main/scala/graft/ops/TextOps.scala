@@ -315,6 +315,45 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
+    "q119_quality_gate" -> ((s, d) => {
+      // Quantile quality GATING — q69 scores, this DECIDES: keep each
+      // language's top half by stop-ratio (the FineWeb-style quantile
+      // gate; an absolute threshold breaks whenever the score
+      // distribution shifts per lang/source, a per-stratum quantile
+      // doesn't). The per-lang threshold is the exact NEAREST-RANK
+      // median (q88's spelling — max score at rank ⌈n/2⌉ under the
+      // (score, doc_id) total order) joined back BROADCAST; the gate
+      // itself is a stateless filter, so at scale only the threshold
+      // computation ranks — and it swaps for q88's approx_percentile
+      // twin under the same contract when the strata outgrow exact
+      // ranking. Token-free documents score 0 (coalesce — gated low,
+      // never NULL-dropped silently).
+      val scored = T.documents(s, d)
+        .withColumn("toks", split(col("text"), "[^a-z0-9]+"))
+        .withColumn("n_tok", size(col("toks")).cast(LongType))
+        .withColumn("n_stop", size(expr(
+          "filter(toks, t -> array_contains(array('the','a','of','to','and'), t))"))
+          .cast(LongType))
+        .select(col("doc_id"), col("lang"),
+          coalesce(
+            expr("CAST(n_stop * 1000000 DIV nullif(n_tok, 0) AS BIGINT)"),
+            lit(0L)).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("q").asc, col("doc_id").asc)
+      val th = scored
+        .withColumn("rk", row_number().over(w).cast(LongType))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("lang")))
+          .cast(LongType))
+        .groupBy(col("lang"))
+        .agg(max(when(col("rk") === expr("(n * 50 + 99) DIV 100"), col("q")))
+          .as("p50"))
+      scored.join(broadcast(th), Seq("lang"))
+        .filter(col("q") >= col("p50"))
+        .select(col("doc_id"), col("lang"), col("q"), col("p50"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q94_text_repetition" -> ((s, d) => {
       // Within-document repetition signals (the Gopher-rule family): the
       // duplicate-token and duplicate-2-gram fractions a quality filter
@@ -526,6 +565,29 @@ object TextOps extends QueryModule {
         |  coalesce(b.plang, 'und') = d.lang AS correct
         |FROM documents d LEFT JOIN best b USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q69's score + q88's nearest-rank spelling + a broadcast-joined gate
+    "q119_quality_gate" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             regexp_split_to_array(text, '[^a-z0-9]+') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        coalesce(CAST(len(list_filter(toks,
+        |            x -> list_contains(['the','a','of','to','and'], x))) AS BIGINT)
+        |          * 1000000 // nullif(CAST(len(toks) AS BIGINT), 0), 0) AS q
+        |      FROM t),
+        |r AS (SELECT doc_id, lang, q,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY q ASC, doc_id ASC) AS rk,
+        |        count(*) OVER (PARTITION BY lang) AS n
+        |      FROM s),
+        |th AS (SELECT lang,
+        |         max(CASE WHEN rk = (n * 50 + 99) // 100 THEN q END) AS p50
+        |       FROM r GROUP BY lang)
+        |SELECT s.doc_id, s.lang, s.q, th.p50
+        |FROM s JOIN th USING (lang)
+        |WHERE s.q >= th.p50
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q69_text_quality" ->
       """WITH t AS (SELECT doc_id, lang, n_chars, text,

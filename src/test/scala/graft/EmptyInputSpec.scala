@@ -78,7 +78,7 @@ class EmptyInputSpec extends SparkSpec {
     // streaming fingerprint index, tempered mixture
     "q111_dedup_containment", "q112_sim_knn_rank", "q113_dedup_incremental",
     "q114_stream_dedup_index", "q115_mix_temperature", "q116_sim_ivf_batch",
-    "q117_assemble_sessions", "q118_pack_manifest")
+    "q117_assemble_sessions", "q118_pack_manifest", "q119_quality_gate")
 
   for (name <- families)
     test(s"$name returns an empty result on a zero-row shard") {
