@@ -289,11 +289,19 @@ object Corpus extends QueryModule {
         (col("w") / col("w_total")) /
           (col("tok_sum").cast(DoubleType) / col("tok_total").cast(DoubleType)))
     val rmax = sh.agg(max(col("ratio")).as("ratio_max"))
+    // the stats chain (cell → w/totals → ratio → rate) is consumed by
+    // BOTH the gate join and the final report, and Spark reuses none of
+    // it: the un-checkpointed plan re-derived the stratum stats 13
+    // parquet-scans deep (round-9 Plans audit). The frame is
+    // strata-bounded (≤ #langs rows), so materializing it once is the
+    // same call the probe-cell/codebook caches make — one tiny job at
+    // construction, every arm reads the checkpoint.
     val rated = sh.crossJoin(broadcast(rmax))
       .withColumn("rate_micro",
         floor(col("ratio") / col("ratio_max") * lit(1000000.0)).cast(LongType))
       .withColumn("thresh16",
         expr("CAST(rate_micro * 65536 DIV 1000000 AS BIGINT)"))
+      .localCheckpoint(true)
     val kept = t
       .join(broadcast(rated.select(col("lang"), col("thresh16"))), Seq("lang"))
       .withColumn("hk16", expr(
