@@ -677,6 +677,12 @@ object Similarity extends QueryModule {
       // no task holds more than k rows per vector.
       val u = srpCorpus(s, d)
       val cand = srpCandidates(u)
+      // materialize the verified pair list BEFORE symmetrizing: the union
+      // consumes it twice, and un-checkpointed that re-runs the whole
+      // banded candidate build + cosine verify per branch (16 parquet
+      // scans in the round-9 plan audit; the x10 probe paid the verify
+      // twice). Post-verify rows are three longs each — pinning them is
+      // nearly free, and the expensive verify runs once.
       val pairs = cand
         .join(u.select(col("vec_id").as("i"), col("emb").as("ei")), Seq("i"))
         .join(u.select(col("vec_id").as("j"), col("emb").as("ej")), Seq("j"))
@@ -684,6 +690,7 @@ object Similarity extends QueryModule {
         .filter(col("cos") >= 0.85)
         .select(col("i"), col("j"),
                 floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .localCheckpoint(true)
       val sym = pairs
         .select(col("i").as("vec_id"), col("j").as("nb"), col("cos_micro"))
         .unionByName(pairs
