@@ -142,7 +142,10 @@ object ScaleProbe {
       // and tempered mixture sampling
       "q110_sim_ivf_trained", "q111_dedup_containment", "q112_sim_knn_rank",
       "q113_dedup_incremental", "q114_stream_dedup_index",
-      "q115_mix_temperature", "q116_sim_ivf_batch")
+      "q115_mix_temperature", "q116_sim_ivf_batch",
+      // round-9-end additions: transcript assembly over the x10 time
+      // axis, the packing manifest, the quantile gate
+      "q117_assemble_sessions", "q118_pack_manifest", "q119_quality_gate")
     val results = family.map { name =>
       val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
       println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")
