@@ -92,16 +92,41 @@ object Layout {
     fs.delete(preMarkPath(s, table), false)
   }
 
+  /** The marker discipline shared by every staging write. Ordering is
+    * load-bearing: a location that SURVIVES `dropStaleLocation` is either
+    * catalog-owned (a normal overwrite) or FOREIGN — and a foreign dir must
+    * never receive the pre-marker, because an orphaned sentinel would brand
+    * it a torn write and the NEXT restage would reclaim (destroy) it.
+    * Likewise a write that fails without ever creating the location retires
+    * its own sentinel: there is nothing torn to reclaim, and leaving the
+    * sentinel would taint whatever collides with the name later. A write
+    * that fails AFTER creating files keeps the sentinel — that is exactly
+    * the torn write the recovery path exists for. */
+  private def stagedWrite(df: DataFrame, table: String)(write: => Unit): Unit = {
+    dropStaleLocation(df, table)
+    val s = df.sparkSession
+    val loc = tableLoc(s, table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val foreign = fs.exists(loc) && !s.catalog.tableExists(table)
+    if (!foreign) preMark(df, table)
+    try write
+    catch {
+      case e: Throwable =>
+        if (!foreign && !fs.exists(loc))
+          fs.delete(preMarkPath(s, table), false)
+        throw e
+    }
+    markStaged(df, table)
+  }
+
   /** Stage a plain (unbucketed, unpartitioned) parquet table — for
     * derived artifacts whose consumers don't key on any one column (e.g.
     * the SimHash signature index, read via a band explode+join). Same
     * staleness/marker discipline as the layout-bearing stagings. */
-  def stageTable(df: DataFrame, table: String): Unit = {
-    dropStaleLocation(df, table)
-    preMark(df, table)
-    df.write.mode("overwrite").format("parquet").saveAsTable(table)
-    markStaged(df, table)
-  }
+  def stageTable(df: DataFrame, table: String): Unit =
+    stagedWrite(df, table) {
+      df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    }
 
   /** Stage a table bucketed+sorted on its join key. Two tables staged with
     * the same bucket count join with NO Exchange on either side (verified
@@ -109,16 +134,14 @@ object Layout {
     * every subsequent join/aggregation on `key` from a full shuffle into a
     * per-bucket local merge. */
   def stageBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
-    dropStaleLocation(df, table)
-    preMark(df, table)
-    df.write.mode("overwrite")
-      .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .saveAsTable(table)
-    markStaged(df, table)
-  }
+                    buckets: Int): Unit =
+    stagedWrite(df, table) {
+      df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    }
 
   /** Stage a table hive-partitioned by DAY, derived from a date column in
     * the CMS `yyyyMMdd` convention (the reference keeps claim/discharge
@@ -136,15 +159,13 @@ object Layout {
   /** Stage a table hive-partitioned by an existing column (e.g. IVF cell id
     * `cid` for the q67 serving layout): reads filtered on `partCol` prune
     * to the matching directories. */
-  def stagePartitionedBy(df: DataFrame, table: String, partCol: String): Unit = {
-    dropStaleLocation(df, table)
-    preMark(df, table)
-    df.write.mode("overwrite")
-      .format("parquet")
-      .partitionBy(partCol)
-      .saveAsTable(table)
-    markStaged(df, table)
-  }
+  def stagePartitionedBy(df: DataFrame, table: String, partCol: String): Unit =
+    stagedWrite(df, table) {
+      df.write.mode("overwrite")
+        .format("parquet")
+        .partitionBy(partCol)
+        .saveAsTable(table)
+    }
 
   /** The parquet scans actually executed by `plan` (descending into the
     * adaptively re-planned tree when AQE wrapped it — including through

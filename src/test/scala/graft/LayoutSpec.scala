@@ -305,5 +305,31 @@ class LayoutSpec extends SparkSpec {
     intercept[Exception] { Layout.stageTable(df, "foreign_tbl") }
     assert(JF.readString(JP.get(s"$wh/foreign_tbl/precious.txt")) == "not ours",
       "a refused staging must leave the foreign directory untouched")
+    // 3b) RETRY after the refusal — the A22 restart discipline. The failed
+    // attempt must not have orphaned a pre-marker that brands the foreign
+    // dir a torn write: the second attempt must ALSO refuse, and the
+    // foreign bytes must still be there afterwards.
+    assert(!JF.exists(JP.get(s"$wh/_graft_staging_foreign_tbl")),
+      "a refused foreign staging must not leave a pre-marker behind")
+    intercept[Exception] { Layout.stageTable(df, "foreign_tbl") }
+    assert(JF.readString(JP.get(s"$wh/foreign_tbl/precious.txt")) == "not ours",
+      "a RETRIED refused staging must still leave the foreign directory " +
+        "untouched (an orphaned pre-marker would have reclaimed it)")
+    // 3c) a failed write that never created the location retires its own
+    // sentinel, so a LATER foreign collider is not tainted either: simulate
+    // by staging a frame whose job fails before any file lands
+    import org.apache.spark.sql.functions.udf
+    val boom = udf((_: Long) => {
+      if (System.nanoTime() != 0L) throw new RuntimeException("boom"); 0L
+    })
+    intercept[Exception] {
+      Layout.stageTable(
+        df.withColumn("x", boom(org.apache.spark.sql.functions.lit(1L))),
+        "failed_tbl")
+    }
+    assert(!JF.exists(JP.get(s"$wh/_graft_staging_failed_tbl")) ||
+      JF.exists(JP.get(s"$wh/failed_tbl")),
+      "a write that failed without creating the location must retire the " +
+        "pre-marker; one that left files keeps it (torn-write recovery)")
   }
 }
