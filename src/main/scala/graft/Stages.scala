@@ -62,14 +62,21 @@ object Stages {
     val tmp = zipDir.resolve("dim.zip.tmp")
     val zos = new java.util.zip.ZipOutputStream(
       java.nio.file.Files.newOutputStream(tmp))
-    java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/dim_csv")).toArray
-      .map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.endsWith(".csv"))
-      .foreach { p =>
-        zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
-        zos.write(java.nio.file.Files.readAllBytes(p))
-        zos.closeEntry()
-      }
+    // NOTE: the zip packing addresses `work` through java.nio directly —
+    // unlike the FS-API handoffs, this stage requires a LOCAL work dir
+    // (fine for the single-node archive-landing step it models)
+    scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/dim_csv"))) {
+      stream =>
+        stream.toArray
+          .map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".csv"))
+          .foreach { p =>
+            zos.putNextEntry(new java.util.zip.ZipEntry(p.getFileName.toString))
+            zos.write(java.nio.file.Files.readAllBytes(p))
+            zos.closeEntry()
+          }
+    }
     zos.close()
     java.nio.file.Files.move(tmp, zipDir.resolve("dim.zip"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -118,9 +125,11 @@ object Stages {
   def derive(spark: SparkSession, work: String): Unit = {
     Ingest.assertNonEmptyPath(spark, s"$work/load_claims")
     Ingest.assertNonEmptyPath(spark, s"$work/load_dim")
-    // table names carry the work-dir hash: two pipelines sharing one
-    // session (suite + demo) must not overwrite each other's staging
-    val sfx = (work.hashCode.toLong & 0xffffffffL).toString
+    // table names carry the sanitized work-dir path: two pipelines sharing
+    // one session (suite + demo) must not overwrite each other's staging,
+    // and a 32-bit hash could collide into exactly that overwrite — the
+    // full path cannot (csvStageOnce/ivfServing use the same convention)
+    val sfx = work.replaceAll("[^A-Za-z0-9]", "_")
     ops.Layout.stageBucketed(spark.read.parquet(s"$work/load_claims"),
       s"pipeline_claims_b_$sfx", "l_orderkey", 8)
     ops.Layout.stageBucketed(spark.read.parquet(s"$work/load_dim"),

@@ -274,6 +274,23 @@ object Corpus extends QueryModule {
     * map-side combine; the Σ√/max/total frames are tiny broadcasts; the
     * accept filter is one stateless scan (each doc hashes its own id) —
     * no corpus-sized shuffle anywhere. */
+  /** The registered q115 frame per (session, fixture dir): the `rated`
+    * checkpoint inside [[mixTemperature]] pins a (tiny, strata-bounded)
+    * RDD per construction; the fixture is immutable, so the constructed
+    * frame is memoized like Similarity's probe-cell/codebook caches —
+    * one pinned block set per (session, dir), weak keys unpin stopped
+    * sessions. Direct [[mixTemperature]] callers (tests, ad-hoc frames)
+    * are unaffected. */
+  private val mixTempCache =
+    new scala.collection.mutable.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+  private[graft] def mixTemperatureCached(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    synchronized {
+      mixTempCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, mixTemperature(T.documents(s, d)))
+    }
+
   def mixTemperature(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast(LongType).as("n_toks"))
@@ -468,7 +485,7 @@ object Corpus extends QueryModule {
       rebalanceMix(T.documents(s, d)).orderBy(col("source"))),
 
     "q115_mix_temperature" -> ((s, d) =>
-      mixTemperature(T.documents(s, d)).orderBy(col("lang"))),
+      mixTemperatureCached(s, d).orderBy(col("lang"))),
 
     "q118_pack_manifest" -> ((s, d) =>
       packManifest(T.documents(s, d))

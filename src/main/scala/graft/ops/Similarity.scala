@@ -471,6 +471,37 @@ object Similarity extends QueryModule {
       .getOrElseUpdate((d, iters), pqCodebooks(s, d, iters).localCheckpoint(true))
   }
 
+  /** q112's verified near-dup pair list, materialized ONCE per (session,
+    * fixture dir). The symmetrizing union consumes the list twice, and
+    * un-checkpointed that re-runs the whole banded candidate build +
+    * cosine verify per branch (16 parquet scans in the round-9 plan
+    * audit). Post-verify rows are three longs each — pinning them is
+    * nearly free — but an eager checkpoint at query CONSTRUCTION with no
+    * release pinned one RDD per construction (every Bench run, every
+    * Plans audit). The fixture is immutable, so the checkpoint is memoized
+    * like the probe-cell / codebook caches: one pinned block set per
+    * (session, dir) for the session's lifetime, weak keys unpin stopped
+    * sessions. */
+  private val knnPairCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+  private[graft] def knnVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      knnPairCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, {
+          val u = srpCorpus(s, d)
+          val cand = srpCandidates(u)
+          cand
+            .join(u.select(col("vec_id").as("i"), col("emb").as("ei")), Seq("i"))
+            .join(u.select(col("vec_id").as("j"), col("emb").as("ej")), Seq("j"))
+            .select(col("i"), col("j"), expr("graft_cosine(ei, ej)").as("cos"))
+            .filter(col("cos") >= 0.85)
+            .select(col("i"), col("j"),
+                    floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+            .localCheckpoint(true)
+        })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_sim_pq" -> ((s, d) => {
       // PQ encoding of the corpus: 2 Lloyd rounds per subspace (trained
@@ -675,22 +706,7 @@ object Similarity extends QueryModule {
       // let two engines order two values that floor equal differently).
       // The window plans map-side WindowGroupLimit pruning (q31's shape):
       // no task holds more than k rows per vector.
-      val u = srpCorpus(s, d)
-      val cand = srpCandidates(u)
-      // materialize the verified pair list BEFORE symmetrizing: the union
-      // consumes it twice, and un-checkpointed that re-runs the whole
-      // banded candidate build + cosine verify per branch (16 parquet
-      // scans in the round-9 plan audit; the x10 probe paid the verify
-      // twice). Post-verify rows are three longs each — pinning them is
-      // nearly free, and the expensive verify runs once.
-      val pairs = cand
-        .join(u.select(col("vec_id").as("i"), col("emb").as("ei")), Seq("i"))
-        .join(u.select(col("vec_id").as("j"), col("emb").as("ej")), Seq("j"))
-        .select(col("i"), col("j"), expr("graft_cosine(ei, ej)").as("cos"))
-        .filter(col("cos") >= 0.85)
-        .select(col("i"), col("j"),
-                floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
-        .localCheckpoint(true)
+      val pairs = knnVerifiedPairs(s, d)
       val sym = pairs
         .select(col("i").as("vec_id"), col("j").as("nb"), col("cos_micro"))
         .unionByName(pairs
