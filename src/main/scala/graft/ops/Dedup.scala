@@ -235,60 +235,177 @@ object Dedup extends QueryModule {
       .select(col("i"), col("j"), col("inter"), col("ni"), col("cont"))
   }
 
-  /** INCREMENTAL dedup — q113: a new batch of documents deduped against
-    * the STANDING corpus, the operational mode a 100 TB pipeline actually
-    * runs (you never re-dedup the whole corpus; you gate each day's
-    * increment against it). Fixture split: base = doc_id % 10 ≠ 0 (the
-    * corpus), batch = % 10 = 0 (the increment), with exact duplicates
-    * PLANTED into the batch (every 30th doc, see below) so all three
-    * verdict arms fire on the fixture. Verdict per batch doc, strongest
-    * first:
+  /** INCREMENTAL dedup — q113/q120: a new batch of documents deduped
+    * against the STANDING corpus, the operational mode a 100 TB pipeline
+    * actually runs (you never re-dedup the whole corpus; you gate each
+    * day's increment against it). Fixture split: base = doc_id % 10 ≠ 0
+    * (the corpus), batch = % 10 = 0 (the increment), with exact
+    * duplicates PLANTED into the batch (every 30th doc, see below) so all
+    * three verdict arms fire on the fixture. Verdict per batch doc,
+    * strongest first:
     *  - `exact_dup` — md5(text) already present in the base; witness =
     *    the smallest base doc with that fingerprint (q81's 16-byte-key
     *    discipline: text never crosses an Exchange);
     *  - `near_dup` — Jaccard(3-shingles) ≥ 0.5 against some base doc;
     *    witness = the smallest such base doc;
     *  - `new` — neither; witness NULL.
-    * Cost shape: every join is batch-vs-base with the BATCH side small —
-    * the fingerprint probe is batch-rows × (broadcast or shuffle on 16-B
-    * keys), the shingle join touches only base shingles that ALSO occur
-    * in the batch. At real scale the base fingerprint and shingle tables
-    * are MAINTAINED, not recomputed — each accepted batch appends its
-    * rows (the staged-index discipline of simhashServing/ivfServing); the
-    * fixture query computes them inline because a driver run has no
-    * standing warehouse to inherit. The near stage here is the exact
-    * shingle join (oracle-able); a Zipfian corpus swaps in the q106
-    * prefix or q65/q66 banded machinery for the same batch-vs-base
-    * contract. */
-  private[graft] def incrementalDedup(docs: DataFrame): DataFrame = {
-    val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-    // every 30th batch doc takes its SUCCESSOR's text (always a base doc:
-    // ids ending in 0 have successors ending in 1) — planted exact
-    // duplicates, because the synthetic corpus has none of its own and an
-    // incremental gate whose exact arm never fires proves nothing
-    val batch = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    *
+    * The gate is split into an INDEX (everything derivable from the base
+    * corpus alone: fingerprints, shingle df, rare-first prefixes, sorted
+    * shingle sets — [[buildIncIndex]]) and a PROBE over it
+    * ([[incrementalGate]]). q113 builds the index inline per run (a
+    * driver run has no standing warehouse to inherit); q120 probes the
+    * SAME index staged once per session as bucketed parquet
+    * ([[incServing]]) — the maintained-index mode, where per-run cost is
+    * the batch probe and the base corpus is never re-scanned. Both hash
+    * the identical verdict oracle. */
+  private[graft] val IncTau = 0.5
+
+  /** The standing-corpus half of the fixture split. */
+  private[graft] def incBase(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+
+  /** The increment half: every 30th batch doc takes its SUCCESSOR's text
+    * (always a base doc: ids ending in 0 have successors ending in 1) —
+    * planted exact duplicates, because the synthetic corpus has none of
+    * its own and an incremental gate whose exact arm never fires proves
+    * nothing. */
+  private[graft] def incBatchOf(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       .join(docs.select((col("doc_id") - 1).as("doc_id"),
                         col("text").as("donor_text")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(pmod(col("doc_id"), lit(30)) === 0 && col("donor_text").isNotNull,
           col("donor_text")).otherwise(col("text")).as("text"))
+
+  /** Everything the incremental gate needs FROM THE BASE CORPUS ALONE —
+    * the artifact a deployment maintains (append per accepted batch,
+    * re-stage to refresh the df ordering) instead of recomputing:
+    *  - `fp`     (fp, exact_witness): min base doc per md5 fingerprint;
+    *  - `df`     (sh, df): base document frequency per shingle — the
+    *    FROZEN global ordering both sides rank prefixes under. Prefix
+    *    filtering is lossless under ANY fixed total order (the minimal
+    *    common element argument below never reads df), so a stale
+    *    ordering only costs pruning power, never recall — which is what
+    *    makes append-only maintenance sound;
+    *  - `prefix` (j, sh, nj): each base doc's first nⱼ − ⌈τ·nⱼ⌉ + 1
+    *    shingles under (df asc, sh asc);
+    *  - `sets`   (j, shj): each base doc's sorted shingle set, for the
+    *    merge-walk verify. */
+  private[graft] case class IncIndex(fp: DataFrame, df: DataFrame,
+                                     prefix: DataFrame, sets: DataFrame)
+
+  /** The shingle-side index triple (df, prefix, sets) from a base (doc_id,
+    * sh) table — separated from the fingerprint build so the property test
+    * drives the EXACT production prefix construction. */
+  private[graft] def shingleIndexOf(shC: DataFrame, tau: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dfT = shC.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val szC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("sh").asc)
+    val prefix = shC.join(dfT, Seq("sh"))
+      .withColumn("pos", row_number().over(w))
+      .join(szC, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("nsh") - ceil(col("nsh") * lit(tau)).cast(LongType) + 1)
+      .select(col("doc_id").as("j"), col("sh"), col("nsh").as("nj"))
+    val sets = shC.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("shj"))
+      .select(col("doc_id").as("j"), col("shj"))
+    (dfT, prefix, sets)
+  }
+
+  private[graft] def buildIncIndex(base: DataFrame,
+                                   tau: Double): IncIndex = {
     val baseFp = base
       .select(md5(col("text")).as("fp"), col("doc_id").as("bid"))
       .groupBy(col("fp")).agg(min(col("bid")).as("exact_witness"))
-    val exact = batch.select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(baseFp, Seq("fp"), "left")
-      .select(col("doc_id"), col("exact_witness"))
-    val shB = shinglesOf(batch)
-    val shC = shinglesOf(base)
+    val (dfT, prefix, sets) = shingleIndexOf(shinglesOf(base), tau)
+    IncIndex(baseFp, dfT, prefix, sets)
+  }
+
+  /** Batch-vs-base Jaccard ≥ τ pairs by ASYMMETRIC prefix filtering — the
+    * cross-corpus sibling of [[jaccardPairsPrefix]], replacing the raw
+    * shingle equi-join whose candidate count ∝ Σ_sh df_batch·df_base (a
+    * hot shingle blows that up on a Zipfian corpus). Lossless by the same
+    * minimal-common-element argument: J(A,B) ≥ τ ⟹ |A∩B| ≥ τ·|A∪B| ≥
+    * ⌈τ·|A|⌉ and ≥ ⌈τ·|B|⌉; the O-smallest element x of A∩B has every
+    * other common element ranking after it on BOTH sides, so pos_A(x) ≤
+    * |A| − ⌈τ|A|⌉ + 1 and pos_B(x) ≤ |B| − ⌈τ|B|⌉ + 1 — x sits in both
+    * prefixes, whatever total order O is (batch-only shingles ranking
+    * early consume batch prefix slots but never displace the bound: it
+    * counts common elements from the END). Batch shingles rank under the
+    * index's FROZEN df (unseen-in-base → df 0, rarest — they cannot be
+    * common, so pruning only improves). Candidates carry the q106 size
+    * filter (same double-division spelling as the final jac filter);
+    * verify is the allocation-free `graft_sorted_inter_count` merge walk
+    * over the sorted sets. Equality to the naive cross join is
+    * property-tested ∀ corpus/τ (PropertySpec) and hash-proven by
+    * q113/q120 running the raw-join verdict oracle verbatim. */
+  private[graft] def crossJaccardPrefix(shB: DataFrame, ix: IncIndex,
+                                        tau: Double): DataFrame = {
+    val szB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("sh").asc)
+    val prefB = shB.join(ix.df, Seq("sh"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("pos", row_number().over(w))
+      .join(szB, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("nsh") - ceil(col("nsh") * lit(tau)).cast(LongType) + 1)
+      .select(col("doc_id").as("i"), col("sh"), col("nsh").as("ni"))
+    val cand = prefB.join(ix.prefix, Seq("sh"))
+      .filter(least(col("ni"), col("nj")).cast(DoubleType) /
+        greatest(col("ni"), col("nj")).cast(DoubleType) >= lit(tau))
+      .select(col("i"), col("j")).distinct()
+    val setsB = shB.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("shi"))
+      .select(col("doc_id").as("i"), col("shi"))
+    cand
+      .join(setsB, Seq("i"))
+      .join(ix.sets, Seq("j"))
+      .select(col("i"), col("j"),
+        expr("graft_sorted_inter_count(shi, shj)").as("inter"),
+        size(col("shi")).cast(LongType).as("ni"),
+        size(col("shj")).cast(LongType).as("nj"))
+      .withColumn("uni", col("ni") + col("nj") - col("inter"))
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
+      .filter(col("jac") >= tau)
+      .select(col("i"), col("j"), col("inter"), col("uni"), col("jac"))
+  }
+
+  /** The naive batch-vs-base reference for the property test — the raw
+    * shingle equi-join q113 shipped through round 9, kept as the
+    * deliberately-dumbest correct spelling (the q61-vs-q106 pattern). */
+  private[graft] def crossJaccardNaive(shB: DataFrame, shC: DataFrame,
+                                       tau: Double): DataFrame = {
     val szB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("ni"))
     val szC = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("nj"))
-    val near = shB.select(col("doc_id").as("i"), col("sh"))
+    shB.select(col("doc_id").as("i"), col("sh"))
       .join(shC.select(col("doc_id").as("j"), col("sh")), Seq("sh"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
       .join(szB.select(col("doc_id").as("i"), col("ni")), Seq("i"))
       .join(szC.select(col("doc_id").as("j"), col("nj")), Seq("j"))
-      .filter(col("inter").cast(DoubleType) /
-        (col("ni") + col("nj") - col("inter")).cast(DoubleType) >= lit(0.5))
+      .withColumn("uni", col("ni") + col("nj") - col("inter"))
+      .withColumn("jac",
+        col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
+      .filter(col("jac") >= tau)
+      .select(col("i"), col("j"), col("inter"), col("uni"), col("jac"))
+  }
+
+  /** The verdict probe over an [[IncIndex]] — every join is batch-vs-base
+    * with the BATCH side small: the fingerprint probe is batch-rows ×
+    * 16-byte keys against the fp index, the near stage is
+    * [[crossJaccardPrefix]] (batch prefixes against the index's
+    * precomputed base prefixes — never a raw shingle product). */
+  private[graft] def incrementalGate(batch: DataFrame, ix: IncIndex,
+                                     tau: Double): DataFrame = {
+    val exact = batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(ix.fp, Seq("fp"), "left")
+      .select(col("doc_id"), col("exact_witness"))
+    val near = crossJaccardPrefix(shinglesOf(batch), ix, tau)
       .groupBy(col("i")).agg(min(col("j")).as("near_witness"))
     exact
       .join(near.withColumnRenamed("i", "doc_id"), Seq("doc_id"), "left")
@@ -298,6 +415,52 @@ object Dedup extends QueryModule {
           .otherwise(lit("new")).as("verdict"),
         coalesce(col("exact_witness"), col("near_witness")).as("witness"))
   }
+
+  private[graft] def incrementalDedup(docs: DataFrame): DataFrame =
+    incrementalGate(incBatchOf(docs), buildIncIndex(incBase(docs), IncTau),
+      IncTau)
+
+  /** The STAGED incremental index for a fixture dir — q120's serving
+    * artifact, built once per (session, dir) with the ivfServing/
+    * simhashServing discipline. Each of the four tables is BUCKETED on
+    * its probe key (fp / sh / sh / j), so at scale every gate join leaves
+    * the corpus-sized index side Exchange-free: only the (small) batch
+    * side shuffles into the index's bucketing. A deployment appends
+    * accepted-batch rows to fp/prefix/sets under the frozen df order and
+    * re-stages periodically to refresh the ordering (see [[IncIndex]] —
+    * staleness costs pruning, never recall). */
+  private[graft] def incServing(s: SparkSession, d: String): IncIndex =
+    synchronized {
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val fpT = s"graft_inc_fp_$sfx"
+      val dfT = s"graft_inc_df_$sfx"
+      val pxT = s"graft_inc_px_$sfx"
+      val stT = s"graft_inc_sets_$sfx"
+      if (!s.catalog.tableExists(fpT)) {
+        val ix = buildIncIndex(incBase(T.documents(s, d)), IncTau)
+        Layout.stageBucketed(ix.fp, fpT, "fp", 8)
+        Layout.stageBucketed(ix.df, dfT, "sh", 8)
+        Layout.stageBucketed(ix.prefix, pxT, "sh", 8)
+        Layout.stageBucketed(ix.sets, stT, "j", 8)
+      }
+      IncIndex(s.table(fpT), s.table(dfT), s.table(pxT), s.table(stT))
+    }
+
+  /** q120's batch frame, checkpointed once per (session, dir): the
+    * operational gate runs against an already-landed increment, so the
+    * per-run plan must not re-derive the batch from the corpus either —
+    * with both the index staged and the batch pinned, the executed plan
+    * reads ONLY index files (spec-pinned in DedupSpec). Weak session
+    * keys unpin stopped sessions (the q112/q115 cache discipline). */
+  private val incBatchCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+  private[graft] def incBatchCached(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      incBatchCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d,
+          incBatchOf(T.documents(s, d)).localCheckpoint(true))
+    }
 
   /** The naive all-pairs containment reference for the property test —
     * deliberately the dumbest correct spelling (the q61-vs-q106 pattern). */
@@ -778,9 +941,19 @@ object Dedup extends QueryModule {
       jaccardPairsPrefix(shingles(s, d), 0.5).orderBy(col("i"), col("j"))),
 
     "q113_dedup_incremental" -> ((s, d) =>
-      // Batch-vs-corpus dedup gate — the incremental operational mode
-      // (see incrementalDedup).
+      // Batch-vs-corpus dedup gate — the incremental operational mode,
+      // index built inline per run (see incrementalDedup).
       incrementalDedup(T.documents(s, d)).orderBy(col("doc_id"))),
+
+    "q120_dedup_inc_index" -> ((s, d) =>
+      // q113's contract served from the PERSISTED index: the standing
+      // corpus's fingerprint/df/prefix/set tables are staged once per
+      // session as bucketed parquet (incServing) and the per-run plan
+      // probes them without re-scanning the base corpus (DedupSpec pins
+      // the executed plan reads only index files). Same verdict oracle
+      // verbatim — the q85/q106 proof pattern.
+      incrementalGate(incBatchCached(s, d), incServing(s, d), IncTau)
+        .orderBy(col("doc_id"))),
 
     "q111_dedup_containment" -> ((s, d) =>
       // Directed τ-containment pairs — the quote/subset-duplication signal
@@ -1058,6 +1231,49 @@ object Dedup extends QueryModule {
         |ORDER BY i, j""".stripMargin,
 
     "q113_dedup_incremental" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |batch AS (SELECT b.doc_id,
+        |            CASE WHEN b.doc_id % 30 = 0 AND nx.text IS NOT NULL
+        |                 THEN nx.text ELSE b.text END AS text
+        |          FROM documents b
+        |          LEFT JOIN documents nx ON nx.doc_id = b.doc_id + 1
+        |          WHERE b.doc_id % 10 = 0),
+        |bfp AS (SELECT md5(text) AS fp, min(doc_id) AS ew
+        |        FROM base GROUP BY md5(text)),
+        |db AS (SELECT doc_id, string_split(text, ' ') AS toks FROM batch),
+        |dc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |shb AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |          k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |        FROM db WHERE len(toks) >= 3),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |          k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |        FROM dc WHERE len(toks) >= 3),
+        |szb AS (SELECT doc_id, count(*) AS ni FROM shb GROUP BY doc_id),
+        |szc AS (SELECT doc_id, count(*) AS nj FROM shc GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS inter
+        |      FROM shb a JOIN shc c ON a.sh = c.sh
+        |      GROUP BY a.doc_id, c.doc_id),
+        |near AS (SELECT i, min(j) AS nw
+        |         FROM p JOIN szb ON p.i = szb.doc_id
+        |                JOIN szc ON p.j = szc.doc_id
+        |         WHERE CAST(inter AS DOUBLE)
+        |               / CAST(szb.ni + szc.nj - inter AS DOUBLE)
+        |               >= CAST(0.5 AS DOUBLE)
+        |         GROUP BY i)
+        |SELECT b.doc_id,
+        |  CASE WHEN bfp.ew IS NOT NULL THEN 'exact_dup'
+        |       WHEN near.nw IS NOT NULL THEN 'near_dup'
+        |       ELSE 'new' END AS verdict,
+        |  coalesce(bfp.ew, near.nw) AS witness
+        |FROM batch b
+        |LEFT JOIN bfp ON md5(b.text) = bfp.fp
+        |LEFT JOIN near ON b.doc_id = near.i
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // q113's oracle verbatim: a green hash proves the persisted-index
+    // gate (staged fp/df/prefix/set tables + prefix-filtered near stage)
+    // reproduces the raw-join verdict end-to-end
+    "q120_dedup_inc_index" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
         |batch AS (SELECT b.doc_id,
         |            CASE WHEN b.doc_id % 30 = 0 AND nx.text IS NOT NULL

@@ -270,6 +270,35 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.compact(spark, dir, 1L << 20, Seq("o_orderkey")) == n)
   }
 
+  test("q120's executed plan probes ONLY the persisted incremental index") {
+    // the maintained-index mode q113's scaladoc promises: per-run cost is
+    // the batch probing STAGED tables — the base corpus must not be
+    // re-scanned. With the index staged (incServing) and the batch pinned
+    // (incBatchCached), every file scan in the executed plan must read a
+    // graft_inc_* warehouse table — zero documents.parquet scans.
+    val df = SparkEntry.queries("q120_dedup_inc_index")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "the gate must emit one verdict per batch doc")
+    // value pin against the inline-index q113 (both hash the same oracle
+    // in the driver; pinning here keeps the equivalence observable
+    // without a driver run)
+    val inline = SparkEntry.queries("q113_dedup_incremental")(spark, sf)
+      .collect()
+    assert(rows.map(_.toString).toSeq == inline.map(_.toString).toSeq,
+      "persisted-index gate must reproduce the inline-index verdicts")
+    val scans = Layout.fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "the gate must read the staged index")
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.contains("graft_inc_")),
+      s"every file scan must read a staged index table — a non-index scan " +
+        s"means the base corpus was re-derived; scanned: ${roots.distinct}")
+    // all four index tables participate: fp (exact arm), df (frozen
+    // ordering), px (prefix candidates), sets (merge-walk verify)
+    for (t <- Seq("graft_inc_fp_", "graft_inc_df_", "graft_inc_px_",
+                  "graft_inc_sets_"))
+      assert(roots.exists(_.contains(t)), s"plan must probe $t; got ${roots.distinct}")
+  }
+
   test("staging recovery: stale + torn locations reclaim, foreign dirs refuse") {
     import java.nio.file.{Files => JF, Paths => JP}
     // the session normalizes the warehouse conf to a file: URI — strip the

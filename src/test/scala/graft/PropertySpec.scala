@@ -220,6 +220,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("q113/q120 cross-corpus prefix Jaccard == naive batch-vs-base join, any corpus/tau") {
+    import spark.implicits._
+    // random batch and base shingle sets over a SMALL universe (forces
+    // overlaps, including batch-only shingles that rank df=0 under the
+    // frozen order) and a random threshold — asymmetric prefix filtering
+    // must be lossless for all of them, like q106's symmetric variant
+    val side: Gen[List[List[String]]] =
+      Gen.listOfN(6, Gen.nonEmptyListOf(
+        Gen.oneOf("u", "v", "w", "x", "y", "z", "p", "q")).map(_.distinct))
+    val taus = Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+    check(Prop.forAll(side, side, taus) { (bdocs, cdocs, tau) =>
+      val shB = bdocs.zipWithIndex
+        .flatMap { case (ss, i) => ss.map(s => (i.toLong, s)) }
+        .toDF("doc_id", "sh")
+      val shC = cdocs.zipWithIndex
+        .flatMap { case (ss, i) => ss.map(s => (100L + i, s)) }
+        .toDF("doc_id", "sh")
+      // index built from the BASE side alone via the PRODUCTION
+      // construction (fp unused by the near path — empty frame keeps the
+      // test honest about what the near stage needs)
+      val (dfT, prefix, sets) = ops.Dedup.shingleIndexOf(shC, tau)
+      val ix = ops.Dedup.IncIndex(
+        fp = shC.limit(0).select(col("sh").as("fp"),
+          col("doc_id").as("exact_witness")),
+        df = dfT, prefix = prefix, sets = sets)
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      canon(ops.Dedup.crossJaccardPrefix(shB, ix, tau)) ==
+        canon(ops.Dedup.crossJaccardNaive(shB, shC, tau))
+    })
+  }
+
   test("q111 prefix-filtered containment pairs == naive directed pairs, any corpus/tau") {
     import spark.implicits._
     // the asymmetric prefix-filter variant must be lossless for all
