@@ -471,6 +471,57 @@ object Similarity extends QueryModule {
       .getOrElseUpdate((d, iters), pqCodebooks(s, d, iters).localCheckpoint(true))
   }
 
+  /** The PQ-CODED IVF serving table (vec_id, codes, cid), staged
+    * cid-partitioned once per (session, dir) — the FAISS-style IVF-PQ
+    * index artifact q121 serves from, composing the triad: the trained
+    * coarse quantizer decides WHICH cell a vector lives in (q110's
+    * serving table supplies the assignment), PQ decides what the cell
+    * STORES — 4 codes ≡ 2 bytes per vector instead of the 256-byte
+    * float64 embedding. At 100 TB this is the difference between an
+    * in-memory index and an I/O-bound one: the ADC pass reads
+    * codes-only partitions; full embeddings are touched ONLY for the
+    * bounded rerank set. */
+  private[graft] def ivfPqServing(s: SparkSession, d: String): DataFrame =
+    synchronized {
+      val tbl = "graft_ivfpq_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!s.catalog.tableExists(tbl)) {
+        val codes = pqEncode(pqSubvectors(s, d), pqCodebooksCached(s, d, 2))
+          .select(col("vec_id"), col("codes"))
+        Layout.stagePartitionedBy(
+          ivfTrainedTable(s, d, 1).select(col("vec_id"), col("cid"))
+            .join(codes, Seq("vec_id")),
+          tbl, "cid")
+      }
+      s.table(tbl)
+    }
+
+  /** The per-query ADC lookup table: L2(query sub-vector m, codebook
+    * entry (m, c)) for all 4×16 (m, c) — what FAISS computes once per
+    * query before scanning codes. Resolved driver-side (64 doubles) and
+    * memoized per (session, dir) like the probe-cell ids: folding the LUT
+    * into the scan as array LITERALS keeps the ADC pass a stateless
+    * whole-stage-codegen projection — no join, no shuffle, just
+    * element_at per subspace — which is the entire point of ADC. Indexed
+    * lut(m)(c). */
+  private val adcLutCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, IndexedSeq[IndexedSeq[Double]]]]
+  private[graft] def adcLut(s: SparkSession, d: String)
+      : IndexedSeq[IndexedSeq[Double]] = synchronized {
+    adcLutCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(d, {
+        val q = T.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        val rows = pqSubvectorsOf(q)
+          .join(broadcast(pqCodebooksCached(s, d, 2)), Seq("m"))
+          .select(col("m"), col("cid"), expr(L2).as("qd"))
+          .collect()
+        val byM = rows.groupBy(_.getInt(0))
+        (0 to 3).map(m => byM(m).sortBy(_.getLong(1)).map(_.getDouble(2)).toIndexedSeq)
+      })
+  }
+
   /** q112's verified near-dup pair list, materialized ONCE per (session,
     * fixture dir). The symmetrizing union consumes the list twice, and
     * un-checkpointed that re-runs the whole banded candidate build +
@@ -593,6 +644,42 @@ object Similarity extends QueryModule {
         .crossJoin(broadcast(q))
         .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
         .select(col("vec_id"), floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+        .orderBy(col("cos_micro").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    "q121_sim_ivf_adc" -> ((s, d) => {
+      // IVF-PQ ADC serving — the triad (q67/q110 cell pruning, q96 int8,
+      // q105 PQ) COMPOSED into the FAISS-style serving plan each exists
+      // for: (1) coarse probe picks 4 of 16 trained cells (driver-side
+      // literals -> static partition pruning, q110's discipline); (2) the
+      // ADC pass scans ONLY the probed cells of the codes table — 2-byte
+      // codes, never embeddings — ranking by the asymmetric distance
+      // sum_m lut[m][code_m], the per-query LUT folded in as array
+      // literals so the pass is one stateless codegen projection; (3) the
+      // top-64 ADC candidates (a driver-bounded TakeOrdered, deterministic
+      // adc-then-id tie-break) rerank by EXACT cosine against their full
+      // embeddings — the only point the 256-byte vectors are read, via a
+      // broadcast semi-probe of 64 ids. Cost at 100 TB: probed-cell code
+      // bytes + 64 embedding lookups, never corpus x query. Unit-only
+      // (float k-means training, q105's declaration class): recall@10 vs
+      // the exact scan and the pruned codes-only plan are spec-pinned.
+      val e = T.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val probed = ivfTrainedProbeIds(s, d, 1, q)
+      val lut = adcLut(s, d)
+      val adc = (0 to 3).map(m =>
+        element_at(typedLit(lut(m)), col("codes").getItem(m).cast("int") + 1))
+        .reduce(_ + _)
+      val cand = ivfPqServing(s, d).filter(col("cid").isin(probed: _*))
+        .select(col("vec_id"), adc.as("adc"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+        .limit(64)
+      cand.join(e, Seq("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
+        .select(col("vec_id"),
+                floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
         .orderBy(col("cos_micro").desc, col("vec_id").asc)
         .limit(10)
     }),

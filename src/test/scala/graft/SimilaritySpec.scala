@@ -460,6 +460,35 @@ class SimilaritySpec extends SparkSpec {
         s"read ${scans.head.metrics("numPartitions").value}")
   }
 
+  test("q121 ADC serving: recall@10 >= 0.8 vs exact; codes-only pruned scan") {
+    import graft.ops.{Layout, Similarity}
+    // the composed FAISS-style plan: trained coarse probe -> ADC over
+    // 2-byte codes in the probed cells only -> exact rerank of 64. Two
+    // gates, the q110 pattern: (a) end-to-end recall vs the exact scan
+    // (deterministic — fixed data, seeds, decimal-summed training);
+    // (b) the ADC scan is partition-pruned AND reads codes, never
+    // embeddings (the 128x memory lever is only real if the plan proves
+    // the embedding column stays out of the hot pass).
+    val df = SparkEntry.queries("q121_sim_ivf_adc")(spark, sf)
+    val got = df.collect().map(_.getLong(0))
+    assert(got.head == 0L, "query vector must match itself first")
+    val exact = SparkEntry.queries("q64_sim_topk")(spark, sf)
+      .collect().map(_.getLong(0))
+    val recall = (got.toSet & exact.toSet).size
+    assert(recall >= 8, s"recall@10 = $recall/10 vs the exact top-10")
+    val scans = Layout.fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata("PartitionFilters").contains("cid"))
+    assert(scans.length == 1,
+      s"exactly one ADC scan must carry the cid partition filter, got ${scans.length}")
+    assert(scans.head.metrics("numPartitions").value <= 4,
+      s"ADC pass must read at most the 4 probed cell directories, " +
+        s"read ${scans.head.metrics("numPartitions").value}")
+    assert(!scans.head.metadata("ReadSchema").contains("embedding"),
+      s"ADC pass must scan codes only; ReadSchema: ${scans.head.metadata("ReadSchema")}")
+    val k = Similarity.ivfPqServing(spark, sf).select("cid").distinct().count()
+    assert(k > 4, s"need >4 cells for pruning to mean anything, got $k")
+  }
+
   test("q64 cosine: self-similarity is ~1 and tops the ranking") {
     val top = SparkEntry.queries("q64_sim_topk")(spark, sf).collect()
     assert(top.head.getLong(0) == 0L, "query vector must match itself first")
