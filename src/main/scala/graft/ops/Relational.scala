@@ -454,6 +454,33 @@ object Relational extends QueryModule {
         .orderBy(col("win_id"))
     }),
 
+    "q122_join_interval_varlen" -> ((s, d) => {
+      // q19's plan on MIXED-length windows — the common case a real
+      // overlap join faces (session windows, retention horizons, ad
+      // attribution all vary per row). Window length is row-dependent:
+      // (1 + win_id mod 5) half-hours, i.e. 30 min to 2.5 h against the
+      // same 1-hour bucket — some windows sit inside one bucket, some
+      // span four. intervalJoin's sequence(lo DIV w, (hi-1) DIV w)
+      // expansion handles every geometry (property-tested ∀ window/
+      // bucket shapes); window-side duplication is ⌈len/width⌉+1 rows,
+      // the knob the bucket width tunes. Same residual, same equi-join
+      // plan, no NLJ (spec-pinned).
+      val ev = T.events(s, d).select(
+        col("event_id"), col("user_id"), T.tsSec(col("ts")).as("sec"),
+        col("event_type"), F.dec2(col("value")).as("v"))
+      val win = ev.filter(col("event_type") === "purchase" && col("v") >= 150)
+        .select(col("event_id").as("win_id"), col("sec").as("ws"),
+                (col("sec") +
+                 (lit(1L) + pmod(col("event_id"), lit(5L))) * 1800L).as("we"))
+      intervalJoin(ev, "sec", win, "ws", "we", 3600L)
+        .filter(col("event_id") =!= col("win_id"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"),
+             F.od(sum(col("v"))).as("sum_value"),
+             countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("win_id"))
+    }),
+
     "q21_agg_groupby" -> ((s, d) =>
       // TPC-H Q1 shape; decimal end-to-end per SURVEY §7.5, averages as
       // exact integer micro-units (no float/decimal division).
@@ -845,6 +872,21 @@ object Relational extends QueryModule {
         |         event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
         |w AS (
         |  SELECT event_id AS win_id, sec AS ws, sec + 3600 AS we FROM e
+        |  WHERE event_type = 'purchase' AND v >= 150)
+        |SELECT w.win_id, count(*) AS n_events,
+        |  CAST(sum(e.v) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM w JOIN e ON e.sec >= w.ws AND e.sec < w.we
+        |               AND e.event_id <> w.win_id
+        |GROUP BY w.win_id ORDER BY w.win_id""".stripMargin,
+
+    "q122_join_interval_varlen" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) // 1000000 AS sec,
+        |         event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |w AS (
+        |  SELECT event_id AS win_id, sec AS ws,
+        |         sec + (1 + event_id % 5) * 1800 AS we FROM e
         |  WHERE event_type = 'purchase' AND v >= 150)
         |SELECT w.win_id, count(*) AS n_events,
         |  CAST(sum(e.v) AS DOUBLE) AS sum_value,

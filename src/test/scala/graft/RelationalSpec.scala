@@ -121,6 +121,45 @@ class RelationalSpec extends SparkSpec {
       s"interval join must stay an equi join on the time bucket:\n$plan")
   }
 
+  test("q122 mixed-length interval join equals the naive range join, equi-planned") {
+    // Window lengths 30 min - 2.5 h against 1-hour buckets: some windows
+    // sit inside one bucket, some span four. The general sequence
+    // expansion must reproduce the bare range predicate exactly, and the
+    // plan must stay the bucket equi-join for every geometry.
+    val ev = Tables.events(spark, sf).select(
+      col("event_id"), col("user_id"), Tables.tsSec(col("ts")).as("sec"),
+      col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+    val win = ev.filter(col("event_type") === "purchase" && col("v") >= 150)
+      .select(col("event_id").as("win_id"), col("sec").as("ws"),
+              (col("sec") + (lit(1L) + pmod(col("event_id"), lit(5L))) * 1800L)
+                .as("we"))
+    // the fixture must actually exercise MIXED geometry: both sub-bucket
+    // and multi-bucket windows present
+    val lens = win.select(((col("we") - col("ws")) / 3600L).cast("double"))
+      .collect().map(_.getDouble(0))
+    assert(lens.exists(_ < 1.0) && lens.exists(_ > 2.0),
+      s"window lengths must straddle the bucket width; got ${lens.distinct.sorted.toSeq}")
+    val naive = ev.join(win,
+        col("sec") >= col("ws") && col("sec") < col("we") &&
+          col("event_id") =!= col("win_id"))
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("v")).cast("double").as("sum_value"),
+           countDistinct(col("user_id")).as("n_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getLong(3))).sortBy(_._1)
+    val mine = SparkEntry.queries("q122_join_interval_varlen")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+                           r.getLong(3))).sortBy(_._1)
+    assert(mine.nonEmpty, "fixture must produce interval-join matches")
+    assert(mine.sameElements(naive))
+    val plan = SparkEntry.queries("q122_join_interval_varlen")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"),
+      s"mixed-length interval join must stay an equi join on the time bucket:\n$plan")
+  }
+
   test("q39 exact-moment stats match Spark's one-pass builtins") {
     // The oracled query derives var/std/cov/corr from exact decimal
     // moments; the 100 TB twin is the built-in mergeable one-pass
