@@ -363,22 +363,22 @@ object Corpus extends QueryModule {
         col("idf_micro"), col("score"))
   }
 
-  /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2, b = 0.75):
-    * score every document against a deterministic query — the `nTerms`
-    * globally-most-frequent tokens (count desc, token asc) — and emit the
-    * top `k` docs per language stratum. §7.5 reproducibility:
-    *  - idf is the RATIONAL form (N − df + 0.5)/(df + 0.5), not the usual
-    *    log of it — ln's last-ulp behavior is libm-specific, division is
-    *    IEEE-defined. This makes the operator a NON-LOG-IDF BM25 VARIANT,
-    *    not bit-standard BM25: monotonicity of ln(1+x) preserves ranking
-    *    only per term, and the score is a sum over `nTerms` terms, so a
-    *    doc heavy in one rare term can outrank under the rational idf a
-    *    doc standard BM25 would place higher (rare terms are amplified
-    *    linearly instead of logarithmically). The trade is deliberate:
-    *    identical IEEE arithmetic in both engines buys a per-bit oracle
-    *    on the scores; a deployment wanting textbook ranking swaps
-    *    `ln(...)` into `contrib` and drops the score hash to a
-    *    (lang, rk, doc_id) check;
+  /** BM25 retrieval scoring (Robertson/Spärck Jones; k1 = 1.2, b = 0.75,
+    * Lucene's log-idf form): score every document against a deterministic
+    * query — the `nTerms` globally-most-frequent tokens (count desc,
+    * token asc) — and emit the top `k` docs per language stratum. §7.5
+    * reproducibility:
+    *  - idf IS the standard ln(1 + (N − df + 0.5)/(df + 0.5)) — but
+    *    computed by [[lnDet]], a DETERMINISTIC ln, not libm's (whose
+    *    last-ulp behavior is implementation-specific and would break the
+    *    cross-engine score hash). The identity ln(1 + (N−df+½)/(df+½)) =
+    *    ln(2N+2) − ln(2df+1) turns both arguments into exact INTEGERS,
+    *    and lnDet needs only bit-length, one exact power-of-two division
+    *    and a fixed-order atanh polynomial — all IEEE-defined ops spelled
+    *    identically in both engines, so the doubles match bit for bit
+    *    while sitting within 7e-9 of true ln (atanh tail bound; the
+    *    round-9 "non-log-idf variant" caveat is CLOSED — multi-term
+    *    ranking is standard BM25's);
     *  - every float expression is spelled identically in both engines
     *    over exact integer inputs (tf, dl, df, N), so the doubles match
     *    bit for bit;
@@ -392,6 +392,34 @@ object Corpus extends QueryModule {
     * BROADCAST; the per-lang top-k is a rank-≤-k window that plans
     * map-side WindowGroupLimit pruning (q31's shape — CorpusSpec pins
     * it), so no task ever holds more than k rows per lang. */
+  /** Deterministic natural log of a positive INTEGER column expression,
+    * appended as column `out` — no libm. m = 2^k · t with k = bitlength−1
+    * and t ∈ [1,2): the 2^k division is exact, ln(t) = 2·atanh(z) with
+    * z = (t−1)/(t+1) ∈ [0,⅓) truncated at z¹³ (tail ≤ 7e-9 — far inside
+    * double noise for any ranking use), ln2 a fixed double literal. Every
+    * step is integer arithmetic or a single correctly-rounded IEEE op in
+    * a fixed order, so any engine spelling this identically produces the
+    * identical bits — the property the q101 score hash rides on. */
+  private[graft] def lnDet(dfIn: DataFrame, mExpr: String,
+                           out: String): DataFrame =
+    dfIn
+      .withColumn("__m", expr(mExpr))
+      .withColumn("__k", expr("length(bin(__m)) - 1"))
+      .withColumn("__t", expr("CAST(__m AS DOUBLE) / " +
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(__k AS INT)) AS DOUBLE)"))
+      .withColumn("__z",
+        expr("(__t - CAST(1 AS DOUBLE)) / (__t + CAST(1 AS DOUBLE))"))
+      .withColumn("__zz", expr("__z * __z"))
+      .withColumn(out, expr(
+        "CAST(__k AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE) + " +
+          "__z * (CAST(2 AS DOUBLE) + __zz*(CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE) + " +
+          "__zz*(CAST(2 AS DOUBLE)/CAST(5 AS DOUBLE) + " +
+          "__zz*(CAST(2 AS DOUBLE)/CAST(7 AS DOUBLE) + " +
+          "__zz*(CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE) + " +
+          "__zz*(CAST(2 AS DOUBLE)/CAST(11 AS DOUBLE) + " +
+          "__zz*(CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE))))))))"))
+      .drop("__m", "__k", "__t", "__z", "__zz")
+
   def bm25TopK(docs: DataFrame, nTerms: Int = 5, k: Int = 20): DataFrame = {
     val dt = docs
       .withColumn("toks", split(col("text"), " "))
@@ -408,10 +436,15 @@ object Corpus extends QueryModule {
       .select(size(split(col("text"), " ")).cast(LongType).as("dl"))
       .agg(count(lit(1)).as("n"),
            (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-    val c = dt.join(broadcast(qterms), Seq("tok"))
-      .crossJoin(broadcast(g))
+    // idf precomputed on the nTerms-row broadcast side: the deterministic
+    // ln runs nTerms×2 times total, never per corpus row
+    val qidf = lnDet(lnDet(qterms.crossJoin(g),
+        "2 * n + 2", "__ln_n"), "2 * df + 1", "__ln_df")
+      .withColumn("idf", col("__ln_n") - col("__ln_df"))
+      .select(col("tok"), col("df"), col("n"), col("avgdl"), col("idf"))
+    val c = dt.join(broadcast(qidf), Seq("tok"))
       .select(col("doc_id"), col("lang"), col("tok"),
-        (((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("idf") *
          ((col("tf") * lit(2.2)) /
           (col("tf") + lit(1.2) *
             (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))))
@@ -535,17 +568,58 @@ object Corpus extends QueryModule {
         |g AS (
         |  SELECT count(*) AS n,
         |         CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl FROM tk),
+        |-- standard log-idf via the DETERMINISTIC ln (no libm): the
+        |-- identity ln(1 + (N-df+1/2)/(df+1/2)) = ln(2N+2) - ln(2df+1)
+        |-- makes both arguments integers; each ln = k*ln2 + atanh series
+        |-- on the [1,2) mantissa — bit-identical to the Spark spelling
+        |qm AS (
+        |  SELECT q.tok, q.df, g.n, g.avgdl,
+        |         CAST(2 * g.n + 2 AS BIGINT) AS mn,
+        |         CAST(2 * q.df + 1 AS BIGINT) AS md
+        |  FROM q, g),
+        |qk AS (
+        |  SELECT *, (length(bin(mn)) - 1) AS kn, (length(bin(md)) - 1) AS kd
+        |  FROM qm),
+        |qt AS (
+        |  SELECT *,
+        |    CAST(mn AS DOUBLE) / CAST((1::BIGINT << kn) AS DOUBLE) AS tn,
+        |    CAST(md AS DOUBLE) / CAST((1::BIGINT << kd) AS DOUBLE) AS td
+        |  FROM qk),
+        |qz AS (
+        |  SELECT *,
+        |    (tn - CAST(1 AS DOUBLE)) / (tn + CAST(1 AS DOUBLE)) AS zn,
+        |    (td - CAST(1 AS DOUBLE)) / (td + CAST(1 AS DOUBLE)) AS zd
+        |  FROM qt),
+        |qi AS (
+        |  SELECT tok, df, n, avgdl,
+        |    (CAST(kn AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE) +
+        |     zn * (CAST(2 AS DOUBLE) + (zn*zn)*(CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE) +
+        |       (zn*zn)*(CAST(2 AS DOUBLE)/CAST(5 AS DOUBLE) +
+        |       (zn*zn)*(CAST(2 AS DOUBLE)/CAST(7 AS DOUBLE) +
+        |       (zn*zn)*(CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE) +
+        |       (zn*zn)*(CAST(2 AS DOUBLE)/CAST(11 AS DOUBLE) +
+        |       (zn*zn)*(CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE)))))))))
+        |    -
+        |    (CAST(kd AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE) +
+        |     zd * (CAST(2 AS DOUBLE) + (zd*zd)*(CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE) +
+        |       (zd*zd)*(CAST(2 AS DOUBLE)/CAST(5 AS DOUBLE) +
+        |       (zd*zd)*(CAST(2 AS DOUBLE)/CAST(7 AS DOUBLE) +
+        |       (zd*zd)*(CAST(2 AS DOUBLE)/CAST(9 AS DOUBLE) +
+        |       (zd*zd)*(CAST(2 AS DOUBLE)/CAST(11 AS DOUBLE) +
+        |       (zd*zd)*(CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE)))))))))
+        |    AS idf
+        |  FROM qz),
         |c AS (
         |  -- every constant CAST to DOUBLE: DuckDB parses bare 2.2/0.5 as
         |  -- DECIMAL and would run exact decimal arithmetic where Spark
         |  -- runs IEEE double — a last-ulp divergence the hash catches
         |  SELECT dt.doc_id, dt.lang, dt.tok,
-        |    ((g.n - q.df + CAST(0.5 AS DOUBLE)) / (q.df + CAST(0.5 AS DOUBLE))) *
+        |    qi.idf *
         |    ((dt.tf * CAST(2.2 AS DOUBLE)) /
         |     (dt.tf + CAST(1.2 AS DOUBLE) *
-        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dt.dl / g.avgdl))))
+        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dt.dl / qi.avgdl))))
         |    AS contrib
-        |  FROM dt JOIN q USING (tok), g),
+        |  FROM dt JOIN qi USING (tok)),
         |s AS (
         |  SELECT doc_id, lang,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -138,6 +138,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q101's deterministic ln agrees with libm to the atanh tail bound") {
+    // lnDet exists to replace math.log, not to approximate it loosely:
+    // over integer arguments spanning the full bit-length range the gate
+    // uses (2df+1 .. 2N+2), the fixed-order series must sit within its
+    // analytic tail bound of true ln — so standard-BM25 ranking claims
+    // rest on a log that IS ln for every practical purpose, while staying
+    // bit-identical across engines.
+    import spark.implicits._
+    val ms = Seq(1L, 2L, 3L, 5L, 7L, 11L, 101L, 4999L, 65537L,
+      1000001L, 123456789L, (1L << 40) + 17L)
+    val got = graft.ops.Corpus.lnDet(ms.toDF("m"), "m", "lnm")
+      .select(col("m"), col("lnm")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (m <- ms)
+      assert(math.abs(got(m) - math.log(m.toDouble)) < 1e-8,
+        s"lnDet($m) = ${got(m)} vs libm ${math.log(m.toDouble)}")
+  }
+
   test("q91 packing covers every document once, packs never overlap") {
     val packs = SparkEntry.queries("q91_pack_sequences")(spark, sf).collect()
     val nDocs = graft.Tables.documents(spark, sf).count()
