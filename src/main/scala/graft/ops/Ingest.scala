@@ -217,11 +217,21 @@ object Ingest {
     * testable without a Postgres server: appends
     * `reWriteBatchedInserts=true` to PostgreSQL URLs (respecting an
     * existing query string, never duplicating the flag), leaves every
-    * other dialect's URL untouched. */
-  private[graft] def bulkJdbcUrl(url: String): String =
-    if (url.startsWith("jdbc:postgresql:") && !url.contains("reWriteBatchedInserts"))
-      url + (if (url.contains("?")) "&" else "?") + "reWriteBatchedInserts=true"
+    * other dialect's URL untouched. The duplicate guard reads the QUERY
+    * STRING only — a database/host PATH that happens to contain the flag
+    * text must not suppress the append (append-only + flag-exactly-once
+    * + idempotence are property-tested over arbitrary URL shapes). */
+  private[graft] def bulkJdbcUrl(url: String): String = {
+    val qs = url.indexOf('?') match {
+      case -1 => ""
+      case i  => url.substring(i + 1)
+    }
+    if (url.startsWith("jdbc:postgresql:") &&
+        !qs.contains("reWriteBatchedInserts"))
+      url + (if (qs.isEmpty && !url.contains("?")) "?" else "&") +
+        "reWriteBatchedInserts=true"
     else url
+  }
 
   /** A10's read half: a JDBC table as a DataFrame. For a big table pass
     * `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions` in

@@ -234,6 +234,63 @@ class IngestSpec extends SparkSpec {
       == "jdbc:derby:memory:x;create=true")
   }
 
+  test("writeJdbcBulk re-publish keeps target DDL; concurrent republish never corrupts") {
+    // truncate=true exists so overwrite keeps the TARGET'S DDL (indexes,
+    // grants) instead of drop+recreate — the reference's reload keeps its
+    // table. Proven against Derby: an index created on the sink must
+    // survive any number of re-publishes, including racing ones (the A22
+    // retry discipline can fire two publish attempts at once after a
+    // orphaned-task timeout); after the dust settles one more publish
+    // must land exactly the source rows on the still-indexed table.
+    assume(
+      try { Class.forName("org.apache.derby.jdbc.EmbeddedDriver"); true }
+      catch { case _: ClassNotFoundException => false },
+      "Derby embedded driver not on the classpath")
+    val url = "jdbc:derby:memory:graft_ddl;create=true"
+    val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val n = src.count()
+    Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      // Spark's JDBC sink quotes COLUMN identifiers (they land lowercase)
+      // while the unquoted table name folds to upper case — quote to match
+      conn.createStatement()
+        .execute("CREATE INDEX nation_ddl_ix ON nation_ddl (\"n_nationkey\")")
+      def indexExists: Boolean = {
+        val rs = conn.getMetaData.getIndexInfo(null, null, "NATION_DDL",
+          false, false)
+        Iterator.continually(rs)
+          .takeWhile(_.next()).exists(r =>
+            "NATION_DDL_IX".equalsIgnoreCase(
+              String.valueOf(r.getString("INDEX_NAME"))))
+      }
+      assert(indexExists, "sanity: the index must exist after CREATE INDEX")
+      // sequential re-publish: DDL survives, rows replaced not appended
+      Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
+      assert(indexExists, "truncate overwrite must keep the index")
+      assert(Ingest.readJdbc(spark, url, "nation_ddl", opts).count() == n)
+      // concurrent re-publish: two racing truncate+insert publishes may
+      // interleave arbitrarily, but must never corrupt — both complete
+      // (or fail cleanly on Derby's table lock), the index survives, and
+      // a final publish restores exactly the source rows
+      val pub = (0 until 2).map { _ =>
+        new Thread(() =>
+          try Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
+      pub.foreach(_.start()); pub.foreach(_.join())
+      assert(indexExists, "racing republishes must not drop the index")
+      Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
+      assert(indexExists)
+      val back = Ingest.readJdbc(spark, url, "nation_ddl", opts)
+      assert(back.count() == n &&
+        back.collect().toSet == src.collect().toSet,
+        "the settled publish must land exactly the source rows")
+    } finally conn.close()
+  }
+
   test("writeJdbcBulk round-trips and out-batches the default path (A10)") {
     assume(
       try { Class.forName("org.apache.derby.jdbc.EmbeddedDriver"); true }

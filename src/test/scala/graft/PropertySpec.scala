@@ -17,6 +17,43 @@ class PropertySpec extends SparkSpec {
   private val texts: Gen[List[String]] =
     Gen.listOfN(20, Gen.oneOf("a", "b", "c", "a b", "b c", "a b c"))
 
+  test("bulkJdbcUrl: append-only, PG-flag-once, idempotent — any URL shape") {
+    // the pure half of the COPY-grade sink (the PG server itself is
+    // unreachable here): for EVERY dialect/path/query-string shape the
+    // rewrite must (a) only ever append — existing base + params survive
+    // byte-for-byte; (b) leave non-PG URLs untouched; (c) end with the
+    // flag present EXACTLY once on PG URLs; (d) be idempotent, so the A5
+    // re-publish discipline can re-derive the URL per attempt safely.
+    val dialect = Gen.oneOf("jdbc:postgresql:", "jdbc:derby:", "jdbc:mysql:",
+      "jdbc:sqlserver:")
+    val body = Gen.oneOf("//h/db", "//host:5432/prod", "memory:x;create=true",
+      "//h/db_reWriteBatchedInserts")  // flag text in the PATH must not count
+    val param = Gen.oneOf("ssl=false", "user=u", "currentSchema=s",
+      "reWriteBatchedInserts=false", "reWriteBatchedInserts=true")
+    val urls = for {
+      dl <- dialect; b <- body; ps <- Gen.listOf(param)
+    } yield dl + b + (if (ps.isEmpty) "" else "?" + ps.mkString("&"))
+    def qs(u: String): Array[String] = u.indexOf('?') match {
+      case -1 => Array.empty
+      case i  => u.substring(i + 1).split('&')
+    }
+    check(Prop.forAll(urls) { url =>
+      val out = graft.ops.Ingest.bulkJdbcUrl(url)
+      val appendOnly = out.startsWith(url)
+      val untouchedNonPg =
+        url.startsWith("jdbc:postgresql:") || out == url
+      // PG: the flag ends up in the QUERY STRING exactly max(1, existing)
+      // times — path text never counts, existing settings never duplicate
+      val flagOnPg = !url.startsWith("jdbc:postgresql:") || {
+        val have = qs(url).count(_.startsWith("reWriteBatchedInserts"))
+        qs(out).count(_.startsWith("reWriteBatchedInserts")) ==
+          math.max(1, have)
+      }
+      val idempotent = graft.ops.Ingest.bulkJdbcUrl(out) == out
+      appendOnly && untouchedNonPg && flagOnPg && idempotent
+    })
+  }
+
   test("dedup is idempotent: f(f(x)) == f(x)") {
     import spark.implicits._
     check(Prop.forAll(texts) { xs =>
