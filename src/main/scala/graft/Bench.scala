@@ -30,7 +30,8 @@ object Bench {
     Seq("q01_scan_project", "q21_agg_groupby", "q67_sim_ivf",
         "q110_sim_ivf_trained", "q79_dedup_resolve", "q09_scan_csv_roundtrip",
         "q105_sim_pq", "q112_sim_knn_rank", "q115_mix_temperature",
-        "q120_dedup_inc_index", "q121_sim_ivf_adc").foreach { w =>
+        "q120_dedup_inc_index", "q121_sim_ivf_adc",
+        "q123_dedup_inc_append").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

@@ -446,11 +446,53 @@ object Dedup extends QueryModule {
       IncIndex(s.table(fpT), s.table(dfT), s.table(pxT), s.table(stT))
     }
 
+  /** APPEND a gated batch's accepted documents to an [[IncIndex]] — the
+    * maintenance step the index's scaladoc promises, as a pure frame
+    * composition (the registered q123 must stay idempotent per run, so
+    * it never mutates the staged tables; a deployment runs this same
+    * composition then re-stages). The df ORDER STAYS FROZEN: appended
+    * docs' prefixes rank under the existing df (unseen shingles → df 0,
+    * exactly how probe-side prefixes rank), which keeps the global order
+    * consistent across every indexed doc — prefix filtering is lossless
+    * under any fixed total order, so staleness costs pruning power,
+    * never recall. Known (and documented) semantics: two identical docs
+    * accepted in the SAME batch both land in prefix/sets (the gate
+    * judges batch-vs-index, not batch-vs-batch); their shared
+    * fingerprint collapses to the min witness, so a later probe sees
+    * one exact survivor. */
+  private[graft] def incAppend(ix: IncIndex, accepted: DataFrame,
+                               tau: Double): IncIndex = {
+    // accepted ⟹ verdict `new` ⟹ the doc's fp is NOT in ix.fp, so the
+    // union needs no re-aggregation (within-batch fp collisions collapse
+    // to their min witness here) — the index side stays a plain staged-
+    // table scan, never re-shuffled per probe
+    val fpNew = accepted
+      .select(md5(col("text")).as("fp"), col("doc_id").as("bid"))
+      .groupBy(col("fp")).agg(min(col("bid")).as("exact_witness"))
+    val fp2 = ix.fp.unionByName(fpNew)
+    val shA = shinglesOf(accepted)
+    val szA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("sh").asc)
+    val prefA = shA.join(ix.df, Seq("sh"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("pos", row_number().over(w))
+      .join(szA, Seq("doc_id"))
+      .filter(col("pos") <=
+        col("nsh") - ceil(col("nsh") * lit(tau)).cast(LongType) + 1)
+      .select(col("doc_id").as("j"), col("sh"), col("nsh").as("nj"))
+    val setsA = shA.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("shj"))
+      .select(col("doc_id").as("j"), col("shj"))
+    IncIndex(fp2, ix.df,
+      ix.prefix.unionByName(prefA), ix.sets.unionByName(setsA))
+  }
+
   /** q120's batch frame, checkpointed once per (session, dir): the
     * operational gate runs against an already-landed increment, so the
     * per-run plan must not re-derive the batch from the corpus either —
     * with both the index staged and the batch pinned, the executed plan
-    * reads ONLY index files (spec-pinned in DedupSpec). Weak session
+    * reads ONLY index files (spec-pinned in LayoutSpec). Weak session
     * keys unpin stopped sessions (the q112/q115 cache discipline). */
   private val incBatchCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
@@ -460,6 +502,55 @@ object Dedup extends QueryModule {
       incBatchCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
         .getOrElseUpdate(d,
           incBatchOf(T.documents(s, d)).localCheckpoint(true))
+    }
+
+  /** q123's two-day fixture split of the cached batch: day 1 = batch ids
+    * divisible by 20, day 2 = the rest, with ADDITIONAL duplicates
+    * planted ACROSS the days: every id ≡ 10 mod 60 takes the text of
+    * id + 10 — a day-1 doc that is ≡ 20 mod 60, so NOT a phase-1
+    * planted dup (ids ≡ 0 mod 30 copy a base doc's text and are
+    * rejected in phase 1 — a donor must be a doc the gate ACCEPTS, or
+    * the appended index never changes a day-2 verdict and the fixture
+    * proves nothing; LayoutSpec pins that day-1 witnesses actually
+    * appear in phase 2). */
+  private[graft] def incDay1(full: DataFrame): DataFrame =
+    full.filter(pmod(col("doc_id"), lit(20)) === 0)
+
+  private[graft] def incDay2(full: DataFrame): DataFrame =
+    full.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      .join(full.select((col("doc_id") - 10).as("doc_id"),
+                        col("text").as("donor2")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(60)) === 10 && col("donor2").isNotNull,
+          col("donor2")).otherwise(col("text")).as("text"))
+
+  /** Day-1 verdicts + the day-1-appended index, built once per (session,
+    * dir): q123's output and its day-2 probe BOTH consume the day-1 gate,
+    * and the appended-index pieces are referenced once per gate join —
+    * uncached, each reference re-runs the whole day-1 probe. The verdict
+    * frame and the appended rows are day-1-bounded (hundreds of rows at
+    * fixture scale, batch-bounded at any scale), so they pin like the
+    * other per-session artifacts; weak keys unpin stopped sessions. */
+  private val incPhase1Cache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (DataFrame, IncIndex)]]
+  private[graft] def incPhase1(s: SparkSession, d: String): (DataFrame, IncIndex) =
+    synchronized {
+      incPhase1Cache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, {
+          val ix = incServing(s, d)
+          val day1 = incDay1(incBatchCached(s, d))
+          val v1 = incrementalGate(day1, ix, IncTau).localCheckpoint(true)
+          val accepted = day1
+            .join(v1.filter(col("verdict") === lit("new")).select("doc_id"),
+                  Seq("doc_id"))
+          val ix2raw = incAppend(ix, accepted, IncTau)
+          val ix2 = IncIndex(
+            ix2raw.fp, ix2raw.df,
+            ix2raw.prefix.localCheckpoint(true),
+            ix2raw.sets.localCheckpoint(true))
+          (v1, ix2)
+        })
     }
 
   /** The naive all-pairs containment reference for the property test —
@@ -949,11 +1040,29 @@ object Dedup extends QueryModule {
       // q113's contract served from the PERSISTED index: the standing
       // corpus's fingerprint/df/prefix/set tables are staged once per
       // session as bucketed parquet (incServing) and the per-run plan
-      // probes them without re-scanning the base corpus (DedupSpec pins
+      // probes them without re-scanning the base corpus (LayoutSpec pins
       // the executed plan reads only index files). Same verdict oracle
       // verbatim — the q85/q106 proof pattern.
       incrementalGate(incBatchCached(s, d), incServing(s, d), IncTau)
         .orderBy(col("doc_id"))),
+
+    "q123_dedup_inc_append" -> ((s, d) => {
+      // TWO-DAY incremental maintenance — the append step q120's index
+      // promises, demonstrated end-to-end: day 1 gates against the
+      // staged index; its ACCEPTED docs append to the index under the
+      // FROZEN df order (incAppend — a pure composition, the staged
+      // tables are never mutated so the query is idempotent per run);
+      // day 2 gates against the APPENDED index, so a day-2 doc
+      // duplicating an accepted day-1 doc reads exact_dup/near_dup with
+      // a DAY-1 witness — cross-day dups are planted (incDay2) to make
+      // that arm fire on the fixture. Oracle: the raw-join gate replayed
+      // twice in SQL with index2 = base ∪ accepted(day 1), hash-exact.
+      val (v1, ix2) = incPhase1(s, d)
+      val v2 = incrementalGate(incDay2(incBatchCached(s, d)), ix2, IncTau)
+      v1.withColumn("phase", lit(1L))
+        .unionByName(v2.withColumn("phase", lit(2L)))
+        .orderBy(col("phase"), col("doc_id"))
+    }),
 
     "q111_dedup_containment" -> ((s, d) =>
       // Directed τ-containment pairs — the quote/subset-duplication signal
@@ -1269,6 +1378,93 @@ object Dedup extends QueryModule {
         |LEFT JOIN bfp ON md5(b.text) = bfp.fp
         |LEFT JOIN near ON b.doc_id = near.i
         |ORDER BY b.doc_id""".stripMargin,
+
+    // the two-day maintenance chain replayed naively: gate day 1 against
+    // the base, admit its `new` docs, gate day 2 against base ∪ admitted
+    // — a green hash proves the frozen-order append (q123) changes day-2
+    // verdicts exactly as a full rebuild would
+    "q123_dedup_inc_append" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |batch AS (SELECT b.doc_id,
+        |            CASE WHEN b.doc_id % 30 = 0 AND nx.text IS NOT NULL
+        |                 THEN nx.text ELSE b.text END AS text
+        |          FROM documents b
+        |          LEFT JOIN documents nx ON nx.doc_id = b.doc_id + 1
+        |          WHERE b.doc_id % 10 = 0),
+        |d1 AS (SELECT doc_id, text FROM batch WHERE doc_id % 20 = 0),
+        |d2 AS (SELECT b.doc_id,
+        |         CASE WHEN b.doc_id % 60 = 10 AND dn.text IS NOT NULL
+        |              THEN dn.text ELSE b.text END AS text
+        |       FROM batch b LEFT JOIN batch dn ON dn.doc_id = b.doc_id + 10
+        |       WHERE b.doc_id % 20 <> 0),
+        |bfp1 AS (SELECT md5(text) AS fp, min(doc_id) AS ew
+        |         FROM base GROUP BY md5(text)),
+        |t1 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d1),
+        |tc AS (SELECT doc_id, string_split(text, ' ') AS toks FROM base),
+        |sh1 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |          k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |        FROM t1 WHERE len(toks) >= 3),
+        |shc AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |          k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |        FROM tc WHERE len(toks) >= 3),
+        |sz1 AS (SELECT doc_id, count(*) AS ni FROM sh1 GROUP BY doc_id),
+        |szc AS (SELECT doc_id, count(*) AS nj FROM shc GROUP BY doc_id),
+        |p1 AS (SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS inter
+        |       FROM sh1 a JOIN shc c ON a.sh = c.sh
+        |       GROUP BY a.doc_id, c.doc_id),
+        |near1 AS (SELECT i, min(j) AS nw
+        |          FROM p1 JOIN sz1 ON p1.i = sz1.doc_id
+        |                  JOIN szc ON p1.j = szc.doc_id
+        |          WHERE CAST(inter AS DOUBLE)
+        |                / CAST(sz1.ni + szc.nj - inter AS DOUBLE)
+        |                >= CAST(0.5 AS DOUBLE)
+        |          GROUP BY i),
+        |v1 AS (SELECT b.doc_id,
+        |         CASE WHEN f.ew IS NOT NULL THEN 'exact_dup'
+        |              WHEN n.nw IS NOT NULL THEN 'near_dup'
+        |              ELSE 'new' END AS verdict,
+        |         coalesce(f.ew, n.nw) AS witness
+        |       FROM d1 b
+        |       LEFT JOIN bfp1 f ON md5(b.text) = f.fp
+        |       LEFT JOIN near1 n ON b.doc_id = n.i),
+        |acc AS (SELECT d1.doc_id, d1.text
+        |        FROM d1 JOIN v1 USING (doc_id) WHERE v1.verdict = 'new'),
+        |idx2 AS (SELECT doc_id, text FROM base
+        |         UNION ALL SELECT doc_id, text FROM acc),
+        |bfp2 AS (SELECT md5(text) AS fp, min(doc_id) AS ew
+        |         FROM idx2 GROUP BY md5(text)),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d2),
+        |ti AS (SELECT doc_id, string_split(text, ' ') AS toks FROM idx2),
+        |sh2 AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |          k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |        FROM t2 WHERE len(toks) >= 3),
+        |shi AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 2),
+        |          k -> toks[k+1] || ' ' || toks[k+2] || ' ' || toks[k+3]))) AS sh
+        |        FROM ti WHERE len(toks) >= 3),
+        |sz2 AS (SELECT doc_id, count(*) AS ni FROM sh2 GROUP BY doc_id),
+        |szi AS (SELECT doc_id, count(*) AS nj FROM shi GROUP BY doc_id),
+        |p2 AS (SELECT a.doc_id AS i, c.doc_id AS j, count(*) AS inter
+        |       FROM sh2 a JOIN shi c ON a.sh = c.sh
+        |       GROUP BY a.doc_id, c.doc_id),
+        |near2 AS (SELECT i, min(j) AS nw
+        |          FROM p2 JOIN sz2 ON p2.i = sz2.doc_id
+        |                  JOIN szi ON p2.j = szi.doc_id
+        |          WHERE CAST(inter AS DOUBLE)
+        |                / CAST(sz2.ni + szi.nj - inter AS DOUBLE)
+        |                >= CAST(0.5 AS DOUBLE)
+        |          GROUP BY i),
+        |v2 AS (SELECT b.doc_id,
+        |         CASE WHEN f.ew IS NOT NULL THEN 'exact_dup'
+        |              WHEN n.nw IS NOT NULL THEN 'near_dup'
+        |              ELSE 'new' END AS verdict,
+        |         coalesce(f.ew, n.nw) AS witness
+        |       FROM d2 b
+        |       LEFT JOIN bfp2 f ON md5(b.text) = f.fp
+        |       LEFT JOIN near2 n ON b.doc_id = n.i)
+        |SELECT doc_id, verdict, witness, CAST(1 AS BIGINT) AS phase FROM v1
+        |UNION ALL
+        |SELECT doc_id, verdict, witness, CAST(2 AS BIGINT) AS phase FROM v2
+        |ORDER BY phase, doc_id""".stripMargin,
 
     // q113's oracle verbatim: a green hash proves the persisted-index
     // gate (staged fp/df/prefix/set tables + prefix-filtered near stage)

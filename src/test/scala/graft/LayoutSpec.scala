@@ -299,6 +299,31 @@ class LayoutSpec extends SparkSpec {
       assert(roots.exists(_.contains(t)), s"plan must probe $t; got ${roots.distinct}")
   }
 
+  test("q123's appended index changes day-2 verdicts; plan still index-only") {
+    val df = SparkEntry.queries("q123_dedup_inc_append")(spark, sf)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val day1Ids = rows.filter(_._4 == 1L).map(_._1).toSet
+    val accepted = rows.filter(r => r._4 == 1L && r._2 == "new").map(_._1).toSet
+    assert(accepted.nonEmpty, "phase 1 must accept some docs")
+    // the maintenance arm must actually FIRE: some day-2 doc's witness is
+    // an ACCEPTED day-1 doc — i.e. a verdict only the appended index can
+    // produce (the planted ≡10-mod-60 cross-day dups guarantee it)
+    val crossDay = rows.filter(r => r._4 == 2L && day1Ids.contains(r._3))
+    assert(crossDay.nonEmpty,
+      "no day-2 verdict carries a day-1 witness — the append changed nothing")
+    assert(crossDay.forall(r => accepted.contains(r._3)),
+      s"a day-1 witness must be an ACCEPTED doc; got ${crossDay.take(3).toSeq}")
+    // and the per-run plan still reads ONLY the staged index (batch and
+    // day-1 artifacts are checkpoints): the q120 discipline survives the
+    // append composition
+    val scans = Layout.fileScans(df.queryExecution.executedPlan)
+    val roots = scans.flatMap(_.relation.location.rootPaths.map(_.toString))
+    assert(roots.forall(_.contains("graft_inc_")),
+      s"every q123 file scan must read a staged index table; scanned: ${roots.distinct}")
+  }
+
   test("staging recovery: stale + torn locations reclaim, foreign dirs refuse") {
     import java.nio.file.{Files => JF, Paths => JP}
     // the session normalizes the warehouse conf to a file: URI — strip the
