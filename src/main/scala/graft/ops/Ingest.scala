@@ -244,6 +244,57 @@ object Ingest {
       .options(options)
       .load()
 
+  /** A1: the HTTP archive fetch — the reference's first operator
+    * (cms_inpatient_download_unzip.py:27-36: `requests.get` each archive
+    * URL, write the bytes to the staging dir, error on a non-200). JDK
+    * `HttpURLConnection` only (no new deps); the body streams straight
+    * into a Hadoop-FS `create` in 64 KiB chunks, so a multi-GB archive
+    * never materializes in memory — unlike the reference, which buffers
+    * `response.content` whole before writing. A non-2xx status or a
+    * truncated body (Content-Length known but not reached) fails loudly;
+    * the A2 integrity check ([[assertNonEmptyPath]]) runs on the landed
+    * file before returning, so a 200-with-empty-body never stages.
+    *
+    * Retry discipline is the caller's (A22): the fetch is idempotent —
+    * it lands to `dest.tmp` and renames into place only after the
+    * integrity check, so a redriven task never reads a half-written
+    * archive. Returns bytes landed. IngestSpec exercises the full
+    * fetch → unzip → typed-read chain against a loopback
+    * `com.sun.net.httpserver.HttpServer` (zero egress). */
+  def fetchHttp(spark: SparkSession, url: String, dest: String,
+                connectTimeoutMs: Int = 30000,
+                readTimeoutMs: Int = 300000): Long = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    conn.setInstanceFollowRedirects(true)
+    val code = conn.getResponseCode
+    require(code / 100 == 2,
+      s"download failed: HTTP $code for $url (${conn.getResponseMessage})")
+    val expected = conn.getContentLengthLong // -1 when chunked/unknown
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(dest + ".tmp")
+    val in = conn.getInputStream
+    val out = fs.create(tmp, true)
+    val landed =
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var total = 0L
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); total += n; n = in.read(buf) }
+        total
+      } finally { out.close(); in.close(); conn.disconnect() }
+    require(expected < 0 || landed == expected,
+      s"download truncated: got $landed of $expected bytes for $url")
+    require(landed > 0, s"integrity check failed: $url returned 0 bytes")
+    fs.delete(destPath, false)
+    require(fs.rename(tmp, destPath), s"staging rename failed for $dest")
+    assertNonEmptyPath(spark, dest)
+    landed
+  }
+
   /** A2/A4: download/extract integrity — fail if the path is missing or
     * holds zero bytes (the reference's post-download and post-unzip checks,
     * cms_inpatient_download_unzip.py:38-39, 54-56). */

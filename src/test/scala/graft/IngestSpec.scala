@@ -171,6 +171,60 @@ class IngestSpec extends SparkSpec {
     assert(rows(1).isNullAt(1), "empty CSV field inside the zip -> NULL")
   }
 
+  test("fetchHttp: loopback fetch -> unzip -> typed read, end to end (A1/A2/A3/A6)") {
+    // The reference's first operator is an HTTP GET of each ZIP archive
+    // (cms_inpatient_download_unzip.py:27-36). The build sandbox has zero
+    // egress, so the server side is a loopback JDK HttpServer — the fetch
+    // path itself (streamed landing, status/truncation checks, tmp+rename
+    // staging, A2 integrity) is exactly what a real deployment runs.
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    zos.putNextEntry(new ZipEntry("claims_1.csv"))
+    zos.write("id,v,s\n1,10,x\n2,,y\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val zipBytes = bos.toByteArray
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/cms/claims.zip",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(200, zipBytes.length.toLong)
+        ex.getResponseBody.write(zipBytes)
+        ex.close()
+      })
+    server.createContext("/missing.zip",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(404, -1); ex.close()
+      })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val dir = Files.createTempDirectory("graft_fetch").toFile
+      val dest = new java.io.File(dir, "claims.zip").getAbsolutePath
+      val n = Ingest.fetchHttp(spark,
+        s"http://127.0.0.1:$port/cms/claims.zip", dest)
+      assert(n == zipBytes.length.toLong, "landed byte count must match")
+      assert(!new java.io.File(dest + ".tmp").exists,
+        "tmp landing file must be renamed away")
+      // refetch is idempotent (A5's overwrite discipline at the fetch step)
+      assert(Ingest.fetchHttp(spark,
+        s"http://127.0.0.1:$port/cms/claims.zip", dest) == n)
+      val rows = Ingest.readZippedCsv(spark, dest, schema)
+        .orderBy("id").collect()
+      assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+      assert(rows(1).isNullAt(1), "empty field in the fetched CSV -> NULL")
+      // non-200 fails loudly, like the reference's raise_for_status
+      val miss = intercept[IllegalArgumentException] {
+        Ingest.fetchHttp(spark, s"http://127.0.0.1:$port/missing.zip",
+          new java.io.File(dir, "m.zip").getAbsolutePath)
+      }
+      assert(miss.getMessage.contains("HTTP 404"))
+      assert(!new java.io.File(dir, "m.zip").exists,
+        "a failed fetch must not stage a destination file")
+    } finally server.stop(0)
+  }
+
   test("readZippedCsv skips only the first line per entry, not header-lookalikes") {
     import java.util.zip.{ZipEntry, ZipOutputStream}
     val dir = Files.createTempDirectory("graft_zips_hdr").toFile
