@@ -128,7 +128,101 @@ object StreamOps extends QueryModule {
     state.unionByName(batch.select(col("fp"), col("doc_id")))
       .dropDuplicates("fp", "doc_id")
 
+  /** [[queries q126]]'s per-batch transactional sink: land micro-batch
+    * `batchId` in the snapshot table as version `batchId + 1` — the
+    * OTHER exactly-once mechanism next to q102/q114's algebraic
+    * idempotence. There the merge is a no-op to re-apply; here the
+    * TABLE remembers how far the stream got: a redelivered batch (the
+    * restart contract re-delivers the last uncommitted one) finds its
+    * version already committed and skips, and a racing duplicate writer
+    * loses the atomic manifest publish ([[Snapshot]]'s optimistic
+    * concurrency) — Delta's txnVersion idempotent-sink recipe on this
+    * repo's own commit protocol. A FUTURE batchId (a gap — some batch
+    * was lost, not merely redelivered) fails loudly rather than
+    * committing a hole. Each applied batch merges COPY-ON-WRITE: only
+    * files whose user-key stats ranges the batch touches rewrite;
+    * SnapshotSpec pins replay-idempotence, gap detection, and history
+    * growth. */
+  private[graft] def snapshotSinkBatch(dir: String, batchId: Long,
+                                       batch: DataFrame): Unit = {
+    val s = batch.sparkSession
+    val cur = Snapshot.currentVersion(s, dir)
+    if (cur > batchId) () // redelivered batch: its version already committed
+    else {
+      require(cur == batchId,
+        s"stream sink gap: table at v$cur but batch $batchId arrived — " +
+          s"batches ${cur} to ${batchId - 1} were lost, refusing to skip")
+      if (cur == 0)
+        Snapshot.commit(latestDelta(batch), dir, 0, "user_id")
+      else
+        Snapshot.mergeCow(s, dir, batch, "user_id", mergeLatest)
+    }
+  }
+
+  /** A micro-batch reduced to q102's keyed-state shape (the argmax per
+    * user) — [[mergeLatest]]'s delta half, shared with the v1 commit of
+    * the snapshot sink. */
+  private[graft] def latestDelta(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id"))
+      .agg(max(struct(col("event_id"), col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("last_event"),
+              col("m.event_type").as("last_type"),
+              col("m.value").as("last_value"))
+
+  /** Multi-file staging of the events fixture, once per (session, dir):
+    * the fixture ships as ONE parquet file (one micro-batch under
+    * AvailableNow), and q126's point is a MULTI-version streamed
+    * history, so the stream source needs several files to trigger on —
+    * 4 deterministic event_id ranges, maxFilesPerTrigger=1 ⇒ 4 batches
+    * ⇒ 4 committed versions. Batch ORDER does not affect the final
+    * state (argmax per user is order-free), which is what keeps the
+    * drain oracle-able while the intermediate versions stay real. */
+  private val snapStageCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Set[String]]
+  private def snapStreamStage(s: SparkSession, d: String): String =
+    synchronized {
+      val dir = s.conf.get("spark.sql.warehouse.dir") +
+        "/graft_snap_sink_stage_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val staged =
+        snapStageCache.getOrElseUpdate(s, scala.collection.mutable.Set.empty)
+      if (!staged.contains(dir)) {
+        T.events(s, d)
+          .repartitionByRange(4, col("event_id"))
+          .write.mode("overwrite").parquet(dir)
+        staged += dir
+      }
+      dir
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_stream_snapshot_sink" -> ((s, d) => {
+      // Streaming CDC upsert into the TRANSACTIONAL table — q102's merge
+      // sink landing in q124's snapshot-versioned target instead of
+      // driver state: every micro-batch commits one snapshot version via
+      // [[snapshotSinkBatch]] (exactly-once by VERSION ARITHMETIC — see
+      // its scaladoc), so the drain leaves a 4-version committed history
+      // a reader can time-travel while the stream runs. Final state is
+      // BATCH-EQUIVALENT (global argmax per user) — hash-matches q102's
+      // oracle verbatim, the q124/q120 same-oracle proof pattern.
+      val c = streamSession(s, 8)
+      val sch = eventsSchema(c, d)
+      val stage = snapStreamStage(c, d)
+      val dir = c.conf.get("spark.sql.warehouse.dir") + "/graft_snap_sink_" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val src = c.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+                F.od(F.dec2(col("value"))).as("value"))
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          snapshotSinkBatch(dir, id, b.toDF())
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Snapshot.read(c, dir).orderBy(col("user_id"))
+    }),
+
     "q114_stream_dedup_index" -> ((s, d) => {
       // Streaming EXACT-dedup INDEX maintenance — q113's standing corpus
       // kept current by the stream itself. q74 is the bounded twin (state
@@ -464,6 +558,17 @@ object StreamOps extends QueryModule {
     "q114_stream_dedup_index" ->
       """SELECT min(doc_id) AS survivor, count(*) AS n_copies, md5(text) AS fp
         |FROM documents GROUP BY md5(text) ORDER BY survivor""".stripMargin,
+
+    // q102's oracle verbatim — a green hash proves the versioned
+    // transactional sink drains to exactly the keyed-state answer
+    "q126_stream_snapshot_sink" ->
+      """WITH latest AS (
+        |  SELECT user_id, max(event_id) AS last_event
+        |  FROM events GROUP BY user_id)
+        |SELECT l.user_id, l.last_event, e.event_type AS last_type,
+        |  CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+        |FROM latest l JOIN events e ON e.event_id = l.last_event
+        |ORDER BY l.user_id""".stripMargin,
 
     "q102_stream_merge_sink" ->
       """WITH latest AS (

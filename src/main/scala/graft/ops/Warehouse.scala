@@ -36,37 +36,119 @@ object Warehouse extends QueryModule {
   private def bump(c: org.apache.spark.sql.Column) =
     c.multiply(lit("1.1").cast(DecimalType(2, 1)))
 
+  /** The table's stored state shape: (order_key, cust_key, status,
+    * price DECIMAL(21,3), verdict). Price stays DECIMAL in storage —
+    * exact, order-free to aggregate — and casts to DOUBLE only at query
+    * output (`Fns.od`), per the §7.5 determinism discipline. `verdict`
+    * is last-operation lineage (the `_change_type` idiom of CDC tables):
+    * 'K' at initial load, then whatever op last touched the row. */
+  private[graft] def ordersInitState(s: SparkSession, d: String): DataFrame =
+    T.orders(s, d).select(
+      col("o_orderkey").as("order_key"), col("o_custkey").as("cust_key"),
+      col("o_orderstatus").as("status"),
+      F.dec2(col("o_totalprice")).cast(DecimalType(21, 3)).as("price"),
+      lit("K").as("verdict"))
+
+  /** q42's deterministic CDC batch: update (op=U: price +10%), delete (D)
+    * or insert (I: fresh key, status 'N') by o_orderkey % 20 residue
+    * 0/1/2. */
+  private[graft] def ordersChanges(s: SparkSession, d: String): DataFrame = {
+    val m = col("o_orderkey") % 20
+    T.orders(s, d).filter(m.isin(0, 1, 2)).select(
+      when(m === 2, col("o_orderkey") + 1000000000L)
+        .otherwise(col("o_orderkey")).as("k"),
+      when(m === 0, "U").when(m === 1, "D").otherwise("I").as("op"),
+      when(m === 0, bump(F.dec2(col("o_totalprice"))))
+        .when(m === 2, F.dec2(col("o_totalprice")).cast(DecimalType(21, 3)))
+        .as("c_price"),
+      when(m === 2, col("o_custkey")).as("c_cust"),
+      when(m === 2, lit("N")).as("c_status"))
+  }
+
+  /** The MERGE kernel shared by q42 (one-shot plan), q124 (the versioned
+    * snapshot commit) and [[Snapshot.mergeCow]]'s rewrite step: full-outer
+    * join state×changes on the key, then per-row verdict — base-only rows
+    * carry through keeping their lineage, U rows take the new price, D
+    * rows drop, I rows (change-only by construction) append. Works on ANY
+    * subset of the state (COW hands it only the touched files' rows):
+    * correctness needs every change key's base row present IF one exists,
+    * which the stats-range file selection guarantees. */
+  private[graft] def applyOrdersChanges(base: DataFrame,
+                                        changes: DataFrame): DataFrame =
+    base.join(changes, base("order_key") === changes("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("K")) =!= "D")
+      .select(
+        coalesce(col("k"), col("order_key")).as("order_key"),
+        coalesce(col("c_cust"), col("cust_key")).as("cust_key"),
+        coalesce(col("c_status"), col("status")).as("status"),
+        coalesce(col("c_price"), col("price")).as("price"),
+        coalesce(col("op"), col("verdict")).as("verdict"))
+
+  /** The snapshot-versioned orders table for a fixture dir, built once
+    * per (session, dir): v1 = initial load, v2 = q42's CDC batch merged
+    * COPY-ON-WRITE through [[Snapshot.mergeCow]] — the atomic-manifest
+    * commit the round-9 VERDICT's "transactional MERGE target" gap asks
+    * for. Weak session keys unpin stopped sessions (the q112/q115/q120
+    * cache discipline); the table lives under the session-unique temp
+    * warehouse, so re-registering from version 0 per session is safe. */
+  private val snapCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]
+  private[graft] def snapOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_orders_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          Snapshot.mergeCow(s, dir, ordersChanges(s, d), "k",
+            applyOrdersChanges)
+          dir
+        })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q42_merge_upsert" -> ((s, d) => {
-      // CDC MERGE INTO: one deterministic change batch — update (op=U:
-      // price +10%), delete (D) or insert (I: fresh key, status 'N') by
-      // o_orderkey % 20 residue 0/1/2 — applied to the orders base in a
-      // single pass. Full-outer join on the key, then per-row verdict:
-      // base-only rows carry through (K), U rows take the new price,
-      // D rows drop, I rows (change-only by construction) append.
-      val base = T.orders(s, d).select(
-        col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"),
-        F.dec2(col("o_totalprice")).as("p"))
-      val m = col("o_orderkey") % 20
-      val changes = T.orders(s, d).filter(m.isin(0, 1, 2)).select(
-        when(m === 2, col("o_orderkey") + 1000000000L)
-          .otherwise(col("o_orderkey")).as("k"),
-        when(m === 0, "U").when(m === 1, "D").otherwise("I").as("op"),
-        when(m === 0, bump(F.dec2(col("o_totalprice"))))
-          .when(m === 2, F.dec2(col("o_totalprice")).cast(DecimalType(21, 3)))
-          .as("c_price"),
-        when(m === 2, col("o_custkey")).as("c_cust"),
-        when(m === 2, lit("N")).as("c_status"))
-      base.join(changes, Seq("k"), "full_outer")
-        .filter(coalesce(col("op"), lit("K")) =!= "D")
-        .select(
-          col("k").as("order_key"),
-          coalesce(col("c_cust"), col("o_custkey")).as("cust_key"),
-          coalesce(col("c_status"), col("o_orderstatus")).as("status"),
-          F.od(coalesce(col("c_price"), col("p").cast(DecimalType(21, 3))))
-            .as("price"),
-          coalesce(col("op"), lit("K")).as("verdict"))
+    "q42_merge_upsert" -> ((s, d) =>
+      // CDC MERGE INTO as a one-shot plan: the shared kernel over the
+      // full base state — see [[applyOrdersChanges]] for the verdict
+      // semantics, q124 for the same kernel landing in a transactional
+      // versioned table.
+      applyOrdersChanges(ordersInitState(s, d), ordersChanges(s, d))
+        .select(col("order_key"), col("cust_key"), col("status"),
+          F.od(col("price")).as("price"), col("verdict"))
+        .orderBy(col("order_key"))),
+
+    "q124_merge_versioned" -> ((s, d) => {
+      // q42's MERGE against a TRANSACTIONAL target: the change batch
+      // lands in the snapshot-versioned table via an atomic manifest
+      // commit (file-level copy-on-write, concurrent-loser aborts,
+      // torn writes invisible — SnapshotSpec), and the query reads the
+      // committed v2 snapshot. Hash-matches q42's oracle verbatim — the
+      // q120/q113 proof pattern: same answer, operational storage.
+      Snapshot.read(s, snapOrders(s, d))
+        .select(col("order_key"), col("cust_key"), col("status"),
+          F.od(col("price")).as("price"), col("verdict"))
         .orderBy(col("order_key"))
+    }),
+
+    "q125_time_travel" -> ((s, d) => {
+      // TIME TRAVEL over the same table: v1 (pre-merge) and v2
+      // (post-merge) read side by side from their immutable manifests —
+      // the audit query a warehouse with history answers and a
+      // DROP+CTAS warehouse (the reference's) cannot. Decimal sums are
+      // order-free; verdict counts pin the CDC batch's effect per
+      // version. Oracle replays both versions in SQL.
+      val dir = snapOrders(s, d)
+      Snapshot.read(s, dir, 1).withColumn("version", lit(1L))
+        .unionByName(
+          Snapshot.read(s, dir, 2).withColumn("version", lit(2L)))
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n"),
+          F.od(sum(col("price"))).as("total"),
+          sum(when(col("verdict") === "U", 1L).otherwise(0L)).as("n_upd"),
+          sum(when(col("verdict") === "I", 1L).otherwise(0L)).as("n_ins"))
+        .orderBy(col("version"))
     }),
 
     "q38_agg_incremental" -> ((s, d) => {
@@ -136,8 +218,10 @@ object Warehouse extends QueryModule {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
-    "q42_merge_upsert" ->
+  /** q42's oracle — also q124's, verbatim: a green hash on q124 proves
+    * the snapshot-versioned MERGE lands exactly the one-shot plan's
+    * answer (the q120/q113 same-oracle proof pattern). */
+  private val mergeOracle =
       """WITH base AS (
         |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
         |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
@@ -161,7 +245,43 @@ object Warehouse extends QueryModule {
         |  coalesce(op, 'K') AS verdict
         |FROM base FULL JOIN ch ON base.k = ch.k
         |WHERE coalesce(op, 'K') <> 'D'
-        |ORDER BY order_key""".stripMargin,
+        |ORDER BY order_key""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q42_merge_upsert" -> mergeOracle,
+    "q124_merge_versioned" -> mergeOracle,
+
+    "q125_time_travel" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
+        |              ELSE o_orderkey END AS k,
+        |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+        |              ELSE 'I' END AS op,
+        |         CASE WHEN o_orderkey % 20 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              WHEN o_orderkey % 20 = 2
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+        |         END AS c_price
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)),
+        |v2 AS (
+        |  SELECT coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS price,
+        |         coalesce(op, 'K') AS verdict
+        |  FROM base FULL JOIN ch ON base.k = ch.k
+        |  WHERE coalesce(op, 'K') <> 'D')
+        |SELECT CAST(1 AS BIGINT) AS version, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(21,3))) AS DOUBLE) AS total,
+        |  CAST(0 AS BIGINT) AS n_upd, CAST(0 AS BIGINT) AS n_ins
+        |FROM base
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*),
+        |  CAST(sum(price) AS DOUBLE),
+        |  CAST(sum(CASE WHEN verdict = 'U' THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN verdict = 'I' THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM v2
+        |ORDER BY version""".stripMargin,
 
     "q38_agg_incremental" ->
       // Full recompute over the post-MERGE state — the equivalence that

@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Snapshot
+
+/** The snapshot table's transactional contract: atomic publish, torn
+  * writes invisible, optimistic-concurrency loser aborts cleanly,
+  * time travel, file-level copy-on-write, stats pruning, vacuum.
+  * These are the guarantees that make q124/q125's MERGE target real
+  * rather than a merge PLAN over bare parquet. */
+class SnapshotSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_snap").toString + "/t"
+
+  /** 800 rows, keys 1..800 — range-partitioned into 8 files on commit,
+    * so each file covers ~100 consecutive keys (what makes narrow COW
+    * and pruning observable). */
+  private def baseRows(n: Int = 800): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(k => (k.toLong, s"val_$k", "K")).toDF("k", "v", "verdict")
+  }
+
+  private def state(dir: String, version: Int = 0): Set[(Long, String, String)] =
+    Snapshot.read(spark, dir, version).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("commit + read round trip; versions ascend") {
+    val dir = freshDir()
+    assert(Snapshot.versions(spark, dir).isEmpty)
+    assert(Snapshot.currentVersion(spark, dir) == 0)
+    val v = Snapshot.commit(baseRows(), dir, 0, "k")
+    assert(v == 1 && Snapshot.versions(spark, dir) == Seq(1))
+    assert(state(dir) == baseRows().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.files.size == 8, "range partitioning must yield 8 files")
+    assert(m.files.map(f => f.max - f.min + 1).sum == 800,
+      "disjoint file ranges must tile the key space")
+  }
+
+  test("stale expectedVersion fails fast; nothing is published") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    intercept[Snapshot.SnapshotConflict] {
+      Snapshot.commit(baseRows(), dir, 0, "k") // table is at v1, not v0
+    }
+    assert(Snapshot.versions(spark, dir) == Seq(1))
+  }
+
+  test("torn write is invisible: data files without a manifest never surface") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val before = state(dir)
+    // simulate a writer that died between data landing and publish:
+    // data files exist under data/, no manifest references them
+    baseRows(10).write.parquet(s"$dir/data/c2_deadbeef")
+    assert(Snapshot.currentVersion(spark, dir) == 1)
+    assert(state(dir) == before, "readers must not see unpublished data")
+    // vacuum reclaims exactly the orphan, never a live file
+    assert(Snapshot.vacuum(spark, dir) == Seq("c2_deadbeef"))
+    assert(state(dir) == before)
+    assert(Snapshot.vacuum(spark, dir).isEmpty, "vacuum is idempotent")
+  }
+
+  test("concurrent commit: one winner, loser aborts and leaves no debris") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    import spark.implicits._
+    val a = Seq((9001L, "from_a", "I")).toDF("k", "v", "verdict")
+    val b = Seq((9002L, "from_b", "I")).toDF("k", "v", "verdict")
+    val attempts = Seq(a, b).map(df => Future(
+      try Right(Snapshot.commit(df, dir, 1, "k"))
+      catch { case e: Snapshot.SnapshotConflict => Left(e) }))
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    assert(results.count(_.isRight) == 1, s"exactly one winner: $results")
+    assert(results.count(_.isLeft) == 1, s"exactly one loser: $results")
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    val vals = state(dir).map(_._2)
+    assert(vals == Set("from_a") || vals == Set("from_b"),
+      "v2 must be exactly the winner's content")
+    // the loser deleted its own data dir: nothing for vacuum to reclaim
+    assert(Snapshot.vacuum(spark, dir).isEmpty,
+      "loser must clean up its data files on abort")
+  }
+
+  test("time travel: v1 stays byte-identical after later commits") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val v1 = state(dir, 1)
+    import spark.implicits._
+    Snapshot.commit(Seq((1L, "rewritten", "U")).toDF("k", "v", "verdict"),
+      dir, 1, "k", nFiles = 1)
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    assert(state(dir, 1) == v1, "old snapshots are immutable")
+    assert(state(dir, 2) == Set((1L, "rewritten", "U")))
+  }
+
+  test("mergeCow rewrites only stats-touched files and carries the rest") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    // narrow CDC batch: keys 1..3 (one file's range) + one out-of-range
+    // insert — the COW selection must rewrite exactly one file
+    val ch = Seq(
+      (1L, "U", "upd_1"), (2L, "D", null), (3L, "U", "upd_3"),
+      (9001L, "I", "ins_9001")).toDF("k", "op", "cv")
+    val apply = (base: DataFrame, changes: DataFrame) =>
+      base.join(changes, base("k") === changes("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("K")) =!= "D")
+        .select(coalesce(changes("k"), base("k")).as("k"),
+          coalesce(col("cv"), col("v")).as("v"),
+          coalesce(col("op"), col("verdict")).as("verdict"))
+    val v = Snapshot.mergeCow(spark, dir, ch, "k", apply, nFiles = 1)
+    assert(v == 2)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    val carried = m2.files.map(_.path).toSet
+      .intersect(m1.files.map(_.path).toSet)
+    assert(carried.size == 7,
+      s"7 of 8 v1 files must carry over by reference, got ${carried.size}")
+    // semantics: full replay equality against the one-shot merge
+    val expected = apply(Snapshot.read(spark, dir, 1), ch)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(state(dir, 2) == expected,
+      "COW result must equal the full-table merge")
+    assert(state(dir, 2).contains((9001L, "ins_9001", "I")) &&
+      !state(dir, 2).exists(_._1 == 2L),
+      "out-of-range insert lands; delete disappears")
+  }
+
+  test("mergeCow with only out-of-range inserts touches zero base files") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    val ch = Seq((9001L, "I", "ins")).toDF("k", "op", "cv")
+    val apply = (base: DataFrame, changes: DataFrame) =>
+      base.join(changes, base("k") === changes("k"), "full_outer")
+        .select(coalesce(changes("k"), base("k")).as("k"),
+          coalesce(col("cv"), col("v")).as("v"),
+          coalesce(col("op"), col("verdict")).as("verdict"))
+    Snapshot.mergeCow(spark, dir, ch, "k", apply, nFiles = 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m1.files.map(_.path).toSet.subsetOf(m2.files.map(_.path).toSet),
+      "all 8 base files carry over; only the insert file is new")
+    assert(state(dir, 2).size == 801)
+  }
+
+  test("readPruned opens only overlapping files, result equals full filter") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val pruned = Snapshot.readPruned(spark, dir, 150, 250)
+    val full = Snapshot.read(spark, dir).filter(col("k").between(150, 250))
+    assert(pruned.inputFiles.length < Snapshot.manifest(spark, dir, 1).files.size,
+      "pruned read must open a strict subset of the snapshot's files")
+    assert(pruned.inputFiles.length <= 3,
+      s"a ~100-key range over 8 range-files opens ≤3, got ${pruned.inputFiles.length}")
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      full.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("stream sink: version arithmetic gives exactly-once across replays") {
+    import spark.implicits._
+    val dir = freshDir()
+    def batch(rows: (Long, Long, String, Double)*): DataFrame =
+      rows.toDF("event_id", "user_id", "event_type", "value")
+    val b0 = batch((1L, 7L, "view", 1.0), (2L, 7L, "buy", 2.0),
+                   (3L, 8L, "view", 3.0))
+    val b1 = batch((4L, 7L, "view", 4.0), (5L, 9L, "buy", 5.0))
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 0L, b0)
+    assert(Snapshot.currentVersion(spark, dir) == 1)
+    // the restart contract: the last batch is REDELIVERED — must no-op
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 0L, b0)
+    assert(Snapshot.currentVersion(spark, dir) == 1,
+      "a redelivered batch must not commit a second version")
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 1L, b1)
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 1L, b1)
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 0L, b0)
+    assert(Snapshot.currentVersion(spark, dir) == 2,
+      "replaying ANY already-committed batch must no-op")
+    // final state = global argmax per user, regardless of replays
+    val got = Snapshot.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(7L -> 4L, 8L -> 3L, 9L -> 5L))
+    // time travel sees the stream's history: user 7 at v1 was event 2
+    val v1 = Snapshot.read(spark, dir, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(v1 == Map(7L -> 2L, 8L -> 3L))
+    // a FUTURE batch is a gap (lost batch), not a redelivery: loud fail
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.StreamOps.snapshotSinkBatch(dir, 5L, b1)
+    }
+    assert(e.getMessage.contains("gap"))
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+  }
+
+  test("q124's table: v1/v2 manifests, immutable history, vacuum-clean") {
+    val dir = graft.ops.Warehouse.snapOrders(spark, sf)
+    assert(Snapshot.versions(spark, dir) == Seq(1, 2))
+    // the memoized builder is idempotent per session
+    assert(graft.ops.Warehouse.snapOrders(spark, sf) == dir)
+    assert(Snapshot.vacuum(spark, dir).isEmpty,
+      "a clean build leaves no unreferenced data")
+    val v1 = Snapshot.read(spark, dir, 1)
+    assert(v1.filter(col("verdict") =!= "K").count() == 0,
+      "v1 is the pre-merge load: all lineage 'K'")
+    val v2 = Snapshot.read(spark, dir, 2)
+    assert(v2.filter(col("verdict") === "I").count() > 0 &&
+      v2.filter(col("verdict") === "U").count() > 0,
+      "v2 carries the CDC batch's lineage")
+  }
+}
