@@ -79,6 +79,71 @@ object BenchShapes {
       s"q95 output must be width-invariant: $sweep")
     val body = sweep.map { case (w, t, _) => f""""w$w":$t%.3f""" }.mkString(",")
     println(s"""{"shape_bench":"q95_drain_width","sf":"$sfDir","rows":${sweep.head._3},$body}""")
+
+    // q124's MERGE shapes: file-level copy-on-write vs full-table rewrite
+    // for a NARROW CDC batch (one file's key range) against the snapshot
+    // table. The claim COW makes — "a narrow batch rewrites one file,
+    // not the table" — measured rather than asserted. The base is the
+    // x10 key-stride union (ScaleProbe's construction): at plain sf0.1
+    // (~10 MB) per-job fixed cost swamps the byte-proportional rewrite
+    // and the two shapes tie; the divergence IS the bytes written, so
+    // the probe measures where bytes matter. Each run commits against a
+    // fresh FS copy of the same 8-file base so layout and version are
+    // identical across runs.
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val snapBase = java.nio.file.Files
+      .createTempDirectory("graft_snapshape").toString + "/base"
+    val init1 = ops.Warehouse.ordersInitState(spark, sfDir)
+    val init10 = (0 until 10).map(i => init1.withColumn("order_key",
+        col("order_key") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    ops.Snapshot.commit(init10, snapBase, 0, "order_key")
+    val m1 = ops.Snapshot.manifest(spark, snapBase, 1)
+    val f0 = m1.files.minBy(_.min)
+    val narrow = ops.Warehouse.ordersChanges(spark, sfDir)
+      .filter(col("k").between(f0.min, f0.max)).localCheckpoint(true)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new HPath(snapBase).getFileSystem(hconf)
+    var runId = 0
+    def freshCopy(): String = {
+      runId += 1
+      val dst = snapBase + s"_run_$runId"
+      FileUtil.copy(hfs, new HPath(snapBase), hfs, new HPath(dst), false, hconf)
+      dst
+    }
+    def medCommit(op: String => Unit): (Double, Long) = {
+      val runs = (0 until 3).map { _ =>
+        val dir = freshCopy()
+        val t0 = System.nanoTime()
+        op(dir)
+        ((System.nanoTime() - t0) / 1e9,
+          ops.Snapshot.read(spark, dir, 2).count())
+      }
+      (runs.map(_._1).sorted.apply(1), runs.head._2)
+    }
+    // warmup (JIT + footers), untimed
+    ops.Snapshot.mergeCow(spark, freshCopy(), narrow, "k",
+      ops.Warehouse.applyOrdersChanges)
+    val (tCow, nCow) = medCommit { dir =>
+      ops.Snapshot.mergeCow(spark, dir, narrow, "k",
+        ops.Warehouse.applyOrdersChanges): Unit
+    }
+    val (tFull, nFull) = medCommit { dir =>
+      ops.Snapshot.commit(
+        ops.Warehouse.applyOrdersChanges(
+          ops.Snapshot.read(spark, dir, 1), narrow),
+        dir, 1, "order_key"): Unit
+    }
+    require(nCow == nFull, s"merge shapes must agree: cow=$nCow full=$nFull")
+    val cowTouched = {
+      val dir = freshCopy()
+      ops.Snapshot.mergeCow(spark, dir, narrow, "k",
+        ops.Warehouse.applyOrdersChanges)
+      val m2 = ops.Snapshot.manifest(spark, dir, 2)
+      m1.files.size - m2.files.map(_.path).toSet
+        .intersect(m1.files.map(_.path).toSet).size
+    }
+    println(f"""{"shape_bench":"q124_merge_cow","sf":"$sfDir","rows":$nCow,"base_files":${m1.files.size},"rewritten_files":$cowTouched,"cow_sec":$tCow%.3f,"full_rewrite_sec":$tFull%.3f}""")
     spark.stop()
   }
 }

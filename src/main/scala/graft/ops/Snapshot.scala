@@ -124,7 +124,13 @@ object Snapshot {
   def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {
     val v = if (version > 0) version else currentVersion(spark, dir)
     val m = manifest(spark, dir, v)
-    spark.read.parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+    // mergeSchema: a COW commit may carry old-schema files next to new
+    // ones after an ADDITIVE column change (the only safe drift class —
+    // Ingest.readEvolved's contract); carried files read the new column
+    // as NULL, incompatible type changes still fail loudly. Costs one
+    // footer read per distinct file schema at planning.
+    spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => s"$dir/${f.path}"): _*)
   }
 
   /** Stats-pruned read: only files whose [min,max] range on the stats
@@ -142,7 +148,8 @@ object Snapshot {
     val hit = m.files.filter(f => f.min <= hi && f.max >= lo)
     require(hit.nonEmpty, s"no snapshot file overlaps [$lo,$hi] — " +
       "empty-result reads need a schema source; read() and filter instead")
-    spark.read.parquet(hit.map(f => s"$dir/${f.path}"): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(f => s"$dir/${f.path}"): _*)
       .filter(col(m.statsCol).between(lo, hi))
   }
 
@@ -270,6 +277,30 @@ object Snapshot {
         read(spark, dir, cur).limit(0)
       else spark.read.parquet(rewrite.map(f => s"$dir/${f.path}"): _*)
     commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles)
+  }
+
+  /** OPTIMIZE as a COMMIT: rewrite the current snapshot into
+    * `ceil(bytes / targetBytes)` range-clustered files and publish the
+    * result as a new version — state-identical by construction (it is
+    * the same rows), spec-pinned. Because compaction rides the normal
+    * commit protocol, readers are never disrupted (they keep resolving
+    * the old manifest until the rename lands), concurrent writers race
+    * it fairly (one wins, the other retries), and the pre-compaction
+    * history stays time-travelable until a retention job drops old
+    * manifests. This is [[Layout.compact]]'s job — the small-files
+    * problem streaming sinks and per-batch CDC commits accrete — made
+    * transactional: q126's 4-batch drain leaves 4-file-per-version
+    * debris exactly like a real streaming table. Returns the committed
+    * version. */
+  def compactVersion(spark: SparkSession, dir: String,
+                     targetBytes: Long): Int = {
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    val fs = fsOf(spark, dir)
+    val bytes = m.files.map(f =>
+      fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    commit(read(spark, dir, cur), dir, cur, m.statsCol, Nil, nFiles)
   }
 
   /** Reclaim data directories no committed manifest references — the

@@ -165,6 +165,50 @@ class SnapshotSpec extends SparkSpec {
       full.collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("compactVersion: OPTIMIZE is a state-identical commit; history intact") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    // accrete small-file debris the way a per-batch CDC sink does:
+    // three narrow commits, each carrying the old files + 1 new
+    (1 to 3).foreach { i =>
+      val m = Snapshot.manifest(spark, dir, i)
+      Snapshot.commit(
+        Seq((9000L + i, s"ins_$i", "I")).toDF("k", "v", "verdict"),
+        dir, i, "k", carried = m.files, nFiles = 1)
+    }
+    val before = state(dir)
+    val filesBefore = Snapshot.manifest(spark, dir, 4).files.size
+    assert(filesBefore == 11, s"8 base + 3 singleton commits, got $filesBefore")
+    val v = Snapshot.compactVersion(spark, dir, Long.MaxValue)
+    assert(v == 5)
+    val m5 = Snapshot.manifest(spark, dir, 5)
+    assert(m5.files.size == 1, s"full compaction -> 1 file, got ${m5.files.size}")
+    assert(state(dir) == before, "OPTIMIZE must not change the state")
+    assert(state(dir, 4) == before && Snapshot.manifest(spark, dir, 4)
+      .files.size == filesBefore,
+      "pre-compaction versions stay readable with their own layout")
+  }
+
+  test("additive schema evolution: carried old-schema files read new col as NULL") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    // v2 adds a column, carrying all of v1's files by reference
+    val withCol = Seq((9001L, "ins", "I", "extra_val"))
+      .toDF("k", "v", "verdict", "note")
+    Snapshot.commit(withCol, dir, 1, "k", carried = m1.files, nFiles = 1)
+    val v2 = Snapshot.read(spark, dir, 2)
+    assert(v2.columns.toSeq == Seq("k", "v", "verdict", "note"))
+    assert(v2.filter(col("note").isNotNull).count() == 1,
+      "only the new-schema row carries the added column")
+    assert(v2.count() == 801)
+    // v1 read is untouched by the later drift
+    assert(Snapshot.read(spark, dir, 1).columns.toSeq ==
+      Seq("k", "v", "verdict"))
+  }
+
   test("stream sink: version arithmetic gives exactly-once across replays") {
     import spark.implicits._
     val dir = freshDir()
