@@ -145,7 +145,16 @@ object ScaleProbe {
       "q115_mix_temperature", "q116_sim_ivf_batch",
       // round-9-end additions: transcript assembly over the x10 time
       // axis, the packing manifest, the quantile gate
-      "q117_assemble_sessions", "q118_pack_manifest", "q119_quality_gate")
+      "q117_assemble_sessions", "q118_pack_manifest", "q119_quality_gate",
+      // round-10 additions: the persisted-index gate + two-day append
+      // (per-run cost ∝ batch is the claim to observe), the mixed-length
+      // interval join over the ×N time axis, the snapshot table's COW
+      // merge + time travel + exactly-once streaming sink (first
+      // construction builds the memoized table/index artifacts — q110's
+      // med3 discipline, the median reads the serving cost)
+      "q120_dedup_inc_index", "q122_join_interval_varlen",
+      "q123_dedup_inc_append", "q124_merge_versioned", "q125_time_travel",
+      "q126_stream_snapshot_sink")
     val results = family.map { name =>
       val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
       println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")

@@ -152,10 +152,15 @@ object StreamOps extends QueryModule {
       require(cur == batchId,
         s"stream sink gap: table at v$cur but batch $batchId arrived — " +
           s"batches ${cur} to ${batchId - 1} were lost, refusing to skip")
+      // nFiles=1: a micro-batch commit is small — a multi-file range
+      // layout would pay extra write tasks, stats rows AND the range-
+      // partitioner's sampling job per commit for nothing (a single
+      // range is sample-free; the steady-state answer to the accreted
+      // small files is Snapshot.compactVersion, itself just a commit)
       if (cur == 0)
-        Snapshot.commit(latestDelta(batch), dir, 0, "user_id")
+        Snapshot.commit(latestDelta(batch), dir, 0, "user_id", nFiles = 1)
       else
-        Snapshot.mergeCow(s, dir, batch, "user_id", mergeLatest)
+        Snapshot.mergeCow(s, dir, batch, "user_id", mergeLatest, nFiles = 1)
     }
   }
 

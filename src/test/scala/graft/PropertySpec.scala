@@ -17,6 +17,47 @@ class PropertySpec extends SparkSpec {
   private val texts: Gen[List[String]] =
     Gen.listOfN(20, Gen.oneOf("a", "b", "c", "a b", "b c", "a b c"))
 
+  test("mergeCow == full-table merge for ANY base/batch/file-count shape") {
+    // q124's copy-on-write shortcut must be LOSSLESS: for every base key
+    // set, change batch (updates/deletes/inserts, in- and out-of-range
+    // keys, including keys absent from the base), and file layout, the
+    // COW result (touched files rewritten + carry-over) must equal the
+    // full-table merge of the same inputs. This is the snapshot family's
+    // analog of the prefix-filter lossless-∀ property: the file-range
+    // selection may only skip files the merge could not change.
+    import spark.implicits._
+    import graft.ops.Snapshot
+    val bases = Gen.nonEmptyListOf(Gen.choose(1L, 60L)).map(_.distinct)
+    val ops = for {
+      k  <- Gen.choose(1L, 80L) // beyond the base range: inserts + misses
+      op <- Gen.oneOf("U", "D", "I")
+    } yield (k, op)
+    val batches = Gen.nonEmptyListOf(ops).map(_.distinctBy(_._1))
+    val layouts = Gen.choose(1, 5)
+    val apply = (base: org.apache.spark.sql.DataFrame,
+                 changes: org.apache.spark.sql.DataFrame) =>
+      base.join(changes, base("k") === changes("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("K")) =!= "D")
+        .select(coalesce(changes("k"), base("k")).as("k"),
+          coalesce(concat(lit("c"), col("op")), col("v")).as("v"),
+          coalesce(col("op"), col("verdict")).as("verdict"))
+    var n = 0
+    check(Prop.forAll(bases, batches, layouts) { (ks, ch, nf) =>
+      n += 1
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cowprop_$n").toString + "/t"
+      val base = ks.map(k => (k, s"v$k", "K")).toDF("k", "v", "verdict")
+      Snapshot.commit(base, dir, 0, "k", nFiles = nf)
+      val changes = ch.toDF("k", "op")
+      Snapshot.mergeCow(spark, dir, changes, "k", apply, nFiles = nf)
+      val cow = Snapshot.read(spark, dir, 2).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val full = apply(Snapshot.read(spark, dir, 1), changes).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      cow == full
+    })
+  }
+
   test("bulkJdbcUrl: append-only, PG-flag-once, idempotent — any URL shape") {
     // the pure half of the COPY-grade sink (the PG server itself is
     // unreachable here): for EVERY dialect/path/query-string shape the
