@@ -20,6 +20,8 @@ import graft.ops.Ingest
   * runMain graft.StageLoad    <work>           # A6-A9/A13/A20 typed loads
   * runMain graft.StageDerive  <work>           # A16-A19 bucketed derive
   * runMain graft.StagePublish <work> [jdbcUrl] # A10/A19/A20 publish+gate
+  * runMain graft.StageMerge   <work> <runTag>  # A22 exactly-once snapshot
+  *                                             # upsert (beyond-reference)
   * }}}
   *
   * Restart contract (every stage, both halves spec-replayed):
@@ -186,6 +188,40 @@ object Stages {
     (out.count(), out.filter(col("cust_key").isNull).count())
   }
 
+  /** 5. merge — incremental warehouse maintenance as a RESTARTABLE task:
+    * upsert the published rows into a standing snapshot-versioned table
+    * ([[ops.Snapshot]]) keyed by (claim_key, claim_line). This is the
+    * stage the reference's DROP+CTAS reload cannot express: re-running
+    * the pipeline REPLACES its table, while this stage accretes history
+    * one atomic commit per run. The A22 redrive contract lands on the
+    * TABLE itself via [[ops.Snapshot.commitOnce]]: `runTag` stamps the
+    * commit, so a task redriven after a success no-ops (same version
+    * back), a task redriven after a crash-before-publish commits cleanly
+    * over vacuumable orphans, and a racing duplicate loses the atomic
+    * manifest publish — exactly-once per runTag with NO coordinator
+    * (StageSpec/SnapshotSpec replay all three). Returns the committed
+    * (or found) version. */
+  def merge(spark: SparkSession, work: String, runTag: String): Int = {
+    Ingest.assertNonEmptyPath(spark, s"$work/patient_claims_plus")
+    val dir = s"$work/claims_snapshot"
+    val pub = spark.read.parquet(s"$work/patient_claims_plus")
+      .withColumn("ck", col("claim_key") * 10 + col("claim_line"))
+    ops.Snapshot.commitOnce(spark, dir, runTag) {
+      val cur = ops.Snapshot.currentVersion(spark, dir)
+      if (cur == 0)
+        ops.Snapshot.commit(pub, dir, 0, "ck", note = runTag)
+      else
+        // keep-incoming upsert: published rows replace same-key snapshot
+        // rows, unmatched snapshot rows carry — COW rewrites only the
+        // files the incoming key ranges touch
+        ops.Snapshot.mergeCow(spark, dir, pub, "ck",
+          (base, ch) => ch.unionByName(
+            base.join(ch.select(col("ck").as("_k")),
+              base("ck") === col("_k"), "left_anti")),
+          note = runTag)
+    }
+  }
+
   /** One task JVM's session — the per-stage analog of Pipeline.main's. */
   private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -243,6 +279,17 @@ object StagePublish {
       val (rows, misses) =
         Stages.publish(s, a(0), if (a.length > 1) Some(a(1)) else None)
       println(s"STAGE_OK=publish PIPELINE_ROWS=$rows NULL_EXTENDED=$misses " +
+        s"WORK_DIR=${a(0)}")
+    }
+}
+
+object StageMerge {
+  def main(args: Array[String]): Unit =
+    Stages.drive(args,
+      "usage: runMain graft.StageMerge <workDir> <runTag>") { (s, a) =>
+      require(a.length > 1, "usage: runMain graft.StageMerge <workDir> <runTag>")
+      val v = Stages.merge(s, a(0), a(1))
+      println(s"STAGE_OK=merge SNAPSHOT_VERSION=$v RUN_TAG=${a(1)} " +
         s"WORK_DIR=${a(0)}")
     }
 }

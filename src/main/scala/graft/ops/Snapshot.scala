@@ -65,8 +65,14 @@ object Snapshot {
     * parsing trivial and cross-engine exact. */
   final case class FileEntry(path: String, min: Long, max: Long)
 
+  /** `note` is an optional idempotency token (the txnAppId recipe): a
+    * restartable job stamps its commit with a stable token and skips
+    * when the CURRENT manifest already carries it — so a redriven task
+    * whose previous attempt committed becomes a no-op instead of a
+    * conflict ([[commitOnce]]; the A22 redrive discipline at the table).
+    * Tab/newline-free by contract (tab-separated manifest lines). */
   final case class Manifest(version: Int, statsCol: String,
-                            files: Seq[FileEntry])
+                            files: Seq[FileEntry], note: String = "")
 
   /** Thrown when a commit loses the optimistic-concurrency race or was
     * issued against a stale expected version. */
@@ -109,13 +115,15 @@ object Snapshot {
       finally in.close()
     val lines = text.linesIterator.toSeq
     val hdr = lines.head.split('\t')
-    require(hdr.length == 3 && hdr(0) == "v", s"malformed manifest $p")
+    require((hdr.length == 3 || hdr.length == 4) && hdr(0) == "v",
+      s"malformed manifest $p")
     val files = lines.tail.filter(_.nonEmpty).map { l =>
       val c = l.split('\t')
       require(c.length == 4 && c(0) == "f", s"malformed manifest line in $p")
       FileEntry(c(1), c(2).toLong, c(3).toLong)
     }
-    Manifest(hdr(1).toInt, hdr(2), files)
+    Manifest(hdr(1).toInt, hdr(2), files,
+      if (hdr.length == 4) hdr(3) else "")
   }
 
   /** Read a snapshot (default: latest). The scan's file list comes from
@@ -197,8 +205,11 @@ object Snapshot {
   private def publish(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val fs = fsOf(spark, dir)
     fs.mkdirs(manifestsDir(dir))
-    val body = (s"v\t${m.version}\t${m.statsCol}" +:
-      m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}"))
+    require(!m.note.exists(c => c == '\t' || c == '\n'),
+      "manifest note must be tab/newline-free")
+    val hdr = s"v\t${m.version}\t${m.statsCol}" +
+      (if (m.note.nonEmpty) s"\t${m.note}" else "")
+    val body = (hdr +: m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}"))
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -226,7 +237,7 @@ object Snapshot {
     * orphans). Returns the committed version. */
   def commit(df: DataFrame, dir: String, expectedVersion: Int,
              statsCol: String, carried: Seq[FileEntry] = Nil,
-             nFiles: Int = 8): Int = {
+             nFiles: Int = 8, note: String = ""): Int = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, dir)
     if (cur != expectedVersion)
@@ -235,7 +246,7 @@ object Snapshot {
     val v = expectedVersion + 1
     val sub = s"data/c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     val fresh = writeDataFiles(df, dir, sub, statsCol, nFiles)
-    val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path))
+    val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -244,6 +255,40 @@ object Snapshot {
         throw e
     }
     v
+  }
+
+  /** Idempotent commit for RESTARTABLE jobs (the A22 redrive contract at
+    * the table): stamp the commit with a stable per-task `token`; a
+    * redriven task whose previous attempt already committed finds its
+    * token on the CURRENT manifest and no-ops (returns that version)
+    * instead of raising a conflict. A crash BEFORE publish leaves only
+    * vacuumable orphans and the retry commits normally — so any number
+    * of redrives land the commit exactly once. The token guards the
+    * immediate retry case (same logical task, same target version);
+    * unrelated writers interleaving still conflict loudly, as they
+    * must. */
+  def commitOnce(spark: SparkSession, dir: String, token: String)
+                (body: => Int): Int = {
+    require(token.nonEmpty, "commitOnce needs a non-empty token")
+    val cur = currentVersion(spark, dir)
+    if (cur > 0 && manifest(spark, dir, cur).note == token) cur
+    else body
+  }
+
+  /** Drop every manifest older than the newest `keep` versions, then
+    * [[vacuum]] the data files only they referenced — the RETENTION step
+    * that bounds a long-lived table's history (time travel works within
+    * the retention window; compaction/commit never delete, so without
+    * expiry a table's storage is its entire history). The current
+    * version is always kept. Returns the expired version numbers. */
+  def expireVersions(spark: SparkSession, dir: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, "must keep at least the current version")
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    val dead = vs.dropRight(keep)
+    dead.foreach(v => fs.delete(manifestPath(dir, v), false))
+    vacuum(spark, dir)
+    dead
   }
 
   /** File-level COPY-ON-WRITE merge. `changes` must carry the table's
@@ -260,7 +305,7 @@ object Snapshot {
   def mergeCow(spark: SparkSession, dir: String, changes: DataFrame,
                keyCol: String,
                apply: (DataFrame, DataFrame) => DataFrame,
-               nFiles: Int = 8): Int = {
+               nFiles: Int = 8, note: String = ""): Int = {
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
     import spark.implicits._
@@ -276,7 +321,7 @@ object Snapshot {
         // the base side of the merge is empty, with the snapshot's schema
         read(spark, dir, cur).limit(0)
       else spark.read.parquet(rewrite.map(f => s"$dir/${f.path}"): _*)
-    commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles)
+    commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles, note)
   }
 
   /** OPTIMIZE as a COMMIT: rewrite the current snapshot into

@@ -60,5 +60,28 @@ class PipelineSpec extends SparkSpec {
       "a re-driven stage must replace its output dir, debris included")
     assert(Stages.publish(spark, work) == ((rows, misses)),
       "a re-driven pipeline must publish the identical result")
+
+    // stage 5 (beyond-reference): exactly-once snapshot upsert per runTag.
+    // A redriven SUCCESSFUL task no-ops; a crash BEFORE publish leaves
+    // only vacuumable orphans and the retry commits; the next DAY's tag
+    // commits a new version over the same standing table.
+    import org.apache.spark.sql.functions.col
+    val snap = s"$work/claims_snapshot"
+    assert(Stages.merge(spark, work, "day1") == 1)
+    assert(Stages.merge(spark, work, "day1") == 1,
+      "a redriven successful merge task must return the SAME version")
+    assert(ops.Snapshot.versions(spark, snap) == Seq(1),
+      "the redrive must not commit a second version")
+    // crash window: data landed, manifest never published — the retry
+    // must commit cleanly and vacuum can reclaim the orphan
+    spark.read.parquet(s"$work/patient_claims_plus").limit(3)
+      .withColumn("ck", col("claim_key") * 10 + col("claim_line"))
+      .write.parquet(s"$snap/data/c2_torn")
+    assert(Stages.merge(spark, work, "day2") == 2,
+      "a retry after a crash-before-publish must land the commit")
+    assert(ops.Snapshot.vacuum(spark, snap) == Seq("c2_torn"))
+    assert(Stages.merge(spark, work, "day2") == 2)
+    val v2 = ops.Snapshot.read(spark, snap).count()
+    assert(v2 == rows, "upsert of identical published rows is idempotent")
   }
 }

@@ -245,6 +245,29 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.currentVersion(spark, dir) == 2)
   }
 
+  test("expireVersions: retention drops old manifests + their data only") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    // v2/v3: full rewrites, so v1's files become expirable once v1 goes
+    Snapshot.commit(Seq((1L, "a", "U")).toDF("k", "v", "verdict"),
+      dir, 1, "k", nFiles = 1)
+    Snapshot.commit(Seq((1L, "b", "U")).toDF("k", "v", "verdict"),
+      dir, 2, "k", nFiles = 1)
+    val keepState = state(dir, 3)
+    assert(Snapshot.expireVersions(spark, dir, 2) == Seq(1))
+    assert(Snapshot.versions(spark, dir) == Seq(2, 3))
+    assert(state(dir, 3) == keepState && state(dir, 2).nonEmpty,
+      "retained versions stay fully readable")
+    intercept[IllegalArgumentException] {
+      Snapshot.manifest(spark, dir, 1)
+    }
+    // v2's data is still referenced — expiry must not have vacuumed it;
+    // the current version always survives even with keep=1
+    assert(Snapshot.expireVersions(spark, dir, 1) == Seq(2))
+    assert(state(dir, 3) == keepState)
+  }
+
   test("q124's table: v1/v2 manifests, immutable history, vacuum-clean") {
     val dir = graft.ops.Warehouse.snapOrders(spark, sf)
     assert(Snapshot.versions(spark, dir) == Seq(1, 2))
