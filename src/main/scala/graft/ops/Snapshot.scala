@@ -173,20 +173,41 @@ object Snapshot {
                              statsCol: String, nFiles: Int): Seq[FileEntry] = {
     val spark = df.sparkSession
     val out = s"$dir/$sub"
-    df.repartitionByRange(nFiles, col(statsCol))
-      .sortWithinPartitions(col(statsCol))
-      .write.mode("overwrite").parquet(out)
-    val stats = spark.read.parquet(out)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
-      .collect()
-    stats.toSeq.map { r =>
-      val uri = r.getString(0)
-      val i = uri.indexOf(s"/$sub/")
-      require(i >= 0, s"unexpected data file location: $uri")
-      FileEntry(s"$sub/${uri.substring(i + sub.length + 2)}",
-        toLongStat(r.get(1)), toLongStat(r.get(2)))
-    }.sortBy(_.path)
+    if (nFiles == 1) {
+      // single-file commit (micro-batches, narrow COW rewrites): the
+      // file's stats ARE the frame's global min/max, so they ride the
+      // write job itself as Observation metrics — no second stats job,
+      // and coalesce(1) skips the range-partitioner's sampling job too
+      val obs = new org.apache.spark.sql.Observation(s"snap_stats_$sub")
+      df.coalesce(1).sortWithinPartitions(col(statsCol))
+        .observe(obs, count(lit(1)).as("n"),
+          min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+        .write.mode("overwrite").parquet(out)
+      val row = obs.get
+      if (row("n").asInstanceOf[Long] == 0L) return Seq.empty
+      val fs = fsOf(spark, dir)
+      val parts = fs.listStatus(new Path(out))
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
+      require(parts.length == 1, s"expected one data file, got ${parts.toSeq}")
+      Seq(FileEntry(s"$sub/${parts.head}",
+        toLongStat(row("mn")), toLongStat(row("mx"))))
+    } else {
+      df.repartitionByRange(nFiles, col(statsCol))
+        .sortWithinPartitions(col(statsCol))
+        .write.mode("overwrite").parquet(out)
+      val stats = spark.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+        .collect()
+      stats.toSeq.map { r =>
+        val uri = r.getString(0)
+        val i = uri.indexOf(s"/$sub/")
+        require(i >= 0, s"unexpected data file location: $uri")
+        FileEntry(s"$sub/${uri.substring(i + sub.length + 2)}",
+          toLongStat(r.get(1)), toLongStat(r.get(2)))
+      }.sortBy(_.path)
+    }
   }
 
   private def toLongStat(v: Any): Long = v match {
