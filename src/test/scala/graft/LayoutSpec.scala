@@ -15,20 +15,21 @@ class LayoutSpec extends SparkSpec {
     Layout.stageBucketed(
       Tables.customer(spark, sf).select("c_custkey", "c_name"),
       "graft_customer_b", "c_custkey", 8)
-    val o = spark.table("graft_orders_b")
-    val c = spark.table("graft_customer_b")
     // bucketing pays off in the sort-merge path (broadcast would bypass it
-    // — and at real scale neither side broadcasts)
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = o.join(c, o("o_custkey") === c("c_custkey"))
-      val n = joined.count()
-      assert(n == Tables.orders(spark, sf).count(), "inner join keeps all orders")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(!plan.contains("Exchange"),
-        s"bucketed join must not shuffle; plan was:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // — and at real scale neither side broadcasts). Pin the conf in a
+    // CHILD session (own SQLConf, shared catalog) so a concurrently
+    // running suite never plans under the override — suites share one
+    // JVM-wide session and ScalaTest interleaves them.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o2 = s2.table("graft_orders_b")
+    val c2 = s2.table("graft_customer_b")
+    val joined = o2.join(c2, o2("o_custkey") === c2("c_custkey"))
+    val n = joined.count()
+    assert(n == Tables.orders(spark, sf).count(), "inner join keeps all orders")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle; plan was:\n$plan")
   }
 
   test("stagePartitioned: a date predicate prunes the scan to one day") {
@@ -170,25 +171,24 @@ class LayoutSpec extends SparkSpec {
     // fact table. Observed, not claimed: the executed plan must contain
     // the bloom_filter_agg creation aggregate and a might_contain filter
     // on the fact's join key.
-    val tuned = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      // fixture tables are far below the 10GB default application-side
-      // threshold — drop it so the rule engages at test scale
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
-    val prev = tuned.map { case (k, _) => k -> spark.conf.get(k) }
-    try {
-      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-      val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
-      val dim = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000.0)
-        .select("o_orderkey")
-      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
-      assert(joined.collect().nonEmpty)
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("bloom_filter_agg"),
-        s"dim side must build the runtime Bloom filter; plan:\n${plan.take(3000)}")
-      assert(plan.contains("might_contain") && plan.contains("l_orderkey"),
-        s"fact side must apply the might_contain reduction; plan:\n${plan.take(3000)}")
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    // Conf pinned in a child session (not try/finally on the shared one):
+    // other suites plan concurrently and must never see these overrides.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // fixture tables are far below the 10GB default application-side
+    // threshold — drop it so the rule engages at test scale
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val fact = Tables.lineitem(s2, sf).select("l_orderkey", "l_quantity")
+    val dim = Tables.orders(s2, sf).filter(col("o_totalprice") > 400000.0)
+      .select("o_orderkey")
+    val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+    assert(joined.collect().nonEmpty)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_filter_agg"),
+      s"dim side must build the runtime Bloom filter; plan:\n${plan.take(3000)}")
+    assert(plan.contains("might_contain") && plan.contains("l_orderkey"),
+      s"fact side must apply the might_contain reduction; plan:\n${plan.take(3000)}")
   }
 
   test("AQE skew-join splits an engineered hot key on the executed plan") {
@@ -198,29 +198,28 @@ class LayoutSpec extends SparkSpec {
     // to fixture scale, force the sort-merge path, and observe the
     // OptimizeSkewedJoin marker on the ADAPTIVE executed plan — the
     // same mitigation a 100 TB hot key gets, scaled down.
-    val tuned = Seq(
+    // Conf pinned in a child session — see the bucketed-join test above.
+    val s2 = spark.newSession()
+    Seq(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
-    val prev = tuned.map { case (k, _) => k -> spark.conf.get(k) }
-    try {
-      tuned.foreach { case (k, v) => spark.conf.set(k, v) }
-      val left = spark.range(0, 100000L).select(
-        when(pmod(col("id"), lit(10)) < 9, lit(0L))
-          .otherwise(pmod(col("id"), lit(50))).as("k"),
-        lpad(col("id").cast("string"), 64, "x").as("payload"))
-      val right = spark.range(0, 50L)
-        .select(col("id").as("k"), (col("id") * 2).as("rv"))
-      val joined = left.join(right, Seq("k"))
-      // collect() (not count()) so THIS QueryExecution runs adaptively —
-      // count() would execute a separate aggregate plan and leave
-      // joined.queryExecution un-finalized
-      assert(joined.collect().length == 100000,
-        "every left row matches exactly one right key")
-      val plan = joined.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true"),
-        s"AQE must mark the skewed sort-merge join; plan:\n${plan.take(4000)}")
-    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      .foreach { case (k, v) => s2.conf.set(k, v) }
+    val left = s2.range(0, 100000L).select(
+      when(pmod(col("id"), lit(10)) < 9, lit(0L))
+        .otherwise(pmod(col("id"), lit(50))).as("k"),
+      lpad(col("id").cast("string"), 64, "x").as("payload"))
+    val right = s2.range(0, 50L)
+      .select(col("id").as("k"), (col("id") * 2).as("rv"))
+    val joined = left.join(right, Seq("k"))
+    // collect() (not count()) so THIS QueryExecution runs adaptively —
+    // count() would execute a separate aggregate plan and leave
+    // joined.queryExecution un-finalized
+    assert(joined.collect().length == 100000,
+      "every left row matches exactly one right key")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE must mark the skewed sort-merge join; plan:\n${plan.take(4000)}")
   }
 
   test("saltedJoin: result identical to the plain join, salt really spreads") {
