@@ -31,7 +31,8 @@ object Bench {
         "q110_sim_ivf_trained", "q79_dedup_resolve", "q09_scan_csv_roundtrip",
         "q105_sim_pq", "q112_sim_knn_rank", "q115_mix_temperature",
         "q120_dedup_inc_index", "q121_sim_ivf_adc",
-        "q123_dedup_inc_append", "q124_merge_versioned").foreach { w =>
+        "q123_dedup_inc_append", "q124_merge_versioned",
+        "q127_zorder_box").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

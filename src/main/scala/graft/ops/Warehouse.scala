@@ -108,6 +108,34 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The Z-ORDERED orders snapshot for a fixture dir, built once per
+    * (session, dir): v1 = plain commit clustered on o_custkey alone
+    * (the 1-D layout every single-column sort gives), v2 =
+    * [[Snapshot.optimizeZorder]] on (o_custkey, dday) — same rows, the
+    * layout a 2-D box predicate can prune on BOTH axes. `dday` is the
+    * order date as days since 1992-01-01 (int, well inside the 31-bit
+    * z-dimension contract; monotone in the date, so date ranges map to
+    * dday ranges exactly). */
+  private val zorderCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]
+  private[graft] def zOrders(s: SparkSession, d: String): String =
+    synchronized {
+      zorderCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_zorders_$sfx"
+          val base = T.orders(s, d).select(
+            col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01")).as("dday"),
+            F.dec2(col("o_totalprice")).as("price"))
+          Snapshot.commit(base, dir, 0, "o_custkey", nFiles = 16)
+          Snapshot.optimizeZorder(s, dir, "o_custkey", "dday", nFiles = 16)
+          dir
+        })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_merge_upsert" -> ((s, d) =>
       // CDC MERGE INTO as a one-shot plan: the shared kernel over the
@@ -149,6 +177,24 @@ object Warehouse extends QueryModule {
           sum(when(col("verdict") === "U", 1L).otherwise(0L)).as("n_upd"),
           sum(when(col("verdict") === "I", 1L).otherwise(0L)).as("n_ins"))
         .orderBy(col("version"))
+    }),
+
+    "q127_zorder_box" -> ((s, d) => {
+      // 2-D box query over the Z-ORDERED snapshot: customer range ×
+      // order-date range served through [[Snapshot.readPrunedBox]] —
+      // file pruning on BOTH axes via the manifest's z stats + the
+      // box's driver-side z-range cover, exact predicate as residual.
+      // Value-equal to filtering a full scan (SnapshotSpec pins that
+      // AND the file-count win over the v1 single-column layout);
+      // oracle = the same box on the raw table. 1996-01-01/12-31 are
+      // days 1461/1826 since the 1992-01-01 epoch (the fixture's dates
+      // run ~1995-2001).
+      Snapshot.readPrunedBox(s, zOrders(s, d), "o_custkey", "dday",
+          100L, 1100L, 1461L, 1826L)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("dday").cast("long").as("dday"),
+          F.od(col("price")).as("price"))
+        .orderBy(col("o_orderkey"))
     }),
 
     "q38_agg_incremental" -> ((s, d) => {
@@ -250,6 +296,16 @@ object Warehouse extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
+
+    "q127_zorder_box" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS dday,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 1100
+        |  AND date_diff('day', DATE '1992-01-01', o_orderdate) BETWEEN 1461 AND 1826
+        |ORDER BY o_orderkey
+        |""".stripMargin,
 
     "q125_time_travel" ->
       """WITH base AS (

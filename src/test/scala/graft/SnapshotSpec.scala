@@ -283,4 +283,85 @@ class SnapshotSpec extends SparkSpec {
       v2.filter(col("verdict") === "U").count() > 0,
       "v2 carries the CDC batch's lineage")
   }
+
+  test("zValue column expression and driver-side zPoint agree bit-for-bit") {
+    import spark.implicits._
+    // corners, bit walks, and a deterministic pseudo-random sample of the
+    // 31-bit domain — the executor-side bitwise fold and the driver-side
+    // cover arithmetic must be the SAME function or pruning is garbage
+    val edge = Seq(0L, 1L, 2L, 3L, (1L << 31) - 1, (1L << 30), 12345L) ++
+      (0 until 31).map(i => 1L << i)
+    val rnd = (1 to 200).map(i =>
+      (i * 2654435761L ^ (i * 40503L << 13)) & ((1L << 31) - 1))
+    val pts = (for { a <- edge ++ rnd.take(20); b <- edge.take(12) }
+      yield (a, b)) ++ rnd.zip(rnd.reverse)
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Snapshot.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z == Snapshot.zPoint(a, b), s"zValue($a,$b)=$z != zPoint")
+      assert(z >= 0, "z codes must stay sign-safe")
+    }
+  }
+
+  test("zCover is a sound, bounded, ordered cover of any box") {
+    val boxes = Seq(
+      (0L, 100L, 0L, 100L), (731L, 1095L, 100L, 1100L),
+      (5L, 5L, 7L, 7L), (0L, (1L << 31) - 1, 0L, (1L << 31) - 1),
+      (1000000L, 1001000L, 3L, 2000000000L))
+    for ((aLo, aHi, bLo, bHi) <- boxes) {
+      val cover = Snapshot.zCover(aLo, aHi, bLo, bHi, maxRanges = 64)
+      assert(cover.nonEmpty && cover.size <= 64, s"budget: ${cover.size}")
+      cover.sliding(2).foreach {
+        case Seq((_, e), (s2, _)) => assert(e < s2,
+          "ranges must be ascending and disjoint")
+        case _ =>
+      }
+      // soundness: every sampled in-box point's z lands inside the cover
+      val as = Seq(aLo, aHi, (aLo + aHi) / 2) ++
+        (1 to 7).map(i => aLo + (aHi - aLo) * i / 7)
+      val bs = Seq(bLo, bHi, (bLo + bHi) / 2) ++
+        (1 to 7).map(i => bLo + (bHi - bLo) * i / 7)
+      for (a <- as; b <- bs) {
+        val z = Snapshot.zPoint(a, b)
+        assert(cover.exists(r => r._1 <= z && z <= r._2),
+          s"point ($a,$b) z=$z escaped the cover of [$aLo,$aHi]x[$bLo,$bHi]")
+      }
+    }
+  }
+
+  test("z-ordered snapshot: both axes prune files; box read equals full filter") {
+    val dir = graft.ops.Warehouse.zOrders(spark, sf)
+    assert(Snapshot.versions(spark, dir) == Seq(1, 2))
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m1.statsCol == "o_custkey" && m2.statsCol == "_z",
+      "v1 is the 1-D layout, v2 the z-ordered OPTIMIZE")
+    assert(m2.files.size == 16)
+    // fixture domain (sf0.001: custkey 0..149, dday ~1096..3500)
+    val (aMax, bMax) = (150L, 3600L)
+    // both prune assertions use boxes ~1/6 of one axis x ALL of the
+    // other: the case a single-column sort can only serve for ITS axis
+    // a DATE-ONLY predicate: the v1 custkey-clustered layout has no
+    // file-level mechanism at all (every file must be read); the
+    // z-ordered v2 must prune on this axis too — 1996 = days 1461..1826
+    val dateOnly = Snapshot.prunedFilesBox(spark, dir, 0, aMax, 1461, 1826)
+    assert(dateOnly.nonEmpty && dateOnly.size < m2.files.size,
+      s"date-only box must prune z files: ${dateOnly.size}/${m2.files.size}")
+    // ...and a CUSTKEY-ONLY predicate prunes as well — no single-column
+    // sort gives both
+    val custOnly = Snapshot.prunedFilesBox(spark, dir, 10, 40, 0, bMax)
+    assert(custOnly.nonEmpty && custOnly.size < m2.files.size,
+      s"custkey-only box must prune z files: ${custOnly.size}/${m2.files.size}")
+    // value equality: the pruned box read IS the filtered full scan
+    val boxed = Snapshot.readPrunedBox(spark, dir, "o_custkey", "dday",
+        10, 60, 1461, 2191)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val full = Snapshot.read(spark, dir, 2)
+      .filter(col("o_custkey").between(10, 60) && col("dday").between(1461, 2191))
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(boxed == full, "pruned box read must equal the full-scan filter")
+    assert(boxed.nonEmpty, "the fixture box must select something")
+  }
 }
