@@ -24,6 +24,16 @@ import graft.{Fns => F, QueryModule, Tables => T}
   * (user_id) and merge per key — bounded state per key, no global stage.
   * The streaming variants keep state bounded by the watermark (10 min), the
   * production requirement for an unbounded 100 TB/day event feed.
+  *
+  * State-store sizing: the default provider keeps every key's state on
+  * the executor HEAP. Watermark-bounded window state fits; a
+  * high-cardinality store (q74/q114's per-fingerprint index over a
+  * billion-document corpus) does not. The deployment answer is one conf —
+  * `spark.sql.streaming.stateStore.providerClass` =
+  * `...state.RocksDBStateStoreProvider` (bundled) — which moves state to
+  * executor-local disk (memtable + SST) under the SAME checkpoint
+  * contract: no plan or code change, identical results and exactly-once
+  * semantics, spec-pinned in StreamSpec ("large-state deployment").
   */
 object StreamOps extends QueryModule {
 

@@ -177,6 +177,46 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("large-state deployment: RocksDB state store, identical results off-heap") {
+    // The default HDFS-backed state store keeps every key's state ON the
+    // executor HEAP — fine for bounded window state (q70-q72), an OOM at
+    // 100 TB for high-cardinality state like q74/q114's per-fingerprint
+    // dedup index. The deployment answer is the bundled RocksDB provider:
+    // state lives on executor local disk (memtable + SST), same exactly-
+    // once semantics via the same checkpoint contract. Provider choice is
+    // a CONF, not a plan change — pin that results are identical and that
+    // RocksDB really served the state (its custom metrics appear in the
+    // query progress). Conf set on a child session; concurrent suites
+    // never see it.
+    import org.apache.spark.sql.streaming.OutputMode
+    import scala.jdk.CollectionConverters._
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = s2.sqlContext
+    import s2.implicits._
+    val ms = MemoryStream[(Long, Long)] // (key, value)
+    val agg = ms.toDS().toDF("k", "v").groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val q = agg.writeStream.format("memory").queryName("rocks_spec")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      ms.addData((1L, 10L), (1L, 20L), (2L, 5L))
+      q.processAllAvailable()
+      ms.addData((2L, 7L), (3L, 1L))
+      q.processAllAvailable()
+      val out = s2.table("rocks_spec").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 2L, 30L), (2L, 2L, 12L), (3L, 1L, 1L)),
+        s"state must fold across batches identically under RocksDB: $out")
+      val rocksMetrics = q.lastProgress.stateOperators.toSeq
+        .flatMap(_.customMetrics.keySet.asScala)
+        .filter(_.toLowerCase.contains("rocksdb"))
+      assert(rocksMetrics.nonEmpty,
+        "the RocksDB provider must actually serve the state operator")
+    } finally q.stop()
+  }
+
   test("q90 semantics: stream-static join enriches per batch with ZERO streaming state") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
