@@ -493,6 +493,63 @@ object Snapshot {
     }
   }
 
+  /** CHANGE DATA FEED by snapshot diff: the row-level changes between
+    * two committed versions, derived from the immutable snapshots alone
+    * — no change log is ever written (Delta's CDF keeps sidecar change
+    * files; here the manifests make the diff computable after the fact).
+    *
+    * The file-level insight that makes this scale: a file CARRIED from
+    * `v1`'s manifest into `v2`'s is byte-identical on both sides and
+    * cancels exactly — only files on ONE side of the manifest set
+    * difference can contribute a change. A narrow COW merge against a
+    * wide table therefore diffs one rewritten file against its
+    * range-mates, not table against table (spec-pinned via a file-count
+    * observation on the executed scan). Within the surviving files, a
+    * null-safe full-outer join on the key classifies rows:
+    * pre-only → D, post-only → I, both-but-differing → U (pre/post
+    * image), both-and-equal → dropped (a rewrite carries neighbors of
+    * the changed keys; they are not changes). Output: one row per
+    * changed key with `change_type` and the post image (pre image for
+    * deletes) — exactly the feed an incremental consumer (q38's view
+    * maintenance) would subscribe to. */
+  def changeFeed(spark: SparkSession, dir: String, v1: Int, v2: Int,
+                 keyCol: String): DataFrame = {
+    require(v1 < v2, s"changeFeed needs v1 < v2, got $v1 >= $v2")
+    val m1 = manifest(spark, dir, v1)
+    val m2 = manifest(spark, dir, v2)
+    val shared = m1.files.map(_.path).toSet & m2.files.map(_.path).toSet
+    def side(m: Manifest): Option[DataFrame] = {
+      val own = m.files.filterNot(f => shared.contains(f.path))
+      if (own.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(own.map(f => s"$dir/${f.path}"): _*))
+    }
+    val schema = read(spark, dir, v2).schema
+    val cols = schema.map(_.name)
+    require(cols.contains(keyCol), s"$keyCol missing from snapshot schema")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val pre = side(m1).getOrElse(empty)
+    val post = side(m2).getOrElse(empty)
+    val p = pre.select(cols.map(c => col(c).as(s"_pre_$c")): _*)
+    val n = post.select(cols.map(c => col(c).as(s"_post_$c")): _*)
+    val payload = cols.filterNot(_ == keyCol)
+    val differs = payload.map(c =>
+      !(col(s"_pre_$c") <=> col(s"_post_$c"))).reduce(_ || _)
+    p.join(n, col(s"_pre_$keyCol") === col(s"_post_$keyCol"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"_pre_$keyCol").isNull, "I")
+          .when(col(s"_post_$keyCol").isNull, "D")
+          .when(differs, "U"))
+      .filter(col("change_type").isNotNull)
+      .select(
+        coalesce(col(s"_post_$keyCol"), col(s"_pre_$keyCol")).as(keyCol) +:
+        col("change_type") +:
+        payload.map(c =>
+          when(col("change_type") === "D", col(s"_pre_$c"))
+            .otherwise(col(s"_post_$c")).as(c)): _*)
+  }
+
   /** Scaling constants of a z-ordered version, persisted in the manifest
     * note — reads must translate boxes with EXACTLY the constants the
     * write interleaved with. */

@@ -197,6 +197,19 @@ object Warehouse extends QueryModule {
         .orderBy(col("o_orderkey"))
     }),
 
+    "q128_change_feed" -> ((s, d) => {
+      // CHANGE DATA FEED by snapshot diff: the CDC batch RECOVERED from
+      // the table's own immutable history (v1 → v2), no change log ever
+      // written — carried files cancel by manifest arithmetic, the
+      // null-safe full-outer join classifies the rest into U/D/I with
+      // pre-image semantics for deletes ([[Snapshot.changeFeed]]).
+      // Oracle = the same U/D/I derived from the raw CDC definition.
+      Snapshot.changeFeed(s, snapOrders(s, d), 1, 2, "order_key")
+        .select(col("order_key"), col("change_type"), col("cust_key"),
+          col("status"), F.od(col("price")).as("price"), col("verdict"))
+        .orderBy(col("order_key"))
+    }),
+
     "q38_agg_incremental" -> ((s, d) => {
       // Incremental aggregate maintenance (materialized-view delta
       // update): a per-priority (count, decimal-sum) view is brought up to
@@ -296,6 +309,28 @@ object Warehouse extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
+
+    "q128_change_feed" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |         o_orderkey % 20 AS m
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2))
+        |SELECT k AS order_key, 'U' AS change_type, o_custkey AS cust_key,
+        |       o_orderstatus AS status,
+        |       CAST(p * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS price,
+        |       'U' AS verdict
+        |FROM ch WHERE m = 0
+        |UNION ALL
+        |SELECT k, 'D', o_custkey, o_orderstatus,
+        |       CAST(CAST(p AS DECIMAL(21,3)) AS DOUBLE), 'K'
+        |FROM ch WHERE m = 1
+        |UNION ALL
+        |SELECT k + 1000000000, 'I', o_custkey, 'N',
+        |       CAST(CAST(p AS DECIMAL(21,3)) AS DOUBLE), 'I'
+        |FROM ch WHERE m = 2
+        |ORDER BY order_key
+        |""".stripMargin,
 
     "q127_zorder_box" ->
       """SELECT o_orderkey, o_custkey,

@@ -284,6 +284,45 @@ class SnapshotSpec extends SparkSpec {
       "v2 carries the CDC batch's lineage")
   }
 
+  test("changeFeed: snapshot diff recovers exact U/D/I; carried files cancel") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k") // v1: 8 files over keys 1..800
+    import spark.implicits._
+    // narrow CDC batch: one file's range touched (k=5 update, k=10
+    // delete) plus an out-of-range insert — 7 of 8 base files carry
+    val ch = Seq((5L, "U"), (10L, "D"), (900L, "I")).toDF("k", "op")
+    Snapshot.mergeCow(spark, dir, ch, "k", (base, changes) =>
+      base.join(changes.withColumnRenamed("k", "ck"),
+          col("k") === col("ck"), "full_outer")
+        .filter(coalesce(col("op"), lit("K")) =!= "D")
+        .select(coalesce(col("k"), col("ck")).as("k"),
+          when(col("op") === "U", lit("updated"))
+            .otherwise(coalesce(col("v"),
+              concat(lit("val_"), col("ck")))).as("v"),
+          coalesce(col("op"), col("verdict")).as("verdict")))
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    val shared = m1.files.map(_.path).toSet & m2.files.map(_.path).toSet
+    assert(shared.size == 7, s"narrow merge must carry 7 files, ${shared.size}")
+    val feed = Snapshot.changeFeed(spark, dir, 1, 2, "k")
+    val rows = feed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    // exact change set — the ~99 unchanged neighbors the rewrite
+    // carried along must NOT surface
+    assert(rows == Set(
+      (5L, "U", "updated", "U"),
+      (10L, "D", "val_10", "K"),
+      (900L, "I", "val_900", "I")), s"got $rows")
+    // the executed plan proves the file-level cancellation: only the
+    // non-shared files of each side are scanned, never table vs table
+    val scanned = graft.ops.Layout.fileScans(feed.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+    val own = (m1.files.size - shared.size) + (m2.files.size - shared.size)
+    assert(scanned == own && own < m1.files.size + m2.files.size,
+      s"diff must scan only non-carried files: scanned=$scanned own=$own")
+  }
+
   test("zValue column expression and driver-side zPoint agree bit-for-bit") {
     import spark.implicits._
     // corners, bit walks, and a deterministic pseudo-random sample of the
