@@ -144,6 +144,43 @@ object BenchShapes {
         .intersect(m1.files.map(_.path).toSet).size
     }
     println(f"""{"shape_bench":"q124_merge_cow","sf":"$sfDir","rows":$nCow,"base_files":${m1.files.size},"rewritten_files":$cowTouched,"cow_sec":$tCow%.3f,"full_rewrite_sec":$tFull%.3f}""")
+
+    // q127's Z-ORDER file skipping at x10 rows, 64 files: how many of
+    // the 64 does each predicate class open, on the 1-D custkey-
+    // clustered layout (v1) vs the z-ordered rewrite (v2) of the SAME
+    // rows — the 2-D claim measured, not asserted. Plus wall time of
+    // the pruned box read vs filtering a full scan of v2.
+    val zdir = java.nio.file.Files
+      .createTempDirectory("graft_zshape").toString + "/z"
+    val zb = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_custkey"),
+      org.apache.spark.sql.functions.datediff(
+        col("o_orderdate"), lit("1992-01-01")).as("dday"),
+      Fns.dec2(col("o_totalprice")).as("price"))
+    val zb10 = (0 until 10).map(i => zb.withColumn("o_orderkey",
+        col("o_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    ops.Snapshot.commit(zb10, zdir, 0, "o_custkey", nFiles = 64)
+    ops.Snapshot.optimizeZorder(spark, zdir, "o_custkey", "dday", 64)
+    val zm1 = ops.Snapshot.manifest(spark, zdir, 1)
+    def hit1d(lo: Long, hi: Long): Int =
+      zm1.files.count(f => f.min <= hi && f.max >= lo)
+    def hit2d(aLo: Long, aHi: Long, bLo: Long, bHi: Long): Int =
+      ops.Snapshot.prunedFilesBox(spark, zdir, aLo, aHi, bLo, bHi).size
+    // sf0.1 domains: custkey 0..~15k, dday ~1096..3500; 1996 = 1461..1826
+    val dateZ = hit2d(0, 20000, 1461, 1826)
+    val custZ = hit2d(1000, 3000, 0, 4000)
+    val boxZ = hit2d(1000, 3000, 1461, 1826)
+    val cust1 = hit1d(1000, 3000)
+    ops.Snapshot.readPrunedBox(spark, zdir, "o_custkey", "dday",
+      1000, 3000, 1461, 1826).count() // warmup
+    val (tBox, nBox) = med3(ops.Snapshot.readPrunedBox(spark, zdir,
+      "o_custkey", "dday", 1000, 3000, 1461, 1826).count())
+    val (tFullScan, nFullScan) = med3(ops.Snapshot.read(spark, zdir, 2)
+      .filter(col("o_custkey").between(1000, 3000) &&
+              col("dday").between(1461, 1826)).count())
+    require(nBox == nFullScan, s"box reads must agree: $nBox != $nFullScan")
+    println(f"""{"shape_bench":"q127_zorder_prune","sf":"$sfDir","rows":$nBox,"files":64,"v2_date_only":$dateZ,"v2_cust_only":$custZ,"v2_box2d":$boxZ,"v1_cust_only":$cust1,"v1_date_only":64,"box_sec":$tBox%.3f,"fullscan_sec":$tFullScan%.3f}""")
     spark.stop()
   }
 }
