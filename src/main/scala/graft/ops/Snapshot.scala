@@ -511,9 +511,16 @@ object Snapshot {
     * the changed keys; they are not changes). Output: one row per
     * changed key with `change_type` and the post image (pre image for
     * deletes) — exactly the feed an incremental consumer (q38's view
-    * maintenance) would subscribe to. */
+    * maintenance) would subscribe to.
+    *
+    * `preImages = true` switches to Delta-CDF's four-type shape — `I`,
+    * `D`, and updates as TWO rows `U-` (pre image) / `U+` (post image)
+    * — which is what aggregate maintenance needs: an update's group
+    * delta is (post − pre), and when the update MOVES a row between
+    * groups the pre row debits the old group while the post row credits
+    * the new one (q129 subscribes in exactly this form). */
   def changeFeed(spark: SparkSession, dir: String, v1: Int, v2: Int,
-                 keyCol: String): DataFrame = {
+                 keyCol: String, preImages: Boolean = false): DataFrame = {
     require(v1 < v2, s"changeFeed needs v1 < v2, got $v1 >= $v2")
     val m1 = manifest(spark, dir, v1)
     val m2 = manifest(spark, dir, v2)
@@ -536,18 +543,32 @@ object Snapshot {
     val payload = cols.filterNot(_ == keyCol)
     val differs = payload.map(c =>
       !(col(s"_pre_$c") <=> col(s"_post_$c"))).reduce(_ || _)
-    p.join(n, col(s"_pre_$keyCol") === col(s"_post_$keyCol"), "full_outer")
+    val classified = p
+      .join(n, col(s"_pre_$keyCol") === col(s"_post_$keyCol"), "full_outer")
       .withColumn("change_type",
         when(col(s"_pre_$keyCol").isNull, "I")
           .when(col(s"_post_$keyCol").isNull, "D")
           .when(differs, "U"))
       .filter(col("change_type").isNotNull)
-      .select(
+    def image(which: String, keep: Seq[String], uAs: String): DataFrame =
+      classified.filter(col("change_type").isin(keep: _*))
+        .select(
+          col(s"_${which}_$keyCol").as(keyCol) +:
+          when(col("change_type") === "U", uAs)
+            .otherwise(col("change_type")).as("change_type") +:
+          payload.map(c => col(s"_${which}_$c").as(c)): _*)
+    if (!preImages)
+      classified.select(
         coalesce(col(s"_post_$keyCol"), col(s"_pre_$keyCol")).as(keyCol) +:
         col("change_type") +:
         payload.map(c =>
           when(col("change_type") === "D", col(s"_pre_$c"))
             .otherwise(col(s"_post_$c")).as(c)): _*)
+    else
+      // one diamond, two branches: I/U+ read post columns, D/U- pre —
+      // the union reuses the same joined frame, not a second diff
+      image("post", Seq("I", "U"), "U+")
+        .unionByName(image("pre", Seq("D", "U"), "U-"))
   }
 
   /** Scaling constants of a z-ordered version, persisted in the manifest

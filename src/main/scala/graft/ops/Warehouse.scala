@@ -210,6 +210,37 @@ object Warehouse extends QueryModule {
         .orderBy(col("order_key"))
     }),
 
+    "q129_view_subscribe" -> ((s, d) => {
+      // The CDF CONSUMED: a per-status (count, decimal-sum) materialized
+      // view built on v1 is brought up to date by SUBSCRIBING to the
+      // recovered v1→v2 change feed in pre/post-image form — I/U+ rows
+      // credit their group, D/U- rows debit theirs (an update that moved
+      // groups would transfer automatically). q38's delta discipline,
+      // but sourced from the table's own history instead of a known CDC
+      // batch; oracle = full recompute over the v2 state. At 100 TB the
+      // subscription reads rewritten files only, the view join touches
+      // group-cardinality rows.
+      val dir = snapOrders(s, d)
+      val mv = Snapshot.read(s, dir, 1)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n0"), sum(col("price")).as("s0"))
+      val credit = col("change_type").isin("I", "U+")
+      val delta = Snapshot
+        .changeFeed(s, dir, 1, 2, "order_key", preImages = true)
+        .select(col("status"),
+          when(credit, 1L).otherwise(-1L).as("dn"),
+          when(credit, col("price")).otherwise(-col("price")).as("ds"))
+        .groupBy(col("status"))
+        .agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+      val z = lit(0).cast(DecimalType(21, 3))
+      mv.join(delta, Seq("status"), "full_outer")
+        .select(col("status"),
+          (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          F.od(coalesce(col("s0"), z) + coalesce(col("ds"), z)).as("total"))
+        .filter(col("n") > 0)
+        .orderBy(col("status"))
+    }),
+
     "q38_agg_incremental" -> ((s, d) => {
       // Incremental aggregate maintenance (materialized-view delta
       // update): a per-priority (count, decimal-sum) view is brought up to
@@ -309,6 +340,31 @@ object Warehouse extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
+
+    "q129_view_subscribe" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
+        |              ELSE o_orderkey END AS k,
+        |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+        |              ELSE 'I' END AS op,
+        |         CASE WHEN o_orderkey % 20 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              WHEN o_orderkey % 20 = 2
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+        |         END AS c_price,
+        |         CASE WHEN o_orderkey % 20 = 2 THEN 'N' END AS c_status
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)),
+        |v2 AS (
+        |  SELECT coalesce(c_status, status) AS status,
+        |         coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS price
+        |  FROM base FULL JOIN ch ON base.k = ch.k
+        |  WHERE coalesce(op, 'K') <> 'D')
+        |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM v2 GROUP BY status ORDER BY status
+        |""".stripMargin,
 
     "q128_change_feed" ->
       """WITH ch AS (

@@ -321,6 +321,16 @@ class SnapshotSpec extends SparkSpec {
     val own = (m1.files.size - shared.size) + (m2.files.size - shared.size)
     assert(scanned == own && own < m1.files.size + m2.files.size,
       s"diff must scan only non-carried files: scanned=$scanned own=$own")
+    // pre-image mode (the Delta-CDF four-type shape an aggregate
+    // maintainer needs): U splits into U- (pre) and U+ (post)
+    val full = Snapshot.changeFeed(spark, dir, 1, 2, "k", preImages = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(full == Set(
+      (5L, "U-", "val_5", "K"),
+      (5L, "U+", "updated", "U"),
+      (10L, "D", "val_10", "K"),
+      (900L, "I", "val_900", "I")), s"got $full")
   }
 
   test("zValue column expression and driver-side zPoint agree bit-for-bit") {
