@@ -24,17 +24,44 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** events.parquet carries an INT64 TIMESTAMP(NANOS) column, which Spark's
-    * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]) unless the session sets
-    * `spark.sql.legacy.parquet.nanosAsLong=true` — every graft session
-    * builder does (Bench/Verify/Pipeline/Smoke/Plans/LayoutDemo/SparkSpec),
-    * so `ts` arrives as a BIGINT of epoch nanoseconds. Queries derive µs
-    * timestamps (`tsUs`) or epoch seconds (`tsSec`) from it with exact
-    * integer arithmetic, which keeps every derived value bit-deterministic
-    * across engines. (Set in the builder, not here: mutating session conf
-    * inside a query closure is hidden global state.)
+  /** events.parquet's `ts` column has shipped in TWO physical encodings
+    * across fixture generations, and the engine reads both:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark's parquet reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]) unless the session sets
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` — every graft session
+    *    builder does (Bench/Verify/Pipeline/Smoke/Plans/LayoutDemo/
+    *    SparkSpec), so `ts` arrives as a BIGINT of epoch nanoseconds.
+    *    (Set in the builder, not here: mutating session conf inside a
+    *    query closure is hidden global state.)
+    *  - µs TIMESTAMP / TIMESTAMP_NTZ (the standard parquet encoding and
+    *    what the current fixtures carry): normalized below to the same
+    *    epoch-nanos BIGINT with exact integer arithmetic.
+    *
+    * Everything downstream (`tsUs`, `tsSec`, window/session/streaming
+    * shapes) consumes ONE canonical type — BIGINT epoch-nanos — so a
+    * fixture regeneration cannot change query semantics. The DuckDB
+    * oracles are already encoding-agnostic (`epoch_us(ts)` works on both).
     */
-  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normEventTs(t(s, d, "events"))
+
+  /** Normalize a frame's `ts` column to BIGINT epoch-nanos regardless of
+    * physical encoding. TIMESTAMP_NTZ (naive wall-clock, what parquet
+    * µs-without-UTC-flag reads as) is interpreted as UTC — exact because
+    * every graft session pins `spark.sql.session.timeZone=UTC`, making the
+    * NTZ→TIMESTAMP cast the identity on the underlying micros. Works on
+    * batch AND streaming frames (stateless projection). */
+  def normEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType            => df
+    case TimestampType       =>
+      df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+    case _: TimestampNTZType =>
+      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    case other =>
+      throw new IllegalArgumentException(
+        s"events.ts: expected BIGINT epoch-nanos or TIMESTAMP[_NTZ], got $other")
+  }
 
   /** events.ts (epoch ns, BIGINT) -> TimestampType at µs precision.
     * Exact decimal division, NOT double: epoch-ns values (~1.7e18) exceed

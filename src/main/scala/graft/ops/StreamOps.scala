@@ -99,8 +99,13 @@ object StreamOps extends QueryModule {
     val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val fs = p.getFileSystem(c.sparkContext.hadoopConfiguration)
     val rd = c.readStream.schema(sch)
-    if (fs.getFileStatus(p).isDirectory) rd.parquet(p.toString)
-    else rd.option("pathGlobFilter", s"$table.parquet").parquet(d)
+    val df = if (fs.getFileStatus(p).isDirectory) rd.parquet(p.toString)
+             else rd.option("pathGlobFilter", s"$table.parquet").parquet(d)
+    // Same ts normalization as the batch path (Tables.events): the footer
+    // schema is taken verbatim, so a µs-TIMESTAMP fixture would otherwise
+    // leak TIMESTAMP_NTZ into consumers that expect epoch-nanos BIGINT.
+    // Stateless projection — streaming-safe.
+    if (sch.fieldNames.contains("ts")) T.normEventTs(df) else df
   }
 
   private val Fmt = "yyyy-MM-dd HH:mm:ss"

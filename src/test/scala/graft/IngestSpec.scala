@@ -242,7 +242,7 @@ class IngestSpec extends SparkSpec {
       "a data row equal to the header must not be dropped")
   }
 
-  test("writeJdbc/readJdbc round-trip against embedded Derby (A10)") {
+  test("writeJdbc/readJdbc round-trip against embedded Derby (A10)") { Derby.exclusive {
     // The reference's real sink is Postgres COPY; the JDBC exemplar is
     // exercised here against the Derby embedded driver that ships with
     // Spark's jars — same JdbcRelationProvider code path a Postgres
@@ -271,7 +271,7 @@ class IngestSpec extends SparkSpec {
       options = opts)
     assert(Ingest.readJdbc(spark, url, "nation_sink", opts).count()
       == src.count() + 5)
-  }
+  } }
 
   test("bulkJdbcUrl: PG rewrite flag appended exactly once, others untouched") {
     // the PG-specific half of the COPY-grade sink, testable without a
@@ -288,7 +288,7 @@ class IngestSpec extends SparkSpec {
       == "jdbc:derby:memory:x;create=true")
   }
 
-  test("writeJdbcBulk re-publish keeps target DDL; concurrent republish never corrupts") {
+  test("writeJdbcBulk re-publish keeps target DDL; concurrent republish never corrupts") { Derby.exclusive {
     // truncate=true exists so overwrite keeps the TARGET'S DDL (indexes,
     // grants) instead of drop+recreate — the reference's reload keeps its
     // table. Proven against Derby: an index created on the sink must
@@ -343,9 +343,9 @@ class IngestSpec extends SparkSpec {
         back.collect().toSet == src.collect().toSet,
         "the settled publish must land exactly the source rows")
     } finally conn.close()
-  }
+  } }
 
-  test("writeJdbcBulk round-trips and out-batches the default path (A10)") {
+  test("writeJdbcBulk round-trips and out-batches the default path (A10)") { Derby.exclusive {
     assume(
       try { Class.forName("org.apache.derby.jdbc.EmbeddedDriver"); true }
       catch { case _: ClassNotFoundException => false },
@@ -381,7 +381,7 @@ class IngestSpec extends SparkSpec {
     info(f"plain: ${n / tPlain}%.0f rows/s  bulk: ${n / tBulk}%.0f rows/s " +
       f"(n=$n, Derby sees batchsize only)")
     src.unpersist()
-  }
+  } }
 
   test("readEvolved merges additive schema drift, rejects type conflicts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString

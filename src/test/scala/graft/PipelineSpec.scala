@@ -7,14 +7,13 @@ package graft
   * reintroduces a shuffle FAILS this suite, not just a demo run. */
 class PipelineSpec extends SparkSpec {
 
-  test("pipeline replay publishes, preserves claim cardinality, gates its own plan") {
+  test("pipeline replay publishes, preserves claim cardinality, gates its own plan") { Derby.exclusive {
     // publish includes the reference-faithful DB landing (its Postgres
     // drop-and-reload) when the Derby embedded driver is around; the
     // replay itself must pass either way
     val jdbc =
-      try { Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
-            Some("jdbc:derby:memory:graft_pipeline;create=true") }
-      catch { case _: ClassNotFoundException => None }
+      if (Derby.available) Some("jdbc:derby:memory:graft_pipeline;create=true")
+      else None
     val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
     val (rows, misses, _) = Pipeline.run(spark, sf, jdbc, opts)
     val claims = Tables.lineitem(spark, sf).count()
@@ -30,7 +29,7 @@ class PipelineSpec extends SparkSpec {
       assert(landed.count() == rows,
         "the JDBC landing must hold every published row")
     }
-  }
+  } }
 
   test("stages are individually restartable against one work dir (A22)") {
     // the Airflow `retries: 1` contract, engine-side: each stage is its
