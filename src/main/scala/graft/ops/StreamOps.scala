@@ -226,8 +226,14 @@ object StreamOps extends QueryModule {
       // BATCH-EQUIVALENT (global argmax per user) — hash-matches q102's
       // oracle verbatim, the q124/q120 same-oracle proof pattern.
       val c = streamSession(s, 8)
-      val sch = eventsSchema(c, d)
       val stage = snapStreamStage(c, d)
+      // Schema from the STAGED dir's own footer, not the raw fixture's:
+      // staging writes the normalized T.events (ts = BIGINT epoch-nanos),
+      // so the fixture footer's TIMESTAMP[_NTZ] ts would mismatch the
+      // staged files' physical type — latent until ts is consumed.
+      val sch = synchronized {
+        schemaCache.getOrElseUpdate(stage, c.read.parquet(stage).schema)
+      }
       val dir = c.conf.get("spark.sql.warehouse.dir") + "/graft_snap_sink_" +
         java.util.UUID.randomUUID().toString.take(8)
       val src = c.readStream.schema(sch)

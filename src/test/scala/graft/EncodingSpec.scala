@@ -18,23 +18,62 @@ class EncodingSpec extends SparkSpec {
 
   /** The same events content written under each physical ts encoding.
     * Values are truncated to µs first so all three carry identical
-    * instants (the TIMESTAMP encodings cannot represent sub-µs). */
+    * instants (the TIMESTAMP encodings cannot represent sub-µs).
+    * All ns→µs divisions use SQL `div` (exact BIGINT integer division):
+    * epoch-nanos (~1.7e18) exceed double's 2^53 integer range, so the
+    * `/`-then-cast spelling silently lands ±1 µs off on some rows — the
+    * exact trap Tables.tsUs documents.
+    * The ltz dir is written under outputTimestampType=TIMESTAMP_MICROS so
+    * it physically pins the INT64-µs isAdjustedToUTC=true encoding (the
+    * standard parquet TIMESTAMP); Spark's default would write INT96,
+    * leaving the µs-LTZ arrival shape uncovered. */
   private lazy val dirs: Map[String, String] = {
     val evUs = Tables.events(spark, sf)
-      .withColumn("ts", (col("ts") / lit(1000L)).cast(LongType) * lit(1000L))
+      .withColumn("ts", expr("ts div 1000") * lit(1000L))
     def mk(tag: String)(f: DataFrame => DataFrame): (String, String) = {
       val d = Files.createTempDirectory(s"graft_enc_$tag").toString
-      f(evUs).coalesce(2).write.mode("overwrite").parquet(s"$d/events.parquet")
+      val key  = "spark.sql.parquet.outputTimestampType"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "TIMESTAMP_MICROS")
+      try f(evUs).coalesce(2).write.mode("overwrite").parquet(s"$d/events.parquet")
+      finally spark.conf.set(key, prev)
       tag -> d
     }
     Map(
       mk("long")(identity), // BIGINT epoch-nanos (the nanosAsLong arrival type)
       mk("ltz")(df => df.withColumn("ts",
-        timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))),
+        timestamp_micros(expr("ts div 1000")))),
       mk("ntz")(df => df.withColumn("ts",
-        timestamp_micros((col("ts") / lit(1000L)).cast(LongType))
-          .cast(TimestampNTZType)))
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType)))
     )
+  }
+
+  test("ltz dir physically carries INT64 TIMESTAMP(MICROS,adjustedToUTC=true)") {
+    // Guards the coverage claim itself: under Spark's default INT96 output
+    // the "ltz" dir would silently test a third arrival shape instead of
+    // the standard µs-TIMESTAMP encoding current fixtures carry.
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val dir = new Path(dirs("ltz") + "/events.parquet")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(dir).map(_.getPath)
+      .find(_.getName.startsWith("part-")).get
+    val rdr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(part, spark.sparkContext.hadoopConfiguration))
+    val tsField =
+      try rdr.getFooter.getFileMetaData.getSchema.getType(Seq("ts"): _*).asPrimitiveType
+      finally rdr.close()
+    assert(tsField.getPrimitiveTypeName == PrimitiveTypeName.INT64,
+      s"ts physical type: ${tsField.getPrimitiveTypeName} (INT96 = default leak)")
+    tsField.getLogicalTypeAnnotation match {
+      case t: TimestampLogicalTypeAnnotation =>
+        assert(t.isAdjustedToUTC, "ltz must be isAdjustedToUTC=true")
+        assert(t.getUnit.toString == "MICROS", s"unit ${t.getUnit}")
+      case other => fail(s"ts logical type: $other")
+    }
   }
 
   test("Tables.events normalizes all three ts encodings to identical BIGINT nanos") {
