@@ -128,10 +128,57 @@ object Bench {
       .map { case (k, mn, p) =>
         jstr(sid(k)) + ":[" + r4(mn) + "," + r4(p) + "]" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total_min":${r4(totalMin)},"total_p90":${r4(totalP90)},"spread_min_p90":$spread,"runs_per_query":$Runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // ---- cross-round regression map (asked by the r9/r10/r11 verdicts):
+    // per-query median vs the PREVIOUS round's driver artifact (newest
+    // BENCH_r*.json in cwd — the only durable cross-round record; target/
+    // is gitignored). The artifact's tail is a truncated JSON-escaped
+    // string, so the medians are scraped by regex from its flat
+    // "queries":{...} fragment rather than parsed as JSON. A query lands
+    // in `regressions` when its median grew >1.5x AND >0.1 s absolute
+    // (the floor keeps 20 ms scheduling jitter on sub-100 ms queries out);
+    // capped at the 10 worst by ratio so the driver's 2000-char stdout
+    // tail can never be overflowed by a pathological round.
+    val prevMed: Map[String, Double] = try {
+      val benches = Option(new java.io.File(".").listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (benches.isEmpty) Map.empty
+      else {
+        val latest = benches.maxBy(_.getName.replaceAll("\\D", "").toInt)
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+        // same-SF rounds only: a local sf0.001 iteration run must not be
+        // "compared" against the driver's sf0.1 artifact
+        val prevSf = """"sf"\s*:\s*"?([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val curSf = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1))
+        val i = txt.indexOf("queries")
+        if (i < 0 || prevSf.isEmpty || prevSf != curSf) Map.empty
+        else {
+          val frag = txt.substring(i, math.max(txt.indexOf('}', i), i))
+          val qrx = """\\?"(q\d+)\\?":(-?\d+(?:\.\d+)?)""".r
+          qrx.findAllMatchIn(frag)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] prev-round read failed: ${e.getMessage}")
+      Map.empty
+    }
+    val regressions = results
+      .collect { case (k, med, _, _, None, _) => sid(k) -> med }
+      .flatMap { case (id, cur) =>
+        prevMed.get(id).collect {
+          case p if p > 0 && cur > 1.5 * p && cur - p > 0.1 => (id, p, cur)
+        }
+      }
+      .sortBy { case (_, p, cur) => -(cur / p) }.take(10)
+      .map { case (id, p, cur) => jstr(id) + ":[" + r4(p) + "," + r4(cur) + "]" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${r4(total)},"unit":"sec","total_min":${r4(totalMin)},"total_p90":${r4(totalP90)},"spread_min_p90":$spread,"regressions":$regressions,"runs_per_query":$Runs,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // file copies survive any stdout capture truncation
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"runs":$runCounts,"queries":$qsFull,"min":$mins,"p90":$p90s,"errors":$errs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"runs":$runCounts,"regressions":$regressions,"queries":$qsFull,"min":$mins,"p90":$p90s,"errors":$errs,"sf":"$sfDir"}"""
     try {
       val dir = java.nio.file.Paths.get("target")
       java.nio.file.Files.createDirectories(dir)

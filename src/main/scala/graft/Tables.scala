@@ -12,7 +12,99 @@ import org.apache.spark.sql.types._
   */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    conform(spark.read.parquet(s"$dir/$name.parquet"), name)
+
+  /** The engine-facing schema CONTRACT for every fixture table: what each
+    * column must look like after load, independent of the parquet writer's
+    * physical choices. This generalizes the `events.ts` lesson (a round-10
+    * fixture regeneration silently flipped its encoding and broke 12
+    * queries): every load now either NORMALIZES a recognized-lossless
+    * physical drift back to the canonical type, or FAILS naming the
+    * drifted column and both types — never silently changes semantics.
+    * Canonical types are exactly what the current fixtures arrive as
+    * (µs-without-UTC-flag parquet timestamps read as TIMESTAMP_NTZ under
+    * Spark's default inferTimestampNTZ), except `events.ts`, whose
+    * canonical form is BIGINT epoch-nanos (see [[normEventTs]]). */
+  private[graft] val contracts: Map[String, Seq[(String, DataType)]] = Map(
+    "region" -> Seq("r_regionkey" -> IntegerType, "r_name" -> StringType),
+    "nation" -> Seq("n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType),
+    "customer" -> Seq("c_custkey" -> LongType, "c_name" -> StringType,
+      "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+      "c_mktsegment" -> StringType),
+    "supplier" -> Seq("s_suppkey" -> LongType, "s_name" -> StringType,
+      "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+    "part" -> Seq("p_partkey" -> LongType, "p_name" -> StringType,
+      "p_brand" -> StringType, "p_type" -> StringType,
+      "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+    "orders" -> Seq("o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+      "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+    "lineitem" -> Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+      "l_shipdate" -> TimestampNTZType),
+    "events" -> Seq("event_id" -> LongType, "ts" -> LongType,
+      "user_id" -> LongType, "event_type" -> StringType,
+      "value" -> DoubleType, "props" -> StringType),
+    "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+    "embeddings" -> Seq("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "label" -> IntegerType))
+
+  /** Enforce [[contracts]] on an arriving frame. Identity when the schema
+    * already matches (the shipped fixtures — zero plan change); otherwise
+    * per-column [[normalize]] or a contract error. Additive drift (extra
+    * columns) passes through — it cannot change existing query semantics.
+    * Stateless projection, so safe on streaming frames too. */
+  def conform(df: DataFrame, table: String): DataFrame =
+    contracts.get(table) match {
+      case None => df
+      case Some(cols) =>
+        val arrived = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val missing = cols.collect { case (n, _) if !arrived.contains(n) => n }
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"fixture schema drift: table '$table' is missing required column(s) " +
+            s"${missing.mkString(", ")}; arrived: ${df.schema.simpleString}")
+        cols.foldLeft(df) { case (d, (n, want)) =>
+          if (arrived(n) == want) d
+          else d.withColumn(n, normalize(table, n, arrived(n), want))
+        }
+    }
+
+  /** The recognized-LOSSLESS physical drifts, arrival type -> canonical.
+    * Timestamp re-encodings are value-exact because every graft session
+    * pins spark.sql.session.timeZone=UTC (LTZ<->NTZ casts are then the
+    * identity on the underlying micros) and ns->µs uses exact integer
+    * `div` (epoch-nanos exceed double's 2^53 — see [[tsUs]]). Integer and
+    * float WIDENINGS are value-preserving injections. Anything else —
+    * narrowing, string retype, array element retype — has no safe
+    * automatic interpretation and fails naming the column, so a fixture
+    * regeneration costs one clear error instead of a silent wrong round. */
+  private def normalize(table: String, n: String,
+                        have: DataType, want: DataType): Column =
+    (have, want) match {
+      // event-time canonical BIGINT epoch-nanos (events.ts)
+      case (TimestampType, LongType) =>
+        unix_micros(col(n)) * lit(1000L)
+      case (_: TimestampNTZType, LongType) =>
+        unix_micros(col(n).cast(TimestampType)) * lit(1000L)
+      // µs wall-clock canonical (o_orderdate / l_shipdate)
+      case (TimestampType, _: TimestampNTZType) => col(n).cast(TimestampNTZType)
+      case (LongType, _: TimestampNTZType) => // TIMESTAMP(NANOS) under nanosAsLong
+        timestamp_micros(expr(s"`$n` div 1000")).cast(TimestampNTZType)
+      case (DateType, _: TimestampNTZType) => col(n).cast(TimestampNTZType)
+      // lossless numeric widenings
+      case (ByteType | ShortType | IntegerType, LongType) => col(n).cast(LongType)
+      case (ByteType | ShortType, IntegerType) => col(n).cast(IntegerType)
+      case (FloatType, DoubleType) => col(n).cast(DoubleType)
+      case _ => throw new IllegalArgumentException(
+        s"fixture schema drift: $table.$n expected ${want.simpleString}, " +
+          s"arrived ${have.simpleString} — no lossless normalization; if this " +
+          "fixture change is intended, update Tables.contracts deliberately")
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
@@ -43,24 +135,20 @@ object Tables {
     * fixture regeneration cannot change query semantics. The DuckDB
     * oracles are already encoding-agnostic (`epoch_us(ts)` works on both).
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    normEventTs(t(s, d, "events"))
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
 
   /** Normalize a frame's `ts` column to BIGINT epoch-nanos regardless of
-    * physical encoding. TIMESTAMP_NTZ (naive wall-clock, what parquet
-    * µs-without-UTC-flag reads as) is interpreted as UTC — exact because
-    * every graft session pins `spark.sql.session.timeZone=UTC`, making the
-    * NTZ→TIMESTAMP cast the identity on the underlying micros. Works on
-    * batch AND streaming frames (stateless projection). */
+    * physical encoding — the events.ts slice of [[conform]], kept as a
+    * named entry point for the STREAMING read path (the file-stream source
+    * takes the raw footer schema, so its frames arrive un-conformed).
+    * TIMESTAMP_NTZ (naive wall-clock, what parquet µs-without-UTC-flag
+    * reads as) is interpreted as UTC — exact because every graft session
+    * pins `spark.sql.session.timeZone=UTC`, making the NTZ→TIMESTAMP cast
+    * the identity on the underlying micros. Stateless projection — works
+    * on batch AND streaming frames. */
   def normEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
-    case LongType            => df
-    case TimestampType       =>
-      df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
-    case _: TimestampNTZType =>
-      df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
-    case other =>
-      throw new IllegalArgumentException(
-        s"events.ts: expected BIGINT epoch-nanos or TIMESTAMP[_NTZ], got $other")
+    case LongType => df
+    case other    => df.withColumn("ts", normalize("events", "ts", other, LongType))
   }
 
   /** events.ts (epoch ns, BIGINT) -> TimestampType at µs precision.

@@ -101,11 +101,11 @@ object StreamOps extends QueryModule {
     val rd = c.readStream.schema(sch)
     val df = if (fs.getFileStatus(p).isDirectory) rd.parquet(p.toString)
              else rd.option("pathGlobFilter", s"$table.parquet").parquet(d)
-    // Same ts normalization as the batch path (Tables.events): the footer
-    // schema is taken verbatim, so a µs-TIMESTAMP fixture would otherwise
-    // leak TIMESTAMP_NTZ into consumers that expect epoch-nanos BIGINT.
-    // Stateless projection — streaming-safe.
-    if (sch.fieldNames.contains("ts")) T.normEventTs(df) else df
+    // Same schema contract as the batch path (Tables.conform): the footer
+    // schema is taken verbatim, so a drifted fixture encoding (µs-TIMESTAMP
+    // ts, re-widened ints, …) would otherwise leak past the contract into
+    // stream consumers. Stateless projection — streaming-safe.
+    T.conform(df, table)
   }
 
   private val Fmt = "yyyy-MM-dd HH:mm:ss"
