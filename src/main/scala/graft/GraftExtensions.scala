@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "docroot" -> "https://spark.apache.org/docs/latest"))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL-visible snapshot time travel: FROM <registered> [VERSION AS OF n
+    // | TIMESTAMP AS OF ts] resolves against immutable manifests
+    // ([[graft.plans.SnapshotTimeTravelRule]]).
+    ext.injectResolutionRule(graft.plans.SnapshotTimeTravelRule.apply)
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

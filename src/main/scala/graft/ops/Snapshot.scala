@@ -102,6 +102,51 @@ object Snapshot {
   def currentVersion(spark: SparkSession, dir: String): Int =
     versions(spark, dir).lastOption.getOrElse(0)
 
+  // ---------------------------------------------------------------- SQL
+  // Time travel exposed to SQL. `registerSqlTable(name, dir)` binds a
+  // plain single-part SQL identifier to a snapshot directory; the
+  // analyzer rule injected by [[graft.GraftExtensions]]
+  // ([[graft.plans.SnapshotTimeTravelRule]]) then resolves
+  //   SELECT … FROM name                      -- latest committed version
+  //   SELECT … FROM name VERSION AS OF 3      -- explicit version
+  //   SELECT … FROM name TIMESTAMP AS OF '…'  -- newest commit at/before
+  // straight from the immutable manifests — Spark's own time-travel
+  // grammar, no custom parser. Session temp views win over registrations
+  // (built-in view resolution runs before injected rules), so a
+  // registration can never shadow a user's view.
+
+  /** JVM-global name registry (the session catalog's role for this
+    * single-driver engine; names are case-insensitive like SQL). */
+  private val sqlTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bind `name` to a snapshot table directory for SQL access;
+    * re-registering a name re-points it (idempotent per (name, dir)). */
+  def registerSqlTable(name: String, dir: String): Unit =
+    sqlTables.put(name.toLowerCase(java.util.Locale.ROOT), dir)
+
+  private[graft] def sqlTableDir(name: String): Option[String] =
+    Option(sqlTables.get(name.toLowerCase(java.util.Locale.ROOT)))
+
+  /** Resolve `TIMESTAMP AS OF`: the newest version whose manifest was
+    * PUBLISHED at or before `epochMs`. The manifest file's own
+    * modification time is the commit clock — the atomic rename that
+    * publishes a version stamps it, so no manifest-format change is
+    * needed and pre-existing tables stay readable. */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+                         epochMs: Long): Int = {
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no snapshot versions under $dir")
+    val at = vs.filter { v =>
+      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= epochMs
+    }
+    require(at.nonEmpty,
+      s"no snapshot version at or before epoch-ms $epochMs under $dir " +
+        s"(earliest commit: ${fs.getFileStatus(manifestPath(dir, vs.head)).getModificationTime})")
+    at.last
+  }
+
   /** Parse a committed manifest. Format is line-oriented and
     * dependency-free: a `v` header line then one `f` line per file,
     * tab-separated. */

@@ -161,22 +161,33 @@ object Warehouse extends QueryModule {
     }),
 
     "q125_time_travel" -> ((s, d) => {
-      // TIME TRAVEL over the same table: v1 (pre-merge) and v2
-      // (post-merge) read side by side from their immutable manifests —
-      // the audit query a warehouse with history answers and a
-      // DROP+CTAS warehouse (the reference's) cannot. Decimal sums are
-      // order-free; verdict counts pin the CDC batch's effect per
-      // version. Oracle replays both versions in SQL.
-      val dir = snapOrders(s, d)
-      Snapshot.read(s, dir, 1).withColumn("version", lit(1L))
-        .unionByName(
-          Snapshot.read(s, dir, 2).withColumn("version", lit(2L)))
-        .groupBy(col("version"))
-        .agg(count(lit(1)).as("n"),
-          F.od(sum(col("price"))).as("total"),
-          sum(when(col("verdict") === "U", 1L).otherwise(0L)).as("n_upd"),
-          sum(when(col("verdict") === "I", 1L).otherwise(0L)).as("n_ins"))
-        .orderBy(col("version"))
+      // TIME TRAVEL over the same table, through SQL: v1 (pre-merge) and
+      // v2 (post-merge) read side by side with Spark's own
+      // `VERSION AS OF` grammar — [[Snapshot.registerSqlTable]] binds
+      // the name, [[graft.plans.SnapshotTimeTravelRule]] resolves each
+      // travel clause to that manifest's file set (plain parquet scans;
+      // pushdown/pruning unchanged). The audit query a warehouse with
+      // history answers and a DROP+CTAS warehouse (the reference's)
+      // cannot; the reference's all-SQL posture
+      // (patient_claims_plus_postgres.py:161-189) kept, history gained.
+      // Decimal sums are order-free; verdict counts pin the CDC batch's
+      // effect per version. Oracle replays both versions in SQL.
+      Snapshot.registerSqlTable("snap_orders", snapOrders(s, d))
+      s.sql("""
+        SELECT version,
+               count(1) AS n,
+               CAST(sum(price) AS DOUBLE) AS total,
+               sum(CASE WHEN verdict = 'U' THEN 1L ELSE 0L END) AS n_upd,
+               sum(CASE WHEN verdict = 'I' THEN 1L ELSE 0L END) AS n_ins
+        FROM (
+          SELECT CAST(1 AS BIGINT) AS version, price, verdict
+          FROM snap_orders VERSION AS OF 1
+          UNION ALL
+          SELECT CAST(2 AS BIGINT) AS version, price, verdict
+          FROM snap_orders VERSION AS OF 2
+        )
+        GROUP BY version
+        ORDER BY version""")
     }),
 
     "q127_zorder_box" -> ((s, d) => {
@@ -204,10 +215,15 @@ object Warehouse extends QueryModule {
       // null-safe full-outer join classifies the rest into U/D/I with
       // pre-image semantics for deletes ([[Snapshot.changeFeed]]).
       // Oracle = the same U/D/I derived from the raw CDC definition.
+      // SQL-visible like q125: the feed lands in a session view any SQL
+      // can consume — the consuming projection IS SQL here.
       Snapshot.changeFeed(s, snapOrders(s, d), 1, 2, "order_key")
-        .select(col("order_key"), col("change_type"), col("cust_key"),
-          col("status"), F.od(col("price")).as("price"), col("verdict"))
-        .orderBy(col("order_key"))
+        .createOrReplaceTempView("snap_orders_changes")
+      s.sql("""
+        SELECT order_key, change_type, cust_key, status,
+               CAST(price AS DOUBLE) AS price, verdict
+        FROM snap_orders_changes
+        ORDER BY order_key""")
     }),
 
     "q129_view_subscribe" -> ((s, d) => {

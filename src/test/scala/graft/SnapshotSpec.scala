@@ -101,6 +101,53 @@ class SnapshotSpec extends SparkSpec {
     assert(state(dir, 2) == Set((1L, "rewritten", "U")))
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF / bare name resolve from manifests") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(3), dir, 0, "k")
+    import spark.implicits._
+    Snapshot.commit(Seq((1L, "rewritten", "U")).toDF("k", "v", "verdict"),
+      dir, 1, "k", nFiles = 1)
+    Snapshot.registerSqlTable("snap_sql_spec", dir)
+    val v1 = spark.sql(
+      "SELECT k, v FROM snap_sql_spec VERSION AS OF 1 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v1 == Seq((1L, "val_1"), (2L, "val_2"), (3L, "val_3")))
+    val v2 = spark.sql(
+      "SELECT k, v FROM snap_sql_spec VERSION AS OF 2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v2 == Seq((1L, "rewritten")))
+    // bare name = latest committed version
+    assert(spark.sql("SELECT count(1) FROM snap_sql_spec").head().getLong(0) == 1L)
+    // TIMESTAMP AS OF now = newest commit at/before now = v2; the far
+    // past resolves to nothing and says so naming the table's history
+    val nowUtc = java.time.Instant.now().plusSeconds(60)
+    assert(spark.sql(
+      s"SELECT v FROM snap_sql_spec TIMESTAMP AS OF '$nowUtc'")
+      .head().getString(0) == "rewritten")
+    val e = intercept[Exception](spark.sql(
+      "SELECT * FROM snap_sql_spec TIMESTAMP AS OF '1990-01-01'").collect())
+    assert(e.getMessage.contains("no snapshot version"), e.getMessage)
+  }
+
+  test("SQL time travel: temp views win over registrations; unregistered names untouched") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(2), dir, 0, "k")
+    Snapshot.registerSqlTable("snap_shadowed", dir)
+    import spark.implicits._
+    Seq(("view_wins", 1L)).toDF("v", "k").createOrReplaceTempView("snap_shadowed")
+    try {
+      // built-in view resolution runs before the injected rule
+      assert(spark.sql("SELECT v FROM snap_shadowed").head().getString(0)
+        == "view_wins")
+    } finally spark.catalog.dropTempView("snap_shadowed")
+    // back to the registration once the view is gone
+    assert(spark.sql("SELECT count(1) FROM snap_shadowed").head().getLong(0) == 2L)
+    // unregistered names keep Spark's own TABLE_OR_VIEW_NOT_FOUND path
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_never_registered VERSION AS OF 1").collect())
+    assert(e.getMessage.contains("graft_never_registered"), e.getMessage)
+  }
+
   test("mergeCow rewrites only stats-touched files and carries the rest") {
     import spark.implicits._
     val dir = freshDir()
