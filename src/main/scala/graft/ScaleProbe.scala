@@ -32,6 +32,48 @@ import org.apache.spark.sql.functions._
   * Results recorded in SCALE.md's scaling-curve table (×10 column).
   */
 object ScaleProbe {
+  /** Min-max vs rank z-order under Zipfian skew, at ×mult rows: 95% of
+    * the `a` axis in [0,100), outliers to ~2^30 — the distribution where
+    * min-max scaling collapses the data's mass into one scaled value and
+    * its axis stops pruning files. Measures file hits for (1) a
+    * dense-region a-slice (all of b) and (2) a combined 10%×10% box,
+    * against both layouts at 64 files, plus losslessness row counts.
+    * Deterministic Knuth-LCG values — no RNG (resume-safe). */
+  private def zorderDuel(spark: SparkSession, out: String, mult: Int): String = {
+    import org.apache.spark.sql.functions._
+    val n = mult * 20000L
+    val h = pmod(col("id") * lit(2654435761L), lit(1L << 31))
+    val dense = pmod(h, lit(100L))
+    val a = when(pmod(h, lit(100L)) < 95, dense)
+      .otherwise((lit(1073741824L) / (pmod(h, lit(97L)) + 1)).cast("long"))
+    val b = pmod(h, lit(10000L))
+    val df = spark.range(n).select(col("id"), a.as("a"), b.as("b"))
+    def mk(tag: String): String = {
+      val dir = s"$out/zduel_$tag"
+      ops.Snapshot.commit(df, dir, 0, "id", nFiles = 8)
+      dir
+    }
+    val (mmDir, rkDir) = (mk("minmax"), mk("rank"))
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tMm = timed(ops.Snapshot.optimizeZorder(spark, mmDir, "a", "b", 64))
+    val tRk = timed(ops.Snapshot.optimizeZorderRank(spark, rkDir, "a", "b", 64))
+    def hits(dir: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): Int =
+      ops.Snapshot.prunedFilesBox(spark, dir, aLo, aHi, bLo, bHi).size
+    def rows(dir: String, aLo: Long, aHi: Long, bLo: Long, bHi: Long): Long =
+      ops.Snapshot.readPrunedBox(spark, dir, "a", "b", aLo, aHi, bLo, bHi).count()
+    val denseA = (hits(mmDir, 10, 19, 0, 9999), hits(rkDir, 10, 19, 0, 9999))
+    val box = (hits(mmDir, 10, 19, 2000, 2999), hits(rkDir, 10, 19, 2000, 2999))
+    val lossless =
+      rows(mmDir, 10, 19, 2000, 2999) == rows(rkDir, 10, 19, 2000, 2999)
+    f"""{"zorder_duel":$mult,"rows":$n,"files":64,""" +
+      f""""dense_a_files":{"minmax":${denseA._1},"rank":${denseA._2}},""" +
+      f""""box_files":{"minmax":${box._1},"rank":${box._2}},""" +
+      f""""optimize_sec":{"minmax":$tMm%.3f,"rank":$tRk%.3f},""" +
+      f""""lossless_rowcount_equal":$lossless}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
@@ -49,6 +91,13 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = Files.createTempDirectory(s"graft_scale_x$mult").toString
+
+    // z-order normalization duel under Zipf skew (the q127 family's scale
+    // probe, round 12). Self-synthesized — runnable alone without the ×N
+    // fixture build: `runMain graft.ScaleProbe 10 zorder`.
+    println(zorderDuel(spark, out, mult))
+    if (args.lift(1).contains("zorder")) { spark.stop(); return }
+
     val docs = Tables.documents(spark, src)
     val docCopies = (0 until mult).map { k =>
       val text =

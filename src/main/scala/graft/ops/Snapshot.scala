@@ -618,22 +618,65 @@ object Snapshot {
 
   /** Scaling constants of a z-ordered version, persisted in the manifest
     * note — reads must translate boxes with EXACTLY the constants the
-    * write interleaved with. */
+    * write interleaved with. Two normalizations share the interface:
+    * both are MONOTONE maps onto a bounded z dimension (monotonicity is
+    * what makes a raw box's edges translate to a scaled box that covers
+    * every row of the raw box — pruning stays lossless by construction
+    * either way; only file-level SELECTIVITY differs under skew). */
+  private[graft] sealed trait ZScale {
+    def aCol: String; def bCol: String
+    def aMin: Long; def aMax: Long; def bMin: Long; def bMax: Long
+    def scaleA(x: Long): Long
+    def scaleB(x: Long): Long
+    def note: String
+  }
+
+  /** Min-max map onto the 16-bit z dimension: equal bit width for both
+    * columns no matter how unequal their raw domains — raw interleaving
+    * would let the wider column's high bits dominate the code and the
+    * narrow axis would stop pruning. One agg's cost; an outlier-skewed
+    * column stretches its scale and compresses the data's mass into few
+    * distinct scaled values — weakened (never broken) pruning, which is
+    * what [[ZRankMeta]] exists for. */
   private[graft] final case class ZMeta(aCol: String, bCol: String,
                                         aMin: Long, aMax: Long,
-                                        bMin: Long, bMax: Long) {
-    /** Monotone min-max map onto the 16-bit z dimension: equal bit width
-      * for both columns no matter how unequal their raw domains — raw
-      * interleaving would let the wider column's high bits dominate the
-      * code and the narrow axis would stop pruning. */
+                                        bMin: Long, bMax: Long)
+      extends ZScale {
     def scaleA(x: Long): Long = (x - aMin) * 65535L / math.max(1L, aMax - aMin)
     def scaleB(x: Long): Long = (x - bMin) * 65535L / math.max(1L, bMax - bMin)
     def note: String = s"zorder($aCol,$bCol,$aMin,$aMax,$bMin,$bMax)"
   }
+
+  /** Rank (quantile-bucket) map: value -> number of quantile boundaries
+    * at or below it, so each bucket carries ~equal ROW MASS regardless
+    * of the value distribution — the skew-robust normalization (Delta's
+    * range-partition-id recipe). A Zipfian column whose min-max scale
+    * collapses 99% of rows into one scaled value spreads evenly across
+    * all buckets here, keeping BOTH axes selective. Boundaries ride the
+    * manifest note ('|'-separated; tab/newline-free contract holds), so
+    * reads translate boxes with exactly the write's buckets. */
+  private[graft] final case class ZRankMeta(aCol: String, bCol: String,
+                                            aMin: Long, aMax: Long,
+                                            bMin: Long, bMax: Long,
+                                            aBounds: Seq[Long],
+                                            bBounds: Seq[Long])
+      extends ZScale {
+    def scaleA(x: Long): Long = aBounds.count(_ <= x).toLong
+    def scaleB(x: Long): Long = bBounds.count(_ <= x).toLong
+    def note: String = s"zorderq($aCol,$bCol,$aMin,$aMax,$bMin,$bMax," +
+      s"${aBounds.mkString("|")},${bBounds.mkString("|")})"
+  }
+
   private val ZNote = """zorder\(([^,]+),([^,]+),(-?\d+),(-?\d+),(-?\d+),(-?\d+)\)""".r
-  private def zMetaOf(m: Manifest): ZMeta = m.note match {
+  private val ZQNote = """zorderq\(([^,]+),([^,]+),(-?\d+),(-?\d+),(-?\d+),(-?\d+),([0-9|-]*),([0-9|-]*)\)""".r
+  private def parseBounds(s: String): Seq[Long] =
+    if (s.isEmpty) Seq.empty else s.split('|').toSeq.map(_.toLong)
+  private def zMetaOf(m: Manifest): ZScale = m.note match {
     case ZNote(a, b, a0, a1, b0, b1) =>
       ZMeta(a, b, a0.toLong, a1.toLong, b0.toLong, b1.toLong)
+    case ZQNote(a, b, a0, a1, b0, b1, ab, bb) =>
+      ZRankMeta(a, b, a0.toLong, a1.toLong, b0.toLong, b1.toLong,
+        parseBounds(ab), parseBounds(bb))
     case other => throw new IllegalArgumentException(
       s"v${m.version} is not a z-ordered snapshot (note='$other') — " +
         "run optimizeZorder first")
@@ -676,6 +719,57 @@ object Snapshot {
       df.withColumn("_z", zValue(
         scaled(aCol, zm.aMin, zm.aMax).cast("long"),
         scaled(bCol, zm.bMin, zm.bMax).cast("long"))),
+      dir, cur, "_z", Nil, nFiles, note = zm.note)
+  }
+
+  /** OPTIMIZE ZORDER with RANK (quantile-bucket) normalization — the
+    * skew-robust variant of [[optimizeZorder]]. One approx-quantile pass
+    * per column (`approxQuantile`, the Greenwald-Khanna single-scan
+    * sketch — no per-column sort even at 100 TB) yields `buckets`-1
+    * boundaries; each row's dimension becomes the COUNT of boundaries at
+    * or below its value, computed executor-side as a HOF over the
+    * boundary-array literal (`size(filter(...))` — codegen'd, no UDF)
+    * and driver-side by the identical [[ZRankMeta]] count, so write and
+    * read translate with the same map by spelling. Equal row mass per
+    * bucket means a Zipfian axis keeps discriminating where min-max
+    * collapses it into one scaled value (spec: the x10-Zipf duel pins
+    * rank's file-pruning win; SCALE.md records the numbers). Buckets
+    * default to 256 — file-level pruning needs granularity ~nFiles, not
+    * 2^16, and the boundary array rides the manifest note. */
+  def optimizeZorderRank(spark: SparkSession, dir: String,
+                         aCol: String, bCol: String, nFiles: Int,
+                         buckets: Int = 256): Int = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val cur = currentVersion(spark, dir)
+    val df = read(spark, dir, cur)
+    val lim = 1L << 31
+    val g = df.agg(min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+                   min(col(bCol)).cast("long"), max(col(bCol)).cast("long"))
+      .head
+    require(g.getLong(0) >= 0 && g.getLong(1) < lim &&
+            g.getLong(2) >= 0 && g.getLong(3) < lim,
+      s"z-order dimensions must be in [0, 2^31): " +
+        s"$aCol=[${g.getLong(0)},${g.getLong(1)}] " +
+        s"$bCol=[${g.getLong(2)},${g.getLong(3)}]")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // distinct+sorted: a heavy hitter occupies many quantile positions —
+    // collapsing duplicates keeps the map strictly monotone in the
+    // boundary LIST (scale values stay monotone either way, but smaller
+    // notes and fewer per-row comparisons)
+    val Seq(aB, bB) = Seq(aCol, bCol).map { c =>
+      df.stat.approxQuantile(c, probs, 0.001)
+        .map(_.toLong).distinct.sorted.toSeq
+    }
+    val zm = ZRankMeta(aCol, bCol, g.getLong(0), g.getLong(1),
+                       g.getLong(2), g.getLong(3), aB, bB)
+    def bucketed(c: String, bounds: Seq[Long]): Column =
+      if (bounds.isEmpty) lit(0L)
+      else size(filter(lit(bounds.toArray),
+        b => col(c).cast("long") >= b)).cast("long")
+    commit(
+      df.withColumn("_z", zValue(bucketed(aCol, zm.aBounds),
+                                 bucketed(bCol, zm.bBounds))),
       dir, cur, "_z", Nil, nFiles, note = zm.note)
   }
 

@@ -460,4 +460,56 @@ class SnapshotSpec extends SparkSpec {
     assert(boxed == full, "pruned box read must equal the full-scan filter")
     assert(boxed.nonEmpty, "the fixture box must select something")
   }
+
+  test("rank z-order keeps a Zipfian axis selective where min-max collapses it") {
+    // 20k rows; `a` Zipf-shaped: 95% of rows in [0,100), 5% outliers up
+    // to ~2^30 — min-max scales the dense mass to scaled-value 0, so the
+    // a-axis stops discriminating between files; rank buckets split the
+    // dense region across ~95% of buckets. `b` uniform — the well-behaved
+    // axis both layouts serve. Deterministic LCG, no RNG.
+    import spark.implicits._
+    val rows = (0 until 20000).map { i =>
+      val h = (i * 2654435761L) & 0x7FFFFFFFL
+      val a = if (h % 100 < 95) h % 100 else (1L << 30) / (1 + h % 97)
+      (i.toLong, a, h % 10000)
+    }
+    def mkTable(): String = {
+      val dir = freshDir()
+      Snapshot.commit(rows.toDF("id", "a", "b"), dir, 0, "id", nFiles = 4)
+      dir
+    }
+    val (mmDir, rkDir) = (mkTable(), mkTable())
+    Snapshot.optimizeZorder(spark, mmDir, "a", "b", nFiles = 16)
+    Snapshot.optimizeZorderRank(spark, rkDir, "a", "b", nFiles = 16)
+    // dense-region box: a in [10,20) x ALL of b — the query shape where
+    // min-max has nothing: the whole Zipf mass scales to a=0, so an
+    // a-predicate inside the dense region covers the entire dense slab
+    // (~every file), while rank's equal-mass buckets make a in [10,20)
+    // ~10% of the a dimension
+    val (aLo, aHi, bLo, bHi) = (10L, 19L, 0L, 9999L)
+    val mmHit = Snapshot.prunedFilesBox(spark, mmDir, aLo, aHi, bLo, bHi)
+    val rkHit = Snapshot.prunedFilesBox(spark, rkDir, aLo, aHi, bLo, bHi)
+    assert(rkHit.size < mmHit.size,
+      s"rank must out-prune min-max on the skewed axis: " +
+        s"rank ${rkHit.size} vs min-max ${mmHit.size} of 16")
+    // both layouts stay LOSSLESS: box read == full filter, value-equal
+    for (dir <- Seq(mmDir, rkDir)) {
+      val boxed = Snapshot.readPrunedBox(spark, dir, "a", "b",
+          aLo, aHi, bLo, bHi)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val full = Snapshot.read(spark, dir)
+        .filter(col("a").between(aLo, aHi) && col("b").between(bLo, bHi))
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(boxed == full && boxed.nonEmpty, s"losslessness broke in $dir")
+    }
+    // the outlier tail must also stay readable under rank (boundaries
+    // cover it with its own sparse buckets)
+    val tail = Snapshot.readPrunedBox(spark, rkDir, "a", "b",
+        1000000L, (1L << 30), 0L, 9999L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val tailFull = Snapshot.read(spark, rkDir)
+      .filter(col("a").between(1000000L, 1L << 30) && col("b").between(0L, 9999L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tail == tailFull && tail.nonEmpty)
+  }
 }
