@@ -215,6 +215,53 @@ object StreamOps extends QueryModule {
       dir
     }
 
+  /** q78's custom-state kernel, SOURCE-AGNOSTIC by construction: a typed
+    * `Dataset[(user_id, event_id)]` in, the per-user running profile
+    * (count + min/max event id, one emission per (user, batch)) out via
+    * `flatMapGroupsWithState`. Structured Streaming's operators never see
+    * the source — any `readStream` that projects to the pair shape drives
+    * the identical state machine under the identical checkpoint contract:
+    *
+    *  - file source (q78's registered drain) and MemoryStream (the
+    *    cross-batch StreamSpec pin) — both exercised;
+    *  - rate / rate-micro-batch — exercised in StreamSpec ("rate source"):
+    *    deterministic generated rows, same kernel, output equal to the
+    *    arithmetic ground truth;
+    *  - Kafka maps the same way (the jar isn't in this container; the
+    *    mapping is one projection):
+    *    {{{
+    *    spark.readStream.format("kafka")
+    *      .option("kafka.bootstrap.servers", brokers)
+    *      .option("subscribe", "events")
+    *      .load()                      // key/value binary + partition/offset
+    *      .select(from_json(col("value").cast("string"), eventsSchema).as("e"))
+    *      .select(col("e.user_id"), col("e.event_id")).as[(Long, Long)]
+    *    }}}
+    *    Partitioning carries over 1:1 — the groupByKey shuffle hashes
+    *    user_id whatever the source's native partitioning (Kafka topic
+    *    partitions, file splits, rate partitions), so state-store layout
+    *    and scale behavior are source-independent too. */
+  private[graft] def profileState(
+      src: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val sp = src.sparkSession
+    import sp.implicits._
+    src.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)],
+         state: GroupState[(Long, Long, Long)]) =>
+          var (n, mn, mx) =
+            state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, eid) =>
+            n += 1; mn = math.min(mn, eid); mx = math.max(mx, eid)
+          }
+          state.update((n, mn, mx))
+          Iterator((user, n, mn, mx))
+      }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_stream_snapshot_sink" -> ((s, d) => {
       // Streaming CDC upsert into the TRANSACTIONAL table — q102's merge
@@ -441,25 +488,12 @@ object StreamOps extends QueryModule {
       // the batch GROUP BY, which is what the DuckDB oracle runs; the
       // cross-batch running-state behavior (emissions superseding each
       // other) is pinned in StreamSpec with MemoryStream.
-      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val c = streamSession(s, 4)
       import c.implicits._
       val sch = eventsSchema(c, d)
       val src = streamTable(c, d, "events", sch)
         .select(col("user_id"), col("event_id")).as[(Long, Long)]
-      val profiled = src.groupByKey(_._1)
-        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
-          OutputMode.Append, GroupStateTimeout.NoTimeout) {
-          (user: Long, rows: Iterator[(Long, Long)],
-           state: GroupState[(Long, Long, Long)]) =>
-            var (n, mn, mx) =
-              state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
-            rows.foreach { case (_, eid) =>
-              n += 1; mn = math.min(mn, eid); mx = math.max(mx, eid)
-            }
-            state.update((n, mn, mx))
-            Iterator((user, n, mn, mx))
-        }
+      val profiled = profileState(src)
       val name = "graft_q78_sink"
       val q = profiled.toDF("user_id", "n_events", "min_eid", "max_eid")
         .writeStream.format("memory").queryName(name)

@@ -177,6 +177,50 @@ class StreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate source: q78's profile kernel is source-agnostic, output equals arithmetic truth") {
+    // The registered q78 drains the FILE source and the cross-batch pin
+    // above uses MemoryStream; this case drives the SAME kernel
+    // (StreamOps.profileState — shared by reference, not re-spelled) from
+    // the rate-micro-batch source: deterministic generated rows
+    // (value = 0,1,2,… with rowsPerBatch per batch), so the drained
+    // profile must equal closed-form arithmetic over the consumed prefix
+    // — no file, no fixture, proving nothing in the state logic depends
+    // on the source. Kafka maps identically (projection only; scaladoc
+    // on profileState).
+    import spark.implicits._
+    val rows = 140L // 20 per user, users = value % 7
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "35").option("numPartitions", "2").load()
+      .select((col("value") % 7).as("_1"), col("value").as("_2"))
+      .as[(Long, Long)]
+    val out = graft.ops.StreamOps.profileState(src)
+      .toDF("user_id", "n_events", "min_eid", "max_eid")
+    val q = out.writeStream.format("memory").queryName("rate_q78")
+      .outputMode("append").start()
+    try {
+      // 4 batches of 35 = values 0..139; every user appears in every
+      // batch, so waiting for all 4 batches' emissions (4*7 rows) makes
+      // the final per-user state cover exactly the 140-value prefix
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table("rate_q78").count() < 28 &&
+             System.nanoTime() < deadline) Thread.sleep(100)
+      q.stop(); q.awaitTermination()
+      val got = spark.table("rate_q78")
+        .filter(col("max_eid") < rows) // bound to the 4-batch prefix
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n"), min(col("min_eid")).as("mn"),
+             max(col("max_eid")).as("mx"))
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      assert(got.keySet == (0L until 7L).toSet, s"users: ${got.keySet}")
+      for (u <- 0L until 7L) {
+        // value % 7 == u within 0..139: 20 values, min u, max u + 133
+        assert(got(u) == ((20L, u, u + 133L)),
+          s"user $u profile ${got(u)} != arithmetic truth")
+      }
+    } finally if (q.isActive) q.stop()
+  }
+
   test("large-state deployment: RocksDB state store, identical results off-heap") {
     // The default HDFS-backed state store keeps every key's state ON the
     // executor HEAP — fine for bounded window state (q70-q72), an OOM at
