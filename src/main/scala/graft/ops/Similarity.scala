@@ -391,7 +391,7 @@ object Similarity extends QueryModule {
 
   /** Squared-L2 between two double arrays (PQ trains under L2, unlike the
     * cosine coarse quantizer). */
-  private val L2 =
+  private[graft] val L2 =
     "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"
 
   /** PQ codebooks: per subspace m, 16 centroids over the sub-vectors —

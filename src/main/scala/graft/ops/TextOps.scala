@@ -128,6 +128,79 @@ object TextOps extends QueryModule {
     merges
   }
 
+  /** One stratum's row bound for the EXACT nearest-rank threshold path:
+    * the per-lang window funnels a whole stratum through one task's sort,
+    * so past ~10M rows/stratum the gate switches to the mergeable
+    * approx_percentile twin (partial aggregation — no per-stratum sort,
+    * no single-task funnel) under the same contract. */
+  private[graft] val ExactRankMaxStratum = 10000000L
+
+  /** Quantile quality GATING (q119) — q69 scores, this DECIDES: keep
+    * each language's top half by stop-ratio (the FineWeb-style quantile
+    * gate; an absolute threshold breaks whenever the score distribution
+    * shifts per lang/source, a per-stratum quantile doesn't). The
+    * per-lang threshold joins back BROADCAST and the gate itself is a
+    * stateless filter, so only the threshold computation ranks. Two
+    * threshold paths under one contract, chosen by `mode`:
+    *
+    *  - "exact": NEAREST-RANK median (q88's spelling — max score at rank
+    *    ⌈n/2⌉ under the (score, doc_id) total order). Oracle-exact; one
+    *    task sorts each stratum.
+    *  - "approx": `percentile_approx(q, 0.5)` — the Greenwald-Khanna
+    *    mergeable sketch; map-side partials, no per-stratum sort. The
+    *    returned value is a REAL data value within rank error n/accuracy,
+    *    so the gate stays a >=-threshold filter with a near-median
+    *    cutoff (kept fraction within the sketch's rank bound of half;
+    *    spec-pinned against the exact path on the fixture).
+    *  - "auto" (the registered q119): one lang-cardinality count agg
+    *    picks exact while every stratum fits [[ExactRankMaxStratum]],
+    *    approx beyond — the fixture always ranks exact (oracle
+    *    unchanged); a 100 TB stratum switches instead of funneling
+    *    through one task.
+    *
+    * Token-free documents score 0 (coalesce — gated low, never
+    * NULL-dropped silently). */
+  private[graft] def qualityGate(s: SparkSession, d: String,
+                                 mode: String): DataFrame = {
+    val scored = T.documents(s, d)
+      .withColumn("toks", split(col("text"), "[^a-z0-9]+"))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_stop", size(expr(
+        "filter(toks, t -> array_contains(array('the','a','of','to','and'), t))"))
+        .cast(LongType))
+      .select(col("doc_id"), col("lang"),
+        coalesce(
+          expr("CAST(n_stop * 1000000 DIV nullif(n_tok, 0) AS BIGINT)"),
+          lit(0L)).as("q"))
+    val useExact = mode match {
+      case "exact"  => true
+      case "approx" => false
+      case "auto" =>
+        scored.groupBy(col("lang")).count()
+          .agg(max(col("count"))).head.getLong(0) <= ExactRankMaxStratum
+      case other => throw new IllegalArgumentException(
+        s"qualityGate mode must be exact|approx|auto, got '$other'")
+    }
+    val th =
+      if (useExact) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("q").asc, col("doc_id").asc)
+        scored
+          .withColumn("rk", row_number().over(w).cast(LongType))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lang")))
+            .cast(LongType))
+          .groupBy(col("lang"))
+          .agg(max(when(col("rk") === expr("(n * 50 + 99) DIV 100"), col("q")))
+            .as("p50"))
+      } else scored.groupBy(col("lang"))
+        .agg(percentile_approx(col("q"), lit(0.5), lit(10000)).as("p50"))
+    scored.join(broadcast(th), Seq("lang"))
+      .filter(col("q") >= col("p50"))
+      .select(col("doc_id"), col("lang"), col("q"), col("p50"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_explode_udtf" -> ((s, d) =>
       // Generator/UDTF surface: one output row per token with its position.
@@ -315,44 +388,7 @@ object TextOps extends QueryModule {
         .orderBy(col("doc_id"))
     }),
 
-    "q119_quality_gate" -> ((s, d) => {
-      // Quantile quality GATING — q69 scores, this DECIDES: keep each
-      // language's top half by stop-ratio (the FineWeb-style quantile
-      // gate; an absolute threshold breaks whenever the score
-      // distribution shifts per lang/source, a per-stratum quantile
-      // doesn't). The per-lang threshold is the exact NEAREST-RANK
-      // median (q88's spelling — max score at rank ⌈n/2⌉ under the
-      // (score, doc_id) total order) joined back BROADCAST; the gate
-      // itself is a stateless filter, so at scale only the threshold
-      // computation ranks — and it swaps for q88's approx_percentile
-      // twin under the same contract when the strata outgrow exact
-      // ranking. Token-free documents score 0 (coalesce — gated low,
-      // never NULL-dropped silently).
-      val scored = T.documents(s, d)
-        .withColumn("toks", split(col("text"), "[^a-z0-9]+"))
-        .withColumn("n_tok", size(col("toks")).cast(LongType))
-        .withColumn("n_stop", size(expr(
-          "filter(toks, t -> array_contains(array('the','a','of','to','and'), t))"))
-          .cast(LongType))
-        .select(col("doc_id"), col("lang"),
-          coalesce(
-            expr("CAST(n_stop * 1000000 DIV nullif(n_tok, 0) AS BIGINT)"),
-            lit(0L)).as("q"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("q").asc, col("doc_id").asc)
-      val th = scored
-        .withColumn("rk", row_number().over(w).cast(LongType))
-        .withColumn("n", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("lang")))
-          .cast(LongType))
-        .groupBy(col("lang"))
-        .agg(max(when(col("rk") === expr("(n * 50 + 99) DIV 100"), col("q")))
-          .as("p50"))
-      scored.join(broadcast(th), Seq("lang"))
-        .filter(col("q") >= col("p50"))
-        .select(col("doc_id"), col("lang"), col("q"), col("p50"))
-        .orderBy(col("doc_id"))
-    }),
+    "q119_quality_gate" -> ((s, d) => qualityGate(s, d, "auto")),
 
     "q94_text_repetition" -> ((s, d) => {
       // Within-document repetition signals (the Gopher-rule family): the

@@ -283,4 +283,24 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("q119 gate: approx twin tracks the exact nearest-rank gate; auto ranks exact at fixture scale") {
+    def kept(mode: String): Set[Long] =
+      graft.ops.TextOps.qualityGate(spark, sf, mode)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = kept("exact")
+    val approx = kept("approx")
+    // auto must pick the exact path while strata fit the rank bound —
+    // byte-identical gate, oracle unchanged
+    assert(kept("auto") == exact)
+    // the approx threshold is a real data value within the sketch's rank
+    // error, so the two gates may disagree only near the cutoff: bounded
+    // symmetric difference, kept fraction still ~half
+    val n = Tables.documents(spark, sf).count()
+    val sym = (exact diff approx).size + (approx diff exact).size
+    assert(sym <= math.max(1L, n / 50), s"symmetric difference $sym of $n")
+    assert(approx.size >= n * 2 / 5 && approx.size <= n * 3 / 5,
+      s"approx gate kept ${approx.size} of $n")
+    assert(exact.nonEmpty && approx.nonEmpty)
+  }
 }
