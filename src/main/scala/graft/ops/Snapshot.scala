@@ -473,6 +473,43 @@ object Snapshot {
     v
   }
 
+  // ---- 3-D Morton (the q127 family's third axis, round 12) -------------
+  // Same construction one dimension up: bit i of each of THREE dims lands
+  // at 3i/3i+1/3i+2 (the standard 21-bit three-way magic-number spread),
+  // aligned CUBES map to contiguous z ranges, and the cover walk becomes
+  // an octree. 16-bit scaled dims → 48-bit codes, sign-safe BIGINTs.
+
+  /** Spread the low 21 bits of `x` so bit i lands at position 3i — pure
+    * bitwise column arithmetic (codegen'd; no UDF). Caller contract:
+    * 0 <= x < 2^21 (scaled dims are 16-bit, well inside). */
+  private def spreadBits3(x: Column): Column =
+    Seq(32 -> 0x1F00000000FFFFL, 16 -> 0x1F0000FF0000FFL,
+        8  -> 0x100F00F00F00F00FL, 4 -> 0x10C30C30C30C30C3L,
+        2  -> 0x1249249249249249L)
+      .foldLeft(x.cast("long").bitwiseAND(lit(0x1FFFFFL))) {
+        case (c, (s, m)) => c.bitwiseOR(shiftleft(c, s)).bitwiseAND(lit(m)) }
+
+  /** Morton code of three non-negative 21-bit dimensions. */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spreadBits3(a)
+      .bitwiseOR(shiftleft(spreadBits3(b), 1))
+      .bitwiseOR(shiftleft(spreadBits3(c), 2))
+
+  private def spreadL3(x0: Long): Long = {
+    var v = x0 & 0x1FFFFFL
+    v = (v | (v << 32)) & 0x1F00000000FFFFL
+    v = (v | (v << 16)) & 0x1F0000FF0000FFL
+    v = (v | (v << 8))  & 0x100F00F00F00F00FL
+    v = (v | (v << 4))  & 0x10C30C30C30C30C3L
+    v = (v | (v << 2))  & 0x1249249249249249L
+    v
+  }
+
+  /** Driver-side twin of [[zValue3]] (identical bit spelling — spec-pinned
+    * against each other like the 2-D pair). */
+  private[graft] def zPoint3(a: Long, b: Long, c: Long): Long =
+    spreadL3(a) | (spreadL3(b) << 1) | (spreadL3(c) << 2)
+
   /** Driver-side twin of [[zValue]] (identical bit spelling — the spec
     * pins the two against each other). */
   private[graft] def zPoint(a: Long, b: Long): Long =
@@ -518,11 +555,15 @@ object Snapshot {
       walk(ca, cb + h, level - 1); walk(ca + h, cb + h, level - 1)
     }
     walk(0L, 0L, 31)
-    // pack to budget: keep the (maxRanges-1) WIDEST gaps as splits and
-    // bridge the rest — bridging only ever grows the cover (still a
-    // superset), and wide gaps are exactly the z-space a bridge would
-    // spuriously match
-    val r = out.toSeq
+    packRanges(out.toSeq, maxRanges)
+  }
+
+  /** Pack an ascending disjoint range list to `maxRanges`: keep the
+    * (maxRanges-1) WIDEST gaps as splits and bridge the rest — bridging
+    * only ever grows the cover (still a superset), and wide gaps are
+    * exactly the z-space a bridge would spuriously match. */
+  private def packRanges(r: Seq[(Long, Long)],
+                         maxRanges: Int): Seq[(Long, Long)] =
     if (r.length <= maxRanges) r
     else {
       val gaps = r.sliding(2).zipWithIndex
@@ -536,6 +577,43 @@ object Snapshot {
       }
       acc.toSeq
     }
+
+  /** [[zCover]] one dimension up: conservative z-range cover of the box
+    * [aLo,aHi]×[bLo,bHi]×[cLo,cHi] by octree walk over aligned CUBES (an
+    * aligned 2^level cube is one contiguous 3-D Morton range). Recursion
+    * stops ~8 cells across the box's longest side — in 3-D the emitted
+    * pre-pack count is O(surface/cellArea) ≈ 6·8², still sub-millisecond
+    * driver arithmetic, then [[packRanges]] bridges down to `maxRanges`.
+    * Children walk in ascending-z order (c is the highest interleaved
+    * bit), so ranges arrive sorted and disjoint. */
+  private[graft] def zCover3(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+                             cLo: Long, cHi: Long,
+                             maxRanges: Int = 64): Seq[(Long, Long)] = {
+    val lim = 1L << 21
+    require(0 <= aLo && aLo <= aHi && aHi < lim &&
+            0 <= bLo && bLo <= bHi && bHi < lim &&
+            0 <= cLo && cLo <= cHi && cHi < lim,
+      s"box [$aLo,$aHi]x[$bLo,$bHi]x[$cLo,$cHi] must sit inside [0, 2^21)^3")
+    require(maxRanges >= 8, s"maxRanges must be >= 8, got $maxRanges")
+    val span = Seq(aHi - aLo, bHi - bLo, cHi - cLo).max + 1
+    val cut = math.max(0, (63 - java.lang.Long.numberOfLeadingZeros(span)) - 3)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def walk(ca: Long, cb: Long, cc: Long, level: Int): Unit = {
+      val hi = (1L << level) - 1
+      if (ca + hi < aLo || ca > aHi || cb + hi < bLo || cb > bHi ||
+          cc + hi < cLo || cc > cHi) return
+      if (level <= cut ||
+          (ca >= aLo && ca + hi <= aHi && cb >= bLo && cb + hi <= bHi &&
+           cc >= cLo && cc + hi <= cHi)) {
+        out += ((zPoint3(ca, cb, cc), zPoint3(ca + hi, cb + hi, cc + hi)))
+        return
+      }
+      val h = 1L << (level - 1)
+      for (dc <- 0 to 1; db <- 0 to 1; da <- 0 to 1)
+        walk(ca + da * h, cb + db * h, cc + dc * h, level - 1)
+    }
+    walk(0L, 0L, 0L, 21)
+    packRanges(out.toSeq, maxRanges)
   }
 
   /** CHANGE DATA FEED by snapshot diff: the row-level changes between
@@ -682,6 +760,31 @@ object Snapshot {
         "run optimizeZorder first")
   }
 
+  /** 3-D scaling constants (min-max per axis, [[ZMeta]]'s spelling one
+    * dimension up). The rank normalization generalizes per-axis exactly
+    * as in 2-D; min-max keeps the note bounded for the 3-axis case. */
+  private[graft] final case class ZMeta3(aCol: String, bCol: String,
+                                         cCol: String,
+                                         aMin: Long, aMax: Long,
+                                         bMin: Long, bMax: Long,
+                                         cMin: Long, cMax: Long) {
+    def scaleA(x: Long): Long = (x - aMin) * 65535L / math.max(1L, aMax - aMin)
+    def scaleB(x: Long): Long = (x - bMin) * 65535L / math.max(1L, bMax - bMin)
+    def scaleC(x: Long): Long = (x - cMin) * 65535L / math.max(1L, cMax - cMin)
+    def note: String =
+      s"zorder3($aCol,$bCol,$cCol,$aMin,$aMax,$bMin,$bMax,$cMin,$cMax)"
+  }
+  private val ZNote3 =
+    """zorder3\(([^,]+),([^,]+),([^,]+),(-?\d+),(-?\d+),(-?\d+),(-?\d+),(-?\d+),(-?\d+)\)""".r
+  private def zMeta3Of(m: Manifest): ZMeta3 = m.note match {
+    case ZNote3(a, b, c, a0, a1, b0, b1, c0, c1) =>
+      ZMeta3(a, b, c, a0.toLong, a1.toLong, b0.toLong, b1.toLong,
+        c0.toLong, c1.toLong)
+    case other => throw new IllegalArgumentException(
+      s"v${m.version} is not a 3-D z-ordered snapshot (note='$other') — " +
+        "run optimizeZorder3 first")
+  }
+
   /** OPTIMIZE ZORDER as a commit: rewrite the current snapshot clustered
     * by [[zValue]] over two integral columns — each min-max scaled to 16
     * bits first (one stats job; the constants ride the manifest note) —
@@ -771,6 +874,78 @@ object Snapshot {
       df.withColumn("_z", zValue(bucketed(aCol, zm.aBounds),
                                  bucketed(bCol, zm.bBounds))),
       dir, cur, "_z", Nil, nFiles, note = zm.note)
+  }
+
+  /** OPTIMIZE ZORDER over THREE integral columns — [[optimizeZorder]]'s
+    * shape with the 21-bit three-way interleave ([[zValue3]]). The use
+    * case is the canonical three-filter warehouse query (customer ×
+    * date × region, user × time × shard): two-axis layouts leave the
+    * third filter a residual over every matched file; the 3-D interleave
+    * gives each axis ~16 of the code's 48 bits, so all three prune.
+    * Per-axis granularity COSTS: at equal file count each axis's
+    * effective resolution is file_count^(1/3) — worth it only when
+    * queries genuinely constrain all three dimensions (the 2-D layout
+    * stays the default, same rule as 1-D sort vs 2-D z-order). */
+  def optimizeZorder3(spark: SparkSession, dir: String,
+                      aCol: String, bCol: String, cCol: String,
+                      nFiles: Int): Int = {
+    val cur = currentVersion(spark, dir)
+    val df = read(spark, dir, cur)
+    val lim = 1L << 31
+    val g = df.agg(
+      min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+      min(col(bCol)).cast("long"), max(col(bCol)).cast("long"),
+      min(col(cCol)).cast("long"), max(col(cCol)).cast("long")).head
+    val zm = ZMeta3(aCol, bCol, cCol, g.getLong(0), g.getLong(1),
+      g.getLong(2), g.getLong(3), g.getLong(4), g.getLong(5))
+    require(zm.aMin >= 0 && zm.aMax < lim && zm.bMin >= 0 && zm.bMax < lim &&
+            zm.cMin >= 0 && zm.cMax < lim,
+      s"z-order dimensions must be in [0, 2^31): " +
+        s"$aCol=[${zm.aMin},${zm.aMax}] $bCol=[${zm.bMin},${zm.bMax}] " +
+        s"$cCol=[${zm.cMin},${zm.cMax}]")
+    def scaled(c: String, mn: Long, mx: Long): Column =
+      (col(c).cast("long") - lit(mn)) * lit(65535L) / lit(math.max(1L, mx - mn))
+    commit(
+      df.withColumn("_z", zValue3(
+        scaled(aCol, zm.aMin, zm.aMax).cast("long"),
+        scaled(bCol, zm.bMin, zm.bMax).cast("long"),
+        scaled(cCol, zm.cMin, zm.cMax).cast("long"))),
+      dir, cur, "_z", Nil, nFiles, note = zm.note)
+  }
+
+  private[graft] def prunedFilesBox3(spark: SparkSession, dir: String,
+                                     aLo: Long, aHi: Long,
+                                     bLo: Long, bHi: Long,
+                                     cLo: Long, cHi: Long,
+                                     version: Int = 0): Seq[FileEntry] = {
+    val v = if (version > 0) version else currentVersion(spark, dir)
+    val m = manifest(spark, dir, v)
+    val zm = zMeta3Of(m)
+    if (aHi < zm.aMin || aLo > zm.aMax || bHi < zm.bMin || bLo > zm.bMax ||
+        cHi < zm.cMin || cLo > zm.cMax)
+      return Seq.empty
+    val cover = zCover3(
+      zm.scaleA(math.max(aLo, zm.aMin)), zm.scaleA(math.min(aHi, zm.aMax)),
+      zm.scaleB(math.max(bLo, zm.bMin)), zm.scaleB(math.min(bHi, zm.bMax)),
+      zm.scaleC(math.max(cLo, zm.cMin)), zm.scaleC(math.min(cHi, zm.cMax)))
+    m.files.filter(f => cover.exists(r => r._1 <= f.max && r._2 >= f.min))
+  }
+
+  /** 3-D box read over an [[optimizeZorder3]]'d snapshot: manifest ∩
+    * driver-side octree cover, exact predicate as residual —
+    * [[readPrunedBox]] one dimension up. */
+  def readPrunedBox3(spark: SparkSession, dir: String,
+                     aCol: String, bCol: String, cCol: String,
+                     aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+                     cLo: Long, cHi: Long, version: Int = 0): DataFrame = {
+    val hit = prunedFilesBox3(spark, dir, aLo, aHi, bLo, bHi, cLo, cHi,
+      version)
+    require(hit.nonEmpty, s"no snapshot file overlaps the box — " +
+      "empty-result reads need a schema source; read() and filter instead")
+    spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(f => s"$dir/${f.path}"): _*)
+      .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi) &&
+              col(cCol).between(cLo, cHi))
   }
 
   /** The files of a z-ordered snapshot a 2-D box predicate can touch:

@@ -401,6 +401,93 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("zValue3 column expression and driver-side zPoint3 agree bit-for-bit") {
+    import spark.implicits._
+    val edge = Seq(0L, 1L, 2L, 3L, (1L << 21) - 1, (1L << 20), 12345L) ++
+      (0 until 21).map(i => 1L << i)
+    val rnd = (1 to 60).map(i =>
+      (i * 2654435761L ^ (i * 40503L << 13)) & ((1L << 21) - 1))
+    val pts = for { a <- edge ++ rnd.take(8); b <- edge.take(8)
+                    c <- edge.take(6) } yield (a, b, c)
+    val got = pts.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Snapshot.zValue3(col("a"), col("b"), col("c")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, c, z) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(z == Snapshot.zPoint3(a, b, c), s"zValue3($a,$b,$c)=$z != zPoint3")
+      assert(z >= 0, "z codes must stay sign-safe")
+    }
+  }
+
+  test("zCover3 is a sound, bounded, ordered cover of any 3-D box") {
+    val boxes = Seq(
+      (0L, 100L, 0L, 100L, 0L, 100L),
+      (731L, 1095L, 100L, 1100L, 5000L, 9000L),
+      (5L, 5L, 7L, 7L, 9L, 9L),
+      (0L, (1L << 21) - 1, 0L, (1L << 21) - 1, 0L, (1L << 21) - 1),
+      (100000L, 101000L, 3L, 2000000L, 65000L, 66000L))
+    for ((aLo, aHi, bLo, bHi, cLo, cHi) <- boxes) {
+      val cover = Snapshot.zCover3(aLo, aHi, bLo, bHi, cLo, cHi, 64)
+      assert(cover.nonEmpty && cover.size <= 64, s"budget: ${cover.size}")
+      cover.sliding(2).foreach {
+        case Seq((_, e), (s2, _)) => assert(e < s2,
+          "ranges must be ascending and disjoint")
+        case _ =>
+      }
+      def samples(lo: Long, hi: Long): Seq[Long] =
+        Seq(lo, hi, (lo + hi) / 2) ++ (1 to 4).map(i => lo + (hi - lo) * i / 4)
+      for (a <- samples(aLo, aHi); b <- samples(bLo, bHi);
+           c <- samples(cLo, cHi)) {
+        val z = Snapshot.zPoint3(a, b, c)
+        assert(cover.exists(r => r._1 <= z && z <= r._2),
+          s"point ($a,$b,$c) z=$z escaped the cover")
+      }
+    }
+  }
+
+  test("3-D z-order: every axis prunes files; 3-D box read equals full filter") {
+    // 30k rows over three INDEPENDENT uniform dims — the shape where a
+    // 2-D layout must leave one filter as a residual over every matched
+    // file and the 3-way interleave lets all three prune. Deterministic
+    // LCG, no RNG.
+    import spark.implicits._
+    val rows = (0 until 30000).map { i =>
+      val h = (i * 2654435761L) & 0x7FFFFFFFL
+      (i.toLong, h % 1000, (h / 1000) % 1000, (h / 1000000) % 1000)
+    }
+    val dir = freshDir()
+    Snapshot.commit(rows.toDF("k", "x", "y", "t"), dir, 0, "k", nFiles = 4)
+    Snapshot.optimizeZorder3(spark, dir, "x", "y", "t", nFiles = 64)
+    val m = Snapshot.manifest(spark, dir, 2)
+    assert(m.statsCol == "_z" && m.files.size == 64)
+    // each single-axis slice (~10% of its axis, all of the others) must
+    // prune on its own — no 2-D layout gives all three
+    val full = 1000L
+    val xOnly = Snapshot.prunedFilesBox3(spark, dir, 100, 199, 0, full, 0, full)
+    val yOnly = Snapshot.prunedFilesBox3(spark, dir, 0, full, 100, 199, 0, full)
+    val tOnly = Snapshot.prunedFilesBox3(spark, dir, 0, full, 0, full, 100, 199)
+    for ((tag, hit) <- Seq("x" -> xOnly, "y" -> yOnly, "t" -> tOnly))
+      assert(hit.nonEmpty && hit.size < 64,
+        s"$tag-only slice must prune: ${hit.size}/64")
+    // the 3-D box composes: strictly fewer files than any single axis
+    val box = Snapshot.prunedFilesBox3(spark, dir,
+      100, 299, 100, 299, 100, 299)
+    assert(box.nonEmpty &&
+      box.size < Seq(xOnly.size, yOnly.size, tOnly.size).min,
+      s"3-D box ${box.size} vs slices ${xOnly.size}/${yOnly.size}/${tOnly.size}")
+    // losslessness: box read == full-scan filter
+    val boxed = Snapshot.readPrunedBox3(spark, dir, "x", "y", "t",
+        100, 299, 100, 299, 100, 299)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val fullScan = Snapshot.read(spark, dir, 2)
+      .filter(col("x").between(100, 299) && col("y").between(100, 299) &&
+              col("t").between(100, 299))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(boxed == fullScan && boxed.nonEmpty)
+  }
+
   test("zCover is a sound, bounded, ordered cover of any box") {
     val boxes = Seq(
       (0L, 100L, 0L, 100L), (731L, 1095L, 100L, 1100L),
