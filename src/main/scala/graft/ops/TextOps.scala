@@ -135,6 +135,12 @@ object TextOps extends QueryModule {
     * no single-task funnel) under the same contract. */
   private[graft] val ExactRankMaxStratum = 10000000L
 
+  /** auto-mode decision cache, (session -> dir -> exact?); WeakHashMap so
+    * retired sessions release their entries (the probe-cache discipline). */
+  private val autoModeCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Boolean]]
+
   /** Quantile quality GATING (q119) — q69 scores, this DECIDES: keep
     * each language's top half by stop-ratio (the FineWeb-style quantile
     * gate; an absolute threshold breaks whenever the score distribution
@@ -176,8 +182,16 @@ object TextOps extends QueryModule {
       case "exact"  => true
       case "approx" => false
       case "auto" =>
-        scored.groupBy(col("lang")).count()
-          .agg(max(col("count"))).head.getLong(0) <= ExactRankMaxStratum
+        // memoized per (session, dir): the decision is a property of the
+        // corpus, not the call — without the cache every q119
+        // construction pays a strata-count job before the gate itself
+        synchronized {
+          autoModeCache
+            .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+            .getOrElseUpdate(d,
+              scored.groupBy(col("lang")).count()
+                .agg(max(col("count"))).head.getLong(0) <= ExactRankMaxStratum)
+        }
       case other => throw new IllegalArgumentException(
         s"qualityGate mode must be exact|approx|auto, got '$other'")
     }
