@@ -188,9 +188,12 @@ object TextOps extends QueryModule {
         synchronized {
           autoModeCache
             .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-            .getOrElseUpdate(d,
-              scored.groupBy(col("lang")).count()
-                .agg(max(col("count"))).head.getLong(0) <= ExactRankMaxStratum)
+            .getOrElseUpdate(d, {
+              // max over zero strata is NULL (empty shard) -> 0 -> exact
+              val r = scored.groupBy(col("lang")).count()
+                .agg(max(col("count"))).head
+              (if (r.isNullAt(0)) 0L else r.getLong(0)) <= ExactRankMaxStratum
+            })
         }
       case other => throw new IllegalArgumentException(
         s"qualityGate mode must be exact|approx|auto, got '$other'")
