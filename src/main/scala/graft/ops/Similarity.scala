@@ -503,6 +503,25 @@ object Similarity extends QueryModule {
     * whole-stage-codegen projection — no join, no shuffle, just
     * element_at per subspace — which is the entire point of ADC. Indexed
     * lut(m)(c). */
+  /** Corpus size, memoized per (session, dir) — drives q121's rerank
+    * budget. The AdcRecall probe measured that a FIXED K'=64 becomes the
+    * first recall limiter as cells grow with the corpus (sf0.1: 0.34 →
+    * 0.61 recall@10 as K' rises to the probed-cell ceiling), so the
+    * budget scales with cell size: K' = max(64, N/8) — identical to the
+    * old constant at fixture scale (N=500 → 64, the unit-pinned
+    * operating point), ~N/8 beyond, still a bounded TakeOrdered whose
+    * exact-rerank set stays ≪ probed candidates. */
+  private val embCountCache =
+    new scala.collection.mutable.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, Long]]
+  private[graft] def adcRerankBudget(s: SparkSession, d: String): Int =
+    synchronized {
+      val n = embCountCache
+        .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(d, T.embeddings(s, d).count())
+      math.max(64L, n / 8L).toInt
+    }
+
   private val adcLutCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, IndexedSeq[IndexedSeq[Double]]]]
@@ -657,13 +676,16 @@ object Similarity extends QueryModule {
       // codes, never embeddings — ranking by the asymmetric distance
       // sum_m lut[m][code_m], the per-query LUT folded in as array
       // literals so the pass is one stateless codegen projection; (3) the
-      // top-64 ADC candidates (a driver-bounded TakeOrdered, deterministic
-      // adc-then-id tie-break) rerank by EXACT cosine against their full
-      // embeddings — the only point the 256-byte vectors are read, via a
-      // broadcast semi-probe of 64 ids. Cost at 100 TB: probed-cell code
-      // bytes + 64 embedding lookups, never corpus x query. Unit-only
-      // (float k-means training, q105's declaration class): recall@10 vs
-      // the exact scan and the pruned codes-only plan are spec-pinned.
+      // top-K' ADC candidates (a driver-bounded TakeOrdered, deterministic
+      // adc-then-id tie-break; K' = [[adcRerankBudget]] — max(64, N/8),
+      // SCALING WITH CELL SIZE per the AdcRecall measurement: a fixed 64
+      // becomes the recall limiter as cells grow) rerank by EXACT cosine
+      // against their full embeddings — the only point the 256-byte
+      // vectors are read, via a broadcast semi-probe of K' ids. Cost at
+      // 100 TB: probed-cell code bytes + K' embedding lookups, never
+      // corpus x query. Unit-only (float k-means training, q105's
+      // declaration class): recall@10 vs the exact scan and the pruned
+      // codes-only plan are spec-pinned.
       val e = T.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       val probed = ivfTrainedProbeIds(s, d, 1, q)
@@ -674,7 +696,7 @@ object Similarity extends QueryModule {
       val cand = ivfPqServing(s, d).filter(col("cid").isin(probed: _*))
         .select(col("vec_id"), adc.as("adc"))
         .orderBy(col("adc").asc, col("vec_id").asc)
-        .limit(64)
+        .limit(adcRerankBudget(s, d))
       cand.join(e, Seq("vec_id"))
         .crossJoin(broadcast(q))
         .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
