@@ -9,11 +9,12 @@ import java.nio.file.Files
   * `events.ts` has shipped both as INT64 TIMESTAMP(NANOS) (read as BIGINT
   * epoch-nanos under `nanosAsLong`) and as µs TIMESTAMP / TIMESTAMP_NTZ.
   * A round-10 fixture regeneration flipped the encoding and broke 12
-  * queries at ANALYSIS time; this spec re-encodes one fixture table all
-  * three ways and asserts the batch loader (`Tables.events`), the
-  * streaming source (`streamTable` via q73's drain), and a windowed query
-  * (q70) are encoding-invariant — so the next regeneration cannot
-  * silently break the time family again. */
+  * queries at ANALYSIS time; this spec re-encodes one fixture table FOUR
+  * ways (BIGINT-nanos, INT64-µs LTZ, µs NTZ, legacy INT96) and asserts
+  * the batch loader (`Tables.events`), the streaming source
+  * (`streamTable` via q73's drain), and a windowed query (q70) are
+  * encoding-invariant — so the next regeneration cannot silently break
+  * the time family again. */
 class EncodingSpec extends SparkSpec {
 
   /** The same events content written under each physical ts encoding.
@@ -30,21 +31,25 @@ class EncodingSpec extends SparkSpec {
   private lazy val dirs: Map[String, String] = {
     val evUs = Tables.events(spark, sf)
       .withColumn("ts", expr("ts div 1000") * lit(1000L))
-    def mk(tag: String)(f: DataFrame => DataFrame): (String, String) = {
+    def mk(tag: String, outType: String = "TIMESTAMP_MICROS")
+          (f: DataFrame => DataFrame): (String, String) = {
       val d = Files.createTempDirectory(s"graft_enc_$tag").toString
       val key  = "spark.sql.parquet.outputTimestampType"
       val prev = spark.conf.get(key)
-      spark.conf.set(key, "TIMESTAMP_MICROS")
+      spark.conf.set(key, outType)
       try f(evUs).coalesce(2).write.mode("overwrite").parquet(s"$d/events.parquet")
       finally spark.conf.set(key, prev)
       tag -> d
     }
+    val toLtz = (df: DataFrame) =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     Map(
       mk("long")(identity), // BIGINT epoch-nanos (the nanosAsLong arrival type)
-      mk("ltz")(df => df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")))),
+      mk("ltz")(toLtz),
       mk("ntz")(df => df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType)))
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))),
+      // legacy Hive/Impala physical shape — also arrives as TimestampType
+      mk("int96", outType = "INT96")(toLtz)
     )
   }
 
@@ -76,7 +81,7 @@ class EncodingSpec extends SparkSpec {
     }
   }
 
-  test("Tables.events normalizes all three ts encodings to identical BIGINT nanos") {
+  test("Tables.events normalizes all four ts encodings to identical BIGINT nanos") {
     val collected = dirs.map { case (tag, d) =>
       val ev = Tables.events(spark, d)
       assert(ev.schema("ts").dataType == LongType, s"encoding $tag")
