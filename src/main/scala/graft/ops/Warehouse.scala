@@ -136,6 +136,29 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** [[zOrders]] one axis up: the same orders projection with price in
+    * exact integer CENTS as the third integral dimension, committed then
+    * rewritten by [[Snapshot.optimizeZorder3]] — the q130 serving table.
+    * Memoized per (session, dir) beside the 2-D layout (distinct cache
+    * key — both tables coexist for the q127-vs-q130 comparison). */
+  private[graft] def zOrders3(s: SparkSession, d: String): String =
+    synchronized {
+      zorderCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#3d", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_zorders3_$sfx"
+          val base = T.orders(s, d).select(
+            col("o_orderkey"), col("o_custkey"),
+            datediff(col("o_orderdate"), lit("1992-01-01")).as("dday"),
+            F.cents(col("o_totalprice")).as("price_c"))
+          Snapshot.commit(base, dir, 0, "o_custkey", nFiles = 16)
+          Snapshot.optimizeZorder3(s, dir, "o_custkey", "dday", "price_c",
+            nFiles = 16)
+          dir
+        })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_merge_upsert" -> ((s, d) =>
       // CDC MERGE INTO as a one-shot plan: the shared kernel over the
@@ -205,6 +228,25 @@ object Warehouse extends QueryModule {
         .select(col("o_orderkey"), col("o_custkey"),
           col("dday").cast("long").as("dday"),
           F.od(col("price")).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q130_zorder3_box" -> ((s, d) => {
+      // 3-D box query over the THREE-column z-ordered snapshot: customer
+      // range × order-date range × PRICE range (exact integer cents)
+      // served through [[Snapshot.readPrunedBox3]] — file pruning on ALL
+      // THREE axes via the manifest's z stats + the octree cover, exact
+      // predicate as residual. q127's query class with the third filter
+      // a 2-D layout must leave as a residual over every matched file;
+      // value-equal to filtering a full scan (SnapshotSpec pins the
+      // per-axis pruning and losslessness on independent dims); oracle =
+      // the same box on the raw table. Price band 50k-200k dollars in
+      // cents; date box = 1996 (days 1461-1826 since the 1992-01-01
+      // epoch, q127's constants).
+      Snapshot.readPrunedBox3(s, zOrders3(s, d), "o_custkey", "dday",
+          "price_c", 100L, 1100L, 1461L, 1826L, 5000000L, 20000000L)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("dday").cast("long").as("dday"), col("price_c"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -411,6 +453,18 @@ object Warehouse extends QueryModule {
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 1100
         |  AND date_diff('day', DATE '1992-01-01', o_orderdate) BETWEEN 1461 AND 1826
+        |ORDER BY o_orderkey
+        |""".stripMargin,
+
+    "q130_zorder3_box" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS dday,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 1100
+        |  AND date_diff('day', DATE '1992-01-01', o_orderdate) BETWEEN 1461 AND 1826
+        |  AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      BETWEEN 5000000 AND 20000000
         |ORDER BY o_orderkey
         |""".stripMargin,
 
