@@ -203,7 +203,11 @@ object ScaleProbe {
       // med3 discipline, the median reads the serving cost)
       "q120_dedup_inc_index", "q122_join_interval_varlen",
       "q123_dedup_inc_append", "q124_merge_versioned", "q125_time_travel",
-      "q126_stream_snapshot_sink")
+      "q126_stream_snapshot_sink",
+      // round-12 additions: the 2-D and 3-D z-order box serves over the
+      // ×N orders axis (first construction builds the staged layouts —
+      // med3's median reads the serving cost)
+      "q127_zorder_box", "q130_zorder3_box")
     val results = family.map { name =>
       val (t, n) = med3(SparkEntry.queries(name)(spark, out).count())
       println(f"""{"probe":"$name","x":$mult,"rows":$n,"sec":$t%.3f}""")
