@@ -581,14 +581,19 @@ object Snapshot {
   /** [[zCover]] one dimension up: conservative z-range cover of the box
     * [aLo,aHi]×[bLo,bHi]×[cLo,cHi] by octree walk over aligned CUBES (an
     * aligned 2^level cube is one contiguous 3-D Morton range). Recursion
-    * stops ~8 cells across the box's longest side — in 3-D the emitted
-    * pre-pack count is O(surface/cellArea) ≈ 6·8², still sub-millisecond
-    * driver arithmetic, then [[packRanges]] bridges down to `maxRanges`.
-    * Children walk in ascending-z order (c is the highest interleaved
-    * bit), so ranges arrive sorted and disjoint. */
+    * stops ~32 cells across the box's longest side, with a 2048-range
+    * budget — BOTH deliberately bigger than 2-D's 16-cell/64-range
+    * tuning: a box thin in one LOW-interleaved axis is a slab whose
+    * cover is O(cells²) small chunks dispersed through z space, and at
+    * 2-D's granularity the pack step bridges the chunks into
+    * near-full-space ranges and pruning vanishes (measured in the
+    * rank-3D duel). The walk stays a few thousand driver-side nodes and
+    * cover ∩ manifest a ~2048 × files comparison — microseconds against
+    * any manifest. Children walk in ascending-z order (c is the highest
+    * interleaved bit), so ranges arrive sorted and disjoint. */
   private[graft] def zCover3(aLo: Long, aHi: Long, bLo: Long, bHi: Long,
                              cLo: Long, cHi: Long,
-                             maxRanges: Int = 64): Seq[(Long, Long)] = {
+                             maxRanges: Int = 2048): Seq[(Long, Long)] = {
     val lim = 1L << 21
     require(0 <= aLo && aLo <= aHi && aHi < lim &&
             0 <= bLo && bLo <= bHi && bHi < lim &&
@@ -596,7 +601,7 @@ object Snapshot {
       s"box [$aLo,$aHi]x[$bLo,$bHi]x[$cLo,$cHi] must sit inside [0, 2^21)^3")
     require(maxRanges >= 8, s"maxRanges must be >= 8, got $maxRanges")
     val span = Seq(aHi - aLo, bHi - bLo, cHi - cLo).max + 1
-    val cut = math.max(0, (63 - java.lang.Long.numberOfLeadingZeros(span)) - 3)
+    val cut = math.max(0, (63 - java.lang.Long.numberOfLeadingZeros(span)) - 5)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     def walk(ca: Long, cb: Long, cc: Long, level: Int): Unit = {
       val hi = (1L << level) - 1
@@ -760,26 +765,60 @@ object Snapshot {
         "run optimizeZorder first")
   }
 
-  /** 3-D scaling constants (min-max per axis, [[ZMeta]]'s spelling one
-    * dimension up). The rank normalization generalizes per-axis exactly
-    * as in 2-D; min-max keeps the note bounded for the 3-axis case. */
+  /** 3-D scaling constants — [[ZScale]]'s shape one dimension up, with
+    * the same min-max/rank split ([[ZMeta3]]/[[ZRank3Meta]]). */
+  private[graft] sealed trait ZScale3 {
+    def aMin: Long; def aMax: Long; def bMin: Long; def bMax: Long
+    def cMin: Long; def cMax: Long
+    def scaleA(x: Long): Long; def scaleB(x: Long): Long
+    def scaleC(x: Long): Long
+    def note: String
+  }
+
   private[graft] final case class ZMeta3(aCol: String, bCol: String,
                                          cCol: String,
                                          aMin: Long, aMax: Long,
                                          bMin: Long, bMax: Long,
-                                         cMin: Long, cMax: Long) {
+                                         cMin: Long, cMax: Long)
+      extends ZScale3 {
     def scaleA(x: Long): Long = (x - aMin) * 65535L / math.max(1L, aMax - aMin)
     def scaleB(x: Long): Long = (x - bMin) * 65535L / math.max(1L, bMax - bMin)
     def scaleC(x: Long): Long = (x - cMin) * 65535L / math.max(1L, cMax - cMin)
     def note: String =
       s"zorder3($aCol,$bCol,$cCol,$aMin,$aMax,$bMin,$bMax,$cMin,$cMax)"
   }
+
+  /** Rank (quantile-bucket) normalization per axis — [[ZRankMeta]] one
+    * dimension up, for the triple-filter class with a skewed axis. */
+  private[graft] final case class ZRank3Meta(aCol: String, bCol: String,
+                                             cCol: String,
+                                             aMin: Long, aMax: Long,
+                                             bMin: Long, bMax: Long,
+                                             cMin: Long, cMax: Long,
+                                             aBounds: Seq[Long],
+                                             bBounds: Seq[Long],
+                                             cBounds: Seq[Long])
+      extends ZScale3 {
+    def scaleA(x: Long): Long = aBounds.count(_ <= x).toLong
+    def scaleB(x: Long): Long = bBounds.count(_ <= x).toLong
+    def scaleC(x: Long): Long = cBounds.count(_ <= x).toLong
+    def note: String =
+      s"zorderq3($aCol,$bCol,$cCol,$aMin,$aMax,$bMin,$bMax,$cMin,$cMax," +
+        s"${aBounds.mkString("|")},${bBounds.mkString("|")},${cBounds.mkString("|")})"
+  }
+
   private val ZNote3 =
     """zorder3\(([^,]+),([^,]+),([^,]+),(-?\d+),(-?\d+),(-?\d+),(-?\d+),(-?\d+),(-?\d+)\)""".r
-  private def zMeta3Of(m: Manifest): ZMeta3 = m.note match {
+  private val ZQNote3 =
+    """zorderq3\(([^,]+),([^,]+),([^,]+),(-?\d+),(-?\d+),(-?\d+),(-?\d+),(-?\d+),(-?\d+),([0-9|-]*),([0-9|-]*),([0-9|-]*)\)""".r
+  private def zMeta3Of(m: Manifest): ZScale3 = m.note match {
     case ZNote3(a, b, c, a0, a1, b0, b1, c0, c1) =>
       ZMeta3(a, b, c, a0.toLong, a1.toLong, b0.toLong, b1.toLong,
         c0.toLong, c1.toLong)
+    case ZQNote3(a, b, c, a0, a1, b0, b1, c0, c1, ab, bb, cb) =>
+      ZRank3Meta(a, b, c, a0.toLong, a1.toLong, b0.toLong, b1.toLong,
+        c0.toLong, c1.toLong,
+        parseBounds(ab), parseBounds(bb), parseBounds(cb))
     case other => throw new IllegalArgumentException(
       s"v${m.version} is not a 3-D z-ordered snapshot (note='$other') — " +
         "run optimizeZorder3 first")
@@ -885,7 +924,17 @@ object Snapshot {
     * Per-axis granularity COSTS: at equal file count each axis's
     * effective resolution is file_count^(1/3) — worth it only when
     * queries genuinely constrain all three dimensions (the 2-D layout
-    * stays the default, same rule as 1-D sort vs 2-D z-order). */
+    * stays the default, same rule as 1-D sort vs 2-D z-order).
+    *
+    * AXIS ORDERING matters: `cCol` owns the highest interleaved bit, so
+    * a box constrained ONLY in c maps to one contiguous z slab and
+    * prunes cleanly, while a box constrained only in `aCol` (the lowest
+    * bit) recurs densely through z space and no contiguous file span
+    * avoids it (measured in the rank-3D duel spec — the same data
+    * pruned 0 files with the selective axis low and most files with it
+    * high). Put the most-selective / most-often-singly-queried column
+    * LAST; ties broken by skew (the skewed axis benefits most from the
+    * high slot + rank scaling). */
   def optimizeZorder3(spark: SparkSession, dir: String,
                       aCol: String, bCol: String, cCol: String,
                       nFiles: Int): Int = {
@@ -910,6 +959,43 @@ object Snapshot {
         scaled(aCol, zm.aMin, zm.aMax).cast("long"),
         scaled(bCol, zm.bMin, zm.bMax).cast("long"),
         scaled(cCol, zm.cMin, zm.cMax).cast("long"))),
+      dir, cur, "_z", Nil, nFiles, note = zm.note)
+  }
+
+  /** [[optimizeZorderRank]] for the 3-axis interleave: one approxQuantile
+    * pass per column, boundaries in the manifest note, the same
+    * codegen'd HOF bucketing per row — for the triple-filter class when
+    * an axis is Zipf-shaped (user × time × item-popularity). */
+  def optimizeZorder3Rank(spark: SparkSession, dir: String,
+                          aCol: String, bCol: String, cCol: String,
+                          nFiles: Int, buckets: Int = 256): Int = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val cur = currentVersion(spark, dir)
+    val df = read(spark, dir, cur)
+    val lim = 1L << 31
+    val g = df.agg(
+      min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+      min(col(bCol)).cast("long"), max(col(bCol)).cast("long"),
+      min(col(cCol)).cast("long"), max(col(cCol)).cast("long")).head
+    require(g.getLong(0) >= 0 && g.getLong(1) < lim &&
+            g.getLong(2) >= 0 && g.getLong(3) < lim &&
+            g.getLong(4) >= 0 && g.getLong(5) < lim,
+      s"z-order dimensions must be in [0, 2^31)")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val Seq(aB, bB, cB) = Seq(aCol, bCol, cCol).map { c =>
+      df.stat.approxQuantile(c, probs, 0.001)
+        .map(_.toLong).distinct.sorted.toSeq
+    }
+    val zm = ZRank3Meta(aCol, bCol, cCol, g.getLong(0), g.getLong(1),
+      g.getLong(2), g.getLong(3), g.getLong(4), g.getLong(5), aB, bB, cB)
+    def bucketed(c: String, bounds: Seq[Long]): Column =
+      if (bounds.isEmpty) lit(0L)
+      else size(filter(lit(bounds.toArray),
+        b => col(c).cast("long") >= b)).cast("long")
+    commit(
+      df.withColumn("_z", zValue3(bucketed(aCol, aB), bucketed(bCol, bB),
+                                  bucketed(cCol, cB))),
       dir, cur, "_z", Nil, nFiles, note = zm.note)
   }
 

@@ -488,6 +488,46 @@ class SnapshotSpec extends SparkSpec {
     assert(boxed == fullScan && boxed.nonEmpty)
   }
 
+  test("rank 3-D z-order out-prunes min-max on a Zipfian axis, lossless on all") {
+    // the 3-D analog of the 2-D Zipf duel: `x` Zipf-shaped (95% in
+    // [0,100), outliers to 2^30), y/t uniform. A dense-region x-slice
+    // over all of y and t is dead for min-max (the mass scales to one
+    // value) and ~10% of the x dimension under rank.
+    import spark.implicits._
+    val rows = (0 until 30000).map { i =>
+      val h = (i * 2654435761L) & 0x7FFFFFFFL
+      val x = if (h % 100 < 95) h % 100 else (1L << 30) / (1 + h % 97)
+      (i.toLong, x, (h / 1000) % 1000, (h / 1000000) % 1000)
+    }
+    def mk(): String = {
+      val dir = freshDir()
+      Snapshot.commit(rows.toDF("k", "x", "y", "t"), dir, 0, "k", nFiles = 4)
+      dir
+    }
+    // the skewed/most-selective axis goes in the HIGHEST interleave slot
+    // (the c column): a slab constrained only in the LOWEST bits recurs
+    // densely through z space and no contiguous file span avoids it —
+    // the axis-ordering rule optimizeZorder3's scaladoc documents
+    val (mmDir, rkDir) = (mk(), mk())
+    Snapshot.optimizeZorder3(spark, mmDir, "y", "t", "x", nFiles = 32)
+    Snapshot.optimizeZorder3Rank(spark, rkDir, "y", "t", "x", nFiles = 32)
+    val full = 1000L
+    val mm = Snapshot.prunedFilesBox3(spark, mmDir, 0, full, 0, full, 10, 19)
+    val rk = Snapshot.prunedFilesBox3(spark, rkDir, 0, full, 0, full, 10, 19)
+    assert(rk.size < mm.size,
+      s"rank must out-prune min-max on the skewed axis: ${rk.size} vs ${mm.size} of 32")
+    for (dir <- Seq(mmDir, rkDir)) {
+      val boxed = Snapshot.readPrunedBox3(spark, dir, "y", "t", "x",
+          100, 499, 100, 499, 10, 19)
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      val fullScan = Snapshot.read(spark, dir)
+        .filter(col("x").between(10, 19) && col("y").between(100, 499) &&
+                col("t").between(100, 499))
+        .select("k").collect().map(_.getLong(0)).sorted.toSeq
+      assert(boxed == fullScan && boxed.nonEmpty, s"losslessness broke in $dir")
+    }
+  }
+
   test("zCover is a sound, bounded, ordered cover of any box") {
     val boxes = Seq(
       (0L, 100L, 0L, 100L), (731L, 1095L, 100L, 1100L),
