@@ -129,6 +129,25 @@ class SnapshotSpec extends SparkSpec {
     assert(e.getMessage.contains("no snapshot version"), e.getMessage)
   }
 
+  test("SQL time travel: pushdown and pruning survive the substitution") {
+    // the rule substitutes Snapshot.read's analyzed plan — a plain
+    // parquet scan — so a WHERE through VERSION AS OF must reach the
+    // file source as PushedFilters with the projection pruned, exactly
+    // as a direct read would
+    val dir = freshDir()
+    Snapshot.commit(baseRows(200), dir, 0, "k")
+    Snapshot.registerSqlTable("snap_pushdown", dir)
+    val df = spark.sql(
+      "SELECT v FROM snap_pushdown VERSION AS OF 1 WHERE k = 42")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("val_42"))
+    val scans = graft.ops.Layout.fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata("PushedFilters").contains("EqualTo(k,42)"),
+      s"filter must reach the scan: ${scans.head.metadata("PushedFilters")}")
+    assert(!scans.head.metadata("ReadSchema").contains("verdict"),
+      s"projection must prune unused columns: ${scans.head.metadata("ReadSchema")}")
+  }
+
   test("SQL time travel: temp views win over registrations; unregistered names untouched") {
     val dir = freshDir()
     Snapshot.commit(baseRows(2), dir, 0, "k")
