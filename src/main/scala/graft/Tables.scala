@@ -100,6 +100,12 @@ object Tables {
       case (ByteType | ShortType | IntegerType, LongType) => col(n).cast(LongType)
       case (ByteType | ShortType, IntegerType) => col(n).cast(IntegerType)
       case (FloatType, DoubleType) => col(n).cast(DoubleType)
+      // containsNull RELAXATION (e.g. embeddings regenerated with
+      // required elements): an array with no nulls is a valid instance
+      // of the nullable contract type — identity projection, no cast.
+      // The converse (required contract, nullable arrival) and any
+      // element retype still fall through to the hard error.
+      case (ArrayType(he, false), ArrayType(we, true)) if he == we => col(n)
       case _ => throw new IllegalArgumentException(
         s"fixture schema drift: $table.$n expected ${want.simpleString}, " +
           s"arrived ${have.simpleString} — no lossless normalization; if this " +

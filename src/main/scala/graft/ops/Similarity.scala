@@ -519,7 +519,12 @@ object Similarity extends QueryModule {
       val n = embCountCache
         .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
         .getOrElseUpdate(d, T.embeddings(s, d).count())
-      math.max(64L, n / 8L).toInt
+      // clamp BEFORE the Int conversion: limit() takes an Int, and a
+      // raw .toInt of n/8 wraps negative past ~17B rows. The memoized
+      // count is a per-(session, dir) constant by the fixture-dirs-are-
+      // immutable convention (Tables.t's own caching assumes it);
+      // rewriting a dir in place mid-session requires a new session.
+      math.min(math.max(64L, n / 8L), Int.MaxValue.toLong).toInt
     }
 
   private val adcLutCache =

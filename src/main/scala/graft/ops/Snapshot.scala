@@ -70,9 +70,19 @@ object Snapshot {
     * when the CURRENT manifest already carries it — so a redriven task
     * whose previous attempt committed becomes a no-op instead of a
     * conflict ([[commitOnce]]; the A22 redrive discipline at the table).
-    * Tab/newline-free by contract (tab-separated manifest lines). */
+    * Tab/newline-free by contract (tab-separated manifest lines).
+    *
+    * `ts` is the commit timestamp in epoch-ms, stamped INSIDE the
+    * manifest at publish time (a `t` line) — the commit clock
+    * `TIMESTAMP AS OF` resolves against. Persisting it in the log is the
+    * Delta/Iceberg recipe: filesystem mtimes are not durable history
+    * (cp/rsync/distcp/touch of a table dir re-stamps every file), so a
+    * copied or restored table must still time-travel by the times its
+    * commits actually happened. 0 = pre-timestamp manifest; readers fall
+    * back to the manifest file's mtime for those. */
   final case class Manifest(version: Int, statsCol: String,
-                            files: Seq[FileEntry], note: String = "")
+                            files: Seq[FileEntry], note: String = "",
+                            ts: Long = 0L)
 
   /** Thrown when a commit loses the optimistic-concurrency race or was
     * issued against a stale expected version. */
@@ -115,41 +125,66 @@ object Snapshot {
   // (built-in view resolution runs before injected rules), so a
   // registration can never shadow a user's view.
 
-  /** JVM-global name registry (the session catalog's role for this
-    * single-driver engine; names are case-insensitive like SQL). */
+  /** PER-SESSION name registry (the session catalog's role for this
+    * engine; names are case-insensitive like SQL). Keyed by the owning
+    * SparkSession — a JVM-global map would let two concurrent sessions
+    * (parallel benches over different fixture dirs, a test harness next
+    * to a job) race one name and silently read each other's directories.
+    * WeakHashMap so a stopped session's registrations are collectable;
+    * all access goes through the lock (WeakHashMap is not thread-safe). */
   private val sqlTables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]()
 
-  /** Bind `name` to a snapshot table directory for SQL access;
-    * re-registering a name re-points it (idempotent per (name, dir)). */
-  def registerSqlTable(name: String, dir: String): Unit =
-    sqlTables.put(name.toLowerCase(java.util.Locale.ROOT), dir)
+  /** Bind `name` to a snapshot table directory for SQL access in
+    * `spark`'s session; re-registering a name re-points it (idempotent
+    * per (name, dir)). Scoped to the session: other sessions in the same
+    * JVM do not see the binding. */
+  def registerSqlTable(spark: SparkSession, name: String, dir: String): Unit =
+    sqlTables.synchronized {
+      sqlTables.computeIfAbsent(spark,
+        _ => scala.collection.mutable.Map.empty[String, String])
+        .update(name.toLowerCase(java.util.Locale.ROOT), dir)
+    }
 
-  private[graft] def sqlTableDir(name: String): Option[String] =
-    Option(sqlTables.get(name.toLowerCase(java.util.Locale.ROOT)))
+  private[graft] def sqlTableDir(spark: SparkSession,
+                                 name: String): Option[String] =
+    sqlTables.synchronized {
+      Option(sqlTables.get(spark))
+        .flatMap(_.get(name.toLowerCase(java.util.Locale.ROOT)))
+    }
 
-  /** Resolve `TIMESTAMP AS OF`: the newest version whose manifest was
-    * PUBLISHED at or before `epochMs`. The manifest file's own
-    * modification time is the commit clock — the atomic rename that
-    * publishes a version stamps it, so no manifest-format change is
-    * needed and pre-existing tables stay readable. */
+  /** Resolve `TIMESTAMP AS OF`: the newest version committed at or
+    * before `epochMs`. The commit clock is the epoch-ms the publisher
+    * stamped INTO the manifest (`Manifest.ts` — durable across cp/rsync/
+    * distcp/restore, which rewrite filesystem mtimes); pre-timestamp
+    * manifests (ts == 0) fall back to the manifest file's mtime, the
+    * best clock they have. Commit times are made MONOTONE by running
+    * max before resolution — a restored table whose old manifests carry
+    * fresh mtimes (or a wall-clock step between commits) can otherwise
+    * invert history, and version order is the ground truth. */
   def versionAtTimestamp(spark: SparkSession, dir: String,
                          epochMs: Long): Int = {
     val fs = fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no snapshot versions under $dir")
-    val at = vs.filter { v =>
-      fs.getFileStatus(manifestPath(dir, v)).getModificationTime <= epochMs
+    val raw = vs.map { v =>
+      val ts = manifest(spark, dir, v).ts
+      if (ts > 0) ts
+      else fs.getFileStatus(manifestPath(dir, v)).getModificationTime
     }
+    val commitMs = raw.scanLeft(Long.MinValue)(math.max).tail
+    val at = vs.zip(commitMs).filter(_._2 <= epochMs)
     require(at.nonEmpty,
       s"no snapshot version at or before epoch-ms $epochMs under $dir " +
-        s"(earliest commit: ${fs.getFileStatus(manifestPath(dir, vs.head)).getModificationTime})")
-    at.last
+        s"(earliest commit: ${commitMs.head})")
+    at.last._1
   }
 
   /** Parse a committed manifest. Format is line-oriented and
-    * dependency-free: a `v` header line then one `f` line per file,
-    * tab-separated. */
+    * dependency-free: a `v` header line, an optional `t` commit-time
+    * line (epoch-ms; absent in pre-timestamp manifests — round 13), then
+    * one `f` line per file, tab-separated. */
   def manifest(spark: SparkSession, dir: String, version: Int): Manifest = {
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, version)
@@ -162,13 +197,23 @@ object Snapshot {
     val hdr = lines.head.split('\t')
     require((hdr.length == 3 || hdr.length == 4) && hdr(0) == "v",
       s"malformed manifest $p")
-    val files = lines.tail.filter(_.nonEmpty).map { l =>
+    var ts = 0L
+    val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
-      require(c.length == 4 && c(0) == "f", s"malformed manifest line in $p")
-      FileEntry(c(1), c(2).toLong, c(3).toLong)
+      c(0) match {
+        case "t" =>
+          require(c.length == 2, s"malformed manifest time line in $p")
+          ts = c(1).toLong
+          None
+        case "f" =>
+          require(c.length == 4, s"malformed manifest line in $p")
+          Some(FileEntry(c(1), c(2).toLong, c(3).toLong))
+        case _ => throw new IllegalArgumentException(
+          s"malformed manifest line in $p: $l")
+      }
     }
     Manifest(hdr(1).toInt, hdr(2), files,
-      if (hdr.length == 4) hdr(3) else "")
+      if (hdr.length == 4) hdr(3) else "", ts)
   }
 
   /** Read a snapshot (default: latest). The scan's file list comes from
@@ -275,7 +320,11 @@ object Snapshot {
       "manifest note must be tab/newline-free")
     val hdr = s"v\t${m.version}\t${m.statsCol}" +
       (if (m.note.nonEmpty) s"\t${m.note}" else "")
-    val body = (hdr +: m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}"))
+    // stamp the commit clock into the manifest itself (durable across
+    // file copies — see Manifest.ts); publish time IS commit time
+    val tsLine = s"t\t${if (m.ts > 0) m.ts else System.currentTimeMillis()}"
+    val body = (Seq(hdr, tsLine) ++
+        m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}"))
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")

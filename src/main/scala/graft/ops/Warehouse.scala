@@ -195,7 +195,7 @@ object Warehouse extends QueryModule {
       // (patient_claims_plus_postgres.py:161-189) kept, history gained.
       // Decimal sums are order-free; verdict counts pin the CDC batch's
       // effect per version. Oracle replays both versions in SQL.
-      Snapshot.registerSqlTable("snap_orders", snapOrders(s, d))
+      Snapshot.registerSqlTable(s, "snap_orders", snapOrders(s, d))
       s.sql("""
         SELECT version,
                count(1) AS n,

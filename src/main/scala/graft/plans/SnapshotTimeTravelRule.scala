@@ -41,8 +41,8 @@ case class SnapshotTimeTravelRule(session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case RelationTimeTravel(UnresolvedRelation(Seq(name), _, _), ts, ver)
-          if Snapshot.sqlTableDir(name).isDefined =>
-        val dir = Snapshot.sqlTableDir(name).get
+          if Snapshot.sqlTableDir(session, name).isDefined =>
+        val dir = Snapshot.sqlTableDir(session, name).get
         val v = (ver, ts) match {
           case (Some(s), _) => parseVersion(name, s)
           case (_, Some(e)) =>
@@ -51,8 +51,8 @@ case class SnapshotTimeTravelRule(session: SparkSession)
         }
         Snapshot.read(session, dir, v).queryExecution.analyzed
       case UnresolvedRelation(Seq(name), _, _)
-          if Snapshot.sqlTableDir(name).isDefined =>
-        Snapshot.read(session, Snapshot.sqlTableDir(name).get)
+          if Snapshot.sqlTableDir(session, name).isDefined =>
+        Snapshot.read(session, Snapshot.sqlTableDir(session, name).get)
           .queryExecution.analyzed
     }
 
@@ -65,12 +65,25 @@ case class SnapshotTimeTravelRule(session: SparkSession)
 
   /** `TIMESTAMP AS OF` operand → epoch-ms: fold the (literal) expression
     * through a cast to TimestampType under the session time zone — the
-    * same evaluation Spark's DSv2 TimeTravelSpec performs. */
+    * same evaluation Spark's DSv2 TimeTravelSpec performs. The resolved
+    * check must come FIRST: this rule runs mid-resolution, and calling
+    * `.foldable` on an unresolved operand (`TIMESTAMP AS OF
+    * current_timestamp()` arrives as an UnresolvedFunction) throws
+    * UnresolvedException instead of the intended error. */
   private def evalEpochMs(name: String, e: Expression): Long = {
-    require(e.foldable,
-      s"snapshot table '$name': TIMESTAMP AS OF requires a literal, got $e")
-    val micros = Cast(e, TimestampType,
-      Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    def notLiteral(): Nothing = throw new IllegalArgumentException(
+      s"snapshot table '$name': TIMESTAMP AS OF requires a literal " +
+        s"timestamp or string, got $e")
+    if (!e.resolved || !e.foldable) notLiteral()
+    val micros =
+      try Cast(e, TimestampType,
+        Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+      catch {
+        // a resolved-foldable-but-Unevaluable operand (current_timestamp()
+        // before the optimizer's ComputeCurrentTime substitution) lands
+        // here — same user error, same message
+        case scala.util.control.NonFatal(_) => notLiteral()
+      }
     require(micros != null,
       s"snapshot table '$name': TIMESTAMP AS OF operand casts to NULL: $e")
     micros.asInstanceOf[Long] / 1000L

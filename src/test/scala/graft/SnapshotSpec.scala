@@ -107,7 +107,7 @@ class SnapshotSpec extends SparkSpec {
     import spark.implicits._
     Snapshot.commit(Seq((1L, "rewritten", "U")).toDF("k", "v", "verdict"),
       dir, 1, "k", nFiles = 1)
-    Snapshot.registerSqlTable("snap_sql_spec", dir)
+    Snapshot.registerSqlTable(spark, "snap_sql_spec", dir)
     val v1 = spark.sql(
       "SELECT k, v FROM snap_sql_spec VERSION AS OF 1 ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
@@ -127,6 +127,36 @@ class SnapshotSpec extends SparkSpec {
     val e = intercept[Exception](spark.sql(
       "SELECT * FROM snap_sql_spec TIMESTAMP AS OF '1990-01-01'").collect())
     assert(e.getMessage.contains("no snapshot version"), e.getMessage)
+    // current_timestamp() is folded by the analyzer before the rule sees
+    // it (same allowance as DSv2 time travel): resolves to "now" = latest
+    assert(spark.sql(
+      "SELECT count(1) FROM snap_sql_spec TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0) == 1L)
+    // a genuinely non-constant operand gets the intended clear error,
+    // not an UnresolvedException from probing foldable mid-resolution
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM snap_sql_spec TIMESTAMP AS OF rand()").collect())
+    assert(e2.getMessage.contains("requires a literal"), e2.getMessage)
+  }
+
+  test("SQL registrations are session-scoped: no cross-session races") {
+    val dirA = freshDir()
+    val dirB = freshDir()
+    Snapshot.commit(baseRows(1), dirA, 0, "k")
+    import spark.implicits._
+    Snapshot.commit(Seq((42L, "other", "K")).toDF("k", "v", "verdict"),
+      dirB, 0, "k", nFiles = 1)
+    val other = spark.newSession()
+    Snapshot.registerSqlTable(spark, "snap_scoped", dirA)
+    Snapshot.registerSqlTable(other, "snap_scoped", dirB)
+    // same name, two sessions, two tables — each session reads its own
+    assert(spark.sql("SELECT v FROM snap_scoped").head().getString(0)
+      == "val_1")
+    assert(other.sql("SELECT v FROM snap_scoped").head().getString(0)
+      == "other")
+    // a session with no registration does not see the name at all
+    val fresh = spark.newSession()
+    intercept[Exception](fresh.sql("SELECT v FROM snap_scoped").collect())
   }
 
   test("SQL time travel: pushdown and pruning survive the substitution") {
@@ -136,7 +166,7 @@ class SnapshotSpec extends SparkSpec {
     // as a direct read would
     val dir = freshDir()
     Snapshot.commit(baseRows(200), dir, 0, "k")
-    Snapshot.registerSqlTable("snap_pushdown", dir)
+    Snapshot.registerSqlTable(spark, "snap_pushdown", dir)
     val df = spark.sql(
       "SELECT v FROM snap_pushdown VERSION AS OF 1 WHERE k = 42")
     assert(df.collect().map(_.getString(0)).toSeq == Seq("val_42"))
@@ -151,7 +181,7 @@ class SnapshotSpec extends SparkSpec {
   test("SQL time travel: temp views win over registrations; unregistered names untouched") {
     val dir = freshDir()
     Snapshot.commit(baseRows(2), dir, 0, "k")
-    Snapshot.registerSqlTable("snap_shadowed", dir)
+    Snapshot.registerSqlTable(spark, "snap_shadowed", dir)
     import spark.implicits._
     Seq(("view_wins", 1L)).toDF("v", "k").createOrReplaceTempView("snap_shadowed")
     try {
@@ -254,6 +284,18 @@ class SnapshotSpec extends SparkSpec {
     assert(state(dir, 4) == before && Snapshot.manifest(spark, dir, 4)
       .files.size == filesBefore,
       "pre-compaction versions stay readable with their own layout")
+    // compaction never deletes — the old layout is reclaimed only when
+    // RETENTION drops the manifests that reference it (expire runs
+    // vacuum); the compacted current version is untouched
+    assert(Snapshot.vacuum(spark, dir).isEmpty,
+      "every pre-compaction file is still referenced by history")
+    assert(Snapshot.expireVersions(spark, dir, 1) == Seq(1, 2, 3, 4))
+    assert(Snapshot.versions(spark, dir) == Seq(5))
+    assert(state(dir) == before, "post-expiry current state intact")
+    val dataDirs = new java.io.File(dir, "data").listFiles().toSeq
+      .filter(_.isDirectory)
+    assert(dataDirs.size == 1,
+      s"expiry + vacuum reclaim the old small-file layout, got $dataDirs")
   }
 
   test("additive schema evolution: carried old-schema files read new col as NULL") {
@@ -332,6 +374,67 @@ class SnapshotSpec extends SparkSpec {
     // the current version always survives even with keep=1
     assert(Snapshot.expireVersions(spark, dir, 1) == Seq(2))
     assert(state(dir, 3) == keepState)
+  }
+
+  test("commit timestamps are durable: time travel survives mtime rewrites") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(3), dir, 0, "k")
+    Thread.sleep(15) // distinct ms clocks for the two commits
+    import spark.implicits._
+    Snapshot.commit(Seq((1L, "rewritten", "U")).toDF("k", "v", "verdict"),
+      dir, 1, "k", nFiles = 1)
+    val ts1 = Snapshot.manifest(spark, dir, 1).ts
+    val ts2 = Snapshot.manifest(spark, dir, 2).ts
+    assert(ts1 > 0 && ts2 > ts1,
+      s"commits must stamp ascending epoch-ms into the manifest ($ts1, $ts2)")
+    // simulate cp/rsync/restore of the table dir: every file's mtime is
+    // re-stamped (here: scrambled to an ancient, order-INVERTED clock) —
+    // the embedded commit times must keep resolving history correctly
+    val md = new java.io.File(dir, "_manifests")
+    assert(new java.io.File(md, "v00001").setLastModified(200000000L))
+    assert(new java.io.File(md, "v00002").setLastModified(100000000L))
+    assert(Snapshot.versionAtTimestamp(spark, dir, ts1) == 1)
+    assert(Snapshot.versionAtTimestamp(spark, dir, ts2 - 1) == 1)
+    assert(Snapshot.versionAtTimestamp(spark, dir, ts2) == 2)
+    assert(Snapshot.versionAtTimestamp(spark, dir,
+      System.currentTimeMillis() + 60000) == 2)
+    val e = intercept[IllegalArgumentException](
+      Snapshot.versionAtTimestamp(spark, dir, ts1 - 1))
+    assert(e.getMessage.contains("no snapshot version"), e.getMessage)
+  }
+
+  test("pre-timestamp manifests fall back to mtime; running max keeps order") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(3), dir, 0, "k")
+    import spark.implicits._
+    Snapshot.commit(Seq((1L, "rewritten", "U")).toDF("k", "v", "verdict"),
+      dir, 1, "k", nFiles = 1)
+    // rewrite v1's manifest WITHOUT its `t` line (the pre-round-13
+    // format) and give it a known mtime: resolution must use the mtime
+    // for v1 and the embedded ts for v2
+    val p1 = java.nio.file.Paths.get(dir, "_manifests", "v00001")
+    val legacy = java.nio.file.Files.readAllLines(p1).stream()
+      .filter(l => !l.startsWith("t\t")).toArray.mkString("", "\n", "\n")
+    java.nio.file.Files.write(p1, legacy.getBytes("UTF-8"))
+    // the out-of-band rewrite invalidates the local fs checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      p1.resolveSibling(".v00001.crc"))
+    val mt1 = 1500000000000L // 2017-07-14, far before any real commit
+    assert(p1.toFile.setLastModified(mt1))
+    assert(Snapshot.manifest(spark, dir, 1).ts == 0L,
+      "legacy manifest parses with ts = 0")
+    assert(Snapshot.versionAtTimestamp(spark, dir, mt1) == 1)
+    assert(Snapshot.versionAtTimestamp(spark, dir,
+      Snapshot.manifest(spark, dir, 2).ts) == 2)
+    // a legacy manifest whose mtime LANDS IN THE FUTURE (restored table)
+    // must not invert history: running max carries it forward, so the
+    // old epoch resolves to nothing rather than to a wrong version
+    val future = System.currentTimeMillis() + 86400000L
+    assert(p1.toFile.setLastModified(future))
+    intercept[IllegalArgumentException](
+      Snapshot.versionAtTimestamp(spark, dir, mt1))
+    assert(Snapshot.versionAtTimestamp(spark, dir, future) == 2,
+      "monotone clocks: v2 is still the newest commit at/after the restore")
   }
 
   test("q124's table: v1/v2 manifests, immutable history, vacuum-clean") {

@@ -87,6 +87,35 @@ class TablesContractSpec extends SparkSpec {
     assert(got.count() == Tables.supplier(spark, sf).count())
   }
 
+  test("array containsNull=false arrival relaxes losslessly (no cast, no failure)") {
+    // embeddings regenerated with required elements (pyarrow writes
+    // required list elements; Spark's own file writer force-nullifies,
+    // so this arrival comes from outside Spark): every value is a valid
+    // instance of the nullable contract type, and the load must accept
+    // it as-is — an identity projection, never a hard error
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, Seq(0.5f, 1.0f), 3), Row(2L, Seq(0.25f, -1.0f), 7)),
+      schema)
+    val got = Tables.conform(df, "embeddings")
+    assert(got.schema("embedding").dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType)
+    assert(got.orderBy(col("vec_id")).collect().toSeq ==
+      df.orderBy(col("vec_id")).collect().toSeq)
+    // element retype under the same containsNull flip still fails hard
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Seq(0.5d), 3)),
+      StructType(schema.fields.updated(1,
+        StructField("embedding", ArrayType(DoubleType, containsNull = false)))))
+    val e = intercept[IllegalArgumentException](Tables.conform(bad, "embeddings"))
+    assert(e.getMessage.contains("embeddings.embedding"), e.getMessage)
+  }
+
   test("unrecognized retype fails at load naming table, column, and types") {
     val d = reencode("nation")(df =>
       df.withColumn("n_nationkey", col("n_nationkey").cast(StringType)))
