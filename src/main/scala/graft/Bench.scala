@@ -32,7 +32,8 @@ object Bench {
         "q105_sim_pq", "q112_sim_knn_rank", "q115_mix_temperature",
         "q120_dedup_inc_index", "q121_sim_ivf_adc",
         "q123_dedup_inc_append", "q124_merge_versioned",
-        "q127_zorder_box", "q130_zorder3_box").foreach { w =>
+        "q127_zorder_box", "q130_zorder3_box",
+        "q131_optimize_compact").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

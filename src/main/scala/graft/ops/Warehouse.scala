@@ -159,6 +159,37 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The small-file compaction table, built once per (session, dir): a
+    * quarter-sized base load then three narrow carried-file appends —
+    * the per-batch debris a streaming or CDC sink accretes (q126's
+    * pattern) — leaving v4 an 11-file layout of full-orders state; then
+    * [[Snapshot.compactVersion]] rewrites that state as ONE commit (v5)
+    * at a 128 MB file target. State is identical across v4/v5 by
+    * construction; only the layout changes. At 100 TB compaction is the
+    * standing maintenance op (OPTIMIZE) that keeps scan cost ∝ data, not
+    * ∝ commit count — and because it rides the commit protocol, readers
+    * and time travel are undisturbed until retention expires the old
+    * manifests (SnapshotSpec pins reclaim). */
+  private[graft] def compactOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#compact", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_compact_$sfx"
+          val base = ordersInitState(s, d)
+          val m = col("order_key") % 4
+          Snapshot.commit(base.filter(m === 0), dir, 0, "order_key")
+          (1 to 3).foreach { i =>
+            val mf = Snapshot.manifest(s, dir, i)
+            Snapshot.commit(base.filter(m === i), dir, i, "order_key",
+              carried = mf.files, nFiles = 2)
+          }
+          Snapshot.compactVersion(s, dir, 128L << 20)
+          dir
+        })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_merge_upsert" -> ((s, d) =>
       // CDC MERGE INTO as a one-shot plan: the shared kernel over the
@@ -248,6 +279,23 @@ object Warehouse extends QueryModule {
         .select(col("o_orderkey"), col("o_custkey"),
           col("dday").cast("long").as("dday"), col("price_c"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    "q131_optimize_compact" -> ((s, d) => {
+      // OPTIMIZE COMPACT surfaced as a query: the accreted small-file
+      // table ([[compactOrders]]) aggregated at BOTH the pre-compaction
+      // version and the compacted current one, side by side — the pair
+      // must agree exactly, because compaction is a layout rewrite, not
+      // a data change, and the old version stays time-travelable. Oracle
+      // = the same per-status aggregate over raw orders, once per phase.
+      val dir = compactOrders(s, d)
+      val v = Snapshot.currentVersion(s, dir)
+      def agg(df: DataFrame, phase: String): DataFrame = df
+        .groupBy(lit(phase).as("phase"), col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+      agg(Snapshot.read(s, dir, v - 1), "pre")
+        .unionAll(agg(Snapshot.read(s, dir, v), "post"))
+        .orderBy(col("phase"), col("status"))
     }),
 
     "q128_change_feed" -> ((s, d) => {
@@ -444,6 +492,15 @@ object Warehouse extends QueryModule {
         |       CAST(CAST(p AS DECIMAL(21,3)) AS DOUBLE), 'I'
         |FROM ch WHERE m = 2
         |ORDER BY order_key
+        |""".stripMargin,
+
+    "q131_optimize_compact" ->
+      """SELECT p.phase, o_orderstatus AS status, count(1) AS n,
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))) AS DOUBLE) AS total
+        |FROM orders
+        |CROSS JOIN (SELECT 'pre' AS phase UNION ALL SELECT 'post') p
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2
         |""".stripMargin,
 
     "q127_zorder_box" ->

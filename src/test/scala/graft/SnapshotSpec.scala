@@ -437,6 +437,21 @@ class SnapshotSpec extends SparkSpec {
       "monotone clocks: v2 is still the newest commit at/after the restore")
   }
 
+  test("q131's table: accreted small files compact to a bounded layout, state intact") {
+    val dir = graft.ops.Warehouse.compactOrders(spark, sf)
+    assert(Snapshot.versions(spark, dir) == Seq(1, 2, 3, 4, 5))
+    val pre = Snapshot.manifest(spark, dir, 4)
+    val post = Snapshot.manifest(spark, dir, 5)
+    assert(pre.files.size > post.files.size,
+      s"compaction must shrink the layout (${pre.files.size} -> ${post.files.size})")
+    assert(post.files.size == 1, s"128 MB target at fixture scale -> 1 file")
+    def keys(v: Int) = Snapshot.read(spark, dir, v)
+      .select(col("order_key")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(keys(4) == keys(5), "compaction is a layout rewrite, not a data change")
+    assert(Snapshot.vacuum(spark, dir).isEmpty,
+      "pre-compaction files stay referenced by history until retention")
+  }
+
   test("q124's table: v1/v2 manifests, immutable history, vacuum-clean") {
     val dir = graft.ops.Warehouse.snapOrders(spark, sf)
     assert(Snapshot.versions(spark, dir) == Seq(1, 2))
