@@ -113,9 +113,10 @@ object Snapshot {
     versions(spark, dir).lastOption.getOrElse(0)
 
   // ---------------------------------------------------------------- SQL
-  // Time travel exposed to SQL. `registerSqlTable(name, dir)` binds a
-  // plain single-part SQL identifier to a snapshot directory; the
-  // analyzer rule injected by [[graft.GraftExtensions]]
+  // Time travel exposed to SQL. `registerSqlTable(spark, name, dir)`
+  // binds a single-part (or dotted two-part) SQL identifier to a
+  // snapshot directory for that session; the analyzer rule injected by
+  // [[graft.GraftExtensions]]
   // ([[graft.plans.SnapshotTimeTravelRule]]) then resolves
   //   SELECT … FROM name                      -- latest committed version
   //   SELECT … FROM name VERSION AS OF 3      -- explicit version
@@ -139,9 +140,14 @@ object Snapshot {
   /** Bind `name` to a snapshot table directory for SQL access in
     * `spark`'s session; re-registering a name re-points it (idempotent
     * per (name, dir)). Scoped to the session: other sessions in the same
-    * JVM do not see the binding. */
+    * JVM do not see the binding. `name` may be single-part
+    * (`snap_orders`) or dotted two-part (`wh.snap_orders`) — the rule
+    * matches `FROM wh.snap_orders` against the dotted form, so
+    * registrations can mirror a database-qualified layout. */
   def registerSqlTable(spark: SparkSession, name: String, dir: String): Unit =
     sqlTables.synchronized {
+      require(name.count(_ == '.') <= 1,
+        s"snapshot SQL names are at most two-part, got '$name'")
       sqlTables.computeIfAbsent(spark,
         _ => scala.collection.mutable.Map.empty[String, String])
         .update(name.toLowerCase(java.util.Locale.ROOT), dir)
@@ -214,6 +220,32 @@ object Snapshot {
     }
     Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts)
+  }
+
+  /** DESCRIBE HISTORY analog: one row per committed version — version,
+    * commit epoch-ms (monotone, same clock [[versionAtTimestamp]]
+    * resolves against: embedded `t` stamp, mtime fallback for legacy
+    * manifests), idempotency note, file count, and total bytes. Driver-
+    * side manifest arithmetic sized by version count, not data; returned
+    * as a DataFrame so it composes with SQL like any other source. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    val raw = vs.map { v =>
+      val m = manifest(spark, dir, v)
+      val ts = if (m.ts > 0) m.ts
+        else fs.getFileStatus(manifestPath(dir, v)).getModificationTime
+      val bytes = m.files.map(f =>
+        fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen).sum
+      (v, ts, m.note, m.files.size, bytes)
+    }
+    val mono = raw.scanLeft(Long.MinValue) {
+      case (acc, (_, ts, _, _, _)) => math.max(acc, ts)
+    }.tail
+    import spark.implicits._
+    raw.zip(mono)
+      .map { case ((v, _, note, nf, b), ts) => (v, ts, note, nf, b) }
+      .toDF("version", "commit_ms", "note", "n_files", "bytes")
   }
 
   /** Read a snapshot (default: latest). The scan's file list comes from

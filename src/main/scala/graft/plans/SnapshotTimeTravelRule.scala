@@ -38,11 +38,18 @@ import graft.ops.Snapshot
 case class SnapshotTimeTravelRule(session: SparkSession)
     extends Rule[LogicalPlan] {
 
+  /** Single-part and dotted two-part registrations both resolve; the
+    * multipart identifier joins with '.' to form the registry key. */
+  private def dirOf(parts: Seq[String]): Option[String] =
+    if (parts.isEmpty || parts.length > 2) None
+    else Snapshot.sqlTableDir(session, parts.mkString("."))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case RelationTimeTravel(UnresolvedRelation(Seq(name), _, _), ts, ver)
-          if Snapshot.sqlTableDir(session, name).isDefined =>
-        val dir = Snapshot.sqlTableDir(session, name).get
+      case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, ver)
+          if dirOf(parts).isDefined =>
+        val name = parts.mkString(".")
+        val dir = dirOf(parts).get
         val v = (ver, ts) match {
           case (Some(s), _) => parseVersion(name, s)
           case (_, Some(e)) =>
@@ -50,10 +57,8 @@ case class SnapshotTimeTravelRule(session: SparkSession)
           case _ => 0 // unreachable by grammar; 0 = latest
         }
         Snapshot.read(session, dir, v).queryExecution.analyzed
-      case UnresolvedRelation(Seq(name), _, _)
-          if Snapshot.sqlTableDir(session, name).isDefined =>
-        Snapshot.read(session, Snapshot.sqlTableDir(session, name).get)
-          .queryExecution.analyzed
+      case UnresolvedRelation(parts, _, _) if dirOf(parts).isDefined =>
+        Snapshot.read(session, dirOf(parts).get).queryExecution.analyzed
     }
 
   private def parseVersion(name: String, s: String): Int =

@@ -437,6 +437,38 @@ class SnapshotSpec extends SparkSpec {
       "monotone clocks: v2 is still the newest commit at/after the restore")
   }
 
+  test("two-part SQL names resolve with time travel; catalog still wins") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(2), dir, 0, "k")
+    import spark.implicits._
+    Snapshot.commit(Seq((1L, "v2row", "U")).toDF("k", "v", "verdict"),
+      dir, 1, "k", nFiles = 1)
+    Snapshot.registerSqlTable(spark, "wh.snap_two", dir)
+    assert(spark.sql("SELECT count(1) FROM wh.snap_two").head().getLong(0) == 1L)
+    assert(spark.sql("SELECT v FROM wh.snap_two VERSION AS OF 1 ORDER BY k")
+      .head().getString(0) == "val_1")
+    // the single-part tail alone is NOT bound by a dotted registration
+    intercept[Exception](spark.sql("SELECT * FROM snap_two").collect())
+    intercept[IllegalArgumentException](
+      Snapshot.registerSqlTable(spark, "a.b.c", dir))
+  }
+
+  test("history: one row per version, monotone commit clock, honest file stats") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    import spark.implicits._
+    Snapshot.commit(Seq((9001L, "ins", "I")).toDF("k", "v", "verdict"),
+      dir, 1, "k", carried = Snapshot.manifest(spark, dir, 1).files,
+      nFiles = 1, note = "batch_42")
+    val h = Snapshot.history(spark, dir).orderBy(col("version")).collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(h(0).getLong(1) <= h(1).getLong(1), "commit clock is monotone")
+    assert(h(0).getLong(1) > 0)
+    assert(h.map(_.getString(2)).toSeq == Seq("", "batch_42"))
+    assert(h.map(_.getInt(3)).toSeq == Seq(8, 9), "8 base files, then carried+1")
+    assert(h.forall(_.getLong(4) > 0), "byte totals are real file lengths")
+  }
+
   test("q131's table: accreted small files compact to a bounded layout, state intact") {
     val dir = graft.ops.Warehouse.compactOrders(spark, sf)
     assert(Snapshot.versions(spark, dir) == Seq(1, 2, 3, 4, 5))
