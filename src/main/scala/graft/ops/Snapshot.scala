@@ -492,7 +492,17 @@ object Snapshot {
     val bytes = m.files.map(f =>
       fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    commit(read(spark, dir, cur), dir, cur, m.statsCol, Nil, nFiles)
+    // LAYOUT metadata must survive compaction: the z-order families keep
+    // their axis-scaling constants in the manifest note, and the rewrite
+    // preserves the clustering (range partition + sort on the same stats
+    // column), so box-serving readers must keep translating with the
+    // same constants — dropping the note would leave the CURRENT version
+    // unservable by readPrunedBox while every older one still works.
+    // Idempotency tokens (commitOnce notes) deliberately do NOT carry:
+    // compaction is not the commit they witness.
+    val layoutNote = if (m.note.startsWith("zorder")) m.note else ""
+    commit(read(spark, dir, cur), dir, cur, m.statsCol, Nil, nFiles,
+      note = layoutNote)
   }
 
   /** Reclaim data directories no committed manifest references — the

@@ -757,6 +757,36 @@ class SnapshotSpec extends SparkSpec {
     assert(boxed.nonEmpty, "the fixture box must select something")
   }
 
+  test("compaction preserves z-order layout metadata: box serving survives") {
+    // compacting a z-ordered table must carry the axis-scaling note into
+    // the new manifest — the rewrite keeps the _z clustering (range
+    // partition + sort on the same stats column), so readPrunedBox on
+    // the CURRENT version keeps working with the same constants
+    val src = graft.ops.Warehouse.zOrders(spark, sf)
+    // private working copy: zOrders is a session-memoized shared fixture
+    val dir = freshDir()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.copyFromLocalFile(new org.apache.hadoop.fs.Path(src),
+      new org.apache.hadoop.fs.Path(dir))
+    val before = Snapshot.manifest(spark, dir, 2)
+    assert(before.note.startsWith("zorder("), before.note)
+    val ref = Snapshot.readPrunedBox(spark, dir, "o_custkey", "dday",
+        10, 60, 1461, 2191)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    val v = Snapshot.compactVersion(spark, dir, Long.MaxValue)
+    assert(v == 3)
+    val after = Snapshot.manifest(spark, dir, v)
+    assert(after.note == before.note,
+      "compaction must carry the z layout note forward")
+    assert(after.statsCol == "_z")
+    val got = Snapshot.readPrunedBox(spark, dir, "o_custkey", "dday",
+        10, 60, 1461, 2191)
+      .select("o_orderkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == ref && got.nonEmpty,
+      "box serving over the compacted current version is value-identical")
+  }
+
   test("rank z-order keeps a Zipfian axis selective where min-max collapses it") {
     // 20k rows; `a` Zipf-shaped: 95% of rows in [0,100), 5% outliers up
     // to ~2^30 — min-max scales the dense mass to scaled-value 0, so the
