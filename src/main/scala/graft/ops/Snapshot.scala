@@ -455,6 +455,17 @@ object Snapshot {
                nFiles: Int = 8, note: String = ""): Int = {
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
+    // The touched-file selection compares change KEYS against the stats
+    // ranges, so it is only sound when the stats column IS the merge key
+    // domain. A z-ordered layout's stats are interleaved z values: change
+    // keys land in arbitrary z ranges, the selection would miss the files
+    // holding the pre-images, and an "update" would silently DUPLICATE
+    // its rows. Fail loudly instead — merge against the pre-z layout (or
+    // a key-clustered table) and re-run OPTIMIZE ZORDER after.
+    require(!m.note.startsWith("zorder"),
+      s"mergeCow against a z-ordered snapshot (note='${m.note}'): the " +
+        "stats column is the z interleave, not the merge key — merge on a " +
+        "key-clustered version and re-optimize")
     import spark.implicits._
     val ranges = m.files.map(f => (f.path, f.min, f.max))
       .toDF("path", "mn", "mx")

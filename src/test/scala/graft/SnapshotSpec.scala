@@ -787,6 +787,18 @@ class SnapshotSpec extends SparkSpec {
       "box serving over the compacted current version is value-identical")
   }
 
+  test("mergeCow refuses a z-ordered layout instead of silently duplicating") {
+    val dir = graft.ops.Warehouse.zOrders(spark, sf)
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.mergeCow(spark, dir,
+        Seq((1L, "upd")).toDF("o_custkey", "v"), "o_custkey",
+        (base, ch) => base)
+    }
+    assert(e.getMessage.contains("z-ordered"), e.getMessage)
+    assert(Snapshot.currentVersion(spark, dir) == 2, "nothing committed")
+  }
+
   test("rank z-order keeps a Zipfian axis selective where min-max collapses it") {
     // 20k rows; `a` Zipf-shaped: 95% of rows in [0,100), 5% outliers up
     // to ~2^30 — min-max scales the dense mass to scaled-value 0, so the
