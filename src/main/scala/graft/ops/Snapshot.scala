@@ -407,19 +407,25 @@ object Snapshot {
   /** Idempotent commit for RESTARTABLE jobs (the A22 redrive contract at
     * the table): stamp the commit with a stable per-task `token`; a
     * redriven task whose previous attempt already committed finds its
-    * token on the CURRENT manifest and no-ops (returns that version)
-    * instead of raising a conflict. A crash BEFORE publish leaves only
-    * vacuumable orphans and the retry commits normally — so any number
-    * of redrives land the commit exactly once. The token guards the
-    * immediate retry case (same logical task, same target version);
-    * unrelated writers interleaving still conflict loudly, as they
-    * must. */
+    * token in the COMMITTED HISTORY and no-ops (returns that version)
+    * instead of committing again. The whole retained history is checked,
+    * newest first — not just the current manifest — so a maintenance
+    * commit (compaction, OPTIMIZE) interleaving between the original
+    * commit and the redrive cannot erase the witness and let the batch
+    * land twice (the txnAppId map role, carried by the manifests
+    * themselves). A crash BEFORE publish leaves only vacuumable orphans
+    * and the retry commits normally — so any number of redrives land the
+    * commit exactly once. Caveat shared with every log-bounded txn
+    * scheme: retention ([[expireVersions]]) that drops the tokened
+    * manifest also drops the witness — keep retention windows longer
+    * than redrive horizons. Cost: one driver-side manifest parse per
+    * retained version, newest first, until a hit. */
   def commitOnce(spark: SparkSession, dir: String, token: String)
                 (body: => Int): Int = {
     require(token.nonEmpty, "commitOnce needs a non-empty token")
-    val cur = currentVersion(spark, dir)
-    if (cur > 0 && manifest(spark, dir, cur).note == token) cur
-    else body
+    versions(spark, dir).reverse
+      .find(v => manifest(spark, dir, v).note == token)
+      .getOrElse(body)
   }
 
   /** Drop every manifest older than the newest `keep` versions, then

@@ -787,6 +787,31 @@ class SnapshotSpec extends SparkSpec {
       "box serving over the compacted current version is value-identical")
   }
 
+  test("commitOnce witness survives an interleaved maintenance commit") {
+    val dir = freshDir()
+    import spark.implicits._
+    val v1 = Snapshot.commitOnce(spark, dir, "batch_7") {
+      Snapshot.commit(baseRows(3), dir, 0, "k", note = "batch_7")
+    }
+    assert(v1 == 1)
+    // a compaction lands BETWEEN the tokened commit and its redrive: the
+    // token is no longer on the current manifest, but it is in history —
+    // the redrive must still no-op instead of committing the batch twice
+    Snapshot.compactVersion(spark, dir, Long.MaxValue)
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    val redrive = Snapshot.commitOnce(spark, dir, "batch_7") {
+      fail("redrive after success must not re-run the commit body")
+    }
+    assert(redrive == 1, "the witnessed version comes back")
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    // an unseen token still runs its body
+    val v3 = Snapshot.commitOnce(spark, dir, "batch_8") {
+      Snapshot.commit(Seq((99L, "x", "I")).toDF("k", "v", "verdict"),
+        dir, 2, "k", nFiles = 1, note = "batch_8")
+    }
+    assert(v3 == 3)
+  }
+
   test("mergeCow refuses a z-ordered layout instead of silently duplicating") {
     val dir = graft.ops.Warehouse.zOrders(spark, sf)
     import spark.implicits._
