@@ -516,11 +516,21 @@ object Snapshot {
     // same constants — dropping the note would leave the CURRENT version
     // unservable by readPrunedBox while every older one still works.
     // Idempotency tokens (commitOnce notes) deliberately do NOT carry:
-    // compaction is not the commit they witness.
-    val layoutNote = if (m.note.startsWith("zorder")) m.note else ""
+    // compaction is not the commit they witness. Plain tables get the
+    // maintenance marker instead — the dataChange=false bit that lets
+    // [[changeFeed]] skip maintenance-only ranges without a diff.
+    val layoutNote =
+      if (m.note.startsWith("zorder")) m.note else "optimize:compact"
     commit(read(spark, dir, cur), dir, cur, m.statsCol, Nil, nFiles,
       note = layoutNote)
   }
+
+  /** A maintenance commit rewrites LAYOUT, never data: the z-order
+    * family's layout notes and [[compactVersion]]'s marker. User
+    * idempotency tokens must avoid these prefixes (enforced nowhere —
+    * they are namespaced spellings no job tag would collide with). */
+  private[graft] def isMaintenanceNote(n: String): Boolean =
+    n.startsWith("zorder") || n.startsWith("optimize:")
 
   /** Reclaim data directories no committed manifest references — the
     * debris of crashed or lost commits. Never touches a file any
@@ -760,6 +770,23 @@ object Snapshot {
     require(v1 < v2, s"changeFeed needs v1 < v2, got $v1 >= $v2")
     val m1 = manifest(spark, dir, v1)
     val m2 = manifest(spark, dir, v2)
+    // dataChange=false skip (Delta CDF's OPTIMIZE discipline): when every
+    // commit in (v1, v2] is a maintenance rewrite, the states are equal
+    // BY CONSTRUCTION and the feed is empty — but the file sets are
+    // disjoint (a rewrite shares nothing), so without this check the diff
+    // join below would compare the whole table against itself to find
+    // nothing. At 100 TB that is the difference between a subscription
+    // ticking over an OPTIMIZE for free and re-reading the table.
+    if ((v1 + 1 to v2).forall(v => isMaintenanceNote(manifest(spark, dir, v).note))) {
+      val s2 = read(spark, dir, v2).schema
+      val feedSchema = org.apache.spark.sql.types.StructType(
+        s2.fields.filter(_.name == keyCol) ++
+          Seq(org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType)) ++
+          s2.fields.filterNot(_.name == keyCol))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), feedSchema)
+    }
     val shared = m1.files.map(_.path).toSet & m2.files.map(_.path).toSet
     def side(m: Manifest): Option[DataFrame] = {
       val own = m.files.filterNot(f => shared.contains(f.path))

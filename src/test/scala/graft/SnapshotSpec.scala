@@ -812,6 +812,25 @@ class SnapshotSpec extends SparkSpec {
     assert(v3 == 3)
   }
 
+  test("changeFeed skips maintenance-only ranges without diffing the table") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(10), dir, 0, "k")
+    Snapshot.compactVersion(spark, dir, Long.MaxValue) // v2, marker note
+    assert(Snapshot.manifest(spark, dir, 2).note == "optimize:compact")
+    val feed = Snapshot.changeFeed(spark, dir, 1, 2, "k")
+    assert(feed.columns.toSeq == Seq("k", "change_type", "v", "verdict"))
+    assert(feed.isEmpty, "a compaction is not a data change")
+    assert(feed.inputFiles.isEmpty,
+      "the skip must not scan any data file — that is its whole point")
+    // a range MIXING maintenance and data commits still diffs normally
+    import spark.implicits._
+    Snapshot.commit(Seq((1L, "rewritten", "U")).toDF("k", "v", "verdict"),
+      dir, 2, "k", nFiles = 1)
+    val mixed = Snapshot.changeFeed(spark, dir, 1, 3, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(mixed.contains((1L, "U")), s"the data commit's changes surface: $mixed")
+  }
+
   test("mergeCow refuses a z-ordered layout instead of silently duplicating") {
     val dir = graft.ops.Warehouse.zOrders(spark, sf)
     import spark.implicits._
