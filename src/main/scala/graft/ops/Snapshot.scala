@@ -171,20 +171,30 @@ object Snapshot {
     * invert history, and version order is the ground truth. */
   def versionAtTimestamp(spark: SparkSession, dir: String,
                          epochMs: Long): Int = {
+    val clocks = commitClocks(spark, dir)
+    require(clocks.nonEmpty, s"no snapshot versions under $dir")
+    val at = clocks.filter(_._2 <= epochMs)
+    require(at.nonEmpty,
+      s"no snapshot version at or before epoch-ms $epochMs under $dir " +
+        s"(earliest commit: ${clocks.head._2})")
+    at.last._1
+  }
+
+  /** Every version with its EFFECTIVE commit epoch-ms: the embedded `t`
+    * stamp (mtime fallback for legacy manifests), made monotone by
+    * running max so version order — the ground truth — is never inverted
+    * by clock steps or restored-file mtimes. The one clock
+    * [[versionAtTimestamp]], [[history]], and [[expireOlderThan]] share. */
+  private def commitClocks(spark: SparkSession,
+                           dir: String): Seq[(Int, Long)] = {
     val fs = fsOf(spark, dir)
     val vs = versions(spark, dir)
-    require(vs.nonEmpty, s"no snapshot versions under $dir")
     val raw = vs.map { v =>
       val ts = manifest(spark, dir, v).ts
       if (ts > 0) ts
       else fs.getFileStatus(manifestPath(dir, v)).getModificationTime
     }
-    val commitMs = raw.scanLeft(Long.MinValue)(math.max).tail
-    val at = vs.zip(commitMs).filter(_._2 <= epochMs)
-    require(at.nonEmpty,
-      s"no snapshot version at or before epoch-ms $epochMs under $dir " +
-        s"(earliest commit: ${commitMs.head})")
-    at.last._1
+    vs.zip(raw.scanLeft(Long.MinValue)(math.max).tail)
   }
 
   /** Parse a committed manifest. Format is line-oriented and
@@ -230,22 +240,32 @@ object Snapshot {
     * as a DataFrame so it composes with SQL like any other source. */
   def history(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
-    val vs = versions(spark, dir)
-    val raw = vs.map { v =>
+    val rows = commitClocks(spark, dir).map { case (v, ts) =>
       val m = manifest(spark, dir, v)
-      val ts = if (m.ts > 0) m.ts
-        else fs.getFileStatus(manifestPath(dir, v)).getModificationTime
       val bytes = m.files.map(f =>
         fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen).sum
       (v, ts, m.note, m.files.size, bytes)
     }
-    val mono = raw.scanLeft(Long.MinValue) {
-      case (acc, (_, ts, _, _, _)) => math.max(acc, ts)
-    }.tail
     import spark.implicits._
-    raw.zip(mono)
-      .map { case ((v, _, note, nf, b), ts) => (v, ts, note, nf, b) }
-      .toDF("version", "commit_ms", "note", "n_files", "bytes")
+    rows.toDF("version", "commit_ms", "note", "n_files", "bytes")
+  }
+
+  /** Time-based RETENTION, meaningful now that the commit clock is
+    * durable ([[Manifest.ts]]): expire every version whose effective
+    * commit time precedes `cutoffMs`, always keeping the current one,
+    * then [[vacuum]] the files only they referenced. Monotone clocks
+    * make the expired set a clean prefix of the history. The Delta
+    * `RETAIN <interval>` analog of the count-based [[expireVersions]];
+    * time travel keeps working within what remains. Returns the expired
+    * version numbers. */
+  def expireOlderThan(spark: SparkSession, dir: String,
+                      cutoffMs: Long): Seq[Int] = {
+    val fs = fsOf(spark, dir)
+    val dead = commitClocks(spark, dir).dropRight(1)
+      .filter(_._2 < cutoffMs).map(_._1)
+    dead.foreach(v => fs.delete(manifestPath(dir, v), false))
+    vacuum(spark, dir)
+    dead
   }
 
   /** Read a snapshot (default: latest). The scan's file list comes from

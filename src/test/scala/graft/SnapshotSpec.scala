@@ -812,6 +812,28 @@ class SnapshotSpec extends SparkSpec {
     assert(v3 == 3)
   }
 
+  test("expireOlderThan: time-based retention off the durable commit clock") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(3), dir, 0, "k")
+    Thread.sleep(15)
+    import spark.implicits._
+    Snapshot.commit(Seq((1L, "a", "U")).toDF("k", "v", "verdict"),
+      dir, 1, "k", nFiles = 1)
+    Thread.sleep(15)
+    Snapshot.commit(Seq((1L, "b", "U")).toDF("k", "v", "verdict"),
+      dir, 2, "k", nFiles = 1)
+    val ts2 = Snapshot.manifest(spark, dir, 2).ts
+    val ts3 = Snapshot.manifest(spark, dir, 3).ts
+    assert(ts2 < ts3)
+    // cutoff lands between v2 and v3: v1 and v2 expire, v3 stays
+    assert(Snapshot.expireOlderThan(spark, dir, ts3) == Seq(1, 2))
+    assert(Snapshot.versions(spark, dir) == Seq(3))
+    assert(state(dir) == Set((1L, "b", "U")), "current state intact")
+    // the current version NEVER expires, whatever the cutoff
+    assert(Snapshot.expireOlderThan(spark, dir, Long.MaxValue).isEmpty)
+    assert(Snapshot.versions(spark, dir) == Seq(3))
+  }
+
   test("changeFeed skips maintenance-only ranges without diffing the table") {
     val dir = freshDir()
     Snapshot.commit(baseRows(10), dir, 0, "k")
