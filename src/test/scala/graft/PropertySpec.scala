@@ -95,6 +95,40 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("versionAtTimestamp agrees with history's commit clock for any cutoff") {
+    // the two surfaces share one monotone clock by construction; this
+    // pins the RESOLUTION algebra for arbitrary cutoffs: for any epoch e,
+    // versionAtTimestamp(e) == max{version | commit_ms <= e}, and every
+    // e below the first commit raises. Three commits, adversarial mtimes.
+    import graft.ops.Snapshot
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_clock_prop").toString + "/t"
+    Snapshot.commit((1 to 8).map(k => (k.toLong, s"v$k", "K"))
+      .toDF("k", "v", "verdict"), dir, 0, "k")
+    Thread.sleep(12)
+    Snapshot.commit(Seq((1L, "u1", "U")).toDF("k", "v", "verdict"),
+      dir, 1, "k", nFiles = 1)
+    Thread.sleep(12)
+    Snapshot.commit(Seq((1L, "u2", "U")).toDF("k", "v", "verdict"),
+      dir, 2, "k", nFiles = 1)
+    // scramble manifest mtimes so only the embedded clock can be right
+    (1 to 3).foreach { v =>
+      new java.io.File(s"$dir/_manifests", f"v$v%05d")
+        .setLastModified(1000000000L * v)
+    }
+    val clock = Snapshot.history(spark, dir).orderBy(col("version"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val eGen = Gen.choose(clock.head._2 - 50L, clock.last._2 + 50L)
+    check(Prop.forAll(eGen) { e =>
+      val want = clock.filter(_._2 <= e).lastOption.map(_._1)
+      val got =
+        try Some(Snapshot.versionAtTimestamp(spark, dir, e))
+        catch { case _: IllegalArgumentException => None }
+      got == want
+    })
+  }
+
   test("dedup is idempotent: f(f(x)) == f(x)") {
     import spark.implicits._
     check(Prop.forAll(texts) { xs =>
