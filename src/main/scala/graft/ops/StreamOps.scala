@@ -161,12 +161,20 @@ object StreamOps extends QueryModule {
   private[graft] def snapshotSinkBatch(dir: String, batchId: Long,
                                        batch: DataFrame): Unit = {
     val s = batch.sparkSession
-    val cur = Snapshot.currentVersion(s, dir)
+    // exactly-once by BATCH-COUNT arithmetic over DATA commits only:
+    // batch n is committed iff n batches already landed. Counting raw
+    // versions would break the moment maintenance interleaves — an
+    // OPTIMIZE compact mid-stream bumps currentVersion, and the next
+    // batch would read as "redelivered" and be silently DROPPED. The
+    // maintenance marker notes make the data-commit count exact, so
+    // compaction can run against a live sink between any two batches.
+    val cur = Snapshot.versions(s, dir).count(v =>
+      !Snapshot.isMaintenanceNote(Snapshot.manifest(s, dir, v).note))
     if (cur > batchId) () // redelivered batch: its version already committed
     else {
       require(cur == batchId,
-        s"stream sink gap: table at v$cur but batch $batchId arrived — " +
-          s"batches ${cur} to ${batchId - 1} were lost, refusing to skip")
+        s"stream sink gap: table has $cur data commits but batch $batchId " +
+          s"arrived — batches ${cur} to ${batchId - 1} were lost, refusing to skip")
       // nFiles=1: a micro-batch commit is small — a multi-file range
       // layout would pay extra write tasks, stats rows AND the range-
       // partitioner's sampling job per commit for nothing (a single

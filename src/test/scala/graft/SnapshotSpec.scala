@@ -351,6 +351,24 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("gap"))
     assert(Snapshot.currentVersion(spark, dir) == 2)
+    // an OPTIMIZE interleaving mid-stream must NOT eat the next batch:
+    // the sink's exactly-once arithmetic counts DATA commits, so batch 2
+    // still lands after the compaction bumped the version number...
+    Snapshot.compactVersion(spark, dir, Long.MaxValue) // v3, maintenance
+    val b2 = batch((6L, 8L, "buy", 6.0))
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 2L, b2)
+    assert(Snapshot.currentVersion(spark, dir) == 4)
+    assert(Snapshot.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(7L -> 4L, 8L -> 6L, 9L -> 5L))
+    // ...redelivery and the gap check still hold across it
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 2L, b2)
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 1L, b1)
+    assert(Snapshot.currentVersion(spark, dir) == 4)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ops.StreamOps.snapshotSinkBatch(dir, 4L, b1)
+    }
+    assert(e2.getMessage.contains("gap"))
   }
 
   test("expireVersions: retention drops old manifests + their data only") {
