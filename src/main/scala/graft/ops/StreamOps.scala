@@ -161,29 +161,42 @@ object StreamOps extends QueryModule {
   private[graft] def snapshotSinkBatch(dir: String, batchId: Long,
                                        batch: DataFrame): Unit = {
     val s = batch.sparkSession
-    // exactly-once by BATCH-COUNT arithmetic over DATA commits only:
-    // batch n is committed iff n batches already landed. Counting raw
-    // versions would break the moment maintenance interleaves — an
-    // OPTIMIZE compact mid-stream bumps currentVersion, and the next
-    // batch would read as "redelivered" and be silently DROPPED. The
-    // maintenance marker notes make the data-commit count exact, so
-    // compaction can run against a live sink between any two batches.
-    val cur = Snapshot.versions(s, dir).count(v =>
-      !Snapshot.isMaintenanceNote(Snapshot.manifest(s, dir, v).note))
-    if (cur > batchId) () // redelivered batch: its version already committed
+    // exactly-once by BATCH-ID arithmetic carried IN the commits: every
+    // data commit stamps `batch:<id>` into its manifest note, and the
+    // next expected id is max(stamped ids)+1 over the RETAINED history.
+    // Equating batch id with version number (the original scheme) broke
+    // the moment maintenance interleaved — an OPTIMIZE compact
+    // mid-stream bumps currentVersion and the next batch would read as
+    // "redelivered" and be silently DROPPED; counting data commits fixes
+    // compaction but breaks when RETENTION drops old manifests. The max
+    // stamped id survives both, because retention always keeps the
+    // newest manifests: compaction and expiry can run against a live
+    // sink between any two batches. Legacy unstamped tables fall back to
+    // the data-commit count.
+    val notes = Snapshot.versions(s, dir)
+      .map(v => Snapshot.manifest(s, dir, v).note)
+    val stamped = notes.filter(_.startsWith("batch:")).map(_.drop(6).toLong)
+    val nextExpected =
+      if (stamped.nonEmpty) stamped.max + 1
+      else notes.count(n => !Snapshot.isMaintenanceNote(n)).toLong
+    if (nextExpected > batchId) () // redelivered: its commit already landed
     else {
-      require(cur == batchId,
-        s"stream sink gap: table has $cur data commits but batch $batchId " +
-          s"arrived — batches ${cur} to ${batchId - 1} were lost, refusing to skip")
+      require(nextExpected == batchId,
+        s"stream sink gap: next expected batch is $nextExpected but batch " +
+          s"$batchId arrived — batches $nextExpected to ${batchId - 1} " +
+          "were lost, refusing to skip")
       // nFiles=1: a micro-batch commit is small — a multi-file range
       // layout would pay extra write tasks, stats rows AND the range-
       // partitioner's sampling job per commit for nothing (a single
       // range is sample-free; the steady-state answer to the accreted
       // small files is Snapshot.compactVersion, itself just a commit)
+      val cur = Snapshot.currentVersion(s, dir)
       if (cur == 0)
-        Snapshot.commit(latestDelta(batch), dir, 0, "user_id", nFiles = 1)
+        Snapshot.commit(latestDelta(batch), dir, 0, "user_id", nFiles = 1,
+          note = s"batch:$batchId")
       else
-        Snapshot.mergeCow(s, dir, batch, "user_id", mergeLatest, nFiles = 1)
+        Snapshot.mergeCow(s, dir, batch, "user_id", mergeLatest, nFiles = 1,
+          note = s"batch:$batchId")
     }
   }
 

@@ -369,6 +369,23 @@ class SnapshotSpec extends SparkSpec {
       graft.ops.StreamOps.snapshotSinkBatch(dir, 4L, b1)
     }
     assert(e2.getMessage.contains("gap"))
+    // RETENTION on the live sink: expiring old versions must not shift
+    // the arithmetic — the max stamped batch id rides the retained
+    // manifests, so batch 3 lands, an expired batch id no-ops, and the
+    // gap check still fires
+    Snapshot.expireVersions(spark, dir, 1)
+    assert(Snapshot.versions(spark, dir) == Seq(4))
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 3L, batch((7L, 9L, "view", 7.0)))
+    assert(Snapshot.currentVersion(spark, dir) == 5)
+    graft.ops.StreamOps.snapshotSinkBatch(dir, 0L, b0) // expired id: no-op
+    assert(Snapshot.currentVersion(spark, dir) == 5)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.ops.StreamOps.snapshotSinkBatch(dir, 9L, b1)
+    }
+    assert(e3.getMessage.contains("gap"))
+    assert(Snapshot.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(7L -> 4L, 8L -> 6L, 9L -> 7L))
   }
 
   test("expireVersions: retention drops old manifests + their data only") {
