@@ -181,6 +181,35 @@ object BenchShapes {
               col("dday").between(1461, 1826)).count())
     require(nBox == nFullScan, s"box reads must agree: $nBox != $nFullScan")
     println(f"""{"shape_bench":"q127_zorder_prune","sf":"$sfDir","rows":$nBox,"files":64,"v2_date_only":$dateZ,"v2_cust_only":$custZ,"v2_box2d":$boxZ,"v1_cust_only":$cust1,"v1_date_only":64,"box_sec":$tBox%.3f,"fullscan_sec":$tFullScan%.3f}""")
+
+    // q131/q128's MAINTENANCE interaction measured at the x10 base: the
+    // changeFeed dataChange=false skip vs the table-vs-table diff it
+    // avoids (a compaction shares zero files with its parent, so without
+    // the marker the diff compares every row to find nothing), plus the
+    // cost of the OPTIMIZE compact itself — the standing-maintenance
+    // price the skip makes free for subscribers.
+    val cRuns = (0 until 3).map { _ =>
+      val dir = freshCopy()
+      val t0 = System.nanoTime()
+      ops.Snapshot.compactVersion(spark, dir, 128L << 20)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tCompact = cRuns.sorted.apply(1)
+    val skipDir = freshCopy()
+    ops.Snapshot.compactVersion(spark, skipDir, 128L << 20) // v2 maintenance
+    val (tSkipFeed, nSkipFeed) =
+      med3(ops.Snapshot.changeFeed(spark, skipDir, 1, 2, "order_key").count())
+    // the avoided shape: the same rows recommitted as a DATA commit (no
+    // marker) forces the full diff — the pre-skip cost of ticking a
+    // subscription over an OPTIMIZE
+    val diffDir = freshCopy()
+    ops.Snapshot.commit(ops.Snapshot.read(spark, diffDir, 1),
+      diffDir, 1, "order_key")
+    val (tDiffFeed, nDiffFeed) =
+      med3(ops.Snapshot.changeFeed(spark, diffDir, 1, 2, "order_key").count())
+    require(nSkipFeed == 0 && nDiffFeed == 0,
+      s"both feeds must be empty: skip=$nSkipFeed diff=$nDiffFeed")
+    println(f"""{"shape_bench":"q131_maintenance","sf":"$sfDir","base_rows":$nCow,"compact_sec":$tCompact%.3f,"feed_skip_sec":$tSkipFeed%.3f,"feed_diff_sec":$tDiffFeed%.3f}""")
     spark.stop()
   }
 }
