@@ -65,6 +65,60 @@ object Snapshot {
     * parsing trivial and cross-engine exact. */
   final case class FileEntry(path: String, min: Long, max: Long)
 
+  /** Per-file Bloom filter over an integral column — the file-skipping
+    * index for POINT predicates the layout family cannot serve: min/max
+    * stats (and the z-order translations built on them) prune RANGE
+    * queries on the clustering axes, but a point lookup on any OTHER
+    * column sees every file's range overlap and must open them all. A
+    * small per-file Bloom in the manifest lets the DRIVER drop files
+    * that certainly lack the key before the scan is even planned — the
+    * role of Parquet's row-group bloom filters, lifted to file level
+    * where it saves the open/footer-read too (Delta stores the same idea
+    * as per-file stats sidecars). `mBits` is a power-of-two bit count,
+    * `k` the hash count; double hashing from a splitmix64 finalizer
+    * keeps write (executor) and read (driver) bit positions identical by
+    * construction. False positives cost a wasted file read; false
+    * negatives are impossible, and the residual `IN` filter keeps
+    * results exact either way. */
+  final case class BloomSketch(mBits: Int, k: Int, bits: Array[Long]) {
+    def mightContain(key: Long): Boolean = {
+      val h1 = BloomSketch.mix64(key)
+      val h2 = BloomSketch.mix64(key ^ 0x5851f42d4c957f2dL) | 1L
+      var i = 0
+      while (i < k) {
+        val pos = ((h1 + i * h2) & Long.MaxValue) % mBits
+        if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  object BloomSketch {
+    /** splitmix64 finalizer — a public-domain 64-bit mixer (Steele et
+      * al., "Fast splittable pseudorandom number generators"). */
+    private[graft] def mix64(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+
+    /** Set `key`'s k bit positions in a raw bit array (executor-side
+      * accumulation path; must mirror [[BloomSketch.mightContain]]). */
+    private[graft] def add(bits: Array[Long], mBits: Int, k: Int,
+                           key: Long): Unit = {
+      val h1 = mix64(key)
+      val h2 = mix64(key ^ 0x5851f42d4c957f2dL) | 1L
+      var i = 0
+      while (i < k) {
+        val pos = ((h1 + i * h2) & Long.MaxValue) % mBits
+        bits((pos >>> 6).toInt) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+  }
+
   /** `note` is an optional idempotency token (the txnAppId recipe): a
     * restartable job stamps its commit with a stable token and skips
     * when the CURRENT manifest already carries it — so a redriven task
@@ -79,10 +133,17 @@ object Snapshot {
     * (cp/rsync/distcp/touch of a table dir re-stamps every file), so a
     * copied or restored table must still time-travel by the times its
     * commits actually happened. 0 = pre-timestamp manifest; readers fall
-    * back to the manifest file's mtime for those. */
+    * back to the manifest file's mtime for those.
+    *
+    * `blooms` are the per-file point-lookup sidecars, keyed
+    * (file path, column) — stamped by [[optimizeBloom]], carried across
+    * COW merges for untouched files (a bloom describes an immutable
+    * file, so carrying by path is sound), dropped for rewritten ones. */
   final case class Manifest(version: Int, statsCol: String,
                             files: Seq[FileEntry], note: String = "",
-                            ts: Long = 0L)
+                            ts: Long = 0L,
+                            blooms: Map[(String, String), BloomSketch] =
+                              Map.empty)
 
   /** Thrown when a commit loses the optimistic-concurrency race or was
     * issued against a stale expected version. */
@@ -214,6 +275,7 @@ object Snapshot {
     require((hdr.length == 3 || hdr.length == 4) && hdr(0) == "v",
       s"malformed manifest $p")
     var ts = 0L
+    val blooms = Map.newBuilder[(String, String), BloomSketch]
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
@@ -224,12 +286,22 @@ object Snapshot {
         case "f" =>
           require(c.length == 4, s"malformed manifest line in $p")
           Some(FileEntry(c(1), c(2).toLong, c(3).toLong))
+        case "b" =>
+          require(c.length == 6, s"malformed manifest bloom line in $p")
+          val raw = java.util.Base64.getDecoder.decode(c(5))
+          val words = new Array[Long](raw.length / 8)
+          java.nio.ByteBuffer.wrap(raw)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            .asLongBuffer().get(words)
+          blooms += ((c(1), c(2)) ->
+            BloomSketch(c(3).toInt, c(4).toInt, words))
+          None
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
     }
     Manifest(hdr(1).toInt, hdr(2), files,
-      if (hdr.length == 4) hdr(3) else "", ts)
+      if (hdr.length == 4) hdr(3) else "", ts, blooms.result())
   }
 
   /** DESCRIBE HISTORY analog: one row per committed version — version,
@@ -375,8 +447,22 @@ object Snapshot {
     // stamp the commit clock into the manifest itself (durable across
     // file copies — see Manifest.ts); publish time IS commit time
     val tsLine = s"t\t${if (m.ts > 0) m.ts else System.currentTimeMillis()}"
+    // bloom sidecars: only for files this manifest actually lists (a
+    // carried map may still hold rewritten paths), sorted for a
+    // deterministic byte layout
+    val listed = m.files.map(_.path).toSet
+    val bloomLines = m.blooms.toSeq
+      .filter { case ((p, _), _) => listed.contains(p) }
+      .sortBy { case ((p, c), _) => (p, c) }
+      .map { case ((p, c), b) =>
+        val buf = java.nio.ByteBuffer.allocate(b.bits.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.asLongBuffer().put(b.bits)
+        val b64 = java.util.Base64.getEncoder.encodeToString(buf.array())
+        s"b\t$p\t$c\t${b.mBits}\t${b.k}\t$b64"
+      }
     val body = (Seq(hdr, tsLine) ++
-        m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}"))
+        m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++ bloomLines)
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -404,7 +490,9 @@ object Snapshot {
     * orphans). Returns the committed version. */
   def commit(df: DataFrame, dir: String, expectedVersion: Int,
              statsCol: String, carried: Seq[FileEntry] = Nil,
-             nFiles: Int = 8, note: String = ""): Int = {
+             nFiles: Int = 8, note: String = "",
+             carriedBlooms: Map[(String, String), BloomSketch] = Map.empty)
+      : Int = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, dir)
     if (cur != expectedVersion)
@@ -413,7 +501,8 @@ object Snapshot {
     val v = expectedVersion + 1
     val sub = s"data/c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     val fresh = writeDataFiles(df, dir, sub, statsCol, nFiles)
-    val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note)
+    val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note,
+      blooms = carriedBlooms)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -505,7 +594,14 @@ object Snapshot {
         // the base side of the merge is empty, with the snapshot's schema
         read(spark, dir, cur).limit(0)
       else spark.read.parquet(rewrite.map(f => s"$dir/${f.path}"): _*)
-    commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles, note)
+    // carried files keep their bloom sidecars (immutable file ⇒ the
+    // sketch stays true); rewritten files drop theirs — re-stamp with
+    // [[optimizeBloom]] when the merge churn warrants it
+    val carryPaths = carry.map(_.path).toSet
+    val carryBlooms =
+      m.blooms.filter { case ((p, _), _) => carryPaths.contains(p) }
+    commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles, note,
+      carryBlooms)
   }
 
   /** OPTIMIZE as a COMMIT: rewrite the current snapshot into
@@ -543,6 +639,101 @@ object Snapshot {
       if (m.note.startsWith("zorder")) m.note else "optimize:compact"
     commit(read(spark, dir, cur), dir, cur, m.statsCol, Nil, nFiles,
       note = layoutNote)
+  }
+
+  /** Stamp per-file Bloom sidecars over `bloomCol` into a new manifest
+    * version — OPTIMIZE for point lookups on a NON-clustering column.
+    * No data file is written or rewritten: the commit is the manifest
+    * alone, listing exactly the current files plus one [[BloomSketch]]
+    * per file, so it is a maintenance commit ([[changeFeed]] skips it,
+    * [[compactVersion]]'s dataChange=false discipline). The sketch pass
+    * is ONE distributed job: every file's rows shuffle by file name and
+    * fold into a `mBits`-bit array per file (executors see raw bit
+    * arrays, the driver collects nFiles × mBits/8 bytes — manifest-scale
+    * metadata, like the stats pass). Sizing rule at scale: for ~1% false
+    * positives keep mBits ≥ 10 × rows-per-file (the standard m/n ≈ 9.6,
+    * k = 7 operating point); the default 2^16 bits = 8 KiB per file
+    * covers the row counts a well-compacted file holds at the repo's
+    * target file sizes. Re-run after compaction or heavy COW churn —
+    * rewritten files carry no sketch and simply stop pruning (never
+    * wrong, just unskipped). Returns the committed version. */
+  def optimizeBloom(spark: SparkSession, dir: String, bloomCol: String,
+                    mBits: Int = 1 << 16, k: Int = 6): Int = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    val paths = m.files.map(_.path)
+    val dt = read(spark, dir, cur).schema(bloomCol).dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(dt.toString),
+      s"bloom column must be integral (the stats-column contract), " +
+        s"got $dt for $bloomCol")
+    import spark.implicits._
+    val words = mBits / 64
+    val perFile = spark.read.option("mergeSchema", "true")
+      .parquet(paths.map(p => s"$dir/$p"): _*)
+      .select(input_file_name().as("f"),
+        col(bloomCol).cast("long").as("key"))
+      .filter(col("key").isNotNull) // a NULL never equals a point key
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val bits = new Array[Long](words)
+        it.foreach { case (_, key) => BloomSketch.add(bits, mBits, k, key) }
+        (f, bits)
+      }
+      .collect()
+    val rel = perFile.map { case (uri, bits) =>
+      val p = paths.find(p => uri.endsWith(s"/$p")).getOrElse(
+        throw new IllegalStateException(s"unmapped data file $uri"))
+      (p, bloomCol) -> BloomSketch(mBits, k, bits)
+    }.toMap
+    // files with no rows produce no group: give them an empty (all-zero)
+    // sketch so absent keys still prune them
+    val empties = paths.filterNot(p => rel.contains((p, bloomCol)))
+      .map(p => (p, bloomCol) -> BloomSketch(mBits, k, new Array[Long](words)))
+    // LAYOUT notes survive (compactVersion's discipline): a z-ordered
+    // table keeps its axis constants so box serving stays live; either
+    // spelling reads as maintenance to changeFeed
+    val note =
+      if (m.note.startsWith("zorder")) m.note else s"optimize:bloom:$bloomCol"
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = note, blooms = m.blooms ++ rel ++ empties))
+    cur + 1
+  }
+
+  /** Point-lookup read: hand the scan only the files that MIGHT contain
+    * one of `keys` on `pointCol` — min/max range check when the point
+    * column IS the clustering column, Bloom check when a sketch is
+    * stamped ([[optimizeBloom]]), both when both apply; a file with
+    * neither signal is always a candidate (pruning degrades to a full
+    * read, never to a wrong answer). The residual `IN` filter keeps the
+    * result exact under Bloom false positives. At 100 TB this is the
+    * needle-in-haystack path: a 20-key probe against a million-file
+    * table plans from the manifest alone and opens ~20 files instead of
+    * listing and scanning the table. */
+  def readPoints(spark: SparkSession, dir: String, pointCol: String,
+                 keys: Seq[Long], version: Int = 0): DataFrame = {
+    require(keys.nonEmpty, "readPoints needs at least one key")
+    val v = if (version > 0) version else currentVersion(spark, dir)
+    val m = manifest(spark, dir, v)
+    val hit = m.files.filter(f => keys.exists(key => mayContain(m, f, pointCol, key)))
+    if (hit.isEmpty) read(spark, dir, v).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(f => s"$dir/${f.path}"): _*)
+      .filter(col(pointCol).isin(keys: _*))
+  }
+
+  /** The per-(file, key) candidacy test [[readPoints]] plans with —
+    * split out so specs can pin the pruned file set without executing
+    * a scan. */
+  private[graft] def mayContain(m: Manifest, f: FileEntry, pointCol: String,
+                                key: Long): Boolean = {
+    val rangeOk = pointCol != m.statsCol || (f.min <= key && key <= f.max)
+    val bloomOk = m.blooms.get((f.path, pointCol)).forall(_.mightContain(key))
+    rangeOk && bloomOk
   }
 
   /** A maintenance commit rewrites LAYOUT, never data: the z-order

@@ -190,7 +190,54 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The bloom-stamped orders table, built once per (session, dir):
+    * orders state committed clustered on CUST_KEY (16 files — so every
+    * file's order_key [min,max] spans nearly the whole key domain and
+    * min/max stats prune NOTHING for an order_key point probe), then
+    * [[Snapshot.optimizeBloom]] stamps per-file sketches on order_key.
+    * The layout deliberately mis-serves the probe column — exactly the
+    * situation the Bloom sidecar exists for. */
+  private[graft] def bloomOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#bloom", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_bloom_$sfx"
+          val base = T.orders(s, d).select(
+            col("o_orderkey").as("order_key"),
+            col("o_custkey").as("cust_key"),
+            col("o_orderstatus").as("status"),
+            F.dec2(col("o_totalprice")).as("price"))
+          Snapshot.commit(base, dir, 0, "cust_key", nFiles = 16)
+          Snapshot.optimizeBloom(s, dir, "order_key")
+          dir
+        })
+    }
+
+  /** q132's deterministic probe set: five keys present at every fixture
+    * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
+    * far outside any key domain — the absent-key path a point index
+    * must prune to zero files. */
+  private[graft] val bloomProbeKeys: Seq[Long] =
+    Seq(137L, 428L, 999L, 1204L, 1400L, 2000000L, 3000001L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_bloom_point" -> ((s, d) => {
+      // POINT LOOKUP on a non-clustering column via manifest Bloom
+      // sidecars: the table is clustered on cust_key, so order_key
+      // min/max stats overlap across all 16 files and prune nothing —
+      // the per-file sketches select the handful of files that might
+      // hold the probe keys at PLANNING time (absent keys reach zero
+      // files; SnapshotSpec pins the file counts), and the residual IN
+      // filter keeps the answer exact under false positives. Oracle =
+      // the same IN over raw orders.
+      Snapshot.readPoints(s, bloomOrders(s, d), "order_key", bloomProbeKeys)
+        .select(col("order_key"), col("cust_key"), col("status"),
+          F.od(col("price")).as("price"))
+        .orderBy(col("order_key"))
+    }),
+
     "q42_merge_upsert" -> ((s, d) =>
       // CDC MERGE INTO as a one-shot plan: the shared kernel over the
       // full base state — see [[applyOrdersChanges]] for the verdict
@@ -443,34 +490,50 @@ object Warehouse extends QueryModule {
         |WHERE coalesce(op, 'K') <> 'D'
         |ORDER BY order_key""".stripMargin
 
+  /** The per-status (count, exact-decimal sum) recompute over the merged
+    * v2 orders state — the ground truth BOTH view-maintenance paths
+    * answer against: q129's one-shot subscription and q133's continuous
+    * streamed one (the same-oracle twin proof: same final state, two
+    * delivery disciplines). */
+  private[graft] val viewOracle: String =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS status,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |ch AS (
+      |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
+      |              ELSE o_orderkey END AS k,
+      |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+      |              ELSE 'I' END AS op,
+      |         CASE WHEN o_orderkey % 20 = 0
+      |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+      |              WHEN o_orderkey % 20 = 2
+      |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+      |         END AS c_price,
+      |         CASE WHEN o_orderkey % 20 = 2 THEN 'N' END AS c_status
+      |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)),
+      |v2 AS (
+      |  SELECT coalesce(c_status, status) AS status,
+      |         coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS price
+      |  FROM base FULL JOIN ch ON base.k = ch.k
+      |  WHERE coalesce(op, 'K') <> 'D')
+      |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+      |FROM v2 GROUP BY status ORDER BY status
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q132_bloom_point" ->
+      """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+        |       o_orderstatus AS status,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey IN (137, 428, 999, 1204, 1400, 2000000, 3000001)
+        |ORDER BY order_key
+        |""".stripMargin,
+
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
 
-    "q129_view_subscribe" ->
-      """WITH base AS (
-        |  SELECT o_orderkey AS k, o_orderstatus AS status,
-        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
-        |ch AS (
-        |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
-        |              ELSE o_orderkey END AS k,
-        |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
-        |              ELSE 'I' END AS op,
-        |         CASE WHEN o_orderkey % 20 = 0
-        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
-        |              WHEN o_orderkey % 20 = 2
-        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
-        |         END AS c_price,
-        |         CASE WHEN o_orderkey % 20 = 2 THEN 'N' END AS c_status
-        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)),
-        |v2 AS (
-        |  SELECT coalesce(c_status, status) AS status,
-        |         coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS price
-        |  FROM base FULL JOIN ch ON base.k = ch.k
-        |  WHERE coalesce(op, 'K') <> 'D')
-        |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
-        |FROM v2 GROUP BY status ORDER BY status
-        |""".stripMargin,
+    "q129_view_subscribe" -> viewOracle,
 
     "q128_change_feed" ->
       """WITH ch AS (

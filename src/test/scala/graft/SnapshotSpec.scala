@@ -951,4 +951,109 @@ class SnapshotSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(tail == tailFull && tail.nonEmpty)
   }
+
+  /** A table where k (the clustering/stats column) serves ranges but a
+    * SECOND integral column h is hash-spread: every file's h range spans
+    * ~the whole domain, so only a point index can skip files on h. */
+  private def bloomTable(): String = {
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (1 to 800).map { k =>
+      (k.toLong, (k.toLong * 2654435761L) % 100000L, s"val_$k")
+    }.toDF("k", "h", "v")
+    Snapshot.commit(rows, dir, 0, "k", nFiles = 8)
+    Snapshot.optimizeBloom(spark, dir, "h")
+    dir
+  }
+
+  test("optimizeBloom: manifest-only maintenance commit, sketches round-trip") {
+    val dir = bloomTable()
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m2.files == m1.files, "bloom stamp must not touch data files")
+    assert(m2.note == "optimize:bloom:h" && Snapshot.isMaintenanceNote(m2.note))
+    assert(m2.blooms.keySet == m1.files.map(f => (f.path, "h")).toSet,
+      "one sketch per file on the stamped column")
+    // the parsed (round-tripped) sketches answer membership: every h
+    // value present in a file must hit that file's sketch
+    val perFile = spark.read.parquet(m2.files.map(f => s"$dir/${f.path}"): _*)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        col("h")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    perFile.foreach { case (uri, h) =>
+      val p = m2.files.map(_.path).find(p => uri.endsWith(s"/$p")).get
+      assert(m2.blooms((p, "h")).mightContain(h),
+        s"false negative for h=$h in $p — bloom is broken")
+    }
+  }
+
+  test("readPoints on the bloom column opens few files; min/max alone cannot") {
+    val dir = bloomTable()
+    val m = Snapshot.manifest(spark, dir, 2)
+    val hOf = (k: Long) => (k * 2654435761L) % 100000L
+    val keys = Seq(hOf(42), hOf(511))
+    // without the sketch every file is a candidate (h ranges overlap):
+    // prove the layout really mis-serves h, then that blooms rescue it
+    val hRangesOverlap = {
+      val ranges = m.files.map { f =>
+        val vals = spark.read.parquet(s"$dir/${f.path}")
+          .select(min(col("h")), max(col("h"))).head()
+        (vals.getLong(0), vals.getLong(1))
+      }
+      keys.forall(key => ranges.count { case (lo, hi) => lo <= key && key <= hi } >= 6)
+    }
+    assert(hRangesOverlap, "fixture must make per-file h ranges overlap")
+    val candidates = m.files.filter(f =>
+      keys.exists(key => Snapshot.mayContain(m, f, "h", key)))
+    assert(candidates.size <= 3,
+      s"bloom should prune to ~1 file per key, got ${candidates.size} of 8")
+    // value-exact vs a full-scan filter
+    val got = Snapshot.readPoints(spark, dir, "h", keys)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val want = Snapshot.read(spark, dir)
+      .filter(col("h").isin(keys: _*))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("readPoints: absent key prunes to zero files and returns empty, exact") {
+    val dir = bloomTable()
+    val m = Snapshot.manifest(spark, dir, 2)
+    val absent = Seq(100001L, 7777777L) // outside h's domain entirely
+    assert(!m.files.exists(f =>
+      absent.exists(key => Snapshot.mayContain(m, f, "h", key))),
+      "absent keys must reach zero candidate files")
+    val out = Snapshot.readPoints(spark, dir, "h", absent)
+    assert(out.count() == 0 && out.schema.fieldNames.toSeq == Seq("k", "h", "v"))
+    // on the STATS column the min/max path still serves points unstamped
+    val viaStats = Snapshot.readPoints(spark, dir, "k", Seq(42L))
+      .select("k").collect().map(_.getLong(0)).toSeq
+    assert(viaStats == Seq(42L))
+    val statHit = m.files.filter(f => Snapshot.mayContain(m, f, "k", 42L))
+    assert(statHit.size == 1, "range stats prune the clustering column")
+  }
+
+  test("COW merge carries bloom sidecars for untouched files only") {
+    import spark.implicits._
+    val dir = bloomTable()
+    // narrow change: one key → one touched file rewrites, 7 carry
+    val changes = Seq((42L, "patched")).toDF("ck", "nv")
+    Snapshot.mergeCow(spark, dir, changes, "ck",
+      (base, ch) => base.join(ch, base("k") === ch("ck"), "left")
+        .select(col("k"), col("h"),
+          coalesce(col("nv"), col("v")).as("v")))
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    val m3 = Snapshot.manifest(spark, dir, 3)
+    val carried = m3.files.map(_.path).toSet & m2.files.map(_.path).toSet
+    assert(carried.size == 7, "narrow COW must carry 7 of 8 files")
+    assert(m3.blooms.keySet == carried.map(p => (p, "h")),
+      "carried files keep sketches; the rewritten file drops its stale one")
+    // unstamped rewritten file is always a candidate — degraded, not wrong
+    val fresh = m3.files.filterNot(f => carried.contains(f.path))
+    val hOf = (k: Long) => (k * 2654435761L) % 100000L
+    assert(fresh.forall(f => Snapshot.mayContain(m3, f, "h", hOf(500L))))
+    val got = Snapshot.readPoints(spark, dir, "h", Seq(hOf(42L)))
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("patched"))
+  }
 }
