@@ -210,6 +210,84 @@ object StreamOps extends QueryModule {
               col("m.event_type").as("last_type"),
               col("m.value").as("last_value"))
 
+  /** The durable version cursor of a CDF subscription: the highest
+    * upstream version the view has applied, read back from the view's
+    * OWN retained manifest notes (`cdf:<v>`) — q126's stamped-note
+    * arithmetic pointed the other way. Cursor and view state commit in
+    * ONE atomic manifest publish, so a crash between "apply feed" and
+    * "remember where I got to" is unrepresentable. */
+  private[graft] def viewCursor(s: SparkSession, viewDir: String): Int =
+    Snapshot.versions(s, viewDir)
+      .map(v => Snapshot.manifest(s, viewDir, v).note)
+      .filter(_.startsWith("cdf:")).map(_.drop(4).toInt)
+      .foldLeft(0)(math.max)
+
+  /** One trigger of a CONTINUOUS materialized-view subscription over a
+    * snapshot table's change feed — the piece that closes the loop
+    * q126 (stream → table) and q128/q129 (table → view, one shot)
+    * already form: `stream → table → live view`, each leg transactional.
+    *
+    * Per tick: resolve the upstream head; replay every DATA version step
+    * since the cursor as a per-step [[Snapshot.changeFeed]] in pre/post-
+    * image form (stepping version-by-version keeps each diff narrow —
+    * a COW commit's feed reads only its rewritten files — and makes
+    * maintenance versions skippable individually, so an OPTIMIZE
+    * interleaved mid-history never forces a whole-table diff); aggregate
+    * the union into per-group deltas (I/U+ credit, D/U- debit — q129's
+    * arithmetic); merge into the view by a group-cardinality full-outer
+    * join; commit the new view state with the cursor stamped in the
+    * note. Exactly-once falls out of the commit protocol: a redelivered
+    * or idle tick sees head <= cursor and no-ops, racing ticks resolve
+    * by optimistic concurrency, restart re-reads the durable cursor.
+    * Maintenance-only ranges commit NOTHING (no empty view versions; the
+    * cursor simply catches up with the next data commit).
+    *
+    * At 100 TB each tick reads rewritten files only, the delta aggregate
+    * is feed-sized, and the view join touches group-cardinality rows —
+    * the table is never rescanned after the initializing tick. Caveat
+    * shared with every log-tailing consumer: retention that expires the
+    * cursor's manifest breaks replay — keep retention windows longer
+    * than subscription lag. */
+  private[graft] def viewMaintainTick(s: SparkSession, upstreamDir: String,
+      viewDir: String, keyCol: String, groupCol: String,
+      sumCol: String): Unit = {
+    val head = Snapshot.currentVersion(s, upstreamDir)
+    if (head == 0) return
+    val cursor = viewCursor(s, viewDir)
+    if (head <= cursor) return // idle or redelivered tick
+    val dec = DecimalType(31, 3)
+    if (cursor == 0) {
+      // initializing tick: the one full aggregate of the subscription
+      val mv = Snapshot.read(s, upstreamDir, head)
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n"), sum(col(sumCol)).cast(dec).as("total"))
+      Snapshot.commit(mv, viewDir, 0, "n", nFiles = 1, note = s"cdf:$head")
+      return
+    }
+    val steps = ((cursor + 1) to head)
+      .filterNot(v => Snapshot.isMaintenanceNote(
+        Snapshot.manifest(s, upstreamDir, v).note))
+      .map(v => Snapshot.changeFeed(s, upstreamDir, v - 1, v, keyCol,
+        preImages = true))
+    if (steps.isEmpty) return // maintenance-only range: states equal
+    val credit = col("change_type").isin("I", "U+")
+    val delta = steps.reduce(_ unionByName _)
+      .select(col(groupCol),
+        when(credit, 1L).otherwise(-1L).as("dn"),
+        when(credit, col(sumCol)).otherwise(-col(sumCol)).as("ds"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("dn")).as("dn"), sum(col("ds")).cast(dec).as("ds"))
+    val merged = Snapshot.read(s, viewDir)
+      .join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("total"), lit(0).cast(dec)) +
+          coalesce(col("ds"), lit(0).cast(dec))).cast(dec).as("total"))
+      .filter(col("n") > 0)
+    Snapshot.commit(merged, viewDir, Snapshot.currentVersion(s, viewDir),
+      "n", nFiles = 1, note = s"cdf:$head")
+  }
+
   /** Multi-file staging of the events fixture, once per (session, dir):
     * the fixture ships as ONE parquet file (one micro-batch under
     * AvailableNow), and q126's point is a MULTI-version streamed
@@ -315,6 +393,52 @@ object StreamOps extends QueryModule {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       Snapshot.read(c, dir).orderBy(col("user_id"))
+    }),
+
+    "q133_stream_view_maintain" -> ((s, d) => {
+      // The CDF consumed CONTINUOUSLY: a per-status materialized view
+      // kept live by a streamed subscription to the orders table's own
+      // change history — [[viewMaintainTick]] per trigger, cursor stamped
+      // into the view's manifests. The upstream writer is scripted INTO
+      // the drain (one action per batch id — the deterministic stand-in
+      // for an external committer): tick 0 commits the initial load,
+      // tick 1 merges q42's CDC batch copy-on-write, tick 2 runs
+      // OPTIMIZE compact (a maintenance commit the subscription must
+      // tick over WITHOUT diffing — no view version lands), tick 3 is an
+      // idle redelivery (no-op by cursor arithmetic). Final view state ≡
+      // q129's one-shot subscription ≡ the full recompute — the
+      // same-oracle twin proof across delivery disciplines.
+      val c = streamSession(s, 8)
+      import c.implicits._
+      val wh = c.conf.get("spark.sql.warehouse.dir")
+      val sfx = java.util.UUID.randomUUID().toString.take(8)
+      val up = s"$wh/graft_cdf_up_$sfx"
+      val view = s"$wh/graft_cdf_view_$sfx"
+      val clock = s"$wh/graft_cdf_clock_$sfx"
+      // the subscription's trigger clock: 4 one-row files, 1 per batch
+      (0 until 4).foreach(i =>
+        Seq(i).toDF("tick").coalesce(1).write.mode("append").parquet(clock))
+      val actions: Long => Unit = {
+        case 0L => Snapshot.commit(Warehouse.ordersInitState(c, d), up, 0,
+          "order_key")
+        case 1L => Snapshot.mergeCow(c, up, Warehouse.ordersChanges(c, d),
+          "k", Warehouse.applyOrdersChanges)
+        case 2L => Snapshot.compactVersion(c, up, 128L << 20)
+        case _  => ()
+      }
+      val src = c.readStream
+        .schema(StructType(Seq(StructField("tick", IntegerType))))
+        .option("maxFilesPerTrigger", "1").parquet(clock)
+      val q = src.writeStream
+        .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          actions(id)
+          viewMaintainTick(c, up, view, "order_key", "status", "price")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      Snapshot.read(c, view)
+        .select(col("status"), col("n"), F.od(col("total")).as("total"))
+        .orderBy(col("status"))
     }),
 
     "q114_stream_dedup_index" -> ((s, d) => {
@@ -634,6 +758,10 @@ object StreamOps extends QueryModule {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // q129's oracle verbatim: the continuously-streamed subscription must
+    // land the view exactly where the one-shot batch subscription does
+    "q133_stream_view_maintain" -> Warehouse.viewOracle,
+
     // q81's oracle shape: the streaming-maintained index must answer
     // exactly what the batch groupBy answers
     "q114_stream_dedup_index" ->

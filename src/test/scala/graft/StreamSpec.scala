@@ -385,4 +385,65 @@ class StreamSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.mkString(",")}")
     } finally q.stop()
   }
+
+  test("cdf subscription: ticks converge the view; maintenance and idle ticks commit nothing") {
+    import spark.implicits._
+    import graft.ops.{Snapshot, StreamOps}
+    val base = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val up = s"$base/up"; val view = s"$base/view"
+    def rows(ks: Range, tag: String) =
+      ks.map(k => (k.toLong, s"g${k % 3}", k.toLong * 10, tag))
+        .toDF("k", "g", "p", "tag")
+    def recompute(): Set[(String, Long, BigDecimal)] =
+      Snapshot.read(spark, up).groupBy(col("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).cast("decimal(31,3)").as("t")).collect()
+        .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet
+    def viewState(): Set[(String, Long, BigDecimal)] =
+      Snapshot.read(spark, view).collect()
+        .map(r => (r.getString(0), r.getLong(1), BigDecimal(r.getDecimal(2)))).toSet
+    def tick() = StreamOps.viewMaintainTick(spark, up, view, "k", "g", "p")
+    // tick against an empty upstream: nothing to subscribe to yet
+    tick()
+    assert(Snapshot.versions(spark, view).isEmpty)
+    // v1 data -> initializing tick aggregates the head once
+    Snapshot.commit(rows(1 to 300, "a"), up, 0, "k")
+    tick()
+    assert(viewState() == recompute() && StreamOps.viewCursor(spark, view) == 1)
+    // idle redelivery: no upstream movement, no view commit
+    tick()
+    assert(Snapshot.versions(spark, view) == Seq(1))
+    // v2 = narrow COW update + insert; v3 = OPTIMIZE compact (maintenance)
+    val ch = Seq((5L, 99L), (301L, 42L)).toDF("k", "np")
+    Snapshot.mergeCow(spark, up, ch, "k", (b, c) =>
+      b.join(c, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("g"), concat(lit("g"), col("k") % 3)).as("g"),
+          coalesce(col("np"), col("p")).as("p"),
+          coalesce(col("tag"), lit("i")).as("tag")))
+    Snapshot.compactVersion(spark, up, 128L << 20)
+    tick()
+    assert(viewState() == recompute(), "delta application must equal recompute")
+    assert(StreamOps.viewCursor(spark, view) == 3, "cursor reaches head past maintenance")
+    assert(Snapshot.versions(spark, view) == Seq(1, 2),
+      "the data step commits once; the maintenance step adds nothing")
+    // maintenance-only movement: the subscription ticks over it for free
+    Snapshot.compactVersion(spark, up, 128L << 20)
+    tick()
+    assert(Snapshot.versions(spark, view) == Seq(1, 2) &&
+      StreamOps.viewCursor(spark, view) == 3)
+    // a later data commit catches the cursor up across the skipped range
+    Snapshot.mergeCow(spark, up, Seq((7L, 1L)).toDF("k", "np"), "k", (b, c) =>
+      b.join(c, Seq("k"), "full_outer")
+        .select(col("k"), col("g"), coalesce(col("np"), col("p")).as("p"),
+          col("tag")))
+    tick()
+    assert(viewState() == recompute() && StreamOps.viewCursor(spark, view) == 5)
+    // the cursor is DURABLE state: a fresh subscriber (nothing in memory)
+    // resumes exactly; replaying the tick is a no-op
+    assert(StreamOps.viewCursor(spark, view) == 5)
+    val before = Snapshot.versions(spark, view)
+    tick()
+    assert(Snapshot.versions(spark, view) == before)
+  }
 }
