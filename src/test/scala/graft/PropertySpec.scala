@@ -887,4 +887,29 @@ class PropertySpec extends SparkSpec {
       bucketed == naive
     })
   }
+
+  test("BloomSketch: no false negatives for any keys, size, or hash count") {
+    // The point-index soundness half: a key ADDED to a sketch must always
+    // hit mightContain — for every bit-array size, hash count, and key
+    // set (including adversarial near-collisions like consecutive and
+    // sign-boundary longs). False POSITIVES are allowed by contract (the
+    // residual filter absorbs them); a false negative would silently drop
+    // rows from a point lookup. Pure driver-side arithmetic, no jobs.
+    import graft.ops.Snapshot.BloomSketch
+    val keys = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue),
+      Gen.choose(-3L, 3L),
+      Gen.oneOf(Long.MinValue, Long.MaxValue, 0L, -1L, 1L)))
+    val sizes = Gen.oneOf(64, 128, 1024, 1 << 16)
+    val ks = Gen.choose(1, 16)
+    check(Prop.forAll(keys, sizes, ks) { (kl, mBits, k) =>
+      val bits = new Array[Long](mBits / 64)
+      kl.foreach(key => BloomSketch.add(bits, mBits, k, key))
+      val sk = BloomSketch(mBits, k, bits)
+      kl.forall(sk.mightContain)
+    })
+    // and an empty sketch contains nothing (absent-key pruning floor)
+    val empty = BloomSketch(1 << 10, 6, new Array[Long](16))
+    assert(Seq(0L, 1L, -1L, Long.MaxValue, 42L).forall(!empty.mightContain(_)))
+  }
 }
