@@ -604,6 +604,83 @@ object Snapshot {
       carryBlooms)
   }
 
+  /** COW DELETE — the DML verb next to [[mergeCow]]'s MERGE: remove the
+    * rows where `statsCol BETWEEN lo AND hi` AND `residual`, rewriting
+    * ONLY the files whose stats range overlaps [lo, hi] (every other
+    * file carries over by reference, keeping its Bloom sidecars). The
+    * range is the file-selection handle — the reason deletes stay
+    * narrow; the residual refines arbitrarily WITHIN the selected files
+    * (`lit(true)` deletes the whole range). A predicate touching no file
+    * is a no-op that commits nothing (returns the current version) —
+    * not an empty commit. Deleting every last row fails loudly on the
+    * empty-snapshot guard, like every other commit path.
+    *
+    * Same soundness guard as mergeCow: a z-ordered layout's stats are
+    * interleaved z values, so a key range would select the wrong files —
+    * refuse rather than miss rows. At 100 TB: a retention delete (drop a
+    * key range / a day) rewrites the few files that hold it; cost ∝
+    * touched data, never table size. */
+  def deleteWhere(spark: SparkSession, dir: String, lo: Long, hi: Long,
+                  residual: Column = lit(true), nFiles: Int = 8,
+                  note: String = ""): Int = {
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"deleteWhere against a z-ordered snapshot (note='${m.note}'): the " +
+        "stats column is the z interleave, not the key — delete on a " +
+        "key-clustered version and re-optimize")
+    val (touch, carry) = m.files.partition(f => f.min <= hi && f.max >= lo)
+    if (touch.isEmpty) return cur
+    val kept = spark.read.option("mergeSchema", "true")
+      .parquet(touch.map(f => s"$dir/${f.path}"): _*)
+      .filter(!(col(m.statsCol).between(lo, hi) && residual))
+    val carryPaths = carry.map(_.path).toSet
+    val carryBlooms =
+      m.blooms.filter { case ((p, _), _) => carryPaths.contains(p) }
+    commit(kept, dir, cur, m.statsCol, carry, nFiles, note, carryBlooms)
+  }
+
+  /** COW UPDATE — SET columns where `statsCol BETWEEN lo AND hi` AND
+    * `residual`; file selection, carry, bloom, and z-order semantics
+    * exactly as [[deleteWhere]]. `set` maps column name → new value
+    * expression (evaluated against the file's rows; non-matching rows
+    * pass through untouched). Updating `statsCol` itself is allowed —
+    * the commit recomputes the rewritten files' stats — but keys moved
+    * OUTSIDE [lo, hi] still live in the rewritten files afterwards
+    * (clustering degrades, correctness does not; re-OPTIMIZE when churn
+    * warrants). */
+  def updateWhere(spark: SparkSession, dir: String, lo: Long, hi: Long,
+                  set: Map[String, Column], residual: Column = lit(true),
+                  nFiles: Int = 8, note: String = ""): Int = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"updateWhere against a z-ordered snapshot (note='${m.note}'): the " +
+        "stats column is the z interleave, not the key — update on a " +
+        "key-clustered version and re-optimize")
+    val (touch, carry) = m.files.partition(f => f.min <= hi && f.max >= lo)
+    if (touch.isEmpty) return cur
+    val hitRows = col(m.statsCol).between(lo, hi) && residual
+    val base = spark.read.option("mergeSchema", "true")
+      .parquet(touch.map(f => s"$dir/${f.path}"): _*)
+    require(set.keySet.subsetOf(base.schema.fieldNames.toSet),
+      s"SET names ${set.keySet -- base.schema.fieldNames} not in the schema")
+    // ONE projection, not chained withColumn: every SET expression (and
+    // the hit predicate) must see the OLD row — SQL UPDATE semantics —
+    // even when one SET column references another, or statsCol itself
+    val updated = base.select(base.schema.fieldNames.map { c =>
+      set.get(c) match {
+        case Some(v) => when(hitRows, v).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    val carryPaths = carry.map(_.path).toSet
+    val carryBlooms =
+      m.blooms.filter { case ((p, _), _) => carryPaths.contains(p) }
+    commit(updated, dir, cur, m.statsCol, carry, nFiles, note, carryBlooms)
+  }
+
   /** OPTIMIZE as a COMMIT: rewrite the current snapshot into
     * `ceil(bytes / targetBytes)` range-clustered files and publish the
     * result as a new version — state-identical by construction (it is

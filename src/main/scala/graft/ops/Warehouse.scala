@@ -215,6 +215,31 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The DML-triad table, built once per (session, dir): v1 = orders
+    * state clustered on order_key, v2 = COW DELETE (drop 'F' orders in
+    * key range [200,399] — range selects files, residual refines), v3 =
+    * COW UPDATE (+10% price and verdict 'U' for 'O' orders in
+    * [600,899]). Each verb rewrites only the files its range touches;
+    * every prior state stays time-travelable — q134 reads v2, q135
+    * reads v3, both against oracles that recompute the same DML over
+    * raw orders. */
+  private[graft] def dmlOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#dml", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_dml_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          Snapshot.deleteWhere(s, dir, 200L, 399L, col("status") === "F")
+          Snapshot.updateWhere(s, dir, 600L, 899L,
+            Map("price" -> bump(col("price")).cast(DecimalType(21, 3)),
+                "verdict" -> lit("U")),
+            col("status") === "O")
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -343,6 +368,37 @@ object Warehouse extends QueryModule {
       agg(Snapshot.read(s, dir, v - 1), "pre")
         .unionAll(agg(Snapshot.read(s, dir, v), "post"))
         .orderBy(col("phase"), col("status"))
+    }),
+
+    "q134_delete_cow" -> ((s, d) => {
+      // COW DELETE as a committed version: v2 dropped the 'F' orders in
+      // key range [200,399], rewriting only range-touched files
+      // ([[Snapshot.deleteWhere]]; SnapshotSpec pins the carry counts).
+      // The query proves BOTH sides of the transactional story: the v2
+      // state reflects the delete exactly, and time travel still serves
+      // the undeleted v1 — emitted per status for each phase. Oracle =
+      // the same arithmetic over raw orders.
+      val dir = dmlOrders(s, d)
+      def agg(v: Int, phase: String): DataFrame =
+        Snapshot.read(s, dir, v)
+          .groupBy(lit(phase).as("phase"), col("status"))
+          .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+      agg(1, "pre").unionAll(agg(2, "post"))
+        .orderBy(col("phase"), col("status"))
+    }),
+
+    "q135_update_cow" -> ((s, d) => {
+      // COW UPDATE as a committed version: v3 bumped 'O' prices +10% in
+      // key range [600,899] and stamped their verdict lineage 'U' — SET
+      // expressions see the OLD row by construction
+      // ([[Snapshot.updateWhere]]'s single-projection semantics). The
+      // (status, verdict) breakdown makes both the touched and untouched
+      // populations visible; oracle recomputes the update over raw
+      // orders.
+      Snapshot.read(s, dmlOrders(s, d), 3)
+        .groupBy(col("status"), col("verdict"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("status"), col("verdict"))
     }),
 
     "q128_change_feed" -> ((s, d) => {
@@ -532,6 +588,43 @@ object Warehouse extends QueryModule {
 
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
+
+    "q134_delete_cow" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price,
+        |         o_orderkey AS k
+        |  FROM orders)
+        |SELECT 'pre' AS phase, status, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM st GROUP BY status
+        |UNION ALL
+        |SELECT 'post', status, count(*), CAST(sum(price) AS DOUBLE)
+        |FROM st
+        |WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F')
+        |GROUP BY status
+        |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q135_update_cow" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status, o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders
+        |  WHERE NOT (o_orderkey BETWEEN 200 AND 399 AND o_orderstatus = 'F')),
+        |up AS (
+        |  SELECT status,
+        |         CASE WHEN k BETWEEN 600 AND 899 AND status = 'O'
+        |              THEN 'U' ELSE 'K' END AS verdict,
+        |         CASE WHEN k BETWEEN 600 AND 899 AND status = 'O'
+        |              THEN CAST(price * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+        |              ELSE price END AS price
+        |  FROM st)
+        |SELECT status, verdict, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM up GROUP BY status, verdict
+        |ORDER BY status, verdict
+        |""".stripMargin,
 
     "q129_view_subscribe" -> viewOracle,
 

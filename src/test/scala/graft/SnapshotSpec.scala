@@ -1056,4 +1056,82 @@ class SnapshotSpec extends SparkSpec {
       .select("v").collect().map(_.getString(0)).toSeq
     assert(got == Seq("patched"))
   }
+
+  test("deleteWhere: narrow COW, residual refines, no-op commits nothing") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k") // 8 files x ~100 keys
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    // range [150,249] spans 2 files; residual keeps odd keys
+    Snapshot.deleteWhere(spark, dir, 150L, 249L, col("k") % 2 === 0)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    val carried = m2.files.map(_.path).toSet & m1.files.map(_.path).toSet
+    assert(carried.size == 6, s"2 touched files rewrite, 6 carry: $carried")
+    val want = (1 to 800).filterNot(k => k >= 150 && k <= 249 && k % 2 == 0)
+      .map(_.toLong).toSet
+    assert(state(dir).map(_._1) == want)
+    // v1 still serves the pre-delete state (time travel over DML)
+    assert(state(dir, 1).map(_._1) == (1 to 800).map(_.toLong).toSet)
+    // a range outside every file: NO-OP — no version, no empty commit
+    assert(Snapshot.deleteWhere(spark, dir, 5000L, 6000L) == 2)
+    assert(Snapshot.versions(spark, dir) == Seq(1, 2))
+  }
+
+  test("updateWhere: SET sees the OLD row; only touched files rewrite") {
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (1 to 400).map(k => (k.toLong, k.toLong * 10, k.toLong * 100))
+      .toDF("k", "a", "b")
+    Snapshot.commit(rows, dir, 0, "k", nFiles = 4)
+    // swap a and b in [50,149] — chained withColumn would make a==b
+    Snapshot.updateWhere(spark, dir, 50L, 149L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert((m2.files.map(_.path).toSet & m1.files.map(_.path).toSet).size == 2,
+      "range [50,149] touches 2 of 4 files")
+    Snapshot.read(spark, dir).collect().foreach { r =>
+      val (k, a, b) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (k >= 50 && k <= 149) assert(a == k * 100 && b == k * 10,
+        s"swap must read pre-update values at k=$k")
+      else assert(a == k * 10 && b == k * 100)
+    }
+    // updating statsCol itself recomputes stats honestly
+    Snapshot.updateWhere(spark, dir, 300L, 349L, Map("k" -> (col("k") + 1000L)))
+    val m3 = Snapshot.manifest(spark, dir, 3)
+    assert(m3.files.exists(_.max >= 1300L), "moved keys must widen file stats")
+    assert(Snapshot.read(spark, dir).filter(col("k") >= 1300L).count() == 50)
+    // unknown SET column fails loudly
+    intercept[IllegalArgumentException] {
+      Snapshot.updateWhere(spark, dir, 1L, 10L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("DML verbs refuse z-ordered layouts and carry bloom sidecars") {
+    import spark.implicits._
+    val dir = freshDir()
+    val rows = (1 to 800).map { k =>
+      (k.toLong, (k.toLong * 2654435761L) % 100000L, k.toLong % 50)
+    }.toDF("k", "h", "g")
+    Snapshot.commit(rows, dir, 0, "k", nFiles = 8)
+    Snapshot.optimizeBloom(spark, dir, "h")
+    val stamped = Snapshot.manifest(spark, dir, 2)
+    Snapshot.deleteWhere(spark, dir, 1L, 100L)
+    val m = Snapshot.manifest(spark, dir, 3)
+    val carried = m.files.map(_.path).toSet & stamped.files.map(_.path).toSet
+    assert(carried.size == 7, "delete of [1,100] rewrites 1 of 8 files")
+    assert(m.blooms.keySet == carried.map(p => (p, "h")),
+      "carried files keep sketches after DELETE; the rewritten one drops")
+    // z-ordered layout refuses both verbs
+    val zdir = freshDir()
+    val zrows = (1 to 400).map(k => (k.toLong, k.toLong % 20, k.toLong % 30))
+      .toDF("id", "a", "b")
+    Snapshot.commit(zrows, zdir, 0, "a", nFiles = 4)
+    Snapshot.optimizeZorder(spark, zdir, "a", "b", nFiles = 4)
+    intercept[IllegalArgumentException] {
+      Snapshot.deleteWhere(spark, zdir, 1L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.updateWhere(spark, zdir, 1L, 10L, Map("b" -> lit(0L)))
+    }
+  }
 }
