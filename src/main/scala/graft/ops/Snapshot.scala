@@ -718,6 +718,36 @@ object Snapshot {
       note = layoutNote)
   }
 
+  /** RESTORE — roll the table back to `toVersion` AS A NEW COMMIT: the
+    * new manifest simply references the target version's files (and
+    * their Bloom sidecars) — zero data movement, like Delta's RESTORE —
+    * so rollback of a bad merge/delete/update is one metadata publish
+    * regardless of table size, and the history stays monotone (the bad
+    * versions remain inspectable/time-travelable until retention drops
+    * them — an audit trail, not an erasure). A restore IS a data change
+    * (`restore:<v>` is not a maintenance note): [[changeFeed]] across it
+    * yields exactly the inverse of the undone changes by the same file-
+    * set arithmetic, and subscriptions (q133) apply the rollback as
+    * ordinary deltas. Restoring TO a z-ordered version is refused: the
+    * layout note cannot ride along (one note slot, and carrying it
+    * would make the restore masquerade as maintenance to the feed) —
+    * restore the pre-z version and re-run OPTIMIZE ZORDER. Only works
+    * within retention, like any time travel: an expired target fails on
+    * the manifest lookup with a clear error. Returns the new version;
+    * restoring to the current version is a no-op. */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val cur = currentVersion(spark, dir)
+    require(toVersion >= 1, s"cannot restore to v$toVersion")
+    if (toVersion == cur) return cur
+    val m = manifest(spark, dir, toVersion)
+    require(!m.note.startsWith("zorder"),
+      s"restore target v$toVersion is z-ordered (note='${m.note}') — " +
+        "restore the pre-z version and re-run OPTIMIZE ZORDER")
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = s"restore:$toVersion", blooms = m.blooms))
+    cur + 1
+  }
+
   /** Stamp per-file Bloom sidecars over `bloomCol` into a new manifest
     * version — OPTIMIZE for point lookups on a NON-clustering column.
     * No data file is written or rewritten: the commit is the manifest

@@ -240,6 +240,29 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
+    * history replayed into its own dir (v1 load → v2 delete → v3
+    * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
+    * by reference — the one-metadata-publish rollback of both DML
+    * commits, with v2/v3 still inspectable. */
+  private[graft] def restoreOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#restore", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_restore_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          Snapshot.deleteWhere(s, dir, 200L, 399L, col("status") === "F")
+          Snapshot.updateWhere(s, dir, 600L, 899L,
+            Map("price" -> bump(col("price")).cast(DecimalType(21, 3)),
+                "verdict" -> lit("U")),
+            col("status") === "O")
+          Snapshot.restore(s, dir, 1)
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -399,6 +422,24 @@ object Warehouse extends QueryModule {
         .groupBy(col("status"), col("verdict"))
         .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
         .orderBy(col("status"), col("verdict"))
+    }),
+
+    "q136_restore_version" -> ((s, d) => {
+      // RESTORE as a committed rollback: v4 references v1's files by
+      // manifest alone ([[Snapshot.restore]] — zero data movement), so
+      // the post-restore state must equal the original load EXACTLY
+      // while the undone delete+update remain time-travelable at v3.
+      // Both phases emitted: 'pre' = the damaged v3 (q135's state),
+      // 'post' = the restored current — the oracle recomputes each from
+      // raw orders, proving the rollback byte-exact and the audit trail
+      // intact.
+      val dir = restoreOrders(s, d)
+      def agg(v: Int, phase: String): DataFrame =
+        Snapshot.read(s, dir, v)
+          .groupBy(lit(phase).as("phase"), col("status"))
+          .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+      agg(3, "pre").unionAll(agg(4, "post"))
+        .orderBy(col("phase"), col("status"))
     }),
 
     "q128_change_feed" -> ((s, d) => {
@@ -603,6 +644,27 @@ object Warehouse extends QueryModule {
         |FROM st
         |WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F')
         |GROUP BY status
+        |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q136_restore_version" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status, o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |dml AS (
+        |  SELECT status,
+        |         CASE WHEN k BETWEEN 600 AND 899 AND status = 'O'
+        |              THEN CAST(price * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+        |              ELSE price END AS price
+        |  FROM st
+        |  WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F'))
+        |SELECT 'pre' AS phase, status, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM dml GROUP BY status
+        |UNION ALL
+        |SELECT 'post', status, count(*), CAST(sum(price) AS DOUBLE)
+        |FROM st GROUP BY status
         |ORDER BY phase, status
         |""".stripMargin,
 

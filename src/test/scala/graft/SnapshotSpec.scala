@@ -1134,4 +1134,39 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.updateWhere(spark, zdir, 1L, 10L, Map("b" -> lit(0L)))
     }
   }
+
+  test("restore: metadata-only rollback; feed inverts; z-target refused") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    Snapshot.deleteWhere(spark, dir, 100L, 199L)
+    val v1State = state(dir, 1)
+    assert(state(dir) != v1State)
+    val dataBefore = state(dir, 2)
+    val v = Snapshot.restore(spark, dir, 1)
+    assert(v == 3 && state(dir) == v1State, "restored state == original")
+    // zero data movement: v3 lists exactly v1's files by reference
+    assert(Snapshot.manifest(spark, dir, 3).files ==
+      Snapshot.manifest(spark, dir, 1).files)
+    // the undone version stays inspectable (audit, not erasure)
+    assert(state(dir, 2) == dataBefore)
+    // the change feed across the restore is the INVERSE of the delete:
+    // pure re-inserts of the dropped keys
+    val feed = Snapshot.changeFeed(spark, dir, 2, 3, "k").collect()
+    assert(feed.nonEmpty && feed.forall(_.getAs[String]("change_type") == "I"))
+    assert(feed.map(_.getAs[Long]("k")).sorted.toSeq ==
+      (100L to 199L).toSeq)
+    // no-op restore to current; z-ordered target refused
+    assert(Snapshot.restore(spark, dir, 3) == 3 &&
+      Snapshot.versions(spark, dir) == Seq(1, 2, 3))
+    import spark.implicits._
+    val zdir = freshDir()
+    Snapshot.commit((1 to 100).map(k => (k.toLong, k.toLong % 7))
+      .toDF("a", "b"), zdir, 0, "a", nFiles = 2)
+    Snapshot.optimizeZorder(spark, zdir, "a", "b", nFiles = 2)
+    Snapshot.commit((1 to 120).map(k => (k.toLong, k.toLong % 7))
+      .toDF("a", "b"), zdir, 2, "a", nFiles = 2)
+    intercept[IllegalArgumentException] {
+      Snapshot.restore(spark, zdir, 2) // the z-ordered version
+    }
+  }
 }

@@ -445,5 +445,11 @@ class StreamSpec extends SparkSpec {
     val before = Snapshot.versions(spark, view)
     tick()
     assert(Snapshot.versions(spark, view) == before)
+    // a RESTORE is a data change the subscription must apply like any
+    // other: rolling the upstream back to v1 drives the view back to
+    // the v1 aggregate through ordinary (inverse) deltas
+    Snapshot.restore(spark, up, 1)
+    tick()
+    assert(viewState() == recompute() && StreamOps.viewCursor(spark, view) == 6)
   }
 }
