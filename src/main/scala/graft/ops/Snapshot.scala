@@ -138,12 +138,30 @@ object Snapshot {
     * `blooms` are the per-file point-lookup sidecars, keyed
     * (file path, column) — stamped by [[optimizeBloom]], carried across
     * COW merges for untouched files (a bloom describes an immutable
-    * file, so carrying by path is sound), dropped for rewritten ones. */
+    * file, so carrying by path is sound), dropped for rewritten ones.
+    *
+    * `checks` are the table's CHECK constraints, (name, SQL predicate)
+    * — registered by [[addConstraint]], enforced on every subsequent
+    * commit's fresh data ([[commit]] folds violation counts into the
+    * stats pass, so enforcement costs no extra scan), carried from
+    * version to version. Carried files hold by INDUCTION: they were
+    * validated when written under the constraint, and addConstraint
+    * validates the whole table once at registration. SQL CHECK
+    * semantics: a NULL predicate result passes. */
   final case class Manifest(version: Int, statsCol: String,
                             files: Seq[FileEntry], note: String = "",
                             ts: Long = 0L,
                             blooms: Map[(String, String), BloomSketch] =
-                              Map.empty)
+                              Map.empty,
+                            checks: Seq[(String, String)] = Nil)
+
+  /** Thrown when a commit's fresh data violates a registered CHECK
+    * constraint (the batch's files are cleaned up; the table keeps its
+    * previous version — rejection is atomic). `counts` maps each
+    * violated constraint name to its violating-row count. */
+  final class CheckViolation(msg: String,
+                             val counts: Map[String, Long] = Map.empty)
+    extends IllegalArgumentException(msg)
 
   /** Thrown when a commit loses the optimistic-concurrency race or was
     * issued against a stale expected version. */
@@ -276,9 +294,14 @@ object Snapshot {
       s"malformed manifest $p")
     var ts = 0L
     val blooms = Map.newBuilder[(String, String), BloomSketch]
+    val checks = Seq.newBuilder[(String, String)]
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
+        case "c" =>
+          require(c.length == 3, s"malformed manifest check line in $p")
+          checks += ((c(1), c(2)))
+          None
         case "t" =>
           require(c.length == 2, s"malformed manifest time line in $p")
           ts = c(1).toLong
@@ -301,7 +324,8 @@ object Snapshot {
       }
     }
     Manifest(hdr(1).toInt, hdr(2), files,
-      if (hdr.length == 4) hdr(3) else "", ts, blooms.result())
+      if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
+      checks.result())
   }
 
   /** DESCRIBE HISTORY analog: one row per committed version — version,
@@ -383,22 +407,51 @@ object Snapshot {
     * exactly like writing a sorted table. The stats pass is ONE Spark
     * job over the files just written (group by input_file_name), never a
     * per-file loop of jobs. */
+  /** One CHECK's violation counter: SQL semantics — NULL passes. */
+  private def violations(sql: String): Column =
+    sum(when(coalesce(expr(sql), lit(true)), 0L).otherwise(1L))
+
+  /** Fail a constrained commit: remove the batch's files (the table's
+    * previous version is untouched — rejection is atomic) and report
+    * every violated check with its row count. */
+  private def rejectChecks(spark: SparkSession, dir: String, sub: String,
+                           bad: Seq[(String, String, Long)]): Nothing = {
+    fsOf(spark, dir).delete(new Path(s"$dir/$sub"), true)
+    throw new CheckViolation(
+      bad.map { case (n, sql, c) =>
+        s"CHECK '$n' ($sql): $c violating rows" }.mkString("; "),
+      bad.map { case (n, _, c) => n -> c }.toMap)
+  }
+
   private def writeDataFiles(df: DataFrame, dir: String, sub: String,
-                             statsCol: String, nFiles: Int): Seq[FileEntry] = {
+                             statsCol: String, nFiles: Int,
+                             checks: Seq[(String, String)] = Nil)
+      : Seq[FileEntry] = {
     val spark = df.sparkSession
     val out = s"$dir/$sub"
+    // CHECK enforcement rides the stats pass — violation counts are
+    // extra aggregate columns on jobs that run anyway, never a second
+    // scan of the batch
     if (nFiles == 1) {
       // single-file commit (micro-batches, narrow COW rewrites): the
       // file's stats ARE the frame's global min/max, so they ride the
       // write job itself as Observation metrics — no second stats job,
       // and coalesce(1) skips the range-partitioner's sampling job too
       val obs = new org.apache.spark.sql.Observation(s"snap_stats_$sub")
+      val obsCols = Seq(count(lit(1)).as("n"),
+        min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx")) ++
+        checks.zipWithIndex.map { case ((_, sql), i) =>
+          violations(sql).as(s"chk$i") }
       df.coalesce(1).sortWithinPartitions(col(statsCol))
-        .observe(obs, count(lit(1)).as("n"),
-          min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+        .observe(obs, obsCols.head, obsCols.tail: _*)
         .write.mode("overwrite").parquet(out)
       val row = obs.get
       if (row("n").asInstanceOf[Long] == 0L) return Seq.empty
+      val bad = checks.zipWithIndex
+        .map { case ((n, sql), i) =>
+          (n, sql, row(s"chk$i").asInstanceOf[Long]) }
+        .filter(_._3 > 0)
+      if (bad.nonEmpty) rejectChecks(spark, dir, sub, bad)
       val fs = fsOf(spark, dir)
       val parts = fs.listStatus(new Path(out))
         .map(_.getPath.getName)
@@ -410,10 +463,19 @@ object Snapshot {
       df.repartitionByRange(nFiles, col(statsCol))
         .sortWithinPartitions(col(statsCol))
         .write.mode("overwrite").parquet(out)
+      val aggCols = Seq(min(col(statsCol)).as("mn"),
+        max(col(statsCol)).as("mx")) ++
+        checks.zipWithIndex.map { case ((_, sql), i) =>
+          violations(sql).as(s"chk$i") }
       val stats = spark.read.parquet(out)
         .groupBy(input_file_name().as("f"))
-        .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+        .agg(aggCols.head, aggCols.tail: _*)
         .collect()
+      val bad = checks.zipWithIndex
+        .map { case ((n, sql), i) =>
+          (n, sql, stats.map(_.getAs[Long](s"chk$i")).sum) }
+        .filter(_._3 > 0)
+      if (bad.nonEmpty) rejectChecks(spark, dir, sub, bad)
       stats.toSeq.map { r =>
         val uri = r.getString(0)
         val i = uri.indexOf(s"/$sub/")
@@ -461,8 +523,13 @@ object Snapshot {
         val b64 = java.util.Base64.getEncoder.encodeToString(buf.array())
         s"b\t$p\t$c\t${b.mBits}\t${b.k}\t$b64"
       }
+    m.checks.foreach { case (n, sql) =>
+      require(!(n + sql).exists(c => c == '\t' || c == '\n'),
+        s"check constraint '$n' must be tab/newline-free") }
+    val checkLines = m.checks.map { case (n, sql) => s"c\t$n\t$sql" }
     val body = (Seq(hdr, tsLine) ++
-        m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++ bloomLines)
+        m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
+        checkLines ++ bloomLines)
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -500,9 +567,13 @@ object Snapshot {
         s"expected v$expectedVersion but table is at v$cur under $dir")
     val v = expectedVersion + 1
     val sub = s"data/c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
-    val fresh = writeDataFiles(df, dir, sub, statsCol, nFiles)
+    // CHECK constraints: enforce the current version's checks on the
+    // fresh data (inside the stats pass — no extra scan) and carry them
+    // forward; carried files hold by induction (validated when written)
+    val checks = if (cur > 0) manifest(spark, dir, cur).checks else Nil
+    val fresh = writeDataFiles(df, dir, sub, statsCol, nFiles, checks)
     val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note,
-      blooms = carriedBlooms)
+      blooms = carriedBlooms, checks = checks)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -718,6 +789,47 @@ object Snapshot {
       note = layoutNote)
   }
 
+  /** Register a CHECK constraint — the reference's DQ-gate idea (SURVEY
+    * A20) moved INTO the transactional table: `sql` is a boolean SQL
+    * predicate over the table's columns (SQL CHECK semantics — NULL
+    * passes); the EXISTING data is validated once here (one scan; any
+    * violation aborts with the count), then every subsequent commit
+    * enforces it on its fresh data inside the stats pass it already
+    * runs — a violating batch is rejected atomically ([[CheckViolation]];
+    * its files are cleaned up, the table keeps its version). Registration
+    * is a metadata-only maintenance commit (`constraint:add:<name>`) —
+    * the change feed ticks over it. At 100 TB: validation cost at
+    * registration is one read of the table; per-commit cost is extra
+    * aggregate columns on the batch-sized stats job, i.e. free. */
+  def addConstraint(spark: SparkSession, dir: String, name: String,
+                    sql: String): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"no table at $dir to constrain")
+    val m = manifest(spark, dir, cur)
+    require(!m.checks.exists(_._1 == name),
+      s"constraint '$name' already exists")
+    val bad = read(spark, dir, cur)
+      .filter(!coalesce(expr(sql), lit(true))).count()
+    if (bad > 0) throw new CheckViolation(
+      s"cannot add '$name': $bad existing rows violate ($sql)")
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = s"constraint:add:$name", blooms = m.blooms,
+      checks = m.checks :+ (name -> sql)))
+    cur + 1
+  }
+
+  /** Drop a CHECK constraint by name — metadata-only maintenance commit;
+    * fails if the name is unknown. */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Int = {
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    require(m.checks.exists(_._1 == name), s"no constraint named '$name'")
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = s"constraint:drop:$name", blooms = m.blooms,
+      checks = m.checks.filterNot(_._1 == name)))
+    cur + 1
+  }
+
   /** RESTORE — roll the table back to `toVersion` AS A NEW COMMIT: the
     * new manifest simply references the target version's files (and
     * their Bloom sidecars) — zero data movement, like Delta's RESTORE —
@@ -743,8 +855,10 @@ object Snapshot {
     require(!m.note.startsWith("zorder"),
       s"restore target v$toVersion is z-ordered (note='${m.note}') — " +
         "restore the pre-z version and re-run OPTIMIZE ZORDER")
+    // the restore is total: files, sidecars, AND the constraint set of
+    // the target version (a constraint added after it is rolled back too)
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = s"restore:$toVersion", blooms = m.blooms))
+      note = s"restore:$toVersion", blooms = m.blooms, checks = m.checks))
     cur + 1
   }
 
@@ -807,7 +921,7 @@ object Snapshot {
     val note =
       if (m.note.startsWith("zorder")) m.note else s"optimize:bloom:$bloomCol"
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = note, blooms = m.blooms ++ rel ++ empties))
+      note = note, blooms = m.blooms ++ rel ++ empties, checks = m.checks))
     cur + 1
   }
 
@@ -848,7 +962,8 @@ object Snapshot {
     * idempotency tokens must avoid these prefixes (enforced nowhere —
     * they are namespaced spellings no job tag would collide with). */
   private[graft] def isMaintenanceNote(n: String): Boolean =
-    n.startsWith("zorder") || n.startsWith("optimize:")
+    n.startsWith("zorder") || n.startsWith("optimize:") ||
+      n.startsWith("constraint:")
 
   /** Reclaim data directories no committed manifest references — the
     * debris of crashed or lost commits. Never touches a file any

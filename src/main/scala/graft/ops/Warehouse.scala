@@ -263,6 +263,27 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The CHECK-constrained table, built once per (session, dir): v1 =
+    * orders load, v2 = `ADD CONSTRAINT price_nonneg CHECK (price >= 0)`
+    * (validates the whole table once, metadata-only commit), v3 = q42's
+    * CDC batch merged WITH enforcement riding the commit's stats pass.
+    * The reference's DQ gate (SURVEY A20) moved into the table: from
+    * here no writer can land a negative price. */
+  private[graft] def checkedOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#checked", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_checked_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          Snapshot.addConstraint(s, dir, "price_nonneg", "price >= 0")
+          Snapshot.mergeCow(s, dir, ordersChanges(s, d), "k",
+            applyOrdersChanges)
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -422,6 +443,40 @@ object Warehouse extends QueryModule {
         .groupBy(col("status"), col("verdict"))
         .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
         .orderBy(col("status"), col("verdict"))
+    }),
+
+    "q137_check_constraint" -> ((s, d) => {
+      // CHECK CONSTRAINT at the transactional table — the reference's DQ
+      // gate (A20) made a property of the TABLE instead of one pipeline:
+      // the staged table carries `price >= 0`, a valid CDC batch merged
+      // through it normally ('state' rows ≡ q129's merged aggregate),
+      // and a poisoned batch (key%20==5 flipped negative) is REJECTED
+      // atomically — the engine's own violation count lands in the
+      // 'rejected' row and the state rows prove nothing leaked. Oracle
+      // recomputes both from raw orders.
+      val dir = checkedOrders(s, d)
+      val m5 = col("o_orderkey") % 20
+      val poison = T.orders(s, d).filter(m5 === 5).select(
+        col("o_orderkey").as("k"), lit("U").as("op"),
+        (-F.dec2(col("o_totalprice"))).cast(DecimalType(21, 3)).as("c_price"),
+        lit(null).cast("long").as("c_cust"),
+        lit(null).cast("string").as("c_status"))
+      val nViolating =
+        try {
+          Snapshot.mergeCow(s, dir, poison, "k", applyOrdersChanges)
+          -1L // unreachable: the commit must reject
+        } catch {
+          case e: Snapshot.CheckViolation => e.counts("price_nonneg")
+        }
+      Snapshot.read(s, dir)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .select(lit("state").as("phase"), col("status"), col("n"),
+          col("total"))
+        .unionAll(s.range(1).select(lit("rejected").as("phase"),
+          lit(null).cast("string").as("status"),
+          lit(nViolating).as("n"), lit(null).cast("double").as("total")))
+        .orderBy(col("phase"), col("status"))
     }),
 
     "q136_restore_version" -> ((s, d) => {
@@ -644,6 +699,37 @@ object Warehouse extends QueryModule {
         |FROM st
         |WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F')
         |GROUP BY status
+        |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q137_check_constraint" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
+        |              ELSE o_orderkey END AS k,
+        |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+        |              ELSE 'I' END AS op,
+        |         CASE WHEN o_orderkey % 20 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              WHEN o_orderkey % 20 = 2
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+        |         END AS c_price,
+        |         CASE WHEN o_orderkey % 20 = 2 THEN 'N' END AS c_status
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)),
+        |v2 AS (
+        |  SELECT coalesce(c_status, status) AS status,
+        |         coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS price
+        |  FROM base FULL JOIN ch ON base.k = ch.k
+        |  WHERE coalesce(op, 'K') <> 'D')
+        |SELECT 'state' AS phase, status, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM v2 GROUP BY status
+        |UNION ALL
+        |SELECT 'rejected', NULL,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 20 = 5),
+        |       NULL
         |ORDER BY phase, status
         |""".stripMargin,
 

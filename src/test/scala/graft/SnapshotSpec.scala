@@ -1169,4 +1169,63 @@ class SnapshotSpec extends SparkSpec {
       Snapshot.restore(spark, zdir, 2) // the z-ordered version
     }
   }
+
+  test("CHECK constraints: registration validates, commits enforce atomically") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    // registration validates existing data: a violated check cannot land
+    intercept[Snapshot.CheckViolation] {
+      Snapshot.addConstraint(spark, dir, "impossible", "k > 100")
+    }
+    assert(Snapshot.versions(spark, dir) == Seq(1))
+    val v2 = Snapshot.addConstraint(spark, dir, "verdict_known",
+      "verdict IN ('K','U','I')")
+    assert(v2 == 2 && Snapshot.isMaintenanceNote(
+      Snapshot.manifest(spark, dir, 2).note))
+    assert(Snapshot.manifest(spark, dir, 2).checks ==
+      Seq("verdict_known" -> "verdict IN ('K','U','I')"))
+    // a valid COW merge passes; enforcement rode its stats pass
+    Snapshot.mergeCow(spark, dir, Seq((42L, "U")).toDF("ck", "nv"), "ck",
+      (b, c) => b.join(c, b("k") === c("ck"), "left")
+        .select(col("k"), col("v"), coalesce(col("nv"), col("verdict"))
+          .as("verdict")))
+    assert(state(dir).exists(_ == ((42L, "val_42", "U"))))
+    // a violating merge is rejected ATOMICALLY: typed counts, no new
+    // version, no leaked data files (vacuum finds nothing to reclaim)
+    val before = Snapshot.versions(spark, dir)
+    val e = intercept[Snapshot.CheckViolation] {
+      Snapshot.mergeCow(spark, dir, Seq((10L, "X"), (11L, "X"), (700L, "X"))
+        .toDF("ck", "nv"), "ck",
+        (b, c) => b.join(c, b("k") === c("ck"), "left")
+          .select(col("k"), col("v"), coalesce(col("nv"), col("verdict"))
+            .as("verdict")))
+    }
+    assert(e.counts == Map("verdict_known" -> 3L))
+    assert(Snapshot.versions(spark, dir) == before)
+    assert(Snapshot.vacuum(spark, dir).isEmpty,
+      "rejected batch must clean up its own files")
+    // NULL passes (SQL CHECK semantics)
+    Snapshot.mergeCow(spark, dir, Seq((43L, null: String)).toDF("ck", "nv"),
+      "ck", (b, c) => b.join(c, b("k") === c("ck"), "left")
+        .select(col("k"), col("v"),
+          when(col("ck").isNotNull, lit(null).cast("string"))
+            .otherwise(col("verdict")).as("verdict")))
+    assert(state(dir).exists(t => t._1 == 43L && t._3 == null))
+    // drop lifts the rule; single-file commit path enforces too
+    Snapshot.dropConstraint(spark, dir, "verdict_known")
+    val vAfter = Snapshot.currentVersion(spark, dir)
+    Snapshot.commit(Seq((9999L, "x", "Z")).toDF("k", "v", "verdict"), dir,
+      vAfter, "k", carried = Snapshot.manifest(spark, dir, vAfter).files,
+      nFiles = 1)
+    val redir = freshDir()
+    Snapshot.commit(baseRows(), redir, 0, "k")
+    Snapshot.addConstraint(spark, redir, "no_z", "verdict <> 'Z'")
+    intercept[Snapshot.CheckViolation] {
+      Snapshot.commit(Seq((801L, "x", "Z")).toDF("k", "v", "verdict"),
+        redir, 2, "k", carried = Snapshot.manifest(spark, redir, 2).files,
+        nFiles = 1)
+    }
+    assert(Snapshot.currentVersion(spark, redir) == 2)
+  }
 }
