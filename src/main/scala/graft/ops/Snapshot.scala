@@ -171,6 +171,21 @@ object Snapshot {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** A path that must NOT be resolved against the table dir: rooted
+    * ("/...") or URI-schemed ("file:/...", "hdfs://...", "s3a://..." —
+    * table dirs themselves are often URIs, e.g. Spark's normalized
+    * warehouse.dir). */
+  private[graft] def isAbsolutePath(p: String): Boolean =
+    p.startsWith("/") || p.matches("[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
+  /** Resolve a manifest file entry to a readable location. Entries are
+    * normally RELATIVE to the table dir; a shallow CLONE
+    * ([[cloneShallow]]) publishes ABSOLUTE entries pointing into its
+    * source table — those pass through untouched, which is the whole
+    * zero-copy mechanism. */
+  private def dataPath(dir: String, p: String): String =
+    if (isAbsolutePath(p)) p else s"$dir/$p"
+
   private def manifestsDir(dir: String) = new Path(dir, "_manifests")
   private def manifestPath(dir: String, v: Int) =
     new Path(manifestsDir(dir), f"v$v%05d")
@@ -339,7 +354,7 @@ object Snapshot {
     val rows = commitClocks(spark, dir).map { case (v, ts) =>
       val m = manifest(spark, dir, v)
       val bytes = m.files.map(f =>
-        fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen).sum
+        fs.getFileStatus(new Path(dataPath(dir, f.path))).getLen).sum
       (v, ts, m.note, m.files.size, bytes)
     }
     import spark.implicits._
@@ -376,7 +391,7 @@ object Snapshot {
     // as NULL, incompatible type changes still fail loudly. Costs one
     // footer read per distinct file schema at planning.
     spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+      .parquet(m.files.map(f => dataPath(dir, f.path)): _*)
   }
 
   /** Stats-pruned read: only files whose [min,max] range on the stats
@@ -395,7 +410,7 @@ object Snapshot {
     require(hit.nonEmpty, s"no snapshot file overlaps [$lo,$hi] — " +
       "empty-result reads need a schema source; read() and filter instead")
     spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => s"$dir/${f.path}"): _*)
+      .parquet(hit.map(f => dataPath(dir, f.path)): _*)
       .filter(col(m.statsCol).between(lo, hi))
   }
 
@@ -664,7 +679,7 @@ object Snapshot {
         // no file overlaps any change key (pure out-of-range inserts):
         // the base side of the merge is empty, with the snapshot's schema
         read(spark, dir, cur).limit(0)
-      else spark.read.parquet(rewrite.map(f => s"$dir/${f.path}"): _*)
+      else spark.read.parquet(rewrite.map(f => dataPath(dir, f.path)): _*)
     // carried files keep their bloom sidecars (immutable file ⇒ the
     // sketch stays true); rewritten files drop theirs — re-stamp with
     // [[optimizeBloom]] when the merge churn warrants it
@@ -703,7 +718,7 @@ object Snapshot {
     val (touch, carry) = m.files.partition(f => f.min <= hi && f.max >= lo)
     if (touch.isEmpty) return cur
     val kept = spark.read.option("mergeSchema", "true")
-      .parquet(touch.map(f => s"$dir/${f.path}"): _*)
+      .parquet(touch.map(f => dataPath(dir, f.path)): _*)
       .filter(!(col(m.statsCol).between(lo, hi) && residual))
     val carryPaths = carry.map(_.path).toSet
     val carryBlooms =
@@ -734,7 +749,7 @@ object Snapshot {
     if (touch.isEmpty) return cur
     val hitRows = col(m.statsCol).between(lo, hi) && residual
     val base = spark.read.option("mergeSchema", "true")
-      .parquet(touch.map(f => s"$dir/${f.path}"): _*)
+      .parquet(touch.map(f => dataPath(dir, f.path)): _*)
     require(set.keySet.subsetOf(base.schema.fieldNames.toSet),
       s"SET names ${set.keySet -- base.schema.fieldNames} not in the schema")
     // ONE projection, not chained withColumn: every SET expression (and
@@ -771,7 +786,7 @@ object Snapshot {
     val m = manifest(spark, dir, cur)
     val fs = fsOf(spark, dir)
     val bytes = m.files.map(f =>
-      fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen).sum
+      fs.getFileStatus(new Path(dataPath(dir, f.path))).getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // LAYOUT metadata must survive compaction: the z-order families keep
     // their axis-scaling constants in the manifest note, and the rewrite
@@ -862,6 +877,47 @@ object Snapshot {
     cur + 1
   }
 
+  /** Shallow CLONE — fork the source table's current version into a new
+    * table dir by METADATA alone: the clone's v1 manifest lists the
+    * source's data files as ABSOLUTE references (plus their Bloom
+    * sidecars and CHECK constraints), so cloning a 100 TB table costs
+    * one manifest write (Delta's CLONE semantics). From there the two
+    * tables DIVERGE copy-on-write: a merge/delete/update against the
+    * clone rewrites only its touched files INTO THE CLONE's dir (fresh
+    * files are relative, carried source refs stay absolute), the source
+    * is never written, and the clone's vacuum never reclaims source
+    * data (absolute entries are invisible to it — spec-pinned). The
+    * sandbox-and-experiment primitive: test a risky migration against
+    * production data with zero copy and zero risk.
+    *
+    * Caveat (shared with Delta shallow clones): the source's OWN
+    * retention (expireVersions/vacuum) does not know about clones — a
+    * source vacuum that reclaims files a clone still references breaks
+    * the clone. Keep source retention longer than clone lifetimes, or
+    * deep-copy (compactVersion on the clone rewrites every referenced
+    * byte into the clone, severing the dependency). Z-ordered sources
+    * carry their layout note so box serving works on the clone;
+    * otherwise the note records the provenance. */
+  def cloneShallow(spark: SparkSession, srcDir: String,
+                   dstDir: String): Int = {
+    require(currentVersion(spark, dstDir) == 0,
+      s"clone target $dstDir already has committed versions")
+    val src = currentVersion(spark, srcDir)
+    require(src > 0, s"no table at $srcDir to clone")
+    val m = manifest(spark, srcDir, src)
+    // absolutize source refs; already-absolute ones (cloning a clone)
+    // pass through — they point at the ORIGINAL data either way
+    val files = m.files.map(f => f.copy(path = dataPath(srcDir, f.path)))
+    val blooms = m.blooms.map { case ((p, c), b) =>
+      (dataPath(srcDir, p), c) -> b }
+    val note =
+      if (m.note.startsWith("zorder")) m.note else s"clone:$srcDir@v$src"
+    publish(spark, dstDir,
+      Manifest(1, m.statsCol, files, note, blooms = blooms,
+        checks = m.checks))
+    1
+  }
+
   /** Stamp per-file Bloom sidecars over `bloomCol` into a new manifest
     * version — OPTIMIZE for point lookups on a NON-clustering column.
     * No data file is written or rewritten: the commit is the manifest
@@ -907,7 +963,12 @@ object Snapshot {
       }
       .collect()
     val rel = perFile.map { case (uri, bits) =>
-      val p = paths.find(p => uri.endsWith(s"/$p")).getOrElse(
+      val p = paths.find { p =>
+          // input_file_name is a file: URI; strip any scheme from an
+          // absolute entry before suffix-matching
+          val tail = if (isAbsolutePath(p)) p.dropWhile(_ != '/') else s"/$p"
+          uri.endsWith(tail)
+        }.getOrElse(
         throw new IllegalStateException(s"unmapped data file $uri"))
       (p, bloomCol) -> BloomSketch(mBits, k, bits)
     }.toMap
@@ -943,7 +1004,7 @@ object Snapshot {
     val hit = m.files.filter(f => keys.exists(key => mayContain(m, f, pointCol, key)))
     if (hit.isEmpty) read(spark, dir, v).limit(0)
     else spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => s"$dir/${f.path}"): _*)
+      .parquet(hit.map(f => dataPath(dir, f.path)): _*)
       .filter(col(pointCol).isin(keys: _*))
   }
 
@@ -973,8 +1034,12 @@ object Snapshot {
     val fs = fsOf(spark, dir)
     val dataDir = new Path(dir, "data")
     if (!fs.exists(dataDir)) return Seq.empty
+    // absolute entries (a shallow clone's source references) live
+    // outside this table's data/ and neither protect nor match local
+    // dirs — only relative entries pin local data
     val live = versions(spark, dir)
       .flatMap(v => manifest(spark, dir, v).files)
+      .filterNot(f => isAbsolutePath(f.path))
       .map(_.path.split('/')(1)).toSet
     val all = fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName)
@@ -1225,7 +1290,7 @@ object Snapshot {
       val own = m.files.filterNot(f => shared.contains(f.path))
       if (own.isEmpty) None
       else Some(spark.read.option("mergeSchema", "true")
-        .parquet(own.map(f => s"$dir/${f.path}"): _*))
+        .parquet(own.map(f => dataPath(dir, f.path)): _*))
     }
     val schema = read(spark, dir, v2).schema
     val cols = schema.map(_.name)
@@ -1597,7 +1662,7 @@ object Snapshot {
     require(hit.nonEmpty, s"no snapshot file overlaps the box — " +
       "empty-result reads need a schema source; read() and filter instead")
     spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => s"$dir/${f.path}"): _*)
+      .parquet(hit.map(f => dataPath(dir, f.path)): _*)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi) &&
               col(cCol).between(cLo, cHi))
   }
@@ -1639,7 +1704,7 @@ object Snapshot {
     require(hit.nonEmpty, s"no snapshot file overlaps the box — " +
       "empty-result reads need a schema source; read() and filter instead")
     spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => s"$dir/${f.path}"): _*)
+      .parquet(hit.map(f => dataPath(dir, f.path)): _*)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi))
   }
 }

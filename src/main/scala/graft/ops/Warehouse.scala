@@ -284,6 +284,31 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The shallow-clone pair, built once per (session, dir): source = v1
+    * orders load; clone = `Snapshot.cloneShallow` (one manifest write,
+    * zero data copy) with q42's CDC batch then merged INTO THE CLONE —
+    * the two tables diverge copy-on-write while the source is never
+    * written. Returns (srcDir, cloneDir). */
+  private[graft] def clonedOrders(s: SparkSession, d: String)
+      : (String, String) =
+    synchronized {
+      val pair = snapCache
+        .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#clone", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val src = s"$wh/graft_snap_csrc_$sfx"
+          val dst = s"$wh/graft_snap_cdst_$sfx"
+          Snapshot.commit(ordersInitState(s, d), src, 0, "order_key")
+          Snapshot.cloneShallow(s, src, dst)
+          Snapshot.mergeCow(s, dst, ordersChanges(s, d), "k",
+            applyOrdersChanges)
+          s"$src;$dst"
+        })
+      val Array(a, b) = pair.split(';')
+      (a, b)
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -443,6 +468,25 @@ object Warehouse extends QueryModule {
         .groupBy(col("status"), col("verdict"))
         .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
         .orderBy(col("status"), col("verdict"))
+    }),
+
+    "q138_clone_cow" -> ((s, d) => {
+      // SHALLOW CLONE diverging copy-on-write: the clone was forked from
+      // the v1 source by one manifest write (absolute file references —
+      // zero bytes copied) and q42's CDC batch merged into IT alone.
+      // The query reads both tables side by side: the clone answers with
+      // the merged state, the source with the untouched original — the
+      // zero-risk sandbox the clone exists for. Oracle recomputes both
+      // from raw orders; SnapshotSpec pins the structural halves (source
+      // versions unchanged, clone vacuum reclaims nothing, deep-copy
+      // severance).
+      val (srcDir, cloneDir) = clonedOrders(s, d)
+      def agg(dir: String, phase: String): DataFrame =
+        Snapshot.read(s, dir)
+          .groupBy(lit(phase).as("phase"), col("status"))
+          .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+      agg(cloneDir, "clone").unionAll(agg(srcDir, "source"))
+        .orderBy(col("phase"), col("status"))
     }),
 
     "q137_check_constraint" -> ((s, d) => {
@@ -699,6 +743,37 @@ object Warehouse extends QueryModule {
         |FROM st
         |WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F')
         |GROUP BY status
+        |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q138_clone_cow" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
+        |              ELSE o_orderkey END AS k,
+        |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+        |              ELSE 'I' END AS op,
+        |         CASE WHEN o_orderkey % 20 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              WHEN o_orderkey % 20 = 2
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+        |         END AS c_price,
+        |         CASE WHEN o_orderkey % 20 = 2 THEN 'N' END AS c_status
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2)),
+        |v2 AS (
+        |  SELECT coalesce(c_status, status) AS status,
+        |         coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS price
+        |  FROM base FULL JOIN ch ON base.k = ch.k
+        |  WHERE coalesce(op, 'K') <> 'D')
+        |SELECT 'clone' AS phase, status, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM v2 GROUP BY status
+        |UNION ALL
+        |SELECT 'source', o_orderstatus, count(*),
+        |       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))) AS DOUBLE)
+        |FROM orders GROUP BY o_orderstatus
         |ORDER BY phase, status
         |""".stripMargin,
 

@@ -1228,4 +1228,58 @@ class SnapshotSpec extends SparkSpec {
     }
     assert(Snapshot.currentVersion(spark, redir) == 2)
   }
+
+  test("shallow clone: zero-copy fork, COW divergence, source untouched") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_clone").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    Snapshot.commit(baseRows(), src, 0, "k")
+    Snapshot.optimizeBloom(spark, src, "k") // sidecars must ride the clone
+    Snapshot.addConstraint(spark, src, "verdict_known", "verdict = 'K'")
+    assert(Snapshot.cloneShallow(spark, src, dst) == 1)
+    val cm = Snapshot.manifest(spark, dst, 1)
+    // pure metadata: every entry is an absolute ref into src; no bytes
+    // under dst/data; sidecars and constraints carried
+    assert(cm.files.forall(_.path.startsWith(s"$src/")))
+    assert(!new java.io.File(s"$dst/data").exists())
+    assert(cm.blooms.nonEmpty &&
+      cm.blooms.keySet.forall(_._1.startsWith(s"$src/")))
+    assert(cm.checks == Seq("verdict_known" -> "verdict = 'K'"))
+    assert(state(dst) == state(src))
+    // COW divergence: a narrow merge into the CLONE rewrites one file
+    // into dst, carries the rest as source refs; the SOURCE never moves
+    val srcVersionsBefore = Snapshot.versions(spark, src)
+    Snapshot.mergeCow(spark, dst, Seq((42L, "K")).toDF("ck", "nv"), "ck",
+      (b, c) => b.join(c, b("k") === c("ck"), "left")
+        .select(col("k"), when(col("nv").isNotNull, "patched")
+          .otherwise(col("v")).as("v"), col("verdict")), nFiles = 1)
+    val m2 = Snapshot.manifest(spark, dst, 2)
+    assert(m2.files.count(_.path.startsWith(s"$src/")) == 7 &&
+      m2.files.count(!_.path.startsWith("/")) == 1,
+      "1 rewritten file lands in the clone, 7 stay source refs")
+    assert(Snapshot.versions(spark, src) == srcVersionsBefore &&
+      state(src) == baseRows().collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet,
+      "the source must be untouched by the clone's merge")
+    assert(state(dst).exists(_ == ((42L, "patched", "K"))))
+    // the clone's constraint still enforces (inherited governance)
+    intercept[Snapshot.CheckViolation] {
+      Snapshot.mergeCow(spark, dst, Seq((43L, "X")).toDF("ck", "nv"), "ck",
+        (b, c) => b.join(c, b("k") === c("ck"), "left")
+          .select(col("k"), col("v"),
+            coalesce(col("nv"), col("verdict")).as("verdict")))
+    }
+    // clone vacuum reclaims nothing of the source
+    assert(Snapshot.vacuum(spark, dst).isEmpty)
+    // deep-copy severance: compaction rewrites every referenced byte
+    // into the clone — no absolute refs remain, source now expendable
+    Snapshot.compactVersion(spark, dst, 128L << 20)
+    val m3 = Snapshot.manifest(spark, dst, Snapshot.currentVersion(spark, dst))
+    assert(m3.files.forall(!_.path.startsWith("/")))
+    assert(state(dst).exists(_ == ((42L, "patched", "K"))))
+    // cloning onto an existing table is refused
+    intercept[IllegalArgumentException] {
+      Snapshot.cloneShallow(spark, src, dst)
+    }
+  }
 }
