@@ -74,6 +74,46 @@ object ScaleProbe {
       f""""lossless_rowcount_equal":$lossless}"""
   }
 
+  /** Bloom point-index probe at ×mult rows: a table clustered on a
+    * LOW-CARDINALITY key (so every file's range on the point column
+    * spans ~the whole id domain — min/max prunes nothing), probed by 20
+    * present + 5 absent ids, with and without the sidecars. Measures
+    * candidate-file counts, the optimize pass cost, and the wall-clock
+    * of readPoints vs a full-scan IN filter. Deterministic values. */
+  private def bloomDuel(spark: SparkSession, out: String, mult: Int): String = {
+    import org.apache.spark.sql.functions._
+    val n = mult * 150000L
+    val h = pmod(col("id") * lit(2654435761L), lit(1L << 31))
+    val df = spark.range(n).select(col("id"), pmod(h, lit(1000L)).as("c"),
+      (col("id") * 7).as("payload"))
+    val dir = s"$out/bloomduel"
+    ops.Snapshot.commit(df, dir, 0, "c", nFiles = 64)
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (_, tOpt) = timed(ops.Snapshot.optimizeBloom(spark, dir, "id"))
+    val m = ops.Snapshot.manifest(spark, dir,
+      ops.Snapshot.currentVersion(spark, dir))
+    val present = (1 to 20).map(i => (i * 79993L) % n)
+    val absent = (1 to 5).map(i => n + i * 1000L)
+    val keys = present ++ absent
+    def candidates(ks: Seq[Long]): Int =
+      m.files.count(f => ks.exists(k =>
+        ops.Snapshot.mayContain(m, f, "id", k)))
+    val withBloom = candidates(keys)
+    val absentOnly = candidates(absent)
+    val (nPoint, tPoint) = timed(
+      ops.Snapshot.readPoints(spark, dir, "id", keys).count())
+    val (nFull, tFull) = timed(
+      ops.Snapshot.read(spark, dir).filter(col("id").isin(keys: _*)).count())
+    f"""{"bloom_duel":$mult,"rows":$n,"files":64,""" +
+      f""""candidate_files":{"bloom":$withBloom,"minmax_only":64,""" +
+      f""""absent_keys":$absentOnly},""" +
+      f""""optimize_sec":$tOpt%.3f,""" +
+      f""""probe_sec":{"read_points":$tPoint%.3f,"full_filter":$tFull%.3f},""" +
+      f""""exact":${nPoint == nFull && nPoint == present.distinct.size}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
@@ -95,6 +135,9 @@ object ScaleProbe {
     // z-order normalization duel under Zipf skew (the q127 family's scale
     // probe, round 12). Self-synthesized — runnable alone without the ×N
     // fixture build: `runMain graft.ScaleProbe 10 zorder`.
+    if (args.lift(1).contains("bloom")) {
+      println(bloomDuel(spark, out, mult)); spark.stop(); return
+    }
     println(zorderDuel(spark, out, mult))
     if (args.lift(1).contains("zorder")) { spark.stop(); return }
 

@@ -927,18 +927,26 @@ object Snapshot {
     * is ONE distributed job: every file's rows shuffle by file name and
     * fold into a `mBits`-bit array per file (executors see raw bit
     * arrays, the driver collects nFiles × mBits/8 bytes — manifest-scale
-    * metadata, like the stats pass). Sizing rule at scale: for ~1% false
-    * positives keep mBits ≥ 10 × rows-per-file (the standard m/n ≈ 9.6,
-    * k = 7 operating point); the default 2^16 bits = 8 KiB per file
-    * covers the row counts a well-compacted file holds at the repo's
-    * target file sizes. Re-run after compaction or heavy COW churn —
+    * metadata, like the stats pass).
+    *
+    * SIZING IS AUTOMATIC (mBits = 0, the default): a saturated filter
+    * prunes nothing, so the sketch is sized from the table's ACTUAL
+    * mean rows-per-file at ~16 bits/key (next power of two; the ×10
+    * probe caught the fixed 2^16 default answering 64/64 candidate
+    * files at 23k rows/file), and k from the resulting bits/key ratio
+    * (ln 2 optimum, capped at 8 probes). Floor 2^13 (1 KiB), ceiling
+    * 2^23 (1 MiB/file) — past ~500k rows/file the right tool is
+    * parquet's own row-group bloom filters inside the file, not a
+    * manifest sidecar; the ceiling degrades fpp gracefully instead of
+    * bloating the manifest. The count that drives sizing is parquet
+    * metadata-only. Re-run after compaction or heavy COW churn —
     * rewritten files carry no sketch and simply stop pruning (never
     * wrong, just unskipped). Returns the committed version. */
   def optimizeBloom(spark: SparkSession, dir: String, bloomCol: String,
-                    mBits: Int = 1 << 16, k: Int = 6): Int = {
-    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
-      s"mBits must be a power of two >= 64, got $mBits")
-    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+                    mBits: Int = 0, k: Int = 0): Int = {
+    require(mBits == 0 || (mBits >= 64 && (mBits & (mBits - 1)) == 0),
+      s"mBits must be 0 (auto) or a power of two >= 64, got $mBits")
+    require(k >= 0 && k <= 16, s"k must be 0 (auto) or in [1,16], got $k")
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
     val paths = m.files.map(_.path)
@@ -948,9 +956,27 @@ object Snapshot {
       s"bloom column must be integral (the stats-column contract), " +
         s"got $dt for $bloomCol")
     import spark.implicits._
-    val words = mBits / 64
+    val locations = paths.map(p => dataPath(dir, p))
+    // auto-sizing: mean rows/file from a metadata-only parquet count;
+    // a fixed size saturates on big files and a saturated filter prunes
+    // nothing (the ×10 probe's finding)
+    val rows = spark.read.option("mergeSchema", "true")
+      .parquet(locations: _*).count()
+    val avg = math.max(1L, rows / math.max(1, paths.size))
+    val useBits =
+      if (mBits > 0) mBits
+      else {
+        val want = 16L * avg
+        val p2 = java.lang.Long.highestOneBit(math.max(1L, want - 1)) * 2
+        math.min(1L << 23, math.max(1L << 13, p2)).toInt
+      }
+    val useK =
+      if (k > 0) k
+      else math.max(1, math.min(8,
+        math.round(useBits.toDouble / avg * 0.693).toInt))
+    val words = useBits / 64
     val perFile = spark.read.option("mergeSchema", "true")
-      .parquet(paths.map(p => s"$dir/$p"): _*)
+      .parquet(locations: _*)
       .select(input_file_name().as("f"),
         col(bloomCol).cast("long").as("key"))
       .filter(col("key").isNotNull) // a NULL never equals a point key
@@ -958,7 +984,7 @@ object Snapshot {
       .groupByKey(_._1)
       .mapGroups { (f, it) =>
         val bits = new Array[Long](words)
-        it.foreach { case (_, key) => BloomSketch.add(bits, mBits, k, key) }
+        it.foreach { case (_, key) => BloomSketch.add(bits, useBits, useK, key) }
         (f, bits)
       }
       .collect()
@@ -970,12 +996,12 @@ object Snapshot {
           uri.endsWith(tail)
         }.getOrElse(
         throw new IllegalStateException(s"unmapped data file $uri"))
-      (p, bloomCol) -> BloomSketch(mBits, k, bits)
+      (p, bloomCol) -> BloomSketch(useBits, useK, bits)
     }.toMap
     // files with no rows produce no group: give them an empty (all-zero)
     // sketch so absent keys still prune them
     val empties = paths.filterNot(p => rel.contains((p, bloomCol)))
-      .map(p => (p, bloomCol) -> BloomSketch(mBits, k, new Array[Long](words)))
+      .map(p => (p, bloomCol) -> BloomSketch(useBits, useK, new Array[Long](words)))
     // LAYOUT notes survive (compactVersion's discipline): a z-ordered
     // table keeps its axis constants so box serving stays live; either
     // spelling reads as maintenance to changeFeed
