@@ -150,6 +150,31 @@ object Relational extends QueryModule {
   // ---- queries -----------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_recursive_cte" -> ((s, d) => {
+      // RECURSIVE CTE (transitive closure): walk key chains k → k+17
+      // from every 64-aligned anchor, 3 steps deep — Spark 4's native
+      // WITH RECURSIVE (the UnionLoop operator, SPARK-24497), which
+      // plans the fixpoint as iterated joins exactly like this repo's
+      // own q79/q83 loops, but declared in SQL. Each iteration's
+      // frontier joins orders on its (pre-shuffled) key — at 100 TB the
+      // frontier is anchor-sized, never table-sized, and the recursion
+      // depth bounds the plan. Oracle = the identical recursion in
+      // DuckDB.
+      T.orders(s, d).select(col("o_orderkey"))
+        .createOrReplaceTempView("rcte_orders")
+      s.sql("""
+        WITH RECURSIVE chain AS (
+          SELECT o_orderkey AS k, o_orderkey AS root, 0 AS depth
+          FROM rcte_orders WHERE o_orderkey % 64 = 0
+          UNION ALL
+          SELECT o.o_orderkey, c.root, c.depth + 1
+          FROM rcte_orders o JOIN chain c ON o.o_orderkey = c.k + 17
+          WHERE c.depth < 3
+        )
+        SELECT root, count(*) AS n, CAST(max(depth) AS BIGINT) AS maxd
+        FROM chain GROUP BY root ORDER BY root""")
+    }),
+
     "q01_scan_project" -> ((s, d) =>
       T.lineitem(s, d).select(
         col("l_orderkey").as("order_id"),
@@ -1218,6 +1243,19 @@ object Relational extends QueryModule {
     "q41_limit_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q139_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT o_orderkey AS k, o_orderkey AS root, 0 AS depth
+        |  FROM orders WHERE o_orderkey % 64 = 0
+        |  UNION ALL
+        |  SELECT o.o_orderkey, c.root, c.depth + 1
+        |  FROM orders o JOIN chain c ON o.o_orderkey = c.k + 17
+        |  WHERE c.depth < 3
+        |)
+        |SELECT root, count(*) AS n, CAST(max(depth) AS BIGINT) AS maxd
+        |FROM chain GROUP BY root ORDER BY root
+        |""".stripMargin,
 
     "q45_union_all" ->
       """SELECT * FROM (
