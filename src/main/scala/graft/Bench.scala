@@ -33,7 +33,9 @@ object Bench {
         "q120_dedup_inc_index", "q121_sim_ivf_adc",
         "q123_dedup_inc_append", "q124_merge_versioned",
         "q127_zorder_box", "q130_zorder3_box",
-        "q131_optimize_compact", "q132_bloom_point").foreach { w =>
+        "q131_optimize_compact", "q132_bloom_point", "q134_delete_cow",
+        "q136_restore_version", "q137_check_constraint",
+        "q138_clone_cow").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }
