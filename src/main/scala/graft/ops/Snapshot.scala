@@ -572,9 +572,7 @@ object Snapshot {
     * orphans). Returns the committed version. */
   def commit(df: DataFrame, dir: String, expectedVersion: Int,
              statsCol: String, carried: Seq[FileEntry] = Nil,
-             nFiles: Int = 8, note: String = "",
-             carriedBlooms: Map[(String, String), BloomSketch] = Map.empty)
-      : Int = {
+             nFiles: Int = 8, note: String = ""): Int = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, dir)
     if (cur != expectedVersion)
@@ -582,13 +580,21 @@ object Snapshot {
         s"expected v$expectedVersion but table is at v$cur under $dir")
     val v = expectedVersion + 1
     val sub = s"data/c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val prior = if (cur > 0) Some(manifest(spark, dir, cur)) else None
     // CHECK constraints: enforce the current version's checks on the
     // fresh data (inside the stats pass — no extra scan) and carry them
     // forward; carried files hold by induction (validated when written)
-    val checks = if (cur > 0) manifest(spark, dir, cur).checks else Nil
+    val checks = prior.map(_.checks).getOrElse(Nil)
     val fresh = writeDataFiles(df, dir, sub, statsCol, nFiles, checks)
+    // Bloom sidecars carry AUTOMATICALLY for carried files (a sketch
+    // describes an immutable file, so carrying by path is always sound;
+    // making callers thread them through lost sketches silently) —
+    // rewritten files drop theirs until the next optimizeBloom
+    val carryPaths = carried.map(_.path).toSet
+    val carryBlooms = prior.map(_.blooms.filter {
+      case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
     val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note,
-      blooms = carriedBlooms, checks = checks)
+      blooms = carryBlooms, checks = checks)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -680,14 +686,7 @@ object Snapshot {
         // the base side of the merge is empty, with the snapshot's schema
         read(spark, dir, cur).limit(0)
       else spark.read.parquet(rewrite.map(f => dataPath(dir, f.path)): _*)
-    // carried files keep their bloom sidecars (immutable file ⇒ the
-    // sketch stays true); rewritten files drop theirs — re-stamp with
-    // [[optimizeBloom]] when the merge churn warrants it
-    val carryPaths = carry.map(_.path).toSet
-    val carryBlooms =
-      m.blooms.filter { case ((p, _), _) => carryPaths.contains(p) }
-    commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles, note,
-      carryBlooms)
+    commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles, note)
   }
 
   /** COW DELETE — the DML verb next to [[mergeCow]]'s MERGE: remove the
@@ -717,13 +716,15 @@ object Snapshot {
         "key-clustered version and re-optimize")
     val (touch, carry) = m.files.partition(f => f.min <= hi && f.max >= lo)
     if (touch.isEmpty) return cur
+    // SQL DELETE semantics: remove only rows where the predicate is
+    // TRUE — a NULL residual must KEEP its row (without the coalesce,
+    // !(range && NULL) is NULL and the filter would silently delete it;
+    // updateWhere's when() already has this right)
     val kept = spark.read.option("mergeSchema", "true")
       .parquet(touch.map(f => dataPath(dir, f.path)): _*)
-      .filter(!(col(m.statsCol).between(lo, hi) && residual))
-    val carryPaths = carry.map(_.path).toSet
-    val carryBlooms =
-      m.blooms.filter { case ((p, _), _) => carryPaths.contains(p) }
-    commit(kept, dir, cur, m.statsCol, carry, nFiles, note, carryBlooms)
+      .filter(!coalesce(col(m.statsCol).between(lo, hi) && residual,
+        lit(false)))
+    commit(kept, dir, cur, m.statsCol, carry, nFiles, note)
   }
 
   /** COW UPDATE — SET columns where `statsCol BETWEEN lo AND hi` AND
@@ -761,10 +762,7 @@ object Snapshot {
         case None => col(c)
       }
     }: _*)
-    val carryPaths = carry.map(_.path).toSet
-    val carryBlooms =
-      m.blooms.filter { case ((p, _), _) => carryPaths.contains(p) }
-    commit(updated, dir, cur, m.statsCol, carry, nFiles, note, carryBlooms)
+    commit(updated, dir, cur, m.statsCol, carry, nFiles, note)
   }
 
   /** OPTIMIZE as a COMMIT: rewrite the current snapshot into
@@ -905,11 +903,17 @@ object Snapshot {
     val src = currentVersion(spark, srcDir)
     require(src > 0, s"no table at $srcDir to clone")
     val m = manifest(spark, srcDir, src)
+    // qualify the source first: a RELATIVE srcDir (cwd-resolved, fine
+    // for every same-table operation) would absolutize into entries
+    // that are neither absolute nor clone-relative — unreadable from
+    // the clone and miscounted by its vacuum
+    val qualifiedSrc = fsOf(spark, srcDir)
+      .makeQualified(new Path(srcDir)).toString
     // absolutize source refs; already-absolute ones (cloning a clone)
     // pass through — they point at the ORIGINAL data either way
-    val files = m.files.map(f => f.copy(path = dataPath(srcDir, f.path)))
+    val files = m.files.map(f => f.copy(path = dataPath(qualifiedSrc, f.path)))
     val blooms = m.blooms.map { case ((p, c), b) =>
-      (dataPath(srcDir, p), c) -> b }
+      (dataPath(qualifiedSrc, p), c) -> b }
     val note =
       if (m.note.startsWith("zorder")) m.note else s"clone:$srcDir@v$src"
     publish(spark, dstDir,

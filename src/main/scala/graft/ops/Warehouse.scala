@@ -223,6 +223,21 @@ object Warehouse extends QueryModule {
     * every prior state stays time-travelable — q134 reads v2, q135
     * reads v3, both against oracles that recompute the same DML over
     * raw orders. */
+  /** The three-commit DML history q134/q135/q136 (and their oracles)
+    * all encode — ONE definition so the staged tables cannot diverge
+    * from each other or from the oracle SQL: v1 load, v2 delete 'F'
+    * orders in [200,399], v3 update 'O' orders in [600,899] (+10%
+    * price, verdict 'U'). */
+  private def buildDmlHistory(s: SparkSession, d: String,
+                              dir: String): Unit = {
+    Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+    Snapshot.deleteWhere(s, dir, 200L, 399L, col("status") === "F")
+    Snapshot.updateWhere(s, dir, 600L, 899L,
+      Map("price" -> bump(col("price")).cast(DecimalType(21, 3)),
+          "verdict" -> lit("U")),
+      col("status") === "O")
+  }
+
   private[graft] def dmlOrders(s: SparkSession, d: String): String =
     synchronized {
       snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
@@ -230,12 +245,7 @@ object Warehouse extends QueryModule {
           val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
           val dir = s.conf.get("spark.sql.warehouse.dir") +
             s"/graft_snap_dml_$sfx"
-          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
-          Snapshot.deleteWhere(s, dir, 200L, 399L, col("status") === "F")
-          Snapshot.updateWhere(s, dir, 600L, 899L,
-            Map("price" -> bump(col("price")).cast(DecimalType(21, 3)),
-                "verdict" -> lit("U")),
-            col("status") === "O")
+          buildDmlHistory(s, d, dir)
           dir
         })
     }
@@ -252,12 +262,7 @@ object Warehouse extends QueryModule {
           val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
           val dir = s.conf.get("spark.sql.warehouse.dir") +
             s"/graft_snap_restore_$sfx"
-          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
-          Snapshot.deleteWhere(s, dir, 200L, 399L, col("status") === "F")
-          Snapshot.updateWhere(s, dir, 600L, 899L,
-            Map("price" -> bump(col("price")).cast(DecimalType(21, 3)),
-                "verdict" -> lit("U")),
-            col("status") === "O")
+          buildDmlHistory(s, d, dir)
           Snapshot.restore(s, dir, 1)
           dir
         })

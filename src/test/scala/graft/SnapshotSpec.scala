@@ -1074,6 +1074,16 @@ class SnapshotSpec extends SparkSpec {
     // a range outside every file: NO-OP — no version, no empty commit
     assert(Snapshot.deleteWhere(spark, dir, 5000L, 6000L) == 2)
     assert(Snapshot.versions(spark, dir) == Seq(1, 2))
+    // SQL DELETE three-valued logic: a NULL residual KEEPS its row —
+    // only predicate-TRUE rows delete (the !(range && NULL) = NULL trap)
+    import spark.implicits._
+    val ndir = freshDir()
+    Snapshot.commit(Seq((1L, "F"), (2L, null: String), (3L, "O"))
+      .toDF("k", "st"), ndir, 0, "k", nFiles = 1)
+    Snapshot.deleteWhere(spark, ndir, 1L, 3L, col("st") === "F")
+    assert(Snapshot.read(spark, ndir).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L),
+      "the NULL-status row must survive a status='F' delete")
   }
 
   test("updateWhere: SET sees the OLD row; only touched files rewrite") {
@@ -1238,12 +1248,13 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.addConstraint(spark, src, "verdict_known", "verdict = 'K'")
     assert(Snapshot.cloneShallow(spark, src, dst) == 1)
     val cm = Snapshot.manifest(spark, dst, 1)
-    // pure metadata: every entry is an absolute ref into src; no bytes
-    // under dst/data; sidecars and constraints carried
-    assert(cm.files.forall(_.path.startsWith(s"$src/")))
+    // pure metadata: every entry is an absolute (qualified-URI) ref into
+    // src; no bytes under dst/data; sidecars and constraints carried
+    assert(cm.files.forall(f =>
+      Snapshot.isAbsolutePath(f.path) && f.path.contains(s"$src/")))
     assert(!new java.io.File(s"$dst/data").exists())
     assert(cm.blooms.nonEmpty &&
-      cm.blooms.keySet.forall(_._1.startsWith(s"$src/")))
+      cm.blooms.keySet.forall(_._1.contains(s"$src/")))
     assert(cm.checks == Seq("verdict_known" -> "verdict = 'K'"))
     assert(state(dst) == state(src))
     // COW divergence: a narrow merge into the CLONE rewrites one file
@@ -1254,8 +1265,8 @@ class SnapshotSpec extends SparkSpec {
         .select(col("k"), when(col("nv").isNotNull, "patched")
           .otherwise(col("v")).as("v"), col("verdict")), nFiles = 1)
     val m2 = Snapshot.manifest(spark, dst, 2)
-    assert(m2.files.count(_.path.startsWith(s"$src/")) == 7 &&
-      m2.files.count(!_.path.startsWith("/")) == 1,
+    assert(m2.files.count(_.path.contains(s"$src/")) == 7 &&
+      m2.files.count(f => !Snapshot.isAbsolutePath(f.path)) == 1,
       "1 rewritten file lands in the clone, 7 stay source refs")
     assert(Snapshot.versions(spark, src) == srcVersionsBefore &&
       state(src) == baseRows().collect()
@@ -1275,7 +1286,7 @@ class SnapshotSpec extends SparkSpec {
     // into the clone — no absolute refs remain, source now expendable
     Snapshot.compactVersion(spark, dst, 128L << 20)
     val m3 = Snapshot.manifest(spark, dst, Snapshot.currentVersion(spark, dst))
-    assert(m3.files.forall(!_.path.startsWith("/")))
+    assert(m3.files.forall(f => !Snapshot.isAbsolutePath(f.path)))
     assert(state(dst).exists(_ == ((42L, "patched", "K"))))
     // cloning onto an existing table is refused
     intercept[IllegalArgumentException] {
