@@ -17,6 +17,12 @@ Test / fork := true
 // shared SparkSession.
 Test / testForkedParallel := false
 run / fork := true
+// Forked `run` output goes through sbt's logger by default, which
+// prefixes every line with "[info] " — that decoration breaks any
+// consumer that expects the program's bare stdout (the bench harness
+// parses the one-line JSON the Bench main prints). StdoutOutput pipes
+// the forked process's stdout straight through, undecorated.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

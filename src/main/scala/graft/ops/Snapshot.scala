@@ -92,6 +92,18 @@ object Snapshot {
       }
       true
     }
+
+    // case-class equality over an Array field is reference identity —
+    // structurally identical sketches (and any Manifest holding them)
+    // would compare unequal, a trap for manifest/idempotency comparison.
+    // Compare the bits by content.
+    override def equals(o: Any): Boolean = o match {
+      case b: BloomSketch => mBits == b.mBits && k == b.k &&
+        java.util.Arrays.equals(bits, b.bits)
+      case _ => false
+    }
+    override def hashCode: Int =
+      (mBits, k, java.util.Arrays.hashCode(bits)).##
   }
 
   object BloomSketch {
@@ -148,12 +160,32 @@ object Snapshot {
     * validated when written under the constraint, and addConstraint
     * validates the whole table once at registration. SQL CHECK
     * semantics: a NULL predicate result passes. */
+  /** `addedCols` is the table's DECLARED SCHEMA EVOLUTION: columns added
+    * after creation by [[addColumn]] as (name, Spark DDL type) pairs, in
+    * addition order — the additive drift class (`Ingest.readEvolved`'s
+    * contract) made transactional. Readers append any declared column
+    * the scanned files lack as a typed NULL (old files never rewrite);
+    * writers must supply every declared column ([[commit]] validates);
+    * versions BEFORE the evolution keep their narrow schema because
+    * their manifests carry no `s` lines — time travel reads the schema
+    * of its day.
+    *
+    * `colStats` are OPTIONAL per-column (min,max) file stats beyond the
+    * clustering column, keyed (file path, column) like `blooms` —
+    * stamped by [[optimizeStats]], carried across COW merges for
+    * untouched files, dropped for rewritten ones (degraded-not-wrong:
+    * an unstamped file is always a scan candidate). They let a range
+    * predicate on a SECOND column prune files without z-ordering
+    * ([[readPrunedCols]]). */
   final case class Manifest(version: Int, statsCol: String,
                             files: Seq[FileEntry], note: String = "",
                             ts: Long = 0L,
                             blooms: Map[(String, String), BloomSketch] =
                               Map.empty,
-                            checks: Seq[(String, String)] = Nil)
+                            checks: Seq[(String, String)] = Nil,
+                            addedCols: Seq[(String, String)] = Nil,
+                            colStats: Map[(String, String), (Long, Long)] =
+                              Map.empty)
 
   /** Thrown when a commit's fresh data violates a registered CHECK
     * constraint (the batch's files are cleaned up; the table keeps its
@@ -310,6 +342,8 @@ object Snapshot {
     var ts = 0L
     val blooms = Map.newBuilder[(String, String), BloomSketch]
     val checks = Seq.newBuilder[(String, String)]
+    val added = Seq.newBuilder[(String, String)]
+    val colStats = Map.newBuilder[(String, String), (Long, Long)]
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
@@ -334,13 +368,32 @@ object Snapshot {
           blooms += ((c(1), c(2)) ->
             BloomSketch(c(3).toInt, c(4).toInt, words))
           None
+        case "s" =>
+          require(c.length == 3, s"malformed manifest schema line in $p")
+          added += ((c(1), c(2)))
+          None
+        case "m" =>
+          require(c.length == 5, s"malformed manifest col-stats line in $p")
+          colStats += ((c(1), c(2)) -> (c(3).toLong, c(4).toLong))
+          None
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
     }
     Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
-      checks.result())
+      checks.result(), added.result(), colStats.result())
+  }
+
+  /** Size of one manifest entry's data file, resolving the FILESYSTEM
+    * per entry: a shallow clone's absolute references may live on a
+    * different scheme than the clone dir itself (a local clone of an
+    * s3a:// table — a case [[isAbsolutePath]] explicitly supports),
+    * where the table-dir FileSystem would throw "Wrong FS". */
+  private def entryLen(spark: SparkSession, dir: String, p: String): Long = {
+    val path = new Path(dataPath(dir, p))
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(path).getLen
   }
 
   /** DESCRIBE HISTORY analog: one row per committed version — version,
@@ -350,11 +403,9 @@ object Snapshot {
     * side manifest arithmetic sized by version count, not data; returned
     * as a DataFrame so it composes with SQL like any other source. */
   def history(spark: SparkSession, dir: String): DataFrame = {
-    val fs = fsOf(spark, dir)
     val rows = commitClocks(spark, dir).map { case (v, ts) =>
       val m = manifest(spark, dir, v)
-      val bytes = m.files.map(f =>
-        fs.getFileStatus(new Path(dataPath(dir, f.path))).getLen).sum
+      val bytes = m.files.map(f => entryLen(spark, dir, f.path)).sum
       (v, ts, m.note, m.files.size, bytes)
     }
     import spark.implicits._
@@ -369,15 +420,45 @@ object Snapshot {
     * `RETAIN <interval>` analog of the count-based [[expireVersions]];
     * time travel keeps working within what remains. Returns the expired
     * version numbers. */
-  def expireOlderThan(spark: SparkSession, dir: String,
-                      cutoffMs: Long): Seq[Int] = {
+  def expireOlderThan(spark: SparkSession, dir: String, cutoffMs: Long,
+                      vacuumGraceMs: Long = DefaultVacuumGraceMs)
+      : Seq[Int] = {
     val fs = fsOf(spark, dir)
     val dead = commitClocks(spark, dir).dropRight(1)
       .filter(_._2 < cutoffMs).map(_._1)
     dead.foreach(v => fs.delete(manifestPath(dir, v), false))
-    vacuum(spark, dir)
+    vacuum(spark, dir, vacuumGraceMs)
     dead
   }
+
+  /** Append every DECLARED evolved column ([[Manifest.addedCols]]) the
+    * scanned files physically lack, as a typed NULL — old data files are
+    * never rewritten by [[addColumn]], and until the first post-evolution
+    * commit no file carries the column at all, so parquet schema merging
+    * alone cannot surface it. Case-insensitive presence check (SQL name
+    * semantics, the reference's fold-to-lowercase discipline). */
+  private def withAddedCols(df: DataFrame, m: Manifest): DataFrame = {
+    val have = df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    m.addedCols.foldLeft(df) { case (acc, (n, t)) =>
+      if (have.contains(n.toLowerCase(java.util.Locale.ROOT))) acc
+      else acc.withColumn(n,
+        lit(null).cast(org.apache.spark.sql.types.DataType.fromDDL(t)))
+    }
+  }
+
+  /** The one physical-read path every manifest-resolved scan goes
+    * through: mergeSchema parquet over the given entries, conformed to
+    * the manifest's declared schema evolution. */
+  private def readEntries(spark: SparkSession, dir: String, m: Manifest,
+                          entries: Seq[FileEntry]): DataFrame =
+    // mergeSchema: a COW commit may carry old-schema files next to new
+    // ones after an ADDITIVE column change (the only safe drift class —
+    // Ingest.readEvolved's contract); carried files read the new column
+    // as NULL, incompatible type changes still fail loudly. Costs one
+    // footer read per distinct file schema at planning.
+    withAddedCols(
+      spark.read.option("mergeSchema", "true")
+        .parquet(entries.map(f => dataPath(dir, f.path)): _*), m)
 
   /** Read a snapshot (default: latest). The scan's file list comes from
     * the manifest alone — a data directory with no published manifest is
@@ -385,13 +466,7 @@ object Snapshot {
   def read(spark: SparkSession, dir: String, version: Int = 0): DataFrame = {
     val v = if (version > 0) version else currentVersion(spark, dir)
     val m = manifest(spark, dir, v)
-    // mergeSchema: a COW commit may carry old-schema files next to new
-    // ones after an ADDITIVE column change (the only safe drift class —
-    // Ingest.readEvolved's contract); carried files read the new column
-    // as NULL, incompatible type changes still fail loudly. Costs one
-    // footer read per distinct file schema at planning.
-    spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => dataPath(dir, f.path)): _*)
+    readEntries(spark, dir, m, m.files)
   }
 
   /** Stats-pruned read: only files whose [min,max] range on the stats
@@ -409,10 +484,47 @@ object Snapshot {
     val hit = m.files.filter(f => f.min <= hi && f.max >= lo)
     require(hit.nonEmpty, s"no snapshot file overlaps [$lo,$hi] — " +
       "empty-result reads need a schema source; read() and filter instead")
-    spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => dataPath(dir, f.path)): _*)
+    readEntries(spark, dir, m, hit)
       .filter(col(m.statsCol).between(lo, hi))
   }
+
+  /** Multi-column stats-pruned read: only files whose per-column
+    * [min,max] ranges overlap EVERY requested range reach the scan —
+    * the clustering column prunes from the manifest's primary stats,
+    * any other column from its [[optimizeStats]] sidecar stats, and a
+    * file with no stats for a column stays a candidate (pruning
+    * degrades to reading, never to a wrong answer). The exact
+    * conjunction applies as a residual. This is the 2-col-conjunction
+    * path between single-column clustering and a full z-order rewrite:
+    * at 100 TB a secondary-column range predicate on a date-clustered
+    * table prunes at file level from manifest arithmetic alone, no
+    * layout rewrite needed — file-level SELECTIVITY on the secondary
+    * column depends on how correlated it is with the clustering order
+    * (z-order remains the answer when it is not). */
+  def readPrunedCols(spark: SparkSession, dir: String,
+                     ranges: Seq[(String, Long, Long)],
+                     version: Int = 0): DataFrame = {
+    require(ranges.nonEmpty, "readPrunedCols needs at least one range")
+    val v = if (version > 0) version else currentVersion(spark, dir)
+    val m = manifest(spark, dir, v)
+    val hit = candidateFilesCols(m, ranges)
+    val residual = ranges.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)
+    if (hit.isEmpty) read(spark, dir, v).limit(0).filter(residual)
+    else readEntries(spark, dir, m, hit).filter(residual)
+  }
+
+  /** The per-file candidacy test [[readPrunedCols]] plans with — split
+    * out so specs can pin the pruned file set without running a scan. */
+  private[graft] def candidateFilesCols(m: Manifest,
+                                        ranges: Seq[(String, Long, Long)])
+      : Seq[FileEntry] =
+    m.files.filter(f => ranges.forall { case (c, lo, hi) =>
+      val primary = c != m.statsCol || (f.min <= hi && f.max >= lo)
+      val secondary = m.colStats.get((f.path, c))
+        .forall { case (mn, mx) => mn <= hi && mx >= lo }
+      primary && secondary
+    })
 
   /** Write `df` as the data files of a prospective commit and return the
     * manifest entries (paths relative to `dir`, min/max of `statsCol`).
@@ -542,9 +654,19 @@ object Snapshot {
       require(!(n + sql).exists(c => c == '\t' || c == '\n'),
         s"check constraint '$n' must be tab/newline-free") }
     val checkLines = m.checks.map { case (n, sql) => s"c\t$n\t$sql" }
+    m.addedCols.foreach { case (n, t) =>
+      require(!(n + t).exists(c => c == '\t' || c == '\n'),
+        s"evolved column '$n' must be tab/newline-free") }
+    val schemaLines = m.addedCols.map { case (n, t) => s"s\t$n\t$t" }
+    // per-column stats sidecars: same carry discipline as blooms — only
+    // for files this manifest actually lists, sorted for determinism
+    val statLines = m.colStats.toSeq
+      .filter { case ((p, _), _) => listed.contains(p) }
+      .sortBy { case ((p, c), _) => (p, c) }
+      .map { case ((p, c), (mn, mx)) => s"m\t$p\t$c\t$mn\t$mx" }
     val body = (Seq(hdr, tsLine) ++
         m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
-        checkLines ++ bloomLines)
+        schemaLines ++ checkLines ++ statLines ++ bloomLines)
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -557,7 +679,32 @@ object Snapshot {
         throw new SnapshotConflict(
           s"v${m.version} was committed concurrently under $dir")
       }
-      require(fs.rename(tmp, dst), s"manifest publish failed for $dst")
+      if ("file".equalsIgnoreCase(fs.getScheme)) {
+        // Local FS: Hadoop's rename bottoms out in POSIX rename(2),
+        // which silently OVERWRITES an existing destination — two
+        // PROCESSES racing past the exists-check would both "succeed"
+        // and one manifest would be lost. link(2) is the POSIX atomic
+        // create-exclusive: hard-link the fully-written tmp to the
+        // final name; exactly one racer wins, the loser gets EEXIST
+        // and aborts as a conflict (cross-process one-winner is
+        // PipelineSpec-raced across two JVMs). HDFS-class filesystems
+        // get the same guarantee from rename's own no-overwrite
+        // contract on the branch below.
+        val lp = java.nio.file.Paths.get(
+          fs.makeQualified(dst).toUri.getPath)
+        val sp = java.nio.file.Paths.get(
+          fs.makeQualified(tmp).toUri.getPath)
+        try java.nio.file.Files.createLink(lp, sp)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            fs.delete(tmp, false)
+            throw new SnapshotConflict(
+              s"v${m.version} was committed concurrently under $dir")
+        }
+        fs.delete(tmp, false)
+      } else {
+        require(fs.rename(tmp, dst), s"manifest publish failed for $dst")
+      }
     }
   }
 
@@ -585,16 +732,31 @@ object Snapshot {
     // fresh data (inside the stats pass — no extra scan) and carry them
     // forward; carried files hold by induction (validated when written)
     val checks = prior.map(_.checks).getOrElse(Nil)
+    // schema evolution: declared columns carry forward, and the WRITER
+    // must supply every one (the declared-schema validation half of
+    // addColumn's contract — NULL-filled is fine; frames obtained
+    // through Snapshot.read pick declared columns up automatically, so
+    // the DML verbs conform by construction)
+    val addedCols = prior.map(_.addedCols).getOrElse(Nil)
+    addedCols.foreach { case (n, t) =>
+      require(df.columns.exists(_.equalsIgnoreCase(n)),
+        s"commit is missing declared column '$n' ($t): writers must " +
+          "carry every evolved column (NULL-filled is fine)")
+    }
     val fresh = writeDataFiles(df, dir, sub, statsCol, nFiles, checks)
-    // Bloom sidecars carry AUTOMATICALLY for carried files (a sketch
-    // describes an immutable file, so carrying by path is always sound;
-    // making callers thread them through lost sketches silently) —
-    // rewritten files drop theirs until the next optimizeBloom
+    // Bloom and col-stats sidecars carry AUTOMATICALLY for carried files
+    // (a sidecar describes an immutable file, so carrying by path is
+    // always sound; making callers thread them through lost sketches
+    // silently) — rewritten files drop theirs until the next
+    // optimizeBloom / optimizeStats
     val carryPaths = carried.map(_.path).toSet
     val carryBlooms = prior.map(_.blooms.filter {
       case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
+    val carryStats = prior.map(_.colStats.filter {
+      case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
     val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note,
-      blooms = carryBlooms, checks = checks)
+      blooms = carryBlooms, checks = checks, addedCols = addedCols,
+      colStats = carryStats)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -635,13 +797,14 @@ object Snapshot {
     * the retention window; compaction/commit never delete, so without
     * expiry a table's storage is its entire history). The current
     * version is always kept. Returns the expired version numbers. */
-  def expireVersions(spark: SparkSession, dir: String, keep: Int): Seq[Int] = {
+  def expireVersions(spark: SparkSession, dir: String, keep: Int,
+                     vacuumGraceMs: Long = DefaultVacuumGraceMs): Seq[Int] = {
     require(keep >= 1, "must keep at least the current version")
     val fs = fsOf(spark, dir)
     val vs = versions(spark, dir)
     val dead = vs.dropRight(keep)
     dead.foreach(v => fs.delete(manifestPath(dir, v), false))
-    vacuum(spark, dir)
+    vacuum(spark, dir, vacuumGraceMs)
     dead
   }
 
@@ -685,7 +848,7 @@ object Snapshot {
         // no file overlaps any change key (pure out-of-range inserts):
         // the base side of the merge is empty, with the snapshot's schema
         read(spark, dir, cur).limit(0)
-      else spark.read.parquet(rewrite.map(f => dataPath(dir, f.path)): _*)
+      else readEntries(spark, dir, m, rewrite)
     commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles, note)
   }
 
@@ -720,8 +883,7 @@ object Snapshot {
     // TRUE — a NULL residual must KEEP its row (without the coalesce,
     // !(range && NULL) is NULL and the filter would silently delete it;
     // updateWhere's when() already has this right)
-    val kept = spark.read.option("mergeSchema", "true")
-      .parquet(touch.map(f => dataPath(dir, f.path)): _*)
+    val kept = readEntries(spark, dir, m, touch)
       .filter(!coalesce(col(m.statsCol).between(lo, hi) && residual,
         lit(false)))
     commit(kept, dir, cur, m.statsCol, carry, nFiles, note)
@@ -749,8 +911,7 @@ object Snapshot {
     val (touch, carry) = m.files.partition(f => f.min <= hi && f.max >= lo)
     if (touch.isEmpty) return cur
     val hitRows = col(m.statsCol).between(lo, hi) && residual
-    val base = spark.read.option("mergeSchema", "true")
-      .parquet(touch.map(f => dataPath(dir, f.path)): _*)
+    val base = readEntries(spark, dir, m, touch)
     require(set.keySet.subsetOf(base.schema.fieldNames.toSet),
       s"SET names ${set.keySet -- base.schema.fieldNames} not in the schema")
     // ONE projection, not chained withColumn: every SET expression (and
@@ -782,9 +943,7 @@ object Snapshot {
                      targetBytes: Long): Int = {
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
-    val fs = fsOf(spark, dir)
-    val bytes = m.files.map(f =>
-      fs.getFileStatus(new Path(dataPath(dir, f.path))).getLen).sum
+    val bytes = m.files.map(f => entryLen(spark, dir, f.path)).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     // LAYOUT metadata must survive compaction: the z-order families keep
     // their axis-scaling constants in the manifest note, and the rewrite
@@ -824,10 +983,14 @@ object Snapshot {
     val bad = read(spark, dir, cur)
       .filter(!coalesce(expr(sql), lit(true))).count()
     if (bad > 0) throw new CheckViolation(
-      s"cannot add '$name': $bad existing rows violate ($sql)")
+      s"cannot add '$name': $bad existing rows violate ($sql)",
+      // counts populated like every commit-path rejection, so callers
+      // can uniformly do e.counts(name)
+      Map(name -> bad))
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"constraint:add:$name", blooms = m.blooms,
-      checks = m.checks :+ (name -> sql)))
+      checks = m.checks :+ (name -> sql), addedCols = m.addedCols,
+      colStats = m.colStats))
     cur + 1
   }
 
@@ -839,7 +1002,42 @@ object Snapshot {
     require(m.checks.exists(_._1 == name), s"no constraint named '$name'")
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"constraint:drop:$name", blooms = m.blooms,
-      checks = m.checks.filterNot(_._1 == name)))
+      checks = m.checks.filterNot(_._1 == name), addedCols = m.addedCols,
+      colStats = m.colStats))
+    cur + 1
+  }
+
+  /** SCHEMA EVOLUTION as a commit — ALTER TABLE ADD COLUMN for the
+    * snapshot table, the one additive drift class that is safe at scale
+    * ([[Ingest.readEvolved]]'s contract, made transactional): a
+    * metadata-only maintenance commit records (`name`, `typeDdl`) in the
+    * manifest; NO data file is touched at any table size. From then on
+    * every read (plain, pruned, point, box, DML base, change feed)
+    * surfaces the column — existing files as typed NULLs, post-evolution
+    * files with their written values side by side — and every commit
+    * validates that its writer supplies it. Constraints may reference
+    * the new column (NULL passes, SQL CHECK semantics). Versions BEFORE
+    * the evolution keep their narrow schema (their manifests carry no
+    * declaration) — time travel reads the schema of its day, and a
+    * RESTORE to a pre-evolution version rolls the declaration back with
+    * the data. Dropping or retyping columns is refused by construction:
+    * only additions are expressible, because anything else would change
+    * what already-written files mean. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+                typeDdl: String): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"no table at $dir to evolve")
+    val m = manifest(spark, dir, cur)
+    // validates the DDL up front: bad type strings fail here, not at
+    // first read
+    org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val existing = read(spark, dir, cur).schema.fieldNames
+    require(!existing.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists in the snapshot schema")
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = s"schema:add:$name", blooms = m.blooms, checks = m.checks,
+      addedCols = m.addedCols :+ (name -> typeDdl),
+      colStats = m.colStats))
     cur + 1
   }
 
@@ -868,10 +1066,12 @@ object Snapshot {
     require(!m.note.startsWith("zorder"),
       s"restore target v$toVersion is z-ordered (note='${m.note}') — " +
         "restore the pre-z version and re-run OPTIMIZE ZORDER")
-    // the restore is total: files, sidecars, AND the constraint set of
-    // the target version (a constraint added after it is rolled back too)
+    // the restore is total: files, sidecars, the constraint set AND the
+    // declared schema of the target version (a constraint or column
+    // added after it is rolled back too)
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = s"restore:$toVersion", blooms = m.blooms, checks = m.checks))
+      note = s"restore:$toVersion", blooms = m.blooms, checks = m.checks,
+      addedCols = m.addedCols, colStats = m.colStats))
     cur + 1
   }
 
@@ -914,11 +1114,13 @@ object Snapshot {
     val files = m.files.map(f => f.copy(path = dataPath(qualifiedSrc, f.path)))
     val blooms = m.blooms.map { case ((p, c), b) =>
       (dataPath(qualifiedSrc, p), c) -> b }
+    val colStats = m.colStats.map { case ((p, c), s) =>
+      (dataPath(qualifiedSrc, p), c) -> s }
     val note =
       if (m.note.startsWith("zorder")) m.note else s"clone:$srcDir@v$src"
     publish(spark, dstDir,
       Manifest(1, m.statsCol, files, note, blooms = blooms,
-        checks = m.checks))
+        checks = m.checks, addedCols = m.addedCols, colStats = colStats))
     1
   }
 
@@ -993,14 +1195,7 @@ object Snapshot {
       }
       .collect()
     val rel = perFile.map { case (uri, bits) =>
-      val p = paths.find { p =>
-          // input_file_name is a file: URI; strip any scheme from an
-          // absolute entry before suffix-matching
-          val tail = if (isAbsolutePath(p)) p.dropWhile(_ != '/') else s"/$p"
-          uri.endsWith(tail)
-        }.getOrElse(
-        throw new IllegalStateException(s"unmapped data file $uri"))
-      (p, bloomCol) -> BloomSketch(useBits, useK, bits)
+      (entryOfUri(paths, uri), bloomCol) -> BloomSketch(useBits, useK, bits)
     }.toMap
     // files with no rows produce no group: give them an empty (all-zero)
     // sketch so absent keys still prune them
@@ -1012,7 +1207,71 @@ object Snapshot {
     val note =
       if (m.note.startsWith("zorder")) m.note else s"optimize:bloom:$bloomCol"
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = note, blooms = m.blooms ++ rel ++ empties, checks = m.checks))
+      note = note, blooms = m.blooms ++ rel ++ empties, checks = m.checks,
+      addedCols = m.addedCols, colStats = m.colStats))
+    cur + 1
+  }
+
+  /** Map an `input_file_name()` URI back to its manifest entry path —
+    * input_file_name is a `file:`-style URI; strip any scheme from an
+    * absolute entry before suffix-matching. */
+  private def entryOfUri(paths: Seq[String], uri: String): String =
+    paths.find { p =>
+      val tail = if (isAbsolutePath(p)) p.dropWhile(_ != '/') else s"/$p"
+      uri.endsWith(tail)
+    }.getOrElse(throw new IllegalStateException(s"unmapped data file $uri"))
+
+  /** Stamp per-file (min,max) stats for ADDITIONAL integral columns into
+    * a new manifest version — OPTIMIZE for range predicates on columns
+    * the clustering order does not serve. Manifest-only maintenance
+    * commit ([[changeFeed]] skips it), like [[optimizeBloom]]: one
+    * distributed pass computes per-file min/max for every named column
+    * (group by file — the stats pass [[writeDataFiles]] runs for the
+    * clustering column, replayed for the extras), and [[readPrunedCols]]
+    * then prunes a multi-column conjunction at PLANNING time. A file
+    * where a column is entirely NULL (or physically absent — an evolved
+    * column) gets no stamp and stays a scan candidate: degraded, never
+    * wrong. Bloom answers point probes; these answer RANGES — together
+    * with z-ordering they form the skipping toolbox (stats when the
+    * secondary column correlates with the layout, z-order when it does
+    * not). Re-run after compaction or COW churn; rewritten files carry
+    * no stats and simply stop pruning. Returns the committed version. */
+  def optimizeStats(spark: SparkSession, dir: String,
+                    cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "optimizeStats needs at least one column")
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    val paths = m.files.map(_.path)
+    val df = read(spark, dir, cur)
+    cols.foreach { c =>
+      val dt = df.schema(df.schema.fieldIndex(c)).dataType
+      require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+          .contains(dt.toString),
+        s"stats column must be integral (the stats-column contract), " +
+          s"got $dt for $c")
+    }
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("long")).as(s"mn$i"),
+          max(col(c).cast("long")).as(s"mx$i")) }
+    val perFile = df
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val stamped = perFile.flatMap { r =>
+      val p = entryOfUri(paths, r.getString(0))
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        // all-NULL / absent column in this file: no stamp (always a
+        // candidate)
+        if (r.isNullAt(1 + 2 * i)) None
+        else Some((p, c) -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+      }
+    }.toMap
+    val note =
+      if (m.note.startsWith("zorder")) m.note
+      else s"optimize:stats:${cols.mkString(",")}"
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = note, blooms = m.blooms, checks = m.checks,
+      addedCols = m.addedCols, colStats = m.colStats ++ stamped))
     cur + 1
   }
 
@@ -1033,8 +1292,7 @@ object Snapshot {
     val m = manifest(spark, dir, v)
     val hit = m.files.filter(f => keys.exists(key => mayContain(m, f, pointCol, key)))
     if (hit.isEmpty) read(spark, dir, v).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => dataPath(dir, f.path)): _*)
+    else readEntries(spark, dir, m, hit)
       .filter(col(pointCol).isin(keys: _*))
   }
 
@@ -1045,7 +1303,11 @@ object Snapshot {
                                 key: Long): Boolean = {
     val rangeOk = pointCol != m.statsCol || (f.min <= key && key <= f.max)
     val bloomOk = m.blooms.get((f.path, pointCol)).forall(_.mightContain(key))
-    rangeOk && bloomOk
+    // a point key is a degenerate range: optimizeStats sidecars prune
+    // it too when stamped for this column
+    val statOk = m.colStats.get((f.path, pointCol))
+      .forall { case (mn, mx) => mn <= key && key <= mx }
+    rangeOk && bloomOk && statOk
   }
 
   /** A maintenance commit rewrites LAYOUT, never data: the z-order
@@ -1054,13 +1316,27 @@ object Snapshot {
     * they are namespaced spellings no job tag would collide with). */
   private[graft] def isMaintenanceNote(n: String): Boolean =
     n.startsWith("zorder") || n.startsWith("optimize:") ||
-      n.startsWith("constraint:")
+      n.startsWith("constraint:") || n.startsWith("schema:")
+
+  /** Default vacuum grace age (1 h): a data directory younger than this
+    * is never reclaimed even when unreferenced, because "unreferenced"
+    * cannot distinguish crash debris from an IN-FLIGHT commit — data
+    * files land BEFORE the manifest rename ([[commit]]), so a vacuum
+    * racing a live writer would delete the files the about-to-publish
+    * manifest references and the table would publish over nothing.
+    * Delta's retention-threshold answer: only ages no sane commit is
+    * still in flight at are reclaimable. Pass 0 when writers are known
+    * quiescent (tests, a maintenance window). */
+  val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
 
   /** Reclaim data directories no committed manifest references — the
-    * debris of crashed or lost commits. Never touches a file any
-    * manifest lists, so every committed snapshot (including time-travel
-    * reads in flight) stays intact. Returns the reclaimed dir names. */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+    * debris of crashed or lost commits — that are at least `minAgeMs`
+    * old by directory mtime (see [[DefaultVacuumGraceMs]] for why young
+    * orphans must survive). Never touches a file any manifest lists, so
+    * every committed snapshot (including time-travel reads in flight)
+    * stays intact. Returns the reclaimed dir names. */
+  def vacuum(spark: SparkSession, dir: String,
+             minAgeMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     val fs = fsOf(spark, dir)
     val dataDir = new Path(dir, "data")
     if (!fs.exists(dataDir)) return Seq.empty
@@ -1071,9 +1347,11 @@ object Snapshot {
       .flatMap(v => manifest(spark, dir, v).files)
       .filterNot(f => isAbsolutePath(f.path))
       .map(_.path.split('/')(1)).toSet
-    val all = fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
+    val now = System.currentTimeMillis()
+    val dead = fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
+      .filter(st => !live.contains(st.getPath.getName) &&
+        now - st.getModificationTime >= minAgeMs)
       .map(_.getPath.getName)
-    val dead = all.filterNot(live.contains)
     dead.foreach(d => fs.delete(new Path(dataDir, d), true))
     dead.sorted
   }
@@ -1319,16 +1597,25 @@ object Snapshot {
     def side(m: Manifest): Option[DataFrame] = {
       val own = m.files.filterNot(f => shared.contains(f.path))
       if (own.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(own.map(f => dataPath(dir, f.path)): _*))
+      else Some(readEntries(spark, dir, m, own))
     }
     val schema = read(spark, dir, v2).schema
     val cols = schema.map(_.name)
     require(cols.contains(keyCol), s"$keyCol missing from snapshot schema")
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-    val pre = side(m1).getOrElse(empty)
-    val post = side(m2).getOrElse(empty)
+    // align both sides to v2's schema: a feed spanning a schema
+    // evolution compares a narrow pre side against a wide post side —
+    // the pre image reads the evolved column as NULL (exactly what its
+    // rows held, semantically)
+    def align(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      schema.fields.foldLeft(df)((acc, f) =>
+        if (have.contains(f.name)) acc
+        else acc.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
+    val pre = align(side(m1).getOrElse(empty))
+    val post = align(side(m2).getOrElse(empty))
     val p = pre.select(cols.map(c => col(c).as(s"_pre_$c")): _*)
     val n = post.select(cols.map(c => col(c).as(s"_post_$c")): _*)
     val payload = cols.filterNot(_ == keyCol)
@@ -1691,8 +1978,8 @@ object Snapshot {
       version)
     require(hit.nonEmpty, s"no snapshot file overlaps the box — " +
       "empty-result reads need a schema source; read() and filter instead")
-    spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => dataPath(dir, f.path)): _*)
+    val v = if (version > 0) version else currentVersion(spark, dir)
+    readEntries(spark, dir, manifest(spark, dir, v), hit)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi) &&
               col(cCol).between(cLo, cHi))
   }
@@ -1733,8 +2020,8 @@ object Snapshot {
     val hit = prunedFilesBox(spark, dir, aLo, aHi, bLo, bHi, version)
     require(hit.nonEmpty, s"no snapshot file overlaps the box — " +
       "empty-result reads need a schema source; read() and filter instead")
-    spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => dataPath(dir, f.path)): _*)
+    val v = if (version > 0) version else currentVersion(spark, dir)
+    readEntries(spark, dir, manifest(spark, dir, v), hit)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi))
   }
 }

@@ -219,8 +219,14 @@ object StreamOps extends QueryModule {
   private[graft] def viewCursor(s: SparkSession, viewDir: String): Int =
     Snapshot.versions(s, viewDir)
       .map(v => Snapshot.manifest(s, viewDir, v).note)
-      .filter(_.startsWith("cdf:")).map(_.drop(4).toInt)
+      // parse defensively: only exact `cdf:<digits>` notes are cursor
+      // stamps — any OTHER note starting with "cdf:" (a commitOnce
+      // idempotency token, say) must be ignored, not crash every
+      // subsequent tick with NumberFormatException
+      .collect { case CursorNote(v) => v.toInt }
       .foldLeft(0)(math.max)
+
+  private val CursorNote = """cdf:(\d+)""".r
 
   /** One trigger of a CONTINUOUS materialized-view subscription over a
     * snapshot table's change feed — the piece that closes the loop

@@ -314,6 +314,39 @@ object Warehouse extends QueryModule {
       (a, b)
     }
 
+  /** The SCHEMA-EVOLUTION table, built once per (session, dir): v1 =
+    * orders state (narrow schema), v2 = `ALTER TABLE ADD COLUMN channel
+    * STRING` as a METADATA-ONLY commit ([[Snapshot.addColumn]] — zero
+    * data files touched at any table size), v3 = a narrow CDC batch
+    * (keys [300,499], channel 'web'/'app' by key parity) merged
+    * COPY-ON-WRITE carrying the new column. The final state therefore
+    * mixes PRE-evolution files (channel physically absent, read as a
+    * typed NULL) with post-evolution files holding written values —
+    * the side-by-side read the q140 oracle certifies. Old versions keep
+    * their narrow schema (SnapshotSpec pins it). */
+  private[graft] def evoOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#evo", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_evo_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          Snapshot.addColumn(s, dir, "channel", "STRING")
+          val batch = T.orders(s, d)
+            .filter(col("o_orderkey").between(300, 499))
+            .select(col("o_orderkey").as("bk"),
+              when(col("o_orderkey") % 2 === 1, "web").otherwise("app")
+                .as("b_channel"))
+          Snapshot.mergeCow(s, dir, batch, "bk", (base, ch) =>
+            base.join(ch, base("order_key") === ch("bk"), "left")
+              .select(col("order_key"), col("cust_key"), col("status"),
+                col("price"), col("verdict"),
+                coalesce(col("b_channel"), col("channel")).as("channel")))
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -526,6 +559,23 @@ object Warehouse extends QueryModule {
           lit(null).cast("string").as("status"),
           lit(nViolating).as("n"), lit(null).cast("double").as("total")))
         .orderBy(col("phase"), col("status"))
+    }),
+
+    "q140_schema_evolution" -> ((s, d) => {
+      // SCHEMA EVOLUTION read end to end: the current snapshot mixes
+      // pre-evolution files (channel physically absent → typed NULL
+      // via the manifest's declared-column conformance) with the COW
+      // batch's post-evolution files carrying written values — grouped
+      // per (status, channel) with NULL made an explicit 'none' so both
+      // engines group and sort identically. Oracle recomputes the same
+      // from raw orders; SnapshotSpec pins the structural halves (v1
+      // keeps the narrow schema, v2 reads the column as all-NULL,
+      // writers missing the column are rejected).
+      Snapshot.read(s, evoOrders(s, d))
+        .groupBy(col("status"),
+          coalesce(col("channel"), lit("none")).as("channel"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("status"), col("channel"))
     }),
 
     "q136_restore_version" -> ((s, d) => {
@@ -811,6 +861,24 @@ object Warehouse extends QueryModule {
         |       (SELECT count(*) FROM orders WHERE o_orderkey % 20 = 5),
         |       NULL
         |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q140_schema_evolution" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |evo AS (
+        |  SELECT status,
+        |         CASE WHEN k BETWEEN 300 AND 499
+        |              THEN (CASE WHEN k % 2 = 1 THEN 'web' ELSE 'app' END)
+        |              ELSE 'none' END AS channel,
+        |         price
+        |  FROM st)
+        |SELECT status, channel, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM evo GROUP BY status, channel
+        |ORDER BY status, channel
         |""".stripMargin,
 
     "q136_restore_version" ->

@@ -78,9 +78,72 @@ class PipelineSpec extends SparkSpec {
       .write.parquet(s"$snap/data/c2_torn")
     assert(Stages.merge(spark, work, "day2") == 2,
       "a retry after a crash-before-publish must land the commit")
-    assert(ops.Snapshot.vacuum(spark, snap) == Seq("c2_torn"))
+    assert(ops.Snapshot.vacuum(spark, snap, 0L) == Seq("c2_torn"))
     assert(Stages.merge(spark, work, "day2") == 2)
     val v2 = ops.Snapshot.read(spark, snap).count()
     assert(v2 == rows, "upsert of identical published rows is idempotent")
+  }
+
+  test("cross-process commit race: one winner, clean loser abort") {
+    // the in-JVM publishLock cannot serialize two DRIVERS; this races
+    // two separate JVMs (graft.SnapRace — Stages-style per-task mains)
+    // at one table to exercise the FILESYSTEM half of the publish
+    // protocol: the atomic create-exclusive (link(2) locally,
+    // no-overwrite rename on HDFS-class filesystems) elects exactly one
+    // manifest, and the loser detects the loss and deletes its own data
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_race").toString
+    val dir = s"$base/t"
+    ops.Snapshot.commit(
+      (1 to 10).map(k => (k.toLong, "seed")).toDF("k", "who"), dir, 0, "k")
+    val go = s"$base/go"
+    val jvm = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    // mirror this JVM's --add-opens set (Spark-on-JDK17 module opens)
+    val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList.sliding(2).collect {
+        case List(a, b) if a == "--add-opens" => List(a, b)
+      }.flatten.toList
+    def launch(marker: String): Process = {
+      val pb = new ProcessBuilder((List(jvm) ++ opens ++ List(
+        "-Xmx2g", "-Dspark.ui.enabled=false", "-cp", cp,
+        "graft.SnapRace", dir, go, marker)).asJava)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(s"$base/out.$marker"))
+      pb.start()
+    }
+    val alpha = launch("alpha")
+    val beta = launch("beta")
+    try {
+      def ready(m: String) = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$go.ready.$m"))
+      val deadline = System.currentTimeMillis() + 180000
+      while (!(ready("alpha") && ready("beta")) &&
+             System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(ready("alpha") && ready("beta"), "racers failed to warm up")
+      // fire the rendezvous: both JVMs attempt the v1 -> v2 commit now
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(go), "go")
+      assert(alpha.waitFor(180, java.util.concurrent.TimeUnit.SECONDS))
+      assert(beta.waitFor(180, java.util.concurrent.TimeUnit.SECONDS))
+      val codes = Seq(alpha.exitValue(), beta.exitValue())
+      def log(m: String) = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$base/out.$m"))
+      assert(codes.sorted == Seq(0, 3),
+        s"exactly one winner (0) and one clean conflict abort (3), got " +
+          s"$codes\n${log("alpha")}\n${log("beta")}")
+      val winner = if (alpha.exitValue() == 0) "alpha" else "beta"
+      // exactly one v2 landed, and it is entirely the winner's
+      assert(ops.Snapshot.versions(spark, dir) == Seq(1, 2))
+      assert(ops.Snapshot.manifest(spark, dir, 2).note == s"racer:$winner")
+      val who = ops.Snapshot.read(spark, dir)
+        .select("who").collect().map(_.getString(0)).toSet
+      assert(who == Set(winner), s"v2 must be the winner's content: $who")
+      // the loser aborted cleanly: no unreferenced data remains
+      assert(ops.Snapshot.vacuum(spark, dir, 0L).isEmpty,
+        "the loser must have deleted its own data files")
+    } finally {
+      alpha.destroyForcibly(); beta.destroyForcibly()
+    }
   }
 }

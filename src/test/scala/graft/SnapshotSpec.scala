@@ -59,10 +59,24 @@ class SnapshotSpec extends SparkSpec {
     baseRows(10).write.parquet(s"$dir/data/c2_deadbeef")
     assert(Snapshot.currentVersion(spark, dir) == 1)
     assert(state(dir) == before, "readers must not see unpublished data")
-    // vacuum reclaims exactly the orphan, never a live file
-    assert(Snapshot.vacuum(spark, dir) == Seq("c2_deadbeef"))
+    // the GRACE AGE protects young orphans: an unreferenced dir is
+    // indistinguishable from an IN-FLIGHT commit's data (files land
+    // before the manifest rename), so default vacuum must not touch it
+    assert(Snapshot.vacuum(spark, dir).isEmpty,
+      "a young orphan survives the default grace window")
     assert(state(dir) == before)
-    assert(Snapshot.vacuum(spark, dir).isEmpty, "vacuum is idempotent")
+    // grace-free vacuum (writers known quiescent) reclaims exactly the
+    // orphan, never a live file
+    assert(Snapshot.vacuum(spark, dir, 0L) == Seq("c2_deadbeef"))
+    assert(state(dir) == before)
+    assert(Snapshot.vacuum(spark, dir, 0L).isEmpty, "vacuum is idempotent")
+    // an OLD orphan is reclaimable under the default grace: age the
+    // debris past the window by rewinding its dir mtime
+    baseRows(10).write.parquet(s"$dir/data/c3_stale")
+    new java.io.File(s"$dir/data/c3_stale")
+      .setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L)
+    assert(Snapshot.vacuum(spark, dir) == Seq("c3_stale"),
+      "an orphan older than the grace age is reclaimed by default")
   }
 
   test("concurrent commit: one winner, loser aborts and leaves no debris") {
@@ -289,7 +303,8 @@ class SnapshotSpec extends SparkSpec {
     // vacuum); the compacted current version is untouched
     assert(Snapshot.vacuum(spark, dir).isEmpty,
       "every pre-compaction file is still referenced by history")
-    assert(Snapshot.expireVersions(spark, dir, 1) == Seq(1, 2, 3, 4))
+    assert(Snapshot.expireVersions(spark, dir, 1, vacuumGraceMs = 0L) ==
+      Seq(1, 2, 3, 4))
     assert(Snapshot.versions(spark, dir) == Seq(5))
     assert(state(dir) == before, "post-expiry current state intact")
     val dataDirs = new java.io.File(dir, "data").listFiles().toSeq
@@ -1292,5 +1307,140 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Snapshot.cloneShallow(spark, src, dst)
     }
+  }
+
+  test("addColumn: metadata-only evolution; old versions keep their schema") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val filesV1 = Snapshot.manifest(spark, dir, 1).files
+    assert(Snapshot.addColumn(spark, dir, "score", "BIGINT") == 2)
+    // metadata only: identical file list, zero data movement
+    assert(Snapshot.manifest(spark, dir, 2).files == filesV1)
+    // v2 surfaces the column as a typed NULL on every row
+    val v2 = Snapshot.read(spark, dir, 2)
+    assert(v2.schema.fieldNames.contains("score") &&
+      v2.schema("score").dataType.toString == "LongType")
+    assert(v2.filter(col("score").isNotNull).count() == 0)
+    // v1 keeps the narrow schema — time travel reads the schema of its day
+    assert(!Snapshot.read(spark, dir, 1).schema.fieldNames.contains("score"))
+    // duplicate (case-insensitive) and malformed declarations refused
+    intercept[IllegalArgumentException] {
+      Snapshot.addColumn(spark, dir, "score", "BIGINT")
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.addColumn(spark, dir, "V", "STRING")
+    }
+    intercept[Exception] {
+      Snapshot.addColumn(spark, dir, "bad", "NOT_A_TYPE")
+    }
+    assert(Snapshot.currentVersion(spark, dir) == 2,
+      "refused evolutions must not commit")
+    // a writer missing the declared column is rejected before any write
+    intercept[IllegalArgumentException] {
+      Snapshot.commit(Seq((900L, "x", "K")).toDF("k", "v", "verdict"),
+        dir, 2, "k", carried = filesV1, nFiles = 1)
+    }
+    // the evolution commit is maintenance: an empty feed, no table diff
+    assert(Snapshot.changeFeed(spark, dir, 1, 2, "k").isEmpty)
+    // a COW merge carries the column: the touched file rewrites WIDE,
+    // carried files stay physically narrow, the read serves both
+    Snapshot.mergeCow(spark, dir, Seq((42L, 7L)).toDF("ck", "sc"), "ck",
+      (b, c) => b.join(c, b("k") === c("ck"), "left")
+        .select(col("k"), col("v"), col("verdict"),
+          coalesce(col("sc"), col("score")).as("score")), nFiles = 1)
+    val post = Snapshot.read(spark, dir)
+    assert(post.filter(col("k") === 42L).head.getAs[Long]("score") == 7L)
+    assert(post.filter(col("score").isNull).count() == 799)
+    // constraints may reference the evolved column (NULL passes)
+    Snapshot.addConstraint(spark, dir, "score_pos", "score >= 0")
+    intercept[Snapshot.CheckViolation] {
+      Snapshot.mergeCow(spark, dir, Seq((43L, -1L)).toDF("ck", "sc"), "ck",
+        (b, c) => b.join(c, b("k") === c("ck"), "left")
+          .select(col("k"), col("v"), col("verdict"),
+            coalesce(col("sc"), col("score")).as("score")), nFiles = 1)
+    }
+    // RESTORE to a pre-evolution version rolls the declaration back
+    Snapshot.restore(spark, dir, 1)
+    assert(!Snapshot.read(spark, dir).schema.fieldNames.contains("score"))
+  }
+
+  test("optimizeStats: secondary-column ranges prune files, sans z-order") {
+    import spark.implicits._
+    val dir = freshDir()
+    // k2 anti-correlates with the k clustering, so a k2 range maps to
+    // few files — but only sidecar stats can SEE that
+    val df = (1 to 800).map(k => (k.toLong, (801 - k).toLong, s"val_$k"))
+      .toDF("k", "k2", "v")
+    Snapshot.commit(df, dir, 0, "k")
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    assert(Snapshot.candidateFilesCols(m1, Seq(("k2", 701L, 800L))).size == 8,
+      "without sidecar stats every file is a k2-range candidate")
+    assert(Snapshot.optimizeStats(spark, dir, Seq("k2")) == 2)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m2.files == m1.files, "manifest-only maintenance commit")
+    assert(m2.colStats.size == 8, "one (min,max) per file, round-tripped")
+    assert(Snapshot.changeFeed(spark, dir, 1, 2, "k").isEmpty,
+      "the stats commit is maintenance — empty feed")
+    // the k2 range now prunes at file level (range-boundary sampling
+    // may split it across two neighbors, never more)
+    val k2Hits = Snapshot.candidateFilesCols(m2, Seq(("k2", 701L, 800L)))
+    assert(k2Hits.size <= 2, s"k2 range must prune, got ${k2Hits.size}")
+    // the 2-col conjunction: primary stats on k AND sidecars on k2
+    val hits = Snapshot.candidateFilesCols(m2,
+      Seq(("k", 1L, 100L), ("k2", 701L, 800L)))
+    assert(hits.nonEmpty && hits.size <= 2,
+      s"conjunction must prune on both axes, got ${hits.size}")
+    // value-equality to a full-scan filter
+    val got = Snapshot.readPrunedCols(spark, dir,
+        Seq(("k", 1L, 100L), ("k2", 701L, 800L)))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 100L), "pruning must be lossless")
+    // a contradiction (k low AND k2 low = opposite table ends) prunes to
+    // ZERO files and returns empty with the schema intact
+    val none = Snapshot.readPrunedCols(spark, dir,
+      Seq(("k", 1L, 100L), ("k2", 1L, 100L)))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "k2", "v"))
+    // COW carry: the rewritten file drops its stats (degraded-not-wrong,
+    // always a candidate again), untouched files keep theirs
+    Snapshot.mergeCow(spark, dir, Seq((42L, 900L)).toDF("ck", "nk2"), "ck",
+      (b, c) => b.join(c, b("k") === c("ck"), "left")
+        .select(col("k"), coalesce(col("nk2"), col("k2")).as("k2"),
+          col("v")), nFiles = 1)
+    val m3 = Snapshot.manifest(spark, dir, 3)
+    assert(m3.colStats.size == 7,
+      s"rewritten file drops stats, 7 carry, got ${m3.colStats.size}")
+    val postHits = Snapshot.candidateFilesCols(m3, Seq(("k2", 701L, 800L)))
+    assert(postHits.size < 8 && postHits.exists(f =>
+        !m3.colStats.contains((f.path, "k2"))),
+      "the unstamped rewrite must be a candidate — degraded, never wrong")
+    // k=42's k2 moved to 900 in the merge, so the range now holds 99
+    assert(Snapshot.readPrunedCols(spark, dir, Seq(("k2", 701L, 800L)))
+      .count() == 99, "post-merge pruning stays lossless")
+  }
+
+  test("vacuum grace: a racing vacuum cannot kill an in-flight commit") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    // the in-flight window commit() opens: data files landed under
+    // data/, the manifest rename not yet issued — a maintenance vacuum
+    // fires RIGHT NOW
+    baseRows(5).write.parquet(s"$dir/data/c2_inflight")
+    assert(Snapshot.vacuum(spark, dir).isEmpty,
+      "the grace age must protect the in-flight data dir")
+    // the commit completes: a manifest referencing those files publishes
+    // (commit-with-carry replays the publish half against the surviving
+    // dir), and the snapshot reads intact
+    val inflight = new java.io.File(s"$dir/data/c2_inflight").listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .map(f => Snapshot.FileEntry(s"data/c2_inflight/${f.getName}", 1L, 5L))
+      .toSeq
+    import spark.implicits._
+    Snapshot.commit(Seq((900L, "fresh", "K")).toDF("k", "v", "verdict"),
+      dir, 1, "k", carried = inflight, nFiles = 1)
+    assert(Snapshot.read(spark, dir).count() == 6,
+      "the published snapshot must serve the once-orphaned files")
+    assert(Snapshot.vacuum(spark, dir, 0L).isEmpty,
+      "everything is referenced once the commit lands")
   }
 }
