@@ -449,8 +449,9 @@ object Snapshot {
   /** The one physical-read path every manifest-resolved scan goes
     * through: mergeSchema parquet over the given entries, conformed to
     * the manifest's declared schema evolution. */
-  private def readEntries(spark: SparkSession, dir: String, m: Manifest,
-                          entries: Seq[FileEntry]): DataFrame =
+  private[graft] def readEntries(spark: SparkSession, dir: String,
+                                 m: Manifest,
+                                 entries: Seq[FileEntry]): DataFrame =
     // mergeSchema: a COW commit may carry old-schema files next to new
     // ones after an ADDITIVE column change (the only safe drift class —
     // Ingest.readEvolved's contract); carried files read the new column

@@ -447,6 +447,40 @@ object StreamOps extends QueryModule {
         .orderBy(col("status"))
     }),
 
+    "q142_source_stream_cdf" -> ((s, d) => {
+      // The change feed through its REGISTERED streaming source — the
+      // `readStream.format("graft-cdf")` front door
+      // ([[graft.sources.GraftCdfSourceProvider]]) over q124's committed
+      // table: offsets ARE snapshot versions, `startingVersion=1` feeds
+      // every commit after the initial load, and the drain recovers
+      // exactly the v1→v2 CDC diff with its `_commit_version` stamp —
+      // q128's oracle content (plus the constant attribution column),
+      // the same-oracle twin across delivery disciplines: one-shot
+      // [[Snapshot.changeFeed]] vs a standing subscription. Manifests
+      // being immutable makes every batch REPLAYABLE byte-identically,
+      // which is what the checkpointed-offset contract needs
+      // (SourceSpec pins restart recovery and maintenance-commit
+      // skipping).
+      val c = streamSession(s, 8)
+      val dir = Warehouse.snapOrders(s, d)
+      val src = c.readStream.format("graft-cdf")
+        .option("keyCol", "order_key").option("startingVersion", "1")
+        .load(dir)
+      var batches = List.empty[DataFrame]
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches ::= b.toDF().localCheckpoint(true)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      batches.reduce(_ unionAll _)
+        .select(col("order_key"), col("change_type"), col("cust_key"),
+          col("status"), F.od(col("price")).as("price"), col("verdict"),
+          col("_commit_version").as("commit_version"))
+        .orderBy(col("order_key"))
+    }),
+
     "q114_stream_dedup_index" -> ((s, d) => {
       // Streaming EXACT-dedup INDEX maintenance — q113's standing corpus
       // kept current by the stream itself. q74 is the bounded twin (state
@@ -767,6 +801,30 @@ object StreamOps extends QueryModule {
     // q129's oracle verbatim: the continuously-streamed subscription must
     // land the view exactly where the one-shot batch subscription does
     "q133_stream_view_maintain" -> Warehouse.viewOracle,
+
+    // q128's oracle content + the constant v2 attribution stamp: the
+    // streamed subscription must deliver exactly the one-shot diff
+    "q142_source_stream_cdf" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |         o_orderkey % 20 AS m
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2))
+        |SELECT k AS order_key, 'U' AS change_type, o_custkey AS cust_key,
+        |       o_orderstatus AS status,
+        |       CAST(p * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS price,
+        |       'U' AS verdict, CAST(2 AS BIGINT) AS commit_version
+        |FROM ch WHERE m = 0
+        |UNION ALL
+        |SELECT k, 'D', o_custkey, o_orderstatus,
+        |       CAST(CAST(p AS DECIMAL(21,3)) AS DOUBLE), 'K', 2
+        |FROM ch WHERE m = 1
+        |UNION ALL
+        |SELECT k + 1000000000, 'I', o_custkey, 'N',
+        |       CAST(CAST(p AS DECIMAL(21,3)) AS DOUBLE), 'I', 2
+        |FROM ch WHERE m = 2
+        |ORDER BY order_key
+        |""".stripMargin,
 
     // q81's oracle shape: the streaming-maintained index must answer
     // exactly what the batch groupBy answers

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -347,6 +347,32 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The WRITER-front-door table, built once per (session, dir) through
+    * `df.write.format("graft")` alone: v1 = the initial load via
+    * mode=errorifexists (statsCol declared as an option — the NEW-table
+    * path), v2 = the CDC batch's INSERT rows via mode=append (the new
+    * version CARRIES v1's files by reference; only the appended rows
+    * write). Exercises [[graft.sources.GraftSourceProvider]]'s
+    * CreatableRelationProvider half end to end. */
+  private[graft] def writeOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#srcw", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_srcw_$sfx"
+          ordersInitState(s, d).write.format("graft")
+            .option("statsCol", "order_key")
+            .mode(SaveMode.ErrorIfExists).save(dir)
+          ordersChanges(s, d).filter(col("op") === "I")
+            .select(col("k").as("order_key"), col("c_cust").as("cust_key"),
+              col("c_status").as("status"), col("c_price").as("price"),
+              lit("I").as("verdict"))
+            .write.format("graft").mode(SaveMode.Append).save(dir)
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -379,6 +405,41 @@ object Warehouse extends QueryModule {
         .select(col("order_key"), col("cust_key"), col("status"),
           F.od(col("price")).as("price"), col("verdict"))
         .orderBy(col("order_key"))),
+
+    "q141_source_read" -> ((s, d) => {
+      // The snapshot table through its REGISTERED data source — the
+      // `spark.read.format("graft")` front door
+      // ([[graft.sources.GraftSourceProvider]]): versionAsOf pins the
+      // merged v2 state (q124's table), and the key-range predicate
+      // Catalyst pushes into the relation becomes MANIFEST file pruning
+      // on the clustering column before the parquet scan is even
+      // planned (SourceSpec pins the planned file set; Spark
+      // re-evaluates the filter above, so pruning can never change the
+      // answer). Oracle = q42's merge replay restricted to the range —
+      // the same-oracle twin of the direct [[Snapshot.read]] route.
+      val dir = snapOrders(s, d)
+      s.read.format("graft").option("versionAsOf", "2").load(dir)
+        .filter(col("order_key").between(200L, 1199L))
+        .select(col("order_key"), col("cust_key"), col("status"),
+          F.od(col("price")).as("price"), col("verdict"))
+        .orderBy(col("order_key"))
+    }),
+
+    "q143_source_write" -> ((s, d) => {
+      // The WRITE front door end to end: the table is created and
+      // appended exclusively through `df.write.format("graft")`
+      // ([[writeOrders]] — mode=errorifexists creates v1, mode=append
+      // lands the CDC inserts as v2 CARRYING v1's files by reference),
+      // then read back through the same registered source. Both halves
+      // of the SPI in one oracled path; the append's cost is the new
+      // rows alone, which is what a transactional append must cost at
+      // 100 TB. Oracle = initial state ∪ the insert rows, recomputed
+      // from raw orders.
+      s.read.format("graft").load(writeOrders(s, d))
+        .groupBy(col("status"), col("verdict"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("status"), col("verdict"))
+    }),
 
     "q124_merge_versioned" -> ((s, d) => {
       // q42's MERGE against a TRANSACTIONAL target: the change batch
@@ -783,6 +844,47 @@ object Warehouse extends QueryModule {
 
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
+
+    "q141_source_read" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |ch AS (
+        |  SELECT CASE WHEN o_orderkey % 20 = 2 THEN o_orderkey + 1000000000
+        |              ELSE o_orderkey END AS k,
+        |         CASE o_orderkey % 20 WHEN 0 THEN 'U' WHEN 1 THEN 'D'
+        |              ELSE 'I' END AS op,
+        |         CASE WHEN o_orderkey % 20 = 0
+        |                THEN CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+        |              WHEN o_orderkey % 20 = 2
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+        |         END AS c_price,
+        |         CASE WHEN o_orderkey % 20 = 2 THEN o_custkey END AS c_cust,
+        |         CASE WHEN o_orderkey % 20 = 2 THEN 'N' END AS c_status
+        |  FROM orders WHERE o_orderkey % 20 IN (0, 1, 2))
+        |SELECT coalesce(base.k, ch.k) AS order_key,
+        |  coalesce(c_cust, o_custkey) AS cust_key,
+        |  coalesce(c_status, o_orderstatus) AS status,
+        |  CAST(coalesce(c_price, CAST(p AS DECIMAL(21,3))) AS DOUBLE) AS price,
+        |  coalesce(op, 'K') AS verdict
+        |FROM base FULL JOIN ch ON base.k = ch.k
+        |WHERE coalesce(op, 'K') <> 'D'
+        |  AND coalesce(base.k, ch.k) BETWEEN 200 AND 1199
+        |ORDER BY order_key""".stripMargin,
+
+    "q143_source_write" ->
+      """WITH allrows AS (
+        |  SELECT o_orderstatus AS status, 'K' AS verdict,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'N', 'I',
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))
+        |  FROM orders WHERE o_orderkey % 20 = 2)
+        |SELECT status, verdict, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM allrows GROUP BY status, verdict
+        |ORDER BY status, verdict""".stripMargin,
 
     "q134_delete_cow" ->
       """WITH st AS (

@@ -1,0 +1,260 @@
+package graft.sources
+
+import java.util.Locale
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Snapshot
+
+/** The snapshot table exposed as a REGISTERED Spark data source:
+  *
+  *   spark.read.format("graft")
+  *     .option("versionAsOf", 2)            // or timestampAsOf
+  *     .load(dir)
+  *   df.write.format("graft")
+  *     .option("statsCol", "k")             // new tables declare clustering
+  *     .mode("append").save(dir)            // a transactional commit
+  *
+  * — the `spark.read` front door a warehouse format owes its users
+  * (Delta/Iceberg's posture; the reference has no notion of table
+  * history at all — DROP+CTAS, patient_claims_plus_postgres.py:161-189).
+  * Built on the STABLE source SPI (`RelationProvider` +
+  * `PrunedFilteredScan`, the same contract Delta's own batch relation
+  * rides): Catalyst hands the relation its required columns and
+  * conjunctive filters, and the relation turns them into MANIFEST
+  * arithmetic — per-file [min,max] stats on the clustering column,
+  * [[Snapshot.optimizeStats]] sidecar stats on secondary columns, and
+  * [[Snapshot.optimizeBloom]] sketches for point probes — so at 100 TB a
+  * `WHERE key BETWEEN a AND b` opens the few files that can match, at
+  * PLANNING time, from driver-side metadata alone. The surviving files
+  * are then served as a plain parquet scan, so column pruning, parquet
+  * row-group pushdown, and whole-stage codegen apply unchanged; Spark
+  * re-evaluates every filter on top ([[BaseRelation.unhandledFilters]]
+  * default), making the pruning a pure optimization that can never
+  * change an answer.
+  *
+  * Options (case-insensitive): `versionAsOf` (explicit version),
+  * `timestampAsOf` (epoch-ms digits or `yyyy-MM-dd HH:mm:ss[.f]`,
+  * resolved via [[Snapshot.versionAtTimestamp]]'s monotone commit
+  * clock); default = latest committed version.
+  */
+final class GraftSourceProvider extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def lowered(parameters: Map[String, String]): Map[String, String] =
+    parameters.map { case (k, v) => k.toLowerCase(Locale.ROOT) -> v }
+
+  private def dirOf(opts: Map[String, String]): String =
+    opts.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft source needs a table directory: .load(dir) / .save(dir)"))
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val opts = lowered(parameters)
+    val dir = dirOf(opts)
+    val spark = sqlContext.sparkSession
+    require(!(opts.contains("versionasof") && opts.contains("timestampasof")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    val version = opts.get("versionasof").map(_.trim.toInt)
+      .orElse(opts.get("timestampasof").map(ts =>
+        Snapshot.versionAtTimestamp(spark, dir, GraftSourceProvider.epochMs(ts))))
+      .getOrElse(Snapshot.currentVersion(spark, dir))
+    new GraftRelation(sqlContext, dir, version)
+  }
+
+  /** The WRITE front door — `df.write.format("graft").mode(m).save(dir)`
+    * lands through [[Snapshot.commit]]'s protocol, so every SaveMode is
+    * a TRANSACTIONAL verb: Append commits a new version that CARRIES the
+    * current file set by reference (cost ∝ the new data; Bloom/col-stats
+    * sidecars ride along automatically), Overwrite commits the frame as
+    * the new full state (prior versions stay time-travelable — the
+    * anti-DROP+CTAS), ErrorIfExists/Ignore consult the committed version
+    * the way they would a filesystem path. Concurrent writers lose with
+    * a clean [[Snapshot.SnapshotConflict]], torn writes stay invisible
+    * (data lands before the manifest publish), CHECK constraints and
+    * declared schema evolution enforce on the fresh batch exactly as on
+    * any other commit. `statsCol` names the clustering column for a NEW
+    * table (an existing table's manifest already knows it); `nFiles`
+    * sizes the range-partitioned layout (default 8). Z-ordered current
+    * versions refuse blind writes (the layout note cannot honestly
+    * describe unclustered additions — [[Snapshot.mergeCow]]'s guard):
+    * re-OPTIMIZE after, or write pre-z. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val opts = lowered(parameters)
+    val dir = dirOf(opts)
+    val spark = sqlContext.sparkSession
+    val cur = Snapshot.currentVersion(spark, dir)
+    val prior = if (cur > 0) Some(Snapshot.manifest(spark, dir, cur)) else None
+    prior.foreach(m => require(!m.note.startsWith("zorder"),
+      s"current version of $dir is z-ordered; blind writes would break " +
+        "its layout contract — write pre-z or re-OPTIMIZE after"))
+    val statsCol = opts.get("statscol").orElse(prior.map(_.statsCol))
+      .getOrElse(throw new IllegalArgumentException(
+        "a new graft table needs option statsCol (the clustering column)"))
+    val nFiles = opts.get("nfiles").map(_.trim.toInt).getOrElse(8)
+    def land(carried: Seq[Snapshot.FileEntry]): Unit = {
+      Snapshot.commit(data, dir, cur, statsCol, carried, nFiles)
+      ()
+    }
+    mode match {
+      case SaveMode.Append        => land(prior.map(_.files).getOrElse(Nil))
+      case SaveMode.Overwrite     => land(Nil)
+      case SaveMode.Ignore        => if (cur == 0) land(Nil)
+      case SaveMode.ErrorIfExists =>
+        if (cur > 0) throw new IllegalStateException(
+          s"graft table already exists at $dir (v$cur); " +
+            "use mode append/overwrite")
+        land(Nil)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+object GraftSourceProvider {
+  /** `timestampAsOf` operand → epoch-ms: bare digits pass through as
+    * epoch-ms; anything else must parse as a JDBC timestamp in the JVM
+    * zone (the same wall clock [[Snapshot.commit]] stamped with). */
+  private[sources] def epochMs(ts: String): Long = {
+    val t = ts.trim
+    if (t.matches("-?\\d+")) t.toLong
+    else java.sql.Timestamp.valueOf(t).getTime
+  }
+}
+
+/** One resolved (table dir, version) pair. Manifest and schema are
+  * fixed at construction — a relation is a snapshot READ, immutable by
+  * the same manifest that makes time travel sound. */
+final class GraftRelation(override val sqlContext: SQLContext,
+                          dir: String, version: Int)
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = sqlContext.sparkSession
+  private val m = Snapshot.manifest(spark, dir, version)
+  // Plan-time schema of the version's file set + declared evolution —
+  // one parquet-footer planning pass at relation construction, no scan.
+  override val schema: StructType =
+    Snapshot.readEntries(spark, dir, m, m.files).schema
+
+  override def toString: String = s"GraftRelation($dir, v$version)"
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val hit = SourcePruning.candidates(m, filters)
+    val base =
+      if (hit.isEmpty)
+        Snapshot.readEntries(spark, dir, m, m.files).limit(0)
+      else Snapshot.readEntries(spark, dir, m, hit)
+    // Filters Spark handed down that translate whole become part of the
+    // inner parquet scan too (row-group pushdown inside the surviving
+    // files); Spark re-applies all of them above regardless.
+    val filtered = filters.flatMap(SourcePruning.toColumn)
+      .reduceOption(_ && _).map(base.filter).getOrElse(base)
+    // Contract: rows carry exactly requiredColumns, in order. An empty
+    // projection (count(*)) still needs the row CARDINALITY.
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
+  }
+}
+
+/** Driver-side translation of Catalyst's pushed-down [[Filter]]s into
+  * the manifest's pruning vocabulary. Both translations are
+  * conservative: a shape they don't recognize simply prunes nothing /
+  * stays un-pushed, and Spark's re-evaluation keeps the answer exact
+  * either way. */
+private[graft] object SourcePruning {
+
+  /** Flatten the implicitly-ANDed filter array into bare conjuncts. */
+  private def conjuncts(fs: Seq[Filter]): Seq[Filter] = fs.flatMap {
+    case And(l, r) => conjuncts(Seq(l, r))
+    case f         => Seq(f)
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case b: Byte  => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int   => Some(i.toLong)
+    case l: Long  => Some(l)
+    case _        => None
+  }
+
+  /** Per-conjunct integral constraints: ranges feed
+    * [[Snapshot.candidateFilesCols]] (primary + sidecar stats), point
+    * sets additionally consult Bloom sidecars via
+    * [[Snapshot.mayContain]]. Each constraint prunes independently —
+    * duplicates on one column just intersect, which is what AND means.
+    * Exclusive bounds saturate rather than wrap (a `> Long.MaxValue`
+    * conjunct becomes the impossible range and planning serves zero
+    * files — the correct answer, cheaply). */
+  private def constraints(fs: Seq[Filter])
+      : (Seq[(String, Long, Long)], Seq[(String, Seq[Long])]) = {
+    val ranges = Seq.newBuilder[(String, Long, Long)]
+    val points = Seq.newBuilder[(String, Seq[Long])]
+    conjuncts(fs).foreach {
+      case EqualTo(c, v) => asLong(v).foreach { x =>
+        ranges += ((c, x, x)); points += ((c, Seq(x)))
+      }
+      case In(c, vs) =>
+        val ks = vs.toSeq.flatMap(asLong)
+        if (ks.nonEmpty && ks.length == vs.length) {
+          ranges += ((c, ks.min, ks.max)); points += ((c, ks))
+        }
+      case GreaterThan(c, v) => asLong(v).foreach { x =>
+        ranges += ((c, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+      }
+      case GreaterThanOrEqual(c, v) =>
+        asLong(v).foreach(x => ranges += ((c, x, Long.MaxValue)))
+      case LessThan(c, v) => asLong(v).foreach { x =>
+        ranges += ((c, Long.MinValue, if (x == Long.MinValue) x else x - 1))
+      }
+      case LessThanOrEqual(c, v) =>
+        asLong(v).foreach(x => ranges += ((c, Long.MinValue, x)))
+      case _ => ()
+    }
+    (ranges.result(), points.result())
+  }
+
+  /** The file set a filtered scan must open — range candidacy per
+    * [[Snapshot.candidateFilesCols]] intersected with per-constraint
+    * point candidacy (any key of the constraint may be present). Split
+    * out pure so SourceSpec pins planned file sets without scanning. */
+  def candidates(m: Snapshot.Manifest,
+                 filters: Seq[Filter]): Seq[Snapshot.FileEntry] = {
+    val (ranges, points) = constraints(filters)
+    Snapshot.candidateFilesCols(m, ranges).filter(f =>
+      points.forall { case (c, ks) =>
+        ks.exists(k => Snapshot.mayContain(m, f, c, k))
+      })
+  }
+
+  /** Whole-subtree [[Filter]] → [[Column]]; None when any leaf is a
+    * shape we don't translate (the filter then applies only in Spark's
+    * own re-evaluation above the scan). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case And(l, r) =>
+      for (x <- toColumn(l); y <- toColumn(r)) yield x && y
+    case Or(l, r) =>
+      for (x <- toColumn(l); y <- toColumn(r)) yield x || y
+    case Not(c) => toColumn(c).map(!_)
+    case _      => None
+  }
+}
