@@ -373,6 +373,32 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The SQL-INSERT table, built once per (session, dir): v1 = the
+    * initial load via the writer front door, v2 = `INSERT INTO name
+    * SELECT … FROM name` — the query reads the CURRENT version while
+    * the command appends the transformed copy as a carried-files commit
+    * (immutable manifests make the self-read safe by construction).
+    * Exercises [[graft.plans.SnapshotTimeTravelRule]]'s INSERT rewrite
+    * + [[graft.sources.GraftRelation]]'s `InsertableRelation` half. */
+  private[graft] def sqlInsertOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#sqlins", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_sqlins_$sfx"
+          ordersInitState(s, d).write.format("graft")
+            .option("statsCol", "order_key")
+            .mode(SaveMode.ErrorIfExists).save(dir)
+          val name = s"snap_sqlins_$sfx"
+          Snapshot.registerSqlTable(s, name, dir)
+          s.sql(s"""INSERT INTO $name
+            SELECT order_key + 2000000000L, cust_key, 'S', price, 'I'
+            FROM $name""")
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -436,6 +462,23 @@ object Warehouse extends QueryModule {
       // 100 TB. Oracle = initial state ∪ the insert rows, recomputed
       // from raw orders.
       s.read.format("graft").load(writeOrders(s, d))
+        .groupBy(col("status"), col("verdict"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("status"), col("verdict"))
+    }),
+
+    "q144_sql_insert" -> ((s, d) => {
+      // SQL INSERT end to end: `INSERT INTO name SELECT … FROM name`
+      // through the analyzer rewrite ([[sqlInsertOrders]] — the command
+      // runs GraftRelation.insert at execution, landing a carried-files
+      // append; EXPLAIN stays side-effect free, SourceSpec pins it),
+      // then the doubled state read back per (status, verdict). The
+      // DML verb the reference drives through psql scripts
+      // (patient_claims_plus_postgres.py's INSERT…SELECT stages), here
+      // a transactional commit with history. Oracle = base ∪ the
+      // transformed copy, recomputed from raw orders.
+      val dir = sqlInsertOrders(s, d)
+      Snapshot.read(s, dir)
         .groupBy(col("status"), col("verdict"))
         .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
         .orderBy(col("status"), col("verdict"))
@@ -884,6 +927,20 @@ object Warehouse extends QueryModule {
         |SELECT status, verdict, count(*) AS n,
         |       CAST(sum(price) AS DOUBLE) AS total
         |FROM allrows GROUP BY status, verdict
+        |ORDER BY status, verdict""".stripMargin,
+
+    "q144_sql_insert" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS st,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |both_halves AS (
+        |  SELECT st AS status, 'K' AS verdict, price FROM base
+        |  UNION ALL
+        |  SELECT 'S', 'I', price FROM base)
+        |SELECT status, verdict, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM both_halves GROUP BY status, verdict
         |ORDER BY status, verdict""".stripMargin,
 
     "q134_delete_cow" ->

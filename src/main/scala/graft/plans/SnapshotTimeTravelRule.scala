@@ -3,11 +3,13 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{InsertIntoDataSourceCommand, LogicalRelation}
 import org.apache.spark.sql.types.TimestampType
 
 import graft.ops.Snapshot
+import graft.sources.GraftRelation
 
 /** Analyzer rule making snapshot tables SQL-visible, time travel
   * included — the round-11 verdict's "first thing a real warehouse user
@@ -57,9 +59,58 @@ case class SnapshotTimeTravelRule(session: SparkSession)
           case _ => 0 // unreachable by grammar; 0 = latest
         }
         Snapshot.read(session, dir, v).queryExecution.analyzed
+      // SQL INSERT INTO / INSERT OVERWRITE on a registered name: rewrite
+      // to the v1 insert command over the registered relation — the
+      // command invokes GraftRelation.insert at EXECUTION time (never
+      // during analysis, so EXPLAIN stays side-effect free), which lands
+      // a transactional snapshot commit: INTO appends carrying the
+      // current file set by reference, OVERWRITE publishes a new full
+      // state with history intact. Columns map positionally (SQL's
+      // contract); `INSERT INTO t (a, b, ...)` and `BY NAME` reorder the
+      // query here, and must name every table column — a snapshot table
+      // has no notion of default-filling half a row.
+      case InsertIntoStatement(UnresolvedRelation(parts, _, _), partSpec,
+          userCols, query, overwrite, _, byName)
+          if dirOf(parts).isDefined && query.resolved =>
+        val name = parts.mkString(".")
+        val dir = dirOf(parts).get
+        require(partSpec.isEmpty,
+          s"snapshot table '$name': INSERT has no partition spec")
+        val rel = new GraftRelation(session.sqlContext, dir,
+          Snapshot.currentVersion(session, dir))
+        InsertIntoDataSourceCommand(
+          LogicalRelation(rel, isStreaming = false),
+          reorderForInsert(name, rel.schema, userCols, query, byName),
+          overwrite)
       case UnresolvedRelation(parts, _, _) if dirOf(parts).isDefined =>
         Snapshot.read(session, dirOf(parts).get).queryExecution.analyzed
     }
+
+  /** Positional is SQL's default contract and passes through untouched;
+    * an explicit column list (or BY NAME) reorders the query's output to
+    * the table's column order — and must cover EVERY table column. */
+  private def reorderForInsert(name: String,
+                               schema: org.apache.spark.sql.types.StructType,
+                               userCols: Seq[String], query: LogicalPlan,
+                               byName: Boolean): LogicalPlan = {
+    val names =
+      if (userCols.nonEmpty) userCols
+      else if (byName) query.output.map(_.name)
+      else return query
+    require(names.length == query.output.length,
+      s"snapshot table '$name': INSERT column list names " +
+        s"${names.length} columns but the query produces " +
+        s"${query.output.length}")
+    val byLower = names.map(_.toLowerCase(java.util.Locale.ROOT))
+      .zip(query.output).toMap
+    val ordered = schema.fields.map { f =>
+      byLower.getOrElse(f.name.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"snapshot table '$name': INSERT column list must cover every " +
+            s"table column; missing '${f.name}'"))
+    }
+    Project(ordered.toIndexedSeq, query)
+  }
 
   private def parseVersion(name: String, s: String): Int =
     try s.toInt

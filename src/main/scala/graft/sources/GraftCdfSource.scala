@@ -41,7 +41,10 @@ import graft.ops.Snapshot
   * classifies U/D/I on), `startingVersion` (default: the current
   * version when the stream starts, i.e. only NEW commits feed; 0 is not
   * meaningful — the feed needs a base state to diff against, so the
-  * earliest usable value is the first committed version).
+  * earliest usable value is the first committed version),
+  * `maxVersionsPerTrigger` (bound each micro-batch's commit span — the
+  * admission-control knob that turns a long catch-up into bounded
+  * batches instead of one table-scale diff).
   */
 final class GraftCdfSourceProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -84,7 +87,10 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
     val (dir, keyCol) = resolve(spark, parameters)
     val startV = opt(parameters, "startingVersion").map(_.trim.toInt)
       .getOrElse(Snapshot.currentVersion(spark, dir))
-    new GraftCdfSource(spark, dir, keyCol, startV)
+    val maxV = opt(parameters, "maxVersionsPerTrigger").map(_.trim.toInt)
+    maxV.foreach(v => require(v >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $v"))
+    new GraftCdfSource(spark, dir, keyCol, startV, maxV)
   }
 }
 
@@ -114,7 +120,8 @@ object GraftCdfSource {
   * table's version when an AvailableNow drain starts, so the drain has
   * a definite end even while an upstream writer keeps committing. */
 final class GraftCdfSource(spark: SparkSession, dir: String,
-                           keyCol: String, startVersion: Int)
+                           keyCol: String, startVersion: Int,
+                           maxVersionsPerTrigger: Option[Int] = None)
     extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -149,8 +156,17 @@ final class GraftCdfSource(spark: SparkSession, dir: String,
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
-    val cap = availableNowCap.getOrElse(Snapshot.currentVersion(spark, dir))
+    val avail = availableNowCap.getOrElse(Snapshot.currentVersion(spark, dir))
     val base = Option(start).map(o => versionOf(o)).getOrElse(startVersion)
+    // maxVersionsPerTrigger bounds each batch's COMMIT span (Delta's
+    // maxFilesPerTrigger discipline at this source's natural quantum):
+    // a catch-up over a long history drains as bounded batches instead
+    // of one table-scale diff — under AvailableNow the engine keeps
+    // triggering until the latched cap is reached, so the drain still
+    // completes, just in steps.
+    val cap = maxVersionsPerTrigger
+      .map(mv => math.min(avail.toLong, base.toLong + mv).toInt)
+      .getOrElse(avail)
     if (cap <= base) null else VersionOffset(cap.toLong)
   }
 

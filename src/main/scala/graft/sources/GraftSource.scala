@@ -130,12 +130,43 @@ object GraftSourceProvider {
   }
 }
 
+object GraftRelation {
+  /** The transactional landing shared by SQL INSERT and the writer's
+    * append/overwrite onto an EXISTING table: re-resolve the current
+    * version at EXECUTION time (an analysis-time relation may be
+    * stale), refuse z-ordered layouts (blind writes cannot honor the
+    * layout note — [[Snapshot.mergeCow]]'s guard), and commit with the
+    * table's own clustering column — append carries the current file
+    * set by reference, overwrite publishes the frame as the new full
+    * state with history intact. */
+  private[graft] def landInsert(spark: SparkSession, dir: String,
+                                data: DataFrame,
+                                overwrite: Boolean): Unit = {
+    val cur = Snapshot.currentVersion(spark, dir)
+    require(cur > 0,
+      s"cannot INSERT into a snapshot table with no committed version: $dir")
+    val m = Snapshot.manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"current version of $dir is z-ordered; blind writes would break " +
+        "its layout contract — write pre-z or re-OPTIMIZE after")
+    Snapshot.commit(data, dir, cur, m.statsCol,
+      if (overwrite) Nil else m.files)
+    ()
+  }
+}
+
 /** One resolved (table dir, version) pair. Manifest and schema are
   * fixed at construction — a relation is a snapshot READ, immutable by
-  * the same manifest that makes time travel sound. */
+  * the same manifest that makes time travel sound. [[InsertableRelation]]
+  * makes the same relation the target of SQL `INSERT INTO` /
+  * `INSERT OVERWRITE` (wired by
+  * [[graft.plans.SnapshotTimeTravelRule]] for registered names): the
+  * engine hands `insert` the query's rows POSITIONALLY, so they are
+  * renamed and cast to the table schema before landing through the
+  * commit protocol. */
 final class GraftRelation(override val sqlContext: SQLContext,
                           dir: String, version: Int)
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark: SparkSession = sqlContext.sparkSession
   private val m = Snapshot.manifest(spark, dir, version)
@@ -161,6 +192,18 @@ final class GraftRelation(override val sqlContext: SQLContext,
     // Contract: rows carry exactly requiredColumns, in order. An empty
     // projection (count(*)) still needs the row CARDINALITY.
     filtered.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
+  }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(data.schema.length == schema.length,
+      s"INSERT arity ${data.schema.length} does not match table " +
+        s"schema arity ${schema.length} of $dir")
+    // positional contract: rename to the table's names, cast to its types
+    val conformed = data.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    GraftRelation.landInsert(sqlContext.sparkSession, dir, conformed,
+      overwrite)
   }
 }
 

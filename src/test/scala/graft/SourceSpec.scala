@@ -149,6 +149,66 @@ class SourceSpec extends SparkSpec {
       .load(dir).count() == 11)
   }
 
+  test("SQL INSERT INTO / OVERWRITE land as transactional commits") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_srcspec_i_" + java.util.UUID.randomUUID().toString.take(8)
+    (1L to 5L).map(k => (k, k * 2)).toDF("k", "v").write.format("graft")
+      .option("statsCol", "k").save(dir)
+    Snapshot.registerSqlTable(spark, "srcspec_ins", dir)
+    // positional VALUES append → v2 carries v1's files
+    spark.sql("INSERT INTO srcspec_ins VALUES (6, 12), (7, 14)")
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m1.files.map(_.path).toSet.subsetOf(m2.files.map(_.path).toSet))
+    assert(spark.sql("SELECT count(*) FROM srcspec_ins").head.getLong(0) == 7)
+    // explicit column list reorders; INSERT ... SELECT works
+    spark.sql("INSERT INTO srcspec_ins (v, k) SELECT 16L, 8L")
+    assert(spark.sql("SELECT v FROM srcspec_ins WHERE k = 8")
+      .head.getLong(0) == 16L)
+    // a partial column list is refused (no default-filling half a row)
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("INSERT INTO srcspec_ins (k) SELECT 9L")
+    }
+    assert(e.getMessage.contains("every"))
+    // INSERT OVERWRITE is a new full state; history stays travelable
+    spark.sql("INSERT OVERWRITE srcspec_ins VALUES (100, 200)")
+    assert(spark.sql("SELECT count(*) FROM srcspec_ins").head.getLong(0) == 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM srcspec_ins VERSION AS OF 3")
+      .head.getLong(0) == 8)
+    // EXPLAIN must stay side-effect free (insert runs at execution only)
+    val before = Snapshot.currentVersion(spark, dir)
+    spark.sql("EXPLAIN INSERT INTO srcspec_ins VALUES (101, 202)").collect()
+    assert(Snapshot.currentVersion(spark, dir) == before)
+  }
+
+  test("graft-cdf maxVersionsPerTrigger bounds each batch's commit span") {
+    import spark.implicits._
+    val dir = freshTable()
+    // three more full-state commits → versions 2, 3, 4
+    (2 to 4).foreach { v =>
+      Snapshot.commit((1L to 10L).map(k => (k, k * 10 + v)).toDF("k", "v"),
+        dir, v - 1, "k")
+    }
+    var batchVersions = List.empty[Seq[Long]]
+    val q = spark.readStream.format("graft-cdf")
+      .option("keyCol", "k").option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batchVersions ::= b.collect().toSeq
+          .map(_.getLong(3)).distinct.sorted
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the drain still completes, but as three bounded batches, each
+    // spanning exactly one commit
+    assert(batchVersions.reverse == List(Seq(2L), Seq(3L), Seq(4L)))
+  }
+
   test("format(graft) write refuses a z-ordered current version") {
     import spark.implicits._
     val dir = Warehouse.zOrders(spark, sf)
