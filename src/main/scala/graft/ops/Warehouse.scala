@@ -399,6 +399,35 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The SQL-DML table, built once per (session, dir): v1 = the initial
+    * load via the writer front door, v2 = SQL `DELETE FROM … WHERE` (key
+    * range ∧ status residual — bounds extracted from the WHERE clause
+    * narrow the rewrite to stats-overlapping files), v3 = SQL
+    * `UPDATE … SET … WHERE` (exact-decimal price bump + verdict lineage).
+    * Exercises [[graft.plans.GraftDeleteCommand]] /
+    * [[graft.plans.GraftUpdateCommand]] end to end through the analyzer
+    * rewrite. */
+  private[graft] def sqlDmlOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#sqldml", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_sqldml_$sfx"
+          ordersInitState(s, d).write.format("graft")
+            .option("statsCol", "order_key")
+            .mode(SaveMode.ErrorIfExists).save(dir)
+          val name = s"snap_sqldml_$sfx"
+          Snapshot.registerSqlTable(s, name, dir)
+          s.sql(s"""DELETE FROM $name
+            WHERE order_key BETWEEN 200 AND 399 AND status = 'F'""")
+          s.sql(s"""UPDATE $name
+            SET price = CAST(price * 1.5 AS DECIMAL(21,3)), verdict = 'U'
+            WHERE order_key BETWEEN 600 AND 799 AND status = 'O'""")
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -479,6 +508,22 @@ object Warehouse extends QueryModule {
       // transformed copy, recomputed from raw orders.
       val dir = sqlInsertOrders(s, d)
       Snapshot.read(s, dir)
+        .groupBy(col("status"), col("verdict"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("status"), col("verdict"))
+    }),
+
+    "q145_sql_dml" -> ((s, d) => {
+      // SQL DELETE + UPDATE end to end ([[sqlDmlOrders]] — both verbs
+      // through the analyzer rewrite into execution-time commands over
+      // the narrow COW verbs; WHERE-clause bounds keep each rewrite to
+      // the stats-overlapping files, SourceSpec pins the 1-of-4 file
+      // count and EXPLAIN purity). Completes SQL DML on registered
+      // names: INSERT (q144), DELETE, UPDATE — the psql verbs of the
+      // reference's stages, each now an atomic versioned commit. The
+      // final state grouped per (status, verdict); oracle replays
+      // delete-then-update over raw orders in exact decimal.
+      Snapshot.read(s, sqlDmlOrders(s, d))
         .groupBy(col("status"), col("verdict"))
         .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
         .orderBy(col("status"), col("verdict"))
@@ -927,6 +972,27 @@ object Warehouse extends QueryModule {
         |SELECT status, verdict, count(*) AS n,
         |       CAST(sum(price) AS DOUBLE) AS total
         |FROM allrows GROUP BY status, verdict
+        |ORDER BY status, verdict""".stripMargin,
+
+    "q145_sql_dml" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |after_del AS (
+        |  SELECT * FROM st
+        |  WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F')),
+        |after_upd AS (
+        |  SELECT status,
+        |         CASE WHEN k BETWEEN 600 AND 799 AND status = 'O'
+        |              THEN CAST(price * CAST(1.5 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+        |              ELSE price END AS price,
+        |         CASE WHEN k BETWEEN 600 AND 799 AND status = 'O'
+        |              THEN 'U' ELSE 'K' END AS verdict
+        |  FROM after_del)
+        |SELECT status, verdict, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM after_upd GROUP BY status, verdict
         |ORDER BY status, verdict""".stripMargin,
 
     "q144_sql_insert" ->

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, Project, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{InsertIntoDataSourceCommand, LogicalRelation}
 import org.apache.spark.sql.types.TimestampType
@@ -47,7 +47,7 @@ case class SnapshotTimeTravelRule(session: SparkSession)
     else Snapshot.sqlTableDir(session, parts.mkString("."))
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.resolveOperatorsUp {
+    substituteDmlTargets(plan).resolveOperatorsUp {
       case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, ver)
           if dirOf(parts).isDefined =>
         val name = parts.mkString(".")
@@ -82,9 +82,62 @@ case class SnapshotTimeTravelRule(session: SparkSession)
           LogicalRelation(rel, isStreaming = false),
           reorderForInsert(name, rel.schema, userCols, query, byName),
           overwrite)
+      // SQL DELETE / UPDATE, step 2: once the predicate/assignments are
+      // resolved, rewrite to
+      // the execution-time command — analysis stays side-effect free,
+      // the commit happens when the command RUNS (EXPLAIN-pure,
+      // SourceSpec-pinned), landing through the narrow COW verbs with
+      // clustering bounds extracted from the WHERE clause.
+      case DeleteFromTable(lr: LogicalRelation, cond)
+          if lr.relation.isInstanceOf[GraftRelation] && cond.resolved =>
+        GraftDeleteCommand(lr.relation.asInstanceOf[GraftRelation].dir, cond)
+      case UpdateTable(lr: LogicalRelation, assignments, cond)
+          if lr.relation.isInstanceOf[GraftRelation] &&
+            assignments.forall(a => a.key.resolved && a.value.resolved) &&
+            cond.forall(_.resolved) =>
+        val set = assignments.map { a =>
+          val n = a.key match {
+            case att: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+              att.name
+            case other => throw new IllegalArgumentException(
+              s"UPDATE SET target must be a plain column, got $other")
+          }
+          n -> a.value
+        }
+        GraftUpdateCommand(lr.relation.asInstanceOf[GraftRelation].dir,
+          set, cond)
       case UnresolvedRelation(parts, _, _) if dirOf(parts).isDefined =>
         Snapshot.read(session, dirOf(parts).get).queryExecution.analyzed
     }
+
+  /** SQL DELETE / UPDATE, step 1 — a TOP-DOWN pre-pass: substitute the
+    * registered name with the graft relation so the analyzer can resolve
+    * the WHERE clause and SET expressions against the table's columns.
+    * Must run top-down and BEFORE the generic read-path case: the main
+    * traversal is bottom-up, so the bare `UnresolvedRelation` child
+    * would otherwise be replaced by the read PLAN first — and Spark's
+    * row-level-operation machinery internal-errors on a DML node over a
+    * v1 scan it never claimed. */
+  private def substituteDmlTargets(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case d @ DeleteFromTable(UnresolvedRelation(parts, _, _), _)
+          if dirOf(parts).isDefined =>
+        d.copy(table = dmlRelation(parts))
+      case u @ UpdateTable(UnresolvedRelation(parts, _, _), _, _)
+          if dirOf(parts).isDefined =>
+        u.copy(table = dmlRelation(parts))
+    }
+
+  /** The DML target relation: the registered graft relation at the
+    * CURRENT version, wrapped for the analyzer. Only name resolution
+    * happens here — the commands re-resolve the version at run time. */
+  private def dmlRelation(parts: Seq[String]): LogicalRelation = {
+    val dir = dirOf(parts).get
+    LogicalRelation(
+      new GraftRelation(session.sqlContext, dir,
+        Snapshot.currentVersion(session, dir)),
+      isStreaming = false)
+  }
 
   /** Positional is SQL's default contract and passes through untouched;
     * an explicit column list (or BY NAME) reorders the query's output to

@@ -165,7 +165,7 @@ object GraftRelation {
   * renamed and cast to the table schema before landing through the
   * commit protocol. */
 final class GraftRelation(override val sqlContext: SQLContext,
-                          dir: String, version: Int)
+                          val dir: String, version: Int)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark: SparkSession = sqlContext.sparkSession

@@ -209,6 +209,46 @@ class SourceSpec extends SparkSpec {
     assert(batchVersions.reverse == List(Seq(2L), Seq(3L), Seq(4L)))
   }
 
+  test("SQL DELETE and UPDATE land as narrow COW commits") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_srcspec_d_" + java.util.UUID.randomUUID().toString.take(8)
+    (1L to 100L).map(k => (k, k * 2, if (k % 2 == 0) "e" else "o"))
+      .toDF("k", "v", "par").write.format("graft")
+      .option("statsCol", "k").option("nFiles", "4").save(dir)
+    Snapshot.registerSqlTable(spark, "srcspec_dml", dir)
+    // EXPLAIN is side-effect free for both verbs
+    spark.sql("EXPLAIN DELETE FROM srcspec_dml WHERE k = 1").collect()
+    spark.sql("EXPLAIN UPDATE srcspec_dml SET v = 0 WHERE k = 1").collect()
+    assert(Snapshot.currentVersion(spark, dir) == 1)
+    // keyed DELETE: bounds extracted from the WHERE clause → only the
+    // stats-overlapping file rewrites, the other three carry by path
+    val del = spark.sql(
+      "DELETE FROM srcspec_dml WHERE k >= 10 AND k <= 20 AND par = 'e'")
+    assert(del.columns.toSeq == Seq("version") && del.head.getLong(0) == 2L)
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m1.files.map(_.path).toSet.intersect(
+      m2.files.map(_.path).toSet).size == 3,
+      "exactly one of four files should rewrite for a narrow key range")
+    assert(spark.sql("SELECT count(*) FROM srcspec_dml").head.getLong(0)
+      == 100 - 6) // even keys in [10,20]: 10,12,14,16,18,20
+    // NULL-predicate rows are kept (SQL DELETE three-valued logic)
+    spark.sql("INSERT INTO srcspec_dml VALUES (200, 1, NULL)")
+    spark.sql("DELETE FROM srcspec_dml WHERE k >= 200 AND par = 'x'")
+    assert(spark.sql("SELECT count(*) FROM srcspec_dml WHERE k = 200")
+      .head.getLong(0) == 1)
+    // UPDATE: SET expressions see the OLD row; condition bounds narrow
+    // the rewrite; history stays travelable across every verb
+    spark.sql("UPDATE srcspec_dml SET v = v + 1000 WHERE k >= 30 AND k < 33")
+    assert(spark.sql(
+      "SELECT sum(v) FROM srcspec_dml WHERE k BETWEEN 30 AND 32")
+      .head.getLong(0) == (60L + 62 + 64) + 3000)
+    assert(spark.sql(
+      "SELECT count(*) FROM srcspec_dml VERSION AS OF 1").head.getLong(0)
+      == 100)
+  }
+
   test("format(graft) write refuses a z-ordered current version") {
     import spark.implicits._
     val dir = Warehouse.zOrders(spark, sf)
