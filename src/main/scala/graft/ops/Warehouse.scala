@@ -428,6 +428,38 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The SQL-MERGE table, built once per (session, dir): v1 = the
+    * initial load via the writer front door, v2 = q42's CDC batch landed
+    * through SQL `MERGE INTO` — update/delete/insert clauses spelling
+    * exactly [[applyOrdersChanges]]'s verdict semantics, so the final
+    * state hash-matches the q42/q124 oracle VERBATIM (the fourth
+    * same-oracle twin: one-shot plan, API-level COW merge, foreachBatch
+    * sink, and now the SQL verb). */
+  private[graft] def sqlMergeOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#sqlmrg", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_sqlmrg_$sfx"
+          ordersInitState(s, d).write.format("graft")
+            .option("statsCol", "order_key")
+            .mode(SaveMode.ErrorIfExists).save(dir)
+          val name = s"snap_sqlmrg_$sfx"
+          Snapshot.registerSqlTable(s, name, dir)
+          ordersChanges(s, d).createOrReplaceTempView(s"${name}_ch")
+          s.sql(s"""MERGE INTO $name t USING ${name}_ch s
+            ON t.order_key = s.k
+            WHEN MATCHED AND s.op = 'U' THEN
+              UPDATE SET price = s.c_price, verdict = 'U'
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN NOT MATCHED THEN
+              INSERT (order_key, cust_key, status, price, verdict)
+              VALUES (s.k, s.c_cust, s.c_status, s.c_price, 'I')""")
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -527,6 +559,21 @@ object Warehouse extends QueryModule {
         .groupBy(col("status"), col("verdict"))
         .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
         .orderBy(col("status"), col("verdict"))
+    }),
+
+    "q146_sql_merge" -> ((s, d) => {
+      // SQL MERGE INTO end to end ([[sqlMergeOrders]]): q42's CDC batch
+      // through the verb that subsumes the other three — conditioned
+      // UPDATE/DELETE/INSERT clauses, one full-outer-join COW commit,
+      // file selection keyed by the ON clause's statsCol equi-conjunct
+      // (SourceSpec pins the carried-file subset and all three clause
+      // classes). Hash-matches q42's oracle VERBATIM: the fourth
+      // same-oracle twin — one-shot plan (q42), API COW merge (q124),
+      // streaming sink (q126 via q102's), and the SQL verb.
+      Snapshot.read(s, sqlMergeOrders(s, d))
+        .select(col("order_key"), col("cust_key"), col("status"),
+          F.od(col("price")).as("price"), col("verdict"))
+        .orderBy(col("order_key"))
     }),
 
     "q124_merge_versioned" -> ((s, d) => {
@@ -932,6 +979,7 @@ object Warehouse extends QueryModule {
 
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
+    "q146_sql_merge" -> mergeOracle,
 
     "q141_source_read" ->
       """WITH base AS (

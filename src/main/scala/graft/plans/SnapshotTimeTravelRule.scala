@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, Project, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{InsertIntoDataSourceCommand, LogicalRelation}
 import org.apache.spark.sql.types.TimestampType
@@ -88,11 +88,11 @@ case class SnapshotTimeTravelRule(session: SparkSession)
       // the commit happens when the command RUNS (EXPLAIN-pure,
       // SourceSpec-pinned), landing through the narrow COW verbs with
       // clustering bounds extracted from the WHERE clause.
-      case DeleteFromTable(lr: LogicalRelation, cond)
-          if lr.relation.isInstanceOf[GraftRelation] && cond.resolved =>
-        GraftDeleteCommand(lr.relation.asInstanceOf[GraftRelation].dir, cond)
-      case UpdateTable(lr: LogicalRelation, assignments, cond)
-          if lr.relation.isInstanceOf[GraftRelation] &&
+      case DeleteFromTable(t, cond)
+          if graftTarget(t).isDefined && cond.resolved =>
+        GraftDeleteCommand(graftTarget(t).get.dir, cond)
+      case UpdateTable(t, assignments, cond)
+          if graftTarget(t).isDefined &&
             assignments.forall(a => a.key.resolved && a.value.resolved) &&
             cond.forall(_.resolved) =>
         val set = assignments.map { a =>
@@ -104,11 +104,40 @@ case class SnapshotTimeTravelRule(session: SparkSession)
           }
           n -> a.value
         }
-        GraftUpdateCommand(lr.relation.asInstanceOf[GraftRelation].dir,
-          set, cond)
+        GraftUpdateCommand(graftTarget(t).get.dir, set, cond)
+      // SQL MERGE INTO, step 2 (same two-step shape as DELETE/UPDATE):
+      // once the source, condition, and every clause resolve, rewrite to
+      // the execution-time command — EXPLAIN-pure, first-match-wins
+      // clause semantics, COW file selection keyed by the merge
+      // condition's statsCol equi-conjunct.
+      case mg @ MergeIntoTable(t, src, cond, _, _, _, evo)
+          if graftTarget(t).isDefined && src.resolved &&
+            cond.resolved && mergeActionsResolved(mg) =>
+        require(!evo, "MERGE WITH SCHEMA EVOLUTION is not supported on " +
+          "snapshot tables — evolve explicitly with addColumn first")
+        GraftMergeCommand(graftTarget(t).get.dir,
+          src, cond, mg.matchedActions, mg.notMatchedActions,
+          mg.notMatchedBySourceActions, t.output)
       case UnresolvedRelation(parts, _, _) if dirOf(parts).isDefined =>
         Snapshot.read(session, dirOf(parts).get).queryExecution.analyzed
     }
+
+  private def mergeActionsResolved(m: MergeIntoTable): Boolean = {
+    def ok(a: MergeAction): Boolean = a match {
+      case UpdateAction(c, as, _) =>
+        c.forall(_.resolved) &&
+          as.forall(x => x.key.resolved && x.value.resolved)
+      case InsertAction(c, as) =>
+        c.forall(_.resolved) &&
+          as.forall(x => x.key.resolved && x.value.resolved)
+      case DeleteAction(c)     => c.forall(_.resolved)
+      case UpdateStarAction(c) => c.forall(_.resolved)
+      case InsertStarAction(c) => c.forall(_.resolved)
+      case _                   => false
+    }
+    (m.matchedActions ++ m.notMatchedActions ++
+      m.notMatchedBySourceActions).forall(ok)
+  }
 
   /** SQL DELETE / UPDATE, step 1 — a TOP-DOWN pre-pass: substitute the
     * registered name with the graft relation so the analyzer can resolve
@@ -120,13 +149,41 @@ case class SnapshotTimeTravelRule(session: SparkSession)
     * v1 scan it never claimed. */
   private def substituteDmlTargets(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsDown {
-      case d @ DeleteFromTable(UnresolvedRelation(parts, _, _), _)
-          if dirOf(parts).isDefined =>
-        d.copy(table = dmlRelation(parts))
-      case u @ UpdateTable(UnresolvedRelation(parts, _, _), _, _)
-          if dirOf(parts).isDefined =>
-        u.copy(table = dmlRelation(parts))
+      case d @ DeleteFromTable(t, _) if isRegisteredTarget(t) =>
+        d.copy(table = substituteTarget(t))
+      case u @ UpdateTable(t, _, _) if isRegisteredTarget(t) =>
+        u.copy(table = substituteTarget(t))
+      case mg @ MergeIntoTable(t, _, _, _, _, _, _)
+          if isRegisteredTarget(t) =>
+        mg.copy(targetTable = substituteTarget(t))
     }
+
+  /** A DML target may arrive bare or wrapped in the alias the statement
+    * gave it (`MERGE INTO name t`) — see through [[SubqueryAlias]] both
+    * when testing for a registration and when substituting, PRESERVING
+    * the alias so `t.col` qualifiers keep resolving. */
+  private def isRegisteredTarget(p: LogicalPlan): Boolean = p match {
+    case UnresolvedRelation(parts, _, _) => dirOf(parts).isDefined
+    case SubqueryAlias(_, child)         => isRegisteredTarget(child)
+    case _                               => false
+  }
+
+  private def substituteTarget(p: LogicalPlan): LogicalPlan = p match {
+    case UnresolvedRelation(parts, _, _) => dmlRelation(parts)
+    case a @ SubqueryAlias(_, child) =>
+      a.copy(child = substituteTarget(child))
+    case other => other
+  }
+
+  /** Step-2 counterpart: the substituted relation, bare or aliased. */
+  private def graftTarget(p: LogicalPlan): Option[GraftRelation] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case g: GraftRelation => Some(g)
+      case _                => None
+    }
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case _                       => None
+  }
 
   /** The DML target relation: the registered graft relation at the
     * CURRENT version, wrapped for the analyzer. Only name resolution

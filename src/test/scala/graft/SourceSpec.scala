@@ -249,6 +249,53 @@ class SourceSpec extends SparkSpec {
       == 100)
   }
 
+  test("SQL MERGE INTO runs all three clause classes as one COW commit") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_srcspec_m_" + java.util.UUID.randomUUID().toString.take(8)
+    (1L to 8L).map(k => (k, k * 10, "K")).toDF("k", "v", "tag")
+      .write.format("graft").option("statsCol", "k")
+      .option("nFiles", "4").save(dir)
+    Snapshot.registerSqlTable(spark, "srcspec_mrg", dir)
+    // source: k=2 update, k=3 delete, k=20 insert; k (same name both
+    // sides) exercises the attribute-identity disambiguation
+    Seq((2L, 999L, "U"), (3L, 0L, "D"), (20L, 200L, "I"))
+      .toDF("k", "nv", "op").createOrReplaceTempView("mrg_src")
+    spark.sql("EXPLAIN MERGE INTO srcspec_mrg t USING mrg_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN DELETE").collect()
+    assert(Snapshot.currentVersion(spark, dir) == 1, "EXPLAIN must not merge")
+    val res = spark.sql("""
+      MERGE INTO srcspec_mrg t USING mrg_src s ON t.k = s.k
+      WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.nv, tag = 'U'
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN NOT MATCHED AND s.op = 'I' THEN
+        INSERT (k, v, tag) VALUES (s.k, s.nv, 'I')""")
+    assert(res.head.getLong(0) == 2L)
+    val after = Snapshot.read(spark, dir).orderBy(col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(after == Seq((1L, 10L, "K"), (2L, 999L, "U"), (4L, 40L, "K"),
+      (5L, 50L, "K"), (6L, 60L, "K"), (7L, 70L, "K"), (8L, 80L, "K"),
+      (20L, 200L, "I")))
+    // COW: the key range {2,3,20} touches a strict subset of the 4 files
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    val carried = m1.files.map(_.path).toSet
+      .intersect(m2.files.map(_.path).toSet)
+    assert(carried.nonEmpty && carried.size < m1.files.size)
+    // NOT MATCHED BY SOURCE: tag rows the source never mentioned
+    spark.sql("""
+      MERGE INTO srcspec_mrg t USING mrg_src s ON t.k = s.k
+      WHEN NOT MATCHED BY SOURCE AND t.k >= 7 THEN UPDATE SET tag = 'X'""")
+    // k=20 was inserted by the first merge, so the source row k=20 now
+    // MATCHES it — only 7 and 8 are target-only rows past the condition
+    assert(Snapshot.read(spark, dir).filter(col("tag") === "X")
+      .select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(7L, 8L))
+    // history from before each merge stays travelable
+    assert(spark.sql("SELECT count(*) FROM srcspec_mrg VERSION AS OF 1")
+      .head.getLong(0) == 8)
+  }
+
   test("format(graft) write refuses a z-ordered current version") {
     import spark.implicits._
     val dir = Warehouse.zOrders(spark, sf)
