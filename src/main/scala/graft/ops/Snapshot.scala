@@ -390,7 +390,8 @@ object Snapshot {
     * different scheme than the clone dir itself (a local clone of an
     * s3a:// table — a case [[isAbsolutePath]] explicitly supports),
     * where the table-dir FileSystem would throw "Wrong FS". */
-  private def entryLen(spark: SparkSession, dir: String, p: String): Long = {
+  private[graft] def entryLen(spark: SparkSession, dir: String,
+                              p: String): Long = {
     val path = new Path(dataPath(dir, p))
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(path).getLen

@@ -42,6 +42,8 @@ import graft.ops.Snapshot
   * version when the stream starts, i.e. only NEW commits feed; 0 is not
   * meaningful — the feed needs a base state to diff against, so the
   * earliest usable value is the first committed version),
+  * `startingTimestamp` (the same base resolved through the monotone
+  * commit clock — everything committed after that instant feeds),
   * `maxVersionsPerTrigger` (bound each micro-batch's commit span — the
   * admission-control knob that turns a long catch-up into bounded
   * batches instead of one table-scale diff).
@@ -85,7 +87,15 @@ final class GraftCdfSourceProvider extends StreamSourceProvider
                             parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val (dir, keyCol) = resolve(spark, parameters)
+    require(!(opt(parameters, "startingVersion").isDefined &&
+      opt(parameters, "startingTimestamp").isDefined),
+      "startingVersion and startingTimestamp are mutually exclusive")
     val startV = opt(parameters, "startingVersion").map(_.trim.toInt)
+      .orElse(opt(parameters, "startingTimestamp").map(ts =>
+        // feed everything committed AFTER the instant: the base is the
+        // newest version at/before it, same clock as timestampAsOf
+        Snapshot.versionAtTimestamp(spark, dir,
+          GraftSourceProvider.epochMs(ts))))
       .getOrElse(Snapshot.currentVersion(spark, dir))
     val maxV = opt(parameters, "maxVersionsPerTrigger").map(_.trim.toInt)
     maxV.foreach(v => require(v >= 1,
@@ -169,6 +179,12 @@ final class GraftCdfSource(spark: SparkSession, dir: String,
       .getOrElse(avail)
     if (cap <= base) null else VersionOffset(cap.toLong)
   }
+
+  /** Observability hook (StreamingQueryProgress's `latestOffset`): the
+    * table's current version regardless of admission-control caps. */
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VersionOffset(Snapshot.currentVersion(spark, dir).toLong)
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val v1 = start.map(versionOf).getOrElse(startVersion)

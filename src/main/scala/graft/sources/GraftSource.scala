@@ -175,6 +175,15 @@ final class GraftRelation(override val sqlContext: SQLContext,
   override val schema: StructType =
     Snapshot.readEntries(spark, dir, m, m.files).schema
 
+  /** Honest size from the manifest's own files (one driver-side stat per
+    * file, computed once per relation): without this a BaseRelation
+    * reports `spark.sql.defaultSizeInBytes` (effectively infinite), so a
+    * SMALL snapshot dimension read through the source would never
+    * auto-broadcast in a join — at 100 TB exactly the tables you want
+    * broadcast are the ones read this way. */
+  override lazy val sizeInBytes: Long =
+    m.files.map(f => Snapshot.entryLen(spark, dir, f.path)).sum
+
   override def toString: String = s"GraftRelation($dir, v$version)"
 
   override def buildScan(requiredColumns: Array[String],

@@ -376,6 +376,39 @@ class SourceSpec extends SparkSpec {
       got.head.getString(1) == "U" && got.head.getLong(3) == 4L)
   }
 
+  test("relation reports honest sizeInBytes so small tables broadcast") {
+    val dir = Warehouse.snapOrders(spark, sf)
+    val m = Snapshot.manifest(spark, dir, 2)
+    val expected = m.files.map(f =>
+      Snapshot.entryLen(spark, dir, f.path)).sum
+    val stats = spark.read.format("graft").load(dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats == BigInt(expected),
+      s"stats $stats != manifest bytes $expected")
+    // well under the 10 MB broadcast threshold at this fixture scale —
+    // the join side a default-sized relation would never broadcast
+    assert(expected > 0 && expected < (10L << 20))
+  }
+
+  test("graft-cdf startingTimestamp resolves the base via the commit clock") {
+    val dir = freshTable()
+    Thread.sleep(5) // distinct commit clocks (epoch-ms granularity)
+    Snapshot.commit(stateAfter(dir), dir, 1, "k")
+    // v1's commit instant → base v1 → the v2 diff feeds (3 changes)
+    val t1 = Snapshot.manifest(spark, dir, 1).ts
+    val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = spark.readStream.format("graft-cdf")
+      .option("keyCol", "k").option("startingTimestamp", t1.toString)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        got ++= b.collect(); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.size == 3 && got.forall(_.getLong(3) == 2L))
+  }
+
   test("graft-cdf startingVersion replays history from the chosen base") {
     val dir = freshTable()
     Snapshot.commit(stateAfter(dir), dir, 1, "k")
