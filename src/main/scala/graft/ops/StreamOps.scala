@@ -481,6 +481,48 @@ object StreamOps extends QueryModule {
         .orderBy(col("order_key"))
     }),
 
+    "q147_source_stream_sink" -> ((s, d) => {
+      // The snapshot table as the REGISTERED streaming sink — the
+      // `writeStream.format("graft")` front door
+      // ([[graft.sources.GraftSink]]): the staged event feed drains in 4
+      // file-source micro-batches, each landing as ONE committed
+      // snapshot version (append mode carries prior files by reference —
+      // the 100 TB discipline: batch-sized write + one manifest publish
+      // per trigger), exactly-once by `txn:<queryId>:<batchId>` manifest
+      // tokens (SourceSpec pins checkpoint-restart replay landing
+      // nothing twice). The drained table is the whole feed across a
+      // 4-version time-travelable history; the per-user rollup over it
+      // is oracled directly against raw events — the registered-sink
+      // twin of q126's foreachBatch merge sink. `value` stays
+      // DECIMAL(18,2) through the table so the rollup's sum is exact
+      // (order-independent) and only the FINAL column casts to double.
+      val c = streamSession(s, 8)
+      val stage = snapStreamStage(c, d)
+      val sch = synchronized {
+        schemaCache.getOrElseUpdate(stage, c.read.parquet(stage).schema)
+      }
+      val wh = c.conf.get("spark.sql.warehouse.dir")
+      val sfx = java.util.UUID.randomUUID().toString.take(8)
+      val dir = s"$wh/graft_fmt_sink_$sfx"
+      val src = c.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .select(col("event_id"), col("user_id"),
+          F.dec2(col("value")).as("value"))
+      val q = src.writeStream.format("graft")
+        .option("checkpointLocation", s"${dir}_ckpt")
+        .option("statsCol", "event_id")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start(dir)
+      q.awaitTermination()
+      Snapshot.read(c, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          F.od(sum(col("value"))).as("sum_value"),
+          min(col("event_id")).as("min_eid"),
+          max(col("event_id")).as("max_eid"))
+        .orderBy(col("user_id"))
+    }),
+
     "q114_stream_dedup_index" -> ((s, d) => {
       // Streaming EXACT-dedup INDEX maintenance — q113's standing corpus
       // kept current by the stream itself. q74 is the bounded twin (state
@@ -825,6 +867,14 @@ object StreamOps extends QueryModule {
         |FROM ch WHERE m = 2
         |ORDER BY order_key
         |""".stripMargin,
+
+    // the registered sink's append drain must hold exactly the staged
+    // feed — the rollup is oracled straight off raw events
+    "q147_source_stream_sink" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  min(event_id) AS min_eid, max(event_id) AS max_eid
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q81's oracle shape: the streaming-maintained index must answer
     // exactly what the batch groupBy answers

@@ -43,7 +43,8 @@ import graft.ops.Snapshot
   * clock); default = latest committed version.
   */
 final class GraftSourceProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -116,6 +117,25 @@ final class GraftSourceProvider extends RelationProvider
         land(Nil)
     }
     createRelation(sqlContext, parameters)
+  }
+
+  /** The STREAMING write front door —
+    * `df.writeStream.format("graft").start(dir)` commits one snapshot
+    * version per micro-batch, exactly-once by txn tokens ([[GraftSink]]).
+    * Partitioning a streamed graft table is the clustering column's job
+    * (`statsCol` + OPTIMIZE), not directory partitioning. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft sink does not take partitionBy — clustering is the " +
+        "manifest's statsCol (+ OPTIMIZE zorder), not directories")
+    val opts = lowered(parameters)
+    new GraftSink(sqlContext.sparkSession, dirOf(opts),
+      opts.get("statscol"), opts.get("nfiles").map(_.trim.toInt).getOrElse(8),
+      outputMode)
   }
 }
 

@@ -23,4 +23,20 @@ object StreamingFrame {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse doorway, for a v1 streaming
+    * [[org.apache.spark.sql.execution.streaming.Sink]]: `addBatch` hands
+    * the sink a STREAMING-flagged DataFrame that batch writers refuse
+    * (`AnalysisException: write to non-streaming dataset`), and the
+    * sanctioned re-mint is the same `internalCreateDataFrame` with
+    * `isStreaming = false` over the batch's physical rows — the pattern
+    * Delta's `DeltaSink` uses for the same call. The micro-batch's rows
+    * come from a source `getBatch`, which is replayable by the streaming
+    * contract, so re-executing the pinned RDD per downstream action
+    * yields identical rows. */
+  def unwrap(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -418,4 +418,93 @@ class SourceSpec extends SparkSpec {
     drain(dir, dir + "_ckpt2", got)
     assert(got.size == 3)
   }
+
+  // ---------------------------------------------------- streaming sink
+
+  /** Drain `stage` into the graft table at `dir` through the registered
+    * sink, one file per micro-batch. */
+  private def drainSink(stage: String, dir: String, ckpt: String): Unit = {
+    val sch = spark.read.parquet(stage).schema
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("statsCol", "k")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start(dir)
+    q.awaitTermination()
+  }
+
+  test("format(graft) sink: one committed version per batch, tokened, replay-safe") {
+    import spark.implicits._
+    val base = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_sinkspec_" + java.util.UUID.randomUUID().toString.take(8)
+    val (stage, dir, ckpt) = (base + "_stage", base + "_tbl", base + "_ckpt")
+    (1L to 40L).map(k => (k, k * 10)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.parquet(stage)
+    drainSink(stage, dir, ckpt)
+    // 4 source files × maxFilesPerTrigger=1 → 4 batches → 4 versions,
+    // each manifest carrying its txn:<queryId>:<batchId> token in order
+    assert(Snapshot.currentVersion(spark, dir) == 4)
+    (1 to 4).foreach { v =>
+      val note = Snapshot.manifest(spark, dir, v).note
+      assert(note.matches(s"txn:[0-9a-f-]+:${v - 1}"),
+        s"v$v note '$note' is not its batch token")
+    }
+    assert(sorted(Snapshot.read(spark, dir)) ==
+      sorted(spark.read.parquet(stage)))
+    // same checkpoint, no new data: a second incarnation lands NOTHING
+    drainSink(stage, dir, ckpt)
+    assert(Snapshot.currentVersion(spark, dir) == 4, "idle restart committed")
+    // new data: exactly the one new batch lands, history extends by one
+    Seq((41L, 410L)).toDF("k", "v").write.mode("append").parquet(stage)
+    drainSink(stage, dir, ckpt)
+    assert(Snapshot.currentVersion(spark, dir) == 5)
+    assert(Snapshot.read(spark, dir).count() == 41)
+    // v4 is still the pre-restart state — the drain left real history
+    assert(Snapshot.read(spark, dir, 4).count() == 40)
+  }
+
+  test("format(graft) sink: a replayed batch id is a commitOnce no-op") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_sinkreplay_" + java.util.UUID.randomUUID().toString.take(8)
+    val sink = new graft.sources.GraftSink(spark, dir, Some("k"), 8,
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val b0 = (1L to 10L).map(k => (k, k)).toDF("k", "v")
+    // no stream execution thread here → both calls share the queryId
+    // fallback, i.e. the same producer identity — the replay scenario
+    sink.addBatch(0L, b0)
+    sink.addBatch(0L, b0) // crash-after-commit redelivery
+    assert(Snapshot.currentVersion(spark, dir) == 1,
+      "replayed batch must find its token and no-op")
+    sink.addBatch(1L, Seq((11L, 11L)).toDF("k", "v"))
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    assert(Snapshot.read(spark, dir).count() == 11)
+  }
+
+  test("format(graft) sink: complete mode republishes full state with history") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_sinkcomplete_" + java.util.UUID.randomUUID().toString.take(8)
+    val sink = new graft.sources.GraftSink(spark, dir, Some("k"), 8,
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    sink.addBatch(0L, (1L to 10L).map(k => (k, k)).toDF("k", "v"))
+    sink.addBatch(1L, (1L to 3L).map(k => (k, k * 2)).toDF("k", "v"))
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    assert(Snapshot.read(spark, dir).count() == 3, "complete = new full state")
+    assert(Snapshot.read(spark, dir, 1).count() == 10, "v1 time-travelable")
+  }
+
+  test("format(graft) sink: update mode and partitionBy are refused") {
+    intercept[IllegalArgumentException] {
+      new graft.sources.GraftSink(spark, "/nonexistent", Some("k"), 8,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    intercept[IllegalArgumentException] {
+      new graft.sources.GraftSourceProvider().createSink(
+        spark.sqlContext, Map("path" -> "/nonexistent"), Seq("k"),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+  }
 }
