@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // | TIMESTAMP AS OF ts] resolves against immutable manifests
     // ([[graft.plans.SnapshotTimeTravelRule]]).
     ext.injectResolutionRule(graft.plans.SnapshotTimeTravelRule.apply)
+    // Lakehouse maintenance/DDL verbs Spark's grammar doesn't speak —
+    // OPTIMIZE [ZORDER BY], VACUUM [RETAIN], DESCRIBE HISTORY,
+    // RESTORE TABLE … TO VERSION AS OF, ALTER TABLE ADD COLUMN /
+    // ADD CONSTRAINT … CHECK / DROP CONSTRAINT on registered snapshot
+    // names ([[graft.plans.GraftSqlParser]]); everything else delegates.
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

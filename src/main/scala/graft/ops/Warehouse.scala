@@ -460,6 +460,44 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The full-SQL lifecycle table, built once per (session, dir): after
+    * the writer front-door create, EVERY verb is a SQL statement through
+    * the injected parser ([[graft.plans.GraftSqlParser]]) — v2
+    * `ALTER TABLE … ADD CONSTRAINT … CHECK`, v3 `DELETE FROM` (the
+    * damage), v4 `OPTIMIZE` (maintenance compact), v5
+    * `RESTORE TABLE … TO VERSION AS OF 2` (metadata-only rollback of
+    * the damage, constraint riding along), v6 `ALTER TABLE … ADD
+    * COLUMN` (declared evolution), plus `VACUUM` under the default
+    * grace age (reclaims nothing on a live table — every data dir is
+    * referenced by a retained manifest). Returns (dir, registered
+    * name). */
+  private[graft] def sqlLifecycleOrders(s: SparkSession, d: String)
+      : (String, String) =
+    synchronized {
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val name = s"snap_sqllife_$sfx"
+      val dir = snapCache
+        .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#sqllife", {
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_sqllife_$sfx"
+          ordersInitState(s, d).write.format("graft")
+            .option("statsCol", "order_key")
+            .mode(SaveMode.ErrorIfExists).save(dir)
+          Snapshot.registerSqlTable(s, name, dir)
+          s.sql(s"""ALTER TABLE $name
+            ADD CONSTRAINT price_nonneg CHECK (price >= 0)""")
+          s.sql(s"""DELETE FROM $name
+            WHERE order_key BETWEEN 200 AND 399 AND status = 'F'""")
+          s.sql(s"OPTIMIZE $name")
+          s.sql(s"RESTORE TABLE $name TO VERSION AS OF 2")
+          s.sql(s"ALTER TABLE $name ADD COLUMN chan STRING")
+          s.sql(s"VACUUM $name")
+          dir
+        })
+      (dir, name)
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -574,6 +612,30 @@ object Warehouse extends QueryModule {
         .select(col("order_key"), col("cust_key"), col("status"),
           F.od(col("price")).as("price"), col("verdict"))
         .orderBy(col("order_key"))
+    }),
+
+    "q148_sql_lifecycle" -> ((s, d) => {
+      // The SQL-ONLY lakehouse lifecycle ([[sqlLifecycleOrders]] —
+      // every verb after creation is a statement through the injected
+      // parser, [[graft.plans.GraftSqlParser]]): ADD CONSTRAINT …
+      // CHECK, DELETE (the damage), OPTIMIZE (maintenance compact),
+      // RESTORE TABLE … TO VERSION AS OF (metadata-only rollback),
+      // ALTER TABLE ADD COLUMN (declared evolution), VACUUM (default
+      // grace — reclaims nothing on a live table). The result reads
+      // the damaged v3 and the restored current state side by side,
+      // with the committed version count from SQL DESCRIBE HISTORY
+      // riding as a pinned constant: the oracle recomputes both phases
+      // from raw orders (restore must be byte-exact; OPTIMIZE must not
+      // change content) and n_versions must be exactly 6.
+      val (dir, name) = sqlLifecycleOrders(s, d)
+      val nv = s.sql(s"DESCRIBE HISTORY $name").count()
+      def agg(v: Int, phase: String): DataFrame =
+        Snapshot.read(s, dir, v)
+          .groupBy(lit(phase).as("phase"), col("status"))
+          .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+      agg(3, "damaged").unionAll(agg(6, "final"))
+        .withColumn("n_versions", lit(nv))
+        .orderBy(col("phase"), col("status"))
     }),
 
     "q124_merge_versioned" -> ((s, d) => {
@@ -980,6 +1042,29 @@ object Warehouse extends QueryModule {
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
     "q146_sql_merge" -> mergeOracle,
+
+    // the damaged phase = the load minus the SQL DELETE's rows; the
+    // final phase = the original load exactly (RESTORE is byte-exact,
+    // OPTIMIZE/constraint/column are content-neutral); 6 committed
+    // versions: create, constraint, delete, optimize, restore, column
+    "q148_sql_lifecycle" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status, o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |dmg AS (
+        |  SELECT status, price FROM st
+        |  WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F'))
+        |SELECT 'damaged' AS phase, status, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total,
+        |       CAST(6 AS BIGINT) AS n_versions
+        |FROM dmg GROUP BY status
+        |UNION ALL
+        |SELECT 'final', status, count(*), CAST(sum(price) AS DOUBLE),
+        |       CAST(6 AS BIGINT)
+        |FROM st GROUP BY status
+        |ORDER BY phase, status
+        |""".stripMargin,
 
     "q141_source_read" ->
       """WITH base AS (

@@ -1,0 +1,128 @@
+package graft.plans
+
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.ops.Snapshot
+
+/** Delegating SQL parser (injected by [[graft.GraftExtensions]] via
+  * `injectParser` — Delta's own recipe for exactly these verbs): the
+  * lakehouse maintenance/DDL statements Spark's grammar doesn't speak
+  * parse HERE into execution-time commands
+  * ([[GraftMaintenanceCommands]]); every other statement — and every
+  * other `ParserInterface` entry point — passes through to Spark's
+  * parser verbatim.
+  *
+  *   OPTIMIZE name [ZORDER BY (a, b[, c])]
+  *   VACUUM name [RETAIN n HOURS]
+  *   DESCRIBE HISTORY name
+  *   RESTORE TABLE name TO VERSION AS OF v
+  *   ALTER TABLE name ADD COLUMN c type
+  *   ALTER TABLE name ADD CONSTRAINT cn CHECK (expr)
+  *   ALTER TABLE name DROP CONSTRAINT cn
+  *
+  * Interception is NAME-GATED where Spark has its own meaning for the
+  * shape: `DESCRIBE HISTORY x` and the `ALTER TABLE` forms only
+  * intercept when `x` is a registered snapshot name in this session —
+  * otherwise they delegate, so `DESCRIBE history` still describes a
+  * real table named history and a catalog table's ALTER TABLE is
+  * untouched. `OPTIMIZE` / `VACUUM` / `RESTORE TABLE … TO VERSION AS
+  * OF` are not Spark grammar at all, so a syntactic match always
+  * intercepts and an unregistered name fails at RUN time with the
+  * engine's own message instead of a generic syntax error. Matching is
+  * whole-statement anchored regex over ONE normalized form (trailing
+  * semicolon stripped), so no prefix of a longer legitimate statement
+  * can be swallowed. */
+final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  private def registered(name: String): Boolean =
+    Snapshot.sqlTableDir(session, name).isDefined
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val s = sqlText.trim.stripSuffix(";").trim
+    val optimize = OptimizeRe.matcher(s)
+    if (optimize.matches()) {
+      val zcols = Option(optimize.group(2)).toSeq
+        .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      if (zcols.nonEmpty && zcols.size != 2 && zcols.size != 3)
+        throw new IllegalArgumentException(
+          s"OPTIMIZE ZORDER BY takes 2 or 3 columns, got ${zcols.size}")
+      return GraftOptimizeCommand(optimize.group(1), zcols)
+    }
+    val vacuum = VacuumRe.matcher(s)
+    if (vacuum.matches())
+      return GraftVacuumCommand(vacuum.group(1),
+        Option(vacuum.group(2)).map(_.toDouble))
+    val restore = RestoreRe.matcher(s)
+    if (restore.matches())
+      return GraftRestoreCommand(restore.group(1), restore.group(2).toInt)
+    val history = HistoryRe.matcher(s)
+    if (history.matches() && registered(history.group(1)))
+      return GraftDescribeHistoryCommand(history.group(1))
+    val addCol = AddColumnRe.matcher(s)
+    if (addCol.matches() && registered(addCol.group(1)))
+      return GraftAddColumnCommand(addCol.group(1), addCol.group(2),
+        addCol.group(3).trim)
+    val addCheck = AddConstraintRe.matcher(s)
+    if (addCheck.matches() && registered(addCheck.group(1)))
+      return GraftAddConstraintCommand(addCheck.group(1), addCheck.group(2),
+        addCheck.group(3).trim)
+    val dropCheck = DropConstraintRe.matcher(s)
+    if (dropCheck.matches() && registered(dropCheck.group(1)))
+      return GraftDropConstraintCommand(dropCheck.group(1),
+        dropCheck.group(2))
+    delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+private object GraftSqlParser {
+  // one- or two-part SQL identifier, the shapes registerSqlTable accepts
+  private val Id = "[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)?"
+  private val Flags = Pattern.CASE_INSENSITIVE | Pattern.DOTALL
+
+  val OptimizeRe: Pattern = Pattern.compile(
+    s"OPTIMIZE\\s+($Id)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?", Flags)
+  val VacuumRe: Pattern = Pattern.compile(
+    s"VACUUM\\s+($Id)(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?", Flags)
+  val RestoreRe: Pattern = Pattern.compile(
+    s"RESTORE\\s+TABLE\\s+($Id)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)",
+    Flags)
+  val HistoryRe: Pattern = Pattern.compile(
+    s"DESCRIBE\\s+HISTORY\\s+($Id)", Flags)
+  val AddColumnRe: Pattern = Pattern.compile(
+    s"ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+COLUMNS?\\s+" +
+      "\\(?\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+([^)]+?)\\s*\\)?", Flags)
+  val AddConstraintRe: Pattern = Pattern.compile(
+    s"ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+CONSTRAINT\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+CHECK\\s*\\((.*)\\)", Flags)
+  val DropConstraintRe: Pattern = Pattern.compile(
+    s"ALTER\\s+TABLE\\s+($Id)\\s+DROP\\s+CONSTRAINT\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)", Flags)
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Snapshot
+
+/** The injected SQL parser's maintenance/DDL verbs
+  * ([[graft.plans.GraftSqlParser]] → [[graft.plans
+  * .GraftMaintenanceCommands]]): OPTIMIZE [ZORDER BY], VACUUM [RETAIN],
+  * DESCRIBE HISTORY, RESTORE TABLE … TO VERSION AS OF, ALTER TABLE
+  * ADD COLUMN / ADD CONSTRAINT CHECK / DROP CONSTRAINT — each pinned
+  * per verb, plus the delegation contract (unregistered names fall
+  * through to Spark's own grammar untouched). */
+class SqlLifecycleSpec extends SparkSpec {
+
+  private def sorted(df: DataFrame): Seq[Row] =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*).collect().toSeq
+
+  /** Fresh registered table: `appends` extra single-file commits on top
+    * of the initial 10-row load (fragmentation for OPTIMIZE). */
+  private def freshRegistered(appends: Int = 0): (String, String) = {
+    import spark.implicits._
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val dir = spark.conf.get("spark.sql.warehouse.dir") + s"/graft_sqlv_$sfx"
+    val name = s"sqlv_$sfx"
+    Snapshot.commit((1L to 10L).map(k => (k, k * 10)).toDF("k", "v"),
+      dir, 0, "k", nFiles = 2)
+    (1 to appends).foreach { i =>
+      val cur = Snapshot.currentVersion(spark, dir)
+      val m = Snapshot.manifest(spark, dir, cur)
+      Snapshot.commit(Seq((10L + i, (10L + i) * 10)).toDF("k", "v"),
+        dir, cur, "k", m.files, nFiles = 1)
+    }
+    Snapshot.registerSqlTable(spark, name, dir)
+    (dir, name)
+  }
+
+  test("SQL OPTIMIZE compacts to a maintenance commit, content intact") {
+    val (dir, name) = freshRegistered(appends = 4)
+    val before = sorted(Snapshot.read(spark, dir))
+    val nBefore = Snapshot.manifest(spark, dir, 5).files.size
+    val out = spark.sql(s"OPTIMIZE $name").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(6L), "returns the version")
+    val m = Snapshot.manifest(spark, dir, 6)
+    assert(m.note == "optimize:compact")
+    assert(m.files.size < nBefore, s"${m.files.size} !< $nBefore")
+    assert(sorted(Snapshot.read(spark, dir)) == before)
+  }
+
+  test("SQL OPTIMIZE ZORDER BY rewrites to the z-clustered layout") {
+    val (dir, name) = freshRegistered()
+    spark.sql(s"OPTIMIZE $name ZORDER BY (k, v)")
+    val m = Snapshot.manifest(spark, dir, 2)
+    assert(m.note.startsWith("zorder"), s"note '${m.note}'")
+    assert(Snapshot.read(spark, dir).count() == 10)
+  }
+
+  test("SQL VACUUM: RETAIN 0 reclaims debris the default grace protects") {
+    val (dir, name) = freshRegistered()
+    // orphan data dir: crash debris no manifest references
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "data/v99_debris"))
+    val kept = spark.sql(s"VACUUM $name").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(0L),
+      "young debris survives the default grace age")
+    val gone = spark.sql(s"VACUUM $name RETAIN 0 HOURS;").collect()
+    assert(gone.map(_.getLong(0)).toSeq == Seq(1L),
+      "grace-free vacuum reclaims the orphan")
+    assert(Snapshot.read(spark, dir).count() == 10, "live data untouched")
+  }
+
+  test("SQL DESCRIBE HISTORY equals Snapshot.history; unregistered delegates") {
+    val (dir, name) = freshRegistered(appends = 1)
+    val viaSql = spark.sql(s"describe history $name")
+    assert(viaSql.schema == Snapshot.history(spark, dir).schema)
+    assert(sorted(viaSql) == sorted(Snapshot.history(spark, dir)))
+    // unregistered name → Spark's own DESCRIBE path (fails its way,
+    // not ours: no IllegalArgumentException about registration)
+    val e = intercept[Exception](
+      spark.sql("DESCRIBE HISTORY no_such_graft_table").collect())
+    assert(!e.getMessage.contains("registerSqlTable"), e.getMessage)
+  }
+
+  test("SQL RESTORE TABLE rolls back by metadata, history monotone") {
+    val (dir, name) = freshRegistered()
+    spark.sql(s"DELETE FROM $name WHERE k >= 6")
+    assert(Snapshot.read(spark, dir).count() == 5)
+    val out = spark.sql(s"RESTORE TABLE $name TO VERSION AS OF 1").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(Snapshot.read(spark, dir).count() == 10, "restore undid the delete")
+    assert(Snapshot.read(spark, dir, 2).count() == 5, "v2 still travelable")
+  }
+
+  test("SQL ALTER TABLE ADD COLUMN evolves registered; catalog tables delegate") {
+    val (dir, name) = freshRegistered()
+    spark.sql(s"ALTER TABLE $name ADD COLUMN tag STRING")
+    val df = Snapshot.read(spark, dir)
+    assert(df.columns.toSeq == Seq("k", "v", "tag"))
+    assert(df.filter(col("tag").isNotNull).count() == 0,
+      "pre-evolution rows read as typed NULLs")
+    // a real catalog table's ALTER TABLE must reach Spark's own command
+    spark.sql("CREATE TABLE graft_alter_probe (a INT) USING parquet")
+    try {
+      spark.sql("ALTER TABLE graft_alter_probe ADD COLUMNS (b INT)")
+      assert(spark.table("graft_alter_probe").columns.toSeq == Seq("a", "b"))
+    } finally spark.sql("DROP TABLE graft_alter_probe")
+  }
+
+  test("SQL ADD/DROP CONSTRAINT gate commits through the writer") {
+    import spark.implicits._
+    val (dir, name) = freshRegistered()
+    spark.sql(s"ALTER TABLE $name ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(Snapshot.manifest(spark, dir, 2).checks ==
+      Seq("v_pos" -> "v > 0"))
+    val bad = Seq((99L, -1L)).toDF("k", "v")
+    val e = intercept[Snapshot.CheckViolation](
+      bad.write.format("graft").mode("append").save(dir))
+    assert(e.counts == Map("v_pos" -> 1L))
+    assert(Snapshot.currentVersion(spark, dir) == 2, "rejection atomic")
+    spark.sql(s"ALTER TABLE $name DROP CONSTRAINT v_pos")
+    bad.write.format("graft").mode("append").save(dir)
+    assert(Snapshot.read(spark, dir).count() == 11)
+  }
+
+  test("non-maintenance SQL is untouched by the parser") {
+    val (_, name) = freshRegistered()
+    // ordinary statements still parse and run through the delegate
+    assert(spark.sql(s"SELECT count(*) AS n FROM $name")
+      .head().getLong(0) == 10L)
+    assert(spark.sql("SELECT 'OPTIMIZE' AS w").head().getString(0) ==
+      "OPTIMIZE", "keyword inside a query is not a statement")
+  }
+}
