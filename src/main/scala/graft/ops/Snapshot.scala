@@ -769,6 +769,152 @@ object Snapshot {
     v
   }
 
+  // ──────────────── optimistic concurrency: append rebase ────────────
+  //
+  // `commit` is compare-and-swap: a writer that loses the version race
+  // deletes its staged files and starts over — at 100 TB that re-pays
+  // the batch write per retry, which turns a busy table into a
+  // write-amplification machine. The Delta answer is to RETRY THE
+  // COMMIT, NOT THE WRITE: data files are immutable the moment they
+  // land, so a loser only needs to re-point its manifest at the new
+  // head (one driver-side rebase) — provided the head is still one a
+  // blind append composes with. Conflict arithmetic for an append is
+  // simple because an append READS nothing: interleaved appends,
+  // COW deletes/updates/merges, RESTOREs and compactions all commute
+  // with it (we carry whatever file set the winner left); the cases
+  // that DON'T commute are metadata: a head that became z-ordered
+  // (blind appends break the layout contract), a head that declared a
+  // column the staged files don't carry, and a head that gained a
+  // CHECK constraint — which is re-validated against the STAGED FILES
+  // ONLY (batch-sized scan, never the table) before the rebase
+  // publishes. Read-modify-write verbs can't rebase a stale answer;
+  // for them [[retryOnConflict]] re-executes the whole computation
+  // against the fresh head — the full-serialization fallback.
+
+  /** A staged-but-uncommitted append: immutable data files on disk
+    * that no manifest references yet ([[stageAppend]]); publish with
+    * [[publishAppend]], or [[vacuum]] reclaims them after the grace
+    * age like any crash debris. */
+  final case class StagedAppend(sub: String, files: Seq[FileEntry],
+                                baseVersion: Int,
+                                validatedChecks: Set[String],
+                                suppliedCols: Set[String])
+
+  /** Write `df`'s files under the table WITHOUT committing: the write
+    * half of [[appendWithRetry]], validated (z-order guard, declared
+    * columns, CHECK constraints — inside the stats pass) against the
+    * CURRENT head. */
+  def stageAppend(df: DataFrame, dir: String,
+                  nFiles: Int = 8): StagedAppend = {
+    val spark = df.sparkSession
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"stageAppend needs an existing table at $dir")
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"append against a z-ordered snapshot (note='${m.note}'): blind " +
+        "appends would break its layout contract — re-OPTIMIZE after")
+    m.addedCols.foreach { case (n, t) =>
+      require(df.columns.exists(_.equalsIgnoreCase(n)),
+        s"append is missing declared column '$n' ($t)")
+    }
+    val sub = s"data/a${cur + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val fresh = writeDataFiles(df, dir, sub, m.statsCol, nFiles, m.checks)
+    StagedAppend(sub, fresh, cur, m.checks.map(_._1).toSet,
+      df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+  }
+
+  /** Publish a staged append on top of WHATEVER the current head is,
+    * retrying the manifest race up to `maxRetries` times without ever
+    * rewriting the data: each attempt re-reads the head, re-checks the
+    * compose guards (z-order, declared columns, constraints gained
+    * since staging — those re-validate on the staged files only), and
+    * attempts the next version. Non-conflict failures and exhausted
+    * retries clean the staged files up and rethrow. */
+  def publishAppend(spark: SparkSession, dir: String, staged: StagedAppend,
+                    note: String = "", maxRetries: Int = 10): Int = {
+    if (staged.files.isEmpty) return currentVersion(spark, dir)
+    var validated = staged.validatedChecks
+    var attempt = 0
+    def cleanup(): Unit =
+      fsOf(spark, dir).delete(new Path(s"$dir/${staged.sub}"), true)
+    while (true) {
+      val cur = currentVersion(spark, dir)
+      val m = manifest(spark, dir, cur)
+      try {
+        if (m.note.startsWith("zorder")) {
+          cleanup()
+          throw new IllegalStateException(
+            s"head of $dir became z-ordered (v$cur) while the append was " +
+              "staged — blind appends would break its layout contract")
+        }
+        val missing = m.addedCols.filterNot { case (n, _) =>
+          staged.suppliedCols.contains(n.toLowerCase(java.util.Locale.ROOT)) }
+        if (missing.nonEmpty) {
+          cleanup()
+          throw new IllegalStateException(
+            s"head of $dir declared column(s) ${missing.map(_._1)} while " +
+              "the append was staged; the staged files cannot carry them")
+        }
+        val newChecks = m.checks.filterNot(c => validated.contains(c._1))
+        if (newChecks.nonEmpty) {
+          val batch = spark.read.parquet(s"$dir/${staged.sub}")
+          val aggs = newChecks.zipWithIndex.map { case ((_, sql), i) =>
+            violations(sql).as(s"chk$i") }
+          val row = batch.agg(aggs.head, aggs.tail: _*).head()
+          val bad = newChecks.zipWithIndex
+            .map { case ((n, sql), i) => (n, sql, row.getLong(i)) }
+            .filter(_._3 > 0)
+          if (bad.nonEmpty) rejectChecks(spark, dir, staged.sub, bad)
+          validated ++= newChecks.map(_._1)
+        }
+        publish(spark, dir, Manifest(cur + 1, m.statsCol,
+          (m.files ++ staged.files).sortBy(_.path), note,
+          blooms = m.blooms, checks = m.checks, addedCols = m.addedCols,
+          colStats = m.colStats))
+        return cur + 1
+      } catch {
+        case _: SnapshotConflict if attempt < maxRetries =>
+          attempt += 1 // head moved: rebase against the new one
+        case e: SnapshotConflict =>
+          cleanup()
+          throw new SnapshotConflict(
+            s"append to $dir lost the publish race $maxRetries times: " +
+              e.getMessage)
+      }
+    }
+    -1 // unreachable: the loop returns or throws
+  }
+
+  /** Append `df` with commit-retry instead of write-retry: stage the
+    * files once ([[stageAppend]]), then rebase the manifest publish
+    * over any interleaved commits ([[publishAppend]]) — the
+    * multi-writer append discipline (Delta's retrying transaction,
+    * specialized to the verb whose conflict set is empty). */
+  def appendWithRetry(df: DataFrame, dir: String, nFiles: Int = 8,
+                      note: String = "", maxRetries: Int = 10): Int =
+    publishAppend(df.sparkSession, dir,
+      stageAppend(df, dir, nFiles), note, maxRetries)
+
+  /** Full-re-execution retry for read-modify-write verbs ([[mergeCow]],
+    * [[deleteWhere]], [[updateWhere]]): a loser's answer was computed
+    * against a head that no longer exists, so the only sound rebase is
+    * to RECOMPUTE against the new one — which these verbs do anyway on
+    * every call (they re-read the current version). Serializable by
+    * construction: the winning history is some total order of complete
+    * re-executions. */
+  def retryOnConflict[T](maxRetries: Int = 10)(body: => T): T = {
+    var left = maxRetries
+    while (true) {
+      try return body
+      catch {
+        case e: SnapshotConflict =>
+          if (left <= 0) throw e
+          left -= 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Idempotent commit for RESTARTABLE jobs (the A22 redrive contract at
     * the table): stamp the commit with a stable per-task `token`; a
     * redriven task whose previous attempt already committed finds its

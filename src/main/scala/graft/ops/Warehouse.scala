@@ -498,6 +498,37 @@ object Warehouse extends QueryModule {
       (dir, name)
     }
 
+  /** The rebase-append table, built once per (session, dir): v1 =
+    * orders load; the 'A' batch is STAGED (files on disk, no manifest —
+    * [[Snapshot.stageAppend]]), an interleaving writer lands the 'B'
+    * batch as v2 through the ordinary CAS commit, and the staged append
+    * then publishes v3 by MANIFEST REBASE alone
+    * ([[Snapshot.publishAppend]] — the loser re-points its manifest at
+    * the new head; zero data rewrite). */
+  private[graft] def rebaseOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#rebase", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_rebase_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          def mk(res: Int, off: Long, st: String): DataFrame =
+            T.orders(s, d).filter(col("o_orderkey") % 10 === res).select(
+              (col("o_orderkey") + off).as("order_key"),
+              col("o_custkey").as("cust_key"), lit(st).as("status"),
+              F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+                .as("price"),
+              lit("R").as("verdict"))
+          val staged = Snapshot.stageAppend(mk(3, 2000000000L, "A"), dir)
+          val m1 = Snapshot.manifest(s, dir, 1)
+          Snapshot.commit(mk(7, 3000000000L, "B"), dir, 1, "order_key",
+            m1.files)
+          Snapshot.publishAppend(s, dir, staged)
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -636,6 +667,27 @@ object Warehouse extends QueryModule {
       agg(3, "damaged").unionAll(agg(6, "final"))
         .withColumn("n_versions", lit(nv))
         .orderBy(col("phase"), col("status"))
+    }),
+
+    "q149_append_rebase" -> ((s, d) => {
+      // Optimistic-concurrency APPEND REBASE ([[rebaseOrders]]): an
+      // append staged against v1 loses the commit race to an
+      // interleaved writer and lands v3 by re-pointing its manifest at
+      // the new head — commit-retry, never write-retry
+      // ([[Snapshot.publishAppend]]'s conflict arithmetic: a blind
+      // append READS nothing, so every interleaved commit class
+      // commutes except the metadata guards, which abort/re-validate —
+      // ConcurrencySpec). The rollup sees the initial load AND both
+      // racing batches exactly once each, with n_versions = 3 pinning
+      // one-version-per-writer; the oracle recomputes all three
+      // groups from raw orders.
+      val dir = rebaseOrders(s, d)
+      Snapshot.read(s, dir)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .withColumn("n_versions",
+          lit(Snapshot.currentVersion(s, dir).toLong))
+        .orderBy(col("status"))
     }),
 
     "q124_merge_versioned" -> ((s, d) => {
@@ -1064,6 +1116,22 @@ object Warehouse extends QueryModule {
         |       CAST(6 AS BIGINT)
         |FROM st GROUP BY status
         |ORDER BY phase, status
+        |""".stripMargin,
+
+    // the rebased append must hold the load plus BOTH racing batches
+    // exactly once each, in exactly 3 committed versions
+    "q149_append_rebase" ->
+      """WITH pr AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |u AS (
+        |  SELECT status, price FROM pr
+        |  UNION ALL SELECT 'A', price FROM pr WHERE k % 10 = 3
+        |  UNION ALL SELECT 'B', price FROM pr WHERE k % 10 = 7)
+        |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
+        |       CAST(3 AS BIGINT) AS n_versions
+        |FROM u GROUP BY status ORDER BY status
         |""".stripMargin,
 
     "q141_source_read" ->

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Snapshot
+
+/** Optimistic-concurrency append rebase ([[Snapshot.stageAppend]] /
+  * [[Snapshot.publishAppend]] / [[Snapshot.appendWithRetry]]) and the
+  * full-re-execution fallback ([[Snapshot.retryOnConflict]]): losers of
+  * the manifest race rebase the PUBLISH, never the WRITE — except where
+  * the head stopped composing with a blind append (z-order, declared
+  * columns, new constraints), which abort or re-validate exactly as
+  * documented. */
+class ConcurrencySpec extends SparkSpec {
+
+  private def sorted(df: DataFrame): Seq[Row] =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*).collect().toSeq
+
+  private def fresh(): String = {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_conc_" + java.util.UUID.randomUUID().toString.take(8)
+    Snapshot.commit((1L to 10L).map(k => (k, k * 10)).toDF("k", "v"),
+      dir, 0, "k", nFiles = 2)
+    dir
+  }
+
+  private def batch(lo: Long, hi: Long): DataFrame = {
+    import spark.implicits._
+    (lo to hi).map(k => (k, k * 10)).toDF("k", "v")
+  }
+
+  test("publishAppend rebases over an interleaved commit, data written once") {
+    val dir = fresh()
+    val staged = Snapshot.stageAppend(batch(21L, 25L), dir, nFiles = 1)
+    assert(staged.baseVersion == 1)
+    // an interleaved writer lands v2 while our append is staged
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    Snapshot.commit(batch(11L, 15L), dir, 1, "k", m1.files, nFiles = 1)
+    // the rebase publishes v3 carrying BOTH: no data rewrite (the
+    // staged file entries land verbatim in the manifest)
+    val v = Snapshot.publishAppend(spark, dir, staged)
+    assert(v == 3)
+    val m3 = Snapshot.manifest(spark, dir, 3)
+    assert(staged.files.forall(f => m3.files.contains(f)),
+      "staged entries must land verbatim — rebase, not rewrite")
+    assert(sorted(Snapshot.read(spark, dir)) ==
+      sorted(batch(1L, 15L).unionAll(batch(21L, 25L))))
+  }
+
+  test("a constraint gained mid-flight re-validates the staged files only") {
+    import spark.implicits._
+    val dir = fresh()
+    // violating staged batch; the constraint registers AFTER staging
+    // (staged files are unreferenced, so registration's table scan
+    // passes) — the rebase must catch it and reject atomically
+    val badStaged = Snapshot.stageAppend(
+      Seq((30L, -1L)).toDF("k", "v"), dir, nFiles = 1)
+    Snapshot.addConstraint(spark, dir, "v_pos", "v > 0")
+    val e = intercept[Snapshot.CheckViolation](
+      Snapshot.publishAppend(spark, dir, badStaged))
+    assert(e.counts == Map("v_pos" -> 1L))
+    assert(Snapshot.currentVersion(spark, dir) == 2, "rejection atomic")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${badStaged.sub}")),
+      "rejected staged files are cleaned up")
+    // a satisfying staged batch publishes and carries the constraint
+    val okStaged = Snapshot.stageAppend(batch(31L, 32L), dir, nFiles = 1)
+    assert(Snapshot.publishAppend(spark, dir, okStaged) == 3)
+    assert(Snapshot.manifest(spark, dir, 3).checks ==
+      Seq("v_pos" -> "v > 0"))
+  }
+
+  test("a column or z-order gained mid-flight aborts the rebase cleanly") {
+    val dir = fresh()
+    val staged = Snapshot.stageAppend(batch(21L, 22L), dir, nFiles = 1)
+    Snapshot.addColumn(spark, dir, "tag", "STRING")
+    intercept[IllegalStateException](
+      Snapshot.publishAppend(spark, dir, staged))
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    val dir2 = fresh()
+    val staged2 = Snapshot.stageAppend(batch(21L, 22L), dir2, nFiles = 1)
+    Snapshot.optimizeZorder(spark, dir2, "k", "v", 1)
+    intercept[IllegalStateException](
+      Snapshot.publishAppend(spark, dir2, staged2))
+  }
+
+  test("concurrent appendWithRetry writers both land; union survives") {
+    val dir = fresh()
+    val ranges = Seq((21L, 25L), (31L, 35L), (41L, 45L), (51L, 55L))
+    val threads = ranges.map { case (lo, hi) =>
+      new Thread(() => {
+        Snapshot.appendWithRetry(batch(lo, hi), dir, nFiles = 1)
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshot.currentVersion(spark, dir) == 5,
+      "every writer must land exactly one version")
+    val expected = ranges.foldLeft(batch(1L, 10L)) {
+      case (acc, (lo, hi)) => acc.unionAll(batch(lo, hi))
+    }
+    assert(sorted(Snapshot.read(spark, dir)) == sorted(expected))
+  }
+
+  test("retryOnConflict serializes read-modify-write verbs by re-execution") {
+    val dir = fresh()
+    // two RMW writers race full re-executions: each bumps its own key
+    // range; both effects must survive in some serial order
+    val threads = Seq((1L, 5L), (6L, 10L)).map { case (lo, hi) =>
+      new Thread(() => {
+        Snapshot.retryOnConflict() {
+          Snapshot.updateWhere(spark, dir, lo, hi,
+            Map("v" -> (col("v") + 1L)), col("k").between(lo, hi))
+        }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    import spark.implicits._
+    val expected = (1L to 10L).map(k => (k, k * 10 + 1)).toDF("k", "v")
+    assert(sorted(Snapshot.read(spark, dir)) == sorted(expected))
+  }
+
+  test("an empty staged append is a no-op") {
+    import spark.implicits._
+    val dir = fresh()
+    val staged = Snapshot.stageAppend(
+      Seq.empty[(Long, Long)].toDF("k", "v"), dir, nFiles = 1)
+    assert(staged.files.isEmpty)
+    assert(Snapshot.publishAppend(spark, dir, staged) == 1)
+    assert(Snapshot.currentVersion(spark, dir) == 1)
+  }
+}
