@@ -37,7 +37,8 @@ object Bench {
         "q136_restore_version", "q137_check_constraint",
         "q138_clone_cow", "q141_source_read", "q143_source_write",
         "q144_sql_insert", "q145_sql_dml", "q146_sql_merge",
-        "q148_sql_lifecycle", "q149_append_rebase").foreach { w =>
+        "q148_sql_lifecycle", "q149_append_rebase",
+        "q150_optimize_incremental").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

@@ -1109,6 +1109,43 @@ object Snapshot {
       note = layoutNote)
   }
 
+  /** INCREMENTAL OPTIMIZE — Delta's real bin-packing discipline:
+    * rewrite ONLY the files under `smallBytes`, carrying every
+    * well-sized file by reference. [[compactVersion]] rewrites the
+    * whole table, which is the right verb after a bulk load or for a
+    * z-order re-cluster but is TABLE-SCALE cost; the steady-state
+    * problem on a 100 TB table is the accretion tail — thousands of
+    * micro-batch commits each landing a small file — and collapsing
+    * that tail must cost ∝ the small bytes, not the table. Sizing is
+    * driver-side manifest arithmetic (one stat per file, the same
+    * [[entryLen]] walk `history` uses); the merged rows re-sort on the
+    * clustering column so the replacement files carry honest [min,max]
+    * stats; big files keep their Bloom/col-stats sidecars by the
+    * commit's carry discipline while the rewritten smalls drop theirs.
+    * A maintenance commit (`optimize:compact` — content-neutral, so
+    * [[changeFeed]] ticks over it without a diff); z-ordered layouts
+    * refuse (their small-file tail is best re-clustered by a full
+    * [[compactVersion]], which preserves the layout note). A clone's
+    * small ABSOLUTE entries rewrite locally — incremental severance
+    * from the source, same as any COW touch. No-op (current version
+    * returned, no commit) when fewer than two files are small. */
+  def compactSmall(spark: SparkSession, dir: String,
+                   smallBytes: Long, targetBytes: Long = 128L << 20): Int = {
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"compactSmall against a z-ordered snapshot (note='${m.note}'): " +
+        "re-cluster the tail with the layout-preserving compactVersion")
+    val sized = m.files.map(f => f -> entryLen(spark, dir, f.path))
+    val (small, big) = sized.partition(_._2 < smallBytes)
+    if (small.size <= 1) return cur
+    val bytes = small.map(_._2).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    commit(readEntries(spark, dir, m, small.map(_._1)), dir, cur,
+      m.statsCol, carried = big.map(_._1), nFiles,
+      note = "optimize:compact")
+  }
+
   /** Register a CHECK constraint — the reference's DQ-gate idea (SURVEY
     * A20) moved INTO the transactional table: `sql` is a boolean SQL
     * predicate over the table's columns (SQL CHECK semantics — NULL

@@ -529,6 +529,45 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The accretion-tail table, built once per (session, dir): v1 = the
+    * orders load in 4 well-sized files, then 6 micro-batch appends
+    * (key slices shifted past 4e9, status 'S') each landing ONE small
+    * file — the steady-state shape of a streamed/micro-batched 100 TB
+    * table. [[Snapshot.compactSmall]] then bin-packs ONLY the
+    * sub-threshold tail (threshold = the smallest v1 file's size, so
+    * classification is measured, not assumed): the 4 load files carry
+    * by reference, the 6 small files merge into one — 8 versions,
+    * 5 files, content untouched. */
+  private[graft] def compactTailOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#cmptail", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_cmptail_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key",
+            nFiles = 4)
+          (0 until 6).foreach { i =>
+            val b = T.orders(s, d)
+              .filter(col("o_orderkey") % 1000 === 500 + i).select(
+                (col("o_orderkey") + 4000000000L).as("order_key"),
+                col("o_custkey").as("cust_key"), lit("S").as("status"),
+                F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+                  .as("price"),
+                lit("K").as("verdict"))
+            val cur = Snapshot.currentVersion(s, dir)
+            val m = Snapshot.manifest(s, dir, cur)
+            Snapshot.commit(b, dir, cur, "order_key", m.files, nFiles = 1)
+          }
+          val m7 = Snapshot.manifest(s, dir, 7)
+          val initPaths = Snapshot.manifest(s, dir, 1).files.map(_.path).toSet
+          val minInit = m7.files.filter(f => initPaths(f.path))
+            .map(f => Snapshot.entryLen(s, dir, f.path)).min
+          Snapshot.compactSmall(s, dir, smallBytes = minInit)
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -687,6 +726,28 @@ object Warehouse extends QueryModule {
         .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
         .withColumn("n_versions",
           lit(Snapshot.currentVersion(s, dir).toLong))
+        .orderBy(col("status"))
+    }),
+
+    "q150_optimize_incremental" -> ((s, d) => {
+      // INCREMENTAL OPTIMIZE ([[compactTailOrders]] →
+      // [[Snapshot.compactSmall]]): the accretion tail of 6 micro-batch
+      // files bin-packs into one while the 4 well-sized load files
+      // carry BY REFERENCE — cost ∝ the small bytes, never the table
+      // (q131's compactVersion is the full-rewrite twin for bulk loads
+      // and z-order re-clusters). The rollup pins content identity
+      // across the maintenance commit, n_files = 5 pins the 4-carried
+      // + 1-merged layout, and n_versions = 8 pins the accretion
+      // history surviving intact; the oracle recomputes the groups
+      // from raw orders.
+      val dir = compactTailOrders(s, d)
+      val cur = Snapshot.currentVersion(s, dir)
+      Snapshot.read(s, dir)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .withColumn("n_files",
+          lit(Snapshot.manifest(s, dir, cur).files.size.toLong))
+        .withColumn("n_versions", lit(cur.toLong))
         .orderBy(col("status"))
     }),
 
@@ -1131,6 +1192,21 @@ object Warehouse extends QueryModule {
         |  UNION ALL SELECT 'B', price FROM pr WHERE k % 10 = 7)
         |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
         |       CAST(3 AS BIGINT) AS n_versions
+        |FROM u GROUP BY status ORDER BY status
+        |""".stripMargin,
+
+    // content identical across the bin-pack; 5 files (4 carried + 1
+    // merged tail) in 8 versions
+    "q150_optimize_incremental" ->
+      """WITH pr AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |u AS (
+        |  SELECT status, price FROM pr
+        |  UNION ALL SELECT 'S', price FROM pr WHERE k % 1000 BETWEEN 500 AND 505)
+        |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
+        |       CAST(5 AS BIGINT) AS n_files, CAST(8 AS BIGINT) AS n_versions
         |FROM u GROUP BY status ORDER BY status
         |""".stripMargin,
 

@@ -1443,4 +1443,46 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.vacuum(spark, dir, 0L).isEmpty,
       "everything is referenced once the commit lands")
   }
+
+  test("compactSmall bin-packs only the sub-threshold tail") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k", nFiles = 4)
+    // 5 micro-appends, one tiny file each — the accretion tail
+    (1 to 5).foreach { i =>
+      val cur = Snapshot.currentVersion(spark, dir)
+      val m = Snapshot.manifest(spark, dir, cur)
+      Snapshot.commit(Seq((800L + i, s"tail_$i", "K")).toDF("k", "v", "verdict"),
+        dir, cur, "k", m.files, nFiles = 1)
+    }
+    val m6 = Snapshot.manifest(spark, dir, 6)
+    assert(m6.files.size == 9)
+    val before = state(dir)
+    val initEntries = Snapshot.manifest(spark, dir, 1).files
+    val minInit = initEntries
+      .map(f => Snapshot.entryLen(spark, dir, f.path)).min
+    val v = Snapshot.compactSmall(spark, dir, smallBytes = minInit)
+    assert(v == 7)
+    val m7 = Snapshot.manifest(spark, dir, 7)
+    assert(m7.note == "optimize:compact", "maintenance commit")
+    assert(m7.files.size == 5, s"4 carried + 1 merged, got ${m7.files.size}")
+    assert(initEntries.forall(f => m7.files.contains(f)),
+      "well-sized files must carry by reference, entries verbatim")
+    assert(state(dir) == before, "bin-packing is content-neutral")
+    // idempotent at the fixpoint: the merged tail is no longer small
+    // relative to nothing — a second pass with the same threshold may
+    // still see the merged file as small, but alone it is a no-op
+    val again = Snapshot.compactSmall(spark, dir, smallBytes = minInit)
+    assert(again == 7, "fewer than two small files is a no-op, no commit")
+  }
+
+  test("compactSmall refuses z-ordered layouts") {
+    val dir = freshDir()
+    import spark.implicits._
+    Snapshot.commit((1 to 100).map(i => (i.toLong, i.toLong * 3))
+      .toDF("a", "b"), dir, 0, "a", nFiles = 4)
+    Snapshot.optimizeZorder(spark, dir, "a", "b", 4)
+    intercept[IllegalArgumentException](
+      Snapshot.compactSmall(spark, dir, smallBytes = Long.MaxValue))
+  }
 }
