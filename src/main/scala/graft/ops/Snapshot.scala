@@ -176,7 +176,20 @@ object Snapshot {
     * untouched files, dropped for rewritten ones (degraded-not-wrong:
     * an unstamped file is always a scan candidate). They let a range
     * predicate on a SECOND column prune files without z-ordering
-    * ([[readPrunedCols]]). */
+    * ([[readPrunedCols]]).
+    *
+    * `strStats` are the STRING twin of `colStats` — per-file (min,max)
+    * over string columns, keyed (file path, column), stamped by
+    * [[optimizeStats]] (which routes each column by dtype), carried /
+    * dropped under the identical sidecar discipline, serialized
+    * base64-UTF-8 so any string value is tab/newline-safe. Candidacy
+    * compares UTF-8 BYTES unsigned ([[utf8Cmp]]) — exactly
+    * UTF8String's sort order, the order Spark's min/max computed the
+    * stamps under (Java String.compareTo disagrees above the BMP).
+    * The use case is file-correlated strings — per-source/per-channel
+    * batches, status columns of time-clustered facts — where equality
+    * and range predicates prune at file level with no z-order
+    * rewrite. */
   final case class Manifest(version: Int, statsCol: String,
                             files: Seq[FileEntry], note: String = "",
                             ts: Long = 0L,
@@ -185,6 +198,8 @@ object Snapshot {
                             checks: Seq[(String, String)] = Nil,
                             addedCols: Seq[(String, String)] = Nil,
                             colStats: Map[(String, String), (Long, Long)] =
+                              Map.empty,
+                            strStats: Map[(String, String), (String, String)] =
                               Map.empty)
 
   /** Thrown when a commit's fresh data violates a registered CHECK
@@ -344,6 +359,7 @@ object Snapshot {
     val checks = Seq.newBuilder[(String, String)]
     val added = Seq.newBuilder[(String, String)]
     val colStats = Map.newBuilder[(String, String), (Long, Long)]
+    val strStats = Map.newBuilder[(String, String), (String, String)]
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
@@ -376,13 +392,43 @@ object Snapshot {
           require(c.length == 5, s"malformed manifest col-stats line in $p")
           colStats += ((c(1), c(2)) -> (c(3).toLong, c(4).toLong))
           None
+        case "S" =>
+          require(c.length == 5, s"malformed manifest str-stats line in $p")
+          strStats += ((c(1), c(2)) -> (b64dec(c(3)), b64dec(c(4))))
+          None
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
     }
     Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
-      checks.result(), added.result(), colStats.result())
+      checks.result(), added.result(), colStats.result(),
+      strStats.result())
+  }
+
+  private def b64enc(s: String): String =
+    java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def b64dec(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Unsigned UTF-8 byte comparison — UTF8String's sort order, i.e. the
+    * order Spark computed string min/max under. */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private[graft] val Utf8Order: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int = utf8Cmp(a, b)
   }
 
   /** Size of one manifest entry's data file, resolving the FILESYSTEM
@@ -517,16 +563,29 @@ object Snapshot {
   }
 
   /** The per-file candidacy test [[readPrunedCols]] plans with — split
-    * out so specs can pin the pruned file set without running a scan. */
+    * out so specs can pin the pruned file set without running a scan.
+    * `strRanges` adds string-column [lo,hi] constraints (None = open
+    * bound) served from `strStats` under UTF-8 byte order ([[utf8Cmp]]
+    * — the order the stamps were computed under). */
   private[graft] def candidateFilesCols(m: Manifest,
-                                        ranges: Seq[(String, Long, Long)])
+                                        ranges: Seq[(String, Long, Long)],
+                                        strRanges: Seq[(String,
+                                          Option[String], Option[String])] =
+                                          Nil)
       : Seq[FileEntry] =
-    m.files.filter(f => ranges.forall { case (c, lo, hi) =>
-      val primary = c != m.statsCol || (f.min <= hi && f.max >= lo)
-      val secondary = m.colStats.get((f.path, c))
-        .forall { case (mn, mx) => mn <= hi && mx >= lo }
-      primary && secondary
-    })
+    m.files.filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        val primary = c != m.statsCol || (f.min <= hi && f.max >= lo)
+        val secondary = m.colStats.get((f.path, c))
+          .forall { case (mn, mx) => mn <= hi && mx >= lo }
+        primary && secondary
+      } && strRanges.forall { case (c, lo, hi) =>
+        m.strStats.get((f.path, c)).forall { case (mn, mx) =>
+          lo.forall(l => utf8Cmp(mx, l) >= 0) &&
+            hi.forall(h => utf8Cmp(mn, h) <= 0)
+        }
+      }
+    }
 
   /** Write `df` as the data files of a prospective commit and return the
     * manifest entries (paths relative to `dir`, min/max of `statsCol`).
@@ -666,9 +725,15 @@ object Snapshot {
       .filter { case ((p, _), _) => listed.contains(p) }
       .sortBy { case ((p, c), _) => (p, c) }
       .map { case ((p, c), (mn, mx)) => s"m\t$p\t$c\t$mn\t$mx" }
+    // string stats ride base64-UTF-8 so any value is tab/newline-safe
+    val strLines = m.strStats.toSeq
+      .filter { case ((p, _), _) => listed.contains(p) }
+      .sortBy { case ((p, c), _) => (p, c) }
+      .map { case ((p, c), (mn, mx)) =>
+        s"S\t$p\t$c\t${b64enc(mn)}\t${b64enc(mx)}" }
     val body = (Seq(hdr, tsLine) ++
         m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
-        schemaLines ++ checkLines ++ statLines ++ bloomLines)
+        schemaLines ++ checkLines ++ statLines ++ strLines ++ bloomLines)
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -756,9 +821,11 @@ object Snapshot {
       case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
     val carryStats = prior.map(_.colStats.filter {
       case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
+    val carryStrStats = prior.map(_.strStats.filter {
+      case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
     val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note,
       blooms = carryBlooms, checks = checks, addedCols = addedCols,
-      colStats = carryStats)
+      colStats = carryStats, strStats = carryStrStats)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -870,7 +937,7 @@ object Snapshot {
         publish(spark, dir, Manifest(cur + 1, m.statsCol,
           (m.files ++ staged.files).sortBy(_.path), note,
           blooms = m.blooms, checks = m.checks, addedCols = m.addedCols,
-          colStats = m.colStats))
+          colStats = m.colStats, strStats = m.strStats))
         return cur + 1
       } catch {
         case _: SnapshotConflict if attempt < maxRetries =>
@@ -1175,7 +1242,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"constraint:add:$name", blooms = m.blooms,
       checks = m.checks :+ (name -> sql), addedCols = m.addedCols,
-      colStats = m.colStats))
+      colStats = m.colStats, strStats = m.strStats))
     cur + 1
   }
 
@@ -1188,7 +1255,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"constraint:drop:$name", blooms = m.blooms,
       checks = m.checks.filterNot(_._1 == name), addedCols = m.addedCols,
-      colStats = m.colStats))
+      colStats = m.colStats, strStats = m.strStats))
     cur + 1
   }
 
@@ -1222,7 +1289,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"schema:add:$name", blooms = m.blooms, checks = m.checks,
       addedCols = m.addedCols :+ (name -> typeDdl),
-      colStats = m.colStats))
+      colStats = m.colStats, strStats = m.strStats))
     cur + 1
   }
 
@@ -1256,7 +1323,8 @@ object Snapshot {
     // added after it is rolled back too)
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"restore:$toVersion", blooms = m.blooms, checks = m.checks,
-      addedCols = m.addedCols, colStats = m.colStats))
+      addedCols = m.addedCols, colStats = m.colStats,
+      strStats = m.strStats))
     cur + 1
   }
 
@@ -1301,11 +1369,14 @@ object Snapshot {
       (dataPath(qualifiedSrc, p), c) -> b }
     val colStats = m.colStats.map { case ((p, c), s) =>
       (dataPath(qualifiedSrc, p), c) -> s }
+    val strStats = m.strStats.map { case ((p, c), s) =>
+      (dataPath(qualifiedSrc, p), c) -> s }
     val note =
       if (m.note.startsWith("zorder")) m.note else s"clone:$srcDir@v$src"
     publish(spark, dstDir,
       Manifest(1, m.statsCol, files, note, blooms = blooms,
-        checks = m.checks, addedCols = m.addedCols, colStats = colStats))
+        checks = m.checks, addedCols = m.addedCols, colStats = colStats,
+        strStats = strStats))
     1
   }
 
@@ -1393,7 +1464,8 @@ object Snapshot {
       if (m.note.startsWith("zorder")) m.note else s"optimize:bloom:$bloomCol"
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = note, blooms = m.blooms ++ rel ++ empties, checks = m.checks,
-      addedCols = m.addedCols, colStats = m.colStats))
+      addedCols = m.addedCols, colStats = m.colStats,
+      strStats = m.strStats))
     cur + 1
   }
 
@@ -1428,35 +1500,47 @@ object Snapshot {
     val m = manifest(spark, dir, cur)
     val paths = m.files.map(_.path)
     val df = read(spark, dir, cur)
-    cols.foreach { c =>
+    // route each column by dtype: integral → colStats (long ranges),
+    // string → strStats (UTF8-ordered ranges); anything else refuses
+    val isStr = cols.map { c =>
       val dt = df.schema(df.schema.fieldIndex(c)).dataType
-      require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
-          .contains(dt.toString),
-        s"stats column must be integral (the stats-column contract), " +
-          s"got $dt for $c")
+      dt.toString match {
+        case "ByteType" | "ShortType" | "IntegerType" | "LongType" => false
+        case "StringType" => true
+        case other => throw new IllegalArgumentException(
+          s"stats column must be integral or string, got $other for $c")
+      }
     }
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(min(col(c).cast("long")).as(s"mn$i"),
-          max(col(c).cast("long")).as(s"mx$i")) }
+      val cast = if (isStr(i)) col(c) else col(c).cast("long")
+      Seq(min(cast).as(s"mn$i"), max(cast).as(s"mx$i")) }
     val perFile = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    val stamped = perFile.flatMap { r =>
-      val p = entryOfUri(paths, r.getString(0))
-      cols.zipWithIndex.flatMap { case (c, i) =>
-        // all-NULL / absent column in this file: no stamp (always a
-        // candidate)
-        if (r.isNullAt(1 + 2 * i)) None
-        else Some((p, c) -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
-      }
-    }.toMap
+    def stampsFor(str: Boolean): Map[(String, String), (Any, Any)] =
+      perFile.flatMap { r =>
+        val p = entryOfUri(paths, r.getString(0))
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          // all-NULL / absent column in this file: no stamp (always a
+          // candidate)
+          if (isStr(i) != str || r.isNullAt(1 + 2 * i)) None
+          else Some((p, c) -> ((r.get(1 + 2 * i), r.get(2 + 2 * i))))
+        }
+      }.toMap
+    val stamped = stampsFor(str = false)
+      .map { case (k, (mn, mx)) =>
+        k -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]) }
+    val stampedStr = stampsFor(str = true)
+      .map { case (k, (mn, mx)) =>
+        k -> (mn.asInstanceOf[String], mx.asInstanceOf[String]) }
     val note =
       if (m.note.startsWith("zorder")) m.note
       else s"optimize:stats:${cols.mkString(",")}"
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = note, blooms = m.blooms, checks = m.checks,
-      addedCols = m.addedCols, colStats = m.colStats ++ stamped))
+      addedCols = m.addedCols, colStats = m.colStats ++ stamped,
+      strStats = m.strStats ++ stampedStr))
     cur + 1
   }
 

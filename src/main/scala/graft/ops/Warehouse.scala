@@ -568,6 +568,42 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The per-channel accreted table, built once per (session, dir): 3
+    * commits, each ONE ingest channel's slice of orders (the
+    * file-correlated string shape real per-source batching produces —
+    * every file of a commit holds a single `chan` value), then
+    * `Snapshot.optimizeStats(Seq("chan"))` stamps per-file string
+    * (min,max) sidecars. A `chan = '…'` predicate through the front
+    * door then prunes to ONE commit's files by manifest arithmetic
+    * (SourceSpec pins the planned sets). */
+  private[graft] def channelOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#chan", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_chan_$sfx"
+          def slice(res: Int, chan: String): DataFrame =
+            T.orders(s, d).filter(col("o_orderkey") % 3 === res).select(
+              col("o_orderkey").as("order_key"),
+              col("o_custkey").as("cust_key"),
+              col("o_orderstatus").as("status"),
+              F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+                .as("price"),
+              lit(chan).as("chan"))
+          Seq("ads" -> 0, "organic" -> 1, "partner" -> 2)
+            .foreach { case (chan, res) =>
+              val cur = Snapshot.currentVersion(s, dir)
+              val carried =
+                if (cur == 0) Nil else Snapshot.manifest(s, dir, cur).files
+              Snapshot.commit(slice(res, chan), dir, cur, "order_key",
+                carried, nFiles = 2)
+            }
+          Snapshot.optimizeStats(s, dir, Seq("chan"))
+          dir
+        })
+    }
+
   /** q132's deterministic probe set: five keys present at every fixture
     * scale (orders keys are dense 0..N−1, N ≥ 1500 at sf0.001) plus two
     * far outside any key domain — the absent-key path a point index
@@ -748,6 +784,32 @@ object Warehouse extends QueryModule {
         .withColumn("n_files",
           lit(Snapshot.manifest(s, dir, cur).files.size.toLong))
         .withColumn("n_versions", lit(cur.toLong))
+        .orderBy(col("status"))
+    }),
+
+    "q151_stats_string" -> ((s, d) => {
+      // STRING file stats ([[channelOrders]] →
+      // [[Snapshot.optimizeStats]] routing `chan` to the base64
+      // `strStats` sidecars): the per-channel accreted table serves a
+      // `chan = 'organic'` predicate through the registered front door
+      // with the scan PLANNED down to one commit's files by manifest
+      // arithmetic under UTF-8 byte order — equality and range pruning
+      // on a string column with no z-order rewrite, the shape
+      // per-source batching makes ubiquitous at 100 TB (SourceSpec
+      // pins the planned sets: 2-of-6 equality, range, absent-value →
+      // 0, un-stamped version → all). `n_pruned` carries the engine's
+      // own planned-file count; the oracle pins it at 2 and recomputes
+      // the rollup from the organic slice of raw orders.
+      val dir = channelOrders(s, d)
+      val cur = Snapshot.currentVersion(s, dir)
+      val m = Snapshot.manifest(s, dir, cur)
+      val planned = graft.sources.SourcePruning.candidates(m,
+        Seq(org.apache.spark.sql.sources.EqualTo("chan", "organic")))
+      s.read.format("graft").load(dir)
+        .filter(col("chan") === "organic")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .withColumn("n_pruned", lit(planned.size.toLong))
         .orderBy(col("status"))
     }),
 
@@ -1208,6 +1270,16 @@ object Warehouse extends QueryModule {
         |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
         |       CAST(5 AS BIGINT) AS n_files, CAST(8 AS BIGINT) AS n_versions
         |FROM u GROUP BY status ORDER BY status
+        |""".stripMargin,
+
+    // the organic channel = the k % 3 = 1 slice; string-stats pruning
+    // plans exactly that commit's 2 files (of 6)
+    "q151_stats_string" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3))) AS DOUBLE) AS total,
+        |  CAST(2 AS BIGINT) AS n_pruned
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |GROUP BY o_orderstatus ORDER BY status
         |""".stripMargin,
 
     "q141_source_read" ->

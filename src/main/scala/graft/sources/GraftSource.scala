@@ -257,40 +257,74 @@ private[graft] object SourcePruning {
     case _        => None
   }
 
-  /** Per-conjunct integral constraints: ranges feed
-    * [[Snapshot.candidateFilesCols]] (primary + sidecar stats), point
-    * sets additionally consult Bloom sidecars via
+  /** Per-conjunct constraints: integral ranges and string ranges feed
+    * [[Snapshot.candidateFilesCols]] (primary + sidecar stats — string
+    * bounds serve from the base64 `strStats` sidecars under UTF-8 byte
+    * order), point sets additionally consult Bloom sidecars via
     * [[Snapshot.mayContain]]. Each constraint prunes independently —
     * duplicates on one column just intersect, which is what AND means.
     * Exclusive bounds saturate rather than wrap (a `> Long.MaxValue`
     * conjunct becomes the impossible range and planning serves zero
-    * files — the correct answer, cheaply). */
+    * files — the correct answer, cheaply); exclusive STRING bounds
+    * keep the inclusive stamp bound (conservative: a file whose max
+    * equals the excluded value stays a candidate — Spark re-filters). */
   private def constraints(fs: Seq[Filter])
-      : (Seq[(String, Long, Long)], Seq[(String, Seq[Long])]) = {
+      : (Seq[(String, Long, Long)], Seq[(String, Seq[Long])],
+         Seq[(String, Option[String], Option[String])]) = {
     val ranges = Seq.newBuilder[(String, Long, Long)]
     val points = Seq.newBuilder[(String, Seq[Long])]
+    val strs = Seq.newBuilder[(String, Option[String], Option[String])]
     conjuncts(fs).foreach {
-      case EqualTo(c, v) => asLong(v).foreach { x =>
-        ranges += ((c, x, x)); points += ((c, Seq(x)))
+      case EqualTo(c, v) => asLong(v) match {
+        case Some(x) => ranges += ((c, x, x)); points += ((c, Seq(x)))
+        case None => v match {
+          case s: String => strs += ((c, Some(s), Some(s)))
+          case _         => ()
+        }
       }
       case In(c, vs) =>
         val ks = vs.toSeq.flatMap(asLong)
         if (ks.nonEmpty && ks.length == vs.length) {
           ranges += ((c, ks.min, ks.max)); points += ((c, ks))
+        } else {
+          val ss = vs.toSeq.collect { case s: String => s }
+          if (ss.nonEmpty && ss.length == vs.length)
+            strs += ((c, Some(ss.min(Snapshot.Utf8Order)),
+              Some(ss.max(Snapshot.Utf8Order))))
         }
-      case GreaterThan(c, v) => asLong(v).foreach { x =>
-        ranges += ((c, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+      case GreaterThan(c, v) => asLong(v) match {
+        case Some(x) =>
+          ranges += ((c, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
+        case None => v match {
+          case s: String => strs += ((c, Some(s), None))
+          case _         => ()
+        }
       }
-      case GreaterThanOrEqual(c, v) =>
-        asLong(v).foreach(x => ranges += ((c, x, Long.MaxValue)))
-      case LessThan(c, v) => asLong(v).foreach { x =>
-        ranges += ((c, Long.MinValue, if (x == Long.MinValue) x else x - 1))
+      case GreaterThanOrEqual(c, v) => asLong(v) match {
+        case Some(x) => ranges += ((c, x, Long.MaxValue))
+        case None => v match {
+          case s: String => strs += ((c, Some(s), None))
+          case _         => ()
+        }
       }
-      case LessThanOrEqual(c, v) =>
-        asLong(v).foreach(x => ranges += ((c, Long.MinValue, x)))
+      case LessThan(c, v) => asLong(v) match {
+        case Some(x) =>
+          ranges += ((c, Long.MinValue, if (x == Long.MinValue) x else x - 1))
+        case None => v match {
+          case s: String => strs += ((c, None, Some(s)))
+          case _         => ()
+        }
+      }
+      case LessThanOrEqual(c, v) => asLong(v) match {
+        case Some(x) => ranges += ((c, Long.MinValue, x))
+        case None => v match {
+          case s: String => strs += ((c, None, Some(s)))
+          case _         => ()
+        }
+      }
       case _ => ()
     }
-    (ranges.result(), points.result())
+    (ranges.result(), points.result(), strs.result())
   }
 
   /** The file set a filtered scan must open — range candidacy per
@@ -299,8 +333,8 @@ private[graft] object SourcePruning {
     * out pure so SourceSpec pins planned file sets without scanning. */
   def candidates(m: Snapshot.Manifest,
                  filters: Seq[Filter]): Seq[Snapshot.FileEntry] = {
-    val (ranges, points) = constraints(filters)
-    Snapshot.candidateFilesCols(m, ranges).filter(f =>
+    val (ranges, points, strs) = constraints(filters)
+    Snapshot.candidateFilesCols(m, ranges, strs).filter(f =>
       points.forall { case (c, ks) =>
         ks.exists(k => Snapshot.mayContain(m, f, c, k))
       })

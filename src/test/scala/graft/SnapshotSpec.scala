@@ -1476,6 +1476,38 @@ class SnapshotSpec extends SparkSpec {
     assert(again == 7, "fewer than two small files is a no-op, no commit")
   }
 
+  test("string stats survive hostile values and carry across COW") {
+    import spark.implicits._
+    val dir = freshDir()
+    // tab/newline/astral values: base64 serialization must round-trip
+    // them byte-exact, and candidacy must order by UTF-8 bytes
+    // (UTF8String's order), where "𝄞" (U+1D11E, 4 UTF-8
+    // bytes F0 9D 84 9E) sorts ABOVE "�" (EF BF BD) — Java
+    // String.compareTo would invert that
+    val rows = Seq((1L, "a\tb\nc"), (2L, "𝄞"), (3L, "�"),
+      (4L, "plain"))
+    Snapshot.commit(rows.toDF("k", "v"), dir, 0, "k", nFiles = 1)
+    Snapshot.optimizeStats(spark, dir, Seq("v"))
+    val m = Snapshot.manifest(spark, dir, 2)
+    val (mn, mx) = m.strStats.head._2
+    assert(mn == "a\tb\nc", s"min '$mn'")
+    assert(mx == "𝄞", "max must be the astral char under " +
+      "UTF-8 byte order, not Java's UTF-16 order")
+    // candidacy under the same order: a bound between the two unicode
+    // values keeps the file; a bound above the astral max prunes it
+    assert(Snapshot.candidateFilesCols(m, Nil,
+      Seq(("v", Some("�"), None))).size == 1)
+    assert(Snapshot.candidateFilesCols(m, Nil,
+      Seq(("v", Some("𝄞 "), None))).isEmpty)
+    // a COW-style carried commit keeps the stamp for untouched files
+    val m2files = m.files
+    Snapshot.commit(Seq((10L, "zz")).toDF("k", "v"), dir, 2, "k",
+      carried = m2files, nFiles = 1)
+    val m3 = Snapshot.manifest(spark, dir, 3)
+    assert(m3.strStats.keySet == m.strStats.keySet,
+      "carried files keep their string stamps; fresh files are unstamped")
+  }
+
   test("compactSmall refuses z-ordered layouts") {
     val dir = freshDir()
     import spark.implicits._

@@ -496,6 +496,31 @@ class SourceSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir, 1).count() == 10, "v1 time-travelable")
   }
 
+  test("string stats prune pushed string predicates at planning") {
+    val dir = Warehouse.channelOrders(spark, sf)
+    val cur = Snapshot.currentVersion(spark, dir)
+    val m = Snapshot.manifest(spark, dir, cur)
+    assert(m.files.size == 6 && m.strStats.size == 6,
+      "3 channel commits x 2 files, every file stamped")
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      SourcePruning.candidates(m, fs).size
+    assert(planned(EqualTo("chan", "organic")) == 2, "equality → 1 commit")
+    assert(planned(GreaterThanOrEqual("chan", "partner")) == 2,
+      "range → the last channel alphabetically")
+    assert(planned(EqualTo("chan", "zzz")) == 0, "absent value → no files")
+    assert(planned(EqualTo("chan", "ads"), EqualTo("chan", "organic")) == 0,
+      "contradictory string conjunction → no files")
+    // the version BEFORE optimizeStats has no stamps: everything scans
+    val unstamped = Snapshot.manifest(spark, dir, cur - 1)
+    assert(SourcePruning.candidates(unstamped,
+      Seq(EqualTo("chan", "organic"))).size == 6)
+    // pruning is pure optimization: the answer matches the direct read
+    val viaSource = spark.read.format("graft").load(dir)
+      .filter(col("chan") === "organic")
+    val direct = Snapshot.read(spark, dir).filter(col("chan") === "organic")
+    assert(sorted(viaSource) == sorted(direct))
+  }
+
   test("format(graft) sink: update mode and partitionBy are refused") {
     intercept[IllegalArgumentException] {
       new graft.sources.GraftSink(spark, "/nonexistent", Some("k"), 8,
