@@ -38,7 +38,8 @@ object Bench {
         "q138_clone_cow", "q141_source_read", "q143_source_write",
         "q144_sql_insert", "q145_sql_dml", "q146_sql_merge",
         "q148_sql_lifecycle", "q149_append_rebase",
-        "q150_optimize_incremental", "q151_stats_string").foreach { w =>
+        "q150_optimize_incremental", "q151_stats_string",
+        "q152_bloom_string").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

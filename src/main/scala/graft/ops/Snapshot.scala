@@ -431,6 +431,17 @@ object Snapshot {
     override def compare(a: String, b: String): Int = utf8Cmp(a, b)
   }
 
+  /** Driver-side xxhash64 of a string — bit-identical to the
+    * `xxhash64(col)` the executors stamp string Bloom sketches with
+    * ([[optimizeBloom]]): one catalyst Expression eval on a literal, no
+    * job. */
+  private[graft] def strHash64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(s,
+        org.apache.spark.sql.types.StringType)),
+      42L) // the functions.xxhash64 default seed — stamps use it
+      .eval(null).asInstanceOf[Long]
+
   /** Size of one manifest entry's data file, resolving the FILESYSTEM
     * per entry: a shallow clone's absolute references may live on a
     * different scheme than the clone dir itself (a local clone of an
@@ -1413,10 +1424,16 @@ object Snapshot {
     val m = manifest(spark, dir, cur)
     val paths = m.files.map(_.path)
     val dt = read(spark, dir, cur).schema(bloomCol).dataType
-    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
-        .contains(dt.toString),
-      s"bloom column must be integral (the stats-column contract), " +
-        s"got $dt for $bloomCol")
+    // string columns sketch their xxhash64 — the SAME hash the driver
+    // probe computes ([[strHash64]]), so stamping and probing agree
+    // bit-exactly; NULLs filter out BEFORE hashing (a NULL never
+    // equals a point key, and xxhash64 would otherwise fold it to the
+    // seed and poison the sketch with a phantom key)
+    val isStr = dt.toString == "StringType"
+    require(isStr ||
+        Seq("ByteType", "ShortType", "IntegerType", "LongType")
+          .contains(dt.toString),
+      s"bloom column must be integral or string, got $dt for $bloomCol")
     import spark.implicits._
     val locations = paths.map(p => dataPath(dir, p))
     // auto-sizing: mean rows/file from a metadata-only parquet count;
@@ -1437,11 +1454,12 @@ object Snapshot {
       else math.max(1, math.min(8,
         math.round(useBits.toDouble / avg * 0.693).toInt))
     val words = useBits / 64
+    val keyExpr =
+      if (isStr) xxhash64(col(bloomCol)) else col(bloomCol).cast("long")
     val perFile = spark.read.option("mergeSchema", "true")
       .parquet(locations: _*)
-      .select(input_file_name().as("f"),
-        col(bloomCol).cast("long").as("key"))
-      .filter(col("key").isNotNull) // a NULL never equals a point key
+      .filter(col(bloomCol).isNotNull) // a NULL never equals a point key
+      .select(input_file_name().as("f"), keyExpr.as("key"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroups { (f, it) =>

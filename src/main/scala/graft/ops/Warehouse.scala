@@ -215,6 +215,32 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The string-keyed bloom table, built once per (session, dir): the
+    * orders state carrying `ref` = md5 of the order key — the opaque
+    * string id (UUID-class) real ingest keys on — clustered on
+    * cust_key so `ref` is uncorrelated with the layout, then
+    * `Snapshot.optimizeBloom("ref")` stamps per-file sketches over
+    * xxhash64(ref). A `ref = '…'` point probe through the front door
+    * plans only the files whose sketch might hold the hash. */
+  private[graft] def strBloomOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#strbloom", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_strbloom_$sfx"
+          val base = T.orders(s, d).select(
+            col("o_orderkey").as("order_key"),
+            col("o_custkey").as("cust_key"),
+            col("o_orderstatus").as("status"),
+            F.dec2(col("o_totalprice")).as("price"),
+            md5(col("o_orderkey").cast("string").cast("binary")).as("ref"))
+          Snapshot.commit(base, dir, 0, "cust_key", nFiles = 16)
+          Snapshot.optimizeBloom(s, dir, "ref")
+          dir
+        })
+    }
+
   /** The DML-triad table, built once per (session, dir): v1 = orders
     * state clustered on order_key, v2 = COW DELETE (drop 'F' orders in
     * key range [200,399] — range selects files, residual refines), v3 =
@@ -813,6 +839,29 @@ object Warehouse extends QueryModule {
         .orderBy(col("status"))
     }),
 
+    "q152_bloom_string" -> ((s, d) => {
+      // POINT LOOKUP on an opaque STRING id via hashed Bloom sidecars
+      // ([[strBloomOrders]]): `ref` is md5 of the key — the UUID-class
+      // string real ingest keys on — uncorrelated with the cust_key
+      // layout, so only the per-file xxhash64 sketches can narrow the
+      // probe; the front-door IN translates to hashed point candidacy
+      // at PLANNING time (SourceSpec pins present-probe narrowing and
+      // the absent-key zero), the residual filter keeps the answer
+      // exact under false positives. Oracle = the same keys through
+      // DuckDB's md5 over raw orders — the string twin of q132.
+      val dir = strBloomOrders(s, d)
+      val refs = bloomProbeKeys.map { k =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      s.read.format("graft").load(dir)
+        .filter(col("ref").isin(refs: _*))
+        .select(col("order_key"), col("cust_key"), col("status"),
+          F.od(col("price")).as("price"), col("ref"))
+        .orderBy(col("order_key"))
+    }),
+
     "q124_merge_versioned" -> ((s, d) => {
       // q42's MERGE against a TRANSACTIONAL target: the change batch
       // lands in the snapshot-versioned table via an atomic manifest
@@ -1217,6 +1266,17 @@ object Warehouse extends QueryModule {
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
     "q146_sql_merge" -> mergeOracle,
+
+    // the string twin of q132: md5 refs of the same probe keys
+    "q152_bloom_string" ->
+      """SELECT o_orderkey AS order_key, o_custkey AS cust_key,
+        |       o_orderstatus AS status,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        |       md5(CAST(o_orderkey AS VARCHAR)) AS ref
+        |FROM orders
+        |WHERE o_orderkey IN (137, 428, 999, 1204, 1400, 2000000, 3000001)
+        |ORDER BY order_key
+        |""".stripMargin,
 
     // the damaged phase = the load minus the SQL DELETE's rows; the
     // final phase = the original load exactly (RESTORE is byte-exact,

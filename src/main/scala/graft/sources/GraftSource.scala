@@ -278,8 +278,13 @@ private[graft] object SourcePruning {
       case EqualTo(c, v) => asLong(v) match {
         case Some(x) => ranges += ((c, x, x)); points += ((c, Seq(x)))
         case None => v match {
-          case s: String => strs += ((c, Some(s), Some(s)))
-          case _         => ()
+          case s: String =>
+            strs += ((c, Some(s), Some(s)))
+            // string Bloom sidecars sketch xxhash64(value): probe with
+            // the same hash ([[Snapshot.strHash64]]); files with no
+            // sketch stay candidates (mayContain's forall)
+            points += ((c, Seq(Snapshot.strHash64(s))))
+          case _ => ()
         }
       }
       case In(c, vs) =>
@@ -288,9 +293,11 @@ private[graft] object SourcePruning {
           ranges += ((c, ks.min, ks.max)); points += ((c, ks))
         } else {
           val ss = vs.toSeq.collect { case s: String => s }
-          if (ss.nonEmpty && ss.length == vs.length)
+          if (ss.nonEmpty && ss.length == vs.length) {
             strs += ((c, Some(ss.min(Snapshot.Utf8Order)),
               Some(ss.max(Snapshot.Utf8Order))))
+            points += ((c, ss.map(Snapshot.strHash64)))
+          }
         }
       case GreaterThan(c, v) => asLong(v) match {
         case Some(x) =>

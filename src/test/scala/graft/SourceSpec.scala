@@ -521,6 +521,30 @@ class SourceSpec extends SparkSpec {
     assert(sorted(viaSource) == sorted(direct))
   }
 
+  test("string bloom sidecars narrow pushed string point probes") {
+    val dir = Warehouse.strBloomOrders(spark, sf)
+    val m = Snapshot.manifest(spark, dir, Snapshot.currentVersion(spark, dir))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // ref is uncorrelated with the cust_key layout: only the hashed
+    // sketches can narrow the probe
+    val present = SourcePruning.candidates(m,
+      Seq(EqualTo("ref", md5hex("137"))))
+    assert(present.nonEmpty && present.size < m.files.size,
+      s"bloom should narrow the probe, got ${present.size}/${m.files.size}")
+    val absent = SourcePruning.candidates(m,
+      Seq(EqualTo("ref", md5hex("99999999"))))
+    assert(absent.size < m.files.size / 2,
+      s"an absent ref should prune most files, got ${absent.size}")
+    // answer identity: planning is a pure optimization
+    val probe = md5hex("137")
+    val viaSource = spark.read.format("graft").load(dir)
+      .filter(col("ref") === probe)
+    assert(viaSource.collect().map(_.getAs[Long]("order_key")).toSeq ==
+      Seq(137L))
+  }
+
   test("format(graft) sink: update mode and partitionBy are refused") {
     intercept[IllegalArgumentException] {
       new graft.sources.GraftSink(spark, "/nonexistent", Some("k"), 8,
