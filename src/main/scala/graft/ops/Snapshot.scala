@@ -1391,6 +1391,62 @@ object Snapshot {
     1
   }
 
+  /** CONVERT an existing flat parquet directory into a snapshot table
+    * by METADATA alone (Delta's `CONVERT TO DELTA`): v1's manifest
+    * lists the source's part files as ABSOLUTE references — adopting a
+    * 100 TB parquet lake costs one per-file stats job and one manifest
+    * write, zero bytes copied or moved. The stats are MEASURED (one
+    * grouped min/max pass over `statsCol`), so range pruning is as
+    * selective as the source's own physical order; from v1 on the
+    * table has the full verb set — COW DML rewrites touched files
+    * locally (fresh files relative, untouched source refs absolute —
+    * the shallow-clone machinery), `compactVersion` deep-copies
+    * everything local (severance), constraints/evolution/time travel
+    * work unchanged, and vacuum never reclaims source files (absolute
+    * entries are invisible to it). Caveat shared with CLONE: the
+    * source dir must outlive the references — or sever with one
+    * compaction. Flat directories only (hive-partitioned trees carry
+    * values in paths, which a flat scan would drop — stage those
+    * through a real commit instead); empty part files are skipped
+    * (nothing to serve). A file whose `statsCol` is all NULL gets the
+    * open range (always a candidate — degraded, never wrong). */
+  def convertParquet(spark: SparkSession, dir: String, srcDir: String,
+                     statsCol: String): Int = {
+    require(currentVersion(spark, dir) == 0,
+      s"convert target $dir already has committed versions")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val srcFs = new Path(srcDir).getFileSystem(hc)
+    val qualified = srcFs.makeQualified(new Path(srcDir)).toString
+    val parts = srcFs.listStatus(new Path(qualified)).toSeq
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
+        !n.endsWith(".crc"))
+    require(parts.nonEmpty, s"no data files to convert under $srcDir")
+    val df = spark.read.parquet(qualified)
+    val dt = df.schema(statsCol).dataType
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(dt.toString),
+      s"stats column must be integral (the stats-column contract), " +
+        s"got $dt for $statsCol")
+    val stats = df
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol).cast("long")).as("mn"),
+           max(col(statsCol).cast("long")).as("mx"))
+      .collect()
+      .map(r => parts.find(n => r.getString(0).endsWith(s"/$n"))
+        .getOrElse(throw new IllegalStateException(
+          s"unmapped source file ${r.getString(0)}")) ->
+        (if (r.isNullAt(1)) (Long.MinValue, Long.MaxValue)
+         else (r.getLong(1), r.getLong(2))))
+      .toMap
+    // empty files produce no stats group and are skipped outright
+    val files = parts.flatMap(n => stats.get(n).map { case (mn, mx) =>
+      FileEntry(s"$qualified/$n", mn, mx) })
+    publish(spark, dir, Manifest(1, statsCol, files.sortBy(_.path),
+      note = s"convert:$srcDir"))
+    1
+  }
+
   /** Stamp per-file Bloom sidecars over `bloomCol` into a new manifest
     * version — OPTIMIZE for point lookups on a NON-clustering column.
     * No data file is written or rewritten: the commit is the manifest

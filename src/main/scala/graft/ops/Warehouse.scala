@@ -241,6 +241,41 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The converted-lake table, built once per (session, dir): a PLAIN
+    * flat parquet directory (4 range-clustered part files — the
+    * pre-existing lake) adopted by [[Snapshot.convertParquet]] as v1
+    * with ABSOLUTE file references and MEASURED per-file stats (zero
+    * bytes copied), then proven to be a full citizen by an
+    * [[Snapshot.appendWithRetry]] landing v2 on top — 4 carried source
+    * refs + 1 fresh relative file. */
+  private[graft] def convertedOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#convert", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val plain = s"$wh/graft_plain_orders_$sfx"
+          val dir = s"$wh/graft_snap_convert_$sfx"
+          T.orders(s, d).select(
+            col("o_orderkey").as("order_key"),
+            col("o_custkey").as("cust_key"),
+            col("o_orderstatus").as("status"),
+            F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+              .as("price"))
+            .repartitionByRange(4, col("order_key"))
+            .write.mode("overwrite").parquet(plain)
+          Snapshot.convertParquet(s, dir, plain, "order_key")
+          val batch = T.orders(s, d)
+            .filter(col("o_orderkey") % 10 === 5).select(
+              (col("o_orderkey") + 5000000000L).as("order_key"),
+              col("o_custkey").as("cust_key"), lit("C").as("status"),
+              F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+                .as("price"))
+          Snapshot.appendWithRetry(batch, dir, nFiles = 1)
+          dir
+        })
+    }
+
   /** The DML-triad table, built once per (session, dir): v1 = orders
     * state clustered on order_key, v2 = COW DELETE (drop 'F' orders in
     * key range [200,399] — range selects files, residual refines), v3 =
@@ -862,6 +897,30 @@ object Warehouse extends QueryModule {
         .orderBy(col("order_key"))
     }),
 
+    "q153_convert_parquet" -> ((s, d) => {
+      // CONVERT TO GRAFT ([[convertedOrders]] →
+      // [[Snapshot.convertParquet]]): a pre-existing flat parquet lake
+      // adopted as v1 by metadata alone — absolute refs, measured
+      // per-file stats, zero bytes moved — then treated as a full
+      // citizen: an append-rebase lands v2 carrying the 4 source refs
+      // next to 1 fresh relative file (the shallow-clone divergence
+      // machinery re-used; SnapshotSpec pins refs, pruning, vacuum
+      // blindness to source files). The rollup sees lake + appended
+      // batch; n_src_refs = 4 pins the adopted file count and
+      // n_versions = 2 the commit history; oracle recomputes from raw
+      // orders.
+      val dir = convertedOrders(s, d)
+      val cur = Snapshot.currentVersion(s, dir)
+      val nAbs = Snapshot.manifest(s, dir, cur).files
+        .count(f => f.path.contains(":") || f.path.startsWith("/"))
+      Snapshot.read(s, dir)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .withColumn("n_src_refs", lit(nAbs.toLong))
+        .withColumn("n_versions", lit(cur.toLong))
+        .orderBy(col("status"))
+    }),
+
     "q124_merge_versioned" -> ((s, d) => {
       // q42's MERGE against a TRANSACTIONAL target: the change batch
       // lands in the snapshot-versioned table via an atomic manifest
@@ -1266,6 +1325,21 @@ object Warehouse extends QueryModule {
     "q42_merge_upsert" -> mergeOracle,
     "q124_merge_versioned" -> mergeOracle,
     "q146_sql_merge" -> mergeOracle,
+
+    // lake + appended 'C' batch; 4 adopted source refs, 2 versions
+    "q153_convert_parquet" ->
+      """WITH pr AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |u AS (
+        |  SELECT status, price FROM pr
+        |  UNION ALL SELECT 'C', price FROM pr WHERE k % 10 = 5)
+        |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
+        |       CAST(4 AS BIGINT) AS n_src_refs,
+        |       CAST(2 AS BIGINT) AS n_versions
+        |FROM u GROUP BY status ORDER BY status
+        |""".stripMargin,
 
     // the string twin of q132: md5 refs of the same probe keys
     "q152_bloom_string" ->

@@ -300,49 +300,64 @@ class IngestSpec extends SparkSpec {
       try { Class.forName("org.apache.derby.jdbc.EmbeddedDriver"); true }
       catch { case _: ClassNotFoundException => false },
       "Derby embedded driver not on the classpath")
-    val url = "jdbc:derby:memory:graft_ddl;create=true"
+    // DISK-backed DB, not memory: — racing truncates can panic the
+    // embedded engine ("Shutting down due to severe error", observed
+    // round 14), and a memory DB dies with the engine, which would fail
+    // the survival assertions for a reason the test doesn't test. A
+    // disk DB recovers through Derby's transaction log on re-boot —
+    // exactly the "never corrupts" contract under proof. Every check
+    // opens a FRESH connection after re-registering the driver (the
+    // documented re-boot idiom, a no-op on a healthy engine), because a
+    // panic kills long-lived connections.
+    val dbDir = java.nio.file.Files
+      .createTempDirectory("graft_derby_ddl").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
     val opts = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    def withConn[A](f: java.sql.Connection => A): A = {
+      Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        .getDeclaredConstructor().newInstance()
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
     val src = Tables.nation(spark, sf)
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val n = src.count()
     Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
-    val conn = java.sql.DriverManager.getConnection(url)
-    try {
-      // Spark's JDBC sink quotes COLUMN identifiers (they land lowercase)
-      // while the unquoted table name folds to upper case — quote to match
-      conn.createStatement()
-        .execute("CREATE INDEX nation_ddl_ix ON nation_ddl (\"n_nationkey\")")
-      def indexExists: Boolean = {
-        val rs = conn.getMetaData.getIndexInfo(null, null, "NATION_DDL",
-          false, false)
-        Iterator.continually(rs)
-          .takeWhile(_.next()).exists(r =>
-            "NATION_DDL_IX".equalsIgnoreCase(
-              String.valueOf(r.getString("INDEX_NAME"))))
-      }
-      assert(indexExists, "sanity: the index must exist after CREATE INDEX")
-      // sequential re-publish: DDL survives, rows replaced not appended
-      Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
-      assert(indexExists, "truncate overwrite must keep the index")
-      assert(Ingest.readJdbc(spark, url, "nation_ddl", opts).count() == n)
-      // concurrent re-publish: two racing truncate+insert publishes may
-      // interleave arbitrarily, but must never corrupt — both complete
-      // (or fail cleanly on Derby's table lock), the index survives, and
-      // a final publish restores exactly the source rows
-      val pub = (0 until 2).map { _ =>
-        new Thread(() =>
-          try Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
-          catch { case scala.util.control.NonFatal(_) => () })
-      }
-      pub.foreach(_.start()); pub.foreach(_.join())
-      assert(indexExists, "racing republishes must not drop the index")
-      Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
-      assert(indexExists)
-      val back = Ingest.readJdbc(spark, url, "nation_ddl", opts)
-      assert(back.count() == n &&
-        back.collect().toSet == src.collect().toSet,
-        "the settled publish must land exactly the source rows")
-    } finally conn.close()
+    // Spark's JDBC sink quotes COLUMN identifiers (they land lowercase)
+    // while the unquoted table name folds to upper case — quote to match
+    withConn(_.createStatement()
+      .execute("CREATE INDEX nation_ddl_ix ON nation_ddl (\"n_nationkey\")"))
+    def indexExists: Boolean = withConn { c =>
+      val rs = c.getMetaData.getIndexInfo(null, null, "NATION_DDL",
+        false, false)
+      Iterator.continually(rs)
+        .takeWhile(_.next()).exists(r =>
+          "NATION_DDL_IX".equalsIgnoreCase(
+            String.valueOf(r.getString("INDEX_NAME"))))
+    }
+    assert(indexExists, "sanity: the index must exist after CREATE INDEX")
+    // sequential re-publish: DDL survives, rows replaced not appended
+    Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
+    assert(indexExists, "truncate overwrite must keep the index")
+    assert(Ingest.readJdbc(spark, url, "nation_ddl", opts).count() == n)
+    // concurrent re-publish: two racing truncate+insert publishes may
+    // interleave arbitrarily, but must never corrupt — both complete
+    // (or fail cleanly, up to and including an engine panic that the
+    // disk DB recovers from), the index survives, and a final publish
+    // restores exactly the source rows
+    val pub = (0 until 2).map { _ =>
+      new Thread(() =>
+        try Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+    pub.foreach(_.start()); pub.foreach(_.join())
+    assert(indexExists, "racing republishes must not drop the index")
+    Ingest.writeJdbcBulk(src, url, "nation_ddl", options = opts)
+    assert(indexExists)
+    val back = Ingest.readJdbc(spark, url, "nation_ddl", opts)
+    assert(back.count() == n &&
+      back.collect().toSet == src.collect().toSet,
+      "the settled publish must land exactly the source rows")
   } }
 
   test("writeJdbcBulk round-trips and out-batches the default path (A10)") { Derby.exclusive {

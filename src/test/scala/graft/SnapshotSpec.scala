@@ -1508,6 +1508,62 @@ class SnapshotSpec extends SparkSpec {
       "carried files keep their string stamps; fresh files are unstamped")
   }
 
+  test("convertParquet adopts a flat lake by metadata; COW diverges locally") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_convert").toString
+    val (plain, dir) = (s"$base/lake", s"$base/t")
+    (1 to 800).map(k => (k.toLong, s"val_$k", "K")).toDF("k", "v", "verdict")
+      .repartitionByRange(4, col("k")).write.parquet(plain)
+    assert(Snapshot.convertParquet(spark, dir, plain, "k") == 1)
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.files.size == 4 && m.files.forall(f =>
+      Snapshot.isAbsolutePath(f.path)), "adopted refs are absolute")
+    assert(state(dir) == baseRows().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet)
+    // measured stats prune: a key-range read plans a proper subset
+    assert(Snapshot.candidateFilesCols(m, Seq(("k", 10L, 20L))).size <
+      m.files.size)
+    // COW delete rewrites touched files INTO the table dir; untouched
+    // source refs carry; the lake itself is never written
+    val lakeFs = new org.apache.hadoop.fs.Path(plain)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lakeBefore = lakeFs.listStatus(
+      new org.apache.hadoop.fs.Path(plain)).map(s =>
+      (s.getPath.getName, s.getLen)).toSet
+    Snapshot.deleteWhere(spark, dir, 1L, 100L, col("k") <= 100L)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m2.files.count(f => Snapshot.isAbsolutePath(f.path)) == 3,
+      "3 untouched source refs carry")
+    assert(m2.files.exists(f => !Snapshot.isAbsolutePath(f.path)),
+      "the rewrite landed locally")
+    assert(lakeFs.listStatus(new org.apache.hadoop.fs.Path(plain))
+      .map(s => (s.getPath.getName, s.getLen)).toSet == lakeBefore,
+      "the source lake is never written")
+    assert(Snapshot.read(spark, dir).count() == 700)
+    // vacuum is blind to source files at any grace age
+    assert(Snapshot.vacuum(spark, dir, 0L).isEmpty)
+    assert(Snapshot.read(spark, dir, 1).count() == 800, "v1 travelable")
+  }
+
+  test("convertParquet: empty files skip; all-NULL stats get the open range") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_convert2").toString
+    val (plain, dir) = (s"$base/lake", s"$base/t")
+    (1 to 10).map(k => (Some(k.toLong), s"a_$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(plain)
+    // a second, all-NULL-key file and an empty file land in the same dir
+    (1 to 5).map(_ => (Option.empty[Long], "nullkey")).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(plain)
+    Seq.empty[(Option[Long], String)].toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(plain)
+    Snapshot.convertParquet(spark, dir, plain, "k")
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.files.size == 2, "the empty file is skipped")
+    assert(m.files.exists(f => f.min == Long.MinValue &&
+      f.max == Long.MaxValue), "all-NULL stats file keeps the open range")
+    assert(Snapshot.read(spark, dir).count() == 15)
+  }
+
   test("compactSmall refuses z-ordered layouts") {
     val dir = freshDir()
     import spark.implicits._
