@@ -39,7 +39,8 @@ object Bench {
         "q144_sql_insert", "q145_sql_dml", "q146_sql_merge",
         "q148_sql_lifecycle", "q149_append_rebase",
         "q150_optimize_incremental", "q151_stats_string",
-        "q152_bloom_string", "q153_convert_parquet").foreach { w =>
+        "q152_bloom_string", "q153_convert_parquet",
+        "q154_sql_detail").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

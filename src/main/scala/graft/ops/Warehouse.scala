@@ -874,6 +874,21 @@ object Warehouse extends QueryModule {
         .orderBy(col("status"))
     }),
 
+    "q154_sql_detail" -> ((s, d) => {
+      // DESCRIBE DETAIL through the injected parser: the current
+      // version's shape — version / clustering column / file count /
+      // constraint + evolved-column counts / note — read from manifest
+      // arithmetic alone (bytes omitted: physical sizes vary per SF;
+      // the spec covers them). On the q148 lifecycle table every field
+      // is a deterministic constant: v6, 8 files (RESTORE re-pointed
+      // at the create's 8-file layout), 1 constraint, 1 evolved
+      // column, the schema:add note — all oracle-pinned.
+      val (_, name) = sqlLifecycleOrders(s, d)
+      s.sql(s"DESCRIBE DETAIL $name")
+        .select(col("version"), col("stats_col"), col("n_files"),
+          col("n_constraints"), col("n_added_cols"), col("note"))
+    }),
+
     "q152_bloom_string" -> ((s, d) => {
       // POINT LOOKUP on an opaque STRING id via hashed Bloom sidecars
       // ([[strBloomOrders]]): `ref` is md5 of the key — the UUID-class
@@ -1339,6 +1354,16 @@ object Warehouse extends QueryModule {
         |       CAST(4 AS BIGINT) AS n_src_refs,
         |       CAST(2 AS BIGINT) AS n_versions
         |FROM u GROUP BY status ORDER BY status
+        |""".stripMargin,
+
+    // every DESCRIBE DETAIL field on the lifecycle table is a
+    // deterministic constant
+    "q154_sql_detail" ->
+      """SELECT CAST(6 AS BIGINT) AS version, 'order_key' AS stats_col,
+        |       CAST(8 AS BIGINT) AS n_files,
+        |       CAST(1 AS BIGINT) AS n_constraints,
+        |       CAST(1 AS BIGINT) AS n_added_cols,
+        |       'schema:add:chan' AS note
         |""".stripMargin,
 
     // the string twin of q132: md5 refs of the same probe keys

@@ -107,6 +107,27 @@ final case class GraftDescribeHistoryCommand(name: String)
   }
 }
 
+final case class GraftDescribeDetailCommand(name: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.attrs(
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("stats_col", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("n_constraints", LongType, nullable = false),
+      StructField("n_added_cols", LongType, nullable = false),
+      StructField("note", StringType, nullable = true))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftMaintenance.dirFor(session, name)
+    val cur = Snapshot.currentVersion(session, dir)
+    val m = Snapshot.manifest(session, dir, cur)
+    val bytes = m.files.map(f => Snapshot.entryLen(session, dir, f.path)).sum
+    Seq(Row(cur.toLong, m.statsCol, m.files.size.toLong, bytes,
+      m.checks.size.toLong, m.addedCols.size.toLong, m.note))
+  }
+}
+
 final case class GraftRestoreCommand(name: String, toVersion: Int)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftMaintenance.versionOutput

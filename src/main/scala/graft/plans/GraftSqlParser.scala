@@ -23,13 +23,14 @@ import graft.ops.Snapshot
   *   OPTIMIZE name [ZORDER BY (a, b[, c])]
   *   VACUUM name [RETAIN n HOURS]
   *   DESCRIBE HISTORY name
+  *   DESCRIBE DETAIL name
   *   RESTORE TABLE name TO VERSION AS OF v
   *   ALTER TABLE name ADD COLUMN c type
   *   ALTER TABLE name ADD CONSTRAINT cn CHECK (expr)
   *   ALTER TABLE name DROP CONSTRAINT cn
   *
   * Interception is NAME-GATED where Spark has its own meaning for the
-  * shape: `DESCRIBE HISTORY x` and the `ALTER TABLE` forms only
+  * shape: the `DESCRIBE` and `ALTER TABLE` forms only
   * intercept when `x` is a registered snapshot name in this session —
   * otherwise they delegate, so `DESCRIBE history` still describes a
   * real table named history and a catalog table's ALTER TABLE is
@@ -69,6 +70,9 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     val history = HistoryRe.matcher(s)
     if (history.matches() && registered(history.group(1)))
       return GraftDescribeHistoryCommand(history.group(1))
+    val detail = DetailRe.matcher(s)
+    if (detail.matches() && registered(detail.group(1)))
+      return GraftDescribeDetailCommand(detail.group(1))
     val addCol = AddColumnRe.matcher(s)
     if (addCol.matches() && registered(addCol.group(1)))
       return GraftAddColumnCommand(addCol.group(1), addCol.group(2),
@@ -116,6 +120,8 @@ private object GraftSqlParser {
     Flags)
   val HistoryRe: Pattern = Pattern.compile(
     s"DESCRIBE\\s+HISTORY\\s+($Id)", Flags)
+  val DetailRe: Pattern = Pattern.compile(
+    s"DESCRIBE\\s+DETAIL\\s+($Id)", Flags)
   val AddColumnRe: Pattern = Pattern.compile(
     s"ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+COLUMNS?\\s+" +
       "\\(?\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+([^)]+?)\\s*\\)?", Flags)

@@ -106,7 +106,16 @@ final class GraftSourceProvider extends RelationProvider
       Snapshot.commit(data, dir, cur, statsCol, carried, nFiles)
       ()
     }
+    // option("rebase", "true"): append with COMMIT-RETRY instead of the
+    // CAS loser aborting — files stage once, the publish rebases over
+    // interleaved commits ([[Snapshot.appendWithRetry]]'s contract).
+    // Only meaningful on an existing table; a first write has no race
+    // to lose and takes the ordinary create path.
+    val rebase = opts.get("rebase").exists(_.trim.toBoolean)
     mode match {
+      case SaveMode.Append if rebase && cur > 0 =>
+        Snapshot.appendWithRetry(data, dir, nFiles)
+        ()
       case SaveMode.Append        => land(prior.map(_.files).getOrElse(Nil))
       case SaveMode.Overwrite     => land(Nil)
       case SaveMode.Ignore        => if (cur == 0) land(Nil)

@@ -124,6 +124,41 @@ class SqlLifecycleSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() == 11)
   }
 
+  test("SQL DESCRIBE DETAIL reports the manifest's shape") {
+    import spark.implicits._
+    val (dir, name) = freshRegistered(appends = 1)
+    spark.sql(s"ALTER TABLE $name ADD CONSTRAINT v_pos CHECK (v > 0)")
+    val row = spark.sql(s"DESCRIBE DETAIL $name").head()
+    assert(row.getLong(0) == 3L, "version")
+    assert(row.getString(1) == "k", "stats_col")
+    val m = Snapshot.manifest(spark, dir, 3)
+    assert(row.getLong(2) == m.files.size.toLong, "n_files")
+    assert(row.getLong(3) == m.files.map(f =>
+      Snapshot.entryLen(spark, dir, f.path)).sum, "bytes")
+    assert(row.getLong(4) == 1L && row.getLong(5) == 0L)
+    assert(row.getString(6) == "constraint:add:v_pos")
+    // unregistered names delegate to Spark's own DESCRIBE machinery
+    val e = intercept[Exception](
+      spark.sql("DESCRIBE DETAIL no_such_graft_table").collect())
+    assert(!e.getMessage.contains("registerSqlTable"), e.getMessage)
+  }
+
+  test("writer option rebase=true appends by commit-retry") {
+    import spark.implicits._
+    val (dir, _) = freshRegistered()
+    // racing rebase appends: all land, one version each, union content
+    val threads = Seq((21L, 25L), (31L, 35L), (41L, 45L)).map {
+      case (lo, hi) =>
+        new Thread(() =>
+          (lo to hi).map(k => (k, k * 10)).toDF("k", "v")
+            .write.format("graft").option("rebase", "true")
+            .mode("append").save(dir))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshot.currentVersion(spark, dir) == 4)
+    assert(Snapshot.read(spark, dir).count() == 25)
+  }
+
   test("non-maintenance SQL is untouched by the parser") {
     val (_, name) = freshRegistered()
     // ordinary statements still parse and run through the delegate
