@@ -189,7 +189,21 @@ object Snapshot {
     * The use case is file-correlated strings — per-source/per-channel
     * batches, status columns of time-clustered facts — where equality
     * and range predicates prune at file level with no z-order
-    * rewrite. */
+    * rewrite.
+    *
+    * `dvs` are DELETION VECTORS — per-file sorted row positions marked
+    * deleted (file path → ascending `_metadata.row_index` values),
+    * Delta's merge-on-read DELETE: a scattered delete costs a bitmap
+    * publish instead of a file rewrite ([[deleteWhereDV]]). Every read
+    * goes through [[readEntries]], which anti-joins the positions out,
+    * so DV'd rows are invisible to every consumer (plain/pruned/point/
+    * box reads, DML bases, the change feed, the registered source).
+    * Carried files keep their DVs under the sidecar carry discipline
+    * (dropping one would RESURRECT its deleted rows — the one sidecar
+    * where loss is corruption, not degradation); rewritten files drop
+    * theirs because the rewrite materializes the deletes. Serialized
+    * as delta-varint (`d` lines) so a million positions cost ~1 byte
+    * each, and bounded by [[deleteWhereDV]]'s COW fallback. */
   final case class Manifest(version: Int, statsCol: String,
                             files: Seq[FileEntry], note: String = "",
                             ts: Long = 0L,
@@ -200,7 +214,8 @@ object Snapshot {
                             colStats: Map[(String, String), (Long, Long)] =
                               Map.empty,
                             strStats: Map[(String, String), (String, String)] =
-                              Map.empty)
+                              Map.empty,
+                            dvs: Map[String, Array[Long]] = Map.empty)
 
   /** Thrown when a commit's fresh data violates a registered CHECK
     * constraint (the batch's files are cleaned up; the table keeps its
@@ -360,6 +375,7 @@ object Snapshot {
     val added = Seq.newBuilder[(String, String)]
     val colStats = Map.newBuilder[(String, String), (Long, Long)]
     val strStats = Map.newBuilder[(String, String), (String, String)]
+    val dvs = Map.newBuilder[String, Array[Long]]
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
@@ -396,6 +412,10 @@ object Snapshot {
           require(c.length == 5, s"malformed manifest str-stats line in $p")
           strStats += ((c(1), c(2)) -> (b64dec(c(3)), b64dec(c(4))))
           None
+        case "d" =>
+          require(c.length == 3, s"malformed manifest dv line in $p")
+          dvs += (c(1) -> decodeDv(c(2)))
+          None
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
@@ -403,7 +423,7 @@ object Snapshot {
     Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
       checks.result(), added.result(), colStats.result(),
-      strStats.result())
+      strStats.result(), dvs.result())
   }
 
   private def b64enc(s: String): String =
@@ -411,6 +431,41 @@ object Snapshot {
       .encodeToString(s.getBytes(StandardCharsets.UTF_8))
   private def b64dec(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Deletion-vector codec: strictly-ascending positions as varints of
+    * (first, then successive deltas) — ~1 byte per position for the
+    * dense runs real deletes produce, vs 8 for raw longs. */
+  private[graft] def encodeDv(positions: Array[Long]): String = {
+    val out = new java.io.ByteArrayOutputStream(positions.length + 8)
+    var prev = -1L
+    positions.foreach { p =>
+      require(p > prev, s"DV positions must be strictly ascending: $p after $prev")
+      var d = p - prev // >= 1, so the varint is never zero-ambiguous
+      prev = p
+      while ((d & ~0x7fL) != 0) { out.write(((d & 0x7f) | 0x80).toInt); d >>>= 7 }
+      out.write(d.toInt)
+    }
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+  }
+
+  private[graft] def decodeDv(s: String): Array[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    val out = Array.newBuilder[Long]
+    var i = 0
+    var prev = -1L
+    while (i < bytes.length) {
+      var d = 0L
+      var shift = 0
+      var b = 0
+      do {
+        b = bytes(i) & 0xff; i += 1
+        d |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      prev += d
+      out += prev
+    }
+    out.result()
+  }
 
   /** Unsigned UTF-8 byte comparison — UTF8String's sort order, i.e. the
     * order Spark computed string min/max under. */
@@ -509,15 +564,39 @@ object Snapshot {
     * the manifest's declared schema evolution. */
   private[graft] def readEntries(spark: SparkSession, dir: String,
                                  m: Manifest,
-                                 entries: Seq[FileEntry]): DataFrame =
+                                 entries: Seq[FileEntry]): DataFrame = {
     // mergeSchema: a COW commit may carry old-schema files next to new
     // ones after an ADDITIVE column change (the only safe drift class —
     // Ingest.readEvolved's contract); carried files read the new column
     // as NULL, incompatible type changes still fail loudly. Costs one
     // footer read per distinct file schema at planning.
-    withAddedCols(
+    val base = withAddedCols(
       spark.read.option("mergeSchema", "true")
         .parquet(entries.map(f => dataPath(dir, f.path)): _*), m)
+    // DELETION VECTORS: anti-join the marked positions out, keyed on
+    // (part-file NAME, row_index) — part names carry a per-write UUID,
+    // so the name alone is table-unique and sidesteps URI-spelling
+    // mismatches between _metadata.file_path and manifest entries. The
+    // DV side is broadcast (positions ∝ deletions, bounded by
+    // deleteWhereDV's COW fallback), so the anti-join adds no shuffle
+    // and stays inside codegen. Files without a DV pay nothing when no
+    // selected entry has one.
+    val dvd = entries.filter(f =>
+      m.dvs.get(f.path).exists(_.nonEmpty))
+    if (dvd.isEmpty) base
+    else {
+      import spark.implicits._
+      val del = dvd.flatMap(f => m.dvs(f.path).map(i =>
+          (f.path.substring(f.path.lastIndexOf('/') + 1), i)))
+        .toDF("_dv_f", "_dv_i")
+      base
+        .withColumn("_dv_f",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_dv_i", col("_metadata.row_index"))
+        .join(broadcast(del), Seq("_dv_f", "_dv_i"), "left_anti")
+        .drop("_dv_f", "_dv_i")
+    }
+  }
 
   /** Read a snapshot (default: latest). The scan's file list comes from
     * the manifest alone — a data directory with no published manifest is
@@ -742,9 +821,14 @@ object Snapshot {
       .sortBy { case ((p, c), _) => (p, c) }
       .map { case ((p, c), (mn, mx)) =>
         s"S\t$p\t$c\t${b64enc(mn)}\t${b64enc(mx)}" }
+    val dvLines = m.dvs.toSeq
+      .filter { case (p, v) => listed.contains(p) && v.nonEmpty }
+      .sortBy(_._1)
+      .map { case (p, v) => s"d\t$p\t${encodeDv(v)}" }
     val body = (Seq(hdr, tsLine) ++
         m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
-        schemaLines ++ checkLines ++ statLines ++ strLines ++ bloomLines)
+        schemaLines ++ checkLines ++ statLines ++ strLines ++ dvLines ++
+        bloomLines)
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -834,9 +918,14 @@ object Snapshot {
       case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
     val carryStrStats = prior.map(_.strStats.filter {
       case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
+    // deletion vectors MUST carry for carried files (dropping one would
+    // resurrect its deleted rows); rewritten files drop theirs because
+    // the rewrite read through readEntries and materialized the deletes
+    val carryDvs = prior.map(_.dvs.filter {
+      case (p, _) => carryPaths.contains(p) }).getOrElse(Map.empty)
     val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note,
       blooms = carryBlooms, checks = checks, addedCols = addedCols,
-      colStats = carryStats, strStats = carryStrStats)
+      colStats = carryStats, strStats = carryStrStats, dvs = carryDvs)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -948,7 +1037,7 @@ object Snapshot {
         publish(spark, dir, Manifest(cur + 1, m.statsCol,
           (m.files ++ staged.files).sortBy(_.path), note,
           blooms = m.blooms, checks = m.checks, addedCols = m.addedCols,
-          colStats = m.colStats, strStats = m.strStats))
+          colStats = m.colStats, strStats = m.strStats, dvs = m.dvs))
         return cur + 1
       } catch {
         case _: SnapshotConflict if attempt < maxRetries =>
@@ -1115,6 +1204,85 @@ object Snapshot {
     commit(kept, dir, cur, m.statsCol, carry, nFiles, note)
   }
 
+  /** MERGE-ON-READ DELETE — Delta's deletion vectors: mark the matching
+    * rows' positions in per-file sidecars instead of rewriting files. A
+    * scattered delete on a 100 TB table (GDPR erasure, a bad-record
+    * purge) touches a few rows in MANY files — exactly where COW is at
+    * its worst (every touched file re-pays its full size) — and under
+    * DVs it costs one position scan plus one manifest publish, zero
+    * data movement. Semantics are identical to [[deleteWhere]] (SQL
+    * 3VL: NULL predicates keep their rows; new positions MERGE with any
+    * existing DV); readers apply the vectors inside [[readEntries]], so
+    * the delete is invisible everywhere at once, and [[changeFeed]]
+    * treats a DV'd file as changed (the diff yields exactly the D
+    * rows). Honest bounds: the positions land in the manifest
+    * (delta-varint, ~1 byte each), so a delete matching more than
+    * `maxPositions` rows FALLS BACK to the COW rewrite — bulk deletes
+    * amortize a rewrite anyway, and the fallback keeps the driver and
+    * the manifest bounded. Z-ordered layouts refuse for the note-slot
+    * reason every mutating verb shares. Read amplification is the MoR
+    * trade: deleted positions filter on every read until a rewrite
+    * (OPTIMIZE / any COW touch) materializes them — Delta draws the
+    * same line. */
+  def deleteWhereDV(spark: SparkSession, dir: String, lo: Long, hi: Long,
+                    residual: Column = lit(true),
+                    maxPositions: Int = 1000000,
+                    note: String = ""): Int = {
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"deleteWhereDV against a z-ordered snapshot (note='${m.note}'): " +
+        "delete on a key-clustered version and re-optimize")
+    val touch = m.files.filter(f => f.min <= hi && f.max >= lo)
+    if (touch.isEmpty) return cur
+    // positions of rows the predicate PROVES true (3VL: NULL keeps).
+    // The metadata columns materialize as ordinary columns DIRECTLY on
+    // the scan (hidden-column propagation does not survive arbitrary
+    // plans), the declared schema conforms on top, any EXISTING vectors
+    // anti-join out (an already-deleted row can't re-collect), and
+    // limit() bounds the driver before collect.
+    val raw = withAddedCols(
+      spark.read.option("mergeSchema", "true")
+        .parquet(touch.map(f => dataPath(dir, f.path)): _*)
+        .withColumn("_dv_f",
+          element_at(split(col("_metadata.file_path"), "/"), -1))
+        .withColumn("_dv_i", col("_metadata.row_index")), m)
+    val existing = touch.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
+    val live =
+      if (existing.isEmpty) raw
+      else {
+        import spark.implicits._
+        val del = existing.flatMap(f => m.dvs(f.path).map(i =>
+            (f.path.substring(f.path.lastIndexOf('/') + 1), i)))
+          .toDF("_dv_f", "_dv_i")
+        raw.join(broadcast(del), Seq("_dv_f", "_dv_i"), "left_anti")
+      }
+    val hits = live
+      .filter(coalesce(col(m.statsCol).between(lo, hi) && residual,
+        lit(false)))
+      .select(col("_dv_f").as("f"), col("_dv_i").as("i"))
+      .limit(maxPositions + 1)
+      .collect()
+    if (hits.isEmpty) return cur
+    if (hits.length > maxPositions)
+      return deleteWhere(spark, dir, lo, hi, residual, note = note)
+    val byName = hits.groupBy(_.getString(0))
+      .map { case (n, rs) => n -> rs.map(_.getLong(1)).sorted }
+    val nameToPath = m.files.map(f =>
+      f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
+    val merged = byName.map { case (n, fresh) =>
+      val p = nameToPath.getOrElse(n,
+        throw new IllegalStateException(s"unmapped DV file $n"))
+      val old = m.dvs.getOrElse(p, Array.empty[Long])
+      p -> (old ++ fresh).distinct.sorted
+    }
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = note, blooms = m.blooms, checks = m.checks,
+      addedCols = m.addedCols, colStats = m.colStats,
+      strStats = m.strStats, dvs = m.dvs ++ merged))
+    cur + 1
+  }
+
   /** COW UPDATE — SET columns where `statsCol BETWEEN lo AND hi` AND
     * `residual`; file selection, carry, bloom, and z-order semantics
     * exactly as [[deleteWhere]]. `set` maps column name → new value
@@ -1253,7 +1421,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"constraint:add:$name", blooms = m.blooms,
       checks = m.checks :+ (name -> sql), addedCols = m.addedCols,
-      colStats = m.colStats, strStats = m.strStats))
+      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs))
     cur + 1
   }
 
@@ -1266,7 +1434,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"constraint:drop:$name", blooms = m.blooms,
       checks = m.checks.filterNot(_._1 == name), addedCols = m.addedCols,
-      colStats = m.colStats, strStats = m.strStats))
+      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs))
     cur + 1
   }
 
@@ -1300,7 +1468,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"schema:add:$name", blooms = m.blooms, checks = m.checks,
       addedCols = m.addedCols :+ (name -> typeDdl),
-      colStats = m.colStats, strStats = m.strStats))
+      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs))
     cur + 1
   }
 
@@ -1335,7 +1503,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"restore:$toVersion", blooms = m.blooms, checks = m.checks,
       addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats))
+      strStats = m.strStats, dvs = m.dvs))
     cur + 1
   }
 
@@ -1382,12 +1550,13 @@ object Snapshot {
       (dataPath(qualifiedSrc, p), c) -> s }
     val strStats = m.strStats.map { case ((p, c), s) =>
       (dataPath(qualifiedSrc, p), c) -> s }
+    val dvs = m.dvs.map { case (p, v) => dataPath(qualifiedSrc, p) -> v }
     val note =
       if (m.note.startsWith("zorder")) m.note else s"clone:$srcDir@v$src"
     publish(spark, dstDir,
       Manifest(1, m.statsCol, files, note, blooms = blooms,
         checks = m.checks, addedCols = m.addedCols, colStats = colStats,
-        strStats = strStats))
+        strStats = strStats, dvs = dvs))
     1
   }
 
@@ -1539,7 +1708,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = note, blooms = m.blooms ++ rel ++ empties, checks = m.checks,
       addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats))
+      strStats = m.strStats, dvs = m.dvs))
     cur + 1
   }
 
@@ -1614,7 +1783,7 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = note, blooms = m.blooms, checks = m.checks,
       addedCols = m.addedCols, colStats = m.colStats ++ stamped,
-      strStats = m.strStats ++ stampedStr))
+      strStats = m.strStats ++ stampedStr, dvs = m.dvs))
     cur + 1
   }
 
@@ -1936,7 +2105,15 @@ object Snapshot {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), feedSchema)
     }
-    val shared = m1.files.map(_.path).toSet & m2.files.map(_.path).toSet
+    // a file "cancels" only if it is byte-identical AND equally-deleted
+    // on both sides: a DV-only delete changes no paths, so path-equality
+    // alone would diff to an empty feed — the DV is part of the file's
+    // logical identity. readEntries applies each side's own vectors, so
+    // a DV'd shared file diffs to exactly its newly-masked rows as D.
+    def dvOf(m: Manifest, p: String): Seq[Long] =
+      m.dvs.getOrElse(p, Array.empty[Long]).toSeq
+    val shared = (m1.files.map(_.path).toSet & m2.files.map(_.path).toSet)
+      .filter(p => dvOf(m1, p) == dvOf(m2, p))
     def side(m: Manifest): Option[DataFrame] = {
       val own = m.files.filterNot(f => shared.contains(f.path))
       if (own.isEmpty) None

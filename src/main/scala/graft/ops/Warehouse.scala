@@ -311,6 +311,28 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The DELETION-VECTOR table, built once per (session, dir): v1 =
+    * orders load, v2 = merge-on-read DELETE of the 'F' orders in key
+    * range [200,399] ([[Snapshot.deleteWhereDV]] — positions into the
+    * manifest, ZERO data files written), v3 = a second DV delete of the
+    * 'O' orders in [300,599], overlapping v2's files so the vectors
+    * MERGE. The file set is identical across all three versions —
+    * SnapshotSpec pins that structural half; q155 proves the semantic
+    * half against the oracle. */
+  private[graft] def dvOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#dv", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_dv_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          Snapshot.deleteWhereDV(s, dir, 200L, 399L, col("status") === "F")
+          Snapshot.deleteWhereDV(s, dir, 300L, 599L, col("status") === "O")
+          dir
+        })
+    }
+
   /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
     * history replayed into its own dir (v1 load → v2 delete → v3
     * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
@@ -1050,6 +1072,26 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("status"))
     }),
 
+    "q155_delete_dv" -> ((s, d) => {
+      // MERGE-ON-READ DELETE as committed versions: v2/v3 masked the
+      // [200,399] 'F' and [300,599] 'O' orders via DELETION VECTORS —
+      // positions in the manifest, zero data files written or rewritten
+      // ([[Snapshot.deleteWhereDV]]; SnapshotSpec pins the identical
+      // file sets and the vector merge). Semantically indistinguishable
+      // from the COW delete: the v3 state reflects both deletes exactly
+      // while v1 time-travels to the undeleted table — per status for
+      // each phase, q134's shape. Oracle = the same arithmetic over raw
+      // orders; the two predicates conjoin because DV deletes compose
+      // (the second collects positions over the first's masked state).
+      val dir = dvOrders(s, d)
+      def agg(v: Int, phase: String): DataFrame =
+        Snapshot.read(s, dir, v)
+          .groupBy(lit(phase).as("phase"), col("status"))
+          .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+      agg(1, "pre").unionAll(agg(3, "post"))
+        .orderBy(col("phase"), col("status"))
+    }),
+
     "q135_update_cow" -> ((s, d) => {
       // COW UPDATE as a committed version: v3 bumped 'O' prices +10% in
       // key range [600,899] and stamped their verdict lineage 'U' — SET
@@ -1530,6 +1572,24 @@ object Warehouse extends QueryModule {
         |SELECT 'post', status, count(*), CAST(sum(price) AS DOUBLE)
         |FROM st
         |WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F')
+        |GROUP BY status
+        |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q155_delete_dv" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price,
+        |         o_orderkey AS k
+        |  FROM orders)
+        |SELECT 'pre' AS phase, status, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM st GROUP BY status
+        |UNION ALL
+        |SELECT 'post', status, count(*), CAST(sum(price) AS DOUBLE)
+        |FROM st
+        |WHERE NOT (k BETWEEN 200 AND 399 AND status = 'F')
+        |  AND NOT (k BETWEEN 300 AND 599 AND status = 'O')
         |GROUP BY status
         |ORDER BY phase, status
         |""".stripMargin,

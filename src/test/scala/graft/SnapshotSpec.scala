@@ -1564,6 +1564,129 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() == 15)
   }
 
+  test("DV codec: delta-varint round-trips; rejects non-ascending") {
+    val cases = Seq(Array.empty[Long], Array(0L), Array(0L, 1L, 2L, 1000L),
+      Array(5L, 1L << 40, (1L << 40) + 1))
+    cases.foreach(c =>
+      assert(Snapshot.decodeDv(Snapshot.encodeDv(c)).toSeq == c.toSeq))
+    intercept[IllegalArgumentException](Snapshot.encodeDv(Array(3L, 3L)))
+    intercept[IllegalArgumentException](Snapshot.encodeDv(Array(5L, 4L)))
+    // the design point: a dense run costs ~1 byte/position (x4/3 base64)
+    val dense = Array.tabulate(100000)(_.toLong)
+    assert(Snapshot.encodeDv(dense).length < 150000)
+  }
+
+  test("deleteWhereDV: merge-on-read — zero data movement, every read agrees") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k") // 8 files x ~100 keys
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    assert(Snapshot.deleteWhereDV(spark, dir, 150L, 249L,
+      col("k") % 2 === 0) == 2)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    // THE merge-on-read promise: the delete wrote ZERO data bytes — the
+    // file set is byte-identical; only the manifest carries the change
+    assert(m2.files.map(_.path) == m1.files.map(_.path))
+    assert(m2.dvs.keySet.size == 2,
+      s"vectors on exactly the 2 range-touched files: ${m2.dvs.keySet}")
+    assert(m2.dvs.values.map(_.length).sum == 50)
+    val want = (1 to 800).filterNot(k => k >= 150 && k <= 249 && k % 2 == 0)
+      .map(_.toLong).toSet
+    assert(state(dir).map(_._1) == want)
+    // time travel: v1 still serves the undeleted state
+    assert(state(dir, 1).map(_._1) == (1 to 800).map(_.toLong).toSet)
+    // the single read funnel applies vectors on pruned and point reads too
+    assert(Snapshot.readPruned(spark, dir, 140L, 260L).collect()
+      .map(_.getLong(0)).toSet == want.filter(k => k >= 140 && k <= 260))
+    assert(Snapshot.readPoints(spark, dir, "k", Seq(150L, 151L)).collect()
+      .map(_.getLong(0)).toSet == Set(151L))
+    // a range outside every file: NO-OP — no version published
+    assert(Snapshot.deleteWhereDV(spark, dir, 5000L, 6000L) == 2)
+    assert(Snapshot.versions(spark, dir) == Seq(1, 2))
+    // SQL 3VL: a NULL residual KEEPS its row, same as deleteWhere
+    import spark.implicits._
+    val ndir = freshDir()
+    Snapshot.commit(Seq((1L, "F"), (2L, null: String), (3L, "O"))
+      .toDF("k", "st"), ndir, 0, "k", nFiles = 1)
+    Snapshot.deleteWhereDV(spark, ndir, 1L, 3L, col("st") === "F")
+    assert(Snapshot.read(spark, ndir).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L),
+      "the NULL-status row must survive a status='F' DV delete")
+  }
+
+  test("deleteWhereDV: vectors merge and carry; rewrites materialize; feed yields D") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    Snapshot.deleteWhereDV(spark, dir, 150L, 249L, col("k") % 2 === 0)
+    // the change feed sees a DV-only delete: exactly the masked rows, as D
+    val feed = Snapshot.changeFeed(spark, dir, 1, 2, "k").collect()
+    assert(feed.length == 50 &&
+      feed.forall(_.getAs[String]("change_type") == "D"))
+    assert(feed.map(_.getAs[Long]("k")).toSet ==
+      (150 to 249 by 2).map(_.toLong).toSet)
+    // second delete overlapping the same files: vectors MERGE; rows the
+    // first delete already masked cannot re-collect (no duplicates)
+    Snapshot.deleteWhereDV(spark, dir, 200L, 299L)
+    val m3 = Snapshot.manifest(spark, dir, 3)
+    assert(m3.dvs.values.map(_.length).sum == 125) // 25 evens + all 100
+    m3.dvs.values.foreach(v => assert(v.toSeq == v.toSeq.distinct.sorted))
+    val want3 = (1 to 800).filterNot(k =>
+      (k >= 150 && k <= 249 && k % 2 == 0) || (k >= 200 && k <= 299))
+      .map(_.toLong).toSet
+    assert(state(dir).map(_._1) == want3)
+    // an out-of-range COW merge carries every file — and its vectors
+    // (dropping one would RESURRECT its deleted rows)
+    import spark.implicits._
+    val inserts = (901 to 910).map(k => (k.toLong, s"val_$k", "K"))
+      .toDF("k", "v", "verdict")
+    val v4 = Snapshot.mergeCow(spark, dir, inserts, "k",
+      (base, ch) => base.unionByName(ch))
+    val m4 = Snapshot.manifest(spark, dir, v4)
+    assert(m4.dvs.keySet == m3.dvs.keySet &&
+      m4.dvs.values.map(_.length).sum == 125,
+      "carried files must keep their deletion vectors")
+    assert(state(dir).map(_._1) == want3 ++ (901 to 910).map(_.toLong))
+    // OPTIMIZE reads through the vectors and MATERIALIZES the deletes:
+    // state identical, vectors gone, read amplification paid off
+    val v5 = Snapshot.compactVersion(spark, dir, targetBytes = 1L << 30)
+    assert(Snapshot.manifest(spark, dir, v5).dvs.isEmpty)
+    assert(state(dir, v5) == state(dir, v4))
+    // and the feed ticks over the materialization for free (maintenance)
+    assert(Snapshot.changeFeed(spark, dir, v4, v5, "k").isEmpty)
+  }
+
+  test("deleteWhereDV: bulk deletes fall back to COW; z-order refused; clone carries") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    // 50 matches > maxPositions=10: the honest bound — rewrite instead
+    Snapshot.deleteWhereDV(spark, dir, 150L, 249L, col("k") % 2 === 0,
+      maxPositions = 10)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m2.dvs.isEmpty, "bulk path must COW-rewrite, not inline 50 positions")
+    assert((m1.files.map(_.path).toSet -- m2.files.map(_.path).toSet).size == 2,
+      "the fallback rewrites exactly the touched files")
+    assert(state(dir).map(_._1) ==
+      (1 to 800).filterNot(k => k >= 150 && k <= 249 && k % 2 == 0)
+        .map(_.toLong).toSet)
+    // z-ordered layouts refuse (stats are interleaved z, not the key)
+    import spark.implicits._
+    val zdir = freshDir()
+    Snapshot.commit((1 to 100).map(i => (i.toLong, i.toLong * 3))
+      .toDF("a", "b"), zdir, 0, "a", nFiles = 4)
+    Snapshot.optimizeZorder(spark, zdir, "a", "b", 4)
+    intercept[IllegalArgumentException](
+      Snapshot.deleteWhereDV(spark, zdir, 1L, 10L))
+    // a shallow clone of a DV'd table serves the DV'd state (vectors
+    // rekey with the absolute paths the clone references)
+    val src = freshDir()
+    Snapshot.commit(baseRows(), src, 0, "k")
+    Snapshot.deleteWhereDV(spark, src, 1L, 100L)
+    val dst = freshDir()
+    Snapshot.cloneShallow(spark, src, dst)
+    assert(Snapshot.read(spark, dst).collect().map(_.getLong(0)).toSet ==
+      (101 to 800).map(_.toLong).toSet)
+  }
+
   test("compactSmall refuses z-ordered layouts") {
     val dir = freshDir()
     import spark.implicits._
