@@ -881,7 +881,8 @@ object Snapshot {
     * orphans). Returns the committed version. */
   def commit(df: DataFrame, dir: String, expectedVersion: Int,
              statsCol: String, carried: Seq[FileEntry] = Nil,
-             nFiles: Int = 8, note: String = ""): Int = {
+             nFiles: Int = 8, note: String = "",
+             newDvs: Map[String, Array[Long]] = Map.empty): Int = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, dir)
     if (cur != expectedVersion)
@@ -923,9 +924,18 @@ object Snapshot {
     // the rewrite read through readEntries and materialized the deletes
     val carryDvs = prior.map(_.dvs.filter {
       case (p, _) => carryPaths.contains(p) }).getOrElse(Map.empty)
+    // newDvs: positions a merge-on-read verb ([[updateWhereDV]]) masks
+    // in CARRIED files as part of THIS commit — merged with any vector
+    // the file already carries, published atomically with the fresh data
+    newDvs.keys.foreach(p => require(carryPaths.contains(p),
+      s"newDvs targets non-carried file $p"))
+    val mergedDvs = carryDvs ++ newDvs.map { case (p, fresh0) =>
+      p -> (carryDvs.getOrElse(p, Array.empty[Long]) ++ fresh0)
+        .distinct.sorted
+    }
     val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note,
       blooms = carryBlooms, checks = checks, addedCols = addedCols,
-      colStats = carryStats, strStats = carryStrStats, dvs = carryDvs)
+      colStats = carryStats, strStats = carryStrStats, dvs = mergedDvs)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -1235,12 +1245,35 @@ object Snapshot {
         "delete on a key-clustered version and re-optimize")
     val touch = m.files.filter(f => f.min <= hi && f.max >= lo)
     if (touch.isEmpty) return cur
-    // positions of rows the predicate PROVES true (3VL: NULL keeps).
-    // The metadata columns materialize as ordinary columns DIRECTLY on
-    // the scan (hidden-column propagation does not survive arbitrary
-    // plans), the declared schema conforms on top, any EXISTING vectors
-    // anti-join out (an already-deleted row can't re-collect), and
-    // limit() bounds the driver before collect.
+    // positions of rows the predicate PROVES true (3VL: NULL keeps),
+    // with limit() bounding the driver before collect
+    val hits = dvScan(spark, dir, m, touch)
+      .filter(coalesce(col(m.statsCol).between(lo, hi) && residual,
+        lit(false)))
+      .select(col("_dv_f"), col("_dv_i"))
+      .limit(maxPositions + 1)
+      .collect()
+    if (hits.isEmpty) return cur
+    if (hits.length > maxPositions)
+      return deleteWhere(spark, dir, lo, hi, residual, note = note)
+    val merged = positionsByPath(m, hits).map { case (p, fresh) =>
+      p -> (m.dvs.getOrElse(p, Array.empty[Long]) ++ fresh).distinct.sorted
+    }
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = note, blooms = m.blooms, checks = m.checks,
+      addedCols = m.addedCols, colStats = m.colStats,
+      strStats = m.strStats, dvs = m.dvs ++ merged))
+    cur + 1
+  }
+
+  /** The scan a merge-on-read verb collects positions from: the touched
+    * files with (part-file name, row_index) materialized as ordinary
+    * `_dv_f`/`_dv_i` columns DIRECTLY on the scan (hidden-column
+    * propagation does not survive arbitrary plans), the declared schema
+    * conformed on top, and any EXISTING vectors anti-joined out — an
+    * already-masked row can never re-collect. */
+  private def dvScan(spark: SparkSession, dir: String, m: Manifest,
+                     touch: Seq[FileEntry]): DataFrame = {
     val raw = withAddedCols(
       spark.read.option("mergeSchema", "true")
         .parquet(touch.map(f => dataPath(dir, f.path)): _*)
@@ -1248,39 +1281,83 @@ object Snapshot {
           element_at(split(col("_metadata.file_path"), "/"), -1))
         .withColumn("_dv_i", col("_metadata.row_index")), m)
     val existing = touch.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
-    val live =
-      if (existing.isEmpty) raw
-      else {
-        import spark.implicits._
-        val del = existing.flatMap(f => m.dvs(f.path).map(i =>
-            (f.path.substring(f.path.lastIndexOf('/') + 1), i)))
-          .toDF("_dv_f", "_dv_i")
-        raw.join(broadcast(del), Seq("_dv_f", "_dv_i"), "left_anti")
-      }
-    val hits = live
+    if (existing.isEmpty) raw
+    else {
+      import spark.implicits._
+      val del = existing.flatMap(f => m.dvs(f.path).map(i =>
+          (f.path.substring(f.path.lastIndexOf('/') + 1), i)))
+        .toDF("_dv_f", "_dv_i")
+      raw.join(broadcast(del), Seq("_dv_f", "_dv_i"), "left_anti")
+    }
+  }
+
+  /** Collected (`_dv_f` name, `_dv_i` position) rows regrouped under
+    * their manifest file paths, positions sorted ascending. */
+  private def positionsByPath(m: Manifest,
+                              hits: Array[org.apache.spark.sql.Row])
+      : Map[String, Array[Long]] = {
+    val nameToPath = m.files.map(f =>
+      f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
+    hits.groupBy(_.getString(0)).map { case (n, rs) =>
+      nameToPath.getOrElse(n,
+        throw new IllegalStateException(s"unmapped DV file $n")) ->
+        rs.map(_.getLong(1)).sorted
+    }
+  }
+
+  /** MERGE-ON-READ UPDATE — [[deleteWhereDV]]'s discipline applied to
+    * the UPDATE verb (Delta's DV-backed UPDATE): mask the matched rows'
+    * positions in the files that hold them and append ONLY the
+    * post-image rows as fresh files, all in one atomic commit. A
+    * scattered update (a late-arriving correction touching a few rows
+    * in many files) costs the matched rows' write plus one manifest
+    * publish — never the touched files' full size, which is what
+    * [[updateWhere]]'s COW re-pays. Semantics are identical to
+    * updateWhere: SET expressions see the OLD row (single projection —
+    * a SET column referencing another, or statsCol itself, reads
+    * pre-update values), 3VL NULL predicates keep rows untouched, and
+    * updating statsCol is allowed because the fresh files' stats are
+    * recomputed by the commit. CHECK constraints validate the
+    * post-image rows inside the commit's stats pass, exactly as any
+    * fresh data. The change feed classifies the masked+appended pair as
+    * U by key arithmetic (the masked file diffs on its vector, the
+    * fresh file on its existence). Bounds mirror the delete: above
+    * `maxPositions` matches the verb falls back to the COW rewrite;
+    * the appended post-image files join the accretion tail
+    * [[compactSmall]] bin-packs, and any rewrite materializes the
+    * masked rows away. */
+  def updateWhereDV(spark: SparkSession, dir: String, lo: Long, hi: Long,
+                    set: Map[String, Column], residual: Column = lit(true),
+                    maxPositions: Int = 1000000, nFiles: Int = 1,
+                    note: String = ""): Int = {
+    require(set.nonEmpty, "updateWhereDV needs at least one SET column")
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"updateWhereDV against a z-ordered snapshot (note='${m.note}'): " +
+        "update on a key-clustered version and re-optimize")
+    val touch = m.files.filter(f => f.min <= hi && f.max >= lo)
+    if (touch.isEmpty) return cur
+    val matched = dvScan(spark, dir, m, touch)
       .filter(coalesce(col(m.statsCol).between(lo, hi) && residual,
         lit(false)))
-      .select(col("_dv_f").as("f"), col("_dv_i").as("i"))
+    val hits = matched.select(col("_dv_f"), col("_dv_i"))
       .limit(maxPositions + 1)
       .collect()
     if (hits.isEmpty) return cur
     if (hits.length > maxPositions)
-      return deleteWhere(spark, dir, lo, hi, residual, note = note)
-    val byName = hits.groupBy(_.getString(0))
-      .map { case (n, rs) => n -> rs.map(_.getLong(1)).sorted }
-    val nameToPath = m.files.map(f =>
-      f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
-    val merged = byName.map { case (n, fresh) =>
-      val p = nameToPath.getOrElse(n,
-        throw new IllegalStateException(s"unmapped DV file $n"))
-      val old = m.dvs.getOrElse(p, Array.empty[Long])
-      p -> (old ++ fresh).distinct.sorted
-    }
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = note, blooms = m.blooms, checks = m.checks,
-      addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats, dvs = m.dvs ++ merged))
-    cur + 1
+      return updateWhere(spark, dir, lo, hi, set, residual, note = note)
+    val dataCols = matched.schema.fieldNames
+      .filterNot(c => c == "_dv_f" || c == "_dv_i")
+    require(set.keySet.subsetOf(dataCols.toSet),
+      s"SET names ${set.keySet -- dataCols} not in the schema")
+    // every matched row updates, so SET applies unconditionally — but
+    // still as ONE projection over the old row, updateWhere's contract
+    val updated = matched.select(dataCols.map { c =>
+      set.get(c).map(_.as(c)).getOrElse(col(c))
+    }: _*)
+    commit(updated, dir, cur, m.statsCol, carried = m.files, nFiles, note,
+      newDvs = positionsByPath(m, hits))
   }
 
   /** COW UPDATE — SET columns where `statsCol BETWEEN lo AND hi` AND

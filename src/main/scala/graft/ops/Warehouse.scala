@@ -329,6 +329,12 @@ object Warehouse extends QueryModule {
           Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
           Snapshot.deleteWhereDV(s, dir, 200L, 399L, col("status") === "F")
           Snapshot.deleteWhereDV(s, dir, 300L, 599L, col("status") === "O")
+          // v4 = merge-on-read UPDATE (q156): q135's price bump + 'U'
+          // stamp, but masked-and-appended instead of file-rewritten
+          Snapshot.updateWhereDV(s, dir, 600L, 899L,
+            Map("price" -> bump(col("price")).cast(DecimalType(21, 3)),
+                "verdict" -> lit("U")),
+            col("status") === "O")
           dir
         })
     }
@@ -1092,6 +1098,21 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("status"))
     }),
 
+    "q156_update_dv" -> ((s, d) => {
+      // MERGE-ON-READ UPDATE as a committed version: v4 bumped the
+      // [600,899] 'O' prices +10% and stamped verdict 'U' by masking
+      // the 247-odd matched rows' positions and appending ONLY their
+      // post-images ([[Snapshot.updateWhereDV]] — cost ∝ updated rows,
+      // never touched-file bytes; SnapshotSpec pins the masked+appended
+      // file arithmetic and the U-classified feed). Same breakdown
+      // shape as q135; the oracle replays both DV deletes then the
+      // update over raw orders.
+      Snapshot.read(s, dvOrders(s, d), 4)
+        .groupBy(col("status"), col("verdict"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("status"), col("verdict"))
+    }),
+
     "q135_update_cow" -> ((s, d) => {
       // COW UPDATE as a committed version: v3 bumped 'O' prices +10% in
       // key range [600,899] and stamped their verdict lineage 'U' — SET
@@ -1592,6 +1613,27 @@ object Warehouse extends QueryModule {
         |  AND NOT (k BETWEEN 300 AND 599 AND status = 'O')
         |GROUP BY status
         |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q156_update_dv" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status, o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders
+        |  WHERE NOT (o_orderkey BETWEEN 200 AND 399 AND o_orderstatus = 'F')
+        |    AND NOT (o_orderkey BETWEEN 300 AND 599 AND o_orderstatus = 'O')),
+        |up AS (
+        |  SELECT status,
+        |         CASE WHEN k BETWEEN 600 AND 899 AND status = 'O'
+        |              THEN 'U' ELSE 'K' END AS verdict,
+        |         CASE WHEN k BETWEEN 600 AND 899 AND status = 'O'
+        |              THEN CAST(price * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(21,3))
+        |              ELSE price END AS price
+        |  FROM st)
+        |SELECT status, verdict, count(*) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM up GROUP BY status, verdict
+        |ORDER BY status, verdict
         |""".stripMargin,
 
     "q138_clone_cow" ->

@@ -1654,6 +1654,61 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.changeFeed(spark, dir, v4, v5, "k").isEmpty)
   }
 
+  test("updateWhereDV: masked old rows + appended post-images, one commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    // update [150,249] even keys: SET references the OLD row's v
+    assert(Snapshot.updateWhereDV(spark, dir, 150L, 249L,
+      Map("v" -> concat(col("v"), lit("_upd")), "verdict" -> lit("U")),
+      col("k") % 2 === 0) == 2)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    // the MoR shape: every old file carried BY PATH + exactly the fresh
+    // post-image files appended; vectors on the 2 touched files mask
+    // exactly the 50 updated positions
+    assert(m1.files.map(_.path).toSet.subsetOf(m2.files.map(_.path).toSet))
+    assert(m2.files.size == m1.files.size + 1,
+      s"one appended post-image file, got ${m2.files.size}")
+    assert(m2.dvs.keySet.size == 2 &&
+      m2.dvs.values.map(_.length).sum == 50)
+    // semantics: identical to the COW verb — old row visible pre-150,
+    // updated rows carry _upd + verdict U, each key exactly once
+    val rows = Snapshot.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.length == 800, "no duplicates: masked old + appended new")
+    val byK = rows.map(t => t._1 -> t).toMap
+    assert(byK(150L) == ((150L, "val_150_upd", "U")))
+    assert(byK(151L) == ((151L, "val_151", "K")))
+    assert(byK(800L) == ((800L, "val_800", "K")))
+    // time travel: v1 pre-update intact
+    assert(state(dir, 1).count(_._3 == "U") == 0)
+    // the feed classifies the masked+appended pair as U with both images
+    val feed = Snapshot.changeFeed(spark, dir, 1, 2, "k", preImages = true)
+      .collect()
+    assert(feed.length == 100) // 50 U- + 50 U+
+    assert(feed.count(_.getAs[String]("change_type") == "U+") == 50)
+    assert(feed.filter(_.getAs[String]("change_type") == "U-")
+      .forall(_.getAs[String]("verdict") == "K"))
+    // 3VL: NULL residual keeps its row untouched
+    val ndir = freshDir()
+    Snapshot.commit(Seq((1L, "F"), (2L, null: String), (3L, "O"))
+      .toDF("k", "st"), ndir, 0, "k", nFiles = 1)
+    Snapshot.updateWhereDV(spark, ndir, 1L, 3L, Map("st" -> lit("X")),
+      col("st") === "F")
+    assert(Snapshot.read(spark, ndir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "X"), (2L, null), (3L, "O")))
+    // above maxPositions: honest COW fallback — rewrite, no vectors
+    val fdir = freshDir()
+    Snapshot.commit(baseRows(), fdir, 0, "k")
+    Snapshot.updateWhereDV(spark, fdir, 150L, 249L,
+      Map("verdict" -> lit("U")), maxPositions = 10)
+    assert(Snapshot.manifest(spark, fdir, 2).dvs.isEmpty)
+    assert(Snapshot.read(spark, fdir).filter(col("verdict") === "U")
+      .count() == 100)
+  }
+
   test("deleteWhereDV: bulk deletes fall back to COW; z-order refused; clone carries") {
     val dir = freshDir()
     Snapshot.commit(baseRows(), dir, 0, "k")
