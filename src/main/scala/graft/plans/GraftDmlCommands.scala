@@ -29,8 +29,15 @@ final case class GraftDeleteCommand(dir: String, cond: Expression)
     val statsCol = Snapshot.manifest(session, dir,
       Snapshot.currentVersion(session, dir)).statsCol
     val (lo, hi) = GraftDml.boundsOn(statsCol, Some(cond))
-    val v = Snapshot.deleteWhere(session, dir, lo, hi,
-      residual = ExprColumn.reresolving(cond))
+    val residual = ExprColumn.reresolving(cond)
+    // spark.graft.deletionVectors=true routes through the merge-on-read
+    // verb (Delta's enableDeletionVectors): scattered deletes cost a
+    // manifest publish; the verb itself falls back to COW above its
+    // position bound, so the switch never changes an answer
+    val v =
+      if (GraftDml.dvEnabled(session))
+        Snapshot.deleteWhereDV(session, dir, lo, hi, residual)
+      else Snapshot.deleteWhere(session, dir, lo, hi, residual)
     Seq(Row(v.toLong))
   }
 }
@@ -44,14 +51,24 @@ final case class GraftUpdateCommand(dir: String, set: Seq[(String, Expression)],
     val statsCol = Snapshot.manifest(session, dir,
       Snapshot.currentVersion(session, dir)).statsCol
     val (lo, hi) = GraftDml.boundsOn(statsCol, cond)
-    val v = Snapshot.updateWhere(session, dir, lo, hi,
-      set.map { case (n, e) => n -> ExprColumn.reresolving(e) }.toMap,
-      residual = cond.map(ExprColumn.reresolving).getOrElse(lit(true)))
+    val setCols = set.map { case (n, e) => n -> ExprColumn.reresolving(e) }.toMap
+    val residual = cond.map(ExprColumn.reresolving).getOrElse(lit(true))
+    val v =
+      if (GraftDml.dvEnabled(session))
+        Snapshot.updateWhereDV(session, dir, lo, hi, setCols, residual)
+      else Snapshot.updateWhere(session, dir, lo, hi, setCols, residual)
     Seq(Row(v.toLong))
   }
 }
 
 private[plans] object GraftDml {
+  /** `SET spark.graft.deletionVectors=true` flips SQL DELETE/UPDATE to
+    * the merge-on-read verbs — read at RUN time, per statement, so a
+    * session can mix disciplines (bulk purge COW, scattered fix MoR). */
+  def dvEnabled(session: SparkSession): Boolean =
+    session.conf.getOption("spark.graft.deletionVectors")
+      .exists(_.equalsIgnoreCase("true"))
+
   def versionOutput: Seq[Attribute] =
     StructType(Seq(StructField("version", LongType, nullable = false)))
       .toAttributes_

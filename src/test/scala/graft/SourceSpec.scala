@@ -249,6 +249,44 @@ class SourceSpec extends SparkSpec {
       == 100)
   }
 
+  test("spark.graft.deletionVectors routes SQL DML through merge-on-read") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_srcspec_dv_" + java.util.UUID.randomUUID().toString.take(8)
+    (1L to 100L).map(k => (k, k * 2, if (k % 2 == 0) "e" else "o"))
+      .toDF("k", "v", "par").write.format("graft")
+      .option("statsCol", "k").option("nFiles", "4").save(dir)
+    Snapshot.registerSqlTable(spark, "srcspec_dv", dir)
+    spark.conf.set("spark.graft.deletionVectors", "true")
+    try {
+      // DELETE: zero data movement — identical file set, vector only
+      spark.sql("DELETE FROM srcspec_dv WHERE k >= 10 AND k <= 20 AND par = 'e'")
+      val m1 = Snapshot.manifest(spark, dir, 1)
+      val m2 = Snapshot.manifest(spark, dir, 2)
+      assert(m2.files.map(_.path) == m1.files.map(_.path),
+        "a DV-routed SQL DELETE must not write or drop any data file")
+      assert(m2.dvs.values.map(_.length).sum == 6)
+      assert(spark.sql("SELECT count(*) FROM srcspec_dv").head.getLong(0)
+        == 94)
+      // UPDATE: masked + appended, answer identical to the COW verb
+      spark.sql("UPDATE srcspec_dv SET v = v + 1000 WHERE k >= 30 AND k < 33")
+      val m3 = Snapshot.manifest(spark, dir, 3)
+      assert(m3.files.size == m2.files.size + 1 &&
+        m3.dvs.values.map(_.length).sum == 6 + 3)
+      assert(spark.sql(
+        "SELECT sum(v) FROM srcspec_dv WHERE k BETWEEN 30 AND 32")
+        .head.getLong(0) == (60L + 62 + 64) + 3000)
+      // the switch is per statement: off → the same verb goes COW
+      spark.conf.set("spark.graft.deletionVectors", "false")
+      spark.sql("DELETE FROM srcspec_dv WHERE k >= 40 AND k <= 45")
+      val m4 = Snapshot.manifest(spark, dir, 4)
+      assert(m4.files.map(_.path).toSet != m3.files.map(_.path).toSet,
+        "with the conf off the delete must rewrite files again")
+      assert(spark.sql("SELECT count(*) FROM srcspec_dv").head.getLong(0)
+        == 94 - 6)
+    } finally spark.conf.unset("spark.graft.deletionVectors")
+  }
+
   test("SQL MERGE INTO runs all three clause classes as one COW commit") {
     import spark.implicits._
     val dir = spark.conf.get("spark.sql.warehouse.dir") +
