@@ -573,29 +573,32 @@ object Snapshot {
     val base = withAddedCols(
       spark.read.option("mergeSchema", "true")
         .parquet(entries.map(f => dataPath(dir, f.path)): _*), m)
-    // DELETION VECTORS: anti-join the marked positions out, keyed on
-    // (part-file NAME, row_index) — part names carry a per-write UUID,
-    // so the name alone is table-unique and sidesteps URI-spelling
-    // mismatches between _metadata.file_path and manifest entries. The
-    // DV side is broadcast (positions ∝ deletions, bounded by
-    // deleteWhereDV's COW fallback), so the anti-join adds no shuffle
-    // and stays inside codegen. Files without a DV pay nothing when no
-    // selected entry has one.
-    val dvd = entries.filter(f =>
-      m.dvs.get(f.path).exists(_.nonEmpty))
+    // DELETION VECTORS: filter the marked positions out with the native
+    // [[graft.expressions.DvMembership]] probe — one codegen'd call per
+    // row (per-thread file memo + bounds check + binary search), vs a
+    // broadcast anti-join's UnsafeRow assembly + composite hash probe
+    // (~8× cheaper per row, measured in DvProbe). Keyed on (part-file
+    // NAME, row_index): names carry a per-write UUID, so the name alone
+    // is table-unique and sidesteps URI-spelling mismatches between
+    // _metadata.file_path and manifest entries. Files without a vector
+    // pay one memoized null lookup per file; a scan selecting no DV'd
+    // entry skips the filter entirely.
+    val dvd = entries.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
     if (dvd.isEmpty) base
-    else {
-      import spark.implicits._
-      val del = dvd.flatMap(f => m.dvs(f.path).map(i =>
-          (f.path.substring(f.path.lastIndexOf('/') + 1), i)))
-        .toDF("_dv_f", "_dv_i")
-      base
-        .withColumn("_dv_f",
-          element_at(split(col("_metadata.file_path"), "/"), -1))
-        .withColumn("_dv_i", col("_metadata.row_index"))
-        .join(broadcast(del), Seq("_dv_f", "_dv_i"), "left_anti")
-        .drop("_dv_f", "_dv_i")
-    }
+    else base.filter(!dvMaskCol(m, dvd))
+  }
+
+  /** The NOT-masked filter Column for `entries`' deletion vectors. */
+  private def dvMaskCol(m: Manifest, dvd: Seq[FileEntry])
+      : org.apache.spark.sql.Column = {
+    val byName = dvd.map(f =>
+      f.path.substring(f.path.lastIndexOf('/') + 1) -> m.dvs(f.path)).toMap
+    org.apache.spark.sql.graftshim.ExprColumn.of(
+      graft.expressions.DvMembership(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq("_metadata", "file_name")),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          Seq("_metadata", "row_index")), byName))
   }
 
   /** Read a snapshot (default: latest). The scan's file list comes from
@@ -1274,21 +1277,14 @@ object Snapshot {
     * already-masked row can never re-collect. */
   private def dvScan(spark: SparkSession, dir: String, m: Manifest,
                      touch: Seq[FileEntry]): DataFrame = {
-    val raw = withAddedCols(
-      spark.read.option("mergeSchema", "true")
-        .parquet(touch.map(f => dataPath(dir, f.path)): _*)
-        .withColumn("_dv_f",
-          element_at(split(col("_metadata.file_path"), "/"), -1))
-        .withColumn("_dv_i", col("_metadata.row_index")), m)
+    val scan = spark.read.option("mergeSchema", "true")
+      .parquet(touch.map(f => dataPath(dir, f.path)): _*)
     val existing = touch.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
-    if (existing.isEmpty) raw
-    else {
-      import spark.implicits._
-      val del = existing.flatMap(f => m.dvs(f.path).map(i =>
-          (f.path.substring(f.path.lastIndexOf('/') + 1), i)))
-        .toDF("_dv_f", "_dv_i")
-      raw.join(broadcast(del), Seq("_dv_f", "_dv_i"), "left_anti")
-    }
+    val live = if (existing.isEmpty) scan
+      else scan.filter(!dvMaskCol(m, existing))
+    withAddedCols(
+      live.withColumn("_dv_f", col("_metadata.file_name"))
+        .withColumn("_dv_i", col("_metadata.row_index")), m)
   }
 
   /** Collected (`_dv_f` name, `_dv_i` position) rows regrouped under

@@ -124,6 +124,30 @@ class ConcurrencySpec extends SparkSpec {
     assert(sorted(Snapshot.read(spark, dir)) == sorted(expected))
   }
 
+  test("racing DV deletes serialize under retryOnConflict; masks union") {
+    val dir = fresh()
+    // two merge-on-read deletes race: each masks its own keys; the
+    // loser's CAS fails on the manifest, re-executes against the
+    // winner's head (whose vectors its dvScan now anti-applies), and
+    // both masks land — no resurrection, no double-mask
+    val threads = Seq((1L, 3L), (8L, 10L)).map { case (lo, hi) =>
+      new Thread(() => {
+        Snapshot.retryOnConflict() {
+          Snapshot.deleteWhereDV(spark, dir, lo, hi)
+        }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshot.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      (4L to 7L).toSet)
+    val m = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    assert(m.dvs.values.map(_.length).sum == 6,
+      "both racers' masks must union: 3 + 3 positions")
+    m.dvs.values.foreach(v => assert(v.toSeq == v.toSeq.distinct.sorted))
+  }
+
   test("an empty staged append is a no-op") {
     import spark.implicits._
     val dir = fresh()

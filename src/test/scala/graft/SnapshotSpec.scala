@@ -1594,6 +1594,13 @@ class SnapshotSpec extends SparkSpec {
     assert(state(dir).map(_._1) == want)
     // time travel: v1 still serves the undeleted state
     assert(state(dir, 1).map(_._1) == (1 to 800).map(_.toLong).toSet)
+    // plan shape: the vectors apply as the native codegen'd membership
+    // FILTER, never a join — the scan stays one whole-stage pipeline
+    val plan = Snapshot.read(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_dv_member"), plan.take(400))
+    assert(!plan.toLowerCase.contains("join"),
+      "DV application must not introduce a join into the scan")
     // the single read funnel applies vectors on pruned and point reads too
     assert(Snapshot.readPruned(spark, dir, 140L, 260L).collect()
       .map(_.getLong(0)).toSet == want.filter(k => k >= 140 && k <= 260))
