@@ -203,7 +203,22 @@ object Snapshot {
     * where loss is corruption, not degradation); rewritten files drop
     * theirs because the rewrite materializes the deletes. Serialized
     * as delta-varint (`d` lines) so a million positions cost ~1 byte
-    * each, and bounded by [[deleteWhereDV]]'s COW fallback. */
+    * each, and bounded by [[deleteWhereDV]]'s COW fallback.
+    *
+    * `renames` and `droppedCols` are COLUMN MAPPING (Delta's name-mode
+    * mapping): files always keep their PHYSICAL column names — written
+    * once, never rewritten — and the manifest maps physical → logical
+    * at read time ([[renameColumn]]) or hides a physical column
+    * entirely ([[dropColumn]]), so ALTER TABLE RENAME/DROP COLUMN are
+    * one-manifest-publish metadata commits at any table size. Readers
+    * resolve to logical names inside [[readEntries]]; writers present
+    * logical names and [[commit]] translates back to physical, so
+    * every file ever written shares one physical vocabulary and
+    * mergeSchema never sees a renamed column as two. `renames` holds
+    * (physical, logical) pairs for renamed columns only; `droppedCols`
+    * holds physical names. Sidecar stats/Bloom keys stay PHYSICAL —
+    * probes translate. Time travel reads the mapping of its day;
+    * RESTORE rolls the mapping back with the data. */
   final case class Manifest(version: Int, statsCol: String,
                             files: Seq[FileEntry], note: String = "",
                             ts: Long = 0L,
@@ -215,7 +230,9 @@ object Snapshot {
                               Map.empty,
                             strStats: Map[(String, String), (String, String)] =
                               Map.empty,
-                            dvs: Map[String, Array[Long]] = Map.empty)
+                            dvs: Map[String, Array[Long]] = Map.empty,
+                            renames: Seq[(String, String)] = Nil,
+                            droppedCols: Seq[String] = Nil)
 
   /** Thrown when a commit's fresh data violates a registered CHECK
     * constraint (the batch's files are cleaned up; the table keeps its
@@ -356,7 +373,10 @@ object Snapshot {
   /** Parse a committed manifest. Format is line-oriented and
     * dependency-free: a `v` header line, an optional `t` commit-time
     * line (epoch-ms; absent in pre-timestamp manifests — round 13), then
-    * one `f` line per file, tab-separated. */
+    * one `f` line per file plus typed sidecar lines — `s` declared
+    * columns, `c` CHECK constraints, `m`/`S` per-column file stats
+    * (integral / base64 string), `d` deletion vectors (delta-varint
+    * positions), `b` Bloom sketches — all tab-separated. */
   def manifest(spark: SparkSession, dir: String, version: Int): Manifest = {
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, version)
@@ -376,6 +396,8 @@ object Snapshot {
     val colStats = Map.newBuilder[(String, String), (Long, Long)]
     val strStats = Map.newBuilder[(String, String), (String, String)]
     val dvs = Map.newBuilder[String, Array[Long]]
+    val renames = Seq.newBuilder[(String, String)]
+    val dropped = Seq.newBuilder[String]
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
@@ -416,6 +438,14 @@ object Snapshot {
           require(c.length == 3, s"malformed manifest dv line in $p")
           dvs += (c(1) -> decodeDv(c(2)))
           None
+        case "r" =>
+          require(c.length == 3, s"malformed manifest rename line in $p")
+          renames += ((b64dec(c(1)), b64dec(c(2))))
+          None
+        case "x" =>
+          require(c.length == 2, s"malformed manifest drop line in $p")
+          dropped += b64dec(c(1))
+          None
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
@@ -423,7 +453,7 @@ object Snapshot {
     Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
       checks.result(), added.result(), colStats.result(),
-      strStats.result(), dvs.result())
+      strStats.result(), dvs.result(), renames.result(), dropped.result())
   }
 
   private def b64enc(s: String): String =
@@ -584,9 +614,54 @@ object Snapshot {
     // pay one memoized null lookup per file; a scan selecting no DV'd
     // entry skips the filter entirely.
     val dvd = entries.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
-    if (dvd.isEmpty) base
-    else base.filter(!dvMaskCol(m, dvd))
+    val live = if (dvd.isEmpty) base else base.filter(!dvMaskCol(m, dvd))
+    // COLUMN MAPPING: hide dropped physical columns, then resolve the
+    // surviving physical names to their logical names — pure projection,
+    // applied identically to every file in the scan, so mergeSchema
+    // never sees a renamed column as two
+    applyColumnMapping(live, m)
   }
+
+  /** Physical → logical resolution: drops, then renames. The one place
+    * the mapping turns into plan nodes — every manifest-resolved read
+    * funnels through [[readEntries]] (or [[dvScan]]), so logical names
+    * are what every consumer sees. */
+  private def applyColumnMapping(df: DataFrame, m: Manifest): DataFrame = {
+    val afterDrop = m.droppedCols.foldLeft(df)((acc, p) => acc.drop(p))
+    m.renames.foldLeft(afterDrop)((acc, pl) =>
+      acc.withColumnRenamed(pl._1, pl._2))
+  }
+
+  /** Logical name of a physical column under `m`'s mapping. */
+  private[graft] def logicalName(m: Manifest, phys: String): String =
+    m.renames.collectFirst { case (p, l) if p == phys => l }.getOrElse(phys)
+
+  /** Physical name behind a logical column under `m`'s mapping. */
+  private[graft] def physicalName(m: Manifest, logical: String): String =
+    m.renames.collectFirst { case (p, l) if l == logical => p }
+      .getOrElse(logical)
+
+  /** A CHECK predicate's identifiers translated logical → physical, for
+    * enforcement against the physical frame [[commit]] writes. Stored
+    * constraint SQL stays LOGICAL ([[renameColumn]] rewrites it on
+    * rename); only the enforcement copy translates. */
+  private def physicalCheckSql(spark: SparkSession, m: Manifest,
+                               sql: String): String =
+    if (m.renames.isEmpty) sql
+    else spark.sessionState.sqlParser.parseExpression(sql).transform {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(physicalName(m, a.name))
+    }.sql
+
+  /** Simple column identifiers referenced by a predicate's SQL — the
+    * precise reference check [[dropColumn]] refuses on. */
+  private def attrsOf(spark: SparkSession, sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => a.name
+    }
 
   /** The NOT-masked filter Column for `entries`' deletion vectors. */
   private def dvMaskCol(m: Manifest, dvd: Seq[FileEntry])
@@ -626,7 +701,7 @@ object Snapshot {
     require(hit.nonEmpty, s"no snapshot file overlaps [$lo,$hi] — " +
       "empty-result reads need a schema source; read() and filter instead")
     readEntries(spark, dir, m, hit)
-      .filter(col(m.statsCol).between(lo, hi))
+      .filter(col(logicalName(m, m.statsCol)).between(lo, hi))
   }
 
   /** Multi-column stats-pruned read: only files whose per-column
@@ -667,12 +742,14 @@ object Snapshot {
                                           Nil)
       : Seq[FileEntry] =
     m.files.filter { f =>
-      ranges.forall { case (c, lo, hi) =>
+      ranges.forall { case (c0, lo, hi) =>
+        val c = physicalName(m, c0) // sidecar keys are physical
         val primary = c != m.statsCol || (f.min <= hi && f.max >= lo)
         val secondary = m.colStats.get((f.path, c))
           .forall { case (mn, mx) => mn <= hi && mx >= lo }
         primary && secondary
-      } && strRanges.forall { case (c, lo, hi) =>
+      } && strRanges.forall { case (c0, lo, hi) =>
+        val c = physicalName(m, c0)
         m.strStats.get((f.path, c)).forall { case (mn, mx) =>
           lo.forall(l => utf8Cmp(mx, l) >= 0) &&
             hi.forall(h => utf8Cmp(mn, h) <= 0)
@@ -828,10 +905,14 @@ object Snapshot {
       .filter { case (p, v) => listed.contains(p) && v.nonEmpty }
       .sortBy(_._1)
       .map { case (p, v) => s"d\t$p\t${encodeDv(v)}" }
+    // column mapping: base64 both sides — identifiers may hold any byte
+    val renameLines = m.renames.map { case (p, l) =>
+      s"r\t${b64enc(p)}\t${b64enc(l)}" }
+    val dropLines = m.droppedCols.map(p => s"x\t${b64enc(p)}")
     val body = (Seq(hdr, tsLine) ++
         m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
-        schemaLines ++ checkLines ++ statLines ++ strLines ++ dvLines ++
-        bloomLines)
+        schemaLines ++ renameLines ++ dropLines ++ checkLines ++
+        statLines ++ strLines ++ dvLines ++ bloomLines)
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -905,11 +986,23 @@ object Snapshot {
     // the DML verbs conform by construction)
     val addedCols = prior.map(_.addedCols).getOrElse(Nil)
     addedCols.foreach { case (n, t) =>
-      require(df.columns.exists(_.equalsIgnoreCase(n)),
-        s"commit is missing declared column '$n' ($t): writers must " +
+      val ln = prior.map(logicalName(_, n)).getOrElse(n)
+      require(df.columns.exists(_.equalsIgnoreCase(ln)),
+        s"commit is missing declared column '$ln' ($t): writers must " +
           "carry every evolved column (NULL-filled is fine)")
     }
-    val fresh = writeDataFiles(df, dir, sub, statsCol, nFiles, checks)
+    // COLUMN MAPPING: writers present LOGICAL names; the files keep one
+    // physical vocabulary forever — translate the frame (and the CHECK
+    // identifiers, and the clustering column) back to physical before
+    // writing, so mergeSchema never sees a renamed column as two
+    val physDf = prior.map(p => p.renames.foldLeft(df)((acc, pl) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(pl._2)))
+        acc.withColumnRenamed(pl._2, pl._1) else acc)).getOrElse(df)
+    val physChecks = prior.map(p => checks.map { case (n, sql) =>
+      n -> physicalCheckSql(spark, p, sql) }).getOrElse(checks)
+    val physStats = prior.map(physicalName(_, statsCol)).getOrElse(statsCol)
+    val fresh = writeDataFiles(physDf, dir, sub, physStats, nFiles,
+      physChecks)
     // Bloom and col-stats sidecars carry AUTOMATICALLY for carried files
     // (a sidecar describes an immutable file, so carrying by path is
     // always sound; making callers thread them through lost sketches
@@ -936,9 +1029,11 @@ object Snapshot {
       p -> (carryDvs.getOrElse(p, Array.empty[Long]) ++ fresh0)
         .distinct.sorted
     }
-    val m = Manifest(v, statsCol, (carried ++ fresh).sortBy(_.path), note,
+    val m = Manifest(v, physStats, (carried ++ fresh).sortBy(_.path), note,
       blooms = carryBlooms, checks = checks, addedCols = addedCols,
-      colStats = carryStats, strStats = carryStrStats, dvs = mergedDvs)
+      colStats = carryStats, strStats = carryStrStats, dvs = mergedDvs,
+      renames = prior.map(_.renames).getOrElse(Nil),
+      droppedCols = prior.map(_.droppedCols).getOrElse(Nil))
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -1050,7 +1145,8 @@ object Snapshot {
         publish(spark, dir, Manifest(cur + 1, m.statsCol,
           (m.files ++ staged.files).sortBy(_.path), note,
           blooms = m.blooms, checks = m.checks, addedCols = m.addedCols,
-          colStats = m.colStats, strStats = m.strStats, dvs = m.dvs))
+          colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
+      renames = m.renames, droppedCols = m.droppedCols))
         return cur + 1
       } catch {
         case _: SnapshotConflict if attempt < maxRetries =>
@@ -1212,7 +1308,7 @@ object Snapshot {
     // !(range && NULL) is NULL and the filter would silently delete it;
     // updateWhere's when() already has this right)
     val kept = readEntries(spark, dir, m, touch)
-      .filter(!coalesce(col(m.statsCol).between(lo, hi) && residual,
+      .filter(!coalesce(col(logicalName(m, m.statsCol)).between(lo, hi) && residual,
         lit(false)))
     commit(kept, dir, cur, m.statsCol, carry, nFiles, note)
   }
@@ -1251,7 +1347,7 @@ object Snapshot {
     // positions of rows the predicate PROVES true (3VL: NULL keeps),
     // with limit() bounding the driver before collect
     val hits = dvScan(spark, dir, m, touch)
-      .filter(coalesce(col(m.statsCol).between(lo, hi) && residual,
+      .filter(coalesce(col(logicalName(m, m.statsCol)).between(lo, hi) && residual,
         lit(false)))
       .select(col("_dv_f"), col("_dv_i"))
       .limit(maxPositions + 1)
@@ -1265,7 +1361,8 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = note, blooms = m.blooms, checks = m.checks,
       addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats, dvs = m.dvs ++ merged))
+      strStats = m.strStats, dvs = m.dvs ++ merged,
+      renames = m.renames, droppedCols = m.droppedCols))
     cur + 1
   }
 
@@ -1282,9 +1379,9 @@ object Snapshot {
     val existing = touch.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
     val live = if (existing.isEmpty) scan
       else scan.filter(!dvMaskCol(m, existing))
-    withAddedCols(
+    applyColumnMapping(withAddedCols(
       live.withColumn("_dv_f", col("_metadata.file_name"))
-        .withColumn("_dv_i", col("_metadata.row_index")), m)
+        .withColumn("_dv_i", col("_metadata.row_index")), m), m)
   }
 
   /** Collected (`_dv_f` name, `_dv_i` position) rows regrouped under
@@ -1335,7 +1432,7 @@ object Snapshot {
     val touch = m.files.filter(f => f.min <= hi && f.max >= lo)
     if (touch.isEmpty) return cur
     val matched = dvScan(spark, dir, m, touch)
-      .filter(coalesce(col(m.statsCol).between(lo, hi) && residual,
+      .filter(coalesce(col(logicalName(m, m.statsCol)).between(lo, hi) && residual,
         lit(false)))
     val hits = matched.select(col("_dv_f"), col("_dv_i"))
       .limit(maxPositions + 1)
@@ -1377,7 +1474,7 @@ object Snapshot {
         "key-clustered version and re-optimize")
     val (touch, carry) = m.files.partition(f => f.min <= hi && f.max >= lo)
     if (touch.isEmpty) return cur
-    val hitRows = col(m.statsCol).between(lo, hi) && residual
+    val hitRows = col(logicalName(m, m.statsCol)).between(lo, hi) && residual
     val base = readEntries(spark, dir, m, touch)
     require(set.keySet.subsetOf(base.schema.fieldNames.toSet),
       s"SET names ${set.keySet -- base.schema.fieldNames} not in the schema")
@@ -1494,7 +1591,8 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"constraint:add:$name", blooms = m.blooms,
       checks = m.checks :+ (name -> sql), addedCols = m.addedCols,
-      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs))
+      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
+      renames = m.renames, droppedCols = m.droppedCols))
     cur + 1
   }
 
@@ -1507,7 +1605,8 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"constraint:drop:$name", blooms = m.blooms,
       checks = m.checks.filterNot(_._1 == name), addedCols = m.addedCols,
-      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs))
+      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
+      renames = m.renames, droppedCols = m.droppedCols))
     cur + 1
   }
 
@@ -1538,10 +1637,111 @@ object Snapshot {
     val existing = read(spark, dir, cur).schema.fieldNames
     require(!existing.exists(_.equalsIgnoreCase(name)),
       s"column '$name' already exists in the snapshot schema")
+    // column mapping retires PHYSICAL names forever: a new column whose
+    // physical name shadows a dropped column's, or the physical side of
+    // a rename, would make old files' bytes answer for the new column
+    require(!m.droppedCols.exists(_.equalsIgnoreCase(name)) &&
+        !m.renames.exists(_._1.equalsIgnoreCase(name)),
+      s"physical name '$name' is retired by column mapping — pick a " +
+        "fresh name")
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"schema:add:$name", blooms = m.blooms, checks = m.checks,
       addedCols = m.addedCols :+ (name -> typeDdl),
-      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs))
+      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
+      renames = m.renames, droppedCols = m.droppedCols))
+    cur + 1
+  }
+
+  /** ALTER TABLE RENAME COLUMN — a METADATA-ONLY commit via column
+    * mapping (Delta's name-mode mapping): files keep their physical
+    * column names forever; the manifest maps physical → logical at read
+    * time, so renaming a column on a 100 TB table costs one manifest
+    * publish and zero data movement. Readers resolve inside
+    * [[readEntries]]; writers keep presenting logical names and
+    * [[commit]] translates back; sidecar stats/Bloom keys stay physical
+    * with probes translating ([[mayContain]]/[[candidateFilesCols]]);
+    * stored CHECK constraints are REWRITTEN to the new logical name (so
+    * registration-time SQL stays readable and enforcement stays
+    * correct); time travel reads the names of its day and RESTORE rolls
+    * the mapping back. Renaming back to the original physical name
+    * simply drops the mapping entry. Refused on z-ordered layouts (the
+    * note slot records axis names) and when the target name collides
+    * with any live logical name or retired physical name. */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+                   to: String): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"no table at $dir")
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"renameColumn on a z-ordered snapshot (note='${m.note}'): the " +
+        "layout note records axis names — rename pre-z and re-optimize")
+    val logicalCols = read(spark, dir, cur).schema.fieldNames
+    require(logicalCols.exists(_.equalsIgnoreCase(from)),
+      s"no column '$from' in the snapshot schema")
+    require(!logicalCols.exists(_.equalsIgnoreCase(to)),
+      s"column '$to' already exists in the snapshot schema")
+    val physFrom = physicalName(m, from)
+    // the new logical name must not shadow a RETIRED physical name
+    // (another column's physical identity, or a dropped column) —
+    // except physFrom itself, which is the rename-back case
+    val physTaken = logicalCols.map(physicalName(m, _)) ++ m.droppedCols
+    require(to.equalsIgnoreCase(physFrom) ||
+        !physTaken.exists(_.equalsIgnoreCase(to)),
+      s"name '$to' shadows a physical column name retired by mapping")
+    val newRenames = m.renames.filterNot(_._1 == physFrom) ++
+      (if (physFrom == to) Nil else Seq(physFrom -> to))
+    // stored constraints stay in LOGICAL terms: rewrite their
+    // identifiers so registration-time SQL keeps meaning what it said
+    val newChecks = m.checks.map { case (n, sql) =>
+      n -> spark.sessionState.sqlParser.parseExpression(sql).transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length == 1 && a.name.equalsIgnoreCase(from) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(to)
+      }.sql
+    }
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = s"schema:rename:$from:$to", blooms = m.blooms,
+      checks = newChecks, addedCols = m.addedCols, colStats = m.colStats,
+      strStats = m.strStats, dvs = m.dvs, renames = newRenames,
+      droppedCols = m.droppedCols))
+    cur + 1
+  }
+
+  /** ALTER TABLE DROP COLUMN — the mapping's other half: hide the
+    * column's PHYSICAL name from every read ([[readEntries]] drops it
+    * before renames apply) without touching a byte of data; writers
+    * stop owing it (a DECLARED column's entry leaves `addedCols`).
+    * Refused for the clustering column (file stats and pruning hang off
+    * it), for columns a CHECK constraint references (parsed-identifier
+    * match, not substring), and on z-ordered layouts. The physical name
+    * is retired FOREVER ([[addColumn]] refuses to reuse it) — the price
+    * of never rewriting files. Time travel pre-drop still reads the
+    * column; RESTORE resurrects it with the mapping of its day. */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"no table at $dir")
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"dropColumn on a z-ordered snapshot (note='${m.note}'): " +
+        "drop pre-z and re-optimize")
+    val logicalCols = read(spark, dir, cur).schema.fieldNames
+    require(logicalCols.exists(_.equalsIgnoreCase(name)),
+      s"no column '$name' in the snapshot schema")
+    require(!name.equalsIgnoreCase(logicalName(m, m.statsCol)),
+      s"cannot drop the clustering column '$name'")
+    val referenced = m.checks.filter { case (_, sql) =>
+      attrsOf(spark, sql).exists(_.equalsIgnoreCase(name)) }
+    require(referenced.isEmpty,
+      s"column '$name' is referenced by CHECK constraint(s) " +
+        s"${referenced.map(_._1).mkString(", ")} — drop them first")
+    val phys = physicalName(m, name)
+    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
+      note = s"schema:drop:$name", blooms = m.blooms, checks = m.checks,
+      addedCols = m.addedCols.filterNot(_._1.equalsIgnoreCase(phys)),
+      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
+      renames = m.renames.filterNot(_._1 == phys),
+      droppedCols = m.droppedCols :+ phys))
     cur + 1
   }
 
@@ -1576,7 +1776,8 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = s"restore:$toVersion", blooms = m.blooms, checks = m.checks,
       addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats, dvs = m.dvs))
+      strStats = m.strStats, dvs = m.dvs,
+      renames = m.renames, droppedCols = m.droppedCols))
     cur + 1
   }
 
@@ -1629,7 +1830,8 @@ object Snapshot {
     publish(spark, dstDir,
       Manifest(1, m.statsCol, files, note, blooms = blooms,
         checks = m.checks, addedCols = m.addedCols, colStats = colStats,
-        strStats = strStats, dvs = dvs))
+        strStats = strStats, dvs = dvs,
+        renames = m.renames, droppedCols = m.droppedCols))
     1
   }
 
@@ -1752,11 +1954,14 @@ object Snapshot {
       else math.max(1, math.min(8,
         math.round(useBits.toDouble / avg * 0.693).toInt))
     val words = useBits / 64
+    // the raw scan speaks the files' PHYSICAL vocabulary; sidecar keys
+    // stamp physical too (probes translate at the candidacy gate)
+    val physCol = physicalName(m, bloomCol)
     val keyExpr =
-      if (isStr) xxhash64(col(bloomCol)) else col(bloomCol).cast("long")
+      if (isStr) xxhash64(col(physCol)) else col(physCol).cast("long")
     val perFile = spark.read.option("mergeSchema", "true")
       .parquet(locations: _*)
-      .filter(col(bloomCol).isNotNull) // a NULL never equals a point key
+      .filter(col(physCol).isNotNull) // a NULL never equals a point key
       .select(input_file_name().as("f"), keyExpr.as("key"))
       .as[(String, Long)]
       .groupByKey(_._1)
@@ -1767,12 +1972,12 @@ object Snapshot {
       }
       .collect()
     val rel = perFile.map { case (uri, bits) =>
-      (entryOfUri(paths, uri), bloomCol) -> BloomSketch(useBits, useK, bits)
+      (entryOfUri(paths, uri), physCol) -> BloomSketch(useBits, useK, bits)
     }.toMap
     // files with no rows produce no group: give them an empty (all-zero)
     // sketch so absent keys still prune them
-    val empties = paths.filterNot(p => rel.contains((p, bloomCol)))
-      .map(p => (p, bloomCol) -> BloomSketch(useBits, useK, new Array[Long](words)))
+    val empties = paths.filterNot(p => rel.contains((p, physCol)))
+      .map(p => (p, physCol) -> BloomSketch(useBits, useK, new Array[Long](words)))
     // LAYOUT notes survive (compactVersion's discipline): a z-ordered
     // table keeps its axis constants so box serving stays live; either
     // spelling reads as maintenance to changeFeed
@@ -1781,7 +1986,8 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = note, blooms = m.blooms ++ rel ++ empties, checks = m.checks,
       addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats, dvs = m.dvs))
+      strStats = m.strStats, dvs = m.dvs,
+      renames = m.renames, droppedCols = m.droppedCols))
     cur + 1
   }
 
@@ -1841,7 +2047,9 @@ object Snapshot {
           // all-NULL / absent column in this file: no stamp (always a
           // candidate)
           if (isStr(i) != str || r.isNullAt(1 + 2 * i)) None
-          else Some((p, c) -> ((r.get(1 + 2 * i), r.get(2 + 2 * i))))
+          // sidecar keys stamp PHYSICAL (probes translate)
+          else Some((p, physicalName(m, c)) ->
+            ((r.get(1 + 2 * i), r.get(2 + 2 * i))))
         }
       }.toMap
     val stamped = stampsFor(str = false)
@@ -1856,7 +2064,8 @@ object Snapshot {
     publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
       note = note, blooms = m.blooms, checks = m.checks,
       addedCols = m.addedCols, colStats = m.colStats ++ stamped,
-      strStats = m.strStats ++ stampedStr, dvs = m.dvs))
+      strStats = m.strStats ++ stampedStr, dvs = m.dvs,
+      renames = m.renames, droppedCols = m.droppedCols))
     cur + 1
   }
 
@@ -1886,11 +2095,14 @@ object Snapshot {
     * a scan. */
   private[graft] def mayContain(m: Manifest, f: FileEntry, pointCol: String,
                                 key: Long): Boolean = {
-    val rangeOk = pointCol != m.statsCol || (f.min <= key && key <= f.max)
-    val bloomOk = m.blooms.get((f.path, pointCol)).forall(_.mightContain(key))
+    // callers speak LOGICAL names; stats/Bloom sidecars are keyed by the
+    // file's own PHYSICAL vocabulary — translate once at the gate
+    val pc = physicalName(m, pointCol)
+    val rangeOk = pc != m.statsCol || (f.min <= key && key <= f.max)
+    val bloomOk = m.blooms.get((f.path, pc)).forall(_.mightContain(key))
     // a point key is a degenerate range: optimizeStats sidecars prune
     // it too when stamped for this column
-    val statOk = m.colStats.get((f.path, pointCol))
+    val statOk = m.colStats.get((f.path, pc))
       .forall { case (mn, mx) => mn <= key && key <= mx }
     rangeOk && bloomOk && statOk
   }
@@ -2207,7 +2419,18 @@ object Snapshot {
         if (have.contains(f.name)) acc
         else acc.withColumn(f.name, lit(null).cast(f.dataType)))
     }
-    val pre = align(side(m1).getOrElse(empty))
+    // a feed spanning a RENAME must not read the renamed column as two:
+    // translate the pre side's v1-logical names to v2's through their
+    // shared PHYSICAL identity before aligning by name
+    def remapPre(df: DataFrame): DataFrame = {
+      val physDomain = (m1.renames.map(_._1) ++ m2.renames.map(_._1)).distinct
+      physDomain.foldLeft(df) { (acc, p) =>
+        val (l1, l2) = (logicalName(m1, p), logicalName(m2, p))
+        if (l1 == l2 || !acc.columns.contains(l1)) acc
+        else acc.withColumnRenamed(l1, l2)
+      }
+    }
+    val pre = align(remapPre(side(m1).getOrElse(empty)))
     val post = align(side(m2).getOrElse(empty))
     val p = pre.select(cols.map(c => col(c).as(s"_pre_$c")): _*)
     val n = post.select(cols.map(c => col(c).as(s"_post_$c")): _*)

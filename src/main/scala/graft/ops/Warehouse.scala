@@ -339,6 +339,37 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The COLUMN-MAPPING table (q157), built once per (session, dir):
+    * v1 = orders load, v2 = RENAME COLUMN price→amount (metadata-only —
+    * files keep the physical name forever), v3 = DROP COLUMN verdict
+    * (physical name hidden and retired), v4 = a fresh batch appended
+    * THROUGH the mapped schema: the writer presents logical names
+    * (`amount`, no `verdict`) and the commit translates back, so the
+    * new file shares the old files' physical vocabulary (spec-pinned in
+    * SnapshotSpec). */
+  private[graft] def mapOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#map", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_map_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          Snapshot.renameColumn(s, dir, "price", "amount")
+          Snapshot.dropColumn(s, dir, "verdict")
+          val batch = T.orders(s, d).filter(col("o_orderkey") % 20 === 7)
+            .select(
+              (col("o_orderkey") + 2000000000L).as("order_key"),
+              col("o_custkey").as("cust_key"),
+              lit("N").as("status"),
+              F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+                .as("amount"))
+          Snapshot.mergeCow(s, dir, batch, "order_key",
+            (b, c) => b.unionByName(c))
+          dir
+        })
+    }
+
   /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
     * history replayed into its own dir (v1 load → v2 delete → v3
     * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
@@ -1098,6 +1129,22 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("status"))
     }),
 
+    "q157_rename_drop" -> ((s, d) => {
+      // COLUMN MAPPING as committed versions: the table renamed
+      // price→amount and dropped verdict by two manifest publishes —
+      // zero data movement — then took an ordinary append THROUGH the
+      // mapped schema ([[mapOrders]]). The rollup runs entirely in
+      // LOGICAL names over files that physically store the ORIGINAL
+      // names (old files) next to one that never had the dropped column
+      // in its logical view — the read funnel resolves all of it; v1
+      // still time-travels with its original schema (spec-pinned).
+      // Oracle recomputes base + appended batch from raw orders.
+      Snapshot.read(s, mapOrders(s, d))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("amount"))).as("total"))
+        .orderBy(col("status"))
+    }),
+
     "q156_update_dv" -> ((s, d) => {
       // MERGE-ON-READ UPDATE as a committed version: v4 bumped the
       // [600,899] 'O' prices +10% and stamped verdict 'U' by masking
@@ -1613,6 +1660,20 @@ object Warehouse extends QueryModule {
         |  AND NOT (k BETWEEN 300 AND 599 AND status = 'O')
         |GROUP BY status
         |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q157_rename_drop" ->
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS amount
+        |  FROM orders),
+        |app AS (
+        |  SELECT 'N' AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS amount
+        |  FROM orders WHERE o_orderkey % 20 = 7),
+        |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT status, count(*) AS n, CAST(sum(amount) AS DOUBLE) AS total
+        |FROM all_rows GROUP BY status ORDER BY status
         |""".stripMargin,
 
     "q156_update_dv" ->

@@ -26,8 +26,11 @@ final case class GraftDeleteCommand(dir: String, cond: Expression)
   override val output: Seq[Attribute] =
     GraftDml.versionOutput
   override def run(session: SparkSession): Seq[Row] = {
-    val statsCol = Snapshot.manifest(session, dir,
-      Snapshot.currentVersion(session, dir)).statsCol
+    val m0 = Snapshot.manifest(session, dir,
+      Snapshot.currentVersion(session, dir))
+    // the WHERE clause speaks LOGICAL names; the verbs' [lo,hi] window
+    // is on the clustering column under either name
+    val statsCol = Snapshot.logicalName(m0, m0.statsCol)
     val (lo, hi) = GraftDml.boundsOn(statsCol, Some(cond))
     val residual = ExprColumn.reresolving(cond)
     // spark.graft.deletionVectors=true routes through the merge-on-read
@@ -48,8 +51,11 @@ final case class GraftUpdateCommand(dir: String, set: Seq[(String, Expression)],
   override val output: Seq[Attribute] =
     GraftDml.versionOutput
   override def run(session: SparkSession): Seq[Row] = {
-    val statsCol = Snapshot.manifest(session, dir,
-      Snapshot.currentVersion(session, dir)).statsCol
+    val m0 = Snapshot.manifest(session, dir,
+      Snapshot.currentVersion(session, dir))
+    // the WHERE clause speaks LOGICAL names; the verbs' [lo,hi] window
+    // is on the clustering column under either name
+    val statsCol = Snapshot.logicalName(m0, m0.statsCol)
     val (lo, hi) = GraftDml.boundsOn(statsCol, cond)
     val setCols = set.map { case (n, e) => n -> ExprColumn.reresolving(e) }.toMap
     val residual = cond.map(ExprColumn.reresolving).getOrElse(lit(true))

@@ -123,7 +123,9 @@ final case class GraftDescribeDetailCommand(name: String)
     val cur = Snapshot.currentVersion(session, dir)
     val m = Snapshot.manifest(session, dir, cur)
     val bytes = m.files.map(f => Snapshot.entryLen(session, dir, f.path)).sum
-    Seq(Row(cur.toLong, m.statsCol, m.files.size.toLong, bytes,
+    // report the clustering column by its CURRENT logical name
+    Seq(Row(cur.toLong, Snapshot.logicalName(m, m.statsCol),
+      m.files.size.toLong, bytes,
       m.checks.size.toLong, m.addedCols.size.toLong, m.note))
   }
 }
@@ -144,6 +146,25 @@ final case class GraftAddColumnCommand(name: String, column: String,
   override def run(session: SparkSession): Seq[Row] = {
     val dir = GraftMaintenance.dirFor(session, name)
     Seq(Row(Snapshot.addColumn(session, dir, column, typeDdl).toLong))
+  }
+}
+
+final case class GraftRenameColumnCommand(name: String, from: String,
+                                          to: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.versionOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftMaintenance.dirFor(session, name)
+    Seq(Row(Snapshot.renameColumn(session, dir, from, to).toLong))
+  }
+}
+
+final case class GraftDropColumnCommand(name: String, column: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftMaintenance.versionOutput
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftMaintenance.dirFor(session, name)
+    Seq(Row(Snapshot.dropColumn(session, dir, column).toLong))
   }
 }
 

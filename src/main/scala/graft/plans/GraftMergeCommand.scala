@@ -93,7 +93,8 @@ final case class GraftMergeCommand(dir: String,
     }
     def isStatsAttr(e: Expression): Boolean = e match {
       case a: AttributeReference =>
-        tSet.contains(a) && a.name.equalsIgnoreCase(m.statsCol)
+        tSet.contains(a) &&
+          a.name.equalsIgnoreCase(Snapshot.logicalName(m, m.statsCol))
       case _ => false
     }
     def sourceOnly(e: Expression): Boolean =

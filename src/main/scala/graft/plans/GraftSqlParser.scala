@@ -26,6 +26,8 @@ import graft.ops.Snapshot
   *   DESCRIBE DETAIL name
   *   RESTORE TABLE name TO VERSION AS OF v
   *   ALTER TABLE name ADD COLUMN c type
+  *   ALTER TABLE name RENAME COLUMN a TO b
+  *   ALTER TABLE name DROP COLUMN c
   *   ALTER TABLE name ADD CONSTRAINT cn CHECK (expr)
   *   ALTER TABLE name DROP CONSTRAINT cn
   *
@@ -85,6 +87,13 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (dropCheck.matches() && registered(dropCheck.group(1)))
       return GraftDropConstraintCommand(dropCheck.group(1),
         dropCheck.group(2))
+    val renameCol = RenameColumnRe.matcher(s)
+    if (renameCol.matches() && registered(renameCol.group(1)))
+      return GraftRenameColumnCommand(renameCol.group(1),
+        renameCol.group(2), renameCol.group(3))
+    val dropCol = DropColumnRe.matcher(s)
+    if (dropCol.matches() && registered(dropCol.group(1)))
+      return GraftDropColumnCommand(dropCol.group(1), dropCol.group(2))
     delegate.parsePlan(sqlText)
   }
 
@@ -131,4 +140,10 @@ private object GraftSqlParser {
   val DropConstraintRe: Pattern = Pattern.compile(
     s"ALTER\\s+TABLE\\s+($Id)\\s+DROP\\s+CONSTRAINT\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)", Flags)
+  val RenameColumnRe: Pattern = Pattern.compile(
+    s"ALTER\\s+TABLE\\s+($Id)\\s+RENAME\\s+COLUMN\\s+" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s+TO\\s+([A-Za-z_][A-Za-z0-9_]*)", Flags)
+  val DropColumnRe: Pattern = Pattern.compile(
+    s"ALTER\\s+TABLE\\s+($Id)\\s+DROP\\s+COLUMNS?\\s+" +
+      "\\(?\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)?", Flags)
 }

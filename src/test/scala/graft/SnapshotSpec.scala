@@ -1749,6 +1749,124 @@ class SnapshotSpec extends SparkSpec {
       (101 to 800).map(_.toLong).toSet)
   }
 
+  test("renameColumn: metadata-only mapping; files keep the physical name") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k") // columns k, v, verdict
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    assert(Snapshot.renameColumn(spark, dir, "v", "label") == 2)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    // zero data movement: identical file set, mapping in the manifest
+    assert(m2.files.map(_.path) == m1.files.map(_.path))
+    assert(m2.renames == Seq("v" -> "label"))
+    assert(Snapshot.read(spark, dir).columns.toSeq ==
+      Seq("k", "label", "verdict"))
+    assert(Snapshot.read(spark, dir)
+      .filter(col("label") === "val_5").count() == 1)
+    // time travel reads the names of its day
+    assert(Snapshot.read(spark, dir, 1).columns.toSeq ==
+      Seq("k", "v", "verdict"))
+    // writers speak LOGICAL; fresh files keep the PHYSICAL vocabulary
+    val ins = Seq((901L, "val_901", "K")).toDF("k", "label", "verdict")
+    val v3 = Snapshot.mergeCow(spark, dir, ins, "k",
+      (b, c) => b.unionByName(c))
+    assert(Snapshot.read(spark, dir).count() == 801)
+    val m3 = Snapshot.manifest(spark, dir, v3)
+    val freshFile =
+      (m3.files.map(_.path).toSet -- m2.files.map(_.path).toSet).head
+    val rawCols = spark.read.parquet(s"$dir/$freshFile").columns.toSeq
+    assert(rawCols.contains("v") && !rawCols.contains("label"),
+      s"fresh files must keep the physical vocabulary, got $rawCols")
+    // pruned/point reads keep planning (stats hang off the physical key)
+    assert(Snapshot.readPruned(spark, dir, 100L, 110L).count() == 11)
+    // rename back to the original physical name drops the mapping
+    Snapshot.renameColumn(spark, dir, "label", "v")
+    assert(Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir)).renames.isEmpty)
+    assert(Snapshot.read(spark, dir).columns.toSeq ==
+      Seq("k", "v", "verdict"))
+    // refusals: duplicate target, missing source
+    intercept[IllegalArgumentException](
+      Snapshot.renameColumn(spark, dir, "v", "verdict"))
+    intercept[IllegalArgumentException](
+      Snapshot.renameColumn(spark, dir, "nope", "x"))
+  }
+
+  test("dropColumn: hidden everywhere; physical name retired; restore resurrects") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    assert(Snapshot.dropColumn(spark, dir, "verdict") == 2)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m2.files.map(_.path) ==
+      Snapshot.manifest(spark, dir, 1).files.map(_.path))
+    assert(Snapshot.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    // time travel pre-drop still serves the column
+    assert(Snapshot.read(spark, dir, 1).columns.contains("verdict"))
+    // writers no longer owe it; a COW rewrite reads without it
+    Snapshot.deleteWhere(spark, dir, 1L, 50L)
+    assert(Snapshot.read(spark, dir).columns.toSeq == Seq("k", "v"))
+    assert(Snapshot.read(spark, dir).count() == 750)
+    // the physical name is retired forever
+    intercept[IllegalArgumentException](
+      Snapshot.addColumn(spark, dir, "verdict", "STRING"))
+    // restore to v1 resurrects the column with its data
+    Snapshot.restore(spark, dir, 1)
+    assert(Snapshot.read(spark, dir).columns.contains("verdict") &&
+      Snapshot.read(spark, dir).count() == 800)
+    // refusals: clustering column, constraint-referenced column
+    intercept[IllegalArgumentException](Snapshot.dropColumn(spark, dir, "k"))
+    Snapshot.addConstraint(spark, dir, "v_set", "v IS NOT NULL")
+    intercept[IllegalArgumentException](Snapshot.dropColumn(spark, dir, "v"))
+  }
+
+  test("column mapping composes: constraints, evolution, DVs, clone, SQL verbs") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit((1L to 100L).map(k => (k, k * 10))
+      .toDF("k", "amount"), dir, 0, "k", nFiles = 4)
+    Snapshot.addConstraint(spark, dir, "amount_pos", "amount >= 0")
+    // rename rewrites the STORED constraint SQL to the new logical name
+    Snapshot.renameColumn(spark, dir, "amount", "price")
+    val m = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    assert(m.checks.head._2.toLowerCase.contains("price"),
+      s"constraint SQL must follow the rename: ${m.checks.head}")
+    // enforcement still works — on the PHYSICAL frame behind the mapping
+    val cur = Snapshot.currentVersion(spark, dir)
+    val bad = Seq((200L, -5L)).toDF("k", "price")
+    intercept[Snapshot.CheckViolation](
+      Snapshot.commit(bad, dir, cur, "k",
+        Snapshot.manifest(spark, dir, cur).files, nFiles = 1))
+    // a DV delete on the mapped table: residual speaks the logical name
+    Snapshot.deleteWhereDV(spark, dir, 1L, 100L, col("price") > 900L)
+    assert(Snapshot.read(spark, dir).count() == 90)
+    // evolution + mapping: declared column, then renamed
+    Snapshot.addColumn(spark, dir, "src", "STRING")
+    Snapshot.renameColumn(spark, dir, "src", "source")
+    assert(Snapshot.read(spark, dir).columns.toSeq ==
+      Seq("k", "price", "source"))
+    // writers owe the LOGICAL name of the declared column
+    val cur2 = Snapshot.currentVersion(spark, dir)
+    intercept[IllegalArgumentException](
+      Snapshot.commit(Seq((300L, 5L)).toDF("k", "price"), dir, cur2, "k",
+        Snapshot.manifest(spark, dir, cur2).files, nFiles = 1))
+    // clone carries the mapping
+    val dst = freshDir()
+    Snapshot.cloneShallow(spark, dir, dst)
+    assert(Snapshot.read(spark, dst).columns.toSeq ==
+      Seq("k", "price", "source"))
+    // SQL verbs land the same mapping on registered names
+    Snapshot.registerSqlTable(spark, "snap_map_sql", dir)
+    spark.sql("ALTER TABLE snap_map_sql RENAME COLUMN price TO cost")
+    assert(Snapshot.read(spark, dir).columns.contains("cost"))
+    spark.sql("ALTER TABLE snap_map_sql DROP COLUMN source")
+    assert(Snapshot.read(spark, dir).columns.toSeq == Seq("k", "cost"))
+    // SQL DELETE with a logical-name WHERE prunes on the mapped key
+    spark.sql("DELETE FROM snap_map_sql WHERE k >= 10 AND k <= 20")
+    assert(Snapshot.read(spark, dir).count() == 90 - 11)
+  }
+
   test("compactSmall refuses z-ordered layouts") {
     val dir = freshDir()
     import spark.implicits._
