@@ -68,6 +68,33 @@ class SourceSpec extends SparkSpec {
     assert(sorted(viaSource) == sorted(direct))
   }
 
+  test("front door resolves column mapping; pushed filters prune through it") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_srcspec_map_" + java.util.UUID.randomUUID().toString.take(8)
+    (1L to 100L).map(k => (k, k * 2, if (k % 2 == 0) "e" else "o"))
+      .toDF("k", "v", "par").write.format("graft")
+      .option("statsCol", "k").option("nFiles", "4").save(dir)
+    Snapshot.renameColumn(spark, dir, "k", "id")
+    Snapshot.dropColumn(spark, dir, "par")
+    // the relation speaks logical names
+    val rel = spark.read.format("graft").load(dir)
+    assert(rel.columns.toSeq == Seq("id", "v"))
+    // a pushed range on the RENAMED clustering column still prunes: the
+    // candidacy gate translates id → k before consulting file stats
+    val m = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    val cand = SourcePruning.candidates(m,
+      Seq(GreaterThanOrEqual("id", 10L), LessThanOrEqual("id", 20L)))
+    assert(cand.size < m.files.size,
+      s"renamed-key range must prune: ${cand.size}/${m.files.size}")
+    assert(rel.filter(col("id").between(10L, 20L)).count() == 11)
+    // SQL through a registered name sees the mapped schema too
+    Snapshot.registerSqlTable(spark, "srcspec_map", dir)
+    assert(spark.sql("SELECT sum(v) FROM srcspec_map WHERE id <= 3")
+      .head.getLong(0) == 2L + 4 + 6)
+  }
+
   test("pushed point filter consults bloom sidecars; absent key plans zero files") {
     val dir = Warehouse.bloomOrders(spark, sf)
     val m = Snapshot.manifest(spark, dir, Snapshot.currentVersion(spark, dir))
