@@ -632,14 +632,20 @@ object Snapshot {
       acc.withColumnRenamed(pl._1, pl._2))
   }
 
-  /** Logical name of a physical column under `m`'s mapping. */
+  /** Logical name of a physical column under `m`'s mapping.
+    * Case-INSENSITIVE like Spark's own column resolution — every
+    * validation in the rename/drop verbs is, and a case-sensitive
+    * lookup here would let mixed-case calls pass validation yet no-op
+    * or fork the mapping. */
   private[graft] def logicalName(m: Manifest, phys: String): String =
-    m.renames.collectFirst { case (p, l) if p == phys => l }.getOrElse(phys)
+    m.renames.collectFirst {
+      case (p, l) if p.equalsIgnoreCase(phys) => l }.getOrElse(phys)
 
-  /** Physical name behind a logical column under `m`'s mapping. */
+  /** Physical name behind a logical column under `m`'s mapping
+    * (case-insensitive, see [[logicalName]]). */
   private[graft] def physicalName(m: Manifest, logical: String): String =
-    m.renames.collectFirst { case (p, l) if l == logical => p }
-      .getOrElse(logical)
+    m.renames.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(logical) => p }.getOrElse(logical)
 
   /** A CHECK predicate's identifiers translated logical → physical, for
     * enforcement against the physical frame [[commit]] writes. Stored
@@ -740,22 +746,27 @@ object Snapshot {
                                         strRanges: Seq[(String,
                                           Option[String], Option[String])] =
                                           Nil)
-      : Seq[FileEntry] =
+      : Seq[FileEntry] = {
+    // translate each distinct column ONCE, not per file — this loop is
+    // the million-file planning hot path
+    val physRanges = ranges.map { case (c, lo, hi) =>
+      (physicalName(m, c), lo, hi) }
+    val physStrRanges = strRanges.map { case (c, lo, hi) =>
+      (physicalName(m, c), lo, hi) }
     m.files.filter { f =>
-      ranges.forall { case (c0, lo, hi) =>
-        val c = physicalName(m, c0) // sidecar keys are physical
+      physRanges.forall { case (c, lo, hi) =>
         val primary = c != m.statsCol || (f.min <= hi && f.max >= lo)
         val secondary = m.colStats.get((f.path, c))
           .forall { case (mn, mx) => mn <= hi && mx >= lo }
         primary && secondary
-      } && strRanges.forall { case (c0, lo, hi) =>
-        val c = physicalName(m, c0)
+      } && physStrRanges.forall { case (c, lo, hi) =>
         m.strStats.get((f.path, c)).forall { case (mn, mx) =>
           lo.forall(l => utf8Cmp(mx, l) >= 0) &&
             hi.forall(h => utf8Cmp(mn, h) <= 0)
         }
       }
     }
+  }
 
   /** Write `df` as the data files of a prospective commit and return the
     * manifest entries (paths relative to `dir`, min/max of `statsCol`).
@@ -1089,13 +1100,24 @@ object Snapshot {
       s"append against a z-ordered snapshot (note='${m.note}'): blind " +
         "appends would break its layout contract — re-OPTIMIZE after")
     m.addedCols.foreach { case (n, t) =>
-      require(df.columns.exists(_.equalsIgnoreCase(n)),
-        s"append is missing declared column '$n' ($t)")
+      require(df.columns.exists(_.equalsIgnoreCase(logicalName(m, n))),
+        s"append is missing declared column '${logicalName(m, n)}' ($t)")
     }
+    // COLUMN MAPPING: the same logical → physical translation commit
+    // applies — staged files must share the one physical vocabulary, or
+    // a post-rename append would split the column in two at mergeSchema.
+    // (A rename landing BETWEEN stage and publish is harmless: physical
+    // names never change, so staged files stay valid under any mapping.)
+    val physDf = m.renames.foldLeft(df)((acc, pl) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(pl._2)))
+        acc.withColumnRenamed(pl._2, pl._1) else acc)
+    val physChecks = m.checks.map { case (n, sql) =>
+      n -> physicalCheckSql(spark, m, sql) }
     val sub = s"data/a${cur + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
-    val fresh = writeDataFiles(df, dir, sub, m.statsCol, nFiles, m.checks)
+    val fresh = writeDataFiles(physDf, dir, sub, m.statsCol, nFiles,
+      physChecks)
     StagedAppend(sub, fresh, cur, m.checks.map(_._1).toSet,
-      df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+      physDf.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
   }
 
   /** Publish a staged append on top of WHATEVER the current head is,
@@ -1133,8 +1155,10 @@ object Snapshot {
         val newChecks = m.checks.filterNot(c => validated.contains(c._1))
         if (newChecks.nonEmpty) {
           val batch = spark.read.parquet(s"$dir/${staged.sub}")
+          // staged files speak the physical vocabulary; constraints are
+          // stored logical — translate before evaluating
           val aggs = newChecks.zipWithIndex.map { case ((_, sql), i) =>
-            violations(sql).as(s"chk$i") }
+            violations(physicalCheckSql(spark, m, sql)).as(s"chk$i") }
           val row = batch.agg(aggs.head, aggs.tail: _*).head()
           val bad = newChecks.zipWithIndex
             .map { case ((n, sql), i) => (n, sql, row.getLong(i)) }
@@ -1142,11 +1166,9 @@ object Snapshot {
           if (bad.nonEmpty) rejectChecks(spark, dir, staged.sub, bad)
           validated ++= newChecks.map(_._1)
         }
-        publish(spark, dir, Manifest(cur + 1, m.statsCol,
-          (m.files ++ staged.files).sortBy(_.path), note,
-          blooms = m.blooms, checks = m.checks, addedCols = m.addedCols,
-          colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
-      renames = m.renames, droppedCols = m.droppedCols))
+        publish(spark, dir, m.copy(version = cur + 1,
+          files = (m.files ++ staged.files).sortBy(_.path), note = note,
+          ts = 0L))
         return cur + 1
       } catch {
         case _: SnapshotConflict if attempt < maxRetries =>
@@ -1358,11 +1380,8 @@ object Snapshot {
     val merged = positionsByPath(m, hits).map { case (p, fresh) =>
       p -> (m.dvs.getOrElse(p, Array.empty[Long]) ++ fresh).distinct.sorted
     }
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = note, blooms = m.blooms, checks = m.checks,
-      addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats, dvs = m.dvs ++ merged,
-      renames = m.renames, droppedCols = m.droppedCols))
+    publish(spark, dir, m.copy(version = cur + 1, note = note, ts = 0L,
+      dvs = m.dvs ++ merged))
     cur + 1
   }
 
@@ -1376,6 +1395,14 @@ object Snapshot {
                      touch: Seq[FileEntry]): DataFrame = {
     val scan = spark.read.option("mergeSchema", "true")
       .parquet(touch.map(f => dataPath(dir, f.path)): _*)
+    // the helper-column names are reserved in this scan: silently
+    // clobbering a user column of the same name would drop it from
+    // post-image rows — refuse loudly instead
+    scan.columns.find(n =>
+        n.equalsIgnoreCase("_dv_f") || n.equalsIgnoreCase("_dv_i"))
+      .foreach(n => throw new IllegalArgumentException(
+        s"column '$n' collides with the merge-on-read scan's reserved " +
+          "helper names (_dv_f/_dv_i) — use the COW verbs on this table"))
     val existing = touch.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
     val live = if (existing.isEmpty) scan
       else scan.filter(!dvMaskCol(m, existing))
@@ -1444,13 +1471,28 @@ object Snapshot {
       .filterNot(c => c == "_dv_f" || c == "_dv_i")
     require(set.keySet.subsetOf(dataCols.toSet),
       s"SET names ${set.keySet -- dataCols} not in the schema")
-    // every matched row updates, so SET applies unconditionally — but
+    val byPath = positionsByPath(m, hits)
+    // the post-image rows derive from the COLLECTED POSITIONS, not a
+    // second evaluation of the predicate: the mask and the append are
+    // the same row set BY CONSTRUCTION, so a residual that is not
+    // perfectly deterministic across jobs cannot lose rows (masked but
+    // never re-appended) or double them (appended but never masked)
+    val byName = byPath.map { case (p, v) =>
+      p.substring(p.lastIndexOf('/') + 1) -> v }
+    val chosen = dvScan(spark, dir, m, touch).filter(
+      org.apache.spark.sql.graftshim.ExprColumn.of(
+        graft.expressions.DvMembership(
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted("_dv_f"),
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted("_dv_i"), byName)))
+    // every chosen row updates, so SET applies unconditionally — but
     // still as ONE projection over the old row, updateWhere's contract
-    val updated = matched.select(dataCols.map { c =>
+    val updated = chosen.select(dataCols.map { c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))
     }: _*)
     commit(updated, dir, cur, m.statsCol, carried = m.files, nFiles, note,
-      newDvs = positionsByPath(m, hits))
+      newDvs = byPath)
   }
 
   /** COW UPDATE — SET columns where `statsCol BETWEEN lo AND hi` AND
@@ -1588,11 +1630,9 @@ object Snapshot {
       // counts populated like every commit-path rejection, so callers
       // can uniformly do e.counts(name)
       Map(name -> bad))
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = s"constraint:add:$name", blooms = m.blooms,
-      checks = m.checks :+ (name -> sql), addedCols = m.addedCols,
-      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
-      renames = m.renames, droppedCols = m.droppedCols))
+    publish(spark, dir, m.copy(version = cur + 1,
+      note = s"constraint:add:$name", ts = 0L,
+      checks = m.checks :+ (name -> sql)))
     cur + 1
   }
 
@@ -1602,11 +1642,9 @@ object Snapshot {
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
     require(m.checks.exists(_._1 == name), s"no constraint named '$name'")
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = s"constraint:drop:$name", blooms = m.blooms,
-      checks = m.checks.filterNot(_._1 == name), addedCols = m.addedCols,
-      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
-      renames = m.renames, droppedCols = m.droppedCols))
+    publish(spark, dir, m.copy(version = cur + 1,
+      note = s"constraint:drop:$name", ts = 0L,
+      checks = m.checks.filterNot(_._1 == name)))
     cur + 1
   }
 
@@ -1644,11 +1682,9 @@ object Snapshot {
         !m.renames.exists(_._1.equalsIgnoreCase(name)),
       s"physical name '$name' is retired by column mapping — pick a " +
         "fresh name")
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = s"schema:add:$name", blooms = m.blooms, checks = m.checks,
-      addedCols = m.addedCols :+ (name -> typeDdl),
-      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
-      renames = m.renames, droppedCols = m.droppedCols))
+    publish(spark, dir, m.copy(version = cur + 1,
+      note = s"schema:add:$name", ts = 0L,
+      addedCols = m.addedCols :+ (name -> typeDdl)))
     cur + 1
   }
 
@@ -1688,7 +1724,9 @@ object Snapshot {
     require(to.equalsIgnoreCase(physFrom) ||
         !physTaken.exists(_.equalsIgnoreCase(to)),
       s"name '$to' shadows a physical column name retired by mapping")
-    val newRenames = m.renames.filterNot(_._1 == physFrom) ++
+    // exact equality for the rename-back test: a CASE-ONLY rename
+    // (price → Price) keeps a mapping entry so the display case holds
+    val newRenames = m.renames.filterNot(_._1.equalsIgnoreCase(physFrom)) ++
       (if (physFrom == to) Nil else Seq(physFrom -> to))
     // stored constraints stay in LOGICAL terms: rewrite their
     // identifiers so registration-time SQL keeps meaning what it said
@@ -1700,11 +1738,9 @@ object Snapshot {
             .quoted(to)
       }.sql
     }
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = s"schema:rename:$from:$to", blooms = m.blooms,
-      checks = newChecks, addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats, dvs = m.dvs, renames = newRenames,
-      droppedCols = m.droppedCols))
+    publish(spark, dir, m.copy(version = cur + 1,
+      note = s"schema:rename:$from:$to", ts = 0L,
+      checks = newChecks, renames = newRenames))
     cur + 1
   }
 
@@ -1736,11 +1772,10 @@ object Snapshot {
       s"column '$name' is referenced by CHECK constraint(s) " +
         s"${referenced.map(_._1).mkString(", ")} — drop them first")
     val phys = physicalName(m, name)
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = s"schema:drop:$name", blooms = m.blooms, checks = m.checks,
+    publish(spark, dir, m.copy(version = cur + 1,
+      note = s"schema:drop:$name", ts = 0L,
       addedCols = m.addedCols.filterNot(_._1.equalsIgnoreCase(phys)),
-      colStats = m.colStats, strStats = m.strStats, dvs = m.dvs,
-      renames = m.renames.filterNot(_._1 == phys),
+      renames = m.renames.filterNot(_._1.equalsIgnoreCase(phys)),
       droppedCols = m.droppedCols :+ phys))
     cur + 1
   }
@@ -1773,11 +1808,8 @@ object Snapshot {
     // the restore is total: files, sidecars, the constraint set AND the
     // declared schema of the target version (a constraint or column
     // added after it is rolled back too)
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = s"restore:$toVersion", blooms = m.blooms, checks = m.checks,
-      addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats, dvs = m.dvs,
-      renames = m.renames, droppedCols = m.droppedCols))
+    publish(spark, dir, m.copy(version = cur + 1,
+      note = s"restore:$toVersion", ts = 0L))
     cur + 1
   }
 
@@ -1983,11 +2015,8 @@ object Snapshot {
     // spelling reads as maintenance to changeFeed
     val note =
       if (m.note.startsWith("zorder")) m.note else s"optimize:bloom:$bloomCol"
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = note, blooms = m.blooms ++ rel ++ empties, checks = m.checks,
-      addedCols = m.addedCols, colStats = m.colStats,
-      strStats = m.strStats, dvs = m.dvs,
-      renames = m.renames, droppedCols = m.droppedCols))
+    publish(spark, dir, m.copy(version = cur + 1, note = note, ts = 0L,
+      blooms = m.blooms ++ rel ++ empties))
     cur + 1
   }
 
@@ -2061,11 +2090,9 @@ object Snapshot {
     val note =
       if (m.note.startsWith("zorder")) m.note
       else s"optimize:stats:${cols.mkString(",")}"
-    publish(spark, dir, Manifest(cur + 1, m.statsCol, m.files,
-      note = note, blooms = m.blooms, checks = m.checks,
-      addedCols = m.addedCols, colStats = m.colStats ++ stamped,
-      strStats = m.strStats ++ stampedStr, dvs = m.dvs,
-      renames = m.renames, droppedCols = m.droppedCols))
+    publish(spark, dir, m.copy(version = cur + 1, note = note, ts = 0L,
+      colStats = m.colStats ++ stamped,
+      strStats = m.strStats ++ stampedStr))
     cur + 1
   }
 
@@ -2421,15 +2448,13 @@ object Snapshot {
     }
     // a feed spanning a RENAME must not read the renamed column as two:
     // translate the pre side's v1-logical names to v2's through their
-    // shared PHYSICAL identity before aligning by name
-    def remapPre(df: DataFrame): DataFrame = {
-      val physDomain = (m1.renames.map(_._1) ++ m2.renames.map(_._1)).distinct
-      physDomain.foldLeft(df) { (acc, p) =>
-        val (l1, l2) = (logicalName(m1, p), logicalName(m2, p))
-        if (l1 == l2 || !acc.columns.contains(l1)) acc
-        else acc.withColumnRenamed(l1, l2)
-      }
-    }
+    // shared PHYSICAL identity — as ONE projection, never a chain of
+    // withColumnRenamed (chained renames can collide mid-sequence when
+    // a v2 name equals another column's not-yet-remapped v1 name)
+    def remapPre(df: DataFrame): DataFrame =
+      df.select(df.columns.map { c =>
+        col(c).as(logicalName(m2, physicalName(m1, c)))
+      }.toIndexedSeq: _*)
     val pre = align(remapPre(side(m1).getOrElse(empty)))
     val post = align(side(m2).getOrElse(empty))
     val p = pre.select(cols.map(c => col(c).as(s"_pre_$c")): _*)

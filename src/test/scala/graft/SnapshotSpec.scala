@@ -1867,6 +1867,54 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() == 90 - 11)
   }
 
+  test("column mapping survives the append-rebase path and mixed-case calls") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    Snapshot.renameColumn(spark, dir, "v", "label")
+    // the stage/publish append path must translate like commit does: a
+    // post-rename append's file shares the ONE physical vocabulary
+    val batch = Seq((901L, "val_901", "K")).toDF("k", "label", "verdict")
+    val v3 = Snapshot.appendWithRetry(batch, dir, nFiles = 1)
+    val m3 = Snapshot.manifest(spark, dir, v3)
+    val freshFile = (m3.files.map(_.path).toSet --
+      Snapshot.manifest(spark, dir, 2).files.map(_.path).toSet).head
+    val rawCols = spark.read.parquet(s"$dir/$freshFile").columns.toSeq
+    assert(rawCols.contains("v") && !rawCols.contains("label"),
+      s"staged append must write the physical vocabulary, got $rawCols")
+    val read = Snapshot.read(spark, dir)
+    assert(read.columns.count(_ == "label") == 1 &&
+      !read.columns.contains("v"),
+      "a renamed column must never surface twice after an append")
+    assert(read.filter(col("label") === "val_901").count() == 1)
+    // mixed-case verbs resolve like Spark does (case-insensitive):
+    // dropping 'LABEL' hides the column, not a silent no-op commit
+    Snapshot.dropColumn(spark, dir, "LABEL")
+    assert(!Snapshot.read(spark, dir).columns
+      .exists(_.equalsIgnoreCase("label")))
+    // metadata commits stamp a FRESH clock (m.copy must reset ts)
+    val clocks = Snapshot.versions(spark, dir)
+      .map(v => Snapshot.manifest(spark, dir, v).ts)
+    assert(clocks.last >= clocks.head && clocks.forall(_ > 0))
+  }
+
+  test("updateWhereDV: mask and append are the same row set under any residual") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    // a residual that is NOT stable across evaluations: the post-images
+    // derive from the COLLECTED positions, so mask count == append
+    // count by construction and no row is lost or doubled
+    Snapshot.updateWhereDV(spark, dir, 1L, 800L,
+      Map("verdict" -> lit("U")), rand() < 0.5)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    val masked = m2.dvs.values.map(_.length).sum
+    val rows = Snapshot.read(spark, dir).collect()
+    assert(rows.length == 800,
+      s"non-deterministic residual must not lose or double rows: ${rows.length}")
+    assert(rows.count(_.getString(2) == "U") == masked,
+      "appended post-images must equal the masked positions exactly")
+  }
+
   test("compactSmall refuses z-ordered layouts") {
     val dir = freshDir()
     import spark.implicits._
