@@ -403,6 +403,19 @@ class SourceSpec extends SparkSpec {
     q.awaitTermination()
   }
 
+  test("graft-cdf streams a DV-only delete as exactly its masked D rows") {
+    val dir = freshTable()
+    // merge-on-read delete: no file changes hands — only the vector.
+    // Without the DV-aware shared-file key the diff would be EMPTY.
+    Snapshot.deleteWhereDV(spark, dir, 3L, 5L)
+    val ckpt = dir + "_ckpt_dv"
+    val got = scala.collection.mutable.ArrayBuffer.empty[Row]
+    drain(dir, ckpt, got)
+    assert(got.size == 3 && got.forall(_.getString(1) == "D"))
+    assert(got.map(_.getLong(0)).toSet == Set(3L, 4L, 5L))
+    assert(got.forall(_.getLong(3) == 2L), "attribution to the DV commit")
+  }
+
   test("graft-cdf streams per-commit diffs with version attribution") {
     val dir = freshTable()
     Snapshot.commit(stateAfter(dir), dir, 1, "k")
