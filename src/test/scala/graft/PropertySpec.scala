@@ -129,6 +129,20 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("DV codec round-trips ANY ascending position set; never expands 9x") {
+    import graft.ops.Snapshot
+    // arbitrary sorted-distinct long sets, dense and sparse mixes —
+    // decode(encode(x)) == x for all of them, and the delta-varint
+    // never does worse than ~9 bytes/position (raw longs are 8)
+    val posGen: Gen[Array[Long]] = Gen.listOf(Gen.chooseNum(0L, 1L << 42))
+      .map(_.distinct.sorted.toArray)
+    check(Prop.forAll(posGen) { ps =>
+      val enc = Snapshot.encodeDv(ps)
+      Snapshot.decodeDv(enc).sameElements(ps) &&
+        enc.length <= (ps.length * 9 + 8) * 4 / 3 + 4
+    })
+  }
+
   test("dedup is idempotent: f(f(x)) == f(x)") {
     import spark.implicits._
     check(Prop.forAll(texts) { xs =>
