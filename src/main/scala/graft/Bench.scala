@@ -41,7 +41,8 @@ object Bench {
         "q150_optimize_incremental", "q151_stats_string",
         "q152_bloom_string", "q153_convert_parquet",
         "q154_sql_detail", "q155_delete_dv",
-        "q156_update_dv", "q157_rename_drop").foreach { w =>
+        "q156_update_dv", "q157_rename_drop",
+        "q158_convert_hive").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

@@ -23,9 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * positions map rides the serialized expression — bounded by
   * `deleteWhereDV.maxPositions`, the same cap that bounds the manifest.
   *
-  * The file NAME (not path) is the key: part files carry a per-write
-  * UUID, so the name alone is table-unique and immune to URI-spelling
-  * differences between `_metadata.file_path` and manifest entries. */
+  * The key is the SCHEME-NORMALIZED full path ([[DvMembership.normKey]]
+  * applied on both sides): a bare name is NOT table-unique — a
+  * hive-partitioned write reuses the same part name in every partition
+  * directory, so name-keyed vectors would mask the same positions in
+  * every sibling (caught by the convertParquetHive spec) — and the raw
+  * URI spelling differs between `_metadata.file_path` and manifest
+  * entries (`file:///p` vs `file:/p`). Normalization runs once per
+  * FILE CHANGE through the per-thread memo, never per row. */
 case class DvMembership(left: Expression, right: Expression,
                         dvs: Map[String, Array[Long]])
     extends BinaryExpression with Predicate {
@@ -46,7 +51,8 @@ case class DvMembership(left: Expression, right: Expression,
   @transient private lazy val table: java.util.HashMap[UTF8String, Array[Long]] = {
     val t = new java.util.HashMap[UTF8String, Array[Long]](dvs.size * 2)
     dvs.foreach { case (n, arr) =>
-      if (arr.nonEmpty) t.put(UTF8String.fromString(n), arr) }
+      if (arr.nonEmpty)
+        t.put(UTF8String.fromString(DvMembership.normKey(n)), arr) }
     t
   }
 
@@ -62,7 +68,8 @@ case class DvMembership(left: Expression, right: Expression,
     val arr =
       if (c != null && fn.equals(c._1)) c._2
       else {
-        val a = table.get(fn)
+        val a = table.get(
+          UTF8String.fromString(DvMembership.normKey(fn.toString)))
         memo.set((fn.clone(), a))
         a
       }
@@ -82,4 +89,24 @@ case class DvMembership(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DvMembership =
     copy(left = newLeft, right = newRight)
+}
+
+object DvMembership {
+  /** Scheme/authority-stripped absolute path — the ONE spelling both
+    * manifest entries and `_metadata.file_path` reduce to:
+    * `file:///p` → `/p`, `file:/p` → `/p`, `hdfs://nn:8020/p` → `/p`,
+    * `/p` → `/p`. Pure string arithmetic so driver and executors agree
+    * byte-for-byte with no filesystem lookups. */
+  def normKey(s: String): String = {
+    val colon = s.indexOf(':')
+    val slash = s.indexOf('/')
+    if (colon < 0 || (slash >= 0 && slash < colon)) s
+    else {
+      val rest = s.substring(colon + 1)
+      if (rest.startsWith("//")) {
+        val p = rest.indexOf('/', 2)
+        if (p < 0) "/" else rest.substring(p)
+      } else rest
+    }
+  }
 }

@@ -205,6 +205,17 @@ object Snapshot {
     * as delta-varint (`d` lines) so a million positions cost ~1 byte
     * each, and bounded by [[deleteWhereDV]]'s COW fallback.
     *
+    * `basePath`, when non-empty, marks a HIVE-ADOPTED table
+    * ([[convertParquetHive]]): the files live under a partitioned
+    * `col=value` tree and reads pass the base to Spark so the partition
+    * columns materialize from the paths. Such a table is READ-complete
+    * (pruned/point/box reads, SQL, time travel, CDF, clones, even MoR
+    * deletes) but refuses commits that would mix locally-written files
+    * with the path-schema'd originals in one scan — a full rewrite
+    * ([[compactVersion]]) SEVERS the adoption (partition columns become
+    * ordinary data columns, basePath clears) and unlocks the full verb
+    * set.
+    *
     * `renames` and `droppedCols` are COLUMN MAPPING (Delta's name-mode
     * mapping): files always keep their PHYSICAL column names — written
     * once, never rewritten — and the manifest maps physical → logical
@@ -232,7 +243,8 @@ object Snapshot {
                               Map.empty,
                             dvs: Map[String, Array[Long]] = Map.empty,
                             renames: Seq[(String, String)] = Nil,
-                            droppedCols: Seq[String] = Nil)
+                            droppedCols: Seq[String] = Nil,
+                            basePath: String = "")
 
   /** Thrown when a commit's fresh data violates a registered CHECK
     * constraint (the batch's files are cleaned up; the table keeps its
@@ -398,6 +410,7 @@ object Snapshot {
     val dvs = Map.newBuilder[String, Array[Long]]
     val renames = Seq.newBuilder[(String, String)]
     val dropped = Seq.newBuilder[String]
+    var basePath = ""
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
@@ -446,6 +459,10 @@ object Snapshot {
           require(c.length == 2, s"malformed manifest drop line in $p")
           dropped += b64dec(c(1))
           None
+        case "P" =>
+          require(c.length == 2, s"malformed manifest basePath line in $p")
+          basePath = b64dec(c(1))
+          None
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
@@ -453,7 +470,8 @@ object Snapshot {
     Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
       checks.result(), added.result(), colStats.result(),
-      strStats.result(), dvs.result(), renames.result(), dropped.result())
+      strStats.result(), dvs.result(), renames.result(), dropped.result(),
+      basePath)
   }
 
   private def b64enc(s: String): String =
@@ -600,9 +618,15 @@ object Snapshot {
     // Ingest.readEvolved's contract); carried files read the new column
     // as NULL, incompatible type changes still fail loudly. Costs one
     // footer read per distinct file schema at planning.
+    // hive-adopted tables: hand Spark the partition tree's base so the
+    // col=value path segments materialize as partition columns — the
+    // engine's own reconstruction, not a reimplementation
+    val reader0 = spark.read.option("mergeSchema", "true")
+    val reader =
+      if (m.basePath.isEmpty) reader0
+      else reader0.option("basePath", m.basePath)
     val base = withAddedCols(
-      spark.read.option("mergeSchema", "true")
-        .parquet(entries.map(f => dataPath(dir, f.path)): _*), m)
+      reader.parquet(entries.map(f => dataPath(dir, f.path)): _*), m)
     // DELETION VECTORS: filter the marked positions out with the native
     // [[graft.expressions.DvMembership]] probe — one codegen'd call per
     // row (per-thread file memo + bounds check + binary search), vs a
@@ -614,7 +638,8 @@ object Snapshot {
     // pay one memoized null lookup per file; a scan selecting no DV'd
     // entry skips the filter entirely.
     val dvd = entries.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
-    val live = if (dvd.isEmpty) base else base.filter(!dvMaskCol(m, dvd))
+    val live = if (dvd.isEmpty) base
+      else base.filter(!dvMaskCol(dir, m, dvd))
     // COLUMN MAPPING: hide dropped physical columns, then resolve the
     // surviving physical names to their logical names — pure projection,
     // applied identically to every file in the scan, so mergeSchema
@@ -669,17 +694,20 @@ object Snapshot {
           if a.nameParts.length == 1 => a.name
     }
 
-  /** The NOT-masked filter Column for `entries`' deletion vectors. */
-  private def dvMaskCol(m: Manifest, dvd: Seq[FileEntry])
+  /** The NOT-masked filter Column for `entries`' deletion vectors —
+    * keyed on the FULL file path (DvMembership scheme-normalizes both
+    * sides): a bare file name is not table-unique under hive-adopted
+    * trees, where every partition directory repeats the same part
+    * names. */
+  private def dvMaskCol(dir: String, m: Manifest, dvd: Seq[FileEntry])
       : org.apache.spark.sql.Column = {
-    val byName = dvd.map(f =>
-      f.path.substring(f.path.lastIndexOf('/') + 1) -> m.dvs(f.path)).toMap
+    val byPath = dvd.map(f => dataPath(dir, f.path) -> m.dvs(f.path)).toMap
     org.apache.spark.sql.graftshim.ExprColumn.of(
       graft.expressions.DvMembership(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          Seq("_metadata", "file_name")),
+          Seq("_metadata", "file_path")),
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-          Seq("_metadata", "row_index")), byName))
+          Seq("_metadata", "row_index")), byPath))
   }
 
   /** Read a snapshot (default: latest). The scan's file list comes from
@@ -920,10 +948,12 @@ object Snapshot {
     val renameLines = m.renames.map { case (p, l) =>
       s"r\t${b64enc(p)}\t${b64enc(l)}" }
     val dropLines = m.droppedCols.map(p => s"x\t${b64enc(p)}")
+    val baseLines =
+      if (m.basePath.isEmpty) Nil else Seq(s"P\t${b64enc(m.basePath)}")
     val body = (Seq(hdr, tsLine) ++
         m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
-        schemaLines ++ renameLines ++ dropLines ++ checkLines ++
-        statLines ++ strLines ++ dvLines ++ bloomLines)
+        schemaLines ++ renameLines ++ dropLines ++ baseLines ++
+        checkLines ++ statLines ++ strLines ++ dvLines ++ bloomLines)
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -986,6 +1016,15 @@ object Snapshot {
     val v = expectedVersion + 1
     val sub = s"data/c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
     val prior = if (cur > 0) Some(manifest(spark, dir, cur)) else None
+    // hive-adopted tables: locally-written files store partition columns
+    // as DATA columns while carried originals derive them from paths —
+    // one scan cannot serve both schemas, so only a FULL rewrite (no
+    // carried entries) commits, and it SEVERS the adoption (the new
+    // manifest has no basePath; every later verb is ordinary)
+    require(prior.forall(_.basePath.isEmpty) || carried.isEmpty,
+      s"table at $dir is hive-adopted (read-only shell): carried " +
+        "commits would mix path-schema'd and local files — sever with " +
+        "compactVersion first")
     // CHECK constraints: enforce the current version's checks on the
     // fresh data (inside the stats pass — no extra scan) and carry them
     // forward; carried files hold by induction (validated when written)
@@ -1099,6 +1138,9 @@ object Snapshot {
     require(!m.note.startsWith("zorder"),
       s"append against a z-ordered snapshot (note='${m.note}'): blind " +
         "appends would break its layout contract — re-OPTIMIZE after")
+    require(m.basePath.isEmpty,
+      s"append against a hive-adopted table at $dir: sever with " +
+        "compactVersion first")
     m.addedCols.foreach { case (n, t) =>
       require(df.columns.exists(_.equalsIgnoreCase(logicalName(m, n))),
         s"append is missing declared column '${logicalName(m, n)}' ($t)")
@@ -1377,7 +1419,7 @@ object Snapshot {
     if (hits.isEmpty) return cur
     if (hits.length > maxPositions)
       return deleteWhere(spark, dir, lo, hi, residual, note = note)
-    val merged = positionsByPath(m, hits).map { case (p, fresh) =>
+    val merged = positionsByPath(dir, m, hits).map { case (p, fresh) =>
       p -> (m.dvs.getOrElse(p, Array.empty[Long]) ++ fresh).distinct.sorted
     }
     publish(spark, dir, m.copy(version = cur + 1, note = note, ts = 0L,
@@ -1393,8 +1435,11 @@ object Snapshot {
     * already-masked row can never re-collect. */
   private def dvScan(spark: SparkSession, dir: String, m: Manifest,
                      touch: Seq[FileEntry]): DataFrame = {
-    val scan = spark.read.option("mergeSchema", "true")
-      .parquet(touch.map(f => dataPath(dir, f.path)): _*)
+    val reader0 = spark.read.option("mergeSchema", "true")
+    val reader =
+      if (m.basePath.isEmpty) reader0
+      else reader0.option("basePath", m.basePath)
+    val scan = reader.parquet(touch.map(f => dataPath(dir, f.path)): _*)
     // the helper-column names are reserved in this scan: silently
     // clobbering a user column of the same name would drop it from
     // post-image rows — refuse loudly instead
@@ -1405,24 +1450,29 @@ object Snapshot {
           "helper names (_dv_f/_dv_i) — use the COW verbs on this table"))
     val existing = touch.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
     val live = if (existing.isEmpty) scan
-      else scan.filter(!dvMaskCol(m, existing))
+      else scan.filter(!dvMaskCol(dir, m, existing))
     applyColumnMapping(withAddedCols(
-      live.withColumn("_dv_f", col("_metadata.file_name"))
+      live.withColumn("_dv_f", col("_metadata.file_path"))
         .withColumn("_dv_i", col("_metadata.row_index")), m), m)
   }
 
-  /** Collected (`_dv_f` name, `_dv_i` position) rows regrouped under
-    * their manifest file paths, positions sorted ascending. */
-  private def positionsByPath(m: Manifest,
+  /** Collected (`_dv_f` file path, `_dv_i` position) rows regrouped
+    * under their manifest ENTRY paths (scheme-normalized matching —
+    * `_metadata.file_path`'s URI spelling differs from dataPath's),
+    * positions sorted ascending. */
+  private def positionsByPath(dir: String, m: Manifest,
                               hits: Array[org.apache.spark.sql.Row])
       : Map[String, Array[Long]] = {
-    val nameToPath = m.files.map(f =>
-      f.path.substring(f.path.lastIndexOf('/') + 1) -> f.path).toMap
-    hits.groupBy(_.getString(0)).map { case (n, rs) =>
-      nameToPath.getOrElse(n,
-        throw new IllegalStateException(s"unmapped DV file $n")) ->
-        rs.map(_.getLong(1)).sorted
-    }
+    val normToEntry = m.files.map(f =>
+      graft.expressions.DvMembership.normKey(dataPath(dir, f.path)) ->
+        f.path).toMap
+    hits.groupBy(r =>
+        graft.expressions.DvMembership.normKey(r.getString(0)))
+      .map { case (n, rs) =>
+        normToEntry.getOrElse(n,
+          throw new IllegalStateException(s"unmapped DV file $n")) ->
+          rs.map(_.getLong(1)).sorted
+      }
   }
 
   /** MERGE-ON-READ UPDATE — [[deleteWhereDV]]'s discipline applied to
@@ -1471,21 +1521,20 @@ object Snapshot {
       .filterNot(c => c == "_dv_f" || c == "_dv_i")
     require(set.keySet.subsetOf(dataCols.toSet),
       s"SET names ${set.keySet -- dataCols} not in the schema")
-    val byPath = positionsByPath(m, hits)
+    val byPath = positionsByPath(dir, m, hits)
     // the post-image rows derive from the COLLECTED POSITIONS, not a
     // second evaluation of the predicate: the mask and the append are
     // the same row set BY CONSTRUCTION, so a residual that is not
     // perfectly deterministic across jobs cannot lose rows (masked but
     // never re-appended) or double them (appended but never masked)
-    val byName = byPath.map { case (p, v) =>
-      p.substring(p.lastIndexOf('/') + 1) -> v }
+    val byFull = byPath.map { case (p, v) => dataPath(dir, p) -> v }
     val chosen = dvScan(spark, dir, m, touch).filter(
       org.apache.spark.sql.graftshim.ExprColumn.of(
         graft.expressions.DvMembership(
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             .quoted("_dv_f"),
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-            .quoted("_dv_i"), byName)))
+            .quoted("_dv_i"), byFull)))
     // every chosen row updates, so SET applies unconditionally — but
     // still as ONE projection over the old row, updateWhere's contract
     val updated = chosen.select(dataCols.map { c =>
@@ -1863,7 +1912,8 @@ object Snapshot {
       Manifest(1, m.statsCol, files, note, blooms = blooms,
         checks = m.checks, addedCols = m.addedCols, colStats = colStats,
         strStats = strStats, dvs = dvs,
-        renames = m.renames, droppedCols = m.droppedCols))
+        renames = m.renames, droppedCols = m.droppedCols,
+        basePath = m.basePath))
     1
   }
 
@@ -1920,6 +1970,67 @@ object Snapshot {
       FileEntry(s"$qualified/$n", mn, mx) })
     publish(spark, dir, Manifest(1, statsCol, files.sortBy(_.path),
       note = s"convert:$srcDir"))
+    1
+  }
+
+  /** CONVERT a HIVE-PARTITIONED parquet tree (`…/col=value/…/part-*`)
+    * into a snapshot table by PURE PATH ARITHMETIC — the adoption story
+    * [[convertParquet]] refuses: `partCol` must be an integral partition
+    * column, and every file's (min, max) stats ARE its path segment's
+    * value, so converting a 100 TB partitioned lake costs one recursive
+    * LISTING and one manifest write — not even the flat convert's stats
+    * scan, and the resulting pruning is exactly the layout's own
+    * selectivity (a partition-value range opens precisely its
+    * directories' files). Reads pass the tree's base to Spark
+    * (`basePath`), so partition columns materialize by the engine's own
+    * path reconstruction — pruned/point/box reads, SQL, time travel,
+    * the change feed, clones, and even merge-on-read DELETEs all work
+    * on the adopted shell.
+    *
+    * The honest line: the shell is READ-complete but WRITE-refusing —
+    * a locally-written file would store partition columns as data
+    * columns while the originals derive them from paths, and one scan
+    * cannot serve both schemas. [[commit]] therefore refuses carried
+    * commits, and [[compactVersion]] (a full rewrite) SEVERS the
+    * adoption: partition columns become ordinary data columns, the new
+    * manifest drops `basePath`, and the whole verb set unlocks. Adopt
+    * free, upgrade with one rewrite — against the alternative of
+    * rewriting the estate up front, the rewrite is at least deferred
+    * and at best never needed (read-only estates stay read-only). */
+  def convertParquetHive(spark: SparkSession, dir: String, srcDir: String,
+                         partCol: String): Int = {
+    require(currentVersion(spark, dir) == 0,
+      s"convert target $dir already has committed versions")
+    val hc = spark.sparkContext.hadoopConfiguration
+    val srcFs = new Path(srcDir).getFileSystem(hc)
+    val qualified = srcFs.makeQualified(new Path(srcDir)).toString
+    val leaves = Seq.newBuilder[Path]
+    def walk(p: Path): Unit =
+      srcFs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) { if (!n.startsWith(".")) walk(st.getPath) }
+        else if (!n.startsWith("_") && !n.startsWith(".") &&
+            !n.endsWith(".crc") && st.getLen > 0)
+          leaves += st.getPath
+      }
+    walk(new Path(qualified))
+    val files = leaves.result().map { p =>
+      val rel = p.toString.stripPrefix(qualified).stripPrefix("/")
+      val seg = rel.split('/').find(_.startsWith(s"$partCol="))
+        .getOrElse(throw new IllegalArgumentException(
+          s"file $rel carries no '$partCol=' path segment — is " +
+            s"'$partCol' really a partition column of $srcDir?"))
+      val v =
+        try seg.substring(partCol.length + 1).toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"partition value in '$seg' is not integral (the " +
+              "stats-column contract)") }
+      FileEntry(p.toString, v, v)
+    }
+    require(files.nonEmpty, s"no data files to convert under $srcDir")
+    publish(spark, dir, Manifest(1, partCol, files.sortBy(_.path),
+      note = s"convert:$srcDir", basePath = qualified))
     1
   }
 

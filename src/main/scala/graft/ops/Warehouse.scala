@@ -370,6 +370,34 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The HIVE-ADOPTED table (q158), built once per (session, dir): a
+    * band-partitioned parquet lake written the classic hive way
+    * (`band=N/part-*`), adopted by [[Snapshot.convertParquetHive]] —
+    * per-file stats parsed from the paths, ZERO bytes read or moved —
+    * then a merge-on-read DELETE masks band 3's 'F' orders on the
+    * adopted shell (manifest-only; the DV path-keying that makes this
+    * sound under hive name reuse is spec-pinned). */
+  private[graft] def hiveOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#hive", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val lake = s"$wh/graft_hive_lake_$sfx"
+          val dir = s"$wh/graft_snap_hive_$sfx"
+          T.orders(s, d).select(
+              col("o_orderkey").as("order_key"),
+              col("o_orderstatus").as("status"),
+              F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+                .as("price"),
+              (col("o_orderkey") % 8).cast("int").as("band"))
+            .write.partitionBy("band").parquet(lake)
+          Snapshot.convertParquetHive(s, dir, lake, "band")
+          Snapshot.deleteWhereDV(s, dir, 3L, 3L, col("status") === "F")
+          dir
+        })
+    }
+
   /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
     * history replayed into its own dir (v1 load → v2 delete → v3
     * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
@@ -1129,6 +1157,21 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("status"))
     }),
 
+    "q158_convert_hive" -> ((s, d) => {
+      // HIVE-PARTITIONED lake adopted by path arithmetic alone
+      // ([[hiveOrders]]): per-file stats ARE the band=N path values, so
+      // this band-range read PLANS exactly bands 2..5's directories from
+      // the manifest (no listing, no footer reads outside the range),
+      // Spark's own basePath reconstruction materializes `band`, and the
+      // merge-on-read DELETE riding the adopted shell (band 3's 'F'
+      // orders, manifest-only) applies inside the same scan. Oracle
+      // recomputes band arithmetic + the mask over raw orders.
+      Snapshot.readPruned(s, hiveOrders(s, d), 2L, 5L)
+        .groupBy(col("band").cast("long").as("band"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("band"))
+    }),
+
     "q157_rename_drop" -> ((s, d) => {
       // COLUMN MAPPING as committed versions: the table renamed
       // price→amount and dropped verdict by two manifest publishes —
@@ -1660,6 +1703,18 @@ object Warehouse extends QueryModule {
         |  AND NOT (k BETWEEN 300 AND 599 AND status = 'O')
         |GROUP BY status
         |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q158_convert_hive" ->
+      """WITH st AS (
+        |  SELECT CAST(o_orderkey % 8 AS BIGINT) AS band,
+        |         o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders)
+        |SELECT band, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM st
+        |WHERE band BETWEEN 2 AND 5 AND NOT (band = 3 AND status = 'F')
+        |GROUP BY band ORDER BY band
         |""".stripMargin,
 
     "q157_rename_drop" ->

@@ -1915,6 +1915,52 @@ class SnapshotSpec extends SparkSpec {
       "appended post-images must equal the masked positions exactly")
   }
 
+  test("convertParquetHive: path-stat adoption, pruning, MoR, sever") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_hive").toString
+    val (lake, dir) = (s"$base/lake", s"$base/t")
+    (1L to 400L).map(k => (k, s"val_$k", k % 4))
+      .toDF("k", "v", "band")
+      .write.partitionBy("band").parquet(lake)
+    assert(Snapshot.convertParquetHive(spark, dir, lake, "band") == 1)
+    val m1 = Snapshot.manifest(spark, dir, 1)
+    // stats ARE the path values — no scan ran, min == max == band
+    assert(m1.files.forall(f => f.min == f.max && f.min >= 0 && f.min <= 3))
+    assert(m1.basePath.nonEmpty)
+    // reads materialize the partition column and agree with the source
+    val all = Snapshot.read(spark, dir)
+    assert(all.columns.toSet == Set("k", "v", "band"))
+    assert(all.count() == 400)
+    // partition-range pruning opens ONLY the matching directories' files
+    val hit = m1.files.filter(f => f.min <= 1 && f.max >= 1)
+    assert(hit.nonEmpty && hit.size < m1.files.size)
+    assert(Snapshot.readPruned(spark, dir, 1L, 1L).count() == 100)
+    // merge-on-read DELETE works on the adopted shell (manifest-only)
+    Snapshot.deleteWhereDV(spark, dir, 2L, 2L, col("k") <= 8L)
+    assert(Snapshot.read(spark, dir).count() == 398) // k=2,6 in band 2
+    // the write shell is honest: carried commits and appends refuse
+    intercept[IllegalArgumentException](
+      Snapshot.appendWithRetry(
+        Seq((401L, "x", 1)).toDF("k", "v", "band"), dir))
+    intercept[IllegalArgumentException](
+      Snapshot.deleteWhere(spark, dir, 1L, 1L)) // carries other bands
+    // the lake itself was never written
+    // sever: one full rewrite clears basePath, partition col becomes data
+    val v = Snapshot.compactVersion(spark, dir, 1L << 30)
+    val mS = Snapshot.manifest(spark, dir, v)
+    assert(mS.basePath.isEmpty)
+    assert(Snapshot.read(spark, dir).count() == 398)
+    assert(spark.read.parquet(s"$dir/${mS.files.head.path}")
+      .columns.contains("band"), "severed files store band as data")
+    // ...and the full verb set unlocks (band is INT by partition
+    // inference — the severed files' type, which appends must match)
+    Snapshot.appendWithRetry(Seq((401L, "x", 1)).toDF("k", "v", "band"),
+      dir, nFiles = 1)
+    assert(Snapshot.read(spark, dir).count() == 399)
+    // time travel back to the adopted shell still serves
+    assert(Snapshot.read(spark, dir, 1).count() == 400)
+  }
+
   test("compactSmall refuses z-ordered layouts") {
     val dir = freshDir()
     import spark.implicits._
