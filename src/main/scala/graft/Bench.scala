@@ -144,7 +144,7 @@ object Bench {
     val totalMed = results.collect { case (_, med, _, _, None, _) => med }.sum
     val totalMin = results.collect { case (_, _, mn, _, None, _) => mn }.sum
     val totalP90 = results.collect { case (_, _, _, p, None, _) => p }.sum
-    // "spread" carries the 3 widest (p90 - min) queries so the usual
+    // "spread" carries the 2 widest (p90 - min) queries so the usual
     // contention suspects are visible in the driver artifact itself.
     val spread = results.collect { case (k, _, mn, p, None, _) => (k, mn, p) }
       .sortBy { case (_, mn, p) => mn - p }.take(2)

@@ -45,14 +45,17 @@ case class DvMembership(left: Expression, right: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "graft_dv_member"
 
-  /** Name-keyed lookup table in UTF8String space (the scan's own
+  /** Key-to-positions lookup table in UTF8String space (the scan's own
     * representation — no per-row String conversion). Built lazily on
-    * each executor after deserialization. */
+    * each executor after deserialization. The constructor's map keys
+    * are ALREADY canonical (`Snapshot.dvKey` builds them from the
+    * qualified URI object) — only the probe side normalizes, because a
+    * canonical `authority/path` string would MIS-parse as a URI (the
+    * authority reads as a scheme). */
   @transient private lazy val table: java.util.HashMap[UTF8String, Array[Long]] = {
     val t = new java.util.HashMap[UTF8String, Array[Long]](dvs.size * 2)
     dvs.foreach { case (n, arr) =>
-      if (arr.nonEmpty)
-        t.put(UTF8String.fromString(DvMembership.normKey(n)), arr) }
+      if (arr.nonEmpty) t.put(UTF8String.fromString(n), arr) }
     t
   }
 
@@ -92,20 +95,32 @@ case class DvMembership(left: Expression, right: Expression,
 }
 
 object DvMembership {
-  /** Scheme/authority-stripped absolute path — the ONE spelling both
-    * manifest entries and `_metadata.file_path` reduce to:
-    * `file:///p` → `/p`, `file:/p` → `/p`, `hdfs://nn:8020/p` → `/p`,
-    * `/p` → `/p`. Pure string arithmetic so driver and executors agree
-    * byte-for-byte with no filesystem lookups. */
-  def normKey(s: String): String = {
+  /** The ONE spelling both manifest entries and `_metadata.file_path`
+    * reduce to: `<authority><decoded absolute path>` — scheme dropped,
+    * AUTHORITY KEPT (two filesystems' same-named paths must not collide
+    * — a clone can carry `hdfs://nnA/wh/t/f` next to `s3a://b/wh/t/f`),
+    * percent-escapes DECODED (Spark's metadata column URI-encodes
+    * special characters — `%20` — while manifest entries hold raw
+    * paths; round-14 review confirmed the mismatch empirically on a
+    * directory containing a space). A string that fails URI parsing
+    * (raw spaces, no scheme) falls back to manual scheme/authority
+    * stripping of the raw spelling — which IS the decoded form. */
+  def normKey(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == null || u.getPath == null) stripRaw(s)
+      else Option(u.getAuthority).getOrElse("") + u.getPath
+    } catch { case _: java.net.URISyntaxException => stripRaw(s) }
+
+  private def stripRaw(s: String): String = {
     val colon = s.indexOf(':')
     val slash = s.indexOf('/')
     if (colon < 0 || (slash >= 0 && slash < colon)) s
     else {
       val rest = s.substring(colon + 1)
       if (rest.startsWith("//")) {
-        val p = rest.indexOf('/', 2)
-        if (p < 0) "/" else rest.substring(p)
+        // keep the authority, drop only the scheme
+        rest.substring(2)
       } else rest
     }
   }

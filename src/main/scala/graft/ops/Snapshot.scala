@@ -631,15 +631,14 @@ object Snapshot {
     // [[graft.expressions.DvMembership]] probe — one codegen'd call per
     // row (per-thread file memo + bounds check + binary search), vs a
     // broadcast anti-join's UnsafeRow assembly + composite hash probe
-    // (~8× cheaper per row, measured in DvProbe). Keyed on (part-file
-    // NAME, row_index): names carry a per-write UUID, so the name alone
-    // is table-unique and sidesteps URI-spelling mismatches between
-    // _metadata.file_path and manifest entries. Files without a vector
-    // pay one memoized null lookup per file; a scan selecting no DV'd
-    // entry skips the filter entirely.
+    // (~8× cheaper per row, measured in DvProbe). Keyed on the
+    // QUALIFIED full path ([[dvKey]] — bare names repeat across hive
+    // partition dirs; URI spellings normalize on both sides). Files
+    // without a vector pay one memoized null lookup per file; a scan
+    // selecting no DV'd entry skips the filter entirely.
     val dvd = entries.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
     val live = if (dvd.isEmpty) base
-      else base.filter(!dvMaskCol(dir, m, dvd))
+      else base.filter(!dvMaskCol(spark, dir, m, dvd))
     // COLUMN MAPPING: hide dropped physical columns, then resolve the
     // surviving physical names to their logical names — pure projection,
     // applied identically to every file in the scan, so mergeSchema
@@ -694,14 +693,31 @@ object Snapshot {
           if a.nameParts.length == 1 => a.name
     }
 
+  /** The canonical DV key of a manifest entry: its data path QUALIFIED
+    * through the owning filesystem (absolutized + schemed, so a table
+    * opened via a RELATIVE dir spelling still keys identically to the
+    * executor's absolute `_metadata.file_path`), then reduced to
+    * `<authority><decoded path>` by [[graft.expressions.DvMembership
+    * .normKey]]'s discipline — built from the URI object directly, no
+    * string round-trip that could re-encode. */
+  private def dvKey(spark: SparkSession, dir: String,
+                    entryPath: String): String = {
+    val p = new Path(dataPath(dir, entryPath))
+    val u = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri
+    Option(u.getAuthority).getOrElse("") + u.getPath
+  }
+
   /** The NOT-masked filter Column for `entries`' deletion vectors —
-    * keyed on the FULL file path (DvMembership scheme-normalizes both
-    * sides): a bare file name is not table-unique under hive-adopted
-    * trees, where every partition directory repeats the same part
-    * names. */
-  private def dvMaskCol(dir: String, m: Manifest, dvd: Seq[FileEntry])
+    * keyed on the qualified FULL file path ([[dvKey]]; DvMembership
+    * normalizes the executor side): a bare file name is not
+    * table-unique under hive-adopted trees, where every partition
+    * directory repeats the same part names. */
+  private def dvMaskCol(spark: SparkSession, dir: String, m: Manifest,
+                        dvd: Seq[FileEntry])
       : org.apache.spark.sql.Column = {
-    val byPath = dvd.map(f => dataPath(dir, f.path) -> m.dvs(f.path)).toMap
+    val byPath = dvd.map(f => dvKey(spark, dir, f.path) -> m.dvs(f.path))
+      .toMap
     org.apache.spark.sql.graftshim.ExprColumn.of(
       graft.expressions.DvMembership(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
@@ -1186,6 +1202,16 @@ object Snapshot {
             s"head of $dir became z-ordered (v$cur) while the append was " +
               "staged — blind appends would break its layout contract")
         }
+        // a RESTORE back to a hive-adopted version can re-instate
+        // basePath between stage and publish: rebasing onto it would
+        // publish local staged files under a basePath they don't live
+        // in — the mixed-schema state every other guard refuses
+        if (m.basePath.nonEmpty) {
+          cleanup()
+          throw new IllegalStateException(
+            s"head of $dir became hive-adopted (v$cur) while the append " +
+              "was staged — sever with compactVersion first")
+        }
         val missing = m.addedCols.filterNot { case (n, _) =>
           staged.suppliedCols.contains(n.toLowerCase(java.util.Locale.ROOT)) }
         if (missing.nonEmpty) {
@@ -1419,7 +1445,7 @@ object Snapshot {
     if (hits.isEmpty) return cur
     if (hits.length > maxPositions)
       return deleteWhere(spark, dir, lo, hi, residual, note = note)
-    val merged = positionsByPath(dir, m, hits).map { case (p, fresh) =>
+    val merged = positionsByPath(spark, dir, m, hits).map { case (p, fresh) =>
       p -> (m.dvs.getOrElse(p, Array.empty[Long]) ++ fresh).distinct.sorted
     }
     publish(spark, dir, m.copy(version = cur + 1, note = note, ts = 0L,
@@ -1450,26 +1476,26 @@ object Snapshot {
           "helper names (_dv_f/_dv_i) — use the COW verbs on this table"))
     val existing = touch.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
     val live = if (existing.isEmpty) scan
-      else scan.filter(!dvMaskCol(dir, m, existing))
+      else scan.filter(!dvMaskCol(spark, dir, m, existing))
     applyColumnMapping(withAddedCols(
       live.withColumn("_dv_f", col("_metadata.file_path"))
         .withColumn("_dv_i", col("_metadata.row_index")), m), m)
   }
 
   /** Collected (`_dv_f` file path, `_dv_i` position) rows regrouped
-    * under their manifest ENTRY paths (scheme-normalized matching —
-    * `_metadata.file_path`'s URI spelling differs from dataPath's),
-    * positions sorted ascending. */
-  private def positionsByPath(dir: String, m: Manifest,
+    * under their manifest ENTRY paths — the executor's URI spelling
+    * normalizes through DvMembership.normKey, the entry side through
+    * [[dvKey]] (qualified, decoded), so spellings meet in the middle. */
+  private def positionsByPath(spark: SparkSession, dir: String,
+                              m: Manifest,
                               hits: Array[org.apache.spark.sql.Row])
       : Map[String, Array[Long]] = {
-    val normToEntry = m.files.map(f =>
-      graft.expressions.DvMembership.normKey(dataPath(dir, f.path)) ->
-        f.path).toMap
+    val keyToEntry = m.files.map(f =>
+      dvKey(spark, dir, f.path) -> f.path).toMap
     hits.groupBy(r =>
         graft.expressions.DvMembership.normKey(r.getString(0)))
       .map { case (n, rs) =>
-        normToEntry.getOrElse(n,
+        keyToEntry.getOrElse(n,
           throw new IllegalStateException(s"unmapped DV file $n")) ->
           rs.map(_.getLong(1)).sorted
       }
@@ -1521,13 +1547,13 @@ object Snapshot {
       .filterNot(c => c == "_dv_f" || c == "_dv_i")
     require(set.keySet.subsetOf(dataCols.toSet),
       s"SET names ${set.keySet -- dataCols} not in the schema")
-    val byPath = positionsByPath(dir, m, hits)
+    val byPath = positionsByPath(spark, dir, m, hits)
     // the post-image rows derive from the COLLECTED POSITIONS, not a
     // second evaluation of the predicate: the mask and the append are
     // the same row set BY CONSTRUCTION, so a residual that is not
     // perfectly deterministic across jobs cannot lose rows (masked but
     // never re-appended) or double them (appended but never masked)
-    val byFull = byPath.map { case (p, v) => dataPath(dir, p) -> v }
+    val byFull = byPath.map { case (p, v) => dvKey(spark, dir, p) -> v }
     val chosen = dvScan(spark, dir, m, touch).filter(
       org.apache.spark.sql.graftshim.ExprColumn.of(
         graft.expressions.DvMembership(
@@ -2008,7 +2034,13 @@ object Snapshot {
     def walk(p: Path): Unit =
       srcFs.listStatus(p).foreach { st =>
         val n = st.getPath.getName
-        if (st.isDirectory) { if (!n.startsWith(".")) walk(st.getPath) }
+        // skip _temporary / .staging DIRS too: a killed writer's debris
+        // carries valid-looking col=value segments and would be adopted
+        // as phantom data (the flat convert's file filter, lifted to
+        // directories)
+        if (st.isDirectory) {
+          if (!n.startsWith(".") && !n.startsWith("_")) walk(st.getPath)
+        }
         else if (!n.startsWith("_") && !n.startsWith(".") &&
             !n.endsWith(".crc") && st.getLen > 0)
           leaves += st.getPath

@@ -391,7 +391,7 @@ object Warehouse extends QueryModule {
               F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
                 .as("price"),
               (col("o_orderkey") % 8).cast("int").as("band"))
-            .write.partitionBy("band").parquet(lake)
+            .write.mode("overwrite").partitionBy("band").parquet(lake)
           Snapshot.convertParquetHive(s, dir, lake, "band")
           Snapshot.deleteWhereDV(s, dir, 3L, 3L, col("status") === "F")
           dir

@@ -1915,6 +1915,29 @@ class SnapshotSpec extends SparkSpec {
       "appended post-images must equal the masked positions exactly")
   }
 
+  test("DV keys survive URI-encoded paths and relative dir spellings") {
+    import spark.implicits._
+    // a directory with a SPACE: Spark's _metadata.file_path spells it
+    // percent-encoded while manifest entries hold the raw path — the
+    // normalization must meet in the middle (round-14 review finding,
+    // confirmed empirically before the fix)
+    val dir = Files.createTempDirectory("graft snap sp").toString + "/t t"
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    Snapshot.deleteWhereDV(spark, dir, 150L, 249L, col("k") % 2 === 0)
+    assert(Snapshot.read(spark, dir).count() == 750)
+    // second delete re-collects against existing vectors (dvScan's
+    // anti-filter must also match across spellings)
+    Snapshot.deleteWhereDV(spark, dir, 150L, 249L)
+    assert(Snapshot.read(spark, dir).count() == 700)
+    // a RELATIVE dir spelling of the same table reads the same masked
+    // state (the driver key qualifies through the filesystem)
+    val cwd = new java.io.File(".").getCanonicalPath
+    if (dir.startsWith(cwd + "/")) {
+      val rel = dir.stripPrefix(cwd + "/")
+      assert(Snapshot.read(spark, rel).count() == 700)
+    }
+  }
+
   test("convertParquetHive: path-stat adoption, pruning, MoR, sever") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_hive").toString
