@@ -148,6 +148,35 @@ class ConcurrencySpec extends SparkSpec {
     m.dvs.values.foreach(v => assert(v.toSeq == v.toSeq.distinct.sorted))
   }
 
+  test("a DV delete racing OPTIMIZE re-executes against the compacted head") {
+    val dir = fresh()
+    // the loser's vectors were keyed to files the winner's rewrite
+    // replaced — retryOnConflict's full re-execution recollects
+    // positions against the NEW file set, so the mask lands on files
+    // that exist and the state is some serial order of both verbs
+    val t1 = new Thread(() => {
+      Snapshot.retryOnConflict() {
+        Snapshot.deleteWhereDV(spark, dir, 3L, 6L)
+      }
+      ()
+    })
+    val t2 = new Thread(() => {
+      Snapshot.retryOnConflict() {
+        Snapshot.compactVersion(spark, dir, 1L << 30)
+      }
+      ()
+    })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(Snapshot.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 7L, 8L, 9L, 10L))
+    // every surviving vector references a file the head actually lists
+    val m = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    val listed = m.files.map(_.path).toSet
+    assert(m.dvs.keySet.subsetOf(listed),
+      s"stale vector keys: ${m.dvs.keySet -- listed}")
+  }
+
   test("an empty staged append is a no-op") {
     import spark.implicits._
     val dir = fresh()
