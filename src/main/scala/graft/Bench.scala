@@ -42,7 +42,7 @@ object Bench {
         "q152_bloom_string", "q153_convert_parquet",
         "q154_sql_detail", "q155_delete_dv",
         "q156_update_dv", "q157_rename_drop",
-        "q158_convert_hive").foreach { w =>
+        "q158_convert_hive", "q159_generated_col").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

@@ -216,6 +216,16 @@ object Snapshot {
     * ordinary data columns, basePath clears) and unlocks the full verb
     * set.
     *
+    * `genCols` are GENERATED COLUMNS — (name, Spark DDL type, SQL
+    * expression) declared by [[addGeneratedColumn]] (Delta's GENERATED
+    * ALWAYS AS): writers that OMIT the column get it computed inside
+    * the commit; writers that SUPPLY it are enforced against the
+    * expression (a synthetic CHECK riding the commit's stats pass);
+    * readers COMPUTE the value for files that predate the declaration
+    * (where a plainly-declared column reads NULL, a generated one reads
+    * its expression — declaration is retroactive with zero rewrite,
+    * which is one better than materialize-only semantics).
+    *
     * `renames` and `droppedCols` are COLUMN MAPPING (Delta's name-mode
     * mapping): files always keep their PHYSICAL column names — written
     * once, never rewritten — and the manifest maps physical → logical
@@ -244,7 +254,8 @@ object Snapshot {
                             dvs: Map[String, Array[Long]] = Map.empty,
                             renames: Seq[(String, String)] = Nil,
                             droppedCols: Seq[String] = Nil,
-                            basePath: String = "")
+                            basePath: String = "",
+                            genCols: Seq[(String, String, String)] = Nil)
 
   /** Thrown when a commit's fresh data violates a registered CHECK
     * constraint (the batch's files are cleaned up; the table keeps its
@@ -411,6 +422,7 @@ object Snapshot {
     val renames = Seq.newBuilder[(String, String)]
     val dropped = Seq.newBuilder[String]
     var basePath = ""
+    val genCols = Seq.newBuilder[(String, String, String)]
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
@@ -463,6 +475,10 @@ object Snapshot {
           require(c.length == 2, s"malformed manifest basePath line in $p")
           basePath = b64dec(c(1))
           None
+        case "G" =>
+          require(c.length == 4, s"malformed manifest gen-col line in $p")
+          genCols += ((b64dec(c(1)), b64dec(c(2)), b64dec(c(3))))
+          None
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
@@ -471,7 +487,7 @@ object Snapshot {
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
       checks.result(), added.result(), colStats.result(),
       strStats.result(), dvs.result(), renames.result(), dropped.result(),
-      basePath)
+      basePath, genCols.result())
   }
 
   private def b64enc(s: String): String =
@@ -643,8 +659,21 @@ object Snapshot {
     // surviving physical names to their logical names — pure projection,
     // applied identically to every file in the scan, so mergeSchema
     // never sees a renamed column as two
-    applyColumnMapping(live, m)
+    withGenCols(applyColumnMapping(live, m), m)
   }
+
+  /** GENERATED columns on the read side: rows from files that PREDATE
+    * the declaration (reading NULL under mergeSchema) get the
+    * expression computed; materialized values pass through. Runs after
+    * the mapping, so expressions speak current logical names (renames
+    * of referenced columns are refused to keep them valid). */
+  private def withGenCols(df: DataFrame, m: Manifest): DataFrame =
+    m.genCols.foldLeft(df) { case (acc, (n, t, sql)) =>
+      val dt = org.apache.spark.sql.types.DataType.fromDDL(t)
+      if (acc.columns.exists(_.equalsIgnoreCase(n)))
+        acc.withColumn(n, coalesce(col(n), expr(sql).cast(dt)))
+      else acc.withColumn(n, expr(sql).cast(dt))
+    }
 
   /** Physical → logical resolution: drops, then renames. The one place
     * the mapping turns into plan nodes — every manifest-resolved read
@@ -966,10 +995,13 @@ object Snapshot {
     val dropLines = m.droppedCols.map(p => s"x\t${b64enc(p)}")
     val baseLines =
       if (m.basePath.isEmpty) Nil else Seq(s"P\t${b64enc(m.basePath)}")
+    val genLines = m.genCols.map { case (n, t, sql) =>
+      s"G\t${b64enc(n)}\t${b64enc(t)}\t${b64enc(sql)}" }
     val body = (Seq(hdr, tsLine) ++
         m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
         schemaLines ++ renameLines ++ dropLines ++ baseLines ++
-        checkLines ++ statLines ++ strLines ++ dvLines ++ bloomLines)
+        genLines ++ checkLines ++ statLines ++ strLines ++ dvLines ++
+        bloomLines)
       .mkString("", "\n", "\n")
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1061,11 +1093,28 @@ object Snapshot {
     // physical vocabulary forever — translate the frame (and the CHECK
     // identifiers, and the clustering column) back to physical before
     // writing, so mergeSchema never sees a renamed column as two
-    val physDf = prior.map(p => p.renames.foldLeft(df)((acc, pl) =>
+    val physDf0 = prior.map(p => p.renames.foldLeft(df)((acc, pl) =>
       if (acc.columns.exists(_.equalsIgnoreCase(pl._2)))
         acc.withColumnRenamed(pl._2, pl._1) else acc)).getOrElse(df)
-    val physChecks = prior.map(p => checks.map { case (n, sql) =>
-      n -> physicalCheckSql(spark, p, sql) }).getOrElse(checks)
+    // GENERATED columns: compute the omitted ones inside the commit
+    // (the writer never owes them); supplied ones are ENFORCED against
+    // their expression via a synthetic CHECK riding the stats pass —
+    // the generated column's name is never renamed (refused), and its
+    // expression's references translate like any constraint
+    val gens = prior.map(_.genCols).getOrElse(Nil)
+    val physDf = gens.foldLeft(physDf0) { case (acc, (n, t, sql)) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(n))) acc
+      else acc.withColumn(n,
+        expr(prior.map(physicalCheckSql(spark, _, sql)).getOrElse(sql))
+          .cast(org.apache.spark.sql.types.DataType.fromDDL(t)))
+    }
+    val genChecks = gens.collect {
+      case (n, t, sql) if physDf0.columns.exists(_.equalsIgnoreCase(n)) =>
+        s"generated:$n" -> (s"$n <=> CAST(($sql) AS $t)")
+    }
+    val physChecks = prior.map(p => (checks ++ genChecks).map {
+      case (n, sql) => n -> physicalCheckSql(spark, p, sql) })
+      .getOrElse(checks ++ genChecks)
     val physStats = prior.map(physicalName(_, statsCol)).getOrElse(statsCol)
     val fresh = writeDataFiles(physDf, dir, sub, physStats, nFiles,
       physChecks)
@@ -1099,7 +1148,8 @@ object Snapshot {
       blooms = carryBlooms, checks = checks, addedCols = addedCols,
       colStats = carryStats, strStats = carryStrStats, dvs = mergedDvs,
       renames = prior.map(_.renames).getOrElse(Nil),
-      droppedCols = prior.map(_.droppedCols).getOrElse(Nil))
+      droppedCols = prior.map(_.droppedCols).getOrElse(Nil),
+      genCols = gens)
     require(m.files.nonEmpty, "refusing to commit an empty snapshot")
     try publish(spark, dir, m)
     catch {
@@ -1166,10 +1216,20 @@ object Snapshot {
     // a post-rename append would split the column in two at mergeSchema.
     // (A rename landing BETWEEN stage and publish is harmless: physical
     // names never change, so staged files stay valid under any mapping.)
-    val physDf = m.renames.foldLeft(df)((acc, pl) =>
+    val physDf0 = m.renames.foldLeft(df)((acc, pl) =>
       if (acc.columns.exists(_.equalsIgnoreCase(pl._2)))
         acc.withColumnRenamed(pl._2, pl._1) else acc)
-    val physChecks = m.checks.map { case (n, sql) =>
+    // generated columns: commit's compute-or-enforce discipline
+    val physDf = m.genCols.foldLeft(physDf0) { case (acc, (n, t, sql)) =>
+      if (acc.columns.exists(_.equalsIgnoreCase(n))) acc
+      else acc.withColumn(n, expr(physicalCheckSql(spark, m, sql))
+        .cast(org.apache.spark.sql.types.DataType.fromDDL(t)))
+    }
+    val genChecks = m.genCols.collect {
+      case (n, t, sql) if physDf0.columns.exists(_.equalsIgnoreCase(n)) =>
+        s"generated:$n" -> (s"$n <=> CAST(($sql) AS $t)")
+    }
+    val physChecks = (m.checks ++ genChecks).map { case (n, sql) =>
       n -> physicalCheckSql(spark, m, sql) }
     val sub = s"data/a${cur + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     val fresh = writeDataFiles(physDf, dir, sub, m.statsCol, nFiles,
@@ -1477,9 +1537,9 @@ object Snapshot {
     val existing = touch.filter(f => m.dvs.get(f.path).exists(_.nonEmpty))
     val live = if (existing.isEmpty) scan
       else scan.filter(!dvMaskCol(spark, dir, m, existing))
-    applyColumnMapping(withAddedCols(
+    withGenCols(applyColumnMapping(withAddedCols(
       live.withColumn("_dv_f", col("_metadata.file_path"))
-        .withColumn("_dv_i", col("_metadata.row_index")), m), m)
+        .withColumn("_dv_i", col("_metadata.row_index")), m), m), m)
   }
 
   /** Collected (`_dv_f` file path, `_dv_i` position) rows regrouped
@@ -1763,6 +1823,42 @@ object Snapshot {
     cur + 1
   }
 
+  /** GENERATED COLUMN declaration — Delta's `GENERATED ALWAYS AS` as a
+    * metadata-only commit: writers that OMIT `name` get
+    * `CAST(genSql AS typeDdl)` computed inside their commit's existing
+    * write job; writers that SUPPLY it are enforced row-by-row against
+    * the expression (a synthetic CHECK riding the stats pass — a wrong
+    * value rejects the batch atomically); readers COMPUTE the value for
+    * rows from files that predate the declaration, so the declaration
+    * is retroactive at zero rewrite (one better than materialize-only
+    * semantics — Delta leaves pre-declaration rows to a backfill).
+    * The expression must reference existing columns by their CURRENT
+    * logical names; renaming a referenced column (or the generated
+    * column itself) is refused to keep the stored expression meaningful
+    * — drop the rule first. */
+  def addGeneratedColumn(spark: SparkSession, dir: String, name: String,
+                         typeDdl: String, genSql: String): Int = {
+    val cur = currentVersion(spark, dir)
+    require(cur > 0, s"no table at $dir to evolve")
+    val m = manifest(spark, dir, cur)
+    org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val existing = read(spark, dir, cur).schema.fieldNames
+    require(!existing.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists in the snapshot schema")
+    require(!m.droppedCols.exists(_.equalsIgnoreCase(name)) &&
+        !m.renames.exists(_._1.equalsIgnoreCase(name)),
+      s"physical name '$name' is retired by column mapping — pick a " +
+        "fresh name")
+    val refs = attrsOf(spark, genSql)
+    val missing = refs.filterNot(r => existing.exists(_.equalsIgnoreCase(r)))
+    require(missing.isEmpty,
+      s"generation expression references unknown column(s) $missing")
+    publish(spark, dir, m.copy(version = cur + 1,
+      note = s"schema:gen:$name", ts = 0L,
+      genCols = m.genCols :+ ((name, typeDdl, genSql))))
+    cur + 1
+  }
+
   /** ALTER TABLE RENAME COLUMN — a METADATA-ONLY commit via column
     * mapping (Delta's name-mode mapping): files keep their physical
     * column names forever; the manifest maps physical → logical at read
@@ -1791,6 +1887,15 @@ object Snapshot {
       s"no column '$from' in the snapshot schema")
     require(!logicalCols.exists(_.equalsIgnoreCase(to)),
       s"column '$to' already exists in the snapshot schema")
+    // generated columns pin their names: renaming the column or any
+    // column its expression references would orphan the stored SQL
+    require(!m.genCols.exists(_._1.equalsIgnoreCase(from)),
+      s"'$from' is a generated column — drop the generation rule first")
+    m.genCols.foreach { case (n, _, sql) =>
+      require(!attrsOf(spark, sql).exists(_.equalsIgnoreCase(from)),
+        s"column '$from' is referenced by generated column '$n' — " +
+          "drop the generation rule first")
+    }
     val physFrom = physicalName(m, from)
     // the new logical name must not shadow a RETIRED physical name
     // (another column's physical identity, or a dropped column) —
@@ -1846,11 +1951,21 @@ object Snapshot {
     require(referenced.isEmpty,
       s"column '$name' is referenced by CHECK constraint(s) " +
         s"${referenced.map(_._1).mkString(", ")} — drop them first")
+    // dropping a GENERATED column removes its rule (files written since
+    // the declaration still hold the physical values — hidden like any
+    // dropped column); a column another rule references must keep
+    val genRefs = m.genCols.filter { case (n, _, sql) =>
+      !n.equalsIgnoreCase(name) &&
+        attrsOf(spark, sql).exists(_.equalsIgnoreCase(name)) }
+    require(genRefs.isEmpty,
+      s"column '$name' is referenced by generated column(s) " +
+        s"${genRefs.map(_._1).mkString(", ")} — drop those rules first")
     val phys = physicalName(m, name)
     publish(spark, dir, m.copy(version = cur + 1,
       note = s"schema:drop:$name", ts = 0L,
       addedCols = m.addedCols.filterNot(_._1.equalsIgnoreCase(phys)),
       renames = m.renames.filterNot(_._1.equalsIgnoreCase(phys)),
+      genCols = m.genCols.filterNot(_._1.equalsIgnoreCase(name)),
       droppedCols = m.droppedCols :+ phys))
     cur + 1
   }
@@ -1939,7 +2054,7 @@ object Snapshot {
         checks = m.checks, addedCols = m.addedCols, colStats = colStats,
         strStats = strStats, dvs = dvs,
         renames = m.renames, droppedCols = m.droppedCols,
-        basePath = m.basePath))
+        basePath = m.basePath, genCols = m.genCols))
     1
   }
 

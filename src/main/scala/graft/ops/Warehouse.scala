@@ -398,6 +398,34 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The GENERATED-COLUMN table (q159), built once per (session, dir):
+    * v1 = orders load, v2 = `band GENERATED ALWAYS AS (order_key % 8)`
+    * declared metadata-only, v3 = a batch appended WITHOUT the column —
+    * computed and materialized inside the commit. Reads are
+    * retroactive: v1's files predate the rule and compute it per row. */
+  private[graft] def genOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#gen", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_gen_$sfx"
+          Snapshot.commit(ordersInitState(s, d), dir, 0, "order_key")
+          Snapshot.addGeneratedColumn(s, dir, "band", "BIGINT",
+            "order_key % 8")
+          val batch = T.orders(s, d).filter(col("o_orderkey") % 20 === 9)
+            .select(
+              (col("o_orderkey") + 3000000000L).as("order_key"),
+              col("o_custkey").as("cust_key"),
+              lit("N").as("status"),
+              F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+                .as("price"),
+              lit("K").as("verdict"))
+          Snapshot.appendWithRetry(batch, dir, nFiles = 1)
+          dir
+        })
+    }
+
   /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
     * history replayed into its own dir (v1 load → v2 delete → v3
     * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
@@ -1157,6 +1185,20 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("status"))
     }),
 
+    "q159_generated_col" -> ((s, d) => {
+      // GENERATED COLUMN as committed metadata ([[genOrders]]): the
+      // band rollup reads one table where v1's files COMPUTE the
+      // expression per row (they predate the declaration — zero
+      // rewrite) and v3's appended file MATERIALIZED it inside the
+      // commit (the writer never supplied it); a wrong supplied value
+      // is a rejected batch (spec-pinned). Oracle recomputes the band
+      // arithmetic for both populations from raw orders.
+      Snapshot.read(s, genOrders(s, d))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("band"))
+    }),
+
     "q158_convert_hive" -> ((s, d) => {
       // HIVE-PARTITIONED lake adopted by path arithmetic alone
       // ([[hiveOrders]]): per-file stats ARE the band=N path values, so
@@ -1703,6 +1745,20 @@ object Warehouse extends QueryModule {
         |  AND NOT (k BETWEEN 300 AND 599 AND status = 'O')
         |GROUP BY status
         |ORDER BY phase, status
+        |""".stripMargin,
+
+    "q159_generated_col" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 8 AS band,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders),
+        |app AS (
+        |  SELECT (o_orderkey + 3000000000) % 8 AS band,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders WHERE o_orderkey % 20 = 9),
+        |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT band, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM all_rows GROUP BY band ORDER BY band
         |""".stripMargin,
 
     "q158_convert_hive" ->

@@ -1984,6 +1984,55 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir, 1).count() == 400)
   }
 
+  test("generated columns: compute on omit, enforce on supply, retroactive reads") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k") // v1 predates the rule
+    assert(Snapshot.addGeneratedColumn(spark, dir, "parity", "BIGINT",
+      "k % 2") == 2)
+    // metadata-only: file set identical; READS are retroactive — rows
+    // from pre-declaration files compute the expression, not NULL
+    assert(Snapshot.manifest(spark, dir, 2).files.map(_.path) ==
+      Snapshot.manifest(spark, dir, 1).files.map(_.path))
+    val r = Snapshot.read(spark, dir)
+    assert(r.columns.contains("parity"))
+    assert(r.filter(col("parity") =!= col("k") % 2).count() == 0)
+    // time travel: v1 keeps its narrow schema
+    assert(!Snapshot.read(spark, dir, 1).columns.contains("parity"))
+    // a writer OMITTING the column gets it computed and MATERIALIZED
+    val v3 = Snapshot.appendWithRetry(
+      Seq((901L, "val_901", "K")).toDF("k", "v", "verdict"), dir,
+      nFiles = 1)
+    val m3 = Snapshot.manifest(spark, dir, v3)
+    val freshFile = (m3.files.map(_.path).toSet --
+      Snapshot.manifest(spark, dir, 2).files.map(_.path).toSet).head
+    assert(spark.read.parquet(s"$dir/$freshFile").columns
+      .contains("parity"), "omitted generated column must materialize")
+    assert(Snapshot.read(spark, dir).filter(col("k") === 901L)
+      .head.getAs[Long]("parity") == 1L)
+    // a writer SUPPLYING a consistent value passes; a wrong one rejects
+    Snapshot.appendWithRetry(
+      Seq((902L, "x", "K", 0L)).toDF("k", "v", "verdict", "parity"), dir,
+      nFiles = 1)
+    intercept[Snapshot.CheckViolation](
+      Snapshot.appendWithRetry(
+        Seq((903L, "x", "K", 7L)).toDF("k", "v", "verdict", "parity"),
+        dir, nFiles = 1))
+    assert(Snapshot.read(spark, dir).count() == 802, "poisoned batch out")
+    // DML through the funnel sees the generated values (residual on it)
+    Snapshot.deleteWhereDV(spark, dir, 1L, 10L, col("parity") === 1L)
+    assert(Snapshot.read(spark, dir).filter(col("k") <= 10L).count() == 5)
+    // rename/drop guards: the rule pins its names; dropping removes it
+    intercept[IllegalArgumentException](
+      Snapshot.renameColumn(spark, dir, "parity", "p2"))
+    intercept[IllegalArgumentException](
+      Snapshot.renameColumn(spark, dir, "k", "key"))
+    Snapshot.dropColumn(spark, dir, "parity")
+    assert(!Snapshot.read(spark, dir).columns.contains("parity"))
+    assert(Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir)).genCols.isEmpty)
+  }
+
   test("compactSmall refuses z-ordered layouts") {
     val dir = freshDir()
     import spark.implicits._
