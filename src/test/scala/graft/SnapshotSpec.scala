@@ -2042,4 +2042,287 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Snapshot.compactSmall(spark, dir, smallBytes = Long.MaxValue))
   }
+
+  // ─────────────────────── round 15: schema-in-manifest ────────────────
+
+  test("manifest stores the schema; reads plan without footer merges") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.schemaJson.nonEmpty, "every data commit stamps its schema")
+    val st = Snapshot.storedSchema(m).get
+    assert(st.fieldNames.toSeq == Seq("k", "v", "verdict"))
+    assert(st.fields.forall(_.nullable), "stored schemas are nullable-normalized")
+    // the read's schema comes from the manifest, not footer inference
+    assert(Snapshot.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("k", "v", "verdict"))
+    assert(state(dir).size == 800)
+  }
+
+  test("legacy manifests (no schema line) still read under mergeSchema") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    // strip the h line in place — exactly what a pre-round-15 manifest is
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00001")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val stripped = txt.linesIterator.filterNot(_.startsWith("h\t"))
+      .mkString("", "\n", "\n")
+    val os = fs.create(p, true)
+    try os.write(stripped.getBytes("UTF-8")) finally os.close()
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.schemaJson.isEmpty)
+    assert(state(dir).size == 800, "legacy read falls back to mergeSchema")
+    // and the next commit re-stamps: a carried commit over a legacy head
+    // stays legacy (carried schemas unknowable), a full rewrite upgrades
+    Snapshot.compactVersion(spark, dir, 128L << 20)
+    assert(Snapshot.manifest(spark, dir, 2).schemaJson.nonEmpty,
+      "a full rewrite upgrades a legacy table to schema-in-manifest")
+  }
+
+  test("delete-all commits a legal zero-file version; the table revives") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val v2 = Snapshot.deleteWhere(spark, dir, Long.MinValue, Long.MaxValue)
+    assert(v2 == 2)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m2.files.isEmpty, "delete-all publishes a zero-file manifest")
+    // the empty version READS: schema intact, zero rows — and time
+    // travel still serves the full pre-delete state
+    val empty = Snapshot.read(spark, dir)
+    assert(empty.columns.toSeq == Seq("k", "v", "verdict"))
+    assert(empty.count() == 0)
+    assert(state(dir, 1).size == 800)
+    // history and the change feed work over the empty version: the
+    // delete-all diff is exactly 800 D rows
+    assert(Snapshot.history(spark, dir).count() == 2)
+    val feed = Snapshot.changeFeed(spark, dir, 1, 2, "k")
+    assert(feed.filter(col("change_type") === "D").count() == 800)
+    assert(feed.count() == 800)
+    // DML against the empty table: no-ops return the current version
+    assert(Snapshot.deleteWhere(spark, dir, 1L, 10L) == 2)
+    // and an ordinary commit revives it
+    Snapshot.commit(baseRows(100), dir, 2, "k", nFiles = 2)
+    assert(state(dir).size == 100)
+  }
+
+  test("mergeCow whose batch deletes every base row yields an empty table") {
+    val dir = freshDir()
+    import spark.implicits._
+    Snapshot.commit(Seq((8L, "v8", "K")).toDF("k", "v", "verdict"),
+      dir, 0, "k", nFiles = 1)
+    val changes = Seq((8L, "D")).toDF("k", "op")
+    // the PropertySpec generator's delete-all draw, pinned explicitly:
+    // this used to die on the empty-snapshot guard (seed-flaky suite)
+    Snapshot.mergeCow(spark, dir, changes, "k",
+      (base, ch) => base.join(ch, base("k") === ch("k"), "full_outer")
+        .filter(coalesce(col("op"), lit("K")) =!= "D")
+        .select(coalesce(ch("k"), base("k")).as("k"),
+          coalesce(concat(lit("c"), col("op")), col("v")).as("v"),
+          coalesce(col("op"), col("verdict")).as("verdict")),
+      nFiles = 1)
+    assert(Snapshot.read(spark, dir, 2).count() == 0)
+    assert(Snapshot.read(spark, dir, 2).columns.toSeq ==
+      Seq("k", "v", "verdict"))
+  }
+
+  test("nFiles < 1 is refused at every commit-family entry, by name") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    def msg(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    assert(msg(Snapshot.commit(baseRows(), dir, 1, "k", nFiles = 0))
+      .contains("nFiles=0"))
+    assert(msg(Snapshot.mergeCow(spark, dir, baseRows(), "k",
+      (b, _) => b, nFiles = 0)).contains("nFiles=0"))
+    assert(msg(Snapshot.deleteWhere(spark, dir, 1L, 2L, nFiles = -1))
+      .contains("nFiles=-1"))
+    assert(msg(Snapshot.updateWhere(spark, dir, 1L, 2L,
+      Map("v" -> lit("x")), nFiles = 0)).contains("nFiles=0"))
+    assert(msg(Snapshot.stageAppend(baseRows(), dir, nFiles = 0))
+      .contains("nFiles=0"))
+    assert(Snapshot.versions(spark, dir) == Seq(1), "nothing published")
+  }
+
+  test("carried commit refuses a statsCol that differs from the table's") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    val m = Snapshot.manifest(spark, dir, 1)
+    // carried file stats describe 'k'; re-declaring 'v' would make the
+    // pruning read old ranges as the new column's (the GraftSink-append
+    // hazard) — refused with the remedy named
+    val e = intercept[IllegalArgumentException](
+      Snapshot.commit(baseRows(10), dir, 1, "v", carried = m.files,
+        nFiles = 1))
+    assert(e.getMessage.contains("clustering column"))
+    // a FULL rewrite may re-cluster freely
+    import spark.implicits._
+    val recl = (1 to 50).map(i => (i.toLong, i.toLong * 2))
+      .toDF("a", "b")
+    val dir2 = freshDir()
+    Snapshot.commit(recl, dir2, 0, "a", nFiles = 2)
+    Snapshot.commit(recl, dir2, 1, "b", nFiles = 2) // carried = Nil: fine
+    assert(Snapshot.manifest(spark, dir2, 2).statsCol == "b")
+  }
+
+  test("OPTIMIZE on a DV'd table materializes masks and clears vectors") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    Snapshot.deleteWhereDV(spark, dir, 100L, 250L)
+    assert(Snapshot.manifest(spark, dir, 2).dvs.nonEmpty)
+    val preCompact = state(dir)
+    assert(preCompact.size == 800 - 151)
+    val v3 = Snapshot.compactVersion(spark, dir, 128L << 20)
+    val m3 = Snapshot.manifest(spark, dir, v3)
+    assert(m3.dvs.isEmpty, "compaction rewrote through the masks — no " +
+      "vector survives on the fresh files")
+    assert(state(dir, v3) == preCompact, "state identical across OPTIMIZE")
+    // the feed ticks over the maintenance commit without a diff …
+    assert(Snapshot.changeFeed(spark, dir, 2, v3, "k").count() == 0)
+    // … while the DV delete itself still feeds as D rows
+    assert(Snapshot.changeFeed(spark, dir, 1, 2, "k")
+      .filter(col("change_type") === "D").count() == 151)
+  }
+
+  test("UPDATE recomputes generated columns whose references it touches") {
+    val dir = freshDir()
+    import spark.implicits._
+    Snapshot.commit((1 to 100).map(i => (i.toLong, i.toLong * 10))
+      .toDF("k", "amt"), dir, 0, "k", nFiles = 2)
+    Snapshot.addGeneratedColumn(spark, dir, "band", "BIGINT", "amt % 7")
+    // materialize the column into fresh files (v3): from here every row
+    // carries a stored band value consistent with its amt
+    Snapshot.compactVersion(spark, dir, 128L << 20)
+    // SET amt: the stored band of touched rows is stale the moment amt
+    // changes — the verb must recompute it, or the synthetic CHECK
+    // rejects the post-image (the round-14 ADVICE failure)
+    Snapshot.updateWhere(spark, dir, 10L, 20L, Map("amt" -> (col("amt") + 1L)))
+    val rows = Snapshot.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall { case (_, amt, band) => band == amt % 7 },
+      "every row's generated value tracks its post-update reference")
+    assert(rows.filter { case (k, _, _) => k >= 10 && k <= 20 }
+      .forall { case (k, amt, _) => amt == k * 10 + 1 })
+    // the DV twin recomputes too
+    Snapshot.updateWhereDV(spark, dir, 30L, 40L,
+      Map("amt" -> (col("amt") + 2L)))
+    val rows2 = Snapshot.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows2.forall { case (_, amt, band) => band == amt % 7 })
+    // SETting the generated column itself is refused, both verbs
+    assert(intercept[IllegalArgumentException](
+      Snapshot.updateWhere(spark, dir, 1L, 5L, Map("band" -> lit(0L))))
+      .getMessage.contains("generated"))
+    assert(intercept[IllegalArgumentException](
+      Snapshot.updateWhereDV(spark, dir, 1L, 5L, Map("band" -> lit(0L))))
+      .getMessage.contains("generated"))
+  }
+
+  test("publishAppend re-validates a same-name constraint whose SQL changed") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    Snapshot.addConstraint(spark, dir, "c1", "k >= 1")
+    // stage a batch that satisfies c1 as staged …
+    import spark.implicits._
+    val staged = Snapshot.stageAppend(
+      Seq((5000L, "new", "K")).toDF("k", "v", "verdict"), dir, nFiles = 1)
+    // … then swap c1's PREDICATE under the same name: the staged batch
+    // violates the new SQL, and name-keyed validation would skip it
+    Snapshot.dropConstraint(spark, dir, "c1")
+    Snapshot.addConstraint(spark, dir, "c1", "k < 2000")
+    val e = intercept[Snapshot.CheckViolation](
+      Snapshot.publishAppend(spark, dir, staged))
+    assert(e.counts.get("c1").contains(1L))
+    assert(state(dir).size == 800, "the violating append never landed")
+  }
+
+  test("repartitionAdopted re-clusters an adopted tree by path arithmetic") {
+    val dir = freshDir()
+    val lake = freshDir() + "_lake"
+    import spark.implicits._
+    (1 to 400).map(i => (i.toLong, s"v$i", (i % 4).toLong, (i % 10 % 3).toLong))
+      .toDF("id", "v", "band", "grp")
+      .write.partitionBy("band", "grp").parquet(lake)
+    Snapshot.convertParquetHive(spark, dir, lake, "band")
+    val before = Snapshot.manifest(spark, dir, 1)
+    val v2 = Snapshot.repartitionAdopted(spark, dir, "grp")
+    val m2 = Snapshot.manifest(spark, dir, v2)
+    // metadata-only: same files byte-for-byte, new clustering + stats
+    assert(m2.files.map(_.path).sorted == before.files.map(_.path).sorted)
+    assert(m2.statsCol == "grp")
+    assert(m2.files.forall(f => f.min == f.max),
+      "every file's stats are its grp= path value")
+    // pruned read on the NEW axis: only grp=1 directories plan, and the
+    // answer equals a full-scan filter
+    val pruned = Snapshot.readPruned(spark, dir, 1L, 1L)
+    val expect = Snapshot.read(spark, dir).filter(col("grp") === 1L)
+    assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ==
+      expect.collect().map(_.getLong(0)).sorted.toSeq)
+    // maintenance commit: the feed ticks over it without a diff
+    assert(Snapshot.changeFeed(spark, dir, 1, v2, "id").count() == 0)
+    // evolving back is the same arithmetic; same-column is a no-op
+    assert(Snapshot.repartitionAdopted(spark, dir, "grp") == v2)
+    Snapshot.repartitionAdopted(spark, dir, "band")
+    assert(Snapshot.manifest(spark, dir, 3).statsCol == "band")
+    // non-adopted tables refuse: their clustering is physical
+    val local = freshDir()
+    Snapshot.commit(baseRows(), local, 0, "k")
+    assert(intercept[IllegalArgumentException](
+      Snapshot.repartitionAdopted(spark, local, "v"))
+      .getMessage.contains("hive-adopted"))
+    // a column that is not a partition level of the tree refuses
+    assert(intercept[IllegalArgumentException](
+      Snapshot.repartitionAdopted(spark, dir, "nope"))
+      .getMessage.contains("path segment"))
+  }
+
+  test("vacuumReport: dry run counts orphans without touching anything") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k", nFiles = 4)
+    Snapshot.compactVersion(spark, dir, 128L << 20)
+    // both versions retained: everything live, nothing reclaimable
+    val all = Snapshot.vacuumReport(spark, dir, 0L).collect()
+    assert(all.length == 2 && all.forall(_.getAs[Boolean]("live")))
+    assert(all.map(_.getAs[Long]("n_files")).sum == 5) // 4 + 1 compacted
+    // expire v1 WITHOUT reclaiming: its dir turns orphan in the report
+    Snapshot.expireVersions(spark, dir, keep = 1,
+      vacuumGraceMs = Long.MaxValue)
+    val rep = Snapshot.vacuumReport(spark, dir, 0L).collect()
+    assert(rep.count(_.getAs[Boolean]("reclaimable")) == 1)
+    assert(rep.filter(_.getAs[Boolean]("reclaimable"))
+      .map(_.getAs[Long]("n_files")).sum == 4)
+    // the dry run deleted nothing; the grace age gates reclaimability
+    assert(Snapshot.vacuumReport(spark, dir, Long.MaxValue)
+      .filter(col("reclaimable")).count() == 0)
+    assert(Snapshot.read(spark, dir).count() == 800)
+    // the real vacuum takes exactly what the report promised
+    assert(Snapshot.vacuum(spark, dir, 0L).size == 1)
+    assert(Snapshot.vacuumReport(spark, dir, 0L).count() == 1)
+    assert(Snapshot.read(spark, dir).count() == 800)
+  }
+
+  test("DV verbs on an adopted shell fail fast when the COW fallback is needed") {
+    val dir = freshDir()
+    val lake = freshDir() + "_lake"
+    import spark.implicits._
+    (1 to 200).map(i => (i.toLong, s"v$i", (i % 4).toLong))
+      .toDF("id", "v", "band")
+      .write.partitionBy("band").parquet(lake)
+    Snapshot.convertParquetHive(spark, dir, lake, "band")
+    // a tiny maxPositions forces the over-limit branch: on an adopted
+    // shell the COW fallback cannot run — the verb names the remedy
+    // instead of dying mid-verb on the carried-commit guard
+    val e = intercept[IllegalArgumentException](
+      Snapshot.deleteWhereDV(spark, dir, 0L, 3L, maxPositions = 3))
+    assert(e.getMessage.contains("sever"))
+    val e2 = intercept[IllegalArgumentException](
+      Snapshot.updateWhereDV(spark, dir, 0L, 3L, Map("v" -> lit("x")),
+        maxPositions = 3))
+    assert(e2.getMessage.contains("sever"))
+    // within bounds the DV path works as before
+    Snapshot.deleteWhereDV(spark, dir, 1L, 1L, col("id") <= 8)
+    assert(Snapshot.read(spark, dir).count() == 198)
+  }
 }

@@ -108,6 +108,35 @@ class SqlLifecycleSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_alter_probe")
   }
 
+  test("ADD COLUMN accepts parenthesized DDL types; multi-column refuses") {
+    // round-14 ADVICE: the lazy [^)]+? type group truncated
+    // DECIMAL(10,2) to 'DECIMAL(10,2' and died in fromDDL — the spec
+    // drives the fixed split end to end and at the unit seam
+    val (dir, name) = freshRegistered()
+    spark.sql(s"ALTER TABLE $name ADD COLUMN amt DECIMAL(10,2)")
+    val df = Snapshot.read(spark, dir)
+    assert(df.schema("amt").dataType ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    // wrapped form with a generic type
+    spark.sql(s"ALTER TABLE $name ADD COLUMNS (tags ARRAY<STRING>)")
+    assert(Snapshot.read(spark, dir).schema("tags").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    // multi-column shape: refused with the clear message, not a
+    // mis-captured type error
+    val e = intercept[IllegalArgumentException](
+      spark.sql(s"ALTER TABLE $name ADD COLUMNS (x INT, y STRING)"))
+    assert(e.getMessage.contains("one column per statement"))
+    // unit seam: the split itself
+    import graft.plans.GraftSqlParser.parseAddColumnSpec
+    assert(parseAddColumnSpec("c DECIMAL(10,2)") == ("c", "DECIMAL(10,2)"))
+    assert(parseAddColumnSpec("( c  STRUCT<a: INT, b: STRING> )") ==
+      ("c", "STRUCT<a: INT, b: STRING>"))
+    assert(intercept[IllegalArgumentException](
+      parseAddColumnSpec("a INT, b STRING")).getMessage
+      .contains("one column per statement"))
+  }
+
   test("SQL ADD/DROP CONSTRAINT gate commits through the writer") {
     import spark.implicits._
     val (dir, name) = freshRegistered()
