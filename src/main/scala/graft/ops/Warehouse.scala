@@ -475,6 +475,10 @@ object Warehouse extends QueryModule {
                 .as("price"),
               (col("o_orderkey") % 8).cast("int").as("band"),
               (col("o_custkey") % 5).cast("int").as("grp"))
+            // one file per (band, grp) leaf — without this, every one of
+            // the session's tasks writes into every combo and the 40-dir
+            // tree sprays ~task-count × 40 tiny files
+            .repartition(col("band"), col("grp"))
             .write.mode("overwrite").partitionBy("band", "grp")
             .parquet(lake)
           Snapshot.convertParquetHive(s, dir, lake, "band")
