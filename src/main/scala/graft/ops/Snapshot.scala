@@ -407,17 +407,58 @@ object Snapshot {
     vs.zip(raw.scanLeft(Long.MinValue)(math.max).tail)
   }
 
-  /** Parse a committed manifest. Format is line-oriented and
-    * dependency-free: a `v` header line, an optional `t` commit-time
-    * line (epoch-ms; absent in pre-timestamp manifests — round 13), then
-    * one `f` line per file plus typed sidecar lines — `s` declared
-    * columns, `c` CHECK constraints, `m`/`S` per-column file stats
-    * (integral / base64 string), `d` deletion vectors (delta-varint
-    * positions), `b` Bloom sketches — all tab-separated. */
+  /** Driver-side manifest cache. A published manifest is IMMUTABLE
+    * (publish is create-exclusive; nothing ever rewrites one), so its
+    * parsed form can be reused across every verb and session in the
+    * JVM — without it, each read/commit/history/time-travel call
+    * re-reads and re-parses its manifest (megabytes once Bloom sidecars
+    * are stamped), and `history`/`versionAtTimestamp` re-parse EVERY
+    * retained version per call: an O(versions × manifest bytes)
+    * planning tax on a streaming table with hundreds of commits. The
+    * key is (qualified path, mtime, length) — immutability is VERIFIED
+    * per hit by one getFileStatus (an RPC the old exists-check paid
+    * anyway), not assumed, so out-of-band rewrites (restored backups,
+    * test surgery) re-parse instead of serving stale state. Bounded
+    * LRU; entries are treated as read-only by every consumer (DV
+    * arrays and Bloom bit arrays are never mutated in place — commits
+    * build fresh arrays). */
+  private val ManifestCacheSize = 256
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Manifest](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Manifest]): Boolean =
+        size > ManifestCacheSize
+    }
+
+  /** Cold parses since JVM start — the spec's cache observable. */
+  private[graft] val manifestParses =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Parse a committed manifest (cached — see [[manifestCache]]).
+    * Format is line-oriented and dependency-free: a `v` header line, an
+    * optional `t` commit-time line (epoch-ms; absent in pre-timestamp
+    * manifests — round 13), then one `f` line per file plus typed
+    * sidecar lines — `h` stored schema, `s` declared columns, `c` CHECK
+    * constraints, `m`/`S` per-column file stats (integral / base64
+    * string), `d` deletion vectors (delta-varint positions), `b` Bloom
+    * sketches — all tab-separated. */
   def manifest(spark: SparkSession, dir: String, version: Int): Manifest = {
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, version)
-    require(fs.exists(p), s"snapshot v$version does not exist under $dir")
+    val st =
+      try fs.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"requirement failed: snapshot v$version does not exist " +
+              s"under $dir")
+      }
+    val key = (fs.makeQualified(p).toString,
+      st.getModificationTime, st.getLen)
+    val cached = manifestCache.synchronized(manifestCache.get(key))
+    if (cached != null) return cached
+    manifestParses.incrementAndGet()
     val in = fs.open(p)
     val text =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
@@ -502,11 +543,13 @@ object Snapshot {
           s"malformed manifest line in $p: $l")
       }
     }
-    Manifest(hdr(1).toInt, hdr(2), files,
+    val m = Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
       checks.result(), added.result(), colStats.result(),
       strStats.result(), dvs.result(), renames.result(), dropped.result(),
       basePath, genCols.result(), schemaJson)
+    manifestCache.synchronized(manifestCache.put(key, m))
+    m
   }
 
   private def b64enc(s: String): String =
@@ -861,8 +904,12 @@ object Snapshot {
     val v = if (version > 0) version else currentVersion(spark, dir)
     val m = manifest(spark, dir, v)
     val hit = m.files.filter(f => f.min <= hi && f.max >= lo)
-    require(hit.nonEmpty, s"no snapshot file overlaps [$lo,$hi] — " +
-      "empty-result reads need a schema source; read() and filter instead")
+    // zero overlapping files: the stored schema serves a typed empty
+    // frame (round 15); legacy manifests keep the loud failure — their
+    // only schema source is a data file
+    require(hit.nonEmpty || m.schemaJson.nonEmpty,
+      s"no snapshot file overlaps [$lo,$hi] — this legacy manifest has " +
+        "no schema source for an empty result; read() and filter instead")
     readEntries(spark, dir, m, hit)
       .filter(col(logicalName(m, m.statsCol)).between(lo, hi))
   }
@@ -889,7 +936,10 @@ object Snapshot {
     val hit = candidateFilesCols(m, ranges)
     val residual = ranges.map { case (c, lo, hi) => col(c).between(lo, hi) }
       .reduce(_ && _)
-    if (hit.isEmpty) read(spark, dir, v).limit(0).filter(residual)
+    // stored schema: an all-pruned conjunction plans NO scan at all
+    if (hit.isEmpty)
+      (if (m.schemaJson.nonEmpty) readEntries(spark, dir, m, Nil)
+       else read(spark, dir, v).limit(0)).filter(residual)
     else readEntries(spark, dir, m, hit).filter(residual)
   }
 
@@ -2654,7 +2704,11 @@ object Snapshot {
     val v = if (version > 0) version else currentVersion(spark, dir)
     val m = manifest(spark, dir, v)
     val hit = m.files.filter(f => keys.exists(key => mayContain(m, f, pointCol, key)))
-    if (hit.isEmpty) read(spark, dir, v).limit(0)
+    // stored schema: an all-pruned probe plans NO scan at all
+    if (hit.isEmpty)
+      (if (m.schemaJson.nonEmpty) readEntries(spark, dir, m, Nil)
+       else read(spark, dir, v).limit(0))
+        .filter(col(pointCol).isin(keys: _*))
     else readEntries(spark, dir, m, hit)
       .filter(col(pointCol).isin(keys: _*))
   }
@@ -3359,10 +3413,12 @@ object Snapshot {
                      cLo: Long, cHi: Long, version: Int = 0): DataFrame = {
     val hit = prunedFilesBox3(spark, dir, aLo, aHi, bLo, bHi, cLo, cHi,
       version)
-    require(hit.nonEmpty, s"no snapshot file overlaps the box — " +
-      "empty-result reads need a schema source; read() and filter instead")
     val v = if (version > 0) version else currentVersion(spark, dir)
-    readEntries(spark, dir, manifest(spark, dir, v), hit)
+    val m = manifest(spark, dir, v)
+    require(hit.nonEmpty || m.schemaJson.nonEmpty,
+      s"no snapshot file overlaps the box — this legacy manifest has " +
+        "no schema source for an empty result; read() and filter instead")
+    readEntries(spark, dir, m, hit)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi) &&
               col(cCol).between(cLo, cHi))
   }
@@ -3401,10 +3457,12 @@ object Snapshot {
                     aLo: Long, aHi: Long, bLo: Long, bHi: Long,
                     version: Int = 0): DataFrame = {
     val hit = prunedFilesBox(spark, dir, aLo, aHi, bLo, bHi, version)
-    require(hit.nonEmpty, s"no snapshot file overlaps the box — " +
-      "empty-result reads need a schema source; read() and filter instead")
     val v = if (version > 0) version else currentVersion(spark, dir)
-    readEntries(spark, dir, manifest(spark, dir, v), hit)
+    val m = manifest(spark, dir, v)
+    require(hit.nonEmpty || m.schemaJson.nonEmpty,
+      s"no snapshot file overlaps the box — this legacy manifest has " +
+        "no schema source for an empty result; read() and filter instead")
+    readEntries(spark, dir, m, hit)
       .filter(col(aCol).between(aLo, aHi) && col(bCol).between(bLo, bHi))
   }
 }

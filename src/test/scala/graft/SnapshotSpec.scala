@@ -2238,6 +2238,44 @@ class SnapshotSpec extends SparkSpec {
     assert(state(dir).size == 800, "the violating append never landed")
   }
 
+  test("pruned reads that hit zero files serve typed empty frames") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    // the stored schema serves the shape — no file opened, no throw
+    val out = Snapshot.readPruned(spark, dir, 5000L, 6000L)
+    assert(out.columns.toSeq == Seq("k", "v", "verdict"))
+    assert(out.count() == 0)
+    assert(Snapshot.readPoints(spark, dir, "k", Seq(9999L)).count() == 0)
+  }
+
+  test("manifest parse is cached; out-of-band rewrites re-parse by key") {
+    val dir = freshDir()
+    Snapshot.commit(baseRows(), dir, 0, "k")
+    Snapshot.read(spark, dir).count() // cold parse happens here
+    val before = Snapshot.manifestParses.get()
+    // every subsequent access — direct, read-planning, history's full
+    // version walk — serves the immutable content from the cache
+    (1 to 20).foreach(_ =>
+      assert(Snapshot.manifest(spark, dir, 1).files.size == 8))
+    Snapshot.read(spark, dir).count()
+    Snapshot.history(spark, dir).count()
+    assert(Snapshot.manifestParses.get() == before,
+      "immutable manifests parse once per JVM")
+    // immutability is VERIFIED per hit, not assumed: an out-of-band
+    // rewrite (restored backup, test surgery) changes (mtime, length)
+    // and forces a fresh parse instead of serving stale state
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifests/v00001")
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val os = fs.create(p, true)
+    try os.write((txt + "\n").getBytes("UTF-8")) finally os.close()
+    assert(Snapshot.manifest(spark, dir, 1).files.size == 8)
+    assert(Snapshot.manifestParses.get() == before + 1,
+      "a changed manifest file re-parses")
+  }
+
   test("repartitionAdopted re-clusters an adopted tree by path arithmetic") {
     val dir = freshDir()
     val lake = freshDir() + "_lake"
