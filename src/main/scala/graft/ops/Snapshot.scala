@@ -435,6 +435,12 @@ object Snapshot {
   private[graft] val manifestParses =
     new java.util.concurrent.atomic.AtomicLong
 
+  /** Probe/spec hook: drop every cached manifest so the next accesses
+    * measure the true cold path. Never needed in production — the cache
+    * is correct by key. */
+  private[graft] def clearManifestCache(): Unit =
+    manifestCache.synchronized(manifestCache.clear())
+
   /** Parse a committed manifest (cached — see [[manifestCache]]).
     * Format is line-oriented and dependency-free: a `v` header line, an
     * optional `t` commit-time line (epoch-ms; absent in pre-timestamp
