@@ -118,11 +118,6 @@ object Bench {
     // move) reads directly off the artifact.
     def r4(d: Double): Double = math.rint(d * 10000) / 10000
     def r2(d: Double): Double = math.rint(d * 100) / 100
-    // stdout per-query precision is ONE decimal: at 156 queries the
-    // 2-decimal line outgrew the 2000-char tail (round 14); the driver's
-    // regression gate (>1.5x AND >0.1 s) is insensitive below 0.1 s, and
-    // bench_full.json keeps full precision for local adjudication
-    def r1(d: Double): Double = math.rint(d * 10) / 10
     def sid(k: String): String = k.takeWhile(_ != '_')
     // one query per qNN number is the SparkEntry naming contract; a clash
     // would silently drop a key from the JSON map — fail loudly instead
@@ -177,19 +172,20 @@ object Bench {
       val benches = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH(_FULL)?_r\\d+\\.json"))
-      if (benches.isEmpty) Map.empty
-      else {
-        val latest = benches.maxBy(f => (
-          f.getName.replaceAll("\\D", "").toInt,
-          if (f.getName.contains("FULL")) 1 else 0))
-        val isFull = latest.getName.contains("FULL")
+      val curSf = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1))
+      // per-candidate extraction, newest first, FIRST PARSABLE WINS: a
+      // post-round-15 driver artifact carries no per-query map, so
+      // choosing purely by round number would silently yield Map.empty
+      // whenever the BENCH_FULL twin is missing — fall through to the
+      // newest artifact that actually carries comparable numbers
+      def extract(f: java.io.File): Map[String, Double] = {
+        val isFull = f.getName.contains("FULL")
         val txt = new String(
-          java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
         // same-SF rounds only: a local sf0.001 iteration run must not be
         // "compared" against the driver's sf0.1 artifact
         val prevSf = """"sf"\s*:\s*"?(?:[^"]*sf)?([0-9.]+)""".r
           .findFirstMatchIn(txt).map(_.group(1))
-        val curSf = """sf([0-9.]+)""".r.findFirstMatchIn(sfDir).map(_.group(1))
         // FULL artifacts carry mins keyed by FULL query name under "min";
         // legacy driver artifacts carry short-id mins under "queries"
         val i = txt.indexOf(if (isFull) "\"min\"" else "queries")
@@ -201,6 +197,10 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       }
+      benches.sortBy(f => (
+          -f.getName.replaceAll("\\D", "").toInt,
+          if (f.getName.contains("FULL")) 0 else 1))
+        .iterator.map(extract).find(_.nonEmpty).getOrElse(Map.empty)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] prev-round read failed: ${e.getMessage}")
       Map.empty

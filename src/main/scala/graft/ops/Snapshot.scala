@@ -423,11 +423,16 @@ object Snapshot {
     * arrays and Bloom bit arrays are never mutated in place — commits
     * build fresh arrays). */
   private val ManifestCacheSize = 256
+  // SoftReference values: Bloom-stamped manifests run to megabytes, so
+  // a hard 256-entry LRU could pin GBs in a long-lived driver — soft
+  // refs let the GC reclaim entries under heap pressure (a cleared ref
+  // is just a cache miss), while the LRU bounds the entry count
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Long, Long), Manifest](
-      64, 0.75f, true) {
+    new java.util.LinkedHashMap[(String, Long, Long),
+        java.lang.ref.SoftReference[Manifest]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long), Manifest]): Boolean =
+          e: java.util.Map.Entry[(String, Long, Long),
+            java.lang.ref.SoftReference[Manifest]]): Boolean =
         size > ManifestCacheSize
     }
 
@@ -462,8 +467,12 @@ object Snapshot {
       }
     val key = (fs.makeQualified(p).toString,
       st.getModificationTime, st.getLen)
-    val cached = manifestCache.synchronized(manifestCache.get(key))
-    if (cached != null) return cached
+    val cached = manifestCache.synchronized(
+      Option(manifestCache.get(key)).flatMap(r => Option(r.get())))
+    cached match {
+      case Some(m) => return m
+      case None =>
+    }
     manifestParses.incrementAndGet()
     val in = fs.open(p)
     val text =
@@ -554,7 +563,8 @@ object Snapshot {
       checks.result(), added.result(), colStats.result(),
       strStats.result(), dvs.result(), renames.result(), dropped.result(),
       basePath, genCols.result(), schemaJson)
-    manifestCache.synchronized(manifestCache.put(key, m))
+    manifestCache.synchronized(
+      manifestCache.put(key, new java.lang.ref.SoftReference(m)))
     m
   }
 
@@ -1798,6 +1808,14 @@ object Snapshot {
     require(!m.note.startsWith("zorder"),
       s"updateWhereDV against a z-ordered snapshot (note='${m.note}'): " +
         "update on a key-clustered version and re-optimize")
+    // unlike the DV DELETE (manifest-only), a DV UPDATE always appends
+    // post-image files — which the adopted shell's carried-commit guard
+    // refuses. Fail at ENTRY with the remedy, not mid-verb after the
+    // scan (round-14 ADVICE, extended to the in-bounds path).
+    require(m.basePath.isEmpty,
+      s"updateWhereDV on hive-adopted table $dir: the post-image append " +
+        "cannot mix with path-schema'd files — sever with compactVersion " +
+        "first")
     val touch = m.files.filter(f => f.min <= hi && f.max >= lo)
     if (touch.isEmpty) return cur
     val matched = dvScan(spark, dir, m, touch)
@@ -1807,16 +1825,8 @@ object Snapshot {
       .limit(maxPositions + 1)
       .collect()
     if (hits.isEmpty) return cur
-    if (hits.length > maxPositions) {
-      // same fast-fail as deleteWhereDV: the COW fallback cannot run on
-      // an adopted shell — name the remedy instead of dying mid-verb
-      if (m.basePath.nonEmpty) throw new IllegalArgumentException(
-        s"DV update on hive-adopted table $dir matches more than " +
-          s"$maxPositions rows and the COW fallback cannot run on an " +
-          "adopted shell — sever with compactVersion first, or raise " +
-          "maxPositions")
+    if (hits.length > maxPositions)
       return updateWhere(spark, dir, lo, hi, set, residual, note = note)
-    }
     val dataCols = matched.schema.fieldNames
       .filterNot(c => c == "_dv_f" || c == "_dv_i")
     require(set.keySet.subsetOf(dataCols.toSet),
@@ -2096,6 +2106,15 @@ object Snapshot {
     val missing = refs.filterNot(r => existing.exists(_.equalsIgnoreCase(r)))
     require(missing.isEmpty,
       s"generation expression references unknown column(s) $missing")
+    // a generated column may not reference ANOTHER generated column
+    // (Delta's rule, adopted for the same reason): chained rules would
+    // need dependency-ordered recomputation on UPDATE — one level of
+    // recompute ([[recomputeGenCols]]) is complete only because the
+    // referenced columns are always plain data
+    val genRefs = refs.filter(r => m.genCols.exists(_._1.equalsIgnoreCase(r)))
+    require(genRefs.isEmpty,
+      s"generation expression references generated column(s) $genRefs — " +
+        "generated columns may only reference plain data columns")
     publish(spark, dir, m.copy(version = cur + 1,
       note = s"schema:gen:$name", ts = 0L,
       genCols = m.genCols :+ ((name, typeDdl, genSql))))
@@ -2333,7 +2352,13 @@ object Snapshot {
       .filter(n => !n.startsWith("_") && !n.startsWith(".") &&
         !n.endsWith(".crc"))
     require(parts.nonEmpty, s"no data files to convert under $srcDir")
-    val df = spark.read.parquet(qualified)
+    // mergeSchema: a foreign estate may carry schema drift across its
+    // files (columns added upstream over time) — a single-footer
+    // inference would stamp a schema that silently HIDES the drifted
+    // columns from every stored-schema read. The footer merge is paid
+    // ONCE here (a parallel metadata-only job — exactly what every
+    // read used to pay per query) and amortizes forever.
+    val df = spark.read.option("mergeSchema", "true").parquet(qualified)
     val dt = df.schema(statsCol).dataType
     require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
         .contains(dt.toString),
@@ -2423,11 +2448,15 @@ object Snapshot {
       FileEntry(p.toString, v, v)
     }
     require(files.nonEmpty, s"no data files to convert under $srcDir")
-    // schema from ONE leaf under basePath (one footer + one partition
-    // path — the partition column types exactly as a full-tree inference
-    // would type them), so adopted-shell reads plan footer-free too
-    val inferred = spark.read.option("basePath", qualified)
-      .parquet(files.head.path).schema
+    // schema from a FULL mergeSchema inference over the tree — a
+    // one-leaf read would silently hide columns that drifted in across
+    // partitions (foreign estates evolve upstream). This is the one
+    // place the adopted shell pays footer reads: a single parallel
+    // metadata-only pass at adopt time, against which every subsequent
+    // read plans footer-free from the stored schema.
+    val inferred = spark.read.option("mergeSchema", "true")
+      .option("basePath", qualified)
+      .parquet(files.map(_.path): _*).schema
     publish(spark, dir, Manifest(1, partCol, files.sortBy(_.path),
       note = s"convert:$srcDir", basePath = qualified,
       schemaJson = asNullableSchema(inferred).json))
@@ -2487,17 +2516,10 @@ object Snapshot {
   def vacuumReport(spark: SparkSession, dir: String,
                    minAgeMs: Long = DefaultVacuumGraceMs): DataFrame = {
     val fs = fsOf(spark, dir)
-    val dataDir = new Path(dir, "data")
     import spark.implicits._
-    if (!fs.exists(dataDir))
-      return Seq.empty[(String, Long, Long, Long, Boolean, Boolean)]
-        .toDF("dir", "n_files", "bytes", "age_ms", "live", "reclaimable")
-    val live = versions(spark, dir)
-      .flatMap(v => manifest(spark, dir, v).files)
-      .filterNot(f => isAbsolutePath(f.path))
-      .map(_.path.split('/')(1)).toSet
     val now = System.currentTimeMillis()
-    val rows = fs.listStatus(dataDir).toSeq.filter(_.isDirectory).map { st =>
+    val live = liveDataDirs(spark, dir)
+    val rows = dataDirStatuses(spark, dir).map { st =>
       val n = st.getPath.getName
       // count DATA files only — _SUCCESS markers and checksum sidecars
       // are committer debris, not reclaimable data (the writeDataFiles
@@ -2507,10 +2529,12 @@ object Snapshot {
           val kn = k.getPath.getName
           !kn.startsWith("_") && !kn.startsWith(".") && !kn.endsWith(".crc")
         }
-      val age = now - st.getModificationTime
-      val isLive = live.contains(n)
-      (n, kids.size.toLong, kids.map(_.getLen).sum, age,
-        isLive, !isLive && age >= minAgeMs)
+      // liveness and reclaimability come from the SAME helpers the real
+      // vacuum executes — the report can never promise one thing while
+      // vacuum does another
+      (n, kids.size.toLong, kids.map(_.getLen).sum,
+        now - st.getModificationTime,
+        live.contains(n), isReclaimable(live, st, now, minAgeMs))
     }
     rows.sortBy(_._1)
       .toDF("dir", "n_files", "bytes", "age_ms", "live", "reclaimable")
@@ -2755,6 +2779,35 @@ object Snapshot {
     * quiescent (tests, a maintenance window). */
   val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
 
+  /** Local data-directory names referenced by ANY retained manifest.
+    * Absolute entries (a shallow clone's source references) live
+    * outside this table's data/ and neither protect nor match local
+    * dirs — only relative entries pin local data. The ONE liveness
+    * definition [[vacuum]] and [[vacuumReport]] share, so the dry run
+    * can never promise one thing while the verb does another. */
+  private def liveDataDirs(spark: SparkSession, dir: String): Set[String] =
+    versions(spark, dir)
+      .flatMap(v => manifest(spark, dir, v).files)
+      .filterNot(f => isAbsolutePath(f.path))
+      .map(_.path.split('/')(1)).toSet
+
+  /** The table's data directories (empty when none exist yet). */
+  private def dataDirStatuses(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = fsOf(spark, dir)
+    val dataDir = new Path(dir, "data")
+    if (!fs.exists(dataDir)) Seq.empty
+    else fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
+  }
+
+  /** The reclaim decision, shared verbatim by [[vacuum]] and
+    * [[vacuumReport]]: unreferenced AND past the grace age. */
+  private def isReclaimable(live: Set[String],
+                            st: org.apache.hadoop.fs.FileStatus,
+                            now: Long, minAgeMs: Long): Boolean =
+    !live.contains(st.getPath.getName) &&
+      now - st.getModificationTime >= minAgeMs
+
   /** Reclaim data directories no committed manifest references — the
     * debris of crashed or lost commits — that are at least `minAgeMs`
     * old by directory mtime (see [[DefaultVacuumGraceMs]] for why young
@@ -2764,21 +2817,12 @@ object Snapshot {
   def vacuum(spark: SparkSession, dir: String,
              minAgeMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     val fs = fsOf(spark, dir)
-    val dataDir = new Path(dir, "data")
-    if (!fs.exists(dataDir)) return Seq.empty
-    // absolute entries (a shallow clone's source references) live
-    // outside this table's data/ and neither protect nor match local
-    // dirs — only relative entries pin local data
-    val live = versions(spark, dir)
-      .flatMap(v => manifest(spark, dir, v).files)
-      .filterNot(f => isAbsolutePath(f.path))
-      .map(_.path.split('/')(1)).toSet
+    val live = liveDataDirs(spark, dir)
     val now = System.currentTimeMillis()
-    val dead = fs.listStatus(dataDir).toSeq.filter(_.isDirectory)
-      .filter(st => !live.contains(st.getPath.getName) &&
-        now - st.getModificationTime >= minAgeMs)
+    val dead = dataDirStatuses(spark, dir)
+      .filter(st => isReclaimable(live, st, now, minAgeMs))
       .map(_.getPath.getName)
-    dead.foreach(d => fs.delete(new Path(dataDir, d), true))
+    dead.foreach(d => fs.delete(new Path(new Path(dir, "data"), d), true))
     dead.sorted
   }
 

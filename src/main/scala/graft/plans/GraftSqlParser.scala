@@ -153,7 +153,15 @@ private[graft] object GraftSqlParser {
     var depth = 0
     spec.foreach {
       case '(' | '<' => depth += 1
-      case ')' | '>' => depth -= 1
+      case ')' | '>' =>
+        depth -= 1
+        // below zero = the stripped wrapper did not pair — e.g.
+        // '(x INT), (y STRING)' strips to 'x INT), (y STRING', whose
+        // top-level comma would otherwise hide at depth -1 and reach
+        // fromDDL as garbage
+        if (depth < 0) throw new IllegalArgumentException(
+          "ALTER TABLE … ADD COLUMNS with multiple columns is not " +
+            "supported — add one column per statement")
       case ',' if depth == 0 => throw new IllegalArgumentException(
         "ALTER TABLE … ADD COLUMNS with multiple columns is not " +
           "supported — add one column per statement")

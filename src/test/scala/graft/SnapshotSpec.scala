@@ -2218,6 +2218,12 @@ class SnapshotSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       Snapshot.updateWhereDV(spark, dir, 1L, 5L, Map("band" -> lit(0L))))
       .getMessage.contains("generated"))
+    // chained rules are refused at declaration (Delta's rule): the
+    // single-level UPDATE recompute is complete only because generation
+    // expressions always reference plain data columns
+    assert(intercept[IllegalArgumentException](
+      Snapshot.addGeneratedColumn(spark, dir, "band2", "BIGINT",
+        "band + 1")).getMessage.contains("plain data columns"))
   }
 
   test("publishAppend re-validates a same-name constraint whose SQL changed") {

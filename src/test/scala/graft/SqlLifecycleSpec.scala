@@ -135,6 +135,11 @@ class SqlLifecycleSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       parseAddColumnSpec("a INT, b STRING")).getMessage
       .contains("one column per statement"))
+    // unbalanced wrapper strip: '(x INT), (y STRING)' strips to
+    // 'x INT), (y STRING' whose comma hides at depth -1 — still refused
+    assert(intercept[IllegalArgumentException](
+      parseAddColumnSpec("(x INT), (y STRING)")).getMessage
+      .contains("one column per statement"))
   }
 
   test("SQL ADD/DROP CONSTRAINT gate commits through the writer") {
