@@ -446,6 +446,14 @@ object Snapshot {
   private[graft] def clearManifestCache(): Unit =
     manifestCache.synchronized(manifestCache.clear())
 
+  /** Probe hook: publish a synthetic v1 manifest through the REAL
+    * publish path (serialize + tmp + atomic link) without writing data
+    * files — ManifestScaleProbe times the metadata envelope alone. */
+  private[graft] def commitManifestForProbe(spark: SparkSession,
+                                            dir: String,
+                                            files: Seq[FileEntry]): Unit =
+    publish(spark, dir, Manifest(1, "k", files))
+
   /** Parse a committed manifest (cached — see [[manifestCache]]).
     * Format is line-oriented and dependency-free: a `v` header line, an
     * optional `t` commit-time line (epoch-ms; absent in pre-timestamp
