@@ -2682,18 +2682,31 @@ object Snapshot {
     val paths = m.files.map(_.path)
     val df = read(spark, dir, cur)
     // route each column by dtype: integral → colStats (long ranges),
-    // string → strStats (UTF8-ordered ranges); anything else refuses
-    val isStr = cols.map { c =>
+    // DATE → colStats as epoch-DAYS (the front door translates pushed
+    // java.sql.Date/LocalDate bounds to the same unit — date ranges are
+    // THE warehouse predicate, and they prune from the identical long
+    // candidacy arithmetic), string → strStats (UTF8-ordered ranges);
+    // anything else refuses
+    val (asLong, asDate, asStr) = (0, 1, 2)
+    val route = cols.map { c =>
       val dt = df.schema(df.schema.fieldIndex(c)).dataType
       dt.toString match {
-        case "ByteType" | "ShortType" | "IntegerType" | "LongType" => false
-        case "StringType" => true
+        case "ByteType" | "ShortType" | "IntegerType" | "LongType" => asLong
+        case "DateType" => asDate
+        case "StringType" => asStr
         case other => throw new IllegalArgumentException(
-          s"stats column must be integral or string, got $other for $c")
+          s"stats column must be integral, date, or string, got $other for $c")
       }
     }
+    val isStr = route.map(_ == asStr)
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      val cast = if (isStr(i)) col(c) else col(c).cast("long")
+      val cast = route(i) match {
+        case `asStr`  => col(c)
+        // days since 1970-01-01 — java.sql.Date.toLocalDate.toEpochDay's
+        // unit, which is what the probe side computes
+        case `asDate` => datediff(col(c), lit("1970-01-01")).cast("long")
+        case _        => col(c).cast("long")
+      }
       Seq(min(cast).as(s"mn$i"), max(cast).as(s"mx$i")) }
     val perFile = df
       .groupBy(input_file_name().as("f"))

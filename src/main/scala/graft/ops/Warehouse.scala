@@ -517,6 +517,42 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The DATE-STATS table (q163), built once per (session, dir): orders
+    * accreted as one carried commit PER ORDER YEAR (1992–1998, clustered
+    * on the epoch-day key — the time-ordered ingest shape), each file
+    * therefore covering one year, then [[Snapshot.optimizeStats]] stamps
+    * per-file (min,max) of the DateType `o_date` column as epoch-days.
+    * A date-range predicate through the front door prunes to exactly
+    * its years' files from manifest arithmetic. A year empty at tiny
+    * SFs commits a legal zero-file version and the carry chain holds. */
+  private[graft] def dateOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#date", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_date_$sfx"
+          val base = T.orders(s, d).select(
+            col("o_orderkey").as("order_key"),
+            col("o_orderstatus").as("status"),
+            F.dec2(col("o_totalprice")).cast(DecimalType(21, 3))
+              .as("price"),
+            // the fixture's o_orderdate is TimestampNTZ — cast to a true
+            // DATE column, the dtype this feature serves
+            col("o_orderdate").cast(DateType).as("o_date"),
+            datediff(col("o_orderdate"), lit("1970-01-01")).as("dday"))
+          (1995 to 2001).foreach { y =>
+            val cur = Snapshot.currentVersion(s, dir)
+            val carried =
+              if (cur == 0) Nil else Snapshot.manifest(s, dir, cur).files
+            Snapshot.commit(base.filter(year(col("o_date")) === y),
+              dir, cur, "dday", carried, nFiles = 1)
+          }
+          Snapshot.optimizeStats(s, dir, Seq("o_date"))
+          dir
+        })
+    }
+
   /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
     * history replayed into its own dir (v1 load → v2 delete → v3
     * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
@@ -1305,6 +1341,32 @@ object Warehouse extends QueryModule {
         .orderBy(col("band"))
     }),
 
+    "q163_stats_date" -> ((s, d) => {
+      // DATE file stats ([[dateOrders]] → [[Snapshot.optimizeStats]]
+      // routing the DateType `o_date` to epoch-day colStats sidecars):
+      // the per-year accreted table serves a 1997 date-range predicate
+      // through the registered front door with the scan PLANNED down to
+      // the one file whose stamp overlaps the year — a date range is
+      // THE warehouse predicate, pruned with no rewrite from manifest
+      // arithmetic alone. `n_pruned` carries the engine's own planned
+      // count; the oracle pins it at 1 and recomputes the rollup from
+      // the 1997 slice of raw orders.
+      val dir = dateOrders(s, d)
+      val cur = Snapshot.currentVersion(s, dir)
+      val m = Snapshot.manifest(s, dir, cur)
+      val lo = java.sql.Date.valueOf("1997-01-01")
+      val hi = java.sql.Date.valueOf("1997-12-31")
+      val planned = graft.sources.SourcePruning.candidates(m,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("o_date", lo),
+          org.apache.spark.sql.sources.LessThanOrEqual("o_date", hi)))
+      s.read.format("graft").load(dir)
+        .filter(col("o_date").between(lit(lo), lit(hi)))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .withColumn("n_pruned", lit(planned.size.toLong))
+        .orderBy(col("status"))
+    }),
+
     "q160_empty_version" -> ((s, d) => {
       // EMPTY VERSION as a legal state ([[emptyOrders]]): v2 deleted
       // every row — a zero-file manifest whose stored schema serves the
@@ -1923,6 +1985,17 @@ object Warehouse extends QueryModule {
         |FROM st
         |WHERE band BETWEEN 2 AND 5 AND NOT (band = 3 AND status = 'F')
         |GROUP BY band ORDER BY band
+        |""".stripMargin,
+
+    "q163_stats_date" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31')
+        |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
+        |       CAST(1 AS BIGINT) AS n_pruned
+        |FROM st GROUP BY status ORDER BY status
         |""".stripMargin,
 
     "q160_empty_version" ->

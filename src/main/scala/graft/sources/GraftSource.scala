@@ -263,6 +263,12 @@ private[graft] object SourcePruning {
     case s: Short => Some(s.toLong)
     case i: Int   => Some(i.toLong)
     case l: Long  => Some(l)
+    // DATE bounds translate to epoch-days — the unit optimizeStats
+    // stamps DateType sidecars in, so `WHERE o_date BETWEEN …` prunes
+    // from the same long candidacy arithmetic as any integral range
+    // (both Date spellings: java8API off/on)
+    case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
     case _        => None
   }
 

@@ -623,6 +623,33 @@ class SourceSpec extends SparkSpec {
       Seq(137L))
   }
 
+  test("date stats prune pushed date ranges at planning") {
+    val dir = Warehouse.dateOrders(spark, sf)
+    val cur = Snapshot.currentVersion(spark, dir)
+    val m = Snapshot.manifest(spark, dir, cur)
+    def d(s: String) = java.sql.Date.valueOf(s)
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      SourcePruning.candidates(m, fs).size
+    // per-year files: a one-year range plans exactly its file, a
+    // two-year range two, a pre-1992 range zero
+    assert(planned(GreaterThanOrEqual("o_date", d("1997-01-01")),
+      LessThanOrEqual("o_date", d("1997-12-31"))) == 1)
+    assert(planned(GreaterThanOrEqual("o_date", d("1997-06-01")),
+      LessThanOrEqual("o_date", d("1998-06-01"))) == 2)
+    assert(planned(LessThanOrEqual("o_date", d("1994-12-31"))) == 0)
+    // the java8API LocalDate spelling translates identically
+    assert(planned(EqualTo("o_date",
+      java.time.LocalDate.parse("1997-07-01"))) <= 1)
+    // pruning is a pure optimization: the answer matches the direct read
+    val viaSource = spark.read.format("graft").load(dir)
+      .filter(col("o_date").between(lit(d("1997-01-01")),
+        lit(d("1997-12-31"))))
+    val direct = Snapshot.read(spark, dir)
+      .filter(col("o_date").between(lit(d("1997-01-01")),
+        lit(d("1997-12-31"))))
+    assert(sorted(viaSource.drop("dday")) == sorted(direct.drop("dday")))
+  }
+
   test("format(graft) sink: update mode and partitionBy are refused") {
     intercept[IllegalArgumentException] {
       new graft.sources.GraftSink(spark, "/nonexistent", Some("k"), 8,
