@@ -170,13 +170,17 @@ object Snapshot {
     * their manifests carry no `s` lines — time travel reads the schema
     * of its day.
     *
-    * `colStats` are OPTIONAL per-column (min,max) file stats beyond the
+    * `colStats` are per-column (min,max) file stats beyond the
     * clustering column, keyed (file path, column) like `blooms` —
-    * stamped by [[optimizeStats]], carried across COW merges for
-    * untouched files, dropped for rewritten ones (degraded-not-wrong:
-    * an unstamped file is always a scan candidate). They let a range
-    * predicate on a SECOND column prune files without z-ordering
-    * ([[readPrunedCols]]).
+    * AUTO-STAMPED for eligible columns (integral + DATE as epoch-days,
+    * first 32) inside every write's stats pass (round 15 — Delta's
+    * dataSkippingNumIndexedCols discipline: files are skippable from
+    * birth and COW rewrites re-stamp), re-stampable by
+    * [[optimizeStats]] (legacy tables, or after widening the set),
+    * carried across COW merges for untouched files. An unstamped
+    * (file, column) is always a scan candidate — degraded, never
+    * wrong. They let a range predicate on a SECOND column prune files
+    * without z-ordering ([[readPrunedCols]]).
     *
     * `strStats` are the STRING twin of `colStats` — per-file (min,max)
     * over string columns, keyed (file path, column), stamped by
@@ -1023,17 +1027,97 @@ object Snapshot {
       bad.map { case (n, _, c) => n -> c }.toMap)
   }
 
+  /** Write-path AUTO-STATS cap (Delta's dataSkippingNumIndexedCols
+    * discipline): the commit's stats pass stamps per-file (min,max) for
+    * the first 32 eligible non-clustering columns — integral and DATE
+    * (epoch-days) into `colStats`, STRING into `strStats` — so every
+    * file is skippable on every eligible column from BIRTH, and a COW
+    * rewrite re-stamps instead of degrading until the next
+    * optimizeStats. String stamps are taken only when the file's widest
+    * value fits [[AutoStatsMaxStrBytes]] UTF-8 bytes: a long-text
+    * column (document bodies) would otherwise copy its min/max values
+    * into the manifest, and a truncated bound is not sound as a MAX
+    * under byte order — unstamped stays the honest fallback (always a
+    * candidate, never wrong). */
+  private val AutoStatsMaxCols = 32
+  private val AutoStatsMaxStrBytes = 64
+
+  /** A write's manifest contributions: file entries plus the auto-stats
+    * sidecars stamped inside the same stats pass. */
+  private[graft] final case class WriteStats(
+      files: Seq[FileEntry],
+      colStats: Map[(String, String), (Long, Long)],
+      strStats: Map[(String, String), (String, String)])
+
+  /** The eligible auto-stats columns of a frame: (name, kind) where
+    * kind 0 = integral, 1 = date, 2 = string. */
+  private def autoStatsCols(df: DataFrame,
+                            statsCol: String): Seq[(String, Int)] =
+    df.schema.fields.iterator
+      .filterNot(_.name.equalsIgnoreCase(statsCol))
+      .flatMap { f =>
+        f.dataType.toString match {
+          case "ByteType" | "ShortType" | "IntegerType" | "LongType" =>
+            Some(f.name -> 0)
+          case "DateType"   => Some(f.name -> 1)
+          case "StringType" => Some(f.name -> 2)
+          case _            => None
+        }
+      }.take(AutoStatsMaxCols).toSeq
+
+  /** The per-column aggregate expressions an auto-stats pass adds to a
+    * stats job already running — kind-routed exactly like
+    * [[optimizeStats]] (dates in epoch-days), strings carrying a third
+    * max-byte-length aggregate for the stampability gate. */
+  private def autoStatsAggs(auto: Seq[(String, Int)]): Seq[Column] =
+    auto.zipWithIndex.flatMap { case ((c, kind), j) =>
+      val key = kind match {
+        case 0 => col(c).cast("long")
+        case 1 => datediff(col(c), lit("1970-01-01")).cast("long")
+        case _ => col(c)
+      }
+      Seq(min(key).as(s"_as${j}_mn"), max(key).as(s"_as${j}_mx")) ++
+        (if (kind == 2)
+           Seq(max(octet_length(col(c))).cast("long").as(s"_as${j}_len"))
+         else Nil)
+    }
+
+  /** Fold one file's auto-stats aggregates into the sidecar builders.
+    * All-NULL columns (or over-wide strings) simply do not stamp. */
+  private def collectAutoStats(path: String, auto: Seq[(String, Int)],
+      get: String => Any,
+      colB: scala.collection.mutable.Builder[
+        ((String, String), (Long, Long)), Map[(String, String), (Long, Long)]],
+      strB: scala.collection.mutable.Builder[
+        ((String, String), (String, String)),
+        Map[(String, String), (String, String)]]): Unit =
+    auto.zipWithIndex.foreach { case ((c, kind), j) =>
+      (get(s"_as${j}_mn"), get(s"_as${j}_mx")) match {
+        case (null, _) | (_, null) => ()
+        case (mn, mx) if kind == 2 =>
+          val wide = get(s"_as${j}_len").asInstanceOf[Long]
+          if (wide <= AutoStatsMaxStrBytes)
+            strB += ((path, c) -> (mn.asInstanceOf[String],
+              mx.asInstanceOf[String]))
+        case (mn, mx) =>
+          colB += ((path, c) -> (mn.asInstanceOf[Long],
+            mx.asInstanceOf[Long]))
+      }
+    }
+
   private def writeDataFiles(df: DataFrame, dir: String, sub: String,
                              statsCol: String, nFiles: Int,
                              checks: Seq[(String, String)] = Nil)
-      : Seq[FileEntry] = {
+      : WriteStats = {
     require(nFiles >= 1,
       s"writeDataFiles needs nFiles >= 1, got nFiles=$nFiles")
     val spark = df.sparkSession
     val out = s"$dir/$sub"
-    // CHECK enforcement rides the stats pass — violation counts are
-    // extra aggregate columns on jobs that run anyway, never a second
-    // scan of the batch
+    val auto = autoStatsCols(df, statsCol)
+    val colB = Map.newBuilder[(String, String), (Long, Long)]
+    val strB = Map.newBuilder[(String, String), (String, String)]
+    // CHECK enforcement and auto-stats ride the stats pass — extra
+    // aggregate columns on jobs that run anyway, never a second scan
     if (nFiles == 1) {
       // single-file commit (micro-batches, narrow COW rewrites): the
       // file's stats ARE the frame's global min/max, so they ride the
@@ -1043,12 +1127,14 @@ object Snapshot {
       val obsCols = Seq(count(lit(1)).as("n"),
         min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx")) ++
         checks.zipWithIndex.map { case ((_, sql), i) =>
-          violations(sql).as(s"chk$i") }
+          violations(sql).as(s"chk$i") } ++
+        autoStatsAggs(auto)
       df.coalesce(1).sortWithinPartitions(col(statsCol))
         .observe(obs, obsCols.head, obsCols.tail: _*)
         .write.mode("overwrite").parquet(out)
       val row = obs.get
-      if (row("n").asInstanceOf[Long] == 0L) return Seq.empty
+      if (row("n").asInstanceOf[Long] == 0L)
+        return WriteStats(Seq.empty, Map.empty, Map.empty)
       val bad = checks.zipWithIndex
         .map { case ((n, sql), i) =>
           (n, sql, row(s"chk$i").asInstanceOf[Long]) }
@@ -1059,8 +1145,11 @@ object Snapshot {
         .map(_.getPath.getName)
         .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
       require(parts.length == 1, s"expected one data file, got ${parts.toSeq}")
-      Seq(FileEntry(s"$sub/${parts.head}",
-        toLongStat(row("mn")), toLongStat(row("mx"))))
+      val path = s"$sub/${parts.head}"
+      collectAutoStats(path, auto, row(_), colB, strB)
+      WriteStats(Seq(FileEntry(path,
+        toLongStat(row("mn")), toLongStat(row("mx")))),
+        colB.result(), strB.result())
     } else {
       df.repartitionByRange(nFiles, col(statsCol))
         .sortWithinPartitions(col(statsCol))
@@ -1068,7 +1157,8 @@ object Snapshot {
       val aggCols = Seq(min(col(statsCol)).as("mn"),
         max(col(statsCol)).as("mx")) ++
         checks.zipWithIndex.map { case ((_, sql), i) =>
-          violations(sql).as(s"chk$i") }
+          violations(sql).as(s"chk$i") } ++
+        autoStatsAggs(auto)
       // explicit schema: the stats pass plans without re-inferring from
       // footers, and an all-empty write (a delete-all commit — zero part
       // files) still resolves instead of failing schema inference
@@ -1081,13 +1171,15 @@ object Snapshot {
           (n, sql, stats.map(_.getAs[Long](s"chk$i")).sum) }
         .filter(_._3 > 0)
       if (bad.nonEmpty) rejectChecks(spark, dir, sub, bad)
-      stats.toSeq.map { r =>
+      val entries = stats.toSeq.map { r =>
         val uri = r.getString(0)
         val i = uri.indexOf(s"/$sub/")
         require(i >= 0, s"unexpected data file location: $uri")
-        FileEntry(s"$sub/${uri.substring(i + sub.length + 2)}",
-          toLongStat(r.get(1)), toLongStat(r.get(2)))
+        val path = s"$sub/${uri.substring(i + sub.length + 2)}"
+        collectAutoStats(path, auto, n => r.get(r.fieldIndex(n)), colB, strB)
+        FileEntry(path, toLongStat(r.get(1)), toLongStat(r.get(2)))
       }.sortBy(_.path)
+      WriteStats(entries, colB.result(), strB.result())
     }
   }
 
@@ -1296,13 +1388,16 @@ object Snapshot {
       case (n, sql) => n -> physicalCheckSql(spark, p, sql) })
       .getOrElse(checks ++ genChecks)
     val physStats = prior.map(physicalName(_, statsCol)).getOrElse(statsCol)
-    val fresh = writeDataFiles(physDf, dir, sub, physStats, nFiles,
+    val written = writeDataFiles(physDf, dir, sub, physStats, nFiles,
       physChecks)
+    val fresh = written.files
     // Bloom and col-stats sidecars carry AUTOMATICALLY for carried files
     // (a sidecar describes an immutable file, so carrying by path is
     // always sound; making callers thread them through lost sketches
-    // silently) — rewritten files drop theirs until the next
-    // optimizeBloom / optimizeStats
+    // silently). Fresh files get AUTO-STATS stamped inside the write's
+    // own stats pass (WriteStats), so a COW rewrite re-stamps instead of
+    // degrading; Bloom sketches still drop until the next optimizeBloom
+    // (they need a fold pass the write doesn't run).
     val carryPaths = carried.map(_.path).toSet
     val carryBlooms = prior.map(_.blooms.filter {
       case ((p, _), _) => carryPaths.contains(p) }).getOrElse(Map.empty)
@@ -1341,7 +1436,8 @@ object Snapshot {
     }
     val m = Manifest(v, physStats, (carried ++ fresh).sortBy(_.path), note,
       blooms = carryBlooms, checks = checks, addedCols = addedCols,
-      colStats = carryStats, strStats = carryStrStats, dvs = mergedDvs,
+      colStats = carryStats ++ written.colStats,
+      strStats = carryStrStats ++ written.strStats, dvs = mergedDvs,
       renames = prior.map(_.renames).getOrElse(Nil),
       droppedCols = prior.map(_.droppedCols).getOrElse(Nil),
       genCols = gens, schemaJson = schemaJson)
@@ -1390,7 +1486,11 @@ object Snapshot {
                                 baseVersion: Int,
                                 validatedChecks: Set[(String, String)],
                                 suppliedCols: Set[String],
-                                schemaJson: String)
+                                schemaJson: String,
+                                colStats: Map[(String, String), (Long, Long)]
+                                  = Map.empty,
+                                strStats: Map[(String, String),
+                                  (String, String)] = Map.empty)
 
   /** Write `df`'s files under the table WITHOUT committing: the write
     * half of [[appendWithRetry]], validated (z-order guard, declared
@@ -1434,11 +1534,12 @@ object Snapshot {
     val physChecks = (m.checks ++ genChecks).map { case (n, sql) =>
       n -> physicalCheckSql(spark, m, sql) }
     val sub = s"data/a${cur + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
-    val fresh = writeDataFiles(physDf, dir, sub, m.statsCol, nFiles,
+    val written = writeDataFiles(physDf, dir, sub, m.statsCol, nFiles,
       physChecks)
-    StagedAppend(sub, fresh, cur, m.checks.toSet,
+    StagedAppend(sub, written.files, cur, m.checks.toSet,
       physDf.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet,
-      asNullableSchema(physDf.schema).json)
+      asNullableSchema(physDf.schema).json,
+      written.colStats, written.strStats)
   }
 
   /** Publish a staged append on top of WHATEVER the current head is,
@@ -1502,6 +1603,8 @@ object Snapshot {
         publish(spark, dir, m.copy(version = cur + 1,
           files = (m.files ++ staged.files).sortBy(_.path), note = note,
           ts = 0L,
+          colStats = m.colStats ++ staged.colStats,
+          strStats = m.strStats ++ staged.strStats,
           schemaJson = mergeSchemaJson(m.schemaJson, staged.schemaJson)))
         return cur + 1
       } catch {

@@ -1374,12 +1374,18 @@ class SnapshotSpec extends SparkSpec {
       .toDF("k", "k2", "v")
     Snapshot.commit(df, dir, 0, "k")
     val m1 = Snapshot.manifest(spark, dir, 1)
-    assert(Snapshot.candidateFilesCols(m1, Seq(("k2", 701L, 800L))).size == 8,
-      "without sidecar stats every file is a k2-range candidate")
+    // round 15: the write's own stats pass AUTO-STAMPS eligible columns,
+    // so the k2 range prunes from BIRTH — no optimizeStats needed
+    assert(Snapshot.candidateFilesCols(m1, Seq(("k2", 701L, 800L))).size <= 2,
+      "auto-stats must prune the anti-correlated range from birth")
+    // optimizeStats remains the explicit re-stamp verb (legacy tables,
+    // widened column sets) — idempotent over the auto stamps
     assert(Snapshot.optimizeStats(spark, dir, Seq("k2")) == 2)
     val m2 = Snapshot.manifest(spark, dir, 2)
     assert(m2.files == m1.files, "manifest-only maintenance commit")
     assert(m2.colStats.size == 8, "one (min,max) per file, round-tripped")
+    assert(m2.colStats == m1.colStats,
+      "the explicit re-stamp equals the write-path auto stamps")
     assert(Snapshot.changeFeed(spark, dir, 1, 2, "k").isEmpty,
       "the stats commit is maintenance — empty feed")
     // the k2 range now prunes at file level (range-boundary sampling
@@ -1401,22 +1407,26 @@ class SnapshotSpec extends SparkSpec {
     val none = Snapshot.readPrunedCols(spark, dir,
       Seq(("k", 1L, 100L), ("k2", 1L, 100L)))
     assert(none.count() == 0 && none.columns.toSeq == Seq("k", "k2", "v"))
-    // COW carry: the rewritten file drops its stats (degraded-not-wrong,
-    // always a candidate again), untouched files keep theirs
+    // COW carry: untouched files keep their stamps, and the REWRITTEN
+    // file re-stamps inside its own write (round 15 — no degradation
+    // window between a rewrite and the next optimizeStats)
     Snapshot.mergeCow(spark, dir, Seq((42L, 900L)).toDF("ck", "nk2"), "ck",
       (b, c) => b.join(c, b("k") === c("ck"), "left")
         .select(col("k"), coalesce(col("nk2"), col("k2")).as("k2"),
           col("v")), nFiles = 1)
     val m3 = Snapshot.manifest(spark, dir, 3)
-    assert(m3.colStats.size == 7,
-      s"rewritten file drops stats, 7 carry, got ${m3.colStats.size}")
-    val postHits = Snapshot.candidateFilesCols(m3, Seq(("k2", 701L, 800L)))
-    assert(postHits.size < 8 && postHits.exists(f =>
-        !m3.colStats.contains((f.path, "k2"))),
-      "the unstamped rewrite must be a candidate — degraded, never wrong")
+    assert(m3.colStats.size == 8,
+      s"7 carried stamps + the rewrite's fresh auto stamp, got " +
+        s"${m3.colStats.size}")
+    assert(m3.files.forall(f => m3.colStats.contains((f.path, "k2"))),
+      "every file is k2-stamped after the rewrite")
+    assert(Snapshot.candidateFilesCols(m3, Seq(("k2", 701L, 800L))).size < 8)
     // k=42's k2 moved to 900 in the merge, so the range now holds 99
     assert(Snapshot.readPrunedCols(spark, dir, Seq(("k2", 701L, 800L)))
       .count() == 99, "post-merge pruning stays lossless")
+    // ... and the moved value is findable through its NEW stamp
+    assert(Snapshot.readPrunedCols(spark, dir, Seq(("k2", 900L, 900L)))
+      .count() == 1)
   }
 
   test("vacuum grace: a racing vacuum cannot kill an in-flight commit") {
@@ -1499,13 +1509,17 @@ class SnapshotSpec extends SparkSpec {
       Seq(("v", Some("�"), None))).size == 1)
     assert(Snapshot.candidateFilesCols(m, Nil,
       Seq(("v", Some("𝄞 "), None))).isEmpty)
-    // a COW-style carried commit keeps the stamp for untouched files
+    // a COW-style carried commit keeps the stamp for untouched files,
+    // and the fresh file auto-stamps inside its own write (round 15)
     val m2files = m.files
     Snapshot.commit(Seq((10L, "zz")).toDF("k", "v"), dir, 2, "k",
       carried = m2files, nFiles = 1)
     val m3 = Snapshot.manifest(spark, dir, 3)
-    assert(m3.strStats.keySet == m.strStats.keySet,
-      "carried files keep their string stamps; fresh files are unstamped")
+    assert(m.strStats.toSet.subsetOf(m3.strStats.toSet),
+      "carried files keep their string stamps verbatim")
+    val freshStamp = (m3.strStats -- m.strStats.keys).values.toSeq
+    assert(freshStamp == Seq(("zz", "zz")),
+      "the fresh file auto-stamps its own (min,max)")
   }
 
   test("convertParquet adopts a flat lake by metadata; COW diverges locally") {

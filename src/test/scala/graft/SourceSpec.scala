@@ -578,8 +578,9 @@ class SourceSpec extends SparkSpec {
     val dir = Warehouse.channelOrders(spark, sf)
     val cur = Snapshot.currentVersion(spark, dir)
     val m = Snapshot.manifest(spark, dir, cur)
-    assert(m.files.size == 6 && m.strStats.size == 6,
-      "3 channel commits x 2 files, every file stamped")
+    assert(m.files.size == 6 &&
+        m.strStats.keys.count(_._2 == "chan") == 6,
+      "3 channel commits x 2 files, every file chan-stamped")
     def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
       SourcePruning.candidates(m, fs).size
     assert(planned(EqualTo("chan", "organic")) == 2, "equality → 1 commit")
@@ -588,10 +589,12 @@ class SourceSpec extends SparkSpec {
     assert(planned(EqualTo("chan", "zzz")) == 0, "absent value → no files")
     assert(planned(EqualTo("chan", "ads"), EqualTo("chan", "organic")) == 0,
       "contradictory string conjunction → no files")
-    // the version BEFORE optimizeStats has no stamps: everything scans
-    val unstamped = Snapshot.manifest(spark, dir, cur - 1)
-    assert(SourcePruning.candidates(unstamped,
-      Seq(EqualTo("chan", "organic"))).size == 6)
+    // round 15: the version BEFORE the explicit optimizeStats already
+    // prunes — the write path auto-stamped chan at every commit
+    val preOptimize = Snapshot.manifest(spark, dir, cur - 1)
+    assert(SourcePruning.candidates(preOptimize,
+      Seq(EqualTo("chan", "organic"))).size == 2,
+      "write-path auto-stats prune before any optimizeStats")
     // pruning is pure optimization: the answer matches the direct read
     val viaSource = spark.read.format("graft").load(dir)
       .filter(col("chan") === "organic")
