@@ -1061,6 +1061,13 @@ object Snapshot {
             Some(f.name -> 0)
           case "DateType"   => Some(f.name -> 1)
           case "StringType" => Some(f.name -> 2)
+          // timestamps stamp EPOCH-SECONDS (floor): sub-second precision
+          // would not fit one long unit across both timestamp flavors,
+          // and candidacy under truncation stays conservative as long as
+          // the probe side floors too and strict bounds widen to
+          // inclusive (SourcePruning does both). NTZ wall times read as
+          // UTC instants — the engine pins the session zone to UTC.
+          case "TimestampType" | "TimestampNTZType" => Some(f.name -> 3)
           case _            => None
         }
       }.take(AutoStatsMaxCols).toSeq
@@ -1074,6 +1081,7 @@ object Snapshot {
       val key = kind match {
         case 0 => col(c).cast("long")
         case 1 => datediff(col(c), lit("1970-01-01")).cast("long")
+        case 3 => unix_seconds(col(c).cast("timestamp"))
         case _ => col(c)
       }
       Seq(min(key).as(s"_as${j}_mn"), max(key).as(s"_as${j}_mx")) ++
@@ -2790,15 +2798,17 @@ object Snapshot {
     // THE warehouse predicate, and they prune from the identical long
     // candidacy arithmetic), string → strStats (UTF8-ordered ranges);
     // anything else refuses
-    val (asLong, asDate, asStr) = (0, 1, 2)
+    val (asLong, asDate, asStr, asTs) = (0, 1, 2, 3)
     val route = cols.map { c =>
       val dt = df.schema(df.schema.fieldIndex(c)).dataType
       dt.toString match {
         case "ByteType" | "ShortType" | "IntegerType" | "LongType" => asLong
         case "DateType" => asDate
         case "StringType" => asStr
+        case "TimestampType" | "TimestampNTZType" => asTs
         case other => throw new IllegalArgumentException(
-          s"stats column must be integral, date, or string, got $other for $c")
+          s"stats column must be integral, date, timestamp, or string, " +
+            s"got $other for $c")
       }
     }
     val isStr = route.map(_ == asStr)
@@ -2808,6 +2818,9 @@ object Snapshot {
         // days since 1970-01-01 — java.sql.Date.toLocalDate.toEpochDay's
         // unit, which is what the probe side computes
         case `asDate` => datediff(col(c), lit("1970-01-01")).cast("long")
+        // epoch-SECONDS, floored — the probe side floors and widens
+        // strict bounds, so truncation stays conservative
+        case `asTs`   => unix_seconds(col(c).cast("timestamp"))
         case _        => col(c).cast("long")
       }
       Seq(min(cast).as(s"mn$i"), max(cast).as(s"mx$i")) }

@@ -272,6 +272,20 @@ private[graft] object SourcePruning {
     case _        => None
   }
 
+  /** TIMESTAMP bounds → epoch-seconds, FLOORED — the truncated unit the
+    * stamps use. Truncation makes these bounds INEXACT: the caller must
+    * treat them inclusively (a strict `ts > X.5` widens to `>= floor(X)`
+    * — a file whose last row lives in X's second must stay a candidate)
+    * and must NOT feed them to point candidacy. All four timestamp
+    * spellings: TIMESTAMP/NTZ × java8API off/on. */
+  private def asTsSeconds(v: Any): Option[Long] = v match {
+    case t: java.sql.Timestamp => Some(Math.floorDiv(t.getTime, 1000L))
+    case t: java.time.Instant  => Some(t.getEpochSecond)
+    case t: java.time.LocalDateTime =>
+      Some(t.toEpochSecond(java.time.ZoneOffset.UTC))
+    case _ => None
+  }
+
   /** Per-conjunct constraints: integral ranges and string ranges feed
     * [[Snapshot.candidateFilesCols]] (primary + sidecar stats — string
     * bounds serve from the base64 `strStats` sidecars under UTF-8 byte
@@ -299,7 +313,10 @@ private[graft] object SourcePruning {
             // the same hash ([[Snapshot.strHash64]]); files with no
             // sketch stay candidates (mayContain's forall)
             points += ((c, Seq(Snapshot.strHash64(s))))
-          case _ => ()
+          case _ =>
+            // truncated timestamp bound: the flooring makes it a range
+            // over the value's whole second, never a point
+            asTsSeconds(v).foreach(t => ranges += ((c, t, t)))
         }
       }
       case In(c, vs) =>
@@ -308,25 +325,31 @@ private[graft] object SourcePruning {
           ranges += ((c, ks.min, ks.max)); points += ((c, ks))
         } else {
           val ss = vs.toSeq.collect { case s: String => s }
+          val ts = vs.toSeq.flatMap(asTsSeconds)
           if (ss.nonEmpty && ss.length == vs.length) {
             strs += ((c, Some(ss.min(Snapshot.Utf8Order)),
               Some(ss.max(Snapshot.Utf8Order))))
             points += ((c, ss.map(Snapshot.strHash64)))
-          }
+          } else if (ts.nonEmpty && ts.length == vs.length)
+            ranges += ((c, ts.min, ts.max))
         }
       case GreaterThan(c, v) => asLong(v) match {
         case Some(x) =>
           ranges += ((c, if (x == Long.MaxValue) x else x + 1, Long.MaxValue))
         case None => v match {
           case s: String => strs += ((c, Some(s), None))
-          case _         => ()
+          // truncated: strict widens to inclusive — a file ending inside
+          // the bound's second must stay a candidate
+          case _ => asTsSeconds(v).foreach(t =>
+            ranges += ((c, t, Long.MaxValue)))
         }
       }
       case GreaterThanOrEqual(c, v) => asLong(v) match {
         case Some(x) => ranges += ((c, x, Long.MaxValue))
         case None => v match {
           case s: String => strs += ((c, Some(s), None))
-          case _         => ()
+          case _ => asTsSeconds(v).foreach(t =>
+            ranges += ((c, t, Long.MaxValue)))
         }
       }
       case LessThan(c, v) => asLong(v) match {
@@ -334,14 +357,16 @@ private[graft] object SourcePruning {
           ranges += ((c, Long.MinValue, if (x == Long.MinValue) x else x - 1))
         case None => v match {
           case s: String => strs += ((c, None, Some(s)))
-          case _         => ()
+          case _ => asTsSeconds(v).foreach(t =>
+            ranges += ((c, Long.MinValue, t)))
         }
       }
       case LessThanOrEqual(c, v) => asLong(v) match {
         case Some(x) => ranges += ((c, Long.MinValue, x))
         case None => v match {
           case s: String => strs += ((c, None, Some(s)))
-          case _         => ()
+          case _ => asTsSeconds(v).foreach(t =>
+            ranges += ((c, Long.MinValue, t)))
         }
       }
       case _ => ()

@@ -653,6 +653,47 @@ class SourceSpec extends SparkSpec {
     assert(sorted(viaSource.drop("dday")) == sorted(direct.drop("dday")))
   }
 
+  test("timestamp stats prune conservatively under second truncation") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_tsstats_" + java.util.UUID.randomUUID().toString.take(8)
+    // two commits an hour apart, sub-second event times inside each —
+    // auto-stats stamp floored epoch-seconds at write
+    def rows(base: String, off: Int) = (0 until 50).map { i =>
+      (off + i.toLong,
+        java.sql.Timestamp.valueOf(s"$base:00.${100 + i * 7}"))
+    }.toDF("k", "ts")
+    Snapshot.commit(rows("2024-01-01 10:00", 0), dir, 0, "k", nFiles = 1)
+    Snapshot.commit(rows("2024-01-01 11:00", 100), dir, 1, "k",
+      carried = Snapshot.manifest(spark, dir, 1).files, nFiles = 1)
+    val m = Snapshot.manifest(spark, dir, 2)
+    assert(m.colStats.keys.count(_._2 == "ts") == 2,
+      "both files carry auto-stamped timestamp stats")
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      SourcePruning.candidates(m, fs).size
+    // an hour-range predicate plans one file; a pre-history one zero
+    assert(planned(GreaterThanOrEqual("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 11:00:00")),
+      LessThanOrEqual("ts",
+        java.sql.Timestamp.valueOf("2024-01-01 11:59:59"))) == 1)
+    assert(planned(LessThanOrEqual("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 09:00:00"))) == 0)
+    // SUB-SECOND strict bound: every row of file 1 lives inside second
+    // 10:00:00, so `ts > 10:00:00.9` must KEEP that file (truncation
+    // widens strict to inclusive — dropping it would lose the .9xx rows)
+    assert(planned(org.apache.spark.sql.sources.GreaterThan("ts",
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00.9"))) == 2)
+    // java8API Instant spelling translates identically
+    assert(planned(LessThanOrEqual("ts",
+      java.time.Instant.parse("2024-01-01T09:00:00Z"))) == 0)
+    // answer identity through the front door
+    val cut = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.4")
+    val viaSource = spark.read.format("graft").load(dir)
+      .filter(col("ts") > lit(cut))
+    val direct = Snapshot.read(spark, dir).filter(col("ts") > lit(cut))
+    assert(sorted(viaSource) == sorted(direct))
+  }
+
   test("format(graft) sink: update mode and partitionBy are refused") {
     intercept[IllegalArgumentException] {
       new graft.sources.GraftSink(spark, "/nonexistent", Some("k"), 8,
