@@ -30,23 +30,30 @@ object ManifestScaleProbe {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    Seq(10000, 100000, 1000000).foreach { n =>
+    // sidecars = 0: bare file entries; sidecars = 6: a round-15
+    // manifest shape — every write auto-stamps eligible columns, so a
+    // real table carries ~one m/S line per (file, eligible column)
+    for (n <- Seq(10000, 100000, 1000000); sidecars <- Seq(0, 6)) {
       val dir = java.nio.file.Files
-        .createTempDirectory(s"graft_msp_$n").toString + "/t"
+        .createTempDirectory(s"graft_msp_${n}_$sidecars").toString + "/t"
       val files = (0 until n).map(i =>
         FileEntry(f"data/c1_x/part-$i%07d.parquet",
           i.toLong * 1000, i.toLong * 1000 + 999))
+      val colStats = (for {
+        f <- files.iterator; j <- 0 until sidecars
+      } yield (f.path, s"c$j") -> (f.min + j, f.max + j)).toMap
       // exercise the real publish path (serialize + tmp + atomic link)
       val (_, wt) = time(Snapshot.commitManifestForProbe(spark, dir,
-        files))
+        files, colStats))
       Snapshot.clearManifestCache()
       val (m, rt) = time(Snapshot.manifest(spark, dir, 1))
       // the planning arithmetic a pruned read runs over the entries
       val (hit, pt) = time(m.files.count(f =>
         f.min <= 5000000L && f.max >= 4000000L))
       val bytes = new java.io.File(s"$dir/_manifests/v00001").length()
-      println(f"entries=$n%7d publish=${wt}%6.3f s  coldParse=${rt}%6.3f s" +
-        f"  prune=${pt}%6.4f s ($hit hits)  manifestBytes=${bytes}%d")
+      println(f"entries=$n%7d sidecars=$sidecars%d publish=${wt}%6.3f s" +
+        f"  coldParse=${rt}%6.3f s  prune=${pt}%6.4f s ($hit hits)" +
+        f"  manifestBytes=${bytes}%d")
     }
     spark.stop()
   }

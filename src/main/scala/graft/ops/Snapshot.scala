@@ -172,15 +172,19 @@ object Snapshot {
     *
     * `colStats` are per-column (min,max) file stats beyond the
     * clustering column, keyed (file path, column) like `blooms` —
-    * AUTO-STAMPED for eligible columns (integral + DATE as epoch-days,
-    * first 32) inside every write's stats pass (round 15 — Delta's
-    * dataSkippingNumIndexedCols discipline: files are skippable from
-    * birth and COW rewrites re-stamp), re-stampable by
-    * [[optimizeStats]] (legacy tables, or after widening the set),
-    * carried across COW merges for untouched files. An unstamped
-    * (file, column) is always a scan candidate — degraded, never
-    * wrong. They let a range predicate on a SECOND column prune files
-    * without z-ordering ([[readPrunedCols]]).
+    * AUTO-STAMPED for eligible columns inside every write's stats pass
+    * (round 15 — Delta's dataSkippingNumIndexedCols discipline: files
+    * are skippable from birth and COW rewrites re-stamp). Eligible =
+    * the first 32 of: integral (long), DATE (epoch-days), TIMESTAMP /
+    * TIMESTAMP_NTZ (floored epoch-seconds; NTZ derived from wall
+    * FIELDS, so stamps are session-zone-independent), plus STRING
+    * (routed to `strStats`, byte-gated); a gated-out string still
+    * consumes its cap slot (schema-position semantics, like Delta).
+    * Re-stampable by [[optimizeStats]] (legacy tables, or after
+    * widening the set), carried across COW merges for untouched files.
+    * An unstamped (file, column) is always a scan candidate —
+    * degraded, never wrong. They let a range predicate on a SECOND
+    * column prune files without z-ordering ([[readPrunedCols]]).
     *
     * `strStats` are the STRING twin of `colStats` — per-file (min,max)
     * over string columns, keyed (file path, column), stamped by
@@ -454,9 +458,9 @@ object Snapshot {
     * publish path (serialize + tmp + atomic link) without writing data
     * files — ManifestScaleProbe times the metadata envelope alone. */
   private[graft] def commitManifestForProbe(spark: SparkSession,
-                                            dir: String,
-                                            files: Seq[FileEntry]): Unit =
-    publish(spark, dir, Manifest(1, "k", files))
+      dir: String, files: Seq[FileEntry],
+      colStats: Map[(String, String), (Long, Long)] = Map.empty): Unit =
+    publish(spark, dir, Manifest(1, "k", files, colStats = colStats))
 
   /** Parse a committed manifest (cached — see [[manifestCache]]).
     * Format is line-oriented and dependency-free: a `v` header line, an
@@ -490,8 +494,8 @@ object Snapshot {
     val text =
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()
-    val lines = text.linesIterator.toSeq
-    val hdr = lines.head.split('\t')
+    val lines = text.linesIterator
+    val hdr = lines.next().split('\t')
     require((hdr.length == 3 || hdr.length == 4) && hdr(0) == "v",
       s"malformed manifest $p")
     var ts = 0L
@@ -506,7 +510,7 @@ object Snapshot {
     var basePath = ""
     val genCols = Seq.newBuilder[(String, String, String)]
     var schemaJson = ""
-    val files = lines.tail.filter(_.nonEmpty).flatMap { l =>
+    val files = lines.filter(_.nonEmpty).flatMap { l =>
       val c = l.split('\t')
       c(0) match {
         case "c" =>
@@ -569,7 +573,7 @@ object Snapshot {
         case _ => throw new IllegalArgumentException(
           s"malformed manifest line in $p: $l")
       }
-    }
+    }.toVector // force the traversal: the sidecar builders fill here
     val m = Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
       checks.result(), added.result(), colStats.result(),
@@ -1049,41 +1053,70 @@ object Snapshot {
       colStats: Map[(String, String), (Long, Long)],
       strStats: Map[(String, String), (String, String)])
 
-  /** The eligible auto-stats columns of a frame: (name, kind) where
-    * kind 0 = integral, 1 = date, 2 = string. */
+  /** THE dtype → stats-kind routing, shared by the write-path auto
+    * stamps and the explicit [[optimizeStats]] re-stamp: two copies of
+    * unit-critical logic would let the same column's auto stamp and
+    * re-stamp diverge in units — and candidacy has no unit tag, so
+    * that divergence would be silent wrong pruning, not an error.
+    * Kinds: 0 integral (long), 1 DATE (epoch-days), 2 string, 3
+    * TIMESTAMP (floored epoch-seconds — an instant, zone-free), 4
+    * TIMESTAMP_NTZ (floored epoch-seconds of the WALL time as if UTC —
+    * derived from the wall FIELDS, so stamping is independent of
+    * `spark.sql.session.timeZone`; the probe side's
+    * `LocalDateTime.toEpochSecond(UTC)` computes the identical number
+    * in any session zone). */
+  private[graft] def statKindOf(dt: org.apache.spark.sql.types.DataType)
+      : Option[Int] =
+    dt.toString match {
+      case "ByteType" | "ShortType" | "IntegerType" | "LongType" => Some(0)
+      case "DateType"         => Some(1)
+      case "StringType"       => Some(2)
+      case "TimestampType"    => Some(3)
+      case "TimestampNTZType" => Some(4)
+      case _                  => None
+    }
+
+  /** The sidecar KEY expression of a stats kind — the one spelling both
+    * stamp paths aggregate, and the unit contract the driver-side probe
+    * translations mirror ([[graft.sources.SourcePruning]]). Timestamps
+    * floor to seconds (sub-second precision doesn't fit one long unit
+    * across both flavors); the probe compensates by widening strict
+    * bounds to inclusive, keeping truncation conservative. */
+  private[graft] def statKeyExpr(c: String, kind: Int): Column = kind match {
+    case 0 => col(c).cast("long")
+    case 1 => datediff(col(c), lit("1970-01-01")).cast("long")
+    // an instant: unix_seconds is session-zone-free by definition
+    case 3 => unix_seconds(col(c))
+    // NTZ: epoch-seconds of the wall time AS IF UTC, built from the
+    // wall fields — a cast through TimestampType would bake the session
+    // zone into the stamp and mis-prune any differently-zoned reader
+    case 4 =>
+      datediff(col(c).cast("date"), lit("1970-01-01")).cast("long") *
+        lit(86400L) +
+        hour(col(c)).cast("long") * lit(3600L) +
+        minute(col(c)).cast("long") * lit(60L) +
+        second(col(c)).cast("long")
+    case _ => col(c)
+  }
+
+  /** The eligible auto-stats columns of a frame: (name, kind) per
+    * [[statKindOf]]. Note the cap counts ELIGIBLE columns by schema
+    * position (Delta's dataSkippingNumIndexedCols semantics): a string
+    * column whose values fail the byte gate still consumes its slot. */
   private def autoStatsCols(df: DataFrame,
                             statsCol: String): Seq[(String, Int)] =
     df.schema.fields.iterator
       .filterNot(_.name.equalsIgnoreCase(statsCol))
-      .flatMap { f =>
-        f.dataType.toString match {
-          case "ByteType" | "ShortType" | "IntegerType" | "LongType" =>
-            Some(f.name -> 0)
-          case "DateType"   => Some(f.name -> 1)
-          case "StringType" => Some(f.name -> 2)
-          // timestamps stamp EPOCH-SECONDS (floor): sub-second precision
-          // would not fit one long unit across both timestamp flavors,
-          // and candidacy under truncation stays conservative as long as
-          // the probe side floors too and strict bounds widen to
-          // inclusive (SourcePruning does both). NTZ wall times read as
-          // UTC instants — the engine pins the session zone to UTC.
-          case "TimestampType" | "TimestampNTZType" => Some(f.name -> 3)
-          case _            => None
-        }
-      }.take(AutoStatsMaxCols).toSeq
+      .flatMap(f => statKindOf(f.dataType).map(f.name -> _))
+      .take(AutoStatsMaxCols).toSeq
 
   /** The per-column aggregate expressions an auto-stats pass adds to a
-    * stats job already running — kind-routed exactly like
-    * [[optimizeStats]] (dates in epoch-days), strings carrying a third
-    * max-byte-length aggregate for the stampability gate. */
+    * stats job already running — keys per [[statKeyExpr]], strings
+    * carrying a third max-byte-length aggregate for the stampability
+    * gate. */
   private def autoStatsAggs(auto: Seq[(String, Int)]): Seq[Column] =
     auto.zipWithIndex.flatMap { case ((c, kind), j) =>
-      val key = kind match {
-        case 0 => col(c).cast("long")
-        case 1 => datediff(col(c), lit("1970-01-01")).cast("long")
-        case 3 => unix_seconds(col(c).cast("timestamp"))
-        case _ => col(c)
-      }
+      val key = statKeyExpr(c, kind)
       Seq(min(key).as(s"_as${j}_mn"), max(key).as(s"_as${j}_mx")) ++
         (if (kind == 2)
            Seq(max(octet_length(col(c))).cast("long").as(s"_as${j}_len"))
@@ -1262,17 +1295,23 @@ object Snapshot {
       s"G\t${b64enc(n)}\t${b64enc(t)}\t${b64enc(sql)}" }
     val schemaJsonLines =
       if (m.schemaJson.isEmpty) Nil else Seq(s"h\t${b64enc(m.schemaJson)}")
-    val body = (Seq(hdr, tsLine) ++
-        m.files.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
-        schemaJsonLines ++
-        schemaLines ++ renameLines ++ dropLines ++ baseLines ++
-        genLines ++ checkLines ++ statLines ++ strLines ++ dvLines ++
-        bloomLines)
-      .mkString("", "\n", "\n")
+    // STREAM the lines out — a million-file manifest with auto-stats
+    // sidecars runs to hundreds of MB, and materializing it as one
+    // String (plus its getBytes copy) doubled that in transient heap
+    // and dominated publish time (measured in ManifestScaleProbe)
+    val lines: Iterator[String] = Iterator(hdr, tsLine) ++
+      m.files.iterator.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
+      schemaJsonLines.iterator ++
+      schemaLines.iterator ++ renameLines.iterator ++ dropLines.iterator ++
+      baseLines.iterator ++ genLines.iterator ++ checkLines.iterator ++
+      statLines.iterator ++ strLines.iterator ++ dvLines.iterator ++
+      bloomLines.iterator
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
-    val os = fs.create(tmp, true)
-    try os.write(body.getBytes(StandardCharsets.UTF_8)) finally os.close()
+    val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+    try lines.foreach { l =>
+      os.write(l.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+    } finally os.close()
     val dst = manifestPath(dir, m.version)
     publishLock.synchronized {
       if (fs.exists(dst)) {
@@ -2792,60 +2831,34 @@ object Snapshot {
     val m = manifest(spark, dir, cur)
     val paths = m.files.map(_.path)
     val df = read(spark, dir, cur)
-    // route each column by dtype: integral → colStats (long ranges),
-    // DATE → colStats as epoch-DAYS (the front door translates pushed
-    // java.sql.Date/LocalDate bounds to the same unit — date ranges are
-    // THE warehouse predicate, and they prune from the identical long
-    // candidacy arithmetic), string → strStats (UTF8-ordered ranges);
-    // anything else refuses
-    val (asLong, asDate, asStr, asTs) = (0, 1, 2, 3)
+    // ONE routing with the write path ([[statKindOf]]/[[statKeyExpr]]):
+    // integral/date/timestamp → colStats long ranges (days / floored
+    // seconds), string → strStats (UTF8-ordered, byte-gated exactly
+    // like the auto stamps — re-stamping a document column must not
+    // copy its bodies into every manifest); anything else refuses
     val route = cols.map { c =>
       val dt = df.schema(df.schema.fieldIndex(c)).dataType
-      dt.toString match {
-        case "ByteType" | "ShortType" | "IntegerType" | "LongType" => asLong
-        case "DateType" => asDate
-        case "StringType" => asStr
-        case "TimestampType" | "TimestampNTZType" => asTs
-        case other => throw new IllegalArgumentException(
-          s"stats column must be integral, date, timestamp, or string, " +
-            s"got $other for $c")
-      }
+      statKindOf(dt).getOrElse(throw new IllegalArgumentException(
+        s"stats column must be integral, date, timestamp, or string, " +
+          s"got $dt for $c"))
     }
-    val isStr = route.map(_ == asStr)
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      val cast = route(i) match {
-        case `asStr`  => col(c)
-        // days since 1970-01-01 — java.sql.Date.toLocalDate.toEpochDay's
-        // unit, which is what the probe side computes
-        case `asDate` => datediff(col(c), lit("1970-01-01")).cast("long")
-        // epoch-SECONDS, floored — the probe side floors and widens
-        // strict bounds, so truncation stays conservative
-        case `asTs`   => unix_seconds(col(c).cast("timestamp"))
-        case _        => col(c).cast("long")
-      }
-      Seq(min(cast).as(s"mn$i"), max(cast).as(s"mx$i")) }
+    val auto = cols.zip(route)
+    val aggs = autoStatsAggs(auto)
     val perFile = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    def stampsFor(str: Boolean): Map[(String, String), (Any, Any)] =
-      perFile.flatMap { r =>
-        val p = entryOfUri(paths, r.getString(0))
-        cols.zipWithIndex.flatMap { case (c, i) =>
-          // all-NULL / absent column in this file: no stamp (always a
-          // candidate)
-          if (isStr(i) != str || r.isNullAt(1 + 2 * i)) None
-          // sidecar keys stamp PHYSICAL (probes translate)
-          else Some((p, physicalName(m, c)) ->
-            ((r.get(1 + 2 * i), r.get(2 + 2 * i))))
-        }
-      }.toMap
-    val stamped = stampsFor(str = false)
-      .map { case (k, (mn, mx)) =>
-        k -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long]) }
-    val stampedStr = stampsFor(str = true)
-      .map { case (k, (mn, mx)) =>
-        k -> (mn.asInstanceOf[String], mx.asInstanceOf[String]) }
+    val colB = Map.newBuilder[(String, String), (Long, Long)]
+    val strB = Map.newBuilder[(String, String), (String, String)]
+    perFile.foreach { r =>
+      // sidecar keys stamp PHYSICAL (probes translate); all-NULL /
+      // absent columns don't stamp (always a candidate)
+      val p = entryOfUri(paths, r.getString(0))
+      collectAutoStats(p, auto.map { case (c, k) =>
+        physicalName(m, c) -> k }, n => r.get(r.fieldIndex(n)), colB, strB)
+    }
+    val stamped = colB.result()
+    val stampedStr = strB.result()
     val note =
       if (m.note.startsWith("zorder")) m.note
       else s"optimize:stats:${cols.mkString(",")}"

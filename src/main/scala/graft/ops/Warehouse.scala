@@ -518,7 +518,8 @@ object Warehouse extends QueryModule {
     }
 
   /** The DATE-STATS table (q163), built once per (session, dir): orders
-    * accreted as one carried commit PER ORDER YEAR (1992–1998, clustered
+    * accreted as one carried commit PER ORDER YEAR (1995–2001 — the
+    * fixture's actual o_orderdate span, clustered
     * on the epoch-day key — the time-ordered ingest shape), each file
     * therefore covering one year, then [[Snapshot.optimizeStats]] stamps
     * per-file (min,max) of the DateType `o_date` column as epoch-days.

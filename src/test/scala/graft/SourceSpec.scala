@@ -633,8 +633,8 @@ class SourceSpec extends SparkSpec {
     def d(s: String) = java.sql.Date.valueOf(s)
     def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
       SourcePruning.candidates(m, fs).size
-    // per-year files: a one-year range plans exactly its file, a
-    // two-year range two, a pre-1992 range zero
+    // per-year files (fixture span 1995–2001): a one-year range plans
+    // exactly its file, a two-year range two, a PRE-HISTORY range zero
     assert(planned(GreaterThanOrEqual("o_date", d("1997-01-01")),
       LessThanOrEqual("o_date", d("1997-12-31"))) == 1)
     assert(planned(GreaterThanOrEqual("o_date", d("1997-06-01")),
