@@ -44,7 +44,8 @@ object Bench {
         "q156_update_dv", "q157_rename_drop",
         "q158_convert_hive", "q159_generated_col",
         "q160_empty_version", "q161_partition_evolution",
-        "q162_vacuum_report", "q163_stats_date").foreach { w =>
+        "q162_vacuum_report", "q163_stats_date",
+        "q164_stats_decimal").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

@@ -1033,8 +1033,10 @@ object Snapshot {
 
   /** Write-path AUTO-STATS cap (Delta's dataSkippingNumIndexedCols
     * discipline): the commit's stats pass stamps per-file (min,max) for
-    * the first 32 eligible non-clustering columns — integral and DATE
-    * (epoch-days) into `colStats`, STRING into `strStats` — so every
+    * the first 32 eligible non-clustering columns — integral, DATE
+    * (epoch-days), TIMESTAMP[_NTZ] (floored seconds) and
+    * DECIMAL/DOUBLE (saturated micro-units, [[microsOf]]) into
+    * `colStats`, STRING into `strStats` — so every
     * file is skippable on every eligible column from BIRTH, and a COW
     * rewrite re-stamps instead of degrading until the next
     * optimizeStats. String stamps are taken only when the file's widest
@@ -1064,7 +1066,10 @@ object Snapshot {
     * derived from the wall FIELDS, so stamping is independent of
     * `spark.sql.session.timeZone`; the probe side's
     * `LocalDateTime.toEpochSecond(UTC)` computes the identical number
-    * in any session zone). */
+    * in any session zone), 5 DECIMAL/DOUBLE/FLOAT (fixed-point
+    * micro-units — see [[microsOf]]; money ranges are the warehouse
+    * predicate right after dates, and NUMERIC is the reference's money
+    * type, patient_claims_plus_postgres.py:84). */
   private[graft] def statKindOf(dt: org.apache.spark.sql.types.DataType)
       : Option[Int] =
     dt.toString match {
@@ -1073,8 +1078,54 @@ object Snapshot {
       case "StringType"       => Some(2)
       case "TimestampType"    => Some(3)
       case "TimestampNTZType" => Some(4)
+      case "DoubleType" | "FloatType" => Some(5)
+      case s if s.startsWith("DecimalType") => Some(5)
       case _                  => None
     }
+
+  /** Kind-5 stat unit: `value × 10⁶`, floored (`up = false`, for MIN
+    * stamps and lower probe bounds) or ceiled (`up = true`, for MAX
+    * stamps and upper probe bounds), SATURATED to the Long range. The
+    * mapping is monotone non-decreasing, so it commutes with min/max —
+    * the stamp pass aggregates the NATIVE column (exact decimal /
+    * IEEE-ordered double comparisons, no column-side overflow) and this
+    * converts the two driver-side values per (file × column). Floor/
+    * ceil + saturation keep every translation CONSERVATIVE: a decimal
+    * whose scale exceeds 6, a double finer than 1e-6, or a magnitude
+    * past ~9.2e12 widens candidacy, never narrows it. NaN maps to
+    * Long.MaxValue on both sides — Spark orders NaN above every value
+    * (in min/max AND in comparisons), so a NaN-holding file keeps
+    * matching `>= x` probes exactly as its rows do; -0.0 loses its
+    * sign in BigDecimal on both the stamp and probe sides. */
+  private[graft] def microsOf(v: Any, up: Boolean): Long = {
+    def clamp(bd: java.math.BigDecimal): Long = {
+      val shifted = bd.movePointRight(6).setScale(0,
+        if (up) java.math.RoundingMode.CEILING
+        else java.math.RoundingMode.FLOOR)
+      if (shifted.compareTo(MicrosMaxBd) >= 0) Long.MaxValue
+      else if (shifted.compareTo(MicrosMinBd) <= 0) Long.MinValue
+      else shifted.longValueExact()
+    }
+    v match {
+      case bd: java.math.BigDecimal => clamp(bd)
+      case bd: scala.math.BigDecimal => clamp(bd.bigDecimal)
+      case d: java.lang.Double =>
+        if (d.isNaN) Long.MaxValue
+        else if (d.isInfinite)
+          (if (d > 0) Long.MaxValue else Long.MinValue)
+        else clamp(new java.math.BigDecimal(d.doubleValue()))
+      case f: java.lang.Float =>
+        if (f.isNaN) Long.MaxValue
+        else if (f.isInfinite)
+          (if (f > 0) Long.MaxValue else Long.MinValue)
+        else clamp(new java.math.BigDecimal(f.doubleValue()))
+      case other => throw new IllegalArgumentException(
+        s"not a decimal/double stat value: $other " +
+          s"(${other.getClass.getSimpleName})")
+    }
+  }
+  private val MicrosMaxBd = new java.math.BigDecimal(Long.MaxValue)
+  private val MicrosMinBd = new java.math.BigDecimal(Long.MinValue)
 
   /** The sidecar KEY expression of a stats kind — the one spelling both
     * stamp paths aggregate, and the unit contract the driver-side probe
@@ -1096,6 +1147,9 @@ object Snapshot {
         hour(col(c)).cast("long") * lit(3600L) +
         minute(col(c)).cast("long") * lit(60L) +
         second(col(c)).cast("long")
+    // kind 5 aggregates the NATIVE decimal/double — the monotone
+    // micro transform is applied driver-side ([[microsOf]]), where
+    // floor/ceil directionality and saturation are expressible
     case _ => col(c)
   }
 
@@ -1140,6 +1194,11 @@ object Snapshot {
           if (wide <= AutoStatsMaxStrBytes)
             strB += ((path, c) -> (mn.asInstanceOf[String],
               mx.asInstanceOf[String]))
+        case (mn, mx) if kind == 5 =>
+          // min floors, max ceils: the stamped interval always COVERS
+          // the file's true value range under the micro unit
+          colB += ((path, c) -> (microsOf(mn, up = false),
+            microsOf(mx, up = true)))
         case (mn, mx) =>
           colB += ((path, c) -> (mn.asInstanceOf[Long],
             mx.asInstanceOf[Long]))
@@ -1767,6 +1826,21 @@ object Snapshot {
       s"mergeCow against a z-ordered snapshot (note='${m.note}'): the " +
         "stats column is the z interleave, not the merge key — merge on a " +
         "key-clustered version and re-optimize")
+    // Same hazard class, other axis: tables are LONG-clustered by
+    // commit-time contract ([[toLongStat]]), so a non-integral keyCol
+    // (an md5-hex doc id, a decimal) would cast to NULL/truncate below,
+    // match no file range, and the merge would carry every pre-image
+    // file while re-inserting its "changes" — silent duplicates. Refuse
+    // loudly instead of guessing.
+    changes.schema.fields.find(_.name.equalsIgnoreCase(keyCol))
+      .foreach { f =>
+        require(statKindOf(f.dataType).contains(0),
+          s"mergeCow keyCol '$keyCol' must be integral (the table's " +
+            s"long-clustered key domain), got ${f.dataType}: a " +
+            "non-integral key casts to NULL or truncates, matches no " +
+            "file stats range, and the merge would commit silent " +
+            "duplicates — merge on the table's integral key")
+      }
     import spark.implicits._
     val ranges = m.files.map(f => (f.path, f.min, f.max))
       .toDF("path", "mn", "mx")
@@ -2839,8 +2913,8 @@ object Snapshot {
     val route = cols.map { c =>
       val dt = df.schema(df.schema.fieldIndex(c)).dataType
       statKindOf(dt).getOrElse(throw new IllegalArgumentException(
-        s"stats column must be integral, date, timestamp, or string, " +
-          s"got $dt for $c"))
+        s"stats column must be integral, date, timestamp, decimal, " +
+          s"double, or string, got $dt for $c"))
     }
     val auto = cols.zip(route)
     val aggs = autoStatsAggs(auto)

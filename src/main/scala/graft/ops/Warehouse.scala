@@ -554,6 +554,41 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The MONEY-STATS table (q164), built once per (session, dir):
+    * orders accreted as one carried commit PER PRICE BAND (quartile-ish
+    * cuts of o_totalprice), clustered on `order_key` — so the
+    * clustering column does NOT serve a money predicate — with `price`
+    * as DECIMAL(18,2) (NUMERIC is the reference's money type,
+    * patient_claims_plus_postgres.py:84) and `dprice` as its DOUBLE
+    * twin. NO optimizeStats call: the point is the WRITE-PATH auto
+    * stamps ([[Snapshot.statKindOf]] kind 5 — saturated micro-units),
+    * which make every file skippable on both money columns from birth.
+    * A mid-band `BETWEEN` then plans exactly one file. */
+  private[graft] def moneyOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#money", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_money_$sfx"
+          val base = T.orders(s, d).select(
+            col("o_orderkey").as("order_key"),
+            col("o_orderstatus").as("status"),
+            F.dec2(col("o_totalprice")).as("price"),
+            col("o_totalprice").as("dprice"))
+          val cuts = Seq(0.0, 125000.0, 250000.0, 375000.0, 1e9)
+          cuts.sliding(2).foreach { case Seq(lo, hi) =>
+            val cur = Snapshot.currentVersion(s, dir)
+            val carried =
+              if (cur == 0) Nil else Snapshot.manifest(s, dir, cur).files
+            Snapshot.commit(
+              base.filter(col("dprice") >= lo && col("dprice") < hi),
+              dir, cur, "order_key", carried, nFiles = 1)
+          }
+          dir
+        })
+    }
+
   /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
     * history replayed into its own dir (v1 load → v2 delete → v3
     * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
@@ -1368,6 +1403,31 @@ object Warehouse extends QueryModule {
         .orderBy(col("status"))
     }),
 
+    "q164_stats_decimal" -> ((s, d) => {
+      // DECIMAL file stats ([[moneyOrders]] → write-path kind-5 auto
+      // stamps, saturated micro-units): a money `BETWEEN` through the
+      // registered front door PLANS exactly the one band file whose
+      // stamp overlaps [260000, 370000] — the reference's NUMERIC money
+      // type pruned at file level from manifest arithmetic alone, no
+      // optimizeStats pass and no layout rewrite. `n_pruned` carries
+      // the engine's own planned count; the oracle pins it at 1 and
+      // recomputes the rollup from the raw orders slice.
+      val dir = moneyOrders(s, d)
+      val cur = Snapshot.currentVersion(s, dir)
+      val m = Snapshot.manifest(s, dir, cur)
+      val lo = new java.math.BigDecimal("260000.00")
+      val hi = new java.math.BigDecimal("370000.00")
+      val planned = graft.sources.SourcePruning.candidates(m,
+        Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("price", lo),
+          org.apache.spark.sql.sources.LessThanOrEqual("price", hi)))
+      s.read.format("graft").load(dir)
+        .filter(col("price").between(lit(lo), lit(hi)))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+        .withColumn("n_pruned", lit(planned.size.toLong))
+        .orderBy(col("status"))
+    }),
+
     "q160_empty_version" -> ((s, d) => {
       // EMPTY VERSION as a legal state ([[emptyOrders]]): v2 deleted
       // every row — a zero-file manifest whose stored schema serves the
@@ -1994,6 +2054,19 @@ object Warehouse extends QueryModule {
         |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(21,3)) AS price
         |  FROM orders
         |  WHERE o_orderdate BETWEEN DATE '1997-01-01' AND DATE '1997-12-31')
+        |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
+        |       CAST(1 AS BIGINT) AS n_pruned
+        |FROM st GROUP BY status ORDER BY status
+        |""".stripMargin,
+
+    "q164_stats_decimal" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |  WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |        BETWEEN CAST(260000.00 AS DECIMAL(18,2))
+        |            AND CAST(370000.00 AS DECIMAL(18,2)))
         |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
         |       CAST(1 AS BIGINT) AS n_pruned
         |FROM st GROUP BY status ORDER BY status

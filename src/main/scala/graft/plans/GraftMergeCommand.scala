@@ -108,7 +108,11 @@ final case class GraftMergeCommand(dir: String,
       else conjuncts(cond).collectFirst {
         case EqualTo(a, b) if isStatsAttr(a) && sourceOnly(b) => b
         case EqualTo(a, b) if isStatsAttr(b) && sourceOnly(a) => a
-      }
+        // non-integral source side (analysis normally casts both sides
+        // long when the target key is long, so this is belt-and-braces):
+        // a NULL/truncating cast below would select NO files and commit
+        // duplicates — fall back to the always-correct full rewrite
+      }.filter(k => Snapshot.statKindOf(k.dataType).contains(0))
     val touched: Set[String] = keyExpr match {
       case Some(k) =>
         import session.implicits._

@@ -286,6 +286,21 @@ private[graft] object SourcePruning {
     case _ => None
   }
 
+  /** DECIMAL/DOUBLE/FLOAT bounds → the kind-5 micro-unit
+    * ([[Snapshot.microsOf]]): floored for LOWER bounds (`up = false`),
+    * ceiled for UPPER (`up = true`) — the directions that can only
+    * WIDEN candidacy. INEXACT whenever the bound is finer than 1e-6 or
+    * saturates, so the caller treats these inclusively (strict bounds
+    * widen, like timestamps) and never feeds them to point candidacy.
+    * The value classes cover both BigDecimal spellings a pushed
+    * DecimalType literal may arrive as. */
+  private def asMicros(v: Any, up: Boolean): Option[Long] = v match {
+    case _: java.math.BigDecimal | _: scala.math.BigDecimal |
+        _: java.lang.Double | _: java.lang.Float =>
+      Some(Snapshot.microsOf(v, up))
+    case _ => None
+  }
+
   /** Per-conjunct constraints: integral ranges and string ranges feed
     * [[Snapshot.candidateFilesCols]] (primary + sidecar stats — string
     * bounds serve from the base64 `strStats` sidecars under UTF-8 byte
@@ -314,9 +329,13 @@ private[graft] object SourcePruning {
             // sketch stay candidates (mayContain's forall)
             points += ((c, Seq(Snapshot.strHash64(s))))
           case _ =>
-            // truncated timestamp bound: the flooring makes it a range
-            // over the value's whole second, never a point
-            asTsSeconds(v).foreach(t => ranges += ((c, t, t)))
+            // truncated timestamp/micro bound: flooring (resp. the
+            // floor/ceil pair) makes it a RANGE over the value's
+            // truncation cell, never a point
+            asTsSeconds(v).map(t => (t, t))
+              .orElse(asMicros(v, up = false).map(lo =>
+                (lo, Snapshot.microsOf(v, up = true))))
+              .foreach { case (lo, hi) => ranges += ((c, lo, hi)) }
         }
       }
       case In(c, vs) =>
@@ -326,12 +345,16 @@ private[graft] object SourcePruning {
         } else {
           val ss = vs.toSeq.collect { case s: String => s }
           val ts = vs.toSeq.flatMap(asTsSeconds)
+          val ms = vs.toSeq.flatMap(asMicros(_, up = false))
           if (ss.nonEmpty && ss.length == vs.length) {
             strs += ((c, Some(ss.min(Snapshot.Utf8Order)),
               Some(ss.max(Snapshot.Utf8Order))))
             points += ((c, ss.map(Snapshot.strHash64)))
           } else if (ts.nonEmpty && ts.length == vs.length)
             ranges += ((c, ts.min, ts.max))
+          else if (ms.nonEmpty && ms.length == vs.length)
+            ranges += ((c, ms.min,
+              vs.toSeq.map(Snapshot.microsOf(_, up = true)).max))
         }
       case GreaterThan(c, v) => asLong(v) match {
         case Some(x) =>
@@ -339,17 +362,17 @@ private[graft] object SourcePruning {
         case None => v match {
           case s: String => strs += ((c, Some(s), None))
           // truncated: strict widens to inclusive — a file ending inside
-          // the bound's second must stay a candidate
-          case _ => asTsSeconds(v).foreach(t =>
-            ranges += ((c, t, Long.MaxValue)))
+          // the bound's second (or micro cell) must stay a candidate
+          case _ => asTsSeconds(v).orElse(asMicros(v, up = false))
+            .foreach(t => ranges += ((c, t, Long.MaxValue)))
         }
       }
       case GreaterThanOrEqual(c, v) => asLong(v) match {
         case Some(x) => ranges += ((c, x, Long.MaxValue))
         case None => v match {
           case s: String => strs += ((c, Some(s), None))
-          case _ => asTsSeconds(v).foreach(t =>
-            ranges += ((c, t, Long.MaxValue)))
+          case _ => asTsSeconds(v).orElse(asMicros(v, up = false))
+            .foreach(t => ranges += ((c, t, Long.MaxValue)))
         }
       }
       case LessThan(c, v) => asLong(v) match {
@@ -357,16 +380,16 @@ private[graft] object SourcePruning {
           ranges += ((c, Long.MinValue, if (x == Long.MinValue) x else x - 1))
         case None => v match {
           case s: String => strs += ((c, None, Some(s)))
-          case _ => asTsSeconds(v).foreach(t =>
-            ranges += ((c, Long.MinValue, t)))
+          case _ => asTsSeconds(v).orElse(asMicros(v, up = true))
+            .foreach(t => ranges += ((c, Long.MinValue, t)))
         }
       }
       case LessThanOrEqual(c, v) => asLong(v) match {
         case Some(x) => ranges += ((c, Long.MinValue, x))
         case None => v match {
           case s: String => strs += ((c, None, Some(s)))
-          case _ => asTsSeconds(v).foreach(t =>
-            ranges += ((c, Long.MinValue, t)))
+          case _ => asTsSeconds(v).orElse(asMicros(v, up = true))
+            .foreach(t => ranges += ((c, Long.MinValue, t)))
         }
       }
       case _ => ()

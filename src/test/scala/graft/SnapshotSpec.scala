@@ -915,6 +915,25 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.currentVersion(spark, dir) == 2, "nothing committed")
   }
 
+  test("mergeCow refuses a non-integral keyCol instead of silently duplicating") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_mergekey_" + java.util.UUID.randomUUID().toString.take(8)
+    Snapshot.commit((1L to 20L).map(k => (k, s"doc$k")).toDF("k", "v"),
+      dir, 0, "k", nFiles = 2)
+    // an md5-hex-style key casts to NULL, overlaps no stats range, and
+    // pre-guard would have carried every file while re-inserting the
+    // "changes" as duplicates — the verb must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.mergeCow(spark, dir,
+        Seq(("0fa3cc9e", "upd")).toDF("doc_id", "v"), "doc_id",
+        (base, ch) => base)
+    }
+    assert(e.getMessage.contains("must be integral") &&
+      e.getMessage.contains("doc_id"), e.getMessage)
+    assert(Snapshot.currentVersion(spark, dir) == 1, "nothing committed")
+  }
+
   test("rank z-order keeps a Zipfian axis selective where min-max collapses it") {
     // 20k rows; `a` Zipf-shaped: 95% of rows in [0,100), 5% outliers up
     // to ~2^30 — min-max scales the dense mass to scaled-value 0, so the

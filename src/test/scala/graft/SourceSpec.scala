@@ -694,6 +694,76 @@ class SourceSpec extends SparkSpec {
     assert(sorted(viaSource) == sorted(direct))
   }
 
+  test("decimal and double stats prune money ranges at planning") {
+    val dir = Warehouse.moneyOrders(spark, sf)
+    val cur = Snapshot.currentVersion(spark, dir)
+    val m = Snapshot.manifest(spark, dir, cur)
+    // write-path kind-5 auto stamps: every band file carries BOTH money
+    // columns' micro-unit stats with NO optimizeStats pass
+    assert(m.files.size == 4 &&
+      m.colStats.keys.count(_._2 == "price") == 4 &&
+      m.colStats.keys.count(_._2 == "dprice") == 4,
+      "4 band files, each stamped on price (decimal) and dprice (double)")
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      SourcePruning.candidates(m, fs).size
+    def bd(s: String) = new java.math.BigDecimal(s)
+    // a mid-band DECIMAL range plans exactly its band's file; a
+    // beyond-history range zero; the DOUBLE twin prunes identically
+    assert(planned(GreaterThanOrEqual("price", bd("260000.00")),
+      LessThanOrEqual("price", bd("370000.00"))) == 1)
+    assert(planned(GreaterThanOrEqual("price", bd("600000.00"))) == 0)
+    assert(planned(GreaterThanOrEqual("dprice",
+      java.lang.Double.valueOf(260000.0)),
+      LessThanOrEqual("dprice", java.lang.Double.valueOf(370000.0))) == 1)
+    // answer identity: planning is a pure optimization
+    val viaSource = spark.read.format("graft").load(dir)
+      .filter(col("price").between(lit(bd("260000.00")), lit(bd("370000.00"))))
+    val direct = Snapshot.read(spark, dir)
+      .filter(col("price").between(lit(bd("260000.00")), lit(bd("370000.00"))))
+    assert(sorted(viaSource) == sorted(direct))
+  }
+
+  test("micro-unit money stats stay conservative at the edges") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_microedge_" + java.util.UUID.randomUUID().toString.take(8)
+    // file 1: values inside ONE micro cell (1e-7 apart) — a strict
+    // sub-micro bound must keep the file; file 2: NaN and a saturating
+    // magnitude — both stamp Long.MaxValue-ish, never wrongly pruned
+    Snapshot.commit(Seq(
+      (1L, 1.0000001, BigDecimal("0.10")),
+      (2L, 1.0000003, BigDecimal("0.20"))).toDF("k", "d", "m"),
+      dir, 0, "k", nFiles = 1)
+    Snapshot.commit(Seq(
+      (3L, Double.NaN, BigDecimal("1e16")),
+      (4L, 1.0e300, BigDecimal("2e16"))).toDF("k", "d", "m"),
+      dir, 1, "k", carried = Snapshot.manifest(spark, dir, 1).files,
+      nFiles = 1)
+    val m = Snapshot.manifest(spark, dir, 2)
+    assert(m.colStats.keys.count(_._2 == "d") == 2 &&
+      m.colStats.keys.count(_._2 == "m") == 2)
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      SourcePruning.candidates(m, fs).size
+    // strict `d > 1.0000002` lives inside file 1's micro cell: flooring
+    // widens to inclusive, both files stay (file 2 via NaN/1e300 stamps)
+    assert(planned(org.apache.spark.sql.sources.GreaterThan("d",
+      java.lang.Double.valueOf(1.0000002))) == 2)
+    // a bound past every finite stamp still keeps the NaN/saturated
+    // file (its max stamp is Long.MaxValue) but drops file 1
+    assert(planned(GreaterThanOrEqual("d",
+      java.lang.Double.valueOf(2.0))) == 1)
+    // saturating DECIMAL magnitudes (1e16 × 10⁶ overflows a long):
+    // both clamp to Long.MaxValue — a huge lower bound keeps the file
+    assert(planned(GreaterThanOrEqual("m",
+      new java.math.BigDecimal("1.5e16"))) == 1)
+    // answer identity across the NaN file: Spark orders NaN above any
+    // bound, and the stamp's Long.MaxValue mirrors exactly that
+    val viaSource = spark.read.format("graft").load(dir)
+      .filter(col("d") >= 2.0)
+    assert(viaSource.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      Seq(3L, 4L))
+  }
+
   test("format(graft) sink: update mode and partitionBy are refused") {
     intercept[IllegalArgumentException] {
       new graft.sources.GraftSink(spark, "/nonexistent", Some("k"), 8,
