@@ -426,7 +426,18 @@ object Snapshot {
     * key is (qualified path, mtime, length) — immutability is VERIFIED
     * per hit by one getFileStatus (an RPC the old exists-check paid
     * anyway), not assumed, so out-of-band rewrites (restored backups,
-    * test surgery) re-parse instead of serving stale state. Bounded
+    * test surgery) re-parse instead of serving stale state.
+    * GRANULARITY CAVEAT: a rewrite that lands a SAME-LENGTH file within
+    * the filesystem's mtime granularity (1 s on some stores) is
+    * indistinguishable by this key and would serve stale content. That
+    * needs an out-of-band rewrite (publish is create-exclusive; no
+    * supported verb rewrites a manifest) whose bytes differ yet whose
+    * length matches, inside the granularity window — restore/surgery
+    * tooling that does this must call [[clearManifestCache]] (or touch
+    * the file length, e.g. a trailing newline). A content fingerprint
+    * in the key would close the window but costs a read per hit —
+    * wrong trade for a hot planning path serving immutable files.
+    * Bounded
     * LRU; entries are treated as read-only by every consumer (DV
     * arrays and Bloom bit arrays are never mutated in place — commits
     * build fresh arrays). */
@@ -1044,9 +1055,27 @@ object Snapshot {
     * column (document bodies) would otherwise copy its min/max values
     * into the manifest, and a truncated bound is not sound as a MAX
     * under byte order — unstamped stays the honest fallback (always a
-    * candidate, never wrong). */
-  private val AutoStatsMaxCols = 32
-  private val AutoStatsMaxStrBytes = 64
+    * candidate, never wrong).
+    *
+    * Both caps are SESSION-TUNABLE (Delta exposes the same knob as
+    * `dataSkippingNumIndexedCols`): `spark.graft.autoStats.maxCols`
+    * narrows or widens the eligible-column budget — 0 disables auto
+    * stamps entirely for wide tables where the per-commit stats
+    * aggregates and O(files × columns) manifest sidecar lines are not
+    * worth it — and `spark.graft.autoStats.maxStrBytes` moves the
+    * string stampability gate. Pruning degrades to reading under any
+    * setting; [[optimizeStats]] can always stamp named columns later. */
+  private val AutoStatsMaxColsDefault = 32
+  private val AutoStatsMaxStrBytesDefault = 64
+  private[graft] val AutoStatsMaxColsKey = "spark.graft.autoStats.maxCols"
+  private[graft] val AutoStatsMaxStrBytesKey =
+    "spark.graft.autoStats.maxStrBytes"
+  private def autoStatsMaxCols(spark: SparkSession): Int =
+    spark.conf.getOption(AutoStatsMaxColsKey).map(_.trim.toInt)
+      .getOrElse(AutoStatsMaxColsDefault)
+  private def autoStatsMaxStrBytes(spark: SparkSession): Long =
+    spark.conf.getOption(AutoStatsMaxStrBytesKey).map(_.trim.toLong)
+      .getOrElse(AutoStatsMaxStrBytesDefault.toLong)
 
   /** A write's manifest contributions: file entries plus the auto-stats
     * sidecars stamped inside the same stats pass. */
@@ -1162,7 +1191,7 @@ object Snapshot {
     df.schema.fields.iterator
       .filterNot(_.name.equalsIgnoreCase(statsCol))
       .flatMap(f => statKindOf(f.dataType).map(f.name -> _))
-      .take(AutoStatsMaxCols).toSeq
+      .take(autoStatsMaxCols(df.sparkSession)).toSeq
 
   /** The per-column aggregate expressions an auto-stats pass adds to a
     * stats job already running — keys per [[statKeyExpr]], strings
@@ -1180,7 +1209,7 @@ object Snapshot {
   /** Fold one file's auto-stats aggregates into the sidecar builders.
     * All-NULL columns (or over-wide strings) simply do not stamp. */
   private def collectAutoStats(path: String, auto: Seq[(String, Int)],
-      get: String => Any,
+      get: String => Any, maxStrBytes: Long,
       colB: scala.collection.mutable.Builder[
         ((String, String), (Long, Long)), Map[(String, String), (Long, Long)]],
       strB: scala.collection.mutable.Builder[
@@ -1191,7 +1220,7 @@ object Snapshot {
         case (null, _) | (_, null) => ()
         case (mn, mx) if kind == 2 =>
           val wide = get(s"_as${j}_len").asInstanceOf[Long]
-          if (wide <= AutoStatsMaxStrBytes)
+          if (wide <= maxStrBytes)
             strB += ((path, c) -> (mn.asInstanceOf[String],
               mx.asInstanceOf[String]))
         case (mn, mx) if kind == 5 =>
@@ -1246,7 +1275,8 @@ object Snapshot {
         .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
       require(parts.length == 1, s"expected one data file, got ${parts.toSeq}")
       val path = s"$sub/${parts.head}"
-      collectAutoStats(path, auto, row(_), colB, strB)
+      collectAutoStats(path, auto, row(_), autoStatsMaxStrBytes(spark),
+        colB, strB)
       WriteStats(Seq(FileEntry(path,
         toLongStat(row("mn")), toLongStat(row("mx")))),
         colB.result(), strB.result())
@@ -1276,7 +1306,8 @@ object Snapshot {
         val i = uri.indexOf(s"/$sub/")
         require(i >= 0, s"unexpected data file location: $uri")
         val path = s"$sub/${uri.substring(i + sub.length + 2)}"
-        collectAutoStats(path, auto, n => r.get(r.fieldIndex(n)), colB, strB)
+        collectAutoStats(path, auto, n => r.get(r.fieldIndex(n)),
+          autoStatsMaxStrBytes(spark), colB, strB)
         FileEntry(path, toLongStat(r.get(1)), toLongStat(r.get(2)))
       }.sortBy(_.path)
       WriteStats(entries, colB.result(), strB.result())
@@ -2929,13 +2960,33 @@ object Snapshot {
       // absent columns don't stamp (always a candidate)
       val p = entryOfUri(paths, r.getString(0))
       collectAutoStats(p, auto.map { case (c, k) =>
-        physicalName(m, c) -> k }, n => r.get(r.fieldIndex(n)), colB, strB)
+        physicalName(m, c) -> k }, n => r.get(r.fieldIndex(n)),
+        autoStatsMaxStrBytes(spark), colB, strB)
     }
     val stamped = colB.result()
     val stampedStr = strB.result()
+    // An EXPLICITLY requested string column whose values exceed the
+    // byte gate stamps nothing — sound, but a caller who asked for
+    // pruning by name must see the degradation, not discover it by its
+    // absence: name the gated columns in the commit note (and the log).
+    // Gated = some file had non-null values (its min aggregate is
+    // non-null) yet recorded no stamp — i.e. the width gate, not NULLs.
+    val gated = auto.zipWithIndex.collect {
+      case ((c, 2), j) if perFile.exists(r =>
+          r.get(r.fieldIndex(s"_as${j}_mn")) != null &&
+            !stampedStr.contains((entryOfUri(paths, r.getString(0)),
+              physicalName(m, c)))) => c
+    }
+    if (gated.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger("graft.Snapshot").warn(
+        s"optimizeStats($dir): string column(s) ${gated.mkString(",")} " +
+          s"exceed ${AutoStatsMaxStrBytesKey}=" +
+          s"${autoStatsMaxStrBytes(spark)} bytes in some file and were " +
+          "not stamped there; those files stay scan candidates")
     val note =
       if (m.note.startsWith("zorder")) m.note
-      else s"optimize:stats:${cols.mkString(",")}"
+      else s"optimize:stats:${cols.mkString(",")}" +
+        (if (gated.isEmpty) "" else s" gated:${gated.mkString(",")}")
     publish(spark, dir, m.copy(version = cur + 1, note = note, ts = 0L,
       colStats = m.colStats ++ stamped,
       strStats = m.strStats ++ stampedStr))

@@ -1384,6 +1384,39 @@ class SnapshotSpec extends SparkSpec {
     assert(!Snapshot.read(spark, dir).schema.fieldNames.contains("score"))
   }
 
+  test("auto-stats caps are session-tunable; gated columns are observable") {
+    import spark.implicits._
+    val wide = "x" * 200 // past the default 64-byte string gate
+    def rows = (1 to 40).map(k => (k.toLong, k * 2L, s"$wide$k"))
+      .toDF("k", "k2", "doc")
+    // maxCols=0 disables auto stamps entirely (the wide-table opt-out)
+    val dirOff = freshDir()
+    spark.conf.set(Snapshot.AutoStatsMaxColsKey, "0")
+    try Snapshot.commit(rows, dirOff, 0, "k", nFiles = 2)
+    finally spark.conf.unset(Snapshot.AutoStatsMaxColsKey)
+    val mOff = Snapshot.manifest(spark, dirOff, 1)
+    assert(mOff.colStats.isEmpty && mOff.strStats.isEmpty,
+      "maxCols=0 must stamp nothing")
+    // default gate: the 200-byte doc column stamps nothing; raising
+    // maxStrBytes makes the same data stamp
+    val dirDef = freshDir()
+    Snapshot.commit(rows, dirDef, 0, "k", nFiles = 2)
+    val mDef = Snapshot.manifest(spark, dirDef, 1)
+    assert(mDef.colStats.keys.count(_._2 == "k2") == 2 &&
+      mDef.strStats.isEmpty, "over-wide strings stay unstamped by default")
+    val dirUp = freshDir()
+    spark.conf.set(Snapshot.AutoStatsMaxStrBytesKey, "512")
+    try Snapshot.commit(rows, dirUp, 0, "k", nFiles = 2)
+    finally spark.conf.unset(Snapshot.AutoStatsMaxStrBytesKey)
+    assert(Snapshot.manifest(spark, dirUp, 1).strStats.keys
+      .count(_._2 == "doc") == 2, "a raised gate stamps the wide column")
+    // an EXPLICIT optimizeStats on the gated column names it in the
+    // commit note — degradation observable, not silent
+    Snapshot.optimizeStats(spark, dirDef, Seq("doc", "k2"))
+    val note = Snapshot.manifest(spark, dirDef, 2).note
+    assert(note.contains("gated:doc") && !note.contains("gated:k2"), note)
+  }
+
   test("optimizeStats: secondary-column ranges prune files, sans z-order") {
     import spark.implicits._
     val dir = freshDir()
