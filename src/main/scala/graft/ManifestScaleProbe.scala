@@ -32,16 +32,34 @@ object ManifestScaleProbe {
 
     // sidecars = 0: bare file entries; sidecars = 6: a round-15
     // manifest shape — every write auto-stamps eligible columns, so a
-    // real table carries ~one m/S line per (file, eligible column)
+    // real table carries ~one m/S line per (file, eligible column).
+    // v1 exercises the FULL layout the policy picks (text below
+    // binaryMinFiles, GMB1 binary checkpoint at/above); v2 is an
+    // 8-file append on top — the DELTA envelope, the shape every
+    // steady-state commit to a big table pays per publish.
+    def entriesOf(r: Range, sidecars: Int) = {
+      val fs = r.map(i => FileEntry(f"data/c1_x/part-$i%07d.parquet",
+        i.toLong * 1000, i.toLong * 1000 + 999))
+      val cs = (for {
+        f <- fs.iterator; j <- 0 until sidecars
+      } yield (f.path, s"c$j") -> (f.min + j, f.max + j)).toMap
+      (fs, cs)
+    }
+    def headOf(dir: String, v: Int): String = {
+      val in = new java.io.FileInputStream(f"$dir/_manifests/v$v%05d")
+      val b = new Array[Byte](4)
+      try { in.read(b) } finally in.close()
+      new String(b, "UTF-8") match {
+        case s if s.startsWith("v\t") => "text"
+        case s if s.startsWith("V\t") => "delta"
+        case "GMB1"                   => "bin"
+        case other                    => s"?$other"
+      }
+    }
     for (n <- Seq(10000, 100000, 1000000); sidecars <- Seq(0, 6)) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_msp_${n}_$sidecars").toString + "/t"
-      val files = (0 until n).map(i =>
-        FileEntry(f"data/c1_x/part-$i%07d.parquet",
-          i.toLong * 1000, i.toLong * 1000 + 999))
-      val colStats = (for {
-        f <- files.iterator; j <- 0 until sidecars
-      } yield (f.path, s"c$j") -> (f.min + j, f.max + j)).toMap
+      val (files, colStats) = entriesOf(0 until n, sidecars)
       // exercise the real publish path (serialize + tmp + atomic link)
       val (_, wt) = time(Snapshot.commitManifestForProbe(spark, dir,
         files, colStats))
@@ -50,10 +68,23 @@ object ManifestScaleProbe {
       // the planning arithmetic a pruned read runs over the entries
       val (hit, pt) = time(m.files.count(f =>
         f.min <= 5000000L && f.max >= 4000000L))
-      val bytes = new java.io.File(s"$dir/_manifests/v00001").length()
-      println(f"entries=$n%7d sidecars=$sidecars%d publish=${wt}%6.3f s" +
-        f"  coldParse=${rt}%6.3f s  prune=${pt}%6.4f s ($hit hits)" +
-        f"  manifestBytes=${bytes}%d")
+      val bytes = new java.io.File(f"$dir/_manifests/v${1}%05d").length()
+      println(f"entries=$n%7d sidecars=$sidecars%d [${headOf(dir, 1)}%5s] " +
+        f"publish=${wt}%6.3f s  coldParse=${rt}%6.3f s" +
+        f"  prune=${pt}%6.4f s ($hit hits)  manifestBytes=${bytes}%d")
+      // steady-state append: 8 fresh files on the carried million
+      val (extra, extraStats) = entriesOf(n until n + 8, sidecars)
+      val (_, wt2) = time(Snapshot.commitManifestForProbe(spark, dir,
+        files ++ extra, colStats ++ extraStats, version = 2))
+      Snapshot.clearManifestCache()
+      val (_, rt2cold) = time(Snapshot.manifest(spark, dir, 2))
+      Snapshot.clearManifestCache()
+      Snapshot.manifest(spark, dir, 1)
+      val (_, rt2warm) = time(Snapshot.manifest(spark, dir, 2))
+      val bytes2 = new java.io.File(f"$dir/_manifests/v${2}%05d").length()
+      println(f"  append+8 → v2 [${headOf(dir, 2)}%5s] publish=${wt2}%6.3f s" +
+        f"  chainColdParse=${rt2cold}%6.3f s  warmBaseResolve=" +
+        f"${rt2warm}%6.3f s  deltaBytes=${bytes2}%d")
     }
     spark.stop()
   }

@@ -442,16 +442,25 @@ object Snapshot {
     * arrays and Bloom bit arrays are never mutated in place — commits
     * build fresh arrays). */
   private val ManifestCacheSize = 256
+  /** A cached RESOLUTION: the manifest plus the chain of (qualified
+    * path, mtime, length) keys of every manifest FILE it derived from —
+    * itself alone for full manifests, parent chain + itself for DELTA
+    * manifests ([[ManifestDelta]]). A hit re-verifies EVERY link with
+    * one getFileStatus each (chain length is bounded by the checkpoint
+    * interval), so an out-of-band rewrite anywhere in the chain forces
+    * a fresh resolution, exactly like the single-file discipline. */
+  private final case class CachedManifest(m: Manifest,
+      chain: List[(String, Long, Long)])
   // SoftReference values: Bloom-stamped manifests run to megabytes, so
   // a hard 256-entry LRU could pin GBs in a long-lived driver — soft
   // refs let the GC reclaim entries under heap pressure (a cleared ref
   // is just a cache miss), while the LRU bounds the entry count
   private val manifestCache =
     new java.util.LinkedHashMap[(String, Long, Long),
-        java.lang.ref.SoftReference[Manifest]](64, 0.75f, true) {
+        java.lang.ref.SoftReference[CachedManifest]](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Long, Long),
-            java.lang.ref.SoftReference[Manifest]]): Boolean =
+            java.lang.ref.SoftReference[CachedManifest]]): Boolean =
         size > ManifestCacheSize
     }
 
@@ -465,13 +474,21 @@ object Snapshot {
   private[graft] def clearManifestCache(): Unit =
     manifestCache.synchronized(manifestCache.clear())
 
-  /** Probe hook: publish a synthetic v1 manifest through the REAL
-    * publish path (serialize + tmp + atomic link) without writing data
-    * files — ManifestScaleProbe times the metadata envelope alone. */
+  /** Spec hook: publish an arbitrary hand-built manifest through the
+    * REAL publish path — the format round-trip specs pin every field
+    * of the delta and binary layouts without needing data files. */
+  private[graft] def publishManifestForTest(spark: SparkSession,
+      dir: String, m: Manifest): Unit = publish(spark, dir, m)
+
+  /** Probe hook: publish a synthetic manifest through the REAL publish
+    * path (serialize + tmp + atomic link — full text, binary checkpoint
+    * or delta, whatever the policy picks) without writing data files —
+    * ManifestScaleProbe times the metadata envelope alone. */
   private[graft] def commitManifestForProbe(spark: SparkSession,
       dir: String, files: Seq[FileEntry],
-      colStats: Map[(String, String), (Long, Long)] = Map.empty): Unit =
-    publish(spark, dir, Manifest(1, "k", files, colStats = colStats))
+      colStats: Map[(String, String), (Long, Long)] = Map.empty,
+      version: Int = 1): Unit =
+    publish(spark, dir, Manifest(version, "k", files, colStats = colStats))
 
   /** Parse a committed manifest (cached — see [[manifestCache]]).
     * Format is line-oriented and dependency-free: a `v` header line, an
@@ -480,8 +497,16 @@ object Snapshot {
     * sidecar lines — `h` stored schema, `s` declared columns, `c` CHECK
     * constraints, `m`/`S` per-column file stats (integral / base64
     * string), `d` deletion vectors (delta-varint positions), `b` Bloom
-    * sketches — all tab-separated. */
-  def manifest(spark: SparkSession, dir: String, version: Int): Manifest = {
+    * sketches — all tab-separated. Two sibling layouts share the file
+    * slot, sniffed by the first bytes: a `V`-headed text DELTA against
+    * the previous version (resolved recursively — see
+    * [[ManifestDelta]]) and a `GMB1` binary full checkpoint
+    * ([[writeBinaryManifest]] — the at-scale layout). */
+  def manifest(spark: SparkSession, dir: String, version: Int): Manifest =
+    manifestWithChain(spark, dir, version)._1
+
+  private def manifestWithChain(spark: SparkSession, dir: String,
+      version: Int): (Manifest, List[(String, Long, Long)]) = {
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, version)
     val st =
@@ -496,15 +521,44 @@ object Snapshot {
       st.getModificationTime, st.getLen)
     val cached = manifestCache.synchronized(
       Option(manifestCache.get(key)).flatMap(r => Option(r.get())))
-    cached match {
-      case Some(m) => return m
-      case None =>
+    cached.foreach { c =>
+      // head link IS `key` (the stat above just verified it); a DELTA
+      // resolution additionally re-verifies every base link
+      val fresh = c.chain.drop(1).forall { case (cp, cmt, clen) =>
+        try {
+          val cst = fs.getFileStatus(new Path(cp))
+          cst.getModificationTime == cmt && cst.getLen == clen
+        } catch { case _: java.io.FileNotFoundException => false }
+      }
+      if (fresh) return (c.m, c.chain)
     }
     manifestParses.incrementAndGet()
     val in = fs.open(p)
-    val text =
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    val bytes =
+      try in.readAllBytes()
       finally in.close()
+    val (m, chain) =
+      if (isBinaryManifest(bytes))
+        (parseBinaryManifest(bytes, p.toString), List(key))
+      else {
+        val text = new String(bytes, StandardCharsets.UTF_8)
+        if (text.startsWith("V\t")) {
+          val d = parseDeltaManifest(text, p.toString)
+          require(d.version == version,
+            s"delta manifest $p declares version ${d.version}")
+          require(d.parent < version && d.parent >= 1,
+            s"delta manifest $p has an illegal parent ${d.parent}")
+          val (base, baseChain) = manifestWithChain(spark, dir, d.parent)
+          (applyDelta(base, d), key :: baseChain)
+        } else (parseTextManifest(text, p.toString), List(key))
+      }
+    manifestCache.synchronized(
+      manifestCache.put(key,
+        new java.lang.ref.SoftReference(CachedManifest(m, chain))))
+    (m, chain)
+  }
+
+  private def parseTextManifest(text: String, p: String): Manifest = {
     val lines = text.linesIterator
     val hdr = lines.next().split('\t')
     require((hdr.length == 3 || hdr.length == 4) && hdr(0) == "v",
@@ -585,14 +639,420 @@ object Snapshot {
           s"malformed manifest line in $p: $l")
       }
     }.toVector // force the traversal: the sidecar builders fill here
-    val m = Manifest(hdr(1).toInt, hdr(2), files,
+    Manifest(hdr(1).toInt, hdr(2), files,
       if (hdr.length == 4) hdr(3) else "", ts, blooms.result(),
       checks.result(), added.result(), colStats.result(),
       strStats.result(), dvs.result(), renames.result(), dropped.result(),
       basePath, genCols.result(), schemaJson)
-    manifestCache.synchronized(
-      manifestCache.put(key, new java.lang.ref.SoftReference(m)))
-    m
+  }
+
+  // ---------------------------------------------------------------- deltas
+
+  /** Manifest publish policy, session-tunable. `checkpointEvery` = K:
+    * versions divisible by K (and v1, and any version whose delta would
+    * not reproduce-and-shrink) publish FULL manifests; everything else
+    * publishes a DELTA against version-1, so a commit's metadata write
+    * is O(what changed), not O(table files) — the per-commit tax that
+    * made a million-file estate pay ~hundreds of MB of serialization
+    * per append (ManifestScaleProbe) becomes a few lines, with a full
+    * checkpoint at most K-1 versions back bounding every resolution
+    * chain (Delta Lake's exact log/checkpoint discipline).
+    * `binaryMinFiles`: a FULL manifest with at least this many files
+    * writes the `GMB1` binary checkpoint layout instead of text —
+    * sidecars reference files by index instead of repeating paths, and
+    * numbers are varints instead of base-10 text. */
+  private[graft] val CheckpointEveryKey =
+    "spark.graft.manifest.checkpointEvery"
+  private[graft] val BinaryMinFilesKey =
+    "spark.graft.manifest.binaryMinFiles"
+  private def checkpointEvery(spark: SparkSession): Int = {
+    val k = spark.conf.getOption(CheckpointEveryKey)
+      .map(_.trim.toInt).getOrElse(10)
+    require(k >= 1, s"$CheckpointEveryKey must be >= 1, got $k")
+    k
+  }
+  private def binaryMinFiles(spark: SparkSession): Int =
+    spark.conf.getOption(BinaryMinFilesKey)
+      .map(_.trim.toInt).getOrElse(10000)
+
+  /** One parsed DELTA manifest: everything needed to rebuild version
+    * `version` from resolved version `parent` (always `version - 1` as
+    * published; the parser only requires `parent < version`). File and
+    * sidecar changes are upserts/removals; the SMALL whole-table state
+    * (schema, checks, renames, generated columns, …) is RESTATED in
+    * full — its size is bounded by schema width, and restating kills a
+    * whole class of inherit-vs-override bugs. */
+  private[graft] final case class ManifestDelta(
+      version: Int, parent: Int, statsCol: String, note: String, ts: Long,
+      removedFiles: Seq[String], addedFiles: Seq[FileEntry],
+      checks: Seq[(String, String)], addedCols: Seq[(String, String)],
+      renames: Seq[(String, String)], droppedCols: Seq[String],
+      basePath: String, genCols: Seq[(String, String, String)],
+      schemaJson: String,
+      colUps: Map[(String, String), (Long, Long)],
+      colDels: Seq[(String, String)],
+      strUps: Map[(String, String), (String, String)],
+      strDels: Seq[(String, String)],
+      bloomUps: Map[(String, String), BloomSketch],
+      bloomDels: Seq[(String, String)],
+      dvUps: Map[String, Array[Long]], dvDels: Seq[String])
+
+  /** THE delta semantics — shared verbatim by the reader (resolution)
+    * and the writer (which verifies its computed delta reproduces the
+    * manifest EXACTLY before publishing it — see [[publish]]), so the
+    * two can never disagree. Removing a file implicitly drops its
+    * sidecars, exactly like a full publish's listed-files filter. */
+  private[graft] def applyDelta(base: Manifest, d: ManifestDelta)
+      : Manifest = {
+    val removed = d.removedFiles.toSet
+    // every publisher sorts files by path ((carried ++ fresh)
+    // .sortBy(_.path) and friends), so sorted-by-path IS the canonical
+    // order and re-sorting reproduces it; a verb that published
+    // unsorted entries would fail the writer's reproduce-check and
+    // stay full — never resolve wrong
+    val files = (base.files.filterNot(f => removed(f.path)) ++
+      d.addedFiles).sortBy(_.path)
+    val listed = files.map(_.path).toSet
+    def live[V](m: Map[(String, String), V]): Map[(String, String), V] =
+      m.filter { case ((p, _), _) => listed.contains(p) }
+    Manifest(d.version, d.statsCol, files, d.note, d.ts,
+      live(base.blooms) -- d.bloomDels ++ d.bloomUps,
+      d.checks, d.addedCols,
+      live(base.colStats) -- d.colDels ++ d.colUps,
+      live(base.strStats) -- d.strDels ++ d.strUps,
+      base.dvs.filter { case (p, _) => listed.contains(p) } --
+        d.dvDels ++ d.dvUps,
+      d.renames, d.droppedCols, d.basePath, d.genCols, d.schemaJson)
+  }
+
+  /** The delta from resolved `base` to NORMALIZED `mm` (same version
+    * family: mm.version == base.version + 1). A path present in both
+    * with a CHANGED entry (repartitionAdopted's re-derive) is not
+    * representable — the writer's verification catches it and publishes
+    * full. */
+  private def diffDelta(base: Manifest, mm: Manifest): ManifestDelta = {
+    val basePaths = base.files.map(_.path).toSet
+    val newPaths = mm.files.map(_.path).toSet
+    def diffMap[K, V](b: Map[K, V], n: Map[K, V], keyLive: K => Boolean,
+                      same: (V, V) => Boolean): (Map[K, V], Seq[K]) = {
+      val bLive = b.filter { case (k, _) => keyLive(k) }
+      val ups = n.filter { case (k, v) => !bLive.get(k).exists(same(_, v)) }
+      val dels = bLive.keys.filterNot(n.contains).toSeq
+      (ups, dels)
+    }
+    def pairLive(k: (String, String)): Boolean = newPaths.contains(k._1)
+    val (colUps, colDels) = diffMap(base.colStats, mm.colStats, pairLive,
+      (a: (Long, Long), b: (Long, Long)) => a == b)
+    val (strUps, strDels) = diffMap(base.strStats, mm.strStats, pairLive,
+      (a: (String, String), b: (String, String)) => a == b)
+    val (bloomUps, bloomDels) = diffMap(base.blooms, mm.blooms, pairLive,
+      (a: BloomSketch, b: BloomSketch) => a == b)
+    val (dvUps, dvDels) = diffMap(base.dvs, mm.dvs,
+      (p: String) => newPaths.contains(p),
+      (a: Array[Long], b: Array[Long]) => a.sameElements(b))
+    ManifestDelta(mm.version, base.version, mm.statsCol, mm.note, mm.ts,
+      base.files.map(_.path).filterNot(newPaths.contains),
+      mm.files.filterNot(f => basePaths.contains(f.path)),
+      mm.checks, mm.addedCols, mm.renames, mm.droppedCols, mm.basePath,
+      mm.genCols, mm.schemaJson,
+      colUps, colDels, strUps, strDels, bloomUps, bloomDels, dvUps, dvDels)
+  }
+
+  /** Deep state equality (case-class == lies for the Array-valued dvs
+    * map): the writer's reproduce-check and the round-trip specs. */
+  private[graft] def sameState(a: Manifest, b: Manifest): Boolean =
+    a.version == b.version && a.statsCol == b.statsCol &&
+      a.note == b.note && a.ts == b.ts && a.files == b.files &&
+      a.checks == b.checks && a.addedCols == b.addedCols &&
+      a.renames == b.renames && a.droppedCols == b.droppedCols &&
+      a.basePath == b.basePath && a.genCols == b.genCols &&
+      a.schemaJson == b.schemaJson && a.colStats == b.colStats &&
+      a.strStats == b.strStats && a.blooms == b.blooms &&
+      a.dvs.keySet == b.dvs.keySet &&
+      a.dvs.forall { case (k, v) => b.dvs(k).sameElements(v) }
+
+  /** What a reader of a FULL publish would parse back: sidecars
+    * filtered to listed files, empty DVs dropped, commit clock stamped.
+    * Every serializer (full text, binary, delta) works from this form,
+    * so delta resolution and full parsing agree byte-for-byte on
+    * state. */
+  private def normalized(m: Manifest): Manifest = {
+    val listed = m.files.map(_.path).toSet
+    m.copy(
+      ts = if (m.ts > 0) m.ts else System.currentTimeMillis(),
+      blooms = m.blooms.filter { case ((p, _), _) => listed.contains(p) },
+      colStats = m.colStats.filter { case ((p, _), _) => listed.contains(p) },
+      strStats = m.strStats.filter { case ((p, _), _) => listed.contains(p) },
+      dvs = m.dvs.filter { case (p, v) => listed.contains(p) && v.nonEmpty })
+  }
+
+  /** Serialize a delta: the full format's line vocabulary plus a `V`
+    * header (`V <version> <parent> <statsCol> [note]`), `-` file
+    * removals and `!m`/`!S`/`!b`/`!d` sidecar removals. */
+  private def deltaLines(d: ManifestDelta): Iterator[String] = {
+    val hdr = s"V\t${d.version}\t${d.parent}\t${d.statsCol}" +
+      (if (d.note.nonEmpty) s"\t${d.note}" else "")
+    Iterator(hdr, s"t\t${d.ts}") ++
+      d.removedFiles.iterator.map(p => s"-\t$p") ++
+      d.addedFiles.iterator.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
+      (if (d.schemaJson.isEmpty) Iterator.empty
+       else Iterator(s"h\t${b64enc(d.schemaJson)}")) ++
+      d.addedCols.iterator.map { case (n, t) => s"s\t$n\t$t" } ++
+      d.renames.iterator.map { case (p, l) =>
+        s"r\t${b64enc(p)}\t${b64enc(l)}" } ++
+      d.droppedCols.iterator.map(p => s"x\t${b64enc(p)}") ++
+      (if (d.basePath.isEmpty) Iterator.empty
+       else Iterator(s"P\t${b64enc(d.basePath)}")) ++
+      d.genCols.iterator.map { case (n, t, sql) =>
+        s"G\t${b64enc(n)}\t${b64enc(t)}\t${b64enc(sql)}" } ++
+      d.checks.iterator.map { case (n, sql) => s"c\t$n\t$sql" } ++
+      d.colUps.toSeq.sortBy(_._1).iterator.map { case ((p, c), (mn, mx)) =>
+        s"m\t$p\t$c\t$mn\t$mx" } ++
+      d.colDels.sorted.iterator.map { case (p, c) => s"!m\t$p\t$c" } ++
+      d.strUps.toSeq.sortBy(_._1).iterator.map { case ((p, c), (mn, mx)) =>
+        s"S\t$p\t$c\t${b64enc(mn)}\t${b64enc(mx)}" } ++
+      d.strDels.sorted.iterator.map { case (p, c) => s"!S\t$p\t$c" } ++
+      d.bloomUps.toSeq.sortBy(_._1).iterator.map { case ((p, c), b) =>
+        s"b\t$p\t$c\t${b.mBits}\t${b.k}\t${bloomB64(b)}" } ++
+      d.bloomDels.sorted.iterator.map { case (p, c) => s"!b\t$p\t$c" } ++
+      d.dvUps.toSeq.sortBy(_._1).iterator.map { case (p, v) =>
+        s"d\t$p\t${encodeDv(v)}" } ++
+      d.dvDels.sorted.iterator.map(p => s"!d\t$p")
+  }
+
+  private def parseDeltaManifest(text: String, p: String): ManifestDelta = {
+    val lines = text.linesIterator
+    val hdr = lines.next().split('\t')
+    require((hdr.length == 4 || hdr.length == 5) && hdr(0) == "V",
+      s"malformed delta manifest $p")
+    var ts = 0L
+    val removed = Seq.newBuilder[String]
+    val added = Seq.newBuilder[FileEntry]
+    val checks = Seq.newBuilder[(String, String)]
+    val addedCols = Seq.newBuilder[(String, String)]
+    val renames = Seq.newBuilder[(String, String)]
+    val dropped = Seq.newBuilder[String]
+    var basePath = ""
+    val genCols = Seq.newBuilder[(String, String, String)]
+    var schemaJson = ""
+    val colUps = Map.newBuilder[(String, String), (Long, Long)]
+    val colDels = Seq.newBuilder[(String, String)]
+    val strUps = Map.newBuilder[(String, String), (String, String)]
+    val strDels = Seq.newBuilder[(String, String)]
+    val bloomUps = Map.newBuilder[(String, String), BloomSketch]
+    val bloomDels = Seq.newBuilder[(String, String)]
+    val dvUps = Map.newBuilder[String, Array[Long]]
+    val dvDels = Seq.newBuilder[String]
+    lines.filter(_.nonEmpty).foreach { l =>
+      val c = l.split('\t')
+      c(0) match {
+        case "t" => ts = c(1).toLong
+        case "-" => removed += c(1)
+        case "f" => added += FileEntry(c(1), c(2).toLong, c(3).toLong)
+        case "h" => schemaJson = b64dec(c(1))
+        case "s" => addedCols += ((c(1), c(2)))
+        case "r" => renames += ((b64dec(c(1)), b64dec(c(2))))
+        case "x" => dropped += b64dec(c(1))
+        case "P" => basePath = b64dec(c(1))
+        case "G" => genCols += ((b64dec(c(1)), b64dec(c(2)), b64dec(c(3))))
+        case "c" => checks += ((c(1), c(2)))
+        case "m" => colUps += ((c(1), c(2)) -> (c(3).toLong, c(4).toLong))
+        case "!m" => colDels += ((c(1), c(2)))
+        case "S" => strUps += ((c(1), c(2)) -> (b64dec(c(3)), b64dec(c(4))))
+        case "!S" => strDels += ((c(1), c(2)))
+        case "b" =>
+          bloomUps += ((c(1), c(2)) ->
+            BloomSketch(c(3).toInt, c(4).toInt, bloomWords(c(5))))
+        case "!b" => bloomDels += ((c(1), c(2)))
+        case "d" => dvUps += (c(1) -> decodeDv(c(2)))
+        case "!d" => dvDels += c(1)
+        case _ => throw new IllegalArgumentException(
+          s"malformed delta manifest line in $p: $l")
+      }
+    }
+    ManifestDelta(hdr(1).toInt, hdr(2).toInt, hdr(3),
+      if (hdr.length == 5) hdr(4) else "", ts,
+      removed.result(), added.result(), checks.result(),
+      addedCols.result(), renames.result(), dropped.result(), basePath,
+      genCols.result(), schemaJson, colUps.result(), colDels.result(),
+      strUps.result(), strDels.result(), bloomUps.result(),
+      bloomDels.result(), dvUps.result(), dvDels.result())
+  }
+
+  private def bloomB64(b: BloomSketch): String = {
+    val buf = java.nio.ByteBuffer.allocate(b.bits.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.asLongBuffer().put(b.bits)
+    java.util.Base64.getEncoder.encodeToString(buf.array())
+  }
+
+  private def bloomWords(b64: String): Array[Long] = {
+    val raw = java.util.Base64.getDecoder.decode(b64)
+    val words = new Array[Long](raw.length / 8)
+    java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(words)
+    words
+  }
+
+  // ------------------------------------------------- binary checkpoints
+
+  private val BinaryMagic = Array[Byte]('G', 'M', 'B', '1')
+
+  private def isBinaryManifest(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'M' &&
+      bytes(2) == 'B' && bytes(3) == '1'
+
+  /** The `GMB1` full-checkpoint layout: varint/zigzag numbers,
+    * length-prefixed UTF-8 strings, and — the size lever — sidecars
+    * keyed by (file INDEX, column-dictionary INDEX) instead of
+    * repeating the path per (file × column) line, which is where the
+    * text format's bytes go at a million files (measured 387 MB at
+    * 1M × 6 columns). Written for full manifests with at least
+    * [[BinaryMinFilesKey]] files; sniffed on read by the magic. */
+  private def writeBinaryManifest(os: java.io.OutputStream,
+                                  mm: Manifest): Unit = {
+    val out = new java.io.DataOutputStream(os)
+    def vlong(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) {
+        out.writeByte(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      out.writeByte(v.toInt)
+    }
+    def zz(v: Long): Unit = vlong((v << 1) ^ (v >> 63))
+    def str(s: String): Unit = {
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      vlong(b.length.toLong); out.write(b)
+    }
+    out.write(BinaryMagic)
+    vlong(mm.version.toLong); str(mm.statsCol); str(mm.note); vlong(mm.ts)
+    vlong(mm.files.size.toLong)
+    mm.files.foreach { f => str(f.path); zz(f.min); zz(f.max) }
+    val fileIdx = mm.files.iterator.map(_.path).zipWithIndex.toMap
+    val cols = (mm.colStats.keysIterator ++ mm.strStats.keysIterator ++
+      mm.blooms.keysIterator).map(_._2).toSeq.distinct.sorted
+    val colIdx = cols.zipWithIndex.toMap
+    vlong(cols.size.toLong); cols.foreach(str)
+    def sidecarKey(k: (String, String)): Unit = {
+      vlong(fileIdx(k._1).toLong); vlong(colIdx(k._2).toLong)
+    }
+    val cs = mm.colStats.toSeq.sortBy(_._1)
+    vlong(cs.size.toLong)
+    cs.foreach { case (k, (mn, mx)) => sidecarKey(k); zz(mn); zz(mx) }
+    val ss = mm.strStats.toSeq.sortBy(_._1)
+    vlong(ss.size.toLong)
+    ss.foreach { case (k, (mn, mx)) => sidecarKey(k); str(mn); str(mx) }
+    val bs = mm.blooms.toSeq.sortBy(_._1)
+    vlong(bs.size.toLong)
+    bs.foreach { case (k, b) =>
+      sidecarKey(k); vlong(b.mBits.toLong); vlong(b.k.toLong)
+      vlong(b.bits.length.toLong); b.bits.foreach(out.writeLong)
+    }
+    val dv = mm.dvs.toSeq.sortBy(_._1)
+    vlong(dv.size.toLong)
+    dv.foreach { case (p, pos) =>
+      vlong(fileIdx(p).toLong); vlong(pos.length.toLong)
+      var prev = 0L
+      pos.foreach { x => vlong(x - prev); prev = x }
+    }
+    vlong(mm.checks.size.toLong)
+    mm.checks.foreach { case (n, sql) => str(n); str(sql) }
+    vlong(mm.addedCols.size.toLong)
+    mm.addedCols.foreach { case (n, t) => str(n); str(t) }
+    vlong(mm.renames.size.toLong)
+    mm.renames.foreach { case (a, b) => str(a); str(b) }
+    vlong(mm.droppedCols.size.toLong)
+    mm.droppedCols.foreach(str)
+    str(mm.basePath)
+    vlong(mm.genCols.size.toLong)
+    mm.genCols.foreach { case (n, t, sql) => str(n); str(t); str(sql) }
+    str(mm.schemaJson)
+    out.flush()
+  }
+
+  private def parseBinaryManifest(bytes: Array[Byte], p: String)
+      : Manifest = {
+    val buf = java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
+    def vlong(): Long = {
+      var v = 0L; var shift = 0
+      var b = buf.get()
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7fL) << shift; shift += 7; b = buf.get()
+      }
+      v | ((b & 0x7fL) << shift)
+    }
+    def zz(): Long = { val v = vlong(); (v >>> 1) ^ -(v & 1L) }
+    def str(): String = {
+      val n = vlong().toInt
+      val b = new Array[Byte](n); buf.get(b)
+      new String(b, StandardCharsets.UTF_8)
+    }
+    val version = vlong().toInt
+    val statsCol = str(); val note = str(); val ts = vlong()
+    val nFiles = vlong().toInt
+    val files = Vector.fill(nFiles)(FileEntry(str(), zz(), zz()))
+    val cols = Vector.fill(vlong().toInt)(str())
+    def sidecarKey(): (String, String) =
+      (files(vlong().toInt).path, cols(vlong().toInt))
+    val colStats = Seq.fill(vlong().toInt)(
+      sidecarKey() -> (zz(), zz())).toMap
+    val strStats = Seq.fill(vlong().toInt)(
+      sidecarKey() -> (str(), str())).toMap
+    val blooms = Seq.fill(vlong().toInt) {
+      val k = sidecarKey()
+      val mBits = vlong().toInt; val kk = vlong().toInt
+      val words = Array.fill(vlong().toInt)(buf.getLong())
+      k -> BloomSketch(mBits, kk, words)
+    }.toMap
+    val dvs = Seq.fill(vlong().toInt) {
+      val path = files(vlong().toInt).path
+      val n = vlong().toInt
+      val pos = new Array[Long](n)
+      var prev = 0L
+      var i = 0
+      while (i < n) { prev += vlong(); pos(i) = prev; i += 1 }
+      path -> pos
+    }.toMap
+    val checks = Seq.fill(vlong().toInt)((str(), str()))
+    val addedCols = Seq.fill(vlong().toInt)((str(), str()))
+    val renames = Seq.fill(vlong().toInt)((str(), str()))
+    val dropped = Seq.fill(vlong().toInt)(str())
+    val basePath = str()
+    val genCols = Seq.fill(vlong().toInt)((str(), str(), str()))
+    val schemaJson = str()
+    Manifest(version, statsCol, files, note, ts, blooms, checks,
+      addedCols, colStats, strStats, dvs, renames, dropped, basePath,
+      genCols, schemaJson)
+  }
+
+  /** The full TEXT serialization of a NORMALIZED manifest — the
+    * original (and small-table default) layout, one typed line per
+    * datum, sidecars sorted for a deterministic byte stream. */
+  private def fullTextLines(mm: Manifest): Iterator[String] = {
+    val hdr = s"v\t${mm.version}\t${mm.statsCol}" +
+      (if (mm.note.nonEmpty) s"\t${mm.note}" else "")
+    Iterator(hdr, s"t\t${mm.ts}") ++
+      mm.files.iterator.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
+      (if (mm.schemaJson.isEmpty) Iterator.empty
+       else Iterator(s"h\t${b64enc(mm.schemaJson)}")) ++
+      mm.addedCols.iterator.map { case (n, t) => s"s\t$n\t$t" } ++
+      mm.renames.iterator.map { case (p, l) =>
+        s"r\t${b64enc(p)}\t${b64enc(l)}" } ++
+      mm.droppedCols.iterator.map(p => s"x\t${b64enc(p)}") ++
+      (if (mm.basePath.isEmpty) Iterator.empty
+       else Iterator(s"P\t${b64enc(mm.basePath)}")) ++
+      mm.genCols.iterator.map { case (n, t, sql) =>
+        s"G\t${b64enc(n)}\t${b64enc(t)}\t${b64enc(sql)}" } ++
+      mm.checks.iterator.map { case (n, sql) => s"c\t$n\t$sql" } ++
+      mm.colStats.toSeq.sortBy(_._1).iterator.map {
+        case ((p, c), (mn, mx)) => s"m\t$p\t$c\t$mn\t$mx" } ++
+      mm.strStats.toSeq.sortBy(_._1).iterator.map {
+        case ((p, c), (mn, mx)) =>
+          s"S\t$p\t$c\t${b64enc(mn)}\t${b64enc(mx)}" } ++
+      mm.dvs.toSeq.sortBy(_._1).iterator.map { case (p, v) =>
+        s"d\t$p\t${encodeDv(v)}" } ++
+      mm.blooms.toSeq.sortBy(_._1).iterator.map { case ((p, c), b) =>
+        s"b\t$p\t$c\t${b.mBits}\t${b.k}\t${bloomB64(b)}" }
   }
 
   private def b64enc(s: String): String =
@@ -706,11 +1166,66 @@ object Snapshot {
                       vacuumGraceMs: Long = DefaultVacuumGraceMs)
       : Seq[Int] = {
     val fs = fsOf(spark, dir)
-    val dead = commitClocks(spark, dir).dropRight(1)
-      .filter(_._2 < cutoffMs).map(_._1)
+    val clocks = commitClocks(spark, dir)
+    val dead0 = clocks.dropRight(1).filter(_._2 < cutoffMs).map(_._1)
+    val dead = snapToChainRoot(spark, dir, clocks.map(_._1), dead0)
     dead.foreach(v => fs.delete(manifestPath(dir, v), false))
     vacuum(spark, dir, vacuumGraceMs)
     dead
+  }
+
+  /** Retention floor for DELTA chains: never delete a manifest some
+    * RETAINED version still resolves through. Chains are contiguous
+    * (a delta's parent is version-1, down to the nearest full
+    * manifest), so the floor is simply the chain ROOT of the lowest
+    * retained version — at most checkpointEvery-1 extra versions stay,
+    * the same slack Delta's log cleanup keeps back to a checkpoint. */
+  private def snapToChainRoot(spark: SparkSession, dir: String,
+                              all: Seq[Int], dead: Seq[Int]): Seq[Int] = {
+    val deadSet = dead.toSet
+    all.find(!deadSet.contains(_)) match {
+      case None => dead
+      case Some(lowestRetained) =>
+        var root = lowestRetained
+        var p = manifestParentOf(spark, dir, root)
+        while (p.isDefined) { root = p.get
+          p = manifestParentOf(spark, dir, root) }
+        dead.filter(_ < root)
+    }
+  }
+
+  /** Header peek: the parent version of a DELTA manifest, None for
+    * full (text or binary) — reads ≤ 96 bytes, no parse, no cache. */
+  private def manifestParentOf(spark: SparkSession, dir: String,
+                               v: Int): Option[Int] = {
+    val fs = fsOf(spark, dir)
+    val in = fs.open(manifestPath(dir, v))
+    val head =
+      try {
+        val b = new Array[Byte](96)
+        val n = in.read(b)
+        new String(b, 0, math.max(n, 0), StandardCharsets.UTF_8)
+      } finally in.close()
+    if (!head.startsWith("V\t")) None
+    // the V/version/parent fields span ≤ 24 bytes — always complete here
+    else Some(head.split('\t')(2).toInt)
+  }
+
+  /** Header peek: which on-disk layout version `v` published as —
+    * `"delta"` (`V`-headed), `"binary"` (`GMB1` checkpoint) or
+    * `"text"` (full line-oriented). Reads 4 bytes, no parse, no cache —
+    * q165 pins the publish policy's choices through it, and operators
+    * can use it to report format mix in maintenance output. */
+  private[graft] def manifestFormat(spark: SparkSession, dir: String,
+                                    v: Int): String = {
+    val fs = fsOf(spark, dir)
+    val in = fs.open(manifestPath(dir, v))
+    val b = new Array[Byte](4)
+    val n = try in.read(b) finally in.close()
+    val head = new String(b, 0, math.max(n, 0), StandardCharsets.UTF_8)
+    if (head.startsWith("V\t")) "delta"
+    else if (head == "GMB1") "binary"
+    else "text"
   }
 
   /** Append every DECLARED evolved column ([[Manifest.addedCols]]) the
@@ -1332,75 +1847,56 @@ object Snapshot {
     fs.mkdirs(manifestsDir(dir))
     require(!m.note.exists(c => c == '\t' || c == '\n'),
       "manifest note must be tab/newline-free")
-    val hdr = s"v\t${m.version}\t${m.statsCol}" +
-      (if (m.note.nonEmpty) s"\t${m.note}" else "")
-    // stamp the commit clock into the manifest itself (durable across
-    // file copies — see Manifest.ts); publish time IS commit time
-    val tsLine = s"t\t${if (m.ts > 0) m.ts else System.currentTimeMillis()}"
-    // bloom sidecars: only for files this manifest actually lists (a
-    // carried map may still hold rewritten paths), sorted for a
-    // deterministic byte layout
-    val listed = m.files.map(_.path).toSet
-    val bloomLines = m.blooms.toSeq
-      .filter { case ((p, _), _) => listed.contains(p) }
-      .sortBy { case ((p, c), _) => (p, c) }
-      .map { case ((p, c), b) =>
-        val buf = java.nio.ByteBuffer.allocate(b.bits.length * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        buf.asLongBuffer().put(b.bits)
-        val b64 = java.util.Base64.getEncoder.encodeToString(buf.array())
-        s"b\t$p\t$c\t${b.mBits}\t${b.k}\t$b64"
-      }
     m.checks.foreach { case (n, sql) =>
       require(!(n + sql).exists(c => c == '\t' || c == '\n'),
         s"check constraint '$n' must be tab/newline-free") }
-    val checkLines = m.checks.map { case (n, sql) => s"c\t$n\t$sql" }
     m.addedCols.foreach { case (n, t) =>
       require(!(n + t).exists(c => c == '\t' || c == '\n'),
         s"evolved column '$n' must be tab/newline-free") }
-    val schemaLines = m.addedCols.map { case (n, t) => s"s\t$n\t$t" }
-    // per-column stats sidecars: same carry discipline as blooms — only
-    // for files this manifest actually lists, sorted for determinism
-    val statLines = m.colStats.toSeq
-      .filter { case ((p, _), _) => listed.contains(p) }
-      .sortBy { case ((p, c), _) => (p, c) }
-      .map { case ((p, c), (mn, mx)) => s"m\t$p\t$c\t$mn\t$mx" }
-    // string stats ride base64-UTF-8 so any value is tab/newline-safe
-    val strLines = m.strStats.toSeq
-      .filter { case ((p, _), _) => listed.contains(p) }
-      .sortBy { case ((p, c), _) => (p, c) }
-      .map { case ((p, c), (mn, mx)) =>
-        s"S\t$p\t$c\t${b64enc(mn)}\t${b64enc(mx)}" }
-    val dvLines = m.dvs.toSeq
-      .filter { case (p, v) => listed.contains(p) && v.nonEmpty }
-      .sortBy(_._1)
-      .map { case (p, v) => s"d\t$p\t${encodeDv(v)}" }
-    // column mapping: base64 both sides — identifiers may hold any byte
-    val renameLines = m.renames.map { case (p, l) =>
-      s"r\t${b64enc(p)}\t${b64enc(l)}" }
-    val dropLines = m.droppedCols.map(p => s"x\t${b64enc(p)}")
-    val baseLines =
-      if (m.basePath.isEmpty) Nil else Seq(s"P\t${b64enc(m.basePath)}")
-    val genLines = m.genCols.map { case (n, t, sql) =>
-      s"G\t${b64enc(n)}\t${b64enc(t)}\t${b64enc(sql)}" }
-    val schemaJsonLines =
-      if (m.schemaJson.isEmpty) Nil else Seq(s"h\t${b64enc(m.schemaJson)}")
-    // STREAM the lines out — a million-file manifest with auto-stats
-    // sidecars runs to hundreds of MB, and materializing it as one
-    // String (plus its getBytes copy) doubled that in transient heap
-    // and dominated publish time (measured in ManifestScaleProbe)
-    val lines: Iterator[String] = Iterator(hdr, tsLine) ++
-      m.files.iterator.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
-      schemaJsonLines.iterator ++
-      schemaLines.iterator ++ renameLines.iterator ++ dropLines.iterator ++
-      baseLines.iterator ++ genLines.iterator ++ checkLines.iterator ++
-      statLines.iterator ++ strLines.iterator ++ dvLines.iterator ++
-      bloomLines.iterator
+    // ONE canonical state for every serializer: sidecars filtered to
+    // listed files, empty DVs dropped, the commit clock stamped (durable
+    // across file copies — see Manifest.ts); publish time IS commit time
+    val mm = normalized(m)
+    // DELTA eligibility: not v1, not a checkpoint version, the parent
+    // resolvable, the delta at most half the full entry count, and —
+    // the safety net that makes every verb delta-safe without auditing
+    // any of them — applying the computed delta to the parent must
+    // reproduce mm EXACTLY (same applyDelta the reader runs). Rewrites
+    // that change entries in place, full compactions, drains: all fail
+    // one of these and publish full, honestly.
+    val asDelta: Option[ManifestDelta] =
+      if (mm.version < 2 || mm.version % checkpointEvery(spark) == 0) None
+      else scala.util.Try(manifest(spark, dir, mm.version - 1)).toOption
+        .flatMap { base =>
+          val d = diffDelta(base, mm)
+          val deltaCost = d.removedFiles.size + d.addedFiles.size +
+            d.colUps.size + d.colDels.size + d.strUps.size +
+            d.strDels.size + d.bloomUps.size + d.bloomDels.size +
+            d.dvUps.size + d.dvDels.size
+          val fullCost = mm.files.size + mm.colStats.size +
+            mm.strStats.size + mm.blooms.size + mm.dvs.size
+          if (deltaCost * 2 > fullCost) None
+          else if (!sameState(applyDelta(base, d), mm)) None
+          else Some(d)
+        }
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
-    try lines.foreach { l =>
-      os.write(l.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+    try asDelta match {
+      case Some(d) =>
+        deltaLines(d).foreach { l =>
+          os.write(l.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+        }
+      case None if mm.files.size >= binaryMinFiles(spark) =>
+        writeBinaryManifest(os, mm)
+      case None =>
+        // STREAM the lines out — a million-file manifest with auto-stats
+        // sidecars runs to hundreds of MB, and materializing it as one
+        // String (plus its getBytes copy) doubled that in transient heap
+        // and dominated publish time (measured in ManifestScaleProbe)
+        fullTextLines(mm).foreach { l =>
+          os.write(l.getBytes(StandardCharsets.UTF_8)); os.write('\n')
+        }
     } finally os.close()
     val dst = manifestPath(dir, m.version)
     publishLock.synchronized {
@@ -1822,7 +2318,7 @@ object Snapshot {
     require(keep >= 1, "must keep at least the current version")
     val fs = fsOf(spark, dir)
     val vs = versions(spark, dir)
-    val dead = vs.dropRight(keep)
+    val dead = snapToChainRoot(spark, dir, vs, vs.dropRight(keep))
     dead.foreach(v => fs.delete(manifestPath(dir, v), false))
     vacuum(spark, dir, vacuumGraceMs)
     dead

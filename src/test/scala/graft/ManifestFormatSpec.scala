@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Snapshot
+import graft.ops.Snapshot.{BloomSketch, FileEntry, Manifest}
+
+/** The manifest's three on-disk layouts — full text, `V`-headed DELTA
+  * (commit metadata ∝ what changed), `GMB1` binary checkpoint (the
+  * at-scale full layout) — and the policy that picks between them:
+  * deltas publish between checkpoints and resolve through the parent
+  * chain, expiry never strands a retained chain, and every field
+  * round-trips every layout. */
+class ManifestFormatSpec extends SparkSpec {
+
+  private def freshDir(): String =
+    spark.conf.get("spark.sql.warehouse.dir") + "/graft_mf_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** Local path of a table dir that may be spelled as a file: URI. */
+  private def local(dir: String): String = dir.stripPrefix("file:")
+
+  private def headOf(dir: String, v: Int): String = {
+    val b = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(local(dir), "_manifests", f"v$v%05d"))
+    new String(b, 0, math.min(b.length, 4), "UTF-8")
+  }
+
+  /** A manifest exercising EVERY field the formats carry — wide enough
+    * (8 files, a stat per file) that a small change passes the
+    * delta-must-shrink heuristic, and PATH-SORTED like every real
+    * publisher's file list (the canonical order delta resolution
+    * reproduces). */
+  private def richManifest(v: Int): Manifest = {
+    val files = FileEntry("/abs/elsewhere/part-9.parquet", 701L, 800L) +:
+      (0 until 7).toVector.map(i =>
+        FileEntry(s"data/c1_aa/part-$i.parquet",
+          i * 100L + 1, i * 100L + 100))
+    val bloom = {
+      val bits = new Array[Long](4)
+      BloomSketch.add(bits, 256, 2, 42L)
+      BloomSketch(256, 2, bits)
+    }
+    Manifest(v, "k", files, note = "job:rich", ts = 1723700000000L + v,
+      blooms = Map((files(1).path, "k") -> bloom),
+      checks = Seq(("nonneg", "k >= 0")),
+      addedCols = Seq(("score", "BIGINT")),
+      colStats = files.map(f => (f.path, "k2") -> (f.min / 2, f.max / 2))
+        .toMap,
+      strStats = Map((files(2).path, "tag") -> ("a\tlow", "z high")),
+      dvs = Map(files(0).path -> Array(3L, 7L, 1000L)),
+      renames = Seq(("phys_v", "v")),
+      droppedCols = Seq("old_col"),
+      basePath = "/lake/base",
+      genCols = Seq(("band", "BIGINT", "k % 8")),
+      schemaJson = """{"type":"struct","fields":[]}""")
+  }
+
+  test("binary checkpoint round-trips every manifest field") {
+    val dir = freshDir()
+    spark.conf.set(Snapshot.BinaryMinFilesKey, "1")
+    try Snapshot.publishManifestForTest(spark, dir, richManifest(1))
+    finally spark.conf.unset(Snapshot.BinaryMinFilesKey)
+    assert(headOf(dir, 1) == "GMB1", "8 files >= minFiles=1 must go binary")
+    Snapshot.clearManifestCache()
+    val got = Snapshot.manifest(spark, dir, 1)
+    assert(Snapshot.sameState(got, richManifest(1)),
+      s"binary round-trip diverged: $got")
+  }
+
+  test("full text still round-trips every manifest field") {
+    val dir = freshDir()
+    Snapshot.publishManifestForTest(spark, dir, richManifest(1))
+    assert(headOf(dir, 1).startsWith("v\t"),
+      "8 files < default binaryMinFiles stays text")
+    Snapshot.clearManifestCache()
+    assert(Snapshot.sameState(Snapshot.manifest(spark, dir, 1),
+      richManifest(1)))
+  }
+
+  test("delta publish carries changes only and resolves exactly") {
+    val dir = freshDir()
+    val m1 = richManifest(1)
+    Snapshot.publishManifestForTest(spark, dir, m1)
+    // v2: drop the bloom-carrying file (its sidecars go implicitly),
+    // add one with fresh stats, grow a DV, touch the small state — a
+    // delta-shaped change whose result list stays path-sorted
+    val added = FileEntry("data/c2_bb/part-0.parquet", 801L, 900L)
+    val m2 = m1.copy(version = 2, note = "job:delta", ts = m1.ts + 10,
+      files = m1.files.patch(1, Nil, 1) :+ added,
+      colStats = m1.colStats + ((added.path, "k2") -> (120L, 180L)),
+      dvs = Map(m1.files(0).path -> Array(3L, 7L, 1000L, 2000L)),
+      checks = m1.checks :+ (("pos", "k > 0")))
+    Snapshot.publishManifestForTest(spark, dir, m2)
+    assert(headOf(dir, 2).startsWith("V\t"), "v2 must publish as a delta")
+    Snapshot.clearManifestCache()
+    val got = Snapshot.manifest(spark, dir, 2)
+    // normalized expectation: the removed file's bloom and colStats
+    // dropped; the k2 upsert and grown DV carry
+    val want = m2.copy(blooms = Map.empty,
+      colStats = m2.colStats - ((m1.files(1).path, "k2")))
+    assert(Snapshot.sameState(got, want), s"delta resolution diverged: $got")
+    // and v1 still reads as itself
+    assert(Snapshot.sameState(Snapshot.manifest(spark, dir, 1), m1))
+  }
+
+  test("checkpoint interval bounds the chain; expiry snaps to its root") {
+    import spark.implicits._
+    val dir = freshDir()
+    (1 to 12).foreach { i =>
+      val cur = Snapshot.currentVersion(spark, dir)
+      val carried =
+        if (cur == 0) Nil else Snapshot.manifest(spark, dir, cur).files
+      Snapshot.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"),
+        dir, cur, "k", carried, nFiles = 1)
+    }
+    // v1 full (no parent), v2..v9 deltas, v10 a checkpoint, v11+ deltas
+    assert(headOf(dir, 1).startsWith("v\t"))
+    (2 to 9).foreach(v => assert(headOf(dir, v).startsWith("V\t"), s"v$v"))
+    assert(headOf(dir, 10).startsWith("v\t"), "v10 = checkpointEvery full")
+    assert(headOf(dir, 11).startsWith("V\t"))
+    // resolution through the chain: any version reads its own state
+    assert(Snapshot.read(spark, dir, 7).count() == 7)
+    assert(Snapshot.read(spark, dir, 12).count() == 12)
+    // expire keep=2: retained 11..12 resolve through the v10 checkpoint,
+    // so the floor snaps there — v10 survives, 1..9 go
+    val dead = Snapshot.expireVersions(spark, dir, keep = 2,
+      vacuumGraceMs = Long.MaxValue)
+    assert(dead == (1 to 9), s"expired $dead")
+    assert(Snapshot.versions(spark, dir) == Seq(10, 11, 12))
+    assert(Snapshot.read(spark, dir, 11).count() == 11,
+      "retained deltas must still resolve after expiry")
+  }
+
+  test("a rewritten base invalidates dependent cached resolutions") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit((1L to 8L).map(k => (k, k)).toDF("k", "v"),
+      dir, 0, "k", nFiles = 2)
+    Snapshot.commit(Seq((9L, 9L)).toDF("k", "v"), dir, 1, "k",
+      carried = Snapshot.manifest(spark, dir, 1).files, nFiles = 1)
+    assert(headOf(dir, 2).startsWith("V\t"))
+    assert(Snapshot.manifest(spark, dir, 2).files.size == 3)
+    val before = Snapshot.manifestParses.get()
+    Snapshot.manifest(spark, dir, 2)
+    assert(Snapshot.manifestParses.get() == before, "warm chain hit")
+    // out-of-band rewrite of the BASE (test surgery): the child's cached
+    // resolution must not survive it
+    val p1 = java.nio.file.Paths.get(local(dir), "_manifests", "v00001")
+    java.nio.file.Files.write(p1,
+      (new String(java.nio.file.Files.readAllBytes(p1), "UTF-8") + "\n")
+        .getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(p1.resolveSibling(".v00001.crc"))
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m2.files.size == 3, "re-resolved child still correct")
+    assert(Snapshot.manifestParses.get() > before,
+      "a changed base must force a fresh resolution of the child")
+  }
+
+  test("checkpointEvery=1 forces full manifests everywhere") {
+    import spark.implicits._
+    val dir = freshDir()
+    spark.conf.set(Snapshot.CheckpointEveryKey, "1")
+    try {
+      (1 to 3).foreach { i =>
+        val cur = Snapshot.currentVersion(spark, dir)
+        val carried =
+          if (cur == 0) Nil else Snapshot.manifest(spark, dir, cur).files
+        Snapshot.commit(Seq((i.toLong, s"v$i")).toDF("k", "v"),
+          dir, cur, "k", carried, nFiles = 1)
+      }
+    } finally spark.conf.unset(Snapshot.CheckpointEveryKey)
+    (1 to 3).foreach(v =>
+      assert(headOf(dir, v).startsWith("v\t"), s"v$v must be full"))
+    assert(Snapshot.read(spark, dir, 3).count() == 3)
+  }
+}
