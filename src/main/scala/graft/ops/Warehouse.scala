@@ -589,6 +589,40 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The DELTA-CHAIN table (q165), built once per (session, dir):
+    * orders accreted as TWELVE carried commits (one per
+    * `order_key % 12` bucket, clustered on `order_key`) so the manifest
+    * log crosses a checkpoint boundary under the default
+    * `checkpointEvery = 10` policy: v1 publishes FULL (no parent), v2–v9
+    * and v11–v12 publish as `V`-headed DELTAS (metadata ∝ the one added
+    * file, not the whole table), v10 publishes a full checkpoint that
+    * re-roots the chain. Reads resolve deltas through the parent chain;
+    * q165 pins both the resolved STATE (current and a mid-chain
+    * time-travel, each against the raw-orders oracle) and the policy's
+    * CHOICES (exactly 10 delta manifests, via header peeks). */
+  private[graft] def chainOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#chain", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_chain_$sfx"
+          val base = T.orders(s, d).select(
+            col("o_orderkey").as("order_key"),
+            col("o_orderstatus").as("status"),
+            F.dec2(col("o_totalprice")).as("price"),
+            (col("o_orderkey") % 12).as("bucket"))
+          (0 until 12).foreach { b =>
+            val cur = Snapshot.currentVersion(s, dir)
+            val carried =
+              if (cur == 0) Nil else Snapshot.manifest(s, dir, cur).files
+            Snapshot.commit(base.filter(col("bucket") === b),
+              dir, cur, "order_key", carried, nFiles = 1)
+          }
+          dir
+        })
+    }
+
   /** The RESTORE table, built once per (session, dir): the [[dmlOrders]]
     * history replayed into its own dir (v1 load → v2 delete → v3
     * update), then `Snapshot.restore(1)` publishes v4 = v1's file list
@@ -1428,6 +1462,29 @@ object Warehouse extends QueryModule {
         .orderBy(col("status"))
     }),
 
+    "q165_manifest_chain" -> ((s, d) => {
+      // DELTA-MANIFEST log ([[chainOrders]]): 12 single-file carried
+      // commits publish as full(v1) + deltas(v2–v9) + checkpoint(v10) +
+      // deltas(v11–v12) under the default checkpointEvery=10 policy —
+      // per-commit metadata ∝ the one added file, not the table.
+      // `phase=cur` reads the head through the front door (resolved
+      // v10→v11→v12); `phase=v07` time-travels to a MID-CHAIN delta
+      // version (v7 = buckets 0..6, resolved through six deltas from
+      // the v1 root). `n_delta` carries the engine's own header-peek
+      // count of delta-published versions; the oracle pins it at 10
+      // and recomputes both rollups from raw orders.
+      val dir = chainOrders(s, d)
+      val nDelta = (1 to Snapshot.currentVersion(s, dir))
+        .count(v => Snapshot.manifestFormat(s, dir, v) == "delta").toLong
+      def agg(df: DataFrame, phase: String): DataFrame =
+        df.groupBy(lit(phase).as("phase"), col("status"))
+          .agg(count(lit(1)).as("n"), F.od(sum(col("price"))).as("total"))
+      agg(s.read.format("graft").load(dir), "cur")
+        .unionAll(agg(Snapshot.read(s, dir, 7), "v07"))
+        .withColumn("n_delta", lit(nDelta))
+        .orderBy(col("phase"), col("status"))
+    }),
+
     "q160_empty_version" -> ((s, d) => {
       // EMPTY VERSION as a legal state ([[emptyOrders]]): v2 deleted
       // every row — a zero-file manifest whose stored schema serves the
@@ -2070,6 +2127,23 @@ object Warehouse extends QueryModule {
         |SELECT status, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total,
         |       CAST(1 AS BIGINT) AS n_pruned
         |FROM st GROUP BY status ORDER BY status
+        |""".stripMargin,
+
+    "q165_manifest_chain" ->
+      """WITH st AS (
+        |  SELECT o_orderstatus AS status,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |         o_orderkey % 12 AS bucket
+        |  FROM orders)
+        |SELECT phase, status, n, total, CAST(10 AS BIGINT) AS n_delta
+        |FROM (
+        |  SELECT 'cur' AS phase, status, count(*) AS n,
+        |         CAST(sum(price) AS DOUBLE) AS total
+        |  FROM st GROUP BY status
+        |  UNION ALL
+        |  SELECT 'v07', status, count(*), CAST(sum(price) AS DOUBLE)
+        |  FROM st WHERE bucket < 7 GROUP BY status)
+        |ORDER BY phase, status
         |""".stripMargin,
 
     "q160_empty_version" ->

@@ -157,6 +157,22 @@ class ManifestFormatSpec extends SparkSpec {
       "a changed base must force a fresh resolution of the child")
   }
 
+  test("q165: registered chain query pins formats, head and mid-chain") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q165_manifest_chain")(spark, sf)
+      .select($"phase", $"n", $"n_delta").collect()
+    assert(out.forall(_.getLong(2) == 10L),
+      "12 commits under checkpointEvery=10 must publish exactly 10 deltas")
+    val byPhase = out.groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sum).toMap
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val total = orders.count()
+    val b7 = orders.filter(expr("o_orderkey % 12 < 7")).count()
+    assert(byPhase("cur") == total, s"head resolution: $byPhase vs $total")
+    assert(byPhase("v07") == b7, s"mid-chain v7: $byPhase vs $b7")
+  }
+
   test("checkpointEvery=1 forces full manifests everywhere") {
     import spark.implicits._
     val dir = freshDir()
