@@ -712,17 +712,58 @@ object Snapshot {
     // stay full — never resolve wrong
     val files = (base.files.filterNot(f => removed(f.path)) ++
       d.addedFiles).sortBy(_.path)
-    val listed = files.map(_.path).toSet
+    // a pure append (no removals) keeps every base path listed, so the
+    // listed-files filter is the identity — skip rebuilding the sidecar
+    // maps (the dominant chain-resolution cost at 1M files × 6 stat
+    // columns: ~8 s of immutable-map filtering for a no-op)
+    val noRemovals = removed.isEmpty
+    lazy val listed = files.map(_.path).toSet
     def live[V](m: Map[(String, String), V]): Map[(String, String), V] =
-      m.filter { case ((p, _), _) => listed.contains(p) }
+      if (noRemovals) m
+      else m.filter { case ((p, _), _) => listed.contains(p) }
     Manifest(d.version, d.statsCol, files, d.note, d.ts,
       live(base.blooms) -- d.bloomDels ++ d.bloomUps,
       d.checks, d.addedCols,
       live(base.colStats) -- d.colDels ++ d.colUps,
       live(base.strStats) -- d.strDels ++ d.strUps,
-      base.dvs.filter { case (p, _) => listed.contains(p) } --
+      (if (noRemovals) base.dvs
+       else base.dvs.filter { case (p, _) => listed.contains(p) }) --
         d.dvDels ++ d.dvUps,
       d.renames, d.droppedCols, d.basePath, d.genCols, d.schemaJson)
+  }
+
+  /** Targeted publish-time proof that applying [[diffDelta]]'s output
+    * back to `base` reproduces `mm` EXACTLY, without paying the full
+    * [[applyDelta]] rebuild-and-compare (~25 s per commit at 1M files ×
+    * 6 stat columns): given BOTH file lists path-sorted and
+    * path-distinct and every path common to both carrying an IDENTICAL
+    * entry, the file-list reconstruction is equal by construction; the
+    * sidecar upserts/removals were computed key-by-key off the
+    * NORMALIZED maps (every key points at a listed file), and the small
+    * whole-table state is restated verbatim. A changed-in-place entry
+    * (repartitionAdopted's re-derive), an unsorted publisher, or a
+    * duplicate path fails here and the version publishes FULL.
+    * Equivalence to the full rebuild is pinned by PropertySpec's
+    * apply∘diff ≡ identity property. */
+  private[graft] def deltaReproduces(base: Manifest, mm: Manifest)
+      : Boolean = {
+    def sortedDistinct(fs: Seq[FileEntry]): Boolean = {
+      var i = 1
+      while (i < fs.length) {
+        if (fs(i - 1).path >= fs(i).path) return false
+        i += 1
+      }
+      true
+    }
+    if (!sortedDistinct(base.files) || !sortedDistinct(mm.files)) false
+    else {
+      val baseByPath =
+        new java.util.HashMap[String, FileEntry](base.files.size * 2)
+      base.files.foreach(f => baseByPath.put(f.path, f))
+      mm.files.forall { f =>
+        val b = baseByPath.get(f.path); b == null || b == f
+      }
+    }
   }
 
   /** The delta from resolved `base` to NORMALIZED `mm` (same version
@@ -730,14 +771,19 @@ object Snapshot {
     * with a CHANGED entry (repartitionAdopted's re-derive) is not
     * representable — the writer's verification catches it and publishes
     * full. */
-  private def diffDelta(base: Manifest, mm: Manifest): ManifestDelta = {
+  private[graft] def diffDelta(base: Manifest, mm: Manifest)
+      : ManifestDelta = {
     val basePaths = base.files.map(_.path).toSet
     val newPaths = mm.files.map(_.path).toSet
+    // no bLive materialization: a normalized mm's sidecar keys all
+    // point at listed files, so upserts probe `b` directly and removals
+    // iterate `b`'s keys — O(entries) with zero rebuilt maps (the
+    // rebuild cost ~seconds per commit at 1M files × 6 stat columns)
     def diffMap[K, V](b: Map[K, V], n: Map[K, V], keyLive: K => Boolean,
                       same: (V, V) => Boolean): (Map[K, V], Seq[K]) = {
-      val bLive = b.filter { case (k, _) => keyLive(k) }
-      val ups = n.filter { case (k, v) => !bLive.get(k).exists(same(_, v)) }
-      val dels = bLive.keys.filterNot(n.contains).toSeq
+      val ups = n.filter { case (k, v) => !b.get(k).exists(same(_, v)) }
+      val dels = b.keysIterator
+        .filter(k => keyLive(k) && !n.contains(k)).toSeq
       (ups, dels)
     }
     def pairLive(k: (String, String)): Boolean = newPaths.contains(k._1)
@@ -778,12 +824,22 @@ object Snapshot {
     * state. */
   private def normalized(m: Manifest): Manifest = {
     val listed = m.files.map(_.path).toSet
+    // rebuild a sidecar map only if it actually holds an unlisted key:
+    // the common commit shape (every sidecar on a listed file) keeps the
+    // maps REFERENCE-SHARED — filtering 6M entries into fresh immutable
+    // maps for a no-op cost ~10 s per commit at 1M files × 6 columns
+    def live[V](m0: Map[(String, String), V]): Map[(String, String), V] =
+      if (m0.keysIterator.forall(k => listed.contains(k._1))) m0
+      else m0.filter { case ((p, _), _) => listed.contains(p) }
     m.copy(
       ts = if (m.ts > 0) m.ts else System.currentTimeMillis(),
-      blooms = m.blooms.filter { case ((p, _), _) => listed.contains(p) },
-      colStats = m.colStats.filter { case ((p, _), _) => listed.contains(p) },
-      strStats = m.strStats.filter { case ((p, _), _) => listed.contains(p) },
-      dvs = m.dvs.filter { case (p, v) => listed.contains(p) && v.nonEmpty })
+      blooms = live(m.blooms),
+      colStats = live(m.colStats),
+      strStats = live(m.strStats),
+      dvs =
+        if (m.dvs.forall { case (p, v) => listed.contains(p) && v.nonEmpty })
+          m.dvs
+        else m.dvs.filter { case (p, v) => listed.contains(p) && v.nonEmpty })
   }
 
   /** Serialize a delta: the full format's line vocabulary plus a `V`
@@ -933,25 +989,34 @@ object Snapshot {
       mm.blooms.keysIterator).map(_._2).toSeq.distinct.sorted
     val colIdx = cols.zipWithIndex.toMap
     vlong(cols.size.toLong); cols.foreach(str)
-    def sidecarKey(k: (String, String)): Unit = {
-      vlong(fileIdx(k._1).toLong); vlong(colIdx(k._2).toLong)
-    }
-    val cs = mm.colStats.toSeq.sortBy(_._1)
-    vlong(cs.size.toLong)
-    cs.foreach { case (k, (mn, mx)) => sidecarKey(k); zz(mn); zz(mx) }
-    val ss = mm.strStats.toSeq.sortBy(_._1)
-    vlong(ss.size.toLong)
-    ss.foreach { case (k, (mn, mx)) => sidecarKey(k); str(mn); str(mx) }
-    val bs = mm.blooms.toSeq.sortBy(_._1)
-    vlong(bs.size.toLong)
-    bs.foreach { case (k, b) =>
-      sidecarKey(k); vlong(b.mBits.toLong); vlong(b.k.toLong)
+    // deterministic byte stream via the INDEX order (≡ (path, col)
+    // order: file indexes follow the path-sorted list, column indexes
+    // the sorted dictionary) — sorting int pairs instead of 6M
+    // (String, String) tuples is a large slice of checkpoint time
+    def idx(k: (String, String)): (Int, Int) = (fileIdx(k._1), colIdx(k._2))
+    val cs = mm.colStats.iterator
+      .map { case (k, v) => (idx(k), v) }.toArray.sortBy(_._1)
+    vlong(cs.length.toLong)
+    cs.foreach { case ((fi, ci), (mn, mx)) =>
+      vlong(fi.toLong); vlong(ci.toLong); zz(mn); zz(mx) }
+    val ss = mm.strStats.iterator
+      .map { case (k, v) => (idx(k), v) }.toArray.sortBy(_._1)
+    vlong(ss.length.toLong)
+    ss.foreach { case ((fi, ci), (mn, mx)) =>
+      vlong(fi.toLong); vlong(ci.toLong); str(mn); str(mx) }
+    val bs = mm.blooms.iterator
+      .map { case (k, v) => (idx(k), v) }.toArray.sortBy(_._1)
+    vlong(bs.length.toLong)
+    bs.foreach { case ((fi, ci), b) =>
+      vlong(fi.toLong); vlong(ci.toLong)
+      vlong(b.mBits.toLong); vlong(b.k.toLong)
       vlong(b.bits.length.toLong); b.bits.foreach(out.writeLong)
     }
-    val dv = mm.dvs.toSeq.sortBy(_._1)
-    vlong(dv.size.toLong)
-    dv.foreach { case (p, pos) =>
-      vlong(fileIdx(p).toLong); vlong(pos.length.toLong)
+    val dv = mm.dvs.iterator
+      .map { case (p, v) => (fileIdx(p), v) }.toArray.sortBy(_._1)
+    vlong(dv.length.toLong)
+    dv.foreach { case (fi, pos) =>
+      vlong(fi.toLong); vlong(pos.length.toLong)
       var prev = 0L
       pos.foreach { x => vlong(x - prev); prev = x }
     }
@@ -994,10 +1059,19 @@ object Snapshot {
     val cols = Vector.fill(vlong().toInt)(str())
     def sidecarKey(): (String, String) =
       (files(vlong().toInt).path, cols(vlong().toInt))
-    val colStats = Seq.fill(vlong().toInt)(
-      sidecarKey() -> (zz(), zz())).toMap
-    val strStats = Seq.fill(vlong().toInt)(
-      sidecarKey() -> (str(), str())).toMap
+    // build the big sidecar maps directly (no 6M-tuple intermediate Seq)
+    val colStats = {
+      val b = Map.newBuilder[(String, String), (Long, Long)]
+      var i = vlong().toInt
+      while (i > 0) { b += (sidecarKey() -> (zz(), zz())); i -= 1 }
+      b.result()
+    }
+    val strStats = {
+      val b = Map.newBuilder[(String, String), (String, String)]
+      var i = vlong().toInt
+      while (i > 0) { b += (sidecarKey() -> (str(), str())); i -= 1 }
+      b.result()
+    }
     val blooms = Seq.fill(vlong().toInt) {
       val k = sidecarKey()
       val mBits = vlong().toInt; val kk = vlong().toInt
@@ -1863,22 +1937,28 @@ object Snapshot {
     // any of them — applying the computed delta to the parent must
     // reproduce mm EXACTLY (same applyDelta the reader runs). Rewrites
     // that change entries in place, full compactions, drains: all fail
-    // one of these and publish full, honestly.
-    val asDelta: Option[ManifestDelta] =
+    // one of these and publish full, honestly. The reproduce check is
+    // TARGETED (deltaReproduces — O(files) set passes, not a full
+    // applyDelta rebuild + compare, which cost ~25 s per commit at 1M
+    // files × 6 stat columns); its equivalence to the full rebuild is
+    // pinned by PropertySpec's apply∘diff ≡ identity property.
+    val parentResolved: Option[(Manifest, List[(String, Long, Long)])] =
       if (mm.version < 2 || mm.version % checkpointEvery(spark) == 0) None
-      else scala.util.Try(manifest(spark, dir, mm.version - 1)).toOption
-        .flatMap { base =>
-          val d = diffDelta(base, mm)
-          val deltaCost = d.removedFiles.size + d.addedFiles.size +
-            d.colUps.size + d.colDels.size + d.strUps.size +
-            d.strDels.size + d.bloomUps.size + d.bloomDels.size +
-            d.dvUps.size + d.dvDels.size
-          val fullCost = mm.files.size + mm.colStats.size +
-            mm.strStats.size + mm.blooms.size + mm.dvs.size
-          if (deltaCost * 2 > fullCost) None
-          else if (!sameState(applyDelta(base, d), mm)) None
-          else Some(d)
-        }
+      else scala.util.Try(
+        manifestWithChain(spark, dir, mm.version - 1)).toOption
+    val asDelta: Option[ManifestDelta] = parentResolved
+      .flatMap { case (base, _) =>
+        val d = diffDelta(base, mm)
+        val deltaCost = d.removedFiles.size + d.addedFiles.size +
+          d.colUps.size + d.colDels.size + d.strUps.size +
+          d.strDels.size + d.bloomUps.size + d.bloomDels.size +
+          d.dvUps.size + d.dvDels.size
+        val fullCost = mm.files.size + mm.colStats.size +
+          mm.strStats.size + mm.blooms.size + mm.dvs.size
+        if (deltaCost * 2 > fullCost) None
+        else if (!deltaReproduces(base, mm)) None
+        else Some(d)
+      }
     val tmp = new Path(manifestsDir(dir),
       s".v${m.version}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
     val os = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
@@ -1932,6 +2012,26 @@ object Snapshot {
         require(fs.rename(tmp, dst), s"manifest publish failed for $dst")
       }
     }
+    // seed the cache with what we just published: the writer is the
+    // next reader (steady-state commit loops resolve v-1 to diff v),
+    // and without this every commit pays a cold parse of its own
+    // predecessor (~10 s at 1M files × 6 stat columns). The cached
+    // state IS what a reader would parse: full layouts round-trip
+    // normalized manifests exactly (ManifestFormatSpec) and a delta's
+    // reproduction was just verified; the chain carries the parent's
+    // links so out-of-band surgery still invalidates.
+    try {
+      val st = fs.getFileStatus(dst)
+      val key = (fs.makeQualified(dst).toString,
+        st.getModificationTime, st.getLen)
+      val chain = asDelta match {
+        case Some(_) => key :: parentResolved.map(_._2).getOrElse(Nil)
+        case None    => List(key)
+      }
+      manifestCache.synchronized(
+        manifestCache.put(key,
+          new java.lang.ref.SoftReference(CachedManifest(mm, chain))))
+    } catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Commit `df` as version `expectedVersion + 1`, carrying over

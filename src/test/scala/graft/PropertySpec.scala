@@ -833,6 +833,66 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("manifest delta: apply∘diff ≡ identity whenever the publish gate passes") {
+    // publish verifies delta eligibility with the TARGETED deltaReproduces
+    // gate (O(files) set passes) instead of the full applyDelta rebuild —
+    // this property pins the equivalence it rests on: for ANY base and any
+    // normalized-shaped successor whose common paths carry identical
+    // entries, applying the computed delta reproduces the successor
+    // EXACTLY. The negative twin: a changed-in-place entry must fail the
+    // gate (the version then publishes full, honestly).
+    import graft.ops.Snapshot
+    import Snapshot.{FileEntry, Manifest}
+    def entry(i: Int): FileEntry =
+      FileEntry(f"data/p$i%02d.parquet", i * 10L, i * 10L + 9)
+    def sidecars(files: Seq[FileEntry], salt: Long)
+        : Map[(String, String), (Long, Long)] =
+      files.zipWithIndex.collect {
+        case (f, j) if (j + salt) % 3 != 0 =>
+          (f.path, if ((j + salt) % 2 == 0) "a" else "b") ->
+            (salt + j, salt + j + 5)
+      }.toMap
+    val cases = for {
+      baseIdx <- Gen.nonEmptyListOf(Gen.choose(0, 39)).map(_.distinct)
+      keepIdx <- Gen.someOf(baseIdx)
+      addIdx  <- Gen.someOf(40 until 52)
+      baseSalt <- Gen.choose(0L, 5L)
+      mmSalt   <- Gen.choose(0L, 5L)
+      dvOn     <- Gen.oneOf(true, false)
+    } yield {
+      val baseFiles = baseIdx.sorted.map(entry)
+      val mmFiles = (keepIdx ++ addIdx).toSeq.sorted.map(entry)
+      val base = Manifest(7, "k", baseFiles, note = "base", ts = 1000L,
+        colStats = sidecars(baseFiles, baseSalt),
+        strStats = baseFiles.headOption.map(f =>
+          (f.path, "s") -> ("lo", "hi")).toMap,
+        dvs = if (dvOn) baseFiles.headOption.map(f =>
+          f.path -> Array(2L, 9L)).toMap else Map.empty,
+        checks = Seq(("c1", "k >= 0")), schemaJson = "{}")
+      val mm = Manifest(8, "k", mmFiles, note = "next", ts = 1010L,
+        colStats = sidecars(mmFiles, mmSalt),
+        strStats = mmFiles.lastOption.map(f =>
+          (f.path, "s") -> ("aa", "zz")).toMap,
+        dvs = if (dvOn) mmFiles.lastOption.map(f =>
+          f.path -> Array(1L, 4L)).toMap else Map.empty,
+        checks = Seq(("c1", "k >= 0"), ("c2", "k < 99")),
+        schemaJson = "{}")
+      (base, mm)
+    }
+    check(Prop.forAll(cases) { case (base, mm) =>
+      Snapshot.deltaReproduces(base, mm) &&
+        Snapshot.sameState(
+          Snapshot.applyDelta(base, Snapshot.diffDelta(base, mm)), mm)
+    })
+    // negative: an entry changed IN PLACE (same path, new stats — the
+    // repartitionAdopted re-derive shape) is not delta-representable
+    val b0 = Manifest(1, "k", Vector(entry(3), entry(5)), ts = 1L)
+    val m0 = Manifest(2, "k",
+      Vector(entry(3), entry(5).copy(max = 999L)), ts = 2L)
+    assert(!Snapshot.deltaReproduces(b0, m0),
+      "changed-in-place entry must fail the delta gate")
+  }
+
   test("set algebra: (A except B) disjoint from B, subset of A") {
     import spark.implicits._
     check(Prop.forAll(Gen.listOfN(12, Gen.chooseNum(0L, 8L)),
