@@ -2413,7 +2413,7 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() == 800)
   }
 
-  test("DV verbs on an adopted shell fail fast when the COW fallback is needed") {
+  test("a DV delete above maxPositions on an adopted shell completes chunked") {
     val dir = freshDir()
     val lake = freshDir() + "_lake"
     import spark.implicits._
@@ -2421,18 +2421,45 @@ class SnapshotSpec extends SparkSpec {
       .toDF("id", "v", "band")
       .write.partitionBy("band").parquet(lake)
     Snapshot.convertParquetHive(spark, dir, lake, "band")
-    // a tiny maxPositions forces the over-limit branch: on an adopted
-    // shell the COW fallback cannot run — the verb names the remedy
-    // instead of dying mid-verb on the carried-commit guard
-    val e = intercept[IllegalArgumentException](
-      Snapshot.deleteWhereDV(spark, dir, 0L, 3L, maxPositions = 3))
-    assert(e.getMessage.contains("sever"))
+    val v0 = Snapshot.currentVersion(spark, dir)
+    // 150 matches at maxPositions=40: the COW fallback cannot run on
+    // the adopted shell, so the delete completes as a chain of
+    // manifest-only DV commits — ceil(150/40) = 4 versions, no sever
+    val v = Snapshot.deleteWhereDV(spark, dir, 0L, 3L,
+      col("id") <= 150, maxPositions = 40)
+    assert(v == v0 + 4)
+    assert(Snapshot.read(spark, dir).count() == 50)
+    assert(Snapshot.read(spark, dir).filter(col("id") <= 150).count() == 0)
+    // every chunk commit is a bounded DV-only version: no paths changed,
+    // and the per-version newly-masked position count never exceeds the
+    // chunk size
+    val baseFiles = Snapshot.manifest(spark, dir, v0).files
+      .map(_.path).toSet
+    (v0 + 1 to v).foreach { ver =>
+      val mv = Snapshot.manifest(spark, dir, ver)
+      assert(mv.files.map(_.path).toSet == baseFiles)
+      val prev = Snapshot.manifest(spark, dir, ver - 1).dvs
+      val fresh = mv.dvs.map { case (p, ps) =>
+        ps.length - prev.getOrElse(p, Array.empty[Long]).length
+      }.sum
+      assert(fresh > 0 && fresh <= 40, s"v$ver masked $fresh")
+    }
+    // CDF across the whole chain yields exactly the deleted rows as D
+    val feed = Snapshot.changeFeed(spark, dir, v0, v, "id")
+    assert(feed.filter(col("change_type") =!= "D").count() == 0)
+    assert(feed.select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 150L))
+    // time travel to the base still serves the full shell
+    assert(Snapshot.read(spark, dir, v0).count() == 200)
+    // the DV UPDATE still refuses at entry: its post-image APPEND can
+    // never mix with the adopted shell's path-schema'd files — that
+    // guard is about the append, not the position bound
     val e2 = intercept[IllegalArgumentException](
       Snapshot.updateWhereDV(spark, dir, 0L, 3L, Map("v" -> lit("x")),
         maxPositions = 3))
     assert(e2.getMessage.contains("sever"))
-    // within bounds the DV path works as before
-    Snapshot.deleteWhereDV(spark, dir, 1L, 1L, col("id") <= 8)
-    assert(Snapshot.read(spark, dir).count() == 198)
+    // within bounds the single-commit DV path works as before
+    Snapshot.deleteWhereDV(spark, dir, 1L, 1L, col("id") === 153L)
+    assert(Snapshot.read(spark, dir).count() == 49)
   }
 }
