@@ -402,8 +402,13 @@ object Similarity extends QueryModule {
     * not cross-engine reproducible (q65's declaration class); monotone
     * quantization-error descent and code quality are spec-pinned. */
   private[graft] def pqCodebooks(s: SparkSession, d: String,
-                                 iters: Int): DataFrame = {
-    val sub = pqSubvectors(s, d)
+                                 iters: Int): DataFrame =
+    pqCodebooksOf(pqSubvectors(s, d), iters)
+
+  /** [[pqCodebooks]] over an arbitrary (vec_id, m, sv) sub-vector frame —
+    * the planted q105/q121 corpus trains through the SAME Lloyd loop as
+    * the fixture corpus; only the seeds' source rows differ. */
+  private[graft] def pqCodebooksOf(sub: DataFrame, iters: Int): DataFrame = {
     var cb = sub.filter(col("vec_id") < 16)
       .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -514,18 +519,21 @@ object Similarity extends QueryModule {
   private val embCountCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, Long]]
-  private[graft] def adcRerankBudget(s: SparkSession, d: String): Int =
+  /** Fixture embedding row count, memoized per (session, dir) — the
+    * fixture-dirs-are-immutable convention (Tables.t's own caching
+    * assumes it); rewriting a dir in place mid-session requires a new
+    * session. */
+  private[graft] def embCount(s: SparkSession, d: String): Long =
     synchronized {
-      val n = embCountCache
+      embCountCache
         .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
         .getOrElseUpdate(d, T.embeddings(s, d).count())
-      // clamp BEFORE the Int conversion: limit() takes an Int, and a
-      // raw .toInt of n/8 wraps negative past ~17B rows. The memoized
-      // count is a per-(session, dir) constant by the fixture-dirs-are-
-      // immutable convention (Tables.t's own caching assumes it);
-      // rewriting a dir in place mid-session requires a new session.
-      math.min(math.max(64L, n / 8L), Int.MaxValue.toLong).toInt
     }
+  private[graft] def adcRerankBudget(s: SparkSession, d: String): Int = {
+    // clamp BEFORE the Int conversion: limit() takes an Int, and a
+    // raw .toInt of n/8 wraps negative past ~17B rows.
+    math.min(math.max(64L, embCount(s, d) / 8L), Int.MaxValue.toLong).toInt
+  }
 
   private val adcLutCache =
     new scala.collection.mutable.WeakHashMap[SparkSession,
@@ -544,6 +552,149 @@ object Similarity extends QueryModule {
         val byM = rows.groupBy(_.getInt(0))
         (0 to 3).map(m => byM(m).sortBy(_.getLong(1)).map(_.getDouble(2)).toIndexedSeq)
       })
+  }
+
+  // ---- planted PQ corpus (q105/q121's oracle path) ------------------------
+
+  /** The q105/q121 PLANTED corpus: 16 well-separated cluster centers with
+    * engineered member noise, built so the ENTIRE trained IVF-PQ pipeline
+    * provably collapses to a closed form an independent engine can pin —
+    * the q75 planted-pairs discipline extended from banding to k-means.
+    *
+    * Construction (row v, component k; one row per fixture vec_id below
+    * N32 = 32·⌊N/32⌋, so the corpus scales with the fixture):
+    *   - cluster c(v) = v % 16; center_c[k] = 2.0 if k % 16 == c else 0.0
+    *     — each center hot on ONE local dim of EVERY 16-dim PQ subspace,
+    *     so clusters are far apart (L2 ≥ 8 per subspace, cos ≈ 0 across)
+    *     in each subspace independently.
+    *   - noise eps(v,k) = s(v) · (((v div 32)·64 + k) % 13 − 6) · 2⁻⁹ with
+    *     s(v) = +1 for even (v div 16), −1 for odd: members of a cluster
+    *     come in consecutive-16-block pairs with OPPOSITE noise, so the
+    *     noise sums to EXACTLY zero over every cluster — which is why N32
+    *     is a multiple of 32.
+    *
+    * Why every float is exact, in BOTH engines: components are integer
+    * multiples of 2⁻⁹ bounded by ~2.01 (11 mantissa bits), products are
+    * multiples of 2⁻¹⁸ bounded by ~4.1, and every partial sum stays far
+    * below 2⁵³·2⁻¹⁸ — all IEEE-exact, so Spark and DuckDB compute
+    * bit-identical doubles from the same formula with NO reduction-order
+    * hazard. Consequences the q105/q121 oracles pin:
+    *   - Lloyd (any rounds, L2 or cosine) from the vec_id<16 seeds assigns
+    *     every member to its own planted cluster (margin ~8 vs ~0.009) and
+    *     every mean collapses to the EXACT center (zero-sum noise; the
+    *     decimal/double sums are exact, and B·2/B = 2 exactly).
+    *   - PQ codes(v) = [c,c,c,c] and recon_err(v) = Σₖ eps(v,k)² — both
+    *     closed-form in v alone.
+    *   - the exact top-k for the planted query (vec 0) is all
+    *     cluster-0 (cos ≈ 0.9995+ within, ≤ ~0.01 across), every one of
+    *     which survives the ADC cut (identical minimal codes; the rerank
+    *     budget max(64, N/8) always covers the N32/16-member cell), so
+    *     the served top-10 EQUALS the brute-force top-10 the oracle
+    *     recomputes. */
+  private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val n32 = 32L * (embCount(s, d) / 32L)
+    T.embeddings(s, d).select(col("vec_id")).filter(col("vec_id") < n32)
+      .select(col("vec_id"), expr(
+        """transform(sequence(0, 63), k ->
+          |  CASE WHEN k % 16 = vec_id % 16 THEN 2.0D ELSE 0.0D END
+          |  + CASE WHEN (vec_id div 16) % 2 = 0 THEN 1.0D ELSE -1.0D END
+          |    * CAST(((vec_id div 32) * 64 + k) % 13 - 6 AS DOUBLE)
+          |    * 0.001953125D)""".stripMargin).as("emb"))
+  }
+
+  /** PQ codebooks trained on the planted corpus — the REAL 2-round Lloyd
+    * loop ([[pqCodebooksOf]]), which on this corpus provably converges to
+    * the exact centers. Memoized like the fixture codebooks. */
+  private[graft] def plantedPqCodebooks(s: SparkSession,
+                                        d: String): DataFrame = synchronized {
+    pqCbCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+      .getOrElseUpdate((d + "#planted", 2),
+        pqCodebooksOf(pqSubvectorsOf(plantedCorpus(s, d)), 2)
+          .localCheckpoint(true))
+  }
+
+  /** The planted IVF-PQ serving table (vec_id, codes) staged
+    * cid-partitioned once per (session, dir) — q121's registered index
+    * artifact: coarse cells from the vec_id<16 seed quantizer (q67's
+    * oracled discipline), payload = the trained PQ codes, never
+    * embeddings. */
+  private[graft] def plantedIvfPqServing(s: SparkSession,
+                                         d: String): DataFrame = synchronized {
+    val tbl = "graft_planted_ivfpq_" + d.replaceAll("[^A-Za-z0-9]", "_")
+    if (!s.catalog.tableExists(tbl)) {
+      val corpus = plantedCorpus(s, d)
+      val seeds = corpus.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("emb").as("qv"))
+      val asg = ivfAssignTo(
+          corpus.select(col("vec_id"), col("emb").as("embedding")), seeds)
+        .select(col("vec_id"), col("cid"))
+      val codes = pqEncode(pqSubvectorsOf(corpus), plantedPqCodebooks(s, d))
+        .select(col("vec_id"), col("codes"))
+      Layout.stagePartitionedBy(asg.join(codes, Seq("vec_id")), tbl, "cid")
+    }
+    s.table(tbl)
+  }
+
+  /** q121's probe cells on the planted corpus: top-4 seed centroids by
+    * query cosine, memoized per (session, dir) like the fixture probes. */
+  private[graft] def plantedProbeIds(s: SparkSession,
+                                     d: String): Seq[Long] = synchronized {
+    trainedProbeCache
+      .getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(s"$d#planted", {
+        val corpus = plantedCorpus(s, d)
+        val seeds = corpus.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cid"), col("emb").as("qv"))
+        val q = corpus.filter(col("vec_id") === 0)
+          .select(col("emb").as("qv"))
+        ivfProbeCellsOf(seeds, q, 4).collect().toSeq.map(_.getLong(0))
+      })
+  }
+
+  /** q121's per-query ADC lookup table against the PLANTED codebooks —
+    * [[adcLut]]'s shape on the planted corpus. */
+  private[graft] def plantedAdcLut(s: SparkSession, d: String)
+      : IndexedSeq[IndexedSeq[Double]] = synchronized {
+    adcLutCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(d + "#planted", {
+        val q = plantedCorpus(s, d).filter(col("vec_id") === 0)
+        val rows = pqSubvectorsOf(q)
+          .join(broadcast(plantedPqCodebooks(s, d)), Seq("m"))
+          .select(col("m"), col("cid"), expr(L2).as("qd"))
+          .collect()
+        val byM = rows.groupBy(_.getInt(0))
+        (0 to 3).map(m =>
+          byM(m).sortBy(_.getLong(1)).map(_.getDouble(2)).toIndexedSeq)
+      })
+  }
+
+  /** The FIXTURE-corpus ADC serving plan — q121's shape over the real
+    * fixture embeddings with the TRAINED coarse quantizer (q110's
+    * discipline): the path a deployment runs, where no closed form
+    * exists and recall is a measured property, not a theorem. The
+    * registered q121 pins the same plan's exactness on the planted
+    * corpus; THIS twin keeps the honest float-geometry gates — recall@10
+    * vs the exact scan (SimilaritySpec) and the AdcRecall probe's
+    * nprobe/budget curves. */
+  private[graft] def fixtureAdcTopK(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val probed = ivfTrainedProbeIds(s, d, 1, q)
+    val lut = adcLut(s, d)
+    val adc = (0 to 3).map(m =>
+      element_at(typedLit(lut(m)), col("codes").getItem(m).cast("int") + 1))
+      .reduce(_ + _)
+    val cand = ivfPqServing(s, d).filter(col("cid").isin(probed: _*))
+      .select(col("vec_id"), adc.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(adcRerankBudget(s, d))
+    cand.join(e, Seq("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
+      .select(col("vec_id"),
+              floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
+      .orderBy(col("cos_micro").desc, col("vec_id").asc)
+      .limit(10)
   }
 
   /** q112's verified near-dup pair list, materialized ONCE per (session,
@@ -579,14 +730,20 @@ object Similarity extends QueryModule {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q105_sim_pq" -> ((s, d) => {
-      // PQ encoding of the corpus: 2 Lloyd rounds per subspace (trained
-      // once per session — pqCodebooksCached), then 4-code encoding.
-      // Completes the ANN serving triad — q67's IVF prunes WHICH cells a
-      // probe scans, q96's int8 shrinks each vector 4x, PQ shrinks it
-      // 128× for the in-memory ADC pass. Unit-only (float k-means;
-      // SimilaritySpec pins error descent, code bounds, and planted-twin
-      // code collision).
-      pqEncode(pqSubvectors(s, d), pqCodebooksCached(s, d, 2))
+      // PQ train + encode, END-TO-END ORACLED (round 16; unit-only
+      // before): 2 real Lloyd rounds per subspace over the PLANTED
+      // corpus ([[plantedCorpus]] — engineered so training provably
+      // converges to the exact cluster centers), then 4-code encoding.
+      // The DuckDB oracle pins codes = vec_id % 16 and
+      // recon_err = Σ eps² in CLOSED FORM — it never re-runs k-means,
+      // it checks the theorem the corpus construction proves. Completes
+      // the ANN serving triad — q67's IVF prunes WHICH cells a probe
+      // scans, q96's int8 shrinks each vector 4x, PQ shrinks it 128×
+      // for the in-memory ADC pass. The fixture-corpus training path
+      // (no closed form — real float geometry) keeps its unit gates:
+      // error descent, code bounds, planted-twin code collision.
+      pqEncode(pqSubvectorsOf(plantedCorpus(s, d)),
+          plantedPqCodebooks(s, d))
         .select(col("vec_id"),
           expr("CAST(codes[0] AS BIGINT)").as("c0"),
           expr("CAST(codes[1] AS BIGINT)").as("c1"),
@@ -675,36 +832,40 @@ object Similarity extends QueryModule {
     "q121_sim_ivf_adc" -> ((s, d) => {
       // IVF-PQ ADC serving — the triad (q67/q110 cell pruning, q96 int8,
       // q105 PQ) COMPOSED into the FAISS-style serving plan each exists
-      // for: (1) coarse probe picks 4 of 16 trained cells (driver-side
-      // literals -> static partition pruning, q110's discipline); (2) the
-      // ADC pass scans ONLY the probed cells of the codes table — 2-byte
-      // codes, never embeddings — ranking by the asymmetric distance
+      // for: (1) coarse probe picks 4 of 16 cells (driver-side literals
+      // -> static partition pruning); (2) the ADC pass scans ONLY the
+      // probed cells of the codes table — 2-byte codes, never
+      // embeddings — ranking by the asymmetric distance
       // sum_m lut[m][code_m], the per-query LUT folded in as array
-      // literals so the pass is one stateless codegen projection; (3) the
-      // top-K' ADC candidates (a driver-bounded TakeOrdered, deterministic
-      // adc-then-id tie-break; K' = [[adcRerankBudget]] — max(64, N/8),
-      // SCALING WITH CELL SIZE per the AdcRecall measurement: a fixed 64
-      // becomes the recall limiter as cells grow) rerank by EXACT cosine
-      // against their full embeddings — the only point the 256-byte
-      // vectors are read, via a broadcast semi-probe of K' ids. Cost at
+      // literals so the pass is one stateless codegen projection; (3)
+      // the top-K' ADC candidates (a driver-bounded TakeOrdered,
+      // deterministic adc-then-id tie-break; K' = [[adcRerankBudget]] —
+      // max(64, N/8), SCALING WITH CELL SIZE per the AdcRecall
+      // measurement) rerank by EXACT cosine against their full
+      // embeddings — the only point the full vectors are read. Cost at
       // 100 TB: probed-cell code bytes + K' embedding lookups, never
-      // corpus x query. Unit-only (float k-means training, q105's
-      // declaration class): recall@10 vs the exact scan and the pruned
-      // codes-only plan are spec-pinned.
-      val e = T.embeddings(s, d)
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val probed = ivfTrainedProbeIds(s, d, 1, q)
-      val lut = adcLut(s, d)
+      // corpus x query. END-TO-END ORACLED (round 16; unit-only
+      // before) on the PLANTED corpus, where the construction proves
+      // the ADC cut keeps every true neighbor (the query's whole
+      // cluster fits under K' with strictly minimal codes), so the
+      // served top-10 EQUALS the brute-force top-10 DuckDB recomputes.
+      // The fixture-corpus serving twin ([[fixtureAdcTopK]] — trained
+      // coarse quantizer, no closed form) keeps its unit recall gate
+      // and the AdcRecall probe.
+      val corpus = plantedCorpus(s, d)
+      val q = corpus.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+      val probed = plantedProbeIds(s, d)
+      val lut = plantedAdcLut(s, d)
       val adc = (0 to 3).map(m =>
         element_at(typedLit(lut(m)), col("codes").getItem(m).cast("int") + 1))
         .reduce(_ + _)
-      val cand = ivfPqServing(s, d).filter(col("cid").isin(probed: _*))
+      val cand = plantedIvfPqServing(s, d).filter(col("cid").isin(probed: _*))
         .select(col("vec_id"), adc.as("adc"))
         .orderBy(col("adc").asc, col("vec_id").asc)
         .limit(adcRerankBudget(s, d))
-      cand.join(e, Seq("vec_id"))
+      cand.join(corpus, Seq("vec_id"))
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), expr("graft_cosine(embedding, qv)").as("cos"))
+        .select(col("vec_id"), expr("graft_cosine(emb, qv)").as("cos"))
         .select(col("vec_id"),
                 floor(col("cos") * 1000000).cast(LongType).as("cos_micro"))
         .orderBy(col("cos_micro").desc, col("vec_id").asc)
@@ -878,6 +1039,50 @@ object Similarity extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the planted-corpus PQ theorem in closed form: Lloyd from the
+    // vec_id<16 seeds provably converges to the exact centers, so
+    // codes = cluster id (vec_id % 16) in every subspace and
+    // recon_err = Σₖ eps(v,k)² — the sign cancels under the square, and
+    // every term is an exact multiple of 2⁻¹⁸, so the double sum is
+    // bit-identical to Spark's decimal-summed value
+    "q105_sim_pq" ->
+      """WITH nn AS (SELECT 32 * (count(*) // 32) AS n FROM embeddings)
+        |SELECT e.vec_id,
+        |  e.vec_id % 16 AS c0, e.vec_id % 16 AS c1,
+        |  e.vec_id % 16 AS c2, e.vec_id % 16 AS c3,
+        |  list_sum(list_transform(range(64), k ->
+        |    CAST((((e.vec_id // 32) * 64 + k) % 13 - 6)
+        |       * (((e.vec_id // 32) * 64 + k) % 13 - 6) AS DOUBLE)))
+        |  * CAST(0.001953125 AS DOUBLE) * CAST(0.001953125 AS DOUBLE)
+        |  AS recon_err
+        |FROM embeddings e, nn WHERE e.vec_id < nn.n
+        |ORDER BY vec_id""".stripMargin,
+
+    // the planted corpus makes the served IVF-PQ-ADC top-10 EQUAL the
+    // exact top-10 (the whole query cluster survives the probe and the
+    // ADC cut by construction), so the oracle is the brute-force scan —
+    // it never reproduces the index, it checks the recall-1.0 theorem
+    "q121_sim_ivf_adc" ->
+      """WITH nn AS (SELECT 32 * (count(*) // 32) AS n FROM embeddings),
+        |u AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(64), k ->
+        |      CAST(CASE WHEN k % 16 = e.vec_id % 16
+        |                THEN 2.0 ELSE 0.0 END AS DOUBLE)
+        |      + CAST(CASE WHEN (e.vec_id // 16) % 2 = 0
+        |                  THEN 1.0 ELSE -1.0 END AS DOUBLE)
+        |        * CAST(((e.vec_id // 32) * 64 + k) % 13 - 6 AS DOUBLE)
+        |        * CAST(0.001953125 AS DOUBLE)) AS emb
+        |  FROM embeddings e, nn WHERE e.vec_id < nn.n),
+        |q AS (SELECT emb AS qv FROM u WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |  list_sum(list_transform(range(64), k -> u.emb[k+1] * q.qv[k+1]))
+        |  / (sqrt(list_sum(list_transform(u.emb, x -> x * x)))
+        |   * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+        |  FROM u, q)
+        |SELECT vec_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_micro
+        |FROM c ORDER BY cos_micro DESC, vec_id ASC LIMIT 10""".stripMargin,
+
     "q96_embed_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
