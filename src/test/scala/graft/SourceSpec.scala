@@ -694,6 +694,86 @@ class SourceSpec extends SparkSpec {
     assert(sorted(viaSource) == sorted(direct))
   }
 
+  test("timestamp stats: stamps and pruning are session-zone invariant") {
+    // the round-15 NTZ fix's property: kind-3 stamps are instants
+    // (unix_seconds, zone-free by definition) and kind-4 stamps are
+    // wall-fields-as-UTC — so writers in ANY session zone stamp the
+    // same numbers, and readers in ANY session zone plan the same
+    // files. Zones chosen to bite: LA is mid-spring-forward on the
+    // test date (02:xx wall does not exist), Kathmandu is +5:45 (a
+    // non-hour offset). Any path that bakes the session zone into a
+    // stamp or a probe shifts epochs by the offset and breaks the
+    // cross-zone equalities below.
+    def sess(z: String) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.session.timeZone", z)
+      s2
+    }
+    val zones = Seq("UTC", "America/Los_Angeles", "Asia/Kathmandu")
+    // file 1: instants in UTC hour 10 / wall 01:xx; file 2: an hour
+    // later / wall 03:xx on the LA spring-forward morning. ts built
+    // from epoch literals (same instants in every zone), nts from wall
+    // strings (same fields in every zone) — the DATA is zone-free, so
+    // any stamp divergence is the engine's.
+    def frame(s2: org.apache.spark.sql.SparkSession,
+              rows: Seq[(Long, Long, String)]): DataFrame = {
+      import s2.implicits._
+      rows.toDF("k", "e", "w").select(col("k"),
+        timestamp_seconds(col("e")).as("ts"),
+        expr("to_timestamp_ntz(w)").as("nts"))
+    }
+    val f1 = (0 until 30).map(i =>
+      (i.toLong, 1710064800L + i * 60L, f"2024-03-10 01:$i%02d:00"))
+    val f2 = (0 until 30).map(i =>
+      (100 + i.toLong, 1710068400L + i * 60L, f"2024-03-10 03:$i%02d:00"))
+    def stampsOf(dir: String, c: String): Seq[(Long, Long)] = {
+      val m = Snapshot.manifest(spark, dir, 2)
+      m.colStats.toSeq.filter(_._1._2 == c).map(_._2).sorted
+    }
+    val dirs = zones.map { z =>
+      val s2 = sess(z)
+      val dir = spark.conf.get("spark.sql.warehouse.dir") +
+        "/graft_tszone_" + java.util.UUID.randomUUID().toString.take(8)
+      Snapshot.commit(frame(s2, f1), dir, 0, "k", nFiles = 1)
+      Snapshot.commit(frame(s2, f2), dir, 1, "k",
+        carried = Snapshot.manifest(s2, dir, 1).files, nFiles = 1)
+      z -> dir
+    }
+    // every writer zone stamps bit-identical (min, max) pairs
+    for (c <- Seq("ts", "nts"); (_, dir) <- dirs.tail)
+      assert(stampsOf(dir, c) == stampsOf(dirs.head._2, c),
+        s"$c stamps differ between writer zones")
+    // pruning parity: instant bound on ts, wall bound on nts — each
+    // plans exactly the second file in every written dir
+    for ((_, dir) <- dirs) {
+      val m = Snapshot.manifest(spark, dir, 2)
+      def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+        SourcePruning.candidates(m, fs).size
+      assert(planned(GreaterThanOrEqual("ts",
+        java.time.Instant.ofEpochSecond(1710068400L))) == 1)
+      assert(planned(GreaterThanOrEqual("nts",
+        java.time.LocalDateTime.of(2024, 3, 10, 3, 0))) == 1)
+      assert(planned(LessThanOrEqual("nts",
+        java.time.LocalDateTime.of(2024, 3, 10, 0, 0))) == 0)
+    }
+    // front-door answer identity under every READER zone: the wall
+    // predicate selects exactly file 2's keys regardless of zone
+    val dir0 = dirs.head._2
+    for (rz <- zones) {
+      val r = sess(rz)
+      val got = r.read.format("graft").load(dir0)
+        .filter(col("nts") >=
+          lit(java.time.LocalDateTime.of(2024, 3, 10, 3, 0)))
+        .collect().map(_.getAs[Long]("k")).sorted.toSeq
+      assert(got == (100L until 130L), s"reader zone $rz got $got")
+      val gotTs = r.read.format("graft").load(dir0)
+        .filter(col("ts") >=
+          lit(java.time.Instant.ofEpochSecond(1710068400L)))
+        .collect().map(_.getAs[Long]("k")).sorted.toSeq
+      assert(gotTs == (100L until 130L), s"reader zone $rz got $gotTs")
+    }
+  }
+
   test("decimal and double stats prune money ranges at planning") {
     val dir = Warehouse.moneyOrders(spark, sf)
     val cur = Snapshot.currentVersion(spark, dir)
