@@ -668,6 +668,35 @@ object Similarity extends QueryModule {
       })
   }
 
+  /** q65's PLANTED doc corpus: one row per fixture doc_id, text built
+    * from doc_id arithmetic alone — group g = doc_id div 4; every member
+    * of a group carries the IDENTICAL token stream `w(23g) … w(23g+7+g%5)`
+    * (8 + g%5 tokens, so shingle counts vary across groups), and group
+    * vocabularies are disjoint (token indices advance 23 per group, past
+    * the max in-group offset of 12). Consequences the oracle pins in
+    * closed form: true near-dup pairs are EXACTLY the within-group pairs
+    * at Jaccard 1.0 (identical shingle SETS → identical minhash
+    * signatures → every band collides: recall 1.0 as a theorem, q75's
+    * discipline); every cross-group pair has Jaccard 0 and cannot
+    * survive the exact verify no matter what the banding hashes do. */
+  private[graft] def plantedLshDocs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"), expr(
+        """array_join(transform(
+          |  sequence(0, 7 + CAST((doc_id div 4) % 5 AS INT)),
+          |  p -> concat('w', CAST((doc_id div 4) * 23 + p AS STRING))),
+          |  ' ')""".stripMargin).as("text"))
+
+  /** The FIXTURE-corpus LSH join — q65's shape over the real document
+    * texts, where banding recall is a measured property, not a theorem:
+    * SimilaritySpec gates it against q61's exact pairs (recall ≥ 0.8,
+    * zero false positives). */
+  private[graft] def fixtureLshJoin(s: SparkSession, d: String): DataFrame = {
+    val sh = Dedup.shingles(s, d)
+    val cand = lshCandidates(sh)
+    verifyCandidates(sh, cand, 0.5).orderBy(col("i"), col("j"))
+  }
+
   /** The FIXTURE-corpus ADC serving plan — q121's shape over the real
     * fixture embeddings with the TRAINED coarse quantizer (q110's
     * discipline): the path a deployment runs, where no closed form
@@ -998,9 +1027,18 @@ object Similarity extends QueryModule {
     "q65_sim_lsh_join" -> ((s, d) => {
       // Approximate near-dup join: LSH candidates first, exact Jaccard
       // verification on candidates ONLY (never the all-pairs product).
-      // Engine-specific banding -> no SQL oracle; recall vs q61's exact
-      // pairs is unit-tested (SimilaritySpec).
-      val sh = Dedup.shingles(s, d)
+      // END-TO-END ORACLED (round 16; unit-only before) on the PLANTED
+      // doc corpus ([[plantedLshDocs]]): groups of EXACT copies with
+      // globally disjoint vocabularies, so every true pair has Jaccard
+      // 1.0 — identical shingle sets give identical minhash signatures,
+      // every band collides, recall is 1.0 BY CONSTRUCTION — and every
+      // hash-accident cross-group candidate dies in the exact verify
+      // (Jaccard 0 < τ). The oracle pins the output in closed form
+      // (within-group pairs, inter = uni = group shingle count) without
+      // reproducing the banding. The fixture-corpus path (real text,
+      // banding recall a measured property) keeps its unit gate vs
+      // q61's exact pairs via [[fixtureLshJoin]].
+      val sh = Dedup.shinglesOf(plantedLshDocs(s, d))
       val cand = lshCandidates(sh)
       verifyCandidates(sh, cand, 0.5).orderBy(col("i"), col("j"))
     }),
@@ -1039,6 +1077,20 @@ object Similarity extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the planted-LSH theorem in closed form: within-group pairs at
+    // Jaccard 1.0 with inter = uni = the group's shingle count
+    // (tokens − 2); the banding is never reproduced — identical shingle
+    // sets collide in every band, and disjoint group vocabularies kill
+    // every other candidate in the exact verify
+    "q65_sim_lsh_join" ->
+      """WITH g AS (SELECT doc_id, doc_id // 4 AS grp FROM documents)
+        |SELECT a.doc_id AS i, b.doc_id AS j,
+        |  CAST(6 + (a.grp % 5) AS BIGINT) AS inter,
+        |  CAST(6 + (a.grp % 5) AS BIGINT) AS uni,
+        |  CAST(1.0 AS DOUBLE) AS jac
+        |FROM g a JOIN g b ON a.grp = b.grp AND a.doc_id < b.doc_id
+        |ORDER BY i, j""".stripMargin,
+
     // the planted-corpus PQ theorem in closed form: Lloyd from the
     // vec_id<16 seeds provably converges to the exact centers, so
     // codes = cluster id (vec_id % 16) in every subspace and

@@ -207,13 +207,35 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("q65 LSH join recall >= 0.8 vs q61 exact pairs, zero false positives") {
+    import graft.ops.Similarity
+    // the fixture-corpus twin (real text, banding recall measured) —
+    // round 16 moved the registered q65 to the planted corpus where
+    // recall is 1.0 by construction; this keeps the honest float gate
     val exact = SparkEntry.queries("q61_dedup_near")(spark, sf)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("q65_sim_lsh_join")(spark, sf)
+    val lsh = Similarity.fixtureLshJoin(spark, sf)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), "LSH output is exact-verified: no false positives")
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.8, s"recall=$recall (${lsh.size}/${exact.size})")
+  }
+
+  test("q65 planted corpus: every within-group pair surfaces at Jaccard 1.0") {
+    // the registered query's recall-1.0 theorem, checked structurally:
+    // exactly the doc_id-div-4 group pairs, inter == uni == tokens - 2
+    val out = SparkEntry.queries("q65_sim_lsh_join")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    val n = Tables.documents(spark, sf).count()
+    val want = (0L until n).flatMap(i => (i + 1 until n).map(j => (i, j)))
+      .filter { case (i, j) => i / 4 == j / 4 }
+    assert(out.keySet == want.toSet,
+      s"${out.size} pairs vs ${want.size} expected")
+    want.foreach { case (i, j) =>
+      val sh = 6 + (i / 4) % 5
+      assert(out((i, j)) == ((sh, sh, 1.0)), s"pair ($i,$j): ${out((i, j))}")
+    }
   }
 
   test("q75 SRP banding: recall 1.0 vs exact pairs, zero false positives") {
