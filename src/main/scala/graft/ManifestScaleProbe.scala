@@ -85,6 +85,17 @@ object ManifestScaleProbe {
       println(f"  append+8 → v2 [${headOf(dir, 2)}%5s] publish=${wt2}%6.3f s" +
         f"  chainColdParse=${rt2cold}%6.3f s  warmBaseResolve=" +
         f"${rt2warm}%6.3f s  deltaBytes=${bytes2}%d")
+      // metadata-only commit (the chunked-DV-purge shape): the verb
+      // copies the cache-resolved parent, sharing files and sidecar
+      // maps by reference — publish must recognize the inheritance and
+      // pay O(changed), not O(table)
+      val m2 = Snapshot.manifest(spark, dir, 2)
+      val (_, wt3) = time(Snapshot.publishManifestForTest(spark, dir,
+        m2.copy(version = 3, ts = 0L, note = "dvchunk",
+          dvs = m2.dvs + (m2.files.head.path -> Array(1L, 5L, 9L)))))
+      val bytes3 = new java.io.File(f"$dir/_manifests/v${3}%05d").length()
+      println(f"  dv-chunk → v3 [${headOf(dir, 3)}%5s] publish=${wt3}%6.3f s" +
+        f"  deltaBytes=${bytes3}%d")
     }
     spark.stop()
   }

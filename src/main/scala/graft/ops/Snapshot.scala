@@ -771,6 +771,13 @@ object Snapshot {
     * apply∘diff ≡ identity property. */
   private[graft] def deltaReproduces(base: Manifest, mm: Manifest)
       : Boolean = {
+    // a shared file list reproduces trivially: the delta carries no
+    // file adds/removes, and applyDelta's merge of (base.files, Nil)
+    // IS base.files — regardless of sort order, so the sorted-distinct
+    // gate is not needed on this path (DV-only chunk commits at the
+    // million-file mark skip the 1M-entry hash build per link)
+    if (mm.files.asInstanceOf[AnyRef] eq base.files.asInstanceOf[AnyRef])
+      return true
     def sortedDistinct(fs: Seq[FileEntry]): Boolean = {
       var i = 1
       while (i < fs.length) {
@@ -806,8 +813,18 @@ object Snapshot {
       fs.foreach(f => s.add(f.path))
       s
     }
-    val basePaths = pathSet(base.files)
-    val newPaths = pathSet(mm.files)
+    // REFERENCE-IDENTITY shortcuts: a DV-only or metadata-only commit
+    // builds its manifest as parent.copy(...), sharing the untouched
+    // file list and sidecar maps BY REFERENCE with the cache-resolved
+    // parent — the same object this diff receives as `base`. Identical
+    // references are identical state, so those diffs are O(1), which
+    // turns a chunked DV purge on a million-file estate into O(chunk)
+    // metadata per commit. A cache eviction between the verb's read
+    // and this diff just degrades to the full scan — never wrong.
+    val sameFiles =
+      mm.files.asInstanceOf[AnyRef] eq base.files.asInstanceOf[AnyRef]
+    lazy val basePaths = pathSet(base.files)
+    lazy val newPaths = pathSet(mm.files)
     // no bLive materialization: a normalized mm's sidecar keys all
     // point at listed files, so upserts probe `b` directly and removals
     // iterate `b`'s keys — O(entries) with zero rebuilt maps (the
@@ -819,6 +836,12 @@ object Snapshot {
     // table — cannot find anything and is skipped.
     def diffMap[K, V](b: Map[K, V], n: Map[K, V], keyLive: K => Boolean,
                       same: (V, V) => Boolean): (Map[K, V], Seq[K]) = {
+      // identical references are identical maps; and BOTH sides are
+      // normalized (sidecar keys all point at their own listed files),
+      // so a shared map implies no upserts and no live deletions even
+      // when the file lists differ (pure append, untouched stats)
+      if (b.asInstanceOf[AnyRef] eq n.asInstanceOf[AnyRef])
+        return (Map.empty[K, V], Nil)
       var changed = false
       val ups = n.filter { case (k, v) =>
         b.get(k) match {
@@ -844,8 +867,10 @@ object Snapshot {
       (p: String) => newPaths.contains(p),
       (a: Array[Long], b: Array[Long]) => a.sameElements(b))
     ManifestDelta(mm.version, base.version, mm.statsCol, mm.note, mm.ts,
-      base.files.map(_.path).filterNot(p => newPaths.contains(p)),
-      mm.files.filterNot(f => basePaths.contains(f.path)),
+      if (sameFiles) Nil
+      else base.files.map(_.path).filterNot(p => newPaths.contains(p)),
+      if (sameFiles) Nil
+      else mm.files.filterNot(f => basePaths.contains(f.path)),
       mm.checks, mm.addedCols, mm.renames, mm.droppedCols, mm.basePath,
       mm.genCols, mm.schemaJson,
       colUps, colDels, strUps, strDels, bloomUps, bloomDels, dvUps, dvDels)
@@ -869,25 +894,45 @@ object Snapshot {
     * Every serializer (full text, binary, delta) works from this form,
     * so delta resolution and full parsing agree byte-for-byte on
     * state. */
-  private def normalized(m: Manifest): Manifest = {
+  private def normalized(m: Manifest,
+                         parent: Option[Manifest] = None): Manifest = {
+    // REFERENCE-IDENTITY shortcut: a metadata-only verb builds its
+    // manifest as parent.copy(...), sharing the file list and the
+    // untouched sidecar maps by reference with the cache-resolved
+    // parent. The parent is itself normalized (every published
+    // manifest passes through here), so a map shared with a
+    // same-file-list parent already has every key listed — skip its
+    // all-listed scan (6M probes at 1M files × 6 columns, paid by
+    // EVERY publish otherwise).
+    val sameFiles = parent.exists(p =>
+      m.files.asInstanceOf[AnyRef] eq p.files.asInstanceOf[AnyRef])
+    def inherited(m0: AnyRef, pm: Manifest => AnyRef): Boolean =
+      sameFiles && parent.exists(p => m0 eq pm(p))
     // flat java set: this all-listed check probes once per sidecar
-    // entry (6M at 1M files × 6 columns) on EVERY publish
-    val listed = new java.util.HashSet[String](m.files.size * 2)
-    m.files.foreach(f => listed.add(f.path))
+    // entry (6M at 1M files × 6 columns) on every non-inherited map
+    lazy val listed = {
+      val s = new java.util.HashSet[String](m.files.size * 2)
+      m.files.foreach(f => s.add(f.path))
+      s
+    }
     // rebuild a sidecar map only if it actually holds an unlisted key:
     // the common commit shape (every sidecar on a listed file) keeps the
     // maps REFERENCE-SHARED — filtering 6M entries into fresh immutable
     // maps for a no-op cost ~10 s per commit at 1M files × 6 columns
-    def live[V](m0: Map[(String, String), V]): Map[(String, String), V] =
-      if (m0.keysIterator.forall(k => listed.contains(k._1))) m0
+    def live[V](m0: Map[(String, String), V],
+                pm: Manifest => AnyRef): Map[(String, String), V] =
+      if (inherited(m0, pm)) m0
+      else if (m0.keysIterator.forall(k => listed.contains(k._1))) m0
       else m0.filter { case ((p, _), _) => listed.contains(p) }
     m.copy(
       ts = if (m.ts > 0) m.ts else System.currentTimeMillis(),
-      blooms = live(m.blooms),
-      colStats = live(m.colStats),
-      strStats = live(m.strStats),
+      blooms = live(m.blooms, _.blooms),
+      colStats = live(m.colStats, _.colStats),
+      strStats = live(m.strStats, _.strStats),
       dvs =
-        if (m.dvs.forall { case (p, v) => listed.contains(p) && v.nonEmpty })
+        if (inherited(m.dvs, _.dvs)) m.dvs
+        else if (m.dvs.forall { case (p, v) =>
+            listed.contains(p) && v.nonEmpty })
           m.dvs
         else m.dvs.filter { case (p, v) => listed.contains(p) && v.nonEmpty })
   }
@@ -1977,10 +2022,6 @@ object Snapshot {
     m.addedCols.foreach { case (n, t) =>
       require(!(n + t).exists(c => c == '\t' || c == '\n'),
         s"evolved column '$n' must be tab/newline-free") }
-    // ONE canonical state for every serializer: sidecars filtered to
-    // listed files, empty DVs dropped, the commit clock stamped (durable
-    // across file copies — see Manifest.ts); publish time IS commit time
-    val mm = normalized(m)
     // DELTA eligibility: not v1, not a checkpoint version, the parent
     // resolvable, the delta at most half the full entry count, and —
     // the safety net that makes every verb delta-safe without auditing
@@ -1992,10 +2033,17 @@ object Snapshot {
     // applyDelta rebuild + compare, which cost ~25 s per commit at 1M
     // files × 6 stat columns); its equivalence to the full rebuild is
     // pinned by PropertySpec's apply∘diff ≡ identity property.
+    // Resolved BEFORE normalization so the normalizer can recognize
+    // reference-inherited maps (metadata-only commits skip their
+    // all-listed scans).
     val parentResolved: Option[(Manifest, List[(String, Long, Long)])] =
-      if (mm.version < 2 || mm.version % checkpointEvery(spark) == 0) None
+      if (m.version < 2 || m.version % checkpointEvery(spark) == 0) None
       else scala.util.Try(
-        manifestWithChain(spark, dir, mm.version - 1)).toOption
+        manifestWithChain(spark, dir, m.version - 1)).toOption
+    // ONE canonical state for every serializer: sidecars filtered to
+    // listed files, empty DVs dropped, the commit clock stamped (durable
+    // across file copies — see Manifest.ts); publish time IS commit time
+    val mm = normalized(m, parentResolved.map(_._1))
     val asDelta: Option[ManifestDelta] = parentResolved
       .flatMap { case (base, _) =>
         val d = diffDelta(base, mm)
