@@ -45,17 +45,14 @@ object ManifestScaleProbe {
       } yield (f.path, s"c$j") -> (f.min + j, f.max + j)).toMap
       (fs, cs)
     }
-    def headOf(dir: String, v: Int): String = {
-      val in = new java.io.FileInputStream(f"$dir/_manifests/v$v%05d")
-      val b = new Array[Byte](4)
-      try { in.read(b) } finally in.close()
-      new String(b, "UTF-8") match {
-        case s if s.startsWith("v\t") => "text"
-        case s if s.startsWith("V\t") => "delta"
-        case "GMB1"                   => "bin"
-        case other                    => s"?$other"
+    // the engine's own header sniff — one classification to maintain,
+    // and it reads the head short-read-safely (a bare in.read may
+    // legally return fewer bytes than asked)
+    def headOf(dir: String, v: Int): String =
+      Snapshot.manifestFormat(spark, dir, v) match {
+        case "binary" => "bin"
+        case other    => other
       }
-    }
     for (n <- Seq(10000, 100000, 1000000); sidecars <- Seq(0, 6)) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_msp_${n}_$sidecars").toString + "/t"

@@ -865,7 +865,13 @@ object Snapshot {
       (a: BloomSketch, b: BloomSketch) => a == b)
     val (dvUps, dvDels) = diffMap(base.dvs, mm.dvs,
       (p: String) => newPaths.contains(p),
-      (a: Array[Long], b: Array[Long]) => a.sameElements(b))
+      // eq first: a chunked DV purge copies every UNTOUCHED array by
+      // reference from the parent map (dvs ++ merged), so without the
+      // identity shortcut each chunk commit would re-compare every
+      // already-masked position element-by-element — O(total masked)
+      // per chunk, defeating the O(changed) goal for exactly the verb
+      // that commits the most chunks
+      (a: Array[Long], b: Array[Long]) => (a eq b) || a.sameElements(b))
     ManifestDelta(mm.version, base.version, mm.statsCol, mm.note, mm.ts,
       if (sameFiles) Nil
       else base.files.map(_.path).filterNot(p => newPaths.contains(p)),
@@ -887,7 +893,8 @@ object Snapshot {
       a.schemaJson == b.schemaJson && a.colStats == b.colStats &&
       a.strStats == b.strStats && a.blooms == b.blooms &&
       a.dvs.keySet == b.dvs.keySet &&
-      a.dvs.forall { case (k, v) => b.dvs(k).sameElements(v) }
+      a.dvs.forall { case (k, v) =>
+        val bv = b.dvs(k); (bv eq v) || bv.sameElements(v) }
 
   /** What a reader of a FULL publish would parse back: sidecars
     * filtered to listed files, empty DVs dropped, commit clock stamped.
@@ -1363,18 +1370,33 @@ object Snapshot {
     }
   }
 
+  /** Read up to `max` HEAD bytes of version `v`'s manifest file,
+    * looping until EOF or the buffer fills: a single `in.read` is
+    * allowed to return SHORT by the InputStream contract (real on
+    * throttled object-store streams), and a short peek that saw only
+    * `"V"` would misclassify a delta as a full manifest — which in
+    * [[snapToChainRoot]] means retention deletes a parent a retained
+    * delta still resolves through: permanent corruption, not a perf
+    * bug. */
+  private def manifestHead(spark: SparkSession, dir: String, v: Int,
+                           max: Int): String = {
+    val fs = fsOf(spark, dir)
+    val in = fs.open(manifestPath(dir, v))
+    try {
+      val b = new Array[Byte](max)
+      var off = 0
+      var n = 0
+      while (off < max && { n = in.read(b, off, max - off); n >= 0 })
+        off += n
+      new String(b, 0, off, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Header peek: the parent version of a DELTA manifest, None for
     * full (text or binary) — reads ≤ 96 bytes, no parse, no cache. */
   private def manifestParentOf(spark: SparkSession, dir: String,
                                v: Int): Option[Int] = {
-    val fs = fsOf(spark, dir)
-    val in = fs.open(manifestPath(dir, v))
-    val head =
-      try {
-        val b = new Array[Byte](96)
-        val n = in.read(b)
-        new String(b, 0, math.max(n, 0), StandardCharsets.UTF_8)
-      } finally in.close()
+    val head = manifestHead(spark, dir, v, 96)
     if (!head.startsWith("V\t")) None
     // the V/version/parent fields span ≤ 24 bytes — always complete here
     else Some(head.split('\t')(2).toInt)
@@ -1387,11 +1409,7 @@ object Snapshot {
     * can use it to report format mix in maintenance output. */
   private[graft] def manifestFormat(spark: SparkSession, dir: String,
                                     v: Int): String = {
-    val fs = fsOf(spark, dir)
-    val in = fs.open(manifestPath(dir, v))
-    val b = new Array[Byte](4)
-    val n = try in.read(b) finally in.close()
-    val head = new String(b, 0, math.max(n, 0), StandardCharsets.UTF_8)
+    val head = manifestHead(spark, dir, v, 4)
     if (head.startsWith("V\t")) "delta"
     else if (head == "GMB1") "binary"
     else "text"
@@ -2129,7 +2147,14 @@ object Snapshot {
       manifestCache.synchronized(
         manifestCache.put(key,
           new java.lang.ref.SoftReference(CachedManifest(mm, chain))))
-    } catch { case _: java.io.FileNotFoundException => () }
+    } catch {
+      // the commit is DURABLE at this point (the atomic link/rename
+      // above succeeded) — a transient stat failure during the
+      // optional cache seeding must not surface a committed version
+      // as a failed publish (the caller would retry and conflict, or
+      // worse, re-apply the change on top)
+      case scala.util.control.NonFatal(_) => ()
+    }
   }
 
   /** Commit `df` as version `expectedVersion + 1`, carrying over

@@ -577,14 +577,20 @@ object Warehouse extends QueryModule {
             F.dec2(col("o_totalprice")).as("price"),
             col("o_totalprice").as("dprice"))
           val cuts = Seq(0.0, 125000.0, 250000.0, 375000.0, 1e9)
-          cuts.sliding(2).foreach { case Seq(lo, hi) =>
-            val cur = Snapshot.currentVersion(s, dir)
-            val carried =
-              if (cur == 0) Nil else Snapshot.manifest(s, dir, cur).files
-            Snapshot.commit(
-              base.filter(col("dprice") >= lo && col("dprice") < hi),
-              dir, cur, "order_key", carried, nFiles = 1)
-          }
+          // idempotent across sessions sharing a warehouse dir: a
+          // fully-built table (4 band commits) is reused as-is; a
+          // partial build (crash mid-loop) fails LOUDLY on the first
+          // fixed-expected-version commit (SnapshotConflict names the
+          // mismatch) instead of silently duplicating bands on top
+          if (Snapshot.currentVersion(s, dir) != cuts.size - 1)
+            cuts.sliding(2).zipWithIndex.foreach {
+              case (Seq(lo, hi), i) =>
+                val carried =
+                  if (i == 0) Nil else Snapshot.manifest(s, dir, i).files
+                Snapshot.commit(
+                  base.filter(col("dprice") >= lo && col("dprice") < hi),
+                  dir, i, "order_key", carried, nFiles = 1)
+            }
           dir
         })
     }
@@ -612,13 +618,16 @@ object Warehouse extends QueryModule {
             col("o_orderstatus").as("status"),
             F.dec2(col("o_totalprice")).as("price"),
             (col("o_orderkey") % 12).as("bucket"))
-          (0 until 12).foreach { b =>
-            val cur = Snapshot.currentVersion(s, dir)
-            val carried =
-              if (cur == 0) Nil else Snapshot.manifest(s, dir, cur).files
-            Snapshot.commit(base.filter(col("bucket") === b),
-              dir, cur, "order_key", carried, nFiles = 1)
-          }
+          // moneyOrders' idempotence discipline: reuse a fully-built
+          // 12-commit chain; a partial build fails loudly on the fixed
+          // expected version instead of appending duplicate buckets
+          if (Snapshot.currentVersion(s, dir) != 12)
+            (0 until 12).foreach { b =>
+              val carried =
+                if (b == 0) Nil else Snapshot.manifest(s, dir, b).files
+              Snapshot.commit(base.filter(col("bucket") === b),
+                dir, b, "order_key", carried, nFiles = 1)
+            }
           dir
         })
     }
