@@ -45,7 +45,8 @@ object Bench {
         "q158_convert_hive", "q159_generated_col",
         "q160_empty_version", "q161_partition_evolution",
         "q162_vacuum_report", "q163_stats_date",
-        "q164_stats_decimal", "q165_manifest_chain").foreach { w =>
+        "q164_stats_decimal", "q165_manifest_chain",
+        "q166_stats_count").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup $w failed: ${e.getMessage}") }

@@ -62,8 +62,15 @@ object Snapshot {
     * file skipping ([[readPruned]]) and copy-on-write file selection
     * ([[mergeCow]]). Stats are BIGINT by contract: the designated column
     * must be integral (a surrogate/natural key), which keeps manifest
-    * parsing trivial and cross-engine exact. */
-  final case class FileEntry(path: String, min: Long, max: Long)
+    * parsing trivial and cross-engine exact. `rows` is the file's ROW
+    * COUNT, stamped by the write's stats pass (round 16 — Delta's
+    * numRecords): it powers METADATA-ONLY aggregates ([[rowCount]] — a
+    * COUNT(*) on a 100 TB table answered from the manifest, DV-aware,
+    * zero data access). −1 = unknown (pre-round-16 manifests,
+    * hive-adopted entries derived from paths alone) — every consumer
+    * must treat unknown as "fall back to scanning", never as zero. */
+  final case class FileEntry(path: String, min: Long, max: Long,
+                             rows: Long = -1L)
 
   /** Per-file Bloom filter over an integral column — the file-skipping
     * index for POINT predicates the layout family cannot serve: min/max
@@ -587,8 +594,12 @@ object Snapshot {
           ts = c(1).toLong
           None
         case "f" =>
-          require(c.length == 4, s"malformed manifest line in $p")
-          Some(FileEntry(c(1), c(2).toLong, c(3).toLong))
+          // 4 fields = pre-row-count manifests (rows unknown, −1); 5 =
+          // the round-16 spelling carrying the file's row count
+          require(c.length == 4 || c.length == 5,
+            s"malformed manifest line in $p")
+          Some(FileEntry(c(1), c(2).toLong, c(3).toLong,
+            if (c.length == 5) c(4).toLong else -1L))
         case "b" =>
           require(c.length == 6, s"malformed manifest bloom line in $p")
           val raw = java.util.Base64.getDecoder.decode(c(5))
@@ -952,7 +963,8 @@ object Snapshot {
       (if (d.note.nonEmpty) s"\t${d.note}" else "")
     Iterator(hdr, s"t\t${d.ts}") ++
       d.removedFiles.iterator.map(p => s"-\t$p") ++
-      d.addedFiles.iterator.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
+      d.addedFiles.iterator.map(f => s"f\t${f.path}\t${f.min}\t${f.max}" +
+          (if (f.rows >= 0) s"\t${f.rows}" else "")) ++
       (if (d.schemaJson.isEmpty) Iterator.empty
        else Iterator(s"h\t${b64enc(d.schemaJson)}")) ++
       d.addedCols.iterator.map { case (n, t) => s"s\t$n\t$t" } ++
@@ -1006,7 +1018,8 @@ object Snapshot {
       c(0) match {
         case "t" => ts = c(1).toLong
         case "-" => removed += c(1)
-        case "f" => added += FileEntry(c(1), c(2).toLong, c(3).toLong)
+        case "f" => added += FileEntry(c(1), c(2).toLong, c(3).toLong,
+          if (c.length >= 5) c(4).toLong else -1L)
         case "h" => schemaJson = b64dec(c(1))
         case "s" => addedCols += ((c(1), c(2)))
         case "r" => renames += ((b64dec(c(1)), b64dec(c(2))))
@@ -1054,11 +1067,15 @@ object Snapshot {
 
   // ------------------------------------------------- binary checkpoints
 
-  private val BinaryMagic = Array[Byte]('G', 'M', 'B', '1')
+  /** Current binary layout magic: `GMB2` adds the per-file row count
+    * to each file record; `GMB1` (row 15's layout) parses with rows
+    * unknown (−1) — the honest migration, same as 4-field text `f`
+    * lines. */
+  private val BinaryMagic = Array[Byte]('G', 'M', 'B', '2')
 
   private def isBinaryManifest(bytes: Array[Byte]): Boolean =
     bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'M' &&
-      bytes(2) == 'B' && bytes(3) == '1'
+      bytes(2) == 'B' && (bytes(3) == '1' || bytes(3) == '2')
 
   /** The `GMB1` full-checkpoint layout: varint/zigzag numbers,
     * length-prefixed UTF-8 strings, and — the size lever — sidecars
@@ -1085,7 +1102,7 @@ object Snapshot {
     out.write(BinaryMagic)
     vlong(mm.version.toLong); str(mm.statsCol); str(mm.note); vlong(mm.ts)
     vlong(mm.files.size.toLong)
-    mm.files.foreach { f => str(f.path); zz(f.min); zz(f.max) }
+    mm.files.foreach { f => str(f.path); zz(f.min); zz(f.max); zz(f.rows) }
     val fileIdx = mm.files.iterator.map(_.path).zipWithIndex.toMap
     val cols = (mm.colStats.keysIterator ++ mm.strStats.keysIterator ++
       mm.blooms.keysIterator).map(_._2).toSeq.distinct.sorted
@@ -1154,10 +1171,14 @@ object Snapshot {
       val b = new Array[Byte](n); buf.get(b)
       new String(b, StandardCharsets.UTF_8)
     }
+    // bytes(3) distinguishes the layout revision: GMB2 file records
+    // carry the row count, GMB1 records do not (rows = −1)
+    val hasRows = bytes(3) == '2'
     val version = vlong().toInt
     val statsCol = str(); val note = str(); val ts = vlong()
     val nFiles = vlong().toInt
-    val files = Vector.fill(nFiles)(FileEntry(str(), zz(), zz()))
+    val files = Vector.fill(nFiles)(
+      FileEntry(str(), zz(), zz(), if (hasRows) zz() else -1L))
     val cols = Vector.fill(vlong().toInt)(str())
     def sidecarKey(): (String, String) =
       (files(vlong().toInt).path, cols(vlong().toInt))
@@ -1208,7 +1229,8 @@ object Snapshot {
     val hdr = s"v\t${mm.version}\t${mm.statsCol}" +
       (if (mm.note.nonEmpty) s"\t${mm.note}" else "")
     Iterator(hdr, s"t\t${mm.ts}") ++
-      mm.files.iterator.map(f => s"f\t${f.path}\t${f.min}\t${f.max}") ++
+      mm.files.iterator.map(f => s"f\t${f.path}\t${f.min}\t${f.max}" +
+          (if (f.rows >= 0) s"\t${f.rows}" else "")) ++
       (if (mm.schemaJson.isEmpty) Iterator.empty
        else Iterator(s"h\t${b64enc(mm.schemaJson)}")) ++
       mm.addedCols.iterator.map { case (n, t) => s"s\t$n\t$t" } ++
@@ -1411,7 +1433,7 @@ object Snapshot {
                                     v: Int): String = {
     val head = manifestHead(spark, dir, v, 4)
     if (head.startsWith("V\t")) "delta"
-    else if (head == "GMB1") "binary"
+    else if (head == "GMB1" || head == "GMB2") "binary"
     else "text"
   }
 
@@ -1635,6 +1657,30 @@ object Snapshot {
     val m = manifest(spark, dir, v)
     readEntries(spark, dir, m, m.files)
   }
+
+  /** METADATA-ONLY COUNT(*) (Delta's numRecords trick): the exact row
+    * count of a snapshot from the manifest alone — Σ per-file `rows`
+    * stamps minus Σ deletion-vector positions (each masked position
+    * hides exactly one live row; DV arrays are distinct-sorted by
+    * construction). None when ANY file predates row-count stamping or
+    * was adopted by path arithmetic (rows unknown ≠ zero — the honest
+    * fallback is scanning). At 100 TB this is the difference between a
+    * sub-millisecond manifest sum and a full-table scan for the most
+    * common query in any warehouse. */
+  def rowCountMeta(spark: SparkSession, dir: String,
+                   version: Int = 0): Option[Long] = {
+    val v = if (version > 0) version else currentVersion(spark, dir)
+    val m = manifest(spark, dir, v)
+    if (m.files.exists(_.rows < 0)) None
+    else Some(m.files.iterator.map(_.rows).sum -
+      m.dvs.valuesIterator.map(_.length.toLong).sum)
+  }
+
+  /** [[rowCountMeta]] with the scan fallback: exact count, metadata
+    * when possible, one `count()` job otherwise. */
+  def rowCount(spark: SparkSession, dir: String, version: Int = 0): Long =
+    rowCountMeta(spark, dir, version).getOrElse(
+      read(spark, dir, version).count())
 
   /** Stats-pruned read: only files whose [min,max] range on the stats
     * column overlaps [lo,hi] are handed to the scan at PLANNING time (the
@@ -1980,14 +2026,16 @@ object Snapshot {
       collectAutoStats(path, auto, row(_), autoStatsMaxStrBytes(spark),
         colB, strB)
       WriteStats(Seq(FileEntry(path,
-        toLongStat(row("mn")), toLongStat(row("mx")))),
+        toLongStat(row("mn")), toLongStat(row("mx")),
+        row("n").asInstanceOf[Long])),
         colB.result(), strB.result())
     } else {
       df.repartitionByRange(nFiles, col(statsCol))
         .sortWithinPartitions(col(statsCol))
         .write.mode("overwrite").parquet(out)
       val aggCols = Seq(min(col(statsCol)).as("mn"),
-        max(col(statsCol)).as("mx")) ++
+        max(col(statsCol)).as("mx"),
+        count(lit(1)).as("_n_rows")) ++
         checks.zipWithIndex.map { case ((_, sql), i) =>
           violations(sql).as(s"chk$i") } ++
         autoStatsAggs(auto)
@@ -2010,7 +2058,8 @@ object Snapshot {
         val path = s"$sub/${uri.substring(i + sub.length + 2)}"
         collectAutoStats(path, auto, n => r.get(r.fieldIndex(n)),
           autoStatsMaxStrBytes(spark), colB, strB)
-        FileEntry(path, toLongStat(r.get(1)), toLongStat(r.get(2)))
+        FileEntry(path, toLongStat(r.get(1)), toLongStat(r.get(2)),
+          r.getAs[Long]("_n_rows"))
       }.sortBy(_.path)
       WriteStats(entries, colB.result(), strB.result())
     }

@@ -1471,6 +1471,29 @@ object Warehouse extends QueryModule {
         .orderBy(col("status"))
     }),
 
+    "q166_stats_count" -> ((s, d) => {
+      // METADATA-ONLY COUNT(*) ([[Snapshot.rowCountMeta]] — Delta's
+      // numRecords): every write's stats pass stamps each file's row
+      // count into its manifest entry, so the warehouse's most common
+      // query answers from manifest arithmetic alone — Σ rows − Σ
+      // masked DV positions, zero data access, any table size. The
+      // query emits the engine's own metadata answer (asserted present
+      // — a fallback scan here would be the regression) alongside the
+      // file count and the clustering range off the same entries; the
+      // oracle recomputes all four from the raw orders slice the
+      // [[moneyOrders]] bands partition. DV-awareness and the honest
+      // unknown-rows fallback (hive-adopted entries) are spec-pinned.
+      val dir = moneyOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val nMeta = Snapshot.rowCountMeta(s, dir).getOrElse(
+        throw new IllegalStateException(
+          s"moneyOrders files lost their row-count stamps under $dir"))
+      import s.implicits._
+      Seq((nMeta, m.files.size.toLong,
+        m.files.map(_.min).min, m.files.map(_.max).max))
+        .toDF("n_rows", "n_files", "min_key", "max_key")
+    }),
+
     "q165_manifest_chain" -> ((s, d) => {
       // DELTA-MANIFEST log ([[chainOrders]]): 12 single-file carried
       // commits publish as full(v1) + deltas(v2–v9) + checkpoint(v10) +
@@ -2137,6 +2160,14 @@ object Warehouse extends QueryModule {
         |       CAST(1 AS BIGINT) AS n_pruned
         |FROM st GROUP BY status ORDER BY status
         |""".stripMargin,
+
+    // the metadata COUNT(*) must equal the scan's truth: the money
+    // table's 4 price bands partition orders exactly, the clustering
+    // stamps are exact min/max of o_orderkey, and no DVs mask rows
+    "q166_stats_count" ->
+      """SELECT count(*) AS n_rows, CAST(4 AS BIGINT) AS n_files,
+        |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
 
     "q165_manifest_chain" ->
       """WITH st AS (

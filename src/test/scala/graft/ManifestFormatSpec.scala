@@ -32,10 +32,13 @@ class ManifestFormatSpec extends SparkSpec {
     * publisher's file list (the canonical order delta resolution
     * reproduces). */
   private def richManifest(v: Int): Manifest = {
+    // mixed row-count stamps: the absolute-path entry stays UNKNOWN
+    // (−1, the adopted/legacy shape) while local files carry counts —
+    // round-trips must preserve both (round 16)
     val files = FileEntry("/abs/elsewhere/part-9.parquet", 701L, 800L) +:
       (0 until 7).toVector.map(i =>
         FileEntry(s"data/c1_aa/part-$i.parquet",
-          i * 100L + 1, i * 100L + 100))
+          i * 100L + 1, i * 100L + 100, rows = i * 10L + 5))
     val bloom = {
       val bits = new Array[Long](4)
       BloomSketch.add(bits, 256, 2, 42L)
@@ -61,7 +64,7 @@ class ManifestFormatSpec extends SparkSpec {
     spark.conf.set(Snapshot.BinaryMinFilesKey, "1")
     try Snapshot.publishManifestForTest(spark, dir, richManifest(1))
     finally spark.conf.unset(Snapshot.BinaryMinFilesKey)
-    assert(headOf(dir, 1) == "GMB1", "8 files >= minFiles=1 must go binary")
+    assert(headOf(dir, 1) == "GMB2", "8 files >= minFiles=1 must go binary")
     Snapshot.clearManifestCache()
     val got = Snapshot.manifest(spark, dir, 1)
     assert(Snapshot.sameState(got, richManifest(1)),
@@ -171,6 +174,48 @@ class ManifestFormatSpec extends SparkSpec {
     val b7 = orders.filter(expr("o_orderkey % 12 < 7")).count()
     assert(byPhase("cur") == total, s"head resolution: $byPhase vs $total")
     assert(byPhase("v07") == b7, s"mid-chain v7: $byPhase vs $b7")
+  }
+
+  test("a legacy GMB1 checkpoint still parses: rows unknown, fields intact") {
+    // hand-rolled GMB1 byte stream (the round-15 layout: file records
+    // carry NO row count) — the reader must branch on the magic's
+    // revision byte and fill rows = −1, never misread the next field
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    def vlong(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) {
+        dos.writeByte(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      dos.writeByte(v.toInt)
+    }
+    def zz(v: Long): Unit = vlong((v << 1) ^ (v >> 63))
+    def str(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); vlong(b.length.toLong); dos.write(b)
+    }
+    dos.write("GMB1".getBytes("UTF-8"))
+    vlong(1L); str("k"); str("legacy"); vlong(1723700000123L)
+    vlong(2L)                                   // files
+    str("data/c1_aa/part-0.parquet"); zz(1L); zz(100L)
+    str("data/c1_aa/part-1.parquet"); zz(101L); zz(200L)
+    vlong(0L)                                   // column dictionary
+    vlong(0L); vlong(0L); vlong(0L); vlong(0L)  // colStats/strStats/blooms/dvs
+    vlong(0L); vlong(0L); vlong(0L); vlong(0L)  // checks/addedCols/renames/dropped
+    str("")                                     // basePath
+    vlong(0L)                                   // genCols
+    str("")                                     // schemaJson
+    val dir = freshDir()
+    val mdir = java.nio.file.Paths.get(local(dir), "_manifests")
+    java.nio.file.Files.createDirectories(mdir)
+    java.nio.file.Files.write(mdir.resolve("v00001"), out.toByteArray)
+    Snapshot.clearManifestCache()
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.version == 1 && m.statsCol == "k" && m.note == "legacy")
+    assert(m.files.map(f => (f.path, f.min, f.max, f.rows)) == Seq(
+      ("data/c1_aa/part-0.parquet", 1L, 100L, -1L),
+      ("data/c1_aa/part-1.parquet", 101L, 200L, -1L)))
+    // unknown rows are honest: the metadata count refuses, not zeroes
+    assert(Snapshot.rowCountMeta(spark, dir, 1).isEmpty)
   }
 
   test("checkpointEvery=1 forces full manifests everywhere") {

@@ -2413,6 +2413,42 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() == 800)
   }
 
+  test("rowCount answers from the manifest alone: DV-aware, honest fallback") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit((1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      dir, 0, "k", nFiles = 3)
+    // exact metadata count across a multi-file commit
+    assert(Snapshot.rowCountMeta(spark, dir) == Some(100L))
+    // DV-aware: masked positions subtract without any scan
+    Snapshot.deleteWhereDV(spark, dir, 1L, 30L, col("k") % 2 === 0)
+    assert(Snapshot.rowCountMeta(spark, dir) == Some(85L))
+    assert(Snapshot.read(spark, dir).count() == 85L)
+    // time travel: the pre-delete version still counts 100
+    assert(Snapshot.rowCountMeta(spark, dir, 1) == Some(100L))
+    // METADATA-ONLY proof: physically remove the data files — the
+    // count must still answer (a scan here would throw)
+    val dataDirs = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir.stripPrefix("file:")))
+      .filter(p => p.getFileName.toString.startsWith("data"))
+    dataDirs.forEach { p =>
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    }
+    assert(Snapshot.rowCount(spark, dir) == 85L)
+    // honest fallback: a hive-adopted shell's entries derive from path
+    // arithmetic (rows unknown) — the metadata count REFUSES and the
+    // verb falls back to one scan with the right answer
+    val dir2 = freshDir()
+    val lake = freshDir() + "_lake"
+    (1 to 40).map(i => (i.toLong, (i % 4).toLong)).toDF("id", "band")
+      .write.partitionBy("band").parquet(lake)
+    Snapshot.convertParquetHive(spark, dir2, lake, "band")
+    assert(Snapshot.rowCountMeta(spark, dir2).isEmpty)
+    assert(Snapshot.rowCount(spark, dir2) == 40L)
+  }
+
   test("a DV delete above maxPositions on an adopted shell completes chunked") {
     val dir = freshDir()
     val lake = freshDir() + "_lake"
