@@ -45,6 +45,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // | TIMESTAMP AS OF ts] resolves against immutable manifests
     // ([[graft.plans.SnapshotTimeTravelRule]]).
     ext.injectResolutionRule(graft.plans.SnapshotTimeTravelRule.apply)
+    // Metadata-only COUNT(*): a global unfiltered count over a graft
+    // snapshot read rewrites to one LocalRelation row from the
+    // manifest's per-file row stamps (Delta's OptimizeMetadataOnlyQuery
+    // analog — [[graft.plans.MetadataOnlyCountRule]]).
+    ext.injectOptimizerRule(graft.plans.MetadataOnlyCountRule.apply)
     // Lakehouse maintenance/DDL verbs Spark's grammar doesn't speak —
     // OPTIMIZE [ZORDER BY], VACUUM [RETAIN], DESCRIBE HISTORY,
     // RESTORE TABLE … TO VERSION AS OF, ALTER TABLE ADD COLUMN /

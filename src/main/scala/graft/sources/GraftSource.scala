@@ -215,6 +215,17 @@ final class GraftRelation(override val sqlContext: SQLContext,
 
   override def toString: String = s"GraftRelation($dir, v$version)"
 
+  /** Exact metadata row count of THIS snapshot (Σ per-file `rows`
+    * stamps − Σ deletion-vector positions; the relation's pinned
+    * manifest, so time-traveled relations count their own version),
+    * None when any entry's count is unknown — powers the front-door
+    * `count(*)` metadata rewrite
+    * ([[graft.plans.MetadataOnlyCountRule]]). */
+  private[graft] lazy val metaRowCount: Option[Long] =
+    if (m.files.exists(_.rows < 0)) None
+    else Some(m.files.iterator.map(_.rows).sum -
+      m.dvs.valuesIterator.map(_.length.toLong).sum)
+
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val hit = SourcePruning.candidates(m, filters)

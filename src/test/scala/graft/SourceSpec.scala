@@ -694,6 +694,47 @@ class SourceSpec extends SparkSpec {
     assert(sorted(viaSource) == sorted(direct))
   }
 
+  test("count(*) through the front door is metadata-only; guards hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metacount_" + java.util.UUID.randomUUID().toString.take(8)
+    Snapshot.commit((1 to 90).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      dir, 0, "k", nFiles = 3)
+    Snapshot.deleteWhereDV(spark, dir, 1L, 9L)
+    def front = spark.read.format("graft").load(dir)
+    // the optimized plan of a global count is ONE LocalRelation row —
+    // no scan node survives (the MetadataOnlyCountRule rewrite)
+    val q = front.groupBy().count()
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case l: LocalRelation => l }.nonEmpty,
+      s"expected LocalRelation, got:\n${q.queryExecution.optimizedPlan}")
+    assert(q.collect().head.getLong(0) == 81L, "DV-aware metadata count")
+    assert(front.count() == 81L)
+    // guards: a FILTERED count and a null-sensitive count(col) keep
+    // scanning and stay right
+    assert(front.filter(col("k") > 50L).count() == 40L)
+    assert(front.select(count(col("v"))).collect().head.getLong(0) == 81L)
+    // time travel counts its own version's stamps
+    assert(spark.read.format("graft").option("versionAsOf", "1")
+      .load(dir).count() == 90L)
+    // (the zero-data-access proof — counting after the data files are
+    // physically deleted — is pinned at the verb level in SnapshotSpec;
+    // the front-door relation legitimately path-checks its files at
+    // construction, so HERE the LocalRelation plan shape is the proof)
+    // unknown row stamps (adopted shell) honestly fall back to the scan
+    val dir2 = dir + "_adopt"
+    val lake = dir + "_lake"
+    (1 to 40).map(i => (i.toLong, (i % 4).toLong)).toDF("id", "band")
+      .write.partitionBy("band").parquet(lake)
+    Snapshot.convertParquetHive(spark, dir2, lake, "band")
+    val q2 = spark.read.format("graft").load(dir2).groupBy().count()
+    assert(q2.queryExecution.optimizedPlan.collectFirst {
+      case l: LocalRelation => l }.isEmpty,
+      "unknown rows must NOT rewrite")
+    assert(q2.collect().head.getLong(0) == 40L)
+  }
+
   test("timestamp stats: stamps and pruning are session-zone invariant") {
     // the round-15 NTZ fix's property: kind-3 stamps are instants
     // (unix_seconds, zone-free by definition) and kind-4 stamps are
