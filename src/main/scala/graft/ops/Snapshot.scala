@@ -1018,8 +1018,15 @@ object Snapshot {
       c(0) match {
         case "t" => ts = c(1).toLong
         case "-" => removed += c(1)
-        case "f" => added += FileEntry(c(1), c(2).toLong, c(3).toLong,
-          if (c.length >= 5) c(4).toLong else -1L)
+        case "f" =>
+          // same strictness as the full-text parser: 4 fields = legacy
+          // (rows unknown), 5 = row-count spelling, anything else is a
+          // loud reject — a future revision's extra field must never
+          // half-read
+          require(c.length == 4 || c.length == 5,
+            s"malformed delta manifest line in $p: $l")
+          added += FileEntry(c(1), c(2).toLong, c(3).toLong,
+            if (c.length == 5) c(4).toLong else -1L)
         case "h" => schemaJson = b64dec(c(1))
         case "s" => addedCols += ((c(1), c(2)))
         case "r" => renames += ((b64dec(c(1)), b64dec(c(2))))
@@ -1670,17 +1677,27 @@ object Snapshot {
   def rowCountMeta(spark: SparkSession, dir: String,
                    version: Int = 0): Option[Long] = {
     val v = if (version > 0) version else currentVersion(spark, dir)
-    val m = manifest(spark, dir, v)
+    metaCount(manifest(spark, dir, v))
+  }
+
+  /** The ONE metadata-count formula — shared by [[rowCountMeta]] and
+    * the front-door optimizer rewrite
+    * ([[graft.sources.GraftRelation.metaRowCount]]), so the verb-level
+    * and plan-level answers can never fork. */
+  private[graft] def metaCount(m: Manifest): Option[Long] =
     if (m.files.exists(_.rows < 0)) None
     else Some(m.files.iterator.map(_.rows).sum -
       m.dvs.valuesIterator.map(_.length.toLong).sum)
-  }
 
   /** [[rowCountMeta]] with the scan fallback: exact count, metadata
-    * when possible, one `count()` job otherwise. */
-  def rowCount(spark: SparkSession, dir: String, version: Int = 0): Long =
-    rowCountMeta(spark, dir, version).getOrElse(
-      read(spark, dir, version).count())
+    * when possible, one `count()` job otherwise. The version RESOLVES
+    * ONCE — a concurrent commit between the metadata attempt and the
+    * fallback must not move the counted snapshot. */
+  def rowCount(spark: SparkSession, dir: String, version: Int = 0): Long = {
+    val v = if (version > 0) version else currentVersion(spark, dir)
+    metaCount(manifest(spark, dir, v)).getOrElse(
+      read(spark, dir, v).count())
+  }
 
   /** Stats-pruned read: only files whose [min,max] range on the stats
     * column overlaps [lo,hi] are handed to the scan at PLANNING time (the
@@ -3444,20 +3461,25 @@ object Snapshot {
         .contains(dt.toString),
       s"stats column must be integral (the stats-column contract), " +
         s"got $dt for $statsCol")
+    // the adopt-time stats job scans every file anyway — the row count
+    // rides as one more aggregate, so flat-converted tables keep the
+    // metadata COUNT(*) verb from birth (only the hive adoption, which
+    // is pure path arithmetic, honestly leaves rows unknown)
     val stats = df
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statsCol).cast("long")).as("mn"),
-           max(col(statsCol).cast("long")).as("mx"))
+           max(col(statsCol).cast("long")).as("mx"),
+           count(lit(1)).as("n"))
       .collect()
       .map(r => parts.find(n => r.getString(0).endsWith(s"/$n"))
         .getOrElse(throw new IllegalStateException(
           s"unmapped source file ${r.getString(0)}")) ->
-        (if (r.isNullAt(1)) (Long.MinValue, Long.MaxValue)
-         else (r.getLong(1), r.getLong(2))))
+        (if (r.isNullAt(1)) (Long.MinValue, Long.MaxValue, r.getLong(3))
+         else (r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     // empty files produce no stats group and are skipped outright
-    val files = parts.flatMap(n => stats.get(n).map { case (mn, mx) =>
-      FileEntry(s"$qualified/$n", mn, mx) })
+    val files = parts.flatMap(n => stats.get(n).map { case (mn, mx, nr) =>
+      FileEntry(s"$qualified/$n", mn, mx, nr) })
     // the stats pass already paid the source's footer reads once —
     // stamp the inferred schema so every later read plans footer-free
     publish(spark, dir, Manifest(1, statsCol, files.sortBy(_.path),

@@ -578,11 +578,15 @@ object Warehouse extends QueryModule {
             col("o_totalprice").as("dprice"))
           val cuts = Seq(0.0, 125000.0, 250000.0, 375000.0, 1e9)
           // idempotent across sessions sharing a warehouse dir: a
-          // fully-built table (4 band commits) is reused as-is; a
-          // partial build (crash mid-loop) fails LOUDLY on the first
-          // fixed-expected-version commit (SnapshotConflict names the
-          // mismatch) instead of silently duplicating bands on top
-          if (Snapshot.currentVersion(s, dir) != cuts.size - 1)
+          // fully-built table (4 band commits, row stamps present — a
+          // pre-round-16 build lacks them and q166 needs them) is
+          // reused as-is; a partial or legacy build fails LOUDLY on the
+          // first fixed-expected-version commit (SnapshotConflict names
+          // the mismatch) instead of silently duplicating bands on top
+          val cur0 = Snapshot.currentVersion(s, dir)
+          val complete = cur0 == cuts.size - 1 &&
+            Snapshot.manifest(s, dir, cur0).files.forall(_.rows >= 0)
+          if (!complete)
             cuts.sliding(2).zipWithIndex.foreach {
               case (Seq(lo, hi), i) =>
                 val carried =
@@ -1487,7 +1491,8 @@ object Warehouse extends QueryModule {
       val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
       val nMeta = Snapshot.rowCountMeta(s, dir).getOrElse(
         throw new IllegalStateException(
-          s"moneyOrders files lost their row-count stamps under $dir"))
+          s"moneyOrders files under $dir carry no row-count stamps " +
+            "(pre-round-16 build?) — delete the table dir and rebuild"))
       import s.implicits._
       Seq((nMeta, m.files.size.toLong,
         m.files.map(_.min).min, m.files.map(_.max).max))

@@ -221,10 +221,7 @@ final class GraftRelation(override val sqlContext: SQLContext,
     * None when any entry's count is unknown — powers the front-door
     * `count(*)` metadata rewrite
     * ([[graft.plans.MetadataOnlyCountRule]]). */
-  private[graft] lazy val metaRowCount: Option[Long] =
-    if (m.files.exists(_.rows < 0)) None
-    else Some(m.files.iterator.map(_.rows).sum -
-      m.dvs.valuesIterator.map(_.length.toLong).sum)
+  private[graft] lazy val metaRowCount: Option[Long] = Snapshot.metaCount(m)
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
