@@ -93,6 +93,17 @@ object ManifestScaleProbe {
       val bytes3 = new java.io.File(f"$dir/_manifests/v${3}%05d").length()
       println(f"  dv-chunk → v3 [${headOf(dir, 3)}%5s] publish=${wt3}%6.3f s" +
         f"  deltaBytes=${bytes3}%d")
+      // the REAL steady-state append verb: publishAppend hands publish
+      // its delta EXPLICITLY (publishExplicitAppend) — O(batch) guards
+      // + one linear merge, no O(table) normalize/diff/reproduce scan
+      // (v2 above measures the generic diff-derived envelope the
+      // full-manifest verbs still pay)
+      val (extra2, extraStats2) = entriesOf(n + 8 until n + 16, sidecars)
+      val (_, wt4) = time(Snapshot.appendManifestForProbe(spark, dir,
+        extra2, extraStats2))
+      val bytes4 = new java.io.File(f"$dir/_manifests/v${4}%05d").length()
+      println(f"  explicit-append+8 → v4 [${headOf(dir, 4)}%5s] " +
+        f"publish=${wt4}%6.3f s  deltaBytes=${bytes4}%d")
     }
     spark.stop()
   }

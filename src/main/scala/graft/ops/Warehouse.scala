@@ -586,6 +586,15 @@ object Warehouse extends QueryModule {
           val cur0 = Snapshot.currentVersion(s, dir)
           val complete = cur0 == cuts.size - 1 &&
             Snapshot.manifest(s, dir, cur0).files.forall(_.rows >= 0)
+          // a legacy (pre-row-stamp) or partial build can never be
+          // repaired by re-running the fixed-version commits — they
+          // would conflict at v1 with a misleading "committed
+          // concurrently"; name the actual remedy instead
+          if (!complete && cur0 > 0)
+            throw new IllegalStateException(
+              s"moneyOrders table under $dir exists at v$cur0 without " +
+                "complete row-count stamps (pre-round-16 build or " +
+                "partial build) — delete the table dir and rebuild")
           if (!complete)
             cuts.sliding(2).zipWithIndex.foreach {
               case (Seq(lo, hi), i) =>
@@ -610,6 +619,49 @@ object Warehouse extends QueryModule {
     * q165 pins both the resolved STATE (current and a mid-chain
     * time-travel, each against the raw-orders oracle) and the policy's
     * CHOICES (exactly 10 delta manifests, via header peeks). */
+  /** The RANGE-CLUSTERED table (q167), built once per (session, dir):
+    * orders accreted as one carried commit per `o_orderkey % 1000`
+    * band — [0,250), [250,500), [500,750), [750,1000) — CLUSTERED ON
+    * the band key (`key2`), one file each, so the four files carry
+    * DISJOINT [min,max] stamps on the clustering column at any scale
+    * factor. The shape metadata-only RANGE counts serve: a mid-range
+    * predicate covers interior files wholly (answered from row
+    * stamps) and straddles boundary files (scanned). Same idempotence
+    * discipline as [[moneyOrders]]. */
+  private[graft] def rangeOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#range", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_range_$sfx"
+          val base = T.orders(s, d).select(
+            (col("o_orderkey") % 1000).as("key2"),
+            col("o_orderstatus").as("status"),
+            F.dec2(col("o_totalprice")).as("price"))
+          val cuts = Seq(0L, 250L, 500L, 750L, 1000L)
+          val cur0 = Snapshot.currentVersion(s, dir)
+          val complete = cur0 == cuts.size - 1 &&
+            Snapshot.manifest(s, dir, cur0).files
+              .forall(f => f.rows >= 0 && f.kNulls >= 0)
+          if (!complete && cur0 > 0)
+            throw new IllegalStateException(
+              s"rangeOrders table under $dir exists at v$cur0 without " +
+                "complete row/null-count stamps (pre-round-17 or " +
+                "partial build) — delete the table dir and rebuild")
+          if (!complete)
+            cuts.sliding(2).zipWithIndex.foreach {
+              case (Seq(lo, hi), i) =>
+                val carried =
+                  if (i == 0) Nil else Snapshot.manifest(s, dir, i).files
+                Snapshot.commit(
+                  base.filter(col("key2") >= lo && col("key2") < hi),
+                  dir, i, "key2", carried, nFiles = 1)
+            }
+          dir
+        })
+    }
+
   private[graft] def chainOrders(s: SparkSession, d: String): String =
     synchronized {
       snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
@@ -1499,6 +1551,38 @@ object Warehouse extends QueryModule {
         .toDF("n_rows", "n_files", "min_key", "max_key")
     }),
 
+    "q167_stats_range" -> ((s, d) => {
+      // METADATA-ONLY RANGE AGGREGATES ([[rangeOrders]] →
+      // [[Snapshot.metaRangeSplit]] / [[Snapshot.clusteringMinMaxMeta]]
+      // riding [[graft.plans.MetadataOnlyCountRule]]): a clustering
+      // range count through the front door answers the predicate's
+      // INTERIOR from row stamps (files wholly inside [250,624] — one
+      // band file) and scans ONLY the straddling boundary file; global
+      // MIN/MAX of the clustering column is pure manifest arithmetic
+      // (zero files scanned). `n_scan` carries the engine's own
+      // boundary-set size (count row — oracle pins 1 of 4 files) and
+      // its metadata-eligibility witness (minmax row — 0 = answered
+      // with no scan); the oracle recomputes both aggregates from raw
+      // orders. Plan shapes and guards are spec-pinned in SourceSpec.
+      val dir = rangeOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (inside, boundary) = Snapshot.metaRangeSplit(m, 250L, 624L)
+      require(inside > 0,
+        "planted interior file must answer from stamps alone")
+      val fd = s.read.format("graft").load(dir)
+      val cnt = fd.filter(col("key2").between(250L, 624L))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("count").as("phase"), col("n"),
+          lit(null).cast("long").as("mn"), lit(null).cast("long").as("mx"),
+          lit(boundary.size.toLong).as("n_scan"))
+      val mm = fd.agg(count(lit(1)).as("n"), min(col("key2")).as("mn"),
+          max(col("key2")).as("mx"))
+        .select(lit("minmax").as("phase"), col("n"), col("mn"), col("mx"),
+          lit(if (Snapshot.clusteringMinMaxMeta(m).isDefined) 0L else -1L)
+            .as("n_scan"))
+      cnt.unionAll(mm).orderBy(col("phase"))
+    }),
+
     "q165_manifest_chain" -> ((s, d) => {
       // DELTA-MANIFEST log ([[chainOrders]]): 12 single-file carried
       // commits publish as full(v1) + deltas(v2–v9) + checkpoint(v10) +
@@ -2173,6 +2257,25 @@ object Warehouse extends QueryModule {
       """SELECT count(*) AS n_rows, CAST(4 AS BIGINT) AS n_files,
         |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders""".stripMargin,
+
+    // the split's truth: the 4 band files partition o_orderkey % 1000
+    // exactly, stamps are exact non-null extremes, no DVs, null
+    // counts stamped zero — so interior stamps + one boundary scan
+    // must equal the plain filtered count, and min/max are manifest
+    // arithmetic
+    "q167_stats_range" ->
+      """WITH st AS (SELECT o_orderkey % 1000 AS key2 FROM orders)
+        |SELECT phase, n, mn, mx, n_scan FROM (
+        |  SELECT 'count' AS phase, count(*) AS n,
+        |         CAST(NULL AS BIGINT) AS mn, CAST(NULL AS BIGINT) AS mx,
+        |         CAST(1 AS BIGINT) AS n_scan
+        |  FROM st WHERE key2 BETWEEN 250 AND 624
+        |  UNION ALL
+        |  SELECT 'minmax', count(*), min(key2), max(key2),
+        |         CAST(0 AS BIGINT)
+        |  FROM st)
+        |ORDER BY phase
+        |""".stripMargin,
 
     "q165_manifest_chain" ->
       """WITH st AS (

@@ -2,42 +2,73 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
+import graft.ops.Snapshot
 import graft.sources.GraftRelation
 
-/** Optimizer rule: a global `count(*)` over an UNFILTERED graft
-  * snapshot read answers from the manifest instead of scanning —
+/** Optimizer rule: METADATA-ONLY aggregates over graft snapshot reads —
   * Delta's metadata-only query optimization
   * (`OptimizeMetadataOnlyQuery` / numRecords), re-expressed as a
   * Catalyst `Rule[LogicalPlan]` injected through
-  * [[graft.GraftExtensions]]. `spark.read.format("graft").load(dir)
-  * .count()` on a 100 TB table becomes one `LocalRelation` row built
-  * from Σ per-file row stamps − Σ deletion-vector positions: zero
-  * tasks, zero bytes of data I/O.
+  * [[graft.GraftExtensions]]. Three rewrites, each firing ONLY when it
+  * is provably the same answer:
   *
-  * The rewrite fires ONLY when it is provably the same answer:
-  *  - the aggregate is global (no grouping) and every output is a
-  *    non-distinct, unfiltered `count(<non-null literal>)` — the
-  *    `count(*)` / `count(1)` family; `count(col)` is null-sensitive
-  *    and never rewrites;
-  *  - the child is the graft relation under Project nodes only —
-  *    projections cannot change cardinality, anything else (Filter,
-  *    Join, Generate, limits) stops the match;
-  *  - every file in the relation's pinned manifest carries a row
-  *    stamp ([[GraftRelation.metaRowCount]] is Some) — unknown is
-  *    never zero, pre-stamp and adopted tables keep scanning.
+  * '''1. Global unfiltered COUNT(*)''' (round 16).
+  * `spark.read.format("graft").load(dir).count()` on a 100 TB table
+  * becomes one `LocalRelation` row built from Σ per-file row stamps −
+  * Σ deletion-vector positions: zero tasks, zero bytes of data I/O.
+  * Guards: the aggregate is global (no grouping) and every output is a
+  * non-distinct, unfiltered `count(<non-null literal>)` — the
+  * `count(*)` / `count(1)` family (`count(col)` is null-sensitive and
+  * never rewrites); the child is the relation under Project nodes only
+  * (projections cannot change cardinality); every file carries a row
+  * stamp ([[GraftRelation.metaRowCount]] is Some) — unknown is never
+  * zero, pre-stamp and adopted tables keep scanning.
   *
-  * The replacement [[LocalRelation]] reuses the Aggregate's own output
-  * attributes, so downstream references resolve unchanged. Time
-  * travel is free: the relation pins its version's manifest, so a
-  * `VERSION AS OF` count answers from that version's stamps. */
+  * '''2. Clustering-range-filtered COUNT(*)''' (round 17).
+  * `count(*) WHERE key BETWEEN lo AND hi` on the CLUSTERING column
+  * splits the manifest's files by [[Snapshot.metaRangeSplit]]: files
+  * WHOLLY inside [lo,hi] sum from stamps (row count − DV positions;
+  * exact only under a stamped ZERO clustering-key null count — the
+  * [min,max] stamps ignore NULLs, which fail the predicate), files
+  * merely OVERLAPPING the range become a boundary relation restricted
+  * to exactly those files and scan with the predicate, and files
+  * wholly outside contribute nothing. On a range-clustered 100 TB
+  * table that is one or two boundary files per bound instead of the
+  * range's interior. Guards: every filter conjunct is a comparison of
+  * the clustering attribute against an integral literal (or
+  * `IsNotNull(key)`); anything else — other columns, casts of other
+  * shapes, disjunctions, non-literal bounds — refuses. Unknown rows,
+  * unknown null counts, DVs and adopted entries never refuse: they
+  * just degrade the file into the boundary SCAN set, which is always
+  * exact. A contradictory range (`lo > hi`) answers 0 — proven by the
+  * predicate itself, independent of any stamp.
+  *
+  * '''3. Global unfiltered MIN/MAX of the clustering column'''
+  * (round 17). `min(key)` / `max(key)` (mixed freely with count-star
+  * outputs) answer from pure manifest arithmetic — min of file mins /
+  * max of file maxes — when [[Snapshot.clusteringMinMaxMeta]] can
+  * prove the stamps exact: no deletion vectors anywhere (a DV may
+  * have masked the extreme row), every file's row count stamped
+  * positive (an adopted empty file would stamp phantom extremes), no
+  * degraded full-open stamp. NULL keys are harmless: SQL MIN/MAX and
+  * the stamps both ignore them. Widening integral casts of the key
+  * commute with MIN/MAX and are accepted.
+  *
+  * All three rewrites reuse the Aggregate's own output attributes (or
+  * alias onto its exprIds), so downstream references resolve
+  * unchanged; time travel is free in each — the relation pins its
+  * version's manifest, so a `VERSION AS OF` aggregate answers from
+  * that version's stamps. Boundary relations are marked restricted
+  * and are never themselves rewritten (convergence + soundness). */
 case class MetadataOnlyCountRule(session: SparkSession)
-    extends Rule[LogicalPlan] {
+    extends Rule[LogicalPlan] with PredicateHelper {
 
   /** A non-distinct, unfiltered count of a non-null literal — the
     * shapes whose value is exactly the child's row count. */
@@ -51,25 +82,226 @@ case class MetadataOnlyCountRule(session: SparkSession)
     case _ => false
   }
 
-  /** The metadata count of the subtree, when it is a graft relation
-    * under cardinality-preserving Project nodes only. */
-  private def metaCountOf(plan: LogicalPlan): Option[Long] = plan match {
-    case Project(_, child) => metaCountOf(child)
+  /** The graft relation under cardinality-preserving Project nodes
+    * only — restricted (boundary) relations excluded. */
+  private def relationOf(plan: LogicalPlan)
+      : Option[(LogicalRelation, GraftRelation)] = plan match {
+    case Project(_, child) => relationOf(child)
     case lr: LogicalRelation => lr.relation match {
-      case g: GraftRelation => g.metaRowCount
+      case g: GraftRelation if !g.isRestricted => Some((lr, g))
       case _ => None
     }
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, exprs, child, _)
-        if exprs.nonEmpty && exprs.forall(isCountStar) =>
-      metaCountOf(child) match {
-        case Some(n) =>
-          LocalRelation(agg.output,
-            Seq(InternalRow.fromSeq(Seq.fill(exprs.size)(n))))
-        case None => agg
+  private def metaCountOf(plan: LogicalPlan): Option[Long] =
+    relationOf(plan).flatMap(_._2.metaRowCount)
+
+  /** The key expression shapes MIN/MAX/compare may wrap the clustering
+    * attribute in: bare, or a WIDENING integral cast (order-preserving
+    * and exactly representable, so it commutes with min/max and with
+    * range bounds). */
+  private def keyAttrOf(e: Expression): Option[AttributeReference] = {
+    def width(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4; case _ => 0
+    }
+    e match {
+      case a: AttributeReference => Some(a)
+      case Cast(a: AttributeReference, dt, _, _)
+          if width(dt) > 0 && width(a.dataType) > 0 &&
+            width(dt) >= width(a.dataType) => Some(a)
+      case _ => None
+    }
+  }
+
+  /** Does `a` name the relation's clustering column (logical name —
+    * column mapping translates) AND come from this relation? */
+  private def isClusteringAttr(a: AttributeReference,
+      lr: LogicalRelation, g: GraftRelation): Boolean = {
+    val m = g.pinnedManifest
+    lr.output.exists(_.exprId == a.exprId) &&
+      a.name.equalsIgnoreCase(Snapshot.logicalName(m, m.statsCol))
+  }
+
+  private def asLongLit(e: Expression): Option[Long] = e match {
+    case Literal(v, dt) if v != null => dt match {
+      case ByteType    => Some(v.asInstanceOf[Byte].toLong)
+      case ShortType   => Some(v.asInstanceOf[Short].toLong)
+      case IntegerType => Some(v.asInstanceOf[Int].toLong)
+      case LongType    => Some(v.asInstanceOf[Long])
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Fold the filter's conjuncts into one inclusive [lo, hi] window on
+    * the clustering attribute. None = a conjunct we cannot prove
+    * (wrong column, non-literal, disjunction, …) → no rewrite. A
+    * returned lo > hi is a CONTRADICTION: zero rows satisfy. Strict
+    * bounds saturate instead of wrapping (`key > Long.MaxValue`
+    * becomes the contradiction, which is the correct answer). */
+  private def boundsOf(conjuncts: Seq[Expression],
+      lr: LogicalRelation, g: GraftRelation): Option[(Long, Long)] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def key(e: Expression): Boolean =
+      keyAttrOf(e).exists(isClusteringAttr(_, lr, g))
+    def tighten(nLo: Option[Long], nHi: Option[Long]): Boolean = {
+      nLo.foreach(v => lo = math.max(lo, v))
+      nHi.foreach(v => hi = math.min(hi, v))
+      true
+    }
+    val ok = conjuncts.forall {
+      case IsNotNull(a) if key(a) => true // counted rows are non-null anyway
+      case EqualTo(a, l) if key(a) =>
+        asLongLit(l).exists(v => tighten(Some(v), Some(v)))
+      case EqualTo(l, a) if key(a) =>
+        asLongLit(l).exists(v => tighten(Some(v), Some(v)))
+      case GreaterThanOrEqual(a, l) if key(a) =>
+        asLongLit(l).exists(v => tighten(Some(v), None))
+      case LessThanOrEqual(a, l) if key(a) =>
+        asLongLit(l).exists(v => tighten(None, Some(v)))
+      case GreaterThan(a, l) if key(a) =>
+        asLongLit(l).exists(v => tighten(
+          Some(if (v == Long.MaxValue) { hi = Long.MinValue; v }
+          else v + 1), None))
+      case LessThan(a, l) if key(a) =>
+        asLongLit(l).exists(v => tighten(None,
+          Some(if (v == Long.MinValue) { lo = Long.MaxValue; v }
+          else v - 1)))
+      // literal-first spellings mirror to the attribute-first ones
+      case GreaterThanOrEqual(l, a) if key(a) =>
+        asLongLit(l).exists(v => tighten(None, Some(v)))
+      case LessThanOrEqual(l, a) if key(a) =>
+        asLongLit(l).exists(v => tighten(Some(v), None))
+      case GreaterThan(l, a) if key(a) => // lit > key ≡ key < lit
+        asLongLit(l).exists(v => tighten(None,
+          Some(if (v == Long.MinValue) { lo = Long.MaxValue; v }
+          else v - 1)))
+      case LessThan(l, a) if key(a) => // lit < key ≡ key > lit
+        asLongLit(l).exists(v => tighten(
+          Some(if (v == Long.MaxValue) { hi = Long.MinValue; v }
+          else v + 1), None))
+      case _ => false
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
+  /** The Filter directly under cardinality-preserving Projects, with
+    * the relation under attribute-only Projects below it (so the
+    * filter's attributes ARE relation outputs, not derived aliases). */
+  private def filteredRelationOf(plan: LogicalPlan)
+      : Option[(Filter, LogicalRelation, GraftRelation)] = plan match {
+    case Project(_, child) => filteredRelationOf(child)
+    case f @ Filter(_, fchild) =>
+      def under(p: LogicalPlan): Option[(LogicalRelation, GraftRelation)] =
+        p match {
+          case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+            under(c)
+          case lr: LogicalRelation => lr.relation match {
+            case g: GraftRelation if !g.isRestricted => Some((lr, g))
+            case _ => None
+          }
+          case _ => None
+        }
+      under(fchild).map { case (lr, g) => (f, lr, g) }
+    case _ => None
+  }
+
+  private def countRows(output: Seq[Attribute], n: Long): LocalRelation =
+    LocalRelation(output,
+      Seq(InternalRow.fromSeq(Seq.fill(output.size)(n))))
+
+  /** Range-filtered count rewrite: stamps for wholly-inside files, a
+    * boundary-restricted scan for the rest. None = shape/guards refuse. */
+  private def filteredCountRewrite(agg: Aggregate): Option[LogicalPlan] =
+    filteredRelationOf(agg.child).flatMap { case (f, lr, g) =>
+      boundsOf(splitConjunctivePredicates(f.condition), lr, g).flatMap {
+        case (lo, hi) if lo > hi =>
+          // contradiction: zero rows satisfy, by the predicate alone
+          Some(countRows(agg.output, 0L))
+        case (lo, hi) =>
+          val m = g.pinnedManifest
+          val (inside, boundary) = Snapshot.metaRangeSplit(m, lo, hi)
+          if (boundary.isEmpty) Some(countRows(agg.output, inside))
+          else if (inside == 0 && boundary.size == m.files.size)
+            None // nothing answered from metadata: keep the plain scan
+          else {
+            val cnt = Alias(AggregateExpression(
+              Count(Seq(Literal(1L))), Complete, isDistinct = false),
+              "gm_boundary_cnt")()
+            val newChild = agg.child.transformUp {
+              case l: LogicalRelation if l eq lr =>
+                l.copy(relation =
+                  g.restrictedTo(boundary.map(_.path).toSet))
+            }
+            val inner = Aggregate(Nil, Seq(cnt), newChild)
+            val outs = agg.output.map(a =>
+              Alias(Add(cnt.toAttribute, Literal(inside)), a.name)(
+                exprId = a.exprId))
+            Some(Project(outs, inner))
+          }
       }
+    }
+
+  /** min/max/count-star mix over the unfiltered relation → one
+    * LocalRelation row from manifest arithmetic. None = guards refuse. */
+  private def minMaxRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    sealed trait Shape
+    case object Cnt extends Shape
+    final case class Mn(dt: DataType) extends Shape
+    final case class Mx(dt: DataType) extends Shape
+    relationOf(agg.child).flatMap { case (lr, g) =>
+      val m = g.pinnedManifest
+      def minMaxOf(e: NamedExpression): Option[Shape] = e match {
+        case al @ Alias(ae: AggregateExpression, _)
+            if ae.mode == Complete && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Min(c) => keyAttrOf(c)
+              .filter(isClusteringAttr(_, lr, g)).map(_ => Mn(al.dataType))
+            case Max(c) => keyAttrOf(c)
+              .filter(isClusteringAttr(_, lr, g)).map(_ => Mx(al.dataType))
+            case _ => None
+          }
+        case _ => None
+      }
+      val shapes = agg.aggregateExpressions.map { e =>
+        if (isCountStar(e)) Some(Cnt) else minMaxOf(e)
+      }
+      if (shapes.exists(_.isEmpty) ||
+          !shapes.flatten.exists(s => s != Cnt)) None
+      else {
+        def typed(v: Long, dt: DataType): Option[Any] = dt match {
+          case LongType    => Some(v)
+          case IntegerType => Some(v.toInt)
+          case _           => None
+        }
+        val needCount = shapes.flatten.contains(Cnt)
+        for {
+          mnmx <- Snapshot.clusteringMinMaxMeta(m)
+          n <- if (needCount) g.metaRowCount else Some(0L)
+          vals <- {
+            val vs = shapes.flatten.map {
+              case Cnt    => Some(n: Any)
+              case Mn(dt) => typed(mnmx._1, dt)
+              case Mx(dt) => typed(mnmx._2, dt)
+            }
+            if (vs.exists(_.isEmpty)) None else Some(vs.flatten)
+          }
+        } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals)))
+      }
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty &&
+        exprs.forall(isCountStar) =>
+      metaCountOf(child) match {
+        case Some(n) => countRows(agg.output, n)
+        case None    => filteredCountRewrite(agg).getOrElse(agg)
+      }
+    case agg @ Aggregate(Nil, exprs, _, _) if exprs.nonEmpty =>
+      minMaxRewrite(agg).getOrElse(agg)
   }
 }

@@ -194,11 +194,32 @@ object GraftRelation {
   * renamed and cast to the table schema before landing through the
   * commit protocol. */
 final class GraftRelation(override val sqlContext: SQLContext,
-                          val dir: String, version: Int)
+                          val dir: String, version: Int,
+                          restrictedPaths: Option[Set[String]] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark: SparkSession = sqlContext.sparkSession
   private val m = Snapshot.manifest(spark, dir, version)
+
+  /** The relation's pinned manifest — the state every metadata-only
+    * rewrite must compute from (NOT the current version: a time
+    * traveler answers for its own snapshot). */
+  private[graft] def pinnedManifest: Snapshot.Manifest = m
+
+  /** Restricted to an explicit file subset? (A boundary-scan relation
+    * built by [[graft.plans.MetadataOnlyCountRule]] — metadata
+    * aggregates must never re-fire on one.) */
+  private[graft] def isRestricted: Boolean = restrictedPaths.isDefined
+
+  /** The explicit file subset (spec observable — pins the planned
+    * boundary set of a metadata range count). */
+  private[graft] def restrictedSet: Option[Set[String]] = restrictedPaths
+
+  /** This snapshot narrowed to an explicit file subset — the
+    * boundary-only scan of a metadata range count. Candidacy pruning
+    * still applies on top (intersection can only shrink). */
+  private[graft] def restrictedTo(paths: Set[String]): GraftRelation =
+    new GraftRelation(sqlContext, dir, version, Some(paths))
   // Plan-time schema of the version's file set + declared evolution —
   // one parquet-footer planning pass at relation construction, no scan.
   override val schema: StructType =
@@ -210,10 +231,17 @@ final class GraftRelation(override val sqlContext: SQLContext,
     * SMALL snapshot dimension read through the source would never
     * auto-broadcast in a join — at 100 TB exactly the tables you want
     * broadcast are the ones read this way. */
-  override lazy val sizeInBytes: Long =
-    m.files.map(f => Snapshot.entryLen(spark, dir, f.path)).sum
+  override lazy val sizeInBytes: Long = {
+    val served = restrictedPaths
+      .map(rp => m.files.filter(f => rp.contains(f.path)))
+      .getOrElse(m.files)
+    served.map(f => Snapshot.entryLen(spark, dir, f.path)).sum
+  }
 
-  override def toString: String = s"GraftRelation($dir, v$version)"
+  override def toString: String =
+    s"GraftRelation($dir, v$version" +
+      restrictedPaths.map(rp => s", ${rp.size} boundary files")
+        .getOrElse("") + ")"
 
   /** Exact metadata row count of THIS snapshot (Σ per-file `rows`
     * stamps − Σ deletion-vector positions; the relation's pinned
@@ -221,11 +249,14 @@ final class GraftRelation(override val sqlContext: SQLContext,
     * None when any entry's count is unknown — powers the front-door
     * `count(*)` metadata rewrite
     * ([[graft.plans.MetadataOnlyCountRule]]). */
-  private[graft] lazy val metaRowCount: Option[Long] = Snapshot.metaCount(m)
+  private[graft] lazy val metaRowCount: Option[Long] =
+    if (isRestricted) None else Snapshot.metaCount(m)
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val hit = SourcePruning.candidates(m, filters)
+    val hit0 = SourcePruning.candidates(m, filters)
+    val hit = restrictedPaths
+      .map(rp => hit0.filter(f => rp.contains(f.path))).getOrElse(hit0)
     val base =
       if (hit.isEmpty)
         Snapshot.readEntries(spark, dir, m, m.files).limit(0)

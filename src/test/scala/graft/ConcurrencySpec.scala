@@ -177,6 +177,62 @@ class ConcurrencySpec extends SparkSpec {
       s"stale vector keys: ${m.dvs.keySet -- listed}")
   }
 
+  test("appendWithRetry publishes an explicit DELTA whose reader " +
+    "resolution equals the writer's seeded state") {
+    val dir = fresh()
+    val v = Snapshot.appendWithRetry(batch(21L, 24L), dir, nFiles = 1)
+    assert(v == 2)
+    // the verb handed publish its delta explicitly — the metadata
+    // write is the delta envelope, not a re-derived full manifest
+    assert(Snapshot.manifestFormat(spark, dir, 2) == "delta")
+    val seeded = Snapshot.manifest(spark, dir, 2)
+    Snapshot.clearManifestCache()
+    val resolved = Snapshot.manifest(spark, dir, 2)
+    assert(Snapshot.sameState(seeded, resolved),
+      "cache-seeded writer state must equal the reader's own " +
+        "applyDelta resolution from disk")
+    assert(sorted(Snapshot.read(spark, dir)) ==
+      sorted(batch(1L, 10L).unionAll(batch(21L, 24L))))
+  }
+
+  test("the explicit append respects the checkpoint policy: a " +
+    "checkpoint version publishes FULL") {
+    val dir = fresh()
+    spark.conf.set(Snapshot.CheckpointEveryKey, "2")
+    try {
+      // v2 is a checkpoint under K=2 — the explicit path must fall
+      // back to the generic full publish, keeping every chain rooted
+      val v = Snapshot.appendWithRetry(batch(21L, 22L), dir, nFiles = 1)
+      assert(v == 2)
+      assert(Snapshot.manifestFormat(spark, dir, 2) == "text")
+      // v3 is delta-eligible again
+      assert(Snapshot.appendWithRetry(batch(31L, 32L), dir,
+        nFiles = 1) == 3)
+      assert(Snapshot.manifestFormat(spark, dir, 3) == "delta")
+    } finally spark.conf.unset(Snapshot.CheckpointEveryKey)
+    Snapshot.clearManifestCache()
+    assert(sorted(Snapshot.read(spark, dir)) == sorted(batch(1L, 10L)
+      .unionAll(batch(21L, 22L)).unionAll(batch(31L, 32L))))
+  }
+
+  test("explicit-append guards: sidecar upserts keyed off added files " +
+    "or colliding paths fall back to the generic publish") {
+    val dir = fresh()
+    val m = Snapshot.manifest(spark, dir, 1)
+    // upsert keyed on a BASE file (not an added one): not expressible
+    // as a pure-accretion delta — must land through the generic
+    // publish (which derives + verifies), still correct state
+    val added = Seq(Snapshot.FileEntry("data/zz_probe/part-0.parquet",
+      100L, 110L, 5L))
+    Snapshot.publishExplicitAppend(spark, dir, m, Nil, added,
+      Map((m.files.head.path, "v") -> (0L, 1L)), Map.empty,
+      m.schemaJson, "guardtest")
+    assert(Snapshot.currentVersion(spark, dir) == 2)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    assert(m2.files.map(_.path).contains("data/zz_probe/part-0.parquet"))
+    assert(m2.colStats.get((m.files.head.path, "v")).contains((0L, 1L)))
+  }
+
   test("an empty staged append is a no-op") {
     import spark.implicits._
     val dir = fresh()

@@ -34,11 +34,14 @@ class ManifestFormatSpec extends SparkSpec {
   private def richManifest(v: Int): Manifest = {
     // mixed row-count stamps: the absolute-path entry stays UNKNOWN
     // (−1, the adopted/legacy shape) while local files carry counts —
-    // round-trips must preserve both (round 16)
+    // round-trips must preserve both (round 16). kNulls likewise mixed
+    // (round 17): even files carry a null-count stamp, odd files stay
+    // unknown — all three layouts must preserve the distinction
     val files = FileEntry("/abs/elsewhere/part-9.parquet", 701L, 800L) +:
       (0 until 7).toVector.map(i =>
         FileEntry(s"data/c1_aa/part-$i.parquet",
-          i * 100L + 1, i * 100L + 100, rows = i * 10L + 5))
+          i * 100L + 1, i * 100L + 100, rows = i * 10L + 5,
+          kNulls = if (i % 2 == 0) i.toLong else -1L))
     val bloom = {
       val bits = new Array[Long](4)
       BloomSketch.add(bits, 256, 2, 42L)
@@ -64,7 +67,7 @@ class ManifestFormatSpec extends SparkSpec {
     spark.conf.set(Snapshot.BinaryMinFilesKey, "1")
     try Snapshot.publishManifestForTest(spark, dir, richManifest(1))
     finally spark.conf.unset(Snapshot.BinaryMinFilesKey)
-    assert(headOf(dir, 1) == "GMB2", "8 files >= minFiles=1 must go binary")
+    assert(headOf(dir, 1) == "GMB3", "8 files >= minFiles=1 must go binary")
     Snapshot.clearManifestCache()
     val got = Snapshot.manifest(spark, dir, 1)
     assert(Snapshot.sameState(got, richManifest(1)),
@@ -216,6 +219,77 @@ class ManifestFormatSpec extends SparkSpec {
       ("data/c1_aa/part-1.parquet", 101L, 200L, -1L)))
     // unknown rows are honest: the metadata count refuses, not zeroes
     assert(Snapshot.rowCountMeta(spark, dir, 1).isEmpty)
+  }
+
+  test("a round-16 GMB2 checkpoint still parses: rows kept, kNulls unknown") {
+    // GMB2 file records carry the row count but predate the
+    // clustering-key null count — the revision branch must fill
+    // kNulls = −1 and keep every subsequent field aligned
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    def vlong(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) {
+        dos.writeByte(((v & 0x7f) | 0x80).toInt); v >>>= 7
+      }
+      dos.writeByte(v.toInt)
+    }
+    def zz(v: Long): Unit = vlong((v << 1) ^ (v >> 63))
+    def str(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); vlong(b.length.toLong); dos.write(b)
+    }
+    dos.write("GMB2".getBytes("UTF-8"))
+    vlong(1L); str("k"); str("r16"); vlong(1723700000456L)
+    vlong(1L)                                   // files
+    str("data/c1_aa/part-0.parquet"); zz(1L); zz(100L); zz(42L)
+    vlong(0L)                                   // column dictionary
+    vlong(0L); vlong(0L); vlong(0L); vlong(0L)  // colStats/strStats/blooms/dvs
+    vlong(0L); vlong(0L); vlong(0L); vlong(0L)  // checks/addedCols/renames/dropped
+    str("")                                     // basePath
+    vlong(0L)                                   // genCols
+    str("")                                     // schemaJson
+    val dir = freshDir()
+    val mdir = java.nio.file.Paths.get(local(dir), "_manifests")
+    java.nio.file.Files.createDirectories(mdir)
+    java.nio.file.Files.write(mdir.resolve("v00001"), out.toByteArray)
+    Snapshot.clearManifestCache()
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.files.map(f => (f.path, f.min, f.max, f.rows, f.kNulls)) ==
+      Seq(("data/c1_aa/part-0.parquet", 1L, 100L, 42L, -1L)))
+    // rows known → the metadata count still serves from a GMB2 file
+    assert(Snapshot.rowCountMeta(spark, dir, 1).contains(42L))
+  }
+
+  test("a same-length same-mtime manifest rewrite misses the cache " +
+    "once the fingerprint window closes") {
+    import spark.implicits._
+    val dir = freshDir()
+    Snapshot.commit(Seq((1L, "a")).toDF("k", "v"), dir, 0, "k",
+      nFiles = 1, note = "mark_AAAA")
+    val p = java.nio.file.Paths.get(local(dir), "_manifests", "v00001")
+    val mtime = java.nio.file.Files.getLastModifiedTime(p)
+    assert(Snapshot.manifest(spark, dir, 1).note == "mark_AAAA")
+    // out-of-band SAME-LENGTH rewrite, mtime forged back — the exact
+    // state the (path, mtime, length) key cannot distinguish
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.write(p,
+      txt.replace("mark_AAAA", "mark_BBBB").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(p.resolveSibling(".v00001.crc"))
+    java.nio.file.Files.setLastModifiedTime(p, mtime)
+    val old = Snapshot.mtimeGranularityMs
+    try {
+      Snapshot.mtimeGranularityMs = 0L // close the window immediately
+      val before = Snapshot.manifestParses.get()
+      val m = Snapshot.manifest(spark, dir, 1)
+      assert(m.note == "mark_BBBB",
+        "the fingerprint must force a re-parse, not serve stale state")
+      assert(Snapshot.manifestParses.get() > before, "expected a miss")
+      // and once re-verified, warm hits stay free (no further preads
+      // needed for correctness — the flag pins for life)
+      val again = Snapshot.manifestParses.get()
+      assert(Snapshot.manifest(spark, dir, 1).note == "mark_BBBB")
+      assert(Snapshot.manifestParses.get() == again, "warm hit")
+    } finally Snapshot.mtimeGranularityMs = old
   }
 
   test("checkpointEvery=1 forces full manifests everywhere") {

@@ -711,8 +711,9 @@ class SourceSpec extends SparkSpec {
       s"expected LocalRelation, got:\n${q.queryExecution.optimizedPlan}")
     assert(q.collect().head.getLong(0) == 81L, "DV-aware metadata count")
     assert(front.count() == 81L)
-    // guards: a FILTERED count and a null-sensitive count(col) keep
-    // scanning and stay right
+    // a clustering-range-filtered count serves interior stamps + a
+    // boundary scan (round 17 — shape pinned in its own test below);
+    // a null-sensitive count(col) keeps scanning; both stay right
     assert(front.filter(col("k") > 50L).count() == 40L)
     assert(front.select(count(col("v"))).collect().head.getLong(0) == 81L)
     // time travel counts its own version's stamps
@@ -733,6 +734,100 @@ class SourceSpec extends SparkSpec {
       case l: LocalRelation => l }.isEmpty,
       "unknown rows must NOT rewrite")
     assert(q2.collect().head.getLong(0) == 40L)
+  }
+
+  test("range count + min/max through the front door are metadata-only; " +
+    "guards hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metarange_" + java.util.UUID.randomUUID().toString.take(8)
+    // 3 range-clustered files: [1,30] [31,60] [61,90]
+    Snapshot.commit((1 to 90).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      dir, 0, "k", nFiles = 3)
+    val m = Snapshot.manifest(spark, dir, 1)
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    // MIN/MAX (+ count) = ONE LocalRelation row, zero scan nodes
+    val mmq = front.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+      count(lit(1)).as("n"))
+    assert(planOf(mmq).collectFirst { case l: LocalRelation => l }.nonEmpty,
+      s"expected LocalRelation, got:\n${planOf(mmq)}")
+    assert(mmq.collect().toSeq == Seq(Row(1L, 90L, 90L)))
+    // range count: interior file [31,60] answers from stamps, the
+    // straddled file [61,90] is the ONLY one planned for scanning
+    val rq = front.filter(col("k") >= 31L && col("k") <= 75L)
+      .groupBy().count()
+    val boundaryFile = m.files.find(_.min == 61L).map(_.path)
+    assert(restrictedOf(rq) == boundaryFile.map(Set(_)),
+      s"boundary-only planned set expected, got:\n${planOf(rq)}")
+    assert(rq.collect().head.getLong(0) == 45L)
+    // a range covering whole files only needs NO scan at all
+    val fq = front.filter(col("k") >= 31L && col("k") <= 60L)
+      .groupBy().count()
+    assert(planOf(fq).collectFirst { case l: LocalRelation => l }.nonEmpty)
+    assert(fq.collect().head.getLong(0) == 30L)
+    // a contradictory range answers 0 from the predicate alone
+    val cq = front.filter(col("k") > 80L && col("k") < 20L)
+      .groupBy().count()
+    assert(planOf(cq).collectFirst { case l: LocalRelation => l }.nonEmpty)
+    assert(cq.collect().head.getLong(0) == 0L)
+    // guard: a NON-clustering-column filter refuses the rewrite
+    val vq = front.filter(col("v") === "v5").groupBy().count()
+    assert(restrictedOf(vq).isEmpty &&
+      planOf(vq).collectFirst { case l: LocalRelation => l }.isEmpty,
+      "non-clustering filters must not rewrite")
+    assert(vq.collect().head.getLong(0) == 1L)
+    // DV-awareness: masked rows subtract from interior stamps (file 1
+    // is wholly inside [1,30], its 9 masked rows all counted before)
+    Snapshot.deleteWhereDV(spark, dir, 1L, 9L)
+    val dq = front.filter(col("k") <= 30L).groupBy().count()
+    assert(planOf(dq).collectFirst { case l: LocalRelation => l }.nonEmpty)
+    assert(dq.collect().head.getLong(0) == 21L)
+    // ... but a DV anywhere refuses MIN/MAX (the extreme row may be
+    // masked — here it IS: true min moved 1 → 10)
+    val mmq2 = front.agg(min(col("k")).as("mn"))
+    assert(planOf(mmq2).collectFirst { case l: LocalRelation => l }.isEmpty,
+      "DVs must refuse metadata MIN/MAX")
+    assert(mmq2.collect().head.getLong(0) == 10L)
+    // time travel answers from ITS version's stamps (pre-DV)
+    val tt = spark.read.format("graft").option("versionAsOf", "1")
+      .load(dir).filter(col("k") <= 30L).groupBy().count()
+    assert(tt.collect().head.getLong(0) == 30L)
+    // NULL clustering keys: stamps ignore them, so a file with a
+    // nonzero null count can never answer from stamps — it lands in
+    // the scan set and the split stays exact (unit-level pin; the
+    // single-file table would gain nothing from a rewrite)
+    val dir2 = dir + "_nulls"
+    // nFiles = 1 keeps the null-keyed row co-located with stamped rows
+    // (an all-null-key FILE has no stats and is refused at write — the
+    // long-standing integral-stats contract)
+    Seq[(Option[Long], String)](Some(1L) -> "a", Some(2L) -> "b",
+      None -> "n")
+      .toDF("k", "v").write.format("graft").option("statscol", "k")
+      .option("nfiles", "1").save(dir2)
+    val m2 = Snapshot.manifest(spark, dir2, 1)
+    assert(m2.files.forall(f => f.rows == 3L && f.kNulls == 1L),
+      s"write path must stamp the null count: ${m2.files}")
+    val (inside, boundary) = Snapshot.metaRangeSplit(m2, 1L, 2L)
+    assert(inside == 0L && boundary.size == 1,
+      "a null-carrying file must scan, never answer from stamps")
+    assert(spark.read.format("graft").load(dir2)
+      .filter(col("k").between(1L, 2L)).count() == 2L)
+    assert(Snapshot.rangeCount(spark, dir2, 1L, 2L) == 2L)
+    // unknown rows (hand-built entry) likewise degrade to the scan set
+    val legacy = m2.copy(files = m2.files.map(_.copy(rows = -1L)))
+    assert(Snapshot.metaRangeSplit(legacy, Long.MinValue,
+      Long.MaxValue)._2.size == 1)
+    // verb-level equivalence on the clustered table (boundary scan path)
+    assert(Snapshot.rangeCount(spark, dir, 31L, 75L) == 45L)
   }
 
   test("timestamp stats: stamps and pruning are session-zone invariant") {
