@@ -44,7 +44,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL-visible snapshot time travel: FROM <registered> [VERSION AS OF n
     // | TIMESTAMP AS OF ts] resolves against immutable manifests
     // ([[graft.plans.SnapshotTimeTravelRule]]).
-    ext.injectResolutionRule(graft.plans.SnapshotTimeTravelRule.apply)
+    ext.injectResolutionRule(s => graft.plans.SnapshotTimeTravelRule(s))
+    // The same rule ALSO runs in the hint-resolution batch, which
+    // precedes the Resolution batch: `VERSION/TIMESTAMP AS OF` on a
+    // CATALOG table created `USING graft` must substitute BEFORE
+    // Spark's own relation resolution reaches it (V2SessionCatalog
+    // rejects time travel on v1 catalog tables with a hard
+    // AnalysisException — there is no fall-through to extended rules).
+    // Idempotent: whatever this early pass already substituted, the
+    // resolution-batch instance simply no longer matches.
+    ext.injectHintResolutionRule(s =>
+      graft.plans.SnapshotTimeTravelRule(s, early = true))
     // Metadata-only COUNT(*): a global unfiltered count over a graft
     // snapshot read rewrites to one LocalRelation row from the
     // manifest's per-file row stamps (Delta's OptimizeMetadataOnlyQuery

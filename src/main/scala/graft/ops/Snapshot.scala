@@ -392,6 +392,49 @@ object Snapshot {
         .flatMap(_.get(name.toLowerCase(java.util.Locale.ROOT)))
     }
 
+  /** Resolve a SQL name to a snapshot directory: the per-session
+    * registry first (explicit bindings win), then the SESSION CATALOG —
+    * a table created once with `CREATE TABLE name (...) USING graft
+    * LOCATION '<dir>'` resolves by its persisted catalog metadata, so
+    * a fresh session (or, under a hive metastore, a fresh JVM) gets
+    * time travel, DML and the maintenance verbs with ZERO Scala
+    * registration calls. Temp views are never treated as snapshot
+    * names (a view must keep shadowing, exactly as it does for plain
+    * reads). */
+  private[graft] def resolveTableDir(spark: SparkSession,
+                                     name: String): Option[String] =
+    sqlTableDir(spark, name).orElse(catalogGraftDir(spark, name))
+
+  /** The session-catalog half of [[resolveTableDir]]: `name`'s catalog
+    * entry when it exists with provider `graft` (its LOCATION is the
+    * table dir). Any catalog error degrades to None — the name then
+    * falls through to Spark's own resolution and error surface. */
+  private[graft] def catalogGraftDir(spark: SparkSession,
+                                     name: String): Option[String] = {
+    val parts = name.split('.')
+    if (parts.isEmpty || parts.length > 2 || parts.exists(_.isEmpty))
+      return None
+    val ident =
+      if (parts.length == 2)
+        org.apache.spark.sql.catalyst.TableIdentifier(parts(1),
+          Some(parts(0)))
+      else org.apache.spark.sql.catalyst.TableIdentifier(parts(0))
+    try {
+      val cat = spark.sessionState.catalog
+      val isView = ident.database.isEmpty &&
+        cat.getTempView(ident.table).isDefined
+      if (isView || !cat.tableExists(ident)) None
+      else {
+        val t = cat.getTableMetadata(ident)
+        if (t.provider.exists(_.equalsIgnoreCase("graft")) &&
+            t.tableType !=
+              org.apache.spark.sql.catalyst.catalog.CatalogTableType.VIEW)
+          Some(t.location.toString)
+        else None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Resolve `TIMESTAMP AS OF`: the newest version committed at or
     * before `epochMs`. The commit clock is the epoch-ms the publisher
     * stamped INTO the manifest (`Manifest.ts` — durable across cp/rsync/
@@ -1244,6 +1287,92 @@ object Snapshot {
     out.flush()
   }
 
+  /** COLUMN-SHARDED sidecar map — the at-scale representation of the
+    * (path, column) → stat maps a binary checkpoint parses back. One
+    * immutable shard per COLUMN, keyed by path alone: `get`/`updated`/
+    * `removed` delegate to one shard (so delta application stays
+    * O(changed) — `++ ups` is per-key `updated`), iteration walks the
+    * shards, equality is the standard Map contract (contents — a
+    * sharded and a flat map with the same entries are `==`, which the
+    * round-trip specs rely on). The point is CONSTRUCTION: a million
+    * files × 6 stat columns is 6M tuple-keyed inserts into one flat
+    * map (~8 s measured cold parse), but 6 INDEPENDENT string-keyed
+    * million-entry shards build in PARALLEL
+    * ([[parseBinaryManifest]]), cutting the cold resolve several-fold
+    * while every consumer keeps seeing a plain immutable Map. */
+  private[graft] final class ShardedStats[V](
+      shards: scala.collection.immutable.Map[String,
+        scala.collection.immutable.Map[String, V]],
+      override val size: Int)
+      extends scala.collection.immutable.AbstractMap[(String, String), V] {
+
+    // flat shard index for the hot probe path: the generic publish's
+    // diff runs millions of `get`s against this map per full-rewrite
+    // commit — one java lookup + zero intermediate Options beats two
+    // Option-allocating Map probes per call
+    @transient private lazy val shardIdx = {
+      val h = new java.util.HashMap[String,
+        scala.collection.immutable.Map[String, V]](shards.size * 2)
+      shards.foreach { case (c, m) => h.put(c, m) }
+      h
+    }
+
+    def get(key: (String, String)): Option[V] = {
+      val m = shardIdx.get(key._2)
+      if (m == null) None else m.get(key._1)
+    }
+
+    override def contains(key: (String, String)): Boolean = {
+      val m = shardIdx.get(key._2)
+      m != null && m.contains(key._1)
+    }
+
+    def iterator: Iterator[((String, String), V)] =
+      shards.iterator.flatMap { case (c, m) =>
+        m.iterator.map { case (pp, v) => ((pp, c), v) } }
+
+    def removed(key: (String, String))
+        : scala.collection.immutable.Map[(String, String), V] =
+      shards.get(key._2) match {
+        case Some(m) if m.contains(key._1) =>
+          val nm = m - key._1
+          new ShardedStats(
+            if (nm.isEmpty) shards - key._2
+            else shards.updated(key._2, nm), size - 1)
+        case _ => this
+      }
+
+    def updated[V1 >: V](key: (String, String), value: V1)
+        : scala.collection.immutable.Map[(String, String), V1] = {
+      val m: scala.collection.immutable.Map[String, V1] =
+        shards.getOrElse(key._2,
+          scala.collection.immutable.Map.empty[String, V])
+      val grew = !m.contains(key._1)
+      new ShardedStats[V1](
+        shards.asInstanceOf[scala.collection.immutable.Map[String,
+          scala.collection.immutable.Map[String, V1]]]
+          .updated(key._2, m.updated(key._1, value)),
+        if (grew) size + 1 else size)
+    }
+
+    // the inherited default rebuilds the WHOLE map through the generic
+    // factory (measured ~10 s per `++ <small upserts>` at 6M entries —
+    // exactly the O(changed) delta application this class exists to
+    // keep cheap); per-key updated keeps it O(that)
+    override def concat[V1 >: V](
+        that: scala.collection.IterableOnce[((String, String), V1)])
+        : scala.collection.immutable.Map[(String, String), V1] = {
+      var result: scala.collection.immutable.Map[(String, String), V1] =
+        this
+      val it = that.iterator
+      while (it.hasNext) {
+        val kv = it.next()
+        result = result.updated(kv._1, kv._2)
+      }
+      result
+    }
+  }
+
   private def parseBinaryManifest(bytes: Array[Byte], p: String)
       : Manifest = {
     val buf = java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
@@ -1274,12 +1403,57 @@ object Snapshot {
     val cols = Vector.fill(vlong().toInt)(str())
     def sidecarKey(): (String, String) =
       (files(vlong().toInt).path, cols(vlong().toInt))
-    // build the big sidecar maps directly (no 6M-tuple intermediate Seq)
+    // build the big sidecar maps directly (no 6M-tuple intermediate
+    // Seq); at scale, decode into per-column primitive buffers first
+    // and build the column SHARDS in parallel ([[ShardedStats]]) —
+    // the flat tuple-keyed build was the measured bulk of an ~8 s
+    // cold resolve at 1M files × 6 stat columns
     val colStats = {
-      val b = Map.newBuilder[(String, String), (Long, Long)]
-      var i = vlong().toInt
-      while (i > 0) { b += (sidecarKey() -> (zz(), zz())); i -= 1 }
-      b.result()
+      val n = vlong().toInt
+      if (n < 100000) {
+        val b = Map.newBuilder[(String, String), (Long, Long)]
+        var i = n
+        while (i > 0) { b += (sidecarKey() -> (zz(), zz())); i -= 1 }
+        b.result()
+      } else {
+        val nc = cols.size
+        val fis = Array.fill(nc)(
+          new scala.collection.mutable.ArrayBuilder.ofInt)
+        val vs = Array.fill(nc)(
+          new scala.collection.mutable.ArrayBuilder.ofLong)
+        var i = n
+        while (i > 0) {
+          val fi = vlong().toInt
+          val ci = vlong().toInt
+          fis(ci) += fi
+          vs(ci) += zz()
+          vs(ci) += zz()
+          i -= 1
+        }
+        val shardArr = new Array[
+          scala.collection.immutable.Map[String, (Long, Long)]](nc)
+        java.util.stream.IntStream.range(0, nc).parallel().forEach {
+          (ci: Int) =>
+            val fa = fis(ci).result()
+            val va = vs(ci).result()
+            val b = Map.newBuilder[String, (Long, Long)]
+            b.sizeHint(fa.length)
+            var j = 0
+            while (j < fa.length) {
+              b += (files(fa(j)).path -> (va(2 * j), va(2 * j + 1)))
+              j += 1
+            }
+            shardArr(ci) = b.result()
+        }
+        val shards = Map.newBuilder[String,
+          scala.collection.immutable.Map[String, (Long, Long)]]
+        var ci = 0
+        while (ci < nc) {
+          if (shardArr(ci).nonEmpty) shards += (cols(ci) -> shardArr(ci))
+          ci += 1
+        }
+        new ShardedStats(shards.result(), n)
+      }
     }
     val strStats = {
       val b = Map.newBuilder[(String, String), (String, String)]
@@ -1533,7 +1707,7 @@ object Snapshot {
                                     v: Int): String = {
     val head = manifestHead(spark, dir, v, 4)
     if (head.startsWith("V\t")) "delta"
-    else if (head == "GMB1" || head == "GMB2") "binary"
+    else if (head.startsWith("GMB")) "binary"
     else "text"
   }
 

@@ -32,10 +32,12 @@ import graft.ops.Snapshot
   * commit). */
 private[graft] object GraftMaintenance {
   def dirFor(session: SparkSession, name: String): String =
-    Snapshot.sqlTableDir(session, name).getOrElse(
+    Snapshot.resolveTableDir(session, name).getOrElse(
       throw new IllegalArgumentException(
-        s"'$name' is not a registered snapshot table in this session — " +
-          "Snapshot.registerSqlTable(spark, name, dir) first"))
+        s"'$name' is neither a registered snapshot table in this " +
+          "session nor a catalog table created USING graft — " +
+          "CREATE TABLE name (...) USING graft LOCATION '<dir>' " +
+          "or Snapshot.registerSqlTable(spark, name, dir) first"))
 
   def versionOutput: Seq[Attribute] = attrs(
     StructType(Seq(StructField("version", LongType, nullable = false))))

@@ -49,7 +49,7 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   private def registered(name: String): Boolean =
-    Snapshot.sqlTableDir(session, name).isDefined
+    Snapshot.resolveTableDir(session, name).isDefined
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val s = sqlText.trim.stripSuffix(";").trim

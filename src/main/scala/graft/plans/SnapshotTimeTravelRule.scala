@@ -37,8 +37,34 @@ import graft.sources.GraftRelation
   * no history to travel to — DROP+CTAS erases it; here the same SQL
   * posture gains `VERSION AS OF` for free from immutable manifests.
   */
-case class SnapshotTimeTravelRule(session: SparkSession)
+case class SnapshotTimeTravelRule(session: SparkSession,
+                                  early: Boolean = false)
     extends Rule[LogicalPlan] {
+
+  /** A temp (or global temp) view with this name exists — it must keep
+    * shadowing the snapshot name, exactly as built-in view resolution
+    * would have guaranteed had it run first. Only the EARLY
+    * (hints-batch) instance needs the check: in the resolution batch
+    * built-in view substitution has already consumed shadowed names. */
+  private def viewShadows(parts: Seq[String]): Boolean = {
+    val cat = session.sessionState.catalog
+    parts match {
+      case Seq(n) => cat.getTempView(n).isDefined
+      case Seq(db, n) if db.equalsIgnoreCase(session.sessionState.conf
+          .getConfString("spark.sql.globalTempDatabase", "global_temp")) =>
+        cat.getGlobalTempView(n).isDefined
+      case _ => false
+    }
+  }
+
+  /** Early-instance gate for the TIMESTAMP AS OF operand: a
+    * not-yet-resolved or non-foldable expression is left for the
+    * resolution-batch instance, which either evaluates it after the
+    * analyzer folded it (`current_timestamp()`) or raises the intended
+    * clear error. */
+  private def travelOperandReady(ts: Option[Expression],
+                                 ver: Option[String]): Boolean =
+    !early || ver.isDefined || ts.forall(e => e.resolved && e.foldable)
 
   /** Single-part and dotted two-part registrations both resolve; the
     * multipart identifier joins with '.' to form the registry key. */
@@ -46,12 +72,23 @@ case class SnapshotTimeTravelRule(session: SparkSession)
     if (parts.isEmpty || parts.length > 2) None
     else Snapshot.sqlTableDir(session, parts.mkString("."))
 
+  /** Time travel additionally resolves CATALOG tables created with
+    * `USING graft` ([[Snapshot.resolveTableDir]]) — bare reads, INSERT
+    * and DML on those names go through Spark's own catalog resolution
+    * (which produces the pruning [[GraftRelation]] front door), but
+    * `VERSION/TIMESTAMP AS OF` has no v1 catalog path, so this rule is
+    * the one that must answer. */
+  private def travelDirOf(parts: Seq[String]): Option[String] =
+    if (parts.isEmpty || parts.length > 2) None
+    else Snapshot.resolveTableDir(session, parts.mkString("."))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     substituteDmlTargets(plan).resolveOperatorsUp {
       case RelationTimeTravel(UnresolvedRelation(parts, _, _), ts, ver)
-          if dirOf(parts).isDefined =>
+          if !(early && viewShadows(parts)) &&
+            travelOperandReady(ts, ver) && travelDirOf(parts).isDefined =>
         val name = parts.mkString(".")
-        val dir = dirOf(parts).get
+        val dir = travelDirOf(parts).get
         val v = (ver, ts) match {
           case (Some(s), _) => parseVersion(name, s)
           case (_, Some(e)) =>
@@ -118,7 +155,11 @@ case class SnapshotTimeTravelRule(session: SparkSession)
         GraftMergeCommand(graftTarget(t).get.dir,
           src, cond, mg.matchedActions, mg.notMatchedActions,
           mg.notMatchedBySourceActions, t.output)
-      case UnresolvedRelation(parts, _, _) if dirOf(parts).isDefined =>
+      // bare names stay a resolution-batch concern: built-in view and
+      // catalog resolution must win first (an early substitution would
+      // shadow temp views and bypass the catalog's pruning relation)
+      case UnresolvedRelation(parts, _, _)
+          if !early && dirOf(parts).isDefined =>
         Snapshot.read(session, dirOf(parts).get).queryExecution.analyzed
     }
 
@@ -163,7 +204,13 @@ case class SnapshotTimeTravelRule(session: SparkSession)
     * when testing for a registration and when substituting, PRESERVING
     * the alias so `t.col` qualifiers keep resolving. */
   private def isRegisteredTarget(p: LogicalPlan): Boolean = p match {
-    case UnresolvedRelation(parts, _, _) => dirOf(parts).isDefined
+    // catalog names included (travelDirOf): DML on a `USING graft`
+    // catalog table must substitute BEFORE Spark's v2 analysis rejects
+    // DELETE/UPDATE/MERGE on a v1 table — same reason the time-travel
+    // case resolves both. Temp views keep shadowing (Spark's own
+    // invalid-DML-target error, not a write to the snapshot).
+    case UnresolvedRelation(parts, _, _) =>
+      !viewShadows(parts) && travelDirOf(parts).isDefined
     case SubqueryAlias(_, child)         => isRegisteredTarget(child)
     case _                               => false
   }
@@ -189,7 +236,7 @@ case class SnapshotTimeTravelRule(session: SparkSession)
     * CURRENT version, wrapped for the analyzer. Only name resolution
     * happens here — the commands re-resolve the version at run time. */
   private def dmlRelation(parts: Seq[String]): LogicalRelation = {
-    val dir = dirOf(parts).get
+    val dir = travelDirOf(parts).get
     LogicalRelation(
       new GraftRelation(session.sqlContext, dir,
         Snapshot.currentVersion(session, dir)),

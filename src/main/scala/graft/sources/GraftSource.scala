@@ -43,8 +43,8 @@ import graft.ops.Snapshot
   * clock); default = latest committed version.
   */
 final class GraftSourceProvider extends RelationProvider
-    with CreatableRelationProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with SchemaRelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -68,6 +68,40 @@ final class GraftSourceProvider extends RelationProvider
         Snapshot.versionAtTimestamp(spark, dir, GraftSourceProvider.epochMs(ts))))
       .getOrElse(Snapshot.currentVersion(spark, dir))
     new GraftRelation(sqlContext, dir, version)
+  }
+
+  /** The CATALOG front door ([[SchemaRelationProvider]]): a table
+    * created with `CREATE TABLE t (cols) USING graft LOCATION '<dir>'
+    * OPTIONS (statsCol '<col>')` resolves HERE with its declared
+    * schema. A table dir with NO committed version yet is a legal,
+    * readable EMPTY table ([[GraftEmptyRelation]] — the declared
+    * schema serves the scan, the first `INSERT INTO` lands v1 through
+    * the commit protocol with the declared clustering column), so the
+    * SQL-only lifecycle `CREATE → INSERT → SELECT → time travel`
+    * needs zero Scala calls. Once versions exist the manifest is the
+    * source of truth and the ordinary snapshot relation serves —
+    * evolved columns included, even when the catalog's bootstrap
+    * schema has drifted behind ALTER-level verbs. */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String],
+                              schema: StructType): BaseRelation = {
+    val opts = lowered(parameters)
+    val dir = dirOf(opts)
+    val spark = sqlContext.sparkSession
+    val pinned =
+      opts.contains("versionasof") || opts.contains("timestampasof")
+    if (pinned) createRelation(sqlContext, parameters)
+    else Snapshot.currentVersion(spark, dir) match {
+      case 0 =>
+        new GraftEmptyRelation(sqlContext, dir, schema,
+          opts.get("statscol"),
+          opts.get("nfiles").map(_.trim.toInt).getOrElse(8))
+      case cur =>
+        // follow the head: Spark caches catalog-resolved relations
+        // across queries and commits — a pinned one would serve stale
+        // rows after the table's next INSERT/DELETE
+        new GraftRelation(sqlContext, dir, cur, None, followHead = true)
+    }
   }
 
   /** The WRITE front door — `df.write.format("graft").mode(m).save(dir)`
@@ -184,6 +218,57 @@ object GraftRelation {
   }
 }
 
+/** A snapshot table dir with NO committed version yet, seen through
+  * its catalog-declared schema: scans are empty (a zero-version table
+  * holds nothing — the manifest-less twin of the round-15 zero-FILE
+  * version), and the first `INSERT INTO` lands v1 through the commit
+  * protocol using the declared clustering column (`OPTIONS (statsCol
+  * '<col>')` on the CREATE). If another writer lands v1 between
+  * resolution and the insert's execution, the insert composes as an
+  * ordinary append/overwrite against the now-existing table. */
+final class GraftEmptyRelation(override val sqlContext: SQLContext,
+                               dir: String, declared: StructType,
+                               statsColOpt: Option[String], nFiles: Int)
+    extends BaseRelation with TableScan with InsertableRelation {
+
+  override val schema: StructType = declared
+  override def sizeInBytes: Long = 0L
+  override def toString: String = s"GraftEmptyRelation($dir)"
+
+  override def buildScan(): RDD[Row] = {
+    // the cached catalog relation outlives the first INSERT — follow
+    // the head so a table born empty starts serving rows the moment
+    // versions exist (declared column order; names match because the
+    // first insert conformed to this schema)
+    val spark = sqlContext.sparkSession
+    if (Snapshot.currentVersion(spark, dir) == 0)
+      spark.sparkContext.emptyRDD[Row]
+    else Snapshot.read(spark, dir)
+      .select(declared.fieldNames.map(col).toIndexedSeq: _*).rdd
+  }
+
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(data.schema.length == declared.length,
+      s"INSERT arity ${data.schema.length} does not match table " +
+        s"schema arity ${declared.length} of $dir")
+    val conformed = data.toDF(declared.fieldNames.toIndexedSeq: _*)
+      .select(declared.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val spark = sqlContext.sparkSession
+    if (Snapshot.currentVersion(spark, dir) > 0)
+      GraftRelation.landInsert(spark, dir, conformed, overwrite)
+    else {
+      val statsCol = statsColOpt.getOrElse(
+        throw new IllegalArgumentException(
+          s"first INSERT into the empty graft table at $dir needs the " +
+            "clustering column — CREATE TABLE ... USING graft " +
+            "OPTIONS (statsCol '<col>')"))
+      Snapshot.commit(conformed, dir, 0, statsCol, Nil, nFiles)
+      ()
+    }
+  }
+}
+
 /** One resolved (table dir, version) pair. Manifest and schema are
   * fixed at construction — a relation is a snapshot READ, immutable by
   * the same manifest that makes time travel sound. [[InsertableRelation]]
@@ -195,16 +280,35 @@ object GraftRelation {
   * commit protocol. */
 final class GraftRelation(override val sqlContext: SQLContext,
                           val dir: String, version: Int,
-                          restrictedPaths: Option[Set[String]] = None)
+                          restrictedPaths: Option[Set[String]] = None,
+                          followHead: Boolean = false)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark: SparkSession = sqlContext.sparkSession
   private val m = Snapshot.manifest(spark, dir, version)
 
-  /** The relation's pinned manifest — the state every metadata-only
-    * rewrite must compute from (NOT the current version: a time
-    * traveler answers for its own snapshot). */
-  private[graft] def pinnedManifest: Snapshot.Manifest = m
+  /** The manifest a SCAN must serve. A pinned relation (the default —
+    * `load(dir)` reads the snapshot that existed at load; time travel
+    * pins explicitly) always serves its construction-time manifest. A
+    * CATALOG-resolved relation (`FROM name` on a `USING graft` table)
+    * sets `followHead`: Spark caches the resolved relation in its
+    * table-relation cache across queries AND across this table's own
+    * commits, so the relation must re-resolve the head per scan or a
+    * cached entry would serve stale rows forever. Schema stays the
+    * construction-time one (standard `REFRESH TABLE` semantics, same
+    * as parquet tables after files change shape). */
+  private def mNow: Snapshot.Manifest =
+    if (!followHead) m
+    else {
+      val cur = Snapshot.currentVersion(spark, dir)
+      if (cur == m.version) m else Snapshot.manifest(spark, dir, cur)
+    }
+
+  /** The manifest every metadata-only rewrite must compute from: the
+    * pinned state (a time traveler answers for its own snapshot), or
+    * the head at PLANNING time for a catalog relation — either way
+    * one consistent committed version. */
+  private[graft] def pinnedManifest: Snapshot.Manifest = mNow
 
   /** Restricted to an explicit file subset? (A boundary-scan relation
     * built by [[graft.plans.MetadataOnlyCountRule]] — metadata
@@ -217,9 +321,12 @@ final class GraftRelation(override val sqlContext: SQLContext,
 
   /** This snapshot narrowed to an explicit file subset — the
     * boundary-only scan of a metadata range count. Candidacy pruning
-    * still applies on top (intersection can only shrink). */
+    * still applies on top (intersection can only shrink). PINNED at
+    * the version the split was computed from, so the interior sum and
+    * the boundary scan always describe ONE committed state even when
+    * this relation follows the head. */
   private[graft] def restrictedTo(paths: Set[String]): GraftRelation =
-    new GraftRelation(sqlContext, dir, version, Some(paths))
+    new GraftRelation(sqlContext, dir, mNow.version, Some(paths))
   // Plan-time schema of the version's file set + declared evolution —
   // one parquet-footer planning pass at relation construction, no scan.
   override val schema: StructType =
@@ -249,18 +356,19 @@ final class GraftRelation(override val sqlContext: SQLContext,
     * None when any entry's count is unknown — powers the front-door
     * `count(*)` metadata rewrite
     * ([[graft.plans.MetadataOnlyCountRule]]). */
-  private[graft] lazy val metaRowCount: Option[Long] =
-    if (isRestricted) None else Snapshot.metaCount(m)
+  private[graft] def metaRowCount: Option[Long] =
+    if (isRestricted) None else Snapshot.metaCount(mNow)
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val hit0 = SourcePruning.candidates(m, filters)
+    val mScan = mNow
+    val hit0 = SourcePruning.candidates(mScan, filters)
     val hit = restrictedPaths
       .map(rp => hit0.filter(f => rp.contains(f.path))).getOrElse(hit0)
     val base =
       if (hit.isEmpty)
-        Snapshot.readEntries(spark, dir, m, m.files).limit(0)
-      else Snapshot.readEntries(spark, dir, m, hit)
+        Snapshot.readEntries(spark, dir, mScan, mScan.files).limit(0)
+      else Snapshot.readEntries(spark, dir, mScan, hit)
     // Filters Spark handed down that translate whole become part of the
     // inner parquet scan too (row-group pushdown inside the surviving
     // files); Spark re-applies all of them above regardless.

@@ -292,6 +292,52 @@ class ManifestFormatSpec extends SparkSpec {
     } finally Snapshot.mtimeGranularityMs = old
   }
 
+  test("at-scale binary parse builds column-sharded sidecars that " +
+    "behave as plain maps") {
+    // ≥100k sidecar entries trigger the parallel column-sharded build
+    // (ShardedStats); everything downstream must be unable to tell —
+    // equality with the flat original, per-key lookups, O(changed)
+    // updates, iteration — because delta application and the specs
+    // all treat sidecars as ordinary immutable Maps
+    val files = (0 until 30000).toVector.map(i =>
+      FileEntry(f"data/c1_s/part-$i%06d.parquet",
+        i * 10L, i * 10L + 9, rows = 3L, kNulls = 0L))
+    val flat = (for (f <- files; c <- Seq("a", "b", "c", "d"))
+      yield (f.path, c) -> (f.min + c.length, f.max + c.length)).toMap
+    val m0 = Manifest(1, "k", files, note = "sharded", ts = 1L,
+      colStats = flat)
+    val dir = freshDir()
+    spark.conf.set(Snapshot.BinaryMinFilesKey, "1")
+    try Snapshot.publishManifestForTest(spark, dir, m0)
+    finally spark.conf.unset(Snapshot.BinaryMinFilesKey)
+    assert(headOf(dir, 1) == "GMB3")
+    Snapshot.clearManifestCache()
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.colStats.isInstanceOf[Snapshot.ShardedStats[_]],
+      s"expected the sharded build, got ${m.colStats.getClass}")
+    assert(m.colStats.size == flat.size)
+    assert(m.colStats == flat && flat == m.colStats,
+      "Map equality must hold in both directions")
+    val k = (files(12345).path, "c")
+    assert(m.colStats.get(k).contains(flat(k)))
+    assert(m.colStats.get((files(1).path, "zz")).isEmpty)
+    // O(changed) algebra: updated / removed / ++ / -- keep contents
+    val up = m.colStats.updated(k, (-1L, -2L))
+    assert(up.size == flat.size && up(k) == ((-1L, -2L)))
+    val newKey = ("data/other.parquet", "a")
+    assert((m.colStats + (newKey -> ((5L, 6L)))).size == flat.size + 1)
+    val rm = m.colStats - k
+    assert(rm.size == flat.size - 1 && !rm.contains(k))
+    assert((m.colStats - (("nope", "a"))).size == flat.size)
+    assert(sameStateVia(m0, m), "full round-trip equality")
+  }
+
+  private def sameStateVia(a: Manifest, b: Manifest): Boolean = {
+    // sameState is the writer's deep comparison; reuse it
+    val mth = Snapshot.sameState(a.copy(ts = b.ts), b)
+    mth
+  }
+
   test("checkpointEvery=1 forces full manifests everywhere") {
     import spark.implicits._
     val dir = freshDir()

@@ -36,6 +36,57 @@ class SqlLifecycleSpec extends SparkSpec {
     (dir, name)
   }
 
+  test("catalog front door: CREATE TABLE USING graft lifecycle needs " +
+    "zero Scala calls, fresh sessions included") {
+    val sfx = java.util.UUID.randomUUID().toString.take(8)
+    val dir = spark.conf.get("spark.sql.warehouse.dir") + s"/graft_cat_$sfx"
+    val name = s"cat_$sfx"
+    spark.sql(s"CREATE TABLE $name (k BIGINT, v BIGINT) USING graft " +
+      s"LOCATION '$dir' OPTIONS (statsCol 'k')")
+    try {
+      // a zero-version table is legal and EMPTY under its declared schema
+      val empty = spark.sql(s"SELECT * FROM $name")
+      assert(empty.columns.toSeq == Seq("k", "v"))
+      assert(empty.collect().isEmpty)
+      // first INSERT lands v1 through the commit protocol, clustered on
+      // the declared statsCol
+      spark.sql(
+        s"INSERT INTO $name SELECT id AS k, id * 10 AS v FROM range(1, 11)")
+      assert(Snapshot.currentVersion(spark, dir) == 1)
+      assert(Snapshot.manifest(spark, dir, 1).statsCol == "k")
+      assert(spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) == 10)
+      // second INSERT appends (the table now exists; ordinary landInsert)
+      spark.sql(s"INSERT INTO $name VALUES (11, 110)")
+      assert(spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) == 11)
+      // TIME TRAVEL on the catalog name — no registration anywhere
+      assert(spark.sql(s"SELECT count(*) FROM $name VERSION AS OF 1")
+        .head.getLong(0) == 10)
+      // DML lands through the COW verbs (resolution produced the graft
+      // relation from catalog metadata alone)
+      spark.sql(s"DELETE FROM $name WHERE k = 11")
+      assert(spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) == 10)
+      spark.sql(s"UPDATE $name SET v = 0 WHERE k = 1")
+      assert(spark.sql(s"SELECT v FROM $name WHERE k = 1")
+        .head.getLong(0) == 0L)
+      // maintenance verbs resolve the catalog name too
+      val hist = spark.sql(s"DESCRIBE HISTORY $name").collect()
+      assert(hist.length == Snapshot.currentVersion(spark, dir))
+      // a FRESH SESSION sees everything with zero Scala calls — the
+      // catalog carries the binding, not the session registry
+      val s2 = spark.newSession()
+      assert(s2.sql(s"SELECT count(*) FROM $name").head.getLong(0) == 10)
+      assert(s2.sql(s"SELECT count(*) FROM $name VERSION AS OF 1")
+        .head.getLong(0) == 10)
+      s2.sql(s"INSERT INTO $name VALUES (12, 120)")
+      assert(s2.sql(s"SELECT count(*) FROM $name").head.getLong(0) == 11)
+      // a temp view with the same name shadows the table for reads and
+      // is never mistaken for a snapshot by the verb/travel resolvers
+      spark.range(3).createOrReplaceTempView(name)
+      assert(spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) == 3)
+      spark.catalog.dropTempView(name)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $name")
+  }
+
   test("SQL OPTIMIZE compacts to a maintenance commit, content intact") {
     val (dir, name) = freshRegistered(appends = 4)
     val before = sorted(Snapshot.read(spark, dir))
