@@ -602,11 +602,25 @@ object Relational extends QueryModule {
         .orderBy(col("l_returnflag"))),
 
     "q28_agg_approx_distinct" -> ((s, d) =>
-      // HLL++ sketch — engine-specific, so no SQL oracle (unit-tested within
-      // ±5% of exact in RelationalSpec).
+      // HLL++ sketch. The estimate itself is engine-specific (no
+      // cross-engine value to pin), but its ERROR BOUND is a property
+      // an independent engine CAN pin (round 17, the q65/q105/q121
+      // planted-corpus discipline applied here): emit the exact
+      // cardinality alongside a deterministic within-5% certificate —
+      // Spark's sketch is deterministic for a fixed input, so the flag
+      // is a constant TRUE the DuckDB oracle asserts without
+      // reproducing the sketch. The raw estimate stays unit-pinned
+      // (±5% of exact) in RelationalSpec.
+      // rsd 0.01: the certificate asserts 5σ of the sketch's configured
+      // relative standard deviation — the default rsd 0.05 makes a >5%
+      // deviation an ordinary draw (observed at sf0.1), not a defect
       T.events(s, d).agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        count(lit(1)).as("n"))),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("n_exact"),
+        count(lit(1)).as("n"))
+        .select(col("n"), col("n_exact"),
+          (abs(col("approx_users") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("within_5pct"))),
 
     "q39_agg_stats" -> ((s, d) => {
       // Statistical aggregates (variance/stddev/covariance/correlation)
@@ -1164,6 +1178,15 @@ object Relational extends QueryModule {
         |  count(*) FILTER (WHERE l_quantity > 25) AS n_big_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the sketch's ESTIMATE is engine-specific; its error CERTIFICATE
+    // is not — the oracle pins the exact cardinality and asserts the
+    // within-5% flag as a constant (q65/q105/q121's closed-form
+    // discipline; the raw estimate stays unit-pinned in RelationalSpec)
+    "q28_agg_approx_distinct" ->
+      """SELECT count(*) AS n, count(DISTINCT user_id) AS n_exact,
+        |       TRUE AS within_5pct
+        |FROM events""".stripMargin,
 
     "q29_agg_heavy_hitters" ->
       """SELECT tok AS token, count(*) AS n, CAST(0 AS BIGINT) AS err

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.ops.Snapshot
 
@@ -90,6 +90,32 @@ final case class GraftVacuumCommand(name: String, retainHours: Option[Double])
       .getOrElse(Snapshot.DefaultVacuumGraceMs)
     require(graceMs >= 0, s"RETAIN must be non-negative, got $retainHours")
     Seq(Row(Snapshot.vacuum(session, dir, graceMs).size.toLong))
+  }
+}
+
+/** `VACUUM name [RETAIN n HOURS] DRY RUN` — [[Snapshot.vacuumReport]]
+  * as a statement: what the real vacuum WOULD reclaim, one row per
+  * data directory, nothing touched. The reclaim verb an operator on a
+  * 100 TB table never runs blind. */
+final case class GraftVacuumReportCommand(name: String,
+                                          retainHours: Option[Double])
+    extends LeafRunnableCommand {
+  // must mirror Snapshot.vacuumReport's toDF schema exactly
+  override val output: Seq[Attribute] = GraftMaintenance.attrs(
+    StructType(Seq(
+      StructField("dir", StringType, nullable = true),
+      StructField("n_files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("age_ms", LongType, nullable = false),
+      StructField("live", BooleanType, nullable = false),
+      StructField("reclaimable", BooleanType, nullable = false))))
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftMaintenance.dirFor(session, name)
+    val graceMs = retainHours
+      .map(h => (h * 3600 * 1000).toLong)
+      .getOrElse(Snapshot.DefaultVacuumGraceMs)
+    require(graceMs >= 0, s"RETAIN must be non-negative, got $retainHours")
+    Snapshot.vacuumReport(session, dir, graceMs).collect().toSeq
   }
 }
 

@@ -63,9 +63,14 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       return GraftOptimizeCommand(optimize.group(1), zcols)
     }
     val vacuum = VacuumRe.matcher(s)
-    if (vacuum.matches())
-      return GraftVacuumCommand(vacuum.group(1),
-        Option(vacuum.group(2)).map(_.toDouble))
+    if (vacuum.matches()) {
+      val retain = Option(vacuum.group(2)).map(_.toDouble)
+      // DRY RUN = the report, not the reclaim (Delta's spelling): one
+      // row per data dir with liveness/reclaimability, zero mutation
+      return if (vacuum.group(3) != null)
+        GraftVacuumReportCommand(vacuum.group(1), retain)
+      else GraftVacuumCommand(vacuum.group(1), retain)
+    }
     val restore = RestoreRe.matcher(s)
     if (restore.matches())
       return GraftRestoreCommand(restore.group(1), restore.group(2).toInt)
@@ -124,7 +129,8 @@ private[graft] object GraftSqlParser {
   val OptimizeRe: Pattern = Pattern.compile(
     s"OPTIMIZE\\s+($Id)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?", Flags)
   val VacuumRe: Pattern = Pattern.compile(
-    s"VACUUM\\s+($Id)(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?", Flags)
+    s"VACUUM\\s+($Id)(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?" +
+      "(\\s+DRY\\s+RUN)?", Flags)
   val RestoreRe: Pattern = Pattern.compile(
     s"RESTORE\\s+TABLE\\s+($Id)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)",
     Flags)

