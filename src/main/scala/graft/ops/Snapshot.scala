@@ -2031,6 +2031,50 @@ object Snapshot {
     else Some((m.files.iterator.map(_.min).min,
       m.files.iterator.map(_.max).max))
 
+  /** Shared refusal gate for every sidecar-stamp MIN/MAX: a deletion
+    * vector may have masked the extreme row, and an unstamped or
+    * non-positive row count can't prove a file non-empty. */
+  private def minMaxGateOpen(m: Manifest): Boolean =
+    m.files.nonEmpty && m.dvs.isEmpty && m.files.forall(_.rows > 0)
+
+  /** Exact MIN/MAX of a NON-clustering column from its `colStats`
+    * sidecar stamps — sound ONLY for the stamp kinds that are exact
+    * values (integral: the raw longs; DATE: epoch days), which the
+    * CALLER must enforce by dtype (timestamp stamps are floored
+    * seconds and decimal/double stamps are floored/ceiled saturated
+    * micro-units — the conservative-for-pruning direction that is
+    * WRONG as an answer; they must keep scanning). None when any
+    * listed file lacks a stamp for the column (all-NULL files stamp
+    * nothing; partial auto-stats coverage refuses whole), any file
+    * carries the degraded full-open stamp, or the [[minMaxGateOpen]]
+    * conditions fail. SQL MIN/MAX ignore NULLs exactly as the stamps
+    * do, so per-file NULLs are harmless. */
+  private[graft] def sidecarMinMaxMeta(m: Manifest,
+      physCol: String): Option[(Long, Long)] =
+    if (!minMaxGateOpen(m)) None
+    else {
+      val vs = m.files.map(f => m.colStats.get((f.path, physCol)))
+      if (vs.exists(v => v.isEmpty ||
+          (v.get._1 == Long.MinValue && v.get._2 == Long.MaxValue)))
+        None
+      else Some((vs.iterator.map(_.get._1).min,
+        vs.iterator.map(_.get._2).max))
+    }
+
+  /** [[sidecarMinMaxMeta]] for STRING columns: `strStats` stamps are
+    * exact full values (never truncated — wide files stay unstamped
+    * and refuse here), and their UNSIGNED-UTF-8-BYTE order is exactly
+    * the order Spark's MIN/MAX computed them under. */
+  private[graft] def sidecarStrMinMaxMeta(m: Manifest,
+      physCol: String): Option[(String, String)] =
+    if (!minMaxGateOpen(m)) None
+    else {
+      val vs = m.files.map(f => m.strStats.get((f.path, physCol)))
+      if (vs.exists(_.isEmpty)) None
+      else Some((vs.iterator.map(_.get._1).min(Utf8Order),
+        vs.iterator.map(_.get._2).max(Utf8Order)))
+    }
+
   /** Stats-pruned read: only files whose [min,max] range on the stats
     * column overlaps [lo,hi] are handed to the scan at PLANNING time (the
     * manifest is the driver-side footer index), then the exact predicate

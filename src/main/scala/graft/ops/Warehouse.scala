@@ -1583,6 +1583,47 @@ object Warehouse extends QueryModule {
       cnt.unionAll(mm).orderBy(col("phase"))
     }),
 
+    "q168_stats_minmax" -> ((s, d) => {
+      // METADATA-ONLY MIN/MAX BEYOND THE CLUSTERING COLUMN
+      // ([[Snapshot.sidecarMinMaxMeta]] / [[sidecarStrMinMaxMeta]]
+      // riding [[graft.plans.MetadataOnlyCountRule]]): the write-path
+      // auto-stamps are EXACT values for integral, DATE (epoch-day)
+      // and STRING (full-value, UTF-8-byte-ordered) columns, so global
+      // MIN/MAX over them is manifest arithmetic — zero files scanned
+      // on a table of any size (timestamp/decimal stamps are
+      // truncated/saturated and refuse by dtype). Two tables exercise
+      // the three dtypes: the range table's STRING status + clustering
+      // key, the date table's DATE o_date; `n_scan` carries the
+      // engine's own eligibility witness (0 = every consulted column
+      // answerable from stamps), and the oracle recomputes all the
+      // aggregates from raw orders. Plan shape (LocalRelation, no
+      // scan) and the refusal guards are SourceSpec-pinned.
+      val rdir = rangeOrders(s, d)
+      val ddir = dateOrders(s, d)
+      val mR = Snapshot.manifest(s, rdir, Snapshot.currentVersion(s, rdir))
+      val mD = Snapshot.manifest(s, ddir, Snapshot.currentVersion(s, ddir))
+      val okR = Snapshot.sidecarStrMinMaxMeta(mR, "status").isDefined &&
+        Snapshot.clusteringMinMaxMeta(mR).isDefined
+      val okD = Snapshot.sidecarMinMaxMeta(mD, "o_date").isDefined
+      val r = s.read.format("graft").load(rdir)
+        .agg(min(col("status")).as("mn_s"), max(col("status")).as("mx_s"),
+          min(col("key2")).as("mn_k"), max(col("key2")).as("mx_k"),
+          count(lit(1)).as("n"))
+        .select(lit("range").as("src"), col("mn_s"), col("mx_s"),
+          col("mn_k"), col("mx_k"), col("n"),
+          lit(if (okR) 0L else -1L).as("n_scan"))
+      val dd = s.read.format("graft").load(ddir)
+        .agg(min(col("o_date")).as("mn_d"), max(col("o_date")).as("mx_d"),
+          count(lit(1)).as("n"))
+        .select(lit("date").as("src"),
+          col("mn_d").cast("string").as("mn_s"),
+          col("mx_d").cast("string").as("mx_s"),
+          lit(null).cast("long").as("mn_k"),
+          lit(null).cast("long").as("mx_k"),
+          col("n"), lit(if (okD) 0L else -1L).as("n_scan"))
+      r.unionAll(dd).orderBy(col("src"))
+    }),
+
     "q165_manifest_chain" -> ((s, d) => {
       // DELTA-MANIFEST log ([[chainOrders]]): 12 single-file carried
       // commits publish as full(v1) + deltas(v2–v9) + checkpoint(v10) +
@@ -2275,6 +2316,28 @@ object Warehouse extends QueryModule {
         |         CAST(0 AS BIGINT)
         |  FROM st)
         |ORDER BY phase
+        |""".stripMargin,
+
+    // the stamps' truth: auto-stats record exact min/max for string,
+    // integral and date columns per file, no DVs mask rows, and every
+    // file carries a positive row count — so the metadata answers must
+    // equal the raw aggregates, with zero files scanned (n_scan 0)
+    "q168_stats_minmax" ->
+      """SELECT src, mn_s, mx_s, mn_k, mx_k, n, n_scan FROM (
+        |  SELECT 'range' AS src,
+        |         min(o_orderstatus) AS mn_s, max(o_orderstatus) AS mx_s,
+        |         min(o_orderkey % 1000) AS mn_k,
+        |         max(o_orderkey % 1000) AS mx_k,
+        |         count(*) AS n, CAST(0 AS BIGINT) AS n_scan
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'date',
+        |         CAST(min(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |         CAST(max(CAST(o_orderdate AS DATE)) AS VARCHAR),
+        |         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |         count(*), CAST(0 AS BIGINT)
+        |  FROM orders)
+        |ORDER BY src
         |""".stripMargin,
 
     "q165_manifest_chain" ->

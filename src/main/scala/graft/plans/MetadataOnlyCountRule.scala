@@ -246,53 +246,85 @@ case class MetadataOnlyCountRule(session: SparkSession)
     }
 
   /** min/max/count-star mix over the unfiltered relation → one
-    * LocalRelation row from manifest arithmetic. None = guards refuse. */
-  private def minMaxRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    sealed trait Shape
-    case object Cnt extends Shape
-    final case class Mn(dt: DataType) extends Shape
-    final case class Mx(dt: DataType) extends Shape
+    * LocalRelation row from manifest arithmetic. The clustering column
+    * answers from the FileEntry stamps; any OTHER stamped column
+    * answers from its sidecar stamps when (and only when) the stamp
+    * kind is an exact value — integral (raw longs), DATE (epoch days)
+    * and STRING (full values under UTF-8 byte order, Spark's own);
+    * timestamp and decimal/double stamps are truncated/saturated and
+    * refuse by dtype. None = guards refuse (scan answers). */
+  private def minMaxRewrite(agg: Aggregate): Option[LogicalPlan] =
     relationOf(agg.child).flatMap { case (lr, g) =>
       val m = g.pinnedManifest
-      def minMaxOf(e: NamedExpression): Option[Shape] = e match {
+      val clusterName = Snapshot.logicalName(m, m.statsCol)
+      lazy val clusterMeta = Snapshot.clusteringMinMaxMeta(m)
+      val longMeta =
+        scala.collection.mutable.Map.empty[String, Option[(Long, Long)]]
+      val strMeta =
+        scala.collection.mutable.Map.empty[String,
+          Option[(String, String)]]
+      def typedLong(v: Long, dt: DataType): Option[Any] = dt match {
+        case LongType    => Some(v)
+        case IntegerType => Some(v.toInt)
+        case ShortType   => Some(v.toShort)
+        case ByteType    => Some(v.toByte)
+        case _           => None
+      }
+      def boundOf(c: Expression, outDt: DataType,
+                  isMin: Boolean): Option[Any] =
+        keyAttrOf(c).flatMap { a =>
+          if (!lr.output.exists(_.exprId == a.exprId)) None
+          else if (a.name.equalsIgnoreCase(clusterName))
+            clusterMeta.flatMap(p =>
+              typedLong(if (isMin) p._1 else p._2, outDt))
+          else {
+            val phys = Snapshot.physicalName(m, a.name)
+            a.dataType match {
+              case ByteType | ShortType | IntegerType | LongType =>
+                longMeta.getOrElseUpdate(phys,
+                  Snapshot.sidecarMinMaxMeta(m, phys))
+                  .flatMap(p =>
+                    typedLong(if (isMin) p._1 else p._2, outDt))
+              case org.apache.spark.sql.types.DateType
+                  if outDt == org.apache.spark.sql.types.DateType =>
+                longMeta.getOrElseUpdate(phys,
+                  Snapshot.sidecarMinMaxMeta(m, phys))
+                  .map(p => (if (isMin) p._1 else p._2).toInt)
+              case org.apache.spark.sql.types.StringType
+                  if outDt == org.apache.spark.sql.types.StringType =>
+                strMeta.getOrElseUpdate(phys,
+                  Snapshot.sidecarStrMinMaxMeta(m, phys))
+                  .map(p =>
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(if (isMin) p._1 else p._2))
+              case _ => None
+            }
+          }
+        }
+      def minMaxValueOf(e: NamedExpression): Option[Any] = e match {
         case al @ Alias(ae: AggregateExpression, _)
             if ae.mode == Complete && ae.filter.isEmpty =>
           ae.aggregateFunction match {
-            case Min(c) => keyAttrOf(c)
-              .filter(isClusteringAttr(_, lr, g)).map(_ => Mn(al.dataType))
-            case Max(c) => keyAttrOf(c)
-              .filter(isClusteringAttr(_, lr, g)).map(_ => Mx(al.dataType))
-            case _ => None
+            case Min(c) => boundOf(c, al.dataType, isMin = true)
+            case Max(c) => boundOf(c, al.dataType, isMin = false)
+            case _      => None
           }
         case _ => None
       }
-      val shapes = agg.aggregateExpressions.map { e =>
-        if (isCountStar(e)) Some(Cnt) else minMaxOf(e)
-      }
-      if (shapes.exists(_.isEmpty) ||
-          !shapes.flatten.exists(s => s != Cnt)) None
+      val exprs = agg.aggregateExpressions
+      val isCnt = exprs.map(isCountStar)
+      if (!exprs.indices.exists(i => !isCnt(i))) None // pure counts: above
       else {
-        def typed(v: Long, dt: DataType): Option[Any] = dt match {
-          case LongType    => Some(v)
-          case IntegerType => Some(v.toInt)
-          case _           => None
+        lazy val nOpt = g.metaRowCount
+        val vals = exprs.indices.map { i =>
+          if (isCnt(i)) nOpt.map(n => n: Any)
+          else minMaxValueOf(exprs(i))
         }
-        val needCount = shapes.flatten.contains(Cnt)
-        for {
-          mnmx <- Snapshot.clusteringMinMaxMeta(m)
-          n <- if (needCount) g.metaRowCount else Some(0L)
-          vals <- {
-            val vs = shapes.flatten.map {
-              case Cnt    => Some(n: Any)
-              case Mn(dt) => typed(mnmx._1, dt)
-              case Mx(dt) => typed(mnmx._2, dt)
-            }
-            if (vs.exists(_.isEmpty)) None else Some(vs.flatten)
-          }
-        } yield LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals)))
+        if (vals.exists(_.isEmpty)) None
+        else Some(LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(vals.map(_.get)))))
       }
     }
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty &&

@@ -830,6 +830,60 @@ class SourceSpec extends SparkSpec {
     assert(Snapshot.rangeCount(spark, dir, 31L, 75L) == 45L)
   }
 
+  test("sidecar min/max through the front door are metadata-only; " +
+    "inexact stamp kinds refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metamm_" + java.util.UUID.randomUUID().toString.take(8)
+    val rows = (1 to 60).map(i => (i.toLong, f"s$i%02d",
+      java.sql.Date.valueOf(f"2024-01-${(i % 28) + 1}%02d"),
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:00:${i % 60}%02d"),
+      i * 1.5))
+    Snapshot.commit(rows.toDF("k", "s", "d", "ts", "p"), dir, 0, "k",
+      nFiles = 3)
+    def front = spark.read.format("graft").load(dir)
+    def isLocal(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case l: LocalRelation => l }.nonEmpty
+    // STRING + DATE + clustering INTEGRAL + count: one LocalRelation
+    // row, zero files scanned — sidecar stamps are exact for these
+    val q = front.agg(min(col("s")).as("mn_s"), max(col("s")).as("mx_s"),
+      min(col("d")).as("mn_d"), max(col("d")).as("mx_d"),
+      min(col("k")).as("mn_k"), count(lit(1)).as("n"))
+    assert(isLocal(q), s"expected LocalRelation:\n${q.queryExecution.optimizedPlan}")
+    val r = q.collect().head
+    assert((r.getString(0), r.getString(1)) == ("s01", "s60"))
+    assert((r.getDate(2).toString, r.getDate(3).toString) ==
+      ("2024-01-01", "2024-01-28"))
+    assert(r.getLong(4) == 1L && r.getLong(5) == 60L)
+    // TIMESTAMP stamps are floored seconds, DOUBLE stamps are
+    // saturated micro-units — both must REFUSE (answers come from the
+    // scan, which stays right)
+    val qt = front.agg(min(col("ts")).as("mn"))
+    assert(!isLocal(qt), "timestamp min/max must not answer from stamps")
+    assert(qt.collect().head.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val qp = front.agg(max(col("p")).as("mx"))
+    assert(!isLocal(qp), "double min/max must not answer from stamps")
+    assert(qp.collect().head.getDouble(0) == 90.0)
+    // a file whose widest string exceeds the stamp cap stays
+    // unstamped — partial coverage refuses whole, the scan answers
+    val wide = Seq((100L, "z" * 100,
+      java.sql.Date.valueOf("2024-02-01"),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0))
+    Snapshot.commit(wide.toDF("k", "s", "d", "ts", "p"), dir, 1, "k",
+      carried = Snapshot.manifest(spark, dir, 1).files, nFiles = 1)
+    val qs = front.agg(max(col("s")).as("mx"))
+    assert(!isLocal(qs), "an unstamped file must refuse string min/max")
+    assert(qs.collect().head.getString(0) == "z" * 100)
+    // the DATE column is still fully stamped across all 4 files —
+    // still metadata
+    val qd = front.agg(max(col("d")).as("mx"))
+    assert(isLocal(qd))
+    assert(qd.collect().head.getDate(0).toString == "2024-02-01")
+  }
+
   test("timestamp stats: stamps and pruning are session-zone invariant") {
     // the round-15 NTZ fix's property: kind-3 stamps are instants
     // (unix_seconds, zone-free by definition) and kind-4 stamps are
