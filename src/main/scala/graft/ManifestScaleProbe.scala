@@ -38,8 +38,11 @@ object ManifestScaleProbe {
     // 8-file append on top — the DELTA envelope, the shape every
     // steady-state commit to a big table pays per publish.
     def entriesOf(r: Range, sidecars: Int) = {
+      // rows/kNulls stamped like a real round-17 write, so the
+      // metadata-aggregate rows below exercise the real arithmetic
       val fs = r.map(i => FileEntry(f"data/c1_x/part-$i%07d.parquet",
-        i.toLong * 1000, i.toLong * 1000 + 999))
+        i.toLong * 1000, i.toLong * 1000 + 999, rows = 1000L,
+        kNulls = 0L))
       val cs = (for {
         f <- fs.iterator; j <- 0 until sidecars
       } yield (f.path, s"c$j") -> (f.min + j, f.max + j)).toMap
@@ -104,6 +107,22 @@ object ManifestScaleProbe {
       val bytes4 = new java.io.File(f"$dir/_manifests/v${4}%05d").length()
       println(f"  explicit-append+8 → v4 [${headOf(dir, 4)}%5s] " +
         f"publish=${wt4}%6.3f s  deltaBytes=${bytes4}%d")
+      // the metadata-only aggregate arithmetic (q166/q167/q168): one
+      // driver-side fold over the entries — the cost of answering
+      // COUNT/range-COUNT/MIN/MAX on a million-file table with no scan
+      val m4 = Snapshot.manifest(spark, dir, 4)
+      val ((inside, boundary), rt5) = time(
+        Snapshot.metaRangeSplit(m4, 250000000L, 750000000L))
+      // min/max on the PRE-DV version (v2): the v3 vector makes the
+      // head refuse min/max — correctly (a mask may hide the extreme)
+      val m2r = Snapshot.manifest(spark, dir, 2)
+      val (mm4, rt6) = time(Snapshot.clusteringMinMaxMeta(m2r))
+      val (sc4, rt7) = time(
+        if (sidecars > 0) Snapshot.sidecarMinMaxMeta(m2r, "c0") else None)
+      println(f"  metadata aggregates: rangeSplit=${rt5}%6.4f s " +
+        f"(inside=$inside boundary=${boundary.size})  " +
+        f"clusterMinMax=${rt6}%6.4f s ($mm4)  " +
+        f"sidecarMinMax=${rt7}%6.4f s ($sc4)")
     }
     spark.stop()
   }

@@ -84,6 +84,16 @@ class SqlLifecycleSpec extends SparkSpec {
       spark.range(3).createOrReplaceTempView(name)
       assert(spark.sql(s"SELECT count(*) FROM $name").head.getLong(0) == 3)
       spark.catalog.dropTempView(name)
+      // CTAS: CREATE TABLE ... USING graft AS SELECT lands v1 through
+      // the writer front door (CreatableRelationProvider)
+      val ctas = s"${name}_ctas"
+      try {
+        spark.sql(s"CREATE TABLE $ctas USING graft " +
+          s"LOCATION '${dir}_ctas' OPTIONS (statsCol 'k') AS " +
+          s"SELECT k, v FROM $name WHERE k <= 5")
+        assert(spark.sql(s"SELECT count(*) FROM $ctas").head.getLong(0) == 5)
+        assert(Snapshot.currentVersion(spark, s"${dir}_ctas") == 1)
+      } finally spark.sql(s"DROP TABLE IF EXISTS $ctas")
     } finally spark.sql(s"DROP TABLE IF EXISTS $name")
   }
 
