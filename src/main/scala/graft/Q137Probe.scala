@@ -67,6 +67,15 @@ object Q137Probe {
       println(f"run$r (autoStats off): reject=${tr}%5.2f s")
     }
     spark.conf.unset("spark.graft.autoStats.maxCols")
+    // bounds-known vs sampling range partitioner (round 17): same verb,
+    // conf-toggled — adjudicates whether skipping the sampling pass is
+    // measurable once shuffle reuse has amortized the join recompute
+    for (mode <- Seq("true", "false"); r <- 1 to 3) {
+      spark.conf.set(Snapshot.BoundedWriteKey, mode)
+      val tr = time(reject())
+      println(f"run$r (bounded=$mode%5s): reject=${tr}%5.2f s")
+    }
+    spark.conf.unset(Snapshot.BoundedWriteKey)
     spark.stop()
   }
 }

@@ -2375,9 +2375,96 @@ object Snapshot {
       }
     }
 
+  /** Session switch for the bounds-known write path (default on);
+    * `false` restores the sampling range partitioner everywhere — the
+    * escape hatch and the spec's A/B handle. */
+  private[graft] val BoundedWriteKey = "spark.graft.write.boundedRepartition"
+  private def boundedWriteEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(BoundedWriteKey).forall(_.trim.toBoolean)
+
+  /** Interior range cuts (nFiles − 1 of them) derived from existing
+    * file stats by DRIVER ARITHMETIC alone — the piecewise-uniform
+    * model over each file's [min,max] weighted by its row count. The
+    * replacement for the RangePartitioner's sampling job, which
+    * EXECUTES THE WHOLE UPSTREAM PLAN once just to pick boundaries —
+    * for a COW merge that is a second full evaluation of the join
+    * (measured ~30–40% of the verb's write side). None when any file
+    * lacks a row stamp (legacy manifests keep sampling) or no usable
+    * cuts emerge; modeling error redistributes file SIZES, never
+    * correctness (stats are recomputed from the written files) and
+    * never pruning shape (each bucket is a contiguous key interval). */
+  private[graft] def quantileCuts(files: Seq[FileEntry],
+                                  nFiles: Int): Option[Seq[Long]] = {
+    if (nFiles <= 1 || files.isEmpty || files.exists(_.rows <= 0))
+      return None
+    val sorted = files.sortBy(_.min)
+    val total = sorted.iterator.map(_.rows).sum.toDouble
+    val cuts = Seq.newBuilder[Long]
+    var fi = 0
+    var cum = 0L
+    for (k <- 1 until nFiles) {
+      val target = total * k / nFiles
+      while (fi < sorted.length && cum + sorted(fi).rows < target) {
+        cum += sorted(fi).rows; fi += 1
+      }
+      if (fi < sorted.length) {
+        val f = sorted(fi)
+        val frac = ((target - cum) / f.rows.toDouble).max(0d).min(1d)
+        cuts += (f.min + ((f.max - f.min) * frac).toLong)
+      }
+    }
+    val distinct = cuts.result().distinct.sorted
+    if (distinct.isEmpty) None else Some(distinct)
+  }
+
+  /** Integer tokens t(0..n−1) with `pmod(murmur3(t(p)), n) == p` — the
+    * trick that makes EXPLICIT partition placement expressible through
+    * the ordinary Tungsten hash exchange: map each range bucket to its
+    * token column and `repartition(n, token)` lands every bucket in
+    * exactly its own partition (found by a driver-side scan over small
+    * ints; murmur3 here is catalyst's own Murmur3Hash, seed 42 — the
+    * same function HashPartitioning evaluates). */
+  private def partitionTokens(n: Int): Array[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, Murmur3Hash}
+    val tokens = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var left = n
+    var t = 0
+    while (left > 0) {
+      val h = Murmur3Hash(Seq(CLit(t)), 42)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Int]
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; tokens(p) = t; left -= 1 }
+      t += 1
+    }
+    tokens
+  }
+
+  /** Range-partition `df` on `statsCol` by KNOWN interior cuts with ONE
+    * evaluation of the input plan: a codegen'd CASE maps each row's key
+    * to its bucket's partition TOKEN ([[partitionTokens]]) and an
+    * ordinary hash repartition places it exactly. NULL keys ride bucket
+    * 0 (the RangePartitioner's nulls-first). */
+  private def repartitionByCuts(df: DataFrame, statsCol: String,
+                                cuts: Seq[Long]): DataFrame = {
+    val n = cuts.length + 1
+    val toks = partitionTokens(n)
+    val key = col(statsCol)
+    val bucketExpr = cuts.zipWithIndex.foldRight(lit(toks(n - 1))) {
+      case ((cut, i), rest) => when(key <= cut, lit(toks(i))).otherwise(rest)
+    }
+    val tokenOf = when(key.isNull, lit(toks(0))).otherwise(bucketExpr)
+    val bc = "__graft_bucket"
+    df.withColumn(bc, tokenOf)
+      .repartition(n, col(bc))
+      .drop(bc)
+  }
+
   private def writeDataFiles(df: DataFrame, dir: String, sub: String,
                              statsCol: String, nFiles: Int,
-                             checks: Seq[(String, String)] = Nil)
+                             checks: Seq[(String, String)] = Nil,
+                             cuts: Option[Seq[Long]] = None)
       : WriteStats = {
     require(nFiles >= 1,
       s"writeDataFiles needs nFiles >= 1, got nFiles=$nFiles")
@@ -2427,7 +2514,15 @@ object Snapshot {
         nRows, nRows - row("_n_key").asInstanceOf[Long])),
         colB.result(), strB.result())
     } else {
-      df.repartitionByRange(nFiles, col(statsCol))
+      // bounds-known writes (COW verbs hand their parent stats down)
+      // place rows through ONE evaluation of the input plan; everything
+      // else pays the RangePartitioner's sampling pass, which executes
+      // the upstream once more just to pick boundaries
+      val parted = cuts.filter(_ => boundedWriteEnabled(spark)) match {
+        case Some(cs) => repartitionByCuts(df, statsCol, cs)
+        case None     => df.repartitionByRange(nFiles, col(statsCol))
+      }
+      parted
         .sortWithinPartitions(col(statsCol))
         .write.mode("overwrite").parquet(out)
       val aggCols = Seq(min(col(statsCol)).as("mn"),
@@ -2753,7 +2848,8 @@ object Snapshot {
   def commit(df: DataFrame, dir: String, expectedVersion: Int,
              statsCol: String, carried: Seq[FileEntry] = Nil,
              nFiles: Int = 8, note: String = "",
-             newDvs: Map[String, Array[Long]] = Map.empty): Int = {
+             newDvs: Map[String, Array[Long]] = Map.empty,
+             cuts: Option[Seq[Long]] = None): Int = {
     require(nFiles >= 1, s"commit needs nFiles >= 1, got nFiles=$nFiles")
     val spark = df.sparkSession
     val cur = currentVersion(spark, dir)
@@ -2829,7 +2925,7 @@ object Snapshot {
       .getOrElse(checks ++ genChecks)
     val physStats = prior.map(physicalName(_, statsCol)).getOrElse(statsCol)
     val written = writeDataFiles(physDf, dir, sub, physStats, nFiles,
-      physChecks)
+      physChecks, cuts)
     val fresh = written.files
     // Bloom and col-stats sidecars carry AUTOMATICALLY for carried files
     // (a sidecar describes an immutable file, so carrying by path is
@@ -3187,7 +3283,12 @@ object Snapshot {
         // the base side of the merge is empty, with the snapshot's schema
         read(spark, dir, cur).limit(0)
       else readEntries(spark, dir, m, rewrite)
-    commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles, note)
+    // bounds-known write: the rewrite set's own stats model the output
+    // distribution, so the merged frame — a JOIN — is evaluated ONCE
+    // (the sampling range partitioner would execute it a second time
+    // just to pick boundaries); legacy row-stamp-less files fall back
+    commit(apply(base, changes), dir, cur, m.statsCol, carry, nFiles,
+      note, cuts = quantileCuts(rewrite, nFiles))
   }
 
   /** COW DELETE — the DML verb next to [[mergeCow]]'s MERGE: remove the
@@ -3227,7 +3328,8 @@ object Snapshot {
     val kept = readEntries(spark, dir, m, touch)
       .filter(!coalesce(col(logicalName(m, m.statsCol)).between(lo, hi) && residual,
         lit(false)))
-    commit(kept, dir, cur, m.statsCol, carry, nFiles, note)
+    commit(kept, dir, cur, m.statsCol, carry, nFiles, note,
+      cuts = quantileCuts(touch, nFiles))
   }
 
   /** MERGE-ON-READ DELETE — Delta's deletion vectors: mark the matching
@@ -3531,7 +3633,7 @@ object Snapshot {
       }
     }: _*)
     commit(recomputeGenCols(spark, m, set, updated), dir, cur, m.statsCol,
-      carry, nFiles, note)
+      carry, nFiles, note, cuts = quantileCuts(touch, nFiles))
   }
 
   /** OPTIMIZE as a COMMIT: rewrite the current snapshot into

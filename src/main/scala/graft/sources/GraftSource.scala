@@ -212,8 +212,13 @@ object GraftRelation {
     require(!m.note.startsWith("zorder"),
       s"current version of $dir is z-ordered; blind writes would break " +
         "its layout contract — write pre-z or re-OPTIMIZE after")
-    Snapshot.commit(data, dir, cur, m.statsCol,
-      if (overwrite) Nil else m.files)
+    if (overwrite) Snapshot.commit(data, dir, cur, m.statsCol, Nil)
+    else
+      // INSERT INTO is an append: stage once, rebase the publish over
+      // interleaved commits (multi-writer safe — Delta's retrying
+      // transaction), and ride the O(batch) explicit-delta metadata
+      // path instead of a carried full-manifest diff
+      Snapshot.appendWithRetry(data, dir)
     ()
   }
 }

@@ -233,6 +233,25 @@ class ConcurrencySpec extends SparkSpec {
     assert(m2.colStats.get((m.files.head.path, "v")).contains((0L, 1L)))
   }
 
+  test("concurrent SQL INSERT INTO writers both land (append rebase)") {
+    import spark.implicits._
+    val dir = fresh()
+    val name = "conc_ins_" + java.util.UUID.randomUUID().toString.take(8)
+    Snapshot.registerSqlTable(spark, name, dir)
+    val threads = Seq((100L, 104L), (200L, 204L)).map { case (lo, hi) =>
+      new Thread(() => {
+        spark.sql(s"INSERT INTO $name SELECT id AS k, id * 10 AS v " +
+          s"FROM range($lo, ${hi + 1})")
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(Snapshot.currentVersion(spark, dir) == 3,
+      "both INSERTs must land one version each — rebase, not abort")
+    assert(sorted(Snapshot.read(spark, dir)) == sorted(batch(1L, 10L)
+      .unionAll(batch(100L, 104L)).unionAll(batch(200L, 204L))))
+  }
+
   test("an empty staged append is a no-op") {
     import spark.implicits._
     val dir = fresh()

@@ -27,6 +27,47 @@ class SnapshotSpec extends SparkSpec {
     Snapshot.read(spark, dir, version).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
 
+  test("bounds-known COW writes equal the sampling path: content, " +
+    "disjoint ranges, honest fallback") {
+    import spark.implicits._
+    // updates scattered across every file + inserts OUTSIDE the key
+    // range (the shape that exercises edge-bucket clamping)
+    def changes: DataFrame = ((50 to 750 by 50).map(k =>
+      (k.toLong, "U", s"upd_$k")) ++ Seq((900L, "I", "ins_900"),
+      (950L, "I", "ins_950"))).toDF("k", "op", "nv")
+    def applyCh(base: DataFrame, ch: DataFrame): DataFrame =
+      base.join(ch, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("nv"), col("v")).as("v"),
+          coalesce(col("verdict"), lit("K")).as("verdict"))
+    def runWith(bounded: Boolean): (Set[(Long, String, String)],
+        Seq[Snapshot.FileEntry]) = {
+      val dir = freshDir()
+      Snapshot.commit(baseRows(), dir, 0, "k")
+      spark.conf.set(Snapshot.BoundedWriteKey, bounded.toString)
+      try Snapshot.mergeCow(spark, dir, changes, "k", applyCh)
+      finally spark.conf.unset(Snapshot.BoundedWriteKey)
+      val m = Snapshot.manifest(spark, dir, 2)
+      (state(dir), m.files)
+    }
+    val (cb, fb) = runWith(bounded = true)
+    val (cs, _) = runWith(bounded = false)
+    assert(cb == cs, "bounded and sampling paths must commit the same state")
+    // layout contract preserved: files carry DISJOINT sorted key ranges
+    // (each bucket is a contiguous key interval)
+    val ranges = fb.map(f => (f.min, f.max)).sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, aMax), (bMin, _)) => aMax < bMin
+      case _ => true
+    }, s"overlapping ranges under the bounded write: $ranges")
+    // the driver-side cut model itself: legacy (row-stamp-less) entries
+    // refuse — the write falls back to sampling, never guesses
+    assert(Snapshot.quantileCuts(fb.map(_.copy(rows = -1L)), 8).isEmpty)
+    assert(Snapshot.quantileCuts(fb, 1).isEmpty, "one file needs no cuts")
+    val cuts = Snapshot.quantileCuts(fb, 4)
+    assert(cuts.exists(cs0 => cs0 == cs0.sorted && cs0.size <= 3))
+  }
+
   test("commit + read round trip; versions ascend") {
     val dir = freshDir()
     assert(Snapshot.versions(spark, dir).isEmpty)
