@@ -2455,11 +2455,12 @@ object Snapshot {
       case ((cut, i), rest) => when(key <= cut, lit(toks(i))).otherwise(rest)
     }
     val tokenOf = when(key.isNull, lit(toks(0))).otherwise(bucketExpr)
-    val bc = "__graft_bucket"
-    df.withColumn(bc, tokenOf)
-      .repartition(n, col(bc))
-      .drop(bc)
+    df.withColumn(BucketCol, tokenOf)
+      .repartition(n, col(BucketCol))
+      .drop(BucketCol)
   }
+
+  private val BucketCol = "__graft_bucket"
 
   private def writeDataFiles(df: DataFrame, dir: String, sub: String,
                              statsCol: String, nFiles: Int,
@@ -2518,7 +2519,11 @@ object Snapshot {
       // place rows through ONE evaluation of the input plan; everything
       // else pays the RangePartitioner's sampling pass, which executes
       // the upstream once more just to pick boundaries
-      val parted = cuts.filter(_ => boundedWriteEnabled(spark)) match {
+      // (a frame already carrying the bucket column's name — however
+      // unlikely — must fall back: withColumn would silently REPLACE
+      // the user's column; sampling is never wrong, just slower)
+      val parted = cuts.filter(_ => boundedWriteEnabled(spark) &&
+          !df.columns.exists(_.equalsIgnoreCase(BucketCol))) match {
         case Some(cs) => repartitionByCuts(df, statsCol, cs)
         case None     => df.repartitionByRange(nFiles, col(statsCol))
       }

@@ -60,6 +60,21 @@ class SnapshotSpec extends SparkSpec {
       case Seq((_, aMax), (bMin, _)) => aMax < bMin
       case _ => true
     }, s"overlapping ranges under the bounded write: $ranges")
+    // a frame that already carries the bucket column's name must fall
+    // back to sampling, not silently replace the user's column
+    val trap = freshDir()
+    Snapshot.commit(baseRows(40), trap, 0, "k")
+    import spark.implicits._
+    val withTrap = (1 to 10).map(i =>
+      (200L + i, s"t$i", "K", i.toLong))
+      .toDF("k", "v", "verdict", "__graft_bucket")
+    val trapDir = freshDir()
+    Snapshot.commit(withTrap, trapDir, 0, "k", nFiles = 2,
+      cuts = Some(Seq(205L)))
+    val back = Snapshot.read(spark, trapDir)
+    assert(back.columns.contains("__graft_bucket") &&
+      back.select(sum(col("__graft_bucket"))).head.getLong(0) == 55L,
+      "user column named like the bucket must survive verbatim")
     // the driver-side cut model itself: legacy (row-stamp-less) entries
     // refuse — the write falls back to sampling, never guesses
     assert(Snapshot.quantileCuts(fb.map(_.copy(rows = -1L)), 8).isEmpty)
