@@ -1624,6 +1624,44 @@ object Warehouse extends QueryModule {
       r.unionAll(dd).orderBy(col("src"))
     }),
 
+    "q169_join_sip" -> ((s, d) => {
+      // SIDEWAYS INFORMATION PASSING ([[SipJoin]] over [[rangeOrders]]):
+      // a fact ⋈ small-dim join where the dim's keys — not the query
+      // text — decide which fact FILES the scan opens. Three phases:
+      // `inlist` summarizes a 25-key dim verbatim (keys 0,13,…,312 span
+      // two of the four band files → n_scan 2), `range` forces the
+      // envelope fallback with maxKeys=8 (keys 0..888 straddle all four
+      // bands → n_scan 4 — coarser, honestly), `empty` passes a
+      // provably-empty dim (zero files planned, the join folds away).
+      // `n_scan` carries the engine's own [[SipJoin.plannedFiles]]
+      // witness — the same candidacy code the relation's buildScan
+      // runs — and the oracle pins it with the join answers. Bloom-
+      // backed IN pruning (range-overlapping file skipped because its
+      // sketch holds no dim key) is SipJoinSpec-pinned on the
+      // bloom-sidecar table.
+      val dir = rangeOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val fact = s.read.format("graft").load(dir)
+      val nat = T.nation(s, d)
+      def phase(name: String, dim: DataFrame, maxKeys: Int): DataFrame = {
+        val ks = SipJoin.dimKeys(dim, "dk", LongType, maxKeys)
+        val nScan = SipJoin.plannedFiles(m, "key2", ks).size.toLong
+        SipJoin.sipJoinWith(fact, dim, "key2", "dk", ks)
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("key2")), lit(0L)).as("sk"))
+          .select(lit(name).as("phase"), col("n"), col("sk"),
+            lit(nScan).as("n_scan"))
+      }
+      val dimIn = nat.select((col("n_nationkey") * 13).cast("long").as("dk"))
+      val dimRg = nat.select((col("n_nationkey") * 37).cast("long").as("dk"))
+      val dimEmpty = nat.filter(lit(false))
+        .select(col("n_nationkey").cast("long").as("dk"))
+      phase("inlist", dimIn, maxKeys = 1024)
+        .unionAll(phase("range", dimRg, maxKeys = 8))
+        .unionAll(phase("empty", dimEmpty, maxKeys = 1024))
+        .orderBy(col("phase"))
+    }),
+
     "q165_manifest_chain" -> ((s, d) => {
       // DELTA-MANIFEST log ([[chainOrders]]): 12 single-file carried
       // commits publish as full(v1) + deltas(v2–v9) + checkpoint(v10) +
@@ -2338,6 +2376,35 @@ object Warehouse extends QueryModule {
         |         count(*), CAST(0 AS BIGINT)
         |  FROM orders)
         |ORDER BY src
+        |""".stripMargin,
+
+    // the SIP witness's truth: the 4 band files partition key2 by
+    // floor(key2/250), each file's stamps are the band's exact
+    // non-null extremes, and no Bloom sidecars exist — so the planned
+    // file set is exactly the bands whose [mn,mx] intersect the dim
+    // keys' envelope ([0,312] verbatim-list phase, [0,888] range
+    // fallback), recomputable from raw data; the join answers are
+    // plain equi-joins against the nation-derived key sets
+    "q169_join_sip" ->
+      """WITH st AS (SELECT o_orderkey % 1000 AS key2 FROM orders),
+        |bands AS (SELECT CAST(FLOOR(key2 / 250) AS BIGINT) AS b,
+        |                 min(key2) AS mn, max(key2) AS mx
+        |          FROM st GROUP BY 1),
+        |d1 AS (SELECT n_nationkey * 13 AS dk FROM nation),
+        |d2 AS (SELECT n_nationkey * 37 AS dk FROM nation)
+        |SELECT phase, n, sk, n_scan FROM (
+        |  SELECT 'inlist' AS phase, count(*) AS n,
+        |         COALESCE(CAST(sum(key2) AS BIGINT), 0) AS sk,
+        |         (SELECT count(*) FROM bands
+        |          WHERE mn <= 312 AND mx >= 0) AS n_scan
+        |  FROM st JOIN d1 ON st.key2 = d1.dk
+        |  UNION ALL
+        |  SELECT 'range', count(*), COALESCE(CAST(sum(key2) AS BIGINT), 0),
+        |         (SELECT count(*) FROM bands WHERE mn <= 888 AND mx >= 0)
+        |  FROM st JOIN d2 ON st.key2 = d2.dk
+        |  UNION ALL
+        |  SELECT 'empty', 0, 0, 0)
+        |ORDER BY phase
         |""".stripMargin,
 
     "q165_manifest_chain" ->
