@@ -60,6 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest's per-file row stamps (Delta's OptimizeMetadataOnlyQuery
     // analog — [[graft.plans.MetadataOnlyCountRule]]).
     ext.injectOptimizerRule(graft.plans.MetadataOnlyCountRule.apply)
+    // Automatic sideways information passing: equi-joins over graft
+    // reads gain a dim-derived fact-side predicate when the dim's key
+    // envelope is plan-time knowledge (LocalRelation rows or another
+    // graft table's exact-value stamps) — file skipping through the
+    // SQL front door, zero planning-time jobs
+    // ([[graft.plans.SipJoinRule]]; q169's verb covers the general
+    // run-the-dim-first case).
+    ext.injectOptimizerRule(graft.plans.SipJoinRule.apply)
     // Lakehouse maintenance/DDL verbs Spark's grammar doesn't speak —
     // OPTIMIZE [ZORDER BY], VACUUM [RETAIN], DESCRIBE HISTORY,
     // RESTORE TABLE … TO VERSION AS OF, ALTER TABLE ADD COLUMN /

@@ -628,6 +628,27 @@ object Warehouse extends QueryModule {
     * predicate covers interior files wholly (answered from row
     * stamps) and straddles boundary files (scanned). Same idempotence
     * discipline as [[moneyOrders]]. */
+  /** The SIP dim, built once per (session, dir): nation-derived keys
+    * `dk = n_nationkey * 13` (0..312 — exactly the low two of
+    * [[rangeOrders]]' four bands) committed as a single-file graft
+    * table clustered on dk, so its manifest stamps ARE the key
+    * envelope [[graft.plans.SipJoinRule]] injects (q170). */
+  private[graft] def sipDim(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#sipdim", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_sipdim_$sfx"
+          if (Snapshot.currentVersion(s, dir) != 1)
+            Snapshot.commit(T.nation(s, d).select(
+                (col("n_nationkey") * 13).cast("long").as("dk"),
+                col("n_name").as("dname")),
+              dir, 0, "dk", nFiles = 1)
+          dir
+        })
+    }
+
   private[graft] def rangeOrders(s: SparkSession, d: String): String =
     synchronized {
       snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
@@ -1662,6 +1683,44 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"))
     }),
 
+    "q170_join_sip_auto" -> ((s, d) => {
+      // AUTOMATIC SIP through the front door
+      // ([[graft.plans.SipJoinRule]] over [[rangeOrders]] ⋈
+      // [[sipDim]]): two plain graft reads equi-joined with NO verb
+      // and NO hint — the optimizer injects the dim's manifest
+      // envelope ([0,312], the dim's own clustering stamps) onto the
+      // fact's key2 scan at plan time, zero planning jobs, and the
+      // fact opens only the two low band files. `sip` carries the
+      // engine's own witness: 1 iff the optimized plan holds both
+      // envelope bounds on key2 — the oracle pins it at 1 along with
+      // the join rollup. The kill switch, per-join-type soundness,
+      // DV refusal and the load-bearing file skip are
+      // SipRuleSpec-pinned.
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal => CLit}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+      val fact = s.read.format("graft").load(rangeOrders(s, d))
+      val dim = s.read.format("graft").load(sipDim(s, d))
+      val j = fact.join(dim, col("key2") === col("dk"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("key2")).as("sk"))
+      def conj(e: Expression): Seq[Expression] = e match {
+        case CAnd(l, r) => conj(l) ++ conj(r)
+        case x          => Seq(x)
+      }
+      val bs = j.queryExecution.optimizedPlan.collect {
+        case f: LFilter => conj(f.condition)
+      }.flatten.collect {
+        case GreaterThanOrEqual(a: AttributeReference, CLit(v: Long, LongType))
+            if a.name == "key2" => (">=", v)
+        case LessThanOrEqual(a: AttributeReference, CLit(v: Long, LongType))
+            if a.name == "key2" => ("<=", v)
+      }
+      val sip = bs.contains((">=", 0L)) && bs.contains(("<=", 312L))
+      j.select(col("status"), col("n"), col("sk"),
+          lit(if (sip) 1L else 0L).as("sip"))
+        .orderBy(col("status"))
+    }),
+
     "q165_manifest_chain" -> ((s, d) => {
       // DELTA-MANIFEST log ([[chainOrders]]): 12 single-file carried
       // commits publish as full(v1) + deltas(v2–v9) + checkpoint(v10) +
@@ -2405,6 +2464,22 @@ object Warehouse extends QueryModule {
         |  UNION ALL
         |  SELECT 'empty', 0, 0, 0)
         |ORDER BY phase
+        |""".stripMargin,
+
+    // the auto-rule's truth: the dim table holds exactly the 25
+    // nation-derived keys 0,13,…,312, its single-file stamps are the
+    // exact [0,312] envelope, no DVs — so the optimizer must inject
+    // (sip pinned 1) and the rollup is the plain equi-join recomputed
+    // from raw orders + nation
+    "q170_join_sip_auto" ->
+      """WITH st AS (SELECT o_orderkey % 1000 AS key2,
+        |                   o_orderstatus AS status FROM orders),
+        |d AS (SELECT n_nationkey * 13 AS dk FROM nation)
+        |SELECT status, n, sk, sip FROM (
+        |  SELECT status, count(*) AS n,
+        |         CAST(sum(key2) AS BIGINT) AS sk, CAST(1 AS BIGINT) AS sip
+        |  FROM st JOIN d ON st.key2 = d.dk GROUP BY status)
+        |ORDER BY status
         |""".stripMargin,
 
     "q165_manifest_chain" ->

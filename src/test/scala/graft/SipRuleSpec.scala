@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThanOrEqual, In, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.ops.{Snapshot, Warehouse}
+
+/** The automatic SIP optimizer rule ([[graft.plans.SipJoinRule]]):
+  * equi-joins over graft reads gain dim-derived fact-scan predicates
+  * from plan-time knowledge alone — LocalRelation rows or another
+  * graft table's manifest stamps — answers unchanged. */
+class SipRuleSpec extends SparkSpec with PredicateHelper {
+
+  private def sorted(df: DataFrame): Seq[Row] =
+    df.orderBy(df.columns.map(col).toIndexedSeq: _*).collect().toSeq
+
+  private def fresh(tag: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + s"/sip_rule_${tag}_" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** Injected bound conjuncts on `name` in the optimized plan. */
+  private def bounds(df: DataFrame, name: String): Seq[(String, Long)] =
+    df.queryExecution.optimizedPlan.collect {
+      case f: LFilter => splitConjunctivePredicates(f.condition)
+    }.flatten.collect {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v: Long, LongType))
+          if a.name == name => (">=", v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v: Long, LongType))
+          if a.name == name => ("<=", v)
+    }
+
+  private def inLists(df: DataFrame, name: String): Seq[Int] =
+    df.queryExecution.optimizedPlan.collect {
+      case f: LFilter => splitConjunctivePredicates(f.condition)
+    }.flatten.collect {
+      case In(a: AttributeReference, vs) if a.name == name => vs.size
+      case EqualTo(a: AttributeReference, _: Literal)
+          if a.name == name => 1
+    }
+
+  private def withRuleOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.sipRule.enabled", "false")
+    try body
+    finally spark.conf.set("spark.graft.sipRule.enabled", "true")
+  }
+
+  /** A small graft dim: dk = 300..324, clustering stamps exact. */
+  private lazy val graftDim: String = {
+    import spark.implicits._
+    val dir = fresh("dim")
+    (300L to 324L).map(k => (k, s"n$k")).toDF("dk", "dname")
+      .write.format("graft").option("statsCol", "dk").save(dir)
+    dir
+  }
+
+  test("a graft dim's manifest envelope injects onto the fact scan, answer unchanged") {
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    val dim = spark.read.format("graft").load(graftDim)
+    val j = fact.join(dim, col("key2") === col("dk"))
+    // the dim's [300,324] stamps land on key2 exactly once each (extra
+    // conjuncts are legitimate: the symmetric fact-envelope injection
+    // on dk plus InferFiltersFromConstraints' propagation through the
+    // equality); duplication would mean the convergence guard failed
+    val bs = bounds(j, "key2")
+    assert(bs.count(_ == (">=", 300L)) == 1 &&
+      bs.count(_ == ("<=", 324L)) == 1,
+      s"expected the dim's [300,324] stamps once each on key2, got $bs")
+    val off = withRuleOff {
+      val o = fact.join(dim, col("key2") === col("dk"))
+      assert(bounds(o, "key2").isEmpty, "kill switch must suppress")
+      sorted(o)
+    }
+    assert(sorted(j) == off)
+  }
+
+  test("a filter above the dim leaf keeps the leaf envelope (conservative, still sound)") {
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    val dim = spark.read.format("graft").load(graftDim)
+      .filter(col("dk") >= 320L)
+    val j = fact.join(dim, col("key2") === col("dk"))
+    val bs = bounds(j, "key2")
+    assert(bs.contains((">=", 300L)) && bs.contains(("<=", 324L)),
+      s"expected the LEAF's [300,324], got $bs")
+    val off = withRuleOff {
+      sorted(fact.join(dim, col("key2") === col("dk")))
+    }
+    assert(sorted(j) == off)
+  }
+
+  test("a dim with deletion vectors refuses the envelope (a DV may mask the extreme)") {
+    import spark.implicits._
+    val ddir = fresh("dvdim")
+    (300L to 324L).map(k => (k, s"n$k")).toDF("dk", "dname")
+      .write.format("graft").option("statsCol", "dk").save(ddir)
+    Snapshot.deleteWhereDV(spark, ddir, 324L, 324L)
+    val fact = spark.read.format("graft")
+      .load(Warehouse.rangeOrders(spark, sf))
+    val dim = spark.read.format("graft").load(ddir)
+    val j = fact.join(dim, col("key2") === col("dk"))
+    val bs = bounds(j, "key2")
+    assert(!bs.contains((">=", 300L)) && !bs.contains(("<=", 324L)),
+      s"DV'd dim stamps must not inject, got $bs")
+    assert(j.count() ==
+      fact.filter(col("key2").between(300L, 323L)).count())
+  }
+
+  test("LocalRelation dim injects its rows verbatim; the pruning is load-bearing") {
+    import spark.implicits._
+    val dir = fresh("prune")
+    (1L to 800L).map(k => (k, k % 7)).toDF("k", "v")
+      .write.format("graft").option("statsCol", "k")
+      .option("nFiles", "8").save(dir)
+    val m = Snapshot.manifest(spark, dir, Snapshot.currentVersion(spark, dir))
+    val keep = m.files.filter(f => f.min <= 20L && f.max >= 10L)
+      .map(_.path).toSet
+    assert(keep.size == 1, s"fixture: expected one covering file, $keep")
+    val fact = spark.read.format("graft").load(dir)
+    val dim = Seq(10L, 20L).toDF("dk")
+    val j = fact.join(dim, col("k") === col("dk"))
+    assert(inLists(j, "k") == Seq(2), "expected the 2-key IN on the scan")
+    // physically remove every file OUTSIDE the dim's keys: the pruned
+    // scan must never open them — a scan without the injection throws
+    m.files.filterNot(f => keep(f.path)).foreach { f =>
+      val p = java.nio.file.Paths.get(
+        s"${dir.stripPrefix("file:")}/${f.path}")
+      assert(java.nio.file.Files.deleteIfExists(p), s"fixture: $p missing")
+    }
+    assert(j.collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 20L))
+    withRuleOff {
+      intercept[Exception] {
+        fact.join(dim, col("k") === col("dk")).collect()
+      }
+    }
+  }
+
+  test("single-key and oversized LocalRelation dims: EqualTo and envelope forms") {
+    import spark.implicits._
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    // one key → EqualTo (OptimizeIn's own 1-element rewrite, pre-empted)
+    val one = fact.join(Seq(137L).toDF("dk"), col("key2") === col("dk"))
+    assert(inLists(one, "key2") == Seq(1))
+    assert(one.collect().forall(_.getLong(0) == 137L))
+    // past InListMax distinct keys → the [min,max] envelope instead
+    val wide = fact.join((0L to 299L).toDF("dk"), col("key2") === col("dk"))
+    assert(inLists(wide, "key2").isEmpty, "oversized list must not inject IN")
+    assert(bounds(wide, "key2").toSet == Set((">=", 0L), ("<=", 299L)))
+    val off = withRuleOff {
+      sorted(fact.join((0L to 299L).toDF("dk"), col("key2") === col("dk")))
+    }
+    assert(sorted(wide) == off)
+  }
+
+  test("join types: preserved sides stay unpruned, prunable sides match the kill switch") {
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    val dim = spark.read.format("graft").load(graftDim)
+    // LEFT OUTER: fact is preserved — no injection on key2, count intact
+    val left = fact.join(dim, col("key2") === col("dk"), "left")
+    assert(bounds(left, "key2").isEmpty, "preserved side must not prune")
+    assert(left.count() == fact.count())
+    // RIGHT OUTER: fact side is prunable, dim rows all survive
+    val right = fact.join(dim, col("key2") === col("dk"), "right")
+    assert(bounds(right, "key2").nonEmpty)
+    val rOff = withRuleOff {
+      sorted(fact.join(dim, col("key2") === col("dk"), "right"))
+    }
+    assert(sorted(right) == rOff)
+    // SEMI and ANTI
+    val semi = fact.join(dim, col("key2") === col("dk"), "left_semi")
+    assert(bounds(semi, "key2").nonEmpty)
+    val sOff = withRuleOff {
+      sorted(fact.join(dim, col("key2") === col("dk"), "left_semi"))
+    }
+    assert(sorted(semi) == sOff)
+    val anti = fact.join(dim, col("key2") === col("dk"), "left_anti")
+    assert(bounds(anti, "key2").isEmpty, "anti preserves the left side")
+    val aOff = withRuleOff {
+      sorted(fact.join(dim, col("key2") === col("dk"), "left_anti"))
+    }
+    assert(sorted(anti) == aOff)
+    // FULL OUTER: nothing prunable
+    val full = fact.join(dim, col("key2") === col("dk"), "full")
+    assert(bounds(full, "key2").isEmpty && bounds(full, "dk").isEmpty)
+  }
+
+  test("null-safe equality is excluded (<=> can match the NULLs an envelope ignores)") {
+    import spark.implicits._
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    val dim = Seq(Some(300L), None).toDF("dk")
+    val j = fact.join(dim, col("key2") <=> col("dk"))
+    assert(bounds(j, "key2").isEmpty && inLists(j, "key2").isEmpty)
+    val off = withRuleOff { sorted(fact.join(dim, col("key2") <=> col("dk"))) }
+    assert(sorted(j) == off)
+  }
+
+  test("an empty LocalRelation dim folds the inner join away") {
+    import spark.implicits._
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    val dim = Seq.empty[Long].toDF("dk")
+    val j = fact.join(dim, col("key2") === col("dk"))
+    assert(j.count() == 0)
+    assert(j.queryExecution.optimizedPlan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      "expected the folded plan")
+  }
+}
