@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, In, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, In, InSubquery, LessThanOrEqual, ListQuery, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Project, Sample, Sort, SubqueryAlias, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -345,6 +345,30 @@ case class SipJoinRule(session: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
+      // `key IN (SELECT dk FROM dim)` BEFORE its semi-join rewrite —
+      // RewritePredicateSubquery runs in a later batch than injected
+      // operator rules, so the join case below never sees it. Same
+      // soundness: a row whose key is outside the subquery's envelope
+      // fails the IN (false or NULL — the filter drops both), so the
+      // envelope conjunct drops exactly rows the filter already drops.
+      // Positive top-level conjuncts only: `NOT IN` keeps non-matching
+      // rows and must never prune.
+      case f @ Filter(cond, child) =>
+        val conjs = splitConjunctivePredicates(cond)
+        val existing = conjs ++ existingConjuncts(child)
+        val fresh0 = conjs.collect {
+          case InSubquery(Seq(k), lq: ListQuery)
+              if lq.plan.output.size == 1 && factActionable(child, k) =>
+            attrOf(k).toSeq.flatMap { factAttr =>
+              dimSummary(lq.plan, lq.plan.output.head).toSeq.flatMap {
+                case (dimAttr, s) => predicatesFor(factAttr, dimAttr, s)
+              }
+            }
+        }.flatten.filterNot(covered(existing, _))
+        val fresh = fresh0.foldLeft(Seq.empty[Expression])((acc, p) =>
+          if (acc.exists(_.semanticEquals(p))) acc else acc :+ p)
+        if (fresh.isEmpty) f
+        else f.copy(condition = (fresh :+ cond).reduce(And))
       case j @ Join(left, right, jt, Some(cond), _) =>
         val (pl, pr) = prunable(jt)
         if (!pl && !pr) j

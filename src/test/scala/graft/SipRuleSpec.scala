@@ -200,6 +200,43 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     assert(sorted(j) == off)
   }
 
+  test("pure SQL spellings fire too: catalog-table join and IN (SELECT …)") {
+    // the CATALOG front door (`USING graft`) resolves to the graft
+    // relation whose manifest the rule reads; `registerSqlTable` names
+    // deliberately resolve to a direct parquet scan and are out of
+    // scope (no manifest on the plan's leaf)
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE TABLE sip_fact_$tag USING graft LOCATION '$fdir'")
+    spark.sql(s"CREATE TABLE sip_dim_$tag USING graft LOCATION '$graftDim'")
+    try {
+      // plain SQL join over two catalog names
+      val j = spark.sql(
+        s"""SELECT f.key2, d.dname FROM sip_fact_$tag f
+           |JOIN sip_dim_$tag d ON f.key2 = d.dk""".stripMargin)
+      val bs = bounds(j, "key2")
+      assert(bs.contains((">=", 300L)) && bs.contains(("<=", 324L)),
+        s"SQL join must inject the dim stamps, got $bs\n" +
+          j.queryExecution.optimizedPlan.treeString)
+      // IN (SELECT …) rewrites to the LeftSemi join the rule covers
+      val semi = spark.sql(
+        s"""SELECT key2, status FROM sip_fact_$tag
+           |WHERE key2 IN (SELECT dk FROM sip_dim_$tag)""".stripMargin)
+      val sb = bounds(semi, "key2")
+      assert(sb.contains((">=", 300L)) && sb.contains(("<=", 324L)),
+        s"IN-subquery must inject through its semi-join rewrite, got $sb")
+      val off = withRuleOff {
+        sorted(spark.sql(
+          s"""SELECT key2, status FROM sip_fact_$tag
+             |WHERE key2 IN (SELECT dk FROM sip_dim_$tag)""".stripMargin))
+      }
+      assert(sorted(semi) == off)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS sip_fact_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS sip_dim_$tag")
+    }
+  }
+
   test("an empty LocalRelation dim folds the inner join away") {
     import spark.implicits._
     val fdir = Warehouse.rangeOrders(spark, sf)
