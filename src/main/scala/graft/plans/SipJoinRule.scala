@@ -326,7 +326,7 @@ case class SipJoinRule(session: SparkSession)
   private def injectInto(side: LogicalPlan, other: LogicalPlan,
                          pairs: Seq[(Expression, Expression)])
       : Option[LogicalPlan] = {
-    val existing = existingConjuncts(side)
+    lazy val existing = existingConjuncts(side)
     val fresh0 = pairs.flatMap { case (sideKey, otherKey) =>
       attrOf(sideKey).toSeq.flatMap { factAttr =>
         if (!factActionable(side, sideKey)) Nil
@@ -353,9 +353,10 @@ case class SipJoinRule(session: SparkSession)
       // envelope conjunct drops exactly rows the filter already drops.
       // Positive top-level conjuncts only: `NOT IN` keeps non-matching
       // rows and must never prune.
-      case f @ Filter(cond, child) =>
+      case f @ Filter(cond, child)
+          if cond.exists(_.isInstanceOf[InSubquery]) =>
         val conjs = splitConjunctivePredicates(cond)
-        val existing = conjs ++ existingConjuncts(child)
+        lazy val existing = conjs ++ existingConjuncts(child)
         val fresh0 = conjs.collect {
           case InSubquery(Seq(k), lq: ListQuery)
               if lq.plan.output.size == 1 && factActionable(child, k) =>
