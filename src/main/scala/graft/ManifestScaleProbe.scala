@@ -123,6 +123,12 @@ object ManifestScaleProbe {
         f"(inside=$inside boundary=${boundary.size})  " +
         f"clusterMinMax=${rt6}%6.4f s ($mm4)  " +
         f"sidecarMinMax=${rt7}%6.4f s ($sc4)")
+      // the grouped split (q171) is the same O(files) driver fold;
+      // this table's files are range-stamped so every one degrades —
+      // the fold cost is what a partition-value-clustered table pays
+      val ((gSums, gScan), rt8) = time(Snapshot.metaGroupSplit(m4))
+      println(f"  groupSplit=${rt8}%6.4f s " +
+        f"(groups=${gSums.size} scan=${gScan.size})")
     }
     spark.stop()
   }

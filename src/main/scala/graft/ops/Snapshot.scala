@@ -2014,6 +2014,107 @@ object Snapshot {
       .filter(col(m.statsCol).between(lo, hi)).count()
   }
 
+  /** METADATA-ONLY GROUPED COUNT arithmetic — the split behind
+    * `SELECT key, count(*) GROUP BY key` on the clustering column
+    * (Delta's `OptimizeMetadataOnlyQuery` partition-value analog, on
+    * range stamps instead of partition directories): partition the
+    * manifest's files into per-group metadata SUMS and a SCAN set. A
+    * file answers from stamps alone iff it is SINGLE-VALUED
+    * (`min == max`, not the degraded full-open sentinel — every
+    * non-null key in it equals that one value), its row count and
+    * clustering-key null count are both stamped, and the two masking
+    * states don't overlap ambiguously:
+    *   - `kNulls == 0`: every row (live or DV-masked) carried the
+    *     value, so group(min) += rows − dvMasked;
+    *   - `kNulls > 0` with NO deletion vector: group(min) +=
+    *     rows − kNulls and the NULL group += kNulls;
+    *   - `kNulls > 0` WITH a DV refuses into the scan set — a masked
+    *     position could have hidden either a keyed or a NULL row, so
+    *     neither group's sum is provable.
+    * Everything else (range files, unknown stamps, corrupt
+    * accounting) degrades into the scan set — never into a wrong sum.
+    * Zero contributions are skipped so no phantom empty group appears
+    * (SQL GROUP BY emits only groups with at least one row). Keys are
+    * `Some(value)`; `None` is the NULL-key group.
+    *
+    * RANGE MODE (`nullsPass = false` with [lo, hi] from a conjoined
+    * `key BETWEEN` predicate — "rows per day for the last week"):
+    * files wholly OUTSIDE the range contribute nothing regardless of
+    * any other stamp state (no non-null key satisfies, and NULL keys
+    * fail a range predicate too), stamped NULL counts are excluded
+    * instead of routed to a NULL group (the predicate drops them),
+    * and everything else follows the unfiltered rules — in-range
+    * single-valued files answer from stamps, straddlers and ambiguous
+    * states scan WITH the predicate. */
+  private[graft] def metaGroupSplit(m: Manifest,
+      lo: Long = Long.MinValue, hi: Long = Long.MaxValue,
+      nullsPass: Boolean = true)
+      : (Map[Option[Long], Long], Seq[FileEntry]) = {
+    val sums = scala.collection.mutable.LinkedHashMap
+      .empty[Option[Long], Long]
+    def add(k: Option[Long], n: Long): Unit =
+      if (n > 0) sums.update(k, sums.getOrElse(k, 0L) + n)
+    val scan = Seq.newBuilder[FileEntry]
+    m.files.foreach { f =>
+      val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
+      val fullOpen = f.min == Long.MinValue && f.max == Long.MaxValue
+      val singleValued = f.min == f.max && !fullOpen
+      val counted = f.rows >= 0 && f.kNulls >= 0 && f.kNulls <= f.rows &&
+        dv <= f.rows
+      if (!nullsPass && (f.max < lo || f.min > hi) && !fullOpen) ()
+        // wholly outside a range predicate: no non-null key satisfies
+        // and NULLs fail it too — contributes nothing regardless of
+        // rows/DV/null-count state (stamps are exact non-null extremes)
+      else if (singleValued && counted && !(dv > 0 && f.kNulls > 0)) {
+        if (f.kNulls == 0) add(Some(f.min), f.rows - dv)
+        else {
+          add(Some(f.min), f.rows - f.kNulls)
+          if (nullsPass) add(None, f.kNulls)
+        }
+      } else scan += f
+    }
+    (sums.toMap, scan.result())
+  }
+
+  /** Exact `SELECT statsCol, count(*) GROUP BY statsCol`: per-group
+    * stamp sums over single-valued files + one grouped scan over the
+    * files [[metaGroupSplit]] could not prove, merged by a final
+    * aggregate. On a partition-value-clustered 100 TB table (each file
+    * one key value — ingest-date bands, tenant shards, status codes)
+    * the scan touches only the files that mix values, usually none.
+    * The front-door optimizer rewrite
+    * ([[graft.plans.MetadataOnlyCountRule]]) plans the same split for
+    * SQL `GROUP BY`. Output columns: `statsCol` (its table dtype),
+    * `cnt` (BIGINT). */
+  def groupCount(spark: SparkSession, dir: String,
+                 version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else currentVersion(spark, dir)
+    val m = manifest(spark, dir, v)
+    val (sums, scan) = metaGroupSplit(m)
+    val kName = logicalName(m, m.statsCol)
+    val kType = read(spark, dir, v).schema(kName).dataType
+    val rows = sums.toSeq.map { case (k, n) =>
+      org.apache.spark.sql.Row(k.map(java.lang.Long.valueOf).orNull,
+        java.lang.Long.valueOf(n))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(kName,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val stamped = spark
+      .createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .select(col(kName).cast(kType).as(kName), col("cnt"))
+    val merged =
+      if (scan.isEmpty) stamped
+      else stamped.unionAll(
+        readEntries(spark, dir, m, scan)
+          .groupBy(col(kName)).agg(count(lit(1L)).as("cnt")))
+    merged.groupBy(col(kName))
+      .agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
   /** Exact MIN/MAX of the clustering column from manifest arithmetic,
     * None when any file state could make the stamps inexact: a
     * deletion vector may have masked the extreme row; an unstamped or

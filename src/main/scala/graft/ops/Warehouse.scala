@@ -683,6 +683,53 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The PARTITION-VALUE-clustered table (q171): orders keyed by the
+    * ascii code of o_orderstatus — three SINGLE-VALUED band files
+    * (each stamps min == max == its code, the shape
+    * [[Snapshot.metaGroupSplit]] answers from arithmetic) plus one
+    * deliberately MIXED tail file (the `o_orderkey % 97 == 0` slice of
+    * the two common codes — stamps a real [min,max] range, so the
+    * grouped rewrite degrades exactly it into the boundary scan).
+    * Idempotence discipline mirrors [[rangeOrders]]. */
+  private[graft] def statusOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#status", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_status_$sfx"
+          val base = T.orders(s, d).select(
+            ascii(col("o_orderstatus")).as("scode"),
+            col("o_orderkey").as("order_key"),
+            F.dec2(col("o_totalprice")).as("price"),
+            (col("o_orderkey") % 97 === 0).as("tail"))
+          val tailOf = Seq(70, 79) // 'F', 'O' — the two common codes
+          val cur0 = Snapshot.currentVersion(s, dir)
+          val complete = cur0 == 4 &&
+            Snapshot.manifest(s, dir, cur0).files
+              .forall(f => f.rows >= 0 && f.kNulls >= 0)
+          if (!complete && cur0 > 0)
+            throw new IllegalStateException(
+              s"statusOrders table under $dir exists at v$cur0 without " +
+                "complete row/null-count stamps (partial build) — " +
+                "delete the table dir and rebuild")
+          if (!complete) {
+            val slices = Seq(
+              base.filter(col("scode") === 70 && !col("tail")),
+              base.filter(col("scode") === 79 && !col("tail")),
+              base.filter(col("scode") === 80),
+              base.filter(col("scode").isin(tailOf: _*) && col("tail")))
+            slices.zipWithIndex.foreach { case (df, i) =>
+              val carried =
+                if (i == 0) Nil else Snapshot.manifest(s, dir, i).files
+              Snapshot.commit(df.drop("tail"), dir, i, "scode", carried,
+                nFiles = 1)
+            }
+          }
+          dir
+        })
+    }
+
   private[graft] def chainOrders(s: SparkSession, d: String): String =
     synchronized {
       snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
@@ -1645,6 +1692,41 @@ object Warehouse extends QueryModule {
       r.unionAll(dd).orderBy(col("src"))
     }),
 
+    "q171_group_meta" -> ((s, d) => {
+      // METADATA-ONLY GROUPED COUNTS ([[statusOrders]] →
+      // [[Snapshot.metaGroupSplit]] riding
+      // [[graft.plans.MetadataOnlyCountRule]] — Delta's
+      // OptimizeMetadataOnlyQuery partition-value analog on range
+      // stamps): `GROUP BY scode, count(*)` through the front door
+      // answers the three SINGLE-VALUED band files (min == max ==
+      // their code) from per-file row stamps and scans ONLY the
+      // planted mixed-tail file, merging both by a final aggregate;
+      // the `range` phase composes a clustering predicate (`scode >=
+      // 79`) — in-range bands from stamps, the straddling tail
+      // scanned WITH the predicate, out-of-range bands dropped.
+      // `n_scan` carries the engine's own degraded-set size per phase
+      // (the same split the rule plans — oracle pins 1 of 4 files
+      // both times); the oracle recomputes the grouped counts from
+      // raw orders. Plan shape, stamp/DV/NULL guards and verb
+      // equivalence ([[Snapshot.groupCount]]) are SourceSpec-pinned.
+      val dir = statusOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (sums, scanAll) = Snapshot.metaGroupSplit(m)
+      require(sums.nonEmpty,
+        "planted band files must answer from stamps alone")
+      val scanRng =
+        Snapshot.metaGroupSplit(m, 79L, Long.MaxValue, nullsPass = false)._2
+      val fd = s.read.format("graft").load(dir)
+      val all = fd.groupBy(col("scode")).agg(count(lit(1)).as("n"))
+        .select(lit("all").as("phase"), col("scode"), col("n"),
+          lit(scanAll.size.toLong).as("n_scan"))
+      val rng = fd.filter(col("scode") >= 79)
+        .groupBy(col("scode")).agg(count(lit(1)).as("n"))
+        .select(lit("range").as("phase"), col("scode"), col("n"),
+          lit(scanRng.size.toLong).as("n_scan"))
+      all.unionAll(rng).orderBy(col("phase"), col("scode"))
+    }),
+
     "q169_join_sip" -> ((s, d) => {
       // SIDEWAYS INFORMATION PASSING ([[SipJoin]] over [[rangeOrders]]):
       // a fact ⋈ small-dim join where the dim's keys — not the query
@@ -2436,6 +2518,20 @@ object Warehouse extends QueryModule {
         |  FROM orders)
         |ORDER BY src
         |""".stripMargin,
+
+    // the grouped split's truth: the 3 band files each hold exactly
+    // one status code (stamps min == max), the mixed tail file is the
+    // only degraded one (n_scan 1), and stamped sums + the one scanned
+    // file must together equal the raw grouped counts
+    "q171_group_meta" ->
+      """WITH st AS (SELECT ascii(o_orderstatus) AS scode FROM orders)
+        |SELECT phase, scode, n, n_scan FROM (
+        |  SELECT 'all' AS phase, scode, count(*) AS n,
+        |         CAST(1 AS BIGINT) AS n_scan FROM st GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'range', scode, count(*), CAST(1 AS BIGINT)
+        |  FROM st WHERE scode >= 79 GROUP BY 2)
+        |ORDER BY phase, scode""".stripMargin,
 
     // the SIP witness's truth: the 4 band files partition key2 by
     // floor(key2/250), each file's stamps are the band's exact

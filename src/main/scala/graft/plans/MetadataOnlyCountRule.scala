@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
@@ -326,6 +326,106 @@ case class MetadataOnlyCountRule(session: SparkSession)
       }
     }
 
+  /** Is `e` the grouped key column itself (bare or trivially
+    * aliased) — the output shapes whose per-group value IS the group. */
+  private def isKeyOutput(e: NamedExpression,
+                          g: AttributeReference): Boolean = e match {
+    case a: AttributeReference      => a.exprId == g.exprId
+    case Alias(a: AttributeReference, _) => a.exprId == g.exprId
+    case _ => false
+  }
+
+  /** '''4. GROUP BY the clustering column, counting''' (round 17 —
+    * Delta's `OptimizeMetadataOnlyQuery` partition-value analog on
+    * range stamps). `SELECT key[, count(*)…] GROUP BY key` answers
+    * per-group sums from [[Snapshot.metaGroupSplit]]'s stamp
+    * arithmetic for SINGLE-VALUED files (min == max: a
+    * partition-value-clustered table — ingest-date bands, tenant
+    * shards, status codes — is all such files), while mixed-value,
+    * DV-ambiguous or unstamped files degrade into one
+    * boundary-restricted grouped scan merged by a final aggregate.
+    * A clustering-range FILTER below the grouping ("rows per day for
+    * the last week") composes: wholly-outside files drop by stamps
+    * alone, NULL keys are excluded (they fail any range predicate),
+    * a contradictory range answers zero groups, and the scan branch
+    * keeps the predicate. None = guards refuse (non-integral key,
+    * unprovable filter conjuncts, every file degraded). */
+  private def groupedCountRewrite(agg: Aggregate,
+      g: AttributeReference): Option[LogicalPlan] = {
+    val unfiltered = relationOf(agg.child)
+      .map(r => (r, None: Option[(Long, Long)]))
+    def filtered = filteredRelationOf(agg.child).flatMap {
+      case (f, lr, gr) =>
+        boundsOf(splitConjunctivePredicates(f.condition), lr, gr)
+          .map(b => ((lr, gr), Some(b): Option[(Long, Long)]))
+    }
+    unfiltered.orElse(filtered).flatMap { case ((lr, gr), bounds) =>
+      val integral = g.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      if (!integral || !lr.output.exists(_.exprId == g.exprId) ||
+          !isClusteringAttr(g, lr, gr)) None
+      else if (bounds.exists(b => b._1 > b._2))
+        // contradictory range: zero rows, hence zero groups
+        Some(LocalRelation(agg.output, Nil))
+      else {
+        def typed(v: Long): Any = g.dataType match {
+          case LongType    => v
+          case IntegerType => v.toInt
+          case ShortType   => v.toShort
+          case ByteType    => v.toByte
+        }
+        val m = gr.pinnedManifest
+        val (sums, scan) = bounds match {
+          case Some((lo, hi)) =>
+            Snapshot.metaGroupSplit(m, lo, hi, nullsPass = false)
+          case None => Snapshot.metaGroupSplit(m)
+        }
+        if (scan.size == m.files.size) None // nothing proven: plain scan
+        else if (scan.isEmpty) {
+          // every file single-valued and fully accounted: one local row
+          // per group, in the aggregate's own output shape
+          val rows = sums.toSeq.map { case (k, n) =>
+            val kv = k.map(typed).orNull
+            InternalRow.fromSeq(agg.aggregateExpressions.map(e =>
+              if (isKeyOutput(e, g)) kv else (n: Any)))
+          }
+          Some(LocalRelation(agg.output, rows))
+        } else {
+          // stamped groups as a LocalRelation, degraded files as one
+          // restricted grouped scan, merged by a summing aggregate that
+          // reuses the original output exprIds
+          val cnt = Alias(AggregateExpression(
+            Count(Seq(Literal(1L))), Complete, isDistinct = false),
+            "gm_part_cnt")()
+          val newChild = agg.child.transformUp {
+            case l: LogicalRelation if l eq lr =>
+              l.copy(relation = gr.restrictedTo(scan.map(_.path).toSet))
+          }
+          val scanAgg = Aggregate(Seq(g), Seq(g, cnt), newChild)
+          val localOut = Seq(
+            AttributeReference("gm_k", g.dataType)(),
+            AttributeReference("gm_c", LongType, nullable = false)())
+          val local = LocalRelation(localOut,
+            sums.toSeq.map { case (k, n) =>
+              InternalRow.fromSeq(Seq(k.map(typed).orNull, n))
+            })
+          val un = Union(Seq(scanAgg, local))
+          val uk = un.output.head
+          val uc = un.output(1)
+          val sumCnt = Coalesce(Seq(AggregateExpression(
+            Sum(uc), Complete, isDistinct = false), Literal(0L)))
+          val outs = agg.aggregateExpressions.map { e =>
+            if (isKeyOutput(e, g)) Alias(uk, e.name)(exprId = e.exprId)
+            else Alias(sumCnt, e.name)(exprId = e.exprId)
+          }
+          Some(Aggregate(Seq(uk), outs, un))
+        }
+      }
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty &&
         exprs.forall(isCountStar) =>
@@ -335,5 +435,9 @@ case class MetadataOnlyCountRule(session: SparkSession)
       }
     case agg @ Aggregate(Nil, exprs, _, _) if exprs.nonEmpty =>
       minMaxRewrite(agg).getOrElse(agg)
+    case agg @ Aggregate(Seq(g: AttributeReference), exprs, _, _)
+        if exprs.nonEmpty &&
+          exprs.forall(e => isKeyOutput(e, g) || isCountStar(e)) =>
+      groupedCountRewrite(agg, g).getOrElse(agg)
   }
 }

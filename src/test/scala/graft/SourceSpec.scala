@@ -830,6 +830,178 @@ class SourceSpec extends SparkSpec {
     assert(Snapshot.rangeCount(spark, dir, 31L, 75L) == 45L)
   }
 
+  test("grouped count through the front door is metadata-only; " +
+    "guards hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metagroup_" + java.util.UUID.randomUUID().toString.take(8)
+    // 3 SINGLE-VALUED band files: k=1×10, k=2×20, k=3×30 rows
+    def band(v: Long, n: Int) =
+      (1 to n).map(i => (v, s"r${v}_$i")).toDF("k", "v")
+    Snapshot.commit(band(1L, 10), dir, 0, "k", nFiles = 1)
+    Snapshot.commit(band(2L, 20), dir, 1, "k",
+      carried = Snapshot.manifest(spark, dir, 1).files, nFiles = 1)
+    Snapshot.commit(band(3L, 30), dir, 2, "k",
+      carried = Snapshot.manifest(spark, dir, 2).files, nFiles = 1)
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst {
+          case lr: LogicalRelation => lr }.isEmpty
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    def groups(df: DataFrame): Map[Option[Long], Long] =
+      df.collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1))).toMap
+    // all files single-valued: the whole GROUP BY is one LocalRelation
+    val gq = front.groupBy("k").count()
+    assert(isLocal(gq), s"expected LocalRelation only, got:\n${planOf(gq)}")
+    assert(groups(gq) == Map(Some(1L) -> 10L, Some(2L) -> 20L,
+      Some(3L) -> 30L))
+    // key-only grouping (DISTINCT) answers from the same stamps
+    val dq = front.select("k").distinct()
+    assert(isLocal(dq), s"expected LocalRelation only, got:\n${planOf(dq)}")
+    assert(dq.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // a MIXED file (k 2 and 3) degrades exactly itself into the scan
+    val mixed = Seq((2L, "m1"), (3L, "m2"), (3L, "m3")).toDF("k", "v")
+    Snapshot.commit(mixed, dir, 3, "k",
+      carried = Snapshot.manifest(spark, dir, 3).files, nFiles = 1)
+    val m4 = Snapshot.manifest(spark, dir, 4)
+    val mixedFile = m4.files.find(f => f.min == 2L && f.max == 3L).map(_.path)
+    assert(mixedFile.nonEmpty, s"planted mixed file missing: ${m4.files}")
+    val gq2 = front.groupBy("k").count()
+    assert(restrictedOf(gq2) == mixedFile.map(Set(_)),
+      s"mixed-file-only scan set expected, got:\n${planOf(gq2)}")
+    assert(groups(gq2) == Map(Some(1L) -> 10L, Some(2L) -> 21L,
+      Some(3L) -> 32L))
+    // a DV on a single-valued file subtracts from ITS group's stamps
+    // (kNulls = 0: every masked row provably carried the value)
+    Snapshot.deleteWhereDV(spark, dir, 1L, 1L) // kills 10 of band 1
+    val gq3 = front.groupBy("k").count()
+    assert(restrictedOf(gq3) == mixedFile.map(Set(_)))
+    assert(groups(gq3) == Map(Some(2L) -> 21L, Some(3L) -> 32L),
+      "a fully-masked group must not appear")
+    // time travel groups ITS version's stamps (pre-mixed, pre-DV)
+    val tt = spark.read.format("graft").option("versionAsOf", "3")
+      .load(dir).groupBy("k").count()
+    assert(isLocal(tt))
+    assert(groups(tt) == Map(Some(1L) -> 10L, Some(2L) -> 20L,
+      Some(3L) -> 30L))
+    // verb-level equivalence on the degraded table
+    assert(groups(Snapshot.groupCount(spark, dir)) == groups(gq3))
+    // guard: grouping on a NON-clustering column keeps scanning
+    val vq = front.groupBy("v").count()
+    assert(planOf(vq).collectFirst { case l: LocalRelation => l }.isEmpty,
+      "non-clustering grouping must not rewrite")
+    // guard: RANGE-stamped files (min < max everywhere) never rewrite —
+    // nothing is proven, the plain scan stays
+    val dirR = dir + "_range"
+    Snapshot.commit((1 to 90).map(i => (i.toLong, s"v$i")).toDF("k", "v"),
+      dirR, 0, "k", nFiles = 3)
+    val rq = spark.read.format("graft").load(dirR).groupBy("k").count()
+    assert(planOf(rq).collectFirst { case l: LocalRelation => l }.isEmpty &&
+      restrictedOf(rq).isEmpty, "range files must keep the plain scan")
+    assert(rq.count() == 90L)
+    // NULL keys: a stamped null count routes them to the NULL group —
+    // stamps stay exact (min/max ignore NULLs, kNulls counts them)
+    val dirN = dir + "_nulls"
+    Seq[(Option[Long], String)](Some(5L) -> "a", Some(5L) -> "b",
+      None -> "n").toDF("k", "v")
+      .write.format("graft").option("statscol", "k")
+      .option("nfiles", "1").save(dirN)
+    def frontN = spark.read.format("graft").load(dirN)
+    val nq = frontN.groupBy("k").count()
+    assert(isLocal(nq), s"expected LocalRelation only, got:\n${planOf(nq)}")
+    assert(groups(nq) == Map(Some(5L) -> 2L, None -> 1L))
+    // ... but a DV TOGETHER with NULL keys is ambiguous (the masked
+    // position could have hidden either group's row): refuse into the
+    // scan — which here is every file, so no rewrite at all
+    Snapshot.deleteWhereDV(spark, dirN, 5L, 5L)
+    val nq2 = frontN.groupBy("k").count()
+    assert(planOf(nq2).collectFirst { case l: LocalRelation => l }.isEmpty,
+      "DV + null keys must refuse the grouped rewrite")
+    assert(groups(nq2) == Map(None -> 1L))
+    assert(groups(Snapshot.groupCount(spark, dirN)) == Map(None -> 1L))
+  }
+
+  test("range-filtered grouped count composes stamps with the predicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metagrange_" + java.util.UUID.randomUUID().toString.take(8)
+    // 4 SINGLE-VALUED band files: k=10×5, 20×6, 30×7, 40×8 rows
+    def band(v: Long, n: Int) =
+      (1 to n).map(i => (v, s"r${v}_$i")).toDF("k", "v")
+    Seq((10L, 5), (20L, 6), (30L, 7), (40L, 8)).zipWithIndex.foreach {
+      case ((v, n), i) =>
+        val carried =
+          if (i == 0) Nil else Snapshot.manifest(spark, dir, i).files
+        Snapshot.commit(band(v, n), dir, i, "k", carried, nFiles = 1)
+    }
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    def groups(df: DataFrame): Map[Option[Long], Long] =
+      df.collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1))).toMap
+    // in-range bands answer from stamps alone, out-of-range bands drop
+    val rq = front.filter(col("k") >= 20L && col("k") <= 30L)
+      .groupBy("k").count()
+    assert(isLocal(rq), s"expected LocalRelation only, got:\n${planOf(rq)}")
+    assert(groups(rq) == Map(Some(20L) -> 6L, Some(30L) -> 7L))
+    // a MIXED straddler scans WITH the predicate; stamped bands merge
+    val mixed = Seq((30L, "m1"), (40L, "m2"), (40L, "m3")).toDF("k", "v")
+    Snapshot.commit(mixed, dir, 4,
+      "k", carried = Snapshot.manifest(spark, dir, 4).files, nFiles = 1)
+    val m5 = Snapshot.manifest(spark, dir, 5)
+    val mixedFile =
+      m5.files.find(f => f.min == 30L && f.max == 40L).map(_.path)
+    assert(mixedFile.nonEmpty)
+    val rq2 = front.filter(col("k").between(20L, 35L)).groupBy("k").count()
+    assert(restrictedOf(rq2) == mixedFile.map(Set(_)),
+      s"straddler-only scan set expected, got:\n${planOf(rq2)}")
+    assert(groups(rq2) == Map(Some(20L) -> 6L, Some(30L) -> 8L))
+    // a contradictory range answers ZERO groups from the predicate alone
+    val cq = front.filter(col("k") > 50L && col("k") < 20L)
+      .groupBy("k").count()
+    assert(isLocal(cq) && cq.collect().isEmpty,
+      s"contradiction must fold to zero groups:\n${planOf(cq)}")
+    // NULL keys fail any range predicate: excluded from stamp sums
+    val dirN = dir + "_nulls"
+    Seq[(Option[Long], String)](Some(5L) -> "a", Some(5L) -> "b",
+      None -> "n").toDF("k", "v")
+      .write.format("graft").option("statscol", "k")
+      .option("nfiles", "1").save(dirN)
+    def frontN = spark.read.format("graft").load(dirN)
+    val nq = frontN.filter(col("k").between(1L, 9L)).groupBy("k").count()
+    assert(isLocal(nq), s"expected LocalRelation only, got:\n${planOf(nq)}")
+    assert(groups(nq) == Map(Some(5L) -> 2L))
+    // an IsNotNull-only filter is the unfiltered split minus NULL group
+    val iq = frontN.filter(col("k").isNotNull).groupBy("k").count()
+    assert(isLocal(iq) && groups(iq) == Map(Some(5L) -> 2L))
+    // guard: a filter conjunct on a NON-clustering column refuses
+    val vq = front.filter(col("v") === "m1").groupBy("k").count()
+    assert(planOf(vq).collectFirst { case l: LocalRelation => l }.isEmpty,
+      "non-clustering filters must not rewrite the grouped shape")
+    assert(groups(vq) == Map(Some(30L) -> 1L))
+  }
+
   test("sidecar min/max through the front door are metadata-only; " +
     "inexact stamp kinds refuse") {
     import spark.implicits._
