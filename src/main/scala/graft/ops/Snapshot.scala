@@ -2673,6 +2673,46 @@ object Snapshot {
       s"stats column must be integral, got ${other.getClass.getSimpleName}")
   }
 
+  /** [[commit]] with a BY-VALUE layout: every fresh file holds exactly
+    * ONE distinct value of `statsCol` — the manifest analog of
+    * Delta/Hive `partitionBy`, without directories. One bounded
+    * distinct job collects the values (one extra evaluation of the
+    * input, like the RangePartitioner's sampling pass this replaces;
+    * REFUSES past `maxValues` — a by-value layout on a
+    * high-cardinality column is a mistake at any table size), then the
+    * values' own boundaries place rows through the exact-token
+    * exchange ([[repartitionByCuts]] — bucket i is `(v(i−1), v(i)]`,
+    * which between actual values contains exactly `v(i)`). NULL keys
+    * ride the lowest bucket and stamp as that file's `kNulls`. The
+    * resulting single-valued stamps make `GROUP BY statsCol`
+    * metadata-only FROM BIRTH ([[metaGroupSplit]] /
+    * [[graft.plans.MetadataOnlyCountRule]]) and point/range predicates
+    * prune to exactly the matching value files. Honesty bounds: under
+    * `spark.graft.write.boundedRepartition=false` (or a user column
+    * shadowing the internal bucket name) placement degrades to range
+    * sampling — correct, possibly mixed files, which simply scan. */
+  def commitByValue(df: DataFrame, dir: String, expectedVersion: Int,
+                    statsCol: String, carried: Seq[FileEntry] = Nil,
+                    maxValues: Int = 256, note: String = ""): Int = {
+    require(maxValues >= 1,
+      s"commitByValue needs maxValues >= 1, got $maxValues")
+    val vals = df.select(col(statsCol)).na.drop().distinct()
+      .limit(maxValues + 1).collect().map(r => toLongStat(r.get(0))).sorted
+    if (vals.length > maxValues)
+      throw new IllegalArgumentException(
+        s"commitByValue found more than $maxValues distinct values of " +
+          s"'$statsCol' — a by-value layout wants a low-cardinality " +
+          "clustering column (status codes, tenant ids, ingest dates); " +
+          "raise maxValues deliberately or use the range layout")
+    if (vals.isEmpty) // empty frame (or all-NULL keys, refused at write)
+      commit(df, dir, expectedVersion, statsCol, carried, nFiles = 1,
+        note = note)
+    else
+      commit(df, dir, expectedVersion, statsCol, carried,
+        nFiles = vals.length, note = note,
+        cuts = Some(vals.init.toSeq))
+  }
+
   /** Serialize-and-publish gate: one lock per JVM serializes local
     * writers so the exists-check + rename below is race-free within a
     * driver (the supported model — see the class scaladoc for the

@@ -136,8 +136,18 @@ final class GraftSourceProvider extends RelationProvider
       .getOrElse(throw new IllegalArgumentException(
         "a new graft table needs option statsCol (the clustering column)"))
     val nFiles = opts.get("nfiles").map(_.trim.toInt).getOrElse(8)
+    // option("clusterByValue", "true"): land every distinct statsCol
+    // value in its own file ([[Snapshot.commitByValue]] — the
+    // partitionBy analog on the manifest; GROUP BY statsCol becomes
+    // metadata-only from birth). maxValues bounds the layout's
+    // cardinality (default 256).
+    val byValue = opts.get("clusterbyvalue").exists(_.trim.toBoolean)
+    val maxValues = opts.get("maxvalues").map(_.trim.toInt).getOrElse(256)
     def land(carried: Seq[Snapshot.FileEntry]): Unit = {
-      Snapshot.commit(data, dir, cur, statsCol, carried, nFiles)
+      if (byValue)
+        Snapshot.commitByValue(data, dir, cur, statsCol, carried, maxValues)
+      else
+        Snapshot.commit(data, dir, cur, statsCol, carried, nFiles)
       ()
     }
     // option("rebase", "true"): append with COMMIT-RETRY instead of the

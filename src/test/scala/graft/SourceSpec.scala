@@ -1002,6 +1002,69 @@ class SourceSpec extends SparkSpec {
     assert(groups(vq) == Map(Some(30L) -> 1L))
   }
 
+  test("commitByValue lands one file per distinct value; GROUP BY is " +
+    "metadata-only from birth") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_byvalue_" + java.util.UUID.randomUUID().toString.take(8)
+    val rows = (1 to 30).map(i => ((i % 3 + 1).toLong * 10, s"r$i"))
+      .toDF("k", "v")
+    Snapshot.commitByValue(rows, dir, 0, "k")
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.files.size == 3, s"one file per value expected: ${m.files}")
+    assert(m.files.forall(f => f.min == f.max && f.kNulls == 0L &&
+      f.rows == 10L), s"single-valued stamps expected: ${m.files}")
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    val gq = spark.read.format("graft").load(dir).groupBy("k").count()
+    assert(isLocal(gq), s"expected LocalRelation only, got:\n${planOf(gq)}")
+    assert(gq.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+    // a point predicate prunes to exactly the matching value's file
+    assert(SourcePruning.candidates(m,
+      Seq(org.apache.spark.sql.sources.EqualTo("k", 20L))).size == 1)
+    // NULL keys ride the lowest bucket and stamp as its kNulls — the
+    // grouped split still answers from stamps, NULL group included
+    val dirN = dir + "_nulls"
+    val withNulls = (Seq[Option[Long]](None, None) ++
+      (1 to 6).map(i => Some((i % 2 + 1).toLong)))
+      .zipWithIndex.map { case (k, i) => (k, s"n$i") }.toDF("k", "v")
+    Snapshot.commitByValue(withNulls, dirN, 0, "k")
+    val mN = Snapshot.manifest(spark, dirN, 1)
+    assert(mN.files.size == 2 && mN.files.forall(f => f.min == f.max))
+    assert(mN.files.find(_.min == 1L).exists(_.kNulls == 2L),
+      s"nulls must ride the lowest value's file: ${mN.files}")
+    val nq = spark.read.format("graft").load(dirN).groupBy("k").count()
+    assert(isLocal(nq))
+    assert(nq.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toMap ==
+      Map(1L -> 3L, 2L -> 3L, -1L -> 2L))
+    // cardinality guard: past maxValues the layout refuses loudly
+    val wide = (1 to 40).map(i => (i.toLong, s"w$i")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.commitByValue(wide, dir + "_wide", 0, "k", maxValues = 8)
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+    // the writer spelling: clusterByValue option, append carries files
+    val dirW = dir + "_writer"
+    rows.write.format("graft").option("statscol", "k")
+      .option("clusterbyvalue", "true").save(dirW)
+    Seq((40L, "x1"), (40L, "x2")).toDF("k", "v")
+      .write.format("graft").option("clusterbyvalue", "true")
+      .mode("append").save(dirW)
+    val mW = Snapshot.manifest(spark, dirW, 2)
+    assert(mW.files.size == 4 && mW.files.forall(f => f.min == f.max),
+      s"append must carry the 3 value files and add one: ${mW.files}")
+    val wq = spark.read.format("graft").load(dirW).groupBy("k").count()
+    assert(isLocal(wq))
+    assert(wq.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 2L))
+  }
+
   test("sidecar min/max through the front door are metadata-only; " +
     "inexact stamp kinds refuse") {
     import spark.implicits._
