@@ -3854,6 +3854,30 @@ object Snapshot {
       note = "optimize:compact")
   }
 
+  /** FULL RE-CLUSTER into the BY-VALUE layout — the maintenance twin
+    * of [[commitByValue]]'s write option: rewrite the current version
+    * so every file holds exactly one distinct clustering value, making
+    * `GROUP BY statsCol` metadata-only ([[metaGroupSplit]]) and point
+    * predicates prune to exactly the matching value's file. Table-scale
+    * cost like [[compactVersion]] (one read + one bounded distinct
+    * collect + one placed write) — the verb for retrofitting the
+    * layout onto a table that accreted range-stamped files. A
+    * maintenance commit (`optimize:byvalue`) so [[changeFeed]] ticks
+    * over it; z-ordered layouts refuse (the rewrite would drop the
+    * multi-axis note — re-cluster deliberately); past `maxValues`
+    * distinct values the layout refuses, leaving the table untouched. */
+  def optimizeByValue(spark: SparkSession, dir: String,
+                      maxValues: Int = 256): Int = {
+    val cur = currentVersion(spark, dir)
+    val m = manifest(spark, dir, cur)
+    require(!m.note.startsWith("zorder"),
+      s"optimizeByValue against a z-ordered snapshot (note='${m.note}'): " +
+        "the rewrite would drop the layout note — re-cluster deliberately")
+    commitByValue(read(spark, dir, cur), dir, cur,
+      logicalName(m, m.statsCol), Nil, maxValues,
+      note = "optimize:byvalue")
+  }
+
   /** Register a CHECK constraint — the reference's DQ-gate idea (SURVEY
     * A20) moved INTO the transactional table: `sql` is a boolean SQL
     * predicate over the table's columns (SQL CHECK semantics — NULL

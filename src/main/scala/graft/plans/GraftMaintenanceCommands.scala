@@ -53,12 +53,14 @@ private[graft] object GraftMaintenance {
   val TargetFileBytes: Long = 128L << 20
 }
 
-final case class GraftOptimizeCommand(name: String, zorderBy: Seq[String])
+final case class GraftOptimizeCommand(name: String, zorderBy: Seq[String],
+                                      byValue: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftMaintenance.versionOutput
   override def run(session: SparkSession): Seq[Row] = {
     val dir = GraftMaintenance.dirFor(session, name)
     val v = zorderBy match {
+      case Seq() if byValue => Snapshot.optimizeByValue(session, dir)
       case Seq() =>
         Snapshot.compactVersion(session, dir, GraftMaintenance.TargetFileBytes)
       case cols =>

@@ -20,7 +20,7 @@ import graft.ops.Snapshot
   * other `ParserInterface` entry point — passes through to Spark's
   * parser verbatim.
   *
-  *   OPTIMIZE name [ZORDER BY (a, b[, c])]
+  *   OPTIMIZE name [ZORDER BY (a, b[, c]) | BY VALUE]
   *   VACUUM name [RETAIN n HOURS]
   *   DESCRIBE HISTORY name
   *   DESCRIBE DETAIL name
@@ -60,7 +60,8 @@ final class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       if (zcols.nonEmpty && zcols.size != 2 && zcols.size != 3)
         throw new IllegalArgumentException(
           s"OPTIMIZE ZORDER BY takes 2 or 3 columns, got ${zcols.size}")
-      return GraftOptimizeCommand(optimize.group(1), zcols)
+      return GraftOptimizeCommand(optimize.group(1), zcols,
+        byValue = optimize.group(3) != null)
     }
     val vacuum = VacuumRe.matcher(s)
     if (vacuum.matches()) {
@@ -127,7 +128,8 @@ private[graft] object GraftSqlParser {
   private val Flags = Pattern.CASE_INSENSITIVE | Pattern.DOTALL
 
   val OptimizeRe: Pattern = Pattern.compile(
-    s"OPTIMIZE\\s+($Id)(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\))?", Flags)
+    s"OPTIMIZE\\s+($Id)" +
+      "(?:\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\)|\\s+(BY\\s+VALUE))?", Flags)
   val VacuumRe: Pattern = Pattern.compile(
     s"VACUUM\\s+($Id)(?:\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?)?" +
       "(\\s+DRY\\s+RUN)?", Flags)

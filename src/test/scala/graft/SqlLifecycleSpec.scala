@@ -117,6 +117,47 @@ class SqlLifecycleSpec extends SparkSpec {
     assert(Snapshot.read(spark, dir).count() == 10)
   }
 
+  test("SQL OPTIMIZE BY VALUE re-clusters to single-valued files; " +
+    "GROUP BY over the catalog table goes metadata-only") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val (dir, name) = freshRegistered()
+    val before = sorted(Snapshot.read(spark, dir))
+    // k % 3 as the clustering value: recluster onto a derived frame via
+    // a plain overwrite first, then OPTIMIZE BY VALUE retrofits layout
+    val cur = Snapshot.currentVersion(spark, dir)
+    Snapshot.commit(Snapshot.read(spark, dir)
+        .withColumn("k", col("k") % 3), dir, cur, "k", nFiles = 2)
+    val out = spark.sql(s"OPTIMIZE $name BY VALUE").collect()
+    val m = Snapshot.manifest(spark, dir, out.head.getLong(0).toInt)
+    assert(m.note == "optimize:byvalue")
+    assert(m.files.size == 3 && m.files.forall(f => f.min == f.max),
+      s"one file per value expected: ${m.files}")
+    assert(Snapshot.read(spark, dir).count() == 10)
+    // the grouped metadata rewrite through PURE SQL over a catalog
+    // table (USING graft names resolve to the relation the rule reads)
+    val cat = s"cat_$name"
+    spark.sql(s"CREATE TABLE $cat (k BIGINT, v BIGINT) USING graft " +
+      s"LOCATION '$dir' OPTIONS (statsCol 'k')")
+    try {
+      val gq = spark.sql(s"SELECT k, count(*) AS n FROM $cat GROUP BY k")
+      val plan = gq.queryExecution.optimizedPlan
+      assert(plan.collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        plan.collectFirst { case lr: LogicalRelation => lr }.isEmpty,
+        s"expected LocalRelation only, got:\n$plan")
+      assert(gq.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+        Map(0L -> 3L, 1L -> 4L, 2L -> 3L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $cat")
+    // a z-ordered layout refuses the re-cluster
+    val (dirZ, nameZ) = freshRegistered()
+    spark.sql(s"OPTIMIZE $nameZ ZORDER BY (k, v)")
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE $nameZ BY VALUE").collect()
+    }
+    assert(e.getMessage.contains("z-ordered"))
+    assert(before.size == 10) // the original content was never lost
+  }
+
   test("SQL VACUUM: RETAIN 0 reclaims debris the default grace protects") {
     val (dir, name) = freshRegistered()
     // orphan data dir: crash debris no manifest references
