@@ -1322,6 +1322,14 @@ object Snapshot {
       if (m == null) None else m.get(key._1)
     }
 
+    /** One column's whole shard — the metadata-aggregate folds
+      * ([[Snapshot.sidecarMinMaxMeta]]) walk a million per-file stamps
+      * of ONE column; handing them the path-keyed shard directly drops
+      * a tuple allocation + the two-level probe per file. */
+    private[graft] def shard(col: String)
+        : Option[scala.collection.immutable.Map[String, V]] =
+      Option(shardIdx.get(col))
+
     override def contains(key: (String, String)): Boolean = {
       val m = shardIdx.get(key._2)
       m != null && m.contains(key._1)
@@ -2150,16 +2158,35 @@ object Snapshot {
     * carries the degraded full-open stamp, or the [[minMaxGateOpen]]
     * conditions fail. SQL MIN/MAX ignore NULLs exactly as the stamps
     * do, so per-file NULLs are harmless. */
+  /** Per-file stamp lookup for ONE column, shard-direct when the map
+    * is sharded (a million-file fold pays one path-keyed probe per
+    * file instead of a tuple allocation + two-level probe). */
+  private def colLookup[V](stats: Map[(String, String), V],
+      physCol: String): String => Option[V] = stats match {
+    case s: ShardedStats[V] =>
+      val sh = s.shard(physCol)
+        .getOrElse(scala.collection.immutable.Map.empty[String, V])
+      p => sh.get(p)
+    case other => p => other.get((p, physCol))
+  }
+
   private[graft] def sidecarMinMaxMeta(m: Manifest,
       physCol: String): Option[(Long, Long)] =
     if (!minMaxGateOpen(m)) None
     else {
-      val vs = m.files.map(f => m.colStats.get((f.path, physCol)))
-      if (vs.exists(v => v.isEmpty ||
-          (v.get._1 == Long.MinValue && v.get._2 == Long.MaxValue)))
-        None
-      else Some((vs.iterator.map(_.get._1).min,
-        vs.iterator.map(_.get._2).max))
+      val look = colLookup(m.colStats, physCol)
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var ok = true
+      val it = m.files.iterator
+      while (ok && it.hasNext) look(it.next().path) match {
+        case Some((a, b))
+            if !(a == Long.MinValue && b == Long.MaxValue) =>
+          if (a < mn) mn = a
+          if (b > mx) mx = b
+        case _ => ok = false // unstamped or degraded full-open: refuse
+      }
+      if (ok) Some((mn, mx)) else None
     }
 
   /** [[sidecarMinMaxMeta]] for STRING columns: `strStats` stamps are
@@ -2170,10 +2197,18 @@ object Snapshot {
       physCol: String): Option[(String, String)] =
     if (!minMaxGateOpen(m)) None
     else {
-      val vs = m.files.map(f => m.strStats.get((f.path, physCol)))
-      if (vs.exists(_.isEmpty)) None
-      else Some((vs.iterator.map(_.get._1).min(Utf8Order),
-        vs.iterator.map(_.get._2).max(Utf8Order)))
+      val look = colLookup(m.strStats, physCol)
+      var mn: String = null
+      var mx: String = null
+      var ok = true
+      val it = m.files.iterator
+      while (ok && it.hasNext) look(it.next().path) match {
+        case Some((a, b)) =>
+          if (mn == null || Utf8Order.compare(a, mn) < 0) mn = a
+          if (mx == null || Utf8Order.compare(b, mx) > 0) mx = b
+        case None => ok = false // an unstamped (wide/all-NULL) file refuses
+      }
+      if (ok && mn != null) Some((mn, mx)) else None
     }
 
   /** Stats-pruned read: only files whose [min,max] range on the stats
