@@ -220,3 +220,75 @@ final class GraftCdfSource(spark: SparkSession, dir: String,
 
   override def stop(): Unit = ()
 }
+
+/** The change feed as a BATCH read — Delta's `readChangeFeed` option
+  * on the ordinary read front door:
+  *
+  *   spark.read.format("graft")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 1)   // changes AFTER this commit
+  *     .option("endingVersion", 3)     // default: current version
+  *     .load(dir)
+  *
+  * — the batch half of the CDF surface ([[GraftCdfSource]] is the
+  * streaming half; [[Snapshot.changeFeed]] the verb). Serves the
+  * per-commit diffs in `(startingVersion, endingVersion]`, each row
+  * stamped `_commit_version`, maintenance commits skipped by manifest
+  * arithmetic (dataChange=false — an OPTIMIZE inside the span costs
+  * nothing and feeds nothing). Manifests are immutable, so the same
+  * span always re-serves byte-identical rows; cost ∝ the span's
+  * touched files, never the table. `keyCol` defaults to the table's
+  * clustering column (logical name). */
+final class GraftChangesRelation(override val sqlContext: SQLContext,
+                                 dir: String, keyCol: String,
+                                 v1: Int, v2: Int)
+    extends org.apache.spark.sql.sources.BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+
+  require(v1 >= 0 && v2 >= v1,
+    s"readChangeFeed needs 0 <= startingVersion <= endingVersion, " +
+      s"got ($v1, $v2] under $dir")
+
+  override val schema: StructType =
+    GraftCdfSource.feedSchema(sqlContext.sparkSession, dir, keyCol)
+
+  override def toString: String =
+    s"GraftChangesRelation($dir, ($v1, $v2])"
+
+  private def feed: DataFrame = {
+    val spark = sqlContext.sparkSession
+    val steps = ((v1 + 1) to v2).filterNot(v =>
+      Snapshot.isMaintenanceNote(Snapshot.manifest(spark, dir, v).note))
+    val declared = schema.fieldNames.toSet
+    val parts = steps.map { v =>
+      // v1 has no predecessor to diff against: its change feed IS the
+      // initial load, every row an insert (startingVersion = 0 means
+      // "from the table's beginning" — Delta's contract)
+      val changes =
+        if (v == 1) Snapshot.read(spark, dir, 1)
+          .withColumn("change_type", lit("I"))
+        else Snapshot.changeFeed(spark, dir, v - 1, v, keyCol)
+      val df = changes.withColumn("_commit_version", lit(v.toLong))
+      val extra = df.columns.filterNot(declared.contains)
+      // the feed is a fixed-schema contract pinned at the CURRENT
+      // version: a mid-span evolution only ever means columns the
+      // head declares are missing from EARLY steps — null-fill those
+      // (the column did not exist; NULL is its honest value), never
+      // drop data
+      require(extra.isEmpty,
+        s"change-feed step v$v carries undeclared columns " +
+          s"${extra.mkString(",")} under $dir")
+      val missing = schema.fields.filterNot(f =>
+        df.columns.contains(f.name))
+      missing.foldLeft(df)((acc, f) =>
+        acc.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+    parts.reduceOption(_ unionAll _).getOrElse(
+      sqlContext.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+  }
+
+  override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    feed.rdd
+}

@@ -63,6 +63,25 @@ final class GraftSourceProvider extends RelationProvider
     val spark = sqlContext.sparkSession
     require(!(opts.contains("versionasof") && opts.contains("timestampasof")),
       "versionAsOf and timestampAsOf are mutually exclusive")
+    // option("readChangeFeed", "true"): the change feed as a BATCH
+    // read over (startingVersion, endingVersion] — Delta's spelling;
+    // [[GraftChangesRelation]]. Composes with version options only
+    // through its own start/end pair, not time travel.
+    if (opts.get("readchangefeed").exists(_.trim.toBoolean)) {
+      require(!opts.contains("versionasof") &&
+          !opts.contains("timestampasof"),
+        "readChangeFeed takes startingVersion/endingVersion, " +
+          "not versionAsOf/timestampAsOf")
+      val to = opts.get("endingversion").map(_.trim.toInt)
+        .getOrElse(Snapshot.currentVersion(spark, dir))
+      val from = opts.get("startingversion").map(_.trim.toInt).getOrElse(0)
+      val keyCol = opts.get("keycol").getOrElse {
+        val m = Snapshot.manifest(spark, dir,
+          Snapshot.currentVersion(spark, dir))
+        Snapshot.logicalName(m, m.statsCol)
+      }
+      return new GraftChangesRelation(sqlContext, dir, keyCol, from, to)
+    }
     val version = opts.get("versionasof").map(_.trim.toInt)
       .orElse(opts.get("timestampasof").map(ts =>
         Snapshot.versionAtTimestamp(spark, dir, GraftSourceProvider.epochMs(ts))))

@@ -430,6 +430,37 @@ class SourceSpec extends SparkSpec {
     assert(got.size == 3)
   }
 
+  test("readChangeFeed serves the change feed as a batch read") {
+    val dir = freshTable()
+    Snapshot.commit(stateAfter(dir), dir, 1, "k")
+    // maintenance inside the span: skipped by arithmetic, feeds nothing
+    Snapshot.compactVersion(spark, dir, Long.MaxValue)
+    def changes(opts: (String, String)*): Seq[Row] = {
+      val r = spark.read.format("graft").option("readChangeFeed", "true")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
+        .load(dir).collect().toSeq
+    }
+    val got = changes("startingVersion" -> "1")
+    assert(got.forall(_.getLong(3) == 2L),
+      "the only data change in (1, head] is v2")
+    val byKey = got.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byKey == Map(3L -> "U", 7L -> "D", 11L -> "I"))
+    // an explicit span re-serves byte-identical rows (immutable
+    // manifests); the full span includes v1's loads as inserts
+    assert(changes("startingVersion" -> "1", "endingVersion" -> "2")
+      .map(_.getLong(0)).sorted == got.map(_.getLong(0)).sorted)
+    val full = changes()
+    assert(full.count(_.getLong(3) == 1L) == 10, "v1 feeds its loads")
+    // an empty span is a legal empty frame with the feed schema
+    val empty = changes("startingVersion" -> "2", "endingVersion" -> "2")
+    assert(empty.isEmpty)
+    // time travel does not compose — loud refusal
+    val e = intercept[IllegalArgumentException] {
+      changes("versionAsOf" -> "1")
+    }
+    assert(e.getMessage.contains("startingVersion"))
+  }
+
   test("graft-cdf skips maintenance commits and recovers from checkpoint") {
     val dir = freshTable()
     Snapshot.commit(stateAfter(dir), dir, 1, "k")
