@@ -72,9 +72,25 @@ final class GraftSourceProvider extends RelationProvider
           !opts.contains("timestampasof"),
         "readChangeFeed takes startingVersion/endingVersion, " +
           "not versionAsOf/timestampAsOf")
+      require(!(opts.contains("startingversion") &&
+          opts.contains("startingtimestamp")) &&
+          !(opts.contains("endingversion") &&
+            opts.contains("endingtimestamp")),
+        "startingVersion/startingTimestamp (and ending*) are " +
+          "mutually exclusive spellings of the same bound")
+      // timestamp bounds resolve on the same monotone commit clock as
+      // timestampAsOf: start = newest version at/before the instant
+      // (changes AFTER it feed), end = newest version at/before it
       val to = opts.get("endingversion").map(_.trim.toInt)
+        .orElse(opts.get("endingtimestamp").map(ts =>
+          Snapshot.versionAtTimestamp(spark, dir,
+            GraftSourceProvider.epochMs(ts))))
         .getOrElse(Snapshot.currentVersion(spark, dir))
-      val from = opts.get("startingversion").map(_.trim.toInt).getOrElse(0)
+      val from = opts.get("startingversion").map(_.trim.toInt)
+        .orElse(opts.get("startingtimestamp").map(ts =>
+          Snapshot.versionAtTimestamp(spark, dir,
+            GraftSourceProvider.epochMs(ts))))
+        .getOrElse(0)
       val keyCol = opts.get("keycol").getOrElse {
         val m = Snapshot.manifest(spark, dir,
           Snapshot.currentVersion(spark, dir))

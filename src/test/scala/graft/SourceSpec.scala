@@ -432,6 +432,7 @@ class SourceSpec extends SparkSpec {
 
   test("readChangeFeed serves the change feed as a batch read") {
     val dir = freshTable()
+    Thread.sleep(5) // distinct commit clocks for the timestamp spelling
     Snapshot.commit(stateAfter(dir), dir, 1, "k")
     // maintenance inside the span: skipped by arithmetic, feeds nothing
     Snapshot.compactVersion(spark, dir, Long.MaxValue)
@@ -454,6 +455,11 @@ class SourceSpec extends SparkSpec {
     // an empty span is a legal empty frame with the feed schema
     val empty = changes("startingVersion" -> "2", "endingVersion" -> "2")
     assert(empty.isEmpty)
+    // timestamp spellings resolve on the same monotone commit clock
+    val t1 = Snapshot.manifest(spark, dir, 1).ts
+    assert(changes("startingTimestamp" -> t1.toString)
+      .map(_.getLong(0)).sorted == got.map(_.getLong(0)).sorted,
+      "startingTimestamp at v1's instant must equal startingVersion 1")
     // time travel does not compose — loud refusal
     val e = intercept[IllegalArgumentException] {
       changes("versionAsOf" -> "1")
