@@ -1727,6 +1727,32 @@ object Warehouse extends QueryModule {
       all.unionAll(rng).orderBy(col("phase"), col("scode"))
     }),
 
+    "q172_stats_dcount" -> ((s, d) => {
+      // METADATA-ONLY count(key) / count(DISTINCT key)
+      // ([[statusOrders]] → [[Snapshot.metaGroupSplit]] riding
+      // [[graft.plans.MetadataOnlyCountRule]] rewrite #5): "how many
+      // non-null keys" and "how many codes" answered from the same
+      // grouped stamp arithmetic — the three single-valued band files
+      // contribute their sums, the planted mixed-tail file is the ONLY
+      // one scanned, and the distinct count merges stamped and scanned
+      // values (a code seen on both sides collapses). `n_scan` carries
+      // the engine's own degraded-set size (oracle-pinned 1 of 4);
+      // the oracle recomputes all three counts from raw orders. Plan
+      // shape, DV-masked-value vanishing and the non-clustering
+      // refusal are SourceSpec-pinned.
+      val dir = statusOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (sums, scan) = Snapshot.metaGroupSplit(m)
+      require(sums.nonEmpty,
+        "planted band files must answer from stamps alone")
+      s.read.format("graft").load(dir)
+        .agg(count(col("scode")).as("n_key"),
+          countDistinct(col("scode")).as("n_distinct"),
+          count(lit(1)).as("n_rows"))
+        .select(col("n_key"), col("n_distinct"), col("n_rows"),
+          lit(scan.size.toLong).as("n_scan"))
+    }),
+
     "q169_join_sip" -> ((s, d) => {
       // SIDEWAYS INFORMATION PASSING ([[SipJoin]] over [[rangeOrders]]):
       // a fact ⋈ small-dim join where the dim's keys — not the query
@@ -2532,6 +2558,15 @@ object Warehouse extends QueryModule {
         |  SELECT 'range', scode, count(*), CAST(1 AS BIGINT)
         |  FROM st WHERE scode >= 79 GROUP BY 2)
         |ORDER BY phase, scode""".stripMargin,
+
+    // the distinct-count split's truth: stamped band sums + the one
+    // scanned mixed file must reproduce the raw counts, and the
+    // distinct merge must collapse values seen on both sides
+    "q172_stats_dcount" ->
+      """SELECT count(ascii(o_orderstatus)) AS n_key,
+        |       count(DISTINCT ascii(o_orderstatus)) AS n_distinct,
+        |       count(*) AS n_rows, CAST(1 AS BIGINT) AS n_scan
+        |FROM orders""".stripMargin,
 
     // the SIP witness's truth: the 4 band files partition key2 by
     // floor(key2/250), each file's stamps are the band's exact

@@ -426,6 +426,115 @@ case class MetadataOnlyCountRule(session: SparkSession)
     }
   }
 
+  /** Is `e` a `count(key)` / `count(DISTINCT key)` of the bare (or
+    * widening-cast) clustering attribute? Returns the distinctness. */
+  private def countKeyOf(e: NamedExpression, lr: LogicalRelation,
+      g: GraftRelation): Option[Boolean] = e match {
+    case Alias(ae: AggregateExpression, _)
+        if ae.mode == Complete && ae.filter.isEmpty =>
+      ae.aggregateFunction match {
+        case Count(Seq(c)) =>
+          keyAttrOf(c).filter(isClusteringAttr(_, lr, g))
+            .map(_ => ae.isDistinct)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** '''5. Global count(key) / count(DISTINCT key) of the clustering
+    * column''' (round 17) — "how many non-null keys" and "how many
+    * tenants/days/codes", answered from the same
+    * [[Snapshot.metaGroupSplit]] arithmetic as the grouped shape:
+    * stamped single-valued files contribute their group sums (NULLs
+    * and DV masks accounted exactly as there), degraded files scan
+    * restricted and merge — `count(key)` sums the non-NULL-group
+    * contributions, `count(DISTINCT key)` counts the merged distinct
+    * keys (a value seen in both stamps and the scan collapses).
+    * Count-star outputs mix freely. None = guards refuse. */
+  private def distinctCountRewrite(agg: Aggregate): Option[LogicalPlan] =
+    relationOf(agg.child).flatMap { case (lr, gr) =>
+      // per-output shape: Some(None) = count(*), Some(Some(d)) =
+      // count([DISTINCT] key) with distinctness d, None = unsupported
+      val shapes: Seq[Option[Option[Boolean]]] =
+        agg.aggregateExpressions.map { e =>
+          if (isCountStar(e)) Some(None)
+          else countKeyOf(e, lr, gr).map(d => Some(d))
+        }
+      val kAttr = lr.output.find(_.name.equalsIgnoreCase(
+        Snapshot.logicalName(gr.pinnedManifest,
+          gr.pinnedManifest.statsCol)))
+      val integral = kAttr.exists(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+      if (shapes.exists(_.isEmpty) || !shapes.exists(_.exists(_.isDefined))
+          || !integral) None
+      else {
+        val g = kAttr.get.asInstanceOf[AttributeReference]
+        def typed(v: Long): Any = g.dataType match {
+          case LongType    => v
+          case IntegerType => v.toInt
+          case ShortType   => v.toShort
+          case ByteType    => v.toByte
+        }
+        val m = gr.pinnedManifest
+        val (sums, scan) = Snapshot.metaGroupSplit(m)
+        if (scan.nonEmpty) {
+          if (scan.size == m.files.size) return None
+          // stamped groups + one restricted grouped scan, merged by a
+          // global aggregate over the union (same scaffold as the
+          // grouped rewrite, global outputs instead of per-group)
+          val cnt = Alias(AggregateExpression(
+            Count(Seq(Literal(1L))), Complete, isDistinct = false),
+            "gm_part_cnt")()
+          val newChild = agg.child.transformUp {
+            case l: LogicalRelation if l eq lr =>
+              l.copy(relation = gr.restrictedTo(scan.map(_.path).toSet))
+          }
+          val scanAgg = Aggregate(Seq(g), Seq(g, cnt), newChild)
+          val localOut = Seq(
+            AttributeReference("gm_k", g.dataType)(),
+            AttributeReference("gm_c", LongType, nullable = false)())
+          val local = LocalRelation(localOut,
+            sums.toSeq.map { case (k, n) =>
+              InternalRow.fromSeq(Seq(k.map(typed).orNull, n))
+            })
+          val un = Union(Seq(scanAgg, local))
+          val uk = un.output.head
+          val uc = un.output(1)
+          def sumOf(term: Expression) = Coalesce(Seq(AggregateExpression(
+            Sum(term), Complete, isDistinct = false), Literal(0L)))
+          val outs = agg.aggregateExpressions.zip(shapes).map {
+            case (e, Some(None)) => // count(*): every underlying row
+              Alias(sumOf(uc), e.name)(exprId = e.exprId)
+            case (e, Some(Some(false))) => // count(key): non-null rows
+              Alias(sumOf(org.apache.spark.sql.catalyst.expressions.If(
+                IsNotNull(uk), uc, Literal(0L))),
+                e.name)(exprId = e.exprId)
+            case (e, Some(Some(true))) => // count(DISTINCT key)
+              Alias(AggregateExpression(Count(Seq(uk)), Complete,
+                isDistinct = true), e.name)(exprId = e.exprId)
+            case (e, None) => return None // unreachable by the guard
+          }
+          Some(Aggregate(Nil, outs, un))
+        } else {
+          // every file accounted: one local row of pure arithmetic
+          lazy val total = sums.valuesIterator.sum
+          lazy val nonNull = sums.iterator
+            .collect { case (Some(_), n) => n }.sum
+          lazy val distinct = sums.keysIterator.count(_.isDefined).toLong
+          val vals = shapes.map {
+            case Some(None)        => total
+            case Some(Some(false)) => nonNull
+            case Some(Some(true))  => distinct
+            case None              => return None // unreachable
+          }
+          Some(LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(vals))))
+        }
+      }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty &&
         exprs.forall(isCountStar) =>
@@ -434,7 +543,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
         case None    => filteredCountRewrite(agg).getOrElse(agg)
       }
     case agg @ Aggregate(Nil, exprs, _, _) if exprs.nonEmpty =>
-      minMaxRewrite(agg).getOrElse(agg)
+      minMaxRewrite(agg).orElse(distinctCountRewrite(agg)).getOrElse(agg)
     case agg @ Aggregate(Seq(g: AttributeReference), exprs, _, _)
         if exprs.nonEmpty &&
           exprs.forall(e => isKeyOutput(e, g) || isCountStar(e)) =>

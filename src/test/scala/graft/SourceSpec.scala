@@ -1102,6 +1102,55 @@ class SourceSpec extends SparkSpec {
       Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 2L))
   }
 
+  test("count(key) and count(DISTINCT key) answer from stamps") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metadc_" + java.util.UUID.randomUUID().toString.take(8)
+    // by-value layout: 3 single-valued files, NULL keys in the lowest
+    val rows = (Seq.fill(3)(Some(1L)) ++ Seq.fill(4)(Some(2L)) ++
+      Seq.fill(5)(Some(3L)) ++ Seq.fill(2)(None))
+      .zipWithIndex.map { case (k, i) => (k, s"r$i") }.toDF("k", "v")
+    Snapshot.commitByValue(rows, dir, 0, "k")
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    def counts = front.agg(count(col("k")).as("ck"),
+      countDistinct(col("k")).as("cd"), count(lit(1)).as("n"))
+    // pure stamps: one LocalRelation row — non-null, distinct, total
+    val q1 = counts
+    assert(isLocal(q1), s"expected LocalRelation only, got:\n${planOf(q1)}")
+    assert(q1.collect().toSeq == Seq(Row(12L, 3L, 14L)))
+    // a mixed file degrades exactly itself; distinct merges across
+    val mixed = Seq((3L, "m1"), (4L, "m2")).toDF("k", "v")
+    Snapshot.commit(mixed, dir, 1, "k",
+      carried = Snapshot.manifest(spark, dir, 1).files, nFiles = 1)
+    val m2 = Snapshot.manifest(spark, dir, 2)
+    val mixedFile = m2.files.find(f => f.min == 3L && f.max == 4L).map(_.path)
+    val q2 = counts
+    assert(restrictedOf(q2) == mixedFile.map(Set(_)),
+      s"mixed-file-only scan set expected, got:\n${planOf(q2)}")
+    assert(q2.collect().toSeq == Seq(Row(14L, 4L, 16L)))
+    // a fully-masked value vanishes from the distinct count
+    Snapshot.deleteWhereDV(spark, dir, 2L, 2L)
+    val q3 = counts
+    assert(q3.collect().toSeq == Seq(Row(10L, 3L, 12L)),
+      "the DV-masked value 2 must not count")
+    // guard: a non-clustering count keeps scanning
+    val vq = front.agg(countDistinct(col("v")).as("c"))
+    assert(planOf(vq).collectFirst { case l: LocalRelation => l }.isEmpty)
+    assert(vq.collect().head.getLong(0) == 12L) // 16 rows − the 4 masked
+  }
+
   test("sidecar min/max through the front door are metadata-only; " +
     "inexact stamp kinds refuse") {
     import spark.implicits._
