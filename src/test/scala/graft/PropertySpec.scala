@@ -58,6 +58,55 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("grouped metadata counts == plain GROUP BY for ANY " +
+    "keys/nulls/layout/DV shape") {
+    // the q171/q172 split must be LOSSLESS for every mix of
+    // single-valued and mixed files, NULL keys, write layouts and
+    // deletion vectors: stamped sums + the degraded scan must
+    // reproduce the plain scan's per-group counts exactly — never a
+    // phantom group, never a lost one — through the verb AND through
+    // the front door's optimizer rewrite.
+    import spark.implicits._
+    import graft.ops.Snapshot
+    val keyGen: Gen[Option[Long]] =
+      Gen.oneOf(Gen.const(Option.empty[Long]), Gen.choose(1L, 4L).map(Some(_)))
+    // at least one non-null key: an all-NULL clustering column is
+    // refused at write by the integral-stats contract
+    val rowsGen = Gen.nonEmptyListOf(keyGen).map(_ :+ Some(2L))
+    val delGen: Gen[Option[(Long, Long)]] = Gen.option(for {
+      lo <- Gen.choose(1L, 4L); hi <- Gen.choose(lo, 4L)
+    } yield (lo, hi))
+    var n = 0
+    check(Prop.forAll(rowsGen, Gen.choose(1, 4), Gen.oneOf(true, false),
+      delGen) { (ks, nf, byValue, del) =>
+      n += 1
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_grpprop_$n").toString + "/t"
+      val df = ks.zipWithIndex
+        .map { case (k, i) => (k, s"v$i") }.toDF("k", "v")
+      if (byValue) Snapshot.commitByValue(df, dir, 0, "k")
+      else Snapshot.commit(df, dir, 0, "k", nFiles = nf)
+      del.foreach { case (lo, hi) =>
+        Snapshot.deleteWhereDV(spark, dir, lo, hi) }
+      def groups(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r =>
+          (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toMap
+      val want = groups(Snapshot.read(spark, dir).groupBy("k").count())
+      val verb = groups(Snapshot.groupCount(spark, dir))
+      val front = groups(spark.read.format("graft").load(dir)
+        .groupBy("k").count())
+      val wantD = Snapshot.read(spark, dir)
+        .agg(countDistinct(col("k"))).collect().head.getLong(0)
+      val frontD = spark.read.format("graft").load(dir)
+        .agg(countDistinct(col("k")).as("d"), count(col("k")).as("ck"),
+          count(lit(1)).as("n")).collect().head
+      val wantCk = want.filterNot(_._1 == -1L).values.sum
+      val wantN = want.values.sum
+      verb == want && front == want && frontD.getLong(0) == wantD &&
+        frontD.getLong(1) == wantCk && frontD.getLong(2) == wantN
+    })
+  }
+
   test("bulkJdbcUrl: append-only, PG-flag-once, idempotent — any URL shape") {
     // the pure half of the COPY-grade sink (the PG server itself is
     // unreachable here): for EVERY dialect/path/query-string shape the
