@@ -1100,6 +1100,11 @@ class SourceSpec extends SparkSpec {
     assert(isLocal(wq))
     assert(wq.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
       Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 2L))
+    // an empty frame commits a legal empty version through the verb
+    val dirE = dir + "_empty"
+    Snapshot.commitByValue(rows.filter(lit(false)), dirE, 0, "k")
+    assert(spark.read.format("graft").load(dirE).count() == 0L)
+    assert(Snapshot.groupCount(spark, dirE).collect().isEmpty)
   }
 
   test("count(key) and count(DISTINCT key) answer from stamps") {
