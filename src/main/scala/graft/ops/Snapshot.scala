@@ -2073,6 +2073,11 @@ object Snapshot {
         // wholly outside a range predicate: no non-null key satisfies
         // and NULLs fail it too — contributes nothing regardless of
         // rows/DV/null-count state (stamps are exact non-null extremes)
+      else if (counted && f.kNulls == f.rows)
+        // provably ALL-NULL file (the full-open write sentinel): every
+        // row, live or DV-masked, is a NULL-group row — which a range
+        // predicate excludes entirely
+        { if (nullsPass) add(None, f.rows - dv) }
       else if (singleValued && counted && !(dv > 0 && f.kNulls > 0)) {
         if (f.kNulls == 0) add(Some(f.min), f.rows - dv)
         else {
@@ -2080,6 +2085,50 @@ object Snapshot {
           if (nullsPass) add(None, f.kNulls)
         }
       } else scan += f
+    }
+    (sums.toMap, scan.result())
+  }
+
+  /** [[metaGroupSplit]] generalized to ANY exactly-stamped sidecar
+    * column (integral / DATE `colStats` — raw longs / epoch days; the
+    * CALLER gates dtypes): per-file single-valuedness comes from the
+    * column's own [min,max] stamp and the NULL accounting from its
+    * [[NullsPfx]] witness (round 17 — stamped by every write's stats
+    * pass). Eligibility per file, each refusal degrading to the scan
+    * set: row count stamped; witness stamped; then
+    *   - stamp present, min == max, nulls == 0 → group(v) += rows−dv
+    *     (every row, live or masked, carried the value);
+    *   - stamp present, min == max, nulls > 0, NO DV → group(v) +=
+    *     rows−nulls and the NULL group += nulls;
+    *   - NO stamp but nulls == rows (the all-NULL file — exactly when
+    *     the write skips the [min,max] stamp) → NULL group += rows−dv
+    *     (a mask can only hide NULL rows there);
+    *   - a DV together with nulls in a valued file is ambiguous →
+    *     scan; mixed values, legacy files without the witness → scan. */
+  private[graft] def metaGroupSplitCol(m: Manifest, physCol: String)
+      : (Map[Option[Long], Long], Seq[FileEntry]) = {
+    val sums = scala.collection.mutable.LinkedHashMap
+      .empty[Option[Long], Long]
+    def add(k: Option[Long], n: Long): Unit =
+      if (n > 0) sums.update(k, sums.getOrElse(k, 0L) + n)
+    val look = colLookup(m.colStats, physCol)
+    val witness = colLookup(m.colStats, NullsPfx + physCol)
+    val scan = Seq.newBuilder[FileEntry]
+    m.files.foreach { f =>
+      val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
+      (look(f.path), witness(f.path).map(_._1)) match {
+        case (_, nn) if f.rows < 0 || nn.isEmpty || nn.get < 0 ||
+            nn.get > f.rows || dv > f.rows =>
+          scan += f // legacy / unwitnessed / corrupt accounting
+        case (Some((mn, mx)), Some(nn)) if mn == mx &&
+            !(mn == Long.MinValue && mx == Long.MaxValue) =>
+          if (nn == 0) add(Some(mn), f.rows - dv)
+          else if (dv == 0) { add(Some(mn), f.rows - nn); add(None, nn) }
+          else scan += f // DV + nulls: the masked rows' group is unprovable
+        case (None, Some(nn)) if nn == f.rows =>
+          add(None, f.rows - dv) // all-NULL file: every row is NULL-group
+        case _ => scan += f // mixed values or a stampless valued file
+      }
     }
     (sums.toMap, scan.result())
   }
@@ -2470,29 +2519,53 @@ object Snapshot {
       .flatMap(f => statKindOf(f.dataType).map(f.name -> _))
       .take(autoStatsMaxCols(df.sparkSession)).toSeq
 
+  /** The null-witness PSEUDO-COLUMN prefix: each auto-stamped column
+    * `c` also records its per-file NULL COUNT as the `colStats` entry
+    * `(path, "nulls:" + c) -> (n, n)` — riding the existing sidecar
+    * machinery verbatim (text `m` lines, GMB column dictionary, delta
+    * application, the path-keyed carry discipline, clone re-keying),
+    * so NO format change is needed and legacy manifests simply lack
+    * the witness (consumers degrade to scanning). The witness is what
+    * lets non-clustering metadata aggregates be EXACT: [min,max]
+    * stamps ignore NULLs, so per-group/non-null counts need the null
+    * count the way the clustering column needs `FileEntry.kNulls`.
+    * A (pathological) user column already named `nulls:…` skips its
+    * own witness rather than colliding. */
+  private[graft] val NullsPfx = "nulls:"
+
   /** The per-column aggregate expressions an auto-stats pass adds to a
     * stats job already running — keys per [[statKeyExpr]], strings
     * carrying a third max-byte-length aggregate for the stampability
-    * gate. */
+    * gate, every column a non-null-count aggregate for its
+    * [[NullsPfx]] witness. */
   private def autoStatsAggs(auto: Seq[(String, Int)]): Seq[Column] =
     auto.zipWithIndex.flatMap { case ((c, kind), j) =>
       val key = statKeyExpr(c, kind)
-      Seq(min(key).as(s"_as${j}_mn"), max(key).as(s"_as${j}_mx")) ++
+      Seq(min(key).as(s"_as${j}_mn"), max(key).as(s"_as${j}_mx"),
+        count(col(c)).cast("long").as(s"_as${j}_nn")) ++
         (if (kind == 2)
            Seq(max(octet_length(col(c))).cast("long").as(s"_as${j}_len"))
          else Nil)
     }
 
   /** Fold one file's auto-stats aggregates into the sidecar builders.
-    * All-NULL columns (or over-wide strings) simply do not stamp. */
+    * All-NULL columns (or over-wide strings) do not stamp [min,max] —
+    * but every column's NULL COUNT stamps ([[NullsPfx]]) whenever the
+    * file's row count is known, all-NULL columns included (there the
+    * witness IS the information: rows == nulls proves the file
+    * contributes only to the NULL group). */
   private def collectAutoStats(path: String, auto: Seq[(String, Int)],
-      get: String => Any, maxStrBytes: Long,
+      get: String => Any, maxStrBytes: Long, rows: Long,
       colB: scala.collection.mutable.Builder[
         ((String, String), (Long, Long)), Map[(String, String), (Long, Long)]],
       strB: scala.collection.mutable.Builder[
         ((String, String), (String, String)),
         Map[(String, String), (String, String)]]): Unit =
     auto.zipWithIndex.foreach { case ((c, kind), j) =>
+      if (rows >= 0 && !c.startsWith(NullsPfx)) {
+        val nulls = rows - get(s"_as${j}_nn").asInstanceOf[Long]
+        colB += ((path, NullsPfx + c) -> (nulls, nulls))
+      }
       (get(s"_as${j}_mn"), get(s"_as${j}_mx")) match {
         case (null, _) | (_, null) => ()
         case (mn, mx) if kind == 2 =>
@@ -2531,8 +2604,9 @@ object Snapshot {
     * never pruning shape (each bucket is a contiguous key interval). */
   private[graft] def quantileCuts(files: Seq[FileEntry],
                                   nFiles: Int): Option[Seq[Long]] = {
-    if (nFiles <= 1 || files.isEmpty || files.exists(_.rows <= 0))
-      return None
+    if (nFiles <= 1 || files.isEmpty || files.exists(f => f.rows <= 0 ||
+        (f.min == Long.MinValue && f.max == Long.MaxValue)))
+      return None // full-open sentinel: no model, keep sampling
     val sorted = files.sortBy(_.min)
     val total = sorted.iterator.map(_.rows).sum.toDouble
     val cuts = Seq.newBuilder[Long]
@@ -2643,11 +2717,17 @@ object Snapshot {
         .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
       require(parts.length == 1, s"expected one data file, got ${parts.toSeq}")
       val path = s"$sub/${parts.head}"
-      collectAutoStats(path, auto, row(_), autoStatsMaxStrBytes(spark),
-        colB, strB)
       val nRows = row("n").asInstanceOf[Long]
-      WriteStats(Seq(FileEntry(path,
-        toLongStat(row("mn")), toLongStat(row("mx")),
+      collectAutoStats(path, auto, row(_), autoStatsMaxStrBytes(spark),
+        nRows, colB, strB)
+      // an ALL-NULL clustering column stamps the degraded full-open
+      // sentinel (kNulls == rows proves the state) — same discipline
+      // as the multi-file branch and the adoption paths
+      val (mnS, mxS) =
+        if (row("mn") == null || row("mx") == null)
+          (Long.MinValue, Long.MaxValue)
+        else (toLongStat(row("mn")), toLongStat(row("mx")))
+      WriteStats(Seq(FileEntry(path, mnS, mxS,
         nRows, nRows - row("_n_key").asInstanceOf[Long])),
         colB.result(), strB.result())
     } else {
@@ -2691,11 +2771,19 @@ object Snapshot {
         val i = uri.indexOf(s"/$sub/")
         require(i >= 0, s"unexpected data file location: $uri")
         val path = s"$sub/${uri.substring(i + sub.length + 2)}"
-        collectAutoStats(path, auto, n => r.get(r.fieldIndex(n)),
-          autoStatsMaxStrBytes(spark), colB, strB)
         val nRows = r.getAs[Long]("_n_rows")
-        FileEntry(path, toLongStat(r.get(1)), toLongStat(r.get(2)),
-          nRows, nRows - r.getAs[Long]("_n_key"))
+        collectAutoStats(path, auto, n => r.get(r.fieldIndex(n)),
+          autoStatsMaxStrBytes(spark), nRows, colB, strB)
+        // a file the partitioning isolated to ALL-NULL keys has no
+        // [min,max] to stamp: record the documented degraded full-open
+        // sentinel (every consumer treats it as always-a-candidate and
+        // its kNulls == rows stamp proves the all-NULL state) instead
+        // of failing the whole commit
+        val (mnS, mxS) =
+          if (r.isNullAt(1) || r.isNullAt(2))
+            (Long.MinValue, Long.MaxValue)
+          else (toLongStat(r.get(1)), toLongStat(r.get(2)))
+        FileEntry(path, mnS, mxS, nRows, nRows - r.getAs[Long]("_n_key"))
       }.sortBy(_.path)
       WriteStats(entries, colB.result(), strB.result())
     }
@@ -2704,6 +2792,9 @@ object Snapshot {
   private def toLongStat(v: Any): Long = v match {
     case l: Long => l
     case i: Int  => i.toLong
+    case null => throw new IllegalArgumentException(
+      "stats column value is NULL — all-NULL files stamp the " +
+        "full-open sentinel, the caller must handle them")
     case other => throw new IllegalArgumentException(
       s"stats column must be integral, got ${other.getClass.getSimpleName}")
   }
@@ -4611,7 +4702,7 @@ object Snapshot {
           s"double, or string, got $dt for $c"))
     }
     val auto = cols.zip(route)
-    val aggs = autoStatsAggs(auto)
+    val aggs = autoStatsAggs(auto) :+ count(lit(1)).as("_n_rows")
     val perFile = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -4624,7 +4715,8 @@ object Snapshot {
       val p = entryOfUri(paths, r.getString(0))
       collectAutoStats(p, auto.map { case (c, k) =>
         physicalName(m, c) -> k }, n => r.get(r.fieldIndex(n)),
-        autoStatsMaxStrBytes(spark), colB, strB)
+        autoStatsMaxStrBytes(spark), r.getAs[Long]("_n_rows"),
+        colB, strB)
     }
     val stamped = colB.result()
     val stampedStr = strB.result()

@@ -702,6 +702,9 @@ object Warehouse extends QueryModule {
             ascii(col("o_orderstatus")).as("scode"),
             col("o_orderkey").as("order_key"),
             F.dec2(col("o_totalprice")).as("price"),
+            // correlated NON-clustering int column: single-valued in
+            // every band file, mixed in the tail — the q173 shape
+            (ascii(col("o_orderstatus")) - 5).as("rcode"),
             (col("o_orderkey") % 97 === 0).as("tail"))
           val tailOf = Seq(70, 79) // 'F', 'O' — the two common codes
           val cur0 = Snapshot.currentVersion(s, dir)
@@ -1727,6 +1730,31 @@ object Warehouse extends QueryModule {
       all.unionAll(rng).orderBy(col("phase"), col("scode"))
     }),
 
+    "q173_group_meta_col" -> ((s, d) => {
+      // METADATA-ONLY GROUPED COUNTS ON A NON-CLUSTERING COLUMN
+      // ([[statusOrders]] → [[Snapshot.metaGroupSplitCol]] riding
+      // [[graft.plans.MetadataOnlyCountRule]]): the table clusters on
+      // scode, but `rcode`'s own sidecar [min,max] stamps prove the
+      // three band files single-valued on it too, and the round-17
+      // per-column NULL WITNESS (`nulls:rcode` pseudo-column stamp)
+      // makes the per-group sums exact — so `GROUP BY rcode` answers
+      // from manifest arithmetic with ONLY the mixed tail file
+      // scanned. `n_scan` carries the engine's own degraded-set size
+      // (oracle-pinned 1 of 4); the oracle recomputes from raw
+      // orders. The witness machinery, all-NULL-file and DV guards
+      // are SourceSpec-pinned.
+      val dir = statusOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (sums, scan) = Snapshot.metaGroupSplitCol(m, "rcode")
+      require(sums.nonEmpty,
+        "band files must answer the non-clustering split from stamps")
+      s.read.format("graft").load(dir)
+        .groupBy(col("rcode")).agg(count(lit(1)).as("n"))
+        .select(col("rcode"), col("n"),
+          lit(scan.size.toLong).as("n_scan"))
+        .orderBy(col("rcode"))
+    }),
+
     "q172_stats_dcount" -> ((s, d) => {
       // METADATA-ONLY count(key) / count(DISTINCT key)
       // ([[statusOrders]] → [[Snapshot.metaGroupSplit]] riding
@@ -2558,6 +2586,15 @@ object Warehouse extends QueryModule {
         |  SELECT 'range', scode, count(*), CAST(1 AS BIGINT)
         |  FROM st WHERE scode >= 79 GROUP BY 2)
         |ORDER BY phase, scode""".stripMargin,
+
+    // the non-clustering split's truth: every band file is
+    // single-valued on rcode with a zero null witness, the tail is the
+    // only mixed file, and stamped sums + that one scan must equal the
+    // raw grouped counts
+    "q173_group_meta_col" ->
+      """SELECT ascii(o_orderstatus) - 5 AS rcode, count(*) AS n,
+        |       CAST(1 AS BIGINT) AS n_scan
+        |FROM orders GROUP BY 1 ORDER BY rcode""".stripMargin,
 
     // the distinct-count split's truth: stamped band sums + the one
     // scanned mixed file must reproduce the raw counts, and the

@@ -350,6 +350,38 @@ case class MetadataOnlyCountRule(session: SparkSession)
     * a contradictory range answers zero groups, and the scan branch
     * keeps the predicate. None = guards refuse (non-integral key,
     * unprovable filter conjuncts, every file degraded). */
+  /** Eligible grouped-count dtype: integral always; DATE for
+    * NON-clustering columns (epoch-day `colStats` stamps are exact and
+    * its internal representation is the stamped Int — the clustering
+    * column is integral by the stats contract). Timestamp/decimal
+    * stamps are truncated/saturated and never single-value-exact. */
+  private def groupableDtype(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case org.apache.spark.sql.types.DateType => true
+    case _ => false
+  }
+
+  private def typedKey(v: Long, dt: DataType): Any = dt match {
+    case LongType    => v
+    case IntegerType => v.toInt
+    case ShortType   => v.toShort
+    case ByteType    => v.toByte
+    case org.apache.spark.sql.types.DateType => v.toInt
+  }
+
+  /** The grouped stamp split for `a` — the clustering column reads the
+    * `FileEntry` stamps ([[Snapshot.metaGroupSplit]]), any other
+    * exactly-stamped column its `colStats` + null-witness sidecars
+    * ([[Snapshot.metaGroupSplitCol]], round 17). */
+  private def groupSplitOf(gr: GraftRelation, a: AttributeReference)
+      : (Map[Option[Long], Long], Seq[Snapshot.FileEntry]) = {
+    val m = gr.pinnedManifest
+    if (a.name.equalsIgnoreCase(Snapshot.logicalName(m, m.statsCol)))
+      Snapshot.metaGroupSplit(m)
+    else
+      Snapshot.metaGroupSplitCol(m, Snapshot.physicalName(m, a.name))
+  }
+
   private def groupedCountRewrite(agg: Aggregate,
       g: AttributeReference): Option[LogicalPlan] = {
     val unfiltered = relationOf(agg.child)
@@ -360,27 +392,22 @@ case class MetadataOnlyCountRule(session: SparkSession)
           .map(b => ((lr, gr), Some(b): Option[(Long, Long)]))
     }
     unfiltered.orElse(filtered).flatMap { case ((lr, gr), bounds) =>
-      val integral = g.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }
-      if (!integral || !lr.output.exists(_.exprId == g.exprId) ||
-          !isClusteringAttr(g, lr, gr)) None
+      if (!groupableDtype(g.dataType) ||
+          !lr.output.exists(_.exprId == g.exprId) ||
+          // a range FILTER composes only when the grouped column IS the
+          // clustering column (the bounds and the grouping must speak
+          // about the same stamps)
+          (bounds.isDefined && !isClusteringAttr(g, lr, gr))) None
       else if (bounds.exists(b => b._1 > b._2))
         // contradictory range: zero rows, hence zero groups
         Some(LocalRelation(agg.output, Nil))
       else {
-        def typed(v: Long): Any = g.dataType match {
-          case LongType    => v
-          case IntegerType => v.toInt
-          case ShortType   => v.toShort
-          case ByteType    => v.toByte
-        }
+        def typed(v: Long): Any = typedKey(v, g.dataType)
         val m = gr.pinnedManifest
         val (sums, scan) = bounds match {
           case Some((lo, hi)) =>
             Snapshot.metaGroupSplit(m, lo, hi, nullsPass = false)
-          case None => Snapshot.metaGroupSplit(m)
+          case None => groupSplitOf(gr, g)
         }
         if (scan.size == m.files.size) None // nothing proven: plain scan
         else if (scan.isEmpty) {
@@ -426,16 +453,19 @@ case class MetadataOnlyCountRule(session: SparkSession)
     }
   }
 
-  /** Is `e` a `count(key)` / `count(DISTINCT key)` of the bare (or
-    * widening-cast) clustering attribute? Returns the distinctness. */
+  /** Is `e` a `count(col)` / `count(DISTINCT col)` of a bare (or
+    * widening-cast) relation attribute of a groupable dtype? Returns
+    * the attribute and the distinctness. */
   private def countKeyOf(e: NamedExpression, lr: LogicalRelation,
-      g: GraftRelation): Option[Boolean] = e match {
+      g: GraftRelation): Option[(AttributeReference, Boolean)] = e match {
     case Alias(ae: AggregateExpression, _)
         if ae.mode == Complete && ae.filter.isEmpty =>
       ae.aggregateFunction match {
         case Count(Seq(c)) =>
-          keyAttrOf(c).filter(isClusteringAttr(_, lr, g))
-            .map(_ => ae.isDistinct)
+          keyAttrOf(c)
+            .filter(a => lr.output.exists(_.exprId == a.exprId) &&
+              groupableDtype(a.dataType))
+            .map(a => (a, ae.isDistinct))
         case _ => None
       }
     case _ => None
@@ -453,32 +483,23 @@ case class MetadataOnlyCountRule(session: SparkSession)
     * Count-star outputs mix freely. None = guards refuse. */
   private def distinctCountRewrite(agg: Aggregate): Option[LogicalPlan] =
     relationOf(agg.child).flatMap { case (lr, gr) =>
-      // per-output shape: Some(None) = count(*), Some(Some(d)) =
-      // count([DISTINCT] key) with distinctness d, None = unsupported
-      val shapes: Seq[Option[Option[Boolean]]] =
+      // per-output shape: Some(None) = count(*), Some(Some((a, d))) =
+      // count([DISTINCT] a) with distinctness d, None = unsupported
+      val shapes: Seq[Option[Option[(AttributeReference, Boolean)]]] =
         agg.aggregateExpressions.map { e =>
           if (isCountStar(e)) Some(None)
-          else countKeyOf(e, lr, gr).map(d => Some(d))
+          else countKeyOf(e, lr, gr).map(ad => Some(ad))
         }
-      val kAttr = lr.output.find(_.name.equalsIgnoreCase(
-        Snapshot.logicalName(gr.pinnedManifest,
-          gr.pinnedManifest.statsCol)))
-      val integral = kAttr.exists(_.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      })
-      if (shapes.exists(_.isEmpty) || !shapes.exists(_.exists(_.isDefined))
-          || !integral) None
+      // every keyed count must speak about ONE column — its split is
+      // the arithmetic they all share
+      val keyed = shapes.flatten.flatten
+      if (shapes.exists(_.isEmpty) || keyed.isEmpty ||
+          keyed.map(_._1.exprId).distinct.size != 1) None
       else {
-        val g = kAttr.get.asInstanceOf[AttributeReference]
-        def typed(v: Long): Any = g.dataType match {
-          case LongType    => v
-          case IntegerType => v.toInt
-          case ShortType   => v.toShort
-          case ByteType    => v.toByte
-        }
+        val g = keyed.head._1
+        def typed(v: Long): Any = typedKey(v, g.dataType)
         val m = gr.pinnedManifest
-        val (sums, scan) = Snapshot.metaGroupSplit(m)
+        val (sums, scan) = groupSplitOf(gr, g)
         if (scan.nonEmpty) {
           if (scan.size == m.files.size) return None
           // stamped groups + one restricted grouped scan, merged by a
@@ -507,11 +528,11 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val outs = agg.aggregateExpressions.zip(shapes).map {
             case (e, Some(None)) => // count(*): every underlying row
               Alias(sumOf(uc), e.name)(exprId = e.exprId)
-            case (e, Some(Some(false))) => // count(key): non-null rows
+            case (e, Some(Some((_, false)))) => // count(col): non-null
               Alias(sumOf(org.apache.spark.sql.catalyst.expressions.If(
                 IsNotNull(uk), uc, Literal(0L))),
                 e.name)(exprId = e.exprId)
-            case (e, Some(Some(true))) => // count(DISTINCT key)
+            case (e, Some(Some((_, true)))) => // count(DISTINCT col)
               Alias(AggregateExpression(Count(Seq(uk)), Complete,
                 isDistinct = true), e.name)(exprId = e.exprId)
             case (e, None) => return None // unreachable by the guard
@@ -524,10 +545,10 @@ case class MetadataOnlyCountRule(session: SparkSession)
             .collect { case (Some(_), n) => n }.sum
           lazy val distinct = sums.keysIterator.count(_.isDefined).toLong
           val vals = shapes.map {
-            case Some(None)        => total
-            case Some(Some(false)) => nonNull
-            case Some(Some(true))  => distinct
-            case None              => return None // unreachable
+            case Some(None)             => total
+            case Some(Some((_, false))) => nonNull
+            case Some(Some((_, true)))  => distinct
+            case None                   => return None // unreachable
           }
           Some(LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(vals))))

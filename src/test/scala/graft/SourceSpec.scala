@@ -844,8 +844,8 @@ class SourceSpec extends SparkSpec {
     // single-file table would gain nothing from a rewrite)
     val dir2 = dir + "_nulls"
     // nFiles = 1 keeps the null-keyed row co-located with stamped rows
-    // (an all-null-key FILE has no stats and is refused at write — the
-    // long-standing integral-stats contract)
+    // (an all-null-key FILE stamps the degraded full-open sentinel
+    // instead — exercised by the grouped-counts property test)
     Seq[(Option[Long], String)](Some(1L) -> "a", Some(2L) -> "b",
       None -> "n")
       .toDF("k", "v").write.format("graft").option("statscol", "k")
@@ -1154,6 +1154,72 @@ class SourceSpec extends SparkSpec {
     val vq = front.agg(countDistinct(col("v")).as("c"))
     assert(planOf(vq).collectFirst { case l: LocalRelation => l }.isEmpty)
     assert(vq.collect().head.getLong(0) == 12L) // 16 rows − the 4 masked
+  }
+
+  test("non-clustering grouped counts answer from sidecar stamps and " +
+    "null witnesses") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metagcol_" + java.util.UUID.randomUUID().toString.take(8)
+    // clustered on k; b and d are single-valued PER FILE by commit
+    // construction — v2 carries NULL bs, v3 an all-NULL b file, v4 a
+    // deliberately mixed b (the only degraded file for b)
+    def slice(ks: Range, b: Long => Option[Long], d: String) =
+      ks.map(k => (k.toLong, b(k.toLong),
+        java.sql.Date.valueOf(d))).toDF("k", "b", "d")
+    val slices = Seq(
+      slice(1 to 10, _ => Some(100L), "2024-01-01"),
+      slice(11 to 20, k => if (k <= 13) None else Some(200L), "2024-01-02"),
+      slice(21 to 30, _ => None, "2024-01-03"),
+      slice(31 to 35, k => Some(if (k % 2 == 0) 300L else 100L),
+        "2024-01-04"))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val carried = if (i == 0) Nil else Snapshot.manifest(spark, dir, i).files
+      Snapshot.commit(df, dir, i, "k", carried, nFiles = 1)
+    }
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    // GROUP BY the non-clustering b: three files answer from their
+    // sidecar stamps + null witnesses (incl. the all-NULL file), only
+    // the mixed file scans
+    val m = Snapshot.manifest(spark, dir, 4)
+    val mixedFile = m.files.find(f => f.min == 31L).map(_.path)
+    val gq = front.groupBy("b").count()
+    assert(restrictedOf(gq) == mixedFile.map(Set(_)),
+      s"mixed-b-file-only scan set expected, got:\n${planOf(gq)}")
+    assert(gq.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toMap ==
+      Map(100L -> 13L, 200L -> 7L, 300L -> 2L, -1L -> 13L))
+    // GROUP BY the DATE column: every file single-valued → LocalRelation
+    val dq = front.groupBy("d").count()
+    assert(isLocal(dq), s"expected LocalRelation only, got:\n${planOf(dq)}")
+    assert(dq.collect().map(r =>
+      (r.getDate(0).toString, r.getLong(1))).toMap ==
+      Map("2024-01-01" -> 10L, "2024-01-02" -> 10L,
+        "2024-01-03" -> 10L, "2024-01-04" -> 5L))
+    // global counts of b ride the same split
+    val cq = front.agg(count(col("b")).as("cb"),
+      countDistinct(col("b")).as("db"), count(lit(1)).as("n"))
+    assert(restrictedOf(cq) == mixedFile.map(Set(_)))
+    assert(cq.collect().toSeq == Seq(Row(22L, 3L, 35L)))
+    // a legacy manifest WITHOUT the null witness keeps scanning: the
+    // split itself refuses unwitnessed files
+    val legacy = m.copy(colStats = m.colStats.filterNot {
+      case ((_, c), _) => c.startsWith("nulls:") })
+    val (sums, scan) = Snapshot.metaGroupSplitCol(legacy, "b")
+    assert(sums.isEmpty && scan.size == m.files.size,
+      "unwitnessed files must all degrade to the scan set")
   }
 
   test("sidecar min/max through the front door are metadata-only; " +
