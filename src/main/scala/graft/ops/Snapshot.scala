@@ -2107,6 +2107,9 @@ object Snapshot {
     *     scan; mixed values, legacy files without the witness → scan. */
   private[graft] def metaGroupSplitCol(m: Manifest, physCol: String)
       : (Map[Option[Long], Long], Seq[FileEntry]) = {
+    // a `nulls:…`-named user column's stamp key is shadowed by the
+    // witness machinery itself — nothing under it is trustworthy
+    if (physCol.startsWith(NullsPfx)) return (Map.empty, m.files)
     val sums = scala.collection.mutable.LinkedHashMap
       .empty[Option[Long], Long]
     def add(k: Option[Long], n: Long): Unit =
@@ -2221,7 +2224,10 @@ object Snapshot {
 
   private[graft] def sidecarMinMaxMeta(m: Manifest,
       physCol: String): Option[(Long, Long)] =
-    if (!minMaxGateOpen(m)) None
+    // a `nulls:…`-named USER column shares its colStats key with some
+    // sibling's null witness — any entry found there may be witness
+    // data (null counts), never trustworthy as the column's [min,max]
+    if (physCol.startsWith(NullsPfx) || !minMaxGateOpen(m)) None
     else {
       val look = colLookup(m.colStats, physCol)
       var mn = Long.MaxValue
@@ -2332,8 +2338,13 @@ object Snapshot {
     m.files.filter { f =>
       physRanges.forall { case (c, lo, hi) =>
         val primary = c != m.statsCol || (f.min <= hi && f.max >= lo)
-        val secondary = m.colStats.get((f.path, c))
-          .forall { case (mn, mx) => mn <= hi && mx >= lo }
+        // a `nulls:…`-named user column's colStats key is shadowed by
+        // the null-witness machinery — whatever sits there is a
+        // sibling's null counts, never this column's range; the file
+        // must stay a candidate (Spark re-filters rows)
+        val secondary = c.startsWith(NullsPfx) ||
+          m.colStats.get((f.path, c))
+            .forall { case (mn, mx) => mn <= hi && mx >= lo }
         primary && secondary
       } && physStrRanges.forall { case (c, lo, hi) =>
         m.strStats.get((f.path, c)).forall { case (mn, mx) =>
@@ -2516,6 +2527,13 @@ object Snapshot {
                             statsCol: String): Seq[(String, Int)] =
     df.schema.fields.iterator
       .filterNot(_.name.equalsIgnoreCase(statsCol))
+      // a user column literally named `nulls:…` is EXCLUDED from
+      // stamping entirely: its own [min,max] entry would land at the
+      // key some sibling's null WITNESS uses ((path, "nulls:"+c)),
+      // and whichever write lands last would silently corrupt the
+      // other — wrong (not degraded) metadata-only answers. Such a
+      // column simply has no stats; every consumer scans.
+      .filterNot(_.name.startsWith(NullsPfx))
       .flatMap(f => statKindOf(f.dataType).map(f.name -> _))
       .take(autoStatsMaxCols(df.sparkSession)).toSeq
 
@@ -2529,8 +2547,12 @@ object Snapshot {
     * lets non-clustering metadata aggregates be EXACT: [min,max]
     * stamps ignore NULLs, so per-group/non-null counts need the null
     * count the way the clustering column needs `FileEntry.kNulls`.
-    * A (pathological) user column already named `nulls:…` skips its
-    * own witness rather than colliding. */
+    * A (pathological) user column already named `nulls:…` is excluded
+    * from stamping entirely ([[autoStatsCols]]) — its [min,max] entry
+    * would collide with a sibling's witness key — and every metadata
+    * consumer refuses such a name outright ([[sidecarMinMaxMeta]],
+    * [[metaGroupSplitCol]], [[candidateFilesCols]]): a shadowed key
+    * may hold witness data a legacy write already landed there. */
   private[graft] val NullsPfx = "nulls:"
 
   /** The per-column aggregate expressions an auto-stats pass adds to a

@@ -115,13 +115,22 @@ case class MetadataOnlyCountRule(session: SparkSession)
     }
   }
 
+  /** Name equality under the SESSION's case-sensitivity setting — the
+    * same resolver Spark's analyzer used to bind these attributes. An
+    * unconditional equalsIgnoreCase would, under
+    * `spark.sql.caseSensitive=true`, route a column differing from the
+    * clustering column only in case (`K` vs `k`) to the WRONG column's
+    * stamps — wrong, not degraded, answers. */
+  private def sameName(x: String, y: String): Boolean =
+    session.sessionState.conf.resolver(x, y)
+
   /** Does `a` name the relation's clustering column (logical name —
     * column mapping translates) AND come from this relation? */
   private def isClusteringAttr(a: AttributeReference,
       lr: LogicalRelation, g: GraftRelation): Boolean = {
     val m = g.pinnedManifest
     lr.output.exists(_.exprId == a.exprId) &&
-      a.name.equalsIgnoreCase(Snapshot.logicalName(m, m.statsCol))
+      sameName(a.name, Snapshot.logicalName(m, m.statsCol))
   }
 
   private def asLongLit(e: Expression): Option[Long] = e match {
@@ -274,7 +283,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
                   isMin: Boolean): Option[Any] =
         keyAttrOf(c).flatMap { a =>
           if (!lr.output.exists(_.exprId == a.exprId)) None
-          else if (a.name.equalsIgnoreCase(clusterName))
+          else if (sameName(a.name, clusterName))
             clusterMeta.flatMap(p =>
               typedLong(if (isMin) p._1 else p._2, outDt))
           else {
@@ -376,7 +385,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
   private def groupSplitOf(gr: GraftRelation, a: AttributeReference)
       : (Map[Option[Long], Long], Seq[Snapshot.FileEntry]) = {
     val m = gr.pinnedManifest
-    if (a.name.equalsIgnoreCase(Snapshot.logicalName(m, m.statsCol)))
+    if (sameName(a.name, Snapshot.logicalName(m, m.statsCol)))
       Snapshot.metaGroupSplit(m)
     else
       Snapshot.metaGroupSplitCol(m, Snapshot.physicalName(m, a.name))

@@ -74,6 +74,13 @@ case class SipJoinRule(session: SparkSession)
   private def enabled: Boolean =
     session.conf.get("spark.graft.sipRule.enabled", "true") == "true"
 
+  /** Name equality under the session's case-sensitivity setting (the
+    * analyzer's own resolver) — see MetadataOnlyCountRule.sameName:
+    * under `spark.sql.caseSensitive=true` an unconditional
+    * equalsIgnoreCase would route `K` to `k`'s stamps. */
+  private def sameName(x: String, y: String): Boolean =
+    session.sessionState.conf.resolver(x, y)
+
   /** (left prunable?, right prunable?) per join type — prune only the
     * side whose non-matching rows the join itself would drop. */
   private def prunable(jt: JoinType): (Boolean, Boolean) = jt match {
@@ -174,7 +181,7 @@ case class SipJoinRule(session: SparkSession)
             val m = g.pinnedManifest
             val phys = Snapshot.physicalName(m, a.name)
             val cluster =
-              a.name.equalsIgnoreCase(Snapshot.logicalName(m, m.statsCol))
+              sameName(a.name, Snapshot.logicalName(m, m.statsCol))
             a.dataType match {
               case ByteType | ShortType | IntegerType | LongType =>
                 val mm =
@@ -242,7 +249,7 @@ case class SipJoinRule(session: SparkSession)
           case g: GraftRelation if !g.isRestricted =>
             val m = g.pinnedManifest
             val phys = Snapshot.physicalName(m, a.name)
-            a.name.equalsIgnoreCase(
+            sameName(a.name,
               Snapshot.logicalName(m, m.statsCol)) ||
               m.colStats.keysIterator.exists(_._2 == phys) ||
               m.strStats.keysIterator.exists(_._2 == phys) ||

@@ -226,13 +226,15 @@ final class GraftCdfSource(spark: SparkSession, dir: String,
   *
   *   spark.read.format("graft")
   *     .option("readChangeFeed", "true")
-  *     .option("startingVersion", 1)   // changes AFTER this commit
+  *     .option("startingVersion", 2)   // INCLUSIVE — v2's changes feed
   *     .option("endingVersion", 3)     // default: current version
   *     .load(dir)
   *
   * — the batch half of the CDF surface ([[GraftCdfSource]] is the
-  * streaming half; [[Snapshot.changeFeed]] the verb). Serves the
-  * per-commit diffs in `(startingVersion, endingVersion]`, each row
+  * streaming half; [[Snapshot.changeFeed]] the verb). The USER bounds
+  * are Delta's: `startingVersion` inclusive and required (the provider
+  * translates to this relation's internal exclusive `(v1, v2]` span).
+  * Serves the per-commit diffs in `(v1, v2]`, each row
   * stamped `_commit_version`, maintenance commits skipped by manifest
   * arithmetic (dataChange=false — an OPTIMIZE inside the span costs
   * nothing and feeds nothing). Manifests are immutable, so the same

@@ -64,9 +64,15 @@ final class GraftSourceProvider extends RelationProvider
     require(!(opts.contains("versionasof") && opts.contains("timestampasof")),
       "versionAsOf and timestampAsOf are mutually exclusive")
     // option("readChangeFeed", "true"): the change feed as a BATCH
-    // read over (startingVersion, endingVersion] — Delta's spelling;
-    // [[GraftChangesRelation]]. Composes with version options only
-    // through its own start/end pair, not time travel.
+    // read — Delta's spelling AND Delta's semantics: `startingVersion`
+    // is INCLUSIVE (`startingVersion=2` feeds v2's own changes), and a
+    // start bound is REQUIRED (Delta refuses a batch CDF read without
+    // one — a silent default would make the first unbounded read a
+    // table-scale initial load). NOTE this differs from the STREAMING
+    // source ([[GraftCdfSource]]), whose `startingVersion` is an
+    // OFFSET — "feed commits after this one" — because stream offsets
+    // name what has already been consumed. Composes with version
+    // options only through its own start/end pair, not time travel.
     if (opts.get("readchangefeed").exists(_.trim.toBoolean)) {
       require(!opts.contains("versionasof") &&
           !opts.contains("timestampasof"),
@@ -78,18 +84,29 @@ final class GraftSourceProvider extends RelationProvider
             opts.contains("endingtimestamp")),
         "startingVersion/startingTimestamp (and ending*) are " +
           "mutually exclusive spellings of the same bound")
-      // timestamp bounds resolve on the same monotone commit clock as
-      // timestampAsOf: start = newest version at/before the instant
-      // (changes AFTER it feed), end = newest version at/before it
+      require(opts.contains("startingversion") ||
+          opts.contains("startingtimestamp"),
+        "readChangeFeed requires an explicit startingVersion or " +
+          "startingTimestamp (use startingVersion=1 for the full " +
+          "history including the initial load)")
+      // ending timestamp resolves on the same monotone commit clock
+      // as timestampAsOf: end = newest version at/before the instant
       val to = opts.get("endingversion").map(_.trim.toInt)
         .orElse(opts.get("endingtimestamp").map(ts =>
           Snapshot.versionAtTimestamp(spark, dir,
             GraftSourceProvider.epochMs(ts))))
         .getOrElse(Snapshot.currentVersion(spark, dir))
-      val from = opts.get("startingversion").map(_.trim.toInt)
-        .orElse(opts.get("startingtimestamp").map(ts =>
-          Snapshot.versionAtTimestamp(spark, dir,
-            GraftSourceProvider.epochMs(ts))))
+      // the INCLUSIVE user bound translates to the relation's internal
+      // exclusive (from, to] by from = start − 1; startingTimestamp
+      // feeds commits AT or AFTER the instant (Delta's contract), so
+      // a commit landing exactly on it is included
+      val from = opts.get("startingversion").map(_.trim.toInt - 1)
+        .orElse(opts.get("startingtimestamp").map { ts =>
+          val at = GraftSourceProvider.epochMs(ts)
+          val v = Snapshot.versionAtTimestamp(spark, dir, at)
+          if (v > 0 && Snapshot.manifest(spark, dir, v).ts == at) v - 1
+          else v
+        })
         .getOrElse(0)
       val keyCol = opts.get("keycol").getOrElse {
         val m = Snapshot.manifest(spark, dir,

@@ -441,28 +441,40 @@ class SourceSpec extends SparkSpec {
       opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
         .load(dir).collect().toSeq
     }
-    val got = changes("startingVersion" -> "1")
+    // startingVersion is INCLUSIVE (Delta's contract): =2 feeds
+    // exactly v2's own changes
+    val got = changes("startingVersion" -> "2")
     assert(got.forall(_.getLong(3) == 2L),
-      "the only data change in (1, head] is v2")
+      "startingVersion=2 feeds v2's changes and nothing else")
     val byKey = got.map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(byKey == Map(3L -> "U", 7L -> "D", 11L -> "I"))
     // an explicit span re-serves byte-identical rows (immutable
-    // manifests); the full span includes v1's loads as inserts
-    assert(changes("startingVersion" -> "1", "endingVersion" -> "2")
+    // manifests)
+    assert(changes("startingVersion" -> "2", "endingVersion" -> "2")
       .map(_.getLong(0)).sorted == got.map(_.getLong(0)).sorted)
-    val full = changes()
+    // the full history is an EXPLICIT ask (startingVersion=1 — v1's
+    // loads feed as inserts); an unbounded read refuses loudly rather
+    // than defaulting to a table-scale replay (Delta's contract)
+    val full = changes("startingVersion" -> "1")
     assert(full.count(_.getLong(3) == 1L) == 10, "v1 feeds its loads")
-    // an empty span is a legal empty frame with the feed schema
-    val empty = changes("startingVersion" -> "2", "endingVersion" -> "2")
+    val noStart = intercept[IllegalArgumentException] { changes() }
+    assert(noStart.getMessage.contains("startingVersion"))
+    // a start past the head is a legal empty frame with the feed schema
+    val empty = changes("startingVersion" -> "3")
     assert(empty.isEmpty)
-    // timestamp spellings resolve on the same monotone commit clock
+    // startingTimestamp feeds commits AT or AFTER the instant: v1's
+    // own commit instant includes v1 (inclusive, Delta's contract),
+    // an instant strictly between v1 and v2 feeds v2 only
     val t1 = Snapshot.manifest(spark, dir, 1).ts
     assert(changes("startingTimestamp" -> t1.toString)
+      .map(_.getLong(0)).sorted == full.map(_.getLong(0)).sorted,
+      "startingTimestamp at v1's instant must include v1")
+    assert(changes("startingTimestamp" -> (t1 + 1).toString)
       .map(_.getLong(0)).sorted == got.map(_.getLong(0)).sorted,
-      "startingTimestamp at v1's instant must equal startingVersion 1")
+      "an instant after v1's commit must feed v2 only")
     // time travel does not compose — loud refusal
     val e = intercept[IllegalArgumentException] {
-      changes("versionAsOf" -> "1")
+      changes("versionAsOf" -> "1", "startingVersion" -> "1")
     }
     assert(e.getMessage.contains("startingVersion"))
   }
@@ -1220,6 +1232,45 @@ class SourceSpec extends SparkSpec {
     val (sums, scan) = Snapshot.metaGroupSplitCol(legacy, "b")
     assert(sums.isEmpty && scan.size == m.files.size,
       "unwitnessed files must all degrade to the scan set")
+  }
+
+  test("a user column literally named nulls:<c> never stamps, never " +
+    "shadows a sibling's witness, and never mis-prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_nullspfx_" + java.util.UUID.randomUUID().toString.take(8)
+    // v carries 3 NULLs (witness = 3); the pathological column
+    // `nulls:v` carries values FAR outside [3,3] — if its own
+    // [min,max] stamped, it would land at the witness key and corrupt
+    // v's null accounting; if candidacy consulted the witness as the
+    // column's range, the >= 1000 filter below would prune every file
+    val df = (1 to 12).map(i => (i.toLong,
+      if (i <= 3) None else Some(i.toLong % 2), 1000L + i)).toDF(
+      "k", "v", "nulls:v")
+    Snapshot.commit(df, dir, 0, "k", nFiles = 2)
+    val m = Snapshot.manifest(spark, dir, 1)
+    // every colStats entry under the "nulls:v" key is a WITNESS (n,n)
+    // of v — the user column contributed nothing there
+    val atKey = m.colStats.collect {
+      case ((_, c), v) if c == "nulls:v" => v }.toSeq
+    assert(atKey.nonEmpty && atKey.forall(p => p._1 == p._2 && p._1 <= 3L),
+      s"only v's witnesses may live at the nulls:v key, got $atKey")
+    def front = spark.read.format("graft").load(dir)
+    // grouped count on v stays exact (witness uncorrupted)
+    assert(front.groupBy("v").count().collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toMap ==
+      Map(-1L -> 3L, 0L -> 5L, 1L -> 4L))
+    // MIN/MAX over the pathological column refuses the metadata path
+    // (a shadowed key may hold witness data) and answers correctly
+    val mm = front.agg(min(col("nulls:v")).as("lo"),
+      max(col("nulls:v")).as("hi"))
+    assert(mm.queryExecution.optimizedPlan.collectFirst {
+      case l: LocalRelation => l }.isEmpty,
+      "a nulls:-named column must not be answered from metadata")
+    assert(mm.collect().toSeq == Seq(Row(1001L, 1012L)))
+    // a pushed range filter on it must not consult the witness stamps
+    assert(front.filter(col("nulls:v") >= 1000L).count() == 12L)
   }
 
   test("sidecar min/max through the front door are metadata-only; " +
