@@ -1857,6 +1857,62 @@ object Warehouse extends QueryModule {
         .orderBy(col("status"))
     }),
 
+    "q174_join_sip_dynamic" -> ((s, d) => {
+      // DYNAMIC SIP (q170's rule + the bounded planning job,
+      // [[graft.plans.SipJoinRule.dynamicSummary]]): the dim is
+      // HARD-FILTERED on its NON-key name column (`dname <
+      // 'NATION_13'` keeps 5 of 25 nations), so the static leaf
+      // envelope [0,312] — everything q170's zero-job path can ever
+      // know — still spans two of the fact's four band files, while
+      // the planning job summarizes the filter's 5 SURVIVING keys
+      // {0,13,130,143,156} verbatim and the fact plans exactly ONE
+      // band file. `n_keys`
+      // carries the injected key-list size read back from the
+      // optimized plan; `n_scan` the engine's own
+      // [[SipJoin.plannedFiles]] candidacy witness over those keys —
+      // both pinned by the oracle against raw-data arithmetic. Conf
+      // discipline: enable → materialize THIS Dataset's optimized
+      // plan (memoized) → restore; the guard ladder, load-bearing
+      // file skip, and A/B equality are SipRuleSpec-pinned.
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Expression, In => CIn, InSet, Literal => CLit}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+      val dir = rangeOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val fact = s.read.format("graft").load(dir)
+      val dim = s.read.format("graft").load(sipDim(s, d))
+        .filter(col("dname") < "NATION_13")
+      val j = fact.join(dim, col("key2") === col("dk"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("key2")).as("sk"))
+      def conj(e: Expression): Seq[Expression] = e match {
+        case CAnd(l, r) => conj(l) ++ conj(r)
+        case x          => Seq(x)
+      }
+      val dynKey = "spark.graft.sipRule.dynamic"
+      val prev = s.conf.getOption(dynKey)
+      s.conf.set(dynKey, "true")
+      val keys: Seq[Long] = try {
+        j.queryExecution.optimizedPlan.collect {
+          case f: LFilter => conj(f.condition)
+        }.flatten.collect {
+          case CIn(a: AttributeReference, vs) if a.name == "key2" =>
+            vs.collect { case CLit(v: Long, LongType) => v }
+          case is: InSet
+              if is.child.isInstanceOf[AttributeReference] &&
+                is.child.asInstanceOf[AttributeReference].name == "key2" =>
+            is.hset.toSeq.map(_.asInstanceOf[Long])
+        }.flatten.distinct.sorted
+      } finally prev match {
+        case Some(v) => s.conf.set(dynKey, v)
+        case None    => s.conf.unset(dynKey)
+      }
+      val nScan =
+        SipJoin.plannedFiles(m, "key2", SipJoin.KeyList(keys)).size.toLong
+      j.select(col("status"), col("n"), col("sk"),
+          lit(keys.length.toLong).as("n_keys"), lit(nScan).as("n_scan"))
+        .orderBy(col("status"))
+    }),
+
     "q165_manifest_chain" -> ((s, d) => {
       // DELTA-MANIFEST log ([[chainOrders]]): 12 single-file carried
       // commits publish as full(v1) + deltas(v2–v9) + checkpoint(v10) +
@@ -2646,6 +2702,33 @@ object Warehouse extends QueryModule {
         |SELECT status, n, sk, sip FROM (
         |  SELECT status, count(*) AS n,
         |         CAST(sum(key2) AS BIGINT) AS sk, CAST(1 AS BIGINT) AS sip
+        |  FROM st JOIN d ON st.key2 = d.dk GROUP BY status)
+        |ORDER BY status
+        |""".stripMargin,
+
+    // the dynamic rule's truth: 5 nations survive n_name <
+    // 'NATION_13' (keys {0,13,130,143,156} — the planning job's
+    // verbatim list), and with no Bloom sidecars on the band table
+    // IN-candidacy equals envelope candidacy, so the planned file set
+    // is the bands whose [mn,mx] intersect the SURVIVORS' [0,156] —
+    // one band, where the
+    // static leaf envelope [0,312] needs two; the rollup is the plain
+    // filtered equi-join recomputed from raw orders + nation
+    "q174_join_sip_dynamic" ->
+      """WITH st AS (SELECT o_orderkey % 1000 AS key2,
+        |                   o_orderstatus AS status FROM orders),
+        |d AS (SELECT n_nationkey * 13 AS dk FROM nation
+        |      WHERE n_name < 'NATION_13'),
+        |bands AS (SELECT CAST(FLOOR(key2 / 250) AS BIGINT) AS b,
+        |                 min(key2) AS mn, max(key2) AS mx
+        |          FROM st GROUP BY 1)
+        |SELECT status, n, sk, n_keys, n_scan FROM (
+        |  SELECT status, count(*) AS n,
+        |         CAST(sum(key2) AS BIGINT) AS sk,
+        |         (SELECT count(*) FROM d) AS n_keys,
+        |         (SELECT count(*) FROM bands
+        |          WHERE mn <= (SELECT max(dk) FROM d)
+        |            AND mx >= (SELECT min(dk) FROM d)) AS n_scan
         |  FROM st JOIN d ON st.key2 = d.dk GROUP BY status)
         |ORDER BY status
         |""".stripMargin,

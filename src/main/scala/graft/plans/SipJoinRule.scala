@@ -1,12 +1,15 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, In, InSubquery, LessThanOrEqual, ListQuery, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, In, InSubquery, LessThanOrEqual, ListQuery, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Project, Sample, Sort, SubqueryAlias, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.sql.graftshim.ExprColumn
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ops.Snapshot
@@ -65,6 +68,16 @@ import graft.sources.GraftRelation
   * fixed-point batch settles in one extra pass. Kill switch:
   * `spark.graft.sipRule.enabled=false` (SipRuleSpec A/Bs both settings
   * to identical answers).
+  *
+  * DYNAMIC mode (`spark.graft.sipRule.dynamic=true`, default off)
+  * additionally lets the rule run the verb's bounded dim job
+  * ([[graft.ops.SipJoin.dimKeys]] — `InListMax + 1` distinct collect,
+  * min/max only on overflow) when a FILTER above the dim leaf has made
+  * the static envelope useless (`dim WHERE region = 'EU'` keeping 0.1%
+  * of the keys — the daily star-join shape; Delta's dynamic file
+  * pruning runs the same planning-time subquery). See
+  * [[dynamicSummary]] for the guard ladder and [[DynTag]] for the
+  * one-job-per-query convergence discipline.
   */
 case class SipJoinRule(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -156,24 +169,109 @@ case class SipJoinRule(session: SparkSession)
     case _ => false
   }
 
+  // --------------------------------------------------- dynamic (job)
+
+  private def dynamicEnabled: Boolean =
+    session.conf.get(DynamicKey, "false") == "true"
+
+  private def dynamicMaxBytes: Long =
+    session.conf.get(DynamicMaxBytesKey, DynamicMaxBytesDefault.toString)
+      .toLong
+
+  /** The dim key's summary from ONE bounded planning-time job — the
+    * [[graft.ops.SipJoin.dimKeys]] primitive the q169 verb runs, fired
+    * automatically (opt-in: `spark.graft.sipRule.dynamic=true`) when
+    * the static path would keep only the LEAF envelope a hard filter
+    * has made useless (`dim WHERE region = 'EU'` keeps 0.1% of the
+    * dim's keys; the leaf stamps still span all of them — the daily
+    * star-join shape). Guards, in refusal order:
+    *
+    *  - a conjunct this path already injected for the fact attr is
+    *    still on the join side (the [[SipJoinRule.DynTag]] convergence
+    *    check — the caller tests it BEFORE calling, so the fixed-point
+    *    batch's later passes cost zero jobs);
+    *  - re-entrancy: the dim job's own optimization must not fire
+    *    nested jobs ([[SipJoinRule.inDynamicJob]]);
+    *  - no Filter conjunct on a NON-key attribute in the subtree →
+    *    the static envelope plus Catalyst's own constraint propagation
+    *    already say everything a job could; stay zero-job;
+    *  - streaming, non-deterministic expressions, or Sample anywhere
+    *    in the subtree → executing it twice may not see the same rows,
+    *    so a summary from run 1 could wrongly prune run 2's matches;
+    *  - the subtree's LEAF scan estimate above
+    *    `spark.graft.sipRule.dynamicMaxBytes` (default 1 GiB) → the
+    *    planning job would cost a dim-sized scan the envelope's win
+    *    may not repay; the verb remains the explicit spelling.
+    *
+    * Cost when it fires: one job bounded exactly like the verb's —
+    * a `maxKeys + 1` distinct collect, plus one min/max aggregate only
+    * on overflow. The result prunes fact FILES at planning time from
+    * the dim's ACTUAL keys (Bloom + range candidacy), which is the
+    * part Spark's own runtime filters never reach. */
+  private def dynamicSummary(plan: LogicalPlan, a: AttributeReference)
+      : Option[Summary] = {
+    if (!dynamicEnabled || inDynamicJob.get()) return None
+    // a Filter conjunct referencing a NON-key attribute is what makes
+    // the job worth paying: a key-only filter (`dk >= 500`, the
+    // injected SIP conjuncts themselves, pushed isnotnulls) is already
+    // visible to static stamps + Catalyst's own
+    // InferFiltersFromConstraints across the join equality — and
+    // requiring it keeps the fixed point quiet (the conjuncts THIS
+    // rule injects are all key-only, so an injection never makes the
+    // other direction look freshly "filtered")
+    val nonKeyFiltered = plan.exists {
+      case f: Filter => splitConjunctivePredicates(f.condition)
+        .exists(c => !c.references.subsetOf(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(a)))
+      case _ => false
+    }
+    if (!nonKeyFiltered) return None
+    if (plan.isStreaming) return None
+    if (plan.exists(p => p.isInstanceOf[Sample] ||
+        p.expressions.exists(e => !e.deterministic))) return None
+    val scanBytes = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+    if (scanBytes > BigInt(dynamicMaxBytes)) return None
+    inDynamicJob.set(true)
+    try {
+      dynamicJobs.incrementAndGet()
+      if (sys.env.contains("GRAFT_SIP_DEBUG"))
+        // scalastyle:off println
+        println(s"SIP DYNAMIC JOB on attr ${a.name}:\n${plan.treeString}")
+        // scalastyle:on println
+      val frame = ExprColumn.frameOf(session,
+        Project(Seq(Alias(a, "k")()), plan))
+      val conv = CatalystTypeConverters.createToCatalystConverter(a.dataType)
+      graft.ops.SipJoin.dimKeys(frame, "k", a.dataType, InListMax) match {
+        case graft.ops.SipJoin.EmptyDim => Some(EmptyKeys)
+        case graft.ops.SipJoin.KeyList(ks) => Some(Keys(ks.map(conv)))
+        case graft.ops.SipJoin.KeyRange(lo, hi, _) =>
+          Some(Envelope(conv(lo), conv(hi)))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"dynamic SIP dim job failed (falling back to the " +
+          s"static envelope): $e")
+        None
+    } finally inDynamicJob.set(false)
+  }
+
   /** The dim key's summary from plan-time knowledge alone: exact rows
     * of a LocalRelation leaf, or the manifest's exact-value stamps of
     * a graft leaf (values in the ATTRIBUTE's dtype; the caller lifts
     * them through the key expression's widening cast if any). */
-  private def dimSummary(plan: LogicalPlan, key: Expression)
-      : Option[(AttributeReference, Summary)] =
-    attrOf(key).filter(a => supported(a.dataType)).flatMap { a =>
+  private def staticSummary(plan: LogicalPlan, a: AttributeReference)
+      : Option[Summary] =
       leafOf(plan, a).flatMap {
         case loc: LocalRelation =>
           val ord = loc.output.indexWhere(_.exprId == a.exprId)
           val vs = loc.data.iterator
             .map(_.get(ord, a.dataType)).filter(_ != null)
             .toSeq.distinct
-          if (vs.isEmpty) Some(a -> EmptyKeys)
-          else if (vs.size <= InListMax) Some(a -> Keys(vs))
+          if (vs.isEmpty) Some(EmptyKeys)
+          else if (vs.size <= InListMax) Some(Keys(vs))
           else {
             val o = lt(a.dataType) _
-            Some(a -> Envelope(vs.reduce((x, y) => if (o(x, y)) x else y),
+            Some(Envelope(vs.reduce((x, y) => if (o(x, y)) x else y),
               vs.reduce((x, y) => if (o(x, y)) y else x)))
           }
         case lr: LogicalRelation => lr.relation match {
@@ -188,17 +286,16 @@ case class SipJoinRule(session: SparkSession)
                   if (cluster) Snapshot.clusteringMinMaxMeta(m)
                   else Snapshot.sidecarMinMaxMeta(m, phys)
                 mm.map { case (lo, hi) =>
-                  a -> Envelope(narrow(lo, a.dataType),
-                    narrow(hi, a.dataType))
+                  Envelope(narrow(lo, a.dataType), narrow(hi, a.dataType))
                 }
               case DateType =>
                 Snapshot.sidecarMinMaxMeta(m, phys).map { case (lo, hi) =>
-                  a -> Envelope(lo.toInt, hi.toInt)
+                  Envelope(lo.toInt, hi.toInt)
                 }
               case StringType =>
                 Snapshot.sidecarStrMinMaxMeta(m, phys).map {
                   case (lo, hi) =>
-                    a -> Envelope(UTF8String.fromString(lo),
+                    Envelope(UTF8String.fromString(lo),
                       UTF8String.fromString(hi))
                 }
               case _ => None
@@ -207,6 +304,25 @@ case class SipJoinRule(session: SparkSession)
         }
         case _ => None
       }
+
+  /** The dim summary, static-first with the dynamic tightener: the
+    * bounded job runs only when the static answer is the (possibly
+    * filter-invalidated) leaf ENVELOPE or nothing at all — a static
+    * key LIST is already exact-ish (a LocalRelation's own rows) and
+    * not worth a planning job. `allowDynamic=false` when a tagged
+    * conjunct from an earlier pass is already on the join side. */
+  private def summaryFor(plan: LogicalPlan, key: Expression,
+                         allowDynamic: Boolean)
+      : Option[(AttributeReference, Summary, Boolean)] =
+    attrOf(key).filter(a => supported(a.dataType)).flatMap { a =>
+      val static = staticSummary(plan, a)
+      val wantDyn = allowDynamic && (static match {
+        case None | Some(Envelope(_, _)) => true
+        case _                           => false
+      })
+      val dyn = if (wantDyn) dynamicSummary(plan, a) else None
+      dyn.map(s => (a, s, true))
+        .orElse(static.map(s => (a, s, false)))
     }
 
   private def narrow(v: Long, dt: DataType): Any = dt match {
@@ -283,14 +399,18 @@ case class SipJoinRule(session: SparkSession)
     def inList(lits: Seq[Literal]): Expression =
       if (lits.size == 1) EqualTo(factAttr, lits.head)
       else In(factAttr, lits)
+    // FRESH false literals, never the shared Literal.FalseLiteral
+    // singleton — the dynamic path tags injected conjuncts, and a tag
+    // on a shared instance would leak across plans
+    def no: Expression = Literal(false, BooleanType)
     s match {
-      case EmptyKeys => Seq(Literal.FalseLiteral)
+      case EmptyKeys => Seq(no)
       case Keys(vs) =>
         if (fdt == ddt)
           Seq(inList(vs.map(Literal(_, fdt))))
         else { // integral↔integral only (the analyzer coerces the rest)
           val fit = vs.map(widen(_, ddt)).filter(l => l >= fLo && l <= fHi)
-          if (fit.isEmpty) Seq(Literal.FalseLiteral)
+          if (fit.isEmpty) Seq(no)
           else Seq(inList(fit.map(l => Literal(narrow(l, fdt), fdt))))
         }
       case Envelope(lo, hi) =>
@@ -299,7 +419,7 @@ case class SipJoinRule(session: SparkSession)
             LessThanOrEqual(factAttr, Literal(hi, fdt)))
         else {
           val (l, h) = (widen(lo, ddt), widen(hi, ddt))
-          if (l > fHi || h < fLo) Seq(Literal.FalseLiteral)
+          if (l > fHi || h < fLo) Seq(no)
           else Seq(
             GreaterThanOrEqual(factAttr,
               Literal(narrow(math.max(l, fLo), fdt), fdt)),
@@ -330,6 +450,18 @@ case class SipJoinRule(session: SparkSession)
       })
     }
 
+  /** Has a DYNAMIC pass already injected for this fact attribute on
+    * this side? The tag survives pushdown ([[TreeNodeTag]]s ride
+    * `withNewChildren`/`copyTagsFrom`), so later fixed-point passes
+    * see it wherever the conjunct landed and skip the planning job
+    * entirely — the dynamic twin of [[covered]], needed because
+    * recomputing the dynamic summary (unlike the static one) costs a
+    * job. */
+  private def taggedFor(side: LogicalPlan, factAttr: AttributeReference)
+      : Boolean =
+    existingConjuncts(side).exists(c =>
+      c.getTagValue(DynTag).isDefined && c.references.contains(factAttr))
+
   private def injectInto(side: LogicalPlan, other: LogicalPlan,
                          pairs: Seq[(Expression, Expression)])
       : Option[LogicalPlan] = {
@@ -337,8 +469,12 @@ case class SipJoinRule(session: SparkSession)
     val fresh0 = pairs.flatMap { case (sideKey, otherKey) =>
       attrOf(sideKey).toSeq.flatMap { factAttr =>
         if (!factActionable(side, sideKey)) Nil
-        else dimSummary(other, otherKey).toSeq.flatMap { case (dimAttr, s) =>
-          predicatesFor(factAttr, dimAttr, s)
+        else summaryFor(other, otherKey,
+            allowDynamic = !taggedFor(side, factAttr)).toSeq.flatMap {
+          case (dimAttr, s, dyn) =>
+            val ps = predicatesFor(factAttr, dimAttr, s)
+            if (dyn) ps.foreach(_.setTagValue(DynTag, true))
+            ps
         }
       }
     }.filterNot(covered(existing, _))
@@ -368,8 +504,15 @@ case class SipJoinRule(session: SparkSession)
           case InSubquery(Seq(k), lq: ListQuery)
               if lq.plan.output.size == 1 && factActionable(child, k) =>
             attrOf(k).toSeq.flatMap { factAttr =>
-              dimSummary(lq.plan, lq.plan.output.head).toSeq.flatMap {
-                case (dimAttr, s) => predicatesFor(factAttr, dimAttr, s)
+              summaryFor(lq.plan, lq.plan.output.head,
+                  allowDynamic = !conjs.exists(c =>
+                    c.getTagValue(DynTag).isDefined &&
+                      c.references.contains(factAttr)) &&
+                    !taggedFor(child, factAttr)).toSeq.flatMap {
+                case (dimAttr, s, dyn) =>
+                  val ps = predicatesFor(factAttr, dimAttr, s)
+                  if (dyn) ps.foreach(_.setTagValue(DynTag, true))
+                  ps
               }
             }
         }.flatten.filterNot(covered(existing, _))
@@ -411,6 +554,36 @@ object SipJoinRule {
     * gives way to the [min,max] envelope — bounds plan size and the
     * driver's per-file Bloom-probe work. */
   val InListMax = 256
+
+  /** Opt-in switch for the DYNAMIC dim job (default off — the static
+    * rule stays zero-job). */
+  private[graft] val DynamicKey = "spark.graft.sipRule.dynamic"
+
+  /** Leaf-scan byte ceiling above which the dynamic path refuses to
+    * run the dim subtree at planning time. Default 1 GiB: a dim scan
+    * that size is noise next to the fact scan its keys can prune, and
+    * a genuinely large dim should use the explicit q169 verb where
+    * the caller owns the trade. */
+  private[graft] val DynamicMaxBytesKey =
+    "spark.graft.sipRule.dynamicMaxBytes"
+  private[graft] val DynamicMaxBytesDefault: Long = 1L << 30
+
+  /** Marks a conjunct the DYNAMIC path injected — the convergence
+    * guard later fixed-point passes test before paying another
+    * planning job. Survives pushdown: tags ride `withNewChildren` and
+    * rule rewrites (`copyTagsFrom`). */
+  private[graft] val DynTag = TreeNodeTag[Boolean]("graft.sip.dynamic")
+
+  /** Planning-time dim jobs actually run (test/probe observability —
+    * specs pin "one job per query" and "zero jobs when gated"). */
+  private[graft] val dynamicJobs =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Re-entrancy latch: optimizing the dim subtree's own frame runs
+    * this rule again on the same thread; a nested planning job must
+    * not fire (the static path still may). */
+  private[plans] val inDynamicJob: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 
   private[plans] sealed trait Summary
   private[plans] case object EmptyKeys extends Summary

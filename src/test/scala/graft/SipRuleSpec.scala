@@ -37,6 +37,10 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
       case f: LFilter => splitConjunctivePredicates(f.condition)
     }.flatten.collect {
       case In(a: AttributeReference, vs) if a.name == name => vs.size
+      case is: org.apache.spark.sql.catalyst.expressions.InSet
+          if is.child.isInstanceOf[AttributeReference] &&
+            is.child.asInstanceOf[AttributeReference].name == name =>
+        is.hset.size // OptimizeIn rewrites lists past its threshold
       case EqualTo(a: AttributeReference, _: Literal)
           if a.name == name => 1
     }
@@ -234,6 +238,193 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS sip_fact_$tag")
       spark.sql(s"DROP TABLE IF EXISTS sip_dim_$tag")
+    }
+  }
+
+  private def withDynamic[A](body: => A): A = {
+    spark.conf.set("spark.graft.sipRule.dynamic", "true")
+    try body
+    finally spark.conf.unset("spark.graft.sipRule.dynamic")
+  }
+
+  private def jobs(): Long = graft.plans.SipJoinRule.dynamicJobs.get()
+
+  /** A graft dim with two planted non-key filters: tag = "hit"
+    * exactly for dk in [310, 320] (the 1.4% slice whose key set no
+    * leaf envelope can see) and band = "wide" for dk in [500, 800]
+    * (301 keys — past InListMax, the envelope overflow arm). */
+  private lazy val taggedDim: String = {
+    import spark.implicits._
+    val dir = fresh("dyndim")
+    (1L to 800L).map(k =>
+      (k, if (k >= 310L && k <= 320L) "hit" else "miss",
+        if (k >= 500L) "wide" else "narrow"))
+      .toDF("dk", "tag", "band")
+      .write.format("graft").option("statsCol", "dk").save(dir)
+    dir
+  }
+
+  test("dynamic SIP: a hard-filtered dim prunes fact files the leaf envelope cannot") {
+    import spark.implicits._
+    val fdir = fresh("dynfact")
+    (1L to 800L).map(k => (k, k % 7)).toDF("k", "v")
+      .write.format("graft").option("statsCol", "k")
+      .option("nFiles", "8").save(fdir)
+    val fact = spark.read.format("graft").load(fdir)
+    def dim = spark.read.format("graft").load(taggedDim)
+      .filter(col("tag") === "hit")
+    def join = fact.join(dim, col("k") === col("dk"))
+    // static rule alone: the LEAF envelope [1,800] (prunes nothing),
+    // zero planning jobs
+    val j0 = jobs()
+    val static = join
+    assert(bounds(static, "k").toSet == Set((">=", 1L), ("<=", 800L)),
+      s"static path must keep the leaf envelope, got ${bounds(static, "k")}")
+    val staticRows = sorted(static)
+    assert(jobs() == j0, "the static path must never run a job")
+    // dynamic: the filtered dim's ACTUAL 11 keys inject as the IN-list
+    val dynRows = withDynamic {
+      val j1 = jobs()
+      val d = join
+      d.queryExecution.optimizedPlan // materialize one optimization
+      assert(jobs() - j1 == 1,
+        s"exactly one bounded dim job per optimization, got ${jobs() - j1}")
+      assert(inLists(d, "k").contains(11),
+        s"expected the filtered dim's 11-key IN on the fact scan:\n" +
+          d.queryExecution.optimizedPlan.treeString)
+      sorted(d)
+    }
+    assert(dynRows == staticRows, "A/B answers must be identical")
+    assert(dynRows.map(_.getLong(0)).toSet == (310L to 320L).toSet)
+    // the pruning is load-bearing: remove every fact file outside the
+    // dim's keys — the dynamic plan must never open them
+    val m = Snapshot.manifest(spark, fdir,
+      Snapshot.currentVersion(spark, fdir))
+    val keep = m.files.filter(f => f.min <= 320L && f.max >= 310L)
+      .map(_.path).toSet
+    assert(keep.size == 1, s"fixture: expected one covering file, $keep")
+    m.files.filterNot(f => keep(f.path)).foreach { f =>
+      val p = java.nio.file.Paths.get(
+        s"${fdir.stripPrefix("file:")}/${f.path}")
+      assert(java.nio.file.Files.deleteIfExists(p), s"fixture: $p missing")
+    }
+    withDynamic {
+      assert(sorted(join).map(_.getLong(0)).toSet ==
+        (310L to 320L).toSet, "the pruned scan serves from one file")
+    }
+    intercept[Exception] { join.collect() } // static leaf envelope scans all
+  }
+
+  test("dynamic SIP: overflow past InListMax injects the filtered min/max envelope") {
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    // 301 distinct keys behind the non-key band filter (> InListMax =
+    // 256) → the bounded job overflows into the [500, 800] envelope —
+    // far tighter than the [1, 800] leaf stamps, and invisible to both
+    // static stamps and constraint propagation (the filter never
+    // mentions dk)
+    def dim = spark.read.format("graft").load(taggedDim)
+      .filter(col("band") === "wide")
+    withDynamic {
+      val j = fact.join(dim, col("key2") === col("dk"))
+      val bs = bounds(j, "key2")
+      assert(bs.contains((">=", 500L)) && bs.contains(("<=", 800L)),
+        s"expected the filtered [500,800] envelope, got $bs")
+      assert(!inLists(j, "key2").contains(301),
+        "an overflowed list must not inject IN")
+      val off = withRuleOff {
+        sorted(fact.join(dim, col("key2") === col("dk")))
+      }
+      assert(sorted(j) == off)
+    }
+  }
+
+  test("dynamic SIP: an empty filtered dim folds the join away") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val fact = spark.read.format("graft")
+      .load(Warehouse.rangeOrders(spark, sf))
+    def dim = spark.read.format("graft").load(taggedDim)
+      .filter(col("tag") === "neither")
+    withDynamic {
+      val j = fact.join(dim, col("key2") === col("dk"))
+      assert(j.queryExecution.optimizedPlan.collectLeaves().forall(
+        _.isInstanceOf[LocalRelation]),
+        "EmptyKeys must fold the join to a LocalRelation-only plan")
+      assert(j.count() == 0)
+    }
+  }
+
+  test("dynamic SIP guard ladder: non-determinism, byte ceiling, and unfiltered dims stay zero-job") {
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    withDynamic {
+      // a non-deterministic dim must not execute at planning time —
+      // two runs may disagree and run 1's summary would prune run 2's
+      // matches; the static leaf envelope serves instead
+      val j0 = jobs()
+      def leafEnvelopeOnly(df: DataFrame): Unit = {
+        val bs = bounds(df, "key2")
+        assert(bs.contains((">=", 1L)) && bs.contains(("<=", 800L)),
+          s"the static [1,800] leaf envelope must survive, got $bs")
+        assert(!bs.exists(b => b._1 == ">=" && b._2 > 1L && b._2 < 999L),
+          s"no tighter dim-derived lower bound may appear, got $bs")
+      }
+      // NOTE rand(7) >= 0.0 would be folded away (always true) — the
+      // comparison must be genuinely undecidable to survive to the
+      // rule's batch
+      val nd = fact.join(
+        spark.read.format("graft").load(taggedDim)
+          .filter(col("tag") === "hit" && rand(7) < 0.9999),
+        col("key2") === col("dk"))
+      leafEnvelopeOnly(nd)
+      assert(jobs() == j0, "non-deterministic dim must not run a job")
+      // under a tiny byte ceiling the job refuses (the dim scan could
+      // cost more than the pruning repays); static envelope again
+      spark.conf.set("spark.graft.sipRule.dynamicMaxBytes", "1")
+      try {
+        val big = fact.join(
+          spark.read.format("graft").load(taggedDim)
+            .filter(col("tag") === "hit"),
+          col("key2") === col("dk"))
+        leafEnvelopeOnly(big)
+        assert(jobs() == j0, "over-ceiling dim must not run a job")
+      } finally spark.conf.unset("spark.graft.sipRule.dynamicMaxBytes")
+      // an UNFILTERED dim leaf has nothing a job could tighten — the
+      // static envelope already is the leaf's exact key span
+      val plain = fact.join(spark.read.format("graft").load(taggedDim),
+        col("key2") === col("dk"))
+      leafEnvelopeOnly(plain)
+      assert(jobs() == j0, "an unfiltered dim must stay zero-job")
+    }
+  }
+
+  test("dynamic SIP fires through the IN (SELECT …) spelling") {
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    spark.sql(s"CREATE TABLE dyn_fact_$tag USING graft LOCATION '$fdir'")
+    spark.sql(s"CREATE TABLE dyn_dim_$tag USING graft LOCATION '$taggedDim'")
+    try withDynamic {
+      val j1 = jobs()
+      val semi = spark.sql(
+        s"""SELECT key2, status FROM dyn_fact_$tag
+           |WHERE key2 IN (SELECT dk FROM dyn_dim_$tag WHERE tag = 'hit')
+           |""".stripMargin)
+      assert(inLists(semi, "key2").contains(11),
+        s"the subquery's filtered 11 keys must inject:\n" +
+          semi.queryExecution.optimizedPlan.treeString)
+      assert(jobs() - j1 == 1,
+        s"one job for the IN-subquery spelling, got ${jobs() - j1}")
+      val got = sorted(semi)
+      val off = withRuleOff {
+        sorted(spark.sql(
+          s"""SELECT key2, status FROM dyn_fact_$tag
+             |WHERE key2 IN (SELECT dk FROM dyn_dim_$tag WHERE tag = 'hit')
+             |""".stripMargin))
+      }
+      assert(got == off)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS dyn_fact_$tag")
+      spark.sql(s"DROP TABLE IF EXISTS dyn_dim_$tag")
     }
   }
 
