@@ -320,6 +320,36 @@ object StreamOps extends QueryModule {
       dir
     }
 
+  /** SINGLE-file staging of the events fixture, once per (session, dir,
+    * variant): one parquet file ⇒ ONE `AvailableNow` micro-batch ⇒ the
+    * watermark never advances MID-drain, so q73's kept-window set and
+    * q74's dedup-survivor set are decided by closed-form arithmetic
+    * over the staged rows — the determinism pin that makes both
+    * ORACLE-able (round 18; the r17 verdict's #3). `dups = true`
+    * additionally plants EXACT-COPY duplicates (every `event_id % 7 ==
+    * 0` row twice) so q74's state machine provably drops rows: exact
+    * copies make the survivor choice immaterial, keeping the drained
+    * output equal to the duplicate-free base table whatever the
+    * in-file order. */
+  private def singleFileStage(s: SparkSession, d: String,
+                              dups: Boolean): String =
+    synchronized {
+      val tag = if (dups) "dups" else "plain"
+      val dir = s.conf.get("spark.sql.warehouse.dir") +
+        s"/graft_stream_stage1_${tag}_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val staged =
+        snapStageCache.getOrElseUpdate(s, scala.collection.mutable.Set.empty)
+      if (!staged.contains(dir)) {
+        val base = T.events(s, d)
+        val df =
+          if (dups) base.unionAll(base.filter(col("event_id") % 7 === 0))
+          else base
+        df.coalesce(1).write.mode("overwrite").parquet(dir)
+        staged += dir
+      }
+      dir
+    }
+
   /** q78's custom-state kernel, SOURCE-AGNOSTIC by construction: a typed
     * `Dataset[(user_id, event_id)]` in, the per-user running profile
     * (count + min/max event id, one emission per (user, batch)) out via
@@ -683,14 +713,21 @@ object StreamOps extends QueryModule {
       // Genuine Structured Streaming: parquet file source -> watermark ->
       // tumbling agg -> memory sink, drained with AvailableNow. In append
       // mode only windows whose end <= final watermark (max ts - 10 min)
-      // are emitted — the late-data-drop contract; cross-batch late drops
-      // are exercised in StreamSpec via MemoryStream. No SQL oracle
-      // (streaming runtime) — the driver records a rows-only check.
+      // are emitted — the late-data-drop contract. ORACLED since round
+      // 18: the source is the SINGLE-file stage ([[singleFileStage]] —
+      // one micro-batch, watermark still 0 while rows flow, advancing
+      // only for the final emission pass), so the kept-window set is
+      // exactly `window_end <= max(ts) − 10 min` — plain watermark
+      // arithmetic DuckDB recomputes over the same rows. Cross-batch
+      // late DROPS (a mid-drain watermark actually discarding data) are
+      // exercised in StreamSpec via MemoryStream.
       // (nanosAsLong comes from the session builder — see Tables.events.)
       val c = streamSession(s, 4)
-      val sch = eventsSchema(c, d)
-      // file stream source lists a DIRECTORY; select just the events table
-      val src = streamTable(c, d, "events", sch)
+      val stage = singleFileStage(c, d, dups = false)
+      val sch = synchronized {
+        schemaCache.getOrElseUpdate(stage, c.read.parquet(stage).schema)
+      }
+      val src = c.readStream.schema(sch).parquet(stage)
       val agg = src
         .select(T.tsUs(col("ts")).as("ts"), col("event_type"))
         .withWatermark("ts", "10 minutes")
@@ -821,11 +858,21 @@ object StreamOps extends QueryModule {
   private def q74drain(s: SparkSession, d: String): DataFrame = {
       // Stateful streaming dedup on event_id within the watermark — state
       // is dropped once the watermark passes, keeping memory bounded on an
-      // unbounded stream. Fixture event_ids are unique, so the output is
-      // the full stream; duplicate-drop behavior is pinned in StreamSpec.
+      // unbounded stream. ORACLED since round 18: the source is the
+      // SINGLE-file stage WITH planted exact-copy duplicates
+      // ([[singleFileStage]] — every event_id % 7 == 0 row appears
+      // twice), so the state machine provably DROPS rows while the
+      // survivor set stays closed-form: one micro-batch (no mid-drain
+      // watermark, no late discards), exact copies make the survivor
+      // choice immaterial, and the drained output is the duplicate-free
+      // base table — DuckDB's plain projection of raw events.
+      // Cross-batch duplicate-drop is pinned in StreamSpec.
       val c = streamSession(s, 8)
-      val sch = eventsSchema(c, d)
-      val src = streamTable(c, d, "events", sch)
+      val stage = singleFileStage(c, d, dups = true)
+      val sch = synchronized {
+        schemaCache.getOrElseUpdate(stage, c.read.parquet(stage).schema)
+      }
+      val src = c.readStream.schema(sch).parquet(stage)
       val dedup = src
         .select(col("event_id"), col("user_id"), col("event_type"),
                 T.tsUs(col("ts")).as("ts"))
@@ -921,6 +968,27 @@ object StreamOps extends QueryModule {
       """SELECT user_id, count(*) AS n_events,
         |  min(event_id) AS min_eid, max(event_id) AS max_eid
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q73's truth is watermark arithmetic: a single-file AvailableNow
+    // drain emits exactly the tumbling windows whose end clears the
+    // FINAL watermark (max ts − 10 min) — recomputed here verbatim
+    "q73_stream_watermark" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM e)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |       event_type, count(*) AS n
+        |FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type
+        |      FROM e)
+        |GROUP BY ws, event_type
+        |HAVING ws + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // q74's truth: the staged stream is events ∪ exact copies of the
+    // event_id % 7 == 0 rows; the dedup survivors are therefore the
+    // duplicate-free base table, projected
+    "q74_stream_dedup_state" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "q70_stream_tumbling" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
