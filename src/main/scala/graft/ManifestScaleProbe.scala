@@ -129,6 +129,23 @@ object ManifestScaleProbe {
       val ((gSums, gScan), rt8) = time(Snapshot.metaGroupSplit(m4))
       println(f"  groupSplit=${rt8}%6.4f s " +
         f"(groups=${gSums.size} scan=${gScan.size})")
+      // the SUM fold (q175, round 18): per-file sum:c0 stamps
+      // synthesized IN MEMORY onto the parsed manifest (the write
+      // path stamps them for real tables; adding them to the written
+      // fixture would shift the byte/parse numbers above) — the fold
+      // itself is the same O(files) driver arithmetic as the other
+      // metadata aggregates, measured here at the million-file mark
+      if (sidecars > 0) {
+        val sumStats = m2r.files.iterator.map(f =>
+          (f.path, Snapshot.SumPfx + "c0") ->
+            (f.min * 1000L, f.min * 1000L)).toMap
+        val mSum = m2r.copy(colStats =
+          (m2r.colStats: Map[(String, String), (Long, Long)]) ++ sumStats)
+        val ((tot, any, sScan), rt9) =
+          time(Snapshot.metaSumSplitCol(mSum, "c0"))
+        println(f"  sumFold=${rt9}%6.4f s " +
+          f"(total=$tot nonNull=$any scan=${sScan.size})")
+      }
     }
     spark.stop()
   }

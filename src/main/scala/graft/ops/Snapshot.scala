@@ -2107,9 +2107,9 @@ object Snapshot {
     *     scan; mixed values, legacy files without the witness → scan. */
   private[graft] def metaGroupSplitCol(m: Manifest, physCol: String)
       : (Map[Option[Long], Long], Seq[FileEntry]) = {
-    // a `nulls:…`-named user column's stamp key is shadowed by the
-    // witness machinery itself — nothing under it is trustworthy
-    if (physCol.startsWith(NullsPfx)) return (Map.empty, m.files)
+    // a pseudo-prefixed user column's stamp key is shadowed by the
+    // witness/sum machinery itself — nothing under it is trustworthy
+    if (isPseudoCol(physCol)) return (Map.empty, m.files)
     val sums = scala.collection.mutable.LinkedHashMap
       .empty[Option[Long], Long]
     def add(k: Option[Long], n: Long): Unit =
@@ -2134,6 +2134,122 @@ object Snapshot {
       }
     }
     (sums.toMap, scan.result())
+  }
+
+  /** METADATA-ONLY GLOBAL SUM split (round 18): partition the
+    * manifest's files into a driver-arithmetic sum and a scan set for
+    * `SELECT sum(c) FROM t` over an INTEGRAL auto-stamped column.
+    * Per file, each refusal degrading to the scan set:
+    *   - a DV masks rows whose contribution the whole-file stamp
+    *     already counted → scan (a mask always invalidates a sum);
+    *   - [[SumPfx]] stamp present → total += stamp (the stamp is the
+    *     file's non-null sum in Spark's own LongType arithmetic —
+    *     NULLs are invisible to SQL SUM, so no witness is needed);
+    *   - no stamp but the [[NullsPfx]] witness proves ALL-NULL
+    *     (`nulls == rows`) → contributes nothing, and the returned
+    *     flag stays false for it (an all-NULL table must answer NULL,
+    *     not 0);
+    *   - legacy/unwitnessed stampless files → scan.
+    * Accumulation is `addExact`: a (beyond-astronomical) overflow of
+    * the STAMPED partial refuses the whole metadata path rather than
+    * choosing wrap-vs-throw on Spark's behalf — the plain scan then
+    * answers under the session's own overflow contract. Returns
+    * (stamped total, any-non-null-stamped?, scan files). */
+  private[graft] def metaSumSplitCol(m: Manifest, physCol: String)
+      : (Long, Boolean, Seq[FileEntry]) = {
+    if (isPseudoCol(physCol)) return (0L, false, m.files)
+    val look = colLookup(m.colStats, SumPfx + physCol)
+    val witness = colLookup(m.colStats, NullsPfx + physCol)
+    var total = 0L
+    var any = false
+    val scan = Seq.newBuilder[FileEntry]
+    try {
+      m.files.foreach { f =>
+        val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
+        if (dv > 0) scan += f
+        else look(f.path) match {
+          case Some((s, _)) => total = Math.addExact(total, s); any = true
+          case None =>
+            if (f.rows >= 0 && witness(f.path).exists(_._1 == f.rows)) ()
+            else scan += f // legacy / unwitnessed stampless file
+        }
+      }
+      (total, any, scan.result())
+    } catch {
+      case _: ArithmeticException => (0L, false, m.files)
+    }
+  }
+
+  /** GROUPED SUM split (round 18): `SELECT g, count(*), sum(c)
+    * GROUP BY g` from stamps — the [[metaGroupSplit]] /
+    * [[metaGroupSplitCol]] single-valued-file discipline for the
+    * GROUPING column `g` joined with the [[SumPfx]] stamp of the
+    * SUMMED column `c`, per file:
+    *   - any DV → scan (masks invalidate both counts and sums);
+    *   - `g` provably all-NULL (`witness == rows`, or `kNulls == rows`
+    *     for the clustering column) → the whole file feeds the NULL
+    *     group: rows, plus `c`'s stamp (or 0 with the flag false when
+    *     `c` is itself all-NULL there);
+    *   - `g` single-valued with ZERO nulls → the file feeds group v
+    *     the same way;
+    *   - `g` single-valued WITH nulls → scan: the per-subgroup split
+    *     of `c`'s whole-file sum is unknowable from stamps;
+    *   - mixed / unstamped / unwitnessed → scan.
+    * Returns (group → (rows, sum, any-non-null-c?), scan files);
+    * `addExact` refusal as in [[metaSumSplitCol]]. */
+  private[graft] def metaGroupSumSplitCol(m: Manifest, physG: String,
+      gIsClustering: Boolean, physC: String)
+      : (Map[Option[Long], (Long, Long, Boolean)], Seq[FileEntry]) = {
+    if (isPseudoCol(physG) || isPseudoCol(physC))
+      return (Map.empty, m.files)
+    val sums = scala.collection.mutable.LinkedHashMap
+      .empty[Option[Long], (Long, Long, Boolean)]
+    def add(k: Option[Long], n: Long, s: Long, any: Boolean): Unit = {
+      val (n0, s0, a0) = sums.getOrElse(k, (0L, 0L, false))
+      sums.update(k, (n0 + n, Math.addExact(s0, s), a0 || any))
+    }
+    val gLook = colLookup(m.colStats, physG)
+    val gWitness = colLookup(m.colStats, NullsPfx + physG)
+    val cSum = colLookup(m.colStats, SumPfx + physC)
+    val cWitness = colLookup(m.colStats, NullsPfx + physC)
+    val scan = Seq.newBuilder[FileEntry]
+    try {
+      m.files.foreach { f =>
+        val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
+        // the grouping column's per-file verdict: Some(group) when the
+        // whole file provably belongs to ONE group, None = degrade
+        val group: Option[Option[Long]] =
+          if (f.rows < 0 || dv > 0) None
+          else if (gIsClustering) {
+            val fullOpen = f.min == Long.MinValue && f.max == Long.MaxValue
+            if (f.kNulls == f.rows && f.kNulls >= 0) Some(None)
+            else if (f.min == f.max && !fullOpen && f.kNulls == 0) Some(Some(f.min))
+            else None
+          } else {
+            (gLook(f.path), gWitness(f.path).map(_._1)) match {
+              case (_, Some(nn)) if nn == f.rows => Some(None)
+              case (Some((mn, mx)), Some(0L))
+                  if mn == mx &&
+                    !(mn == Long.MinValue && mx == Long.MaxValue) =>
+                Some(Some(mn))
+              case _ => None
+            }
+          }
+        group match {
+          case Some(k) => cSum(f.path) match {
+            case Some((s, _)) => add(k, f.rows, s, any = true)
+            case None =>
+              if (cWitness(f.path).exists(_._1 == f.rows))
+                add(k, f.rows, 0L, any = false)
+              else scan += f
+          }
+          case None => scan += f
+        }
+      }
+      (sums.toMap, scan.result())
+    } catch {
+      case _: ArithmeticException => (Map.empty, m.files)
+    }
   }
 
   /** Exact `SELECT statsCol, count(*) GROUP BY statsCol`: per-group
@@ -2224,10 +2340,10 @@ object Snapshot {
 
   private[graft] def sidecarMinMaxMeta(m: Manifest,
       physCol: String): Option[(Long, Long)] =
-    // a `nulls:…`-named USER column shares its colStats key with some
-    // sibling's null witness — any entry found there may be witness
-    // data (null counts), never trustworthy as the column's [min,max]
-    if (physCol.startsWith(NullsPfx) || !minMaxGateOpen(m)) None
+    // a pseudo-prefixed USER column shares its colStats key with some
+    // sibling's witness/sum stamps — any entry found there may be
+    // pseudo data, never trustworthy as the column's [min,max]
+    if (isPseudoCol(physCol) || !minMaxGateOpen(m)) None
     else {
       val look = colLookup(m.colStats, physCol)
       var mn = Long.MaxValue
@@ -2338,11 +2454,11 @@ object Snapshot {
     m.files.filter { f =>
       physRanges.forall { case (c, lo, hi) =>
         val primary = c != m.statsCol || (f.min <= hi && f.max >= lo)
-        // a `nulls:…`-named user column's colStats key is shadowed by
-        // the null-witness machinery — whatever sits there is a
-        // sibling's null counts, never this column's range; the file
-        // must stay a candidate (Spark re-filters rows)
-        val secondary = c.startsWith(NullsPfx) ||
+        // a pseudo-prefixed user column's colStats key is shadowed by
+        // the witness/sum machinery — whatever sits there is a
+        // sibling's null counts or sums, never this column's range;
+        // the file must stay a candidate (Spark re-filters rows)
+        val secondary = isPseudoCol(c) ||
           m.colStats.get((f.path, c))
             .forall { case (mn, mx) => mn <= hi && mx >= lo }
         primary && secondary
@@ -2527,13 +2643,13 @@ object Snapshot {
                             statsCol: String): Seq[(String, Int)] =
     df.schema.fields.iterator
       .filterNot(_.name.equalsIgnoreCase(statsCol))
-      // a user column literally named `nulls:…` is EXCLUDED from
-      // stamping entirely: its own [min,max] entry would land at the
-      // key some sibling's null WITNESS uses ((path, "nulls:"+c)),
-      // and whichever write lands last would silently corrupt the
-      // other — wrong (not degraded) metadata-only answers. Such a
-      // column simply has no stats; every consumer scans.
-      .filterNot(_.name.startsWith(NullsPfx))
+      // a user column literally named `nulls:…` or `sum:…` is EXCLUDED
+      // from stamping entirely: its own [min,max] entry would land at
+      // the key some sibling's null WITNESS or SUM stamp uses, and
+      // whichever write lands last would silently corrupt the other —
+      // wrong (not degraded) metadata-only answers. Such a column
+      // simply has no stats; every consumer scans.
+      .filterNot(f => isPseudoCol(f.name))
       .flatMap(f => statKindOf(f.dataType).map(f.name -> _))
       .take(autoStatsMaxCols(df.sparkSession)).toSeq
 
@@ -2555,6 +2671,28 @@ object Snapshot {
     * may hold witness data a legacy write already landed there. */
   private[graft] val NullsPfx = "nulls:"
 
+  /** The per-file SUM pseudo-column prefix (round 18): each INTEGRAL
+    * auto-stamped column `c` also records its per-file sum of non-null
+    * values as the `colStats` entry `(path, "sum:" + c) -> (s, s)` —
+    * the same ride-the-sidecar-machinery discipline as [[NullsPfx]]
+    * (zero format change; legacy manifests lack the stamp and degrade
+    * to scanning). The stamp is the NATIVE LongType sum, the same
+    * arithmetic Spark's own partial aggregation runs per task — mod
+    * 2⁶⁴ addition is associative, so per-file stamps fold to exactly
+    * the answer the distributed sum would produce, with the identical
+    * overflow exposure (none new). All-NULL files stamp nothing (SQL
+    * `SUM` of an empty non-null set is NULL, and the NULL witness
+    * proves the file contributes nothing). Same shadowing discipline:
+    * `sum:`-named user columns never stamp and every metadata consumer
+    * refuses them ([[isPseudoCol]]). */
+  private[graft] val SumPfx = "sum:"
+
+  /** Is `name` shadowed by the pseudo-column key space? Such a column
+    * never stamps and no metadata consumer may trust anything at its
+    * key — the entry might be a sibling's witness or sum. */
+  private[graft] def isPseudoCol(name: String): Boolean =
+    name.startsWith(NullsPfx) || name.startsWith(SumPfx)
+
   /** The per-column aggregate expressions an auto-stats pass adds to a
     * stats job already running — keys per [[statKeyExpr]], strings
     * carrying a third max-byte-length aggregate for the stampability
@@ -2567,6 +2705,12 @@ object Snapshot {
         count(col(c)).cast("long").as(s"_as${j}_nn")) ++
         (if (kind == 2)
            Seq(max(octet_length(col(c))).cast("long").as(s"_as${j}_len"))
+         else Nil) ++
+        // integral columns also aggregate their per-file SUM — the
+        // NATIVE LongType arithmetic Spark's own partial sums run, so
+        // the stamp folds to exactly the distributed answer ([[SumPfx]])
+        (if (kind == 0)
+           Seq(sum(col(c)).cast("long").as(s"_as${j}_sm"))
          else Nil)
     }
 
@@ -2584,9 +2728,17 @@ object Snapshot {
         ((String, String), (String, String)),
         Map[(String, String), (String, String)]]): Unit =
     auto.zipWithIndex.foreach { case ((c, kind), j) =>
-      if (rows >= 0 && !c.startsWith(NullsPfx)) {
+      if (rows >= 0 && !isPseudoCol(c)) {
         val nulls = rows - get(s"_as${j}_nn").asInstanceOf[Long]
         colB += ((path, NullsPfx + c) -> (nulls, nulls))
+      }
+      // the integral per-file SUM stamp — null (all-NULL file) stamps
+      // nothing: SQL SUM of zero non-null values is NULL, and the
+      // witness above is what proves that state to a reader
+      if (kind == 0 && !isPseudoCol(c)) get(s"_as${j}_sm") match {
+        case s: java.lang.Long => colB += ((path, SumPfx + c) ->
+          (s.longValue, s.longValue))
+        case _ => ()
       }
       (get(s"_as${j}_mn"), get(s"_as${j}_mx")) match {
         case (null, _) | (_, null) => ()

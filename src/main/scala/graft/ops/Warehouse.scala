@@ -708,14 +708,18 @@ object Warehouse extends QueryModule {
             (col("o_orderkey") % 97 === 0).as("tail"))
           val tailOf = Seq(70, 79) // 'F', 'O' — the two common codes
           val cur0 = Snapshot.currentVersion(s, dir)
-          val complete = cur0 == 4 &&
-            Snapshot.manifest(s, dir, cur0).files
-              .forall(f => f.rows >= 0 && f.kNulls >= 0)
+          val complete = cur0 == 4 && {
+            val mm = Snapshot.manifest(s, dir, cur0)
+            mm.files.forall(f => f.rows >= 0 && f.kNulls >= 0 &&
+              // round 18: q175 needs the per-file SUM stamps too — a
+              // pre-r18 build is stale
+              mm.colStats.contains((f.path, Snapshot.SumPfx + "order_key")))
+          }
           if (!complete && cur0 > 0)
             throw new IllegalStateException(
               s"statusOrders table under $dir exists at v$cur0 without " +
-                "complete row/null-count stamps (partial build) — " +
-                "delete the table dir and rebuild")
+                "complete row/null-count/sum stamps (pre-round-18 or " +
+                "partial build) — delete the table dir and rebuild")
           if (!complete) {
             val slices = Seq(
               base.filter(col("scode") === 70 && !col("tail")),
@@ -1755,6 +1759,49 @@ object Warehouse extends QueryModule {
         .orderBy(col("rcode"))
     }),
 
+    "q175_agg_meta_sum" -> ((s, d) => {
+      // METADATA-ONLY SUM ([[statusOrders]] →
+      // [[Snapshot.metaSumSplitCol]] / [[Snapshot.metaGroupSumSplitCol]]
+      // riding [[graft.plans.MetadataOnlyCountRule]] rewrites #6/#7,
+      // round 18 — past what any public system stamps): every write's
+      // stats pass also records each INTEGRAL column's per-file sum as
+      // the `sum:<col>` colStats pseudo-column (the null-witness
+      // ride-along discipline, zero format change; mod-2⁶⁴ Long
+      // arithmetic — the same per-task partial sums Spark's own
+      // distributed SUM runs, so stamps fold to exactly its answer),
+      // and `SELECT sum(order_key)` answers from pure driver
+      // arithmetic. Two phases through the front door: `global`
+      // (count(*) + sum — all four files stamped, zero files scanned)
+      // and `group` (GROUP BY the non-clustering rcode with count +
+      // sum — the three single-valued band files from stamps, ONLY the
+      // planted mixed tail scanned and merged). `n_scan` carries the
+      // engine's own split sizes (oracle-pinned 0 and 1 of 4);
+      // the oracle recomputes both phases from raw orders. DV
+      // refusal (a mask invalidates a stored sum), all-NULL → NULL
+      // (not 0), the hybrid union merge, the clustering-column
+      // refusal, and the `sum:`-shadow discipline are SourceSpec-pinned.
+      val dir = statusOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (_, _, scanG) = Snapshot.metaSumSplitCol(m, "order_key")
+      require(scanG.isEmpty,
+        "every band file must carry the order_key sum stamp")
+      val (sums, scanGrp) =
+        Snapshot.metaGroupSumSplitCol(m, "rcode",
+          gIsClustering = false, "order_key")
+      require(sums.nonEmpty,
+        "band files must answer the grouped-sum split from stamps")
+      val fd = s.read.format("graft").load(dir)
+      val glob = fd.agg(count(lit(1)).as("n"),
+          sum(col("order_key")).as("sk"))
+        .select(lit("global").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("sk"), lit(scanG.size.toLong).as("n_scan"))
+      val grp = fd.groupBy(col("rcode"))
+        .agg(count(lit(1)).as("n"), sum(col("order_key")).as("sk"))
+        .select(lit("group").as("phase"), col("rcode"), col("n"),
+          col("sk"), lit(scanGrp.size.toLong).as("n_scan"))
+      glob.unionAll(grp).orderBy(col("phase"), col("rcode"))
+    }),
+
     "q172_stats_dcount" -> ((s, d) => {
       // METADATA-ONLY count(key) / count(DISTINCT key)
       // ([[statusOrders]] → [[Snapshot.metaGroupSplit]] riding
@@ -2655,6 +2702,25 @@ object Warehouse extends QueryModule {
     // the distinct-count split's truth: stamped band sums + the one
     // scanned mixed file must reproduce the raw counts, and the
     // distinct merge must collapse values seen on both sides
+    // the sum stamps' truth: both phases are plain arithmetic over raw
+    // orders (order_key sums are exact — far below Long range at any
+    // SF), the global phase scanning zero files and the grouped phase
+    // only the planted mixed tail
+    "q175_agg_meta_sum" ->
+      """WITH st AS (SELECT ascii(o_orderstatus) - 5 AS rcode,
+        |                   o_orderkey AS k FROM orders)
+        |SELECT phase, rcode, n, sk, n_scan FROM (
+        |  SELECT 'global' AS phase, CAST(-1 AS INT) AS rcode,
+        |         count(*) AS n, CAST(sum(k) AS BIGINT) AS sk,
+        |         CAST(0 AS BIGINT) AS n_scan
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'group', rcode, count(*), CAST(sum(k) AS BIGINT),
+        |         CAST(1 AS BIGINT)
+        |  FROM st GROUP BY rcode)
+        |ORDER BY phase, rcode
+        |""".stripMargin,
+
     "q172_stats_dcount" ->
       """SELECT count(ascii(o_orderstatus)) AS n_key,
         |       count(DISTINCT ascii(o_orderstatus)) AS n_distinct,

@@ -316,6 +316,18 @@ case class MetadataOnlyCountRule(session: SparkSession)
           ae.aggregateFunction match {
             case Min(c) => boundOf(c, al.dataType, isMin = true)
             case Max(c) => boundOf(c, al.dataType, isMin = false)
+            // '''6. Global SUM from per-file sum stamps''' (round 18)
+            // — full-metadata arm only (every file stamped or provably
+            // all-NULL; the partial/hybrid arm is [[sumRewrite]]).
+            // Some(null) is the honest SQL answer for an all-NULL
+            // column, distinct from None = refuse.
+            case Sum(c, _) if !ae.isDistinct && al.dataType == LongType =>
+              sumAttrOf(c, lr, g).flatMap { a =>
+                val (total, any, scan) = Snapshot.metaSumSplitCol(m,
+                  Snapshot.physicalName(m, a.name))
+                if (scan.nonEmpty) None
+                else Some(if (any) (total: Any) else (null: Any))
+              }
             case _      => None
           }
         case _ => None
@@ -462,6 +474,108 @@ case class MetadataOnlyCountRule(session: SparkSession)
     }
   }
 
+  /** The INTEGRAL relation attribute under a summable expression —
+    * bare or widening-cast (summing widened values is the same sum;
+    * the stamp is the native per-file arithmetic either way). */
+  private def sumAttrOf(c: Expression, lr: LogicalRelation,
+      g: GraftRelation): Option[AttributeReference] =
+    keyAttrOf(c).filter(a => lr.output.exists(_.exprId == a.exprId) &&
+      (a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }))
+
+  /** Is `e` a non-distinct unfiltered `sum(col)` whose answer the
+    * per-file sum stamps can speak about? Returns the attribute. */
+  private def sumKeyOf(e: NamedExpression, lr: LogicalRelation,
+      g: GraftRelation): Option[AttributeReference] = e match {
+    case al @ Alias(ae: AggregateExpression, _)
+        if ae.mode == Complete && ae.filter.isEmpty && !ae.isDistinct &&
+          al.dataType == LongType =>
+      ae.aggregateFunction match {
+        case Sum(c, _) => sumAttrOf(c, lr, g)
+        case _         => None
+      }
+    case _ => None
+  }
+
+  /** '''6b. Global SUM, partial-stamp hybrid''' (round 18): when SOME
+    * files carry [[Snapshot.SumPfx]] stamps (or are provably all-NULL)
+    * and the rest must scan, `sum(c)` [+ count-star mixes] becomes the
+    * stamped partial as a LocalRelation row UNIONed with one
+    * restricted scan's aggregate, merged by an outer Sum — SQL SUM
+    * ignores NULLs, so the NULL-partial (nothing stamped non-null)
+    * merges correctly and an all-NULL table still answers NULL. The
+    * full-stamp case is rewrite #6 inside [[minMaxRewrite]]. All sum
+    * outputs must speak about ONE column; count-star outputs
+    * additionally require every non-scanned file's row count stamped.
+    * None = guards refuse (plain scan answers). */
+  private def sumRewrite(agg: Aggregate): Option[LogicalPlan] =
+    relationOf(agg.child).flatMap { case (lr, gr) =>
+      // per-output: Some(None) = count-star, Some(Some(a)) = sum(a)
+      val shapes: Seq[Option[Option[AttributeReference]]] =
+        agg.aggregateExpressions.map { e =>
+          if (isCountStar(e)) Some(None)
+          else sumKeyOf(e, lr, gr).map(a => Some(a))
+        }
+      val summed = shapes.flatten.flatten
+      if (shapes.exists(_.isEmpty) || summed.isEmpty ||
+          summed.map(_.exprId).distinct.size != 1) None
+      else {
+        val a = summed.head
+        val m = gr.pinnedManifest
+        val (partial, any, scan) = Snapshot.metaSumSplitCol(m,
+          Snapshot.physicalName(m, a.name))
+        val hasCount = shapes.exists(_.contains(None))
+        val scanSet = scan.map(_.path).toSet
+        lazy val stampedRows = {
+          var n = 0L
+          var ok = true
+          m.files.foreach { f =>
+            if (!scanSet(f.path)) {
+              if (f.rows < 0) ok = false else n += f.rows
+            }
+          }
+          if (ok) Some(n) else None
+        }
+        if (scan.isEmpty || scan.size == m.files.size) None
+        else if (hasCount && stampedRows.isEmpty) None
+        else {
+          val cnt = Alias(AggregateExpression(
+            Count(Seq(Literal(1L))), Complete, isDistinct = false),
+            "gm_part_cnt")()
+          val sm = Alias(AggregateExpression(
+            Sum(a), Complete, isDistinct = false), "gm_part_sum")()
+          val newChild = agg.child.transformUp {
+            case l: LogicalRelation if l eq lr =>
+              l.copy(relation = gr.restrictedTo(scanSet))
+          }
+          val scanAgg = Aggregate(Nil, Seq(cnt, sm), newChild)
+          val localOut = Seq(
+            AttributeReference("gm_n", LongType, nullable = false)(),
+            AttributeReference("gm_s", LongType)())
+          val local = LocalRelation(localOut,
+            Seq(InternalRow.fromSeq(Seq(stampedRows.getOrElse(0L),
+              if (any) (partial: Any) else (null: Any)))))
+          val un = Union(Seq(scanAgg, local))
+          val uc = un.output.head
+          val us = un.output(1)
+          val outs = agg.aggregateExpressions.zip(shapes).map {
+            case (e, Some(None)) =>
+              Alias(Coalesce(Seq(AggregateExpression(
+                Sum(uc), Complete, isDistinct = false), Literal(0L))),
+                e.name)(exprId = e.exprId)
+            case (e, Some(Some(_))) =>
+              Alias(AggregateExpression(
+                Sum(us), Complete, isDistinct = false),
+                e.name)(exprId = e.exprId)
+            case (_, None) => return None // unreachable by the guard
+          }
+          Some(Aggregate(Nil, outs, un))
+        }
+      }
+    }
+
   /** Is `e` a `count(col)` / `count(DISTINCT col)` of a bare (or
     * widening-cast) relation attribute of a groupable dtype? Returns
     * the attribute and the distinctness. */
@@ -565,6 +679,96 @@ case class MetadataOnlyCountRule(session: SparkSession)
       }
     }
 
+  /** '''7. GROUP BY g, counting AND summing''' (round 18): the q171/
+    * q173 grouped-count discipline extended to `sum(c)` outputs via
+    * [[Snapshot.metaGroupSumSplitCol]] — a file feeds its group's
+    * (count, sum) when the GROUPING column is provably single-valued
+    * there (clustering stamps + kNulls, or sidecar stamps + witness)
+    * AND the summed column carries its [[Snapshot.SumPfx]] stamp (or
+    * is provably all-NULL: it then adds 0 with the NULL-ness flag
+    * down, so a group whose every row is NULL answers NULL). Files
+    * with DVs, g-nulls in valued files, or missing stamps degrade
+    * into one restricted grouped scan merged by a summing aggregate.
+    * Range-filter composition stays count-only (rewrite #2's
+    * machinery does not carry sums). None = guards refuse. */
+  private def groupedSumRewrite(agg: Aggregate,
+      g: AttributeReference): Option[LogicalPlan] =
+    relationOf(agg.child).flatMap { case (lr, gr) =>
+      val m = gr.pinnedManifest
+      // per-output: key | count-star | sum(c) — all sums on ONE column
+      sealed trait Shape
+      case object K extends Shape
+      case object C extends Shape
+      case class S(a: AttributeReference) extends Shape
+      val shapes: Seq[Option[Shape]] = agg.aggregateExpressions.map { e =>
+        if (isKeyOutput(e, g)) Some(K)
+        else if (isCountStar(e)) Some(C)
+        else sumKeyOf(e, lr, gr).map(S.apply)
+      }
+      val summed = shapes.flatten.collect { case S(a) => a }
+      if (shapes.exists(_.isEmpty) || summed.isEmpty ||
+          summed.map(_.exprId).distinct.size != 1 ||
+          !groupableDtype(g.dataType) ||
+          !lr.output.exists(_.exprId == g.exprId)) None
+      else {
+        val c = summed.head
+        val physG = Snapshot.physicalName(m, g.name)
+        val physC = Snapshot.physicalName(m, c.name)
+        val (sums, scan) = Snapshot.metaGroupSumSplitCol(m, physG,
+          isClusteringAttr(g, lr, gr), physC)
+        def typed(v: Long): Any = typedKey(v, g.dataType)
+        if (scan.size == m.files.size) None
+        else if (scan.isEmpty) {
+          val rows = sums.toSeq.map { case (k, (n, s, any)) =>
+            InternalRow.fromSeq(shapes.map {
+              case Some(K) => k.map(typed).orNull
+              case Some(C) => n: Any
+              case Some(S(_)) => if (any) (s: Any) else (null: Any)
+              case None => return None // unreachable by the guard
+            })
+          }
+          Some(LocalRelation(agg.output, rows))
+        } else {
+          val cnt = Alias(AggregateExpression(
+            Count(Seq(Literal(1L))), Complete, isDistinct = false),
+            "gm_part_cnt")()
+          val sm = Alias(AggregateExpression(
+            Sum(c), Complete, isDistinct = false), "gm_part_sum")()
+          val newChild = agg.child.transformUp {
+            case l: LogicalRelation if l eq lr =>
+              l.copy(relation = gr.restrictedTo(scan.map(_.path).toSet))
+          }
+          val scanAgg = Aggregate(Seq(g), Seq(g, cnt, sm), newChild)
+          val localOut = Seq(
+            AttributeReference("gm_k", g.dataType)(),
+            AttributeReference("gm_c", LongType, nullable = false)(),
+            AttributeReference("gm_s", LongType)())
+          val local = LocalRelation(localOut,
+            sums.toSeq.map { case (k, (n, s, any)) =>
+              InternalRow.fromSeq(Seq(k.map(typed).orNull, n,
+                if (any) (s: Any) else (null: Any)))
+            })
+          val un = Union(Seq(scanAgg, local))
+          val uk = un.output.head
+          val uc = un.output(1)
+          val us = un.output(2)
+          val outs = agg.aggregateExpressions.zip(shapes).map {
+            case (e, Some(K)) => Alias(uk, e.name)(exprId = e.exprId)
+            case (e, Some(C)) =>
+              Alias(Coalesce(Seq(AggregateExpression(
+                Sum(uc), Complete, isDistinct = false), Literal(0L))),
+                e.name)(exprId = e.exprId)
+            case (e, Some(S(_))) =>
+              Alias(AggregateExpression(
+                Sum(us), Complete, isDistinct = false),
+                e.name)(exprId = e.exprId)
+            case (_, None) => return None // unreachable by the guard
+          }
+          Some(Aggregate(Seq(uk), outs, un))
+        }
+      }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty &&
         exprs.forall(isCountStar) =>
@@ -573,10 +777,14 @@ case class MetadataOnlyCountRule(session: SparkSession)
         case None    => filteredCountRewrite(agg).getOrElse(agg)
       }
     case agg @ Aggregate(Nil, exprs, _, _) if exprs.nonEmpty =>
-      minMaxRewrite(agg).orElse(distinctCountRewrite(agg)).getOrElse(agg)
+      minMaxRewrite(agg).orElse(distinctCountRewrite(agg))
+        .orElse(sumRewrite(agg)).getOrElse(agg)
     case agg @ Aggregate(Seq(g: AttributeReference), exprs, _, _)
         if exprs.nonEmpty &&
           exprs.forall(e => isKeyOutput(e, g) || isCountStar(e)) =>
       groupedCountRewrite(agg, g).getOrElse(agg)
+    case agg @ Aggregate(Seq(g: AttributeReference), exprs, _, _)
+        if exprs.nonEmpty =>
+      groupedSumRewrite(agg, g).getOrElse(agg)
   }
 }

@@ -1327,6 +1327,107 @@ class SourceSpec extends SparkSpec {
     assert(qd.collect().head.getDate(0).toString == "2024-02-01")
   }
 
+  test("global and grouped SUM answer from per-file sum stamps") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metasum_" + java.util.UUID.randomUUID().toString.take(8)
+    // clustered on k; b single-valued per file except the mixed tail;
+    // v: valued, partially-NULL, all-NULL, and mixed-b files — every
+    // fold arm of metaGroupSumSplitCol
+    def slice(ks: Range, b: Long => Option[Long], v: Long => Option[Long]) =
+      ks.map(k => (k.toLong, b(k.toLong), v(k.toLong)))
+        .toDF("k", "b", "v")
+    val slices = Seq(
+      slice(1 to 10, _ => Some(100L), k => Some(k * 2)),      // sum 110
+      slice(11 to 20, _ => Some(200L),
+        k => if (k <= 13) None else Some(k)),                 // sum 119
+      slice(21 to 30, _ => Some(300L), _ => None),            // all-NULL v
+      slice(31 to 35, k => Some(if (k % 2 == 0) 300L else 100L),
+        k => Some(k)))                                        // mixed b
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val carried = if (i == 0) Nil else Snapshot.manifest(spark, dir, i).files
+      Snapshot.commit(df, dir, i, "k", carried, nFiles = 1)
+    }
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    // GLOBAL sum: every file stamped or provably all-NULL → pure
+    // driver arithmetic (the mixed-b tail is irrelevant to a global
+    // sum — its v stamp is fine)
+    val gq = front.agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    assert(isLocal(gq), s"expected LocalRelation:\n${planOf(gq)}")
+    assert(gq.collect().toSeq == Seq(Row(110L + 119L + 31L + 32L + 33L +
+      34L + 35L, 35L)))
+    // GROUPED sum by the non-clustering b: three files from stamps,
+    // only the mixed-b tail scans; the all-NULL group answers NULL
+    val m = Snapshot.manifest(spark, dir, 4)
+    val mixedFile = m.files.find(f => f.min == 31L).map(_.path)
+    val gb = front.groupBy("b").agg(count(lit(1)).as("n"),
+      sum(col("v")).as("sv"))
+    assert(restrictedOf(gb) == mixedFile.map(Set(_)),
+      s"mixed-b-file-only scan expected, got:\n${planOf(gb)}")
+    assert(gb.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet ==
+      Set((100L, 13L, 110L + 31L + 33L + 35L),
+        (200L, 10L, 119L),
+        (300L, 12L, 32L + 34L)))
+    // GROUPED by the CLUSTERING column over single-valued-key files?
+    // k is NOT single-valued per file here — the grouped-sum split
+    // degrades every file and the rewrite refuses (plain scan, right
+    // answer)
+    val gk = front.groupBy("k").agg(sum(col("v")).as("sv"))
+    assert(!isLocal(gk))
+    assert(gk.count() == 35L)
+    // sum over the CLUSTERING column refuses (no sidecar stamps by
+    // design) and the scan answers
+    val gc = front.agg(sum(col("k")).as("sk"))
+    assert(!isLocal(gc))
+    assert(gc.collect().head.getLong(0) == (1L to 35L).sum)
+    // a DV degrades its file into the hybrid scan branch — the union
+    // merge answers exactly
+    Snapshot.deleteWhereDV(spark, dir, 5L, 5L)
+    val dq = front.agg(sum(col("v")).as("sv"))
+    val dvFile = Snapshot.manifest(spark, dir, 5).dvs.keySet
+    assert(restrictedOf(dq) == Some(dvFile),
+      s"DV'd-file-only scan expected, got:\n${planOf(dq)}")
+    assert(dq.collect().head.getLong(0) ==
+      110L + 119L + (31L to 35L).sum - 10L) // key 5 (v=10) masked
+    // an all-NULL column answers NULL, not 0 — and from metadata
+    val nq = spark.read.format("graft").load {
+      val d2 = dir + "_nullcol"
+      Snapshot.commit((1L to 8L).map((_, Option.empty[Long]))
+        .toDF("k", "v"), d2, 0, "k", nFiles = 2)
+      d2
+    }.agg(sum(col("v")).as("sv"))
+    assert(isLocal(nq))
+    assert(nq.collect().head.isNullAt(0))
+    // a user column literally named sum:<c> never stamps its own
+    // [min,max] and refuses metadata answers (shadowed key space)
+    val d3 = dir + "_shadow"
+    (1L to 6L).map(k => (k, k * 3, k * 100)).toDF("k", "v", "sum:v")
+      .write.format("graft").option("statsCol", "k").save(d3)
+    val m3 = Snapshot.manifest(spark, d3, 1)
+    val atKey = m3.colStats.collect {
+      case ((_, c), vv) if c == "sum:v" => vv }.toSeq
+    assert(atKey.nonEmpty && atKey.forall(p => p._1 == p._2) &&
+      atKey.map(_._1).sum == 63L,
+      s"only v's sum stamps may live at the sum:v key, got $atKey")
+    val sq = spark.read.format("graft").load(d3)
+      .agg(sum(col("sum:v")).as("s"), min(col("sum:v")).as("mn"))
+    assert(!isLocal(sq), "a sum:-named column must not answer from metadata")
+    assert(sq.collect().toSeq == Seq(Row(2100L, 100L)))
+  }
+
   test("timestamp stats: stamps and pruning are session-zone invariant") {
     // the round-15 NTZ fix's property: kind-3 stamps are instants
     // (unix_seconds, zone-free by definition) and kind-4 stamps are
