@@ -2672,8 +2672,10 @@ object Snapshot {
   private[graft] val NullsPfx = "nulls:"
 
   /** The per-file SUM pseudo-column prefix (round 18): each INTEGRAL
-    * auto-stamped column `c` also records its per-file sum of non-null
-    * values as the `colStats` entry `(path, "sum:" + c) -> (s, s)` —
+    * auto-stamped column `c` (and each DECIMAL column whose exact sum
+    * fits micro-units — see [[exactSumMicros]]; doubles never, their
+    * sums are order-dependent) also records its per-file sum of
+    * non-null values as the `colStats` entry `(path, "sum:" + c) -> (s, s)` —
     * the same ride-the-sidecar-machinery discipline as [[NullsPfx]]
     * (zero format change; legacy manifests lack the stamp and degrade
     * to scanning). The stamp is the NATIVE LongType sum, the same
@@ -2711,8 +2713,23 @@ object Snapshot {
         // the stamp folds to exactly the distributed answer ([[SumPfx]])
         (if (kind == 0)
            Seq(sum(col(c)).cast("long").as(s"_as${j}_sm"))
+         // kind 5 sums the NATIVE decimal/double: a decimal sum is
+         // exact (stamped below iff it fits micro-units exactly), a
+         // double sum is order-dependent and never stamps
+         else if (kind == 5)
+           Seq(sum(col(c)).as(s"_as${j}_sm"))
          else Nil)
     }
+
+  /** A decimal per-file sum as EXACT micro-units: Some iff the value
+    * has scale ≤ 6 (always true for columns of scale ≤ 6 — Spark's
+    * decimal sum keeps the column scale) and the shifted value fits a
+    * Long. None (no stamp; readers scan) otherwise — unlike the
+    * floored/ceiled [min,max] micro stamps, a sum stamp must be the
+    * exact answer or nothing. */
+  private def exactSumMicros(bd: java.math.BigDecimal): Option[Long] =
+    try Some(bd.movePointRight(6).longValueExact())
+    catch { case _: ArithmeticException => None }
 
   /** Fold one file's auto-stats aggregates into the sidecar builders.
     * All-NULL columns (or over-wide strings) do not stamp [min,max] —
@@ -2732,14 +2749,23 @@ object Snapshot {
         val nulls = rows - get(s"_as${j}_nn").asInstanceOf[Long]
         colB += ((path, NullsPfx + c) -> (nulls, nulls))
       }
-      // the integral per-file SUM stamp — null (all-NULL file) stamps
-      // nothing: SQL SUM of zero non-null values is NULL, and the
-      // witness above is what proves that state to a reader
-      if (kind == 0 && !isPseudoCol(c)) get(s"_as${j}_sm") match {
-        case s: java.lang.Long => colB += ((path, SumPfx + c) ->
-          (s.longValue, s.longValue))
-        case _ => ()
-      }
+      // the per-file SUM stamp — null (all-NULL file) stamps nothing:
+      // SQL SUM of zero non-null values is NULL, and the witness above
+      // is what proves that state to a reader. Integral sums stamp the
+      // raw Long; DECIMAL sums stamp exact micro-units (or nothing);
+      // double/float sums arrive as Double and never stamp
+      if ((kind == 0 || kind == 5) && !isPseudoCol(c))
+        get(s"_as${j}_sm") match {
+          case s: java.lang.Long if kind == 0 =>
+            colB += ((path, SumPfx + c) -> (s.longValue, s.longValue))
+          case bd: java.math.BigDecimal if kind == 5 =>
+            exactSumMicros(bd).foreach(mu =>
+              colB += ((path, SumPfx + c) -> (mu, mu)))
+          case bd: scala.math.BigDecimal if kind == 5 =>
+            exactSumMicros(bd.bigDecimal).foreach(mu =>
+              colB += ((path, SumPfx + c) -> (mu, mu)))
+          case _ => ()
+        }
       (get(s"_as${j}_mn"), get(s"_as${j}_mx")) match {
         case (null, _) | (_, null) => ()
         case (mn, mx) if kind == 2 =>

@@ -1770,12 +1770,16 @@ object Warehouse extends QueryModule {
       // arithmetic — the same per-task partial sums Spark's own
       // distributed SUM runs, so stamps fold to exactly its answer),
       // and `SELECT sum(order_key)` answers from pure driver
-      // arithmetic. Two phases through the front door: `global`
-      // (count(*) + sum — all four files stamped, zero files scanned)
-      // and `group` (GROUP BY the non-clustering rcode with count +
-      // sum — the three single-valued band files from stamps, ONLY the
-      // planted mixed tail scanned and merged). `n_scan` carries the
-      // engine's own split sizes (oracle-pinned 0 and 1 of 4);
+      // arithmetic; DECIMAL columns (scale ≤ 6) stamp exact
+      // micro-unit sums the same way (doubles never — order-dependent).
+      // Three phases through the front door: `global` (count(*) +
+      // integral sum + decimal sum — all four files stamped, zero
+      // files scanned), `group` (GROUP BY the non-clustering rcode
+      // with count + integral sum — the three single-valued band files
+      // from stamps, ONLY the planted mixed tail scanned and merged)
+      // and `money` (the same grouped split summing the DECIMAL price
+      // — the decimal hybrid merge). `n_scan` carries the engine's own
+      // split sizes (oracle-pinned 0, 1, 1 of 4);
       // the oracle recomputes both phases from raw orders. DV
       // refusal (a mask invalidates a stored sum), all-NULL → NULL
       // (not 0), the hybrid union merge, the clustering-column
@@ -1790,16 +1794,33 @@ object Warehouse extends QueryModule {
           gIsClustering = false, "order_key")
       require(sums.nonEmpty,
         "band files must answer the grouped-sum split from stamps")
+      // the DECIMAL measure (price, scale 2) stamps exact micro-unit
+      // sums — the money phase's grouped split shares the same scan
+      // set (eligibility is per-(g,c) stamps, identical here)
+      val (sumsP, scanP) =
+        Snapshot.metaGroupSumSplitCol(m, "rcode",
+          gIsClustering = false, "price")
+      require(sumsP.nonEmpty,
+        "band files must answer the decimal grouped-sum from stamps")
       val fd = s.read.format("graft").load(dir)
+      val nullL = lit(null).cast("long")
+      val nullD = lit(null).cast("double")
       val glob = fd.agg(count(lit(1)).as("n"),
-          sum(col("order_key")).as("sk"))
+          sum(col("order_key")).as("sk"), sum(col("price")).as("spd"))
         .select(lit("global").as("phase"), lit(-1).as("rcode"),
-          col("n"), col("sk"), lit(scanG.size.toLong).as("n_scan"))
+          col("n"), col("sk"), F.od(col("spd")).as("sp"),
+          lit(scanG.size.toLong).as("n_scan"))
       val grp = fd.groupBy(col("rcode"))
         .agg(count(lit(1)).as("n"), sum(col("order_key")).as("sk"))
         .select(lit("group").as("phase"), col("rcode"), col("n"),
-          col("sk"), lit(scanGrp.size.toLong).as("n_scan"))
-      glob.unionAll(grp).orderBy(col("phase"), col("rcode"))
+          col("sk"), nullD.as("sp"), lit(scanGrp.size.toLong).as("n_scan"))
+      val mon = fd.groupBy(col("rcode"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("spd"))
+        .select(lit("money").as("phase"), col("rcode"), col("n"),
+          nullL.as("sk"), F.od(col("spd")).as("sp"),
+          lit(scanP.size.toLong).as("n_scan"))
+      glob.unionAll(grp).unionAll(mon)
+        .orderBy(col("phase"), col("rcode"))
     }),
 
     "q172_stats_dcount" -> ((s, d) => {
@@ -2708,15 +2729,22 @@ object Warehouse extends QueryModule {
     // only the planted mixed tail
     "q175_agg_meta_sum" ->
       """WITH st AS (SELECT ascii(o_orderstatus) - 5 AS rcode,
-        |                   o_orderkey AS k FROM orders)
-        |SELECT phase, rcode, n, sk, n_scan FROM (
+        |                   o_orderkey AS k,
+        |                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |            FROM orders)
+        |SELECT phase, rcode, n, sk, sp, n_scan FROM (
         |  SELECT 'global' AS phase, CAST(-1 AS INT) AS rcode,
         |         count(*) AS n, CAST(sum(k) AS BIGINT) AS sk,
+        |         CAST(sum(p) AS DOUBLE) AS sp,
         |         CAST(0 AS BIGINT) AS n_scan
         |  FROM st
         |  UNION ALL
         |  SELECT 'group', rcode, count(*), CAST(sum(k) AS BIGINT),
-        |         CAST(1 AS BIGINT)
+        |         CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)
+        |  FROM st GROUP BY rcode
+        |  UNION ALL
+        |  SELECT 'money', rcode, count(*), CAST(NULL AS BIGINT),
+        |         CAST(sum(p) AS DOUBLE), CAST(1 AS BIGINT)
         |  FROM st GROUP BY rcode)
         |ORDER BY phase, rcode
         |""".stripMargin,

@@ -321,12 +321,16 @@ case class MetadataOnlyCountRule(session: SparkSession)
             // all-NULL; the partial/hybrid arm is [[sumRewrite]]).
             // Some(null) is the honest SQL answer for an all-NULL
             // column, distinct from None = refuse.
-            case Sum(c, _) if !ae.isDistinct && al.dataType == LongType =>
+            case Sum(c, _) if !ae.isDistinct =>
               sumAttrOf(c, lr, g).flatMap { a =>
-                val (total, any, scan) = Snapshot.metaSumSplitCol(m,
-                  Snapshot.physicalName(m, a.name))
-                if (scan.nonEmpty) None
-                else Some(if (any) (total: Any) else (null: Any))
+                sumCodecOf(a).filter(_._1 == al.dataType)
+                  .flatMap { case (_, dec) =>
+                    val (total, any, scan) = Snapshot.metaSumSplitCol(m,
+                      Snapshot.physicalName(m, a.name))
+                    if (scan.nonEmpty) None
+                    else if (!any) Some(null: Any)
+                    else dec(total)
+                  }
               }
             case _      => None
           }
@@ -474,26 +478,50 @@ case class MetadataOnlyCountRule(session: SparkSession)
     }
   }
 
-  /** The INTEGRAL relation attribute under a summable expression —
-    * bare or widening-cast (summing widened values is the same sum;
+  /** The stamp decoding for a summable column dtype: Spark's SUM
+    * result dtype for it, and the internal result value from the
+    * folded stamp total — the raw Long for integral columns, exact
+    * micro-units reconstructed to the result scale for DECIMAL ones
+    * (refusing — None — if a corrupted/legacy stamp is not divisible
+    * down to the column scale, or precision+10 would hit the 38 cap
+    * where Spark's own overflow semantics take over). Doubles never
+    * stamp (order-dependent sums). */
+  private def sumCodecOf(a: AttributeReference)
+      : Option[(DataType, Long => Option[Any])] = a.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some((LongType, l => Some(l)))
+    case dt: org.apache.spark.sql.types.DecimalType
+        if dt.scale >= 0 && dt.scale <= 6 && dt.precision + 10 <= 38 =>
+      val rt = org.apache.spark.sql.types.DecimalType(
+        dt.precision + 10, dt.scale)
+      Some((rt, l => try {
+        val bd = new java.math.BigDecimal(
+          java.math.BigInteger.valueOf(l), 6)
+          .setScale(dt.scale) // exact by stamp construction; throws on
+                              // a corrupted/legacy stamp → refuse
+        Some(org.apache.spark.sql.types.Decimal(
+          scala.math.BigDecimal(bd), rt.precision, rt.scale))
+      } catch { case _: ArithmeticException => None }))
+    case _ => None
+  }
+
+  /** The summable relation attribute under a sum child — bare or
+    * widening-integral-cast (summing widened values is the same sum;
     * the stamp is the native per-file arithmetic either way). */
   private def sumAttrOf(c: Expression, lr: LogicalRelation,
       g: GraftRelation): Option[AttributeReference] =
     keyAttrOf(c).filter(a => lr.output.exists(_.exprId == a.exprId) &&
-      (a.dataType match {
-        case ByteType | ShortType | IntegerType | LongType => true
-        case _ => false
-      }))
+      sumCodecOf(a).isDefined)
 
   /** Is `e` a non-distinct unfiltered `sum(col)` whose answer the
     * per-file sum stamps can speak about? Returns the attribute. */
   private def sumKeyOf(e: NamedExpression, lr: LogicalRelation,
       g: GraftRelation): Option[AttributeReference] = e match {
     case al @ Alias(ae: AggregateExpression, _)
-        if ae.mode == Complete && ae.filter.isEmpty && !ae.isDistinct &&
-          al.dataType == LongType =>
+        if ae.mode == Complete && ae.filter.isEmpty && !ae.isDistinct =>
       ae.aggregateFunction match {
         case Sum(c, _) => sumAttrOf(c, lr, g)
+            .filter(a => sumCodecOf(a).exists(_._1 == al.dataType))
         case _         => None
       }
     case _ => None
@@ -524,8 +552,11 @@ case class MetadataOnlyCountRule(session: SparkSession)
       else {
         val a = summed.head
         val m = gr.pinnedManifest
+        val (rt, dec) = sumCodecOf(a).get // sumKeyOf guaranteed it
         val (partial, any, scan) = Snapshot.metaSumSplitCol(m,
           Snapshot.physicalName(m, a.name))
+        val partialVal: Option[Any] =
+          if (any) dec(partial) else Some(null: Any)
         val hasCount = shapes.exists(_.contains(None))
         val scanSet = scan.map(_.path).toSet
         lazy val stampedRows = {
@@ -540,6 +571,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
         }
         if (scan.isEmpty || scan.size == m.files.size) None
         else if (hasCount && stampedRows.isEmpty) None
+        else if (partialVal.isEmpty) None // corrupted stamp: refuse
         else {
           val cnt = Alias(AggregateExpression(
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
@@ -553,10 +585,10 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val scanAgg = Aggregate(Nil, Seq(cnt, sm), newChild)
           val localOut = Seq(
             AttributeReference("gm_n", LongType, nullable = false)(),
-            AttributeReference("gm_s", LongType)())
+            AttributeReference("gm_s", rt)())
           val local = LocalRelation(localOut,
             Seq(InternalRow.fromSeq(Seq(stampedRows.getOrElse(0L),
-              if (any) (partial: Any) else (null: Any)))))
+              partialVal.get))))
           val un = Union(Seq(scanAgg, local))
           val uc = un.output.head
           val us = un.output(1)
@@ -566,8 +598,12 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 Sum(uc), Complete, isDistinct = false), Literal(0L))),
                 e.name)(exprId = e.exprId)
             case (e, Some(Some(_))) =>
-              Alias(AggregateExpression(
-                Sum(us), Complete, isDistinct = false),
+              // the union-merge Sum widens (decimal +10 precision);
+              // cast back to the original output dtype — exact unless
+              // the original sum itself would have overflowed, where
+              // the session's own overflow contract takes over
+              Alias(Cast(AggregateExpression(
+                Sum(us), Complete, isDistinct = false), rt),
                 e.name)(exprId = e.exprId)
             case (_, None) => return None // unreachable by the guard
           }
@@ -712,18 +748,25 @@ case class MetadataOnlyCountRule(session: SparkSession)
           !lr.output.exists(_.exprId == g.exprId)) None
       else {
         val c = summed.head
+        val (rt, dec) = sumCodecOf(c).get // sumKeyOf guaranteed it
         val physG = Snapshot.physicalName(m, g.name)
         val physC = Snapshot.physicalName(m, c.name)
         val (sums, scan) = Snapshot.metaGroupSumSplitCol(m, physG,
           isClusteringAttr(g, lr, gr), physC)
         def typed(v: Long): Any = typedKey(v, g.dataType)
-        if (scan.size == m.files.size) None
+        // decode every group's stamped sum up front — one corrupted
+        // stamp refuses the whole rewrite (the plain scan answers)
+        val decoded = sums.map { case (k, (n, s, any)) =>
+          k -> (n, if (any) dec(s) else Some(null: Any), any)
+        }
+        if (decoded.valuesIterator.exists(_._2.isEmpty)) None
+        else if (scan.size == m.files.size) None
         else if (scan.isEmpty) {
-          val rows = sums.toSeq.map { case (k, (n, s, any)) =>
+          val rows = decoded.toSeq.map { case (k, (n, sv, _)) =>
             InternalRow.fromSeq(shapes.map {
               case Some(K) => k.map(typed).orNull
               case Some(C) => n: Any
-              case Some(S(_)) => if (any) (s: Any) else (null: Any)
+              case Some(S(_)) => sv.get
               case None => return None // unreachable by the guard
             })
           }
@@ -742,11 +785,10 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val localOut = Seq(
             AttributeReference("gm_k", g.dataType)(),
             AttributeReference("gm_c", LongType, nullable = false)(),
-            AttributeReference("gm_s", LongType)())
+            AttributeReference("gm_s", rt)())
           val local = LocalRelation(localOut,
-            sums.toSeq.map { case (k, (n, s, any)) =>
-              InternalRow.fromSeq(Seq(k.map(typed).orNull, n,
-                if (any) (s: Any) else (null: Any)))
+            decoded.toSeq.map { case (k, (n, sv, _)) =>
+              InternalRow.fromSeq(Seq(k.map(typed).orNull, n, sv.get))
             })
           val un = Union(Seq(scanAgg, local))
           val uk = un.output.head
@@ -759,8 +801,10 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 Sum(uc), Complete, isDistinct = false), Literal(0L))),
                 e.name)(exprId = e.exprId)
             case (e, Some(S(_))) =>
-              Alias(AggregateExpression(
-                Sum(us), Complete, isDistinct = false),
+              // cast the widened union-merge Sum back to the original
+              // output dtype — see sumRewrite's identical note
+              Alias(Cast(AggregateExpression(
+                Sum(us), Complete, isDistinct = false), rt),
                 e.name)(exprId = e.exprId)
             case (_, None) => return None // unreachable by the guard
           }

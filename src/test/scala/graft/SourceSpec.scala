@@ -1340,6 +1340,10 @@ class SourceSpec extends SparkSpec {
     def slice(ks: Range, b: Long => Option[Long], v: Long => Option[Long]) =
       ks.map(k => (k.toLong, b(k.toLong), v(k.toLong)))
         .toDF("k", "b", "v")
+        // exact decimal measure (scale 2 ≤ 6: stamps) and a
+        // stamp-refusing wide decimal (scale 18 > 6: never stamps)
+        .withColumn("p", expr("CAST(k * 1.25 AS DECIMAL(18,2))"))
+        .withColumn("w", expr("CAST(k AS DECIMAL(38,18))"))
     val slices = Seq(
       slice(1 to 10, _ => Some(100L), k => Some(k * 2)),      // sum 110
       slice(11 to 20, _ => Some(200L),
@@ -1381,6 +1385,23 @@ class SourceSpec extends SparkSpec {
       Set((100L, 13L, 110L + 31L + 33L + 35L),
         (200L, 10L, 119L),
         (300L, 12L, 32L + 34L)))
+    // DECIMAL sums: the scale-2 measure answers from micro-unit
+    // stamps — global metadata-only, exact to the cent
+    val dp = front.agg(sum(col("p")).as("sp"))
+    assert(isLocal(dp), s"decimal sum must answer from stamps:\n${planOf(dp)}")
+    assert(dp.collect().head.getDecimal(0) ==
+      new java.math.BigDecimal("787.50")) // 1.25 * Σ(1..35)
+    // grouped decimal sum rides the same split (mixed tail scans)
+    val dg = front.groupBy("b").agg(count(lit(1)).as("n"),
+      sum(col("p")).as("sp"))
+    assert(restrictedOf(dg) == mixedFile.map(Set(_)))
+    assert(dg.collect().map(r => (r.getLong(0),
+      r.getDecimal(2).toString)).toSet ==
+      Set((100L, "192.50"), (200L, "193.75"), (300L, "401.25")))
+    // a scale-18 decimal can never stamp exactly — refuses, scan answers
+    val dw = front.agg(sum(col("w")).as("sw"))
+    assert(!isLocal(dw), "scale-18 decimal must not answer from stamps")
+    assert(dw.collect().head.getDecimal(0).longValueExact == 630L)
     // GROUPED by the CLUSTERING column over single-valued-key files?
     // k is NOT single-valued per file here — the grouped-sum split
     // degrades every file and the rewrite refuses (plain scan, right
