@@ -129,6 +129,30 @@ object ManifestScaleProbe {
       val ((gSums, gScan), rt8) = time(Snapshot.metaGroupSplit(m4))
       println(f"  groupSplit=${rt8}%6.4f s " +
         f"(groups=${gSums.size} scan=${gScan.size})")
+      // the BY-VALUE composition (q171/q173 on a value-clustered
+      // layout, round 18 — the r17 SCALE claim measured): a manifest
+      // whose files are SINGLE-VALUED on the clustering column (1000
+      // groups × n/1000 files) answers GROUP BY entirely from stamps —
+      // synthesized in memory like the sum stamps below, so the
+      // written fixture's numbers stay comparable across rounds
+      locally {
+        val byValFiles = m2r.files.zipWithIndex.map { case (f, i) =>
+          f.copy(min = (i % 1000).toLong, max = (i % 1000).toLong)
+        }
+        val mBv = m2r.copy(files = byValFiles)
+        val ((bvSums, bvScan), rtBv) = time(Snapshot.metaGroupSplit(mBv))
+        val sidecarBv =
+          if (sidecars > 0) {
+            val cs = byValFiles.iterator.flatMap(f => Iterator(
+              (f.path, "c0") -> (f.min, f.min),
+              (f.path, Snapshot.NullsPfx + "c0") -> (0L, 0L))).toMap
+            val mBvC = mBv.copy(colStats = cs)
+            val ((s2, sc2), rt2c) = time(Snapshot.metaGroupSplitCol(mBvC, "c0"))
+            f"  colSplit=${rt2c}%6.4f s (groups=${s2.size} scan=${sc2.size})"
+          } else ""
+        println(f"  byValueGroupSplit=${rtBv}%6.4f s " +
+          f"(groups=${bvSums.size} scan=${bvScan.size})$sidecarBv")
+      }
       // the SUM fold (q175, round 18): per-file sum:c0 stamps
       // synthesized IN MEMORY onto the parsed manifest (the write
       // path stamps them for real tables; adding them to the written
