@@ -108,6 +108,64 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("metadata SUMs == plain aggregation for ANY values/nulls/layout/DV shape") {
+    // the q175 splits must be LOSSLESS for every mix of negative
+    // values, NULL measures, NULL group keys, write layouts and
+    // deletion vectors: whatever combination of stamped files, hybrid
+    // scans and outright refusals the rule picks, the front door's
+    // answer must equal the plain aggregation bit-for-bit — global and
+    // grouped, integral and decimal.
+    import spark.implicits._
+    import graft.ops.Snapshot
+    val rowGen: Gen[(Option[Long], Option[Long], Option[Long])] = for {
+      k <- Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.choose(1L, 4L).map(Some(_)))
+      v <- Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.choose(-1000L, 1000L).map(Some(_)))
+      p <- Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.choose(-99999L, 99999L).map(Some(_))) // cents
+    } yield (k, v, p)
+    val delGen: Gen[Option[(Long, Long)]] = Gen.option(for {
+      lo <- Gen.choose(1L, 4L); hi <- Gen.choose(lo, 4L)
+    } yield (lo, hi))
+    var n = 0
+    check(Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.choose(1, 4),
+      Gen.oneOf(true, false), delGen) { (rows, nf, byValue, del) =>
+      n += 1
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_sumprop_$n").toString + "/t"
+      val df = rows.toDF("k", "v", "c")
+        .withColumn("p", expr("CAST(c AS DECIMAL(9,2)) / 100"))
+        .withColumn("p", expr("CAST(p AS DECIMAL(9,2))")).drop("c")
+      if (byValue) Snapshot.commitByValue(df, dir, 0, "k")
+      else Snapshot.commit(df, dir, 0, "k", nFiles = nf)
+      del.foreach { case (lo, hi) =>
+        Snapshot.deleteWhereDV(spark, dir, lo, hi) }
+      def cell(r: org.apache.spark.sql.Row, i: Int): String =
+        if (r.isNullAt(i)) "null"
+        else r.get(i) match {
+          case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+          case x => x.toString
+        }
+      def snap(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+        d.collect().toSeq.map(r => r.schema.indices.map(cell(r, _)))
+          .sortBy(_.mkString("|"))
+      def shapes(d: org.apache.spark.sql.DataFrame)
+          : Seq[org.apache.spark.sql.DataFrame] = Seq(
+        d.agg(sum(col("v")).as("sv"), sum(col("p")).as("sp"),
+          count(lit(1)).as("n")),
+        d.agg(sum(col("v")).as("sv")),
+        d.agg(sum(col("p")).as("sp")),
+        d.groupBy(col("k")).agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv")),
+        d.groupBy(col("k")).agg(count(lit(1)).as("n"),
+          sum(col("p")).as("sp")))
+      val want = shapes(Snapshot.read(spark, dir)).map(snap)
+      val got = shapes(spark.read.format("graft").load(dir)).map(snap)
+      got == want
+    })
+  }
+
   test("bulkJdbcUrl: append-only, PG-flag-once, idempotent — any URL shape") {
     // the pure half of the COPY-grade sink (the PG server itself is
     // unreachable here): for EVERY dialect/path/query-string shape the
