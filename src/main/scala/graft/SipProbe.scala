@@ -70,6 +70,43 @@ object SipProbe {
       f""""plain_min":${tp.min}%.3f,"sip_min":${ts.min}%.3f,""" +
       f""""plain_all":[${tp.map(t => f"$t%.2f").mkString(",")}],""" +
       f""""sip_all":[${ts.map(t => f"$t%.2f").mkString(",")}]}""")
+
+    // DYNAMIC arm (round 18): the same 500-key slice hidden behind a
+    // NON-key filter on a graft dim TABLE covering the whole key space
+    // — the shape where the static rule's leaf envelope ([0,64000))
+    // prunes nothing and only the planning-time dim job can see the
+    // surviving keys. Timed through the plain front door (no verb):
+    // each iteration re-optimizes, so the dynamic times INCLUDE the
+    // bounded dim job — the honest end-to-end cost a user pays.
+    val dimDir = spark.conf.get("spark.sql.warehouse.dir") + "/sip_dim"
+    Snapshot.commit(
+      spark.range(64000L).toDF("dk")
+        .withColumn("tag",
+          when(col("dk") >= 5000L && col("dk") < 5500L, "hit")
+            .otherwise("miss")),
+      dimDir, 0, "dk", nFiles = 4)
+    def dimF = spark.read.format("graft").load(dimDir)
+      .filter(col("tag") === "hit")
+    def autoJoin() = fact.join(dimF, col("key") === col("dk"))
+      .agg(count(lit(1)), sum(col("price"))).head().getLong(0)
+    val dynKey = graft.plans.SipJoinRule.DynamicKey
+    def withDyn[A](on: Boolean)(body: => A): A = {
+      spark.conf.set(dynKey, on.toString)
+      try body finally spark.conf.unset(dynKey)
+    }
+    require(withDyn(true)(autoJoin()) == withDyn(false)(autoJoin()),
+      "dynamic answer must equal the static-envelope join")
+    val j0 = graft.plans.SipJoinRule.dynamicJobs.get()
+    val (tStat, tDyn) = (1 to runs).map(_ =>
+      (withDyn(false)(timeIt(() => autoJoin())),
+        withDyn(true)(timeIt(() => autoJoin())))).unzip
+    val nJobs = graft.plans.SipJoinRule.dynamicJobs.get() - j0
+    println(f"""{"probe":"sip_dynamic","files":${m.files.size},""" +
+      f""""planned_static":${m.files.size},"planned_dyn":$planned,""" +
+      f""""static_min":${tStat.min}%.3f,"dyn_min":${tDyn.min}%.3f,""" +
+      f""""dim_jobs":$nJobs,""" +
+      f""""static_all":[${tStat.map(t => f"$t%.2f").mkString(",")}],""" +
+      f""""dyn_all":[${tDyn.map(t => f"$t%.2f").mkString(",")}]}""")
     spark.stop()
   }
 }
