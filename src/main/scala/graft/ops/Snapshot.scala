@@ -2005,6 +2005,82 @@ object Snapshot {
     (inside, boundary.result())
   }
 
+  /** [[metaRangeSplit]] extended with the summed column `c` (round 18
+    * — `sum(amount) WHERE key BETWEEN lo AND hi`, the canonical
+    * windowed warehouse aggregate): a file is answerable from stamps
+    * iff it is WHOLLY inside [lo,hi] (every row's key satisfies),
+    * its clustering-key NULL count is stamped ZERO (a NULL key fails
+    * the predicate but its `c` value is inside the whole-file sum —
+    * unsubtractable), it carries NO DV (a mask always invalidates a
+    * stored sum), and `c`'s [[SumPfx]] stamp is present (or the
+    * [[NullsPfx]] witness proves `c` all-NULL there — contributing 0
+    * with the flag down). Wholly-outside files contribute nothing;
+    * everything else scans WITH the predicate. Returns (rows inside,
+    * stamped sum, any-non-null-c?, scan files); `addExact` refusal as
+    * in [[metaSumSplitCol]]. */
+  private[graft] def metaRangeSumSplit(m: Manifest, lo: Long, hi: Long,
+      physC: String): (Long, Long, Boolean, Seq[FileEntry]) = {
+    val (rows, cs, scan) = metaRangeSumSplitCols(m, lo, hi, Seq(physC))
+    (rows, cs.head._1, cs.head._2, scan)
+  }
+
+  /** The range-windowed sum split for SEVERAL summed columns in one
+    * pass — [[metaRangeSumSplit]]'s rules with [[metaSumSplitCols]]'
+    * all-in-or-all-scan per-file discipline. Returns (rows inside,
+    * per-column (sum, any?) aligned with `physCs`, scan files). */
+  private[graft] def metaRangeSumSplitCols(m: Manifest, lo: Long,
+      hi: Long, physCs: Seq[String])
+      : (Long, Seq[(Long, Boolean)], Seq[FileEntry]) = {
+    if (physCs.exists(isPseudoCol))
+      return (0L, physCs.map(_ => (0L, false)), m.files)
+    val nC = physCs.length
+    val cSums = physCs.map(c => colLookup(m.colStats, SumPfx + c))
+    val cWits = physCs.map(c => colLookup(m.colStats, NullsPfx + c))
+    var rows = 0L
+    val totals = new Array[Long](nC)
+    val anys = new Array[Boolean](nC)
+    val boundary = Seq.newBuilder[FileEntry]
+    try {
+      m.files.foreach { f =>
+        val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
+        if (f.max < lo || f.min > hi) () // wholly outside
+        else if (f.min >= lo && f.max <= hi && f.rows >= 0 &&
+            f.kNulls == 0 && dv == 0) {
+          var ok = true
+          var i = 0
+          val vals = new Array[java.lang.Long](nC)
+          while (ok && i < nC) {
+            cSums(i)(f.path) match {
+              case Some((s, _)) => vals(i) = s
+              case None =>
+                if (cWits(i)(f.path).exists(_._1 == f.rows))
+                  vals(i) = null
+                else ok = false // stampless valued file
+            }
+            i += 1
+          }
+          if (!ok) boundary += f
+          else {
+            rows += f.rows
+            i = 0
+            while (i < nC) {
+              if (vals(i) != null) {
+                totals(i) = Math.addExact(totals(i), vals(i).longValue)
+                anys(i) = true
+              }
+              i += 1
+            }
+          }
+        } else boundary += f
+      }
+      (rows, physCs.indices.map(i => (totals(i), anys(i))),
+        boundary.result())
+    } catch {
+      case _: ArithmeticException =>
+        (0L, physCs.map(_ => (0L, false)), m.files)
+    }
+  }
+
   /** Exact `count(*) WHERE statsCol BETWEEN lo AND hi`: Σ stamps over
     * wholly-inside files + one scan over boundary-overlap files only
     * ([[metaRangeSplit]]) — on a range-clustered 100 TB table the scan
@@ -2157,26 +2233,62 @@ object Snapshot {
     * (stamped total, any-non-null-stamped?, scan files). */
   private[graft] def metaSumSplitCol(m: Manifest, physCol: String)
       : (Long, Boolean, Seq[FileEntry]) = {
-    if (isPseudoCol(physCol)) return (0L, false, m.files)
-    val look = colLookup(m.colStats, SumPfx + physCol)
-    val witness = colLookup(m.colStats, NullsPfx + physCol)
-    var total = 0L
-    var any = false
+    val (sums, scan) = metaSumSplitCols(m, Seq(physCol))
+    val (t, a) = sums.head
+    (t, a, scan)
+  }
+
+  /** [[metaSumSplitCol]] for SEVERAL summed columns in ONE pass
+    * (round 18 — `SELECT sum(qty), sum(price), count(*)`, the TPC-H
+    * q1 shape): a file feeds the stamped partials only when EVERY
+    * requested column is provable there (stamp present or witnessed
+    * all-NULL) and no DV masks it; otherwise it lands once in the
+    * shared scan set, where the restricted scan computes all the sums
+    * anyway. Returns per-column (total, any-non-null?) aligned with
+    * `physCols`, plus the scan files. */
+  private[graft] def metaSumSplitCols(m: Manifest, physCols: Seq[String])
+      : (Seq[(Long, Boolean)], Seq[FileEntry]) = {
+    if (physCols.exists(isPseudoCol)) return (physCols.map(_ => (0L, false)), m.files)
+    val looks = physCols.map(c => colLookup(m.colStats, SumPfx + c))
+    val wits = physCols.map(c => colLookup(m.colStats, NullsPfx + c))
+    val n = physCols.length
+    val totals = new Array[Long](n)
+    val anys = new Array[Boolean](n)
     val scan = Seq.newBuilder[FileEntry]
     try {
       m.files.foreach { f =>
         val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
-        if (dv > 0) scan += f
-        else look(f.path) match {
-          case Some((s, _)) => total = Math.addExact(total, s); any = true
-          case None =>
-            if (f.rows >= 0 && witness(f.path).exists(_._1 == f.rows)) ()
-            else scan += f // legacy / unwitnessed stampless file
+        // per-file verdict for every column BEFORE folding any — the
+        // file must be all-in or all-scan
+        var ok = dv == 0
+        var i = 0
+        val vals = new Array[java.lang.Long](n)
+        while (ok && i < n) {
+          looks(i)(f.path) match {
+            case Some((s, _)) => vals(i) = s
+            case None =>
+              if (f.rows >= 0 && wits(i)(f.path).exists(_._1 == f.rows))
+                vals(i) = null // witnessed all-NULL: contributes nothing
+              else ok = false // legacy / unwitnessed stampless file
+          }
+          i += 1
+        }
+        if (!ok) scan += f
+        else {
+          i = 0
+          while (i < n) {
+            if (vals(i) != null) {
+              totals(i) = Math.addExact(totals(i), vals(i).longValue)
+              anys(i) = true
+            }
+            i += 1
+          }
         }
       }
-      (total, any, scan.result())
+      (physCols.indices.map(i => (totals(i), anys(i))), scan.result())
     } catch {
-      case _: ArithmeticException => (0L, false, m.files)
+      case _: ArithmeticException =>
+        (physCols.map(_ => (0L, false)), m.files)
     }
   }
 
@@ -2200,18 +2312,29 @@ object Snapshot {
   private[graft] def metaGroupSumSplitCol(m: Manifest, physG: String,
       gIsClustering: Boolean, physC: String)
       : (Map[Option[Long], (Long, Long, Boolean)], Seq[FileEntry]) = {
-    if (isPseudoCol(physG) || isPseudoCol(physC))
+    val (sums, scan) =
+      metaGroupSumSplitCols(m, physG, gIsClustering, Seq(physC))
+    (sums.map { case (k, (n, cs)) =>
+      k -> (n, cs.head._1, cs.head._2) }, scan)
+  }
+
+  /** The grouped-sum split for SEVERAL summed columns in one pass —
+    * see [[metaSumSplitCols]] for the all-in-or-all-scan per-file
+    * discipline and [[metaGroupSumSplitCol]] for the grouping rules.
+    * Returns (group → (rows, per-column (sum, any?) aligned with
+    * `physCs`), scan files). */
+  private[graft] def metaGroupSumSplitCols(m: Manifest, physG: String,
+      gIsClustering: Boolean, physCs: Seq[String])
+      : (Map[Option[Long], (Long, Seq[(Long, Boolean)])], Seq[FileEntry]) = {
+    if (isPseudoCol(physG) || physCs.exists(isPseudoCol))
       return (Map.empty, m.files)
+    val nC = physCs.length
     val sums = scala.collection.mutable.LinkedHashMap
-      .empty[Option[Long], (Long, Long, Boolean)]
-    def add(k: Option[Long], n: Long, s: Long, any: Boolean): Unit = {
-      val (n0, s0, a0) = sums.getOrElse(k, (0L, 0L, false))
-      sums.update(k, (n0 + n, Math.addExact(s0, s), a0 || any))
-    }
+      .empty[Option[Long], (Long, Array[Long], Array[Boolean])]
     val gLook = colLookup(m.colStats, physG)
     val gWitness = colLookup(m.colStats, NullsPfx + physG)
-    val cSum = colLookup(m.colStats, SumPfx + physC)
-    val cWitness = colLookup(m.colStats, NullsPfx + physC)
+    val cSums = physCs.map(c => colLookup(m.colStats, SumPfx + c))
+    val cWits = physCs.map(c => colLookup(m.colStats, NullsPfx + c))
     val scan = Seq.newBuilder[FileEntry]
     try {
       m.files.foreach { f =>
@@ -2236,17 +2359,40 @@ object Snapshot {
             }
           }
         group match {
-          case Some(k) => cSum(f.path) match {
-            case Some((s, _)) => add(k, f.rows, s, any = true)
-            case None =>
-              if (cWitness(f.path).exists(_._1 == f.rows))
-                add(k, f.rows, 0L, any = false)
-              else scan += f
-          }
+          case Some(k) =>
+            var ok = true
+            var i = 0
+            val vals = new Array[java.lang.Long](nC)
+            while (ok && i < nC) {
+              cSums(i)(f.path) match {
+                case Some((s, _)) => vals(i) = s
+                case None =>
+                  if (cWits(i)(f.path).exists(_._1 == f.rows))
+                    vals(i) = null
+                  else ok = false
+              }
+              i += 1
+            }
+            if (!ok) scan += f
+            else {
+              val (n0, ts, as) = sums.getOrElse(k,
+                (0L, new Array[Long](nC), new Array[Boolean](nC)))
+              i = 0
+              while (i < nC) {
+                if (vals(i) != null) {
+                  ts(i) = Math.addExact(ts(i), vals(i).longValue)
+                  as(i) = true
+                }
+                i += 1
+              }
+              sums.update(k, (n0 + f.rows, ts, as))
+            }
           case None => scan += f
         }
       }
-      (sums.toMap, scan.result())
+      (sums.toMap.map { case (k, (n, ts, as)) =>
+        k -> (n, physCs.indices.map(i => (ts(i), as(i)))) },
+        scan.result())
     } catch {
       case _: ArithmeticException => (Map.empty, m.files)
     }

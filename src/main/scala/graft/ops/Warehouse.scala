@@ -1819,7 +1819,18 @@ object Warehouse extends QueryModule {
         .select(lit("money").as("phase"), col("rcode"), col("n"),
           nullL.as("sk"), F.od(col("spd")).as("sp"),
           lit(scanP.size.toLong).as("n_scan"))
-      glob.unionAll(grp).unionAll(mon)
+      // the RANGE-FILTERED window (round-18 extension of rewrite #6b):
+      // `sum(order_key) WHERE scode >= 79` — the 79/80 bands wholly
+      // inside sum from stamps, the mixed tail (min 70) straddles and
+      // scans WITH the predicate, the 70 band vanishes
+      val (_, _, _, scanR) =
+        Snapshot.metaRangeSumSplit(m, 79L, Long.MaxValue, "order_key")
+      val rng = fd.filter(col("scode") >= 79)
+        .agg(count(lit(1)).as("n"), sum(col("order_key")).as("sk"))
+        .select(lit("range").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("sk"), nullD.as("sp"),
+          lit(scanR.size.toLong).as("n_scan"))
+      glob.unionAll(grp).unionAll(mon).unionAll(rng)
         .orderBy(col("phase"), col("rcode"))
     }),
 
@@ -2745,7 +2756,12 @@ object Warehouse extends QueryModule {
         |  UNION ALL
         |  SELECT 'money', rcode, count(*), CAST(NULL AS BIGINT),
         |         CAST(sum(p) AS DOUBLE), CAST(1 AS BIGINT)
-        |  FROM st GROUP BY rcode)
+        |  FROM st GROUP BY rcode
+        |  UNION ALL
+        |  SELECT 'range', CAST(-1 AS INT), count(*),
+        |         CAST(sum(k) AS BIGINT), CAST(NULL AS DOUBLE),
+        |         CAST(1 AS BIGINT)
+        |  FROM st WHERE rcode >= 74)
         |ORDER BY phase, rcode
         |""".stripMargin,
 

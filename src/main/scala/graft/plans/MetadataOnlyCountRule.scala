@@ -527,83 +527,134 @@ case class MetadataOnlyCountRule(session: SparkSession)
     case _ => None
   }
 
-  /** '''6b. Global SUM, partial-stamp hybrid''' (round 18): when SOME
-    * files carry [[Snapshot.SumPfx]] stamps (or are provably all-NULL)
-    * and the rest must scan, `sum(c)` [+ count-star mixes] becomes the
-    * stamped partial as a LocalRelation row UNIONed with one
-    * restricted scan's aggregate, merged by an outer Sum — SQL SUM
-    * ignores NULLs, so the NULL-partial (nothing stamped non-null)
-    * merges correctly and an all-NULL table still answers NULL. The
-    * full-stamp case is rewrite #6 inside [[minMaxRewrite]]. All sum
-    * outputs must speak about ONE column; count-star outputs
-    * additionally require every non-scanned file's row count stamped.
+  /** '''6b. Global SUM — partial-stamp hybrid and the range-filtered
+    * window''' (round 18): when SOME files carry [[Snapshot.SumPfx]]
+    * stamps (or are provably all-NULL) and the rest must scan,
+    * `sum(c)` [+ count-star mixes] becomes the stamped partial as a
+    * LocalRelation row UNIONed with one restricted scan's aggregate,
+    * merged by an outer Sum — SQL SUM ignores NULLs, so the
+    * NULL-partial (nothing stamped non-null) merges correctly and an
+    * all-NULL table still answers NULL. A clustering-range FILTER
+    * composes (`sum(amount) WHERE key BETWEEN lo AND hi` — the
+    * canonical windowed warehouse aggregate): wholly-inside files sum
+    * from stamps via [[Snapshot.metaRangeSumSplit]] (zero key-nulls,
+    * zero DVs, `c` stamped or witnessed all-NULL), straddlers scan
+    * WITH the predicate, wholly-outside files vanish, and a
+    * contradictory range answers (0, NULL) from the predicate alone.
+    * The full-stamp unfiltered case is rewrite #6 inside
+    * [[minMaxRewrite]]. All sum outputs must speak about ONE column;
+    * count-star outputs additionally require the stamped rows known.
     * None = guards refuse (plain scan answers). */
-  private def sumRewrite(agg: Aggregate): Option[LogicalPlan] =
-    relationOf(agg.child).flatMap { case (lr, gr) =>
+  private def sumRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val unfiltered = relationOf(agg.child)
+      .map(r => (r, None: Option[(Long, Long)]))
+    def filtered = filteredRelationOf(agg.child).flatMap {
+      case (fil, lr, gr) =>
+        boundsOf(splitConjunctivePredicates(fil.condition), lr, gr)
+          .map(b => ((lr, gr), Some(b): Option[(Long, Long)]))
+    }
+    unfiltered.orElse(filtered).flatMap { case ((lr, gr), bounds) =>
       // per-output: Some(None) = count-star, Some(Some(a)) = sum(a)
       val shapes: Seq[Option[Option[AttributeReference]]] =
         agg.aggregateExpressions.map { e =>
           if (isCountStar(e)) Some(None)
           else sumKeyOf(e, lr, gr).map(a => Some(a))
         }
-      val summed = shapes.flatten.flatten
-      if (shapes.exists(_.isEmpty) || summed.isEmpty ||
-          summed.map(_.exprId).distinct.size != 1) None
+      val summed0 = shapes.flatten.flatten
+      // distinct summed attributes in first-seen order — each gets its
+      // own stamp fold, the per-file all-in-or-all-scan discipline
+      // sharing ONE scan set across them
+      val cols = summed0.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
+        if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+      if (shapes.exists(_.isEmpty) || cols.isEmpty) None
+      else if (bounds.exists(b => b._1 > b._2))
+        // contradiction: zero rows — count 0, sums NULL, by the
+        // predicate alone
+        Some(LocalRelation(agg.output,
+          Seq(InternalRow.fromSeq(shapes.map {
+            case Some(None) => 0L: Any
+            case _          => null: Any
+          }))))
       else {
-        val a = summed.head
         val m = gr.pinnedManifest
-        val (rt, dec) = sumCodecOf(a).get // sumKeyOf guaranteed it
-        val (partial, any, scan) = Snapshot.metaSumSplitCol(m,
-          Snapshot.physicalName(m, a.name))
-        val partialVal: Option[Any] =
-          if (any) dec(partial) else Some(null: Any)
+        val codecs = cols.map(a => sumCodecOf(a).get) // sumKeyOf pinned
+        val physCs = cols.map(a => Snapshot.physicalName(m, a.name))
+        val (stampedRows0, parts, scan) = bounds match {
+          case Some((lo, hi)) =>
+            val (r, cs, sc) = Snapshot.metaRangeSumSplitCols(m, lo, hi,
+              physCs)
+            (Some(r), cs, sc)
+          case None =>
+            val (cs, sc) = Snapshot.metaSumSplitCols(m, physCs)
+            val scanSet = sc.map(_.path).toSet
+            var n = 0L
+            var ok = true
+            m.files.foreach { f =>
+              if (!scanSet(f.path)) {
+                if (f.rows < 0) ok = false else n += f.rows
+              }
+            }
+            (if (ok) Some(n) else None, cs, sc)
+        }
+        // decoded stamped partial per column; None = corrupted stamp
+        val partials: Seq[Option[Any]] = cols.indices.map { i =>
+          val (t, any) = parts(i)
+          if (any) codecs(i)._2(t) else Some(null: Any)
+        }
+        def partialFor(a: AttributeReference): Option[Any] =
+          partials(cols.indexWhere(_.exprId == a.exprId))
         val hasCount = shapes.exists(_.contains(None))
         val scanSet = scan.map(_.path).toSet
-        lazy val stampedRows = {
-          var n = 0L
-          var ok = true
-          m.files.foreach { f =>
-            if (!scanSet(f.path)) {
-              if (f.rows < 0) ok = false else n += f.rows
-            }
-          }
-          if (ok) Some(n) else None
-        }
-        if (scan.isEmpty || scan.size == m.files.size) None
+        val stampedRows = stampedRows0
+        if (scan.size == m.files.size) None
         else if (hasCount && stampedRows.isEmpty) None
-        else if (partialVal.isEmpty) None // corrupted stamp: refuse
+        else if (partials.exists(_.isEmpty)) None // corrupted: refuse
+        else if (scan.isEmpty) bounds match {
+          case None => None // full-stamp unfiltered: rewrite #6's job
+          case Some(_) =>
+            // the whole window answered from stamps: one local row
+            Some(LocalRelation(agg.output,
+              Seq(InternalRow.fromSeq(shapes.map {
+                case Some(None)    => stampedRows.get: Any
+                case Some(Some(a)) => partialFor(a).get
+                case None => return None // unreachable by the guard
+              }))))
+        }
         else {
           val cnt = Alias(AggregateExpression(
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
-          val sm = Alias(AggregateExpression(
-            Sum(a), Complete, isDistinct = false), "gm_part_sum")()
+          val sms = cols.map(a => Alias(AggregateExpression(
+            Sum(a), Complete, isDistinct = false), "gm_part_sum")())
           val newChild = agg.child.transformUp {
             case l: LogicalRelation if l eq lr =>
               l.copy(relation = gr.restrictedTo(scanSet))
           }
-          val scanAgg = Aggregate(Nil, Seq(cnt, sm), newChild)
-          val localOut = Seq(
-            AttributeReference("gm_n", LongType, nullable = false)(),
-            AttributeReference("gm_s", rt)())
+          val scanAgg = Aggregate(Nil, cnt +: sms, newChild)
+          val localOut =
+            AttributeReference("gm_n", LongType, nullable = false)() +:
+              cols.indices.map(i =>
+                AttributeReference(s"gm_s$i", codecs(i)._1)())
           val local = LocalRelation(localOut,
-            Seq(InternalRow.fromSeq(Seq(stampedRows.getOrElse(0L),
-              partialVal.get))))
+            Seq(InternalRow.fromSeq(stampedRows.getOrElse(0L) +:
+              partials.map(_.get))))
           val un = Union(Seq(scanAgg, local))
           val uc = un.output.head
-          val us = un.output(1)
+          def usFor(a: AttributeReference) =
+            un.output(1 + cols.indexWhere(_.exprId == a.exprId))
           val outs = agg.aggregateExpressions.zip(shapes).map {
             case (e, Some(None)) =>
               Alias(Coalesce(Seq(AggregateExpression(
                 Sum(uc), Complete, isDistinct = false), Literal(0L))),
                 e.name)(exprId = e.exprId)
-            case (e, Some(Some(_))) =>
+            case (e, Some(Some(a))) =>
               // the union-merge Sum widens (decimal +10 precision);
               // cast back to the original output dtype — exact unless
               // the original sum itself would have overflowed, where
               // the session's own overflow contract takes over
               Alias(Cast(AggregateExpression(
-                Sum(us), Complete, isDistinct = false), rt),
+                Sum(usFor(a)), Complete, isDistinct = false),
+                codecs(cols.indexWhere(_.exprId == a.exprId))._1),
                 e.name)(exprId = e.exprId)
             case (_, None) => return None // unreachable by the guard
           }
@@ -611,6 +662,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
         }
       }
     }
+  }
 
   /** Is `e` a `count(col)` / `count(DISTINCT col)` of a bare (or
     * widening-cast) relation attribute of a groupable dtype? Returns
@@ -741,32 +793,36 @@ case class MetadataOnlyCountRule(session: SparkSession)
         else if (isCountStar(e)) Some(C)
         else sumKeyOf(e, lr, gr).map(S.apply)
       }
-      val summed = shapes.flatten.collect { case S(a) => a }
-      if (shapes.exists(_.isEmpty) || summed.isEmpty ||
-          summed.map(_.exprId).distinct.size != 1 ||
+      val summed0 = shapes.flatten.collect { case S(a) => a }
+      val cols = summed0.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
+        if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+      if (shapes.exists(_.isEmpty) || cols.isEmpty ||
           !groupableDtype(g.dataType) ||
           !lr.output.exists(_.exprId == g.exprId)) None
       else {
-        val c = summed.head
-        val (rt, dec) = sumCodecOf(c).get // sumKeyOf guaranteed it
+        val codecs = cols.map(a => sumCodecOf(a).get) // sumKeyOf pinned
         val physG = Snapshot.physicalName(m, g.name)
-        val physC = Snapshot.physicalName(m, c.name)
-        val (sums, scan) = Snapshot.metaGroupSumSplitCol(m, physG,
-          isClusteringAttr(g, lr, gr), physC)
+        val physCs = cols.map(a => Snapshot.physicalName(m, a.name))
+        val (sums, scan) = Snapshot.metaGroupSumSplitCols(m, physG,
+          isClusteringAttr(g, lr, gr), physCs)
         def typed(v: Long): Any = typedKey(v, g.dataType)
-        // decode every group's stamped sum up front — one corrupted
+        def colIdx(a: AttributeReference): Int =
+          cols.indexWhere(_.exprId == a.exprId)
+        // decode every group's stamped sums up front — one corrupted
         // stamp refuses the whole rewrite (the plain scan answers)
-        val decoded = sums.map { case (k, (n, s, any)) =>
-          k -> (n, if (any) dec(s) else Some(null: Any), any)
+        val decoded = sums.map { case (k, (n, cs)) =>
+          k -> (n, cs.zipWithIndex.map { case ((t, any), i) =>
+            if (any) codecs(i)._2(t) else Some(null: Any)
+          })
         }
-        if (decoded.valuesIterator.exists(_._2.isEmpty)) None
+        if (decoded.valuesIterator.exists(_._2.exists(_.isEmpty))) None
         else if (scan.size == m.files.size) None
         else if (scan.isEmpty) {
-          val rows = decoded.toSeq.map { case (k, (n, sv, _)) =>
+          val rows = decoded.toSeq.map { case (k, (n, svs)) =>
             InternalRow.fromSeq(shapes.map {
               case Some(K) => k.map(typed).orNull
               case Some(C) => n: Any
-              case Some(S(_)) => sv.get
+              case Some(S(a)) => svs(colIdx(a)).get
               case None => return None // unreachable by the guard
             })
           }
@@ -775,36 +831,39 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val cnt = Alias(AggregateExpression(
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
-          val sm = Alias(AggregateExpression(
-            Sum(c), Complete, isDistinct = false), "gm_part_sum")()
+          val sms = cols.map(a => Alias(AggregateExpression(
+            Sum(a), Complete, isDistinct = false), "gm_part_sum")())
           val newChild = agg.child.transformUp {
             case l: LogicalRelation if l eq lr =>
               l.copy(relation = gr.restrictedTo(scan.map(_.path).toSet))
           }
-          val scanAgg = Aggregate(Seq(g), Seq(g, cnt, sm), newChild)
-          val localOut = Seq(
-            AttributeReference("gm_k", g.dataType)(),
-            AttributeReference("gm_c", LongType, nullable = false)(),
-            AttributeReference("gm_s", rt)())
+          val scanAgg = Aggregate(Seq(g), g +: cnt +: sms, newChild)
+          val localOut =
+            AttributeReference("gm_k", g.dataType)() +:
+              AttributeReference("gm_c", LongType, nullable = false)() +:
+              cols.indices.map(i =>
+                AttributeReference(s"gm_s$i", codecs(i)._1)())
           val local = LocalRelation(localOut,
-            decoded.toSeq.map { case (k, (n, sv, _)) =>
-              InternalRow.fromSeq(Seq(k.map(typed).orNull, n, sv.get))
+            decoded.toSeq.map { case (k, (n, svs)) =>
+              InternalRow.fromSeq(
+                k.map(typed).orNull +: (n: Any) +: svs.map(_.get))
             })
           val un = Union(Seq(scanAgg, local))
           val uk = un.output.head
           val uc = un.output(1)
-          val us = un.output(2)
+          def usFor(a: AttributeReference) = un.output(2 + colIdx(a))
           val outs = agg.aggregateExpressions.zip(shapes).map {
             case (e, Some(K)) => Alias(uk, e.name)(exprId = e.exprId)
             case (e, Some(C)) =>
               Alias(Coalesce(Seq(AggregateExpression(
                 Sum(uc), Complete, isDistinct = false), Literal(0L))),
                 e.name)(exprId = e.exprId)
-            case (e, Some(S(_))) =>
+            case (e, Some(S(a))) =>
               // cast the widened union-merge Sum back to the original
               // output dtype — see sumRewrite's identical note
               Alias(Cast(AggregateExpression(
-                Sum(us), Complete, isDistinct = false), rt),
+                Sum(usFor(a)), Complete, isDistinct = false),
+                codecs(colIdx(a))._1),
                 e.name)(exprId = e.exprId)
             case (_, None) => return None // unreachable by the guard
           }

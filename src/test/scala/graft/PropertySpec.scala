@@ -159,7 +159,12 @@ class PropertySpec extends SparkSpec {
         d.groupBy(col("k")).agg(count(lit(1)).as("n"),
           sum(col("v")).as("sv")),
         d.groupBy(col("k")).agg(count(lit(1)).as("n"),
-          sum(col("p")).as("sp")))
+          sum(col("p")).as("sp")),
+        d.groupBy(col("k")).agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sv"), sum(col("p")).as("sp")),
+        d.filter(col("k") >= 2L && col("k") <= 3L)
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("p")).as("sp")))
       val want = shapes(Snapshot.read(spark, dir)).map(snap)
       val got = shapes(spark.read.format("graft").load(dir)).map(snap)
       got == want

@@ -1398,6 +1398,17 @@ class SourceSpec extends SparkSpec {
     assert(dg.collect().map(r => (r.getLong(0),
       r.getDecimal(2).toString)).toSet ==
       Set((100L, "192.50"), (200L, "193.75"), (300L, "401.25")))
+    // MULTI-measure grouped hybrid (the TPC-H q1 shape): both sums and
+    // the count share ONE scan set — still only the mixed tail
+    val multi = front.groupBy("b").agg(count(lit(1)).as("n"),
+      sum(col("v")).as("sv"), sum(col("p")).as("sp"))
+    assert(restrictedOf(multi) == mixedFile.map(Set(_)),
+      s"multi-measure scan set must stay the mixed tail:\n${planOf(multi)}")
+    assert(multi.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      r.getDecimal(3).toString)).toSet ==
+      Set((100L, 13L, 209L, "192.50"), (200L, 10L, 119L, "193.75"),
+        (300L, 12L, 66L, "401.25")))
     // a scale-18 decimal can never stamp exactly — refuses, scan answers
     val dw = front.agg(sum(col("w")).as("sw"))
     assert(!isLocal(dw), "scale-18 decimal must not answer from stamps")
@@ -1423,6 +1434,13 @@ class SourceSpec extends SparkSpec {
       s"DV'd-file-only scan expected, got:\n${planOf(dq)}")
     assert(dq.collect().head.getLong(0) ==
       110L + 119L + (31L to 35L).sum - 10L) // key 5 (v=10) masked
+    // multi-measure GLOBAL hybrid under the DV: one shared scan set
+    val mq = front.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      sum(col("p")).as("sp"))
+    assert(restrictedOf(mq) == Some(dvFile))
+    val mr = mq.collect().head
+    assert(mr.getLong(0) == 34L && mr.getLong(1) == 384L &&
+      mr.getDecimal(2).toString == "781.25", mr.toString)
     // an all-NULL column answers NULL, not 0 — and from metadata
     val nq = spark.read.format("graft").load {
       val d2 = dir + "_nullcol"
@@ -1447,6 +1465,66 @@ class SourceSpec extends SparkSpec {
       .agg(sum(col("sum:v")).as("s"), min(col("sum:v")).as("mn"))
     assert(!isLocal(sq), "a sum:-named column must not answer from metadata")
     assert(sq.collect().toSeq == Seq(Row(2100L, 100L)))
+  }
+
+  test("range-filtered SUM: interior files from stamps, straddlers scan " +
+    "with the predicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_rangesum_" + java.util.UUID.randomUUID().toString.take(8)
+    // 4 band files of 10 keys each; v = 2k (non-null everywhere)
+    (1L to 40L).map(k => (k, k * 2)).toDF("k", "v")
+      .write.format("graft").option("statsCol", "k")
+      .option("nFiles", "4").save(dir)
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    val m = Snapshot.manifest(spark, dir, 1)
+    assert(m.files.size == 4 && m.files.forall(f => f.max - f.min == 9L),
+      s"fixture: 4 clean bands expected, got ${m.files.map(f => (f.min, f.max))}")
+    // straddling window [5,25]: the middle band sums from stamps, the
+    // two straddlers scan with the predicate, the top band vanishes
+    val straddle = front.filter(col("k").between(5L, 25L))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val straddlers = m.files.filter(f =>
+      !(f.min >= 5L && f.max <= 25L) && f.min <= 25L && f.max >= 5L)
+      .map(_.path).toSet
+    assert(straddlers.size == 2, s"fixture: $straddlers")
+    assert(restrictedOf(straddle) == Some(straddlers),
+      s"straddler-only scan expected:\n${planOf(straddle)}")
+    assert(straddle.collect().toSeq ==
+      Seq(Row(21L, 2L * (5L to 25L).sum)))
+    // a wholly-inside window answers from pure driver arithmetic
+    val inside = front.filter(col("k") >= 11L && col("k") <= 20L)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(isLocal(inside), s"expected LocalRelation:\n${planOf(inside)}")
+    assert(inside.collect().toSeq == Seq(Row(10L, 2L * (11L to 20L).sum)))
+    // a contradictory window answers (0, NULL) from the predicate alone
+    val none = front.filter(col("k") > 30L && col("k") < 10L)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(isLocal(none))
+    val r0 = none.collect().head
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1))
+    // a DV inside the window degrades its file into the scan set (a
+    // mask always invalidates a stored sum)
+    Snapshot.deleteWhereDV(spark, dir, 15L, 15L)
+    val dved = front.filter(col("k").between(11L, 30L))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val dvFile = Snapshot.manifest(spark, dir, 2).dvs.keySet
+    assert(restrictedOf(dved).exists(s => dvFile.subsetOf(s)),
+      s"the DV'd file must scan:\n${planOf(dved)}")
+    assert(dved.collect().toSeq ==
+      Seq(Row(19L, 2L * ((11L to 30L).sum - 15L))))
   }
 
   test("timestamp stats: stamps and pruning are session-zone invariant") {
