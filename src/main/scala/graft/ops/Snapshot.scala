@@ -2024,61 +2024,15 @@ object Snapshot {
     (rows, cs.head._1, cs.head._2, scan)
   }
 
-  /** The range-windowed sum split for SEVERAL summed columns in one
-    * pass — [[metaRangeSumSplit]]'s rules with [[metaSumSplitCols]]'
-    * all-in-or-all-scan per-file discipline. Returns (rows inside,
-    * per-column (sum, any?) aligned with `physCs`, scan files). */
+  /** The range-windowed sum split for SEVERAL summed columns —
+    * [[metaAggSplitCols]] specialized to sums under a window. */
   private[graft] def metaRangeSumSplitCols(m: Manifest, lo: Long,
       hi: Long, physCs: Seq[String])
       : (Long, Seq[(Long, Boolean)], Seq[FileEntry]) = {
-    if (physCs.exists(isPseudoCol))
-      return (0L, physCs.map(_ => (0L, false)), m.files)
-    val nC = physCs.length
-    val cSums = physCs.map(c => colLookup(m.colStats, SumPfx + c))
-    val cWits = physCs.map(c => colLookup(m.colStats, NullsPfx + c))
-    var rows = 0L
-    val totals = new Array[Long](nC)
-    val anys = new Array[Boolean](nC)
-    val boundary = Seq.newBuilder[FileEntry]
-    try {
-      m.files.foreach { f =>
-        val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
-        if (f.max < lo || f.min > hi) () // wholly outside
-        else if (f.min >= lo && f.max <= hi && f.rows >= 0 &&
-            f.kNulls == 0 && dv == 0) {
-          var ok = true
-          var i = 0
-          val vals = new Array[java.lang.Long](nC)
-          while (ok && i < nC) {
-            cSums(i)(f.path) match {
-              case Some((s, _)) => vals(i) = s
-              case None =>
-                if (cWits(i)(f.path).exists(_._1 == f.rows))
-                  vals(i) = null
-                else ok = false // stampless valued file
-            }
-            i += 1
-          }
-          if (!ok) boundary += f
-          else {
-            rows += f.rows
-            i = 0
-            while (i < nC) {
-              if (vals(i) != null) {
-                totals(i) = Math.addExact(totals(i), vals(i).longValue)
-                anys(i) = true
-              }
-              i += 1
-            }
-          }
-        } else boundary += f
-      }
-      (rows, physCs.indices.map(i => (totals(i), anys(i))),
-        boundary.result())
-    } catch {
-      case _: ArithmeticException =>
-        (0L, physCs.map(_ => (0L, false)), m.files)
-    }
+    val (rows, _, accs, scan) =
+      metaAggSplitCols(m, physCs.map(SumSpec.apply), Some((lo, hi)))
+    (rows, accs.map { case SumAcc(t, a) => (t, a); case _ => (0L, false) },
+      scan)
   }
 
   /** Exact `count(*) WHERE statsCol BETWEEN lo AND hi`: Σ stamps over
@@ -2238,58 +2192,157 @@ object Snapshot {
     (t, a, scan)
   }
 
-  /** [[metaSumSplitCol]] for SEVERAL summed columns in ONE pass
-    * (round 18 — `SELECT sum(qty), sum(price), count(*)`, the TPC-H
-    * q1 shape): a file feeds the stamped partials only when EVERY
-    * requested column is provable there (stamp present or witnessed
-    * all-NULL) and no DV masks it; otherwise it lands once in the
-    * shared scan set, where the restricted scan computes all the sums
-    * anyway. Returns per-column (total, any-non-null?) aligned with
-    * `physCols`, plus the scan files. */
-  private[graft] def metaSumSplitCols(m: Manifest, physCols: Seq[String])
-      : (Seq[(Long, Boolean)], Seq[FileEntry]) = {
-    if (physCols.exists(isPseudoCol)) return (physCols.map(_ => (0L, false)), m.files)
-    val looks = physCols.map(c => colLookup(m.colStats, SumPfx + c))
-    val wits = physCols.map(c => colLookup(m.colStats, NullsPfx + c))
-    val n = physCols.length
-    val totals = new Array[Long](n)
-    val anys = new Array[Boolean](n)
+  /** What a metadata-aggregate fold should extract per column
+    * (round 18): a [[SumSpec]] reads the [[SumPfx]] stamp, a
+    * [[RangeSpec]] the column's exact [min,max] stamp (`colStats`
+    * sidecars, or the `FileEntry` stamps when `phys` IS the
+    * clustering column — flagged by `cluster`). The folds treat every
+    * spec under the all-in-or-all-scan per-file discipline. */
+  private[graft] sealed trait StampSpec { def phys: String }
+  private[graft] final case class SumSpec(phys: String) extends StampSpec
+  private[graft] final case class RangeSpec(phys: String,
+      cluster: Boolean = false) extends StampSpec
+
+  /** A fold's per-spec result: sums carry (total, any-non-null);
+    * ranges carry (min, max, any-non-null). */
+  private[graft] sealed trait StampAcc
+  private[graft] final case class SumAcc(total: Long,
+      any: Boolean) extends StampAcc
+  private[graft] final case class RangeAcc(mn: Long, mx: Long,
+      any: Boolean) extends StampAcc
+
+  /** THE metadata-aggregate fold (round 18 — the generalization every
+    * sum/min/max split delegates to): one pass over the manifest's
+    * files extracting, per [[StampSpec]], either the [[SumPfx]] stamp
+    * or the column's exact [min,max] stamp, under the
+    * all-in-or-all-scan discipline — a file feeds the stamped partials
+    * only when EVERY requested spec is provable there (stamp present,
+    * or the [[NullsPfx]] witness proves the column all-NULL so it
+    * contributes nothing), and lands once in the shared scan set
+    * otherwise (where the restricted scan computes every aggregate
+    * anyway). Per-file refusals: any DV (masks invalidate sums AND may
+    * hide extremes), degraded full-open range stamps, legacy
+    * stampless/unwitnessed files; with `bounds` (the clustering-range
+    * window) additionally: wholly-outside files vanish, and only
+    * wholly-inside files with stamped rows, ZERO clustering-key nulls
+    * and no DV may contribute — everything else straddles into the
+    * scan. Returns (stamped rows, rows-known?, per-spec accumulators,
+    * scan files); the `addExact` overflow refusal collapses to
+    * all-scan. */
+  private[graft] def metaAggSplitCols(m: Manifest, specs: Seq[StampSpec],
+      bounds: Option[(Long, Long)] = None)
+      : (Long, Boolean, Seq[StampAcc], Seq[FileEntry]) = {
+    val nS = specs.length
+    def refuseAll = (0L, false,
+      specs.map {
+        case _: SumSpec => SumAcc(0L, any = false)
+        case _: RangeSpec => RangeAcc(0L, 0L, any = false)
+      }, m.files)
+    if (specs.exists(s => isPseudoCol(s.phys))) return refuseAll
+    val sumLooks = specs.map {
+      case SumSpec(c) => colLookup(m.colStats, SumPfx + c)
+      case _ => null
+    }
+    val rngLooks = specs.map {
+      case RangeSpec(c, false) => colLookup(m.colStats, c)
+      case _ => null
+    }
+    val wits = specs.map(s => colLookup(m.colStats, NullsPfx + s.phys))
+    val sumT = new Array[Long](nS)
+    val rngMn = Array.fill(nS)(Long.MaxValue)
+    val rngMx = Array.fill(nS)(Long.MinValue)
+    val anys = new Array[Boolean](nS)
+    var rows = 0L
+    var rowsOk = true
     val scan = Seq.newBuilder[FileEntry]
     try {
       m.files.foreach { f =>
         val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
-        // per-file verdict for every column BEFORE folding any — the
-        // file must be all-in or all-scan
-        var ok = dv == 0
-        var i = 0
-        val vals = new Array[java.lang.Long](n)
-        while (ok && i < n) {
-          looks(i)(f.path) match {
-            case Some((s, _)) => vals(i) = s
-            case None =>
-              if (f.rows >= 0 && wits(i)(f.path).exists(_._1 == f.rows))
-                vals(i) = null // witnessed all-NULL: contributes nothing
-              else ok = false // legacy / unwitnessed stampless file
-          }
-          i += 1
+        val windowed = bounds match {
+          case Some((lo, hi)) =>
+            if (f.max < lo || f.min > hi) -1 // wholly outside: vanish
+            else if (f.min >= lo && f.max <= hi && f.rows >= 0 &&
+                f.kNulls == 0 && dv == 0) 1
+            else 0 // straddler or unprovable: scan
+          case None => if (dv == 0) 1 else 0
         }
-        if (!ok) scan += f
-        else {
-          i = 0
-          while (i < n) {
-            if (vals(i) != null) {
-              totals(i) = Math.addExact(totals(i), vals(i).longValue)
-              anys(i) = true
+        if (windowed == 0) scan += f
+        else if (windowed == 1) {
+          val fullOpen =
+            f.min == Long.MinValue && f.max == Long.MaxValue
+          // per-spec extraction BEFORE folding any — all-in-or-all-scan
+          var ok = true
+          var i = 0
+          // vals: for sums the stamp; for ranges packed (mn, mx);
+          // null = witnessed all-NULL (contributes nothing)
+          val sVal = new Array[java.lang.Long](nS)
+          val rLo = new Array[java.lang.Long](nS)
+          val rHi = new Array[java.lang.Long](nS)
+          while (ok && i < nS) {
+            specs(i) match {
+              case SumSpec(_) => sumLooks(i)(f.path) match {
+                case Some((s, _)) => sVal(i) = s
+                case None =>
+                  if (f.rows >= 0 &&
+                      wits(i)(f.path).exists(_._1 == f.rows)) ()
+                  else ok = false
+              }
+              case RangeSpec(_, cluster) =>
+                if (cluster) {
+                  if (fullOpen) {
+                    // the all-NULL-key write sentinel: contributes
+                    // nothing iff provably all-NULL, else unprovable
+                    if (!(f.rows >= 0 && f.kNulls == f.rows)) ok = false
+                  } else if (f.rows > 0) { rLo(i) = f.min; rHi(i) = f.max }
+                  else ok = false // adopted/unknown: phantom extremes
+                } else rngLooks(i)(f.path) match {
+                  case Some((mn, mx))
+                      if !(mn == Long.MinValue && mx == Long.MaxValue) =>
+                    rLo(i) = mn; rHi(i) = mx
+                  case _ =>
+                    if (f.rows >= 0 &&
+                        wits(i)(f.path).exists(_._1 == f.rows)) ()
+                    else ok = false
+                }
             }
             i += 1
           }
+          if (!ok) scan += f
+          else {
+            if (f.rows >= 0) rows += f.rows else rowsOk = false
+            i = 0
+            while (i < nS) {
+              if (sVal(i) != null) {
+                sumT(i) = Math.addExact(sumT(i), sVal(i).longValue)
+                anys(i) = true
+              }
+              if (rLo(i) != null) {
+                if (rLo(i).longValue < rngMn(i)) rngMn(i) = rLo(i).longValue
+                if (rHi(i).longValue > rngMx(i)) rngMx(i) = rHi(i).longValue
+                anys(i) = true
+              }
+              i += 1
+            }
+          }
         }
       }
-      (physCols.indices.map(i => (totals(i), anys(i))), scan.result())
+      (rows, rowsOk, specs.indices.map(i => specs(i) match {
+        case _: SumSpec => SumAcc(sumT(i), anys(i))
+        case _: RangeSpec => RangeAcc(rngMn(i), rngMx(i), anys(i))
+      }), scan.result())
     } catch {
-      case _: ArithmeticException =>
-        (physCols.map(_ => (0L, false)), m.files)
+      case _: ArithmeticException => refuseAll
     }
+  }
+
+  /** [[metaSumSplitCol]] for SEVERAL summed columns in ONE pass
+    * (round 18 — `SELECT sum(qty), sum(price), count(*)`, the TPC-H
+    * q1 shape) — [[metaAggSplitCols]] specialized to sums. */
+  private[graft] def metaSumSplitCols(m: Manifest, physCols: Seq[String])
+      : (Seq[(Long, Boolean)], Seq[FileEntry]) = {
+    val (_, _, accs, scan) =
+      metaAggSplitCols(m, physCols.map(SumSpec.apply))
+    (accs.map { case SumAcc(t, a) => (t, a); case _ => (0L, false) }, scan)
   }
 
   /** GROUPED SUM split (round 18): `SELECT g, count(*), sum(c)
@@ -2318,33 +2371,42 @@ object Snapshot {
       k -> (n, cs.head._1, cs.head._2) }, scan)
   }
 
-  /** The grouped-sum split for SEVERAL summed columns in one pass —
-    * see [[metaSumSplitCols]] for the all-in-or-all-scan per-file
-    * discipline and [[metaGroupSumSplitCol]] for the grouping rules.
-    * Returns (group → (rows, per-column (sum, any?) aligned with
-    * `physCs`), scan files). */
-  private[graft] def metaGroupSumSplitCols(m: Manifest, physG: String,
-      gIsClustering: Boolean, physCs: Seq[String])
-      : (Map[Option[Long], (Long, Seq[(Long, Boolean)])], Seq[FileEntry]) = {
-    if (isPseudoCol(physG) || physCs.exists(isPseudoCol))
+  /** The grouped metadata-aggregate fold (round 18): the
+    * [[metaAggSplitCols]] spec discipline under the
+    * [[metaGroupSumSplitCol]] grouping rules — a file feeds its
+    * group's (rows, per-spec accumulators) only when the grouping
+    * column is provably single-valued there AND every spec is
+    * provable. Returns (group → (rows, per-spec accs), scan files). */
+  private[graft] def metaGroupAggSplitCols(m: Manifest, physG: String,
+      gIsClustering: Boolean, specs: Seq[StampSpec])
+      : (Map[Option[Long], (Long, Seq[StampAcc])], Seq[FileEntry]) = {
+    if (isPseudoCol(physG) || specs.exists(s => isPseudoCol(s.phys)))
       return (Map.empty, m.files)
-    val nC = physCs.length
-    val sums = scala.collection.mutable.LinkedHashMap
-      .empty[Option[Long], (Long, Array[Long], Array[Boolean])]
+    val nS = specs.length
+    val accs = scala.collection.mutable.LinkedHashMap
+      .empty[Option[Long], (Long, Array[Long], Array[Long], Array[Long],
+        Array[Boolean])]
     val gLook = colLookup(m.colStats, physG)
     val gWitness = colLookup(m.colStats, NullsPfx + physG)
-    val cSums = physCs.map(c => colLookup(m.colStats, SumPfx + c))
-    val cWits = physCs.map(c => colLookup(m.colStats, NullsPfx + c))
+    val sumLooks = specs.map {
+      case SumSpec(c) => colLookup(m.colStats, SumPfx + c)
+      case _ => null
+    }
+    val rngLooks = specs.map {
+      case RangeSpec(c, false) => colLookup(m.colStats, c)
+      case _ => null
+    }
+    val wits = specs.map(s => colLookup(m.colStats, NullsPfx + s.phys))
     val scan = Seq.newBuilder[FileEntry]
     try {
       m.files.foreach { f =>
         val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
+        val fullOpen = f.min == Long.MinValue && f.max == Long.MaxValue
         // the grouping column's per-file verdict: Some(group) when the
         // whole file provably belongs to ONE group, None = degrade
         val group: Option[Option[Long]] =
           if (f.rows < 0 || dv > 0) None
           else if (gIsClustering) {
-            val fullOpen = f.min == Long.MinValue && f.max == Long.MaxValue
             if (f.kNulls == f.rows && f.kNulls >= 0) Some(None)
             else if (f.min == f.max && !fullOpen && f.kNulls == 0) Some(Some(f.min))
             else None
@@ -2362,40 +2424,80 @@ object Snapshot {
           case Some(k) =>
             var ok = true
             var i = 0
-            val vals = new Array[java.lang.Long](nC)
-            while (ok && i < nC) {
-              cSums(i)(f.path) match {
-                case Some((s, _)) => vals(i) = s
-                case None =>
-                  if (cWits(i)(f.path).exists(_._1 == f.rows))
-                    vals(i) = null
-                  else ok = false
+            val sVal = new Array[java.lang.Long](nS)
+            val rLo = new Array[java.lang.Long](nS)
+            val rHi = new Array[java.lang.Long](nS)
+            while (ok && i < nS) {
+              specs(i) match {
+                case SumSpec(_) => sumLooks(i)(f.path) match {
+                  case Some((s, _)) => sVal(i) = s
+                  case None =>
+                    if (wits(i)(f.path).exists(_._1 == f.rows)) ()
+                    else ok = false
+                }
+                case RangeSpec(_, cluster) =>
+                  if (cluster) {
+                    // group verdict already proved single-valuedness:
+                    // a non-full-open file's key range IS the group
+                    if (fullOpen) () // all-NULL keys: contributes nothing
+                    else { rLo(i) = f.min; rHi(i) = f.max }
+                  } else rngLooks(i)(f.path) match {
+                    case Some((mn, mx))
+                        if !(mn == Long.MinValue && mx == Long.MaxValue) =>
+                      rLo(i) = mn; rHi(i) = mx
+                    case _ =>
+                      if (wits(i)(f.path).exists(_._1 == f.rows)) ()
+                      else ok = false
+                  }
               }
               i += 1
             }
             if (!ok) scan += f
             else {
-              val (n0, ts, as) = sums.getOrElse(k,
-                (0L, new Array[Long](nC), new Array[Boolean](nC)))
+              val (n0, ts, mns, mxs, as) = accs.getOrElse(k,
+                (0L, new Array[Long](nS),
+                  Array.fill(nS)(Long.MaxValue),
+                  Array.fill(nS)(Long.MinValue),
+                  new Array[Boolean](nS)))
               i = 0
-              while (i < nC) {
-                if (vals(i) != null) {
-                  ts(i) = Math.addExact(ts(i), vals(i).longValue)
+              while (i < nS) {
+                if (sVal(i) != null) {
+                  ts(i) = Math.addExact(ts(i), sVal(i).longValue)
+                  as(i) = true
+                }
+                if (rLo(i) != null) {
+                  if (rLo(i).longValue < mns(i)) mns(i) = rLo(i).longValue
+                  if (rHi(i).longValue > mxs(i)) mxs(i) = rHi(i).longValue
                   as(i) = true
                 }
                 i += 1
               }
-              sums.update(k, (n0 + f.rows, ts, as))
+              accs.update(k, (n0 + f.rows, ts, mns, mxs, as))
             }
           case None => scan += f
         }
       }
-      (sums.toMap.map { case (k, (n, ts, as)) =>
-        k -> (n, physCs.indices.map(i => (ts(i), as(i)))) },
-        scan.result())
+      (accs.toMap.map { case (k, (n, ts, mns, mxs, as)) =>
+        k -> (n, specs.indices.map(i => specs(i) match {
+          case _: SumSpec => SumAcc(ts(i), as(i)): StampAcc
+          case _: RangeSpec => RangeAcc(mns(i), mxs(i), as(i)): StampAcc
+        }))
+      }, scan.result())
     } catch {
       case _: ArithmeticException => (Map.empty, m.files)
     }
+  }
+
+  /** The grouped-sum split for SEVERAL summed columns —
+    * [[metaGroupAggSplitCols]] specialized to sums. */
+  private[graft] def metaGroupSumSplitCols(m: Manifest, physG: String,
+      gIsClustering: Boolean, physCs: Seq[String])
+      : (Map[Option[Long], (Long, Seq[(Long, Boolean)])], Seq[FileEntry]) = {
+    val (accs, scan) = metaGroupAggSplitCols(m, physG, gIsClustering,
+      physCs.map(SumSpec.apply))
+    (accs.map { case (k, (n, cs)) =>
+      k -> (n, cs.map { case SumAcc(t, a) => (t, a); case _ => (0L, false) })
+    }, scan)
   }
 
   /** Exact `SELECT statsCol, count(*) GROUP BY statsCol`: per-group

@@ -527,6 +527,44 @@ case class MetadataOnlyCountRule(session: SparkSession)
     case _ => None
   }
 
+  /** min/max stamp decoding to the OUTPUT dtype (bare attr, or the
+    * widening integral cast `keyAttrOf` admits): integral and DATE
+    * columns only — string/timestamp/decimal hybrids refuse here (the
+    * full-metadata rewrite #3 already serves full-stamp strings). */
+  private def rangeValue(v: Long, outDt: DataType): Option[Any] =
+    outDt match {
+      case LongType    => Some(v)
+      case IntegerType => Some(v.toInt)
+      case ShortType   => Some(v.toShort)
+      case ByteType    => Some(v.toByte)
+      case org.apache.spark.sql.types.DateType => Some(v.toInt)
+      case _ => None
+    }
+
+  /** Is `e` a non-distinct unfiltered `min(col)`/`max(col)` whose
+    * answer per-file [min,max] stamps can speak about? Returns
+    * (attr, isMin, output dtype). */
+  private def rangeKeyOf(e: NamedExpression, lr: LogicalRelation,
+      g: GraftRelation)
+      : Option[(AttributeReference, Boolean, DataType)] = e match {
+    case al @ Alias(ae: AggregateExpression, _)
+        if ae.mode == Complete && ae.filter.isEmpty && !ae.isDistinct =>
+      def attr(c: Expression): Option[AttributeReference] =
+        keyAttrOf(c).filter(a => lr.output.exists(_.exprId == a.exprId) &&
+          rangeValue(0L, al.dataType).isDefined &&
+          (a.dataType match {
+            case ByteType | ShortType | IntegerType | LongType |
+                org.apache.spark.sql.types.DateType => true
+            case _ => false
+          }))
+      ae.aggregateFunction match {
+        case Min(c) => attr(c).map(a => (a, true, al.dataType))
+        case Max(c) => attr(c).map(a => (a, false, al.dataType))
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** '''6b. Global SUM — partial-stamp hybrid and the range-filtered
     * window''' (round 18): when SOME files carry [[Snapshot.SumPfx]]
     * stamps (or are provably all-NULL) and the rest must scan,
@@ -554,110 +592,139 @@ case class MetadataOnlyCountRule(session: SparkSession)
           .map(b => ((lr, gr), Some(b): Option[(Long, Long)]))
     }
     unfiltered.orElse(filtered).flatMap { case ((lr, gr), bounds) =>
-      // per-output: Some(None) = count-star, Some(Some(a)) = sum(a)
-      val shapes: Seq[Option[Option[AttributeReference]]] =
+      // per-output shape: kind 3 = count-star; 0 = sum, 1 = min,
+      // 2 = max, each with its attribute and OUTPUT dtype
+      val shapes: Seq[Option[(Int, AttributeReference, DataType)]] =
         agg.aggregateExpressions.map { e =>
-          if (isCountStar(e)) Some(None)
-          else sumKeyOf(e, lr, gr).map(a => Some(a))
+          if (isCountStar(e))
+            Some((3, null: AttributeReference, LongType))
+          else sumKeyOf(e, lr, gr)
+            .map(a => (0, a, sumCodecOf(a).get._1))
+            .orElse(rangeKeyOf(e, lr, gr).map { case (a, isMin, dt) =>
+              (if (isMin) 1 else 2, a, dt)
+            })
         }
-      val summed0 = shapes.flatten.flatten
-      // distinct summed attributes in first-seen order — each gets its
-      // own stamp fold, the per-file all-in-or-all-scan discipline
-      // sharing ONE scan set across them
-      val cols = summed0.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
-        if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
-      if (shapes.exists(_.isEmpty) || cols.isEmpty) None
+      val keyed = shapes.flatten.filter(_._1 != 3)
+      if (shapes.exists(_.isEmpty) || keyed.isEmpty) None
       else if (bounds.exists(b => b._1 > b._2))
-        // contradiction: zero rows — count 0, sums NULL, by the
-        // predicate alone
+        // contradiction: zero rows — count 0, every aggregate NULL,
+        // by the predicate alone
         Some(LocalRelation(agg.output,
           Seq(InternalRow.fromSeq(shapes.map {
-            case Some(None) => 0L: Any
-            case _          => null: Any
+            case Some((3, _, _)) => 0L: Any
+            case _               => null: Any
           }))))
       else {
         val m = gr.pinnedManifest
-        val codecs = cols.map(a => sumCodecOf(a).get) // sumKeyOf pinned
-        val physCs = cols.map(a => Snapshot.physicalName(m, a.name))
-        val (stampedRows0, parts, scan) = bounds match {
-          case Some((lo, hi)) =>
-            val (r, cs, sc) = Snapshot.metaRangeSumSplitCols(m, lo, hi,
-              physCs)
-            (Some(r), cs, sc)
-          case None =>
-            val (cs, sc) = Snapshot.metaSumSplitCols(m, physCs)
-            val scanSet = sc.map(_.path).toSet
-            var n = 0L
-            var ok = true
-            m.files.foreach { f =>
-              if (!scanSet(f.path)) {
-                if (f.rows < 0) ok = false else n += f.rows
-              }
-            }
-            (if (ok) Some(n) else None, cs, sc)
+        def dedup(as: Seq[AttributeReference]) =
+          as.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
+            if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+        // one fold spec per distinct (attr, sum-vs-range) — min and
+        // max over one column share a RangeSpec
+        val sumAttrs = dedup(keyed.filter(_._1 == 0).map(_._2))
+        val rngAttrs = dedup(keyed.filter(_._1 != 0).map(_._2))
+        val specs: Seq[Snapshot.StampSpec] =
+          sumAttrs.map(a => Snapshot.SumSpec(
+            Snapshot.physicalName(m, a.name))) ++
+            rngAttrs.map(a => Snapshot.RangeSpec(
+              Snapshot.physicalName(m, a.name),
+              cluster = isClusteringAttr(a, lr, gr)))
+        def specIdx(kind: Int, a: AttributeReference): Int =
+          if (kind == 0) sumAttrs.indexWhere(_.exprId == a.exprId)
+          else sumAttrs.length + rngAttrs.indexWhere(_.exprId == a.exprId)
+        val (stampedRows, rowsOk, accs, scan) =
+          Snapshot.metaAggSplitCols(m, specs, bounds)
+        // decoded stamped partial per non-count shape; inner None =
+        // corrupted stamp → refuse whole
+        def partialOf(kind: Int, a: AttributeReference, dt: DataType)
+            : Option[Any] = accs(specIdx(kind, a)) match {
+          case Snapshot.SumAcc(t, any) =>
+            if (any) sumCodecOf(a).get._2(t) else Some(null: Any)
+          case Snapshot.RangeAcc(mn, mx, any) =>
+            if (!any) Some(null: Any)
+            else rangeValue(if (kind == 1) mn else mx, dt)
         }
-        // decoded stamped partial per column; None = corrupted stamp
-        val partials: Seq[Option[Any]] = cols.indices.map { i =>
-          val (t, any) = parts(i)
-          if (any) codecs(i)._2(t) else Some(null: Any)
+        val partialsClean: Seq[Option[Any]] = shapes.map {
+          case Some((3, _, _))  => Some(0L: Any)
+          case Some((k, a, dt)) => partialOf(k, a, dt)
+          case None             => None
         }
-        def partialFor(a: AttributeReference): Option[Any] =
-          partials(cols.indexWhere(_.exprId == a.exprId))
-        val hasCount = shapes.exists(_.contains(None))
-        val scanSet = scan.map(_.path).toSet
-        val stampedRows = stampedRows0
+        val hasCount = shapes.exists(_.exists(_._1 == 3))
         if (scan.size == m.files.size) None
-        else if (hasCount && stampedRows.isEmpty) None
-        else if (partials.exists(_.isEmpty)) None // corrupted: refuse
+        else if (hasCount && !rowsOk) None
+        else if (partialsClean.exists(_.isEmpty)) None // corrupted
         else if (scan.isEmpty) bounds match {
           case None => None // full-stamp unfiltered: rewrite #6's job
           case Some(_) =>
             // the whole window answered from stamps: one local row
             Some(LocalRelation(agg.output,
-              Seq(InternalRow.fromSeq(shapes.map {
-                case Some(None)    => stampedRows.get: Any
-                case Some(Some(a)) => partialFor(a).get
-                case None => return None // unreachable by the guard
+              Seq(InternalRow.fromSeq(shapes.zip(partialsClean).map {
+                case (Some((3, _, _)), _) => stampedRows: Any
+                case (_, Some(v))         => v
+                case _ => return None // unreachable by the guards
               }))))
         }
         else {
+          // hybrid: one scan aggregate + one local partial per
+          // NON-count output (a shared count pair first), merged by
+          // an outer aggregate of each shape's own kind
           val cnt = Alias(AggregateExpression(
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
-          val sms = cols.map(a => Alias(AggregateExpression(
-            Sum(a), Complete, isDistinct = false), "gm_part_sum")())
+          val perShape = shapes.zipWithIndex.collect {
+            case (Some((k, a, dt)), i) if k != 3 => (k, a, dt, i)
+          }
+          val scanAggs = perShape.map { case (k, a, dt, _) =>
+            // min/max of a widened output must aggregate the widened
+            // child so the union sides agree on dtype (sum result
+            // dtypes already match the codec's)
+            val child: Expression =
+              if (k != 0 && a.dataType != dt) Cast(a, dt) else a
+            val fn = k match {
+              case 0 => Sum(child); case 1 => Min(child)
+              case _ => Max(child)
+            }
+            Alias(AggregateExpression(fn, Complete, isDistinct = false),
+              "gm_part")()
+          }
           val newChild = agg.child.transformUp {
             case l: LogicalRelation if l eq lr =>
-              l.copy(relation = gr.restrictedTo(scanSet))
+              l.copy(relation = gr.restrictedTo(scan.map(_.path).toSet))
           }
-          val scanAgg = Aggregate(Nil, cnt +: sms, newChild)
+          val scanAgg = Aggregate(Nil, cnt +: scanAggs, newChild)
           val localOut =
             AttributeReference("gm_n", LongType, nullable = false)() +:
-              cols.indices.map(i =>
-                AttributeReference(s"gm_s$i", codecs(i)._1)())
+              perShape.map { case (_, _, dt, i) =>
+                AttributeReference(s"gm_p$i", dt)()
+              }
           val local = LocalRelation(localOut,
-            Seq(InternalRow.fromSeq(stampedRows.getOrElse(0L) +:
-              partials.map(_.get))))
+            Seq(InternalRow.fromSeq((stampedRows: Any) +:
+              perShape.map { case (_, _, _, i) => partialsClean(i).get })))
           val un = Union(Seq(scanAgg, local))
           val uc = un.output.head
-          def usFor(a: AttributeReference) =
-            un.output(1 + cols.indexWhere(_.exprId == a.exprId))
-          val outs = agg.aggregateExpressions.zip(shapes).map {
-            case (e, Some(None)) =>
-              Alias(Coalesce(Seq(AggregateExpression(
-                Sum(uc), Complete, isDistinct = false), Literal(0L))),
-                e.name)(exprId = e.exprId)
-            case (e, Some(Some(a))) =>
-              // the union-merge Sum widens (decimal +10 precision);
-              // cast back to the original output dtype — exact unless
-              // the original sum itself would have overflowed, where
-              // the session's own overflow contract takes over
-              Alias(Cast(AggregateExpression(
-                Sum(usFor(a)), Complete, isDistinct = false),
-                codecs(cols.indexWhere(_.exprId == a.exprId))._1),
-                e.name)(exprId = e.exprId)
-            case (_, None) => return None // unreachable by the guard
-          }
+          def colOf(i: Int): Attribute =
+            un.output(1 + perShape.indexWhere(_._4 == i))
+          val outs = agg.aggregateExpressions.zip(shapes).zipWithIndex
+            .map {
+              case ((e, Some((3, _, _))), _) =>
+                Alias(Coalesce(Seq(AggregateExpression(
+                  Sum(uc), Complete, isDistinct = false), Literal(0L))),
+                  e.name)(exprId = e.exprId)
+              case ((e, Some((0, _, dt))), i) =>
+                // the union-merge Sum widens (decimal +10 precision);
+                // cast back — exact unless the original sum itself
+                // would have overflowed, where the session's own
+                // overflow contract takes over
+                Alias(Cast(AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false), dt),
+                  e.name)(exprId = e.exprId)
+              case ((e, Some((k, _, _))), i) =>
+                val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
+                  if (k == 1) Min(colOf(i)) else Max(colOf(i))
+                Alias(AggregateExpression(fn, Complete,
+                  isDistinct = false), e.name)(exprId = e.exprId)
+              case ((_, None), _) => return None // unreachable
+            }
           Some(Aggregate(Nil, outs, un))
         }
       }
@@ -767,63 +834,88 @@ case class MetadataOnlyCountRule(session: SparkSession)
       }
     }
 
-  /** '''7. GROUP BY g, counting AND summing''' (round 18): the q171/
-    * q173 grouped-count discipline extended to `sum(c)` outputs via
-    * [[Snapshot.metaGroupSumSplitCol]] — a file feeds its group's
-    * (count, sum) when the GROUPING column is provably single-valued
+  /** '''7. GROUP BY g — counts, sums, mins and maxes from stamps'''
+    * (round 18): the q171/q173 grouped-count discipline extended to
+    * `sum(c)` / `min(c)` / `max(c)` outputs via
+    * [[Snapshot.metaGroupAggSplitCols]] — a file feeds its group's
+    * accumulators when the GROUPING column is provably single-valued
     * there (clustering stamps + kNulls, or sidecar stamps + witness)
-    * AND the summed column carries its [[Snapshot.SumPfx]] stamp (or
-    * is provably all-NULL: it then adds 0 with the NULL-ness flag
-    * down, so a group whose every row is NULL answers NULL). Files
-    * with DVs, g-nulls in valued files, or missing stamps degrade
-    * into one restricted grouped scan merged by a summing aggregate.
-    * Range-filter composition stays count-only (rewrite #2's
-    * machinery does not carry sums). None = guards refuse. */
+    * AND every requested measure is provable (sum stamp / exact
+    * [min,max] stamp present, or witnessed all-NULL: contributing
+    * nothing with the NULL-ness flag down, so an all-NULL group
+    * answers NULL). Files with DVs, g-nulls in valued files, or
+    * missing stamps degrade into one restricted grouped scan merged
+    * by an outer aggregate of each shape's own kind. Range-filter
+    * composition stays count-only (rewrite #2's machinery). None =
+    * guards refuse. */
   private def groupedSumRewrite(agg: Aggregate,
       g: AttributeReference): Option[LogicalPlan] =
     relationOf(agg.child).flatMap { case (lr, gr) =>
       val m = gr.pinnedManifest
-      // per-output: key | count-star | sum(c) — all sums on ONE column
-      sealed trait Shape
-      case object K extends Shape
-      case object C extends Shape
-      case class S(a: AttributeReference) extends Shape
-      val shapes: Seq[Option[Shape]] = agg.aggregateExpressions.map { e =>
-        if (isKeyOutput(e, g)) Some(K)
-        else if (isCountStar(e)) Some(C)
-        else sumKeyOf(e, lr, gr).map(S.apply)
-      }
-      val summed0 = shapes.flatten.collect { case S(a) => a }
-      val cols = summed0.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
-        if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
-      if (shapes.exists(_.isEmpty) || cols.isEmpty ||
+      // per-output: kind 4 = the key, 3 = count-star; 0 sum / 1 min /
+      // 2 max with their attribute and OUTPUT dtype
+      val shapes: Seq[Option[(Int, AttributeReference, DataType)]] =
+        agg.aggregateExpressions.map { e =>
+          if (isKeyOutput(e, g))
+            Some((4, null: AttributeReference, g.dataType))
+          else if (isCountStar(e))
+            Some((3, null: AttributeReference, LongType))
+          else sumKeyOf(e, lr, gr)
+            .map(a => (0, a, sumCodecOf(a).get._1))
+            .orElse(rangeKeyOf(e, lr, gr).map { case (a, isMin, dt) =>
+              (if (isMin) 1 else 2, a, dt)
+            })
+        }
+      val keyed = shapes.flatten.filter(k => k._1 <= 2)
+      if (shapes.exists(_.isEmpty) || keyed.isEmpty ||
           !groupableDtype(g.dataType) ||
           !lr.output.exists(_.exprId == g.exprId)) None
       else {
-        val codecs = cols.map(a => sumCodecOf(a).get) // sumKeyOf pinned
+        def dedup(as: Seq[AttributeReference]) =
+          as.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
+            if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
+        val sumAttrs = dedup(keyed.filter(_._1 == 0).map(_._2))
+        val rngAttrs = dedup(keyed.filter(_._1 != 0).map(_._2))
+        val specs: Seq[Snapshot.StampSpec] =
+          sumAttrs.map(a => Snapshot.SumSpec(
+            Snapshot.physicalName(m, a.name))) ++
+            rngAttrs.map(a => Snapshot.RangeSpec(
+              Snapshot.physicalName(m, a.name),
+              cluster = isClusteringAttr(a, lr, gr)))
+        def specIdx(kind: Int, a: AttributeReference): Int =
+          if (kind == 0) sumAttrs.indexWhere(_.exprId == a.exprId)
+          else sumAttrs.length + rngAttrs.indexWhere(_.exprId == a.exprId)
         val physG = Snapshot.physicalName(m, g.name)
-        val physCs = cols.map(a => Snapshot.physicalName(m, a.name))
-        val (sums, scan) = Snapshot.metaGroupSumSplitCols(m, physG,
-          isClusteringAttr(g, lr, gr), physCs)
+        val (sums, scan) = Snapshot.metaGroupAggSplitCols(m, physG,
+          isClusteringAttr(g, lr, gr), specs)
         def typed(v: Long): Any = typedKey(v, g.dataType)
-        def colIdx(a: AttributeReference): Int =
-          cols.indexWhere(_.exprId == a.exprId)
-        // decode every group's stamped sums up front — one corrupted
-        // stamp refuses the whole rewrite (the plain scan answers)
+        // decode every group's stamped measures up front — one
+        // corrupted stamp refuses the whole rewrite
+        def decode(cs: Seq[Snapshot.StampAcc], kind: Int,
+            a: AttributeReference, dt: DataType): Option[Any] =
+          cs(specIdx(kind, a)) match {
+            case Snapshot.SumAcc(t, any) =>
+              if (any) sumCodecOf(a).get._2(t) else Some(null: Any)
+            case Snapshot.RangeAcc(mn, mx, any) =>
+              if (!any) Some(null: Any)
+              else rangeValue(if (kind == 1) mn else mx, dt)
+          }
         val decoded = sums.map { case (k, (n, cs)) =>
-          k -> (n, cs.zipWithIndex.map { case ((t, any), i) =>
-            if (any) codecs(i)._2(t) else Some(null: Any)
+          k -> (n, shapes.map {
+            case Some((4, _, _)) => Some(null: Any) // key: below
+            case Some((3, _, _)) => Some(n: Any)
+            case Some((kk, a, dt)) => decode(cs, kk, a, dt)
+            case None => None
           })
         }
         if (decoded.valuesIterator.exists(_._2.exists(_.isEmpty))) None
         else if (scan.size == m.files.size) None
         else if (scan.isEmpty) {
-          val rows = decoded.toSeq.map { case (k, (n, svs)) =>
-            InternalRow.fromSeq(shapes.map {
-              case Some(K) => k.map(typed).orNull
-              case Some(C) => n: Any
-              case Some(S(a)) => svs(colIdx(a)).get
-              case None => return None // unreachable by the guard
+          val rows = decoded.toSeq.map { case (k, (_, vs)) =>
+            InternalRow.fromSeq(shapes.zip(vs).map {
+              case (Some((4, _, _)), _) => k.map(typed).orNull
+              case (_, Some(v))         => v
+              case _ => return None // unreachable by the guard
             })
           }
           Some(LocalRelation(agg.output, rows))
@@ -831,42 +923,62 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val cnt = Alias(AggregateExpression(
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
-          val sms = cols.map(a => Alias(AggregateExpression(
-            Sum(a), Complete, isDistinct = false), "gm_part_sum")())
+          val perShape = shapes.zipWithIndex.collect {
+            case (Some((k, a, dt)), i) if k <= 2 => (k, a, dt, i)
+          }
+          val scanAggs = perShape.map { case (k, a, dt, _) =>
+            val child: Expression =
+              if (k != 0 && a.dataType != dt) Cast(a, dt) else a
+            val fn = k match {
+              case 0 => Sum(child); case 1 => Min(child)
+              case _ => Max(child)
+            }
+            Alias(AggregateExpression(fn, Complete, isDistinct = false),
+              "gm_part")()
+          }
           val newChild = agg.child.transformUp {
             case l: LogicalRelation if l eq lr =>
               l.copy(relation = gr.restrictedTo(scan.map(_.path).toSet))
           }
-          val scanAgg = Aggregate(Seq(g), g +: cnt +: sms, newChild)
+          val scanAgg = Aggregate(Seq(g), g +: cnt +: scanAggs, newChild)
           val localOut =
             AttributeReference("gm_k", g.dataType)() +:
               AttributeReference("gm_c", LongType, nullable = false)() +:
-              cols.indices.map(i =>
-                AttributeReference(s"gm_s$i", codecs(i)._1)())
+              perShape.map { case (_, _, dt, i) =>
+                AttributeReference(s"gm_p$i", dt)()
+              }
           val local = LocalRelation(localOut,
-            decoded.toSeq.map { case (k, (n, svs)) =>
+            decoded.toSeq.map { case (k, (n, vs)) =>
               InternalRow.fromSeq(
-                k.map(typed).orNull +: (n: Any) +: svs.map(_.get))
+                k.map(typed).orNull +: (n: Any) +:
+                  perShape.map { case (_, _, _, i) => vs(i).get })
             })
           val un = Union(Seq(scanAgg, local))
           val uk = un.output.head
           val uc = un.output(1)
-          def usFor(a: AttributeReference) = un.output(2 + colIdx(a))
-          val outs = agg.aggregateExpressions.zip(shapes).map {
-            case (e, Some(K)) => Alias(uk, e.name)(exprId = e.exprId)
-            case (e, Some(C)) =>
-              Alias(Coalesce(Seq(AggregateExpression(
-                Sum(uc), Complete, isDistinct = false), Literal(0L))),
-                e.name)(exprId = e.exprId)
-            case (e, Some(S(a))) =>
-              // cast the widened union-merge Sum back to the original
-              // output dtype — see sumRewrite's identical note
-              Alias(Cast(AggregateExpression(
-                Sum(usFor(a)), Complete, isDistinct = false),
-                codecs(colIdx(a))._1),
-                e.name)(exprId = e.exprId)
-            case (_, None) => return None // unreachable by the guard
-          }
+          def colOf(i: Int): Attribute =
+            un.output(2 + perShape.indexWhere(_._4 == i))
+          val outs = agg.aggregateExpressions.zip(shapes).zipWithIndex
+            .map {
+              case ((e, Some((4, _, _))), _) =>
+                Alias(uk, e.name)(exprId = e.exprId)
+              case ((e, Some((3, _, _))), _) =>
+                Alias(Coalesce(Seq(AggregateExpression(
+                  Sum(uc), Complete, isDistinct = false), Literal(0L))),
+                  e.name)(exprId = e.exprId)
+              case ((e, Some((0, _, dt))), i) =>
+                // cast the widened union-merge Sum back — see
+                // sumRewrite's identical note
+                Alias(Cast(AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false), dt),
+                  e.name)(exprId = e.exprId)
+              case ((e, Some((k, _, _))), i) =>
+                val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
+                  if (k == 1) Min(colOf(i)) else Max(colOf(i))
+                Alias(AggregateExpression(fn, Complete,
+                  isDistinct = false), e.name)(exprId = e.exprId)
+              case ((_, None), _) => return None // unreachable
+            }
           Some(Aggregate(Seq(uk), outs, un))
         }
       }

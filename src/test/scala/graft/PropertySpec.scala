@@ -164,7 +164,13 @@ class PropertySpec extends SparkSpec {
           sum(col("v")).as("sv"), sum(col("p")).as("sp")),
         d.filter(col("k") >= 2L && col("k") <= 3L)
           .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-            sum(col("p")).as("sp")))
+            sum(col("p")).as("sp")),
+        d.groupBy(col("k")).agg(count(lit(1)).as("n"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"),
+          sum(col("v")).as("sv")),
+        d.filter(col("k") >= 2L && col("k") <= 3L)
+          .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+            min(col("k")).as("mnk"), count(lit(1)).as("n")))
       val want = shapes(Snapshot.read(spark, dir)).map(snap)
       val got = shapes(spark.read.format("graft").load(dir)).map(snap)
       got == want

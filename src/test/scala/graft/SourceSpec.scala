@@ -840,11 +840,16 @@ class SourceSpec extends SparkSpec {
     val dq = front.filter(col("k") <= 30L).groupBy().count()
     assert(planOf(dq).collectFirst { case l: LocalRelation => l }.nonEmpty)
     assert(dq.collect().head.getLong(0) == 21L)
-    // ... but a DV anywhere refuses MIN/MAX (the extreme row may be
-    // masked — here it IS: true min moved 1 → 10)
+    // ... and a DV degrades its file out of metadata MIN/MAX (the
+    // extreme row may be masked — here it IS: true min moved 1 → 10).
+    // Round 18's hybrid arm scans ONLY the masked file and merges it
+    // with the clean files' stamps, where round 17 refused the whole
+    // table — the answer must still see through the mask
     val mmq2 = front.agg(min(col("k")).as("mn"))
-    assert(planOf(mmq2).collectFirst { case l: LocalRelation => l }.isEmpty,
-      "DVs must refuse metadata MIN/MAX")
+    val dvFiles = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir)).dvs.keySet
+    assert(restrictedOf(mmq2) == Some(dvFiles),
+      s"hybrid min must scan exactly the DV'd file:\n${planOf(mmq2)}")
     assert(mmq2.collect().head.getLong(0) == 10L)
     // time travel answers from ITS version's stamps (pre-DV)
     val tt = spark.read.format("graft").option("versionAsOf", "1")
@@ -1409,6 +1414,21 @@ class SourceSpec extends SparkSpec {
       r.getDecimal(3).toString)).toSet ==
       Set((100L, 13L, 209L, "192.50"), (200L, 10L, 119L, "193.75"),
         (300L, 12L, 66L, "401.25")))
+    // grouped MIN/MAX ride the same split (round 18): per-group
+    // extremes from per-file [min,max] stamps, the all-NULL group
+    // answers NULL, the mixed tail is still the only scan
+    val gmm = front.groupBy("b").agg(count(lit(1)).as("n"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(restrictedOf(gmm) == mixedFile.map(Set(_)),
+      s"grouped min/max scan set must stay the mixed tail:\n${planOf(gmm)}")
+    assert(gmm.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSet ==
+      Set((100L, 13L, 2L, 35L), (200L, 10L, 14L, 20L),
+        // group 300's stamped file is all-NULL on v, but the SCANNED
+        // mixed tail contributes v = 32, 34 — the merge must not let
+        // the NULL partial clobber them
+        (300L, 12L, 32L, 34L)))
     // a scale-18 decimal can never stamp exactly — refuses, scan answers
     val dw = front.agg(sum(col("w")).as("sw"))
     assert(!isLocal(dw), "scale-18 decimal must not answer from stamps")
@@ -1509,6 +1529,15 @@ class SourceSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
     assert(isLocal(inside), s"expected LocalRelation:\n${planOf(inside)}")
     assert(inside.collect().toSeq == Seq(Row(10L, 2L * (11L to 20L).sum)))
+    // windowed MIN/MAX (round 18): extremes of measure AND key inside
+    // the window — straddlers scan, inside files answer from stamps
+    val wmm = front.filter(col("k").between(5L, 25L))
+      .agg(min(col("v")).as("mnv"), max(col("v")).as("mxv"),
+        min(col("k")).as("mnk"), max(col("k")).as("mxk"),
+        count(lit(1)).as("n"))
+    assert(restrictedOf(wmm) == Some(straddlers),
+      s"windowed min/max must scan straddlers only:\n${planOf(wmm)}")
+    assert(wmm.collect().toSeq == Seq(Row(10L, 50L, 5L, 25L, 21L)))
     // a contradictory window answers (0, NULL) from the predicate alone
     val none = front.filter(col("k") > 30L && col("k") < 10L)
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
