@@ -1834,6 +1834,49 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("rcode"))
     }),
 
+    "q176_agg_meta_extrema" -> ((s, d) => {
+      // METADATA-ONLY GROUPED AND WINDOWED MIN/MAX ([[statusOrders]] →
+      // [[Snapshot.metaGroupAggSplitCols]] / [[Snapshot.metaAggSplitCols]]
+      // riding MetadataOnlyCountRule rewrites #6b/#7, round 18 — the
+      // {min,max} × {grouped, range-window} arms that complete the
+      // reflex matrix): `group` rolls up count + min/max(order_key) BY
+      // the non-clustering rcode — per-group extremes from each band
+      // file's exact [min,max] sidecar stamps, ONLY the planted mixed
+      // tail scanned and merged; `window` runs count + min/max +
+      // sum(order_key) inside `scode >= 79` — the two wholly-inside
+      // bands answer from stamps, the straddling tail scans WITH the
+      // predicate. `n_scan` carries the engine's own split sizes
+      // (oracle-pinned 1 and 1 of 4); the oracle recomputes both
+      // phases from raw orders. The DV-degrades-one-file hybrid, the
+      // NULL-partial merge, widened-cast dtype agreement, and the
+      // all-NULL-group NULL answers are SourceSpec/property-pinned.
+      val dir = statusOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (sums, scanG) = Snapshot.metaGroupAggSplitCols(m, "rcode",
+        gIsClustering = false, Seq(Snapshot.RangeSpec("order_key")))
+      require(sums.nonEmpty,
+        "band files must answer the grouped extrema from stamps")
+      val (_, _, _, scanW) = Snapshot.metaAggSplitCols(m,
+        Seq(Snapshot.RangeSpec("order_key"),
+          Snapshot.SumSpec("order_key")),
+        bounds = Some((79L, Long.MaxValue)))
+      val fd = s.read.format("graft").load(dir)
+      val nullL = lit(null).cast("long")
+      val grp = fd.groupBy(col("rcode"))
+        .agg(count(lit(1)).as("n"), min(col("order_key")).as("mn"),
+          max(col("order_key")).as("mx"))
+        .select(lit("group").as("phase"), col("rcode"), col("n"),
+          col("mn"), col("mx"), nullL.as("sk"),
+          lit(scanG.size.toLong).as("n_scan"))
+      val win = fd.filter(col("scode") >= 79)
+        .agg(count(lit(1)).as("n"), min(col("order_key")).as("mn"),
+          max(col("order_key")).as("mx"), sum(col("order_key")).as("sk"))
+        .select(lit("window").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("mn"), col("mx"), col("sk"),
+          lit(scanW.size.toLong).as("n_scan"))
+      grp.unionAll(win).orderBy(col("phase"), col("rcode"))
+    }),
+
     "q172_stats_dcount" -> ((s, d) => {
       // METADATA-ONLY count(key) / count(DISTINCT key)
       // ([[statusOrders]] → [[Snapshot.metaGroupSplit]] riding
@@ -2761,6 +2804,24 @@ object Warehouse extends QueryModule {
         |  SELECT 'range', CAST(-1 AS INT), count(*),
         |         CAST(sum(k) AS BIGINT), CAST(NULL AS DOUBLE),
         |         CAST(1 AS BIGINT)
+        |  FROM st WHERE rcode >= 74)
+        |ORDER BY phase, rcode
+        |""".stripMargin,
+
+    // the extrema rewrites' truth: per-group and in-window min/max of
+    // order_key are plain arithmetic over raw orders; each phase scans
+    // only the planted mixed tail
+    "q176_agg_meta_extrema" ->
+      """WITH st AS (SELECT ascii(o_orderstatus) - 5 AS rcode,
+        |                   o_orderkey AS k FROM orders)
+        |SELECT phase, rcode, n, mn, mx, sk, n_scan FROM (
+        |  SELECT 'group' AS phase, rcode, count(*) AS n,
+        |         min(k) AS mn, max(k) AS mx, CAST(NULL AS BIGINT) AS sk,
+        |         CAST(1 AS BIGINT) AS n_scan
+        |  FROM st GROUP BY rcode
+        |  UNION ALL
+        |  SELECT 'window', CAST(-1 AS INT), count(*), min(k), max(k),
+        |         CAST(sum(k) AS BIGINT), CAST(1 AS BIGINT)
         |  FROM st WHERE rcode >= 74)
         |ORDER BY phase, rcode
         |""".stripMargin,
