@@ -2202,9 +2202,17 @@ object Snapshot {
   private[graft] final case class SumSpec(phys: String) extends StampSpec
   private[graft] final case class RangeSpec(phys: String,
       cluster: Boolean = false) extends StampSpec
+  /** `count(c)` — non-null rows per file, from the [[NullsPfx]]
+    * witness alone (`rows − nulls`), so it works for EVERY witnessed
+    * dtype including strings/doubles/timestamps whose value stamps are
+    * inexact; `cluster` reads `FileEntry.kNulls` instead. */
+  private[graft] final case class CountSpec(phys: String,
+      cluster: Boolean = false) extends StampSpec
 
   /** A fold's per-spec result: sums carry (total, any-non-null);
-    * ranges carry (min, max, any-non-null). */
+    * ranges carry (min, max, any-non-null); counts ride [[SumAcc]]
+    * (total = non-null rows; `any` irrelevant — counts answer 0, not
+    * NULL). */
   private[graft] sealed trait StampAcc
   private[graft] final case class SumAcc(total: Long,
       any: Boolean) extends StampAcc
@@ -2235,7 +2243,7 @@ object Snapshot {
     val nS = specs.length
     def refuseAll = (0L, false,
       specs.map {
-        case _: SumSpec => SumAcc(0L, any = false)
+        case _: SumSpec | _: CountSpec => SumAcc(0L, any = false)
         case _: RangeSpec => RangeAcc(0L, 0L, any = false)
       }, m.files)
     if (specs.exists(s => isPseudoCol(s.phys))) return refuseAll
@@ -2287,6 +2295,19 @@ object Snapshot {
                       wits(i)(f.path).exists(_._1 == f.rows)) ()
                   else ok = false
               }
+              case CountSpec(_, cluster) =>
+                // non-null rows from the witness (or kNulls for the
+                // clustering key) — rows must be known
+                if (f.rows < 0) ok = false
+                else if (cluster) {
+                  if (f.kNulls >= 0 && f.kNulls <= f.rows)
+                    sVal(i) = f.rows - f.kNulls
+                  else ok = false
+                } else wits(i)(f.path) match {
+                  case Some((nn, _)) if nn >= 0 && nn <= f.rows =>
+                    sVal(i) = f.rows - nn
+                  case _ => ok = false
+                }
               case RangeSpec(_, cluster) =>
                 if (cluster) {
                   if (fullOpen) {
@@ -2327,7 +2348,7 @@ object Snapshot {
         }
       }
       (rows, rowsOk, specs.indices.map(i => specs(i) match {
-        case _: SumSpec => SumAcc(sumT(i), anys(i))
+        case _: SumSpec | _: CountSpec => SumAcc(sumT(i), anys(i))
         case _: RangeSpec => RangeAcc(rngMn(i), rngMx(i), anys(i))
       }), scan.result())
     } catch {
@@ -2435,6 +2456,17 @@ object Snapshot {
                     if (wits(i)(f.path).exists(_._1 == f.rows)) ()
                     else ok = false
                 }
+                case CountSpec(_, cluster) =>
+                  // group verdict already proved rows >= 0 and no DV
+                  if (cluster) {
+                    if (f.kNulls >= 0 && f.kNulls <= f.rows)
+                      sVal(i) = f.rows - f.kNulls
+                    else ok = false
+                  } else wits(i)(f.path) match {
+                    case Some((nn, _)) if nn >= 0 && nn <= f.rows =>
+                      sVal(i) = f.rows - nn
+                    case _ => ok = false
+                  }
                 case RangeSpec(_, cluster) =>
                   if (cluster) {
                     // group verdict already proved single-valuedness:
@@ -2479,7 +2511,7 @@ object Snapshot {
       }
       (accs.toMap.map { case (k, (n, ts, mns, mxs, as)) =>
         k -> (n, specs.indices.map(i => specs(i) match {
-          case _: SumSpec => SumAcc(ts(i), as(i)): StampAcc
+          case _: SumSpec | _: CountSpec => SumAcc(ts(i), as(i)): StampAcc
           case _: RangeSpec => RangeAcc(mns(i), mxs(i), as(i)): StampAcc
         }))
       }, scan.result())

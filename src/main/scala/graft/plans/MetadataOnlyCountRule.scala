@@ -541,6 +541,22 @@ case class MetadataOnlyCountRule(session: SparkSession)
       case _ => None
     }
 
+  /** Is `e` a non-distinct unfiltered `count(col)` of a bare (or
+    * widening-cast) relation attribute? ANY dtype qualifies — the
+    * answer needs only the NULL witness (`rows − nulls` per file),
+    * which every auto-stamped column carries. */
+  private def countColKeyOf(e: NamedExpression, lr: LogicalRelation,
+      g: GraftRelation): Option[AttributeReference] = e match {
+    case Alias(ae: AggregateExpression, _)
+        if ae.mode == Complete && ae.filter.isEmpty && !ae.isDistinct =>
+      ae.aggregateFunction match {
+        case Count(Seq(c)) => keyAttrOf(c)
+          .filter(a => lr.output.exists(_.exprId == a.exprId))
+        case _ => None
+      }
+    case _ => None
+  }
+
   /** Is `e` a non-distinct unfiltered `min(col)`/`max(col)` whose
     * answer per-file [min,max] stamps can speak about? Returns
     * (attr, isMin, output dtype). */
@@ -603,6 +619,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
             .orElse(rangeKeyOf(e, lr, gr).map { case (a, isMin, dt) =>
               (if (isMin) 1 else 2, a, dt)
             })
+            .orElse(countColKeyOf(e, lr, gr).map(a => (6, a, LongType)))
         }
       val keyed = shapes.flatten.filter(_._1 != 3)
       if (shapes.exists(_.isEmpty) || keyed.isEmpty) None
@@ -622,15 +639,22 @@ case class MetadataOnlyCountRule(session: SparkSession)
         // one fold spec per distinct (attr, sum-vs-range) — min and
         // max over one column share a RangeSpec
         val sumAttrs = dedup(keyed.filter(_._1 == 0).map(_._2))
-        val rngAttrs = dedup(keyed.filter(_._1 != 0).map(_._2))
+        val rngAttrs = dedup(keyed.filter(k => k._1 == 1 || k._1 == 2)
+          .map(_._2))
+        val cntAttrs = dedup(keyed.filter(_._1 == 6).map(_._2))
         val specs: Seq[Snapshot.StampSpec] =
           sumAttrs.map(a => Snapshot.SumSpec(
             Snapshot.physicalName(m, a.name))) ++
             rngAttrs.map(a => Snapshot.RangeSpec(
               Snapshot.physicalName(m, a.name),
+              cluster = isClusteringAttr(a, lr, gr))) ++
+            cntAttrs.map(a => Snapshot.CountSpec(
+              Snapshot.physicalName(m, a.name),
               cluster = isClusteringAttr(a, lr, gr)))
         def specIdx(kind: Int, a: AttributeReference): Int =
           if (kind == 0) sumAttrs.indexWhere(_.exprId == a.exprId)
+          else if (kind == 6) sumAttrs.length + rngAttrs.length +
+            cntAttrs.indexWhere(_.exprId == a.exprId)
           else sumAttrs.length + rngAttrs.indexWhere(_.exprId == a.exprId)
         val (stampedRows, rowsOk, accs, scan) =
           Snapshot.metaAggSplitCols(m, specs, bounds)
@@ -638,6 +662,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
         // corrupted stamp → refuse whole
         def partialOf(kind: Int, a: AttributeReference, dt: DataType)
             : Option[Any] = accs(specIdx(kind, a)) match {
+          case Snapshot.SumAcc(t, _) if kind == 6 =>
+            Some(t: Any) // count(c): 0 is the answer, never NULL
           case Snapshot.SumAcc(t, any) =>
             if (any) sumCodecOf(a).get._2(t) else Some(null: Any)
           case Snapshot.RangeAcc(mn, mx, any) =>
@@ -677,12 +703,14 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val scanAggs = perShape.map { case (k, a, dt, _) =>
             // min/max of a widened output must aggregate the widened
             // child so the union sides agree on dtype (sum result
-            // dtypes already match the codec's)
+            // dtypes already match the codec's; counts are Longs)
             val child: Expression =
-              if (k != 0 && a.dataType != dt) Cast(a, dt) else a
+              if (k == 1 || k == 2) {
+                if (a.dataType != dt) Cast(a, dt) else a
+              } else a
             val fn = k match {
               case 0 => Sum(child); case 1 => Min(child)
-              case _ => Max(child)
+              case 2 => Max(child); case _ => Count(Seq(child))
             }
             Alias(AggregateExpression(fn, Complete, isDistinct = false),
               "gm_part")()
@@ -718,6 +746,11 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 Alias(Cast(AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false), dt),
                   e.name)(exprId = e.exprId)
+              case ((e, Some((6, _, _))), i) =>
+                // count partials add like count-star cells
+                Alias(Coalesce(Seq(AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false),
+                  Literal(0L))), e.name)(exprId = e.exprId)
               case ((e, Some((k, _, _))), i) =>
                 val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
                   if (k == 1) Min(colOf(i)) else Max(colOf(i))
@@ -865,8 +898,9 @@ case class MetadataOnlyCountRule(session: SparkSession)
             .orElse(rangeKeyOf(e, lr, gr).map { case (a, isMin, dt) =>
               (if (isMin) 1 else 2, a, dt)
             })
+            .orElse(countColKeyOf(e, lr, gr).map(a => (6, a, LongType)))
         }
-      val keyed = shapes.flatten.filter(k => k._1 <= 2)
+      val keyed = shapes.flatten.filter(k => k._1 <= 2 || k._1 == 6)
       if (shapes.exists(_.isEmpty) || keyed.isEmpty ||
           !groupableDtype(g.dataType) ||
           !lr.output.exists(_.exprId == g.exprId)) None
@@ -875,15 +909,22 @@ case class MetadataOnlyCountRule(session: SparkSession)
           as.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
             if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
         val sumAttrs = dedup(keyed.filter(_._1 == 0).map(_._2))
-        val rngAttrs = dedup(keyed.filter(_._1 != 0).map(_._2))
+        val rngAttrs = dedup(keyed.filter(k => k._1 == 1 || k._1 == 2)
+          .map(_._2))
+        val cntAttrs = dedup(keyed.filter(_._1 == 6).map(_._2))
         val specs: Seq[Snapshot.StampSpec] =
           sumAttrs.map(a => Snapshot.SumSpec(
             Snapshot.physicalName(m, a.name))) ++
             rngAttrs.map(a => Snapshot.RangeSpec(
               Snapshot.physicalName(m, a.name),
+              cluster = isClusteringAttr(a, lr, gr))) ++
+            cntAttrs.map(a => Snapshot.CountSpec(
+              Snapshot.physicalName(m, a.name),
               cluster = isClusteringAttr(a, lr, gr)))
         def specIdx(kind: Int, a: AttributeReference): Int =
           if (kind == 0) sumAttrs.indexWhere(_.exprId == a.exprId)
+          else if (kind == 6) sumAttrs.length + rngAttrs.length +
+            cntAttrs.indexWhere(_.exprId == a.exprId)
           else sumAttrs.length + rngAttrs.indexWhere(_.exprId == a.exprId)
         val physG = Snapshot.physicalName(m, g.name)
         val (sums, scan) = Snapshot.metaGroupAggSplitCols(m, physG,
@@ -894,6 +935,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
         def decode(cs: Seq[Snapshot.StampAcc], kind: Int,
             a: AttributeReference, dt: DataType): Option[Any] =
           cs(specIdx(kind, a)) match {
+            case Snapshot.SumAcc(t, _) if kind == 6 => Some(t: Any)
             case Snapshot.SumAcc(t, any) =>
               if (any) sumCodecOf(a).get._2(t) else Some(null: Any)
             case Snapshot.RangeAcc(mn, mx, any) =>
@@ -924,14 +966,16 @@ case class MetadataOnlyCountRule(session: SparkSession)
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
           val perShape = shapes.zipWithIndex.collect {
-            case (Some((k, a, dt)), i) if k <= 2 => (k, a, dt, i)
+            case (Some((k, a, dt)), i) if k <= 2 || k == 6 =>
+              (k, a, dt, i)
           }
           val scanAggs = perShape.map { case (k, a, dt, _) =>
             val child: Expression =
-              if (k != 0 && a.dataType != dt) Cast(a, dt) else a
+              if ((k == 1 || k == 2) && a.dataType != dt) Cast(a, dt)
+              else a
             val fn = k match {
               case 0 => Sum(child); case 1 => Min(child)
-              case _ => Max(child)
+              case 2 => Max(child); case _ => Count(Seq(child))
             }
             Alias(AggregateExpression(fn, Complete, isDistinct = false),
               "gm_part")()
@@ -972,6 +1016,10 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 Alias(Cast(AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false), dt),
                   e.name)(exprId = e.exprId)
+              case ((e, Some((6, _, _))), i) =>
+                Alias(Coalesce(Seq(AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false),
+                  Literal(0L))), e.name)(exprId = e.exprId)
               case ((e, Some((k, _, _))), i) =>
                 val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
                   if (k == 1) Min(colOf(i)) else Max(colOf(i))

@@ -170,7 +170,11 @@ class PropertySpec extends SparkSpec {
           sum(col("v")).as("sv")),
         d.filter(col("k") >= 2L && col("k") <= 3L)
           .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
-            min(col("k")).as("mnk"), count(lit(1)).as("n")))
+            min(col("k")).as("mnk"), count(lit(1)).as("n")),
+        d.groupBy(col("k")).agg(count(col("v")).as("nv"),
+          count(col("p")).as("np"), sum(col("v")).as("sv")),
+        d.filter(col("k") >= 2L && col("k") <= 3L)
+          .agg(count(col("v")).as("nv"), count(lit(1)).as("n")))
       val want = shapes(Snapshot.read(spark, dir)).map(snap)
       val got = shapes(spark.read.format("graft").load(dir)).map(snap)
       got == want

@@ -1429,6 +1429,15 @@ class SourceSpec extends SparkSpec {
         // mixed tail contributes v = 32, 34 — the merge must not let
         // the NULL partial clobber them
         (300L, 12L, 32L, 34L)))
+    // grouped count(c) (round 18): non-null counts per group from the
+    // witness alone — works even where value stamps couldn't
+    val gcv = front.groupBy("b").agg(count(col("v")).as("nv"),
+      sum(col("v")).as("sv"))
+    assert(restrictedOf(gcv) == mixedFile.map(Set(_)),
+      s"grouped count(col) scan set must stay the mixed tail:\n${planOf(gcv)}")
+    assert(gcv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 13L), (200L, 7L), (300L, 2L)),
+      "non-null v per group: witness arithmetic + the scanned tail")
     // a scale-18 decimal can never stamp exactly — refuses, scan answers
     val dw = front.agg(sum(col("w")).as("sw"))
     assert(!isLocal(dw), "scale-18 decimal must not answer from stamps")
