@@ -147,6 +147,31 @@ class SqlLifecycleSpec extends SparkSpec {
         s"expected LocalRelation only, got:\n$plan")
       assert(gq.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
         Map(0L -> 3L, 1L -> 4L, 2L -> 3L))
+      // the round-18 matrix through PURE SQL: grouped count/sum/min/
+      // max and a range-windowed mix, all LocalRelation-only on the
+      // by-value layout (ground truth from the non-rewriting verb read)
+      def localOnly(df: org.apache.spark.sql.DataFrame): Unit = {
+        val p = df.queryExecution.optimizedPlan
+        assert(p.collectFirst { case l: LocalRelation => l }.nonEmpty &&
+          p.collectFirst { case lr: LogicalRelation => lr }.isEmpty,
+          s"expected LocalRelation only, got:\n$p")
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).toSet
+      val mq = spark.sql(s"SELECT k, count(*) AS n, count(v) AS nv, " +
+        s"sum(v) AS sv, min(v) AS mn, max(v) AS mx FROM $cat GROUP BY k")
+      localOnly(mq)
+      assert(rows(mq) == rows(Snapshot.read(spark, dir).groupBy("k")
+        .agg(count(lit(1)).as("n"), count(col("v")).as("nv"),
+          sum(col("v")).as("sv"), min(col("v")).as("mn"),
+          max(col("v")).as("mx"))))
+      val wq = spark.sql(s"SELECT count(*) AS n, sum(v) AS sv, " +
+        s"max(v) AS mx FROM $cat WHERE k BETWEEN 1 AND 2")
+      localOnly(wq)
+      assert(rows(wq) == rows(Snapshot.read(spark, dir)
+        .filter(col("k").between(1L, 2L))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          max(col("v")).as("mx"))))
     } finally spark.sql(s"DROP TABLE IF EXISTS $cat")
     // a z-ordered layout refuses the re-cluster
     val (dirZ, nameZ) = freshRegistered()
