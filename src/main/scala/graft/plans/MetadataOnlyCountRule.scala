@@ -679,17 +679,17 @@ case class MetadataOnlyCountRule(session: SparkSession)
         if (scan.size == m.files.size) None
         else if (hasCount && !rowsOk) None
         else if (partialsClean.exists(_.isEmpty)) None // corrupted
-        else if (scan.isEmpty) bounds match {
-          case None => None // full-stamp unfiltered: rewrite #6's job
-          case Some(_) =>
-            // the whole window answered from stamps: one local row
-            Some(LocalRelation(agg.output,
-              Seq(InternalRow.fromSeq(shapes.zip(partialsClean).map {
-                case (Some((3, _, _)), _) => stampedRows: Any
-                case (_, Some(v))         => v
-                case _ => return None // unreachable by the guards
-              }))))
-        }
+        else if (scan.isEmpty)
+          // every file answered from stamps: one local row. This arm
+          // also serves the unfiltered shapes rewrite #6 declines
+          // (count(col) outputs, mixes #6's per-output table lacks) —
+          // sumRewrite runs LAST in the orElse chain, so no overlap.
+          Some(LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(shapes.zip(partialsClean).map {
+              case (Some((3, _, _)), _) => stampedRows: Any
+              case (_, Some(v))         => v
+              case _ => return None // unreachable by the guards
+            }))))
         else {
           // hybrid: one scan aggregate + one local partial per
           // NON-count output (a shared count pair first), merged by

@@ -1330,6 +1330,13 @@ class SourceSpec extends SparkSpec {
     val qd = front.agg(max(col("d")).as("mx"))
     assert(isLocal(qd))
     assert(qd.collect().head.getDate(0).toString == "2024-02-01")
+    // count(string col) answers from the NULL WITNESS alone (round 18
+    // — the witness is dtype-blind), even though the wide file's
+    // VALUE stamps refused min/max above
+    val qc = front.agg(count(col("s")).as("ns"), count(col("ts")).as("nt"))
+    assert(isLocal(qc),
+      s"witness-based counts must be metadata:\n${qc.queryExecution.optimizedPlan}")
+    assert(qc.collect().toSeq == Seq(Row(61L, 61L)))
   }
 
   test("global and grouped SUM answer from per-file sum stamps") {
