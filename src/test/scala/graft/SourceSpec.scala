@@ -1477,6 +1477,12 @@ class SourceSpec extends SparkSpec {
     val mr = mq.collect().head
     assert(mr.getLong(0) == 34L && mr.getLong(1) == 384L &&
       mr.getDecimal(2).toString == "781.25", mr.toString)
+    // TIME TRAVEL composes for free: the pre-DV version's pinned
+    // manifest serves the un-masked sum from pure metadata
+    val tt = spark.read.format("graft").option("versionAsOf", "4")
+      .load(dir).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    assert(isLocal(tt), s"pre-DV version must stay metadata:\n${planOf(tt)}")
+    assert(tt.collect().toSeq == Seq(Row(394L, 35L)))
     // an all-NULL column answers NULL, not 0 — and from metadata
     val nq = spark.read.format("graft").load {
       val d2 = dir + "_nullcol"
