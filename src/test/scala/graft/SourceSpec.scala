@@ -1483,6 +1483,16 @@ class SourceSpec extends SparkSpec {
       .load(dir).agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
     assert(isLocal(tt), s"pre-DV version must stay metadata:\n${planOf(tt)}")
     assert(tt.collect().toSeq == Seq(Row(394L, 35L)))
+    // COMPACTION re-stamps: OPTIMIZE's stats recompute must carry the
+    // sum/witness pseudo-columns, so the compacted head (which also
+    // applies the DV) goes back to pure metadata — the lifecycle that
+    // would otherwise silently degrade every maintained table
+    Snapshot.compactVersion(spark, dir, Long.MaxValue)
+    val pc = front.agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+      count(col("v")).as("nv"))
+    assert(isLocal(pc),
+      s"post-compaction sums must stay metadata:\n${planOf(pc)}")
+    assert(pc.collect().toSeq == Seq(Row(384L, 34L, 21L)))
     // an all-NULL column answers NULL, not 0 — and from metadata
     val nq = spark.read.format("graft").load {
       val d2 = dir + "_nullcol"
