@@ -2235,8 +2235,9 @@ object Snapshot {
     * wholly-inside files with stamped rows, ZERO clustering-key nulls
     * and no DV may contribute — everything else straddles into the
     * scan. Returns (stamped rows, rows-known?, per-spec accumulators,
-    * scan files); the `addExact` overflow refusal collapses to
-    * all-scan. */
+    * scan files); an `addExact` overflow degrades the file that
+    * triggered it into the scan set (round 19 — never the whole
+    * fold). */
   private[graft] def metaAggSplitCols(m: Manifest, specs: Seq[StampSpec],
       bounds: Option[(Long, Long)] = None)
       : (Long, Boolean, Seq[StampAcc], Seq[FileEntry]) = {
@@ -2330,19 +2331,38 @@ object Snapshot {
           }
           if (!ok) scan += f
           else {
-            if (f.rows >= 0) rows += f.rows else rowsOk = false
+            // tentative addExact fold FIRST: a (beyond-astronomical)
+            // overflow degrades THIS FILE into the scan set — never
+            // the whole fold — and the restricted scan then carries
+            // the session's own overflow semantics (legacy wrap /
+            // ANSI error), exactly like any other unprovable file
+            val newSum = new Array[Long](nS)
+            var over = false
             i = 0
-            while (i < nS) {
-              if (sVal(i) != null) {
-                sumT(i) = Math.addExact(sumT(i), sVal(i).longValue)
-                anys(i) = true
-              }
-              if (rLo(i) != null) {
-                if (rLo(i).longValue < rngMn(i)) rngMn(i) = rLo(i).longValue
-                if (rHi(i).longValue > rngMx(i)) rngMx(i) = rHi(i).longValue
-                anys(i) = true
-              }
+            while (!over && i < nS) {
+              newSum(i) =
+                if (sVal(i) == null) sumT(i)
+                else
+                  try Math.addExact(sumT(i), sVal(i).longValue)
+                  catch { case _: ArithmeticException => over = true; 0L }
               i += 1
+            }
+            if (over) scan += f
+            else {
+              if (f.rows >= 0) rows += f.rows else rowsOk = false
+              i = 0
+              while (i < nS) {
+                if (sVal(i) != null) {
+                  sumT(i) = newSum(i)
+                  anys(i) = true
+                }
+                if (rLo(i) != null) {
+                  if (rLo(i).longValue < rngMn(i)) rngMn(i) = rLo(i).longValue
+                  if (rHi(i).longValue > rngMx(i)) rngMx(i) = rHi(i).longValue
+                  anys(i) = true
+                }
+                i += 1
+              }
             }
           }
         }
@@ -2424,7 +2444,14 @@ object Snapshot {
         val dv = m.dvs.get(f.path).map(_.length.toLong).getOrElse(0L)
         val fullOpen = f.min == Long.MinValue && f.max == Long.MaxValue
         // the grouping column's per-file verdict: Some(group) when the
-        // whole file provably belongs to ONE group, None = degrade
+        // whole file provably belongs to ONE group, None = degrade.
+        // A ZERO-ROW entry is handled before the verdict (round 19 —
+        // ADVICE): its all-NULL shape (rows == kNulls == 0) would pass
+        // every witness check and insert a phantom NULL-group row with
+        // count 0 that plain GROUP BY never emits; an empty file
+        // contributes to no group and needs no scan either
+        if (f.rows == 0 && dv == 0) ()
+        else {
         val group: Option[Option[Long]] =
           if (f.rows < 0 || dv > 0) None
           else if (gIsClustering) {
@@ -2491,22 +2518,42 @@ object Snapshot {
                   Array.fill(nS)(Long.MaxValue),
                   Array.fill(nS)(Long.MinValue),
                   new Array[Boolean](nS)))
+              // tentative addExact fold FIRST — a (beyond-astronomical)
+              // overflow degrades THIS FILE to the scan set, never the
+              // whole fold (see [[metaAggSplitCols]]'s identical note)
+              val newTs = new Array[Long](nS)
+              var over = false
               i = 0
-              while (i < nS) {
-                if (sVal(i) != null) {
-                  ts(i) = Math.addExact(ts(i), sVal(i).longValue)
-                  as(i) = true
-                }
-                if (rLo(i) != null) {
-                  if (rLo(i).longValue < mns(i)) mns(i) = rLo(i).longValue
-                  if (rHi(i).longValue > mxs(i)) mxs(i) = rHi(i).longValue
-                  as(i) = true
-                }
+              while (!over && i < nS) {
+                newTs(i) =
+                  if (sVal(i) == null) ts(i)
+                  else
+                    try Math.addExact(ts(i), sVal(i).longValue)
+                    catch {
+                      case _: ArithmeticException => over = true; 0L
+                    }
                 i += 1
               }
-              accs.update(k, (n0 + f.rows, ts, mns, mxs, as))
+              if (over) scan += f
+              else {
+                i = 0
+                while (i < nS) {
+                  if (sVal(i) != null) {
+                    ts(i) = newTs(i)
+                    as(i) = true
+                  }
+                  if (rLo(i) != null) {
+                    if (rLo(i).longValue < mns(i)) mns(i) = rLo(i).longValue
+                    if (rHi(i).longValue > mxs(i)) mxs(i) = rHi(i).longValue
+                    as(i) = true
+                  }
+                  i += 1
+                }
+                accs.update(k, (n0 + f.rows, ts, mns, mxs, as))
+              }
             }
           case None => scan += f
+        }
         }
       }
       (accs.toMap.map { case (k, (n, ts, mns, mxs, as)) =>
@@ -2958,11 +3005,14 @@ object Snapshot {
     * non-null values as the `colStats` entry `(path, "sum:" + c) -> (s, s)` —
     * the same ride-the-sidecar-machinery discipline as [[NullsPfx]]
     * (zero format change; legacy manifests lack the stamp and degrade
-    * to scanning). The stamp is the NATIVE LongType sum, the same
-    * arithmetic Spark's own partial aggregation runs per task — mod
-    * 2⁶⁴ addition is associative, so per-file stamps fold to exactly
-    * the answer the distributed sum would produce, with the identical
-    * overflow exposure (none new). All-NULL files stamp nothing (SQL
+    * to scanning). The stamp is the EXACT LongType sum: the stats
+    * pass aggregates under TRY semantics (round 19), so a per-file
+    * overflow stamps nothing and the file degrades to the scan set —
+    * a stamp, once written, is always the file's true sum, serving
+    * ANSI and legacy readers alike (the driver fold's own `addExact`
+    * refusal hands total-level overflow back to the scan, whose
+    * session mode then wraps or errors exactly as Spark's full scan
+    * would). All-NULL files stamp nothing (SQL
     * `SUM` of an empty non-null set is NULL, and the NULL witness
     * proves the file contributes nothing). Same shadowing discipline:
     * `sum:`-named user columns never stamp and every metadata consumer
@@ -2979,8 +3029,19 @@ object Snapshot {
     * stats job already running — keys per [[statKeyExpr]], strings
     * carrying a third max-byte-length aggregate for the stampability
     * gate, every column a non-null-count aggregate for its
-    * [[NullsPfx]] witness. */
-  private def autoStatsAggs(auto: Seq[(String, Int)]): Seq[Column] =
+    * [[NullsPfx]] witness. `decimalAt(j)` tells kind-5 slots apart:
+    * decimal sums stamp (exact micro-units), double/float sums are
+    * order-dependent and never stamp — so a double column pays no sum
+    * aggregate at all. Sums aggregate under TRY semantics
+    * ([[functions.try_sum]]): a (beyond-astronomical) per-file
+    * overflow arrives as NULL and stamps nothing — the file degrades
+    * to the scan set, whose own session-mode semantics (legacy wrap /
+    * ANSI error) answer — instead of either wrapping silently into a
+    * stamp a later ANSI reader would trust, or (under the ANSI default)
+    * failing the WRITE from inside a stats pass that must never change
+    * write semantics. */
+  private[graft] def autoStatsAggs(auto: Seq[(String, Int)],
+                                   decimalAt: Int => Boolean): Seq[Column] =
     auto.zipWithIndex.flatMap { case ((c, kind), j) =>
       val key = statKeyExpr(c, kind)
       Seq(min(key).as(s"_as${j}_mn"), max(key).as(s"_as${j}_mx"),
@@ -2988,16 +3049,17 @@ object Snapshot {
         (if (kind == 2)
            Seq(max(octet_length(col(c))).cast("long").as(s"_as${j}_len"))
          else Nil) ++
-        // integral columns also aggregate their per-file SUM — the
-        // NATIVE LongType arithmetic Spark's own partial sums run, so
-        // the stamp folds to exactly the distributed answer ([[SumPfx]])
+        // integral columns also aggregate their per-file SUM — exact
+        // Long arithmetic (TRY-guarded), folding to the distributed
+        // answer whenever that answer itself doesn't overflow
+        // ([[SumPfx]])
         (if (kind == 0)
-           Seq(sum(col(c)).cast("long").as(s"_as${j}_sm"))
-         // kind 5 sums the NATIVE decimal/double: a decimal sum is
-         // exact (stamped below iff it fits micro-units exactly), a
-         // double sum is order-dependent and never stamps
-         else if (kind == 5)
-           Seq(sum(col(c)).as(s"_as${j}_sm"))
+           Seq(try_sum(col(c)).cast("long").as(s"_as${j}_sm"))
+         // decimal kind-5 sums are exact (stamped below iff they fit
+         // micro-units exactly); double/float kind-5 slots skip the
+         // aggregate entirely — their Double result was never stamped
+         else if (kind == 5 && decimalAt(j))
+           Seq(try_sum(col(c)).as(s"_as${j}_sm"))
          else Nil)
     }
 
@@ -3018,6 +3080,7 @@ object Snapshot {
     * witness IS the information: rows == nulls proves the file
     * contributes only to the NULL group). */
   private def collectAutoStats(path: String, auto: Seq[(String, Int)],
+      decimalAt: Int => Boolean,
       get: String => Any, maxStrBytes: Long, rows: Long,
       colB: scala.collection.mutable.Builder[
         ((String, String), (Long, Long)), Map[(String, String), (Long, Long)]],
@@ -3029,12 +3092,14 @@ object Snapshot {
         val nulls = rows - get(s"_as${j}_nn").asInstanceOf[Long]
         colB += ((path, NullsPfx + c) -> (nulls, nulls))
       }
-      // the per-file SUM stamp — null (all-NULL file) stamps nothing:
-      // SQL SUM of zero non-null values is NULL, and the witness above
-      // is what proves that state to a reader. Integral sums stamp the
-      // raw Long; DECIMAL sums stamp exact micro-units (or nothing);
-      // double/float sums arrive as Double and never stamp
-      if ((kind == 0 || kind == 5) && !isPseudoCol(c))
+      // the per-file SUM stamp — null stamps nothing, covering BOTH
+      // the all-NULL file (SQL SUM of zero non-null values is NULL;
+      // the witness above proves that state to a reader) and the
+      // try_sum overflow refusal (the file simply degrades to scan).
+      // Integral sums stamp the raw Long; DECIMAL sums stamp exact
+      // micro-units (or nothing); double/float columns never even
+      // aggregate a sum ([[autoStatsAggs]])
+      if ((kind == 0 || (kind == 5 && decimalAt(j))) && !isPseudoCol(c))
         get(s"_as${j}_sm") match {
           case s: java.lang.Long if kind == 0 =>
             colB += ((path, SumPfx + c) -> (s.longValue, s.longValue))
@@ -3162,6 +3227,12 @@ object Snapshot {
     val spark = df.sparkSession
     val out = s"$dir/$sub"
     val auto = autoStatsCols(df, statsCol)
+    // which kind-5 slots are DECIMAL (sums stamp) vs double/float
+    // (sums never stamp — skip the aggregate)
+    val decimalAt: Int => Boolean = auto.map { case (c, _) =>
+      df.schema(c).dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    }
     val colB = Map.newBuilder[(String, String), (Long, Long)]
     val strB = Map.newBuilder[(String, String), (String, String)]
     // CHECK enforcement and auto-stats ride the stats pass — extra
@@ -3179,7 +3250,7 @@ object Snapshot {
         count(col(statsCol)).as("_n_key")) ++
         checks.zipWithIndex.map { case ((_, sql), i) =>
           violations(sql).as(s"chk$i") } ++
-        autoStatsAggs(auto)
+        autoStatsAggs(auto, decimalAt)
       df.coalesce(1).sortWithinPartitions(col(statsCol))
         .observe(obs, obsCols.head, obsCols.tail: _*)
         .write.mode("overwrite").parquet(out)
@@ -3198,8 +3269,8 @@ object Snapshot {
       require(parts.length == 1, s"expected one data file, got ${parts.toSeq}")
       val path = s"$sub/${parts.head}"
       val nRows = row("n").asInstanceOf[Long]
-      collectAutoStats(path, auto, row(_), autoStatsMaxStrBytes(spark),
-        nRows, colB, strB)
+      collectAutoStats(path, auto, decimalAt, row(_),
+        autoStatsMaxStrBytes(spark), nRows, colB, strB)
       // an ALL-NULL clustering column stamps the degraded full-open
       // sentinel (kNulls == rows proves the state) — same discipline
       // as the multi-file branch and the adoption paths
@@ -3233,7 +3304,7 @@ object Snapshot {
         count(col(statsCol)).as("_n_key")) ++
         checks.zipWithIndex.map { case ((_, sql), i) =>
           violations(sql).as(s"chk$i") } ++
-        autoStatsAggs(auto)
+        autoStatsAggs(auto, decimalAt)
       // explicit schema: the stats pass plans without re-inferring from
       // footers, and an all-empty write (a delete-all commit — zero part
       // files) still resolves instead of failing schema inference
@@ -3252,7 +3323,7 @@ object Snapshot {
         require(i >= 0, s"unexpected data file location: $uri")
         val path = s"$sub/${uri.substring(i + sub.length + 2)}"
         val nRows = r.getAs[Long]("_n_rows")
-        collectAutoStats(path, auto, n => r.get(r.fieldIndex(n)),
+        collectAutoStats(path, auto, decimalAt, n => r.get(r.fieldIndex(n)),
           autoStatsMaxStrBytes(spark), nRows, colB, strB)
         // a file the partitioning isolated to ALL-NULL keys has no
         // [min,max] to stamp: record the documented degraded full-open
@@ -5182,7 +5253,12 @@ object Snapshot {
           s"double, or string, got $dt for $c"))
     }
     val auto = cols.zip(route)
-    val aggs = autoStatsAggs(auto) :+ count(lit(1)).as("_n_rows")
+    val decimalAt: Int => Boolean = cols.map { c =>
+      df.schema(df.schema.fieldIndex(c)).dataType
+        .isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    }
+    val aggs = autoStatsAggs(auto, decimalAt) :+
+      count(lit(1)).as("_n_rows")
     val perFile = df
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -5194,7 +5270,8 @@ object Snapshot {
       // absent columns don't stamp (always a candidate)
       val p = entryOfUri(paths, r.getString(0))
       collectAutoStats(p, auto.map { case (c, k) =>
-        physicalName(m, c) -> k }, n => r.get(r.fieldIndex(n)),
+        physicalName(m, c) -> k }, decimalAt,
+        n => r.get(r.fieldIndex(n)),
         autoStatsMaxStrBytes(spark), r.getAs[Long]("_n_rows"),
         colB, strB)
     }

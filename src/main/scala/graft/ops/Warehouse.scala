@@ -1766,9 +1766,10 @@ object Warehouse extends QueryModule {
       // round 18 — past what any public system stamps): every write's
       // stats pass also records each INTEGRAL column's per-file sum as
       // the `sum:<col>` colStats pseudo-column (the null-witness
-      // ride-along discipline, zero format change; mod-2⁶⁴ Long
-      // arithmetic — the same per-task partial sums Spark's own
-      // distributed SUM runs, so stamps fold to exactly its answer),
+      // ride-along discipline, zero format change; EXACT Long
+      // arithmetic — TRY-guarded at stamp time since round 19, so a
+      // stamp is always the file's true sum and folds to exactly the
+      // distributed answer whenever that answer itself fits),
       // and `SELECT sum(order_key)` answers from pure driver
       // arithmetic; DECIMAL columns (scale ≤ 6) stamp exact
       // micro-unit sums the same way (doubles never — order-dependent).

@@ -502,6 +502,16 @@ case class MetadataOnlyCountRule(session: SparkSession)
         Some(org.apache.spark.sql.types.Decimal(
           scala.math.BigDecimal(bd), rt.precision, rt.scale))
       } catch { case _: ArithmeticException => None }))
+    case dt: org.apache.spark.sql.types.DecimalType =>
+      // eligible-looking decimal that the stamp contract can't carry:
+      // scale > 6 exceeds micro-units, precision + 10 > 38 hits the
+      // cap where Spark's own overflow contract must decide — say WHY
+      // the scan happened instead of refusing silently
+      logDebug(s"metadata SUM/AVG refused for ${a.name}: " +
+        s"decimal(${dt.precision},${dt.scale}) is outside the stamp " +
+        "contract (needs scale <= 6 and precision + 10 <= 38); the " +
+        "plain scan answers")
+      None
     case _ => None
   }
 

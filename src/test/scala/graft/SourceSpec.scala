@@ -1749,4 +1749,81 @@ class SourceSpec extends SparkSpec {
         org.apache.spark.sql.streaming.OutputMode.Append())
     }
   }
+
+  test("fold hardening: zero-row entries skip, overflow degrades one " +
+    "file, sum stamps are overflow-proof") {
+    import Snapshot.{FileEntry, Manifest, SumAcc, SumSpec}
+    import spark.implicits._
+    // 1. a ZERO-ROW entry (rows == kNulls == 0) must neither insert a
+    //    phantom all-NULL group (its witness shape passes every check)
+    //    nor burn a scan slot — an empty file contributes nothing
+    val wit = Map(
+      ("f0", "nulls:g") -> (0L, 0L), ("f0", "nulls:v") -> (0L, 0L),
+      ("f1", "nulls:g") -> (0L, 0L), ("f1", "nulls:v") -> (0L, 0L))
+    val m0 = Manifest(1, "k",
+      Seq(FileEntry("f0", 1, 1, rows = 0, kNulls = 0),
+        FileEntry("f1", 2, 2, rows = 3, kNulls = 0)),
+      colStats = wit ++ Map(
+        ("f0", "g") -> (5L, 5L), ("f1", "g") -> (7L, 7L),
+        ("f1", "sum:v") -> (30L, 30L)))
+    val (grps, scan0) = Snapshot.metaGroupAggSplitCols(m0, "g",
+      gIsClustering = false, Seq(SumSpec("v")))
+    assert(scan0.isEmpty, s"zero-row file must not scan: $scan0")
+    assert(grps.keySet == Set(Some(7L)),
+      s"phantom group from a zero-row file: $grps")
+    assert(grps(Some(7L)) == ((3L, Seq(SumAcc(30L, any = true)))))
+    // 2. per-file overflow degrade: the file whose stamp would push
+    //    the fold past Long range scans; the rest keep serving
+    val big = Long.MaxValue - 10L
+    val m1 = Manifest(1, "k",
+      Seq(FileEntry("a", 1, 1, rows = 2, kNulls = 0),
+        FileEntry("b", 2, 2, rows = 2, kNulls = 0)),
+      colStats = Map(
+        ("a", "sum:v") -> (big, big), ("b", "sum:v") -> (100L, 100L),
+        ("a", "nulls:v") -> (0L, 0L), ("b", "nulls:v") -> (0L, 0L)))
+    val (rows1, rowsOk1, accs1, scan1) =
+      Snapshot.metaAggSplitCols(m1, Seq(SumSpec("v")))
+    assert(scan1.map(_.path) == Seq("b"),
+      s"the overflowing file (and only it) must degrade: $scan1")
+    assert(rows1 == 2L && rowsOk1 && accs1 == Seq(SumAcc(big, any = true)))
+    // the grouped fold applies the same per-file discipline
+    val m2 = m1.copy(colStats = m1.colStats ++ Map(
+      ("a", "g") -> (1L, 1L), ("b", "g") -> (1L, 1L),
+      ("a", "nulls:g") -> (0L, 0L), ("b", "nulls:g") -> (0L, 0L)))
+    val (grps2, scan2) = Snapshot.metaGroupAggSplitCols(m2, "g",
+      gIsClustering = false, Seq(SumSpec("v")))
+    assert(scan2.map(_.path) == Seq("b"))
+    assert(grps2(Some(1L)) == ((2L, Seq(SumAcc(big, any = true)))))
+    // 3. sum stamps aggregate under TRY semantics: a file whose TRUE
+    //    sum overflows Long stamps nothing (instead of wrapping into a
+    //    stamp an ANSI reader would trust — or, under the ANSI
+    //    default, failing the WRITE from inside the stats pass) and
+    //    the query degrades to the scan, which carries Spark's own
+    //    session-mode overflow semantics
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_trysum_" + java.util.UUID.randomUUID().toString.take(8)
+    Snapshot.commit(Seq((1L, Long.MaxValue), (2L, Long.MaxValue))
+      .toDF("k", "v"), dir, 0, "k", nFiles = 1)
+    val m3 = Snapshot.manifest(spark, dir, 1)
+    assert(m3.files.size == 1 && m3.files.head.rows == 2L,
+      "the overflowing write itself must succeed")
+    assert(!m3.colStats.keys.exists(_._2 == "sum:v"),
+      s"an overflowed per-file sum must not stamp: ${m3.colStats.keySet}")
+    assert(m3.colStats.get((m3.files.head.path, "nulls:v"))
+      .contains((0L, 0L)), "the NULL witness still stamps")
+    val scanQ = spark.read.format("graft").load(dir)
+      .agg(sum(col("v")).as("sv"))
+    val err = intercept[Exception] { scanQ.collect() }
+    assert((err.getMessage + Option(err.getCause)
+      .map(_.getMessage).getOrElse("")).toLowerCase.contains("overflow"),
+      s"ANSI scan must surface Spark's own overflow error, got: $err")
+    // 4. double/float columns pay no sum aggregate at all (their
+    //    Double result never stamped); decimal kind-5 slots still do
+    val aggsD = Snapshot.autoStatsAggs(Seq(("d", 5)), _ => false)
+    assert(!aggsD.exists(_.toString.contains("_sm")),
+      s"double column must not aggregate a sum: $aggsD")
+    val aggsP = Snapshot.autoStatsAggs(Seq(("p", 5)), _ => true)
+    assert(aggsP.exists(_.toString.contains("_sm")),
+      s"decimal column keeps its sum aggregate: $aggsP")
+  }
 }
