@@ -169,6 +169,23 @@ object ManifestScaleProbe {
           time(Snapshot.metaSumSplitCol(mSum, "c0"))
         println(f"  sumFold=${rt9}%6.4f s " +
           f"(total=$tot nonNull=$any scan=${sScan.size})")
+        // the AVG fold (q177, round 19): the SumSpec + CountSpec pair
+        // over the same stamps plus the NULL witnesses — avg adds no
+        // new stamp and no extra pass, just one more spec in the fold
+        val avgStats = sumStats ++ m2r.files.iterator.map(f =>
+          (f.path, Snapshot.NullsPfx + "c0") -> (0L, 0L)).toMap
+        val mAvg = m2r.copy(colStats =
+          (m2r.colStats: Map[(String, String), (Long, Long)]) ++ avgStats)
+        val ((rowsA, _, accsA, aScan), rtA) = time(
+          Snapshot.metaAggSplitCols(mAvg,
+            Seq(Snapshot.SumSpec("c0"), Snapshot.CountSpec("c0"))))
+        val avgV = accsA match {
+          case Seq(Snapshot.SumAcc(t, _), Snapshot.SumAcc(nn, _))
+              if nn > 0 => t.toDouble / nn.toDouble
+          case _ => Double.NaN
+        }
+        println(f"  avgFold=${rtA}%6.4f s " +
+          f"(rows=$rowsA avg=$avgV%.3f scan=${aScan.size})")
       }
     }
     spark.stop()

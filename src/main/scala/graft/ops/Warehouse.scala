@@ -1878,6 +1878,72 @@ object Warehouse extends QueryModule {
       grp.unionAll(win).orderBy(col("phase"), col("rcode"))
     }),
 
+    "q177_agg_meta_avg" -> ((s, d) => {
+      // METADATA-ONLY AVG ([[statusOrders]] →
+      // [[Snapshot.metaAggSplitCols]] / [[Snapshot.metaGroupAggSplitCols]]
+      // riding MetadataOnlyCountRule's round-19 avg arm — the last
+      // common aggregate of the reflex matrix): avg(c) answers as
+      // stamped sum ÷ stamped non-null count, with the final division
+      // run through Spark's OWN `Average.evaluateExpression` over the
+      // stamped partials — typing, rounding, and overflow semantics
+      // are Spark's code, never a re-implementation. Three phases
+      // through the front door: `global` (count(*) + integral avg +
+      // DECIMAL avg — all four band files stamped, zero scanned; the
+      // decimal value leaves the query as exact micro-units so the
+      // oracle can reproduce the half-up rounding in integer
+      // arithmetic), `group` (GROUP BY the non-clustering rcode —
+      // three band files from stamps, ONLY the planted mixed tail
+      // scanned, per-group (sum, count) pairs merged UNDIVIDED and
+      // divided once) and `window` (avg inside `scode >= 79` — the
+      // wholly-inside bands from stamps, the straddling tail scans
+      // WITH the predicate). `n_scan` carries the engine's own split
+      // sizes (oracle-pinned 0, 1, 1 of 4). The decimal-hybrid
+      // refusal, DV degrade, all-NULL → NULL, clustering-column and
+      // scale-18 refusals, compaction re-stamping, and time travel
+      // are SourceSpec-pinned.
+      val dir = statusOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (_, _, _, scanG) = Snapshot.metaAggSplitCols(m,
+        Seq(Snapshot.SumSpec("order_key"),
+          Snapshot.CountSpec("order_key"),
+          Snapshot.SumSpec("price"), Snapshot.CountSpec("price")))
+      require(scanG.isEmpty,
+        "every band file must carry the sum + witness stamps avg needs")
+      val (sums, scanGrp) = Snapshot.metaGroupAggSplitCols(m, "rcode",
+        gIsClustering = false,
+        Seq(Snapshot.SumSpec("order_key"),
+          Snapshot.CountSpec("order_key")))
+      require(sums.nonEmpty,
+        "band files must answer the grouped-avg split from stamps")
+      val (_, _, _, scanW) = Snapshot.metaAggSplitCols(m,
+        Seq(Snapshot.SumSpec("order_key"),
+          Snapshot.CountSpec("order_key")),
+        bounds = Some((79L, Long.MaxValue)))
+      val fd = s.read.format("graft").load(dir)
+      val nullL = lit(null).cast("long")
+      // the micro-unit projection sits ABOVE the aggregate so the
+      // Aggregate node itself keeps pure avg outputs (the rewrite
+      // matches whole aggregates)
+      val glob = fd.agg(count(lit(1)).as("n"),
+          avg(col("order_key")).as("ak"), avg(col("price")).as("apd"))
+        .select(lit("global").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("ak"),
+          (col("apd") * lit(1000000)).cast("long").as("ap_micros"),
+          lit(scanG.size.toLong).as("n_scan"))
+      val grp = fd.groupBy(col("rcode"))
+        .agg(count(lit(1)).as("n"), avg(col("order_key")).as("ak"))
+        .select(lit("group").as("phase"), col("rcode"), col("n"),
+          col("ak"), nullL.as("ap_micros"),
+          lit(scanGrp.size.toLong).as("n_scan"))
+      val win = fd.filter(col("scode") >= 79)
+        .agg(count(lit(1)).as("n"), avg(col("order_key")).as("ak"))
+        .select(lit("window").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("ak"), nullL.as("ap_micros"),
+          lit(scanW.size.toLong).as("n_scan"))
+      glob.unionAll(grp).unionAll(win)
+        .orderBy(col("phase"), col("rcode"))
+    }),
+
     "q172_stats_dcount" -> ((s, d) => {
       // METADATA-ONLY count(key) / count(DISTINCT key)
       // ([[statusOrders]] → [[Snapshot.metaGroupSplit]] riding
@@ -2824,6 +2890,36 @@ object Warehouse extends QueryModule {
         |  SELECT 'window', CAST(-1 AS INT), count(*), min(k), max(k),
         |         CAST(sum(k) AS BIGINT), CAST(1 AS BIGINT)
         |  FROM st WHERE rcode >= 74)
+        |ORDER BY phase, rcode
+        |""".stripMargin,
+
+    // the avg rewrites' truth: integral avg is the exact sum divided
+    // once (both engines compute the identical IEEE division — every
+    // sum here is far below 2^53); the decimal avg leaves the query
+    // as exact micro-units, reproduced oracle-side as half-up integer
+    // arithmetic over the exact HUGEINT sum (floor((2M + n) / 2n)),
+    // sidestepping DuckDB's double-typed decimal division
+    "q177_agg_meta_avg" ->
+      """WITH st AS (SELECT ascii(o_orderstatus) - 5 AS rcode,
+        |                   ascii(o_orderstatus) AS scode,
+        |                   o_orderkey AS k,
+        |                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |            FROM orders)
+        |SELECT phase, rcode, n, ak, ap_micros, n_scan FROM (
+        |  SELECT 'global' AS phase, CAST(-1 AS INT) AS rcode,
+        |         count(*) AS n, avg(k) AS ak,
+        |         CAST((2 * CAST(sum(p) * 1000000 AS HUGEINT) + count(*))
+        |              // (2 * count(*)) AS BIGINT) AS ap_micros,
+        |         CAST(0 AS BIGINT) AS n_scan
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'group', rcode, count(*), avg(k),
+        |         CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM st GROUP BY rcode
+        |  UNION ALL
+        |  SELECT 'window', CAST(-1 AS INT), count(*), avg(k),
+        |         CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM st WHERE scode >= 79)
         |ORDER BY phase, rcode
         |""".stripMargin,
 

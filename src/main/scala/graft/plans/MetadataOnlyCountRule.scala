@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, DeclarativeAggregate, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -537,6 +537,80 @@ case class MetadataOnlyCountRule(session: SparkSession)
     case _ => None
   }
 
+  /** Is `e` a non-distinct unfiltered `avg(col)` the per-file sum +
+    * NULL-witness stamps can answer? Returns the attribute and a
+    * re-rooted [[Average]] (the bare attribute as child, the ORIGINAL
+    * evalMode kept), whose own `evaluateExpression` later turns
+    * stamped (sum, count) partials into the final value — so division
+    * typing, rounding, and overflow semantics are Spark's own code,
+    * not a re-implementation (avg(cast(int as bigint)) re-roots to
+    * avg(int): both run the same Double sum buffer, so the value is
+    * unchanged). Eligibility is exactly the sum stamp's
+    * ([[sumCodecOf]]): integral (Double result) or decimal with
+    * scale ≤ 6 and precision + 10 ≤ 38. */
+  private def avgKeyOf(e: NamedExpression, lr: LogicalRelation,
+      g: GraftRelation): Option[(AttributeReference, Average)] = e match {
+    case al @ Alias(ae: AggregateExpression, _)
+        if ae.mode == Complete && ae.filter.isEmpty && !ae.isDistinct =>
+      ae.aggregateFunction match {
+        case av: Average =>
+          keyAttrOf(av.child).flatMap { a =>
+            if (!lr.output.exists(_.exprId == a.exprId) ||
+                sumCodecOf(a).isEmpty) None
+            else {
+              val fn = Average(a, av.evalMode)
+              if (fn.dataType == al.dataType) Some((a, fn)) else None
+            }
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Evaluate `fn`'s own final-value expression over stamped partials:
+    * substitute the (sum, count) aggregation-buffer attributes with
+    * literals and fold the tree on the driver — byte-identical to what
+    * Spark's final aggregation would compute over the same buffer.
+    * None = the evaluation refused (ANSI overflow, …) — the plain scan
+    * then raises the same error with proper query context. */
+  private def metaAvgEval(fn: Average, sumV: Any, cnt: Long)
+      : Option[Any] = {
+    val buf = fn.aggBufferAttributes
+    val ev = (fn: DeclarativeAggregate).evaluateExpression.transform {
+      case r: AttributeReference if r.exprId == buf(0).exprId =>
+        Literal.create(sumV, buf(0).dataType)
+      case r: AttributeReference if r.exprId == buf(1).exprId =>
+        Literal(cnt, LongType)
+    }
+    try Some(ev.eval(InternalRow.empty))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The stamped avg partial decoded to `fn`'s SUM BUFFER dtype —
+    * Double for integral children (the exact stamped Long converted
+    * once: equal to Spark's own running double sum whenever that sum
+    * is exactly representable, i.e. everywhere short of |sum| > 2⁵³,
+    * where Spark's answer is already partitioning-dependent), exact
+    * micro-units reconstructed for decimal children (inner None =
+    * corrupted stamp → refuse). A zero count is the empty-input state:
+    * `fn`'s own evaluation answers NULL from it. */
+  private def avgSumBuffer(fn: Average, a: AttributeReference,
+      total: Long, any: Boolean): Option[Any] =
+    if (!any) Some(null)
+    else fn.aggBufferAttributes.head.dataType match {
+      case org.apache.spark.sql.types.DoubleType => Some(total.toDouble)
+      case _: org.apache.spark.sql.types.DecimalType =>
+        val scale = a.dataType
+          .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
+        try {
+          val bd = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(total), 6).setScale(scale)
+          Some(org.apache.spark.sql.types.Decimal(
+            scala.math.BigDecimal(bd)))
+        } catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+
   /** min/max stamp decoding to the OUTPUT dtype (bare attr, or the
     * widening integral cast `keyAttrOf` admits): integral and DATE
     * columns only — string/timestamp/decimal hybrids refuse here (the
@@ -606,9 +680,16 @@ case class MetadataOnlyCountRule(session: SparkSession)
     * WITH the predicate, wholly-outside files vanish, and a
     * contradictory range answers (0, NULL) from the predicate alone.
     * The full-stamp unfiltered case is rewrite #6 inside
-    * [[minMaxRewrite]]. All sum outputs must speak about ONE column;
-    * count-star outputs additionally require the stamped rows known.
-    * None = guards refuse (plain scan answers). */
+    * [[minMaxRewrite]]. Round 19 adds `avg(c)` (kind 5): the SumSpec +
+    * CountSpec pair over existing stamps, the stamped (sum, count)
+    * partial riding the union UNDIVIDED as a (double sum, long count)
+    * pair mirroring Average's own buffer, the division done ONCE by
+    * the query's own [[Average.evaluateExpression]] over the merged
+    * aggregates — decimal avg serves only the full-metadata arm
+    * ([[avgKeyOf]]). Multiple measured columns compose in one rewrite,
+    * each with its own stamp fold, all sharing ONE all-in-or-all-scan
+    * file set; count-star outputs additionally require the stamped
+    * rows known. None = guards refuse (plain scan answers). */
   private def sumRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val unfiltered = relationOf(agg.child)
       .map(r => (r, None: Option[(Long, Long)]))
@@ -619,9 +700,12 @@ case class MetadataOnlyCountRule(session: SparkSession)
     }
     unfiltered.orElse(filtered).flatMap { case ((lr, gr), bounds) =>
       // per-output shape: kind 3 = count-star; 0 = sum, 1 = min,
-      // 2 = max, each with its attribute and OUTPUT dtype
+      // 2 = max, 5 = avg (round 19), 6 = count(col), each with its
+      // attribute and OUTPUT dtype; avg also records its re-rooted
+      // Average (by output position) for the final-value evaluation
+      val avgFns = scala.collection.mutable.Map.empty[Int, Average]
       val shapes: Seq[Option[(Int, AttributeReference, DataType)]] =
-        agg.aggregateExpressions.map { e =>
+        agg.aggregateExpressions.zipWithIndex.map { case (e, ei) =>
           if (isCountStar(e))
             Some((3, null: AttributeReference, LongType))
           else sumKeyOf(e, lr, gr)
@@ -630,6 +714,9 @@ case class MetadataOnlyCountRule(session: SparkSession)
               (if (isMin) 1 else 2, a, dt)
             })
             .orElse(countColKeyOf(e, lr, gr).map(a => (6, a, LongType)))
+            .orElse(avgKeyOf(e, lr, gr).map { case (a, fn) =>
+              avgFns(ei) = fn; (5, a, fn.dataType)
+            })
         }
       val keyed = shapes.flatten.filter(_._1 != 3)
       if (shapes.exists(_.isEmpty) || keyed.isEmpty) None
@@ -646,12 +733,14 @@ case class MetadataOnlyCountRule(session: SparkSession)
         def dedup(as: Seq[AttributeReference]) =
           as.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
             if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
-        // one fold spec per distinct (attr, sum-vs-range) — min and
-        // max over one column share a RangeSpec
-        val sumAttrs = dedup(keyed.filter(_._1 == 0).map(_._2))
+        // one fold spec per distinct (attr, sum-vs-range-vs-count) —
+        // an avg contributes BOTH a sum and a non-null-count spec
+        val sumAttrs = dedup(keyed.filter(k => k._1 == 0 || k._1 == 5)
+          .map(_._2))
         val rngAttrs = dedup(keyed.filter(k => k._1 == 1 || k._1 == 2)
           .map(_._2))
-        val cntAttrs = dedup(keyed.filter(_._1 == 6).map(_._2))
+        val cntAttrs = dedup(keyed.filter(k => k._1 == 6 || k._1 == 5)
+          .map(_._2))
         val specs: Seq[Snapshot.StampSpec] =
           sumAttrs.map(a => Snapshot.SumSpec(
             Snapshot.physicalName(m, a.name))) ++
@@ -661,30 +750,49 @@ case class MetadataOnlyCountRule(session: SparkSession)
             cntAttrs.map(a => Snapshot.CountSpec(
               Snapshot.physicalName(m, a.name),
               cluster = isClusteringAttr(a, lr, gr)))
-        def specIdx(kind: Int, a: AttributeReference): Int =
-          if (kind == 0) sumAttrs.indexWhere(_.exprId == a.exprId)
-          else if (kind == 6) sumAttrs.length + rngAttrs.length +
+        def sumIdxOf(a: AttributeReference): Int =
+          sumAttrs.indexWhere(_.exprId == a.exprId)
+        def cntIdxOf(a: AttributeReference): Int =
+          sumAttrs.length + rngAttrs.length +
             cntAttrs.indexWhere(_.exprId == a.exprId)
+        def specIdx(kind: Int, a: AttributeReference): Int =
+          if (kind == 0) sumIdxOf(a)
+          else if (kind == 6) cntIdxOf(a)
           else sumAttrs.length + rngAttrs.indexWhere(_.exprId == a.exprId)
         val (stampedRows, rowsOk, accs, scan) =
           Snapshot.metaAggSplitCols(m, specs, bounds)
+        // the raw stamped (sum-buffer, non-null count) pair per avg
+        // OUTPUT — the hybrid arm merges these undivided
+        def avgPartOf(a: AttributeReference, ei: Int)
+            : Option[(Any, Long)] =
+          (accs(sumIdxOf(a)), accs(cntIdxOf(a))) match {
+            case (Snapshot.SumAcc(st, any), Snapshot.SumAcc(cnt, _)) =>
+              avgSumBuffer(avgFns(ei), a, st, any).map(sv => (sv, cnt))
+            case _ => None
+          }
         // decoded stamped partial per non-count shape; inner None =
         // corrupted stamp → refuse whole
-        def partialOf(kind: Int, a: AttributeReference, dt: DataType)
-            : Option[Any] = accs(specIdx(kind, a)) match {
-          case Snapshot.SumAcc(t, _) if kind == 6 =>
-            Some(t: Any) // count(c): 0 is the answer, never NULL
-          case Snapshot.SumAcc(t, any) =>
-            if (any) sumCodecOf(a).get._2(t) else Some(null: Any)
-          case Snapshot.RangeAcc(mn, mx, any) =>
-            if (!any) Some(null: Any)
-            else rangeValue(if (kind == 1) mn else mx, dt)
+        def partialOf(kind: Int, a: AttributeReference, dt: DataType,
+            ei: Int): Option[Any] = kind match {
+          case 5 => avgPartOf(a, ei).flatMap { case (sv, c) =>
+            metaAvgEval(avgFns(ei), sv, c)
+          }
+          case _ => accs(specIdx(kind, a)) match {
+            case Snapshot.SumAcc(t, _) if kind == 6 =>
+              Some(t: Any) // count(c): 0 is the answer, never NULL
+            case Snapshot.SumAcc(t, any) =>
+              if (any) sumCodecOf(a).get._2(t) else Some(null: Any)
+            case Snapshot.RangeAcc(mn, mx, any) =>
+              if (!any) Some(null: Any)
+              else rangeValue(if (kind == 1) mn else mx, dt)
+          }
         }
-        val partialsClean: Seq[Option[Any]] = shapes.map {
-          case Some((3, _, _))  => Some(0L: Any)
-          case Some((k, a, dt)) => partialOf(k, a, dt)
-          case None             => None
-        }
+        val partialsClean: Seq[Option[Any]] =
+          shapes.zipWithIndex.map {
+            case (Some((3, _, _)), _)  => Some(0L: Any)
+            case (Some((k, a, dt)), i) => partialOf(k, a, dt, i)
+            case (None, _)             => None
+          }
         val hasCount = shapes.exists(_.exists(_._1 == 3))
         if (scan.size == m.files.size) None
         else if (hasCount && !rowsOk) None
@@ -692,8 +800,9 @@ case class MetadataOnlyCountRule(session: SparkSession)
         else if (scan.isEmpty)
           // every file answered from stamps: one local row. This arm
           // also serves the unfiltered shapes rewrite #6 declines
-          // (count(col) outputs, mixes #6's per-output table lacks) —
-          // sumRewrite runs LAST in the orElse chain, so no overlap.
+          // (count(col)/avg outputs, mixes #6's per-output table
+          // lacks) — sumRewrite runs LAST in the orElse chain, so no
+          // overlap.
           Some(LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(shapes.zip(partialsClean).map {
               case (Some((3, _, _)), _) => stampedRows: Any
@@ -702,28 +811,58 @@ case class MetadataOnlyCountRule(session: SparkSession)
             }))))
         else {
           // hybrid: one scan aggregate + one local partial per
-          // NON-count output (a shared count pair first), merged by
-          // an outer aggregate of each shape's own kind
+          // NON-count output (a shared count pair first; an avg
+          // occupies TWO partial slots — double sum + non-null
+          // count), merged by an outer aggregate of each shape's own
+          // kind. DECIMAL avg partials cannot merge through the union
+          // (the outer Sum would widen the buffer dtype the Average
+          // evaluation was typed for) — the full-metadata arm above
+          // serves them; hybrids refuse to the plain scan.
+          if (shapes.zipWithIndex.exists {
+                case (Some((5, _, _)), ei) =>
+                  avgFns(ei).aggBufferAttributes.head.dataType !=
+                    org.apache.spark.sql.types.DoubleType
+                case _ => false
+              }) return None
           val cnt = Alias(AggregateExpression(
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
           val perShape = shapes.zipWithIndex.collect {
             case (Some((k, a, dt)), i) if k != 3 => (k, a, dt, i)
           }
-          val scanAggs = perShape.map { case (k, a, dt, _) =>
-            // min/max of a widened output must aggregate the widened
-            // child so the union sides agree on dtype (sum result
-            // dtypes already match the codec's; counts are Longs)
-            val child: Expression =
-              if (k == 1 || k == 2) {
-                if (a.dataType != dt) Cast(a, dt) else a
-              } else a
-            val fn = k match {
-              case 0 => Sum(child); case 1 => Min(child)
-              case 2 => Max(child); case _ => Count(Seq(child))
+          // slot layout over the partial columns
+          val slotOf: Map[Int, Int] = {
+            var off = 0
+            perShape.map { case (k, _, _, i) =>
+              val s = i -> off; off += (if (k == 5) 2 else 1); s
+            }.toMap
+          }
+          val scanAggs = perShape.flatMap { case (k, a, dt, _) =>
+            if (k == 5)
+              // mirror Average's own buffer: a running DOUBLE sum
+              // (never a Long that could raise where avg would not)
+              // plus the non-null count
+              Seq(
+                Alias(AggregateExpression(Sum(Cast(a,
+                  org.apache.spark.sql.types.DoubleType)), Complete,
+                  isDistinct = false), "gm_part")(),
+                Alias(AggregateExpression(Count(Seq(a)), Complete,
+                  isDistinct = false), "gm_partc")())
+            else {
+              // min/max of a widened output must aggregate the widened
+              // child so the union sides agree on dtype (sum result
+              // dtypes already match the codec's; counts are Longs)
+              val child: Expression =
+                if (k == 1 || k == 2) {
+                  if (a.dataType != dt) Cast(a, dt) else a
+                } else a
+              val fn = k match {
+                case 0 => Sum(child); case 1 => Min(child)
+                case 2 => Max(child); case _ => Count(Seq(child))
+              }
+              Seq(Alias(AggregateExpression(fn, Complete,
+                isDistinct = false), "gm_part")())
             }
-            Alias(AggregateExpression(fn, Complete, isDistinct = false),
-              "gm_part")()
           }
           val newChild = agg.child.transformUp {
             case l: LogicalRelation if l eq lr =>
@@ -732,16 +871,27 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val scanAgg = Aggregate(Nil, cnt +: scanAggs, newChild)
           val localOut =
             AttributeReference("gm_n", LongType, nullable = false)() +:
-              perShape.map { case (_, _, dt, i) =>
-                AttributeReference(s"gm_p$i", dt)()
+              perShape.flatMap { case (k, _, dt, i) =>
+                if (k == 5)
+                  Seq(AttributeReference(s"gm_p$i",
+                      org.apache.spark.sql.types.DoubleType)(),
+                    AttributeReference(s"gm_p${i}c", LongType,
+                      nullable = false)())
+                else Seq(AttributeReference(s"gm_p$i", dt)())
               }
+          val localVals: Seq[Any] = (stampedRows: Any) +:
+            perShape.flatMap { case (k, a, _, i) =>
+              if (k == 5) {
+                val (sv, c) = avgPartOf(a, i).get // clean by the guard
+                Seq(sv, c: Any)
+              } else Seq(partialsClean(i).get)
+            }
           val local = LocalRelation(localOut,
-            Seq(InternalRow.fromSeq((stampedRows: Any) +:
-              perShape.map { case (_, _, _, i) => partialsClean(i).get })))
+            Seq(InternalRow.fromSeq(localVals)))
           val un = Union(Seq(scanAgg, local))
           val uc = un.output.head
-          def colOf(i: Int): Attribute =
-            un.output(1 + perShape.indexWhere(_._4 == i))
+          def colOf(i: Int): Attribute = un.output(1 + slotOf(i))
+          def colOf2(i: Int): Attribute = un.output(2 + slotOf(i))
           val outs = agg.aggregateExpressions.zip(shapes).zipWithIndex
             .map {
               case ((e, Some((3, _, _))), _) =>
@@ -761,6 +911,25 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 Alias(Coalesce(Seq(AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false),
                   Literal(0L))), e.name)(exprId = e.exprId)
+              case ((e, Some((5, _, _))), i) =>
+                // Average's OWN final-value tree over the merged
+                // (sum, count) — division typing and rounding are
+                // Spark's code, not a re-implementation
+                val fn = avgFns(i)
+                val buf = fn.aggBufferAttributes
+                val sumAgg: Expression = AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false)
+                val cntAgg: Expression = Coalesce(Seq(
+                  AggregateExpression(Sum(colOf2(i)), Complete,
+                    isDistinct = false), Literal(0L)))
+                val ev = (fn: DeclarativeAggregate).evaluateExpression
+                  .transform {
+                    case r: AttributeReference
+                        if r.exprId == buf(0).exprId => sumAgg
+                    case r: AttributeReference
+                        if r.exprId == buf(1).exprId => cntAgg
+                  }
+                Alias(ev, e.name)(exprId = e.exprId)
               case ((e, Some((k, _, _))), i) =>
                 val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
                   if (k == 1) Min(colOf(i)) else Max(colOf(i))
@@ -877,7 +1046,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
       }
     }
 
-  /** '''7. GROUP BY g — counts, sums, mins and maxes from stamps'''
+  /** '''7. GROUP BY g — counts, sums, mins, maxes, and avgs from
+    * stamps'''
     * (round 18): the q171/q173 grouped-count discipline extended to
     * `sum(c)` / `min(c)` / `max(c)` outputs via
     * [[Snapshot.metaGroupAggSplitCols]] — a file feeds its group's
@@ -896,9 +1066,11 @@ case class MetadataOnlyCountRule(session: SparkSession)
     relationOf(agg.child).flatMap { case (lr, gr) =>
       val m = gr.pinnedManifest
       // per-output: kind 4 = the key, 3 = count-star; 0 sum / 1 min /
-      // 2 max with their attribute and OUTPUT dtype
+      // 2 max / 5 avg / 6 count(col) with their attribute and OUTPUT
+      // dtype; avg records its re-rooted Average by output position
+      val avgFns = scala.collection.mutable.Map.empty[Int, Average]
       val shapes: Seq[Option[(Int, AttributeReference, DataType)]] =
-        agg.aggregateExpressions.map { e =>
+        agg.aggregateExpressions.zipWithIndex.map { case (e, ei) =>
           if (isKeyOutput(e, g))
             Some((4, null: AttributeReference, g.dataType))
           else if (isCountStar(e))
@@ -909,8 +1081,12 @@ case class MetadataOnlyCountRule(session: SparkSession)
               (if (isMin) 1 else 2, a, dt)
             })
             .orElse(countColKeyOf(e, lr, gr).map(a => (6, a, LongType)))
+            .orElse(avgKeyOf(e, lr, gr).map { case (a, fn) =>
+              avgFns(ei) = fn; (5, a, fn.dataType)
+            })
         }
-      val keyed = shapes.flatten.filter(k => k._1 <= 2 || k._1 == 6)
+      val keyed = shapes.flatten.filter(k => k._1 <= 2 || k._1 == 5 ||
+        k._1 == 6)
       if (shapes.exists(_.isEmpty) || keyed.isEmpty ||
           !groupableDtype(g.dataType) ||
           !lr.output.exists(_.exprId == g.exprId)) None
@@ -918,10 +1094,12 @@ case class MetadataOnlyCountRule(session: SparkSession)
         def dedup(as: Seq[AttributeReference]) =
           as.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
             if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
-        val sumAttrs = dedup(keyed.filter(_._1 == 0).map(_._2))
+        val sumAttrs = dedup(keyed.filter(k => k._1 == 0 || k._1 == 5)
+          .map(_._2))
         val rngAttrs = dedup(keyed.filter(k => k._1 == 1 || k._1 == 2)
           .map(_._2))
-        val cntAttrs = dedup(keyed.filter(_._1 == 6).map(_._2))
+        val cntAttrs = dedup(keyed.filter(k => k._1 == 6 || k._1 == 5)
+          .map(_._2))
         val specs: Seq[Snapshot.StampSpec] =
           sumAttrs.map(a => Snapshot.SumSpec(
             Snapshot.physicalName(m, a.name))) ++
@@ -931,39 +1109,61 @@ case class MetadataOnlyCountRule(session: SparkSession)
             cntAttrs.map(a => Snapshot.CountSpec(
               Snapshot.physicalName(m, a.name),
               cluster = isClusteringAttr(a, lr, gr)))
-        def specIdx(kind: Int, a: AttributeReference): Int =
-          if (kind == 0) sumAttrs.indexWhere(_.exprId == a.exprId)
-          else if (kind == 6) sumAttrs.length + rngAttrs.length +
+        def sumIdxOf(a: AttributeReference): Int =
+          sumAttrs.indexWhere(_.exprId == a.exprId)
+        def cntIdxOf(a: AttributeReference): Int =
+          sumAttrs.length + rngAttrs.length +
             cntAttrs.indexWhere(_.exprId == a.exprId)
+        def specIdx(kind: Int, a: AttributeReference): Int =
+          if (kind == 0) sumIdxOf(a)
+          else if (kind == 6) cntIdxOf(a)
           else sumAttrs.length + rngAttrs.indexWhere(_.exprId == a.exprId)
         val physG = Snapshot.physicalName(m, g.name)
         val (sums, scan) = Snapshot.metaGroupAggSplitCols(m, physG,
           isClusteringAttr(g, lr, gr), specs)
         def typed(v: Long): Any = typedKey(v, g.dataType)
+        // the raw stamped (sum-buffer, non-null count) pair for an avg
+        // OUTPUT within one group's accumulators (hybrid merges these
+        // undivided)
+        def avgPartOf(cs: Seq[Snapshot.StampAcc], a: AttributeReference,
+            ei: Int): Option[(Any, Long)] =
+          (cs(sumIdxOf(a)), cs(cntIdxOf(a))) match {
+            case (Snapshot.SumAcc(st, any), Snapshot.SumAcc(cnt, _)) =>
+              avgSumBuffer(avgFns(ei), a, st, any).map(sv => (sv, cnt))
+            case _ => None
+          }
         // decode every group's stamped measures up front — one
         // corrupted stamp refuses the whole rewrite
         def decode(cs: Seq[Snapshot.StampAcc], kind: Int,
-            a: AttributeReference, dt: DataType): Option[Any] =
-          cs(specIdx(kind, a)) match {
-            case Snapshot.SumAcc(t, _) if kind == 6 => Some(t: Any)
-            case Snapshot.SumAcc(t, any) =>
-              if (any) sumCodecOf(a).get._2(t) else Some(null: Any)
-            case Snapshot.RangeAcc(mn, mx, any) =>
-              if (!any) Some(null: Any)
-              else rangeValue(if (kind == 1) mn else mx, dt)
+            a: AttributeReference, dt: DataType, ei: Int): Option[Any] =
+          kind match {
+            case 5 => avgPartOf(cs, a, ei).flatMap { case (sv, c) =>
+              metaAvgEval(avgFns(ei), sv, c)
+            }
+            case _ => cs(specIdx(kind, a)) match {
+              case Snapshot.SumAcc(t, _) if kind == 6 => Some(t: Any)
+              case Snapshot.SumAcc(t, any) =>
+                if (any) sumCodecOf(a).get._2(t) else Some(null: Any)
+              case Snapshot.RangeAcc(mn, mx, any) =>
+                if (!any) Some(null: Any)
+                else rangeValue(if (kind == 1) mn else mx, dt)
+            }
           }
         val decoded = sums.map { case (k, (n, cs)) =>
-          k -> (n, shapes.map {
-            case Some((4, _, _)) => Some(null: Any) // key: below
-            case Some((3, _, _)) => Some(n: Any)
-            case Some((kk, a, dt)) => decode(cs, kk, a, dt)
-            case None => None
-          })
+          k -> (n, shapes.zipWithIndex.map {
+            case (Some((4, _, _)), _) => Some(null: Any) // key: below
+            case (Some((3, _, _)), _) => Some(n: Any)
+            case (Some((kk, a, dt)), ei) => decode(cs, kk, a, dt, ei)
+            case (None, _) => None
+          }, shapes.zipWithIndex.collect {
+            case (Some((5, a, _)), ei) => ei -> avgPartOf(cs, a, ei)
+          }.toMap)
         }
-        if (decoded.valuesIterator.exists(_._2.exists(_.isEmpty))) None
+        if (decoded.valuesIterator.exists(t => t._2.exists(_.isEmpty) ||
+            t._3.valuesIterator.exists(_.isEmpty))) None
         else if (scan.size == m.files.size) None
         else if (scan.isEmpty) {
-          val rows = decoded.toSeq.map { case (k, (_, vs)) =>
+          val rows = decoded.toSeq.map { case (k, (_, vs, _)) =>
             InternalRow.fromSeq(shapes.zip(vs).map {
               case (Some((4, _, _)), _) => k.map(typed).orNull
               case (_, Some(v))         => v
@@ -972,23 +1172,47 @@ case class MetadataOnlyCountRule(session: SparkSession)
           }
           Some(LocalRelation(agg.output, rows))
         } else {
+          // DECIMAL avg partials cannot merge through the union — see
+          // sumRewrite's identical note; hybrids refuse to plain scan
+          if (shapes.zipWithIndex.exists {
+                case (Some((5, _, _)), ei) =>
+                  avgFns(ei).aggBufferAttributes.head.dataType !=
+                    org.apache.spark.sql.types.DoubleType
+                case _ => false
+              }) return None
           val cnt = Alias(AggregateExpression(
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
           val perShape = shapes.zipWithIndex.collect {
-            case (Some((k, a, dt)), i) if k <= 2 || k == 6 =>
+            case (Some((k, a, dt)), i) if k <= 2 || k == 5 || k == 6 =>
               (k, a, dt, i)
           }
-          val scanAggs = perShape.map { case (k, a, dt, _) =>
-            val child: Expression =
-              if ((k == 1 || k == 2) && a.dataType != dt) Cast(a, dt)
-              else a
-            val fn = k match {
-              case 0 => Sum(child); case 1 => Min(child)
-              case 2 => Max(child); case _ => Count(Seq(child))
+          // slot layout over the partial columns (avg takes two)
+          val slotOf: Map[Int, Int] = {
+            var off = 0
+            perShape.map { case (k, _, _, i) =>
+              val s = i -> off; off += (if (k == 5) 2 else 1); s
+            }.toMap
+          }
+          val scanAggs = perShape.flatMap { case (k, a, dt, _) =>
+            if (k == 5)
+              Seq(
+                Alias(AggregateExpression(Sum(Cast(a,
+                  org.apache.spark.sql.types.DoubleType)), Complete,
+                  isDistinct = false), "gm_part")(),
+                Alias(AggregateExpression(Count(Seq(a)), Complete,
+                  isDistinct = false), "gm_partc")())
+            else {
+              val child: Expression =
+                if ((k == 1 || k == 2) && a.dataType != dt) Cast(a, dt)
+                else a
+              val fn = k match {
+                case 0 => Sum(child); case 1 => Min(child)
+                case 2 => Max(child); case _ => Count(Seq(child))
+              }
+              Seq(Alias(AggregateExpression(fn, Complete,
+                isDistinct = false), "gm_part")())
             }
-            Alias(AggregateExpression(fn, Complete, isDistinct = false),
-              "gm_part")()
           }
           val newChild = agg.child.transformUp {
             case l: LogicalRelation if l eq lr =>
@@ -998,20 +1222,30 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val localOut =
             AttributeReference("gm_k", g.dataType)() +:
               AttributeReference("gm_c", LongType, nullable = false)() +:
-              perShape.map { case (_, _, dt, i) =>
-                AttributeReference(s"gm_p$i", dt)()
+              perShape.flatMap { case (k, _, dt, i) =>
+                if (k == 5)
+                  Seq(AttributeReference(s"gm_p$i",
+                      org.apache.spark.sql.types.DoubleType)(),
+                    AttributeReference(s"gm_p${i}c", LongType,
+                      nullable = false)())
+                else Seq(AttributeReference(s"gm_p$i", dt)())
               }
           val local = LocalRelation(localOut,
-            decoded.toSeq.map { case (k, (n, vs)) =>
+            decoded.toSeq.map { case (k, (n, vs, ps)) =>
               InternalRow.fromSeq(
                 k.map(typed).orNull +: (n: Any) +:
-                  perShape.map { case (_, _, _, i) => vs(i).get })
+                  perShape.flatMap { case (kk, _, _, i) =>
+                    if (kk == 5) {
+                      val (sv, c) = ps(i).get // clean by the guard
+                      Seq(sv, c: Any)
+                    } else Seq(vs(i).get)
+                  })
             })
           val un = Union(Seq(scanAgg, local))
           val uk = un.output.head
           val uc = un.output(1)
-          def colOf(i: Int): Attribute =
-            un.output(2 + perShape.indexWhere(_._4 == i))
+          def colOf(i: Int): Attribute = un.output(2 + slotOf(i))
+          def colOf2(i: Int): Attribute = un.output(3 + slotOf(i))
           val outs = agg.aggregateExpressions.zip(shapes).zipWithIndex
             .map {
               case ((e, Some((4, _, _))), _) =>
@@ -1030,6 +1264,24 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 Alias(Coalesce(Seq(AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false),
                   Literal(0L))), e.name)(exprId = e.exprId)
+              case ((e, Some((5, _, _))), i) =>
+                // Average's OWN final-value tree over the merged
+                // per-group (sum, count) — see sumRewrite
+                val fn = avgFns(i)
+                val buf = fn.aggBufferAttributes
+                val sumAgg: Expression = AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false)
+                val cntAgg: Expression = Coalesce(Seq(
+                  AggregateExpression(Sum(colOf2(i)), Complete,
+                    isDistinct = false), Literal(0L)))
+                val ev = (fn: DeclarativeAggregate).evaluateExpression
+                  .transform {
+                    case r: AttributeReference
+                        if r.exprId == buf(0).exprId => sumAgg
+                    case r: AttributeReference
+                        if r.exprId == buf(1).exprId => cntAgg
+                  }
+                Alias(ev, e.name)(exprId = e.exprId)
               case ((e, Some((k, _, _))), i) =>
                 val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
                   if (k == 1) Min(colOf(i)) else Max(colOf(i))

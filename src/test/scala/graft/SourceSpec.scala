@@ -1826,4 +1826,140 @@ class SourceSpec extends SparkSpec {
     assert(aggsP.exists(_.toString.contains("_sm")),
       s"decimal column keeps its sum aggregate: $aggsP")
   }
+
+  test("global, grouped, and range-windowed AVG answer from sum + " +
+    "witness stamps") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metaavg_" + java.util.UUID.randomUUID().toString.take(8)
+    // the metadata-SUM fixture's shape: clustered on k; b single-valued
+    // per file except the mixed tail; v valued / partially-NULL /
+    // all-NULL / mixed; p an exact scale-2 decimal; w never stamps
+    def slice(ks: Range, b: Long => Option[Long], v: Long => Option[Long]) =
+      ks.map(k => (k.toLong, b(k.toLong), v(k.toLong)))
+        .toDF("k", "b", "v")
+        .withColumn("p", expr("CAST(k * 1.25 AS DECIMAL(18,2))"))
+        .withColumn("w", expr("CAST(k AS DECIMAL(38,18))"))
+    val slices = Seq(
+      slice(1 to 10, _ => Some(100L), k => Some(k * 2)),      // sum 110/10
+      slice(11 to 20, _ => Some(200L),
+        k => if (k <= 13) None else Some(k)),                 // sum 119/7
+      slice(21 to 30, _ => Some(300L), _ => None),            // all-NULL v
+      slice(31 to 35, k => Some(if (k % 2 == 0) 300L else 100L),
+        k => Some(k)))                                        // mixed b
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val carried = if (i == 0) Nil else Snapshot.manifest(spark, dir, i).files
+      Snapshot.commit(df, dir, i, "k", carried, nFiles = 1)
+    }
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    // GLOBAL integral avg: every file stamped or provably all-NULL →
+    // one LocalRelation row of driver arithmetic; the value is the
+    // exact sum divided once (identical to Spark's running double sum
+    // for any |sum| < 2^53)
+    val ga = front.agg(avg(col("v")).as("av"), count(lit(1)).as("n"))
+    assert(isLocal(ga), s"expected LocalRelation:\n${planOf(ga)}")
+    assert(ga.collect().toSeq == Seq(Row(394.0 / 22.0, 35L)))
+    // GLOBAL decimal avg: Spark's own Average evaluation over the
+    // exact micro-unit sum — scale (s+4), half-up, byte-identical
+    val gd = front.agg(avg(col("p")).as("ap"))
+    assert(isLocal(gd), s"decimal avg must answer from stamps:\n${planOf(gd)}")
+    assert(gd.collect().head.getDecimal(0) ==
+      new java.math.BigDecimal("22.500000")) // 787.50 / 35
+    // the full reflex-matrix mix stays one local row
+    val mix = front.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      min(col("v")).as("mn"), max(col("v")).as("mx"),
+      count(col("v")).as("nv"), avg(col("v")).as("av"),
+      avg(col("p")).as("ap"))
+    assert(isLocal(mix), s"mixed shapes must stay metadata:\n${planOf(mix)}")
+    val mr = mix.collect().head
+    assert((mr.getLong(0), mr.getLong(1), mr.getLong(2), mr.getLong(3),
+      mr.getLong(4), mr.getDouble(5), mr.getDecimal(6).toString) ==
+      ((35L, 394L, 2L, 35L, 22L, 394.0 / 22.0, "22.500000")))
+    // GROUPED integral avg by the non-clustering b: the three band
+    // files answer from stamps, ONLY the mixed tail scans; the
+    // all-NULL group's avg comes entirely from the scanned tail
+    val m = Snapshot.manifest(spark, dir, 4)
+    val mixedFile = m.files.find(f => f.min == 31L).map(_.path)
+    val gb = front.groupBy("b").agg(count(lit(1)).as("n"),
+      avg(col("v")).as("av"))
+    assert(restrictedOf(gb) == mixedFile.map(Set(_)),
+      s"mixed-b-file-only scan expected, got:\n${planOf(gb)}")
+    assert(gb.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2))).toSet ==
+      Set((100L, 13L, 209.0 / 13.0), (200L, 10L, 119.0 / 7.0),
+        (300L, 12L, 66.0 / 2.0)))
+    // GROUPED decimal avg with a scan branch must REFUSE (the union
+    // merge would widen the Average's buffer dtype) — the plain scan
+    // answers, unrestricted
+    val gdp = front.groupBy("b").agg(avg(col("p")).as("ap"))
+    assert(!isLocal(gdp) && restrictedOf(gdp).isEmpty,
+      s"grouped decimal avg hybrid must refuse whole:\n${planOf(gdp)}")
+    assert(gdp.collect().map(r => (r.getLong(0),
+      r.getDecimal(1).toString)).toSet ==
+      Set((100L, "14.807692"), (200L, "19.375000"), (300L, "33.437500")))
+    // RANGE-WINDOWED avg on the clustering key: inside files from
+    // stamps (the all-NULL file contributes only its zero count),
+    // outside files vanish — pure metadata here
+    val ra = front.filter(col("k") >= 11 && col("k") <= 30)
+      .agg(avg(col("v")).as("av"), count(lit(1)).as("n"))
+    assert(isLocal(ra), s"windowed avg must answer from stamps:\n${planOf(ra)}")
+    assert(ra.collect().toSeq == Seq(Row(119.0 / 7.0, 20L)))
+    // straddler: the window cuts INTO file 2 → it scans with the
+    // predicate; file 1 serves from stamps
+    val rs = front.filter(col("k") >= 1 && col("k") <= 15)
+      .agg(avg(col("v")).as("av"))
+    val f2 = m.files.find(_.min == 11L).map(_.path)
+    assert(restrictedOf(rs) == f2.map(Set(_)),
+      s"straddler-only scan expected:\n${planOf(rs)}")
+    assert(rs.collect().head.getDouble(0) == (110.0 + 14 + 15) / 12.0)
+    // avg of the CLUSTERING column refuses (no sidecar sum stamps by
+    // design); avg of the scale-18 decimal refuses (no exact stamp)
+    val ak = front.agg(avg(col("k")).as("ak"))
+    assert(!isLocal(ak))
+    assert(ak.collect().head.getDouble(0) == (1L to 35L).sum / 35.0)
+    val aw = front.agg(avg(col("w")).as("aw"))
+    assert(!isLocal(aw))
+    // an all-NULL column's avg answers NULL from metadata
+    val d2 = dir + "_nullcol"
+    Snapshot.commit((1L to 8L).map((_, Option.empty[Long]))
+      .toDF("k", "v"), d2, 0, "k", nFiles = 2)
+    val nq = spark.read.format("graft").load(d2)
+      .agg(avg(col("v")).as("av"))
+    assert(isLocal(nq))
+    assert(nq.collect().head.isNullAt(0))
+    // a DV degrades its file into the hybrid scan branch: the merge
+    // divides the union's (sum, count) exactly once
+    Snapshot.deleteWhereDV(spark, dir, 5L, 5L)
+    val dq = front.agg(avg(col("v")).as("av"), count(col("v")).as("nv"))
+    val dvFile = Snapshot.manifest(spark, dir, 5).dvs.keySet
+    assert(restrictedOf(dq) == Some(dvFile),
+      s"DV'd-file-only scan expected, got:\n${planOf(dq)}")
+    assert(dq.collect().toSeq == Seq(Row(384.0 / 21.0, 21L)))
+    // COMPACTION re-stamps: the compacted head (DV applied) goes back
+    // to pure metadata
+    Snapshot.compactVersion(spark, dir, Long.MaxValue)
+    val pc = front.agg(avg(col("v")).as("av"), avg(col("p")).as("ap"))
+    assert(isLocal(pc),
+      s"post-compaction avg must stay metadata:\n${planOf(pc)}")
+    val pr = pc.collect().head
+    assert(pr.getDouble(0) == 384.0 / 21.0 &&
+      pr.getDecimal(1).toString == "22.977941") // 781.25 / 34
+    // TIME TRAVEL: the pre-DV manifest still serves the un-masked avg
+    val tt = spark.read.format("graft").option("versionAsOf", "4")
+      .load(dir).agg(avg(col("v")).as("av"))
+    assert(isLocal(tt), s"pre-DV version must stay metadata:\n${planOf(tt)}")
+    assert(tt.collect().head.getDouble(0) == 394.0 / 22.0)
+  }
 }
