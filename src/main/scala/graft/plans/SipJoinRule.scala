@@ -69,14 +69,19 @@ import graft.sources.GraftRelation
   * `spark.graft.sipRule.enabled=false` (SipRuleSpec A/Bs both settings
   * to identical answers).
   *
-  * DYNAMIC mode (`spark.graft.sipRule.dynamic=true`, default off)
-  * additionally lets the rule run the verb's bounded dim job
-  * ([[graft.ops.SipJoin.dimKeys]] — `InListMax + 1` distinct collect,
-  * min/max only on overflow) when a FILTER above the dim leaf has made
-  * the static envelope useless (`dim WHERE region = 'EU'` keeping 0.1%
-  * of the keys — the daily star-join shape; Delta's dynamic file
-  * pruning runs the same planning-time subquery). See
-  * [[dynamicSummary]] for the guard ladder and [[DynTag]] for the
+  * DYNAMIC mode additionally lets the rule run the verb's bounded dim
+  * job ([[graft.ops.SipJoin.dimKeys]] — `InListMax + 1` distinct
+  * collect, min/max only on overflow) when a FILTER above the dim
+  * leaf has made the static envelope useless (`dim WHERE region =
+  * 'EU'` keeping 0.1% of the keys — the daily star-join shape;
+  * Delta's dynamic file pruning runs the same planning-time
+  * subquery). Armed two ways (default off — the static rule stays
+  * zero-job): PLAN-SCOPED, the fact read loaded with
+  * `option("sipDynamic", "true")` — only joins over that relation may
+  * pay the job, concurrent queries in the same session are untouched
+  * (round 19) — or session-wide via `spark.graft.sipRule.dynamic=true`
+  * (the blanket opt-in for an ETL session that wants it everywhere).
+  * See [[dynamicSummary]] for the guard ladder and [[DynTag]] for the
   * one-job-per-query convergence discipline.
   */
 case class SipJoinRule(session: SparkSession)
@@ -174,6 +179,22 @@ case class SipJoinRule(session: SparkSession)
   private def dynamicEnabled: Boolean =
     session.conf.get(DynamicKey, "false") == "true"
 
+  /** Is the dynamic arm armed for THIS join? Either the session-wide
+    * conf (the blanket opt-in), or — plan-scoped, round 19 — the FACT
+    * side reads through a graft relation loaded with
+    * `option("sipDynamic", "true")`: the query that asked pays the
+    * planning-time dim job; a concurrent query optimizing in the same
+    * session never does (no global state to toggle around a
+    * materialization). */
+  private def dynamicArmed(factSide: LogicalPlan): Boolean =
+    dynamicEnabled || factSide.exists {
+      case lr: LogicalRelation => lr.relation match {
+        case g: GraftRelation => g.sipDynamicOptIn
+        case _ => false
+      }
+      case _ => false
+    }
+
   private def dynamicMaxBytes: Long =
     session.conf.get(DynamicMaxBytesKey, DynamicMaxBytesDefault.toString)
       .toLong
@@ -210,7 +231,9 @@ case class SipJoinRule(session: SparkSession)
     * part Spark's own runtime filters never reach. */
   private def dynamicSummary(plan: LogicalPlan, a: AttributeReference)
       : Option[Summary] = {
-    if (!dynamicEnabled || inDynamicJob.get()) return None
+    // armed-ness (conf or the fact side's read option) is the
+    // CALLER's allowDynamic — here only the re-entrancy latch guards
+    if (inDynamicJob.get()) return None
     // a Filter conjunct referencing a NON-key attribute is what makes
     // the job worth paying: a key-only filter (`dk >= 500`, the
     // injected SIP conjuncts themselves, pushed isnotnulls) is already
@@ -312,14 +335,17 @@ case class SipJoinRule(session: SparkSession)
     * not worth a planning job. `allowDynamic=false` when a tagged
     * conjunct from an earlier pass is already on the join side. */
   private def summaryFor(plan: LogicalPlan, key: Expression,
-                         allowDynamic: Boolean)
+                         allowDynamic: => Boolean)
       : Option[(AttributeReference, Summary, Boolean)] =
     attrOf(key).filter(a => supported(a.dataType)).flatMap { a =>
       val static = staticSummary(plan, a)
-      val wantDyn = allowDynamic && (static match {
+      // static verdict first: the armed-ness check (which may walk
+      // the fact side for the plan-scoped read option) runs only when
+      // a job could actually improve on the static answer
+      val wantDyn = (static match {
         case None | Some(Envelope(_, _)) => true
         case _                           => false
-      })
+      }) && allowDynamic
       val dyn = if (wantDyn) dynamicSummary(plan, a) else None
       dyn.map(s => (a, s, true))
         .orElse(static.map(s => (a, s, false)))
@@ -470,7 +496,8 @@ case class SipJoinRule(session: SparkSession)
       attrOf(sideKey).toSeq.flatMap { factAttr =>
         if (!factActionable(side, sideKey)) Nil
         else summaryFor(other, otherKey,
-            allowDynamic = !taggedFor(side, factAttr)).toSeq.flatMap {
+            allowDynamic = dynamicArmed(side) &&
+              !taggedFor(side, factAttr)).toSeq.flatMap {
           case (dimAttr, s, dyn) =>
             val ps = predicatesFor(factAttr, dimAttr, s)
             if (dyn) ps.foreach(_.setTagValue(DynTag, true))
@@ -505,9 +532,10 @@ case class SipJoinRule(session: SparkSession)
               if lq.plan.output.size == 1 && factActionable(child, k) =>
             attrOf(k).toSeq.flatMap { factAttr =>
               summaryFor(lq.plan, lq.plan.output.head,
-                  allowDynamic = !conjs.exists(c =>
-                    c.getTagValue(DynTag).isDefined &&
-                      c.references.contains(factAttr)) &&
+                  allowDynamic = dynamicArmed(child) &&
+                    !conjs.exists(c =>
+                      c.getTagValue(DynTag).isDefined &&
+                        c.references.contains(factAttr)) &&
                     !taggedFor(child, factAttr)).toSeq.flatMap {
                 case (dimAttr, s, dyn) =>
                   val ps = predicatesFor(factAttr, dimAttr, s)

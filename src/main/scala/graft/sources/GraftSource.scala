@@ -119,7 +119,8 @@ final class GraftSourceProvider extends RelationProvider
       .orElse(opts.get("timestampasof").map(ts =>
         Snapshot.versionAtTimestamp(spark, dir, GraftSourceProvider.epochMs(ts))))
       .getOrElse(Snapshot.currentVersion(spark, dir))
-    new GraftRelation(sqlContext, dir, version)
+    new GraftRelation(sqlContext, dir, version,
+      sipDynamic = opts.get("sipdynamic").exists(_.trim.toBoolean))
   }
 
   /** The CATALOG front door ([[SchemaRelationProvider]]): a table
@@ -348,8 +349,17 @@ final class GraftEmptyRelation(override val sqlContext: SQLContext,
 final class GraftRelation(override val sqlContext: SQLContext,
                           val dir: String, version: Int,
                           restrictedPaths: Option[Set[String]] = None,
-                          followHead: Boolean = false)
+                          followHead: Boolean = false,
+                          sipDynamic: Boolean = false)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** Did this read opt into DYNAMIC sideways information passing
+    * (`option("sipDynamic", "true")`)? A PLAN-SCOPED gate: only joins
+    * whose fact side reads through this relation may pay the
+    * planning-time dim job ([[graft.plans.SipJoinRule]]) — unlike the
+    * session conf, a concurrent query optimizing in the same session
+    * never sees the flag (round 19 — the r18 verdict's #2). */
+  private[graft] def sipDynamicOptIn: Boolean = sipDynamic
 
   private def spark: SparkSession = sqlContext.sparkSession
   private val m = Snapshot.manifest(spark, dir, version)

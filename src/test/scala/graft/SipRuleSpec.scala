@@ -439,4 +439,43 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
       _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
       "expected the folded plan")
   }
+
+  test("dynamic SIP is plan-scoped: the fact read option arms one " +
+    "query; a concurrent plain query stays zero-job") {
+    import spark.implicits._
+    val fdir = fresh("optfact")
+    (1L to 800L).map(k => (k, k % 7)).toDF("k", "v")
+      .write.format("graft").option("statsCol", "k")
+      .option("nFiles", "8").save(fdir)
+    def dim = spark.read.format("graft").load(taggedDim)
+      .filter(col("tag") === "hit")
+    // NO conf toggle anywhere in this test — the round-19 contract is
+    // that q174's registration shape needs no global state
+    assert(spark.conf.getOption("spark.graft.sipRule.dynamic").isEmpty,
+      "fixture: the session-wide dynamic conf must be unset here")
+    val plainFact = spark.read.format("graft").load(fdir)
+    val optFact = spark.read.format("graft")
+      .option("sipDynamic", "true").load(fdir)
+    // the opted-in frame pays exactly one bounded job and gets the
+    // filtered dim's 11-key IN on its fact scan
+    val j0 = jobs()
+    val d = optFact.join(dim, col("k") === col("dk"))
+    d.queryExecution.optimizedPlan
+    assert(jobs() - j0 == 1,
+      s"one job for the opted-in query, got ${jobs() - j0}")
+    assert(inLists(d, "k").contains(11),
+      s"expected the 11-key IN:\n${d.queryExecution.optimizedPlan.treeString}")
+    // a PLAIN query over the same tables in the same session — the
+    // exact window the conf toggle used to leak into — never fires a
+    // job and keeps the static leaf envelope
+    val j1 = jobs()
+    val pq = plainFact.join(dim, col("k") === col("dk"))
+    pq.queryExecution.optimizedPlan
+    assert(jobs() == j1, "a concurrent plain query must stay zero-job")
+    assert(bounds(pq, "k").toSet == Set((">=", 1L), ("<=", 800L)),
+      s"plain query keeps the static envelope, got ${bounds(pq, "k")}")
+    // A/B answers identical
+    assert(sorted(d) == sorted(pq))
+    assert(sorted(d).map(_.getLong(0)).toSet == (310L to 320L).toSet)
+  }
 }
