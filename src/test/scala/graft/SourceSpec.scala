@@ -1962,4 +1962,74 @@ class SourceSpec extends SparkSpec {
     assert(isLocal(tt), s"pre-DV version must stay metadata:\n${planOf(tt)}")
     assert(tt.collect().head.getDouble(0) == 394.0 / 22.0)
   }
+
+  test("HLL sidecars: any-layout distinct estimates, refusal ladder, " +
+    "re-stamp lifecycle") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_hll_" + java.util.UUID.randomUUID().toString.take(8)
+    // 4 files clustered by k; v cycles over 500 distinct values so NO
+    // layout serves it exactly; w all-NULL; u low-cardinality (3)
+    val df = (1L to 4000L).map(k =>
+      (k, k % 500L, Option.empty[Long], k % 3L)).toDF("k", "v", "w", "u")
+    Snapshot.commit(df, dir, 0, "k", nFiles = 4)
+    Snapshot.optimizeHll(spark, dir, Seq("v", "w", "u"))
+    val m = Snapshot.manifest(spark, dir, 2)
+    // the high-cardinality estimate is within 5 sigma of the p=12
+    // sketch's rsd (1.6%) — and deterministic for this fixed input
+    val (estV, rsdV) = Snapshot.metaDistinctMeta(m, "v").get
+    assert(math.abs(estV - 500L) <= 500.0 * 5 * rsdV,
+      s"v estimate $estV vs exact 500 (rsd $rsdV)")
+    // the low-cardinality estimate is EXACT via linear counting
+    assert(Snapshot.metaDistinctMeta(m, "u").map(_._1).contains(3L))
+    // an all-NULL column stamps no sketch but the witness proves every
+    // file value-free: the merge answers 0
+    assert(m.strStats.keys.forall(_._2 != Snapshot.HllPfx + "w"))
+    assert(Snapshot.metaDistinctMeta(m, "w").map(_._1).contains(0L))
+    // an unsketched column refuses (no stamp, files have rows)
+    assert(Snapshot.metaDistinctMeta(m, "k").isEmpty)
+    // payload corruption refuses whole (never a wrong estimate)
+    val corrupt = m.copy(strStats = m.strStats.map {
+      case ((pth, c), _) if c == Snapshot.HllPfx + "v" =>
+        ((pth, c), ("!bad", "12"))
+      case e => e
+    })
+    assert(Snapshot.metaDistinctMeta(corrupt, "v").isEmpty)
+    // a DV refuses (masked rows cannot be un-merged from a sketch)
+    Snapshot.deleteWhereDV(spark, dir, 5L, 5L)
+    val mDv = Snapshot.manifest(spark, dir, 3)
+    assert(Snapshot.metaDistinctMeta(mDv, "v").isEmpty,
+      "a deletion vector must refuse the sketch merge")
+    // compaction rewrites files -> no sketches -> refuse; re-running
+    // optimizeHll serves again (the degraded-never-wrong lifecycle)
+    Snapshot.compactVersion(spark, dir, Long.MaxValue)
+    val mC = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    assert(Snapshot.metaDistinctMeta(mC, "v").isEmpty,
+      "rewritten files carry no sketch and must refuse")
+    Snapshot.optimizeHll(spark, dir, Seq("v"))
+    val mR = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    val (estV2, rsdV2) = Snapshot.metaDistinctMeta(mR, "v").get
+    // key 5 (v=5) was DV-deleted pre-compaction; v=5 survives at
+    // k=505, 1005, ... so the exact distinct count is still 500
+    assert(math.abs(estV2 - 500L) <= 500.0 * 5 * rsdV2)
+    // the hll:-shadow discipline: a user column literally named
+    // hll:<c> is never sketched, never stamps, and its pushed filters
+    // never prune by whatever sits at its key
+    intercept[IllegalArgumentException] {
+      Snapshot.optimizeHll(spark, dir, Seq("hll:v"))
+    }
+    val d2 = dir + "_shadow"
+    (1L to 6L).map(k => (k, s"s$k")).toDF("k", "hll:v")
+      .write.format("graft").option("statsCol", "k").save(d2)
+    val shq = spark.read.format("graft").load(d2)
+      .filter(col("`hll:v`") === "s3")
+    assert(shq.count() == 1L,
+      "a pseudo-named user column must stay un-pruned and exact")
+    // precision bounds hold
+    intercept[IllegalArgumentException] {
+      Snapshot.optimizeHll(spark, dir, Seq("v"), precision = 15)
+    }
+  }
 }
