@@ -2030,7 +2030,7 @@ object Snapshot {
       hi: Long, physCs: Seq[String])
       : (Long, Seq[(Long, Boolean)], Seq[FileEntry]) = {
     val (rows, _, accs, scan) =
-      metaAggSplitCols(m, physCs.map(SumSpec.apply), Some((lo, hi)))
+      metaAggSplitCols(m, physCs.map(c => SumSpec(c)), Some((lo, hi)))
     (rows, accs.map { case SumAcc(t, a) => (t, a); case _ => (0L, false) },
       scan)
   }
@@ -2199,7 +2199,10 @@ object Snapshot {
     * clustering column — flagged by `cluster`). The folds treat every
     * spec under the all-in-or-all-scan per-file discipline. */
   private[graft] sealed trait StampSpec { def phys: String }
-  private[graft] final case class SumSpec(phys: String) extends StampSpec
+  /** `pfx` selects the sum-like stamp family: [[SumPfx]] (Σx, the
+    * default) or [[SqPfx]] (Σx² — round 19's variance moments). */
+  private[graft] final case class SumSpec(phys: String,
+      pfx: String = Snapshot.SumPfx) extends StampSpec
   private[graft] final case class RangeSpec(phys: String,
       cluster: Boolean = false) extends StampSpec
   /** `count(c)` — non-null rows per file, from the [[NullsPfx]]
@@ -2249,7 +2252,7 @@ object Snapshot {
       }, m.files)
     if (specs.exists(s => isPseudoCol(s.phys))) return refuseAll
     val sumLooks = specs.map {
-      case SumSpec(c) => colLookup(m.colStats, SumPfx + c)
+      case SumSpec(c, pfx) => colLookup(m.colStats, pfx + c)
       case _ => null
     }
     val rngLooks = specs.map {
@@ -2289,7 +2292,7 @@ object Snapshot {
           val rHi = new Array[java.lang.Long](nS)
           while (ok && i < nS) {
             specs(i) match {
-              case SumSpec(_) => sumLooks(i)(f.path) match {
+              case _: SumSpec => sumLooks(i)(f.path) match {
                 case Some((s, _)) => sVal(i) = s
                 case None =>
                   if (f.rows >= 0 &&
@@ -2382,7 +2385,7 @@ object Snapshot {
   private[graft] def metaSumSplitCols(m: Manifest, physCols: Seq[String])
       : (Seq[(Long, Boolean)], Seq[FileEntry]) = {
     val (_, _, accs, scan) =
-      metaAggSplitCols(m, physCols.map(SumSpec.apply))
+      metaAggSplitCols(m, physCols.map(c => SumSpec(c)))
     (accs.map { case SumAcc(t, a) => (t, a); case _ => (0L, false) }, scan)
   }
 
@@ -2430,7 +2433,7 @@ object Snapshot {
     val gLook = colLookup(m.colStats, physG)
     val gWitness = colLookup(m.colStats, NullsPfx + physG)
     val sumLooks = specs.map {
-      case SumSpec(c) => colLookup(m.colStats, SumPfx + c)
+      case SumSpec(c, pfx) => colLookup(m.colStats, pfx + c)
       case _ => null
     }
     val rngLooks = specs.map {
@@ -2477,7 +2480,7 @@ object Snapshot {
             val rHi = new Array[java.lang.Long](nS)
             while (ok && i < nS) {
               specs(i) match {
-                case SumSpec(_) => sumLooks(i)(f.path) match {
+                case _: SumSpec => sumLooks(i)(f.path) match {
                   case Some((s, _)) => sVal(i) = s
                   case None =>
                     if (wits(i)(f.path).exists(_._1 == f.rows)) ()
@@ -2573,7 +2576,7 @@ object Snapshot {
       gIsClustering: Boolean, physCs: Seq[String])
       : (Map[Option[Long], (Long, Seq[(Long, Boolean)])], Seq[FileEntry]) = {
     val (accs, scan) = metaGroupAggSplitCols(m, physG, gIsClustering,
-      physCs.map(SumSpec.apply))
+      physCs.map(c => SumSpec(c)))
     (accs.map { case (k, (n, cs)) =>
       k -> (n, cs.map { case SumAcc(t, a) => (t, a); case _ => (0L, false) })
     }, scan)
@@ -3051,12 +3054,29 @@ object Snapshot {
     * or accept the manifest bytes, exactly like Bloom sidecars. */
   private[graft] val HllPfx = "hll:"
 
+  /** The per-file SUM-OF-SQUARES pseudo-column prefix (round 19):
+    * each INTEGRAL auto-stamped column also records Σx² of its
+    * non-null values as `(path, "sq:" + c) -> (q, q)` — the third
+    * moment stamp that, with `sum:` and the NULL witness, makes
+    * VARIANCE/STDDEV metadata-only ([[graft.plans.MetadataOnlyCountRule]]
+    * kind 7). The squares are TRY-guarded PER ROW (`try_multiply`)
+    * and the stamp lands only when the count of successful squares
+    * equals the column's non-null count — a single overflowing row
+    * (|x| > ~3.04e9) refuses the whole file's stamp rather than
+    * silently dropping the row. That per-row gate doubles as the
+    * exactness proof the variance rewrite needs: a present stamp
+    * means every |x| ≤ 3.04e9 < 2⁵³, so the analyzer's
+    * value-by-value double cast is exact and variance over the cast
+    * values IS variance over the raw ones. */
+  private[graft] val SqPfx = "sq:"
+
   /** Is `name` shadowed by the pseudo-column key space? Such a column
     * never stamps and no metadata consumer may trust anything at its
-    * key — the entry might be a sibling's witness, sum, or sketch. */
+    * key — the entry might be a sibling's witness, sum, square sum,
+    * or sketch. */
   private[graft] def isPseudoCol(name: String): Boolean =
     name.startsWith(NullsPfx) || name.startsWith(SumPfx) ||
-      name.startsWith(HllPfx)
+      name.startsWith(HllPfx) || name.startsWith(SqPfx)
 
   private val HllB64 =
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
@@ -3122,9 +3142,15 @@ object Snapshot {
         // integral columns also aggregate their per-file SUM — exact
         // Long arithmetic (TRY-guarded), folding to the distributed
         // answer whenever that answer itself doesn't overflow
-        // ([[SumPfx]])
+        // ([[SumPfx]]) — and their SUM OF SQUARES with the per-row
+        // try_multiply gate ([[SqPfx]]: the success count must equal
+        // the non-null count or the file stamps no square sum)
         (if (kind == 0)
-           Seq(try_sum(col(c)).cast("long").as(s"_as${j}_sm"))
+           Seq(try_sum(col(c)).cast("long").as(s"_as${j}_sm"),
+             try_sum(try_multiply(col(c), col(c))).cast("long")
+               .as(s"_as${j}_sq"),
+             count(try_multiply(col(c), col(c))).cast("long")
+               .as(s"_as${j}_sqn"))
          // decimal kind-5 sums are exact (stamped below iff they fit
          // micro-units exactly); double/float kind-5 slots skip the
          // aggregate entirely — their Double result was never stamped
@@ -3169,6 +3195,17 @@ object Snapshot {
       // Integral sums stamp the raw Long; DECIMAL sums stamp exact
       // micro-units (or nothing); double/float columns never even
       // aggregate a sum ([[autoStatsAggs]])
+      // the SUM-OF-SQUARES stamp (integral only): the try_multiply
+      // success count must equal the non-null count — one overflowing
+      // row refuses the file's stamp instead of silently vanishing
+      if (kind == 0 && !isPseudoCol(c))
+        (get(s"_as${j}_sq"), get(s"_as${j}_sqn"),
+          get(s"_as${j}_nn")) match {
+          case (q: java.lang.Long, qn: java.lang.Long, nn: java.lang.Long)
+              if qn.longValue == nn.longValue =>
+            colB += ((path, SqPfx + c) -> (q.longValue, q.longValue))
+          case _ => ()
+        }
       if ((kind == 0 || (kind == 5 && decimalAt(j))) && !isPseudoCol(c))
         get(s"_as${j}_sm") match {
           case s: java.lang.Long if kind == 0 =>

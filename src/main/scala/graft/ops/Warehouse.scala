@@ -649,6 +649,50 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The q179 fixture: statusOrders' three PURE bands (the mixed tail
+    * left out — variance moments are full-metadata-only, and a tail
+    * would push the grouped phase to the scan), scode-clustered, one
+    * file per band. Idempotent per (session, sf); partial builds fail
+    * loudly. */
+  private[graft] def momentOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#moment", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_moment_$sfx"
+          val cur0 = Snapshot.currentVersion(s, dir)
+          val complete = cur0 == 3 && {
+            val mm = Snapshot.manifest(s, dir, 3)
+            mm.files.forall(f => mm.colStats.contains(
+              (f.path, Snapshot.SqPfx + "order_key")))
+          }
+          if (!complete && cur0 > 0)
+            throw new IllegalStateException(
+              s"momentOrders table under $dir exists at v$cur0 without " +
+                "complete square-sum stamps (partial or pre-round-19 " +
+                "build) — delete the table dir and rebuild")
+          if (!complete) {
+            val base = T.orders(s, d).select(
+              ascii(col("o_orderstatus")).as("scode"),
+              col("o_orderkey").as("order_key"),
+              (ascii(col("o_orderstatus")) - 5).as("rcode"),
+              (col("o_orderkey") % 97 === 0).as("tail"))
+            val slices = Seq(
+              base.filter(col("scode") === 70 && !col("tail")),
+              base.filter(col("scode") === 79 && !col("tail")),
+              base.filter(col("scode") === 80))
+            slices.zipWithIndex.foreach { case (df, i) =>
+              val carried =
+                if (i == 0) Nil else Snapshot.manifest(s, dir, i).files
+              Snapshot.commit(df.drop("tail"), dir, i, "scode", carried,
+                nFiles = 1)
+            }
+          }
+          dir
+        })
+    }
+
   /** The q178 fixture: all orders as 4 order_key-clustered files, then
     * ONE [[Snapshot.optimizeHll]] commit sketching the high-cardinality
     * key and the 3-value rcode (v2). Idempotent per (session, sf);
@@ -1977,6 +2021,72 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("rcode"))
     }),
 
+    "q179_agg_meta_moments" -> ((s, d) => {
+      // METADATA-ONLY VARIANCE/STDDEV ([[momentOrders]] →
+      // MetadataOnlyCountRule kind 7, round 19 — past the reflex
+      // matrix: no public system stamps per-file second moments):
+      // every write's stats pass also records each integral column's
+      // per-file Σx² (the `sq:` pseudo-column, try_multiply-gated per
+      // ROW so a present stamp proves every |x| ≤ ~3.04e9 — which is
+      // also why the analyzer's double cast is exact and the raw
+      // moments ARE the cast values' moments), and
+      // var_samp/var_pop/stddev_samp/stddev_pop answer from driver
+      // arithmetic: m2 = (n·Σx² − (Σx)²) exactly in big-integer
+      // space, ONE deterministic rounding chain (dbl(D)/n, then the
+      // function's own evaluation — n==0/n==1/nullOnDivideByZero
+      // semantics are Spark's own code), where Spark's scanned m2 is
+      // partition-order-dependent in the last ulps — the q39/AVG
+      // argument: there is no single scan answer to betray, and the
+      // stamp answer is deterministic and exact-to-one-rounding,
+      // which is what lets this query be ORACLED at all (the oracle
+      // reproduces the identical IEEE chain over exact HUGEINT
+      // moments — a scanned variance could never hash-match).
+      // Full-metadata-only: DVs, unstamped files, overflowed squares,
+      // or straddling windows refuse to the plain scan
+      // (SourceSpec-pinned). Three phases: `global` (all four moment
+      // shapes + count), `group` BY the non-clustering rcode (pure
+      // bands only — per-group moments from stamps), `window`
+      // var_samp inside `scode >= 79` (whole files only). `n_scan`
+      // oracle-pinned 0 of 3 everywhere.
+      val dir = momentOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val specs = Seq(Snapshot.SumSpec("order_key"),
+        Snapshot.CountSpec("order_key"),
+        Snapshot.SumSpec("order_key", Snapshot.SqPfx))
+      val (_, _, _, scanG) = Snapshot.metaAggSplitCols(m, specs)
+      require(scanG.isEmpty,
+        "every band file must carry sum + sq + witness stamps")
+      val (sums, scanGrp) = Snapshot.metaGroupAggSplitCols(m, "rcode",
+        gIsClustering = false, specs)
+      require(sums.nonEmpty && scanGrp.isEmpty,
+        "pure bands must answer the grouped moments from stamps")
+      val (_, _, _, scanW) = Snapshot.metaAggSplitCols(m, specs,
+        bounds = Some((79L, Long.MaxValue)))
+      require(scanW.isEmpty, "the window must cover whole bands")
+      val fd = s.read.format("graft").load(dir)
+      val nullD = lit(null).cast("double")
+      val glob = fd.agg(count(lit(1)).as("n"),
+          var_samp(col("order_key")).as("vs"),
+          var_pop(col("order_key")).as("vp"),
+          stddev_samp(col("order_key")).as("ss"),
+          stddev_pop(col("order_key")).as("sp"))
+        .select(lit("global").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("vs"), col("vp"), col("ss"), col("sp"),
+          lit(0L).as("n_scan"))
+      val grp = fd.groupBy(col("rcode"))
+        .agg(count(lit(1)).as("n"), var_samp(col("order_key")).as("vs"))
+        .select(lit("group").as("phase"), col("rcode"), col("n"),
+          col("vs"), nullD.as("vp"), nullD.as("ss"), nullD.as("sp"),
+          lit(scanGrp.size.toLong).as("n_scan"))
+      val win = fd.filter(col("scode") >= 79)
+        .agg(count(lit(1)).as("n"), var_samp(col("order_key")).as("vs"))
+        .select(lit("window").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("vs"), nullD.as("vp"), nullD.as("ss"),
+          nullD.as("sp"), lit(scanW.size.toLong).as("n_scan"))
+      glob.unionAll(grp).unionAll(win)
+        .orderBy(col("phase"), col("rcode"))
+    }),
+
     "q178_stats_hll" -> ((s, d) => {
       // HLL DISTINCT-COUNT SIDECARS ([[hllOrders]] →
       // [[Snapshot.optimizeHll]] / [[Snapshot.metaDistinctMeta]],
@@ -2988,6 +3098,49 @@ object Warehouse extends QueryModule {
         |  SELECT 'window', CAST(-1 AS INT), count(*), avg(k),
         |         CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
         |  FROM st WHERE scode >= 79)
+        |ORDER BY phase, rcode
+        |""".stripMargin,
+
+    // the moment rewrites' truth: n/Σx/Σx² recomputed exactly from raw
+    // orders in HUGEINT, then the IDENTICAL IEEE chain the serve runs
+    // (CAST(n·sxx − sx² AS DOUBLE) / n, then the per-shape division /
+    // sqrt) — the q39 exact-moments discipline, now over stamps
+    "q179_agg_meta_moments" ->
+      """WITH st AS (SELECT ascii(o_orderstatus) - 5 AS rcode,
+        |                   ascii(o_orderstatus) AS scode,
+        |                   o_orderkey AS k FROM orders
+        |            WHERE NOT (o_orderkey % 97 = 0 AND
+        |                       ascii(o_orderstatus) IN (70, 79))),
+        |mg AS (SELECT count(*) AS n, CAST(sum(k) AS HUGEINT) AS sx,
+        |              CAST(sum(k * k) AS HUGEINT) AS sxx FROM st),
+        |mr AS (SELECT rcode, count(*) AS n,
+        |              CAST(sum(k) AS HUGEINT) AS sx,
+        |              CAST(sum(k * k) AS HUGEINT) AS sxx
+        |       FROM st GROUP BY rcode),
+        |mw AS (SELECT count(*) AS n, CAST(sum(k) AS HUGEINT) AS sx,
+        |              CAST(sum(k * k) AS HUGEINT) AS sxx
+        |       FROM st WHERE scode >= 79)
+        |SELECT phase, rcode, n, vs, vp, ss, sp, n_scan FROM (
+        |  SELECT 'global' AS phase, CAST(-1 AS INT) AS rcode, n,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1) AS vs,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / n AS vp,
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1))
+        |           AS ss,
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / n) AS sp,
+        |         CAST(0 AS BIGINT) AS n_scan
+        |  FROM mg
+        |  UNION ALL
+        |  SELECT 'group', rcode, n,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         CAST(NULL AS DOUBLE), CAST(0 AS BIGINT)
+        |  FROM mr
+        |  UNION ALL
+        |  SELECT 'window', CAST(-1 AS INT), n,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         CAST(NULL AS DOUBLE), CAST(0 AS BIGINT)
+        |  FROM mw)
         |ORDER BY phase, rcode
         |""".stripMargin,
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, DeclarativeAggregate, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CentralMomentAgg, Complete, Count, DeclarativeAggregate, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -80,6 +80,19 @@ case class MetadataOnlyCountRule(session: SparkSession)
           case _ => false
         })
     case _ => false
+  }
+
+  /** A constant output (`SELECT 'x' AS phase, count(*) …`):
+    * CollapseProject folds the phase/label projections every real
+    * report wraps around an aggregate INTO the Aggregate itself, so
+    * the rewrites must carry literal outputs through or they refuse
+    * exactly the queries they were built for (round 19 — found when
+    * the variance serve exposed that the registered metadata queries
+    * were scanning). ConstantFolding has already run, so any foldable
+    * constant arrives as a plain Literal. */
+  private def litOf(e: NamedExpression): Option[Literal] = e match {
+    case Alias(l: Literal, _) => Some(l)
+    case _ => None
   }
 
   /** The graft relation under cardinality-preserving Project nodes
@@ -218,9 +231,11 @@ case class MetadataOnlyCountRule(session: SparkSession)
     case _ => None
   }
 
-  private def countRows(output: Seq[Attribute], n: Long): LocalRelation =
+  private def countRows(exprs: Seq[NamedExpression],
+      output: Seq[Attribute], n: Long): LocalRelation =
     LocalRelation(output,
-      Seq(InternalRow.fromSeq(Seq.fill(output.size)(n))))
+      Seq(InternalRow.fromSeq(exprs.map(e =>
+        litOf(e).map(_.value).getOrElse(n: Any)))))
 
   /** Range-filtered count rewrite: stamps for wholly-inside files, a
     * boundary-restricted scan for the rest. None = shape/guards refuse. */
@@ -229,11 +244,12 @@ case class MetadataOnlyCountRule(session: SparkSession)
       boundsOf(splitConjunctivePredicates(f.condition), lr, g).flatMap {
         case (lo, hi) if lo > hi =>
           // contradiction: zero rows satisfy, by the predicate alone
-          Some(countRows(agg.output, 0L))
+          Some(countRows(agg.aggregateExpressions, agg.output, 0L))
         case (lo, hi) =>
           val m = g.pinnedManifest
           val (inside, boundary) = Snapshot.metaRangeSplit(m, lo, hi)
-          if (boundary.isEmpty) Some(countRows(agg.output, inside))
+          if (boundary.isEmpty)
+            Some(countRows(agg.aggregateExpressions, agg.output, inside))
           else if (inside == 0 && boundary.size == m.files.size)
             None // nothing answered from metadata: keep the plain scan
           else {
@@ -246,9 +262,13 @@ case class MetadataOnlyCountRule(session: SparkSession)
                   g.restrictedTo(boundary.map(_.path).toSet))
             }
             val inner = Aggregate(Nil, Seq(cnt), newChild)
-            val outs = agg.output.map(a =>
-              Alias(Add(cnt.toAttribute, Literal(inside)), a.name)(
-                exprId = a.exprId))
+            val outs = agg.aggregateExpressions.zip(agg.output).map {
+              case (e, a) => litOf(e) match {
+                case Some(l) => Alias(l, a.name)(exprId = a.exprId)
+                case None => Alias(Add(cnt.toAttribute, Literal(inside)),
+                  a.name)(exprId = a.exprId)
+              }
+            }
             Some(Project(outs, inner))
           }
       }
@@ -343,7 +363,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
         lazy val nOpt = g.metaRowCount
         val vals = exprs.indices.map { i =>
           if (isCnt(i)) nOpt.map(n => n: Any)
-          else minMaxValueOf(exprs(i))
+          else litOf(exprs(i)).map(l => Some(l.value))
+            .getOrElse(minMaxValueOf(exprs(i)))
         }
         if (vals.exists(_.isEmpty)) None
         else Some(LocalRelation(agg.output,
@@ -441,7 +462,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val rows = sums.toSeq.map { case (k, n) =>
             val kv = k.map(typed).orNull
             InternalRow.fromSeq(agg.aggregateExpressions.map(e =>
-              if (isKeyOutput(e, g)) kv else (n: Any)))
+              if (isKeyOutput(e, g)) kv
+              else litOf(e).map(_.value).getOrElse(n: Any)))
           }
           Some(LocalRelation(agg.output, rows))
         } else {
@@ -470,7 +492,10 @@ case class MetadataOnlyCountRule(session: SparkSession)
             Sum(uc), Complete, isDistinct = false), Literal(0L)))
           val outs = agg.aggregateExpressions.map { e =>
             if (isKeyOutput(e, g)) Alias(uk, e.name)(exprId = e.exprId)
-            else Alias(sumCnt, e.name)(exprId = e.exprId)
+            else litOf(e) match {
+              case Some(l) => Alias(l, e.name)(exprId = e.exprId)
+              case None    => Alias(sumCnt, e.name)(exprId = e.exprId)
+            }
           }
           Some(Aggregate(Seq(uk), outs, un))
         }
@@ -611,6 +636,72 @@ case class MetadataOnlyCountRule(session: SparkSession)
       case _ => None
     }
 
+  /** Is `e` a non-distinct unfiltered variance/stddev whose moments
+    * the per-file stamps carry? Matches the four central-moment
+    * shapes (`var_samp`/`var_pop`/`stddev_samp`/`stddev_pop`) over an
+    * INTEGRAL attribute under the analyzer's double cast. The `sq:`
+    * stamp's own per-row try_multiply gate is the exactness proof: a
+    * present stamp means every |x| ≤ ~3.04e9 < 2⁵³, so the
+    * value-by-value double cast Spark aggregates over is exact and
+    * the raw-integer moments ARE the cast values' moments. Returns
+    * the attribute and the ORIGINAL aggregate (kept for its own
+    * final-value evaluation — n==0/n==1/nullOnDivideByZero semantics
+    * included). */
+  private def momentKeyOf(e: NamedExpression, lr: LogicalRelation,
+      g: GraftRelation)
+      : Option[(AttributeReference, CentralMomentAgg)] = e match {
+    case Alias(ae: AggregateExpression, _)
+        if ae.mode == Complete && ae.filter.isEmpty && !ae.isDistinct =>
+      ae.aggregateFunction match {
+        case cm @ (_: VarianceSamp | _: VariancePop | _: StddevSamp |
+            _: StddevPop) =>
+          val fn = cm.asInstanceOf[CentralMomentAgg]
+          (fn.child match {
+            case Cast(a: AttributeReference, dt, _, _)
+                if dt == org.apache.spark.sql.types.DoubleType => Some(a)
+            case _ => None
+          }).filter { a =>
+            lr.output.exists(_.exprId == a.exprId) &&
+              (a.dataType match {
+                case ByteType | ShortType | IntegerType | LongType => true
+                case _ => false
+              })
+          }.map(a => (a, fn))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Evaluate a central-moment aggregate's own final-value expression
+    * over exactly-stamped moments: n (the non-null count), avg (only
+    * substituted for completeness — the variance/stddev evaluations
+    * never read it), and m2 = Σ(x − μ)² computed EXACTLY as the
+    * integer (n·Σx² − (Σx)²) and converted with the ONE deterministic
+    * rounding sequence `dbl(D) / dbl(n)` an oracle can reproduce in
+    * SQL (`CAST(n*sxx - sx*sx AS DOUBLE) / n`). Spark's own running
+    * m2 is partition-order-dependent in the last ulps — like AVG,
+    * there is no single scan answer to betray, and this one is
+    * deterministic and exact-to-one-rounding. None = the evaluation
+    * refused. */
+  private def metaMomentEval(fn: CentralMomentAgg, cnt: Long, sx: Long,
+      sq: Long): Option[Any] = {
+    val d = BigInt(cnt) * BigInt(sq) - BigInt(sx) * BigInt(sx)
+    val n = cnt.toDouble
+    val m2 = if (cnt == 0) 0.0 else d.toDouble / n
+    val avg = if (cnt == 0) 0.0 else sx.toDouble / n
+    val buf = fn.aggBufferAttributes
+    val ev = (fn: DeclarativeAggregate).evaluateExpression.transform {
+      case r: AttributeReference if r.exprId == buf(0).exprId =>
+        Literal(n, org.apache.spark.sql.types.DoubleType)
+      case r: AttributeReference if r.exprId == buf(1).exprId =>
+        Literal(avg, org.apache.spark.sql.types.DoubleType)
+      case r: AttributeReference if r.exprId == buf(2).exprId =>
+        Literal(m2, org.apache.spark.sql.types.DoubleType)
+    }
+    try Some(ev.eval(InternalRow.empty))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** min/max stamp decoding to the OUTPUT dtype (bare attr, or the
     * widening integral cast `keyAttrOf` admits): integral and DATE
     * columns only — string/timestamp/decimal hybrids refuse here (the
@@ -704,6 +795,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
       // attribute and OUTPUT dtype; avg also records its re-rooted
       // Average (by output position) for the final-value evaluation
       val avgFns = scala.collection.mutable.Map.empty[Int, Average]
+      val momFns = scala.collection.mutable.Map.empty[Int, CentralMomentAgg]
+      val litVals = scala.collection.mutable.Map.empty[Int, Literal]
       val shapes: Seq[Option[(Int, AttributeReference, DataType)]] =
         agg.aggregateExpressions.zipWithIndex.map { case (e, ei) =>
           if (isCountStar(e))
@@ -717,16 +810,24 @@ case class MetadataOnlyCountRule(session: SparkSession)
             .orElse(avgKeyOf(e, lr, gr).map { case (a, fn) =>
               avgFns(ei) = fn; (5, a, fn.dataType)
             })
+            .orElse(momentKeyOf(e, lr, gr).map { case (a, fn) =>
+              momFns(ei) = fn
+              (7, a, org.apache.spark.sql.types.DoubleType)
+            })
+            .orElse(litOf(e).map { l =>
+              litVals(ei) = l; (8, null: AttributeReference, l.dataType)
+            })
         }
-      val keyed = shapes.flatten.filter(_._1 != 3)
+      val keyed = shapes.flatten.filter(k => k._1 != 3 && k._1 != 8)
       if (shapes.exists(_.isEmpty) || keyed.isEmpty) None
       else if (bounds.exists(b => b._1 > b._2))
         // contradiction: zero rows — count 0, every aggregate NULL,
-        // by the predicate alone
+        // literals pass through, by the predicate alone
         Some(LocalRelation(agg.output,
-          Seq(InternalRow.fromSeq(shapes.map {
-            case Some((3, _, _)) => 0L: Any
-            case _               => null: Any
+          Seq(InternalRow.fromSeq(shapes.zipWithIndex.map {
+            case (Some((3, _, _)), _)  => 0L: Any
+            case (Some((8, _, _)), ei) => litVals(ei).value
+            case _                     => null: Any
           }))))
       else {
         val m = gr.pinnedManifest
@@ -735,12 +836,13 @@ case class MetadataOnlyCountRule(session: SparkSession)
             if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
         // one fold spec per distinct (attr, sum-vs-range-vs-count) —
         // an avg contributes BOTH a sum and a non-null-count spec
-        val sumAttrs = dedup(keyed.filter(k => k._1 == 0 || k._1 == 5)
-          .map(_._2))
+        val sumAttrs = dedup(keyed
+          .filter(k => k._1 == 0 || k._1 == 5 || k._1 == 7).map(_._2))
         val rngAttrs = dedup(keyed.filter(k => k._1 == 1 || k._1 == 2)
           .map(_._2))
-        val cntAttrs = dedup(keyed.filter(k => k._1 == 6 || k._1 == 5)
-          .map(_._2))
+        val cntAttrs = dedup(keyed
+          .filter(k => k._1 == 6 || k._1 == 5 || k._1 == 7).map(_._2))
+        val sqAttrs = dedup(keyed.filter(_._1 == 7).map(_._2))
         val specs: Seq[Snapshot.StampSpec] =
           sumAttrs.map(a => Snapshot.SumSpec(
             Snapshot.physicalName(m, a.name))) ++
@@ -749,12 +851,17 @@ case class MetadataOnlyCountRule(session: SparkSession)
               cluster = isClusteringAttr(a, lr, gr))) ++
             cntAttrs.map(a => Snapshot.CountSpec(
               Snapshot.physicalName(m, a.name),
-              cluster = isClusteringAttr(a, lr, gr)))
+              cluster = isClusteringAttr(a, lr, gr))) ++
+            sqAttrs.map(a => Snapshot.SumSpec(
+              Snapshot.physicalName(m, a.name), Snapshot.SqPfx))
         def sumIdxOf(a: AttributeReference): Int =
           sumAttrs.indexWhere(_.exprId == a.exprId)
         def cntIdxOf(a: AttributeReference): Int =
           sumAttrs.length + rngAttrs.length +
             cntAttrs.indexWhere(_.exprId == a.exprId)
+        def sqIdxOf(a: AttributeReference): Int =
+          sumAttrs.length + rngAttrs.length + cntAttrs.length +
+            sqAttrs.indexWhere(_.exprId == a.exprId)
         def specIdx(kind: Int, a: AttributeReference): Int =
           if (kind == 0) sumIdxOf(a)
           else if (kind == 6) cntIdxOf(a)
@@ -777,6 +884,13 @@ case class MetadataOnlyCountRule(session: SparkSession)
           case 5 => avgPartOf(a, ei).flatMap { case (sv, c) =>
             metaAvgEval(avgFns(ei), sv, c)
           }
+          case 7 =>
+            (accs(sumIdxOf(a)), accs(cntIdxOf(a)), accs(sqIdxOf(a))) match {
+              case (Snapshot.SumAcc(sx, _), Snapshot.SumAcc(cnt, _),
+                  Snapshot.SumAcc(sq, _)) =>
+                metaMomentEval(momFns(ei), cnt, sx, sq)
+              case _ => None
+            }
           case _ => accs(specIdx(kind, a)) match {
             case Snapshot.SumAcc(t, _) if kind == 6 =>
               Some(t: Any) // count(c): 0 is the answer, never NULL
@@ -790,6 +904,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
         val partialsClean: Seq[Option[Any]] =
           shapes.zipWithIndex.map {
             case (Some((3, _, _)), _)  => Some(0L: Any)
+            case (Some((8, _, _)), i)  => Some(litVals(i).value)
             case (Some((k, a, dt)), i) => partialOf(k, a, dt, i)
             case (None, _)             => None
           }
@@ -817,7 +932,11 @@ case class MetadataOnlyCountRule(session: SparkSession)
           // kind. DECIMAL avg partials cannot merge through the union
           // (the outer Sum would widen the buffer dtype the Average
           // evaluation was typed for) — the full-metadata arm above
-          // serves them; hybrids refuse to the plain scan.
+          // serves them; hybrids refuse to the plain scan. Variance
+          // moments (kind 7) are full-metadata-only for the same
+          // reason squared: a float scan partial would re-introduce
+          // the order-dependence the exact stamps eliminate.
+          if (shapes.exists(_.exists(_._1 == 7))) return None
           if (shapes.zipWithIndex.exists {
                 case (Some((5, _, _)), ei) =>
                   avgFns(ei).aggBufferAttributes.head.dataType !=
@@ -828,7 +947,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
           val perShape = shapes.zipWithIndex.collect {
-            case (Some((k, a, dt)), i) if k != 3 => (k, a, dt, i)
+            case (Some((k, a, dt)), i) if k != 3 && k != 8 =>
+              (k, a, dt, i)
           }
           // slot layout over the partial columns
           val slotOf: Map[Int, Int] = {
@@ -911,6 +1031,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 Alias(Coalesce(Seq(AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false),
                   Literal(0L))), e.name)(exprId = e.exprId)
+              case ((e, Some((8, _, _))), i) =>
+                Alias(litVals(i), e.name)(exprId = e.exprId)
               case ((e, Some((5, _, _))), i) =>
                 // Average's OWN final-value tree over the merged
                 // (sum, count) — division typing and rounding are
@@ -973,12 +1095,18 @@ case class MetadataOnlyCountRule(session: SparkSession)
     * Count-star outputs mix freely. None = guards refuse. */
   private def distinctCountRewrite(agg: Aggregate): Option[LogicalPlan] =
     relationOf(agg.child).flatMap { case (lr, gr) =>
-      // per-output shape: Some(None) = count(*), Some(Some((a, d))) =
-      // count([DISTINCT] a) with distinctness d, None = unsupported
+      // per-output shape: Some(None) = count(*) (a Literal rides the
+      // same slot as a pass-through constant — stored separately),
+      // Some(Some((a, d))) = count([DISTINCT] a) with distinctness d,
+      // None = unsupported
+      val lits = scala.collection.mutable.Map.empty[Int, Literal]
       val shapes: Seq[Option[Option[(AttributeReference, Boolean)]]] =
-        agg.aggregateExpressions.map { e =>
+        agg.aggregateExpressions.zipWithIndex.map { case (e, ei) =>
           if (isCountStar(e)) Some(None)
-          else countKeyOf(e, lr, gr).map(ad => Some(ad))
+          else litOf(e) match {
+            case Some(l) => lits(ei) = l; Some(None)
+            case None    => countKeyOf(e, lr, gr).map(ad => Some(ad))
+          }
         }
       // every keyed count must speak about ONE column — its split is
       // the arithmetic they all share
@@ -1015,17 +1143,20 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val uc = un.output(1)
           def sumOf(term: Expression) = Coalesce(Seq(AggregateExpression(
             Sum(term), Complete, isDistinct = false), Literal(0L)))
-          val outs = agg.aggregateExpressions.zip(shapes).map {
-            case (e, Some(None)) => // count(*): every underlying row
+          val outs = agg.aggregateExpressions.zip(shapes).zipWithIndex
+            .map {
+            case ((e, Some(None)), ei) if lits.contains(ei) =>
+              Alias(lits(ei), e.name)(exprId = e.exprId)
+            case ((e, Some(None)), _) => // count(*): every underlying row
               Alias(sumOf(uc), e.name)(exprId = e.exprId)
-            case (e, Some(Some((_, false)))) => // count(col): non-null
+            case ((e, Some(Some((_, false)))), _) => // count(col)
               Alias(sumOf(org.apache.spark.sql.catalyst.expressions.If(
                 IsNotNull(uk), uc, Literal(0L))),
                 e.name)(exprId = e.exprId)
-            case (e, Some(Some((_, true)))) => // count(DISTINCT col)
+            case ((e, Some(Some((_, true)))), _) => // count(DISTINCT)
               Alias(AggregateExpression(Count(Seq(uk)), Complete,
                 isDistinct = true), e.name)(exprId = e.exprId)
-            case (e, None) => return None // unreachable by the guard
+            case ((e, None), _) => return None // unreachable
           }
           Some(Aggregate(Nil, outs, un))
         } else {
@@ -1034,11 +1165,12 @@ case class MetadataOnlyCountRule(session: SparkSession)
           lazy val nonNull = sums.iterator
             .collect { case (Some(_), n) => n }.sum
           lazy val distinct = sums.keysIterator.count(_.isDefined).toLong
-          val vals = shapes.map {
-            case Some(None)             => total
-            case Some(Some((_, false))) => nonNull
-            case Some(Some((_, true)))  => distinct
-            case None                   => return None // unreachable
+          val vals = shapes.zipWithIndex.map {
+            case (Some(None), ei) if lits.contains(ei) => lits(ei).value
+            case (Some(None), _)             => total
+            case (Some(Some((_, false))), _) => nonNull
+            case (Some(Some((_, true))), _)  => distinct
+            case (None, _)                   => return None // unreachable
           }
           Some(LocalRelation(agg.output,
             Seq(InternalRow.fromSeq(vals))))
@@ -1069,6 +1201,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
       // 2 max / 5 avg / 6 count(col) with their attribute and OUTPUT
       // dtype; avg records its re-rooted Average by output position
       val avgFns = scala.collection.mutable.Map.empty[Int, Average]
+      val momFns = scala.collection.mutable.Map.empty[Int, CentralMomentAgg]
+      val litVals = scala.collection.mutable.Map.empty[Int, Literal]
       val shapes: Seq[Option[(Int, AttributeReference, DataType)]] =
         agg.aggregateExpressions.zipWithIndex.map { case (e, ei) =>
           if (isKeyOutput(e, g))
@@ -1084,9 +1218,16 @@ case class MetadataOnlyCountRule(session: SparkSession)
             .orElse(avgKeyOf(e, lr, gr).map { case (a, fn) =>
               avgFns(ei) = fn; (5, a, fn.dataType)
             })
+            .orElse(momentKeyOf(e, lr, gr).map { case (a, fn) =>
+              momFns(ei) = fn
+              (7, a, org.apache.spark.sql.types.DoubleType)
+            })
+            .orElse(litOf(e).map { l =>
+              litVals(ei) = l; (8, null: AttributeReference, l.dataType)
+            })
         }
       val keyed = shapes.flatten.filter(k => k._1 <= 2 || k._1 == 5 ||
-        k._1 == 6)
+        k._1 == 6 || k._1 == 7)
       if (shapes.exists(_.isEmpty) || keyed.isEmpty ||
           !groupableDtype(g.dataType) ||
           !lr.output.exists(_.exprId == g.exprId)) None
@@ -1094,12 +1235,13 @@ case class MetadataOnlyCountRule(session: SparkSession)
         def dedup(as: Seq[AttributeReference]) =
           as.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
             if (acc.exists(_.exprId == a.exprId)) acc else acc :+ a)
-        val sumAttrs = dedup(keyed.filter(k => k._1 == 0 || k._1 == 5)
-          .map(_._2))
+        val sumAttrs = dedup(keyed
+          .filter(k => k._1 == 0 || k._1 == 5 || k._1 == 7).map(_._2))
         val rngAttrs = dedup(keyed.filter(k => k._1 == 1 || k._1 == 2)
           .map(_._2))
-        val cntAttrs = dedup(keyed.filter(k => k._1 == 6 || k._1 == 5)
-          .map(_._2))
+        val cntAttrs = dedup(keyed
+          .filter(k => k._1 == 6 || k._1 == 5 || k._1 == 7).map(_._2))
+        val sqAttrs = dedup(keyed.filter(_._1 == 7).map(_._2))
         val specs: Seq[Snapshot.StampSpec] =
           sumAttrs.map(a => Snapshot.SumSpec(
             Snapshot.physicalName(m, a.name))) ++
@@ -1108,12 +1250,17 @@ case class MetadataOnlyCountRule(session: SparkSession)
               cluster = isClusteringAttr(a, lr, gr))) ++
             cntAttrs.map(a => Snapshot.CountSpec(
               Snapshot.physicalName(m, a.name),
-              cluster = isClusteringAttr(a, lr, gr)))
+              cluster = isClusteringAttr(a, lr, gr))) ++
+            sqAttrs.map(a => Snapshot.SumSpec(
+              Snapshot.physicalName(m, a.name), Snapshot.SqPfx))
         def sumIdxOf(a: AttributeReference): Int =
           sumAttrs.indexWhere(_.exprId == a.exprId)
         def cntIdxOf(a: AttributeReference): Int =
           sumAttrs.length + rngAttrs.length +
             cntAttrs.indexWhere(_.exprId == a.exprId)
+        def sqIdxOf(a: AttributeReference): Int =
+          sumAttrs.length + rngAttrs.length + cntAttrs.length +
+            sqAttrs.indexWhere(_.exprId == a.exprId)
         def specIdx(kind: Int, a: AttributeReference): Int =
           if (kind == 0) sumIdxOf(a)
           else if (kind == 6) cntIdxOf(a)
@@ -1140,6 +1287,13 @@ case class MetadataOnlyCountRule(session: SparkSession)
             case 5 => avgPartOf(cs, a, ei).flatMap { case (sv, c) =>
               metaAvgEval(avgFns(ei), sv, c)
             }
+            case 7 =>
+              (cs(sumIdxOf(a)), cs(cntIdxOf(a)), cs(sqIdxOf(a))) match {
+                case (Snapshot.SumAcc(sx, _), Snapshot.SumAcc(cnt, _),
+                    Snapshot.SumAcc(sq, _)) =>
+                  metaMomentEval(momFns(ei), cnt, sx, sq)
+                case _ => None
+              }
             case _ => cs(specIdx(kind, a)) match {
               case Snapshot.SumAcc(t, _) if kind == 6 => Some(t: Any)
               case Snapshot.SumAcc(t, any) =>
@@ -1153,6 +1307,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
           k -> (n, shapes.zipWithIndex.map {
             case (Some((4, _, _)), _) => Some(null: Any) // key: below
             case (Some((3, _, _)), _) => Some(n: Any)
+            case (Some((8, _, _)), ei) => Some(litVals(ei).value)
             case (Some((kk, a, dt)), ei) => decode(cs, kk, a, dt, ei)
             case (None, _) => None
           }, shapes.zipWithIndex.collect {
@@ -1173,7 +1328,9 @@ case class MetadataOnlyCountRule(session: SparkSession)
           Some(LocalRelation(agg.output, rows))
         } else {
           // DECIMAL avg partials cannot merge through the union — see
-          // sumRewrite's identical note; hybrids refuse to plain scan
+          // sumRewrite's identical note; hybrids refuse to plain scan.
+          // Variance moments are full-metadata-only (ditto).
+          if (shapes.exists(_.exists(_._1 == 7))) return None
           if (shapes.zipWithIndex.exists {
                 case (Some((5, _, _)), ei) =>
                   avgFns(ei).aggBufferAttributes.head.dataType !=
@@ -1264,6 +1421,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 Alias(Coalesce(Seq(AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false),
                   Literal(0L))), e.name)(exprId = e.exprId)
+              case ((e, Some((8, _, _))), i) =>
+                Alias(litVals(i), e.name)(exprId = e.exprId)
               case ((e, Some((5, _, _))), i) =>
                 // Average's OWN final-value tree over the merged
                 // per-group (sum, count) — see sumRewrite
@@ -1296,9 +1455,10 @@ case class MetadataOnlyCountRule(session: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty &&
-        exprs.forall(isCountStar) =>
+        exprs.forall(e => isCountStar(e) || litOf(e).isDefined) &&
+        exprs.exists(isCountStar) =>
       metaCountOf(child) match {
-        case Some(n) => countRows(agg.output, n)
+        case Some(n) => countRows(agg.aggregateExpressions, agg.output, n)
         case None    => filteredCountRewrite(agg).getOrElse(agg)
       }
     case agg @ Aggregate(Nil, exprs, _, _) if exprs.nonEmpty =>
@@ -1306,7 +1466,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
         .orElse(sumRewrite(agg)).getOrElse(agg)
     case agg @ Aggregate(Seq(g: AttributeReference), exprs, _, _)
         if exprs.nonEmpty &&
-          exprs.forall(e => isKeyOutput(e, g) || isCountStar(e)) =>
+          exprs.forall(e => isKeyOutput(e, g) || isCountStar(e) ||
+            litOf(e).isDefined) =>
       groupedCountRewrite(agg, g).getOrElse(agg)
     case agg @ Aggregate(Seq(g: AttributeReference), exprs, _, _)
         if exprs.nonEmpty =>

@@ -2032,4 +2032,158 @@ class SourceSpec extends SparkSpec {
       Snapshot.optimizeHll(spark, dir, Seq("v"), precision = 15)
     }
   }
+
+  test("variance and stddev answer from moment stamps; hybrids and " +
+    "overflowed squares refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_metamom_" + java.util.UUID.randomUUID().toString.take(8)
+    // three pure band files (b single-valued; v valued/partial/all-NULL)
+    def slice(ks: Range, b: Long, v: Long => Option[Long]) =
+      ks.map(k => (k.toLong, b, v(k.toLong))).toDF("k", "b", "v")
+    Seq(
+      slice(1 to 10, 100L, k => Some(k * 2)),
+      slice(11 to 20, 200L, k => if (k <= 13) None else Some(k)),
+      slice(21 to 30, 300L, _ => None)
+    ).zipWithIndex.foreach { case (df, i) =>
+      val carried = if (i == 0) Nil else Snapshot.manifest(spark, dir, i).files
+      Snapshot.commit(df, dir, i, "k", carried, nFiles = 1)
+    }
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    // GLOBAL: n=17, sx=229, sxx=3591 -> D=17*3591-229**2=8606
+    // expected values spelled with the serve's own rounding chain
+    val d17 = 8606.0
+    val g = front.agg(count(lit(1)).as("n"), var_samp(col("v")).as("vs"),
+      var_pop(col("v")).as("vp"), stddev_samp(col("v")).as("ss"),
+      stddev_pop(col("v")).as("sp"), avg(col("v")).as("av"))
+    assert(isLocal(g), s"moments must answer from stamps:\n${planOf(g)}")
+    val gr = g.collect().head
+    assert(gr.getLong(0) == 30L)
+    assert(gr.getDouble(1) == d17 / 17.0 / 16.0)
+    assert(gr.getDouble(2) == d17 / 17.0 / 17.0)
+    assert(gr.getDouble(3) == math.sqrt(d17 / 17.0 / 16.0))
+    assert(gr.getDouble(4) == math.sqrt(d17 / 17.0 / 17.0))
+    // GROUPED full-metadata: per-band moments; the all-NULL band is NULL
+    val gb = front.groupBy("b").agg(count(lit(1)).as("n"),
+      var_samp(col("v")).as("vs"))
+    assert(isLocal(gb), s"grouped moments must answer from stamps:\n${planOf(gb)}")
+    assert(gb.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet ==
+      Set((100L, 10L, 3300.0 / 10.0 / 9.0),
+        (200L, 10L, 196.0 / 7.0 / 6.0),
+        (300L, 10L, -1.0)))
+    // WINDOWED on the clustering key (whole files only)
+    val w = front.filter(col("k") >= 11 && col("k") <= 30)
+      .agg(var_samp(col("v")).as("vs"))
+    assert(isLocal(w))
+    assert(w.collect().head.getDouble(0) == 196.0 / 7.0 / 6.0)
+    // variance over the CLUSTERING column refuses (no sidecar stamps)
+    assert(!isLocal(front.agg(var_samp(col("k")).as("v"))))
+    // n == 1: Spark's own evaluation decides (nullOnDivideByZero) —
+    // served from stamps AND null, matching the scan
+    val d1 = dir + "_one"
+    Snapshot.commit(Seq((1L, 5L)).toDF("k", "v"), d1, 0, "k", nFiles = 1)
+    val one = spark.read.format("graft").load(d1)
+      .agg(var_samp(col("v")).as("vs"), var_pop(col("v")).as("vp"))
+    assert(isLocal(one))
+    val or1 = one.collect().head
+    assert(or1.isNullAt(0) && or1.getDouble(1) == 0.0)
+    // a file holding ONE row whose square overflows a Long refuses its
+    // sq stamp (try_multiply per-row gate) -> variance scans; the sum
+    // stamp is unaffected and still serves
+    val d2 = dir + "_bigsq"
+    Snapshot.commit(Seq((1L, 4000000000L), (2L, 7L)).toDF("k", "v"),
+      d2, 0, "k", nFiles = 1)
+    val m2f = Snapshot.manifest(spark, d2, 1)
+    assert(!m2f.colStats.keys.exists(_._2 == Snapshot.SqPfx + "v"),
+      s"an overflowing square must not stamp: ${m2f.colStats.keySet}")
+    assert(m2f.colStats.keys.exists(_._2 == Snapshot.SumPfx + "v"))
+    val bq = spark.read.format("graft").load(d2)
+    assert(!isLocal(bq.agg(var_samp(col("v")).as("vs"))),
+      "a missing sq stamp must refuse to the scan")
+    assert(isLocal(bq.agg(sum(col("v")).as("sv"))))
+    // a DV refuses moments whole (full-metadata-only shape)
+    Snapshot.deleteWhereDV(spark, dir, 5L, 5L)
+    assert(!isLocal(front.agg(var_samp(col("v")).as("vs"))),
+      "a DV'd table must scan for moments")
+  }
+
+  test("collapsed literal outputs serve through every metadata rewrite " +
+    "(the registered queries actually fire)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // CollapseProject folds the phase-literal select every registered
+    // report wraps around its aggregate INTO the Aggregate — round 19
+    // found the rewrites silently refusing those shapes, with the
+    // flagship metadata queries benching as full scans (unnoticed
+    // because integer sums coincide with the scan answers; the
+    // variance serve exposed it). Literal outputs are now first-class
+    // across ALL rewrite families. Pin the worst case end-to-end: the
+    // registered q179 must plan ZERO relation scans...
+    val q179 = SparkEntry.queries("q179_agg_meta_moments")(spark, sf)
+    assert(q179.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr }.isEmpty,
+      s"q179 must be pure metadata:\n${q179.queryExecution.optimizedPlan}")
+    // ...and each family unit-wise over one fixture
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_litout_" + java.util.UUID.randomUUID().toString.take(8)
+    Snapshot.commit((1L to 20L).map(k => (k, k % 2, k * 3))
+      .toDF("k", "b", "v"), dir, 0, "k", nFiles = 2)
+    def front = spark.read.format("graft").load(dir)
+    def isLocal(df: DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      p.collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        p.collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    }
+    // 1. pure counts + literals (dispatch arm 1)
+    val c = front.agg(count(lit(1)).as("n"))
+      .select(lit("phase").as("p"), col("n"), lit(7L).as("tag"))
+    assert(isLocal(c), s"counts+lits:\n${c.queryExecution.optimizedPlan}")
+    assert(c.collect().toSeq == Seq(Row("phase", 20L, 7L)))
+    // 2. min/max mix + literal (minMaxRewrite)
+    val mm = front.agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+      count(lit(1)).as("n")).select(col("mn"), col("mx"), col("n"),
+      lit(-1).as("rcode"))
+    assert(isLocal(mm))
+    assert(mm.collect().toSeq == Seq(Row(1L, 20L, 20L, -1)))
+    // 3. distinct counts + literal (distinctCountRewrite — needs a
+    //    single-valued-per-file column, so it runs over the banded d2
+    //    fixture below)
+    val d2 = dir + "_grp"
+    Seq((1L to 10L).map(k => (k, 100L, k * 2)),
+      (11L to 20L).map(k => (k, 200L, k * 2)))
+      .map(_.toDF("k", "b", "v")).zipWithIndex.foreach { case (df, i) =>
+        val carried =
+          if (i == 0) Nil else Snapshot.manifest(spark, d2, i).files
+        Snapshot.commit(df, d2, i, "k", carried, nFiles = 1)
+      }
+    val dc = spark.read.format("graft").load(d2)
+      .agg(countDistinct(col("b")).as("nd"), count(col("b")).as("nk"))
+      .select(col("nd"), col("nk"), lit("x").as("tag"))
+    assert(isLocal(dc), s"distinct+lits:\n${dc.queryExecution.optimizedPlan}")
+    assert(dc.collect().toSeq == Seq(Row(2L, 20L, "x")))
+    // 4. grouped counts + literal (groupedCountRewrite)
+    val g2 = spark.read.format("graft").load(d2)
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .select(lit("g").as("phase"), col("b"), col("n"))
+    assert(isLocal(g2), s"grouped counts+lits:\n${g2.queryExecution.optimizedPlan}")
+    assert(g2.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSet == Set(("g", 100L, 10L), ("g", 200L, 10L)))
+    // 5. grouped sums/avg + literal (groupedSumRewrite)
+    val g3 = spark.read.format("graft").load(d2)
+      .groupBy(col("b")).agg(sum(col("v")).as("sv"),
+        avg(col("v")).as("av"))
+      .select(lit(0L).as("n_scan"), col("b"), col("sv"), col("av"))
+    assert(isLocal(g3))
+    assert(g3.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSet ==
+      Set((0L, 100L, 110L, 11.0), (0L, 200L, 310L, 31.0)))
+  }
 }
