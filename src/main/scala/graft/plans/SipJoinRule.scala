@@ -242,13 +242,29 @@ case class SipJoinRule(session: SparkSession)
     // requiring it keeps the fixed point quiet (the conjuncts THIS
     // rule injects are all key-only, so an injection never makes the
     // other direction look freshly "filtered")
+    // conjuncts THIS RULE injected (static or dynamic, any axis) are
+    // ignored: in a multi-dim star, an injected key-only conjunct for
+    // one axis is "non-key" relative to another axis and would unlock
+    // reverse-direction jobs forever (the [[InjTag]] marker survives
+    // pushdown and the OptimizeIn rewrite — expression transforms copy
+    // tags onto replacement nodes)
     val nonKeyFiltered = plan.exists {
       case f: Filter => splitConjunctivePredicates(f.condition)
-        .exists(c => !c.references.subsetOf(
-          org.apache.spark.sql.catalyst.expressions.AttributeSet(a)))
+        .exists(c => c.getTagValue(InjTag).isEmpty &&
+          !c.references.subsetOf(
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(a)))
       case _ => false
     }
     if (!nonKeyFiltered) return None
+    // a subtree containing a JOIN never runs as a planning job: the
+    // summary would EXECUTE that join at planning time (in a multi-dim
+    // star the "dim side" of the outer join is fact ⋈ dim1 — its
+    // filtered sibling also makes the fact side look freshly
+    // non-key-filtered in the reverse direction, so without this guard
+    // a two-dim star pays four join-sized jobs instead of two bounded
+    // dim scans). The static envelope still serves such sides; the
+    // verb remains the explicit spelling when a caller wants more.
+    if (plan.exists(_.isInstanceOf[Join])) return None
     if (plan.isStreaming) return None
     if (plan.exists(p => p.isInstanceOf[Sample] ||
         p.expressions.exists(e => !e.deterministic))) return None
@@ -500,6 +516,7 @@ case class SipJoinRule(session: SparkSession)
               !taggedFor(side, factAttr)).toSeq.flatMap {
           case (dimAttr, s, dyn) =>
             val ps = predicatesFor(factAttr, dimAttr, s)
+            ps.foreach(_.setTagValue(InjTag, true))
             if (dyn) ps.foreach(_.setTagValue(DynTag, true))
             ps
         }
@@ -539,6 +556,7 @@ case class SipJoinRule(session: SparkSession)
                     !taggedFor(child, factAttr)).toSeq.flatMap {
                 case (dimAttr, s, dyn) =>
                   val ps = predicatesFor(factAttr, dimAttr, s)
+                  ps.foreach(_.setTagValue(InjTag, true))
                   if (dyn) ps.foreach(_.setTagValue(DynTag, true))
                   ps
               }
@@ -601,6 +619,12 @@ object SipJoinRule {
     * planning job. Survives pushdown: tags ride `withNewChildren` and
     * rule rewrites (`copyTagsFrom`). */
   private[graft] val DynTag = TreeNodeTag[Boolean]("graft.sip.dynamic")
+
+  /** Marks EVERY conjunct this rule injected (static or dynamic) —
+    * the non-key-filter trigger ignores them so one axis's injection
+    * never makes another axis look freshly filtered in a multi-dim
+    * star (round 19). */
+  private[graft] val InjTag = TreeNodeTag[Boolean]("graft.sip.injected")
 
   /** Planning-time dim jobs actually run (test/probe observability —
     * specs pin "one job per query" and "zero jobs when gated"). */

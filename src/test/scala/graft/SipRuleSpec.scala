@@ -478,4 +478,54 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     assert(sorted(d) == sorted(pq))
     assert(sorted(d).map(_.getLong(0)).toSet == (310L to 320L).toSet)
   }
+
+  test("dynamic SIP across a TWO-DIM star join: one job per dim edge, " +
+    "both injections land") {
+    import spark.implicits._
+    // fact with two independent join keys, each axis stamped
+    val fdir = fresh("star2")
+    (1L to 800L).map(k => (k, k, k % 7)).toDF("k1", "k2", "v")
+      .write.format("graft").option("statsCol", "k1")
+      .option("nFiles", "8").save(fdir)
+    Snapshot.optimizeStats(spark, fdir, Seq("k2"))
+    val fact = spark.read.format("graft").load(fdir)
+    // two hard-filtered dims with DISJOINT surviving key slices
+    val d1 = fresh("stardim1")
+    (1L to 800L).map(k =>
+      (k, if (k >= 100L && k <= 110L) "a" else "z")).toDF("dk1", "t1")
+      .write.format("graft").option("statsCol", "dk1").save(d1)
+    val d2 = fresh("stardim2")
+    (1L to 800L).map(k =>
+      (k, if (k >= 105L && k <= 120L) "b" else "z")).toDF("dk2", "t2")
+      .write.format("graft").option("statsCol", "dk2").save(d2)
+    def dim1 = spark.read.format("graft").load(d1)
+      .filter(col("t1") === "a")
+    def dim2 = spark.read.format("graft").load(d2)
+      .filter(col("t2") === "b")
+    def star = fact
+      .join(dim1, col("k1") === col("dk1"))
+      .join(dim2, col("k2") === col("dk2"))
+    withDynamic {
+      val j0 = jobs()
+      val q = star
+      q.queryExecution.optimizedPlan
+      // exactly one bounded job per dim EDGE across the whole
+      // fixed-point optimization — the DynTag convergence guard must
+      // hold with two tagged attrs in one plan
+      assert(jobs() - j0 == 2,
+        s"two dims, two jobs (one each), got ${jobs() - j0}")
+      // both dims' actual keys landed on their own fact attribute
+      assert(inLists(q, "k1").contains(11),
+        s"dim1's 11 keys on k1:\n${q.queryExecution.optimizedPlan}")
+      assert(inLists(q, "k2").contains(16),
+        s"dim2's 16 keys on k2:\n${q.queryExecution.optimizedPlan}")
+      // the star answer is the intersection of the two slices
+      assert(sorted(q).map(_.getLong(0)).toSet == (105L to 110L).toSet)
+      // re-optimizing a FRESH identical frame pays its own two jobs,
+      // never more (per-query, not per-session, convergence)
+      val j1 = jobs()
+      star.queryExecution.optimizedPlan
+      assert(jobs() - j1 == 2)
+    }
+  }
 }
