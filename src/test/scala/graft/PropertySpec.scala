@@ -174,10 +174,82 @@ class PropertySpec extends SparkSpec {
         d.groupBy(col("k")).agg(count(col("v")).as("nv"),
           count(col("p")).as("np"), sum(col("v")).as("sv")),
         d.filter(col("k") >= 2L && col("k") <= 3L)
-          .agg(count(col("v")).as("nv"), count(lit(1)).as("n")))
+          .agg(count(col("v")).as("nv"), count(lit(1)).as("n")),
+        // round 19: AVG joins the bit-for-bit matrix — at these value
+        // magnitudes every double accumulation order is exact, so the
+        // stamped exact-sum division equals the scan's running sum
+        // (and the decimal avg is Spark's own evaluation either way)
+        d.agg(avg(col("v")).as("av"), avg(col("p")).as("ap"),
+          count(lit(1)).as("n")),
+        d.groupBy(col("k")).agg(avg(col("v")).as("av"),
+          count(lit(1)).as("n")),
+        d.filter(col("k") >= 2L && col("k") <= 3L)
+          .agg(avg(col("v")).as("av"), count(lit(1)).as("n")),
+        // a phase-literal select that CollapseProject folds into the
+        // aggregate (the kind-8 shape every registered report takes)
+        d.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          avg(col("v")).as("av")).select(lit("x").as("phase"),
+          col("n"), col("sv"), col("av"), lit(0L).as("n_scan")))
       val want = shapes(Snapshot.read(spark, dir)).map(snap)
       val got = shapes(spark.read.format("graft").load(dir)).map(snap)
       got == want
+    })
+  }
+
+  test("metadata VARIANCE tracks the plain scan within float noise " +
+    "for ANY values/nulls/layout shape") {
+    // variance cannot join the bit-for-bit matrix BY DESIGN: the
+    // scan's Welford m2 is partition-order-dependent in the last
+    // ulps, which is exactly why the stamped answer (deterministic,
+    // exact-to-one-rounding) exists. The property pins the two within
+    // relative 1e-9 and the NULL patterns identical, across random
+    // values, NULL mixes, and layouts (DVs refuse to the scan, where
+    // equality is trivial — still exercised via the generator).
+    import spark.implicits._
+    import graft.ops.Snapshot
+    val rowGen: Gen[(Option[Long], Option[Long])] = for {
+      k <- Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.choose(1L, 4L).map(Some(_)))
+      v <- Gen.oneOf(Gen.const(Option.empty[Long]),
+        Gen.choose(-1000L, 1000L).map(Some(_)))
+    } yield (k, v)
+    var n = 0
+    check(Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.choose(1, 4),
+      Gen.oneOf(true, false)) { (rows, nf, byValue) =>
+      n += 1
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_varprop_$n").toString + "/t"
+      val df = rows.toDF("k", "v")
+      if (byValue) Snapshot.commitByValue(df, dir, 0, "k")
+      else Snapshot.commit(df, dir, 0, "k", nFiles = nf)
+      def shapes(d: org.apache.spark.sql.DataFrame) = Seq(
+        d.agg(var_samp(col("v")).as("vs"), var_pop(col("v")).as("vp"),
+          stddev_samp(col("v")).as("ss")),
+        d.groupBy(col("k")).agg(count(lit(1)).as("n"),
+          var_samp(col("v")).as("vs")),
+        d.filter(col("k") >= 2L && col("k") <= 3L)
+          .agg(var_samp(col("v")).as("vs"), count(lit(1)).as("n")))
+      def rowsOf(d: org.apache.spark.sql.DataFrame)
+          : Seq[Seq[Option[Any]]] =
+        d.collect().toSeq.map(r => r.schema.indices.map(i =>
+          if (r.isNullAt(i)) None else Some(r.get(i))))
+          .sortBy(_.toString)
+      def close(a: Option[Any], b: Option[Any]): Boolean = (a, b) match {
+        case (None, None) => true
+        case (Some(x: Double), Some(y: Double)) =>
+          (x.isNaN && y.isNaN) ||
+            math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y))
+        case (Some(x), Some(y)) => x == y
+        case _ => false
+      }
+      val want = shapes(Snapshot.read(spark, dir)).map(rowsOf)
+      val got = shapes(spark.read.format("graft").load(dir)).map(rowsOf)
+      want.length == got.length && want.zip(got).forall {
+        case (w, g) => w.length == g.length && w.zip(g).forall {
+          case (wr, gr) => wr.length == gr.length &&
+            wr.zip(gr).forall { case (x, y) => close(y, x) }
+        }
+      }
     })
   }
 
