@@ -2422,8 +2422,11 @@ object Snapshot {
     * column is provably single-valued there AND every spec is
     * provable. Returns (group → (rows, per-spec accs), scan files). */
   private[graft] def metaGroupAggSplitCols(m: Manifest, physG: String,
-      gIsClustering: Boolean, specs: Seq[StampSpec])
+      gIsClustering: Boolean, specs: Seq[StampSpec],
+      bounds: Option[(Long, Long)] = None)
       : (Map[Option[Long], (Long, Seq[StampAcc])], Seq[FileEntry]) = {
+    require(bounds.isEmpty || gIsClustering,
+      "a bounded grouped fold speaks the clustering column's stamps")
     if (isPseudoCol(physG) || specs.exists(s => isPseudoCol(s.phys)))
       return (Map.empty, m.files)
     val nS = specs.length
@@ -2453,7 +2456,21 @@ object Snapshot {
         // every witness check and insert a phantom NULL-group row with
         // count 0 that plain GROUP BY never emits; an empty file
         // contributes to no group and needs no scan either
-        if (f.rows == 0 && dv == 0) ()
+        // the clustering-range WINDOW (round 19 — "revenue per day for
+        // the last week"): wholly-OUTSIDE files vanish (their rows all
+        // fail the predicate — NULL keys included, which never satisfy
+        // a range; the degraded full-open sentinel is never "outside"),
+        // files not wholly INSIDE straddle into the scan (which keeps
+        // the predicate), wholly-inside files proceed through the
+        // ordinary verdict ladder below
+        val windowCut = bounds match {
+          case Some((lo, hi)) =>
+            if (f.max < lo || f.min > hi) 1      // outside: vanish
+            else if (f.min >= lo && f.max <= hi) 0 // inside: proceed
+            else { scan += f; 1 }                // straddler: scan
+          case None => 0
+        }
+        if (windowCut == 1 || (f.rows == 0 && dv == 0)) ()
         else {
         val group: Option[Option[Long]] =
           if (f.rows < 0 || dv > 0) None

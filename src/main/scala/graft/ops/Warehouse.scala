@@ -2021,6 +2021,47 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("rcode"))
     }),
 
+    "q180_agg_meta_gwindow" -> ((s, d) => {
+      // GROUPED AGGREGATES UNDER A CLUSTERING-RANGE WINDOW
+      // ([[statusOrders]] → [[Snapshot.metaGroupAggSplitCols]] with
+      // bounds, riding groupedSumRewrite's round-19 filtered path —
+      // THE dashboard query: "rows, revenue, and average ticket per
+      // day for the last week"): `GROUP BY scode … WHERE scode >= lo`
+      // serves wholly-inside single-valued bands from stamps, lets
+      // wholly-outside bands VANISH (NULL keys fail any range too),
+      // and degrades only straddlers into a restricted grouped scan
+      // that keeps the predicate. Two phases: `week` (scode >= 79 —
+      // bands 79/80 from stamps, the planted mixed tail [70,79]
+      // straddles and scans, band 70 vanishes; count + sum + avg per
+      // band) and `day` (scode BETWEEN 80 AND 200 — ONE whole band,
+      // ZERO files scanned). `n_scan` carries the engine's own split
+      // sizes (oracle-pinned 1 and 0 of 4); the oracle recomputes
+      // both phases from raw orders. The straddler/vanish/contradiction
+      // /non-clustering-refusal ladder is SourceSpec-pinned.
+      val dir = statusOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val specs = Seq(Snapshot.SumSpec("order_key"),
+        Snapshot.CountSpec("order_key", cluster = false))
+      val (sumsW, scanW) = Snapshot.metaGroupAggSplitCols(m, "scode",
+        gIsClustering = true, specs, bounds = Some((79L, Long.MaxValue)))
+      require(sumsW.nonEmpty,
+        "inside bands must answer the windowed grouped split from stamps")
+      val (_, scanD) = Snapshot.metaGroupAggSplitCols(m, "scode",
+        gIsClustering = true, specs, bounds = Some((80L, 200L)))
+      require(scanD.isEmpty, "a whole-band window must not scan")
+      val fd = s.read.format("graft").load(dir)
+      def phase(name: String, lo: Int, hi: Int, nScan: Long) =
+        fd.filter(col("scode") >= lo && col("scode") <= hi)
+          .groupBy(col("scode"))
+          .agg(count(lit(1)).as("n"), sum(col("order_key")).as("sk"),
+            avg(col("order_key")).as("ak"))
+          .select(lit(name).as("phase"), col("scode"), col("n"),
+            col("sk"), col("ak"), lit(nScan).as("n_scan"))
+      phase("week", 79, 1000, scanW.size.toLong)
+        .unionAll(phase("day", 80, 200, scanD.size.toLong))
+        .orderBy(col("phase"), col("scode"))
+    }),
+
     "q179_agg_meta_moments" -> ((s, d) => {
       // METADATA-ONLY VARIANCE/STDDEV ([[momentOrders]] →
       // MetadataOnlyCountRule kind 7, round 19 — past the reflex
@@ -3099,6 +3140,24 @@ object Warehouse extends QueryModule {
         |         CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
         |  FROM st WHERE scode >= 79)
         |ORDER BY phase, rcode
+        |""".stripMargin,
+
+    // the grouped-window rewrites' truth: per-band counts/sums/avgs
+    // inside each scode window, recomputed from raw orders (integral
+    // avg: both engines divide the exact sum once — see q177)
+    "q180_agg_meta_gwindow" ->
+      """WITH st AS (SELECT ascii(o_orderstatus) AS scode,
+        |                   o_orderkey AS k FROM orders)
+        |SELECT phase, scode, n, sk, ak, n_scan FROM (
+        |  SELECT 'week' AS phase, scode, count(*) AS n,
+        |         CAST(sum(k) AS BIGINT) AS sk, avg(k) AS ak,
+        |         CAST(1 AS BIGINT) AS n_scan
+        |  FROM st WHERE scode >= 79 GROUP BY scode
+        |  UNION ALL
+        |  SELECT 'day', scode, count(*), CAST(sum(k) AS BIGINT),
+        |         avg(k), CAST(0 AS BIGINT)
+        |  FROM st WHERE scode BETWEEN 80 AND 200 GROUP BY scode)
+        |ORDER BY phase, scode
         |""".stripMargin,
 
     // the moment rewrites' truth: n/Σx/Σx² recomputed exactly from raw

@@ -1194,8 +1194,15 @@ case class MetadataOnlyCountRule(session: SparkSession)
     * composition stays count-only (rewrite #2's machinery). None =
     * guards refuse. */
   private def groupedSumRewrite(agg: Aggregate,
-      g: AttributeReference): Option[LogicalPlan] =
-    relationOf(agg.child).flatMap { case (lr, gr) =>
+      g: AttributeReference): Option[LogicalPlan] = {
+    val unfiltered = relationOf(agg.child)
+      .map(r => (r, None: Option[(Long, Long)]))
+    def filtered = filteredRelationOf(agg.child).flatMap {
+      case (fil, lr, gr) =>
+        boundsOf(splitConjunctivePredicates(fil.condition), lr, gr)
+          .map(b => ((lr, gr), Some(b): Option[(Long, Long)]))
+    }
+    unfiltered.orElse(filtered).flatMap { case ((lr, gr), bounds) =>
       val m = gr.pinnedManifest
       // per-output: kind 4 = the key, 3 = count-star; 0 sum / 1 min /
       // 2 max / 5 avg / 6 count(col) with their attribute and OUTPUT
@@ -1230,7 +1237,14 @@ case class MetadataOnlyCountRule(session: SparkSession)
         k._1 == 6 || k._1 == 7)
       if (shapes.exists(_.isEmpty) || keyed.isEmpty ||
           !groupableDtype(g.dataType) ||
-          !lr.output.exists(_.exprId == g.exprId)) None
+          !lr.output.exists(_.exprId == g.exprId) ||
+          // a range FILTER composes only when the grouped column IS
+          // the clustering column (bounds and grouping must speak
+          // about the same stamps — the q171 discipline)
+          (bounds.isDefined && !isClusteringAttr(g, lr, gr))) None
+      else if (bounds.exists(b => b._1 > b._2))
+        // contradictory range: zero rows, hence zero groups
+        Some(LocalRelation(agg.output, Nil))
       else {
         def dedup(as: Seq[AttributeReference]) =
           as.foldLeft(Seq.empty[AttributeReference])((acc, a) =>
@@ -1267,7 +1281,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
           else sumAttrs.length + rngAttrs.indexWhere(_.exprId == a.exprId)
         val physG = Snapshot.physicalName(m, g.name)
         val (sums, scan) = Snapshot.metaGroupAggSplitCols(m, physG,
-          isClusteringAttr(g, lr, gr), specs)
+          isClusteringAttr(g, lr, gr), specs, bounds)
         def typed(v: Long): Any = typedKey(v, g.dataType)
         // the raw stamped (sum-buffer, non-null count) pair for an avg
         // OUTPUT within one group's accumulators (hybrid merges these
@@ -1452,6 +1466,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
         }
       }
     }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, exprs, child, _) if exprs.nonEmpty &&

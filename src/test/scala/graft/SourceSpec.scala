@@ -2186,4 +2186,70 @@ class SourceSpec extends SparkSpec {
       r.getLong(2), r.getDouble(3))).toSet ==
       Set((0L, 100L, 110L, 11.0), (0L, 200L, 310L, 31.0)))
   }
+
+  test("grouped aggregates under a clustering-range window: inside " +
+    "bands from stamps, straddlers scan, outside vanish") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_gwin_" + java.util.UUID.randomUUID().toString.take(8)
+    // the statusOrders shape in miniature: three single-valued bands
+    // on the CLUSTERING column s + one mixed tail spanning [10, 20]
+    def slice(ss: Seq[Long], v: Long => Long) =
+      ss.zipWithIndex.map { case (sv, i) => (sv, v(i.toLong)) }
+        .toDF("s", "v")
+    Seq(
+      slice(Seq.fill(4)(10L), i => i + 1),       // band 10: v 1..4
+      slice(Seq.fill(4)(20L), i => (i + 1) * 10),// band 20: v 10..40
+      slice(Seq.fill(4)(30L), i => (i + 1) * 100),
+      slice(Seq(10L, 20L, 10L, 20L), i => 1000L + i) // mixed tail
+    ).zipWithIndex.foreach { case (df, i) =>
+      val carried = if (i == 0) Nil else Snapshot.manifest(spark, dir, i).files
+      Snapshot.commit(df, dir, i, "s", carried, nFiles = 1)
+    }
+    def front = spark.read.format("graft").load(dir)
+    def planOf(df: DataFrame) = df.queryExecution.optimizedPlan
+    def isLocal(df: DataFrame): Boolean =
+      planOf(df).collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        planOf(df).collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    val m = Snapshot.manifest(spark, dir, 4)
+    val tail = m.files.find(f => f.min == 10L && f.max == 20L).map(_.path)
+    assert(tail.isDefined, s"fixture: expected a mixed tail, ${m.files}")
+    // the dashboard shape: counts + sums + avg + extrema per band
+    // inside the window [20, 35] — band 20 and 30 from stamps, the
+    // tail straddles (scans WITH the predicate), band 10 vanishes
+    val q = front.filter(col("s") >= 20 && col("s") <= 35)
+      .groupBy(col("s")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        avg(col("v")).as("av"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+    assert(restrictedOf(q) == tail.map(Set(_)),
+      s"straddler-only scan expected:\n${planOf(q)}")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getLong(4), r.getLong(5))).toSet ==
+      Set((20L, 6L, 100L + 1001 + 1003, (2104.0) / 6.0, 10L, 1003L),
+        (30L, 4L, 1000L, 250.0, 100L, 400L)))
+    // a window covering WHOLE bands only: pure metadata, zero scan
+    val w2 = front.filter(col("s") >= 25 && col("s") <= 35)
+      .groupBy(col("s")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    assert(isLocal(w2), s"whole-band window must be metadata:\n${planOf(w2)}")
+    assert(w2.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq((30L, 4L, 1000L)))
+    // a contradictory range answers zero groups from the predicate
+    val w3 = front.filter(col("s") >= 35 && col("s") <= 25)
+      .groupBy(col("s")).agg(sum(col("v")).as("sv"))
+    assert(isLocal(w3) && w3.collect().isEmpty)
+    // grouping by a NON-clustering column under a range filter refuses
+    // (bounds and grouping must speak about the same stamps)
+    val w4 = front.filter(col("s") >= 20 && col("s") <= 35)
+      .groupBy(col("v")).agg(count(lit(1)).as("n"))
+    assert(!isLocal(w4))
+    assert(w4.count() == 10L)
+  }
 }
