@@ -5560,6 +5560,112 @@ object Snapshot {
     Some((math.round(est), 1.04 / math.sqrt(mm.toDouble)))
   }
 
+  /** Per-group approximate COUNT(DISTINCT col) — "distinct users per
+    * tenant/day" from sketches alone: the [[metaDistinctMeta]] merge
+    * run PER GROUP over files provably single-valued on `physG` (the
+    * q171/q173 grouping verdict). ALL-OR-NOTHING by construction: a
+    * sketch cannot be split across groups, so any DV, any
+    * mixed-valued/unwitnessed file, or any valued file without a
+    * sketch refuses WHOLE (None) — there is no hybrid scan branch,
+    * because merging an exact scanned count with an estimate would
+    * double-count the overlap. Groups whose files are all value-free
+    * answer 0. Returns (group → estimate, rsd). */
+  private[graft] def metaGroupDistinctMeta(m: Manifest, physG: String,
+      gIsClustering: Boolean, physCol: String)
+      : Option[(Map[Option[Long], Long], Double)] = {
+    if (isPseudoCol(physG) || isPseudoCol(physCol)) return None
+    val gLook = colLookup(m.colStats, physG)
+    val gWit = colLookup(m.colStats, NullsPfx + physG)
+    val look = colLookup(m.strStats, HllPfx + physCol)
+    val wit = colLookup(m.colStats, NullsPfx + physCol)
+    val regs = scala.collection.mutable.LinkedHashMap
+      .empty[Option[Long], Array[Byte]]
+    // groups seen only through value-free files so far — materialized
+    // as zero-register (estimate 0) entries once the precision is
+    // known, so the placeholder length can never mismatch a merge
+    val empties = scala.collection.mutable.LinkedHashSet
+      .empty[Option[Long]]
+    var p = -1
+    val it = m.files.iterator
+    while (it.hasNext) {
+      val f = it.next()
+      if (m.dvs.contains(f.path)) return None
+      if (f.rows != 0) {
+        val fullOpen = f.min == Long.MinValue && f.max == Long.MaxValue
+        // None = the whole file belongs to the NULL-key group — a
+        // first-class group, exactly like plain GROUP BY
+        val group: Option[Long] =
+          if (f.rows < 0) return None
+          else if (gIsClustering) {
+            if (f.kNulls == f.rows && f.kNulls >= 0) None
+            else if (f.min == f.max && !fullOpen && f.kNulls == 0)
+              Some(f.min)
+            else return None
+          } else (gLook(f.path), gWit(f.path).map(_._1)) match {
+            case (_, Some(nn)) if nn == f.rows => None
+            case (Some((mn, mx)), Some(0L))
+                if mn == mx &&
+                  !(mn == Long.MinValue && mx == Long.MaxValue) =>
+              Some(mn)
+            case _ => return None
+          }
+        look(f.path) match {
+          case Some((payload, pStr)) =>
+            val pF =
+              try pStr.toInt
+              catch { case _: NumberFormatException => return None }
+            if (pF < 4 || pF > 14) return None
+            if (p < 0) p = pF else if (p != pF) return None
+            hllDecode(payload, 1 << p) match {
+              case Some(r) => regs.get(group) match {
+                case Some(acc) =>
+                  var i = 0
+                  while (i < acc.length) {
+                    if (r(i) > acc(i)) acc(i) = r(i)
+                    i += 1
+                  }
+                case None => regs.update(group, r.clone())
+              }
+              case None => return None
+            }
+          case None =>
+            // value-free files contribute an empty (possibly fresh)
+            // group — "a tenant whose rows are all NULL on col" still
+            // appears with 0 distinct, like plain GROUP BY would
+            if (wit(f.path).exists(_._1 == f.rows)) empties += group
+            else return None
+        }
+      }
+    }
+    def estimate(r: Array[Byte]): Long = {
+      val mm = r.length
+      var invSum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < mm) {
+        invSum += java.lang.Math.pow(2.0, -r(i).toDouble)
+        if (r(i) == 0) zeros += 1
+        i += 1
+      }
+      if (zeros == mm) return 0L
+      val alpha = mm match {
+        case 16 => 0.673
+        case 32 => 0.697
+        case 64 => 0.709
+        case _  => 0.7213 / (1.0 + 1.079 / mm)
+      }
+      val raw = alpha * mm.toDouble * mm.toDouble / invSum
+      math.round(
+        if (raw <= 2.5 * mm && zeros > 0) mm * math.log(mm.toDouble / zeros)
+        else raw)
+    }
+    empties.foreach(g => regs.getOrElseUpdate(g,
+      new Array[Byte](if (p > 0) 1 << p else 16)))
+    val rsd = if (p > 0) 1.04 / math.sqrt((1 << p).toDouble) else 0.0
+    Some((regs.iterator.map { case (k, r) => k -> estimate(r) }.toMap,
+      rsd))
+  }
+
   /** Point-lookup read: hand the scan only the files that MIGHT contain
     * one of `keys` on `pointCol` — min/max range check when the point
     * column IS the clustering column, Bloom check when a sketch is

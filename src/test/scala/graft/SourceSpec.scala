@@ -2252,4 +2252,57 @@ class SourceSpec extends SparkSpec {
     assert(!isLocal(w4))
     assert(w4.count() == 10L)
   }
+
+  test("per-group HLL estimates: distinct-per-band from sketches, " +
+    "all-or-nothing refusals") {
+    import spark.implicits._
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_ghll_" + java.util.UUID.randomUUID().toString.take(8)
+    // three bands single-valued on the clustering s; u's distinct
+    // count differs per band; band 30 all-NULL on u
+    def slice(sv: Long, us: Seq[Option[Long]]) =
+      us.zipWithIndex.map { case (u, i) => (sv * 100 + i, sv, u) }
+        .toDF("k", "s", "u")
+    Seq(
+      slice(10L, (1 to 40).map(i => Some(i % 7L))),   // 7 distinct
+      slice(20L, (1 to 40).map(i => Some(i % 19L))),  // 19 distinct
+      slice(30L, Seq.fill(5)(Option.empty[Long]))     // all-NULL
+    ).zipWithIndex.foreach { case (df, i) =>
+      val carried = if (i == 0) Nil else Snapshot.manifest(spark, dir, i).files
+      Snapshot.commit(df, dir, i, "s", carried, nFiles = 1)
+    }
+    Snapshot.optimizeHll(spark, dir, Seq("u"))
+    val m = Snapshot.manifest(spark, dir, 4)
+    // grouping by the CLUSTERING column (bands are single-valued)
+    val Some((est, rsd)) =
+      Snapshot.metaGroupDistinctMeta(m, "s", gIsClustering = true, "u")
+    assert(est.keySet == Set(Some(10L), Some(20L), Some(30L)), s"$est")
+    // small cardinalities ride the linear-counting arm: exact
+    assert(est(Some(10L)) == 7L && est(Some(20L)) == 19L, s"$est")
+    assert(est(Some(30L)) == 0L, "an all-NULL band answers 0 distinct")
+    assert(rsd > 0.0)
+    // exact reference agrees
+    val exact = spark.read.format("graft").load(dir)
+      .groupBy("s").agg(countDistinct(col("u")).as("nd")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(est.map { case (k, v) => (k.get, v) } == exact)
+    // a mixed-band file refuses WHOLE (a sketch cannot be split)
+    val mixed = (1L to 4L).map(i => (1000L + i, if (i <= 2) 10L else 20L,
+      Some(i))).toDF("k", "s", "u")
+    Snapshot.commit(mixed, dir, 4, "s",
+      carried = Snapshot.manifest(spark, dir, 4).files, nFiles = 1)
+    Snapshot.optimizeHll(spark, dir, Seq("u"))
+    val m2 = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    assert(Snapshot.metaGroupDistinctMeta(m2, "s",
+      gIsClustering = true, "u").isEmpty,
+      "a mixed-valued band file must refuse the per-group merge")
+    // a DV refuses too (the global reader's discipline)
+    assert(Snapshot.metaDistinctMeta(m2, "u").isDefined)
+    Snapshot.deleteWhereDV(spark, dir, 1001L, 1001L)
+    val m3 = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    assert(Snapshot.metaGroupDistinctMeta(m3, "s",
+      gIsClustering = true, "u").isEmpty)
+  }
 }
