@@ -797,38 +797,91 @@ case class MetadataOnlyCountRule(session: SparkSession)
       val avgFns = scala.collection.mutable.Map.empty[Int, Average]
       val momFns = scala.collection.mutable.Map.empty[Int, CentralMomentAgg]
       val litVals = scala.collection.mutable.Map.empty[Int, Literal]
+      // outputs of the form f(one-served-aggregate) — the shape
+      // CollapseProject leaves when a report wraps an aggregate in a
+      // cast/round/unit-scale projection (`F.od(sum(x))`,
+      // `avg(p) * 1e6`): the WRAPPER body and its single inner
+      // AggregateExpression, substituted with the served value (full
+      // arm) or the merged aggregate tree (hybrid arm)
+      val wrappers =
+        scala.collection.mutable.Map.empty[Int, (Expression,
+          AggregateExpression)]
+      def shapeOf(e: NamedExpression, ei: Int)
+          : Option[(Int, AttributeReference, DataType)] =
+        if (isCountStar(e))
+          Some((3, null: AttributeReference, LongType))
+        else sumKeyOf(e, lr, gr)
+          .map(a => (0, a, sumCodecOf(a).get._1))
+          .orElse(rangeKeyOf(e, lr, gr).map { case (a, isMin, dt) =>
+            (if (isMin) 1 else 2, a, dt)
+          })
+          .orElse(countColKeyOf(e, lr, gr).map(a => (6, a, LongType)))
+          .orElse(avgKeyOf(e, lr, gr).map { case (a, fn) =>
+            avgFns(ei) = fn; (5, a, fn.dataType)
+          })
+          .orElse(momentKeyOf(e, lr, gr).map { case (a, fn) =>
+            momFns(ei) = fn
+            (7, a, org.apache.spark.sql.types.DoubleType)
+          })
       val shapes: Seq[Option[(Int, AttributeReference, DataType)]] =
         agg.aggregateExpressions.zipWithIndex.map { case (e, ei) =>
-          if (isCountStar(e))
-            Some((3, null: AttributeReference, LongType))
-          else sumKeyOf(e, lr, gr)
-            .map(a => (0, a, sumCodecOf(a).get._1))
-            .orElse(rangeKeyOf(e, lr, gr).map { case (a, isMin, dt) =>
-              (if (isMin) 1 else 2, a, dt)
-            })
-            .orElse(countColKeyOf(e, lr, gr).map(a => (6, a, LongType)))
-            .orElse(avgKeyOf(e, lr, gr).map { case (a, fn) =>
-              avgFns(ei) = fn; (5, a, fn.dataType)
-            })
-            .orElse(momentKeyOf(e, lr, gr).map { case (a, fn) =>
-              momFns(ei) = fn
-              (7, a, org.apache.spark.sql.types.DoubleType)
-            })
+          shapeOf(e, ei)
             .orElse(litOf(e).map { l =>
               litVals(ei) = l; (8, null: AttributeReference, l.dataType)
             })
+            .orElse(e match {
+              case Alias(body, _)
+                  if !body.isInstanceOf[AggregateExpression] &&
+                    body.deterministic =>
+                body.collect { case ae: AggregateExpression => ae } match {
+                  case Seq(ae)
+                      // the wrapper itself may reference NOTHING
+                      // beyond its aggregate (a grouping-attribute
+                      // reference could neither fold on the driver
+                      // nor resolve against the hybrid merge)
+                      if body.references.subsetOf(ae.references) =>
+                    shapeOf(Alias(ae, "gm_w")(), ei).map { sh =>
+                      wrappers(ei) = (body, ae); sh
+                    }
+                  case _ => None
+                }
+              case _ => None
+            })
+        }
+      // the served value pushed through an output's wrapper (identity
+      // when none) — None = the wrapper refused to fold (never wrong)
+      def finish(ei: Int, v: Any): Option[Any] = wrappers.get(ei) match {
+        case Some((body, ae)) =>
+          try Some(body.transform {
+            case x: AggregateExpression if x eq ae =>
+              Literal(v, ae.dataType)
+          }.eval(InternalRow.empty))
+          catch { case scala.util.control.NonFatal(_) => None }
+        case None => Some(v)
+      }
+      // the merged aggregate tree substituted into the wrapper
+      def finishExpr(ei: Int, m2e: Expression): Expression =
+        wrappers.get(ei) match {
+          case Some((body, ae)) => body.transform {
+            case x: AggregateExpression if x eq ae => m2e
+          }
+          case None => m2e
         }
       val keyed = shapes.flatten.filter(k => k._1 != 3 && k._1 != 8)
       if (shapes.exists(_.isEmpty) || keyed.isEmpty) None
       else if (bounds.exists(b => b._1 > b._2))
         // contradiction: zero rows — count 0, every aggregate NULL,
         // literals pass through, by the predicate alone
-        Some(LocalRelation(agg.output,
-          Seq(InternalRow.fromSeq(shapes.zipWithIndex.map {
-            case (Some((3, _, _)), _)  => 0L: Any
-            case (Some((8, _, _)), ei) => litVals(ei).value
-            case _                     => null: Any
-          }))))
+        shapes.zipWithIndex.map {
+          case (Some((3, _, _)), ei)  => finish(ei, 0L)
+          case (Some((8, _, _)), ei) => Some(litVals(ei).value)
+          case (_, ei)               => finish(ei, null)
+        } match {
+          case vs if vs.forall(_.isDefined) =>
+            Some(LocalRelation(agg.output,
+              Seq(InternalRow.fromSeq(vs.map(_.get)))))
+          case _ => None
+        }
       else {
         val m = gr.pinnedManifest
         def dedup(as: Seq[AttributeReference]) =
@@ -918,12 +971,17 @@ case class MetadataOnlyCountRule(session: SparkSession)
           // (count(col)/avg outputs, mixes #6's per-output table
           // lacks) — sumRewrite runs LAST in the orElse chain, so no
           // overlap.
-          Some(LocalRelation(agg.output,
-            Seq(InternalRow.fromSeq(shapes.zip(partialsClean).map {
-              case (Some((3, _, _)), _) => stampedRows: Any
-              case (_, Some(v))         => v
-              case _ => return None // unreachable by the guards
-            }))))
+          shapes.zip(partialsClean).zipWithIndex.map {
+            case ((Some((3, _, _)), _), ei) => finish(ei, stampedRows)
+            case ((Some((8, _, _)), Some(v)), _) => Some(v)
+            case ((_, Some(v)), ei)         => finish(ei, v)
+            case _ => return None // unreachable by the guards
+          } match {
+            case vs if vs.forall(_.isDefined) =>
+              Some(LocalRelation(agg.output,
+                Seq(InternalRow.fromSeq(vs.map(_.get)))))
+            case _ => None
+          }
         else {
           // hybrid: one scan aggregate + one local partial per
           // NON-count output (a shared count pair first; an avg
@@ -1014,23 +1072,23 @@ case class MetadataOnlyCountRule(session: SparkSession)
           def colOf2(i: Int): Attribute = un.output(2 + slotOf(i))
           val outs = agg.aggregateExpressions.zip(shapes).zipWithIndex
             .map {
-              case ((e, Some((3, _, _))), _) =>
-                Alias(Coalesce(Seq(AggregateExpression(
-                  Sum(uc), Complete, isDistinct = false), Literal(0L))),
+              case ((e, Some((3, _, _))), i) =>
+                Alias(finishExpr(i, Coalesce(Seq(AggregateExpression(
+                  Sum(uc), Complete, isDistinct = false), Literal(0L)))),
                   e.name)(exprId = e.exprId)
               case ((e, Some((0, _, dt))), i) =>
                 // the union-merge Sum widens (decimal +10 precision);
                 // cast back — exact unless the original sum itself
                 // would have overflowed, where the session's own
                 // overflow contract takes over
-                Alias(Cast(AggregateExpression(
-                  Sum(colOf(i)), Complete, isDistinct = false), dt),
+                Alias(finishExpr(i, Cast(AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false), dt)),
                   e.name)(exprId = e.exprId)
               case ((e, Some((6, _, _))), i) =>
                 // count partials add like count-star cells
-                Alias(Coalesce(Seq(AggregateExpression(
+                Alias(finishExpr(i, Coalesce(Seq(AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false),
-                  Literal(0L))), e.name)(exprId = e.exprId)
+                  Literal(0L)))), e.name)(exprId = e.exprId)
               case ((e, Some((8, _, _))), i) =>
                 Alias(litVals(i), e.name)(exprId = e.exprId)
               case ((e, Some((5, _, _))), i) =>
@@ -1051,12 +1109,12 @@ case class MetadataOnlyCountRule(session: SparkSession)
                     case r: AttributeReference
                         if r.exprId == buf(1).exprId => cntAgg
                   }
-                Alias(ev, e.name)(exprId = e.exprId)
+                Alias(finishExpr(i, ev), e.name)(exprId = e.exprId)
               case ((e, Some((k, _, _))), i) =>
                 val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
                   if (k == 1) Min(colOf(i)) else Max(colOf(i))
-                Alias(AggregateExpression(fn, Complete,
-                  isDistinct = false), e.name)(exprId = e.exprId)
+                Alias(finishExpr(i, AggregateExpression(fn, Complete,
+                  isDistinct = false)), e.name)(exprId = e.exprId)
               case ((_, None), _) => return None // unreachable
             }
           Some(Aggregate(Nil, outs, un))
@@ -1210,28 +1268,69 @@ case class MetadataOnlyCountRule(session: SparkSession)
       val avgFns = scala.collection.mutable.Map.empty[Int, Average]
       val momFns = scala.collection.mutable.Map.empty[Int, CentralMomentAgg]
       val litVals = scala.collection.mutable.Map.empty[Int, Literal]
+      // scalar-wrapped single-aggregate outputs — see sumRewrite
+      val wrappers =
+        scala.collection.mutable.Map.empty[Int, (Expression,
+          AggregateExpression)]
+      def shapeOf(e: NamedExpression, ei: Int)
+          : Option[(Int, AttributeReference, DataType)] =
+        if (isCountStar(e))
+          Some((3, null: AttributeReference, LongType))
+        else sumKeyOf(e, lr, gr)
+          .map(a => (0, a, sumCodecOf(a).get._1))
+          .orElse(rangeKeyOf(e, lr, gr).map { case (a, isMin, dt) =>
+            (if (isMin) 1 else 2, a, dt)
+          })
+          .orElse(countColKeyOf(e, lr, gr).map(a => (6, a, LongType)))
+          .orElse(avgKeyOf(e, lr, gr).map { case (a, fn) =>
+            avgFns(ei) = fn; (5, a, fn.dataType)
+          })
+          .orElse(momentKeyOf(e, lr, gr).map { case (a, fn) =>
+            momFns(ei) = fn
+            (7, a, org.apache.spark.sql.types.DoubleType)
+          })
       val shapes: Seq[Option[(Int, AttributeReference, DataType)]] =
         agg.aggregateExpressions.zipWithIndex.map { case (e, ei) =>
           if (isKeyOutput(e, g))
             Some((4, null: AttributeReference, g.dataType))
-          else if (isCountStar(e))
-            Some((3, null: AttributeReference, LongType))
-          else sumKeyOf(e, lr, gr)
-            .map(a => (0, a, sumCodecOf(a).get._1))
-            .orElse(rangeKeyOf(e, lr, gr).map { case (a, isMin, dt) =>
-              (if (isMin) 1 else 2, a, dt)
-            })
-            .orElse(countColKeyOf(e, lr, gr).map(a => (6, a, LongType)))
-            .orElse(avgKeyOf(e, lr, gr).map { case (a, fn) =>
-              avgFns(ei) = fn; (5, a, fn.dataType)
-            })
-            .orElse(momentKeyOf(e, lr, gr).map { case (a, fn) =>
-              momFns(ei) = fn
-              (7, a, org.apache.spark.sql.types.DoubleType)
-            })
+          else shapeOf(e, ei)
             .orElse(litOf(e).map { l =>
               litVals(ei) = l; (8, null: AttributeReference, l.dataType)
             })
+            .orElse(e match {
+              case Alias(body, _)
+                  if !body.isInstanceOf[AggregateExpression] &&
+                    body.deterministic =>
+                body.collect { case ae: AggregateExpression => ae } match {
+                  case Seq(ae)
+                      // the wrapper itself may reference NOTHING
+                      // beyond its aggregate (a grouping-attribute
+                      // reference could neither fold on the driver
+                      // nor resolve against the hybrid merge)
+                      if body.references.subsetOf(ae.references) =>
+                    shapeOf(Alias(ae, "gm_w")(), ei).map { sh =>
+                      wrappers(ei) = (body, ae); sh
+                    }
+                  case _ => None
+                }
+              case _ => None
+            })
+        }
+      def finish(ei: Int, v: Any): Option[Any] = wrappers.get(ei) match {
+        case Some((body, ae)) =>
+          try Some(body.transform {
+            case x: AggregateExpression if x eq ae =>
+              Literal(v, ae.dataType)
+          }.eval(InternalRow.empty))
+          catch { case scala.util.control.NonFatal(_) => None }
+        case None => Some(v)
+      }
+      def finishExpr(ei: Int, m2e: Expression): Expression =
+        wrappers.get(ei) match {
+          case Some((body, ae)) => body.transform {
+            case x: AggregateExpression if x eq ae => m2e
+          }
+          case None => m2e
         }
       val keyed = shapes.flatten.filter(k => k._1 <= 2 || k._1 == 5 ||
         k._1 == 6 || k._1 == 7)
@@ -1317,6 +1416,9 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 else rangeValue(if (kind == 1) mn else mx, dt)
             }
           }
+        // RAW per-group cells (wrappers apply at the serving arms: the
+        // full arm pushes values through them, the hybrid substitutes
+        // the merged trees — locals must stay raw partials)
         val decoded = sums.map { case (k, (n, cs)) =>
           k -> (n, shapes.zipWithIndex.map {
             case (Some((4, _, _)), _) => Some(null: Any) // key: below
@@ -1333,17 +1435,25 @@ case class MetadataOnlyCountRule(session: SparkSession)
         else if (scan.size == m.files.size) None
         else if (scan.isEmpty) {
           val rows = decoded.toSeq.map { case (k, (_, vs, _)) =>
-            InternalRow.fromSeq(shapes.zip(vs).map {
-              case (Some((4, _, _)), _) => k.map(typed).orNull
-              case (_, Some(v))         => v
+            shapes.zip(vs).zipWithIndex.map {
+              case ((Some((4, _, _)), _), _) =>
+                Some(k.map(typed).orNull: Any)
+              case ((Some((8, _, _)), Some(v)), _) => Some(v)
+              case ((_, Some(v)), ei) => finish(ei, v)
               case _ => return None // unreachable by the guard
-            })
+            } match {
+              case cells if cells.forall(_.isDefined) =>
+                InternalRow.fromSeq(cells.map(_.get))
+              case _ => return None // a wrapper refused to fold
+            }
           }
           Some(LocalRelation(agg.output, rows))
         } else {
           // DECIMAL avg partials cannot merge through the union — see
           // sumRewrite's identical note; hybrids refuse to plain scan.
-          // Variance moments are full-metadata-only (ditto).
+          // Variance moments are full-metadata-only (ditto). Wrapped
+          // shapes ride the union as RAW partials and the merge
+          // substitutes each merged tree into its wrapper.
           if (shapes.exists(_.exists(_._1 == 7))) return None
           if (shapes.zipWithIndex.exists {
                 case (Some((5, _, _)), ei) =>
@@ -1421,20 +1531,20 @@ case class MetadataOnlyCountRule(session: SparkSession)
             .map {
               case ((e, Some((4, _, _))), _) =>
                 Alias(uk, e.name)(exprId = e.exprId)
-              case ((e, Some((3, _, _))), _) =>
-                Alias(Coalesce(Seq(AggregateExpression(
-                  Sum(uc), Complete, isDistinct = false), Literal(0L))),
+              case ((e, Some((3, _, _))), i) =>
+                Alias(finishExpr(i, Coalesce(Seq(AggregateExpression(
+                  Sum(uc), Complete, isDistinct = false), Literal(0L)))),
                   e.name)(exprId = e.exprId)
               case ((e, Some((0, _, dt))), i) =>
                 // cast the widened union-merge Sum back — see
                 // sumRewrite's identical note
-                Alias(Cast(AggregateExpression(
-                  Sum(colOf(i)), Complete, isDistinct = false), dt),
+                Alias(finishExpr(i, Cast(AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false), dt)),
                   e.name)(exprId = e.exprId)
               case ((e, Some((6, _, _))), i) =>
-                Alias(Coalesce(Seq(AggregateExpression(
+                Alias(finishExpr(i, Coalesce(Seq(AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false),
-                  Literal(0L))), e.name)(exprId = e.exprId)
+                  Literal(0L)))), e.name)(exprId = e.exprId)
               case ((e, Some((8, _, _))), i) =>
                 Alias(litVals(i), e.name)(exprId = e.exprId)
               case ((e, Some((5, _, _))), i) =>
@@ -1454,12 +1564,12 @@ case class MetadataOnlyCountRule(session: SparkSession)
                     case r: AttributeReference
                         if r.exprId == buf(1).exprId => cntAgg
                   }
-                Alias(ev, e.name)(exprId = e.exprId)
+                Alias(finishExpr(i, ev), e.name)(exprId = e.exprId)
               case ((e, Some((k, _, _))), i) =>
                 val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
                   if (k == 1) Min(colOf(i)) else Max(colOf(i))
-                Alias(AggregateExpression(fn, Complete,
-                  isDistinct = false), e.name)(exprId = e.exprId)
+                Alias(finishExpr(i, AggregateExpression(fn, Complete,
+                  isDistinct = false)), e.name)(exprId = e.exprId)
               case ((_, None), _) => return None // unreachable
             }
           Some(Aggregate(Seq(uk), outs, un))

@@ -2185,6 +2185,29 @@ class SourceSpec extends SparkSpec {
     assert(g3.collect().map(r => (r.getLong(0), r.getLong(1),
       r.getLong(2), r.getDouble(3))).toSet ==
       Set((0L, 100L, 110L, 11.0), (0L, 200L, 310L, 31.0)))
+    // 6. SCALAR-WRAPPED aggregates (the other CollapseProject shape:
+    //    `F.od(sum(x))`, `avg(x) * 1e6` folded into the Aggregate) —
+    //    global, grouped, and through the hybrid merge
+    val w1 = front.agg(sum(col("v")).as("sv"), avg(col("v")).as("av"))
+      .select((col("sv") * 2).cast("double").as("sv2"),
+        (col("av") * lit(1000000)).cast("long").as("av_micros"),
+        lit("w").as("phase"))
+    assert(isLocal(w1), s"wrapped aggs must serve:\n${w1.queryExecution.optimizedPlan}")
+    assert(w1.collect().toSeq ==
+      Seq(Row(630.0 * 2, (31.5 * 1000000).toLong, "w")))
+    val w2 = spark.read.format("graft").load(d2)
+      .groupBy(col("b")).agg(sum(col("v")).as("sv"))
+      .select(col("b"), (col("sv") + 1L).as("svp"), lit(1).as("tag"))
+    assert(isLocal(w2), s"grouped wrapped aggs must serve:\n${w2.queryExecution.optimizedPlan}")
+    assert(w2.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getInt(2))).toSet == Set((100L, 111L, 1), (200L, 311L, 1)))
+    // a wrapper referencing the GROUPING attribute cannot fold on the
+    // driver: refuse to the plain scan, answers unchanged
+    val w3 = spark.read.format("graft").load(d2)
+      .groupBy(col("b")).agg(sum(col("v")).as("sv"))
+      .select((col("sv") + col("b")).as("svb"))
+    assert(!isLocal(w3))
+    assert(w3.collect().map(_.getLong(0)).toSet == Set(210L, 510L))
   }
 
   test("grouped aggregates under a clustering-range window: inside " +
