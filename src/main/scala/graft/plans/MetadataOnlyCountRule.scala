@@ -868,7 +868,11 @@ case class MetadataOnlyCountRule(session: SparkSession)
           case None => m2e
         }
       val keyed = shapes.flatten.filter(k => k._1 != 3 && k._1 != 8)
-      if (shapes.exists(_.isEmpty) || keyed.isEmpty) None
+      // pure count/literal mixes belong to dispatch arm 1 — EXCEPT
+      // when a wrapper is involved (`count(*) * 2`), which only this
+      // rewrite's machinery can fold
+      if (shapes.exists(_.isEmpty) ||
+          (keyed.isEmpty && wrappers.isEmpty)) None
       else if (bounds.exists(b => b._1 > b._2))
         // contradiction: zero rows — count 0, every aggregate NULL,
         // literals pass through, by the predicate alone

@@ -2208,6 +2208,12 @@ class SourceSpec extends SparkSpec {
       .select((col("sv") + col("b")).as("svb"))
     assert(!isLocal(w3))
     assert(w3.collect().map(_.getLong(0)).toSet == Set(210L, 510L))
+    // a wrapped PURE count ("count(*) * 2") — beyond dispatch arm 1's
+    // bare shapes — serves through the generalized machinery
+    val w4 = front.agg(count(lit(1)).as("n"))
+      .select((col("n") * 2).as("n2"), lit("c").as("phase"))
+    assert(isLocal(w4), s"wrapped count must serve:\n${w4.queryExecution.optimizedPlan}")
+    assert(w4.collect().toSeq == Seq(Row(40L, "c")))
   }
 
   test("grouped aggregates under a clustering-range window: inside " +
