@@ -2489,6 +2489,14 @@ object Snapshot {
             }
           }
         group match {
+          // bounded fold: NULL keys never satisfy a range predicate,
+          // so an all-NULL file wholly inside the window contributes
+          // NOTHING — stamping a NULL-key group row here would invent
+          // a group plain GROUP BY never emits. Unreachable from own
+          // manifests (the writer stamps the full-open sentinel for
+          // all-NULL files, which straddles into the scan above), but
+          // this fold treats manifest fields defensively throughout.
+          case Some(None) if bounds.isDefined => ()
           case Some(k) =>
             var ok = true
             var i = 0
@@ -3120,12 +3128,19 @@ object Snapshot {
   private def hllDecode(s: String, m: Int): Option[Array[Byte]] =
     if (s.length != m) None
     else {
+      // legal ranks are 0..(64 - p + 1): the rank is 1 + the number
+      // of leading zeros among the 64-p suffix bits. A payload with
+      // a higher rank is corrupt even when it base64-decodes — it
+      // must trigger the documented corrupt-payload refusal, not
+      // silently skew the estimate upward.
+      val p = java.lang.Integer.numberOfTrailingZeros(m)
+      val maxRank = 64 - p + 1
       val regs = new Array[Byte](m)
       var i = 0
       while (i < m) {
         val c = s.charAt(i).toInt
         val v: Byte = if (c < 128) HllB64Rev(c) else -1
-        if (v < 0) return None
+        if (v < 0 || v > maxRank) return None
         regs(i) = v
         i += 1
       }

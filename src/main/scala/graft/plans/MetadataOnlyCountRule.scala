@@ -619,19 +619,23 @@ case class MetadataOnlyCountRule(session: SparkSession)
     * micro-units reconstructed for decimal children (inner None =
     * corrupted stamp → refuse). A zero count is the empty-input state:
     * `fn`'s own evaluation answers NULL from it. */
-  private def avgSumBuffer(fn: Average, a: AttributeReference,
+  private[graft] def avgSumBuffer(fn: Average, a: AttributeReference,
       total: Long, any: Boolean): Option[Any] =
     if (!any) Some(null)
     else fn.aggBufferAttributes.head.dataType match {
       case org.apache.spark.sql.types.DoubleType => Some(total.toDouble)
-      case _: org.apache.spark.sql.types.DecimalType =>
+      case bt: org.apache.spark.sql.types.DecimalType =>
         val scale = a.dataType
           .asInstanceOf[org.apache.spark.sql.types.DecimalType].scale
         try {
           val bd = new java.math.BigDecimal(
             java.math.BigInteger.valueOf(total), 6).setScale(scale)
+          // bound to the buffer dtype Decimal(p+10, s): a total that
+          // does not fit must REFUSE (the scan raises the overflow
+          // error with query context), not flow into Literal.create
+          // whose converter would null it silently under ANSI
           Some(org.apache.spark.sql.types.Decimal(
-            scala.math.BigDecimal(bd)))
+            scala.math.BigDecimal(bd), bt.precision, bt.scale))
         } catch { case _: ArithmeticException => None }
       case _ => None
     }
@@ -838,8 +842,19 @@ case class MetadataOnlyCountRule(session: SparkSession)
                       // the wrapper itself may reference NOTHING
                       // beyond its aggregate (a grouping-attribute
                       // reference could neither fold on the driver
-                      // nor resolve against the hybrid merge)
-                      if body.references.subsetOf(ae.references) =>
+                      // nor resolve against the hybrid merge). The
+                      // subset check alone is NOT enough: in
+                      // `sum(g) + g GROUP BY g` the references
+                      // coincide, yet substituting the merged Sum
+                      // tree leaves a bare `g` the hybrid Aggregate
+                      // cannot resolve — so additionally require the
+                      // body reference-free once the aggregate is
+                      // removed
+                      if body.references.subsetOf(ae.references) &&
+                        body.transform {
+                          case x: AggregateExpression if x eq ae =>
+                            Literal(null, ae.dataType)
+                        }.references.isEmpty =>
                     shapeOf(Alias(ae, "gm_w")(), ei).map { sh =>
                       wrappers(ei) = (body, ae); sh
                     }
@@ -1310,8 +1325,19 @@ case class MetadataOnlyCountRule(session: SparkSession)
                       // the wrapper itself may reference NOTHING
                       // beyond its aggregate (a grouping-attribute
                       // reference could neither fold on the driver
-                      // nor resolve against the hybrid merge)
-                      if body.references.subsetOf(ae.references) =>
+                      // nor resolve against the hybrid merge). The
+                      // subset check alone is NOT enough: in
+                      // `sum(g) + g GROUP BY g` the references
+                      // coincide, yet substituting the merged Sum
+                      // tree leaves a bare `g` the hybrid Aggregate
+                      // cannot resolve — so additionally require the
+                      // body reference-free once the aggregate is
+                      // removed
+                      if body.references.subsetOf(ae.references) &&
+                        body.transform {
+                          case x: AggregateExpression if x eq ae =>
+                            Literal(null, ae.dataType)
+                        }.references.isEmpty =>
                     shapeOf(Alias(ae, "gm_w")(), ei).map { sh =>
                       wrappers(ei) = (body, ae); sh
                     }

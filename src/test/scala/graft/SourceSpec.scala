@@ -1825,6 +1825,32 @@ class SourceSpec extends SparkSpec {
     val aggsP = Snapshot.autoStatsAggs(Seq(("p", 5)), _ => true)
     assert(aggsP.exists(_.toString.contains("_sm")),
       s"decimal column keeps its sum aggregate: $aggsP")
+    // 5. bounded fold (round 20 — ADVICE): an all-NULL-key file whose
+    //    clustering min/max are narrow and wholly INSIDE the window
+    //    must VANISH — NULL keys never satisfy a range predicate, so
+    //    stamping a NULL-key group row would invent a group the plain
+    //    GROUP BY (which keeps the predicate) never emits. Unreachable
+    //    from own manifests (the writer stamps all-NULL files with the
+    //    full-open sentinel, which straddles into the scan), but the
+    //    fold treats manifest fields defensively throughout.
+    val m4 = Manifest(1, "g",
+      Seq(FileEntry("a", 2, 2, rows = 2, kNulls = 0),
+        FileEntry("n", 3, 4, rows = 5, kNulls = 5)),
+      colStats = Map(
+        ("a", "sum:v") -> (100L, 100L), ("a", "nulls:v") -> (0L, 0L),
+        ("n", "nulls:v") -> (5L, 5L)))
+    val (grps4, scan4) = Snapshot.metaGroupAggSplitCols(m4, "g",
+      gIsClustering = true, Seq(SumSpec("v")), bounds = Some((0L, 10L)))
+    assert(scan4.isEmpty,
+      s"all-NULL inside-window file must vanish, not scan: $scan4")
+    assert(grps4.keySet == Set(Some(2L)),
+      s"NULL-key group must not stamp under a bounded fold: $grps4")
+    // ...while the UNBOUNDED fold still stamps the NULL group (whose
+    // rows plain GROUP BY does emit)
+    val (grps4u, scan4u) = Snapshot.metaGroupAggSplitCols(m4, "g",
+      gIsClustering = true, Seq(SumSpec("v")))
+    assert(scan4u.isEmpty && grps4u.keySet == Set(Some(2L), None),
+      s"unbounded fold keeps the NULL group: $grps4u / $scan4u")
   }
 
   test("global, grouped, and range-windowed AVG answer from sum + " +
@@ -1961,6 +1987,26 @@ class SourceSpec extends SparkSpec {
       .load(dir).agg(avg(col("v")).as("av"))
     assert(isLocal(tt), s"pre-DV version must stay metadata:\n${planOf(tt)}")
     assert(tt.collect().head.getDouble(0) == 394.0 / 22.0)
+    // round 20 (ADVICE): the decimal avg SUM-BUFFER reconstruction is
+    // bounded to the buffer dtype Decimal(p+10, s) — a stamped total
+    // that does not fit must REFUSE (the scan then raises the overflow
+    // with query context) rather than flow into Literal.create, whose
+    // converter would NULL it silently under ANSI. Unit-level: the
+    // buffer for a Decimal(4,2) child is Decimal(14,2); 9e18
+    // micro-units = 9e12 > its max ~1e12.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+    import org.apache.spark.sql.types.DecimalType
+    val pa = AttributeReference("p", DecimalType(4, 2))()
+    val paFn = Average(pa)
+    val rule = graft.plans.MetadataOnlyCountRule(spark)
+    assert(rule.avgSumBuffer(paFn, pa, 50000000L, any = true)
+      .contains(org.apache.spark.sql.types.Decimal(
+        scala.math.BigDecimal("50.00"), 14, 2)),
+      "a fitting total reconstructs the exact buffer value")
+    assert(rule.avgSumBuffer(paFn, pa, 9000000000000000000L,
+      any = true).isEmpty,
+      "a total beyond Decimal(p+10,s) must refuse, not null under ANSI")
   }
 
   test("HLL sidecars: any-layout distinct estimates, refusal ladder, " +
@@ -1995,6 +2041,18 @@ class SourceSpec extends SparkSpec {
       case e => e
     })
     assert(Snapshot.metaDistinctMeta(corrupt, "v").isEmpty)
+    // round 20 (ADVICE): a payload that passes the length and
+    // base64-alphabet checks but carries register ranks above the
+    // legal maximum (64 - p + 1 = 53 at p=12) is corrupt too — it
+    // must trigger the same refusal, not silently skew the estimate
+    // upward ('+' decodes to rank 62)
+    val overRank = m.copy(strStats = m.strStats.map {
+      case ((pth, c), (_, pr)) if c == Snapshot.HllPfx + "v" =>
+        ((pth, c), ("+" * 4096, pr))
+      case e => e
+    })
+    assert(Snapshot.metaDistinctMeta(overRank, "v").isEmpty,
+      "out-of-range register ranks must refuse, not skew")
     // a DV refuses (masked rows cannot be un-merged from a sketch)
     Snapshot.deleteWhereDV(spark, dir, 5L, 5L)
     val mDv = Snapshot.manifest(spark, dir, 3)
@@ -2214,6 +2272,29 @@ class SourceSpec extends SparkSpec {
       .select((col("n") * 2).as("n2"), lit("c").as("phase"))
     assert(isLocal(w4), s"wrapped count must serve:\n${w4.queryExecution.optimizedPlan}")
     assert(w4.collect().toSeq == Seq(Row(40L, "c")))
+    // round 20 (ADVICE high): a wrapper whose references COINCIDE with
+    // the aggregate's (`sum(b) + b GROUP BY b`) passes the bare subset
+    // check, but substituting the merged Sum tree under a HYBRID merge
+    // would leave a bare `b` no union output resolves — an unresolvable
+    // plan that crashes at binding. The guard must refuse upfront. Add
+    // a mixed-b file so the grouped fold degrades it and the hybrid arm
+    // is the one that would have planned.
+    Snapshot.commit(Seq((21L, 100L, 1L), (22L, 200L, 1L))
+      .toDF("k", "b", "v"), d2, 2, "k",
+      Snapshot.manifest(spark, d2, 2).files, nFiles = 1)
+    val w5 = spark.read.format("graft").load(d2)
+      .groupBy(col("b")).agg(sum(col("b")).as("sb"))
+      .select((col("sb") + col("b")).as("sbb"))
+    assert(!isLocal(w5),
+      s"coinciding-reference wrapper must refuse:\n${w5.queryExecution.optimizedPlan}")
+    assert(w5.collect().map(_.getLong(0)).toSet == Set(1200L, 2400L))
+    // and the legit wrapper still serves as a hybrid over the same
+    // now-degraded fixture (the fix must not over-refuse)
+    val w6 = spark.read.format("graft").load(d2)
+      .groupBy(col("b")).agg(sum(col("v")).as("sv"))
+      .select(col("b"), (col("sv") + 1L).as("svp"))
+    assert(w6.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((100L, 112L), (200L, 312L)))
   }
 
   test("grouped aggregates under a clustering-range window: inside " +
