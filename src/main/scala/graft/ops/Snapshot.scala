@@ -2891,6 +2891,16 @@ object Snapshot {
     spark.conf.getOption(AutoStatsMaxStrBytesKey).map(_.trim.toLong)
       .getOrElse(AutoStatsMaxStrBytesDefault.toLong)
 
+  /** Gate for the per-file Σx² ([[SqPfx]]) stamps (round 20 — ADVICE):
+    * default ON (the variance/stddev rewrites need them, and the
+    * measured cost is in the write-basket noise at sf0.1), but a very
+    * WIDE table pays two extra aggregates per integral column on
+    * every commit whether or not variance is ever queried — a profile
+    * that can opt out per session without losing any other stamp. */
+  private[graft] val AutoStatsSqKey = "spark.graft.autoStats.sq"
+  private def autoStatsSq(spark: SparkSession): Boolean =
+    spark.conf.getOption(AutoStatsSqKey).forall(_.trim.toBoolean)
+
   /** A write's manifest contributions: file entries plus the auto-stats
     * sidecars stamped inside the same stats pass. */
   private[graft] final case class WriteStats(
@@ -3163,7 +3173,8 @@ object Snapshot {
     * failing the WRITE from inside a stats pass that must never change
     * write semantics. */
   private[graft] def autoStatsAggs(auto: Seq[(String, Int)],
-                                   decimalAt: Int => Boolean): Seq[Column] =
+                                   decimalAt: Int => Boolean,
+                                   sq: Boolean = true): Seq[Column] =
     auto.zipWithIndex.flatMap { case ((c, kind), j) =>
       val key = statKeyExpr(c, kind)
       Seq(min(key).as(s"_as${j}_mn"), max(key).as(s"_as${j}_mx"),
@@ -3174,15 +3185,18 @@ object Snapshot {
         // integral columns also aggregate their per-file SUM — exact
         // Long arithmetic (TRY-guarded), folding to the distributed
         // answer whenever that answer itself doesn't overflow
-        // ([[SumPfx]]) — and their SUM OF SQUARES with the per-row
+        // ([[SumPfx]]) — and, unless the session opted out via
+        // [[AutoStatsSqKey]], their SUM OF SQUARES with the per-row
         // try_multiply gate ([[SqPfx]]: the success count must equal
         // the non-null count or the file stamps no square sum)
         (if (kind == 0)
-           Seq(try_sum(col(c)).cast("long").as(s"_as${j}_sm"),
-             try_sum(try_multiply(col(c), col(c))).cast("long")
-               .as(s"_as${j}_sq"),
-             count(try_multiply(col(c), col(c))).cast("long")
-               .as(s"_as${j}_sqn"))
+           Seq(try_sum(col(c)).cast("long").as(s"_as${j}_sm")) ++
+             (if (sq)
+                Seq(try_sum(try_multiply(col(c), col(c))).cast("long")
+                    .as(s"_as${j}_sq"),
+                  count(try_multiply(col(c), col(c))).cast("long")
+                    .as(s"_as${j}_sqn"))
+              else Nil)
          // decimal kind-5 sums are exact (stamped below iff they fit
          // micro-units exactly); double/float kind-5 slots skip the
          // aggregate entirely — their Double result was never stamped
@@ -3214,7 +3228,8 @@ object Snapshot {
         ((String, String), (Long, Long)), Map[(String, String), (Long, Long)]],
       strB: scala.collection.mutable.Builder[
         ((String, String), (String, String)),
-        Map[(String, String), (String, String)]]): Unit =
+        Map[(String, String), (String, String)]],
+      sq: Boolean = true): Unit =
     auto.zipWithIndex.foreach { case ((c, kind), j) =>
       if (rows >= 0 && !isPseudoCol(c)) {
         val nulls = rows - get(s"_as${j}_nn").asInstanceOf[Long]
@@ -3230,7 +3245,7 @@ object Snapshot {
       // the SUM-OF-SQUARES stamp (integral only): the try_multiply
       // success count must equal the non-null count — one overflowing
       // row refuses the file's stamp instead of silently vanishing
-      if (kind == 0 && !isPseudoCol(c))
+      if (sq && kind == 0 && !isPseudoCol(c))
         (get(s"_as${j}_sq"), get(s"_as${j}_sqn"),
           get(s"_as${j}_nn")) match {
           case (q: java.lang.Long, qn: java.lang.Long, nn: java.lang.Long)
@@ -3389,7 +3404,7 @@ object Snapshot {
         count(col(statsCol)).as("_n_key")) ++
         checks.zipWithIndex.map { case ((_, sql), i) =>
           violations(sql).as(s"chk$i") } ++
-        autoStatsAggs(auto, decimalAt)
+        autoStatsAggs(auto, decimalAt, autoStatsSq(spark))
       df.coalesce(1).sortWithinPartitions(col(statsCol))
         .observe(obs, obsCols.head, obsCols.tail: _*)
         .write.mode("overwrite").parquet(out)
@@ -3409,7 +3424,8 @@ object Snapshot {
       val path = s"$sub/${parts.head}"
       val nRows = row("n").asInstanceOf[Long]
       collectAutoStats(path, auto, decimalAt, row(_),
-        autoStatsMaxStrBytes(spark), nRows, colB, strB)
+        autoStatsMaxStrBytes(spark), nRows, colB, strB,
+        autoStatsSq(spark))
       // an ALL-NULL clustering column stamps the degraded full-open
       // sentinel (kNulls == rows proves the state) — same discipline
       // as the multi-file branch and the adoption paths
@@ -3443,7 +3459,7 @@ object Snapshot {
         count(col(statsCol)).as("_n_key")) ++
         checks.zipWithIndex.map { case ((_, sql), i) =>
           violations(sql).as(s"chk$i") } ++
-        autoStatsAggs(auto, decimalAt)
+        autoStatsAggs(auto, decimalAt, autoStatsSq(spark))
       // explicit schema: the stats pass plans without re-inferring from
       // footers, and an all-empty write (a delete-all commit — zero part
       // files) still resolves instead of failing schema inference
@@ -3463,7 +3479,8 @@ object Snapshot {
         val path = s"$sub/${uri.substring(i + sub.length + 2)}"
         val nRows = r.getAs[Long]("_n_rows")
         collectAutoStats(path, auto, decimalAt, n => r.get(r.fieldIndex(n)),
-          autoStatsMaxStrBytes(spark), nRows, colB, strB)
+          autoStatsMaxStrBytes(spark), nRows, colB, strB,
+          autoStatsSq(spark))
         // a file the partitioning isolated to ALL-NULL keys has no
         // [min,max] to stamp: record the documented degraded full-open
         // sentinel (every consumer treats it as always-a-candidate and
@@ -5396,7 +5413,7 @@ object Snapshot {
       df.schema(df.schema.fieldIndex(c)).dataType
         .isInstanceOf[org.apache.spark.sql.types.DecimalType]
     }
-    val aggs = autoStatsAggs(auto, decimalAt) :+
+    val aggs = autoStatsAggs(auto, decimalAt, autoStatsSq(spark)) :+
       count(lit(1)).as("_n_rows")
     val perFile = df
       .groupBy(input_file_name().as("f"))
@@ -5412,7 +5429,7 @@ object Snapshot {
         physicalName(m, c) -> k }, decimalAt,
         n => r.get(r.fieldIndex(n)),
         autoStatsMaxStrBytes(spark), r.getAs[Long]("_n_rows"),
-        colB, strB)
+        colB, strB, autoStatsSq(spark))
     }
     val stamped = colB.result()
     val stampedStr = strB.result()

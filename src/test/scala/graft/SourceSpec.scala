@@ -2297,6 +2297,55 @@ class SourceSpec extends SparkSpec {
       Set((100L, 112L), (200L, 312L)))
   }
 
+  test("sq: square-sum stamps gate behind spark.graft.autoStats.sq " +
+    "(default on; opting out loses only the variance serve)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def isLocal(df: DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      p.collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        p.collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    }
+    // a SEPARATE session opts out — conf isolation is the point (a
+    // wide-table writer disables sq: without touching anyone else)
+    val ns = spark.newSession()
+    ns.conf.set(Snapshot.AutoStatsSqKey, "false")
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_sqgate_" + java.util.UUID.randomUUID().toString.take(8)
+    Snapshot.commit(ns.createDataFrame((1L to 10L).map(k => (k, k * 2)))
+      .toDF("k", "v"), dir, 0, "k", nFiles = 2)
+    val m = Snapshot.manifest(ns, dir, 1)
+    assert(!m.colStats.keys.exists(_._2.startsWith(Snapshot.SqPfx)),
+      s"disabled session must write no sq: entries: ${m.colStats.keySet}")
+    // every OTHER stamp is unaffected: the sum and the NULL witness
+    assert(m.colStats.keys.exists(_._2 == Snapshot.SumPfx + "v"))
+    assert(m.colStats.keys.exists(_._2 == Snapshot.NullsPfx + "v"))
+    // variance degrades to the scan (correct, just not metadata)...
+    val q = ns.read.format("graft").load(dir)
+      .agg(var_samp(col("v")).as("vv"))
+    assert(q.queryExecution.optimizedPlan.collectFirst {
+      case l: LocalRelation => l }.isEmpty,
+      "an sq:-less table must not serve variance from metadata")
+    assert(math.abs(q.collect().head.getDouble(0) - 330.0 / 9) < 1e-9)
+    // ...while sum still serves from its (ungated) stamp
+    val sq2 = ns.read.format("graft").load(dir).agg(sum(col("v")).as("sv"))
+    assert(isLocal(sq2), "sum stamps must survive the sq: opt-out")
+    assert(sq2.collect().head.getLong(0) == 110L)
+    // the DEFAULT session stamps sq: and serves variance from metadata
+    // (q179's fixture rides this default)
+    val dir2 = dir + "_on"
+    Snapshot.commit(spark.createDataFrame((1L to 10L).map(k => (k, k * 2)))
+      .toDF("k", "v"), dir2, 0, "k", nFiles = 2)
+    val m2 = Snapshot.manifest(spark, dir2, 1)
+    assert(m2.colStats.keys.exists(_._2 == Snapshot.SqPfx + "v"),
+      s"default-on session must stamp sq: entries: ${m2.colStats.keySet}")
+    val v2 = spark.read.format("graft").load(dir2)
+      .agg(var_samp(col("v")).as("vv"))
+    assert(isLocal(v2),
+      s"default session serves variance from stamps:\n${v2.queryExecution.optimizedPlan}")
+    assert(math.abs(v2.collect().head.getDouble(0) - 330.0 / 9) < 1e-9)
+  }
+
   test("grouped aggregates under a clustering-range window: inside " +
     "bands from stamps, straddlers scan, outside vanish") {
     import spark.implicits._
