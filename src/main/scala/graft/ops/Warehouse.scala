@@ -726,6 +726,47 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The q181 fixture: orders banded by `order_key % 4` into four
+    * BAND-clustered single-valued files (one commit per band, so each
+    * file's clustering [min,max] collapses to its band — the
+    * [[Snapshot.metaGroupDistinctMeta]] grouping verdict), then ONE
+    * [[Snapshot.optimizeHll]] commit sketching the key (v5).
+    * Idempotent per (session, sf); a partial build fails loudly like
+    * [[hllOrders]]. */
+  private[graft] def hllBandOrders(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#hllband", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_hllband_$sfx"
+          val cur0 = Snapshot.currentVersion(s, dir)
+          val complete = cur0 == 5 && {
+            val mm = Snapshot.manifest(s, dir, 5)
+            mm.files.forall(f => mm.strStats.contains(
+              (f.path, Snapshot.HllPfx + "order_key")))
+          }
+          if (!complete && cur0 > 0)
+            throw new IllegalStateException(
+              s"hllBandOrders table under $dir exists at v$cur0 " +
+                "without complete HLL sidecars (partial build) — " +
+                "delete the table dir and rebuild")
+          if (!complete) {
+            val base = T.orders(s, d).select(
+              (col("o_orderkey") % 4).as("band"),
+              col("o_orderkey").as("order_key"))
+            (0 until 4).foreach { b =>
+              val carried =
+                if (b == 0) Nil else Snapshot.manifest(s, dir, b).files
+              Snapshot.commit(base.filter(col("band") === b.toLong),
+                dir, b, "band", carried, nFiles = 1)
+            }
+            Snapshot.optimizeHll(s, dir, Seq("order_key"))
+          }
+          dir
+        })
+    }
+
   private[graft] def rangeOrders(s: SparkSession, d: String): String =
     synchronized {
       snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
@@ -2166,6 +2207,43 @@ object Warehouse extends QueryModule {
           lit(0L).as("n_scan_est"))
     }),
 
+    "q181_stats_hll_group" -> ((s, d) => {
+      // PER-GROUP HLL distinct estimates ([[hllBandOrders]] →
+      // [[Snapshot.metaGroupDistinctMeta]], round 20 — the r19
+      // verdict's grouped-parity task): the q178 element-wise-max
+      // merge run PER GROUP over files provably single-valued on the
+      // grouping column — "distinct users per tenant/day" from
+      // sketches alone, ZERO files scanned, at any per-group
+      // cardinality. ALL-OR-NOTHING: a sketch cannot be split across
+      // groups, so DVs, mixed-valued files, or missing sketches
+      // refuse whole rather than hybrid-merge (an exact scanned count
+      // plus an estimate would double-count the overlap) — the
+      // refusal ladder is SourceSpec-pinned. Certified by the q178
+      // discipline: the query emits each band's EXACT distinct count
+      // (the oracle recomputes them from raw orders) plus a
+      // deterministic within-10% certificate per band derived from
+      // the manifest fold alone.
+      val dir = hllBandOrders(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val (ests, _) = Snapshot.metaGroupDistinctMeta(m, "band",
+        gIsClustering = true, "order_key")
+        .getOrElse(throw new IllegalStateException(
+          "banded order_key sketches must serve per-group estimates"))
+      import s.implicits._
+      val estDf = ests.toSeq
+        .map { case (g, e) => (g.getOrElse(-1L), e) }.toDF("band", "est")
+      s.read.format("graft").load(dir)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("order_key")).as("nd_key"))
+        .join(broadcast(estDf), Seq("band"))
+        .select(col("band"), col("n"), col("nd_key"),
+          (abs(col("est") - col("nd_key")) <= col("nd_key") * lit(0.10))
+            .as("key_within_10pct"),
+          lit(0L).as("n_scan_est"))
+        .orderBy(col("band"))
+    }),
+
     "q172_stats_dcount" -> ((s, d) => {
       // METADATA-ONLY count(key) / count(DISTINCT key)
       // ([[statusOrders]] → [[Snapshot.metaGroupSplit]] riding
@@ -3214,6 +3292,17 @@ object Warehouse extends QueryModule {
         |       TRUE AS key_within_10pct, TRUE AS rcode_exact,
         |       CAST(0 AS BIGINT) AS n_scan_est
         |FROM orders""".stripMargin,
+
+    // the per-group sketches' truth: exact per-band distinct counts
+    // from raw orders; the within-10% certificate is a deterministic
+    // constant (the sketch is a pure function of the data) the oracle
+    // pins without reproducing the registers
+    "q181_stats_hll_group" ->
+      """SELECT o_orderkey % 4 AS band, count(*) AS n,
+        |       count(DISTINCT o_orderkey) AS nd_key,
+        |       TRUE AS key_within_10pct,
+        |       CAST(0 AS BIGINT) AS n_scan_est
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin,
 
     "q172_stats_dcount" ->
       """SELECT count(ascii(o_orderstatus)) AS n_key,
