@@ -2297,6 +2297,45 @@ class SourceSpec extends SparkSpec {
       Set((100L, 112L), (200L, 312L)))
   }
 
+  test("META: every registered metadata-family query plans LocalRelation " +
+    "serving with restricted-only scans (the q166-q177 lesson, " +
+    "systematically)") {
+    // Round 19 found q166-q177's REGISTERED spellings silently
+    // benching as full scans (CollapseProject folded the
+    // phase-literal projections into the Aggregate; the rewrites
+    // refused wrapped/literal outputs) while the specs exercised
+    // unwrapped twins that did rewrite. This meta-spec walks the
+    // registered entries themselves so a future optimizer-folding
+    // change can never regress the plans while answers stay green:
+    // each plan must carry at least one LocalRelation (the rewrite
+    // actually fired) and every remaining relation scan must be a
+    // RESTRICTED GraftRelation (a hybrid boundary, never a full scan).
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import graft.sources.GraftRelation
+    val metaFamily = Seq(
+      "q166_stats_count", "q167_stats_range", "q168_stats_minmax",
+      "q171_group_meta", "q172_stats_dcount", "q173_group_meta_col",
+      "q175_agg_meta_sum", "q176_agg_meta_extrema", "q177_agg_meta_avg",
+      "q179_agg_meta_moments", "q180_agg_meta_gwindow")
+    val bad = metaFamily.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val plan = df.queryExecution.optimizedPlan
+      val locals = plan.collect { case l: LocalRelation => l }
+      val unrestricted = plan.collect { case lr: LogicalRelation => lr }
+        .filterNot(_.relation match {
+          case g: GraftRelation => g.isRestricted
+          case _ => false
+        })
+      if (locals.isEmpty)
+        Some(s"$name: no LocalRelation — the rewrite did not fire:\n$plan")
+      else if (unrestricted.nonEmpty)
+        Some(s"$name: ${unrestricted.size} UNRESTRICTED scan(s):\n$plan")
+      else None
+    }
+    assert(bad.isEmpty, bad.mkString("\n\n"))
+  }
+
   test("sq: square-sum stamps gate behind spark.graft.autoStats.sq " +
     "(default on; opting out loses only the variance serve)") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
