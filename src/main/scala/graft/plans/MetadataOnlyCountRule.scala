@@ -2,12 +2,12 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, NamedExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CentralMomentAgg, Complete, Count, DeclarativeAggregate, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, DoubleType, IntegerType, LongType, ShortType}
 
 import graft.ops.Snapshot
 import graft.sources.GraftRelation
@@ -949,6 +949,20 @@ case class MetadataOnlyCountRule(session: SparkSession)
               avgSumBuffer(avgFns(ei), a, st, any).map(sv => (sv, cnt))
             case _ => None
           }
+        // raw stamped (Σx, Σx², n) triple per variance OUTPUT — exact
+        // integers the hybrid arm merges undivided (all-NULL stamped
+        // sides carry NULL sums the union Sum ignores)
+        def momPartOf(a: AttributeReference): (Any, Any, Long) =
+          (accs(sumIdxOf(a)), accs(cntIdxOf(a)), accs(sqIdxOf(a))) match {
+            case (Snapshot.SumAcc(sx, anyX), Snapshot.SumAcc(cnt, _),
+                Snapshot.SumAcc(sq, anyQ)) =>
+              (if (anyX) org.apache.spark.sql.types.Decimal(
+                 scala.math.BigDecimal(sx), 38, 0) else null,
+                if (anyQ) org.apache.spark.sql.types.Decimal(
+                  scala.math.BigDecimal(sq), 38, 0) else null,
+                cnt)
+            case _ => (null, null, 0L) // unreachable: partialsClean gated
+          }
         // decoded stamped partial per non-count shape; inner None =
         // corrupted stamp → refuse whole
         def partialOf(kind: Int, a: AttributeReference, dt: DataType,
@@ -1005,15 +1019,33 @@ case class MetadataOnlyCountRule(session: SparkSession)
           // hybrid: one scan aggregate + one local partial per
           // NON-count output (a shared count pair first; an avg
           // occupies TWO partial slots — double sum + non-null
-          // count), merged by an outer aggregate of each shape's own
+          // count; a variance occupies THREE — exact Σx, Σx², n),
+          // merged by an outer aggregate of each shape's own
           // kind. DECIMAL avg partials cannot merge through the union
           // (the outer Sum would widen the buffer dtype the Average
           // evaluation was typed for) — the full-metadata arm above
           // serves them; hybrids refuse to the plain scan. Variance
-          // moments (kind 7) are full-metadata-only for the same
-          // reason squared: a float scan partial would re-introduce
-          // the order-dependence the exact stamps eliminate.
-          if (shapes.exists(_.exists(_._1 == 7))) return None
+          // moments (kind 7) merge EXACTLY (round 20 — the r19
+          // verdict's task 5): the scan side aggregates Σx and Σx² as
+          // DECIMAL(38,0) integers — never a float partial that would
+          // re-introduce the order-dependence the stamps eliminate —
+          // but ONLY when every degraded file still CARRIES its sq:
+          // stamp (present-but-unusable: DV'd files, windowed
+          // straddlers). The stamp's per-row try_multiply gate proves
+          // every scanned |x| ≤ ~3.04e9, so each x² ≤ 9.3e18 and the
+          // Decimal(38,0) partials stay exact short of 10¹⁹ scanned
+          // rows. A file MISSING the stamp (overflowing row, pre-sq
+          // write, opted-out session) proves nothing and refuses
+          // whole — degraded-never-wrong.
+          locally {
+            val momAttrs = shapes.zipWithIndex.collect {
+              case (Some((7, a, _)), _) => a
+            }
+            if (momAttrs.nonEmpty && scan.exists(f => momAttrs.exists(
+                a => !m.colStats.contains((f.path,
+                  Snapshot.SqPfx + Snapshot.physicalName(m, a.name))))))
+              return None
+          }
           if (shapes.zipWithIndex.exists {
                 case (Some((5, _, _)), ei) =>
                   avgFns(ei).aggBufferAttributes.head.dataType !=
@@ -1031,7 +1063,8 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val slotOf: Map[Int, Int] = {
             var off = 0
             perShape.map { case (k, _, _, i) =>
-              val s = i -> off; off += (if (k == 5) 2 else 1); s
+              val s = i -> off
+              off += (if (k == 5) 2 else if (k == 7) 3 else 1); s
             }.toMap
           }
           val scanAggs = perShape.flatMap { case (k, a, dt, _) =>
@@ -1045,7 +1078,20 @@ case class MetadataOnlyCountRule(session: SparkSession)
                   isDistinct = false), "gm_part")(),
                 Alias(AggregateExpression(Count(Seq(a)), Complete,
                   isDistinct = false), "gm_partc")())
-            else {
+            else if (k == 7) {
+              // exact integer moments: Σx and Σx² as DECIMAL(38,0)
+              // (each x² ≤ 9.3e18 under the sq:-stamp guard above, so
+              // both sums stay exact) plus the non-null count — never
+              // a float partial
+              val dx = Cast(a, DecimalType(38, 0))
+              Seq(
+                Alias(AggregateExpression(Sum(dx), Complete,
+                  isDistinct = false), "gm_part")(),
+                Alias(AggregateExpression(Sum(Multiply(dx, dx)),
+                  Complete, isDistinct = false), "gm_partq")(),
+                Alias(AggregateExpression(Count(Seq(a)), Complete,
+                  isDistinct = false), "gm_partc")())
+            } else {
               // min/max of a widened output must aggregate the widened
               // child so the union sides agree on dtype (sum result
               // dtypes already match the codec's; counts are Longs)
@@ -1074,6 +1120,11 @@ case class MetadataOnlyCountRule(session: SparkSession)
                       org.apache.spark.sql.types.DoubleType)(),
                     AttributeReference(s"gm_p${i}c", LongType,
                       nullable = false)())
+                else if (k == 7)
+                  Seq(AttributeReference(s"gm_p$i", DecimalType(38, 0))(),
+                    AttributeReference(s"gm_p${i}q", DecimalType(38, 0))(),
+                    AttributeReference(s"gm_p${i}c", LongType,
+                      nullable = false)())
                 else Seq(AttributeReference(s"gm_p$i", dt)())
               }
           val localVals: Seq[Any] = (stampedRows: Any) +:
@@ -1081,6 +1132,9 @@ case class MetadataOnlyCountRule(session: SparkSession)
               if (k == 5) {
                 val (sv, c) = avgPartOf(a, i).get // clean by the guard
                 Seq(sv, c: Any)
+              } else if (k == 7) {
+                val (sx, sq, c) = momPartOf(a)
+                Seq(sx, sq, c: Any)
               } else Seq(partialsClean(i).get)
             }
           val local = LocalRelation(localOut,
@@ -1089,6 +1143,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val uc = un.output.head
           def colOf(i: Int): Attribute = un.output(1 + slotOf(i))
           def colOf2(i: Int): Attribute = un.output(2 + slotOf(i))
+          def colOf3(i: Int): Attribute = un.output(3 + slotOf(i))
           val outs = agg.aggregateExpressions.zip(shapes).zipWithIndex
             .map {
               case ((e, Some((3, _, _))), i) =>
@@ -1127,6 +1182,39 @@ case class MetadataOnlyCountRule(session: SparkSession)
                         if r.exprId == buf(0).exprId => sumAgg
                     case r: AttributeReference
                         if r.exprId == buf(1).exprId => cntAgg
+                  }
+                Alias(finishExpr(i, ev), e.name)(exprId = e.exprId)
+              case ((e, Some((7, _, _))), i) =>
+                // the merged exact moments run the SAME deterministic
+                // chain as the full-metadata driver fold: BigInt
+                // difference, ONE double conversion, and the
+                // aggregate's OWN evaluation divides once
+                // ([[graft.expressions.MomentM2]] — byte-identical to
+                // metaMomentEval by construction)
+                val fn = momFns(i)
+                val buf = fn.aggBufferAttributes
+                val zeroD = Literal.create(
+                  org.apache.spark.sql.types.Decimal(0L, 38, 0),
+                  DecimalType(38, 0))
+                val sxAgg: Expression = Coalesce(Seq(AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false), zeroD))
+                val sqAgg: Expression = Coalesce(Seq(AggregateExpression(
+                  Sum(colOf2(i)), Complete, isDistinct = false), zeroD))
+                val cntAgg: Expression = Coalesce(Seq(AggregateExpression(
+                  Sum(colOf3(i)), Complete, isDistinct = false),
+                  Literal(0L)))
+                val nD = Cast(cntAgg, DoubleType)
+                val avgE = If(EqualTo(cntAgg, Literal(0L)),
+                  Literal(0.0), Divide(Cast(sxAgg, DoubleType), nD))
+                val m2E = graft.expressions.MomentM2(cntAgg, sxAgg, sqAgg)
+                val ev = (fn: DeclarativeAggregate).evaluateExpression
+                  .transform {
+                    case r: AttributeReference
+                        if r.exprId == buf(0).exprId => nD
+                    case r: AttributeReference
+                        if r.exprId == buf(1).exprId => avgE
+                    case r: AttributeReference
+                        if r.exprId == buf(2).exprId => m2E
                   }
                 Alias(finishExpr(i, ev), e.name)(exprId = e.exprId)
               case ((e, Some((k, _, _))), i) =>

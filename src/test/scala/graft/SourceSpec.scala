@@ -2141,6 +2141,14 @@ class SourceSpec extends SparkSpec {
       .agg(var_samp(col("v")).as("vs"))
     assert(isLocal(w))
     assert(w.collect().head.getDouble(0) == 196.0 / 7.0 / 6.0)
+    // a STRADDLED window (round 20): the cut file scans restricted
+    // with the predicate — its sq: stamp present, so the exact hybrid
+    // merge serves: n=12, sx=139, sxx=1961 -> D=12*1961-139**2=4211
+    val ws = front.filter(col("k") >= 1 && col("k") <= 15)
+      .agg(var_samp(col("v")).as("vs"))
+    assert(!isLocal(ws))
+    assert(ws.collect().head.getDouble(0) == 4211.0 / 12.0 / 11.0,
+      s"straddler hybrid variance:\n${planOf(ws)}")
     // variance over the CLUSTERING column refuses (no sidecar stamps)
     assert(!isLocal(front.agg(var_samp(col("k")).as("v"))))
     // n == 1: Spark's own evaluation decides (nullOnDivideByZero) —
@@ -2166,10 +2174,36 @@ class SourceSpec extends SparkSpec {
     assert(!isLocal(bq.agg(var_samp(col("v")).as("vs"))),
       "a missing sq stamp must refuse to the scan")
     assert(isLocal(bq.agg(sum(col("v")).as("sv"))))
-    // a DV refuses moments whole (full-metadata-only shape)
+    // a DV'd file degrades into the HYBRID scan branch (round 20 —
+    // the r19 verdict's task 5): its sq: stamp is PRESENT — the
+    // per-row try_multiply gate proves every value in the file is
+    // bounded, so the restricted scan's Decimal(38,0) Σx/Σx²
+    // partials are exact integers and the merged moments run the
+    // SAME deterministic chain as the pure-stamp arm (BigInt
+    // difference, one double conversion, Spark's own evaluation)
     Snapshot.deleteWhereDV(spark, dir, 5L, 5L)
-    assert(!isLocal(front.agg(var_samp(col("v")).as("vs"))),
-      "a DV'd table must scan for moments")
+    import graft.sources.GraftRelation
+    def restrictedOf(df: DataFrame): Option[Set[String]] =
+      planOf(df).collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation]
+          => lr.relation.asInstanceOf[GraftRelation].restrictedSet
+      }.flatten
+    val dvFile = Snapshot.manifest(spark, dir, 4).dvs.keySet
+    val dv = front.agg(var_samp(col("v")).as("vs"),
+      var_pop(col("v")).as("vp"), stddev_samp(col("v")).as("ss"),
+      count(lit(1)).as("n"))
+    assert(restrictedOf(dv) == Some(dvFile),
+      s"DV'd-file-only scan expected for hybrid moments:\n${planOf(dv)}")
+    // post-DV: n=16 values, sx=219, sxx=3491 -> D=16*3491-219**2=7895
+    val dr = dv.collect().head
+    val d16 = 7895.0
+    assert(dr.getDouble(0) == d16 / 16.0 / 15.0)
+    assert(dr.getDouble(1) == d16 / 16.0 / 16.0)
+    assert(dr.getDouble(2) == math.sqrt(d16 / 16.0 / 15.0))
+    assert(dr.getLong(3) == 29L)
+    // the bigsq fixture pins the other side of the guard above: a
+    // file MISSING its sq: stamp proves nothing about its values and
+    // still refuses whole (bq asserts it)
   }
 
   test("collapsed literal outputs serve through every metadata rewrite " +
