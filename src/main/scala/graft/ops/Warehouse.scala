@@ -2207,6 +2207,48 @@ object Warehouse extends QueryModule {
           lit(0L).as("n_scan_est"))
     }),
 
+    "q182_approx_rewrite" -> ((s, d) => {
+      // CONF-GATED approx_count_distinct REWRITE ([[hllOrders]] →
+      // [[graft.plans.MetadataOnlyCountRule.approxDistinctRewrite]],
+      // round 20 — the r19 verdict's optional 7(a)): with
+      // spark.graft.rewrite.approxDistinctSketch=true (an EXPLICIT
+      // per-session opt-in — the sidecar estimate differs from
+      // Spark's HLL++ estimate, so the swap is never silent; OFF by
+      // default and OFF in every other query this suite runs), the
+      // registered spelling `approx_count_distinct(col)` itself plans
+      // a LocalRelation served from the q178 sidecar merge — zero
+      // files scanned. The opted-in session is a NEW session (conf
+      // isolation); `plan_local` carries the plan witness, and the
+      // estimates ride the q178 certificate discipline against
+      // oracle-recomputed exact counts. Tightness guard, default-off,
+      // grouped serving, and the DV/unsketched refusals are
+      // SourceSpec-pinned.
+      val dir = hllOrders(s, d)
+      val ns = s.newSession()
+      ns.conf.set(
+        graft.plans.MetadataOnlyCountRule.ApproxDistinctSketchKey, "true")
+      val served = ns.read.format("graft").load(dir)
+        .agg(approx_count_distinct(col("order_key")).as("e1"),
+          approx_count_distinct(col("rcode")).as("e2"),
+          count(lit(1)).as("n"))
+      val planLocal = served.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources
+          .LogicalRelation => lr }.isEmpty
+      val sr = served.collect().head
+      val (estK, estR, nMeta) =
+        (sr.getLong(0), sr.getLong(1), sr.getLong(2))
+      s.read.format("graft").load(dir)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("order_key")).as("nd_key"),
+          countDistinct(col("rcode")).as("nd_rcode"))
+        .select(col("n"), col("nd_key"), col("nd_rcode"),
+          lit(planLocal).as("plan_local"),
+          (lit(nMeta) === col("n")).as("n_exact"),
+          (abs(lit(estK) - col("nd_key")) <= col("nd_key") * lit(0.10))
+            .as("key_within_10pct"),
+          (lit(estR) === col("nd_rcode")).as("rcode_exact"))
+    }),
+
     "q181_stats_hll_group" -> ((s, d) => {
       // PER-GROUP HLL distinct estimates ([[hllBandOrders]] →
       // [[Snapshot.metaGroupDistinctMeta]], round 20 — the r19
@@ -3291,6 +3333,17 @@ object Warehouse extends QueryModule {
         |       count(DISTINCT ascii(o_orderstatus) - 5) AS nd_rcode,
         |       TRUE AS key_within_10pct, TRUE AS rcode_exact,
         |       CAST(0 AS BIGINT) AS n_scan_est
+        |FROM orders""".stripMargin,
+
+    // the conf-gated rewrite's truth: the same q178 certificates plus
+    // the plan witness (LocalRelation served) and the exact metadata
+    // count equality — all deterministic constants the oracle pins
+    "q182_approx_rewrite" ->
+      """SELECT count(*) AS n,
+        |       count(DISTINCT o_orderkey) AS nd_key,
+        |       count(DISTINCT ascii(o_orderstatus) - 5) AS nd_rcode,
+        |       TRUE AS plan_local, TRUE AS n_exact,
+        |       TRUE AS key_within_10pct, TRUE AS rcode_exact
         |FROM orders""".stripMargin,
 
     // the per-group sketches' truth: exact per-band distinct counts

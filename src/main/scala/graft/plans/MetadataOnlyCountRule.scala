@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, If, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, NamedExpression, PredicateHelper}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CentralMomentAgg, Complete, Count, DeclarativeAggregate, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, CentralMomentAgg, Complete, Count, DeclarativeAggregate, HyperLogLogPlusPlus, Max, Min, StddevPop, StddevSamp, Sum, VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -1021,10 +1021,10 @@ case class MetadataOnlyCountRule(session: SparkSession)
           // occupies TWO partial slots — double sum + non-null
           // count; a variance occupies THREE — exact Σx, Σx², n),
           // merged by an outer aggregate of each shape's own
-          // kind. DECIMAL avg partials cannot merge through the union
-          // (the outer Sum would widen the buffer dtype the Average
-          // evaluation was typed for) — the full-metadata arm above
-          // serves them; hybrids refuse to the plain scan. Variance
+          // kind. DECIMAL avg partials merge too (round 20): the
+          // scan side sums the decimal child exactly at the buffer
+          // dtype and the widened union total is bound back by
+          // Spark's own CheckOverflowInSum below. Variance
           // moments (kind 7) merge EXACTLY (round 20 — the r19
           // verdict's task 5): the scan side aggregates Σx and Σx² as
           // DECIMAL(38,0) integers — never a float partial that would
@@ -1046,10 +1046,19 @@ case class MetadataOnlyCountRule(session: SparkSession)
                   Snapshot.SqPfx + Snapshot.physicalName(m, a.name))))))
               return None
           }
+          // avg hybrids (round 20 — the r19 ADVICE low (b) lifted):
+          // DOUBLE buffers merge as running double sums; DECIMAL
+          // buffers merge as exact decimal sums whose widened union
+          // total is bound back to the buffer dtype by Spark's OWN
+          // CheckOverflowInSum (mode-matched at the output arm below:
+          // legacy null / ANSI raise — the same contract the scan's
+          // final sum evaluation applies). Any other buffer dtype
+          // refuses.
           if (shapes.zipWithIndex.exists {
                 case (Some((5, _, _)), ei) =>
-                  avgFns(ei).aggBufferAttributes.head.dataType !=
-                    org.apache.spark.sql.types.DoubleType
+                  val bt = avgFns(ei).aggBufferAttributes.head.dataType
+                  bt != org.apache.spark.sql.types.DoubleType &&
+                    !bt.isInstanceOf[DecimalType]
                 case _ => false
               }) return None
           val cnt = Alias(AggregateExpression(
@@ -1067,18 +1076,24 @@ case class MetadataOnlyCountRule(session: SparkSession)
               off += (if (k == 5) 2 else if (k == 7) 3 else 1); s
             }.toMap
           }
-          val scanAggs = perShape.flatMap { case (k, a, dt, _) =>
-            if (k == 5)
-              // mirror Average's own buffer: a running DOUBLE sum
-              // (never a Long that could raise where avg would not)
-              // plus the non-null count
+          val scanAggs = perShape.flatMap { case (k, a, dt, i) =>
+            if (k == 5) {
+              // mirror Average's own buffer: a running DOUBLE sum for
+              // integral children (never a Long that could raise
+              // where avg would not), the exact DECIMAL(p+10, s) sum
+              // for decimal children (Sum's own resultType IS the
+              // buffer dtype), plus the non-null count
+              val sumChild: Expression =
+                if (avgFns(i).aggBufferAttributes.head.dataType ==
+                    org.apache.spark.sql.types.DoubleType)
+                  Cast(a, org.apache.spark.sql.types.DoubleType)
+                else a
               Seq(
-                Alias(AggregateExpression(Sum(Cast(a,
-                  org.apache.spark.sql.types.DoubleType)), Complete,
+                Alias(AggregateExpression(Sum(sumChild), Complete,
                   isDistinct = false), "gm_part")(),
                 Alias(AggregateExpression(Count(Seq(a)), Complete,
                   isDistinct = false), "gm_partc")())
-            else if (k == 7) {
+            } else if (k == 7) {
               // exact integer moments: Σx and Σx² as DECIMAL(38,0)
               // (each x² ≤ 9.3e18 under the sq:-stamp guard above, so
               // both sums stay exact) plus the non-null count — never
@@ -1117,7 +1132,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
               perShape.flatMap { case (k, _, dt, i) =>
                 if (k == 5)
                   Seq(AttributeReference(s"gm_p$i",
-                      org.apache.spark.sql.types.DoubleType)(),
+                      avgFns(i).aggBufferAttributes.head.dataType)(),
                     AttributeReference(s"gm_p${i}c", LongType,
                       nullable = false)())
                 else if (k == 7)
@@ -1171,8 +1186,18 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 // Spark's code, not a re-implementation
                 val fn = avgFns(i)
                 val buf = fn.aggBufferAttributes
-                val sumAgg: Expression = AggregateExpression(
+                val rawSum: Expression = AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false)
+                val sumAgg: Expression = buf(0).dataType match {
+                  case dt: DecimalType =>
+                    // bind the widened union total back to the buffer
+                    // dtype with the scan's own overflow contract —
+                    // Spark's CheckOverflowInSum, mode-matched
+                    org.apache.spark.sql.catalyst.expressions
+                      .CheckOverflowInSum(rawSum, dt,
+                        !session.sessionState.conf.ansiEnabled, null)
+                  case _ => rawSum
+                }
                 val cntAgg: Expression = Coalesce(Seq(
                   AggregateExpression(Sum(colOf2(i)), Complete,
                     isDistinct = false), Literal(0L)))
@@ -1227,6 +1252,123 @@ case class MetadataOnlyCountRule(session: SparkSession)
           Some(Aggregate(Nil, outs, un))
         }
       }
+    }
+  }
+
+  /** Is `e` an unfiltered `approx_count_distinct(col)` of a bare
+    * relation attribute? Returns the attribute and the query's
+    * requested relativeSD. */
+  private def approxHllOf(e: NamedExpression, lr: LogicalRelation)
+      : Option[(AttributeReference, Double)] = e match {
+    case Alias(ae: AggregateExpression, _)
+        if ae.mode == Complete && ae.filter.isEmpty && !ae.isDistinct =>
+      ae.aggregateFunction match {
+        case h: HyperLogLogPlusPlus => h.child match {
+          case a: AttributeReference
+              if lr.output.exists(_.exprId == a.exprId) =>
+            Some((a, h.relativeSD))
+          case _ => None
+        }
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** '''Opt-in''': `approx_count_distinct(col)` answered from the HLL
+    * register sidecars ([[Snapshot.metaDistinctMeta]]), behind
+    * [[MetadataOnlyCountRule.ApproxDistinctSketchKey]] — default OFF,
+    * because swapping Spark's HLL++ estimate for the sidecar sketch's
+    * CHANGES answers: this is an explicit dashboard opt-in, never a
+    * silent rewrite (the q178 verb + fold remain the conf-free
+    * spelling). Serves only when the sidecar sketch is at least as
+    * TIGHT as the query's requested relativeSD (p=12 ≈ 0.016 vs the
+    * 0.05 default) and every file is provably accounted — the q178
+    * refusal ladder: DVs, unsketched/rewritten files, corrupt or
+    * mixed-precision payloads refuse to the plain scan. Count-star
+    * (exact, from the metadata count) and literal outputs mix. */
+  private def approxDistinctRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    if (!session.conf.get(MetadataOnlyCountRule.ApproxDistinctSketchKey,
+        "false").toBoolean) return None
+    relationOf(agg.child).flatMap { case (lr, gr) =>
+      val m = gr.pinnedManifest
+      val lits = scala.collection.mutable.Map.empty[Int, Literal]
+      val shapes: Seq[Option[Either[(AttributeReference, Double), Int]]] =
+        agg.aggregateExpressions.zipWithIndex.map { case (e, i) =>
+          approxHllOf(e, lr).map(Left(_))
+            .orElse(if (isCountStar(e)) Some(Right(0)) else None)
+            .orElse(litOf(e).map { l => lits(i) = l; Right(1) })
+        }
+      if (shapes.exists(_.isEmpty) || !shapes.exists(_.exists(_.isLeft)))
+        return None
+      val rowsOpt = metaCountOf(agg.child)
+      if (shapes.exists(_.contains(Right(0))) && rowsOpt.isEmpty)
+        return None
+      val vals: Seq[Any] = agg.aggregateExpressions.indices.map { i =>
+        shapes(i).get match {
+          case Left((a, reqRsd)) =>
+            Snapshot.metaDistinctMeta(m,
+              Snapshot.physicalName(m, a.name)) match {
+              case Some((est, rsd)) if rsd <= reqRsd => est: Any
+              case _ => return None
+            }
+          case Right(0) => rowsOpt.get: Any
+          case Right(_) => lits(i).value
+        }
+      }
+      Some(LocalRelation(agg.output, Seq(InternalRow.fromSeq(vals))))
+    }
+  }
+
+  /** The grouped twin — `g, approx_count_distinct(col) GROUP BY g`
+    * from [[Snapshot.metaGroupDistinctMeta]]'s per-group register
+    * merge: same conf gate and tightness guard, ALL-OR-NOTHING per
+    * that merge's contract (a sketch cannot be split across groups —
+    * any DV, mixed-valued file, or missing sketch refuses whole).
+    * Key and literal outputs mix; the NULL-key group is first-class. */
+  private def groupedApproxDistinctRewrite(agg: Aggregate,
+      g: AttributeReference): Option[LogicalPlan] = {
+    if (!session.conf.get(MetadataOnlyCountRule.ApproxDistinctSketchKey,
+        "false").toBoolean) return None
+    relationOf(agg.child).flatMap { case (lr, gr) =>
+      val m = gr.pinnedManifest
+      if (!groupableDtype(g.dataType) ||
+          !lr.output.exists(_.exprId == g.exprId)) return None
+      val lits = scala.collection.mutable.Map.empty[Int, Literal]
+      val shapes: Seq[Option[Either[(AttributeReference, Double), Int]]] =
+        agg.aggregateExpressions.zipWithIndex.map { case (e, i) =>
+          (if (isKeyOutput(e, g)) Some(Right(2))
+           else None: Option[Either[(AttributeReference, Double), Int]])
+            .orElse(approxHllOf(e, lr).map(Left(_)))
+            .orElse(litOf(e).map { l => lits(i) = l; Right(1) })
+        }
+      if (shapes.exists(_.isEmpty) || !shapes.exists(_.exists(_.isLeft)))
+        return None
+      val physG = Snapshot.physicalName(m, g.name)
+      val cluster = isClusteringAttr(g, lr, gr)
+      val attrs = shapes.flatten.collect { case Left((a, r)) => (a, r) }
+      val perCol: Map[Long, Map[Option[Long], Long]] =
+        attrs.groupBy(_._1.exprId.id).map { case (id, as) =>
+          val minReq = as.map(_._2).min
+          Snapshot.metaGroupDistinctMeta(m, physG, cluster,
+            Snapshot.physicalName(m, as.head._1.name)) match {
+            case Some((ests, rsd)) if rsd <= minReq => id -> ests
+            case _ => return None
+          }
+        }
+      // every per-column merge derives its groups from the SAME file
+      // verdicts — differing keysets mean an inconsistency: refuse
+      val groups = perCol.values.head.keySet
+      if (!perCol.values.forall(_.keySet == groups)) return None
+      val rows = groups.toSeq.map { grp =>
+        InternalRow.fromSeq(agg.aggregateExpressions.indices.map { i =>
+          shapes(i).get match {
+            case Left((a, _)) => perCol(a.exprId.id)(grp): Any
+            case Right(2) => grp.map(typedKey(_, g.dataType)).orNull
+            case Right(_) => lits(i).value
+          }
+        })
+      }
+      Some(LocalRelation(agg.output, rows))
     }
   }
 
@@ -1567,16 +1709,26 @@ case class MetadataOnlyCountRule(session: SparkSession)
           }
           Some(LocalRelation(agg.output, rows))
         } else {
-          // DECIMAL avg partials cannot merge through the union — see
-          // sumRewrite's identical note; hybrids refuse to plain scan.
-          // Variance moments are full-metadata-only (ditto). Wrapped
-          // shapes ride the union as RAW partials and the merge
-          // substitutes each merged tree into its wrapper.
+          // DECIMAL avg partials merge exactly — see sumRewrite's
+          // identical note (round 20). GROUPED variance moments stay
+          // full-metadata-only (the per-group exact-moment union is
+          // unbuilt). Wrapped shapes ride the union as RAW partials
+          // and the merge substitutes each merged tree into its
+          // wrapper.
           if (shapes.exists(_.exists(_._1 == 7))) return None
+          // avg hybrids (round 20 — the r19 ADVICE low (b) lifted):
+          // DOUBLE buffers merge as running double sums; DECIMAL
+          // buffers merge as exact decimal sums whose widened union
+          // total is bound back to the buffer dtype by Spark's OWN
+          // CheckOverflowInSum (mode-matched at the output arm below:
+          // legacy null / ANSI raise — the same contract the scan's
+          // final sum evaluation applies). Any other buffer dtype
+          // refuses.
           if (shapes.zipWithIndex.exists {
                 case (Some((5, _, _)), ei) =>
-                  avgFns(ei).aggBufferAttributes.head.dataType !=
-                    org.apache.spark.sql.types.DoubleType
+                  val bt = avgFns(ei).aggBufferAttributes.head.dataType
+                  bt != org.apache.spark.sql.types.DoubleType &&
+                    !bt.isInstanceOf[DecimalType]
                 case _ => false
               }) return None
           val cnt = Alias(AggregateExpression(
@@ -1593,15 +1745,22 @@ case class MetadataOnlyCountRule(session: SparkSession)
               val s = i -> off; off += (if (k == 5) 2 else 1); s
             }.toMap
           }
-          val scanAggs = perShape.flatMap { case (k, a, dt, _) =>
-            if (k == 5)
+          val scanAggs = perShape.flatMap { case (k, a, dt, i) =>
+            if (k == 5) {
+              // buffer-typed running sum: DOUBLE for integral
+              // children, the exact DECIMAL(p+10, s) for decimal
+              // children — see sumRewrite's identical note (round 20)
+              val sumChild: Expression =
+                if (avgFns(i).aggBufferAttributes.head.dataType ==
+                    org.apache.spark.sql.types.DoubleType)
+                  Cast(a, org.apache.spark.sql.types.DoubleType)
+                else a
               Seq(
-                Alias(AggregateExpression(Sum(Cast(a,
-                  org.apache.spark.sql.types.DoubleType)), Complete,
+                Alias(AggregateExpression(Sum(sumChild), Complete,
                   isDistinct = false), "gm_part")(),
                 Alias(AggregateExpression(Count(Seq(a)), Complete,
                   isDistinct = false), "gm_partc")())
-            else {
+            } else {
               val child: Expression =
                 if ((k == 1 || k == 2) && a.dataType != dt) Cast(a, dt)
                 else a
@@ -1624,7 +1783,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
               perShape.flatMap { case (k, _, dt, i) =>
                 if (k == 5)
                   Seq(AttributeReference(s"gm_p$i",
-                      org.apache.spark.sql.types.DoubleType)(),
+                      avgFns(i).aggBufferAttributes.head.dataType)(),
                     AttributeReference(s"gm_p${i}c", LongType,
                       nullable = false)())
                 else Seq(AttributeReference(s"gm_p$i", dt)())
@@ -1670,8 +1829,18 @@ case class MetadataOnlyCountRule(session: SparkSession)
                 // per-group (sum, count) — see sumRewrite
                 val fn = avgFns(i)
                 val buf = fn.aggBufferAttributes
-                val sumAgg: Expression = AggregateExpression(
+                val rawSum: Expression = AggregateExpression(
                   Sum(colOf(i)), Complete, isDistinct = false)
+                val sumAgg: Expression = buf(0).dataType match {
+                  case dt: DecimalType =>
+                    // bind the widened union total back to the buffer
+                    // dtype with the scan's own overflow contract —
+                    // Spark's CheckOverflowInSum, mode-matched
+                    org.apache.spark.sql.catalyst.expressions
+                      .CheckOverflowInSum(rawSum, dt,
+                        !session.sessionState.conf.ansiEnabled, null)
+                  case _ => rawSum
+                }
                 val cntAgg: Expression = Coalesce(Seq(
                   AggregateExpression(Sum(colOf2(i)), Complete,
                     isDistinct = false), Literal(0L)))
@@ -1706,6 +1875,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
       }
     case agg @ Aggregate(Nil, exprs, _, _) if exprs.nonEmpty =>
       minMaxRewrite(agg).orElse(distinctCountRewrite(agg))
+        .orElse(approxDistinctRewrite(agg))
         .orElse(sumRewrite(agg)).getOrElse(agg)
     case agg @ Aggregate(Seq(g: AttributeReference), exprs, _, _)
         if exprs.nonEmpty &&
@@ -1714,6 +1884,16 @@ case class MetadataOnlyCountRule(session: SparkSession)
       groupedCountRewrite(agg, g).getOrElse(agg)
     case agg @ Aggregate(Seq(g: AttributeReference), exprs, _, _)
         if exprs.nonEmpty =>
-      groupedSumRewrite(agg, g).getOrElse(agg)
+      groupedApproxDistinctRewrite(agg, g)
+        .orElse(groupedSumRewrite(agg, g)).getOrElse(agg)
   }
+}
+
+object MetadataOnlyCountRule {
+  /** Opt-in gate for the approx-distinct sidecar rewrite: serve
+    * `approx_count_distinct(col)` over a fully-sketched graft
+    * relation from the HLL sidecar merge. DEFAULT OFF — the sidecar
+    * estimate differs from Spark's HLL++ estimate, so the swap must
+    * be an explicit per-session choice, never silent. */
+  val ApproxDistinctSketchKey = "spark.graft.rewrite.approxDistinctSketch"
 }

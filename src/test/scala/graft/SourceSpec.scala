@@ -1926,12 +1926,16 @@ class SourceSpec extends SparkSpec {
       r.getDouble(2))).toSet ==
       Set((100L, 13L, 209.0 / 13.0), (200L, 10L, 119.0 / 7.0),
         (300L, 12L, 66.0 / 2.0)))
-    // GROUPED decimal avg with a scan branch must REFUSE (the union
-    // merge would widen the Average's buffer dtype) — the plain scan
-    // answers, unrestricted
+    // GROUPED decimal avg merges through the hybrid too (round 20 —
+    // the r19 ADVICE low (b) lifted): the scan side sums the decimal
+    // child exactly AT the buffer dtype, the widened union total is
+    // bound back by Spark's own CheckOverflowInSum (mode-matched:
+    // legacy null / ANSI raise), and the division runs once through
+    // Average's own evaluation — byte-identical decimals, with only
+    // the mixed tail scanned
     val gdp = front.groupBy("b").agg(avg(col("p")).as("ap"))
-    assert(!isLocal(gdp) && restrictedOf(gdp).isEmpty,
-      s"grouped decimal avg hybrid must refuse whole:\n${planOf(gdp)}")
+    assert(restrictedOf(gdp) == mixedFile.map(Set(_)),
+      s"grouped decimal avg must scan only the mixed tail:\n${planOf(gdp)}")
     assert(gdp.collect().map(r => (r.getLong(0),
       r.getDecimal(1).toString)).toSet ==
       Set((100L, "14.807692"), (200L, "19.375000"), (300L, "33.437500")))
@@ -1966,13 +1970,19 @@ class SourceSpec extends SparkSpec {
     assert(isLocal(nq))
     assert(nq.collect().head.isNullAt(0))
     // a DV degrades its file into the hybrid scan branch: the merge
-    // divides the union's (sum, count) exactly once
+    // divides the union's (sum, count) exactly once — for BOTH the
+    // double-buffer avg and (round 20) the DECIMAL-buffer avg, whose
+    // exact micro-unit stamp + exact decimal scan partial reproduce
+    // the scan's byte-identical decimal
     Snapshot.deleteWhereDV(spark, dir, 5L, 5L)
-    val dq = front.agg(avg(col("v")).as("av"), count(col("v")).as("nv"))
+    val dq = front.agg(avg(col("v")).as("av"), count(col("v")).as("nv"),
+      avg(col("p")).as("ap"))
     val dvFile = Snapshot.manifest(spark, dir, 5).dvs.keySet
     assert(restrictedOf(dq) == Some(dvFile),
       s"DV'd-file-only scan expected, got:\n${planOf(dq)}")
-    assert(dq.collect().toSeq == Seq(Row(384.0 / 21.0, 21L)))
+    val dqr = dq.collect().head
+    assert(dqr.getDouble(0) == 384.0 / 21.0 && dqr.getLong(1) == 21L &&
+      dqr.getDecimal(2).toString == "22.977941") // 781.25 / 34
     // COMPACTION re-stamps: the compacted head (DV applied) goes back
     // to pure metadata
     Snapshot.compactVersion(spark, dir, Long.MaxValue)
@@ -2483,6 +2493,70 @@ class SourceSpec extends SparkSpec {
       .groupBy(col("v")).agg(count(lit(1)).as("n"))
     assert(!isLocal(w4))
     assert(w4.count() == 10L)
+  }
+
+  test("approx_count_distinct rewrites to the HLL sidecar merge only " +
+    "behind the explicit conf (default off; q178 refusal ladder)") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dir = spark.conf.get("spark.sql.warehouse.dir") +
+      "/graft_ahll_" + java.util.UUID.randomUUID().toString.take(8)
+    def slice(sv: Long, us: Seq[Option[Long]]) =
+      us.zipWithIndex.map { case (u, i) => (sv * 100 + i, sv, u) }
+        .toDF("k", "s", "u")
+    Seq(
+      slice(10L, (1 to 40).map(i => Some(i % 7L))),   // 7 distinct
+      slice(20L, (1 to 40).map(i => Some(i % 19L)))   // 19 distinct
+    ).zipWithIndex.foreach { case (df, i) =>
+      val carried = if (i == 0) Nil else Snapshot.manifest(spark, dir, i).files
+      Snapshot.commit(df, dir, i, "s", carried, nFiles = 1)
+    }
+    Snapshot.optimizeHll(spark, dir, Seq("u"))
+    val m = Snapshot.manifest(spark, dir, 3)
+    val Some((estG, _)) = Snapshot.metaDistinctMeta(m, "u")
+    def isLocal(df: DataFrame): Boolean = {
+      val p = df.queryExecution.optimizedPlan
+      p.collectFirst { case l: LocalRelation => l }.nonEmpty &&
+        p.collectFirst { case lr: LogicalRelation => lr }.isEmpty
+    }
+    // DEFAULT OFF: the plan scans — Spark's own HLL++ answers, the
+    // rewrite must NEVER fire silently (it changes answers)
+    val off = spark.read.format("graft").load(dir)
+      .agg(approx_count_distinct(col("u")).as("e"))
+    assert(!isLocal(off), "the rewrite must never fire silently")
+    // an opted-in session serves the sidecar estimate verbatim from a
+    // LocalRelation, count-star (exact) and literals mixing
+    val ns = spark.newSession()
+    ns.conf.set(
+      graft.plans.MetadataOnlyCountRule.ApproxDistinctSketchKey, "true")
+    val on = ns.read.format("graft").load(dir)
+      .agg(approx_count_distinct(col("u")).as("e"), count(lit(1)).as("n"))
+      .select(col("e"), col("n"), lit("w").as("phase"))
+    assert(isLocal(on),
+      s"opted-in rewrite must serve:\n${on.queryExecution.optimizedPlan}")
+    assert(on.collect().toSeq == Seq(Row(estG, 80L, "w")))
+    // a request TIGHTER than the sketch's rsd (p=12 ~ 0.016) refuses —
+    // the rewrite never serves a looser estimate than asked
+    val tight = ns.read.format("graft").load(dir)
+      .agg(approx_count_distinct(col("u"), 0.005).as("e"))
+    assert(!isLocal(tight), "a tighter-than-sketch rsd must refuse")
+    // grouped: per-band estimates verbatim from the grouped merge
+    val Some((estB, _)) = Snapshot.metaGroupDistinctMeta(m, "s",
+      gIsClustering = true, "u")
+    val gon = ns.read.format("graft").load(dir)
+      .groupBy(col("s")).agg(approx_count_distinct(col("u")).as("e"))
+    assert(isLocal(gon),
+      s"grouped opt-in must serve:\n${gon.queryExecution.optimizedPlan}")
+    assert(gon.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      estB.map { case (k, v) => (k.get, v) }.toSet)
+    // a DV refuses both shapes to the plain scan (even opted-in) —
+    // the clustering column is s, so mask the s=10 band
+    Snapshot.deleteWhereDV(spark, dir, 10L, 10L)
+    assert(!isLocal(ns.read.format("graft").load(dir)
+      .agg(approx_count_distinct(col("u")).as("e"))))
+    assert(!isLocal(ns.read.format("graft").load(dir)
+      .groupBy(col("s")).agg(approx_count_distinct(col("u")).as("e"))))
   }
 
   test("per-group HLL estimates: distinct-per-band from sketches, " +
