@@ -1652,6 +1652,20 @@ case class MetadataOnlyCountRule(session: SparkSession)
               avgSumBuffer(avgFns(ei), a, st, any).map(sv => (sv, cnt))
             case _ => None
           }
+        // raw per-group stamped (Σx, Σx², n) triple for a variance
+        // OUTPUT — exact integers the hybrid merges undivided
+        def momPartOf(cs: Seq[Snapshot.StampAcc], a: AttributeReference)
+            : Option[(Any, Any, Long)] =
+          (cs(sumIdxOf(a)), cs(cntIdxOf(a)), cs(sqIdxOf(a))) match {
+            case (Snapshot.SumAcc(sx, anyX), Snapshot.SumAcc(cnt, _),
+                Snapshot.SumAcc(sq, anyQ)) =>
+              Some((if (anyX) org.apache.spark.sql.types.Decimal(
+                  scala.math.BigDecimal(sx), 38, 0) else null,
+                if (anyQ) org.apache.spark.sql.types.Decimal(
+                  scala.math.BigDecimal(sq), 38, 0) else null,
+                cnt))
+            case _ => None
+          }
         // decode every group's stamped measures up front — one
         // corrupted stamp refuses the whole rewrite
         def decode(cs: Seq[Snapshot.StampAcc], kind: Int,
@@ -1688,13 +1702,16 @@ case class MetadataOnlyCountRule(session: SparkSession)
             case (None, _) => None
           }, shapes.zipWithIndex.collect {
             case (Some((5, a, _)), ei) => ei -> avgPartOf(cs, a, ei)
+          }.toMap, shapes.zipWithIndex.collect {
+            case (Some((7, a, _)), ei) => ei -> momPartOf(cs, a)
           }.toMap)
         }
         if (decoded.valuesIterator.exists(t => t._2.exists(_.isEmpty) ||
-            t._3.valuesIterator.exists(_.isEmpty))) None
+            t._3.valuesIterator.exists(_.isEmpty) ||
+            t._4.valuesIterator.exists(_.isEmpty))) None
         else if (scan.size == m.files.size) None
         else if (scan.isEmpty) {
-          val rows = decoded.toSeq.map { case (k, (_, vs, _)) =>
+          val rows = decoded.toSeq.map { case (k, (_, vs, _, _)) =>
             shapes.zip(vs).zipWithIndex.map {
               case ((Some((4, _, _)), _), _) =>
                 Some(k.map(typed).orNull: Any)
@@ -1709,13 +1726,21 @@ case class MetadataOnlyCountRule(session: SparkSession)
           }
           Some(LocalRelation(agg.output, rows))
         } else {
-          // DECIMAL avg partials merge exactly — see sumRewrite's
-          // identical note (round 20). GROUPED variance moments stay
-          // full-metadata-only (the per-group exact-moment union is
-          // unbuilt). Wrapped shapes ride the union as RAW partials
-          // and the merge substitutes each merged tree into its
-          // wrapper.
-          if (shapes.exists(_.exists(_._1 == 7))) return None
+          // DECIMAL avg partials merge exactly, and GROUPED variance
+          // moments merge exactly too — see sumRewrite's identical
+          // notes (round 20): exact DECIMAL(38,0) per-group scan
+          // partials under the sq:-stamp-present guard. Wrapped
+          // shapes ride the union as RAW partials and the merge
+          // substitutes each merged tree into its wrapper.
+          locally {
+            val momAttrs = shapes.zipWithIndex.collect {
+              case (Some((7, a, _)), _) => a
+            }
+            if (momAttrs.nonEmpty && scan.exists(f => momAttrs.exists(
+                a => !m.colStats.contains((f.path,
+                  Snapshot.SqPfx + Snapshot.physicalName(m, a.name))))))
+              return None
+          }
           // avg hybrids (round 20 — the r19 ADVICE low (b) lifted):
           // DOUBLE buffers merge as running double sums; DECIMAL
           // buffers merge as exact decimal sums whose widened union
@@ -1735,14 +1760,17 @@ case class MetadataOnlyCountRule(session: SparkSession)
             Count(Seq(Literal(1L))), Complete, isDistinct = false),
             "gm_part_cnt")()
           val perShape = shapes.zipWithIndex.collect {
-            case (Some((k, a, dt)), i) if k <= 2 || k == 5 || k == 6 =>
+            case (Some((k, a, dt)), i)
+                if k <= 2 || k == 5 || k == 6 || k == 7 =>
               (k, a, dt, i)
           }
-          // slot layout over the partial columns (avg takes two)
+          // slot layout over the partial columns (avg takes two,
+          // variance three)
           val slotOf: Map[Int, Int] = {
             var off = 0
             perShape.map { case (k, _, _, i) =>
-              val s = i -> off; off += (if (k == 5) 2 else 1); s
+              val s = i -> off
+              off += (if (k == 5) 2 else if (k == 7) 3 else 1); s
             }.toMap
           }
           val scanAggs = perShape.flatMap { case (k, a, dt, i) =>
@@ -1758,6 +1786,17 @@ case class MetadataOnlyCountRule(session: SparkSession)
               Seq(
                 Alias(AggregateExpression(Sum(sumChild), Complete,
                   isDistinct = false), "gm_part")(),
+                Alias(AggregateExpression(Count(Seq(a)), Complete,
+                  isDistinct = false), "gm_partc")())
+            } else if (k == 7) {
+              // exact per-group integer moments — see sumRewrite's
+              // identical kind-7 note
+              val dx = Cast(a, DecimalType(38, 0))
+              Seq(
+                Alias(AggregateExpression(Sum(dx), Complete,
+                  isDistinct = false), "gm_part")(),
+                Alias(AggregateExpression(Sum(Multiply(dx, dx)),
+                  Complete, isDistinct = false), "gm_partq")(),
                 Alias(AggregateExpression(Count(Seq(a)), Complete,
                   isDistinct = false), "gm_partc")())
             } else {
@@ -1786,16 +1825,24 @@ case class MetadataOnlyCountRule(session: SparkSession)
                       avgFns(i).aggBufferAttributes.head.dataType)(),
                     AttributeReference(s"gm_p${i}c", LongType,
                       nullable = false)())
+                else if (k == 7)
+                  Seq(AttributeReference(s"gm_p$i", DecimalType(38, 0))(),
+                    AttributeReference(s"gm_p${i}q", DecimalType(38, 0))(),
+                    AttributeReference(s"gm_p${i}c", LongType,
+                      nullable = false)())
                 else Seq(AttributeReference(s"gm_p$i", dt)())
               }
           val local = LocalRelation(localOut,
-            decoded.toSeq.map { case (k, (n, vs, ps)) =>
+            decoded.toSeq.map { case (k, (n, vs, ps, ms)) =>
               InternalRow.fromSeq(
                 k.map(typed).orNull +: (n: Any) +:
                   perShape.flatMap { case (kk, _, _, i) =>
                     if (kk == 5) {
                       val (sv, c) = ps(i).get // clean by the guard
                       Seq(sv, c: Any)
+                    } else if (kk == 7) {
+                      val (sx, sq, c) = ms(i).get // clean by the guard
+                      Seq(sx, sq, c: Any)
                     } else Seq(vs(i).get)
                   })
             })
@@ -1804,6 +1851,7 @@ case class MetadataOnlyCountRule(session: SparkSession)
           val uc = un.output(1)
           def colOf(i: Int): Attribute = un.output(2 + slotOf(i))
           def colOf2(i: Int): Attribute = un.output(3 + slotOf(i))
+          def colOf3(i: Int): Attribute = un.output(4 + slotOf(i))
           val outs = agg.aggregateExpressions.zip(shapes).zipWithIndex
             .map {
               case ((e, Some((4, _, _))), _) =>
@@ -1852,6 +1900,35 @@ case class MetadataOnlyCountRule(session: SparkSession)
                         if r.exprId == buf(1).exprId => cntAgg
                   }
                 Alias(finishExpr(i, ev), e.name)(exprId = e.exprId)
+              case ((e, Some((7, _, _))), i) =>
+                // per-group merged exact moments through the SAME
+                // deterministic chain — see sumRewrite's kind-7 arm
+                val fn = momFns(i)
+                val buf = fn.aggBufferAttributes
+                val zeroD = Literal.create(
+                  org.apache.spark.sql.types.Decimal(0L, 38, 0),
+                  DecimalType(38, 0))
+                val sxAgg: Expression = Coalesce(Seq(AggregateExpression(
+                  Sum(colOf(i)), Complete, isDistinct = false), zeroD))
+                val sqAgg: Expression = Coalesce(Seq(AggregateExpression(
+                  Sum(colOf2(i)), Complete, isDistinct = false), zeroD))
+                val cntAgg: Expression = Coalesce(Seq(AggregateExpression(
+                  Sum(colOf3(i)), Complete, isDistinct = false),
+                  Literal(0L)))
+                val nD = Cast(cntAgg, DoubleType)
+                val avgE = If(EqualTo(cntAgg, Literal(0L)),
+                  Literal(0.0), Divide(Cast(sxAgg, DoubleType), nD))
+                val m2E = graft.expressions.MomentM2(cntAgg, sxAgg, sqAgg)
+                val ev2 = (fn: DeclarativeAggregate).evaluateExpression
+                  .transform {
+                    case r: AttributeReference
+                        if r.exprId == buf(0).exprId => nD
+                    case r: AttributeReference
+                        if r.exprId == buf(1).exprId => avgE
+                    case r: AttributeReference
+                        if r.exprId == buf(2).exprId => m2E
+                  }
+                Alias(finishExpr(i, ev2), e.name)(exprId = e.exprId)
               case ((e, Some((k, _, _))), i) =>
                 val fn: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction =
                   if (k == 1) Min(colOf(i)) else Max(colOf(i))

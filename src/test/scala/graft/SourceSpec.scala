@@ -2211,6 +2211,18 @@ class SourceSpec extends SparkSpec {
     assert(dr.getDouble(1) == d16 / 16.0 / 16.0)
     assert(dr.getDouble(2) == math.sqrt(d16 / 16.0 / 15.0))
     assert(dr.getLong(3) == 29L)
+    // the GROUPED hybrid rides the same guard (round 20): the DV'd
+    // band scans restricted, stamped bands serve from their moments,
+    // merged per group through the same deterministic chain; the
+    // all-NULL band still answers NULL
+    val gdv = front.groupBy("b").agg(var_samp(col("v")).as("vs"))
+    assert(restrictedOf(gdv) == Some(dvFile),
+      s"grouped DV'd-file-only scan expected:\n${planOf(gdv)}")
+    // band 100 post-DV: 9 values, sx=100, sxx=1440 -> D=2960
+    assert(gdv.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSet ==
+      Set((100L, 2960.0 / 9.0 / 8.0), (200L, 196.0 / 7.0 / 6.0),
+        (300L, -1.0)))
     // the bigsq fixture pins the other side of the guard above: a
     // file MISSING its sq: stamp proves nothing about its values and
     // still refuses whole (bq asserts it)
