@@ -256,15 +256,33 @@ case class SipJoinRule(session: SparkSession)
       case _ => false
     }
     if (!nonKeyFiltered) return None
-    // a subtree containing a JOIN never runs as a planning job: the
-    // summary would EXECUTE that join at planning time (in a multi-dim
-    // star the "dim side" of the outer join is fact ⋈ dim1 — its
-    // filtered sibling also makes the fact side look freshly
-    // non-key-filtered in the reverse direction, so without this guard
-    // a two-dim star pays four join-sized jobs instead of two bounded
-    // dim scans). The static envelope still serves such sides; the
-    // verb remains the explicit spelling when a caller wants more.
-    if (plan.exists(_.isInstanceOf[Join])) return None
+    // a subtree containing a JOIN normally never runs as a planning
+    // job: the summary would EXECUTE that join at planning time (in a
+    // multi-dim star the "dim side" of the outer join is fact ⋈ dim1
+    // — its filtered sibling also makes the fact side look freshly
+    // non-key-filtered in the reverse direction, so without this
+    // guard a two-dim star pays four join-sized jobs instead of two
+    // bounded dim scans). SNOWFLAKE exception (round 20 — the r19
+    // verdict's 7(b)): under PLAN-SCOPED arming, a join-containing
+    // dim side whose subtree does NOT contain the armed fact relation
+    // is a dim-of-dim tree (`dim1 ⋈ subdim WHERE subdim.region = …` —
+    // the subquery spelling of the snowflake edge), every leaf of
+    // which still passes the byte bound below: the bounded job runs
+    // the dim-side join and prunes fact files by the SLICE's keys,
+    // which neither edge's static envelope can see. The star shape
+    // stays refused (the armed fact lives inside its outer dim side),
+    // and session-wide arming keeps the r19 refusal (no marker to
+    // tell the shapes apart).
+    if (plan.exists(_.isInstanceOf[Join])) {
+      val armedInside = plan.exists {
+        case lr: LogicalRelation => lr.relation match {
+          case g: GraftRelation => g.sipDynamicOptIn
+          case _ => false
+        }
+        case _ => false
+      }
+      if (dynamicEnabled || armedInside) return None
+    }
     if (plan.isStreaming) return None
     if (plan.exists(p => p.isInstanceOf[Sample] ||
         p.expressions.exists(e => !e.deterministic))) return None

@@ -479,6 +479,64 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     assert(sorted(d).map(_.getLong(0)).toSet == (310L to 320L).toSet)
   }
 
+  test("dynamic SIP through a SNOWFLAKE dim (plan-scoped): the " +
+    "dim-of-dim join runs as ONE bounded job; session-wide arming " +
+    "keeps the r19 join refusal") {
+    import spark.implicits._
+    val fdir = fresh("snowfact")
+    (1L to 800L).map(k => (k, k % 7)).toDF("k", "v")
+      .write.format("graft").option("statsCol", "k")
+      .option("nFiles", "8").save(fdir)
+    // dim1 carries the fact key dk and a snow key sx = dk/10; the
+    // subdim selects ONE sx (31 → dk 310..319) via a non-key tag —
+    // a slice invisible to dim1's own stamps AND to any filter ON
+    // dim1: only running the dim-of-dim join can see it
+    val d1 = fresh("snowdim1")
+    (1L to 800L).map(k => (k, k / 10)).toDF("dk", "sx")
+      .write.format("graft").option("statsCol", "dk").save(d1)
+    val sd = fresh("snowsub")
+    (0L to 80L).map(x => (x, if (x == 31L) "hit" else "miss"))
+      .toDF("sx2", "t")
+      .write.format("graft").option("statsCol", "sx2").save(sd)
+    def dimTree = spark.read.format("graft").load(d1)
+      .join(spark.read.format("graft").load(sd)
+        .filter(col("t") === "hit"), col("sx") === col("sx2"))
+    assert(spark.conf.getOption("spark.graft.sipRule.dynamic").isEmpty,
+      "fixture: the session-wide dynamic conf must be unset here")
+    val optFact = spark.read.format("graft")
+      .option("sipDynamic", "true").load(fdir)
+    val j0 = jobs()
+    val q = optFact.join(dimTree, col("k") === col("dk"))
+    q.queryExecution.optimizedPlan
+    // exactly ONE bounded planning job — the dim-of-dim tree itself —
+    // and the slice's 10 actual keys land as the IN on the fact scan
+    assert(jobs() - j0 == 1,
+      s"one snowflake job expected, got ${jobs() - j0}")
+    assert(inLists(q, "k").contains(10),
+      s"expected the slice's 10-key IN on the fact scan:\n" +
+        q.queryExecution.optimizedPlan.treeString)
+    val qRows = sorted(q)
+    assert(qRows.map(_.getLong(0)).toSet == (310L to 319L).toSet)
+    // A/B: rule off answers identically
+    assert(withRuleOff {
+      sorted(spark.read.format("graft").load(fdir)
+        .join(dimTree, col("k") === col("dk")))
+    } == qRows)
+    // SESSION-WIDE arming keeps the r19 refusal for join-containing
+    // dim sides (no marker to tell snowflake from star): the plain
+    // fact's k keeps its static leaf envelope, never the slice IN
+    withDynamic {
+      val pq = spark.read.format("graft").load(fdir)
+        .join(dimTree, col("k") === col("dk"))
+      pq.queryExecution.optimizedPlan
+      assert(inLists(pq, "k").isEmpty,
+        s"session-wide must not run the join-subtree job:\n" +
+          pq.queryExecution.optimizedPlan.treeString)
+      assert(bounds(pq, "k").toSet == Set((">=", 1L), ("<=", 800L)),
+        s"static leaf envelope expected, got ${bounds(pq, "k")}")
+    }
+  }
+
   test("dynamic SIP across a TWO-DIM star join: one job per dim edge, " +
     "both injections land") {
     import spark.implicits._
