@@ -693,6 +693,50 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The q183 fixture: [[momentOrders]]' three scode bands rebuilt in
+    * a twin dir, then ONE partial deletion vector inside band 70
+    * (`order_key % 5 == 0` — a predicate no stamp can re-derive), so
+    * the moment rewrites must take the HYBRID arm: band 70 scans
+    * restricted under its mask, bands 79/80 serve from stamps.
+    * Idempotent per (session, sf); partial builds fail loudly. */
+  private[graft] def momentOrdersDv(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#momentdv", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_momentdv_$sfx"
+          val cur0 = Snapshot.currentVersion(s, dir)
+          val complete = cur0 == 4 &&
+            Snapshot.manifest(s, dir, 4).dvs.nonEmpty
+          if (!complete && cur0 > 0)
+            throw new IllegalStateException(
+              s"momentOrdersDv table under $dir exists at v$cur0 " +
+                "without the planted DV (partial build) — delete the " +
+                "table dir and rebuild")
+          if (!complete) {
+            val base = T.orders(s, d).select(
+              ascii(col("o_orderstatus")).as("scode"),
+              col("o_orderkey").as("order_key"),
+              (ascii(col("o_orderstatus")) - 5).as("rcode"),
+              (col("o_orderkey") % 97 === 0).as("tail"))
+            val slices = Seq(
+              base.filter(col("scode") === 70 && !col("tail")),
+              base.filter(col("scode") === 79 && !col("tail")),
+              base.filter(col("scode") === 80))
+            slices.zipWithIndex.foreach { case (df, i) =>
+              val carried =
+                if (i == 0) Nil else Snapshot.manifest(s, dir, i).files
+              Snapshot.commit(df.drop("tail"), dir, i, "scode", carried,
+                nFiles = 1)
+            }
+            Snapshot.deleteWhereDV(s, dir, 70L, 70L,
+              residual = col("order_key") % 5 === 0)
+          }
+          dir
+        })
+    }
+
   /** The q178 fixture: all orders as 4 order_key-clustered files, then
     * ONE [[Snapshot.optimizeHll]] commit sketching the high-cardinality
     * key and the 3-value rcode (v2). Idempotent per (session, sf);
@@ -2207,6 +2251,64 @@ object Warehouse extends QueryModule {
           lit(0L).as("n_scan_est"))
     }),
 
+    "q183_agg_meta_moments_dv" -> ((s, d) => {
+      // HYBRID variance/stddev IN THE ORACLE GATE ([[momentOrdersDv]]
+      // → the round-20 kind-7 hybrid arm): a PARTIAL deletion vector
+      // inside band 70 (`order_key % 5 == 0` — underivable from
+      // stamps) forces the moment rewrites into the exact merge —
+      // band 70 scans RESTRICTED under its mask, aggregating Σx/Σx²
+      // as DECIMAL(38,0) exact integers (the sq: stamp's per-row gate
+      // proves every scanned value bounded), bands 79/80 serve from
+      // stamps, and the union runs the SAME deterministic chain as
+      // the pure-stamp arm (MomentM2's BigInt difference, one double
+      // conversion, the aggregate's own evaluation) — which is what
+      // lets a DV'd variance be ORACLED at all: DuckDB reproduces the
+      // identical IEEE chain over exact HUGEINT moments of the
+      // unmasked rows. Three phases mirror q179: `global` (hybrid —
+      // n_scan pins the DV'd file as the ONLY scan), `group` BY the
+      // non-clustering rcode (hybrid, same single file), `window`
+      // scode >= 79 (the DV'd band lies wholly OUTSIDE the window and
+      // VANISHES — pure metadata, n_scan 0).
+      val dir = momentOrdersDv(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val specs = Seq(Snapshot.SumSpec("order_key"),
+        Snapshot.CountSpec("order_key"),
+        Snapshot.SumSpec("order_key", Snapshot.SqPfx))
+      val (_, _, _, scanG) = Snapshot.metaAggSplitCols(m, specs)
+      require(scanG.map(_.path).toSet == m.dvs.keySet,
+        "exactly the DV'd band must degrade into the hybrid scan")
+      val (_, scanGrp) = Snapshot.metaGroupAggSplitCols(m, "rcode",
+        gIsClustering = false, specs)
+      require(scanGrp.map(_.path).toSet == m.dvs.keySet,
+        "the grouped split must degrade the same single file")
+      val (_, _, _, scanW) = Snapshot.metaAggSplitCols(m, specs,
+        bounds = Some((79L, Long.MaxValue)))
+      require(scanW.isEmpty,
+        "the DV'd band lies outside the window and must vanish")
+      val fd = s.read.format("graft").load(dir)
+      val nullD = lit(null).cast("double")
+      val glob = fd.agg(count(lit(1)).as("n"),
+          var_samp(col("order_key")).as("vs"),
+          var_pop(col("order_key")).as("vp"),
+          stddev_samp(col("order_key")).as("ss"),
+          stddev_pop(col("order_key")).as("sp"))
+        .select(lit("global").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("vs"), col("vp"), col("ss"), col("sp"),
+          lit(scanG.size.toLong).as("n_scan"))
+      val grp = fd.groupBy(col("rcode"))
+        .agg(count(lit(1)).as("n"), var_samp(col("order_key")).as("vs"))
+        .select(lit("group").as("phase"), col("rcode"), col("n"),
+          col("vs"), nullD.as("vp"), nullD.as("ss"), nullD.as("sp"),
+          lit(scanGrp.size.toLong).as("n_scan"))
+      val win = fd.filter(col("scode") >= 79)
+        .agg(count(lit(1)).as("n"), var_samp(col("order_key")).as("vs"))
+        .select(lit("window").as("phase"), lit(-1).as("rcode"),
+          col("n"), col("vs"), nullD.as("vp"), nullD.as("ss"),
+          nullD.as("sp"), lit(scanW.size.toLong).as("n_scan"))
+      glob.unionAll(grp).unionAll(win)
+        .orderBy(col("phase"), col("rcode"))
+    }),
+
     "q182_approx_rewrite" -> ((s, d) => {
       // CONF-GATED approx_count_distinct REWRITE ([[hllOrders]] →
       // [[graft.plans.MetadataOnlyCountRule.approxDistinctRewrite]],
@@ -3334,6 +3436,51 @@ object Warehouse extends QueryModule {
         |       TRUE AS key_within_10pct, TRUE AS rcode_exact,
         |       CAST(0 AS BIGINT) AS n_scan_est
         |FROM orders""".stripMargin,
+
+    // the hybrid moments' truth: the identical IEEE chain over exact
+    // HUGEINT moments of the UNMASKED rows (the DV's predicate
+    // re-applied); n_scan pins the DV'd band as the only scan in the
+    // hybrid phases and the window's zero
+    "q183_agg_meta_moments_dv" ->
+      """WITH st AS (SELECT ascii(o_orderstatus) - 5 AS rcode,
+        |                   ascii(o_orderstatus) AS scode,
+        |                   o_orderkey AS k FROM orders
+        |            WHERE NOT (o_orderkey % 97 = 0 AND
+        |                       ascii(o_orderstatus) IN (70, 79))),
+        |live AS (SELECT * FROM st
+        |         WHERE NOT (scode = 70 AND k % 5 = 0)),
+        |mg AS (SELECT count(*) AS n, CAST(sum(k) AS HUGEINT) AS sx,
+        |              CAST(sum(k * k) AS HUGEINT) AS sxx FROM live),
+        |mr AS (SELECT rcode, count(*) AS n,
+        |              CAST(sum(k) AS HUGEINT) AS sx,
+        |              CAST(sum(k * k) AS HUGEINT) AS sxx
+        |       FROM live GROUP BY rcode),
+        |mw AS (SELECT count(*) AS n, CAST(sum(k) AS HUGEINT) AS sx,
+        |              CAST(sum(k * k) AS HUGEINT) AS sxx
+        |       FROM live WHERE scode >= 79)
+        |SELECT phase, rcode, n, vs, vp, ss, sp, n_scan FROM (
+        |  SELECT 'global' AS phase, CAST(-1 AS INT) AS rcode, n,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1) AS vs,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / n AS vp,
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1))
+        |           AS ss,
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / n) AS sp,
+        |         CAST(1 AS BIGINT) AS n_scan
+        |  FROM mg
+        |  UNION ALL
+        |  SELECT 'group', rcode, n,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         CAST(NULL AS DOUBLE), CAST(1 AS BIGINT)
+        |  FROM mr
+        |  UNION ALL
+        |  SELECT 'window', CAST(-1 AS INT), n,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1),
+        |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |         CAST(NULL AS DOUBLE), CAST(0 AS BIGINT)
+        |  FROM mw)
+        |ORDER BY phase, rcode
+        |""".stripMargin,
 
     // the conf-gated rewrite's truth: the same q178 certificates plus
     // the plan witness (LocalRelation served) and the exact metadata

@@ -2373,7 +2373,8 @@ class SourceSpec extends SparkSpec {
       "q166_stats_count", "q167_stats_range", "q168_stats_minmax",
       "q171_group_meta", "q172_stats_dcount", "q173_group_meta_col",
       "q175_agg_meta_sum", "q176_agg_meta_extrema", "q177_agg_meta_avg",
-      "q179_agg_meta_moments", "q180_agg_meta_gwindow")
+      "q179_agg_meta_moments", "q180_agg_meta_gwindow",
+      "q183_agg_meta_moments_dv")
     val bad = metaFamily.flatMap { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       val plan = df.queryExecution.optimizedPlan
