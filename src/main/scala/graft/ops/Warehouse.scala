@@ -719,6 +719,7 @@ object Warehouse extends QueryModule {
               ascii(col("o_orderstatus")).as("scode"),
               col("o_orderkey").as("order_key"),
               (ascii(col("o_orderstatus")) - 5).as("rcode"),
+              F.dec2(col("o_totalprice")).as("p"),
               (col("o_orderkey") % 97 === 0).as("tail"))
             val slices = Seq(
               base.filter(col("scode") === 70 && !col("tail")),
@@ -2309,6 +2310,55 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("rcode"))
     }),
 
+    "q184_agg_meta_avg_dv" -> ((s, d) => {
+      // HYBRID DECIMAL AVG IN THE ORACLE GATE ([[momentOrdersDv]] →
+      // the round-20 decimal-buffer hybrid lift): the DV'd band's
+      // restricted scan sums the decimal price exactly AT the buffer
+      // dtype, the widened union total is bound back by the
+      // mode-matched CheckOverflowInSum, and Average's own
+      // DecimalDivideWithOverflowCheck divides once (half-up to
+      // scale+4) — exact and deterministic on BOTH sides of the
+      // union, which is what lets a deletion-vectored decimal AVG be
+      // ORACLED: DuckDB reproduces the identical micro-unit half-up
+      // chain over exact HUGEINT cents of the unmasked rows. Phases:
+      // `global` hybrid (n_scan pins the DV'd file as the only scan),
+      // `group` BY the non-clustering rcode (the GROUPED decimal
+      // hybrid — this round's lift), `window` scode >= 79 (the DV'd
+      // band vanishes — pure metadata, n_scan 0). The micro-unit
+      // projection sits above each aggregate and rides the wrapper
+      // machinery once CollapseProject folds it in.
+      val dir = momentOrdersDv(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val specs = Seq(Snapshot.SumSpec("p"), Snapshot.CountSpec("p"))
+      val (_, _, _, scanG) = Snapshot.metaAggSplitCols(m, specs)
+      require(scanG.map(_.path).toSet == m.dvs.keySet,
+        "exactly the DV'd band must degrade into the avg hybrid scan")
+      val (_, scanGrp) = Snapshot.metaGroupAggSplitCols(m, "rcode",
+        gIsClustering = false, specs)
+      require(scanGrp.map(_.path).toSet == m.dvs.keySet,
+        "the grouped split must degrade the same single file")
+      val (_, _, _, scanW) = Snapshot.metaAggSplitCols(m, specs,
+        bounds = Some((79L, Long.MaxValue)))
+      require(scanW.isEmpty,
+        "the DV'd band lies outside the window and must vanish")
+      val fd = s.read.format("graft").load(dir)
+      def phase(df: DataFrame, name: String,
+          rcode: org.apache.spark.sql.Column, nScan: Long): DataFrame =
+        df.select(lit(name).as("phase"), rcode.as("rcode"), col("n"),
+          (col("apd") * lit(1000000)).cast("long").as("ap_micros"),
+          lit(nScan).as("n_scan"))
+      val glob = phase(fd.agg(count(lit(1)).as("n"),
+        avg(col("p")).as("apd")), "global", lit(-1), scanG.size.toLong)
+      val grp = phase(fd.groupBy(col("rcode"))
+        .agg(count(lit(1)).as("n"), avg(col("p")).as("apd")),
+        "group", col("rcode"), scanGrp.size.toLong)
+      val win = phase(fd.filter(col("scode") >= 79)
+        .agg(count(lit(1)).as("n"), avg(col("p")).as("apd")),
+        "window", lit(-1), scanW.size.toLong)
+      glob.unionAll(grp).unionAll(win)
+        .orderBy(col("phase"), col("rcode"))
+    }),
+
     "q182_approx_rewrite" -> ((s, d) => {
       // CONF-GATED approx_count_distinct REWRITE ([[hllOrders]] →
       // [[graft.plans.MetadataOnlyCountRule.approxDistinctRewrite]],
@@ -3479,6 +3529,40 @@ object Warehouse extends QueryModule {
         |         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
         |         CAST(NULL AS DOUBLE), CAST(0 AS BIGINT)
         |  FROM mw)
+        |ORDER BY phase, rcode
+        |""".stripMargin,
+
+    // the hybrid decimal avg's truth: the q177 micro-unit half-up
+    // chain over exact HUGEINT cents of the UNMASKED rows
+    "q184_agg_meta_avg_dv" ->
+      """WITH st AS (SELECT ascii(o_orderstatus) - 5 AS rcode,
+        |                   ascii(o_orderstatus) AS scode,
+        |                   o_orderkey AS k,
+        |                   CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |            FROM orders
+        |            WHERE NOT (o_orderkey % 97 = 0 AND
+        |                       ascii(o_orderstatus) IN (70, 79))),
+        |live AS (SELECT * FROM st
+        |         WHERE NOT (scode = 70 AND k % 5 = 0))
+        |SELECT phase, rcode, n, ap_micros, n_scan FROM (
+        |  SELECT 'global' AS phase, CAST(-1 AS INT) AS rcode,
+        |         count(*) AS n,
+        |         CAST((2 * CAST(sum(p) * 1000000 AS HUGEINT) + count(*))
+        |              // (2 * count(*)) AS BIGINT) AS ap_micros,
+        |         CAST(1 AS BIGINT) AS n_scan
+        |  FROM live
+        |  UNION ALL
+        |  SELECT 'group', rcode, count(*),
+        |         CAST((2 * CAST(sum(p) * 1000000 AS HUGEINT) + count(*))
+        |              // (2 * count(*)) AS BIGINT),
+        |         CAST(1 AS BIGINT)
+        |  FROM live GROUP BY rcode
+        |  UNION ALL
+        |  SELECT 'window', CAST(-1 AS INT), count(*),
+        |         CAST((2 * CAST(sum(p) * 1000000 AS HUGEINT) + count(*))
+        |              // (2 * count(*)) AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  FROM live WHERE scode >= 79)
         |ORDER BY phase, rcode
         |""".stripMargin,
 
