@@ -203,8 +203,10 @@ class PropertySpec extends SparkSpec {
     // ulps, which is exactly why the stamped answer (deterministic,
     // exact-to-one-rounding) exists. The property pins the two within
     // relative 1e-9 and the NULL patterns identical, across random
-    // values, NULL mixes, and layouts (DVs refuse to the scan, where
-    // equality is trivial — still exercised via the generator).
+    // values, NULL mixes, layouts, and (round 20) random DELETION
+    // VECTORS — which route the moment rewrites through the exact
+    // HYBRID merge arm (or, when every file degrades, the plain
+    // scan; both must keep the contract).
     import spark.implicits._
     import graft.ops.Snapshot
     val rowGen: Gen[(Option[Long], Option[Long])] = for {
@@ -215,13 +217,15 @@ class PropertySpec extends SparkSpec {
     } yield (k, v)
     var n = 0
     check(Prop.forAll(Gen.nonEmptyListOf(rowGen), Gen.choose(1, 4),
-      Gen.oneOf(true, false)) { (rows, nf, byValue) =>
+      Gen.oneOf(true, false),
+      Gen.option(Gen.choose(1L, 4L))) { (rows, nf, byValue, dvKey) =>
       n += 1
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_varprop_$n").toString + "/t"
       val df = rows.toDF("k", "v")
       if (byValue) Snapshot.commitByValue(df, dir, 0, "k")
       else Snapshot.commit(df, dir, 0, "k", nFiles = nf)
+      dvKey.foreach(dk => Snapshot.deleteWhereDV(spark, dir, dk, dk))
       def shapes(d: org.apache.spark.sql.DataFrame) = Seq(
         d.agg(var_samp(col("v")).as("vs"), var_pop(col("v")).as("vp"),
           stddev_samp(col("v")).as("ss")),
