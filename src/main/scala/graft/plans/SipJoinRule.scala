@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThanOrEqual, In, InSubquery, LessThanOrEqual, ListQuery, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSubquery, LessThan, LessThanOrEqual, ListQuery, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Project, Sample, Sort, SubqueryAlias, UnaryNode, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -312,14 +312,201 @@ case class SipJoinRule(session: SparkSession)
     } finally inDynamicJob.set(false)
   }
 
+  /** Like [[leafOf]], additionally collecting the Filter conjuncts on
+    * the path — each applies to (a superset of) the leaf rows whose
+    * `a` values can reach the join, so translating them into FILE
+    * candidacy over-approximates the surviving key set (conjuncts
+    * referencing non-leaf attributes are simply ignored later, which
+    * only widens further — always sound). */
+  private def leafWithFilters(plan: LogicalPlan, a: Attribute,
+      acc: Seq[Expression])
+      : Option[(LogicalPlan, Seq[Expression])] = plan match {
+    case lr: LogicalRelation if lr.output.exists(_.exprId == a.exprId) =>
+      Some((lr, acc))
+    case loc: LocalRelation if loc.output.exists(_.exprId == a.exprId) =>
+      Some((loc, acc))
+    case f: Filter =>
+      descends(f, a).flatMap(leafWithFilters(_, a,
+        acc ++ splitConjunctivePredicates(f.condition)))
+    case p => descends(p, a).flatMap(leafWithFilters(_, a, acc))
+  }
+
+  /** The (integral/date ranges, string ranges) a conjunct set pins on
+    * LEAF columns — only the comparison shapes
+    * [[Snapshot.candidateFilesCols]] can act on; every other conjunct
+    * is ignored (it can only shrink the true set further). Values are
+    * widened to the Long/String stamp encodings. */
+  private def fileConstraints(conds: Seq[Expression],
+      lr: LogicalRelation, m: Snapshot.Manifest)
+      : (Seq[(String, Long, Long)],
+        Seq[(String, Option[String], Option[String])]) = {
+    val rb = Seq.newBuilder[(String, Long, Long)]
+    val sb = Seq.newBuilder[(String, Option[String], Option[String])]
+    def leafAttr(e: Expression): Option[AttributeReference] =
+      attrOf(e).filter(x => lr.output.exists(_.exprId == x.exprId))
+    def longOf(l: Literal): Option[Long] =
+      if (l.value == null) None
+      else l.dataType match {
+        case ByteType    => Some(l.value.asInstanceOf[Byte].toLong)
+        case ShortType   => Some(l.value.asInstanceOf[Short].toLong)
+        case IntegerType | DateType =>
+          Some(l.value.asInstanceOf[Int].toLong)
+        case LongType    => Some(l.value.asInstanceOf[Long])
+        case _ => None
+      }
+    def strOf(l: Literal): Option[String] =
+      if (l.value == null) None
+      else l.dataType match {
+        case StringType => Some(l.value.toString)
+        case _          => None
+      }
+    def emit(x: Expression, l: Literal, lo: Boolean, hi: Boolean): Unit =
+      leafAttr(x).foreach { at =>
+        val phys = Snapshot.physicalName(m, at.name)
+        longOf(l) match {
+          case Some(v) =>
+            rb += ((phys, if (lo) v else Long.MinValue,
+              if (hi) v else Long.MaxValue))
+          case None => strOf(l).foreach { s =>
+            sb += ((phys, if (lo) Some(s) else None,
+              if (hi) Some(s) else None))
+          }
+        }
+      }
+    conds.foreach {
+      // strict bounds served as their inclusive widening (candidacy
+      // needs only an over-approximation)
+      case EqualTo(x, l: Literal)             => emit(x, l, lo = true, hi = true)
+      case EqualTo(l: Literal, x)             => emit(x, l, lo = true, hi = true)
+      case GreaterThan(x, l: Literal)         => emit(x, l, lo = true, hi = false)
+      case GreaterThanOrEqual(x, l: Literal)  => emit(x, l, lo = true, hi = false)
+      case LessThan(x, l: Literal)            => emit(x, l, lo = false, hi = true)
+      case LessThanOrEqual(x, l: Literal)     => emit(x, l, lo = false, hi = true)
+      case GreaterThan(l: Literal, x)         => emit(x, l, lo = false, hi = true)
+      case GreaterThanOrEqual(l: Literal, x)  => emit(x, l, lo = false, hi = true)
+      case LessThan(l: Literal, x)            => emit(x, l, lo = true, hi = false)
+      case LessThanOrEqual(l: Literal, x)     => emit(x, l, lo = true, hi = false)
+      case In(x, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        leafAttr(x).foreach { at =>
+          val phys = Snapshot.physicalName(m, at.name)
+          val ls = vs.map(_.asInstanceOf[Literal])
+          val longs = ls.flatMap(longOf)
+          if (longs.size == ls.size)
+            rb += ((phys, longs.min, longs.max))
+          else {
+            val ss = ls.flatMap(strOf)
+            if (ss.size == ls.size) {
+              val sorted = ss.sortWith((x, y) => Snapshot.utf8Cmp(x, y) < 0)
+              sb += ((phys, Some(sorted.head), Some(sorted.last)))
+            }
+          }
+        }
+      case _ => ()
+    }
+    (rb.result(), sb.result())
+  }
+
+  /** Round 20 — zero-job dim-of-dim transitivity: the envelope of `a`
+    * over ONLY the files a translated filter's CANDIDACY keeps. Pure
+    * manifest arithmetic: `dim WHERE region BETWEEN 10 AND 12` prunes
+    * dim FILES by the region stamps, and the surviving files' key
+    * stamps give a far tighter key envelope than the whole-table one
+    * — the static half of what the dynamic job sees, free. Sound
+    * because file candidacy over-approximates the surviving rows.
+    * DVs refuse (the pinned whole-envelope discipline); a candidate
+    * file missing the value stamp passes only when its NULL witness
+    * proves it value-free (contributing nothing); all candidates
+    * value-free → EmptyKeys (NULL keys never equi-match); no
+    * candidates at all → EmptyKeys (the dim is provably empty under
+    * the filter). None = fall back to the whole-manifest envelope. */
+  private def subsetEnvelope(m: Snapshot.Manifest,
+      files: Seq[Snapshot.FileEntry], a: AttributeReference)
+      : Option[Summary] = {
+    if (m.dvs.nonEmpty) return None
+    if (files.isEmpty) return Some(EmptyKeys)
+    val phys = Snapshot.physicalName(m, a.name)
+    if (Snapshot.isPseudoCol(phys)) return None
+    val cluster = sameName(a.name, Snapshot.logicalName(m, m.statsCol))
+    // None = refuse; Some(None) = every candidate value-free
+    // (EmptyKeys); Some(Some((lo, hi))) = the raw Long envelope
+    def foldLong(get: Snapshot.FileEntry => Option[(Long, Long)])
+        : Option[Option[(Long, Long)]] = {
+      var lo = Long.MaxValue
+      var hi = Long.MinValue
+      var anyV = false
+      val ok = files.forall { f =>
+        get(f) match {
+          case Some((mn, mx)) =>
+            if (mn == Long.MinValue && mx == Long.MaxValue)
+              // degraded full-open: all-NULL keys contribute nothing,
+              // anything else is unknown
+              f.rows >= 0 && f.kNulls == f.rows
+            else {
+              lo = math.min(lo, mn); hi = math.max(hi, mx)
+              anyV = true; true
+            }
+          case None =>
+            f.rows == 0 || (f.rows > 0 &&
+              m.colStats.get((f.path, Snapshot.NullsPfx + phys))
+                .exists(_._1 == f.rows))
+        }
+      }
+      if (!ok) None
+      else if (!anyV) Some(None)
+      else Some(Some((lo, hi)))
+    }
+    a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType if cluster =>
+        foldLong(f => Some((f.min, f.max))).map {
+          case None => EmptyKeys
+          case Some((lo, hi)) =>
+            Envelope(narrow(lo, a.dataType), narrow(hi, a.dataType))
+        }
+      case ByteType | ShortType | IntegerType | LongType =>
+        foldLong(f => m.colStats.get((f.path, phys))).map {
+          case None => EmptyKeys
+          case Some((lo, hi)) =>
+            Envelope(narrow(lo, a.dataType), narrow(hi, a.dataType))
+        }
+      case DateType =>
+        foldLong(f => m.colStats.get((f.path, phys))).map {
+          case None => EmptyKeys
+          case Some((lo, hi)) => Envelope(lo.toInt, hi.toInt)
+        }
+      case StringType =>
+        var lo: String = null
+        var hi: String = null
+        var anyV = false
+        val ok = files.forall { f =>
+          m.strStats.get((f.path, phys)) match {
+            case Some((mn, mx)) =>
+              if (lo == null || Snapshot.utf8Cmp(mn, lo) < 0) lo = mn
+              if (hi == null || Snapshot.utf8Cmp(mx, hi) > 0) hi = mx
+              anyV = true; true
+            case None =>
+              f.rows == 0 || (f.rows > 0 &&
+                m.colStats.get((f.path, Snapshot.NullsPfx + phys))
+                  .exists(_._1 == f.rows))
+          }
+        }
+        if (!ok) None
+        else if (!anyV) Some(EmptyKeys)
+        else Some(Envelope(UTF8String.fromString(lo),
+          UTF8String.fromString(hi)))
+      case _ => None
+    }
+  }
+
   /** The dim key's summary from plan-time knowledge alone: exact rows
     * of a LocalRelation leaf, or the manifest's exact-value stamps of
     * a graft leaf (values in the ATTRIBUTE's dtype; the caller lifts
-    * them through the key expression's widening cast if any). */
+    * them through the key expression's widening cast if any) —
+    * narrowed to the files surviving any translatable pushed filter's
+    * candidacy ([[subsetEnvelope]], round 20). */
   private def staticSummary(plan: LogicalPlan, a: AttributeReference)
       : Option[Summary] =
-      leafOf(plan, a).flatMap {
-        case loc: LocalRelation =>
+      leafWithFilters(plan, a, Nil).flatMap {
+        case (loc: LocalRelation, _) =>
           val ord = loc.output.indexWhere(_.exprId == a.exprId)
           val vs = loc.data.iterator
             .map(_.get(ord, a.dataType)).filter(_ != null)
@@ -331,13 +518,19 @@ case class SipJoinRule(session: SparkSession)
             Some(Envelope(vs.reduce((x, y) => if (o(x, y)) x else y),
               vs.reduce((x, y) => if (o(x, y)) y else x)))
           }
-        case lr: LogicalRelation => lr.relation match {
+        case (lr: LogicalRelation, conds) => lr.relation match {
           case g: GraftRelation if !g.isRestricted =>
             val m = g.pinnedManifest
             val phys = Snapshot.physicalName(m, a.name)
             val cluster =
               sameName(a.name, Snapshot.logicalName(m, m.statsCol))
-            a.dataType match {
+            val narrowed = {
+              val (ranges, strs) = fileConstraints(conds, lr, m)
+              if (ranges.isEmpty && strs.isEmpty) None
+              else subsetEnvelope(m,
+                Snapshot.candidateFilesCols(m, ranges, strs), a)
+            }
+            narrowed.orElse(a.dataType match {
               case ByteType | ShortType | IntegerType | LongType =>
                 val mm =
                   if (cluster) Snapshot.clusteringMinMaxMeta(m)
@@ -356,7 +549,7 @@ case class SipJoinRule(session: SparkSession)
                       UTF8String.fromString(hi))
                 }
               case _ => None
-            }
+            })
           case _ => None
         }
         case _ => None

@@ -81,15 +81,27 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     assert(sorted(j) == off)
   }
 
-  test("a filter above the dim leaf keeps the leaf envelope (conservative, still sound)") {
+  test("a filter above the dim leaf narrows the envelope to the " +
+    "SURVIVING files' stamps (zero-job candidacy, round 20)") {
+    // round 20: the dim-side filter's translatable conjuncts prune
+    // dim FILES on the driver (the scan's own candidacy arithmetic)
+    // and the surviving files' key stamps give a tighter envelope
+    // than the whole-table one — still zero planning jobs, still a
+    // sound over-approximation (candidacy over-approximates rows)
     val fdir = Warehouse.rangeOrders(spark, sf)
     val fact = spark.read.format("graft").load(fdir)
     val dim = spark.read.format("graft").load(graftDim)
       .filter(col("dk") >= 320L)
+    val m = Snapshot.manifest(spark, graftDim,
+      Snapshot.currentVersion(spark, graftDim))
+    val keep = m.files.filter(_.max >= 320L)
+    val (lo, hi) = (keep.map(_.min).min, keep.map(_.max).max)
+    assert(lo > 300L && hi == 324L,
+      s"fixture: expected a mid-table file cut, got [$lo,$hi]")
     val j = fact.join(dim, col("key2") === col("dk"))
     val bs = bounds(j, "key2")
-    assert(bs.contains((">=", 300L)) && bs.contains(("<=", 324L)),
-      s"expected the LEAF's [300,324], got $bs")
+    assert(bs.contains((">=", lo)) && bs.contains(("<=", hi)),
+      s"expected the surviving files' [$lo,$hi], got $bs")
     val off = withRuleOff {
       sorted(fact.join(dim, col("key2") === col("dk")))
     }
@@ -274,12 +286,24 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     def dim = spark.read.format("graft").load(taggedDim)
       .filter(col("tag") === "hit")
     def join = fact.join(dim, col("k") === col("dk"))
-    // static rule alone: the LEAF envelope [1,800] (prunes nothing),
-    // zero planning jobs
+    // static rule alone (round 20): the tag strStats prune dim FILES
+    // and the surviving files' dk stamps give a zero-job envelope —
+    // tighter than the [1,800] leaf, still file-granular (the 11
+    // ACTUAL keys need the dynamic job below)
     val j0 = jobs()
     val static = join
-    assert(bounds(static, "k").toSet == Set((">=", 1L), ("<=", 800L)),
-      s"static path must keep the leaf envelope, got ${bounds(static, "k")}")
+    val tm = Snapshot.manifest(spark, taggedDim,
+      Snapshot.currentVersion(spark, taggedDim))
+    val hitF = tm.files.filter(f =>
+      tm.strStats.get((f.path, "tag")).forall { case (mn, mx) =>
+        Snapshot.utf8Cmp(mn, "hit") <= 0 &&
+          Snapshot.utf8Cmp("hit", mx) <= 0 })
+    val (sLo, sHi) = (hitF.map(_.min).min, hitF.map(_.max).max)
+    assert(sLo > 1L && sHi < 800L,
+      s"fixture: a proper mid-table hit band expected, got [$sLo,$sHi]")
+    val sbs = bounds(static, "k").toSet
+    assert(sbs.contains((">=", sLo)) && sbs.contains(("<=", sHi)),
+      s"static candidacy envelope [$sLo,$sHi] expected, got $sbs")
     val staticRows = sorted(static)
     assert(jobs() == j0, "the static path must never run a job")
     // dynamic: the filtered dim's ACTUAL 11 keys inject as the IN-list
@@ -312,7 +336,11 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
       assert(sorted(join).map(_.getLong(0)).toSet ==
         (310L to 320L).toSet, "the pruned scan serves from one file")
     }
-    intercept[Exception] { join.collect() } // static leaf envelope scans all
+    // round 20: the zero-job static candidacy envelope [301,400] now
+    // ALSO opens only the surviving fact file — where the old leaf
+    // envelope scanned (and threw on) the deleted ones
+    assert(sorted(join).map(_.getLong(0)).toSet == (310L to 320L).toSet,
+      "the static candidacy envelope serves from the remaining file")
   }
 
   test("dynamic SIP: overflow past InListMax injects the filtered min/max envelope") {
@@ -362,13 +390,21 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
       // two runs may disagree and run 1's summary would prune run 2's
       // matches; the static leaf envelope serves instead
       val j0 = jobs()
-      def leafEnvelopeOnly(df: DataFrame): Unit = {
+      // round 20: the candidacy-narrowed STATIC envelope serves even
+      // where the job refuses — the guard being pinned is ZERO JOBS,
+      // plus soundness: the injected bounds must still cover the true
+      // surviving keys [310, 320]
+      def zeroJobSoundEnvelope(df: DataFrame): Unit = {
         val bs = bounds(df, "key2")
-        assert(bs.contains((">=", 1L)) && bs.contains(("<=", 800L)),
-          s"the static [1,800] leaf envelope must survive, got $bs")
-        assert(!bs.exists(b => b._1 == ">=" && b._2 > 1L && b._2 < 999L),
-          s"no tighter dim-derived lower bound may appear, got $bs")
+        assert(bs.exists { case (">=", v) => v >= 1L && v <= 310L
+                           case _ => false } &&
+          bs.exists { case ("<=", v) => v >= 320L && v <= 800L
+                      case _ => false },
+          s"a sound dim-derived envelope covering [310,320] expected, got $bs")
+        assert(!bs.exists { case (">=", v) => v > 310L; case _ => false },
+          s"an UNSOUND lower bound appeared, got $bs")
       }
+      def leafEnvelopeOnly(df: DataFrame): Unit = zeroJobSoundEnvelope(df)
       // NOTE rand(7) >= 0.0 would be folded away (always true) — the
       // comparison must be genuinely undecidable to survive to the
       // rule's batch
@@ -472,8 +508,20 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     val pq = plainFact.join(dim, col("k") === col("dk"))
     pq.queryExecution.optimizedPlan
     assert(jobs() == j1, "a concurrent plain query must stay zero-job")
-    assert(bounds(pq, "k").toSet == Set((">=", 1L), ("<=", 800L)),
-      s"plain query keeps the static envelope, got ${bounds(pq, "k")}")
+    // round 20: zero-job, but the static CANDIDACY envelope (the tag
+    // stamps prune dim files) — file-granular, never the 11-key list
+    val tm = Snapshot.manifest(spark, taggedDim,
+      Snapshot.currentVersion(spark, taggedDim))
+    val hitF = tm.files.filter(f =>
+      tm.strStats.get((f.path, "tag")).forall { case (mn, mx) =>
+        Snapshot.utf8Cmp(mn, "hit") <= 0 &&
+          Snapshot.utf8Cmp("hit", mx) <= 0 })
+    val (sLo, sHi) = (hitF.map(_.min).min, hitF.map(_.max).max)
+    val pbs = bounds(pq, "k").toSet
+    assert(pbs.contains((">=", sLo)) && pbs.contains(("<=", sHi)),
+      s"plain query keeps the zero-job candidacy envelope, got $pbs")
+    assert(inLists(pq, "k").isEmpty,
+      "the plain query must never get the job's key list")
     // A/B answers identical
     assert(sorted(d) == sorted(pq))
     assert(sorted(d).map(_.getLong(0)).toSet == (310L to 320L).toSet)
@@ -523,8 +571,13 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
         .join(dimTree, col("k") === col("dk")))
     } == qRows)
     // SESSION-WIDE arming keeps the r19 refusal for join-containing
-    // dim sides (no marker to tell snowflake from star): the plain
-    // fact's k keeps its static leaf envelope, never the slice IN
+    // dim sides (no marker to tell snowflake from star): the fact's k
+    // never gets the slice's KEY LIST from a join-subtree job. It DOES
+    // get the round-20 static transitivity: the inner edge injects
+    // subdim's sx summary onto dim1's scan, and the fact edge's
+    // candidacy then narrows dim1's dk envelope to the files
+    // surviving that sx conjunct — left-deep snowflake pruning at
+    // FILE granularity with no join-sized planning job
     withDynamic {
       val pq = spark.read.format("graft").load(fdir)
         .join(dimTree, col("k") === col("dk"))
@@ -532,8 +585,15 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
       assert(inLists(pq, "k").isEmpty,
         s"session-wide must not run the join-subtree job:\n" +
           pq.queryExecution.optimizedPlan.treeString)
-      assert(bounds(pq, "k").toSet == Set((">=", 1L), ("<=", 800L)),
-        s"static leaf envelope expected, got ${bounds(pq, "k")}")
+      val dm = Snapshot.manifest(spark, d1,
+        Snapshot.currentVersion(spark, d1))
+      val sxF = dm.files.filter(f =>
+        dm.colStats.get((f.path, "sx")).forall { case (mn, mx) =>
+          mn <= 31L && 31L <= mx })
+      val (sLo, sHi) = (sxF.map(_.min).min, sxF.map(_.max).max)
+      val bs = bounds(pq, "k").toSet
+      assert(bs.contains((">=", sLo)) && bs.contains(("<=", sHi)),
+        s"static snowflake transitivity [$sLo,$sHi] expected, got $bs")
     }
   }
 
