@@ -649,6 +649,39 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The q185 fixture: [[sipDim]]'s nation keys re-laid as four
+    * BAND-committed files (one per `floor(n_nationkey / 7)` group),
+    * each single-valued on a `tag` string whose strStats separate the
+    * files — the candidacy-narrowing shape. Idempotent per
+    * (session, sf); partial builds fail loudly. */
+  private[graft] def sipBandDim(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#sipbanddim", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_sipbdim_$sfx"
+          val cur0 = Snapshot.currentVersion(s, dir)
+          if (cur0 != 4) {
+            if (cur0 > 0)
+              throw new IllegalStateException(
+                s"sipBandDim table under $dir exists at v$cur0 " +
+                  "(partial build) — delete the table dir and rebuild")
+            val base = T.nation(s, d).select(
+              (col("n_nationkey") * 13).cast("long").as("dk"),
+              concat(lit("b"), floor(col("n_nationkey") / 7)
+                .cast("int").cast("string")).as("tag"))
+            (0 until 4).foreach { b =>
+              val carried =
+                if (b == 0) Nil else Snapshot.manifest(s, dir, b).files
+              Snapshot.commit(base.filter(col("tag") === s"b$b"),
+                dir, b, "dk", carried, nFiles = 1)
+            }
+          }
+          dir
+        })
+    }
+
   /** The q179 fixture: statusOrders' three PURE bands (the mixed tail
     * left out — variance moments are full-metadata-only, and a tail
     * would push the grouped phase to the scan), scode-clustered, one
@@ -2540,6 +2573,51 @@ object Warehouse extends QueryModule {
         .orderBy(col("status"))
     }),
 
+    "q185_join_sip_candidacy" -> ((s, d) => {
+      // ZERO-JOB candidacy-narrowed SIP (round 20 — [[rangeOrders]] ⋈
+      // [[sipBandDim]] filtered on the NON-key tag): the dim filter's
+      // conjunct runs the scan's own FILE candidacy on the driver —
+      // only the b1 band file survives (its tag strStats separate the
+      // files), so its dk stamps [91,169] inject onto the fact's key2
+      // where q170's whole-table envelope spans [0,312] and TWO fact
+      // bands — and the fact opens ONE band file of four with NO
+      // planning job (the dynamic arm is never armed here; this is
+      // the static transitivity between q170's zero-job leaf envelope
+      // and q174's one-job exact keys). `sip` carries the engine's
+      // plan witness (both NARROWED bounds present on key2), `n_scan`
+      // the fact candidacy count under them — oracle-pinned 1 of 4
+      // against raw arithmetic.
+      import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal => CLit}
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+      val fdir = rangeOrders(s, d)
+      val fact = s.read.format("graft").load(fdir)
+      val dim = s.read.format("graft").load(sipBandDim(s, d))
+        .filter(col("tag") === "b1")
+      val j = fact.join(dim, col("key2") === col("dk"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("key2")).as("sk"))
+      def conj(e: Expression): Seq[Expression] = e match {
+        case CAnd(l, r) => conj(l) ++ conj(r)
+        case x          => Seq(x)
+      }
+      val bs = j.queryExecution.optimizedPlan.collect {
+        case f: LFilter => conj(f.condition)
+      }.flatten.collect {
+        case GreaterThanOrEqual(a: AttributeReference, CLit(v: Long, LongType))
+            if a.name == "key2" => (">=", v)
+        case LessThanOrEqual(a: AttributeReference, CLit(v: Long, LongType))
+            if a.name == "key2" => ("<=", v)
+      }
+      val sip = bs.contains((">=", 91L)) && bs.contains(("<=", 169L))
+      val fm = Snapshot.manifest(s, fdir,
+        Snapshot.currentVersion(s, fdir))
+      val nScan = fm.files.count(f => f.min <= 169L && f.max >= 91L)
+      j.select(col("status"), col("n"), col("sk"),
+          lit(if (sip) 1L else 0L).as("sip"),
+          lit(nScan.toLong).as("n_scan"))
+        .orderBy(col("status"))
+    }),
+
     "q174_join_sip_dynamic" -> ((s, d) => {
       // DYNAMIC SIP (q170's rule + the bounded planning job,
       // [[graft.plans.SipJoinRule.dynamicSummary]]): the dim is
@@ -3647,6 +3725,21 @@ object Warehouse extends QueryModule {
     // one band, where the
     // static leaf envelope [0,312] needs two; the rollup is the plain
     // filtered equi-join recomputed from raw orders + nation
+    // the candidacy-narrowed static envelope's truth: the b1 band
+    // holds nations 7..13 (dk 91..169), its file-span is exactly that
+    // range, one of the fact's four 250-wide bands intersects it, and
+    // the join rollup is a plain equi-join against the band's keys;
+    // `sip` = 1 is the plan witness the engine must earn
+    "q185_join_sip_candidacy" ->
+      """WITH st AS (SELECT o_orderkey % 1000 AS key2,
+        |                   o_orderstatus AS status FROM orders),
+        |d1 AS (SELECT n_nationkey * 13 AS dk FROM nation
+        |       WHERE CAST(FLOOR(n_nationkey / 7) AS INT) = 1)
+        |SELECT status, count(*) AS n, CAST(sum(key2) AS BIGINT) AS sk,
+        |       CAST(1 AS BIGINT) AS sip, CAST(1 AS BIGINT) AS n_scan
+        |FROM st JOIN d1 ON st.key2 = d1.dk
+        |GROUP BY status ORDER BY status""".stripMargin,
+
     "q174_join_sip_dynamic" ->
       """WITH st AS (SELECT o_orderkey % 1000 AS key2,
         |                   o_orderstatus AS status FROM orders),
