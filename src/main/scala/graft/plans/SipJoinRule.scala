@@ -339,9 +339,14 @@ case class SipJoinRule(session: SparkSession)
   private def fileConstraints(conds: Seq[Expression],
       lr: LogicalRelation, m: Snapshot.Manifest)
       : (Seq[(String, Long, Long)],
-        Seq[(String, Option[String], Option[String])]) = {
+        Seq[(String, Option[String], Option[String])],
+        Seq[(String, Seq[Long])]) = {
     val rb = Seq.newBuilder[(String, Long, Long)]
     val sb = Seq.newBuilder[(String, Option[String], Option[String])]
+    // point constraints additionally consult per-file BLOOM sketches
+    // (LOGICAL names — mayContain translates); a file is kept when ANY
+    // key of the constraint may be present
+    val pb = Seq.newBuilder[(String, Seq[Long])]
     def leafAttr(e: Expression): Option[AttributeReference] =
       attrOf(e).filter(x => lr.output.exists(_.exprId == x.exprId))
     def longOf(l: Literal): Option[Long] =
@@ -367,6 +372,7 @@ case class SipJoinRule(session: SparkSession)
           case Some(v) =>
             rb += ((phys, if (lo) v else Long.MinValue,
               if (hi) v else Long.MaxValue))
+            if (lo && hi) pb += ((at.name, Seq(v)))
           case None => strOf(l).foreach { s =>
             sb += ((phys, if (lo) Some(s) else None,
               if (hi) Some(s) else None))
@@ -391,9 +397,10 @@ case class SipJoinRule(session: SparkSession)
           val phys = Snapshot.physicalName(m, at.name)
           val ls = vs.map(_.asInstanceOf[Literal])
           val longs = ls.flatMap(longOf)
-          if (longs.size == ls.size)
+          if (longs.size == ls.size) {
             rb += ((phys, longs.min, longs.max))
-          else {
+            pb += ((at.name, longs))
+          } else {
             val ss = ls.flatMap(strOf)
             if (ss.size == ls.size) {
               val sorted = ss.sortWith((x, y) => Snapshot.utf8Cmp(x, y) < 0)
@@ -403,7 +410,7 @@ case class SipJoinRule(session: SparkSession)
         }
       case _ => ()
     }
-    (rb.result(), sb.result())
+    (rb.result(), sb.result(), pb.result())
   }
 
   /** Round 20 — zero-job dim-of-dim transitivity: the envelope of `a`
@@ -525,10 +532,13 @@ case class SipJoinRule(session: SparkSession)
             val cluster =
               sameName(a.name, Snapshot.logicalName(m, m.statsCol))
             val narrowed = {
-              val (ranges, strs) = fileConstraints(conds, lr, m)
-              if (ranges.isEmpty && strs.isEmpty) None
+              val (ranges, strs, points) = fileConstraints(conds, lr, m)
+              if (ranges.isEmpty && strs.isEmpty && points.isEmpty) None
               else subsetEnvelope(m,
-                Snapshot.candidateFilesCols(m, ranges, strs), a)
+                Snapshot.candidateFilesCols(m, ranges, strs).filter(f =>
+                  points.forall { case (c, ks) =>
+                    ks.exists(k => Snapshot.mayContain(m, f, c, k))
+                  }), a)
             }
             narrowed.orElse(a.dataType match {
               case ByteType | ShortType | IntegerType | LongType =>

@@ -108,6 +108,44 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     assert(sorted(j) == off)
   }
 
+  test("a point filter on a BLOOM-indexed dim column narrows the " +
+    "envelope to the bloom-hit files (zero-job, round 20)") {
+    import spark.implicits._
+    // u interleaves across dk files (per-file u RANGES all overlap, so
+    // range candidacy keeps every file) while each exact u value lives
+    // in one file — only the Bloom sidecars can discriminate
+    val dir = fresh("bloomdim")
+    (1L to 800L).map(k => (k, (k % 100) * 8 + k / 100)).toDF("dk", "u")
+      .write.format("graft").option("statsCol", "dk")
+      .option("nFiles", "8").save(dir)
+    Snapshot.optimizeBloom(spark, dir, "u")
+    val fdir = fresh("bloomfact")
+    (1L to 800L).map(k => (k, k % 7)).toDF("k", "v")
+      .write.format("graft").option("statsCol", "k")
+      .option("nFiles", "8").save(fdir)
+    val fact = spark.read.format("graft").load(fdir)
+    // u = 403 ↔ dk = 350, in exactly one dim file
+    val dim = spark.read.format("graft").load(dir)
+      .filter(col("u") === 403L)
+    val j0 = jobs()
+    val j = fact.join(dim, col("k") === col("dk"))
+    val bs = bounds(j, "k")
+    val m = Snapshot.manifest(spark, dir,
+      Snapshot.currentVersion(spark, dir))
+    val hit = m.files.filter(f => Snapshot.mayContain(m, f, "u", 403L))
+    val (lo, hi) = (hit.map(_.min).min, hit.map(_.max).max)
+    assert(hi - lo < 400L,
+      s"bloom candidacy must narrow well past the table span, [$lo,$hi]")
+    assert(lo <= 350L && 350L <= hi, s"must cover the true key, [$lo,$hi]")
+    assert(bs.contains((">=", lo)) && bs.contains(("<=", hi)),
+      s"expected the bloom-hit files' [$lo,$hi], got $bs")
+    assert(jobs() == j0, "bloom candidacy must stay zero-job")
+    assert(sorted(j) == withRuleOff {
+      sorted(fact.join(dim, col("k") === col("dk")))
+    })
+    assert(sorted(j).map(_.getLong(0)) == Seq(350L))
+  }
+
   test("a dim with deletion vectors refuses the envelope (a DV may mask the extreme)") {
     import spark.implicits._
     val ddir = fresh("dvdim")
