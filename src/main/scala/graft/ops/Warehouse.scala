@@ -879,6 +879,47 @@ object Warehouse extends QueryModule {
         })
     }
 
+  /** The q186 fixture: orders banded into four key2-range files like
+    * [[rangeOrders]], carrying the raw order key as an integral
+    * measure `v` — the straddled-window moment shape (a range window
+    * cutting INTO band files). Idempotent per (session, sf); partial
+    * builds fail loudly. */
+  private[graft] def rangeMoments(s: SparkSession, d: String): String =
+    synchronized {
+      snapCache.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+        .getOrElseUpdate(s"$d#rangemom", {
+          val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+          val dir = s.conf.get("spark.sql.warehouse.dir") +
+            s"/graft_snap_rangemom_$sfx"
+          val cuts = Seq(0L, 250L, 500L, 750L, 1000L)
+          val cur0 = Snapshot.currentVersion(s, dir)
+          val complete = cur0 == cuts.size - 1 && {
+            val mm = Snapshot.manifest(s, dir, cur0)
+            mm.files.forall(f => mm.colStats.contains(
+              (f.path, Snapshot.SqPfx + "v")))
+          }
+          if (!complete && cur0 > 0)
+            throw new IllegalStateException(
+              s"rangeMoments table under $dir exists at v$cur0 " +
+                "without complete square-sum stamps (partial build) — " +
+                "delete the table dir and rebuild")
+          if (!complete) {
+            val base = T.orders(s, d).select(
+              (col("o_orderkey") % 1000).as("key2"),
+              col("o_orderkey").as("v"))
+            cuts.sliding(2).zipWithIndex.foreach {
+              case (Seq(lo, hi), i) =>
+                val carried =
+                  if (i == 0) Nil else Snapshot.manifest(s, dir, i).files
+                Snapshot.commit(
+                  base.filter(col("key2") >= lo && col("key2") < hi),
+                  dir, i, "key2", carried, nFiles = 1)
+            }
+          }
+          dir
+        })
+    }
+
   /** The PARTITION-VALUE-clustered table (q171): orders keyed by the
     * ascii code of o_orderstatus — three SINGLE-VALUED band files
     * (each stamps min == max == its code, the shape
@@ -2343,6 +2384,43 @@ object Warehouse extends QueryModule {
         .orderBy(col("phase"), col("rcode"))
     }),
 
+    "q186_agg_meta_moments_window" -> ((s, d) => {
+      // STRADDLED-WINDOW moment hybrids in the oracle gate
+      // ([[rangeMoments]] → the round-20 kind-7 hybrid's bounds arm):
+      // a clustering-range window (`key2 BETWEEN 100 AND 600`) cuts
+      // INTO two of the four band files — they scan RESTRICTED with
+      // the predicate while the wholly-inside band serves from stamps
+      // and the outside band VANISHES. The straddlers' sq: stamps
+      // prove their values bounded, so their Σx/Σx² scan partials are
+      // exact DECIMAL(38,0) integers and the merge runs the same
+      // deterministic chain as the pure-stamp arm — DuckDB reproduces
+      // the identical IEEE arithmetic over HUGEINT moments of the
+      // window's rows and the hash gate matches. `global` is the
+      // pure-stamp serve (n_scan 0); `window` pins n_scan 2 of 4.
+      val dir = rangeMoments(s, d)
+      val m = Snapshot.manifest(s, dir, Snapshot.currentVersion(s, dir))
+      val specs = Seq(Snapshot.SumSpec("v"), Snapshot.CountSpec("v"),
+        Snapshot.SumSpec("v", Snapshot.SqPfx))
+      val (_, _, _, scanG) = Snapshot.metaAggSplitCols(m, specs)
+      require(scanG.isEmpty,
+        "every band must carry sum + sq + witness stamps")
+      val (_, _, _, scanW) = Snapshot.metaAggSplitCols(m, specs,
+        bounds = Some((100L, 600L)))
+      require(scanW.size == 2,
+        s"exactly the two straddlers must scan, got ${scanW.size}")
+      val fd = s.read.format("graft").load(dir)
+      val glob = fd.agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          var_samp(col("v")).as("vs"), stddev_samp(col("v")).as("ss"))
+        .select(lit("global").as("phase"), col("n"), col("sv"),
+          col("vs"), col("ss"), lit(0L).as("n_scan"))
+      val win = fd.filter(col("key2") >= 100 && col("key2") <= 600)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          var_samp(col("v")).as("vs"), stddev_samp(col("v")).as("ss"))
+        .select(lit("window").as("phase"), col("n"), col("sv"),
+          col("vs"), col("ss"), lit(scanW.size.toLong).as("n_scan"))
+      glob.unionAll(win).orderBy(col("phase"))
+    }),
+
     "q184_agg_meta_avg_dv" -> ((s, d) => {
       // HYBRID DECIMAL AVG IN THE ORACLE GATE ([[momentOrdersDv]] →
       // the round-20 decimal-buffer hybrid lift): the DV'd band's
@@ -3608,6 +3686,33 @@ object Warehouse extends QueryModule {
         |         CAST(NULL AS DOUBLE), CAST(0 AS BIGINT)
         |  FROM mw)
         |ORDER BY phase, rcode
+        |""".stripMargin,
+
+    // the straddled-window hybrid's truth: the q179 IEEE chain over
+    // exact HUGEINT moments of the WINDOW's rows; n_scan pins the two
+    // straddlers (window) and the pure-stamp zero (global)
+    "q186_agg_meta_moments_window" ->
+      """WITH st AS (SELECT o_orderkey % 1000 AS key2,
+        |                   o_orderkey AS v FROM orders),
+        |mg AS (SELECT count(*) AS n, CAST(sum(v) AS HUGEINT) AS sx,
+        |              CAST(sum(v * v) AS HUGEINT) AS sxx FROM st),
+        |mw AS (SELECT count(*) AS n, CAST(sum(v) AS HUGEINT) AS sx,
+        |              CAST(sum(v * v) AS HUGEINT) AS sxx
+        |       FROM st WHERE key2 BETWEEN 100 AND 600)
+        |SELECT phase, n, sv, vs, ss, n_scan FROM (
+        |  SELECT 'global' AS phase, n, CAST(sx AS BIGINT) AS sv,
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1) AS vs,
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1))
+        |           AS ss,
+        |         CAST(0 AS BIGINT) AS n_scan
+        |  FROM mg
+        |  UNION ALL
+        |  SELECT 'window', n, CAST(sx AS BIGINT),
+        |         CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1),
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1)),
+        |         CAST(2 AS BIGINT)
+        |  FROM mw)
+        |ORDER BY phase
         |""".stripMargin,
 
     // the hybrid decimal avg's truth: the q177 micro-unit half-up
