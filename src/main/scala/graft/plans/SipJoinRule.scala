@@ -419,17 +419,21 @@ case class SipJoinRule(session: SparkSession)
     * dim FILES by the region stamps, and the surviving files' key
     * stamps give a far tighter key envelope than the whole-table one
     * — the static half of what the dynamic job sees, free. Sound
-    * because file candidacy over-approximates the surviving rows.
-    * DVs refuse (the pinned whole-envelope discipline); a candidate
-    * file missing the value stamp passes only when its NULL witness
-    * proves it value-free (contributing nothing); all candidates
-    * value-free → EmptyKeys (NULL keys never equi-match); no
-    * candidates at all → EmptyKeys (the dim is provably empty under
-    * the filter). None = fall back to the whole-manifest envelope. */
+    * because file candidacy over-approximates the surviving rows —
+    * and for the same reason DVs are SOUND here (round 20, lifting
+    * the earlier refusal): a deletion vector only SHRINKS the dim's
+    * key set, so the stamped envelope stays an over-approximation
+    * (the exact-metadata MIN/MAX rewrites must still refuse DVs — a
+    * mask may hide the extreme — but an envelope has no exactness
+    * contract). A candidate file missing the value stamp passes only
+    * when its NULL witness proves it value-free (contributing
+    * nothing); all candidates value-free → EmptyKeys (NULL keys
+    * never equi-match); no candidates at all → EmptyKeys (the dim is
+    * provably empty under the filter). None = fall back to the
+    * whole-manifest exact-metadata envelope. */
   private def subsetEnvelope(m: Snapshot.Manifest,
       files: Seq[Snapshot.FileEntry], a: AttributeReference)
       : Option[Summary] = {
-    if (m.dvs.nonEmpty) return None
     if (files.isEmpty) return Some(EmptyKeys)
     val phys = Snapshot.physicalName(m, a.name)
     if (Snapshot.isPseudoCol(phys)) return None
@@ -533,8 +537,11 @@ case class SipJoinRule(session: SparkSession)
               sameName(a.name, Snapshot.logicalName(m, m.statsCol))
             val narrowed = {
               val (ranges, strs, points) = fileConstraints(conds, lr, m)
-              if (ranges.isEmpty && strs.isEmpty && points.isEmpty) None
-              else subsetEnvelope(m,
+              // with no translatable constraint this is the per-file
+              // envelope fold over ALL files — same result as the
+              // exact-metadata fallback on clean tables, but it also
+              // serves DV'd dims (sound: masks only shrink)
+              subsetEnvelope(m,
                 Snapshot.candidateFilesCols(m, ranges, strs).filter(f =>
                   points.forall { case (c, ks) =>
                     ks.exists(k => Snapshot.mayContain(m, f, c, k))

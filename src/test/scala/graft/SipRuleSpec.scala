@@ -146,7 +146,9 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     assert(sorted(j).map(_.getLong(0)) == Seq(350L))
   }
 
-  test("a dim with deletion vectors refuses the envelope (a DV may mask the extreme)") {
+  test("a dim with deletion vectors still injects the envelope " +
+    "(round 20 — a mask only SHRINKS the key set, so the stamped " +
+    "envelope stays a sound over-approximation)") {
     import spark.implicits._
     val ddir = fresh("dvdim")
     (300L to 324L).map(k => (k, s"n$k")).toDF("dk", "dname")
@@ -157,10 +159,14 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     val dim = spark.read.format("graft").load(ddir)
     val j = fact.join(dim, col("key2") === col("dk"))
     val bs = bounds(j, "key2")
-    assert(!bs.contains((">=", 300L)) && !bs.contains(("<=", 324L)),
-      s"DV'd dim stamps must not inject, got $bs")
+    assert(bs.contains((">=", 300L)) && bs.contains(("<=", 324L)),
+      s"DV'd dim stamps must still inject the envelope, got $bs")
+    // the mask is applied by the dim scan itself: 324 matches nothing
     assert(j.count() ==
       fact.filter(col("key2").between(300L, 323L)).count())
+    assert(sorted(j) == withRuleOff {
+      sorted(fact.join(dim, col("key2") === col("dk")))
+    })
   }
 
   test("LocalRelation dim injects its rows verbatim; the pruning is load-bearing") {
