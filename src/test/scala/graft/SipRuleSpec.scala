@@ -108,6 +108,59 @@ class SipRuleSpec extends SparkSpec with PredicateHelper {
     assert(sorted(j) == off)
   }
 
+  test("constraint translation edges: strict bounds widen inclusively, " +
+    "reversed operands translate, untranslatable conjuncts fall back, " +
+    "string INs narrow via strStats") {
+    val fdir = Warehouse.rangeOrders(spark, sf)
+    val fact = spark.read.format("graft").load(fdir)
+    def dimJ(d: DataFrame) = fact.join(d, col("key2") === col("dk"))
+    val m = Snapshot.manifest(spark, graftDim,
+      Snapshot.currentVersion(spark, graftDim))
+    val keep = m.files.filter(_.max >= 320L)
+    val (lo, hi) = (keep.map(_.min).min, keep.map(_.max).max)
+    // STRICT > is served as its inclusive widening (sound — candidacy
+    // needs only an over-approximation): same surviving files as >=
+    val strict = dimJ(spark.read.format("graft").load(graftDim)
+      .filter(col("dk") > 320L))
+    val bs1 = bounds(strict, "key2")
+    assert(bs1.contains((">=", lo)) && bs1.contains(("<=", hi)),
+      s"strict bound must widen to [$lo,$hi], got $bs1")
+    assert(sorted(strict) == withRuleOff {
+      sorted(dimJ(spark.read.format("graft").load(graftDim)
+        .filter(col("dk") > 320L)))
+    })
+    // REVERSED operand order (literal on the left) translates too
+    val rev = dimJ(spark.read.format("graft").load(graftDim)
+      .filter(lit(320L) <= col("dk")))
+    val bs2 = bounds(rev, "key2")
+    assert(bs2.contains((">=", lo)) && bs2.contains(("<=", hi)),
+      s"reversed operands must translate to [$lo,$hi], got $bs2")
+    // an UNTRANSLATABLE conjunct is ignored — the whole-leaf envelope
+    // survives (sound: the real filter only shrinks further)
+    val noTr = dimJ(spark.read.format("graft").load(graftDim)
+      .filter(length(col("dname")) > 2))
+    val bs3 = bounds(noTr, "key2")
+    assert(bs3.contains((">=", 300L)) && bs3.contains(("<=", 324L)),
+      s"untranslatable filter keeps the leaf [300,324], got $bs3")
+    assert(sorted(noTr) == withRuleOff {
+      sorted(dimJ(spark.read.format("graft").load(graftDim)
+        .filter(length(col("dname")) > 2)))
+    })
+    // a STRING IN narrows via the strStats [min,max] of its values
+    val first = m.files.filter(f =>
+      m.strStats.get((f.path, "dname")).forall { case (mn, mx) =>
+        Snapshot.utf8Cmp(mn, "n301") <= 0 &&
+          Snapshot.utf8Cmp("n300", mx) <= 0 })
+    val (flo, fhi) = (first.map(_.min).min, first.map(_.max).max)
+    assert(fhi < 324L, s"fixture: the IN must prune some file, [$flo,$fhi]")
+    val sIn = dimJ(spark.read.format("graft").load(graftDim)
+      .filter(col("dname").isin("n300", "n301")))
+    val bs4 = bounds(sIn, "key2")
+    assert(bs4.contains((">=", flo)) && bs4.contains(("<=", fhi)),
+      s"string IN must narrow to [$flo,$fhi], got $bs4")
+    assert(sorted(sIn).map(_.getLong(0)).toSet == Set(300L, 301L))
+  }
+
   test("a point filter on a BLOOM-indexed dim column narrows the " +
     "envelope to the bloom-hit files (zero-job, round 20)") {
     import spark.implicits._
