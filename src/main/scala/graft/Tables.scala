@@ -11,8 +11,25 @@ import org.apache.spark.sql.types._
   * Catalyst column pruning / predicate pushdown reach the file source.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    conform(spark.read.parquet(s"$dir/$name.parquet"), name)
+  /** Footer schema per fixture path, memoized for the JVM's lifetime —
+    * the StreamOps.schemaCache discipline applied to the BATCH loaders:
+    * fixture tables are immutable per path, so the per-construction
+    * parquet schema-inference (a listing + footer read, measured at
+    * ~50-70 ms per `spark.read.parquet` call, times 1-3 tables per query
+    * across 185 queries — ~8 s of the full-surface bench) is paid once
+    * per path and the read proceeds with the SAME inferred schema via
+    * `.schema(...)`. A StructType holds no session reference, so nothing
+    * is pinned; synthetic probe corpora (ScaleProbe) write each dir once
+    * and are immutable thereafter, same as the shipped fixtures. */
+  private val footerSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = footerSchemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    conform(spark.read.schema(sch).parquet(path), name)
+  }
 
   /** The engine-facing schema CONTRACT for every fixture table: what each
     * column must look like after load, independent of the parquet writer's

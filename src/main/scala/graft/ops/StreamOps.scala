@@ -67,6 +67,27 @@ object StreamOps extends QueryModule {
     child
   }
 
+  /** A drain session that additionally SKIPS the trailing no-data
+    * micro-batch. Sound ONLY for operators that emit on ARRIVAL —
+    * stateful dedup (survivors emit the batch they arrive) and
+    * stream-stream INNER joins (matches emit inside addBatch; the
+    * watermark only EVICTS state, it never releases withheld rows) — so
+    * a finite AvailableNow drain produces the identical output and the
+    * skipped batch's only work was evicting state the stopping query
+    * discards anyway. Measured (R21Probe stream, sf0.1): the trailing
+    * batch read in=0/out=0 and cost 0.6 s of q74's 1.6 s and 0.8-1.2 s
+    * of q95's 2.0-3.5 s. NEVER use for append-mode watermark
+    * AGGREGATIONS (q73: closed windows emit IN the no-data batch —
+    * skipping it would drop every final window). In a standing
+    * production stream the conf stays default-on (eager eviction bounds
+    * state between data bursts); this is a drain-lifecycle choice, not
+    * a width tune. */
+  private def streamSessionNoTail(s: SparkSession, n: Int): SparkSession = {
+    val child = streamSession(s, n)
+    child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    child
+  }
+
   /** The file-stream source needs an explicit schema; the fixture tables
     * are immutable, so the footer read that derives it is memoized per
     * table PATH (paths are content-stable here) instead of running a
@@ -839,6 +860,12 @@ object StreamOps extends QueryModule {
                 col("value"))
       val enriched = src.join(broadcast(dim),
         src("user_id") === dim("c_custkey"), "inner")
+        // project to exactly the rollup's inputs BEFORE the sink: the
+        // memory sink materializes every drained column on the driver,
+        // and event_id/user_id/c_custkey never feed the downstream
+        // aggregate (guide §2.3 — project before the exchange; here the
+        // "exchange" is the driver-side sink collect)
+        .select(col("c_mktsegment"), col("event_type"), col("value"))
       val name = "graft_q90_sink"
       val q = enriched.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -874,7 +901,9 @@ object StreamOps extends QueryModule {
     * cross-batch matching is pinned in StreamSpec with MemoryStream. */
   private[graft] def streamStreamJoinDrain(s: SparkSession, d: String,
                                            width: Int): DataFrame = {
-    val c = streamSession(s, width)
+    // inner join emits on arrival — the trailing no-data batch is pure
+    // eviction (measured 0.8-1.2 s, out=0); see streamSessionNoTail
+    val c = streamSessionNoTail(s, width)
     val sch = eventsSchema(c, d)
     // ONE source self-joined: both sides reference the same streaming
     // relation (a supported streaming self-join), so each micro-batch
@@ -914,7 +943,9 @@ object StreamOps extends QueryModule {
       // choice immaterial, and the drained output is the duplicate-free
       // base table — DuckDB's plain projection of raw events.
       // Cross-batch duplicate-drop is pinned in StreamSpec.
-      val c = streamSession(s, 8)
+      // survivors emit the batch they arrive — the trailing no-data
+      // batch is pure eviction (measured 0.6 s, in=0/out=0)
+      val c = streamSessionNoTail(s, 8)
       val stage = singleFileStage(c, d, dups = true)
       val sch = synchronized {
         schemaCache.getOrElseUpdate(stage, c.read.parquet(stage).schema)
