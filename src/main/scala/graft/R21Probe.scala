@@ -45,11 +45,39 @@ object R21Probe {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.execution.streaming",
         org.apache.logging.log4j.Level.INFO)
+      // per-job wall times ("Job N finished ... took X s") — the job-level
+      // decomposition of a drain's addBatch
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.scheduler.DAGScheduler",
+        org.apache.logging.log4j.Level.INFO)
     }
     Seq("q01_scan_project", "q21_agg_groupby").foreach { w =>
       try SparkEntry.queries(w)(spark, sfDir).count()
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[r21] warmup $w skipped: ${e.getMessage}") }
+    }
+    if (mode == "width") {
+      // q73/q74 state-width sweep (the q95_drain_width discipline):
+      // interleaved min-of-N per width, rows asserted width-invariant
+      val widths = Seq(2, 4, 8)
+      def sweep(tag: String, fn: Int => Long): Unit = {
+        widths.foreach(w => fn(w)) // warm each width once (codegen, stage)
+        val res = (1 to runs).flatMap(_ => widths.map { w =>
+          val t0 = System.nanoTime()
+          val n = fn(w)
+          (w, (System.nanoTime() - t0) / 1e9, n)
+        })
+        require(res.map(_._3).distinct.size == 1,
+          s"$tag output must be width-invariant: $res")
+        widths.foreach { w =>
+          val ts = res.collect { case (`w`, t, _) => t }
+          println(f"$tag%-18s width=$w%-3d min=${ts.min}%.2f  " +
+            ts.map(t => f"$t%.2f").mkString(" "))
+        }
+      }
+      sweep("q73_watermark", w => ops.StreamOps.watermarkDrain(spark, sfDir, w).count())
+      sweep("q74_dedup", w => ops.StreamOps.q74drain(spark, sfDir, w).count())
+      spark.stop(); return
     }
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }

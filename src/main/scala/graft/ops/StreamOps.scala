@@ -777,38 +777,13 @@ object StreamOps extends QueryModule {
           col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("sess_start"))),
 
-    "q73_stream_watermark" -> ((s, d) => {
-      // Genuine Structured Streaming: parquet file source -> watermark ->
-      // tumbling agg -> memory sink, drained with AvailableNow. In append
-      // mode only windows whose end <= final watermark (max ts - 10 min)
-      // are emitted — the late-data-drop contract. ORACLED since round
-      // 18: the source is the SINGLE-file stage ([[singleFileStage]] —
-      // one micro-batch, watermark still 0 while rows flow, advancing
-      // only for the final emission pass), so the kept-window set is
-      // exactly `window_end <= max(ts) − 10 min` — plain watermark
-      // arithmetic DuckDB recomputes over the same rows. Cross-batch
-      // late DROPS (a mid-drain watermark actually discarding data) are
-      // exercised in StreamSpec via MemoryStream.
-      // (nanosAsLong comes from the session builder — see Tables.events.)
-      val c = streamSession(s, 4)
-      val stage = singleFileStage(c, d, dups = false)
-      val sch = synchronized {
-        schemaCache.getOrElseUpdate(stage, c.read.parquet(stage).schema)
-      }
-      val src = c.readStream.schema(sch).parquet(stage)
-      val agg = src
-        .select(T.tsUs(col("ts")).as("ts"), col("event_type"))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(date_format(col("w.start"), Fmt).as("win_start"),
-                col("event_type"), col("n"))
-      val name = "graft_q73_sink"
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      c.table(name).orderBy(col("win_start"), col("event_type"))
-    }),
+    // Width MEASURED (R21Probe width sweep, sf0.1, round 21 — the q95
+    // discipline applied to this drain): min-of-3 interleaved,
+    // width 2/4/8 = 1.71/1.75/1.78 s — nearly flat (the drain's fixed
+    // cost is the two batches' machinery, not store count at ~3.6k
+    // keys); 2 is the marginal winner and matches the state-width-
+    // follows-key-cardinality doctrine.
+    "q73_stream_watermark" -> ((s, d) => watermarkDrain(s, d, width = 2)),
 
     "q78_stream_custom_state" -> ((s, d) => {
       // Custom state via the typed flatMapGroupsWithState API — the
@@ -885,7 +860,7 @@ object StreamOps extends QueryModule {
     "q95_stream_stream_join" -> ((s, d) =>
       streamStreamJoinDrain(s, d, width = 4)),
 
-    "q74_stream_dedup_state" -> ((s2, d2) => q74drain(s2, d2)))
+    "q74_stream_dedup_state" -> ((s2, d2) => q74drain(s2, d2, width = 8)))
 
   /** q95's drain body at an explicit state width, separated so BenchShapes
     * can sweep widths and the registered query pins the measured winner.
@@ -931,7 +906,47 @@ object StreamOps extends QueryModule {
     c.table(name).orderBy(col("user_id"), col("view_id"), col("buy_id"))
   }
 
-  private def q74drain(s: SparkSession, d: String): DataFrame = {
+  /** q73's drain body at an explicit state width (the
+    * streamStreamJoinDrain separation, so the width can be swept).
+    *
+    * Genuine Structured Streaming: parquet file source -> watermark ->
+    * tumbling agg -> memory sink, drained with AvailableNow. In append
+    * mode only windows whose end <= final watermark (max ts - 10 min)
+    * are emitted — the late-data-drop contract. ORACLED since round
+    * 18: the source is the SINGLE-file stage ([[singleFileStage]] —
+    * one micro-batch, watermark still 0 while rows flow, advancing
+    * only for the final emission pass), so the kept-window set is
+    * exactly `window_end <= max(ts) − 10 min` — plain watermark
+    * arithmetic DuckDB recomputes over the same rows. Cross-batch
+    * late DROPS (a mid-drain watermark actually discarding data) are
+    * exercised in StreamSpec via MemoryStream. The trailing no-data
+    * batch is REQUIRED here (final windows emit in it) — never
+    * streamSessionNoTail.
+    * (nanosAsLong comes from the session builder — see Tables.events.) */
+  private[graft] def watermarkDrain(s: SparkSession, d: String,
+                                    width: Int): DataFrame = {
+    val c = streamSession(s, width)
+    val stage = singleFileStage(c, d, dups = false)
+    val sch = synchronized {
+      schemaCache.getOrElseUpdate(stage, c.read.parquet(stage).schema)
+    }
+    val src = c.readStream.schema(sch).parquet(stage)
+    val agg = src
+      .select(T.tsUs(col("ts")).as("ts"), col("event_type"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), Fmt).as("win_start"),
+              col("event_type"), col("n"))
+    val name = "graft_q73_sink"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    c.table(name).orderBy(col("win_start"), col("event_type"))
+  }
+
+  private[graft] def q74drain(s: SparkSession, d: String,
+                              width: Int): DataFrame = {
       // Stateful streaming dedup on event_id within the watermark — state
       // is dropped once the watermark passes, keeping memory bounded on an
       // unbounded stream. ORACLED since round 18: the source is the
@@ -945,7 +960,7 @@ object StreamOps extends QueryModule {
       // Cross-batch duplicate-drop is pinned in StreamSpec.
       // survivors emit the batch they arrive — the trailing no-data
       // batch is pure eviction (measured 0.6 s, in=0/out=0)
-      val c = streamSessionNoTail(s, 8)
+      val c = streamSessionNoTail(s, width)
       val stage = singleFileStage(c, d, dups = true)
       val sch = synchronized {
         schemaCache.getOrElseUpdate(stage, c.read.parquet(stage).schema)
