@@ -323,20 +323,27 @@ object StreamOps extends QueryModule {
     * ⇒ 4 committed versions. Batch ORDER does not affect the final
     * state (argmax per user is order-free), which is what keeps the
     * drain oracle-able while the intermediate versions stay real. */
-  private val snapStageCache =
-    new scala.collection.mutable.WeakHashMap[SparkSession,
-      scala.collection.mutable.Set[String]]
+  /** Staged-dir memo keyed by the STAGE DIR STRING, not the session: the
+    * drains call the stagers with their per-drain CHILD session, so a
+    * session-keyed memo (the original WeakHashMap[SparkSession, _])
+    * missed on EVERY construction and silently re-wrote the stage each
+    * run — q126/q147 re-paid the 4-file range write (sampling pass
+    * included) and q73/q74 the coalesce(1) rewrite, every timed
+    * iteration (caught by the round-21 per-batch duration probe: the
+    * same stage dir re-written per drain). The dir string already embeds
+    * the JVM's unique warehouse temp dir, so a plain string set is
+    * exactly the right scope — same lifetime the session key intended,
+    * nothing heavier than strings pinned. */
+  private val stagedDirs = scala.collection.mutable.Set.empty[String]
   private def snapStreamStage(s: SparkSession, d: String): String =
     synchronized {
       val dir = s.conf.get("spark.sql.warehouse.dir") +
         "/graft_snap_sink_stage_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      val staged =
-        snapStageCache.getOrElseUpdate(s, scala.collection.mutable.Set.empty)
-      if (!staged.contains(dir)) {
+      if (!stagedDirs.contains(dir)) {
         T.events(s, d)
           .repartitionByRange(4, col("event_id"))
           .write.mode("overwrite").parquet(dir)
-        staged += dir
+        stagedDirs += dir
       }
       dir
     }
@@ -358,15 +365,13 @@ object StreamOps extends QueryModule {
       val tag = if (dups) "dups" else "plain"
       val dir = s.conf.get("spark.sql.warehouse.dir") +
         s"/graft_stream_stage1_${tag}_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      val staged =
-        snapStageCache.getOrElseUpdate(s, scala.collection.mutable.Set.empty)
-      if (!staged.contains(dir)) {
+      if (!stagedDirs.contains(dir)) { // dir-keyed memo — see stagedDirs
         val base = T.events(s, d)
         val df =
           if (dups) base.unionAll(base.filter(col("event_id") % 7 === 0))
           else base
         df.coalesce(1).write.mode("overwrite").parquet(dir)
-        staged += dir
+        stagedDirs += dir
       }
       dir
     }

@@ -239,8 +239,17 @@ final class GraftSourceProvider extends RelationProvider
       "graft sink does not take partitionBy — clustering is the " +
         "manifest's statsCol (+ OPTIMIZE zorder), not directories")
     val opts = lowered(parameters)
+    // default nFiles = 1, NOT the batch-write 8: a micro-batch commit is
+    // small by contract, and the single-file branch of writeDataFiles
+    // folds stats into the write via Observation and needs no range
+    // sampling — at 8 every trigger paid the sampling pass (the batch
+    // pipeline EXECUTES TWICE), 8 write tasks, and a separate read-back
+    // stats job for files that OPTIMIZE would immediately recompact
+    // (the q126 foreachBatch sink has pinned nFiles=1 for the same
+    // reason since round 15; measured on q147's drain: ~0.17 s/batch).
+    // Large per-trigger volumes opt back in with .option("nfiles", n).
     new GraftSink(sqlContext.sparkSession, dirOf(opts),
-      opts.get("statscol"), opts.get("nfiles").map(_.trim.toInt).getOrElse(8),
+      opts.get("statscol"), opts.get("nfiles").map(_.trim.toInt).getOrElse(1),
       outputMode)
   }
 }
