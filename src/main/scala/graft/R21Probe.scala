@@ -77,6 +77,9 @@ object R21Probe {
       }
       sweep("q73_watermark", w => ops.StreamOps.watermarkDrain(spark, sfDir, w).count())
       sweep("q74_dedup", w => ops.StreamOps.q74drain(spark, sfDir, w).count())
+      // re-sweep q95 post-no-tail: the r20 width choice was measured WITH
+      // the trailing no-data batch the round removed
+      sweep("q95_ssjoin", w => ops.StreamOps.streamStreamJoinDrain(spark, sfDir, w).count())
       spark.stop(); return
     }
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
