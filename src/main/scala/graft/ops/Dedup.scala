@@ -57,24 +57,45 @@ object Dedup extends QueryModule {
 
   /** Exact Jaccard >= tau pairs from a (doc_id, sh) shingle table.
     *
-    * Measured and rejected (same discipline as the q66 shape choice): a
-    * df>1 semi-join pruning the self-join input to shared shingles benched
-    * consistently SLOWER at every fixture SF (q61 sf0.1 medians in SCALE.md
-    * §"Measured scaling curve" — the table there is the single source of
-    * truth for these timings; the pruning variant added ~25% on top) — the
-    * extra O(shingles) aggregation shuffle outweighs the join savings on
-    * this corpus. At true corpus scale the pruning (or q65's banding,
-    * which subsumes it) becomes mandatory; q61 stays the deliberately
-    * simple oracle-exact reference. */
+    * Shape (round 22, measured in [[graft.R22Probe]], sf0.1 min-of-5):
+    * each side of the self-join carries its own shingle count (`nsh`
+    * attached by ONE broadcast of the doc-size aggregate before the
+    * join), and the pair aggregate folds ni/nj through as min()s — so
+    * the two post-aggregation re-joins of the size table (each a full
+    * explode+agg subtree in the old plan: 4 scans of the corpus total)
+    * are gone. The self-join is hinted SHUFFLE_HASH: both sides hash-
+    * partition on `sh` over canonically identical children, so the
+    * planner reuses ONE exchange (the probe side's shuffle is written
+    * once and read twice) — with the default broadcast join the build
+    * side was a SECOND full computation of the exploded table plus a
+    * driver collect+broadcast of every (doc, shingle) row. Duel results:
+    * shipped BHJ shape 2.87 s, carry-nsh alone 3.33 s (a wider broadcast
+    * build loses), carry-nsh+SMJ 1.91 s, carry-nsh+SHJ 1.70 s — outputs
+    * asserted row-identical and the q61 oracle hash is unchanged. At
+    * scale the SHJ builds one partition of the shingle table per task
+    * (bounded by the hottest shingle's df — the same skew bound the
+    * operator's Σdf² cost already carries).
+    *
+    * Measured and rejected earlier (same discipline as the q66 shape
+    * choice): a df>1 semi-join pruning the self-join input to shared
+    * shingles benched consistently SLOWER at every fixture SF (q61 sf0.1
+    * medians in SCALE.md §"Measured scaling curve"; the pruning variant
+    * added ~25% on top) — the extra O(shingles) aggregation shuffle
+    * outweighs the join savings on this corpus. At true corpus scale the
+    * pruning (or q65's banding, which subsumes it) becomes mandatory;
+    * q61 stays the deliberately simple oracle-exact reference. */
   private[graft] def jaccardPairs(sh: DataFrame, tau: Double): DataFrame = {
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val inter = sh.select(col("doc_id").as("i"), col("sh"))
-      .join(sh.select(col("doc_id").as("j"), col("sh")), Seq("sh"))
+    val side = sh.join(broadcast(sz), Seq("doc_id"))
+    val inter = side.select(col("doc_id").as("i"), col("sh"),
+                            col("nsh").as("ni"))
+      .join(side.select(col("doc_id").as("j"), col("sh"),
+                        col("nsh").as("nj")).hint("shuffle_hash"), Seq("sh"))
       .filter(col("i") < col("j"))
-      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("inter"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("inter"),
+           min(col("ni")).as("ni"), min(col("nj")).as("nj"))
     inter
-      .join(sz.select(col("doc_id").as("i"), col("nsh").as("ni")), Seq("i"))
-      .join(sz.select(col("doc_id").as("j"), col("nsh").as("nj")), Seq("j"))
       .withColumn("uni", col("ni") + col("nj") - col("inter"))
       .withColumn("jac", col("inter").cast(DoubleType) / col("uni").cast(DoubleType))
       .filter(col("jac") >= tau)

@@ -139,12 +139,18 @@ object StreamOps extends QueryModule {
     * argmax and the merge is ASSOCIATIVE + IDEMPOTENT: re-applying a batch
     * (a restarted query re-delivers the last uncommitted one) cannot
     * change the state. StreamSpec pins both properties. */
-  private[graft] def mergeLatest(state: DataFrame, batch: DataFrame): DataFrame = {
-    val delta = batch.groupBy(col("user_id"))
-      .agg(max(struct(col("event_id"), col("event_type"), col("value"))).as("m"))
-      .select(col("user_id"), col("m.event_id").as("last_event"),
-              col("m.event_type").as("last_type"),
-              col("m.value").as("last_value"))
+  private[graft] def mergeLatest(state: DataFrame, batch: DataFrame): DataFrame =
+    mergeDeltas(state, latestDelta(batch))
+
+  /** [[mergeLatest]]'s state half: fold an ALREADY-REDUCED delta (the
+    * [[latestDelta]] shape — one row per user) into the keyed state. The
+    * same argmax both halves use, so delta∘delta is idempotent and
+    * mergeLatest ≡ mergeDeltas ∘ latestDelta by construction. Split out
+    * (round 22) so q126's sink can reduce each micro-batch ONCE, pin the
+    * ~user-cardinality delta with localCheckpoint, and feed both the
+    * touched-file selection and the COW merge from it — the raw batch
+    * previously re-evaluated in each. */
+  private[graft] def mergeDeltas(state: DataFrame, delta: DataFrame): DataFrame =
     state.unionByName(delta)
       .groupBy(col("user_id"))
       .agg(max(struct(col("last_event"), col("last_type"),
@@ -152,7 +158,6 @@ object StreamOps extends QueryModule {
       .select(col("user_id"), col("m.last_event").as("last_event"),
               col("m.last_type").as("last_type"),
               col("m.last_value").as("last_value"))
-  }
 
   /** One fold of [[queries q114]]'s fingerprint-index sink: merge a
     * micro-batch of (fp, doc_id) rows into the maintained index. Union +
@@ -215,9 +220,22 @@ object StreamOps extends QueryModule {
       if (cur == 0)
         Snapshot.commit(latestDelta(batch), dir, 0, "user_id", nFiles = 1,
           note = s"batch:$batchId")
-      else
-        Snapshot.mergeCow(s, dir, batch, "user_id", mergeLatest, nFiles = 1,
-          note = s"batch:$batchId")
+      else {
+        // Reduce the batch to its per-user delta ONCE and pin it
+        // (localCheckpoint): mergeCow evaluates its `changes` twice —
+        // the touched-file selection job and the COW merge itself — and
+        // both previously re-ran the full micro-batch scan + argmax.
+        // Measured (R22Probe snapSinkTimed, sf0.1 warm): selection
+        // 180-430 ms + merge-side re-eval per batch → selection ~30 ms
+        // off the ~500-row pinned delta, one batch evaluation total.
+        // Semantics unchanged: mergeLatest ≡ mergeDeltas ∘ latestDelta
+        // (same argmax, spec-pinned), and the delta's distinct user set
+        // IS the batch's, so the rewrite/carry split is identical.
+        val delta = latestDelta(batch).localCheckpoint(true)
+        try Snapshot.mergeCow(s, dir, delta, "user_id", mergeDeltas,
+          nFiles = 1, note = s"batch:$batchId")
+        finally Dedup.releaseCheckpoint(delta)
+      }
     }
   }
 
