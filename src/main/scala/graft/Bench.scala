@@ -236,10 +236,43 @@ object Bench {
         (if (all.size > 5) Seq("\"more\":" + (all.size - 5)) else Nil))
         .mkString("{", ",", "}")
     }
-    val line = s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","sf":"$sfShort","n_queries":${results.size},"errors":$errsCapped,"spread_min_p90":$spread,"total_med":${r4(totalMed)},"total_p90":${r4(totalP90)},"regressions":$regressions}"""
-    println(line)
+    // ---- per-query map on the stdout line (round 22, the r21 verdict's
+    // measurement item): per-query MINS — matching "stat":"min", the
+    // headline value and the regression map — keyed by short id, most
+    // expensive first, CAPPED so the whole line stays inside the driver's
+    // 2000-char stdout tail (the r15 lesson: a full 185-entry map is
+    // ~2.2 KB and truncates the line's HEAD, losing "value" entirely —
+    // a silent bench blackout, strictly worse than a capped map). The cap
+    // is explicit, never silent: "queries_omitted" carries the count and
+    // "queries_omitted_sec" the omitted mins' sum, so queries + omitted
+    // always reconstruct total_min and a dropped query cannot hide in the
+    // tail. Full per-query min/median/p90 still land in
+    // target/bench_full.json (committed per round as BENCH_FULL_r*.json).
+    // The timed region, run count and statistics are untouched.
+    val LineBudget = 1850 // chars; driver tail is 2000 and sbt's trailing
+                          // "[success] ..." line rides in the same capture
+    def lineWith(qmap: String, omittedN: Int, omittedSec: Double): String =
+      s"""{"metric":"total","value":${r4(totalMin)},"unit":"sec","sf":"$sfShort","n_queries":${results.size},"queries":$qmap,"queries_omitted":$omittedN,"queries_omitted_sec":${r2(omittedSec)},"errors":$errsCapped,"spread_min_p90":$spread,"total_med":${r4(totalMed)},"total_p90":${r4(totalP90)},"regressions":$regressions}"""
+    val okMins = results.collect { case (k, _, mn, _, None, _) => (sid(k), mn) }
+      .sortBy { case (_, mn) => -mn }
+    val entries = okMins.map { case (id, mn) => jstr(id) + ":" + r2(mn) }
+    // largest prefix of cost-descending entries whose line fits the budget
+    val baseLen = lineWith("{}", okMins.size, totalMin).length
+    var used = 0
+    var mapLen = 0
+    while (used < entries.size && baseLen + mapLen + entries(used).length + 1 <= LineBudget) {
+      mapLen += entries(used).length + 1
+      used += 1
+    }
+    val omitted = okMins.drop(used)
+    val line = lineWith(entries.take(used).mkString("{", ",", "}"),
+      omitted.size, omitted.map(_._2).sum)
+    // the length diagnostic prints BEFORE the JSON line: nothing of ours
+    // may trail the line inside the driver's tail capture
     System.err.println(s"[bench] stdout line length: ${line.length} chars" +
+      (s", per-query mins carried: $used of ${okMins.size}") +
       (if (line.length > 2000) " — EXCEEDS the driver's 2000-char tail" else ""))
+    println(line)
     // file copies survive any stdout capture truncation
     val full = s"""{"metric":"total","value":$totalMin,"unit":"sec","stat":"min","runs_per_query":$Runs,"runs":$runCounts,"regressions":$regressions,"median":$qsFull,"min":$mins,"p90":$p90s,"errors":$errs,"total_med":$totalMed,"total_p90":$totalP90,"sf":"$sfDir"}"""
     try {
