@@ -690,14 +690,32 @@ object Dedup extends QueryModule {
     * immediately re-shuffle the pairs (q79/q83's component resolution)
     * take this form and skip a pointless range-partition sort of the
     * largest near-dup intermediate. */
-  private[graft] def simhashPairsUnsorted(sigs: DataFrame): DataFrame = {
+  private[graft] def simhashPairsUnsorted(sigs: DataFrame,
+                                          reuseExchange: Boolean = false)
+      : DataFrame = {
     val bands = sigs.select(col("doc_id"), col("sh"),
       explode(expr("sequence(0, 3)")).as("bi"))
       .withColumn("bv", expr("shiftright(sh, bi * 15) & 32767"))
+    // `reuseExchange` hints the band self-join SHUFFLE_HASH (round 22 —
+    // the q61 exchange-reuse shape): both sides hash-partition on
+    // (bi, bv) over canonically identical children, so AQE reuses ONE
+    // exchange and the signature pipeline upstream executes once — under
+    // the default broadcast join the build side is a second full
+    // computation plus a driver collect of every (doc, band) row. Worth
+    // it ONLY when that upstream is expensive (an INLINE signature
+    // build): measured A/B at sf0.1 (QTime min-of-5, same session shape)
+    // q83 1.91 -> 1.48 s and q66 1.16 -> 1.11 s with the hint, but q79 —
+    // whose signatures come from the staged index, a bare parquet scan —
+    // reads 0.77 -> 0.88 s (the reused shuffle costs more than the
+    // second scan it saves), so the staged-index caller keeps the
+    // broadcast shape. Outputs are hash-identical either way (same
+    // candidate set; the oracle gate pins all three).
+    val right = bands.select(col("doc_id").as("j"), col("sh").as("shj"),
+                             col("bi"), col("bv"))
     val cand = bands.select(col("doc_id").as("i"), col("sh").as("shi"),
                             col("bi"), col("bv"))
-      .join(bands.select(col("doc_id").as("j"), col("sh").as("shj"),
-                         col("bi"), col("bv")), Seq("bi", "bv"))
+      .join(if (reuseExchange) right.hint("shuffle_hash") else right,
+            Seq("bi", "bv"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"), col("shi"), col("shj")).distinct()
     cand
@@ -707,7 +725,8 @@ object Dedup extends QueryModule {
   }
 
   private[graft] def simhashPairs(sigs: DataFrame): DataFrame =
-    simhashPairsUnsorted(sigs).orderBy(col("i"), col("j"))
+    simhashPairsUnsorted(sigs, reuseExchange = true)
+      .orderBy(col("i"), col("j"))
 
   /** Connected components over an undirected pair graph ((i, j) rows,
     * i < j canonical) by iterative min-label propagation: every node starts
@@ -1169,7 +1188,9 @@ object Dedup extends QueryModule {
         .withColumn("esurv", min(col("doc_id")).over(wFp))
         .filter(col("doc_id") === col("esurv"))
         .select(col("doc_id"), col("text"))
-      val pairs = simhashPairsUnsorted(simhashSignaturesOf(exactSurvivors, wide = true))
+      val pairs = simhashPairsUnsorted(
+        simhashSignaturesOf(exactSurvivors, wide = true),
+        reuseExchange = true)
         .select(col("i"), col("j"))
       val comp = resolveComponents(pairs)
       // Verdict arm: narrow rows only. esurv for a quality-FAILED doc is
