@@ -3903,8 +3903,18 @@ object Snapshot {
       case (n, sql) => n -> physicalCheckSql(spark, p, sql) })
       .getOrElse(checks ++ genChecks)
     val physStats = prior.map(physicalName(_, statsCol)).getOrElse(statsCol)
+    // GRAFT_SNAP_DEBUG: section laps for commit-path profiling (write job
+    // vs manifest publish) — env-gated, zero cost when unset
+    val snapDebug = sys.env.contains("GRAFT_SNAP_DEBUG")
+    var lapT = System.nanoTime()
+    def lap(tag: String): Unit = if (snapDebug) {
+      val t1 = System.nanoTime()
+      System.err.println(f"[snap] $dir v$v $tag ${(t1 - lapT) / 1e6}%.0f ms")
+      lapT = t1
+    }
     val written = writeDataFiles(physDf, dir, sub, physStats, nFiles,
       physChecks, cuts)
+    lap("write")
     val fresh = written.files
     // Bloom and col-stats sidecars carry AUTOMATICALLY for carried files
     // (a sidecar describes an immutable file, so carrying by path is
@@ -3956,12 +3966,14 @@ object Snapshot {
       renames = prior.map(_.renames).getOrElse(Nil),
       droppedCols = prior.map(_.droppedCols).getOrElse(Nil),
       genCols = gens, schemaJson = schemaJson)
+    lap("manifest-build")
     try publish(spark, dir, m)
     catch {
       case e: SnapshotConflict =>
         fsOf(spark, dir).delete(new Path(s"$dir/$sub"), true)
         throw e
     }
+    lap("publish")
     v
   }
 
