@@ -42,7 +42,8 @@ object R22Probe {
     * exchange the other side reuses) and optional localCheckpoint of the
     * prefix/sets diamonds. */
   private def prefixV(sh: DataFrame, tau: Double, hint: String,
-                      ckptPrefix: Boolean, ckptSets: Boolean): DataFrame = {
+                      ckptPrefix: Boolean, ckptSets: Boolean,
+                      setsHint: String = ""): DataFrame = {
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val w = Window.partitionBy(col("doc_id"))
@@ -67,9 +68,10 @@ object R22Probe {
     val sets0 = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("sh"))).as("shs"))
     val sets = if (ckptSets) sets0.localCheckpoint(true) else sets0
+    def sh2(df: DataFrame) = if (setsHint.isEmpty) df else df.hint(setsHint)
     val inter = cand
-      .join(sets.select(col("doc_id").as("i"), col("shs").as("shi")), Seq("i"))
-      .join(sets.select(col("doc_id").as("j"), col("shs").as("shj")), Seq("j"))
+      .join(sh2(sets.select(col("doc_id").as("i"), col("shs").as("shi"))), Seq("i"))
+      .join(sh2(sets.select(col("doc_id").as("j"), col("shs").as("shj"))), Seq("j"))
       .select(col("i"), col("j"),
         expr("graft_sorted_inter_count(shi, shj)").as("inter"),
         size(col("shi")).cast(LongType).as("ni"),
@@ -84,7 +86,8 @@ object R22Probe {
 
   // ---- q111 variants ------------------------------------------------
   private def containV(sh: DataFrame, tau: Double,
-                       ckptSets: Boolean): DataFrame = {
+                       ckptSets: Boolean,
+                       setsHint: String = ""): DataFrame = {
     val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val w = Window.partitionBy(col("doc_id"))
@@ -106,9 +109,10 @@ object R22Probe {
     val sets0 = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("sh"))).as("shs"))
     val sets = if (ckptSets) sets0.localCheckpoint(true) else sets0
+    def sh2(df: DataFrame) = if (setsHint.isEmpty) df else df.hint(setsHint)
     cand
-      .join(sets.select(col("doc_id").as("i"), col("shs").as("shi")), Seq("i"))
-      .join(sets.select(col("doc_id").as("j"), col("shs").as("shj")), Seq("j"))
+      .join(sh2(sets.select(col("doc_id").as("i"), col("shs").as("shi"))), Seq("i"))
+      .join(sh2(sets.select(col("doc_id").as("j"), col("shs").as("shj"))), Seq("j"))
       .select(col("i"), col("j"),
         expr("graft_sorted_inter_count(shi, shj)").as("inter"),
         size(col("shi")).cast(LongType).as("ni"))
@@ -317,10 +321,21 @@ object R22Probe {
         "ckpt-pfx+sets"   -> (() => prefixV(sh, 0.5, "", true, true)),
         "shj+ckpt-both"   -> (() => prefixV(sh, 0.5, "shuffle_hash", true, true))))
 
+    if (fams("q106b")) duel("q106b",
+      () => ops.Dedup.jaccardPairsPrefix(sh, 0.5),
+      Seq(
+        "shj-sets"        -> (() => prefixV(sh, 0.5, "", false, false, "shuffle_hash")),
+        "merge-sets"      -> (() => prefixV(sh, 0.5, "", false, false, "merge"))))
+
     if (fams("q111")) duel("q111",
       () => ops.Dedup.containmentPairs(sh, 0.8),
       Seq(
         "ckpt-sets"       -> (() => containV(sh, 0.8, true))))
+
+    if (fams("q111b")) duel("q111b",
+      () => ops.Dedup.containmentPairs(sh, 0.8),
+      Seq(
+        "shj-sets"        -> (() => containV(sh, 0.8, false, "shuffle_hash"))))
 
     if (fams("q126")) (1 to runs).foreach(_ => snapSinkTimed(spark, sfDir))
 

@@ -174,9 +174,23 @@ object Dedup extends QueryModule {
     // AQE broadcasts it at fixture scale) and verify stays ∝ candidates.
     val sets = sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("sh"))).as("shs"))
+    // Both verify joins take the sets side SHUFFLE_HASH (round 22): the
+    // i-side and j-side exchanges hash the SAME sets aggregate on its
+    // doc key, canonicalize identically, and AQE reuses one exchange —
+    // the collect_set aggregate (an ObjectHashAggregate over every
+    // shingle row) runs ONCE instead of once per side. Measured
+    // (R22Probe q106b, min-of-7 interleaved): min 2.06 -> 1.95 s,
+    // medians ~8% better; outputs asserted row-identical. q111's
+    // containment twin measured WORSE with the same hint (1.54 -> 1.74
+    // — its candidate side is container-heavy and the extra shuffle of
+    // cand outweighs the saved aggregate), so it keeps the broadcast
+    // shape — the q79/q97 lesson that reuse only pays when the reused
+    // subtree is the expensive one.
     val inter = cand
-      .join(sets.select(col("doc_id").as("i"), col("shs").as("shi")), Seq("i"))
-      .join(sets.select(col("doc_id").as("j"), col("shs").as("shj")), Seq("j"))
+      .join(sets.select(col("doc_id").as("i"), col("shs").as("shi"))
+              .hint("shuffle_hash"), Seq("i"))
+      .join(sets.select(col("doc_id").as("j"), col("shs").as("shj"))
+              .hint("shuffle_hash"), Seq("j"))
       .select(col("i"), col("j"),
         // native merge walk over the sorted sets (graft_sorted_inter_count)
         // instead of size(array_intersect(...)): array_intersect hash-sets
