@@ -339,6 +339,50 @@ object R22Probe {
 
     if (fams("q126")) (1 to runs).foreach(_ => snapSinkTimed(spark, sfDir))
 
+    if (fams("q97")) {
+      // q97 with the srpCorpus union pinned (localCheckpoint): the
+      // perturbed arm is an interpreted 64-lambda HOF transform and the
+      // frame is referenced ~5x in the plan (two band sides, ei/ej
+      // verify joins, the resolved left join).
+      def q97v(ckpt: Boolean): DataFrame = {
+        val u0 = ops.Similarity.srpCorpus(spark, sfDir)
+        val u = if (ckpt) u0.localCheckpoint(true) else u0
+        val cand = ops.Similarity.srpCandidates(u)
+        val pairs = cand
+          .join(u.select(col("vec_id").as("i"), col("emb").as("ei")), Seq("i"))
+          .join(u.select(col("vec_id").as("j"), col("emb").as("ej")), Seq("j"))
+          .select(col("i"), col("j"), expr("graft_cosine(ei, ej)").as("cos"))
+          .filter(col("cos") >= 0.85)
+          .select(col("i"), col("j"))
+        val comp = ops.Dedup.resolveComponents(pairs)
+        val resolved = u.select(col("vec_id"))
+          .join(comp.select(col("node").as("vec_id"), col("lbl")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("lbl"), col("vec_id")).as("survivor"))
+        val sizes = resolved.groupBy(col("survivor"))
+          .agg(count(lit(1)).as("csize"))
+        resolved.join(sizes, Seq("survivor"))
+          .select(col("vec_id"), col("survivor"), col("csize"),
+            (col("vec_id") === col("survivor")).cast(LongType).as("is_survivor"))
+          .orderBy(col("vec_id"))
+      }
+      def showS(df: DataFrame) = df.collect().map(_.toString).toSeq
+      require(showS(q97v(true)) == showS(q97v(false)), "q97 ckpt mismatch")
+      val all = Seq(("shipped", () => q97v(false)), ("ckpt-u", () => q97v(true)))
+      all.foreach { case (_, mk) => mk().count() }
+      val res = (1 to runs).flatMap(_ => all.map { case (vtag, mk) =>
+        val t0 = System.nanoTime()
+        mk().count()
+        (vtag, (System.nanoTime() - t0) / 1e9)
+      })
+      all.foreach { case (vtag, _) =>
+        val ts = res.collect { case (`vtag`, t) => t }
+        println(f"q97    $vtag%-22s min=${ts.min}%5.2f  " +
+          ts.map(t => f"$t%.2f").mkString(" "))
+      }
+    }
+
     if (fams("finalplan")) {
       // post-execution (AQE-final) plan of a registered query — shows
       // runtime join conversions and exchange reuse explain() cannot

@@ -910,6 +910,11 @@ object Similarity extends QueryModule {
       // fixed — so the output EQUALS the exact all-pairs result and the
       // DuckDB oracle hash-checks it end-to-end; the recall + candidate-
       // rate properties are additionally pinned in SimilaritySpec.
+      // Pinning the union corpus (localCheckpoint) was A/B-measured here
+      // (round 22): 0.71 s without vs 0.72 s with — a WASH (the four
+      // plan references recompute cheaply: the band sides ride one
+      // broadcast). q97 keeps the pin (five references plus an eager
+      // fixpoint construction; 1.05 -> 0.88 s there). Shipped shape kept.
       val u = srpCorpus(s, d)
       val cand = srpCandidates(u)
       cand
@@ -933,7 +938,10 @@ object Similarity extends QueryModule {
       // EVERY vector in the union corpus, singletons as clusters of 1.
       // Banding recall is 1.0 on the fixture (q75's oracle proves it), so
       // the exact-pair recursive-CTE oracle hash-matches end-to-end.
-      val u = srpCorpus(s, d)
+      // Union corpus pinned per construction — q75's rationale, one
+      // reference MORE here (the resolved left join makes five):
+      // measured 0.96 -> 0.81 s (R22Probe q97 duel, min-of-6).
+      val u = srpCorpus(s, d).localCheckpoint(true)
       val cand = srpCandidates(u)
       val pairs = cand
         .join(u.select(col("vec_id").as("i"), col("emb").as("ei")), Seq("i"))
